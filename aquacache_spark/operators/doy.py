@@ -1,0 +1,105 @@
+"""Day-of-year historical statistics.
+
+Reference semantics (inst/patches/patch_48.R:416-494): for each daily
+row, statistics over **all strictly earlier days with the same
+(normalized) day-of-year**: count, min, max, mean, exact percentiles
+q10/q25/q50/q75/q90; a 30-year variant restricts history to
+``past.date >= target.date - 30 years``; and
+
+    percent_historic_range = (value - hist_min) /
+                             NULLIF(hist_max - hist_min, 0) * 100
+    (only when hist_count > 1; patch_48.R:499-511)
+
+DOY normalization (inst/patches/patch_41.R:2471-2492): Feb 29 -> NULL;
+in leap years DOY > 60 decremented by 1, aligning calendar days across
+years.
+
+Spark-first: a self-join on ``(keys, doy)`` with ``past.date <
+target.date`` then exact-percentile aggregation per target row. Group
+sizes are bounded by the number of years of history (~n_years per
+(series, doy) cell), so the joined set is |daily| x years/366 — linear
+in history depth, not quadratic in table size. The join shuffles on
+(keys, doy), which at 100 TB is well-distributed (366 x n_series
+cells); a hot series is split by AQE skew handling. This mirrors the
+reference's hist CTE exactly and keeps percentiles *exact* (sort-based
+``percentile``), which the correctness oracle requires.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_doy(date_col: Column) -> Column:
+    """Feb 29 -> NULL; leap-year DOY>60 shifted down 1 (patch_41.R:2471-2492)."""
+    month, day = F.month(date_col), F.dayofmonth(date_col)
+    doy = F.dayofyear(date_col)
+    y = F.year(date_col)
+    leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+    return (
+        F.when((month == 2) & (day == 29), F.lit(None).cast("int"))
+        .when(leap & (doy > 60), doy - 1)
+        .otherwise(doy)
+    )
+
+
+def doy_stats(
+    daily: DataFrame,
+    keys: Sequence[str],
+    date_col: str = "date",
+    value_col: str = "value",
+    years_window: int | None = None,
+) -> DataFrame:
+    """Attach historical same-DOY stats to each daily row.
+
+    Returns the daily rows plus ``doy, doy_count, hist_min, hist_max,
+    hist_mean, q10, q25, q50, q75, q90, percent_historic_range``.
+    Rows with NULL normalized DOY (Feb 29) get NULL stats — the
+    reference smooths them from neighbors afterwards
+    (patch_48.R:604-686), exposed separately as ``feb29_smooth``.
+    """
+    d = daily.withColumn("doy", normalized_doy(F.col(date_col)))
+    hist = d.select(
+        *[F.col(k).alias(f"__h_{k}") for k in keys],
+        F.col("doy").alias("__h_doy"),
+        F.col(date_col).alias("__h_date"),
+        F.col(value_col).cast("double").alias("__h_value"),
+    )
+    cond = [d[k] == hist[f"__h_{k}"] for k in keys]
+    cond.append(d["doy"] == hist["__h_doy"])
+    joined = d.join(hist, cond, "left")
+    past = F.col("__h_date") < F.col(date_col)
+    if years_window is not None:
+        past = past & (
+            F.col("__h_date") >= F.add_months(F.col(date_col), -12 * years_window)
+        )
+    hv = F.when(past, F.col("__h_value"))
+
+    def pct(p: float, name: str) -> Column:
+        return F.expr(f"percentile(__hv__, {p}D)").alias(name)
+
+    joined = joined.withColumn("__hv__", hv)
+    out = (
+        joined.groupBy(*[d[k] for k in keys], d[date_col], d[value_col], d["doy"])
+        .agg(
+            F.count("__hv__").alias("doy_count"),
+            F.min("__hv__").alias("hist_min"),
+            F.max("__hv__").alias("hist_max"),
+            F.avg("__hv__").alias("hist_mean"),
+            pct(0.1, "q10"),
+            pct(0.25, "q25"),
+            pct(0.5, "q50"),
+            pct(0.75, "q75"),
+            pct(0.9, "q90"),
+        )
+    )
+    phr = F.when(
+        (F.col("doy_count") > 1) & F.col("doy").isNotNull(),
+        (F.col(value_col) - F.col("hist_min"))
+        / F.nullif(F.col("hist_max") - F.col("hist_min"), F.lit(0.0))
+        * 100.0,
+    )
+    return out.withColumn("percent_historic_range", phr)

@@ -1,0 +1,97 @@
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aquacache_spark.session import get_spark  # noqa: E402
+from aquacache_spark import catalog  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("aquacache-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in catalog.TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck001():
+    return duck_con(SF_SMOKE)
+
+
+@pytest.fixture(scope="session")
+def duck01():
+    return duck_con(SF_CORRECTNESS)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all values (driver-style compare)."""
+    import datetime
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            sample = df[c].dropna()
+            first = sample.iloc[0] if len(sample) else None
+            if isinstance(first, (datetime.date, datetime.datetime)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in a.columns:
+        col_a, col_b = a[c], b[c]
+        if pd.api.types.is_float_dtype(col_a) or pd.api.types.is_float_dtype(col_b):
+            ca = pd.to_numeric(col_a, errors="coerce")
+            cb = pd.to_numeric(col_b, errors="coerce")
+            both_nan = ca.isna() & cb.isna()
+            diff = (ca - cb).abs()
+            bad = ~both_nan & ~(diff == 0)
+            if bad.any():
+                idx = bad[bad].index[:5]
+                raise AssertionError(
+                    f"{name}: column {c!r} differs at {int(bad.sum())} rows; "
+                    f"examples spark={ca[idx].tolist()} oracle={cb[idx].tolist()} "
+                    f"maxdiff={diff[~both_nan].max()}"
+                )
+        else:
+            if not col_a.equals(col_b):
+                neq = col_a != col_b
+                idx = neq[neq].index[:5]
+                raise AssertionError(
+                    f"{name}: column {c!r} differs; examples "
+                    f"spark={col_a[idx].tolist()} oracle={col_b[idx].tolist()}"
+                )
+
+
+def run_compare(spark, con, query_fn, sql: str, sf_dir: str, name: str = "") -> None:
+    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    oracle_pdf = con.execute(sql).fetchdf()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
