@@ -48,6 +48,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``CAST(ts AS TIMESTAMP)`` does (truncation), so oracle comparisons
     agree. The conversion is a codegen'd projection, free at scale.
     """
+    # timestamp rendering must agree with the (TZ-naive) DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

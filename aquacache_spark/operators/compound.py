@@ -1,0 +1,99 @@
+"""Compound timeseries resolution.
+
+Reference semantics (inst/patches/patch_53.R:845-1296):
+- **priority fallback** (expression_sql NULL): union all member series,
+  keep ``row_number() OVER (PARTITION BY datetime ORDER BY
+  member_priority, member_alias) = 1`` (:899-948); members may be
+  time-windowed by ``use_from``/``use_to``.
+- **expression compounds**: align members on datetime (exact equi-join,
+  :1087-1096, or as-of with tolerance — operators/asof.py), project the
+  member columns through the compound's safe SQL expression
+  (:1273-1294).
+- cycle detection over nested compounds: driver-side DFS with explicit
+  path (:876-878) — compound graphs are catalog-sized, never data-sized.
+
+Spark-first: both paths are pure DataFrame compositions; the dynamic
+expression goes through ``F.expr`` gated by the ported safety validator
+(plans/expr_safety.py ~ patch_55.R:582-700). Catalyst *is* the runtime
+SQL generator the reference hand-rolls with format()/EXECUTE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.expr_safety import assert_safe_numeric_expression
+
+
+@dataclass(frozen=True)
+class Member:
+    alias: str
+    df: DataFrame
+    priority: int = 1
+    use_from: Optional[str] = None  # 'YYYY-MM-DD HH:MM:SS' inclusive
+    use_to: Optional[str] = None  # exclusive
+
+
+def _windowed(m: Member, dt_col: str) -> DataFrame:
+    df = m.df
+    if m.use_from:
+        df = df.where(F.col(dt_col) >= F.lit(m.use_from).cast("timestamp"))
+    if m.use_to:
+        df = df.where(F.col(dt_col) < F.lit(m.use_to).cast("timestamp"))
+    return df
+
+
+def priority_coalesce(
+    members: Sequence[Member],
+    dt_col: str = "datetime",
+    value_col: str = "value",
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Highest-priority non-null member value per timestamp
+    (patch_53.R:899-948: union + row_number filter)."""
+    parts = [
+        _windowed(m, dt_col)
+        .where(F.col(value_col).isNotNull())
+        .select(
+            *extra_keys,
+            dt_col,
+            F.col(value_col).cast("double").alias(value_col),
+            F.lit(m.priority).alias("__prio"),
+            F.lit(m.alias).alias("__alias"),
+        )
+        for m in members
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy(*extra_keys, dt_col).orderBy("__prio", "__alias")
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*extra_keys, dt_col, value_col, F.col("__alias").alias("source_alias"))
+    )
+
+
+def expression_compound(
+    members: Sequence[Member],
+    expression: str,
+    dt_col: str = "datetime",
+    value_col: str = "value",
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Exact-datetime alignment + safe expression over member aliases
+    (patch_53.R:1087-1096, :1273-1294)."""
+    assert_safe_numeric_expression(expression, allowed_idents=tuple(m.alias for m in members))
+    base = None
+    for m in members:
+        part = _windowed(m, dt_col).select(
+            *extra_keys, dt_col, F.col(value_col).cast("double").alias(m.alias)
+        )
+        base = part if base is None else base.join(part, [*extra_keys, dt_col], "inner")
+    return base.withColumn(value_col, F.expr(expression)).select(
+        *extra_keys, dt_col, value_col, *[m.alias for m in members]
+    )

@@ -1,0 +1,138 @@
+"""Run-length segmentation and interval segment algebra.
+
+Reference semantics:
+- ``rle(grade)`` converts point-wise codes into ``(start_dt, end_dt,
+  value)`` segments (R/adjust_functions.R:585-595).
+- Segment algebra: boundary splitting, per-elementary-interval value
+  resolution (new wins over old), merge of adjacent equal-valued
+  segments (R/adjust_functions.R:18-250).
+
+Spark-first: RLE is the classic gaps-and-islands composition —
+``value != lag(value)`` change flags, running ``sum`` to number
+segments, then groupBy segment — two window passes over data already
+partitioned per series, one shuffle. No Python, fully codegen'd.
+Boundary-split works on the *interval* tables (tiny QC metadata):
+explode the sorted union of boundaries per series and resolve each
+elementary interval — row counts are per-series segment counts, never
+measurement-scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rle_segments(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str | Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Collapse consecutive equal values into segments.
+
+    Output: keys..., value, start (first order col), end (last
+    order col), n (points in the run). NULL-safe: NULL == NULL counts
+    as "same run" (eqNullSafe), mirroring rle over NA-free factors plus
+    the reference's null-safe diff helper (R/synchronize_continuous.R:659-668).
+    ``order_col`` may be a list for deterministic tie-breaks.
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    order_col = order_cols[0]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    changed = ~F.col(value_col).eqNullSafe(F.lag(value_col).over(w))
+    seg = (
+        df.withColumn("__chg", F.when(changed, 1).otherwise(0))
+        .withColumn("__seg", F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        seg.groupBy(*keys, "__seg", value_col)
+        .agg(
+            F.min(order_col).alias("start"),
+            F.max(order_col).alias("end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .drop("__seg")
+    )
+
+
+def split_segments(
+    existing: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    start_col: str = "start_dt",
+    end_col: str = "end_dt",
+    value_col: str = "value",
+) -> DataFrame:
+    """Overlay ``new`` segments onto ``existing`` (new wins), splitting at
+    every boundary and merging adjacent equal-valued results.
+
+    Port of collapse_segments_with_split + merge_overlapping_same_value
+    (R/adjust_functions.R:18-250): the union of all interval boundaries
+    defines elementary intervals; each takes the new value if a new
+    segment covers it, else the existing value; adjacent equal values
+    merge. All per-series window work on interval tables (small).
+    """
+    e = existing.select(*keys, start_col, end_col, F.col(value_col).alias("__v")) \
+        .withColumn("__src", F.lit(0))
+    n = new.select(*keys, start_col, end_col, F.col(value_col).alias("__v")) \
+        .withColumn("__src", F.lit(1))
+    allseg = e.unionByName(n)
+
+    bounds = (
+        allseg.select(*keys, F.col(start_col).alias("__b"))
+        .unionByName(allseg.select(*keys, F.col(end_col).alias("__b")))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("__b")
+    elems = (
+        bounds.withColumn("__next", F.lead("__b").over(w))
+        .where(F.col("__next").isNotNull())
+        .select(*keys, F.col("__b").alias("__es"), F.col("__next").alias("__ee"))
+    )
+    # resolve each elementary interval: any covering new segment wins,
+    # else covering existing segment; none -> drop.
+    cond = [elems[k] == allseg[k] for k in keys]
+    covered = elems.join(allseg, cond).where(
+        (allseg[start_col] <= elems["__es"]) & (allseg[end_col] >= elems["__ee"])
+    )
+    w_pick = Window.partitionBy(*[elems[k] for k in keys], "__es", "__ee").orderBy(
+        F.desc("__src")
+    )
+    resolved = (
+        covered.withColumn("__pick", F.row_number().over(w_pick))
+        .where(F.col("__pick") == 1)
+        .select(
+            *[elems[k].alias(k) for k in keys],
+            F.col("__es"), F.col("__ee"), F.col("__v"),
+        )
+    )
+    # merge adjacent equal-valued elementary intervals (segment id via
+    # "starts a new run" flag: value change OR gap)
+    w2 = Window.partitionBy(*keys).orderBy("__es")
+    run = (
+        resolved.withColumn(
+            "__new_run",
+            F.when(
+                F.col("__v").eqNullSafe(F.lag("__v").over(w2))
+                & (F.lag("__ee").over(w2) == F.col("__es")),
+                0,
+            ).otherwise(1),
+        )
+        .withColumn("__run", F.sum("__new_run").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        run.groupBy(*keys, "__run")
+        .agg(
+            F.min("__es").alias(start_col),
+            F.max("__ee").alias(end_col),
+            F.first("__v").alias(value_col),
+        )
+        .drop("__run")
+    )

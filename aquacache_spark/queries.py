@@ -325,6 +325,261 @@ def doy_historic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.4 as-of join with tolerance, 1:1 mutual-nearest
+# (inst/patches/patch_53.R:1216-1256)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+    WITH l AS (
+      SELECT event_id AS lid, user_id, CAST(ts AS TIMESTAMP) AS lts, value AS lv
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT event_id AS rid, user_id, CAST(ts AS TIMESTAMP) AS rts, value AS rv
+      FROM events WHERE event_type = 'view'
+    ), cand AS (
+      SELECT l.user_id, l.lid, l.lts, l.lv, r.rid, r.rv,
+             abs(epoch_us(l.lts) - epoch_us(r.rts)) AS d
+      FROM l JOIN r ON l.user_id = r.user_id
+       AND abs(epoch_us(l.lts) - epoch_us(r.rts)) <= 600 * 1000000
+    ), ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id, lid ORDER BY d, rid) AS ar,
+        row_number() OVER (PARTITION BY user_id, rid ORDER BY d, lid) AS mr
+      FROM cand
+    ), pairs AS (
+      SELECT user_id, lid, rid, rv FROM ranked WHERE ar = 1 AND mr = 1
+    )
+    SELECT l.lid AS event_id, l.user_id, l.lts AS ts, l.lv AS value,
+           p.rid AS match_event_id, p.rv AS right_value
+    FROM l LEFT JOIN pairs p ON l.user_id = p.user_id AND l.lid = p.lid
+"""
+
+
+@register("asof_join_1to1", oracle=_ASOF_ORACLE)
+def asof_join_1to1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, views, keys=["user_id"], left_ts="ts", right_ts="ts",
+        left_id="event_id", right_id="event_id", tolerance_seconds=600,
+        one_to_one=True, right_cols=["value"],
+    )
+    return out.select("event_id", "user_id", "ts", "value",
+                      "match_event_id", "right_value")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 resample: dense bin spine + per-bin stats (patch_53.R:2024-2085)
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = f"""
+    WITH b AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01'
+               + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT)
+                 * INTERVAL 1 SECOND                         AS bin_start,
+             count(*)                                        AS n,
+             {R('min(value)', 4)}                            AS min,
+             {R('max(value)', 4)}                            AS max,
+             {R(DSUM('value') + ' / count(value)', 4)}       AS mean,
+             {R('quantile_cont(value, 0.5)', 4)}             AS median
+      FROM events
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(bin_start) AS lo, max(bin_start) AS hi FROM b GROUP BY 1
+    ), spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 21600 SECOND)) AS bin_start
+      FROM bounds
+    )
+    SELECT s.event_type, s.bin_start, b.n, b.min, b.max, b.mean, b.median
+    FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bin_start = b.bin_start
+"""
+
+
+@register("resample_6h_dense", oracle=_RESAMPLE_ORACLE)
+def resample_6h_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import resample
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample(ev, keys=["event_type"], dt_col="ts", value_col="value",
+                   seconds=21600, dense=True)
+    return _round(out, {"min": 4, "max": 4, "mean": 4, "median": 4})
+
+
+# ---------------------------------------------------------------------------
+# §2.6 run-length segmentation (R/adjust_functions.R:585-595)
+# ---------------------------------------------------------------------------
+
+_RLE_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seg
+      FROM flagged
+    )
+    SELECT user_id, event_type, min(ts) AS start, max(ts) AS "end",
+           count(*) AS n
+    FROM runs GROUP BY user_id, event_type, seg
+"""
+
+
+@register("rle_segments", oracle=_RLE_ORACLE)
+def rle_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.segments import rle_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rle_segments(
+        ev, keys=["user_id"], order_col=["ts", "event_id"], value_col="event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 forward/backward fill (R/calculate_period.R:132-135)
+# ---------------------------------------------------------------------------
+
+_FFILL_ORACLE = """
+    WITH masked AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           coalesce(
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           ) AS filled_value
+    FROM masked
+"""
+
+
+@register("ffill_bfill", oracle=_FFILL_ORACLE)
+def ffill_bfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.gaps import ffill_bfill
+
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    out = ffill_bfill(masked, keys=["user_id"], order_col=["ts", "event_id"],
+                      value_col="v", out_col="filled_value")
+    return out.select("event_id", "user_id", "ts", "filled_value")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 top-k per group (ORDER BY … LIMIT patterns, R/adjust_functions.R:551-560)
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+"""
+
+
+@register("topk_per_group", oracle=_TOPK_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 multi-dim broadcast join chain (code-table lookups,
+# R/getNewContinuous.R:131; patch_48.R:243-246)
+# ---------------------------------------------------------------------------
+
+_REGION_REVENUE_ORACLE = f"""
+    SELECT r_name,
+           {R(DSUM('o_totalprice'), 2)} AS revenue,
+           count(*)                     AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_acctbal > 0
+    GROUP BY r_name
+"""
+
+
+@register("region_revenue", oracle=_REGION_REVENUE_ORACLE)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dec = "decimal(25,8)"
+    out = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return _round(out, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# §2.4 anti join (NOT EXISTS guards, patch_48.R:256-263) — customers with
+# no orders in a window
+# ---------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+"""
+
+
+@register("customers_without_recent_orders", oracle=_ANTI_ORACLE)
+def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
 # Flagship composition used by entry(): corrections -> daily -> DOY stats
 # ---------------------------------------------------------------------------
 

@@ -46,7 +46,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object:
             sample = df[c].dropna()
