@@ -50,6 +50,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # timestamp rendering must agree with the (TZ-naive) DuckDB oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

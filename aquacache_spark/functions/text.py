@@ -1,0 +1,89 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+All JVM-side ``pyspark.sql.functions`` compositions — no Python UDFs in
+these hot paths, so they whole-stage-codegen and scale linearly over a
+100 TB document corpus. The hash primitive is md5-hex -> 60-bit int,
+chosen because it is bit-identical across engines (portable to the
+DuckDB oracle, stable across Spark versions — unlike xxhash64/murmur
+defaults).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword set for the n-gram language heuristic.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "are", "was", "at", "by", "be",
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (documents are single-space joined)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def md5_int(s: Column) -> Column:
+    """Portable 60-bit integer hash: md5 hex prefix -> bigint."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text
+    (the rolling-hash analog, deterministic + portable)."""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^a-zA-Z0-9 ]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, high
+    punctuation, and stopword-free (likely non-linguistic) text."""
+    length_term = F.least(F.length(text) / F.lit(200.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    return (length_term + stop_term + punct_term) / 3.0
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-ratio language heuristic: 'en' vs 'und'."""
+    return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string> (space-joined)."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(sh)

@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all shuffle-on-key distributed designs (100 TB ready):
+
+- **exact**: md5 fingerprint groupBy — one shuffle on the hash, group
+  sizes are duplicate-cluster sizes.
+- **MinHash + LSH**: k-word shingles -> m portable hash functions ->
+  per-band bucket keys -> candidate pairs via bucket self-join. The
+  self-join is on (band, bucket-signature), so only near-duplicates
+  collide; cost is proportional to true duplicate mass, not n².
+- **SimHash**: per-token hash bits weighted-summed into a compact
+  signature; near-dups share signatures / low Hamming distance.
+- **n-gram Jaccard**: exact verification on candidate pairs (or, at
+  small scale, all pairs that share >=1 shingle via inverted-index
+  self-join — never a cross join).
+
+The hash primitive (md5-hex -> int, functions/text.py) is bit-identical
+in the DuckDB oracle, so every stage is differentially testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, md5_int, tokens, word_shingles
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate clusters by exact normalized-text fingerprint.
+
+    Output: fingerprint, n_docs, representative (min id), doc_ids.
+    """
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("representative"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for hash i, min over shingles of
+    md5_int(i || '|' || shingle). Output: id, sig (array<bigint>).
+
+    Computed by exploding shingles once and aggregating min per hash —
+    a single shuffle on the doc id; signature width is a plan-time
+    constant so all hashes evaluate in one codegen'd projection.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    mins = [
+        F.min(md5_int(F.concat_ws("|", F.lit(str(i)), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs: docs sharing any band of the signature.
+
+    Band key = concat of the band's hash values; self-join per band on
+    the key with id_a < id_b, then distinct pairs. Equi-join on the
+    band key — at scale only colliding docs meet, and a pathological
+    hot bucket (boilerplate text) is handled by AQE skew split.
+    """
+    rows = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash signature: majority vote per bit over token hashes.
+
+    Token-level explode + bit explode (plan-time constant width), one
+    aggregation keyed by doc — linear in corpus token count.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).withColumn("h", md5_int(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
+
+    Inverted-index self-join on the shingle (never a cross join):
+    |A ∩ B| from the join, |A|,|B| from per-doc counts; Jaccard =
+    inter / (|A| + |B| - inter). At 100 TB this runs on LSH candidates
+    instead of all sharing pairs (compose with lsh_candidate_pairs).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns.
+
+- **Brute-force cosine top-k** (the exactness baseline): broadcast the
+  (small) query set against the corpus; cosine in pure JVM expressions
+  (``zip_with`` product + ``aggregate`` sum — sequential fold, so the
+  result is deterministic and engine-portable); top-k via per-query
+  ``row_number``. One pass over the corpus, no shuffle of the corpus
+  itself — scales to 100 TB as a map + per-query top-k tree-reduce.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signs bucket
+  vectors; per-bucket brute force. Hyperplanes are derived
+  deterministically from md5 so the operator needs no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_int
+
+
+def _as_double(arr):
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Output: query_id, neighbor_id, cosine, rank.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    dot = _dot(F.col("__qv"), F.col("__cv"))
+    nq = F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+    nc = F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (nq * nc))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
+
+    Plane p component d = (md5_int('p|d') % 2001 - 1000)/1000 — a fixed
+    pseudo-random direction derived without RNG state, reproducible in
+    any engine. Bucket = sign-bit string over planes.
+    """
+    v = _as_double(F.col(vec_col))
+    bits = []
+    for p in range(planes):
+        comps = F.array(*[
+            F.lit(((int(_MD5_CACHE.setdefault((p, d), _md5_py(f"{p}|{d}"))) % 2001) - 1000) / 1000.0)
+            for d in range(dim)
+        ])
+        proj = F.aggregate(
+            F.zip_with(v, comps, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(
+        F.col(id_col), F.concat(*bits).alias("bucket")
+    )
+
+
+_MD5_CACHE: dict = {}
+
+
+def _md5_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: brute force only within the query's bucket."""
+    cb = lsh_buckets(corpus, id_col, vec_col, planes, dim).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    qb = lsh_buckets(queries, id_col, vec_col, planes, dim).join(
+        queries.select(id_col, vec_col), id_col
+    )
+    c = cb.select(
+        F.col("bucket"), F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    q = qb.select(
+        F.col("bucket"), F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    dot = _dot(F.col("__qv"), F.col("__cv"))
+    nq = F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+    nc = F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (nq * nc))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

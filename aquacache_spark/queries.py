@@ -580,6 +580,505 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# §2.4 compound timeseries: priority fallback (patch_53.R:899-948) and
+# expression compound (patch_53.R:1273-1294) over hourly member series
+# ---------------------------------------------------------------------------
+
+_HOURLY_MEMBER = (
+    "SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) "
+    "* 3600 AS BIGINT) * INTERVAL 1 SECOND AS datetime, "
+    + "CAST(sum(CAST(value AS DECIMAL(25,8))) AS DOUBLE) / count(value) AS value "
+    "FROM events WHERE event_type = '{etype}' GROUP BY 1"
+)
+
+_PRIORITY_COALESCE_ORACLE = f"""
+    WITH purchase AS ({_HOURLY_MEMBER.format(etype="purchase")}),
+    click AS ({_HOURLY_MEMBER.format(etype="click")}),
+    view_m AS ({_HOURLY_MEMBER.format(etype="view")}),
+    u AS (
+      SELECT datetime, value, 1 AS prio, 'primary' AS alias FROM purchase
+      UNION ALL
+      SELECT datetime, value, 2 AS prio, 'backup' AS alias FROM click
+        WHERE datetime >= TIMESTAMP '2024-01-15 00:00:00'
+      UNION ALL
+      SELECT datetime, value, 3 AS prio, 'tertiary' AS alias FROM view_m
+    )
+    SELECT datetime, {R('value', 4)} AS value, alias AS source_alias
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY datetime ORDER BY prio, alias) AS rn
+      FROM u WHERE value IS NOT NULL
+    ) WHERE rn = 1
+"""
+
+
+def _hourly_member(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+    from .operators.resample import resample
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == etype)
+    return resample(ev, keys=[], dt_col="ts", value_col="value",
+                    seconds=3600, dense=False).select(
+        F.col("bin_start").alias("datetime"), F.col("mean").alias("value")
+    )
+
+
+@register("compound_priority_coalesce", oracle=_PRIORITY_COALESCE_ORACLE)
+def compound_priority_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compound import Member, priority_coalesce
+
+    out = priority_coalesce(
+        [
+            Member("primary", _hourly_member(spark, sf_dir, "purchase"), 1),
+            Member("backup", _hourly_member(spark, sf_dir, "click"), 2,
+                   use_from="2024-01-15 00:00:00"),
+            Member("tertiary", _hourly_member(spark, sf_dir, "view"), 3),
+        ],
+        dt_col="datetime",
+        value_col="value",
+    )
+    return _round(out, {"value": 4})
+
+
+_EXPR_COMPOUND_ORACLE = f"""
+    WITH temp_m AS ({_HOURLY_MEMBER.format(etype="view")}),
+    cond_m AS ({_HOURLY_MEMBER.format(etype="click")})
+    SELECT t.datetime,
+           {R('c.value / (1 + 0.0191 * (t.value - 25))', 4)} AS value,
+           {R('t.value', 4)} AS temp, {R('c.value', 4)} AS cond
+    FROM temp_m t JOIN cond_m c ON t.datetime = c.datetime
+"""
+
+
+@register("compound_expression", oracle=_EXPR_COMPOUND_ORACLE)
+def compound_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compound import Member, expression_compound
+
+    out = expression_compound(
+        [
+            Member("temp", _hourly_member(spark, sf_dir, "view"), 1),
+            Member("cond", _hourly_member(spark, sf_dir, "click"), 1),
+        ],
+        expression="cond / (1 + 0.0191 * (temp - 25))",
+        dt_col="datetime",
+        value_col="value",
+    )
+    return _round(out, {"value": 4, "temp": 4, "cond": 4})
+
+
+# ---------------------------------------------------------------------------
+# §2.12 sync reconciliation: full-outer null-safe diff + MERGE actions
+# (R/synchronize_continuous.R:566-742)
+# ---------------------------------------------------------------------------
+
+_RECONCILE_ORACLE = """
+    WITH local AS (
+      SELECT event_id, value,
+             (event_id % 11 = 0) AS no_update
+      FROM events
+    ), remote AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN value * 1.01 ELSE value END AS value
+      FROM events WHERE event_id % 7 <> 0
+      UNION ALL
+      SELECT event_id + 10000000 AS event_id, value
+      FROM events WHERE event_id % 13 = 0
+    )
+    SELECT coalesce(l.event_id, r.event_id) AS event_id,
+           CASE
+             WHEN l.no_update THEN 'unchanged'
+             WHEN l.event_id IS NULL THEN 'insert'
+             WHEN r.event_id IS NULL THEN 'delete'
+             WHEN l.value IS NOT DISTINCT FROM r.value THEN 'unchanged'
+             ELSE 'update'
+           END AS action,
+           l.value AS local_value, r.value AS remote_value
+    FROM local l FULL OUTER JOIN remote r ON l.event_id = r.event_id
+"""
+
+
+@register("sync_reconcile", oracle=_RECONCILE_ORACLE)
+def sync_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sync import reconcile
+
+    ev = _t(spark, sf_dir, "events")
+    local = ev.select(
+        "event_id", "value", (F.col("event_id") % 11 == 0).alias("no_update")
+    )
+    remote = ev.where(F.col("event_id") % 7 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") * 1.01)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    ).unionByName(
+        ev.where(F.col("event_id") % 13 == 0).select(
+            (F.col("event_id") + 10000000).alias("event_id"), "value"
+        )
+    )
+    out = reconcile(local, remote, keys=["event_id"], compare_cols=["value"],
+                    no_update_col="no_update")
+    return out.select("event_id", "action", "local_value", "remote_value")
+
+
+_CUTOFF_ORACLE = """
+    WITH l AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), r AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                  THEN value + 0.5 ELSE value END AS value
+      FROM events
+    ), d AS (
+      (SELECT * FROM l EXCEPT ALL SELECT * FROM r)
+      UNION ALL
+      (SELECT * FROM r EXCEPT ALL SELECT * FROM l)
+    )
+    SELECT user_id, min(ts) AS cutoff FROM d GROUP BY user_id
+"""
+
+
+@register("divergence_cutoff", oracle=_CUTOFF_ORACLE)
+def divergence_cutoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sync import divergence_cutoff
+
+    ev = _t(spark, sf_dir, "events")
+    local = ev.select("user_id", "ts", "value")
+    remote = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"),
+            F.col("value") + 0.5,
+        ).otherwise(F.col("value")).alias("value"),
+    )
+    return divergence_cutoff(local, remote, keys=["user_id"], dt_col="ts",
+                             value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 lag diff + rolling median (calculate_period core,
+# R/calculate_period.R:82-83)
+# ---------------------------------------------------------------------------
+
+_LAG_DIFF_ORACLE = f"""
+    WITH g AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)) / 1000000.0 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts, {R('gap_s', 6)} AS gap_s,
+           {R('quantile_cont(gap_s, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id '
+              'ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)', 6)} AS smoothed_gap_s
+    FROM g
+"""
+
+
+@register("lag_diff_period", oracle=_LAG_DIFF_ORACLE)
+def lag_diff_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_id", "user_id", "ts",
+        ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6).alias("gap_s"),
+    )
+    out = g.withColumn(
+        "smoothed_gap_s",
+        F.expr("percentile(gap_s, 0.5D)").over(w.rowsBetween(-1, 1)),
+    )
+    return _round(out, {"gap_s": 6, "smoothed_gap_s": 6})
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication (exact, MinHash-LSH, SimHash,
+# n-gram Jaccard) over `documents`
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           count(*) AS n_docs, min(doc_id) AS representative
+    FROM documents
+    GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=_DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("fingerprint", "n_docs", "representative")
+
+
+_TEXT_METRICS_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             string_split(lower(text), ' ') AS ltoks,
+             length(text) AS n_chars_calc,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                 AS n_punct
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS mean_token_len,
+             CAST(n_punct AS DOUBLE) / greatest(n_chars_calc, 1) AS punct_ratio,
+             CAST(len(list_filter(ltoks, t -> t IN
+               ('the','a','an','and','or','of','to','in','is','it',
+                'that','for','on','with','as','are','was','at','by','be')))
+               AS DOUBLE) / greatest(len(ltoks), 1) AS stopword_ratio,
+             n_chars_calc
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {R('mean_token_len', 6)} AS mean_token_len,
+           {R('punct_ratio', 6)} AS punct_ratio,
+           {R('stopword_ratio', 6)} AS stopword_ratio,
+           {R('(least(n_chars_calc / 200.0, 1.0)'
+              ' + least(stopword_ratio * 5.0, 1.0)'
+              ' + (1.0 - least(punct_ratio * 4.0, 1.0))) / 3.0', 6)} AS quality,
+           CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'und' END AS lang_guess
+    FROM r
+"""
+
+
+@register("text_metrics", oracle=_TEXT_METRICS_ORACLE)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    out = docs.select(
+        "doc_id",
+        X.token_count(t).cast("long").alias("n_tokens"),
+        X.mean_token_length(t).alias("mean_token_len"),
+        X.punct_ratio(t).alias("punct_ratio"),
+        X.stopword_ratio(t).alias("stopword_ratio"),
+        X.quality_score(t).alias("quality"),
+        X.lang_id(t).alias("lang_guess"),
+    )
+    return _round(out, {"mean_token_len": 6, "punct_ratio": 6,
+                        "stopword_ratio": 6, "quality": 6})
+
+
+# shared shingle/minhash SQL fragments (k=3 word shingles, 8 hashes)
+_SHINGLES_SQL = """
+    shingled AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(n - 3, 0))) AS i
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                   len(string_split(lower(text), ' ')) AS n
+            FROM documents)
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i + 1 : i + 3], ' ') AS sh
+      FROM shingled
+    )
+"""
+
+_MINHASH_SQL = _SHINGLES_SQL + """
+    , sig AS (
+      SELECT doc_id,
+    """ + ",\n".join(
+    f"min(CAST('0x' || substr(md5('{i}|' || sh), 1, 15) AS BIGINT)) AS h{i}"
+    for i in range(8)
+) + """
+      FROM shingles GROUP BY doc_id
+    )
+"""
+
+
+_MINHASH_ORACLE = "WITH " + _MINHASH_SQL + """
+    SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig
+"""
+
+
+@register("minhash_signatures", oracle=_MINHASH_ORACLE)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    return sig.select(
+        "doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(8)]
+    )
+
+
+_LSH_PAIRS_ORACLE = "WITH " + _MINHASH_SQL + """
+    , banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id,
+               unnest([0, 1, 2, 3]) AS band,
+               unnest([CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR),
+                       CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR),
+                       CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR),
+                       CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)]) AS key
+        FROM sig
+      )
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    return lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+
+
+_SIMHASH_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+
+@register("simhash_signatures", oracle=_SIMHASH_ORACLE)
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=32)
+
+
+_JACCARD_ORACLE = "WITH " + _SHINGLES_SQL + f"""
+    , sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           {R('CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)', 6)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.05
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, shingle_k=3, threshold=0.05)
+    return _round(out, {"jaccard": 6})
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_TOPK_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
+    FROM r WHERE rank <= 5
+"""
+
+
+@register("embedding_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return _round(out, {"cosine": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.6 stateful sequential operators (applyInPandas; no SQL oracle — the
+# driver records rows-only checks; kernels are unit-tested against
+# closed forms in tests/test_stateful_operators.py)
+# ---------------------------------------------------------------------------
+
+@register("increments_stateful")
+def increments_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware increments (R/compute_increments.R:82-121) on a
+    synthetic cumulative-with-wraparound gauge built from events."""
+    from pyspark.sql import Window
+    from .operators.increments import compute_increments
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gauge = ev.select(
+        "user_id", "ts", "event_id",
+        (F.sum("value").over(w) % 100.0).alias("gauge"),
+    )
+    out = compute_increments(
+        gauge, keys=["user_id"], dt_col="ts", value_col="gauge",
+        reset_drop=20.0, min_pos=0.0, max_gap_seconds=6 * 3600.0,
+    )
+    return _round(out.select("user_id", "ts", "gauge", "increment"),
+                  {"gauge": 4, "increment": 4})
+
+
+@register("calculate_period")
+def calculate_period_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence detection + ISO-8601 period (R/calculate_period.R)."""
+    from .operators.period import calculate_period
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return calculate_period(ev, keys=["user_id"], dt_col="ts")
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction plumbing (decode stubbed — see
+    operators/multimodal.py): treats document text bytes as media blobs."""
+    from .operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    out = extract_media_features(docs)
+    return out.select("media_id", "n_bytes", "sha256",
+                      F.round("mean_byte", 6).alias("mean_byte"))
+
+
+# ---------------------------------------------------------------------------
 # Flagship composition used by entry(): corrections -> daily -> DOY stats
 # ---------------------------------------------------------------------------
 

@@ -15,8 +15,39 @@ Scale notes (100 TB target):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Arrow-batched kernels (applyInPandas / mapInPandas) pickle closures
+    *by reference* to this module; workers must be able to import it.
+    In a pytest run the repo cwd happens to be importable, but a driver
+    embedding us from elsewhere (or a real cluster) is not — so we zip
+    the package once per SparkContext and register it. This is the
+    standard deployment idiom (py-files) done self-service.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="aquacache_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
 
 
 def get_spark(app_name: str = "aquacache-spark", cpus: str | int | None = None) -> SparkSession:

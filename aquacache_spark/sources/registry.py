@@ -1,0 +1,112 @@
+"""Connector registry: dynamic source dispatch.
+
+Reference semantics (R/getNewContinuous.R:481-486): every timeseries
+carries ``source_fx`` (a function name) + ``source_fx_args`` (jsonb),
+dispatched via ``do.call``. Connectors return at least
+``(datetime, value)`` plus optional grade/approval/qualifier/owner/
+contributor/period columns (:489-516).
+
+Spark port: a plain ``{name: callable}`` registry; each connector is a
+function ``(spark, **args) -> DataFrame`` normalized to the contract
+columns. Network connectors (WSC/Aquarius/NWIS/ECCC: R/downloadWSC.R,
+R/downloadAquarius.R, R/downloadNWIS.R, R/downloadECCCwx.R) are
+**stubbed at the fetch step** — no network in this environment — but
+the dispatch, argument parsing, contract validation, and normalization
+are real and tested. File/DB-backed connectors (csv, parquet, jdbc)
+are fully functional.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CONTRACT_COLS = ("datetime", "value")
+OPTIONAL_COLS = ("grade", "approval", "qualifier", "owner", "contributor", "period")
+
+_REGISTRY: Dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_source(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_source(name: str) -> Callable[..., DataFrame]:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown source_fx {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def dispatch(spark: SparkSession, source_fx: str, source_fx_args: str | dict) -> DataFrame:
+    """``do.call(source_fx, args)`` analog: parse jsonb args, call, validate."""
+    args = (
+        json.loads(source_fx_args)
+        if isinstance(source_fx_args, str)
+        else dict(source_fx_args or {})
+    )
+    df = get_source(source_fx)(spark, **args)
+    return validate_contract(df)
+
+
+def validate_contract(df: DataFrame) -> DataFrame:
+    """Normalize to the connector contract (R/getNewContinuous.R:489-553):
+    required (datetime, value); drop NULL values; keep known optionals."""
+    missing = [c for c in CONTRACT_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(f"connector result missing contract columns {missing}")
+    keep = [c for c in df.columns if c in CONTRACT_COLS + OPTIONAL_COLS]
+    return (
+        df.select(*keep)
+        .withColumn("datetime", F.col("datetime").cast("timestamp"))
+        .withColumn("value", F.col("value").cast("double"))
+        .where(F.col("value").isNotNull())
+    )
+
+
+@register_source("read_parquet")
+def read_parquet(spark: SparkSession, path: str, dt_col: str = "datetime",
+                 value_col: str = "value", **_) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.withColumnRenamed(dt_col, "datetime").withColumnRenamed(value_col, "value")
+
+
+@register_source("read_csv")
+def read_csv(spark: SparkSession, path: str, dt_col: str = "datetime",
+             value_col: str = "value", **_) -> DataFrame:
+    df = spark.read.option("header", "true").csv(path)
+    return df.withColumnRenamed(dt_col, "datetime").withColumnRenamed(value_col, "value")
+
+
+@register_source("read_jdbc")
+def read_jdbc(spark: SparkSession, url: str, table: str, **opts) -> DataFrame:
+    """JDBC sources (RWIS/EQWin/HYDAT analogs: R/downloadRWIS.R:16,
+    R/downloadEQWin.R:43, R/update_hydat.R:18)."""
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table) \
+        .options(**{k: str(v) for k, v in opts.items()}).load()
+
+
+def _stub_http(name: str):
+    @register_source(name)
+    def fetch(spark: SparkSession, **kwargs) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError(
+            f"{name}: network fetch not available in this environment; "
+            "the reference connector maps to an HTTP/API pull "
+            "(see sources/registry.py docstring). Pipe a fetched file "
+            "through read_csv/read_parquet instead."
+        )
+    return fetch
+
+
+for _name in ("downloadWSC", "downloadAquarius", "downloadNWIS",
+              "downloadECCCwx", "downloadECCCwxMinute"):
+    _stub_http(_name)
