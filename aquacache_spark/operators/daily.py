@@ -89,8 +89,14 @@ def daily_rollup(
     ]
     if imputed_col:
         aggs.append(F.max(F.col(imputed_col).cast("boolean")).alias("imputed"))
+    # Null handling: aggregates already ignore NULLs; days where every
+    # value is NULL (e.g. fully deleted by corrections) are dropped via
+    # the post-agg count guard rather than a pre-agg filter. A pre-agg
+    # isNotNull filter would duplicate the (possibly huge) corrected-
+    # value expression into the filter predicate and blow the
+    # whole-stage-codegen method size (janino fallback observed).
     return (
-        base.filter(v.isNotNull())
-        .groupBy(*keys, local_day(F.col(dt_col), offset_hours).alias("date"))
+        base.groupBy(*keys, local_day(F.col(dt_col), offset_hours).alias("date"))
         .agg(*aggs)
+        .where(F.col("count") > 0)
     )

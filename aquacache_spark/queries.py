@@ -137,6 +137,7 @@ _DAILY_ROLLUP_ORACLE = f"""
            count(value)                              AS count
     FROM events
     GROUP BY event_type, CAST(ts AS DATE)
+    HAVING count(value) > 0
 """
 
 
@@ -159,6 +160,7 @@ _DAILY_MEDIAN_ORACLE = f"""
            count(value)                              AS count
     FROM events
     GROUP BY event_type, CAST(ts AS DATE)
+    HAVING count(value) > 0
 """
 
 
@@ -1076,6 +1078,409 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_media_features(docs)
     return out.select("media_id", "n_bytes", "sha256",
                       F.round("mean_byte", 6).alias("mean_byte"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 gap expansion: dense cadence inside observed range
+# (R/compute_increments.R:33-67)
+# ---------------------------------------------------------------------------
+
+_GAP_ORACLE = """
+    WITH pts AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01'
+               + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+                 * INTERVAL 1 SECOND AS t
+      FROM events WHERE event_type IN ('signup', 'error')
+    ), dedup AS (SELECT DISTINCT event_type, t FROM pts),
+    nxt AS (
+      SELECT event_type, t,
+             lead(t) OVER (PARTITION BY event_type ORDER BY t) AS t2
+      FROM dedup
+    ), ticks AS (
+      SELECT DISTINCT event_type,
+             unnest(generate_series(t, t2, INTERVAL 3600 SECOND)) AS t
+      FROM nxt WHERE t2 IS NOT NULL
+    )
+    SELECT k.event_type, k.t AS ts,
+           CASE WHEN d.t IS NOT NULL THEN 1 ELSE 0 END AS observed
+    FROM ticks k LEFT JOIN dedup d
+      ON k.event_type = d.event_type AND k.t = d.t
+"""
+
+
+@register("gap_expansion", oracle=_GAP_ORACLE)
+def gap_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.gaps import expand_gaps
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "error")
+    )
+    # hour-floor the irregular events to a cadence grid first
+    pts = ev.select(
+        "event_type",
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / 3600) * 3600
+        ).alias("ts"),
+    ).distinct().withColumn("observed", F.lit(1))
+    out = expand_gaps(pts, keys=["event_type"], dt_col="ts", period_seconds=3600)
+    return out.select(
+        "event_type", "ts", F.coalesce("observed", F.lit(0)).alias("observed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 grade-based exclusion: interval-table range anti-join
+# (patch_48.R:280-290,343-350) — segments marking unusable windows
+# ---------------------------------------------------------------------------
+
+_GRADE_EXCL_ORACLE = """
+    WITH grades AS (
+      SELECT * FROM (VALUES
+        ('click',  TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-08'),
+        ('error',  TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31'),
+        ('view',   TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-12')
+      ) AS g(event_type, start_dt, end_dt)
+    )
+    SELECT e.event_id, e.event_type, CAST(e.ts AS TIMESTAMP) AS ts, e.value
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM grades g
+      WHERE g.event_type = e.event_type
+        AND CAST(e.ts AS TIMESTAMP) >= g.start_dt
+        AND CAST(e.ts AS TIMESTAMP) <  g.end_dt
+    )
+"""
+
+_GRADE_SEGMENTS = [
+    ("click", "2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+    ("error", "2024-01-01 00:00:00", "2024-01-31 00:00:00"),
+    ("view", "2024-01-10 00:00:00", "2024-01-12 00:00:00"),
+]
+
+
+@register("grade_exclusion_antijoin", oracle=_GRADE_EXCL_ORACLE)
+def grade_exclusion_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grades = spark.createDataFrame(
+        _GRADE_SEGMENTS, ["event_type", "start_dt", "end_dt"]
+    ).select(
+        "event_type",
+        F.col("start_dt").cast("timestamp").alias("start_dt"),
+        F.col("end_dt").cast("timestamp").alias("end_dt"),
+    )
+    cond = (
+        (ev["event_type"] == grades["event_type"])
+        & (ev["ts"] >= grades["start_dt"])
+        & (ev["ts"] < grades["end_dt"])
+    )
+    # QC tables are tiny: broadcast range anti-join (SURVEY §2.4)
+    return ev.join(F.broadcast(grades), cond, "left_anti").select(
+        "event_id", "event_type", "ts", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 JSON args parsing (source_fx_args jsonb, R/getNewContinuous.R:481-484)
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = f"""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           count(*) OVER (PARTITION BY CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS k_freq
+    FROM events
+"""
+
+
+@register("json_extract_args", oracle=_JSON_ORACLE)
+def json_extract_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k")).withColumn(
+        "k_freq", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 audit as-of reconstruction: latest version per key at a past
+# timestamp (patch_55.R:2336-2420 *_as_of functions)
+# ---------------------------------------------------------------------------
+
+_ASOF_AUDIT_ORACLE = """
+    WITH versions AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS modified_at, event_id, value
+      FROM events
+    ), visible AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY modified_at DESC, event_id DESC) AS rn
+      FROM versions
+      WHERE modified_at <= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT user_id, event_id AS version_event_id, modified_at, value
+    FROM visible WHERE rn = 1
+"""
+
+
+@register("audit_as_of", oracle=_ASOF_AUDIT_ORACLE)
+def audit_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    versions = ev.select(
+        "user_id", F.col("ts").alias("modified_at"), "event_id", "value"
+    ).where(F.col("modified_at") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("modified_at"), F.desc("event_id")
+    )
+    return (
+        versions.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("version_event_id"),
+                "modified_at", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.14 imputation: linear interpolation across masked gaps
+# (R/imputeMissing.R:1123-1128, stats::approx analog)
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = f"""
+    WITH masked AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_id % 10 = 3 THEN NULL ELSE value END AS v
+      FROM events
+    ), ctx AS (
+      SELECT *,
+             last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+             first_value(v IGNORE NULLS) OVER w_next AS next_v,
+             last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+                 OVER w_prev AS prev_t,
+             first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+                 OVER w_next AS next_t
+      FROM masked
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts,
+           {R('''CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                 * (epoch_us(ts) - epoch_us(prev_t))
+                 / (epoch_us(next_t) - epoch_us(prev_t))
+             ELSE coalesce(prev_v, next_v)
+           END''', 6)} AS imputed_value,
+           (v IS NULL) AS imputed
+    FROM ctx
+"""
+
+
+@register("linear_interpolation", oracle=_INTERP_ORACLE)
+def linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 10 == 3, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    vt = F.when(F.col("v").isNotNull(), F.col("ts"))
+    ctx = (
+        masked.withColumn("prev_v", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("prev_t", F.last(vt, ignorenulls=True).over(w_prev))
+        .withColumn("next_t", F.first(vt, ignorenulls=True).over(w_next))
+    )
+    frac = (
+        (F.unix_micros("ts") - F.unix_micros("prev_t")).cast("double")
+        / (F.unix_micros("next_t") - F.unix_micros("prev_t")).cast("double")
+    )
+    imputed_value = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+        .otherwise(F.coalesce("prev_v", "next_v"))
+    )
+    out = ctx.select(
+        "event_id", "user_id", "ts",
+        imputed_value.alias("imputed_value"),
+        F.col("v").isNull().alias("imputed"),
+    )
+    return _round(out, {"imputed_value": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.3 row-level security: share_with array visibility filter
+# (R/create_test_DB.R:741; R/dbAppendTableRLS.R:3)
+# ---------------------------------------------------------------------------
+
+_RLS_ORACLE = """
+    WITH tagged AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN ['public_reader']
+                  WHEN doc_id % 3 = 1 THEN ['admin']
+                  ELSE ['admin', 'public_reader'] END AS share_with
+      FROM documents
+    )
+    SELECT doc_id, source
+    FROM tagged
+    WHERE list_contains(share_with, 'public_reader')
+"""
+
+
+@register("rls_share_with_filter", oracle=_RLS_ORACLE)
+def rls_share_with_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    share = (
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.lit("public_reader")))
+        .when(F.col("doc_id") % 3 == 1, F.array(F.lit("admin")))
+        .otherwise(F.array(F.lit("admin"), F.lit("public_reader")))
+    )
+    return (
+        docs.withColumn("share_with", share)
+        .where(F.array_contains("share_with", "public_reader"))
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 update_hydat-style merge: daily historical rows only on days
+# lacking sub-daily data (R/update_hydat.R:7-9) — left-anti on day + union
+# ---------------------------------------------------------------------------
+
+_HYDAT_ORACLE = f"""
+    WITH subdaily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value
+      FROM events WHERE event_type IN ('click', 'view')
+    ), historical_daily AS (
+      -- synthetic archive: one row per (type, day) over a wider range
+      SELECT event_type, day, {R('avg_v', 4)} AS value
+      FROM (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {R(DSUM('value') + ' / count(value)', 4)} AS avg_v
+        FROM events WHERE event_type IN ('click', 'view', 'error')
+        GROUP BY 1, 2
+      )
+    ), merged AS (
+      SELECT event_type, day, value, 'subdaily' AS src FROM subdaily
+      UNION ALL
+      SELECT h.event_type, h.day, h.value, 'hydat' AS src
+      FROM historical_daily h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM subdaily s
+        WHERE s.event_type = h.event_type AND s.day = h.day
+      )
+    )
+    SELECT event_type, day, {R('value', 4)} AS value, src FROM merged
+"""
+
+
+@register("hydat_daily_merge", oracle=_HYDAT_ORACLE)
+def hydat_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    subdaily = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    dec = "decimal(25,8)"
+    historical = (
+        ev.where(F.col("event_type").isin("click", "view", "error"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg((F.sum(F.col("value").cast(dec)).cast("double") / F.count("value"))
+             .alias("value"))
+    )
+    historical = _round(historical, {"value": 4})
+    hydat_only = historical.join(
+        subdaily.select("event_type", "day").distinct(),
+        ["event_type", "day"], "left_anti",
+    )
+    merged = subdaily.withColumn("src", F.lit("subdaily")).unionByName(
+        hydat_only.withColumn("src", F.lit("hydat"))
+    )
+    return _round(merged, {"value": 4})
+
+
+# ---------------------------------------------------------------------------
+# §2.12 incremental daily refresh: changed-range recompute + change-only
+# merge classification (patch_41.R:2998-3060; patch_48.R:401-408)
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = f"""
+    WITH fresh AS (
+      SELECT event_type, CAST(ts AS DATE) AS date,
+             {R(DSUM('value') + ' / count(value)', 4)} AS value,
+             count(value) AS count
+      FROM events
+      WHERE event_type IN ('click', 'error')
+        AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'
+      GROUP BY 1, 2
+      HAVING count(value) > 0
+    ), existing AS (
+      -- stale store: click rows doubled (stale), error rows missing
+      SELECT event_type, CAST(ts AS DATE) AS date,
+             {R(DSUM('value') + ' * 2 / count(value)', 4)} AS value
+      FROM events
+      WHERE event_type = 'click'
+      GROUP BY 1, 2
+    )
+    SELECT f.event_type, f.date, f.value, f.count,
+           CASE WHEN e.value IS NULL AND f.value IS NOT NULL THEN 'insert'
+                WHEN f.value IS NOT DISTINCT FROM e.value THEN 'unchanged'
+                ELSE 'update' END AS merge_action
+    FROM fresh f LEFT JOIN existing e
+      ON f.event_type = e.event_type AND f.date = e.date
+"""
+
+
+@register("incremental_daily_refresh", oracle=_INCR_ORACLE)
+def incremental_daily_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.daily import daily_rollup
+    from .streaming.incremental import incremental_daily_refresh
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("timeseries_id"),
+        F.col("ts").alias("datetime"),
+        "value",
+    )
+    dec = "decimal(25,8)"
+    existing = (
+        ev.where(F.col("timeseries_id") == "click")
+        .groupBy("timeseries_id", F.to_date("datetime").alias("date"))
+        .agg((F.sum(F.col("value").cast(dec)).cast("double") * 2 / F.count("value"))
+             .alias("value"))
+    )
+    existing = _round(existing, {"value": 4})
+    changes = spark.createDataFrame(
+        [("click", "2024-01-10 00:00:00", "2024-01-15 23:59:59"),
+         ("error", "2024-01-10 00:00:00", "2024-01-15 23:59:59")],
+        ["timeseries_id", "min_dt", "max_dt"],
+    )
+
+    def rollup(df):
+        rolled = daily_rollup(df, keys=["timeseries_id"], dt_col="datetime",
+                              value_col="value", agg_type="mean")
+        return _round(rolled, {"value": 4}).select(
+            "timeseries_id", "date", "value", "count"
+        )
+
+    out = incremental_daily_refresh(ev, changes, existing, rollup)
+    return out.select(
+        F.col("timeseries_id").alias("event_type"), "date", "value", "count",
+        "merge_action",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,121 @@
+"""Tests for the incremental recompute cascade and the Structured
+Streaming front-end."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from aquacache_spark.operators.daily import daily_rollup
+from aquacache_spark.streaming.incremental import (
+    downstream_closure,
+    expand_changed_ranges,
+    high_watermarks,
+    incremental_daily_refresh,
+    series_bounds,
+    trim_daily_tail,
+)
+
+
+@pytest.fixture()
+def compound_members(spark):
+    # ts6 depends on ts1+ts2; ts10 on ts2+ts9; ts20 on ts10 (nested)
+    return spark.createDataFrame(
+        [(6, 1), (6, 2), (10, 2), (10, 9), (20, 10)],
+        ["timeseries_id", "member_timeseries_id"],
+    )
+
+
+def test_downstream_closure_transitive(spark, compound_members):
+    seeds = spark.createDataFrame([(2,)], ["id"])
+    got = sorted(
+        r["id"] for r in downstream_closure(compound_members, seeds).collect()
+    )
+    assert got == [2, 6, 10, 20]  # nested compound 20 reached through 10
+
+
+def test_expand_changed_ranges_fans_out(spark, compound_members):
+    changes = spark.createDataFrame(
+        [(2, "2024-01-01 00:00:00", "2024-01-02 00:00:00")],
+        ["timeseries_id", "min_dt", "max_dt"],
+    )
+    out = expand_changed_ranges(changes, compound_members)
+    ids = sorted(r["timeseries_id"] for r in out.collect())
+    assert ids == [2, 6, 10, 20]
+
+
+def test_incremental_refresh_touches_only_changed_slices(spark):
+    meas = spark.createDataFrame(
+        [(1, f"2024-01-0{d} 0{h}:00:00", float(10 * d + h))
+         for d in (1, 2, 3) for h in (0, 1)],
+        ["timeseries_id", "datetime", "value"],
+    ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+    existing = spark.createDataFrame(
+        [(1, "2024-01-01", 10.5), (1, "2024-01-02", 99.0)],  # day2 stale
+        ["timeseries_id", "date", "value"],
+    ).withColumn("date", F.col("date").cast("date"))
+    changes = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", "2024-01-02 23:59:59")],
+        ["timeseries_id", "min_dt", "max_dt"],
+    )
+
+    def rollup(df):
+        return daily_rollup(df, keys=["timeseries_id"], dt_col="datetime",
+                            value_col="value", agg_type="mean")
+
+    out = incremental_daily_refresh(meas, changes, existing, rollup)
+    rows = {str(r["date"]): r for r in out.collect()}
+    assert list(rows) == ["2024-01-02"]  # only the changed slice recomputed
+    assert rows["2024-01-02"]["merge_action"] == "update"
+    assert rows["2024-01-02"]["value"] == 20.5
+
+
+def test_trim_tail_and_bounds_and_watermarks(spark):
+    meas = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00", 1.0), (1, "2024-01-02 07:00:00", 2.0)],
+        ["timeseries_id", "datetime", "value"],
+    ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+    daily = spark.createDataFrame(
+        [(1, "2024-01-02", 2.0), (1, "2024-01-05", 9.0)],
+        ["timeseries_id", "date", "value"],
+    ).withColumn("date", F.col("date").cast("date"))
+    trimmed = trim_daily_tail(daily, meas).collect()
+    assert [str(r["date"]) for r in trimmed] == ["2024-01-05"]
+    b = series_bounds(meas).collect()[0]
+    assert str(b["start_datetime"]).startswith("2024-01-01 05")
+    w = high_watermarks(meas).collect()[0]
+    assert str(w["last_data_point"]).startswith("2024-01-02 07")
+
+
+def test_structured_stream_end_to_end(spark, tmp_path):
+    from aquacache_spark.streaming.structured import (
+        read_measurement_stream, start_incremental_sink, windowed_rollup,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 5.0), (1, "2024-01-01 00:40:00", 7.0),
+         (2, "2024-01-01 01:05:00", 1.0)],
+        ["timeseries_id", "datetime", "value"],
+    ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+    batch1.write.mode("append").parquet(str(landing))
+
+    seen = []
+
+    def process(df, epoch_id):
+        seen.append(df.collect())
+
+    stream = read_measurement_stream(spark, str(landing))
+    rolled = windowed_rollup(stream, window_seconds=3600, watermark="10 minutes")
+    q = start_incremental_sink(rolled, process, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [r for batch in seen for r in batch]
+    agg = {(r["timeseries_id"], str(r["bin_start"])): r for r in rows}
+    assert agg[(1, "2024-01-01 00:00:00")]["n"] == 2
+    assert agg[(1, "2024-01-01 00:00:00")]["mean"] == 6.0
+    assert agg[(2, "2024-01-01 01:00:00")]["n"] == 1
