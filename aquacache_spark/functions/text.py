@@ -29,9 +29,9 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def md5_int(s: Column) -> Column:
-    """Portable 60-bit integer hash: md5 hex prefix -> bigint."""
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+def md5_int(s: Column, hex_chars: int = 15) -> Column:
+    """Portable integer hash: md5 hex prefix -> bigint (4 bits/char)."""
+    return F.conv(F.substring(F.md5(s), 1, hex_chars), 16, 10).cast("long")
 
 
 def fingerprint(text: Column) -> Column:

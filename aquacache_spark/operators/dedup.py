@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, md5_int, tokens, word_shingles
 
+MINHASH_MOD = 2305843009213693951  # 2^61 - 1
+
 
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -51,18 +53,25 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: for hash i, min over shingles of
-    md5_int(i || '|' || shingle). Output: id, sig (array<bigint>).
+    """MinHash signature per document. Output: id, sig (array<bigint>).
 
-    Computed by exploding shingles once and aggregating min per hash —
-    a single shuffle on the doc id; signature width is a plan-time
-    constant so all hashes evaluate in one codegen'd projection.
+    One md5 per shingle (the expensive part), then the hash family is
+    affine mixes ``h_i = (a_i * base + b_i) mod (2^61 - 1)`` — the
+    standard universal-hash construction, ~num_hashes x cheaper than
+    hashing per function. The 52-bit base bounds ``a_i * base`` well
+    inside int64 so the arithmetic is portable (no overflow wrap, which
+    DuckDB would reject and Spark would silently differ on). Single
+    shuffle on the doc id; all hashes evaluate in one codegen'd
+    projection.
     """
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
+    base = md5_int(F.col("sh"), 13)
     mins = [
-        F.min(md5_int(F.concat_ws("|", F.lit(str(i)), F.col("sh")))).alias(f"h{i}")
+        F.min(
+            (F.lit(2 * i + 3) * base + F.lit((i + 1) * 2654435769)) % MINHASH_MOD
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy(id_col).agg(*mins)

@@ -77,11 +77,19 @@ def compute_increments(
     max_gap_seconds: float | None = None,
 ) -> DataFrame:
     """Distributed wrapper: one sequential kernel per series group."""
-    schema = df.schema.add("increment", "double")
+    from pyspark.sql import types as T
+
+    from ._grouped import grouped_apply
+
+    # build a fresh StructType — StructType.add mutates in place, which
+    # would corrupt df's cached schema object
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("increment", T.DoubleType())]
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return compute_increments_pd(
             pdf, dt_col, value_col, reset_drop, min_pos, max_gap_seconds
         )
 
-    return df.repartition(*keys).groupBy(*keys).applyInPandas(fn, schema)
+    return grouped_apply(df, keys, fn, schema)

