@@ -103,3 +103,68 @@ def doy_stats(
         * 100.0,
     )
     return out.withColumn("percent_historic_range", phr)
+
+
+STAT_COLS = ("hist_min", "hist_max", "hist_mean", "q10", "q25", "q50", "q75", "q90")
+
+
+def feb29_smooth(
+    doy_df: DataFrame,
+    keys: Sequence[str],
+    date_col: str = "date",
+    value_col: str = "value",
+    stat_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Fill Feb-29 rows' historical stats from their neighbors.
+
+    Reference (patch_48.R:604-686): the leap-day row takes the average
+    of the Feb-28 and Mar-1 stats (both must exist), and the LEAST of
+    their counts; ``percent_historic_range`` is recomputed from the
+    smoothed min/max. Implemented as two self-joins on date±1 — the
+    join touches only leap-day rows (filter first), so at scale this is
+    a sliver of the daily table broadcast against itself.
+    """
+    stat_cols = [c for c in (stat_cols or STAT_COLS) if c in doy_df.columns]
+    is_feb29 = (F.month(F.col(date_col)) == 2) & (F.dayofmonth(F.col(date_col)) == 29)
+    leap_rows = doy_df.where(is_feb29)
+    others = doy_df.where(~is_feb29)
+
+    def neighbor(offset: int, tag: str) -> DataFrame:
+        return doy_df.select(
+            *[F.col(k).alias(f"__{tag}_{k}") for k in keys],
+            F.date_add(F.col(date_col), offset).alias(f"__{tag}_date"),
+            *[F.col(c).alias(f"__{tag}_{c}") for c in stat_cols],
+            F.col("doy_count").alias(f"__{tag}_count"),
+        )
+    prev = neighbor(1, "p")   # Feb 28 row: date+1 == Feb 29
+    nxt = neighbor(-1, "n")   # Mar 1 row: date-1 == Feb 29
+
+    cond_p = [leap_rows[k] == prev[f"__p_{k}"] for k in keys] + [
+        leap_rows[date_col] == prev["__p_date"]
+    ]
+    cond_n = [leap_rows[k] == nxt[f"__n_{k}"] for k in keys] + [
+        leap_rows[date_col] == nxt["__n_date"]
+    ]
+    j = leap_rows.join(prev, cond_p, "left").join(nxt, cond_n, "left")
+
+    smoothed = j
+    for c in stat_cols:
+        smoothed = smoothed.withColumn(
+            c, (F.col(f"__p_{c}") + F.col(f"__n_{c}")) / 2.0
+        )
+    smoothed = smoothed.withColumn(
+        "doy_count",
+        F.least(F.col("__p_count"), F.col("__n_count")),
+    )
+    if "percent_historic_range" in doy_df.columns:
+        smoothed = smoothed.withColumn(
+            "percent_historic_range",
+            F.when(
+                F.col("doy_count") > 1,
+                (F.col(value_col) - F.col("hist_min"))
+                / F.nullif(F.col("hist_max") - F.col("hist_min"), F.lit(0.0))
+                * 100.0,
+            ),
+        )
+    keep = [c for c in doy_df.columns]
+    return others.select(*keep).unionByName(smoothed.select(*keep))

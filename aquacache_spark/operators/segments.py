@@ -95,21 +95,25 @@ def split_segments(
         .select(*keys, F.col("__b").alias("__es"), F.col("__next").alias("__ee"))
     )
     # resolve each elementary interval: any covering new segment wins,
-    # else covering existing segment; none -> drop.
-    cond = [elems[k] == allseg[k] for k in keys]
-    covered = elems.join(allseg, cond).where(
-        (allseg[start_col] <= elems["__es"]) & (allseg[end_col] >= elems["__ee"])
+    # else covering existing segment; none -> drop. Rename the segment
+    # side before joining — elems derives from allseg, so an unaliased
+    # join would be an ambiguous self-join.
+    segs = allseg.select(
+        *[F.col(k).alias(f"__s_{k}") for k in keys],
+        F.col(start_col).alias("__s_start"),
+        F.col(end_col).alias("__s_end"),
+        F.col("__v"),
+        F.col("__src"),
     )
-    w_pick = Window.partitionBy(*[elems[k] for k in keys], "__es", "__ee").orderBy(
-        F.desc("__src")
+    cond = [elems[k] == segs[f"__s_{k}"] for k in keys]
+    covered = elems.join(segs, cond).where(
+        (F.col("__s_start") <= F.col("__es")) & (F.col("__s_end") >= F.col("__ee"))
     )
+    w_pick = Window.partitionBy(*keys, "__es", "__ee").orderBy(F.desc("__src"))
     resolved = (
         covered.withColumn("__pick", F.row_number().over(w_pick))
         .where(F.col("__pick") == 1)
-        .select(
-            *[elems[k].alias(k) for k in keys],
-            F.col("__es"), F.col("__ee"), F.col("__v"),
-        )
+        .select(*keys, F.col("__es"), F.col("__ee"), F.col("__v"))
     )
     # merge adjacent equal-valued elementary intervals (segment id via
     # "starts a new run" flag: value change OR gap)

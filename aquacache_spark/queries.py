@@ -327,6 +327,136 @@ def doy_historic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.5 DOY 30-year-window variant (patch_48.R:463-494; 3-year window
+# here so the 6.5-year orders span actually truncates history)
+# ---------------------------------------------------------------------------
+
+_DOY_30YR_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_orderdate AS DATE) AS date,
+             sum(o_totalprice) AS value
+      FROM orders
+      GROUP BY 1, 2
+    ), dd AS (
+      SELECT *,
+             CAST(CASE
+               WHEN month(date) = 2 AND day(date) = 29 THEN NULL
+               WHEN (year(date) % 4 = 0 AND (year(date) % 100 <> 0 OR year(date) % 400 = 0))
+                    AND dayofyear(date) > 60 THEN dayofyear(date) - 1
+               ELSE dayofyear(date) END AS INTEGER) AS doy
+      FROM daily
+    ), joined AS (
+      SELECT t.priority, t.date, t.value, t.doy,
+             count(h.value)               AS doy_count,
+             min(h.value)                 AS hist_min,
+             max(h.value)                 AS hist_max,
+             avg(h.value)                 AS hist_mean,
+             quantile_cont(h.value, 0.50) AS q50
+      FROM dd t
+      LEFT JOIN dd h
+        ON t.priority = h.priority AND t.doy = h.doy AND h.date < t.date
+       AND h.date >= t.date - INTERVAL 36 MONTH
+      GROUP BY t.priority, t.date, t.value, t.doy
+    )
+    SELECT priority, date, {R('value', 4)} AS value, doy, doy_count,
+           {R('hist_min', 4)} AS hist_min, {R('hist_max', 4)} AS hist_max,
+           {R('hist_mean', 4)} AS hist_mean, {R('q50', 4)} AS q50
+    FROM joined
+"""
+
+
+@register("doy_stats_30yr_window", oracle=_DOY_30YR_ORACLE)
+def doy_stats_30yr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("date"),
+        )
+        .agg(F.sum("o_totalprice").alias("value"))
+    )
+    out = doy_stats(daily, keys=["priority"], date_col="date", value_col="value",
+                    years_window=3)
+    out = out.select("priority", "date", "value", "doy", "doy_count",
+                     "hist_min", "hist_max", "hist_mean", "q50")
+    return _round(out, {"value": 4, "hist_min": 4, "hist_max": 4,
+                        "hist_mean": 4, "q50": 4})
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Feb-29 smoothing (patch_48.R:604-686): leap-day stats from the
+# average of Feb-28/Mar-1 neighbors, LEAST of counts
+# ---------------------------------------------------------------------------
+
+_FEB29_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_orderdate AS DATE) AS date,
+             sum(o_totalprice) AS value
+      FROM orders
+      GROUP BY 1, 2
+    ), dd AS (
+      SELECT *,
+             CAST(CASE
+               WHEN month(date) = 2 AND day(date) = 29 THEN NULL
+               WHEN (year(date) % 4 = 0 AND (year(date) % 100 <> 0 OR year(date) % 400 = 0))
+                    AND dayofyear(date) > 60 THEN dayofyear(date) - 1
+               ELSE dayofyear(date) END AS INTEGER) AS doy
+      FROM daily
+    ), joined AS (
+      SELECT t.priority, t.date, t.value, t.doy,
+             count(h.value)               AS doy_count,
+             min(h.value)                 AS hist_min,
+             max(h.value)                 AS hist_max,
+             avg(h.value)                 AS hist_mean,
+             quantile_cont(h.value, 0.50) AS q50
+      FROM dd t
+      LEFT JOIN dd h
+        ON t.priority = h.priority AND t.doy = h.doy AND h.date < t.date
+      GROUP BY t.priority, t.date, t.value, t.doy
+    ), final AS (
+      SELECT * FROM joined WHERE NOT (month(date) = 2 AND day(date) = 29)
+      UNION ALL
+      SELECT l.priority, l.date, l.value, l.doy,
+             least(p.doy_count, n.doy_count) AS doy_count,
+             (p.hist_min + n.hist_min) / 2.0 AS hist_min,
+             (p.hist_max + n.hist_max) / 2.0 AS hist_max,
+             (p.hist_mean + n.hist_mean) / 2.0 AS hist_mean,
+             (p.q50 + n.q50) / 2.0 AS q50
+      FROM joined l
+      LEFT JOIN joined p ON p.priority = l.priority AND p.date = l.date - 1
+      LEFT JOIN joined n ON n.priority = l.priority AND n.date = l.date + 1
+      WHERE month(l.date) = 2 AND day(l.date) = 29
+    )
+    SELECT priority, date, {R('value', 4)} AS value, doy, doy_count,
+           {R('hist_min', 4)} AS hist_min, {R('hist_max', 4)} AS hist_max,
+           {R('hist_mean', 4)} AS hist_mean, {R('q50', 4)} AS q50
+    FROM final
+"""
+
+
+@register("doy_feb29_smoothed", oracle=_FEB29_ORACLE)
+def doy_feb29_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.doy import feb29_smooth
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("date"),
+        )
+        .agg(F.sum("o_totalprice").alias("value"))
+    )
+    stats = doy_stats(daily, keys=["priority"], date_col="date", value_col="value")
+    stats = stats.select("priority", "date", "value", "doy", "doy_count",
+                         "hist_min", "hist_max", "hist_mean", "q50")
+    out = feb29_smooth(stats, keys=["priority"])
+    return _round(out, {"value": 4, "hist_min": 4, "hist_max": 4,
+                        "hist_mean": 4, "q50": 4})
+
+
+# ---------------------------------------------------------------------------
 # §2.4 as-of join with tolerance, 1:1 mutual-nearest
 # (inst/patches/patch_53.R:1216-1256)
 # ---------------------------------------------------------------------------
@@ -1496,6 +1626,195 @@ def incremental_daily_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("timeseries_id").alias("event_type"), "date", "value", "count",
         "merge_action",
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 unit conversions (downloadNWIS imperial->metric, R/downloadNWIS.R:5)
+# + inf_to_na cleaning (R/utils.R:785)
+# ---------------------------------------------------------------------------
+
+_UNIT_CONV_ORACLE = f"""
+    WITH conv AS (
+      SELECT * FROM (VALUES
+        ('click',    0.3048,  0.0),   -- ft -> m
+        ('view',     0.02832, 0.0),   -- cfs -> cms
+        ('purchase', 1.0,     0.0),
+        ('signup',   0.5556, -17.7778), -- F -> C
+        ('error',    1.0,     0.0)
+      ) AS c(event_type, factor, delta)
+    ), converted AS (
+      SELECT e.event_id, e.event_type,
+             CASE WHEN e.event_id % 97 = 0 THEN CAST('infinity' AS DOUBLE)
+                  ELSE e.value * c.factor + c.delta END AS converted
+      FROM events e JOIN conv c ON e.event_type = c.event_type
+    )
+    SELECT event_id, event_type,
+           {R("CASE WHEN isinf(converted) OR isnan(converted) THEN NULL "
+              "ELSE converted END", 6)} AS converted_value
+    FROM converted
+"""
+
+_UNIT_DIM = [
+    ("click", 0.3048, 0.0),
+    ("view", 0.02832, 0.0),
+    ("purchase", 1.0, 0.0),
+    ("signup", 0.5556, -17.7778),
+    ("error", 1.0, 0.0),
+]
+
+
+@register("unit_conversions", oracle=_UNIT_CONV_ORACLE)
+def unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.cleaning import inf_to_na
+
+    ev = _t(spark, sf_dir, "events")
+    conv = spark.createDataFrame(_UNIT_DIM, ["event_type", "factor", "delta"])
+    converted = (
+        ev.join(F.broadcast(conv), "event_type")
+        .withColumn(
+            "converted",
+            F.when(F.col("event_id") % 97 == 0, F.lit(float("inf"))).otherwise(
+                F.col("value") * F.col("factor") + F.col("delta")
+            ),
+        )
+    )
+    out = converted.select(
+        "event_id", "event_type", inf_to_na(F.col("converted")).alias("converted_value")
+    )
+    return _round(out, {"converted_value": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.9 ISO-8601 period serialization (R/calculate_period.R:109-129)
+# ---------------------------------------------------------------------------
+
+_ISO_ORACLE = """
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER
+                  (PARTITION BY event_type ORDER BY ts, event_id))) / 1000000.0 AS gap_s
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(gap_s, 0.5)) AS BIGINT) AS s
+      FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, s AS median_gap_seconds,
+           'P' || (s // 86400) || 'DT' || ((s % 86400) // 3600) || 'H'
+               || ((s % 3600) // 60) || 'M' || (s % 60) || 'S' AS period_iso
+    FROM m
+"""
+
+
+@register("iso_period_format", oracle=_ISO_ORACLE)
+def iso_period_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.period import iso8601_period
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6).alias(
+            "gap_s"
+        ),
+    ).where(F.col("gap_s").isNotNull())
+    m = g.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(gap_s, 0.5D)")).cast("long").alias(
+            "median_gap_seconds"
+        )
+    )
+    return m.withColumn(
+        "period_iso", iso8601_period(F.col("median_gap_seconds"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 interval segment overlay: boundary split + new-wins resolution +
+# adjacent-equal merge (R/adjust_functions.R:18-250)
+# ---------------------------------------------------------------------------
+
+_EXISTING_SEGS = [
+    ("click", "2024-01-01 00:00:00", "2024-01-10 00:00:00", "A"),
+    ("click", "2024-01-10 00:00:00", "2024-01-20 00:00:00", "B"),
+    ("view", "2024-01-01 00:00:00", "2024-01-31 00:00:00", "A"),
+    ("error", "2024-01-05 00:00:00", "2024-01-15 00:00:00", "N"),
+]
+_NEW_SEGS = [
+    ("click", "2024-01-05 00:00:00", "2024-01-12 00:00:00", "C"),
+    ("click", "2024-01-12 00:00:00", "2024-01-15 00:00:00", "B"),
+    ("view", "2024-01-08 00:00:00", "2024-01-09 00:00:00", "A"),
+    ("error", "2024-01-20 00:00:00", "2024-01-25 00:00:00", "B"),
+]
+
+
+def _segs_values(rows) -> str:
+    return ", ".join(
+        f"('{k}', TIMESTAMP '{s}', TIMESTAMP '{e}', '{v}')" for k, s, e, v in rows
+    )
+
+
+_SEGMENT_OVERLAY_ORACLE = f"""
+    WITH existing(key, start_dt, end_dt, v) AS (
+      VALUES {_segs_values(_EXISTING_SEGS)}
+    ), new_segs(key, start_dt, end_dt, v) AS (
+      VALUES {_segs_values(_NEW_SEGS)}
+    ), allseg AS (
+      SELECT key, start_dt, end_dt, v, 0 AS src FROM existing
+      UNION ALL
+      SELECT key, start_dt, end_dt, v, 1 AS src FROM new_segs
+    ), bounds AS (
+      SELECT DISTINCT key, b FROM (
+        SELECT key, start_dt AS b FROM allseg
+        UNION ALL SELECT key, end_dt FROM allseg
+      )
+    ), elems AS (
+      SELECT key, b AS es, lead(b) OVER (PARTITION BY key ORDER BY b) AS ee
+      FROM bounds
+    ), covered AS (
+      SELECT e.key, e.es, e.ee, a.v, a.src,
+             row_number() OVER (PARTITION BY e.key, e.es, e.ee ORDER BY a.src DESC)
+                 AS pick
+      FROM elems e JOIN allseg a
+        ON e.key = a.key AND a.start_dt <= e.es AND a.end_dt >= e.ee
+      WHERE e.ee IS NOT NULL
+    ), resolved AS (
+      SELECT key, es, ee, v FROM covered WHERE pick = 1
+    ), runs AS (
+      SELECT *, CASE WHEN v IS NOT DISTINCT FROM lag(v) OVER w
+                      AND lag(ee) OVER w = es THEN 0 ELSE 1 END AS new_run
+      FROM resolved
+      WINDOW w AS (PARTITION BY key ORDER BY es)
+    ), numbered AS (
+      SELECT *, sum(new_run) OVER (PARTITION BY key ORDER BY es
+                                   ROWS UNBOUNDED PRECEDING) AS run
+      FROM runs
+    )
+    SELECT key AS event_type, min(es) AS start_dt, max(ee) AS end_dt,
+           min(v) AS value
+    FROM numbered GROUP BY key, run
+"""
+
+
+@register("segment_overlay", oracle=_SEGMENT_OVERLAY_ORACLE)
+def segment_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.segments import split_segments
+
+    def seg_df(rows):
+        return spark.createDataFrame(
+            rows, ["event_type", "start_dt", "end_dt", "value"]
+        ).select(
+            "event_type",
+            F.col("start_dt").cast("timestamp").alias("start_dt"),
+            F.col("end_dt").cast("timestamp").alias("end_dt"),
+            "value",
+        )
+
+    out = split_segments(
+        seg_df(_EXISTING_SEGS), seg_df(_NEW_SEGS), keys=["event_type"]
+    )
+    return out.select("event_type", "start_dt", "end_dt", "value")
 
 
 # ---------------------------------------------------------------------------
