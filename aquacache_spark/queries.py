@@ -1818,6 +1818,116 @@ def segment_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity scale path: LSH-bucketed ANN (rows-only; recall vs the
+# brute-force baseline asserted in tests/test_ann_recall.py)
+# ---------------------------------------------------------------------------
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_topk_lsh(emb, emb.where(F.col("vec_id") < 10), k=5, planes=6)
+    return _round(out, {"cosine": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.1 import-mapping DSL: source codes -> canonical ids with fallback
+# (R/import_mappings.R:26; downloadEQWin parameter mapping,
+# R/downloadEQWin.R:43)
+# ---------------------------------------------------------------------------
+
+_MAPPING_ORACLE = """
+    WITH mapping AS (
+      SELECT * FROM (VALUES
+        ('BRASS',  'alloy'), ('COPPER', 'metal'), ('STEEL', 'metal'),
+        ('TIN',    'metal'), ('NICKEL', 'metal')
+      ) AS m(src_token, category)
+    )
+    SELECT p_partkey, p_type,
+           coalesce(m.category, 'unmapped') AS category
+    FROM part p
+    LEFT JOIN mapping m
+      ON upper(p.p_type) LIKE '%' || m.src_token || '%'
+"""
+
+
+@register("import_mapping_join", oracle=_MAPPING_ORACLE)
+def import_mapping_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    mapping = spark.createDataFrame(
+        [("BRASS", "alloy"), ("COPPER", "metal"), ("STEEL", "metal"),
+         ("TIN", "metal"), ("NICKEL", "metal")],
+        ["src_token", "category"],
+    )
+    joined = part.join(
+        F.broadcast(mapping),
+        F.upper(part["p_type"]).contains(mapping["src_token"]),
+        "left",
+    )
+    return joined.select(
+        "p_partkey", "p_type",
+        F.coalesce("category", F.lit("unmapped")).alias("category"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.14 imputeMissing donor scoring: avg offset + sd per candidate
+# (R/imputeMissing.R:883-887) over hourly-aligned series pairs
+# ---------------------------------------------------------------------------
+
+_DONOR_ORACLE = f"""
+    WITH hourly AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01'
+               + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+                 * INTERVAL 1 SECOND AS h,
+             sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               / count(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type AS target, d.event_type AS donor,
+           count(*) AS n_overlap,
+           {R('avg(d.v - t.v)', 4)} AS avg_offset,
+           {R('stddev_samp(d.v - t.v)', 4)} AS sd_offset
+    FROM hourly t JOIN hourly d
+      ON t.h = d.h AND t.event_type <> d.event_type
+    GROUP BY 1, 2
+"""
+
+
+@register("donor_offset_scoring", oracle=_DONOR_ORACLE)
+def donor_offset_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.daily import exact_mean
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 3600) * 3600
+            ).alias("h"),
+        )
+        .agg(exact_mean(F.col("value")).alias("v"))
+    )
+    t = hourly.select(F.col("event_type").alias("target"), "h",
+                      F.col("v").alias("tv"))
+    d = hourly.select(F.col("event_type").alias("donor"), "h",
+                      F.col("v").alias("dv"))
+    out = (
+        t.join(d, "h")
+        .where(F.col("target") != F.col("donor"))
+        .groupBy("target", "donor")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.avg(F.col("dv") - F.col("tv")).alias("avg_offset"),
+            F.stddev_samp(F.col("dv") - F.col("tv")).alias("sd_offset"),
+        )
+    )
+    return _round(out, {"avg_offset": 4, "sd_offset": 4})
+
+
+# ---------------------------------------------------------------------------
 # Flagship composition used by entry(): corrections -> daily -> DOY stats
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,59 @@
+"""Physical-plan shape assertions — the 100 TB design invariants.
+
+These encode what `.explain()` review established: filters reach the
+parquet scan, dimension joins broadcast, the as-of join never becomes a
+nested loop, and rank filters use WindowGroupLimit. A regression here
+means a plan that still passes correctness tests but would fall over at
+scale."""
+
+import pytest
+
+from aquacache_spark import queries as Q
+from conftest import SF_SMOKE
+
+
+def plan(spark, name):
+    df = Q.QUERIES[name](spark, SF_SMOKE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: only the needed columns in ReadSchema
+    assert "l_orderkey" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_dim_joins_broadcast(spark):
+    p = plan(spark, "region_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_asof_join_is_equi_join_not_bnlj(spark):
+    p = plan(spark, "asof_join_1to1")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_uses_window_group_limit(spark):
+    p = plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in p
+
+
+def test_grade_exclusion_broadcasts_qc_table(spark):
+    p = plan(spark, "grade_exclusion_antijoin")
+    assert "BroadcastNestedLoopJoin LeftAnti, BuildRight" in p or (
+        "BroadcastHashJoin" in p
+    )
+    # the QC side must be the broadcast side, never the fact table
+    assert "CartesianProduct" not in p
+
+
+def test_corrections_compile_to_single_stage(spark):
+    # the ordered fold is one projection — no joins, no shuffles
+    p = plan(spark, "corrections_chain")
+    assert "Join" not in p
+    assert "Exchange" not in p

@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the order-sensitive kernels —
+coverage the reference itself lacks (SURVEY §5 'not present')."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from aquacache_spark.operators.increments import compute_increments_pd
+from aquacache_spark.plans.expr_safety import is_safe_numeric_expression
+
+values = st.lists(
+    st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+    min_size=1, max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(values, st.floats(min_value=1, max_value=100),
+       st.floats(min_value=0, max_value=5))
+def test_increments_invariants(vals, reset_drop, min_pos):
+    pdf = pd.DataFrame({
+        "t": [dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+              for i in range(len(vals))],
+        "v": vals,
+    })
+    out = compute_increments_pd(pdf, "t", "v", reset_drop, min_pos, None)
+    inc = out["increment"]
+    # 1. no gaps configured -> no NULL increments
+    assert inc.notna().all()
+    # 2. increments are never negative and respect the noise floor
+    assert ((inc == 0) | (inc >= min_pos)).all()
+    # 3. total increment never exceeds total upward movement
+    ups = sum(max(b - a, 0.0) for a, b in zip(vals, vals[1:]))
+    assert inc.sum() <= ups + 1e-6
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_expr_safety_never_accepts_dml(s):
+    expr = f"value + {s}"
+    if is_safe_numeric_expression(expr):
+        low = expr.lower()
+        for bad in ("select", "insert", "drop", ";", "--"):
+            assert bad not in low
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(codes=st.lists(st.sampled_from(["A", "B", "C"]), min_size=1, max_size=40))
+def test_rle_reconstruction_roundtrip(spark, codes):
+    """Segments must partition the sequence: counts sum to n, and
+    re-expanding segments reproduces the original run structure."""
+    from aquacache_spark.operators.segments import rle_segments
+
+    pdf = pd.DataFrame({
+        "k": 1,
+        "i": range(len(codes)),
+        "c": codes,
+    })
+    segs = (
+        rle_segments(spark.createDataFrame(pdf), keys=["k"],
+                     order_col="i", value_col="c")
+        .orderBy("start").toPandas()
+    )
+    assert segs["n"].sum() == len(codes)
+    # boundaries: consecutive segments abut and values alternate
+    for a, b in zip(segs.itertuples(), segs.iloc[1:].itertuples()):
+        assert b.start == a.end + 1
+        assert b.c != a.c
