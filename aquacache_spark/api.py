@@ -1,0 +1,180 @@
+"""Public read API: parameterized DataFrame-returning functions
+mirroring the reference's table-valued SQL functions (SURVEY §2.13).
+
+``measurements_continuous_corrected`` is the reference's primary entry
+point (inst/patches/patch_53.R:1844-2260). Stages, exactly as the
+reference dispatches them:
+
+1. plan dispatch on ``timeseries_type`` + statistic validation
+   (:1878-1935);
+2. basic series: raw scan fast path when no corrections (:1938-1956),
+   else the compiled correction fold (operators/corrections.py —
+   covers both the <=64-simple set-based path and the general path,
+   since the fold IS set-based here);
+3. compound: recursive member resolution with explicit-path cycle
+   detection (:845-1296) — priority coalesce or safe-expression
+   projection over aligned members;
+4. optional resampling: dense bin spine + per-bin stats (:2009-2260)
+   with ``statistic`` ∈ {actual, min, max, mean, median}.
+
+Everything returns a lazy DataFrame — composition stays in Catalyst,
+and the time-window predicate lands on the measurement scan (partition
+pruning at 100 TB).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .fixtures import FixtureStore
+from .operators.compound import Member, expression_compound, priority_coalesce
+from .operators.corrections import apply_corrections
+from .operators.daily import daily_rollup
+from .operators.doy import doy_stats
+from .operators.resample import resample
+
+VALID_STATISTICS = ("actual", "min", "max", "mean", "median")
+
+
+class CompoundCycleError(RuntimeError):
+    pass
+
+
+def _window(df: DataFrame, start: Optional[str], end: Optional[str],
+            dt_col: str = "datetime") -> DataFrame:
+    if start:
+        df = df.where(F.col(dt_col) >= F.lit(start).cast("timestamp"))
+    if end:
+        df = df.where(F.col(dt_col) <= F.lit(end).cast("timestamp"))
+    return df
+
+
+def _series_type(store: FixtureStore, timeseries_id: int) -> str:
+    row = (
+        store.timeseries.where(F.col("timeseries_id") == timeseries_id)
+        .select("timeseries_type")
+        .collect()
+    )
+    if not row:
+        raise KeyError(f"unknown timeseries_id {timeseries_id}")
+    return row[0][0]
+
+
+def _resolve_raw(
+    store: FixtureStore,
+    timeseries_id: int,
+    start: Optional[str],
+    end: Optional[str],
+    _path: tuple = (),
+) -> DataFrame:
+    """Raw (pre-correction) window for a basic or compound series —
+    resolve_compound_timeseries_raw_window (patch_53.R:845-1296)."""
+    if timeseries_id in _path:
+        raise CompoundCycleError(
+            f"compound cycle: {' -> '.join(map(str, _path + (timeseries_id,)))}"
+        )
+    if _series_type(store, timeseries_id) != "compound":
+        base = store.measurements.where(
+            F.col("timeseries_id") == timeseries_id
+        ).select("datetime", "value")
+        return _window(base, start, end)
+
+    spec = store.compounds[timeseries_id]
+    members = [
+        Member(
+            m["alias"],
+            # members are themselves corrected reads (nested compounds
+            # recurse; corrections of the member series apply first —
+            # patch_53.R:987-1006)
+            measurements_continuous_corrected(
+                store, m["timeseries_id"], start, end,
+                _path=_path + (timeseries_id,),
+            ).select("datetime", F.col("corrected_value").alias("value")),
+            m["priority"],
+            m["use_from"],
+            m["use_to"],
+        )
+        for m in spec["members"]
+    ]
+    if spec["expression"] is None:
+        out = priority_coalesce(members, dt_col="datetime", value_col="value")
+        return out.select("datetime", "value")
+    out = expression_compound(
+        members, spec["expression"], dt_col="datetime", value_col="value"
+    )
+    return out.select("datetime", "value")
+
+
+def measurements_continuous_corrected(
+    store: FixtureStore,
+    timeseries_id: int,
+    start_datetime: Optional[str] = None,
+    end_datetime: Optional[str] = None,
+    statistic: str = "actual",
+    resample_seconds: Optional[int] = None,
+    _path: tuple = (),
+) -> DataFrame:
+    """Corrected read window; columns (datetime, corrected_value) for
+    statistic='actual', else resampled bins."""
+    if statistic not in VALID_STATISTICS:
+        raise ValueError(
+            f"statistic must be one of {VALID_STATISTICS}, got {statistic!r}"
+        )
+    if statistic != "actual" and not resample_seconds:
+        raise ValueError("non-'actual' statistics require resample_seconds")
+
+    raw = _resolve_raw(store, timeseries_id, start_datetime, end_datetime, _path)
+    corrections = [
+        c for c in store.corrections if c.timeseries_id == timeseries_id
+    ]
+    if corrections:  # fast-path dispatch: raw scan when none (patch_53.R:1871-1936)
+        raw = raw.withColumn("timeseries_id", F.lit(timeseries_id))
+        raw = apply_corrections(raw, corrections, ts_col="timeseries_id",
+                                dt_col="datetime", value_col="value",
+                                out_col="value").drop("timeseries_id")
+    out = raw.withColumnRenamed("value", "corrected_value")
+
+    if resample_seconds:
+        binned = resample(
+            out, keys=[], dt_col="datetime", value_col="corrected_value",
+            seconds=resample_seconds, dense=True,
+        )
+        if statistic == "actual":
+            return binned
+        return binned.select(
+            "bin_start", F.col(statistic).alias("corrected_value")
+        )
+    return out
+
+
+def measurements_calculated_daily(
+    store: FixtureStore,
+    timeseries_id: int,
+    start_date: Optional[str] = None,
+    end_date: Optional[str] = None,
+) -> DataFrame:
+    """Daily values + DOY historical stats for one series — the
+    refresh_calculated_daily read shape (patch_48.R:215-600)."""
+    agg_type = (
+        store.timeseries.where(F.col("timeseries_id") == timeseries_id)
+        .select("aggregation_type")
+        .collect()[0][0]
+    )
+    corrected = measurements_continuous_corrected(store, timeseries_id)
+    daily = daily_rollup(
+        corrected.withColumn("timeseries_id", F.lit(timeseries_id)),
+        keys=["timeseries_id"],
+        dt_col="datetime",
+        value_col="corrected_value",
+        agg_type=agg_type,
+    )
+    out = doy_stats(daily, keys=["timeseries_id"], date_col="date",
+                    value_col="value")
+    if start_date:
+        out = out.where(F.col("date") >= F.lit(start_date).cast("date"))
+    if end_date:
+        out = out.where(F.col("date") <= F.lit(end_date).cast("date"))
+    return out

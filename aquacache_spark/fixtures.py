@@ -1,0 +1,119 @@
+"""Deterministic hydromet fixtures (FIXTURES.md; reference
+R/create_test_DB.R:369-1450 closed forms).
+
+All series generated JVM-side from ``spark.range`` + expressions — no
+driver loops — so the fixture scales to any cadence/range. Values
+follow the reference's closed forms exactly:
+
+  ts1: 15-min,  round(10 + sin(epoch/86400)*0.25, 3)   water level
+  ts2: 15-min,  round(4 + cos(epoch/43200)*1.5, 3)     water temp (n%37 imputed)
+  ts9: 1-hour,  round(138 + sin(epoch/216000)*18 + cos(epoch/604800)*7, 3)
+  ts6: compound — priority fallback (ts1 primary, ts2 backup from use_from)
+  ts10: compound — 'cond / (1 + 0.0191 * (temp - 25))' (temp=ts2, cond=ts9)
+
+Corrections: one offset_linear +0.25 on ts1 over [2023-01-03,
+2023-01-04) (create_test_DB.R:1142-1151). Grades: ts1 A then B split at
+2022-01-01.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.corrections import Correction
+
+START = "2022-06-01 00:00:00"
+END = "2023-06-01 00:00:00"
+
+
+@dataclass
+class FixtureStore:
+    timeseries: DataFrame
+    measurements: DataFrame
+    corrections: list = field(default_factory=list)
+    compounds: dict = field(default_factory=dict)  # tsid -> definition
+
+
+def build_store(spark: SparkSession, start: str = START, end: str = END) -> FixtureStore:
+    # range count guard: bound spark.range upfront
+    import datetime as dt
+
+    span = int(
+        (dt.datetime.fromisoformat(end) - dt.datetime.fromisoformat(start)).total_seconds()
+    )
+
+    def series(tsid, step, expr, imputed="false"):
+        n = span // step + 1
+        return (
+            spark.range(0, n)
+            .withColumn(
+                "datetime",
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit(start).cast("timestamp"))
+                    + F.col("id") * step
+                ),
+            )
+            .withColumn("epoch", F.unix_timestamp("datetime").cast("double"))
+            .withColumn("n", F.col("id") + 1)
+            .select(
+                F.lit(tsid).alias("timeseries_id"),
+                "datetime",
+                F.expr(expr).cast("double").alias("value"),
+                F.expr(imputed).alias("imputed"),
+                F.lit(False).alias("no_update"),
+            )
+        )
+
+    ts1 = series(1, 900, "round(10 + sin(epoch/86400)*0.25, 3)")
+    # ts1 gaps: drop a window so the ts6 compound's backup member kicks in
+    ts1 = ts1.where(
+        ~F.col("datetime").between(
+            F.lit("2023-01-10 00:00:00").cast("timestamp"),
+            F.lit("2023-01-12 00:00:00").cast("timestamp"),
+        )
+    )
+    ts2 = series(2, 900, "round(4 + cos(epoch/43200)*1.5, 3)", imputed="n % 37 = 0")
+    ts9 = series(9, 3600,
+                 "round(138 + sin(epoch/216000)*18 + cos(epoch/604800)*7, 3)")
+    measurements = ts1.unionByName(ts2).unionByName(ts9)
+
+    timeseries = spark.createDataFrame(
+        [
+            (1, "basic", "instantaneous", 900, 0, True),
+            (2, "basic", "instantaneous", 900, 0, True),
+            (9, "basic", "mean", 3600, 0, True),
+            (6, "compound", "instantaneous", 900, 0, True),
+            (10, "compound", "mean", 3600, 0, True),
+        ],
+        ["timeseries_id", "timeseries_type", "aggregation_type",
+         "record_rate_seconds", "timezone_daily_calc", "active"],
+    )
+
+    corrections = [
+        Correction(1, 1, "2023-01-03 00:00:00", "2023-01-04 00:00:00",
+                   "offset_linear", value1=0.25),
+    ]
+    compounds = {
+        6: {
+            "expression": None,
+            "members": [
+                {"alias": "primary_level", "timeseries_id": 1, "priority": 1,
+                 "use_from": None, "use_to": None},
+                {"alias": "backup_level", "timeseries_id": 2, "priority": 2,
+                 "use_from": "2023-01-05 00:00:00", "use_to": None},
+            ],
+        },
+        10: {
+            "expression": "cond / (1 + 0.0191 * (temp - 25))",
+            "members": [
+                {"alias": "temp", "timeseries_id": 2, "priority": 1,
+                 "use_from": None, "use_to": None},
+                {"alias": "cond", "timeseries_id": 9, "priority": 1,
+                 "use_from": None, "use_to": None},
+            ],
+        },
+    }
+    return FixtureStore(timeseries, measurements, corrections, compounds)

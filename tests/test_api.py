@@ -1,0 +1,144 @@
+"""End-to-end API tests against the deterministic fixture closed forms
+(FIXTURES.md; reference R/create_test_DB.R)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aquacache_spark import api
+from aquacache_spark.fixtures import build_store
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    s = build_store(spark)
+    s.measurements = s.measurements.cache()
+    s.measurements.count()
+    return s
+
+
+def closed_form_ts1(epoch: float) -> float:
+    return round(10 + math.sin(epoch / 86400) * 0.25, 3)
+
+
+class TestCorrectedRead:
+    def test_raw_scan_matches_closed_form(self, spark, store):
+        rows = (
+            api.measurements_continuous_corrected(
+                store, 1, "2022-08-01 00:00:00", "2022-08-01 02:00:00"
+            )
+            .orderBy("datetime")
+            .collect()
+        )
+        assert len(rows) == 9  # 15-min cadence inclusive window
+        for r in rows:
+            assert r["corrected_value"] == pytest.approx(
+                closed_form_ts1(r["datetime"].timestamp()), abs=1e-9
+            )
+
+    def test_correction_window_applies_offset(self, spark, store):
+        inside = (
+            api.measurements_continuous_corrected(
+                store, 1, "2023-01-03 00:00:00", "2023-01-03 01:00:00"
+            )
+            .orderBy("datetime")
+            .collect()
+        )
+        for r in inside:
+            expected = closed_form_ts1(r["datetime"].timestamp()) + 0.25
+            assert r["corrected_value"] == pytest.approx(expected, abs=1e-9)
+        # outside the window: untouched
+        outside = api.measurements_continuous_corrected(
+            store, 1, "2023-01-04 00:00:00", "2023-01-04 01:00:00"
+        ).collect()
+        for r in outside:
+            assert r["corrected_value"] == pytest.approx(
+                closed_form_ts1(r["datetime"].timestamp()), abs=1e-9
+            )
+
+    def test_invalid_statistic_rejected(self, store):
+        with pytest.raises(ValueError, match="statistic"):
+            api.measurements_continuous_corrected(store, 1, statistic="p99")
+        with pytest.raises(ValueError, match="resample_seconds"):
+            api.measurements_continuous_corrected(store, 1, statistic="mean")
+
+    def test_resampled_mean(self, spark, store):
+        out = api.measurements_continuous_corrected(
+            store, 1, "2022-08-01 00:00:00", "2022-08-01 23:59:59",
+            statistic="mean", resample_seconds=3600,
+        ).orderBy("bin_start").collect()
+        assert len(out) == 24
+        assert all(r["corrected_value"] is not None for r in out)
+
+
+class TestCompoundResolution:
+    def test_priority_fallback_prefers_primary(self, spark, store):
+        # where ts1 exists, compound 6 uses it
+        rows = (
+            api.measurements_continuous_corrected(
+                store, 6, "2023-01-06 00:00:00", "2023-01-06 01:00:00"
+            ).orderBy("datetime").collect()
+        )
+        for r in rows:
+            assert r["corrected_value"] == pytest.approx(
+                closed_form_ts1(r["datetime"].timestamp()) + 0.0, abs=1e-9
+            )
+
+    def test_priority_fallback_uses_backup_in_gap(self, spark, store):
+        # ts1 has a fixture gap [2023-01-10, 2023-01-12); backup (ts2)
+        # is allowed from 2023-01-05 -> compound must fall back there
+        rows = (
+            api.measurements_continuous_corrected(
+                store, 6, "2023-01-10 06:00:00", "2023-01-10 07:00:00"
+            ).orderBy("datetime").collect()
+        )
+        assert rows, "fallback rows missing"
+        for r in rows:
+            e = r["datetime"].timestamp()
+            expected_ts2 = round(4 + math.cos(e / 43200) * 1.5, 3)
+            assert r["corrected_value"] == pytest.approx(expected_ts2, abs=1e-9)
+
+    def test_expression_compound_formula(self, spark, store):
+        rows = (
+            api.measurements_continuous_corrected(
+                store, 10, "2022-08-01 00:00:00", "2022-08-01 03:00:00"
+            ).orderBy("datetime").collect()
+        )
+        assert rows
+        for r in rows:
+            e = r["datetime"].timestamp()
+            temp = round(4 + math.cos(e / 43200) * 1.5, 3)
+            cond = round(138 + math.sin(e / 216000) * 18
+                         + math.cos(e / 604800) * 7, 3)
+            expected = cond / (1 + 0.0191 * (temp - 25))
+            assert r["corrected_value"] == pytest.approx(expected, rel=1e-12)
+
+    def test_cycle_detection(self, spark, store):
+        store2 = build_store(spark)
+        store2.compounds = dict(store2.compounds)
+        # 6 -> 10 -> 6 cycle
+        store2.compounds[10] = {
+            "expression": None,
+            "members": [{"alias": "loop", "timeseries_id": 6, "priority": 1,
+                         "use_from": None, "use_to": None}],
+        }
+        store2.compounds[6] = {
+            "expression": None,
+            "members": [{"alias": "loop", "timeseries_id": 10, "priority": 1,
+                         "use_from": None, "use_to": None}],
+        }
+        with pytest.raises(api.CompoundCycleError):
+            api.measurements_continuous_corrected(store2, 6)
+
+
+class TestCalculatedDaily:
+    def test_daily_mean_and_doy(self, spark, store):
+        out = api.measurements_calculated_daily(
+            store, 9, "2023-03-01", "2023-03-05"
+        ).orderBy("date").collect()
+        assert len(out) == 5
+        r = out[0]
+        assert r["value"] is not None
+        # second year of a series: exactly 0 or more same-DOY priors
+        assert r["doy_count"] >= 0
