@@ -189,6 +189,9 @@ EVENT_CORRECTIONS = [
                "scale", value1=110.0),
     Correction(5, "signup", "2024-01-02 00:00:00", "2024-01-12 00:00:00",
                "drift_linear", value1=2.5, timestep_window_seconds=86400.0),
+    Correction(6, "view", "2024-01-15 00:00:00", "2024-01-20 00:00:00",
+               "drift_equation",
+               equation="value * 1.01 + ln(1 + elapsed_seconds / 86400.0)"),
     Correction(7, "click", "2024-01-05 00:00:00", "2024-01-10 00:00:00",
                "scale", value1=95.0),
 ]
@@ -236,9 +239,17 @@ _CORRECTIONS_ORACLE = f"""
                        AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10'
                   THEN v * 95.0 / 100.0 ELSE v END AS v
       FROM c5
+    ), c6 AS (   -- drift equation on view (priority 7: runs after scale)
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_type = 'view' AND v IS NOT NULL
+                       AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-20'
+                  THEN v * 1.01
+                       + ln(1 + date_diff('second', TIMESTAMP '2024-01-15', ts) / 86400.0)
+                  ELSE v END AS v
+      FROM c7
     )
     SELECT event_id, event_type, ts, {R('v', 4)} AS corrected_value
-    FROM c7
+    FROM c6
 """
 
 

@@ -110,3 +110,29 @@ def _stub_http(name: str):
 for _name in ("downloadWSC", "downloadAquarius", "downloadNWIS",
               "downloadECCCwx", "downloadECCCwxMinute"):
     _stub_http(_name)
+
+
+def fetch_task_groups(catalog_df: DataFrame) -> DataFrame:
+    """Cache-sharing fetch groups for parallel ingest.
+
+    Reference (get_parallel_group_key / build_parallel_groups,
+    R/getNewContinuous.R:286-345): series whose connector can reuse one
+    remote response — same (source_fx, station, interval) — must land
+    on the same worker so the session HTTP cache (downloadECCCwx.R:5,
+    193-230) is hit. Spark analog: derive the group key and use it as a
+    ``repartition`` key so all series of a group execute in one task;
+    ordering within a group follows staleness (oldest watermark first).
+
+    Input: catalog rows with at least (timeseries_id, source_fx,
+    source_fx_args json, last_data_point). Output adds ``group_key``.
+    """
+    station = F.get_json_object("source_fx_args", "$.location")
+    interval = F.coalesce(
+        F.get_json_object("source_fx_args", "$.interval"), F.lit("")
+    )
+    shared_cache = F.col("source_fx").isin("downloadECCCwx", "downloadECCCwxMinute")
+    key = F.when(
+        shared_cache, F.concat_ws("|", "source_fx", station, interval)
+    ).otherwise(F.concat_ws("|", F.lit("solo"), F.col("timeseries_id").cast("string")))
+    return catalog_df.withColumn("group_key", key).repartition("group_key") \
+        .sortWithinPartitions("group_key", "last_data_point")
