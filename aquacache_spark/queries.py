@@ -1221,10 +1221,20 @@ def calculate_period_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calculate_period(ev, keys=["user_id"], dt_col="ts")
 
 
-@register("multimodal_features")
+_MULTIMODAL_ORACLE = """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+"""
+
+
+@register("multimodal_features", oracle=_MULTIMODAL_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction plumbing (decode stubbed — see
-    operators/multimodal.py): treats document text bytes as media blobs."""
+    operators/multimodal.py): treats document text bytes as media blobs.
+    The byte-count and content digest are oracle-checked; the decoded
+    feature vector itself is the stubbed step."""
     from .operators.multimodal import extract_media_features
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1232,8 +1242,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
     )
     out = extract_media_features(docs)
-    return out.select("media_id", "n_bytes", "sha256",
-                      F.round("mean_byte", 6).alias("mean_byte"))
+    return out.select("media_id", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 recursive dependency closure (WITH RECURSIVE
+# downstream_timeseries_ids, patch_41.R:2516-2538) — driver-loop fixpoint
+# ---------------------------------------------------------------------------
+
+_CLOSURE_EDGES = [(1, 6), (2, 6), (2, 10), (9, 10), (10, 20), (20, 30), (7, 8)]
+
+_CLOSURE_ORACLE = f"""
+    WITH RECURSIVE edges(src, dst) AS (
+      SELECT * FROM (VALUES {", ".join(f"({a}, {b})" for a, b in _CLOSURE_EDGES)})
+    ), closure(id) AS (
+      SELECT unnest([2, 9])
+      UNION
+      SELECT e.dst FROM closure c JOIN edges e ON c.id = e.src
+    )
+    SELECT CAST(id AS BIGINT) AS id FROM closure
+"""
+
+
+@register("recursive_downstream_closure", oracle=_CLOSURE_ORACLE)
+def recursive_downstream_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.incremental import downstream_closure
+
+    members = spark.createDataFrame(
+        [(b, a) for a, b in _CLOSURE_EDGES],
+        ["timeseries_id", "member_timeseries_id"],
+    )
+    seeds = spark.createDataFrame([(2,), (9,)], ["id"])
+    return downstream_closure(members, seeds).select(F.col("id").cast("long"))
 
 
 # ---------------------------------------------------------------------------
