@@ -62,6 +62,22 @@ def cosine_topk(
     )
 
 
+def _md5_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def hyperplanes(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random directions, no RNG state: plane p
+    component d = (md5_int('p|d') % 2001 - 1000)/1000. Exposed so the
+    DuckDB oracle can inline the exact same literals."""
+    return [
+        [((_md5_py(f"{p}|{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+        for p in range(planes)
+    ]
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -69,19 +85,12 @@ def lsh_buckets(
     planes: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector.
-
-    Plane p component d = (md5_int('p|d') % 2001 - 1000)/1000 — a fixed
-    pseudo-random direction derived without RNG state, reproducible in
-    any engine. Bucket = sign-bit string over planes.
-    """
+    """Random-hyperplane LSH bucket id per vector: sign-bit string of
+    the projections onto `hyperplanes`."""
     v = _as_double(F.col(vec_col))
     bits = []
-    for p in range(planes):
-        comps = F.array(*[
-            F.lit(((int(_MD5_CACHE.setdefault((p, d), _md5_py(f"{p}|{d}"))) % 2001) - 1000) / 1000.0)
-            for d in range(dim)
-        ])
+    for comps_vals in hyperplanes(planes, dim):
+        comps = F.array(*[F.lit(c) for c in comps_vals])
         proj = F.aggregate(
             F.zip_with(v, comps, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
@@ -89,15 +98,6 @@ def lsh_buckets(
     return df.select(
         F.col(id_col), F.concat(*bits).alias("bucket")
     )
-
-
-_MD5_CACHE: dict = {}
-
-
-def _md5_py(s: str) -> int:
-    import hashlib
-
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 def ann_topk_lsh(

@@ -1873,6 +1873,39 @@ def segment_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brute-force baseline asserted in tests/test_ann_recall.py)
 # ---------------------------------------------------------------------------
 
+def _ann_oracle() -> str:
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(6, 64)
+    bucket = " || ".join(
+        "(CASE WHEN list_dot_product(cv, ["
+        + ", ".join(repr(c) for c in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), b AS (
+      SELECT nid, cv, {bucket} AS bucket FROM c
+    ), q AS (
+      SELECT nid AS qid, cv AS qv, bucket FROM b WHERE nid < 10
+    ), s AS (
+      SELECT q.qid AS query_id, b.nid AS neighbor_id,
+             list_dot_product(q.qv, b.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(b.cv, b.cv))) AS cosine
+      FROM q JOIN b USING (bucket) WHERE b.nid <> q.qid
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
+    FROM r WHERE rank <= 5
+"""
+
+
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_topk_lsh
@@ -1880,6 +1913,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = ann_topk_lsh(emb, emb.where(F.col("vec_id") < 10), k=5, planes=6)
     return _round(out, {"cosine": 6})
+
+
+ORACLES["ann_lsh_topk"] = _ann_oracle()
 
 
 # ---------------------------------------------------------------------------
