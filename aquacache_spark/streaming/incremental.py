@@ -40,15 +40,36 @@ def downstream_closure(
     nested compounds) on the seed series.
 
     Port of WITH RECURSIVE downstream_timeseries_ids
-    (patch_41.R:2516-2538) as a driver-side loop to fixpoint — each
-    iteration is one equi-join; the frontier is catalog-sized so this
-    never touches fact data. ``max_depth`` guards accidental cycles
-    (the reference also carries an explicit visited path,
-    patch_53.R:876-878).
+    (patch_41.R:2516-2538). The compound graph is *catalog*-sized
+    (thousands of definitions, never fact-scale), so the closure runs
+    as a driver-side BFS over the collected edge list — one Spark job
+    to fetch edges, zero per-iteration jobs. A distributed join-loop
+    fallback kicks in only if the edge list is unexpectedly huge.
+    ``max_depth`` guards accidental cycles (the reference also carries
+    an explicit visited path, patch_53.R:876-878).
     """
     edges = compound_members.select(
         F.col(member_col).alias("src"), F.col(compound_col).alias("dst")
-    ).distinct().cache()
+    ).distinct()
+    n_edges = edges.limit(1_000_001).count()
+    if n_edges <= 1_000_000:
+        adj: dict = {}
+        for r in edges.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        seen = {r[0] for r in seed_ids.select(seed_ids.columns[0]).collect()}
+        frontier = set(seen)
+        for _ in range(max_depth):
+            nxt = {
+                d for s in frontier for d in adj.get(s, ()) if d not in seen
+            }
+            if not nxt:
+                break
+            seen |= nxt
+            frontier = nxt
+        spark = compound_members.sparkSession
+        return spark.createDataFrame([(i,) for i in sorted(seen)], ["id"])
+
+    edges = edges.cache()
     acc = seed_ids.select(F.col(seed_ids.columns[0]).alias("id")).distinct()
     frontier = acc
     for _ in range(max_depth):
@@ -73,31 +94,42 @@ def expand_changed_ranges(
     max_col: str = "max_dt",
 ) -> DataFrame:
     """Changed (series, range) -> + (downstream compound, same range),
-    coalesced per series (patch_41.R:2959-2981)."""
+    coalesced per series (patch_41.R:2959-2981).
+
+    The (src, reachable-downstream) pair set is computed driver-side
+    from the catalog-sized member graph, then applied to the changed
+    ranges with ONE broadcast join — no per-level Spark jobs.
+    """
     edges = compound_members.select(
         F.col("member_timeseries_id").alias("src"),
         F.col("timeseries_id").alias("dst"),
     ).distinct()
-    seeds = changes.select(F.col(ts_col).alias("id")).distinct()
-    closure = downstream_closure(compound_members, seeds)
-    # map each changed range onto every downstream id reachable from it
-    # (driver loop above bounded the closure; here one join per level is
-    # replaced by re-walking ranges through the closure edge set)
-    fanned = changes
-    frontier = changes
-    for _ in range(32):
-        nxt = (
-            frontier.join(edges, frontier[ts_col] == edges["src"])
-            .select(
-                F.col("dst").alias(ts_col), F.col(min_col), F.col(max_col)
-            )
+    adj: dict = {}
+    for r in edges.collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+
+    def reach(start):
+        seen, frontier = set(), {start}
+        for _ in range(32):
+            nxt = {d for s in frontier for d in adj.get(s, ()) if d not in seen}
+            if not nxt:
+                break
+            seen |= nxt
+            frontier = nxt
+        return seen
+
+    pairs = [(s, d) for s in adj for d in reach(s)]
+    spark = changes.sparkSession
+    out = changes
+    if pairs:
+        pair_df = spark.createDataFrame(pairs, [ts_col, "__down"])
+        fanned = (
+            changes.join(F.broadcast(pair_df), ts_col)
+            .select(F.col("__down").alias(ts_col), F.col(min_col), F.col(max_col))
         )
-        if nxt.isEmpty():
-            break
-        fanned = fanned.unionByName(nxt)
-        frontier = nxt
+        out = changes.unionByName(fanned)
     return (
-        fanned.groupBy(ts_col)
+        out.groupBy(ts_col)
         .agg(F.min(min_col).alias(min_col), F.max(max_col).alias(max_col))
     )
 
