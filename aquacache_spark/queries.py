@@ -1212,6 +1212,26 @@ def increments_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                   {"gauge": 4, "increment": 4})
 
 
+@register("spline_imputation")
+def spline_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubic-spline gap fill (imputeMissing spline path,
+    R/imputeMissing.R:1129-1145) — numpy natural-spline kernel per
+    series; rows-only (kernel accuracy asserted in
+    tests/test_impute_spline.py)."""
+    from .operators.impute import spline_fill
+
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_id") % 17 == 4, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    out = spline_fill(masked, keys=["user_id"], dt_col="ts", value_col="value")
+    return _round(out.select("user_id", "ts", "event_id", "value", "imputed"),
+                  {"value": 4})
+
+
 @register("calculate_period")
 def calculate_period_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cadence detection + ISO-8601 period (R/calculate_period.R)."""

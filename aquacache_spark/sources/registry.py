@@ -112,6 +112,19 @@ for _name in ("downloadWSC", "downloadAquarius", "downloadNWIS",
     _stub_http(_name)
 
 
+@register_source("readSnowWorkbook")
+def read_snow_workbook(spark: SparkSession, **kwargs) -> DataFrame:  # pragma: no cover
+    """Excel snow-survey workbook ingestion (R/readSnowWorkbook.R:20).
+    No xlsx reader is available in this environment; in production route
+    through pandas.read_excel inside mapInPandas or convert to CSV and
+    use read_csv."""
+    raise NotImplementedError(
+        "readSnowWorkbook: no Excel codec in this environment; convert the "
+        "workbook to CSV and use read_csv, or install openpyxl and wrap "
+        "pandas.read_excel in mapInPandas."
+    )
+
+
 def fetch_task_groups(catalog_df: DataFrame) -> DataFrame:
     """Cache-sharing fetch groups for parallel ingest.
 
