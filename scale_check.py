@@ -1,0 +1,99 @@
+"""Scale smoke: run the core operators on synthetic data far larger than
+the bench tables to observe scaling behavior (shuffle sizes, spills,
+wall time). Usage:
+
+    python scale_check.py [n_series] [points_per_series]
+
+Defaults 200 x 30000 = 6M measurement rows (~10x bench sf0.1). Data is
+generated JVM-side in /tmp; nothing is collected to the driver. Prints
+one JSON line of per-operator seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from aquacache_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_series = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    n_points = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = tempfile.mkdtemp(prefix="scale_check_")
+    n = n_series * n_points
+    df = (
+        spark.range(0, n)
+        .select(
+            (F.col("id") % n_series).alias("timeseries_id"),
+            F.timestamp_seconds(
+                F.lit(1577836800) + (F.col("id") / n_series).cast("long") * 900
+            ).alias("datetime"),
+            F.round(
+                10 + F.sin(F.col("id") / 86400.0) * 0.25
+                + (F.col("id") % 997) * 0.001, 3
+            ).alias("value"),
+        )
+    )
+    df.write.mode("overwrite").parquet(f"{base}/m.parquet")
+    meas = spark.read.parquet(f"{base}/m.parquet")
+    timings: dict[str, float] = {}
+
+    def t(name, frame):
+        t0 = time.perf_counter()
+        frame.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+
+    from aquacache_spark.operators.asof import asof_join
+    from aquacache_spark.operators.corrections import Correction, apply_corrections
+    from aquacache_spark.operators.daily import daily_rollup
+    from aquacache_spark.operators.doy import doy_stats
+    from aquacache_spark.operators.increments import compute_increments
+    from aquacache_spark.operators.resample import resample
+
+    corr = [
+        Correction(1, i, "2020-03-01 00:00:00", "2020-04-01 00:00:00",
+                   "offset_linear", value1=0.25)
+        for i in range(0, n_series, 7)
+    ]
+    t("corrections_scan", apply_corrections(meas, corr))
+
+    daily = daily_rollup(meas, keys=["timeseries_id"], dt_col="datetime",
+                         value_col="value", agg_type="mean")
+    t("daily_rollup", daily)
+    daily_c = daily.cache()
+    daily_c.count()
+    t("doy_stats", doy_stats(daily_c, keys=["timeseries_id"],
+                             date_col="date", value_col="value"))
+    t("resample_1h", resample(meas, keys=["timeseries_id"],
+                              dt_col="datetime", value_col="value",
+                              seconds=3600))
+    left = meas.where(F.col("timeseries_id") % 2 == 0).withColumn(
+        "row_id", F.monotonically_increasing_id())
+    right = meas.where(F.col("timeseries_id") % 2 == 1).select(
+        (F.col("timeseries_id") - 1).alias("timeseries_id"),
+        "datetime", "value",
+    ).withColumn("row_id", F.monotonically_increasing_id())
+    t("asof_join", asof_join(left, right, keys=["timeseries_id"],
+                             left_ts="datetime", right_ts="datetime",
+                             left_id="row_id", right_id="row_id",
+                             tolerance_seconds=450, right_cols=["value"]))
+    t("increments", compute_increments(meas, keys=["timeseries_id"],
+                                       dt_col="datetime", value_col="value",
+                                       reset_drop=5.0))
+    print(json.dumps({
+        "rows": n, "series": n_series, "timings": timings,
+        "total": round(sum(timings.values()), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
