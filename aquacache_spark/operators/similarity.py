@@ -9,6 +9,14 @@
 - **LSH-bucketed ANN** (the scale path): random-hyperplane signs bucket
   vectors; per-bucket brute force. Hyperplanes are derived
   deterministically from md5 so the operator needs no RNG state.
+- **IVF ANN** (the alternate scale path): corpus vectors are assigned
+  to their nearest centroid (inverted lists); each query probes its
+  ``nprobe`` nearest lists and brute-forces only those. Centroid
+  *refinement* (k-means||) is pluggable; the default seeds are the
+  ``nlist`` lowest-id corpus vectors so the whole operator is
+  deterministic and oracle-checkable. The list assignment is the
+  partitioning key at scale — a 100 TB corpus shuffles once at build
+  time, and each query touches ``nprobe``/``nlist`` of the data.
 """
 
 from __future__ import annotations
@@ -131,6 +139,91 @@ def ann_topk_lsh(
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", dot / (nq * nc))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    nlist: int = 16,
+) -> DataFrame:
+    """Deterministic centroid seeds: the ``nlist`` lowest-id corpus
+    vectors. Production would refine these with MLlib k-means|| — the
+    assignment/probe machinery below is identical either way, and the
+    deterministic seed keeps the operator RNG-free and DuckDB-checkable.
+
+    Output: ``centroid_id``, ``__centv``.
+    """
+    return (
+        corpus.orderBy(F.col(id_col)).limit(nlist)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            _as_double(F.col(vec_col)).alias("__centv"),
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per vector (``nprobe=1`` is the
+    build-side inverted-list assignment). Centroids are catalog-sized →
+    broadcast; the scoring is a map-only pass over ``df``."""
+    scored = (
+        df.select(F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("__v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", _cosine(F.col("__v"), F.col("__centv")))
+    )
+    w = Window.partitionBy(out_id).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select(out_id, "centroid_id", "__v")
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: brute force only within the query's
+    ``nprobe`` probed inverted lists.
+
+    Each corpus vector lives in exactly one list, so the probe join
+    yields each (query, neighbor) pair at most once — no dedupe needed.
+    The probe join shuffles the corpus on ``centroid_id`` once
+    (query side broadcast), which is exactly the IVF partitioning a
+    1000-executor cluster wants; each query then touches ~nprobe/nlist
+    of the data instead of all of it.
+    """
+    cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    lists = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1, out_id="neighbor_id")
+    probes = ivf_assign(
+        queries, cent, id_col, vec_col, nprobe=nprobe, out_id="query_id"
+    ).withColumnRenamed("__v", "__qv")
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__v")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -2035,6 +2035,165 @@ def donor_offset_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity scale path #2: IVF ANN (inverted lists over deterministic
+# centroid seeds; nprobe probed lists per query). Recall vs brute force
+# asserted in tests/test_ann_recall.py.
+# ---------------------------------------------------------------------------
+
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+_IVF_ORACLE = f"""
+    WITH corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM corp ORDER BY vec_id LIMIT 16
+    ), lists AS (
+      SELECT vec_id AS neighbor_id, centroid_id, v FROM (
+        SELECT corp.vec_id, cent.centroid_id, corp.v,
+               row_number() OVER (
+                 PARTITION BY corp.vec_id
+                 ORDER BY {_IVF_COS.format(a='corp.v', b='cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM corp, cent) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, centroid_id, v AS qv FROM (
+        SELECT corp.vec_id, cent.centroid_id, corp.v,
+               row_number() OVER (
+                 PARTITION BY corp.vec_id
+                 ORDER BY {_IVF_COS.format(a='corp.v', b='cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM corp, cent WHERE corp.vec_id < 10) WHERE rn <= 4
+    ), s AS (
+      SELECT probes.query_id, lists.neighbor_id,
+             {_IVF_COS.format(a='probes.qv', b='lists.v')} AS cosine
+      FROM probes JOIN lists USING (centroid_id)
+      WHERE lists.neighbor_id <> probes.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
+    FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (SURVEY north-star similarity scale path): inverted-list
+    assignment on deterministic centroid seeds, nprobe=4 of nlist=16
+    lists probed per query."""
+    from .operators.similarity import ann_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4
+    )
+    return _round(out, {"cosine": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.4 nearest-station spatial search (R/imputeMissing.R:546-548,896):
+# ST_DWithin radius filter + ST_Distance ordering, re-expressed as a
+# haversine expression over broadcast target stations. Locations are
+# synthesized deterministically from keys (the driver tables carry no
+# lat/lon); the same arithmetic runs on both engines.
+# ---------------------------------------------------------------------------
+
+def _latlon_sql(key: str) -> tuple[str, str]:
+    lat = f"(({key}) * 7919 % 18000) / 100.0 - 90.0"
+    lon = f"(({key}) * 104729 % 36000) / 100.0 - 180.0"
+    return lat, lon
+
+
+_SLAT, _SLON = _latlon_sql("s_suppkey")
+_CLAT, _CLON = _latlon_sql("c_custkey")
+
+_HAVERSINE_SQL = """
+    2 * 6371.0088 * asin(sqrt(
+      sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)
+      + cos(radians({lat1})) * cos(radians({lat2}))
+        * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2)
+    ))
+"""
+
+_NEAREST_ORACLE = f"""
+    WITH stations AS (
+      SELECT s_suppkey AS station_id, {_SLAT} AS lat, {_SLON} AS lon
+      FROM supplier
+    ), targets AS (
+      SELECT c_custkey AS target_id, {_CLAT} AS lat, {_CLON} AS lon
+      FROM customer WHERE c_custkey <= 20
+    ), scored AS (
+      SELECT t.target_id, s.station_id,
+             {_HAVERSINE_SQL.format(lat1='t.lat', lon1='t.lon',
+                                    lat2='s.lat', lon2='s.lon')} AS dist_km
+      FROM targets t, stations s
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY target_id
+                                   ORDER BY dist_km, station_id) AS rank
+      FROM scored WHERE dist_km <= 3000.0
+    )
+    SELECT target_id, station_id, {R('dist_km', 3)} AS dist_km, rank
+    FROM ranked WHERE rank <= 3
+"""
+
+
+@register("nearest_station_search", oracle=_NEAREST_ORACLE)
+def nearest_station_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 stations within 3000 km of each target, by haversine.
+
+    The target set is catalog-sized → broadcast; the station scan is
+    map-only (no shuffle of the big side), so the plan is a single pass
+    over stations + a per-target top-k — the 100 TB shape."""
+    from pyspark.sql import Window
+
+    def latlon(key):
+        return (
+            (key * 7919 % 18000) / 100.0 - 90.0,
+            (key * 104729 % 36000) / 100.0 - 180.0,
+        )
+
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    slat, slon = latlon(F.col("s_suppkey"))
+    clat, clon = latlon(F.col("c_custkey"))
+    stations = sup.select(
+        F.col("s_suppkey").alias("station_id"),
+        slat.alias("s_lat"), slon.alias("s_lon"),
+    )
+    targets = cust.where(F.col("c_custkey") <= 20).select(
+        F.col("c_custkey").alias("target_id"),
+        clat.alias("t_lat"), clon.alias("t_lon"),
+    )
+
+    def hav2(x):
+        s = F.sin(F.radians(x) / 2)
+        return s * s
+
+    dist = (
+        2 * 6371.0088 * F.asin(F.sqrt(
+            hav2(F.col("s_lat") - F.col("t_lat"))
+            + F.cos(F.radians("t_lat")) * F.cos(F.radians("s_lat"))
+            * hav2(F.col("s_lon") - F.col("t_lon"))
+        ))
+    )
+    w = Window.partitionBy("target_id").orderBy("dist_km", "station_id")
+    out = (
+        stations.crossJoin(F.broadcast(targets))
+        .withColumn("dist_km", dist)
+        .where(F.col("dist_km") <= 3000.0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("target_id", "station_id", "dist_km", "rank")
+    )
+    return _round(out, {"dist_km": 3})
+
+
+# ---------------------------------------------------------------------------
 # Flagship composition used by entry(): corrections -> daily -> DOY stats
 # ---------------------------------------------------------------------------
 
