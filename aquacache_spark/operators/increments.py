@@ -27,21 +27,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def compute_increments_pd(
-    pdf: pd.DataFrame,
-    dt_col: str,
-    value_col: str,
+ScanState = tuple  # (running_max, prev_value, prev_ts) — None-seeded
+
+
+def scan_increments(
+    timestamps,
+    values,
     reset_drop: float,
     min_pos: float,
     max_gap_seconds: float | None,
-) -> pd.DataFrame:
-    """Pure-pandas sequential kernel (unit-tested against closed forms)."""
-    pdf = pdf.sort_values(dt_col).reset_index(drop=True)
+    state: ScanState = (None, None, None),
+) -> tuple[list, ScanState]:
+    """The sequential scan itself, seedable with carried-over state so
+    the streaming variant (streaming/stateful.py) can resume a series
+    across micro-batches and produce exactly what a batch recompute
+    over the full history would."""
     out = []
-    running_max = None
-    prev_value = None
-    prev_ts = None
-    for ts, v in zip(pdf[dt_col], pdf[value_col]):
+    running_max, prev_value, prev_ts = state
+    for ts, v in zip(timestamps, values):
         if v is None or pd.isna(v):
             out.append(None)
             continue
@@ -63,6 +66,22 @@ def compute_increments_pd(
             running_max = max(running_max, v)
         prev_value = v
         prev_ts = ts
+    return out, (running_max, prev_value, prev_ts)
+
+
+def compute_increments_pd(
+    pdf: pd.DataFrame,
+    dt_col: str,
+    value_col: str,
+    reset_drop: float,
+    min_pos: float,
+    max_gap_seconds: float | None,
+) -> pd.DataFrame:
+    """Pure-pandas sequential kernel (unit-tested against closed forms)."""
+    pdf = pdf.sort_values(dt_col).reset_index(drop=True)
+    out, _ = scan_increments(
+        pdf[dt_col], pdf[value_col], reset_drop, min_pos, max_gap_seconds
+    )
     pdf["increment"] = pd.array(out, dtype="float64")
     return pdf
 

@@ -119,3 +119,63 @@ def test_structured_stream_end_to_end(spark, tmp_path):
     assert agg[(1, "2024-01-01 00:00:00")]["n"] == 2
     assert agg[(1, "2024-01-01 00:00:00")]["mean"] == 6.0
     assert agg[(2, "2024-01-01 01:00:00")]["n"] == 1
+
+
+def test_stateful_streaming_increments_match_batch(spark, tmp_path):
+    """applyInPandasWithState carries the scan state across micro-batches
+    AND across a query restart (checkpointed state store): the streamed
+    increments must equal a batch recompute over the full history."""
+    from aquacache_spark.operators.increments import compute_increments
+    from aquacache_spark.streaming.stateful import streaming_increments
+    from aquacache_spark.streaming.structured import read_measurement_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, ["timeseries_id", "datetime", "value"]
+        ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+
+    # gauge fills 5->8, resets to 1 (drop >= 3), refills; series 2 has a
+    # chain-breaking 3h gap — the reset and the gap straddle the batch
+    # boundary so correctness requires carried state.
+    batch1 = [(1, "2024-01-01 00:00:00", 5.0), (1, "2024-01-01 00:15:00", 8.0),
+              (2, "2024-01-01 00:00:00", 10.0)]
+    batch2 = [(1, "2024-01-01 00:30:00", 1.0), (1, "2024-01-01 00:45:00", 2.5),
+              (2, "2024-01-01 03:30:00", 11.0)]
+
+    seen = []
+
+    def run_one(rows):
+        mk(rows).coalesce(1).write.mode("append").parquet(str(landing))
+        stream = read_measurement_stream(spark, str(landing))
+        inc = streaming_increments(
+            stream, reset_drop=3.0, min_pos=0.0, max_gap_seconds=2 * 3600.0
+        )
+        q = (inc.writeStream
+             .foreachBatch(lambda df, _eid: seen.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_one(batch1)
+    run_one(batch2)
+
+    batch_out = compute_increments(
+        mk(batch1 + batch2), keys=["timeseries_id"],
+        reset_drop=3.0, min_pos=0.0, max_gap_seconds=2 * 3600.0,
+    ).collect()
+    expect = {(r["timeseries_id"], str(r["datetime"])): r["increment"]
+              for r in batch_out}
+    got = {(r["timeseries_id"], str(r["datetime"])): r["increment"]
+           for r in seen}
+    assert got == expect
+    # sanity on the semantics themselves
+    assert expect[(1, "2024-01-01 00:30:00")] == 0.0   # reset detected
+    assert expect[(1, "2024-01-01 00:45:00")] == 1.5   # post-reset refill
+    assert expect[(2, "2024-01-01 03:30:00")] is None  # gap broke chain
