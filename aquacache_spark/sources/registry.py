@@ -113,15 +113,24 @@ for _name in ("downloadWSC", "downloadAquarius", "downloadNWIS",
 
 
 @register_source("readSnowWorkbook")
-def read_snow_workbook(spark: SparkSession, **kwargs) -> DataFrame:  # pragma: no cover
-    """Excel snow-survey workbook ingestion (R/readSnowWorkbook.R:20).
-    No xlsx reader is available in this environment; in production route
-    through pandas.read_excel inside mapInPandas or convert to CSV and
-    use read_csv."""
-    raise NotImplementedError(
-        "readSnowWorkbook: no Excel codec in this environment; convert the "
-        "workbook to CSV and use read_csv, or install openpyxl and wrap "
-        "pandas.read_excel in mapInPandas."
+def read_snow_workbook_src(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Excel snow-survey workbook ingestion (R/readSnowWorkbook.R:20) —
+    real: a pure-stdlib xlsx parser (functions/xlsx.py) feeds the QC
+    rules in sources/snow_workbook.py. Returns the measurements frame
+    normalized to the connector contract (survey target date as the
+    datetime, SWE as the value)."""
+    from .snow_workbook import read_snow_workbook
+
+    out = read_snow_workbook(spark, path, **kwargs)
+    surveys = out["surveys"].select("sheet", "target_date")
+    return (
+        out["measurements"]
+        .where(~F.col("excluded"))
+        .join(surveys, "sheet")
+        .select(
+            F.col("target_date").cast("timestamp").alias("datetime"),
+            F.col("swe").alias("value"),
+        )
     )
 
 

@@ -1,0 +1,149 @@
+"""Snow workbook ingestion: stdlib xlsx parse + the reference's QC
+rules (R/readSnowWorkbook.R). The test builds a real .xlsx (zip of
+SpreadsheetML parts) by hand so no Excel library is needed anywhere."""
+
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aquacache_spark.functions.xlsx import col_to_num, read_xlsx_cells
+from aquacache_spark.sources.registry import dispatch
+from aquacache_spark.sources.snow_workbook import (
+    parse_snow_workbook,
+    read_snow_workbook,
+    read_snow_workbooks,
+)
+
+_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+
+def _cell(ref, v):
+    if isinstance(v, str):
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+    return f'<c r="{ref}"><v>{v}</v></c>'
+
+
+def _sheet_xml(cells):
+    by_row = {}
+    for ref, v in cells.items():
+        row = int("".join(ch for ch in ref if ch.isdigit()))
+        by_row.setdefault(row, []).append(_cell(ref, v))
+    rows = "".join(
+        f'<row r="{r}">{"".join(cs)}</row>' for r, cs in sorted(by_row.items())
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{rows}</sheetData></worksheet>"
+    )
+
+
+def write_xlsx(path, sheets: dict[str, dict[str, object]]):
+    names = list(sheets)
+    wb_sheets = "".join(
+        f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(names)
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, n in enumerate(names):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_xml(sheets[n]))
+
+
+def snow_sheet(location, depths_swes, sampled="sampled", date_serial=45365):
+    cells = {
+        "C5": location, "C6": date_serial, "C7": date_serial + 1,
+        "C8": "A. Sampler", "C9": sampled,
+        "C12": "Depth", "G12": "SWE",
+    }
+    for i, (d, s) in enumerate(depths_swes):
+        r = 13 + i
+        if d is not None:
+            cells[f"C{r}"] = d
+        if s is not None:
+            cells[f"G{r}"] = s
+    return cells
+
+
+@pytest.fixture()
+def workbook(tmp_path):
+    p = str(tmp_path / "snow.xlsx")
+    write_xlsx(p, {
+        "Summary": {"A1": "ignored"},
+        "COURSE_A": snow_sheet("Course A", [(50.0, 12.5), (0.0, None), (None, None)]),
+        "COURSE_B": snow_sheet("Course B", [(40.0, 10.0)], sampled="no sample"),
+        "UNKNOWN": snow_sheet("Nowhere", [(30.0, 8.0)]),
+        "EMPTY": {},
+    })
+    return p
+
+
+def test_xlsx_kernel_reads_cells(workbook):
+    cells = read_xlsx_cells(workbook)
+    assert set(cells) == {"Summary", "COURSE_A", "COURSE_B", "UNKNOWN", "EMPTY"}
+    assert cells["COURSE_A"][(5, 3)] == "Course A"
+    assert cells["COURSE_A"][(13, 3)] == 50.0
+    assert col_to_num("AA") == 27
+
+
+def test_parse_rules(workbook):
+    surveys, meas = parse_snow_workbook(workbook)
+    sheets = [s["sheet"] for s in surveys]
+    assert "COURSE_B" not in sheets     # 'no sample' skipped
+    assert "EMPTY" not in sheets        # empty sheet skipped
+    assert "Summary" not in sheets
+    a = [m for m in meas if m["sheet"] == "COURSE_A"]
+    assert len(a) == 2                  # both-empty row dropped
+    assert a[1]["depth"] == 0.0 and a[1]["swe"] == 0.0  # depth 0 => swe 0
+    assert surveys[0]["survey_date"] == "2024-03-14"    # serial decoded
+
+
+def test_location_gate_and_contract(spark, workbook):
+    locations = spark.createDataFrame([("Course A",)], ["name"])
+    out = read_snow_workbook(spark, workbook, locations=locations)
+    assert [r["sheet"] for r in out["rejected"].collect()] == ["UNKNOWN"]
+    assert out["measurements"].where(
+        F.col("location_name") == "Nowhere").count() == 0
+    # registry dispatch normalizes to the (datetime, value) contract
+    got = dispatch(spark, "readSnowWorkbook", {"path": workbook}).collect()
+    assert {r["value"] for r in got} == {12.5, 0.0, 8.0}
+
+
+def test_distributed_bulk_parse(spark, tmp_path, workbook):
+    p2 = str(tmp_path / "snow2.xlsx")
+    write_xlsx(p2, {"C2": snow_sheet("Course C", [(20.0, 5.0)])})
+    df = read_snow_workbooks(spark, [workbook, p2])
+    rows = df.collect()
+    # 2 from COURSE_A + 1 from UNKNOWN (kept: no location dim here) + 1 from C2
+    assert len(rows) == 4
