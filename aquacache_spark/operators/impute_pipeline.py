@@ -1,0 +1,193 @@
+"""Non-interactive ``imputeMissing`` pipeline (R/imputeMissing.R:23).
+
+The reference's semi-manual gap-filling tool, re-expressed as pure
+DataFrame stages so callers (or a UI) can rank candidates and preview
+fills without any interactivity:
+
+1. **candidate discovery** (imputeMissing.R:546-548, 716-722): donor
+   series within ``radius_km`` of the target's location (haversine over
+   the locations dim), same parameter (or one of ``extra_params``),
+   record rate equal-or-more-frequent than the target's;
+2. **donor resampling** (:793-880): donor points re-aggregated onto the
+   target's cadence grid using the target's aggregation type;
+3. **offset scoring** (:883-896): per-donor ``avg_offset = mean(donor -
+   target)`` and ``sd_on_offset`` over the overlap, NA-offset donors
+   dropped, ranked by distance;
+4. **fill** (:1106-1107, 16-17): missing grid points get ``donor +
+   avg_offset`` with ``imputed = TRUE``; gaps outside
+   [``min_gap``, ``max_gap``] (counted in missing points) are left
+   alone. Linear / spline self-interpolation variants live in
+   operators/impute.py.
+
+Scale: discovery is catalog-sized (broadcast); scoring is one shuffle
+of candidate measurements on (series, bin) — the fact scan is
+semi-joined down to candidate ids first, so partition pruning on
+``timeseries_id`` applies; the fill is a dense-spine left join per
+target series.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .daily import daily_value
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance (the ST_Distance analog for point dims)."""
+
+    def hav(x: Column) -> Column:
+        s = F.sin(F.radians(x) / 2)
+        return s * s
+
+    return 2 * 6371.0088 * F.asin(F.sqrt(
+        hav(lat2 - lat1) + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * hav(lon2 - lon1)
+    ))
+
+
+def donor_candidates(
+    timeseries: DataFrame,
+    locations: DataFrame,
+    target_tsid: int,
+    radius_km: float,
+    extra_params: Sequence[str] | None = None,
+) -> DataFrame:
+    """Ranked donor series for a target (imputeMissing.R:546-548,716-722).
+
+    ``timeseries``: (timeseries_id, location_id, parameter,
+    record_rate_seconds); ``locations``: (location_id, lat, lon).
+    Output adds ``distance_km``, ordered nearest-first.
+    """
+    cat = timeseries.join(locations, "location_id")
+    target = cat.where(F.col("timeseries_id") == target_tsid).collect()
+    if not target:
+        raise KeyError(f"unknown target timeseries_id {target_tsid}")
+    t = target[0]
+    params = [t["parameter"], *(extra_params or [])]
+    dist = haversine_km(
+        F.lit(float(t["lat"])), F.lit(float(t["lon"])), F.col("lat"), F.col("lon")
+    )
+    return (
+        cat.where(F.col("timeseries_id") != target_tsid)
+        .where(F.col("parameter").isin(params))
+        .where(F.col("record_rate_seconds") <= t["record_rate_seconds"])
+        .withColumn("distance_km", dist)
+        .where(F.col("distance_km") <= radius_km)
+        .orderBy("distance_km", "timeseries_id")
+    )
+
+
+def _grid(dt_col: str, seconds: int) -> Column:
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(dt_col)) / seconds) * seconds
+    )
+
+
+def score_donors(
+    measurements: DataFrame,
+    candidates: DataFrame,
+    target_tsid: int,
+    rate_seconds: int,
+    agg_type: str = "mean",
+    dt_col: str = "datetime",
+    value_col: str = "value",
+) -> DataFrame:
+    """Offset statistics per candidate over the overlap with the target.
+
+    Donor points are re-aggregated onto the target cadence with the
+    *target's* aggregation type (imputeMissing.R:793-880), then
+    ``avg_offset`` / ``sd_on_offset`` per donor (:883-887); donors with
+    no overlap drop out; nearest-first ordering (:896).
+    """
+    v = F.col(value_col).cast("double")
+    ids = candidates.select("timeseries_id")
+    donor_bins = (
+        measurements.join(F.broadcast(ids), "timeseries_id", "left_semi")
+        .groupBy("timeseries_id", _grid(dt_col, rate_seconds).alias("__bin"))
+        .agg(daily_value(v, agg_type).alias("__dv"))
+    )
+    target_bins = (
+        measurements.where(F.col("timeseries_id") == target_tsid)
+        .groupBy(_grid(dt_col, rate_seconds).alias("__bin"))
+        .agg(daily_value(v, agg_type).alias("__tv"))
+    )
+    scored = (
+        donor_bins.join(F.broadcast(target_bins), "__bin")
+        .groupBy("timeseries_id")
+        .agg(
+            F.avg(F.col("__dv") - F.col("__tv")).alias("avg_offset"),
+            F.stddev_samp(F.col("__dv") - F.col("__tv")).alias("sd_on_offset"),
+            F.count(F.lit(1)).alias("overlap_points"),
+        )
+        .where(F.col("avg_offset").isNotNull())
+    )
+    return candidates.join(scored, "timeseries_id").orderBy(
+        "distance_km", "timeseries_id"
+    )
+
+
+def impute_from_donor(
+    measurements: DataFrame,
+    target_tsid: int,
+    donor_tsid: int,
+    avg_offset: float,
+    rate_seconds: int,
+    agg_type: str = "mean",
+    min_gap: int = 1,
+    max_gap: Optional[int] = None,
+    dt_col: str = "datetime",
+    value_col: str = "value",
+) -> DataFrame:
+    """Preview frame: the target's dense grid with gaps filled from the
+    donor + mean offset (imputeMissing.R:1106-1107). Gaps shorter than
+    ``min_gap`` or longer than ``max_gap`` missing points (:16-17) stay
+    NULL. Output: (bin_start, value, imputed).
+    """
+    v = F.col(value_col).cast("double")
+    target_bins = (
+        measurements.where(F.col("timeseries_id") == target_tsid)
+        .groupBy(_grid(dt_col, rate_seconds).alias("bin_start"))
+        .agg(daily_value(v, agg_type).alias("__tv"))
+    )
+    donor_bins = (
+        measurements.where(F.col("timeseries_id") == donor_tsid)
+        .groupBy(_grid(dt_col, rate_seconds).alias("bin_start"))
+        .agg(daily_value(v, agg_type).alias("__dv"))
+    )
+    spine = (
+        target_bins.agg(
+            F.min("bin_start").alias("__lo"), F.max("bin_start").alias("__hi")
+        )
+        .select(F.explode(F.sequence(
+            "__lo", "__hi", F.expr(f"INTERVAL {rate_seconds} SECONDS")
+        )).alias("bin_start"))
+    )
+    g = (
+        spine.join(target_bins, "bin_start", "left")
+        .join(donor_bins, "bin_start", "left")
+    )
+    # consecutive-missing run ids: count of present rows so far = gap id
+    w = Window.orderBy("bin_start")
+    g = g.withColumn(
+        "__gap_id",
+        F.sum(F.when(F.col("__tv").isNotNull(), 1).otherwise(0)).over(w),
+    )
+    wg = Window.partitionBy("__gap_id")
+    g = g.withColumn(
+        "__gap_len",
+        F.sum(F.when(F.col("__tv").isNull(), 1).otherwise(0)).over(wg),
+    )
+    bounds = F.col("__gap_len") >= min_gap
+    if max_gap is not None:
+        bounds = bounds & (F.col("__gap_len") <= max_gap)
+    fillable = F.col("__tv").isNull() & bounds & F.col("__dv").isNotNull()
+    return g.select(
+        "bin_start",
+        F.when(F.col("__tv").isNotNull(), F.col("__tv"))
+        .when(fillable, F.col("__dv") + F.lit(float(avg_offset)))
+        .alias("value"),
+        (F.col("__tv").isNull() & fillable).alias("imputed"),
+    )
