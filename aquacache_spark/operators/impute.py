@@ -65,11 +65,14 @@ def natural_cubic_spline(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.nda
     m0, m1 = m[idx], m[idx + 1]
     hseg = x1 - x0
     t = (xq - x0) / hseg
+    # explicit products (no pow()): the SQL oracle mirrors this exact
+    # operation sequence, keeping results bit-identical across engines
+    u = 1 - t
     return (
-        y0 * (1 - t)
+        y0 * u
         + y1 * t
-        + (hseg**2 / 6.0)
-        * ((m0 * ((1 - t) ** 3 - (1 - t))) + (m1 * (t**3 - t)))
+        + (hseg * hseg / 6.0)
+        * ((m0 * (u * u * u - u)) + (m1 * (t * t * t - t)))
     )
 
 
@@ -83,7 +86,14 @@ def spline_fill_pd(
     up to ±context_points known neighbors around each gap
     (R/imputeMissing.R:1129-1145)."""
     pdf = pdf.sort_values(dt_col).reset_index(drop=True)
-    x = pdf[dt_col].astype("int64").to_numpy(dtype="float64")
+    # x in *seconds* (epoch): nanos overflow double precision (ulp at
+    # 1.7e18 ns is ~256 ns) and the spline h-diffs would inherit that
+    # noise; seconds keep microsecond exactness and match DuckDB's
+    # epoch() doubles bit-for-bit
+    x = (
+        pd.to_datetime(pdf[dt_col]).astype("datetime64[us]").astype("int64")
+        .to_numpy(dtype="float64")  # micros < 2^53: exact in float64
+    ) / 1e6
     y = pdf[value_col].to_numpy(dtype="float64")
     known = ~np.isnan(y)
     filled = y.copy()

@@ -1,24 +1,41 @@
 """Cumulative reset-aware increments (precipitation-gauge semantics).
 
-Reference semantics (R/compute_increments.R:82-121): scan each series in
-time order keeping a running post-reset maximum:
+Reference semantics (R/compute_increments.R:16-121), matched exactly:
 
-- a drop of at least ``reset_drop`` below the running max is a *reset*
-  (gauge emptied): increment 0, baseline restarts at the new value;
-- otherwise increment = value - max(previous value, running max),
-  floored at ``min_pos`` (smaller positives are noise -> 0);
-- a time gap of more than ``max_gap_seconds`` breaks the chain:
-  increment NULL, baseline resets.
+1. sort by datetime; the series' expected cadence (``period_seconds``,
+   the reference derives it via calculate_period) defines a grid;
+2. gaps are expanded with NA rows at the cadence: ``n_missing =
+   floor(gap_seconds / period) - 1`` rows strictly between consecutive
+   observed points (:33-67);
+3. the scan (:82-121) keeps ``last_max``, the running post-reset
+   baseline, seeded with the first value (whose increment is NA):
+   - first row after an NA run longer than ``max_gap`` *points*:
+     increment NA, baseline restarts at the new value;
+   - first row after a shorter NA run: increment NA, baseline kept;
+   - step drop ``v - prev <= -reset_drop``: a true reset (gauge
+     emptied): increment 0, baseline restarts;
+   - otherwise ``add = v - max(last_max, prev)``; if ``add >=
+     min_pos`` the increment is ``add`` and the baseline moves to
+     ``v``, else the increment is 0 and the baseline stays (noise
+     never accumulates into the baseline).
 
-This is true sequential state (the running max depends on every prior
-decision), not expressible as a fixed-frame window — exactly the case
-SURVEY §7.2 assigns to ``applyInPandas``. Scale: one Arrow batch per
-series; 100 TB parallelizes across the series key, and each series'
-points arrive sorted via the shuffle+sort the grouping performs.
+Spark-first shape: the NA expansion never needs to be *materialized*
+for the scan — an inter-point gap contributes ``floor(gap/period)-1``
+to the NA run length, so the kernel scans only observed rows and the
+NA spine rows (increment NA by construction) are emitted by a separate
+map-only generator when callers want the reference's exact row set.
+At 100 TB that avoids inflating sparse series (the scan is ∝ observed
+points, not grid cells), and gives the streaming variant
+(streaming/stateful.py) a constant-size carryable state:
+(last_max, prev_value, prev_ts, na_run).
+
+True sequential state (every decision depends on the prior baseline)
+— the case SURVEY §7.2 assigns to Arrow-batched per-series kernels.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import pandas as pd
@@ -27,7 +44,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-ScanState = tuple  # (running_max, prev_value, prev_ts) — None-seeded
+# (last_max, prev_value, prev_ts, na_run) — None/0-seeded.
+ScanState = tuple
 
 
 def scan_increments(
@@ -35,38 +53,62 @@ def scan_increments(
     values,
     reset_drop: float,
     min_pos: float,
-    max_gap_seconds: float | None,
-    state: ScanState = (None, None, None),
+    period_seconds: float | None = None,
+    max_gap: int = 0,
+    state: ScanState = (None, None, None, 0),
 ) -> tuple[list, ScanState]:
-    """The sequential scan itself, seedable with carried-over state so
-    the streaming variant (streaming/stateful.py) can resume a series
-    across micro-batches and produce exactly what a batch recompute
-    over the full history would."""
+    """The sequential scan, seedable with carried-over state so the
+    streaming variant can resume a series across micro-batches and
+    produce exactly what a batch recompute over the full history would.
+
+    ``timestamps``/``values`` are the *observed* rows in time order
+    (values may contain NA for masked measurements). ``max_gap`` is in
+    missing *points* at the cadence (R/compute_increments.R:92-98);
+    with ``period_seconds=None`` inter-point gaps contribute nothing
+    and only explicit NA values count toward the run.
+    """
     out = []
-    running_max, prev_value, prev_ts = state
+    last_max, prev_value, prev_ts, na_run = state
     for ts, v in zip(timestamps, values):
-        if v is None or pd.isna(v):
+        is_na = v is None or pd.isna(v)
+        v = None if is_na else float(v)
+        gap_insert = 0
+        if period_seconds and prev_ts is not None:
+            gap_sec = (ts - prev_ts).total_seconds()
+            gap_insert = max(0, int(math.floor(gap_sec / period_seconds)) - 1)
+        run = na_run + gap_insert  # NA rows contiguous just before this row
+        # in the reference's expanded grid, the row before this one is an
+        # NA row whenever the previous observed value was NA *or* the
+        # cadence inserted rows inside the gap
+        prev_is_na = prev_value is None or gap_insert > 0
+
+        if last_max is None:
+            # series start (incl. leading NAs): first valid value seeds
+            # the baseline, its increment is NA (R:86, inc[1] = NA)
             out.append(None)
-            continue
-        gap_break = (
-            max_gap_seconds is not None
-            and prev_ts is not None
-            and (ts - prev_ts).total_seconds() > max_gap_seconds
-        )
-        if running_max is None or gap_break:
-            out.append(None if gap_break else 0.0)
-            running_max = v
-        elif v <= running_max - reset_drop:
-            out.append(0.0)  # reset: gauge emptied
-            running_max = v
+            if not is_na:
+                last_max = v
+        elif prev_is_na and run > max_gap:
+            out.append(None)  # oversized gap: no increment, re-baseline
+            if not is_na:
+                last_max = v
+        elif is_na or prev_is_na:
+            out.append(None)  # NA on either side, gap within tolerance
+        elif v - prev_value <= -reset_drop:
+            out.append(0.0)  # hard reset: gauge emptied
+            last_max = v
         else:
-            base = max(prev_value, running_max) if prev_value is not None else running_max
-            inc = v - base
-            out.append(inc if inc >= min_pos else 0.0)
-            running_max = max(running_max, v)
+            base = max(last_max, prev_value)
+            add = v - base
+            if add >= min_pos:
+                out.append(add)
+                last_max = v
+            else:
+                out.append(0.0)  # noise: baseline intentionally kept
+        na_run = run + 1 if is_na else 0
         prev_value = v
         prev_ts = ts
-    return out, (running_max, prev_value, prev_ts)
+    return out, (last_max, prev_value, prev_ts, na_run)
 
 
 def compute_increments_pd(
@@ -75,15 +117,59 @@ def compute_increments_pd(
     value_col: str,
     reset_drop: float,
     min_pos: float,
-    max_gap_seconds: float | None,
+    period_seconds: float | None = None,
+    max_gap: int = 0,
 ) -> pd.DataFrame:
-    """Pure-pandas sequential kernel (unit-tested against closed forms)."""
+    """Pure-pandas sequential kernel over one series' observed rows."""
     pdf = pdf.sort_values(dt_col).reset_index(drop=True)
     out, _ = scan_increments(
-        pdf[dt_col], pdf[value_col], reset_drop, min_pos, max_gap_seconds
+        pdf[dt_col], pdf[value_col], reset_drop, min_pos,
+        period_seconds, max_gap,
     )
     pdf["increment"] = pd.array(out, dtype="float64")
     return pdf
+
+
+def gap_rows(
+    df: DataFrame,
+    keys: Sequence[str],
+    dt_col: str,
+    period_seconds: float,
+) -> DataFrame:
+    """The reference's inserted NA rows (R/compute_increments.R:33-67):
+    for each consecutive observed pair, ``floor(gap/period)-1`` ticks at
+    the cadence strictly between them, all non-key columns NULL. One
+    lead() window + one generator — output ∝ gap mass, no Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(dt_col)
+    n_missing = (
+        F.floor(
+            (F.unix_timestamp(F.col("__next")) - F.unix_timestamp(F.col(dt_col)))
+            / F.lit(float(period_seconds))
+        ) - 1
+    )
+    return (
+        df.withColumn("__next", F.lead(dt_col).over(w))
+        .where(F.col("__next").isNotNull())
+        .withColumn("__n_missing", n_missing)
+        # sequence(1, 0) would generate a *descending* sequence
+        .where(F.col("__n_missing") >= 1)
+        .select(
+            *keys,
+            F.col(dt_col).alias("__base"),
+            F.explode(F.sequence(F.lit(1), F.col("__n_missing"))).alias("__k"),
+        )
+        .select(
+            *keys,
+            (
+                F.timestamp_seconds(
+                    F.unix_timestamp("__base")
+                    + F.col("__k") * F.lit(int(period_seconds))
+                )
+            ).alias(dt_col),
+        )
+    )
 
 
 def compute_increments(
@@ -91,11 +177,18 @@ def compute_increments(
     keys: Sequence[str],
     dt_col: str = "datetime",
     value_col: str = "value",
-    reset_drop: float = 10.0,
+    reset_drop: float = 20.0,
     min_pos: float = 0.0,
-    max_gap_seconds: float | None = None,
+    period_seconds: float | None = None,
+    max_gap: int = 0,
+    emit_gap_rows: bool = False,
 ) -> DataFrame:
-    """Distributed wrapper: one sequential kernel per series group."""
+    """Distributed wrapper: one sequential kernel per series group.
+
+    With ``emit_gap_rows=True`` the output additionally carries the
+    reference's inserted NA-cadence rows (value and increment NULL),
+    reproducing R/compute_increments.R's exact row set.
+    """
     from pyspark.sql import types as T
 
     from ._grouped import grouped_apply
@@ -108,7 +201,19 @@ def compute_increments(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return compute_increments_pd(
-            pdf, dt_col, value_col, reset_drop, min_pos, max_gap_seconds
+            pdf, dt_col, value_col, reset_drop, min_pos,
+            period_seconds, max_gap,
         )
 
-    return grouped_apply(df, keys, fn, schema)
+    out = grouped_apply(df, keys, fn, schema)
+    if emit_gap_rows:
+        if not period_seconds:
+            raise ValueError("emit_gap_rows requires period_seconds")
+        spine = gap_rows(df, keys, dt_col, period_seconds)
+        pad = spine.select(
+            *keys, F.col(dt_col),
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in schema.fields if f.name not in (*keys, dt_col)],
+        )
+        out = out.unionByName(pad)
+    return out

@@ -1186,59 +1186,296 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# §2.6 stateful sequential operators (applyInPandas; no SQL oracle — the
-# driver records rows-only checks; kernels are unit-tested against
-# closed forms in tests/test_stateful_operators.py)
+# §2.6 stateful sequential operators. Each sequential kernel is
+# oracle-checked end-to-end: the DuckDB side replays the same scan with
+# a recursive CTE (increments, calculate_period) or the same closed-form
+# arithmetic (4-knot spline), every float op mirrored in order so the
+# deterministic rounding idiom hash-matches.
 # ---------------------------------------------------------------------------
 
-@register("increments_stateful")
+# 6h-binned cumulative gauge (integer micro-units so the cumsum is
+# exact and order-independent), wrapped at 100.0, dense cadence grid,
+# then the reference scan (R/compute_increments.R:82-121) replayed row
+# by row in a recursive CTE carrying (increment, last_max).
+_INC_BASE = lambda rd, mp, mg: f"""
+    WITH RECURSIVE b AS (
+      SELECT user_id,
+             TIMESTAMP '1970-01-01'
+               + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT)
+                 * INTERVAL 1 SECOND AS bt,
+             sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT user_id, bt,
+             (sum(sm) OVER (PARTITION BY user_id ORDER BY bt)) % 100000000 AS gm
+      FROM b
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(bt), max(bt), INTERVAL 6 HOUR)) AS bt
+      FROM c GROUP BY user_id
+    ), g AS (
+      SELECT s.user_id, s.bt, c.gm / 1000000.0 AS v
+      FROM spine s LEFT JOIN c USING (user_id, bt)
+    ), gi AS (
+      SELECT user_id, bt, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY bt) AS rn,
+             sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY bt) AS grp
+      FROM g
+    ), runlen AS (
+      SELECT user_id, bt, v, rn,
+             sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, grp) AS na_len
+      FROM gi
+    ), base AS (
+      SELECT user_id, rn, bt, v,
+             lag(v) OVER (PARTITION BY user_id ORDER BY rn) AS pv,
+             coalesce(lag(CASE WHEN v IS NULL THEN na_len ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn), 0) AS prev_run
+      FROM runlen
+    ), scan AS (
+      SELECT user_id, rn, bt, v, CAST(NULL AS DOUBLE) AS inc, v AS lm
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn, b.bt, b.v,
+        CASE WHEN b.pv IS NULL AND b.prev_run > {mg} THEN NULL
+             WHEN b.v IS NULL OR b.pv IS NULL THEN NULL
+             WHEN b.v - b.pv <= -{rd} THEN 0.0
+             WHEN b.v - (CASE WHEN s.lm >= b.pv THEN s.lm ELSE b.pv END) >= {mp}
+               THEN b.v - (CASE WHEN s.lm >= b.pv THEN s.lm ELSE b.pv END)
+             ELSE 0.0 END AS inc,
+        CASE WHEN b.pv IS NULL AND b.prev_run > {mg} THEN coalesce(b.v, s.lm)
+             WHEN b.v IS NULL OR b.pv IS NULL THEN s.lm
+             WHEN b.v - b.pv <= -{rd} THEN b.v
+             WHEN b.v - (CASE WHEN s.lm >= b.pv THEN s.lm ELSE b.pv END) >= {mp}
+               THEN b.v
+             ELSE s.lm END AS lm
+      FROM scan s JOIN base b ON b.user_id = s.user_id AND b.rn = s.rn + 1
+    )
+"""
+
+_INCREMENTS_ORACLE = _INC_BASE("20.0", "0.25", 3) + f"""
+    SELECT user_id, bt, {R('v', 6)} AS gauge, {R('inc', 6)} AS increment
+    FROM scan
+"""
+
+
+@register("increments_stateful", oracle=_INCREMENTS_ORACLE)
 def increments_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reset-aware increments (R/compute_increments.R:82-121) on a
-    synthetic cumulative-with-wraparound gauge built from events."""
+    6h-binned cumulative-with-wraparound gauge built from events, with
+    the reference's NA-cadence gap rows emitted (:33-67). The DuckDB
+    oracle replays the identical scan as a recursive CTE, so this row
+    is a full rows+schema+hash check of the sequential kernel."""
     from pyspark.sql import Window
     from .operators.increments import compute_increments
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gauge = ev.select(
-        "user_id", "ts", "event_id",
-        (F.sum("value").over(w) % 100.0).alias("gauge"),
+    b = ev.groupBy(
+        "user_id",
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / 21600) * 21600
+        ).alias("bt"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long"))
+        .alias("sm")
+    )
+    w = Window.partitionBy("user_id").orderBy("bt")
+    g = b.select(
+        "user_id", "bt",
+        ((F.sum("sm").over(w) % F.lit(100000000)) / 1000000.0).alias("gauge"),
     )
     out = compute_increments(
-        gauge, keys=["user_id"], dt_col="ts", value_col="gauge",
-        reset_drop=20.0, min_pos=0.0, max_gap_seconds=6 * 3600.0,
+        g, keys=["user_id"], dt_col="bt", value_col="gauge",
+        reset_drop=20.0, min_pos=0.25, period_seconds=21600.0, max_gap=3,
+        emit_gap_rows=True,
     )
-    return _round(out.select("user_id", "ts", "gauge", "increment"),
-                  {"gauge": 4, "increment": 4})
+    return _round(out.select("user_id", "bt", "gauge", "increment"),
+                  {"gauge": 6, "increment": 6})
 
 
-@register("spline_imputation")
+# 4-knot natural cubic spline: interior single-point gaps get exactly
+# two known knots on each side, so the tridiagonal solve collapses to
+# the fixed Thomas-algorithm op sequence mirrored here step by step
+# (operators/impute.py:natural_cubic_spline with context_points=2).
+_SPLINE_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), m AS (
+      SELECT user_id, ts, event_id, rn,
+             CASE WHEN rn % 17 = 4 AND rn > 2 AND rn <= n - 2
+                  THEN NULL ELSE value END AS value
+      FROM e
+    ), k AS (
+      SELECT user_id, ts, event_id, value,
+             epoch(lag(ts, 2) OVER w)  AS x0, lag(value, 2) OVER w  AS y0,
+             epoch(lag(ts, 1) OVER w)  AS x1, lag(value, 1) OVER w  AS y1,
+             epoch(lead(ts, 1) OVER w) AS x2, lead(value, 1) OVER w AS y2,
+             epoch(lead(ts, 2) OVER w) AS x3, lead(value, 2) OVER w AS y3,
+             epoch(ts) AS xq
+      FROM m
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), h AS (
+      SELECT *, x1 - x0 AS h0, x2 - x1 AS h1, x3 - x2 AS h2 FROM k
+    ), dd AS (
+      SELECT *,
+             6.0 * ((y2 - y1) / h1 - (y1 - y0) / h0) AS d1,
+             6.0 * ((y3 - y2) / h2 - (y2 - y1) / h1) AS d2,
+             2.0 * (h0 + h1) AS b0, 2.0 * (h1 + h2) AS b1
+      FROM h
+    ), th AS (
+      SELECT *, h1 / b0 AS cp0, d1 / b0 AS dp0 FROM dd
+    ), th2 AS (
+      SELECT *, (d2 - h1 * dp0) / (b1 - h1 * cp0) AS m2 FROM th
+    ), th3 AS (
+      SELECT *, dp0 - cp0 * m2 AS m1 FROM th2
+    ), ev2 AS (
+      SELECT user_id, ts, event_id, value,
+             (xq - x1) / (x2 - x1) AS t, x2 - x1 AS hseg, y1, y2, m1, m2
+      FROM th3
+    ), sv AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value IS NOT NULL THEN NULL ELSE
+               y1 * (1 - t) + y2 * t
+               + (hseg * hseg / 6.0)
+                 * ((m1 * ((1 - t) * (1 - t) * (1 - t) - (1 - t)))
+                    + (m2 * (t * t * t - t)))
+             END AS fill
+      FROM ev2
+    )
+    SELECT user_id, ts, event_id,
+           {R('coalesce(value, fill)', 4)} AS value,
+           (value IS NULL AND fill IS NOT NULL) AS imputed
+    FROM sv
+"""
+
+
+@register("spline_imputation", oracle=_SPLINE_ORACLE)
 def spline_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cubic-spline gap fill (imputeMissing spline path,
-    R/imputeMissing.R:1129-1145) — numpy natural-spline kernel per
-    series; rows-only (kernel accuracy asserted in
-    tests/test_impute_spline.py)."""
+    R/imputeMissing.R:1129-1145): every 17th row (interior only, so two
+    known neighbors exist on each side) is masked and re-estimated from
+    the 4 surrounding knots; the DuckDB oracle mirrors the Thomas-solve
+    arithmetic op for op."""
+    from pyspark.sql import Window
     from .operators.impute import spline_fill
 
     ev = _t(spark, sf_dir, "events")
-    masked = ev.select(
-        "user_id", "ts", "event_id",
-        F.when(F.col("event_id") % 17 == 4, F.lit(None)).otherwise(
-            F.col("value")
-        ).alias("value"),
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    masked = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .withColumn(
+            "value",
+            F.when(
+                (F.col("rn") % 17 == 4)
+                & (F.col("rn") > 2) & (F.col("rn") <= F.col("n") - 2),
+                F.lit(None),
+            ).otherwise(F.col("value")),
+        )
+        .select("user_id", "ts", "event_id", "value")
     )
-    out = spline_fill(masked, keys=["user_id"], dt_col="ts", value_col="value")
+    out = spline_fill(masked, keys=["user_id"], dt_col="ts",
+                      value_col="value", context_points=2)
     return _round(out.select("user_id", "ts", "event_id", "value", "imputed"),
                   {"value": 4})
 
 
-@register("calculate_period")
+# The reference change-point scan (R/calculate_period.R:87-107) replayed
+# in a recursive CTE: hours-unit diffs, centered 3-median with NA edges,
+# a consecutive-difference counter that adopts the third differing
+# smoothed diff backdated 2 rows, then ffill/bfill (:132-135) and the
+# hours->ISO-8601 float chain (:111-129).
+_PERIOD_ORACLE = f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), d AS (
+      SELECT l.user_id, l.rn AS j,
+             (epoch_us(r.ts) - epoch_us(l.ts)) / 3600000000.0 AS diff
+      FROM e l JOIN e r ON r.user_id = l.user_id AND r.rn = l.rn + 1
+    ), dm AS (
+      SELECT user_id, max(j) AS maxj FROM d GROUP BY user_id
+    ), sm AS (
+      SELECT d.user_id, d.j,
+             CASE WHEN d.j = 1 OR d.j = dm.maxj THEN NULL ELSE
+               CASE
+                 WHEN (pd <= diff AND diff <= nd) OR (nd <= diff AND diff <= pd)
+                   THEN diff
+                 WHEN (diff <= pd AND pd <= nd) OR (nd <= pd AND pd <= diff)
+                   THEN pd
+                 ELSE nd
+               END
+             END AS smoothed
+      FROM (
+        SELECT user_id, j, diff,
+               lag(diff)  OVER (PARTITION BY user_id ORDER BY j) AS pd,
+               lead(diff) OVER (PARTITION BY user_id ORDER BY j) AS nd
+        FROM d
+      ) d JOIN dm USING (user_id)
+    ), scan AS (
+      SELECT user_id, 1 AS j, 0 AS cnt, CAST(0.0 AS DOUBLE) AS last_p,
+             CAST(NULL AS DOUBLE) AS change
+      FROM sm WHERE j = 1
+      UNION ALL
+      SELECT s.user_id, d.j,
+        CASE WHEN d.smoothed IS NOT NULL AND d.smoothed <> s.last_p
+             THEN CASE WHEN s.cnt + 1 = 3 THEN 0 ELSE s.cnt + 1 END
+             ELSE 0 END AS cnt,
+        CASE WHEN d.smoothed IS NOT NULL AND d.smoothed <> s.last_p
+                  AND s.cnt + 1 = 3
+             THEN d.smoothed ELSE s.last_p END AS last_p,
+        CASE WHEN d.smoothed IS NOT NULL AND d.smoothed <> s.last_p
+                  AND s.cnt + 1 = 3
+             THEN d.smoothed ELSE NULL END AS change
+      FROM scan s JOIN sm d ON d.user_id = s.user_id AND d.j = s.j + 1
+    ), ch AS (
+      SELECT user_id, j - 2 AS rn, change FROM scan WHERE change IS NOT NULL
+    ), fills AS (
+      SELECT e.user_id, e.rn, e.ts, e.event_id,
+             coalesce(
+               ch.change,
+               last_value(ch.change IGNORE NULLS) OVER
+                 (PARTITION BY e.user_id ORDER BY e.rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               first_value(ch.change IGNORE NULLS) OVER
+                 (PARTITION BY e.user_id ORDER BY e.rn
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             ) AS ph
+      FROM e LEFT JOIN ch ON ch.user_id = e.user_id AND ch.rn = e.rn
+    )
+    SELECT user_id, ts, event_id, {R('ph', 6)} AS period_hours,
+           CASE WHEN ph IS NULL THEN NULL ELSE
+             'P' || CAST(CAST(floor(ph / 24) AS BIGINT) AS VARCHAR)
+             || 'DT' || CAST(CAST(floor(ph % 24) AS BIGINT) AS VARCHAR)
+             || 'H' || CAST(CAST(floor(((ph % 24) - floor(ph % 24)) * 60) AS BIGINT) AS VARCHAR)
+             || 'M' || CAST(CAST(floor(((((ph % 24) - floor(ph % 24)) * 60)
+                          - floor(((ph % 24) - floor(ph % 24)) * 60)) * 60 + 0.5) AS BIGINT) AS VARCHAR)
+             || 'S'
+           END AS period
+    FROM fills
+"""
+
+
+@register("calculate_period", oracle=_PERIOD_ORACLE)
 def calculate_period_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cadence detection + ISO-8601 period (R/calculate_period.R)."""
+    """Cadence detection + ISO-8601 period (R/calculate_period.R:82-135)
+    — the sequential adopt/backdate scan oracle-checked via a DuckDB
+    recursive CTE replay."""
     from .operators.period import calculate_period
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    return calculate_period(ev, keys=["user_id"], dt_col="ts")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = calculate_period(ev, keys=["user_id"], dt_col="ts")
+    return _round(
+        out.select("user_id", "ts", "event_id", "period_hours", "period"),
+        {"period_hours": 6},
+    )
 
 
 _MULTIMODAL_ORACLE = """

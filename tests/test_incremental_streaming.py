@@ -152,7 +152,8 @@ def test_stateful_streaming_increments_match_batch(spark, tmp_path):
         mk(rows).coalesce(1).write.mode("append").parquet(str(landing))
         stream = read_measurement_stream(spark, str(landing))
         inc = streaming_increments(
-            stream, reset_drop=3.0, min_pos=0.0, max_gap_seconds=2 * 3600.0
+            stream, reset_drop=3.0, min_pos=0.0,
+            period_seconds=900.0, max_gap=4,
         )
         q = (inc.writeStream
              .foreachBatch(lambda df, _eid: seen.extend(df.collect()))
@@ -168,7 +169,7 @@ def test_stateful_streaming_increments_match_batch(spark, tmp_path):
 
     batch_out = compute_increments(
         mk(batch1 + batch2), keys=["timeseries_id"],
-        reset_drop=3.0, min_pos=0.0, max_gap_seconds=2 * 3600.0,
+        reset_drop=3.0, min_pos=0.0, period_seconds=900.0, max_gap=4,
     ).collect()
     expect = {(r["timeseries_id"], str(r["datetime"])): r["increment"]
               for r in batch_out}

@@ -28,13 +28,16 @@ def test_increments_invariants(vals, reset_drop, min_pos):
     })
     out = compute_increments_pd(pdf, "t", "v", reset_drop, min_pos, None)
     inc = out["increment"]
-    # 1. no gaps configured -> no NULL increments
-    assert inc.notna().all()
+    # 1. first point never has an increment (R:86 inc[1] = NA); with no
+    # gaps configured every later point does
+    assert pd.isna(inc.iloc[0])
+    assert inc.iloc[1:].notna().all()
     # 2. increments are never negative and respect the noise floor
-    assert ((inc == 0) | (inc >= min_pos)).all()
+    rest = inc.iloc[1:]
+    assert ((rest == 0) | (rest >= min_pos)).all()
     # 3. total increment never exceeds total upward movement
     ups = sum(max(b - a, 0.0) for a, b in zip(vals, vals[1:]))
-    assert inc.sum() <= ups + 1e-6
+    assert rest.sum() <= ups + 1e-6
 
 
 @settings(max_examples=200, deadline=None)
