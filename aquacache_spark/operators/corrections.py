@@ -33,7 +33,10 @@ from typing import Iterable, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.expr_safety import assert_safe_numeric_expression
+from ..plans.expr_safety import (
+    assert_safe_numeric_expression,
+    substitute_identifiers,
+)
 
 # type -> priority, mirroring the reference's priority-ordered correction
 # types (inst/patches/patch_55.R:345-455 dispatch order).
@@ -139,9 +142,9 @@ def apply_corrections(
                 "__elapsed__",
                 (F.unix_timestamp(dt) - F.unix_timestamp(start)).cast("double"),
             )
-            eq = (
-                c.equation.replace("elapsed_seconds", "`__elapsed__`")
-                .replace("value", "`__acc__`")
+            eq = substitute_identifiers(
+                c.equation,
+                {"elapsed_seconds": "`__elapsed__`", "value": "`__acc__`"},
             )
             value = F.when(
                 in_window & F.col("__acc__").isNotNull(), F.expr(eq)

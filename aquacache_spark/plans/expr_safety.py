@@ -30,7 +30,8 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
-      | (?P<op>\+|-|\*|/|%|\^|\(|\)|,|<=|>=|<>|!=|=|<|>)
+      | (?P<caret>\^)
+      | (?P<op>\+|-|\*|/|%|\(|\)|,|<=|>=|<>|!=|=|<|>)
     )""",
     re.VERBOSE,
 )
@@ -55,11 +56,45 @@ def assert_safe_numeric_expression(expr: str, allowed_idents: tuple = ("value",)
             if expr[pos:].strip() == "":
                 break
             raise UnsafeExpressionError(f"unparseable at {expr[pos:]!r}")
+        if m.group("caret"):
+            # In the reference's PostgreSQL '^' is exponentiation
+            # (inst/patches/patch_55.R:582-700 whitelists it as power);
+            # in Spark SQL it is bitwise XOR. Accepting it would make a
+            # migrated drift equation silently compute garbage.
+            raise UnsafeExpressionError(
+                "'^' is XOR in Spark SQL, not exponentiation — "
+                "rewrite the equation with power(base, exponent)"
+            )
         if m.group("ident"):
             ident = m.group("ident").lower()
             if ident not in SAFE_FUNCTIONS and ident not in allowed:
                 raise UnsafeExpressionError(f"identifier {ident!r} not allowed")
         pos = m.end()
+
+
+def substitute_identifiers(expr: str, mapping: dict[str, str]) -> str:
+    """Token-level identifier substitution for a *validated* expression.
+
+    Replaces only whole identifier tokens (case-insensitive), never
+    substrings — ``value2`` or a function name containing ``value`` can
+    never be corrupted the way naive ``str.replace`` would."""
+    out = []
+    pos = 0
+    low = {k.lower(): v for k, v in mapping.items()}
+    while pos < len(expr):
+        m = _TOKEN.match(expr, pos)
+        if not m:
+            out.append(expr[pos:])
+            break
+        ident = m.group("ident")
+        if ident and ident.lower() in low:
+            # keep leading whitespace the \s* consumed
+            out.append(expr[pos:m.start("ident")])
+            out.append(low[ident.lower()])
+        else:
+            out.append(expr[pos:m.end()])
+        pos = m.end()
+    return "".join(out)
 
 
 def is_safe_numeric_expression(expr: str, allowed_idents: tuple = ("value",)) -> bool:
