@@ -2562,6 +2562,174 @@ def nearest_station_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.1 connector payload parsing, end to end on canned fixtures — the
+# reference's own network-free strategy (tests/testthat/test-downloadWSC.R;
+# fixtures/swob-minute-0000.xml). The Spark side runs the real parser +
+# code mapping (sources/wsc.py, nwis.py, xml_swob.py); the oracle reads
+# the same fixture file and replays the mapping in SQL.
+# ---------------------------------------------------------------------------
+
+import pathlib as _pathlib
+
+from .sources.dims import (APPROVAL_CODES as _AC, GRADE_CODES as _GC,
+                           QUALIFIER_CODES as _QC, type_code_to_id as _tid)
+
+_FIXDIR = _pathlib.Path(__file__).resolve().parent.parent / "fixtures" / "connectors"
+_AID, _QID, _GID = _tid(_AC), _tid(_QC), _tid(_GC)
+
+_WSC_ORACLE = f"""
+    WITH raw AS (
+      SELECT CAST("Date" AS TIMESTAMP) AS datetime,
+             TRY_CAST("Value/Valeur" AS DOUBLE) AS value,
+             "Approval/Approbation" AS approval_raw,
+             TRY_CAST("Qualifiers/Qualificatifs" AS INTEGER) AS qualifier_raw
+      FROM read_csv('{_FIXDIR / "wsc_09EA004.csv"}', header=true,
+                    all_varchar=true)
+    ), mapped AS (
+      SELECT datetime, value,
+        CASE approval_raw
+          WHEN 'Final/Finales' THEN {_AID['A']}
+          WHEN 'Approved/Approuvée' THEN {_AID['A']}
+          WHEN 'Provisional/Provisoire' THEN {_AID['N']}
+          WHEN 'Preliminary/Préliminaire' THEN {_AID['N']}
+          WHEN 'Checked/Verifiée' THEN {_AID['R']}
+          WHEN 'Unspecified/Non spécifié' THEN {_AID['UNS']}
+          WHEN 'Undefined/Non défini' THEN {_AID['UNS']}
+          ELSE 6 END AS approval,
+        CASE qualifier_raw
+          WHEN -1 THEN {_QID['UNS']} WHEN 10 THEN {_QID['ICE']}
+          WHEN 20 THEN {_QID['EST']} WHEN 30 THEN {_QID['UNK']}
+          WHEN 40 THEN {_QID['DRY']} WHEN 50 THEN {_QID['UNK']}
+          WHEN -2 THEN {_QID['UNK']} WHEN 0 THEN {_QID['UNK']}
+          ELSE {_QID['UNK']} END AS qualifier
+      FROM raw WHERE value IS NOT NULL
+    )
+    SELECT CAST(datetime AS DATE) AS date,
+           {R(DSUM('value') + ' / count(*)', 6)} AS value,
+           count(*) AS n,
+           CAST(sum(CASE WHEN qualifier = {_QID['ICE']} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ice,
+           CAST(sum(CASE WHEN approval = {_AID['A']} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_approved
+    FROM mapped GROUP BY 1
+"""
+
+
+@register("wsc_connector_daily", oracle=_WSC_ORACLE)
+def wsc_connector_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned WSC realtime payload through the full connector path:
+    parse (header-mapped CSV) -> qualifier/approval/grade code mapping
+    (R/downloadWSC.R:107-231) -> contract validation -> daily rollup."""
+    from .operators.daily import exact_sum
+    from .sources.registry import get_source, validate_contract
+
+    out = get_source("downloadWSC")(
+        spark, location="09EA004", parameter=47,
+        start_datetime="2026-03-01 00:00:00",
+        end_datetime="2026-03-03 00:00:00",
+        payload_path=str(_FIXDIR / "wsc_09EA004.csv"),
+    )
+    rolled = (
+        validate_contract(out)
+        .groupBy(F.to_date("datetime").alias("date"))
+        .agg(
+            (exact_sum(F.col("value")) / F.count("*")).alias("value"),
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("qualifier") == _QID["ICE"], 1).otherwise(0))
+            .alias("n_ice"),
+            F.sum(F.when(F.col("approval") == _AID["A"], 1).otherwise(0))
+            .alias("n_approved"),
+        )
+    )
+    return _round(rolled, {"value": 6})
+
+
+_NWIS_ORACLE = f"""
+    WITH raw AS (
+      -- RDB datetimes carry no seconds; DuckDB's cast requires them
+      SELECT CAST(datetime || ':00' AS TIMESTAMP) AS datetime,
+             TRY_CAST("69928_00060" AS DOUBLE) AS value,
+             "69928_00060_cd" AS combined
+      FROM read_csv('{_FIXDIR / "nwis_09380000.rdb"}', delim='\t',
+                    header=true, skip=5, all_varchar=true)
+      WHERE agency_cd = 'USGS'
+    ), conv AS (
+      SELECT datetime, value * 0.028316832 AS value, combined,
+             regexp_extract(combined, '^([APR])', 1) AS lead_letter,
+             CASE WHEN trim(regexp_replace(combined, '^[APR](.*)$', '\\1')) = ''
+                  THEN 'U'
+                  ELSE trim(regexp_replace(combined, '^[APR](.*)$', '\\1'))
+             END AS rest
+      FROM raw WHERE value IS NOT NULL
+    )
+    SELECT datetime, {R('value', 6)} AS value,
+      CASE lead_letter WHEN 'A' THEN {_AID['A']} WHEN 'P' THEN {_AID['N']}
+           WHEN 'R' THEN {_AID['A']} ELSE {_AID['UNK']} END AS approval,
+      CASE rest WHEN 'e' THEN {_QID['EST']} WHEN 'ice' THEN {_QID['ICE']}
+           WHEN 'Ice i' THEN {_QID['ICE']} WHEN '<' THEN {_QID['EST']}
+           WHEN '>' THEN {_QID['EST']} ELSE {_QID['UNK']} END AS qualifier
+    FROM conv
+"""
+
+
+@register("nwis_connector_normalize", oracle=_NWIS_ORACLE)
+def nwis_connector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned NWIS RDB payload through the connector: header-mapped
+    parse, NA drop, cfs->cms conversion, approval/qualifier extraction
+    from the combined code (R/downloadNWIS.R:135-207)."""
+    from .sources.registry import get_source
+
+    out = get_source("downloadNWIS")(
+        spark, location="09380000", parameter="00060",
+        start_datetime="2026-03-01 00:00:00",
+        end_datetime="2026-03-03 00:00:00",
+        payload_path=str(_FIXDIR / "nwis_09380000.rdb"),
+    )
+    return _round(out.select("datetime", "value", "approval", "qualifier"),
+                  {"value": 6})
+
+
+_SWOB_ORACLE = f"""
+    WITH raw AS (
+      SELECT file_idx,
+             CAST(replace(left(datetime, 23), 'T', ' ') AS TIMESTAMP)
+               AS datetime,
+             TRY_CAST(value AS DOUBLE) AS value
+      FROM read_csv('{_FIXDIR / "swob_expected.csv"}', header=true,
+                    all_varchar=true)
+      WHERE name = 'air_temp'
+    ), dedup AS (
+      SELECT datetime, value,
+             row_number() OVER (PARTITION BY datetime
+                                ORDER BY file_idx DESC) AS rk
+      FROM raw WHERE value IS NOT NULL
+    )
+    SELECT datetime, {R('value', 4)} AS value,
+           {_GID['UNS']} AS grade, {_AID['UNS']} AS approval,
+           {_QID['UNS']} AS qualifier, 2 AS owner, 2 AS contributor
+    FROM dedup WHERE rk = 1
+"""
+
+
+@register("swob_minute_normalize", oracle=_SWOB_ORACLE)
+def swob_minute_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned SWOB-ML minute files through the connector: om: XML parse,
+    alias resolution, keep-last datetime dedupe, QC defaults
+    (R/downloadECCCwxMinute.R:36-159). The oracle reads the expected-
+    values mirror of the same fixtures, so a Spark XML parsing bug
+    surfaces as a value mismatch."""
+    from .sources.registry import get_source
+
+    out = get_source("downloadECCCwxMinute")(
+        spark, location="CVXY", parameter="temp",
+        start_datetime="2026-03-15 00:00:00",
+        end_datetime="2026-03-15 23:59:59",
+        path=str(_FIXDIR / "swob"),
+    )
+    return _round(out, {"value": 4})
+
+
+# ---------------------------------------------------------------------------
 # Flagship composition used by entry(): corrections -> daily -> DOY stats
 # ---------------------------------------------------------------------------
 

@@ -107,9 +107,74 @@ def _stub_http(name: str):
     return fetch
 
 
-for _name in ("downloadWSC", "downloadAquarius", "downloadNWIS",
-              "downloadECCCwx", "downloadECCCwxMinute"):
+for _name in ("downloadAquarius", "downloadECCCwx"):
     _stub_http(_name)
+
+
+@register_source("downloadWSC")
+def download_wsc_src(spark: SparkSession, location: str, parameter: int,
+                     start_datetime: str, end_datetime: str,
+                     payload: str | None = None,
+                     payload_path: str | None = None,
+                     organization_id: int = 1, fetcher=None, **_) -> DataFrame:
+    """WSC realtime connector (R/downloadWSC.R:16) — payload parsing and
+    code mapping real (sources/wsc.py), fetch injectable."""
+    from .dims import default_type_dims
+    from .wsc import download_wsc
+
+    if payload is None and payload_path:
+        with open(payload_path, encoding="utf-8") as fh:
+            payload = fh.read()
+    d = default_type_dims(spark)
+    return download_wsc(
+        spark, location, parameter, start_datetime, end_datetime,
+        d["qualifier_types"], d["approval_types"], d["grade_types"],
+        organization_id, payload=payload, fetcher=fetcher,
+    )
+
+
+@register_source("downloadNWIS")
+def download_nwis_src(spark: SparkSession, location: str, parameter: str,
+                      start_datetime: str, end_datetime: str,
+                      payload: str | None = None,
+                      payload_path: str | None = None,
+                      fetcher=None, **_) -> DataFrame:
+    """NWIS connector (R/downloadNWIS.R:17) — RDB parsing, metric
+    conversions, and code extraction real (sources/nwis.py)."""
+    from .dims import default_type_dims
+    from .nwis import download_nwis
+
+    if payload is None and payload_path:
+        with open(payload_path, encoding="utf-8") as fh:
+            payload = fh.read()
+    d = default_type_dims(spark)
+    return download_nwis(
+        spark, location, parameter, start_datetime, end_datetime,
+        d["approval_types"], d["qualifier_types"],
+        payload=payload, fetcher=fetcher,
+    )
+
+
+@register_source("downloadECCCwxMinute")
+def download_ecccwx_minute_src(spark: SparkSession, location: str,
+                               parameter: str, start_datetime: str,
+                               end_datetime: str, path: str | None = None,
+                               fetcher=None, **kw) -> DataFrame:
+    """SWOB-ML minute connector (R/downloadECCCwxMinute.R:36) — XML
+    parsing, alias resolution, and keep-last dedupe real
+    (sources/xml_swob.py)."""
+    from .dims import (APPROVAL_CODES, GRADE_CODES, QUALIFIER_CODES,
+                       type_code_to_id)
+    from .xml_swob import download_ecccwx_minute
+
+    return download_ecccwx_minute(
+        spark, location, parameter, start_datetime, end_datetime, path=path,
+        grade=kw.get("grade", type_code_to_id(GRADE_CODES)["UNS"]),
+        approval=kw.get("approval", type_code_to_id(APPROVAL_CODES)["UNS"]),
+        qualifier=kw.get("qualifier", type_code_to_id(QUALIFIER_CODES)["UNS"]),
+        organization_id=kw.get("organization_id", 2),
+        fetcher=fetcher,
+    )
 
 
 @register_source("readSnowWorkbook")

@@ -26,8 +26,10 @@ def test_dispatch_unknown_source(spark):
 
 
 def test_http_stub_raises(spark):
-    with pytest.raises(NotImplementedError, match="downloadWSC"):
-        registry.get_source("downloadWSC")(spark)
+    # downloadAquarius remains fetch-stubbed (no network here); WSC/NWIS/
+    # SWOB now have real payload parsers (tests/test_connectors.py)
+    with pytest.raises(NotImplementedError, match="downloadAquarius"):
+        registry.get_source("downloadAquarius")(spark)
 
 
 def test_contract_validation_drops_nulls(spark):

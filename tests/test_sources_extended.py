@@ -8,35 +8,25 @@ from aquacache_spark.sources.discrete import (
     DiscreteBatch, map_parameters, results_wide, validate_batch,
 )
 
-SWOB_XML = """<swob>
-  <observation datetime="2024-01-01T00:00:00">
-    <element name="air_temp" value="-11.5" uom="degC"/>
-    <element name="rel_hum" value="80" uom="pct"/>
-  </observation>
-  <observation datetime="2024-01-01T00:01:00">
-    <element name="air_temp" value="-11.4" uom="degC"/>
-    <element name="rel_hum" value="81" uom="pct"/>
-  </observation>
-</swob>"""
+SWOB_DIR = "fixtures/connectors/swob"
 
 
-def test_swob_xml_connector(spark, tmp_path):
+def test_swob_xml_connector(spark, repo_root):
     import aquacache_spark.sources.xml_swob  # noqa: F401  (registers)
 
-    p = tmp_path / "swob-minute-0000.xml"
-    p.write_text(SWOB_XML)
-    df = registry.get_source("read_swob_xml")(
-        spark, str(p), element="air_temp", row_tag="observation"
-    )
+    path = str(repo_root / SWOB_DIR)
+    df = registry.get_source("read_swob_xml")(spark, path, element="rel_hum")
     rows = df.orderBy("datetime").collect()
-    assert [r["value"] for r in rows] == [-11.5, -11.4]
-    assert rows[0]["uom"] == "degC"
+    assert len(rows) == 12  # one per observed minute across 3 files
+    assert rows[0]["value"] == 60.0
+    assert rows[0]["uom"] == "%"
     # and through the generic dispatch + contract validation:
     out = registry.dispatch(
-        spark, "read_swob_xml",
-        {"path": str(p), "element": "rel_hum"},
+        spark, "read_swob_xml", {"path": path, "element": "air_temp"}
     )
-    assert [r["value"] for r in out.orderBy("datetime").collect()] == [80.0, 81.0]
+    vals = [r["value"] for r in out.orderBy("datetime", "value").collect()]
+    assert len(vals) == 13  # 12 minutes + the revised re-observation
+    assert vals[:2] == [1.0, 9.9]  # both observations of minute 0
 
 
 @pytest.fixture()
