@@ -109,10 +109,17 @@ def read_xlsx_cells(path: str) -> dict[str, dict[tuple[int, int], object]]:
                         cells[rc] = shared[int(v_elem.text)]
                     elif ctype == "b":
                         cells[rc] = v_elem.text.strip() == "1"
-                    elif ctype == "str":
+                    elif ctype in ("str", "e", "d"):
+                        # "e" = error literal (#DIV/0!, #N/A); "d" = ISO-8601
+                        # date string. Keep both as text so a single bad cell
+                        # cannot abort the workbook parse.
                         cells[rc] = v_elem.text
                     else:
-                        num = float(v_elem.text)
+                        try:
+                            num = float(v_elem.text)
+                        except ValueError:
+                            cells[rc] = v_elem.text
+                            continue
                         cells[rc] = int(num) if num.is_integer() else num
             out[sheet_name] = cells
     return out

@@ -188,3 +188,53 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+
+
+def jaccard_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to given candidate pairs.
+
+    The scale path: cost is proportional to candidate mass (what LSH
+    emitted), never n² in hot-shingle collisions. Shingles are computed
+    only for docs that appear in a candidate pair (semi-join prune);
+    the intersection is an equi-join of the pair list against the two
+    shingle sides on (id, sh). Pairs with an empty intersection (LSH
+    false positives) drop out naturally — with any threshold > 0 they
+    are non-results either way.
+    """
+    needed = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(needed, id_col, "left_semi").select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")

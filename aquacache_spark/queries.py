@@ -1116,13 +1116,28 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=32)
 
 
-_JACCARD_ORACLE = "WITH " + _shingles_sql("WHERE doc_id % 5 = 0") + f"""
-    , sizes AS (
+_JACCARD_ORACLE = "WITH " + _MINHASH_SQL + f"""
+    , banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id,
+               unnest([0, 1, 2, 3]) AS band,
+               unnest([CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR),
+                       CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR),
+                       CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR),
+                       CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)]) AS key
+        FROM sig
+      )
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
     ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM shingles a JOIN shingles b ON a.sh = b.sh
-      WHERE a.doc_id < b.doc_id
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.id_a
+      JOIN shingles b ON b.doc_id = c.id_b AND b.sh = a.sh
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -1136,16 +1151,20 @@ _JACCARD_ORACLE = "WITH " + _shingles_sql("WHERE doc_id % 5 = 0") + f"""
 
 @register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard on a bounded doc subset. The synthetic corpus has a
-    ~40-word vocabulary, so shingles are pathologically hot and the
-    all-sharing-pairs join approaches n² — at scale exact Jaccard runs
-    only on LSH candidates (compose jaccard_pairs with
-    lsh_candidate_pairs); here the sampled subset demonstrates the
-    operator end-to-end against the oracle."""
-    from .operators.dedup import jaccard_pairs
+    """Exact n-gram Jaccard verification composed with LSH candidate
+    generation — the 100 TB dedup pipeline as ONE declared query:
+    minhash signatures -> banded LSH candidate pairs -> exact Jaccard
+    restricted to those pairs. Cost is proportional to candidate mass,
+    never n² in hot-shingle collisions (the round-1 sampled variant's
+    weakness). Reference parity: near-dup verification tier of the
+    training-data pipeline; dedup.py:jaccard_on_candidates."""
+    from .operators.dedup import (jaccard_on_candidates,
+                                  lsh_candidate_pairs, minhash_signatures)
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    out = jaccard_pairs(docs, shingle_k=3, threshold=0.05)
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    cand = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    out = jaccard_on_candidates(docs, cand, shingle_k=3, threshold=0.05)
     return _round(out, {"jaccard": 6})
 
 

@@ -147,3 +147,35 @@ def test_distributed_bulk_parse(spark, tmp_path, workbook):
     rows = df.collect()
     # 2 from COURSE_A + 1 from UNKNOWN (kept: no location dim here) + 1 from C2
     assert len(rows) == 4
+
+
+def test_error_and_date_cells_do_not_abort_parse(tmp_path):
+    """t='e' (#DIV/0!), t='d' (ISO date), and unparseable numeric cells must
+    be kept as text / skipped, never raise (ADVICE r1: a single bad cell
+    aborted the whole workbook and its executor task)."""
+    p = str(tmp_path / "bad_cells.xlsx")
+    write_xlsx(p, {"S1": {"A1": "ok", "B1": 1.5}})
+    # splice raw special cells into the sheet XML
+    import re
+
+    with zipfile.ZipFile(p, "r") as z:
+        data = {n: z.read(n) for n in z.namelist()}
+    sheet = data["xl/worksheets/sheet1.xml"].decode()
+    extra = (
+        '<row r="2">'
+        '<c r="A2" t="e"><v>#DIV/0!</v></c>'
+        '<c r="B2" t="d"><v>2026-03-01T00:00:00</v></c>'
+        '<c r="C2"><v>not-a-number</v></c>'
+        "</row>"
+    )
+    sheet = re.sub("</sheetData>", extra + "</sheetData>", sheet)
+    data["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as z:
+        for n, b in data.items():
+            z.writestr(n, b)
+
+    cells = read_xlsx_cells(p)["S1"]
+    assert cells[(1, 1)] == "ok" and cells[(1, 2)] == 1.5
+    assert cells[(2, 1)] == "#DIV/0!"
+    assert cells[(2, 2)] == "2026-03-01T00:00:00"
+    assert cells[(2, 3)] == "not-a-number"
