@@ -2432,6 +2432,86 @@ _IVF_COS = (
     " * sqrt(list_dot_product({b}, {b})))"
 )
 
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-associative dot product — bit-identical to the
+    Spark side's sequential ``F.aggregate`` fold (((0+x1)+x2)+…), so
+    argmax decisions in iterated k-means cannot drift between engines."""
+    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"{_dot_sql(a, b, dim)} / (sqrt({_dot_sql(a, a, dim)})"
+        f" * sqrt({_dot_sql(b, b, dim)}))"
+    )
+
+
+def _kmeans_cte(nlist: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """CTE chain replaying operators/similarity.kmeans_centroids: seeds
+    = nlist lowest-id vectors quantized to 1e-6; each iteration assigns
+    by cosine argmax (ties -> lowest cid) and re-centers with the
+    quantized integer-sum mean. Ends with ``cent_f(cid, centv)``."""
+    Q = "1000000.0"
+    seed_list = "[" + ", ".join(
+        f"floor(emb[{i}] * {Q} + 0.5) / {Q}" for i in range(1, dim + 1)
+    ) + "]"
+    mean_list = "[" + ", ".join(
+        f"floor(sum(CAST(floor(emb[{i}] * {Q} + 0.5) AS BIGINT)) * 1.0"
+        f" / count(*) + 0.5) / {Q}"
+        for i in range(1, dim + 1)
+    ) + "]"
+    sql = f"""
+    corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), cent_0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+             {seed_list} AS centv
+      FROM (SELECT vec_id, emb FROM corp ORDER BY vec_id LIMIT {nlist})
+    )"""
+    for t in range(iters):
+        sql += f"""
+    , assign_{t} AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT corp.vec_id, corp.emb, c.cid,
+               row_number() OVER (PARTITION BY corp.vec_id
+                 ORDER BY {_cos_sql('corp.emb', 'c.centv', dim)} DESC,
+                          c.cid) AS rn
+        FROM corp, cent_{t} c) WHERE rn = 1
+    ), upd_{t} AS (
+      SELECT cid, {mean_list} AS centv FROM assign_{t} GROUP BY cid
+    ), cent_{t + 1} AS (
+      SELECT c.cid, COALESCE(u.centv, c.centv) AS centv
+      FROM cent_{t} c LEFT JOIN upd_{t} u USING (cid)
+    )"""
+    return sql + f"""
+    , cent_f AS (SELECT cid, centv FROM cent_{iters})"""
+
+
+_KMEANS_CENTROIDS_ORACLE = "WITH " + _kmeans_cte(16, 3, 64) + f"""
+    SELECT cid AS centroid_id, CAST(i AS BIGINT) AS pos,
+           {R('centv[CAST(i AS INTEGER)]', 6)} AS value
+    FROM cent_f, (SELECT unnest(generate_series(1, 64)) AS i)
+"""
+
+
+@register("ivf_kmeans_centroids", oracle=_KMEANS_CENTROIDS_ORACLE)
+def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF centroids: 3 deterministic Lloyd iterations over the
+    embedding corpus (quantized integer-sum updates — engine- and
+    partitioning-reproducible). The oracle replays the identical
+    iterations in SQL; a drift in any assignment or mean surfaces as a
+    hash mismatch on the exploded (centroid, component) table."""
+    from .operators.similarity import kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, nlist=16, iters=3, dim=64)
+    out = cent.select(
+        "centroid_id", F.posexplode("__centv").alias("pos", "value")
+    ).withColumn("pos", (F.col("pos") + 1).cast("long"))
+    return _round(out, {"value": 6})
+
+
 _IVF_ORACLE = f"""
     WITH corp AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
