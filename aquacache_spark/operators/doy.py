@@ -52,6 +52,7 @@ def doy_stats(
     date_col: str = "date",
     value_col: str = "value",
     years_window: int | None = None,
+    exact_hist_mean: bool = False,
 ) -> DataFrame:
     """Attach historical same-DOY stats to each daily row.
 
@@ -82,13 +83,23 @@ def doy_stats(
         return F.expr(f"percentile(__hv__, {p}D)").alias(name)
 
     joined = joined.withColumn("__hv__", hv)
+    # exact_hist_mean: order-independent integer-microunit mean (see
+    # daily.exact_mean) — float avg() is summation-order-dependent,
+    # which flips round-to-4 boundaries between engines/partitionings
+    # once groups grow past a few hundred values.
+    if exact_hist_mean:
+        from .daily import exact_mean as _exact_mean
+
+        mean_agg = _exact_mean(F.col("__hv__")).alias("hist_mean")
+    else:
+        mean_agg = F.avg("__hv__").alias("hist_mean")
     out = (
         joined.groupBy(*[d[k] for k in keys], d[date_col], d[value_col], d["doy"])
         .agg(
             F.count("__hv__").alias("doy_count"),
             F.min("__hv__").alias("hist_min"),
             F.max("__hv__").alias("hist_max"),
-            F.avg("__hv__").alias("hist_mean"),
+            mean_agg,
             pct(0.1, "q10"),
             pct(0.25, "q25"),
             pct(0.5, "q50"),

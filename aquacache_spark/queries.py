@@ -2829,6 +2829,194 @@ def swob_minute_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.12 refresh_calculated_daily END-TO-END (patch_48.R:215-702): corrected
+# read -> daily rollup -> dense spine -> DOY stats -> hist-count NULL
+# ladder -> Feb-29 smoothing (skip-guarded) -> tail trim, as ONE
+# composition. The stages are individually green elsewhere; this query
+# pins their ORDER (e.g. trim-before-smooth would starve a trailing
+# Feb-29 row of its Mar-1 neighbor).
+# ---------------------------------------------------------------------------
+
+ORDER_CORRECTIONS = [
+    Correction(1, "1-URGENT", "1996-01-01 00:00:00", "1997-01-01 00:00:00",
+               "trim", value1=20000.0, value2=400000.0),
+    Correction(2, "2-HIGH", "1996-06-01 00:00:00", "1997-06-01 00:00:00",
+               "offset_linear", value1=5000.0),
+    Correction(3, "3-MEDIUM", "1995-03-01 00:00:00", "1996-03-01 00:00:00",
+               "scale", value1=110.0),
+    Correction(4, "5-LOW", "1997-01-01 00:00:00", "1997-07-01 00:00:00",
+               "drift_linear", value1=1000.0,
+               timestep_window_seconds=2592000.0),
+]
+
+_REFRESH_LADDER_AVG = ("q90", "q75", "q50", "q25", "q10", "mean")
+
+_REFRESH_E2E_ORACLE = f"""
+    WITH raw AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_orderdate AS TIMESTAMP) AS ts,
+             CAST(o_totalprice AS DOUBLE) AS value
+      FROM orders
+    ), c1 AS (  -- trim [20000,400000] on 1-URGENT
+      SELECT priority, ts,
+             CASE WHEN priority = '1-URGENT'
+                       AND ts >= TIMESTAMP '1996-01-01' AND ts < TIMESTAMP '1997-01-01'
+                       AND (value < 20000.0 OR value > 400000.0)
+                  THEN NULL ELSE value END AS v
+      FROM raw
+    ), c2 AS (  -- offset +5000 on 2-HIGH
+      SELECT priority, ts,
+             CASE WHEN priority = '2-HIGH' AND v IS NOT NULL
+                       AND ts >= TIMESTAMP '1996-06-01' AND ts < TIMESTAMP '1997-06-01'
+                  THEN v + 5000.0 ELSE v END AS v
+      FROM c1
+    ), c3 AS (  -- scale 110% on 3-MEDIUM
+      SELECT priority, ts,
+             CASE WHEN priority = '3-MEDIUM' AND v IS NOT NULL
+                       AND ts >= TIMESTAMP '1995-03-01' AND ts < TIMESTAMP '1996-03-01'
+                  THEN v * 110.0 / 100.0 ELSE v END AS v
+      FROM c2
+    ), corr AS (  -- drift +1000/30d on 5-LOW
+      SELECT priority, ts,
+             CASE WHEN priority = '5-LOW' AND v IS NOT NULL
+                       AND ts >= TIMESTAMP '1997-01-01' AND ts < TIMESTAMP '1997-07-01'
+                  THEN v + 1000.0 / 2592000.0
+                       * date_diff('second', TIMESTAMP '1997-01-01', ts)
+                  ELSE v END AS v
+      FROM c3
+    ), daily AS (
+      SELECT priority, CAST(ts AS DATE) AS date,
+             {DSUM('v')} / count(v) AS value
+      FROM corr GROUP BY 1, 2 HAVING count(v) > 0
+    ), bounds AS (
+      SELECT priority, min(date) AS min_d FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT priority,
+             CAST(unnest(generate_series(CAST(min_d AS TIMESTAMP),
+                  (SELECT CAST(max(date) AS TIMESTAMP) FROM daily),
+                  INTERVAL 1 DAY)) AS DATE) AS date
+      FROM bounds
+    ), sp AS (
+      SELECT s.priority, s.date, d.value
+      FROM spine s LEFT JOIN daily d USING (priority, date)
+    ), dd AS (
+      SELECT *,
+             CAST(CASE
+               WHEN month(date) = 2 AND day(date) = 29 THEN NULL
+               WHEN (year(date) % 4 = 0 AND (year(date) % 100 <> 0 OR year(date) % 400 = 0))
+                    AND dayofyear(date) > 60 THEN dayofyear(date) - 1
+               ELSE dayofyear(date) END AS INTEGER) AS doy
+      FROM sp
+    ), hist AS (
+      SELECT t.priority, t.date, t.value, t.doy,
+             count(h.value)               AS hist_count,
+             min(h.value)                 AS hist_min,
+             max(h.value)                 AS hist_max,
+             {DSUM('h.value')} / count(h.value) AS hist_mean,
+             quantile_cont(h.value, 0.10) AS q10,
+             quantile_cont(h.value, 0.25) AS q25,
+             quantile_cont(h.value, 0.50) AS q50,
+             quantile_cont(h.value, 0.75) AS q75,
+             quantile_cont(h.value, 0.90) AS q90
+      FROM dd t
+      LEFT JOIN dd h
+        ON h.priority = t.priority AND h.doy = t.doy
+       AND h.date < t.date AND h.value IS NOT NULL
+      GROUP BY 1, 2, 3, 4
+    ), lad AS (
+      SELECT priority, date, value, doy,
+        CASE WHEN hist_count > 1 AND value IS NOT NULL
+             THEN (value - hist_min) / NULLIF(hist_max - hist_min, 0) * 100
+        END AS percent_historic_range,
+        CASE WHEN hist_count = 0 AND value IS NOT NULL THEN value
+             WHEN hist_count > 0 THEN hist_max END AS max,
+        CASE WHEN hist_count = 0 AND value IS NOT NULL THEN value
+             WHEN hist_count > 0 THEN hist_min END AS min,
+        CASE WHEN hist_count > 0 THEN hist_mean END AS mean,
+        CASE WHEN hist_count > 0 THEN q10 END AS q10,
+        CASE WHEN hist_count > 0 THEN q25 END AS q25,
+        CASE WHEN hist_count > 0 THEN q50 END AS q50,
+        CASE WHEN hist_count > 0 THEN q75 END AS q75,
+        CASE WHEN hist_count > 0 THEN q90 END AS q90,
+        CAST(CASE WHEN hist_count = 0 AND value IS NOT NULL THEN 1
+                  WHEN hist_count > 0 THEN hist_count
+                       + CASE WHEN value IS NULL THEN 0 ELSE 1 END
+        END AS BIGINT) AS doy_count
+      FROM hist
+    ), sm AS (
+      SELECT f.priority, f.date, f.value, f.doy,
+        CASE WHEN b.percent_historic_range IS NOT NULL
+                  AND a.percent_historic_range IS NOT NULL
+             THEN (b.percent_historic_range + a.percent_historic_range) / 2
+        END AS percent_historic_range,
+        CASE WHEN b.max IS NOT NULL AND a.max IS NOT NULL THEN (b.max + a.max) / 2
+             WHEN b.max IS NULL AND a.max IS NULL AND f.value IS NOT NULL
+             THEN f.value END AS max,
+        CASE WHEN b.min IS NOT NULL AND a.min IS NOT NULL THEN (b.min + a.min) / 2
+             WHEN b.min IS NULL AND a.min IS NULL AND f.value IS NOT NULL
+             THEN f.value END AS min,
+        """ + ",\n        ".join(
+            f"CASE WHEN b.{c} IS NOT NULL AND a.{c} IS NOT NULL"
+            f" THEN (b.{c} + a.{c}) / 2 END AS {c}"
+            for c in _REFRESH_LADDER_AVG
+        ) + f""",
+        CAST(CASE WHEN b.doy_count IS NOT NULL AND a.doy_count IS NOT NULL
+                  THEN LEAST(b.doy_count, a.doy_count)
+                  WHEN b.doy_count IS NULL AND a.doy_count IS NULL
+                       AND f.value IS NOT NULL THEN 1
+        END AS BIGINT) AS doy_count
+      FROM (SELECT * FROM lad WHERE month(date) = 2 AND day(date) = 29) f
+      LEFT JOIN lad b ON b.priority = f.priority AND b.date = f.date - 1
+      LEFT JOIN lad a ON a.priority = f.priority AND a.date = f.date + 1
+    ), final AS (
+      SELECT * FROM lad WHERE NOT (month(date) = 2 AND day(date) = 29)
+      UNION ALL BY NAME
+      SELECT * FROM sm
+    ), last_raw AS (
+      SELECT o_orderpriority AS priority,
+             max(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY 1
+    )
+    SELECT f.priority, f.date, {R('f.value', 4)} AS value, f.doy,
+           {R('f.percent_historic_range', 4)} AS percent_historic_range,
+           {R('f.max', 4)} AS max, {R('f.min', 4)} AS min,
+           {R('f.mean', 4)} AS mean,
+           {R('f.q10', 4)} AS q10, {R('f.q25', 4)} AS q25,
+           {R('f.q50', 4)} AS q50, {R('f.q75', 4)} AS q75,
+           {R('f.q90', 4)} AS q90, f.doy_count
+    FROM final f JOIN last_raw l ON l.priority = f.priority
+    WHERE f.date <= l.last_d
+"""
+
+
+@register("refresh_daily_e2e", oracle=_REFRESH_E2E_ORACLE)
+def refresh_daily_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """refresh_calculated_daily end to end in one composition
+    (patch_48.R:215-702): 4-correction chain -> exact-mean daily rollup
+    -> per-series dense spine to the global max date -> DOY historical
+    stats -> hist-count NULL ladder -> Feb-29 smoothing (today not in
+    the 02-29/03-01/03-02 skip window) -> per-series tail trim. Stale
+    series (3-MEDIUM, 4-NOT SPECIFIED end days before the global max)
+    get genuine trailing spine rows that ONLY the trim removes."""
+    from .operators.refresh import refresh_calculated_daily
+
+    raw = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_totalprice").cast("double").alias("value"),
+    )
+    out = refresh_calculated_daily(
+        raw, ORDER_CORRECTIONS, series_col="priority", dt_col="ts",
+        value_col="value", agg_type="mean", today="2026-01-15",
+    )
+    return _round(
+        out,
+        {"value": 4, "percent_historic_range": 4, "max": 4, "min": 4,
+         "mean": 4, "q10": 4, "q25": 4, "q50": 4, "q75": 4, "q90": 4},
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship composition used by entry(): corrections -> daily -> DOY stats
 # ---------------------------------------------------------------------------
 
