@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import catalog
@@ -3013,6 +3013,242 @@ def refresh_daily_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         {"value": 4, "percent_historic_range": 4, "max": 4, "min": 4,
          "mean": 4, "q10": 4, "q25": 4, "q50": 4, "q75": 4, "q90": 4},
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.12 synchronize_discrete (R/synchronize_discrete.R): import-
+# source-scoped sample gap deletes + null-safe-key result
+# reconciliation, as set-based action classifications.
+# ---------------------------------------------------------------------------
+
+_DISCRETE_SAMPLES_SQL = """
+    base0 AS (
+      SELECT user_id % 3 AS series,
+             date_trunc('second', CAST(ts AS TIMESTAMP)) AS datetime,
+             event_id,
+             row_number() OVER (
+               PARTITION BY user_id % 3,
+                            date_trunc('second', CAST(ts AS TIMESTAMP))
+               ORDER BY event_id) AS rn
+      FROM events WHERE event_type = 'click'
+    ), base AS (
+      SELECT series, datetime, event_id FROM base0 WHERE rn = 1
+    ), locl AS (
+      SELECT series, datetime,
+             CASE WHEN event_id % 4 = 0 THEN 'other' ELSE 'srcA' END
+               AS import_source,
+             (event_id % 7 = 0) AS no_update
+      FROM base WHERE event_id % 11 <> 3
+    ), rem AS (
+      SELECT series, datetime FROM base WHERE event_id % 5 NOT IN (0, 1)
+    )
+"""
+
+_DISCRETE_SAMPLE_ACTIONS_ORACLE = "WITH " + _DISCRETE_SAMPLES_SQL + """
+    , nrem AS (
+      SELECT series, count(*) AS n_remote FROM rem GROUP BY 1
+    ), univ AS (
+      SELECT series, datetime, 0 AS is_r FROM locl
+      UNION ALL
+      SELECT series, datetime, 1 AS is_r FROM rem
+    ), marked AS (
+      SELECT series, datetime, is_r, epoch(datetime) AS sec,
+        max(CASE WHEN is_r = 1 THEN epoch(datetime) END) OVER (
+          PARTITION BY series ORDER BY epoch(datetime)
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_r,
+        min(CASE WHEN is_r = 1 THEN epoch(datetime) END) OVER (
+          PARTITION BY series ORDER BY epoch(datetime)
+          RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_r
+      FROM univ
+    ), loc AS (
+      SELECT m.series, m.datetime, l.import_source, l.no_update,
+             m.sec, m.prev_r, m.next_r, COALESCE(n.n_remote, 0) AS n_remote
+      FROM marked m
+      JOIN locl l USING (series, datetime)
+      LEFT JOIN nrem n USING (series)
+      WHERE m.is_r = 0
+    )
+    SELECT series, datetime, import_source, no_update,
+      CASE WHEN prev_r = sec OR next_r = sec THEN 'matched'
+           WHEN import_source = 'srcA' AND NOT no_update AND (
+                (prev_r IS NULL AND next_r IS NOT NULL
+                 AND sec > epoch(TIMESTAMP '2024-01-02') AND sec < next_r)
+             OR (prev_r IS NOT NULL AND next_r IS NOT NULL
+                 AND sec >= prev_r + 1 AND sec <= next_r - 1)
+             OR (prev_r IS NOT NULL AND next_r IS NULL AND n_remote >= 2
+                 AND sec > prev_r AND sec < epoch(TIMESTAMP '2024-01-28'))
+           ) THEN 'delete'
+           ELSE 'keep' END AS action
+    FROM loc
+    UNION ALL BY NAME
+    SELECT r.series, r.datetime, 'srcA' AS import_source,
+           FALSE AS no_update, 'insert' AS action
+    FROM rem r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM locl l
+      WHERE l.series = r.series AND l.datetime = r.datetime
+    )
+"""
+
+
+@register("discrete_sample_sync", oracle=_DISCRETE_SAMPLE_ACTIONS_ORACLE)
+def discrete_sample_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synchronize_discrete sample-level actions
+    (R/synchronize_discrete.R:280-388): remote datetimes partition the
+    window into gaps; local samples in a gap are deleted only when
+    import_source matches and no_update is false, with the reference's
+    asymmetric boundary rules (strict head/tail, ±1s middle margins,
+    tail needs >= 2 remote samples). Remote-only datetimes classify as
+    inserts carrying import_source = source_fx (:902)."""
+    from .operators.discrete_sync import sample_sync_actions
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    base = (
+        ev.select(
+            (F.col("user_id") % 3).alias("series"),
+            F.date_trunc("second", F.col("ts")).alias("datetime"),
+            "event_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("series", "datetime").orderBy("event_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    local = base.where(F.col("event_id") % 11 != 3).select(
+        "series", "datetime",
+        F.when(F.col("event_id") % 4 == 0, F.lit("other"))
+        .otherwise(F.lit("srcA"))
+        .alias("import_source"),
+        (F.col("event_id") % 7 == 0).alias("no_update"),
+    )
+    remote = base.where(~(F.col("event_id") % 5).isin(0, 1)).select(
+        "series", "datetime"
+    )
+    return sample_sync_actions(
+        local, remote, keys=["series"],
+        start="2024-01-02 00:00:00", end="2024-01-28 00:00:00",
+        source_fx="srcA",
+    )
+
+
+_DISCRETE_RESULTS_SQL = """
+    lbase AS (
+      SELECT l_orderkey AS sample_id,
+             l_partkey % 20 AS parameter_id,
+             CASE WHEN l_suppkey % 3 = 0 THEN NULL
+                  ELSE l_suppkey % 3 END AS fraction_id,
+             CAST(l_quantity AS DOUBLE) AS result,
+             (l_orderkey % 9 = 0) AS no_update,
+             row_number() OVER (
+               PARTITION BY l_orderkey, l_partkey % 20,
+                            CASE WHEN l_suppkey % 3 = 0 THEN NULL
+                                 ELSE l_suppkey % 3 END
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+             ) AS rn
+      FROM lineitem WHERE l_linenumber = 1
+    ), locl AS (
+      SELECT sample_id, parameter_id, fraction_id, result, no_update
+      FROM lbase WHERE rn = 1
+    ), rbase AS (
+      SELECT l_orderkey AS sample_id,
+             l_partkey % 20 AS parameter_id,
+             CASE WHEN l_suppkey % 3 = 0 THEN NULL
+                  ELSE l_suppkey % 3 END AS fraction_id,
+             CASE WHEN l_orderkey % 5 = 0
+                  THEN CAST(l_quantity AS DOUBLE) + 1.0
+                  ELSE CAST(l_quantity AS DOUBLE) END AS result,
+             row_number() OVER (
+               PARTITION BY l_orderkey, l_partkey % 20,
+                            CASE WHEN l_suppkey % 3 = 0 THEN NULL
+                                 ELSE l_suppkey % 3 END
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+             ) AS rn
+      FROM lineitem
+      WHERE l_linenumber IN (1, 2) AND l_orderkey % 6 <> 2
+    ), rmt AS (
+      SELECT sample_id, parameter_id, fraction_id, result
+      FROM rbase WHERE rn = 1
+    )
+"""
+
+_DISCRETE_RESULT_ACTIONS_ORACLE = "WITH " + _DISCRETE_RESULTS_SQL + """
+    SELECT COALESCE(l.sample_id, r.sample_id) AS sample_id,
+           COALESCE(l.parameter_id, r.parameter_id) AS parameter_id,
+           COALESCE(l.fraction_id, r.fraction_id) AS fraction_id,
+           l.result AS local_result,
+           r.result AS remote_result,
+           CASE WHEN l.sample_id IS NULL THEN 'insert'
+                WHEN r.sample_id IS NULL THEN
+                  CASE WHEN l.no_update THEN 'protected' ELSE 'delete' END
+                WHEN l.no_update THEN 'protected'
+                WHEN l.result IS NOT DISTINCT FROM r.result THEN 'unchanged'
+                ELSE 'update' END AS action
+    FROM locl l
+    FULL OUTER JOIN rmt r
+      ON l.sample_id = r.sample_id
+     AND l.parameter_id = r.parameter_id
+     AND l.fraction_id IS NOT DISTINCT FROM r.fraction_id
+"""
+
+
+@register("discrete_result_sync", oracle=_DISCRETE_RESULT_ACTIONS_ORACLE)
+def discrete_result_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synchronize_discrete result-level reconciliation
+    (R/synchronize_discrete.R:500-860): null-safe composite-key match
+    (a missing remote key matches only NULL locally), value-diff
+    updates, no_update protection, delete-unchecked, insert-new."""
+    from .operators.discrete_sync import result_sync_actions
+
+    li = _t(spark, sf_dir, "lineitem")
+    frac = F.when(
+        F.col("l_suppkey") % 3 == 0, F.lit(None).cast("long")
+    ).otherwise(F.col("l_suppkey") % 3)
+    key_w = Window.partitionBy(
+        "sample_id", "parameter_id", "fraction_id"
+    ).orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+
+    def prep(df):
+        return (
+            df.withColumn("rn", F.row_number().over(key_w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    local = prep(
+        li.where(F.col("l_linenumber") == 1).select(
+            F.col("l_orderkey").alias("sample_id"),
+            (F.col("l_partkey") % 20).alias("parameter_id"),
+            frac.alias("fraction_id"),
+            F.col("l_quantity").cast("double").alias("result"),
+            (F.col("l_orderkey") % 9 == 0).alias("no_update"),
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        )
+    ).drop("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    remote = prep(
+        li.where(
+            F.col("l_linenumber").isin(1, 2) & (F.col("l_orderkey") % 6 != 2)
+        ).select(
+            F.col("l_orderkey").alias("sample_id"),
+            (F.col("l_partkey") % 20).alias("parameter_id"),
+            frac.alias("fraction_id"),
+            F.when(
+                F.col("l_orderkey") % 5 == 0,
+                F.col("l_quantity").cast("double") + 1.0,
+            )
+            .otherwise(F.col("l_quantity").cast("double"))
+            .alias("result"),
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        )
+    ).drop("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    return result_sync_actions(
+        local, remote,
+        key_cols=["sample_id", "parameter_id", "fraction_id"],
+        value_col="result", no_update_col="no_update",
     )
 
 
