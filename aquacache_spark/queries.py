@@ -1716,6 +1716,194 @@ def audit_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.12 audit as-of for interval QC tables
+# (audit.continuous_qc_rows_as_of, inst/patches/patch_55.R:2336-2520):
+# current grades/approvals FULL OUTER first-post-as_of-log-change, the
+# log's original_data wins, row_created cutoff, zero-width-interval
+# window rule. Modeled: current intervals + audit log derived from
+# orders; updates (original wins), a second later change that must NOT
+# win, deletes (resurrected from the log), and post-as_of creations
+# (dropped by the row_created filter).
+# ---------------------------------------------------------------------------
+
+_QC_ASOF_SQL = """
+    cur AS (
+      SELECT o_orderkey AS row_id,
+             o_custkey % 10 AS timeseries_id,
+             o_orderkey % 4 AS type_id,
+             CAST(o_orderdate AS TIMESTAMP) AS start_dt,
+             CASE WHEN o_orderkey % 17 = 0 THEN CAST(o_orderdate AS TIMESTAMP)
+                  ELSE CAST(o_orderdate AS TIMESTAMP)
+                       + (o_orderkey % 30 + 1) * INTERVAL 1 DAY END AS end_dt,
+             CAST(o_orderdate AS TIMESTAMP) AS row_created
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), upd1 AS (  -- first post-as_of update: original_data = as-of state
+      SELECT o_orderkey * 10 + 1 AS log_id,
+             TIMESTAMP '1997-06-01' + (o_orderkey % 50) * INTERVAL 1 DAY
+               AS action_timestamp,
+             o_orderkey AS orig_row_id,
+             o_custkey % 10 AS orig_timeseries_id,
+             (o_orderkey + 1) % 4 AS orig_type_id,
+             CAST(o_orderdate AS TIMESTAMP) - INTERVAL 3 DAY AS orig_start_dt,
+             CASE WHEN o_orderkey % 17 = 0
+                  THEN CAST(o_orderdate AS TIMESTAMP) - INTERVAL 3 DAY
+                  ELSE CAST(o_orderdate AS TIMESTAMP) - INTERVAL 3 DAY
+                       + (o_orderkey % 30 + 1) * INTERVAL 1 DAY END
+               AS orig_end_dt,
+             CAST(NULL AS BIGINT) AS new_row_id,
+             CAST(o_orderdate AS TIMESTAMP) - INTERVAL 3 DAY AS row_created
+      FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 IN (1, 2)
+    ), upd2 AS (  -- later second change: must NOT win over upd1
+      SELECT o_orderkey * 10 + 2 AS log_id,
+             TIMESTAMP '1998-01-01' + (o_orderkey % 50) * INTERVAL 1 DAY
+               AS action_timestamp,
+             o_orderkey AS orig_row_id,
+             o_custkey % 10 AS orig_timeseries_id,
+             99 AS orig_type_id,
+             CAST(o_orderdate AS TIMESTAMP) AS orig_start_dt,
+             CAST(o_orderdate AS TIMESTAMP) AS orig_end_dt,
+             CAST(NULL AS BIGINT) AS new_row_id,
+             CAST(o_orderdate AS TIMESTAMP) AS row_created
+      FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 = 1
+    ), del AS (  -- deleted after as_of: only the log remembers them
+      SELECT o_orderkey * 10 + 3 AS log_id,
+             TIMESTAMP '1997-09-01' AS action_timestamp,
+             o_orderkey AS orig_row_id,
+             o_custkey % 10 AS orig_timeseries_id,
+             o_orderkey % 4 AS orig_type_id,
+             CAST(o_orderdate AS TIMESTAMP) AS orig_start_dt,
+             CAST(o_orderdate AS TIMESTAMP)
+               + (o_orderkey % 30 + 1) * INTERVAL 1 DAY AS orig_end_dt,
+             CAST(NULL AS BIGINT) AS new_row_id,
+             CAST(o_orderdate AS TIMESTAMP) AS row_created
+      FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 7 = 2
+    ), lg AS (
+      SELECT * FROM upd1 UNION ALL SELECT * FROM upd2
+      UNION ALL SELECT * FROM del
+    )
+"""
+
+_QC_ASOF_ORACLE = "WITH " + _QC_ASOF_SQL + """
+    , fut AS (
+      SELECT * FROM (
+        SELECT COALESCE(orig_row_id, new_row_id) AS key,
+               orig_timeseries_id, orig_type_id, orig_start_dt,
+               orig_end_dt, row_created,
+               row_number() OVER (
+                 PARTITION BY COALESCE(orig_row_id, new_row_id)
+                 ORDER BY action_timestamp, log_id) AS rn
+        FROM lg WHERE action_timestamp > TIMESTAMP '1997-01-01'
+      ) WHERE rn = 1
+    ), snap AS (
+      SELECT COALESCE(f.key, c.row_id) AS row_id,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_timeseries_id
+                  ELSE c.timeseries_id END AS timeseries_id,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_type_id
+                  ELSE c.type_id END AS type_id,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_start_dt
+                  ELSE c.start_dt END AS start_dt,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_end_dt
+                  ELSE c.end_dt END AS end_dt,
+             CASE WHEN f.key IS NOT NULL THEN f.row_created
+                  ELSE c.row_created END AS row_created
+      FROM cur c FULL OUTER JOIN fut f ON f.key = c.row_id
+    )
+    SELECT 'grade' AS qc_type, row_id, timeseries_id, type_id,
+           start_dt, end_dt
+    FROM snap
+    WHERE row_created <= TIMESTAMP '1997-01-01'
+      AND (end_dt > TIMESTAMP '1996-06-01'
+           OR (start_dt = end_dt AND start_dt >= TIMESTAMP '1996-06-01'))
+      AND start_dt < TIMESTAMP '1998-06-01'
+"""
+
+
+@register("qc_intervals_as_of", oracle=_QC_ASOF_ORACLE)
+def qc_intervals_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval QC audit as-of (patch_55.R:2336-2520): grades table
+    reconstructed at 1997-01-01 from the current state + audit log —
+    first-change-wins, delete resurrection, row_created cutoff, and the
+    zero-width-interval window rule."""
+    from .operators.audit import qc_rows_as_of
+
+    o = _t(spark, sf_dir, "orders")
+    start = F.col("o_orderdate").cast("timestamp")
+    ndays = (F.col("o_orderkey") % 30 + 1).cast("int")
+    end = F.when(F.col("o_orderkey") % 17 == 0, start).otherwise(
+        F.timestamp_add("DAY", ndays, start)
+    )
+    cur = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("row_id"),
+        (F.col("o_custkey") % 10).alias("timeseries_id"),
+        (F.col("o_orderkey") % 4).alias("type_id"),
+        start.alias("start_dt"),
+        end.alias("end_dt"),
+        start.alias("row_created"),
+    )
+    shifted = F.timestamp_add("DAY", F.lit(-3), start)
+    act1 = F.timestamp_add(
+        "DAY", (F.col("o_orderkey") % 50).cast("int"),
+        F.lit("1997-06-01 00:00:00").cast("timestamp"),
+    )
+    upd1 = o.where(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5).isin(1, 2)
+    ).select(
+        (F.col("o_orderkey") * 10 + 1).alias("log_id"),
+        act1.alias("action_timestamp"),
+        F.col("o_orderkey").alias("orig_row_id"),
+        (F.col("o_custkey") % 10).alias("orig_timeseries_id"),
+        ((F.col("o_orderkey") + 1) % 4).alias("orig_type_id"),
+        shifted.alias("orig_start_dt"),
+        F.when(F.col("o_orderkey") % 17 == 0, shifted)
+        .otherwise(F.timestamp_add("DAY", ndays, shifted))
+        .alias("orig_end_dt"),
+        F.lit(None).cast("long").alias("new_row_id"),
+        shifted.alias("row_created"),
+    )
+    act2 = F.timestamp_add(
+        "DAY", (F.col("o_orderkey") % 50).cast("int"),
+        F.lit("1998-01-01 00:00:00").cast("timestamp"),
+    )
+    upd2 = o.where(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 10 == 1)
+    ).select(
+        (F.col("o_orderkey") * 10 + 2).alias("log_id"),
+        act2.alias("action_timestamp"),
+        F.col("o_orderkey").alias("orig_row_id"),
+        (F.col("o_custkey") % 10).alias("orig_timeseries_id"),
+        F.lit(99).cast("long").alias("orig_type_id"),
+        start.alias("orig_start_dt"),
+        start.alias("orig_end_dt"),
+        F.lit(None).cast("long").alias("new_row_id"),
+        start.alias("row_created"),
+    )
+    dele = o.where(
+        (F.col("o_orderkey") % 3 == 1) & (F.col("o_orderkey") % 7 == 2)
+    ).select(
+        (F.col("o_orderkey") * 10 + 3).alias("log_id"),
+        F.lit("1997-09-01 00:00:00").cast("timestamp")
+        .alias("action_timestamp"),
+        F.col("o_orderkey").alias("orig_row_id"),
+        (F.col("o_custkey") % 10).alias("orig_timeseries_id"),
+        (F.col("o_orderkey") % 4).alias("orig_type_id"),
+        start.alias("orig_start_dt"),
+        F.timestamp_add("DAY", ndays, start).alias("orig_end_dt"),
+        F.lit(None).cast("long").alias("new_row_id"),
+        start.alias("row_created"),
+    )
+    log = upd1.unionByName(upd2).unionByName(dele)
+    out = qc_rows_as_of(
+        cur, log, as_of="1997-01-01 00:00:00",
+        window_start="1996-06-01 00:00:00",
+        window_end="1998-06-01 00:00:00",
+    )
+    return out.select(
+        F.lit("grade").alias("qc_type"), "row_id", "timeseries_id",
+        "type_id", "start_dt", "end_dt",
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.14 imputation: linear interpolation across masked gaps
 # (R/imputeMissing.R:1123-1128, stats::approx analog)
 # ---------------------------------------------------------------------------
@@ -3249,6 +3437,162 @@ def discrete_result_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         local, remote,
         key_cols=["sample_id", "parameter_id", "fraction_id"],
         value_col="result", no_update_col="no_update",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 segment id recycling: split/overlay + the reference writer's
+# positional id contract (R/adjust_functions.R:132-142) as one
+# oracle-checked composition. Existing/new interval sets are derived
+# from orders, made non-overlapping per side via lead() capping (the
+# overlay's new-wins tie-break is only deterministic across engines
+# when segments within one side don't overlap).
+# ---------------------------------------------------------------------------
+
+_SEG_IDS_SQL = """
+    ex0 AS (
+      SELECT o_orderpriority AS series, o_orderkey AS segment_id,
+             CAST(o_orderdate AS TIMESTAMP) AS start_dt,
+             CAST(o_orderdate AS TIMESTAMP)
+               + (o_orderkey % 20 + 5) * INTERVAL 1 DAY AS raw_end,
+             lead(CAST(o_orderdate AS TIMESTAMP)) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey) AS next_start,
+             o_orderkey % 3 AS value
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), ex AS (
+      SELECT series, segment_id, start_dt,
+             LEAST(raw_end, COALESCE(next_start, raw_end)) AS end_dt, value
+      FROM ex0
+      WHERE LEAST(raw_end, COALESCE(next_start, raw_end)) > start_dt
+    ), nw0 AS (
+      SELECT o_orderpriority AS series,
+             CAST(o_orderdate AS TIMESTAMP) AS start_dt,
+             CAST(o_orderdate AS TIMESTAMP)
+               + (o_orderkey % 15 + 3) * INTERVAL 1 DAY AS raw_end,
+             lead(CAST(o_orderdate AS TIMESTAMP)) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey) AS next_start,
+             o_orderkey % 3 AS value
+      FROM orders WHERE o_orderkey % 89 = 1
+    ), nw AS (
+      SELECT series, start_dt,
+             LEAST(raw_end, COALESCE(next_start, raw_end)) AS end_dt, value
+      FROM nw0
+      WHERE LEAST(raw_end, COALESCE(next_start, raw_end)) > start_dt
+    )
+"""
+
+_SEG_IDS_ORACLE = "WITH " + _SEG_IDS_SQL + """
+    , allseg AS (
+      SELECT series, start_dt, end_dt, value, 0 AS src FROM ex
+      UNION ALL
+      SELECT series, start_dt, end_dt, value, 1 AS src FROM nw
+    ), bounds AS (
+      SELECT DISTINCT series, b FROM (
+        SELECT series, start_dt AS b FROM allseg
+        UNION ALL SELECT series, end_dt AS b FROM allseg
+      )
+    ), elems AS (
+      SELECT series, b AS es,
+             lead(b) OVER (PARTITION BY series ORDER BY b) AS ee
+      FROM bounds
+    ), covered AS (
+      SELECT e.series, e.es, e.ee, s.value, s.src
+      FROM elems e
+      JOIN allseg s ON s.series = e.series
+       AND s.start_dt <= e.es AND s.end_dt >= e.ee
+      WHERE e.ee IS NOT NULL
+    ), resolved AS (
+      SELECT series, es, ee, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY series, es, ee ORDER BY src DESC) AS pick
+        FROM covered
+      ) WHERE pick = 1
+    ), runs AS (
+      SELECT *, sum(new_run) OVER (
+        PARTITION BY series ORDER BY es
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM (
+        SELECT *, CASE WHEN value IS NOT DISTINCT FROM
+                         lag(value) OVER (PARTITION BY series ORDER BY es)
+                       AND lag(ee) OVER (PARTITION BY series ORDER BY es) = es
+                  THEN 0 ELSE 1 END AS new_run
+        FROM resolved
+      )
+    ), final AS (
+      SELECT series, min(es) AS start_dt, max(ee) AS end_dt,
+             min(value) AS value
+      FROM runs GROUP BY series, run
+    ), fpos AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY series ORDER BY start_dt, end_dt) AS pos
+      FROM final
+    ), epos AS (
+      SELECT series, segment_id, start_dt, end_dt,
+             row_number() OVER (
+               PARTITION BY series
+               ORDER BY start_dt, end_dt, segment_id) AS pos
+      FROM ex
+    )
+    SELECT COALESCE(f.series, e.series) AS series,
+           CASE WHEN f.pos IS NOT NULL THEN f.start_dt
+                ELSE e.start_dt END AS start_dt,
+           CASE WHEN f.pos IS NOT NULL THEN f.end_dt
+                ELSE e.end_dt END AS end_dt,
+           CASE WHEN f.pos IS NOT NULL THEN f.value END AS value,
+           e.segment_id,
+           CASE WHEN f.pos IS NOT NULL THEN 'upsert' ELSE 'delete' END
+             AS action
+    FROM fpos f
+    FULL OUTER JOIN epos e ON e.series = f.series AND e.pos = f.pos
+"""
+
+
+@register("segment_id_recycling", oracle=_SEG_IDS_ORACLE)
+def segment_id_recycling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay + positional id recycling (R/adjust_functions.R:18-142):
+    new segments split the existing ones (new wins per elementary
+    interval, adjacent equal values merge), then the rebuilt rows take
+    existing ids BY POSITION; surplus rebuilt rows get NULL ids and
+    surplus existing rows become delete actions."""
+    from .operators.segments import recycle_split_ids, split_segments
+
+    o = _t(spark, sf_dir, "orders")
+    start = F.col("o_orderdate").cast("timestamp")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+
+    def intervals(mod, rem, span_mod, span_base, with_id):
+        d = o.where(F.col("o_orderkey") % mod == rem).select(
+            F.col("o_orderpriority").alias("series"),
+            *( [F.col("o_orderkey").alias("segment_id")] if with_id else [] ),
+            start.alias("start_dt"),
+            F.timestamp_add(
+                "DAY",
+                (F.col("o_orderkey") % span_mod + span_base).cast("int"),
+                start,
+            ).alias("raw_end"),
+            F.lead(start).over(w).alias("next_start"),
+            (F.col("o_orderkey") % 3).alias("value"),
+        )
+        end = F.least(F.col("raw_end"), F.coalesce("next_start", "raw_end"))
+        return (
+            d.withColumn("end_dt", end)
+            .where(F.col("end_dt") > F.col("start_dt"))
+            .drop("raw_end", "next_start")
+        )
+
+    existing = intervals(97, 0, 20, 5, with_id=True)
+    new = intervals(89, 1, 15, 3, with_id=False)
+    final = split_segments(
+        existing.drop("segment_id"), new, keys=["series"],
+        start_col="start_dt", end_col="end_dt", value_col="value",
+    )
+    return recycle_split_ids(
+        existing, final, keys=["series"], id_col="segment_id",
+        start_col="start_dt", end_col="end_dt",
     )
 
 
