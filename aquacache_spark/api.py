@@ -77,9 +77,16 @@ def _resolve_raw(
             f"compound cycle: {' -> '.join(map(str, _path + (timeseries_id,)))}"
         )
     if _series_type(store, timeseries_id) != "compound":
+        # carry the measurement period through when the store records it
+        # (the daily calc filters period > 1 day, patch_48.R:340)
+        extra = (
+            ["period_seconds"]
+            if "period_seconds" in store.measurements.columns
+            else []
+        )
         base = store.measurements.where(
             F.col("timeseries_id") == timeseries_id
-        ).select("datetime", "value")
+        ).select("datetime", "value", *extra)
         return _window(base, start, end)
 
     spec = store.compounds[timeseries_id]
@@ -157,13 +164,36 @@ def measurements_calculated_daily(
     end_date: Optional[str] = None,
 ) -> DataFrame:
     """Daily values + DOY historical stats for one series — the
-    refresh_calculated_daily read shape (patch_48.R:215-600)."""
+    refresh_calculated_daily read shape (patch_48.R:215-600).
+
+    Mirrors the reference's raw_measurements filters
+    (patch_48.R:326-350): measurements with ``period > 1 day`` are
+    excluded (when the store carries a period column), and so is any
+    point inside a non-zero-width unusable grade-'N' window (inclusive
+    BETWEEN, ``g.start_dt <> g.end_dt``)."""
     agg_type = (
         store.timeseries.where(F.col("timeseries_id") == timeseries_id)
         .select("aggregation_type")
         .collect()[0][0]
     )
     corrected = measurements_continuous_corrected(store, timeseries_id)
+    if "period_seconds" in corrected.columns:
+        corrected = corrected.where(F.col("period_seconds") <= 86400)
+    grades = getattr(store, "grades", None)
+    if grades is not None:
+        n_windows = grades.where(
+            (F.col("timeseries_id") == timeseries_id)
+            & (F.col("grade_code") == "N")
+            & (F.col("start_dt") != F.col("end_dt"))
+        ).select(
+            F.col("start_dt").alias("__n_start"),
+            F.col("end_dt").alias("__n_end"),
+        )
+        corrected = corrected.join(
+            F.broadcast(n_windows),
+            F.col("datetime").between(F.col("__n_start"), F.col("__n_end")),
+            "left_anti",
+        )
     daily = daily_rollup(
         corrected.withColumn("timeseries_id", F.lit(timeseries_id)),
         keys=["timeseries_id"],

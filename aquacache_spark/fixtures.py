@@ -35,6 +35,7 @@ class FixtureStore:
     measurements: DataFrame
     corrections: list = field(default_factory=list)
     compounds: dict = field(default_factory=dict)  # tsid -> definition
+    grades: DataFrame | None = None  # interval QC (code, start_dt, end_dt)
 
 
 def build_store(spark: SparkSession, start: str = START, end: str = END) -> FixtureStore:
@@ -116,4 +117,21 @@ def build_store(spark: SparkSession, start: str = START, end: str = END) -> Fixt
             ],
         },
     }
-    return FixtureStore(timeseries, measurements, corrections, compounds)
+    # Grades: ts1 A then B split at 2023-01-01, one unusable-'N' window
+    # (excluded from daily calc, patch_48.R:340-350) and one zero-width
+    # 'N' marker that must NOT exclude anything (g.start_dt <> g.end_dt).
+    grades = spark.createDataFrame(
+        [
+            (1, "A", start, "2023-01-01 00:00:00"),
+            (1, "B", "2023-01-01 00:00:00", end),
+            (1, "N", "2023-02-01 00:00:00", "2023-02-05 00:00:00"),
+            (1, "N", "2023-03-01 00:00:00", "2023-03-01 00:00:00"),
+        ],
+        ["timeseries_id", "grade_code", "start_dt", "end_dt"],
+    ).select(
+        "timeseries_id", "grade_code",
+        F.col("start_dt").cast("timestamp").alias("start_dt"),
+        F.col("end_dt").cast("timestamp").alias("end_dt"),
+    )
+    return FixtureStore(timeseries, measurements, corrections, compounds,
+                        grades=grades)

@@ -42,7 +42,17 @@ _SCALE = 1_000_000
 
 
 def exact_sum(value: Column) -> Column:
-    """Order-independent sum: exact for values with <= 6 decimals."""
+    """Order-independent sum: exact for values with <= 6 decimals.
+
+    CONTRACT: inputs are quantized to 1e-6 before accumulating. For
+    sensor/monetary data (<= 6 decimals) this is lossless; full-
+    precision derived values (scaled/drifted corrections) are rounded
+    at the 7th decimal, a documented divergence from the reference's
+    arbitrary-precision ``numeric`` in exchange for partition-order-
+    independent (bit-reproducible) sums. Callers needing the
+    reference's exact decimal semantics should aggregate a DecimalType
+    column instead.
+    """
     return F.sum(F.floor(value * _SCALE + F.lit(0.5)).cast("long")) / float(_SCALE)
 
 

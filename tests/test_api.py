@@ -133,6 +133,48 @@ class TestCompoundResolution:
 
 
 class TestCalculatedDaily:
+    def test_grade_n_windows_excluded(self, spark, store):
+        # ts1 has an unusable 'N' grade window [2023-02-01, 2023-02-05]
+        # (inclusive, patch_48.R:340-350): those days' points must not
+        # reach the daily calc; the zero-width 2023-03-01 'N' marker
+        # must exclude nothing.
+        out = api.measurements_calculated_daily(
+            store, 1, "2023-01-28", "2023-02-07"
+        ).collect()
+        dates = {str(r["date"]) for r in out if r["value"] is not None}
+        assert "2023-01-31" in dates and "2023-02-07" in dates
+        # days fully inside the window vanish
+        assert not dates & {"2023-02-01", "2023-02-02", "2023-02-03",
+                            "2023-02-04"}
+        # inclusive upper bound: 2023-02-05 00:00:00 itself is excluded,
+        # but the rest of Feb 5 (00:15 onward) survives -> day present
+        assert "2023-02-05" in dates and "2023-02-06" in dates
+        mar = api.measurements_calculated_daily(
+            store, 1, "2023-03-01", "2023-03-01"
+        ).collect()
+        assert len(mar) == 1 and mar[0]["value"] is not None
+
+    def test_long_period_measurements_excluded(self, spark, store):
+        from pyspark.sql import functions as F
+
+        import dataclasses
+
+        with_period = store.measurements.withColumn(
+            "period_seconds",
+            F.when(
+                F.col("datetime") >= F.lit("2023-04-01").cast("timestamp"),
+                F.lit(172800),
+            ).otherwise(F.lit(900)),
+        )
+        store2 = dataclasses.replace(store, measurements=with_period)
+        out = api.measurements_calculated_daily(
+            store2, 9, "2023-03-30", "2023-04-03"
+        ).collect()
+        by_date = {str(r["date"]): r for r in out}
+        assert by_date["2023-03-31"]["value"] is not None
+        # period > 1 day rows are filtered (patch_48.R:340) -> no April days
+        assert "2023-04-01" not in by_date and "2023-04-02" not in by_date
+
     def test_daily_mean_and_doy(self, spark, store):
         out = api.measurements_calculated_daily(
             store, 9, "2023-03-01", "2023-03-05"
