@@ -62,9 +62,18 @@ def sample_sync_actions(
         *keys, F.col(dt_col), F.col(src_col), F.col(no_update_col)
     )
 
+    # carry the local payload columns through the union (NULL on the
+    # remote side) — avoids a join-back shuffle after the window pass
     univ = l.select(
-        *keys, dt_col, F.lit(0).alias("__is_r")
-    ).unionByName(r.select(*keys, dt_col, F.lit(1).alias("__is_r")))
+        *keys, dt_col, src_col, no_update_col, F.lit(0).alias("__is_r")
+    ).unionByName(
+        r.select(
+            *keys, dt_col,
+            F.lit(None).cast("string").alias(src_col),
+            F.lit(None).cast("boolean").alias(no_update_col),
+            F.lit(1).alias("__is_r"),
+        )
+    )
     # range frames need a numeric order key; datetimes are second-
     # resolution here (the reference's +-1s margins operate on seconds)
     univ = univ.withColumn("__sec", F.unix_timestamp(F.col(dt_col)))
@@ -86,7 +95,6 @@ def sample_sync_actions(
 
     loc = (
         marked.where(F.col("__is_r") == 0)
-        .join(l, [*keys, dt_col])
         .join(F.broadcast(n_remote), list(keys), "left")
         .withColumn("__n_remote", F.coalesce("__n_remote", F.lit(0)))
     )
