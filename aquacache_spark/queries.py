@@ -3016,6 +3016,72 @@ def swob_minute_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"value": 4})
 
 
+_AQ_EXPECTED = _FIXDIR / "aquarius_expected.csv"
+
+_AQUARIUS_ORACLE = f"""
+    SELECT CAST(datetime AS TIMESTAMP) AS datetime,
+           {R('CAST(value AS DOUBLE)', 4)} AS value,
+           CAST(grade AS BIGINT) AS grade,
+           CAST(approval AS BIGINT) AS approval,
+           qualifier
+    FROM read_csv('{_AQ_EXPECTED}', header=true, all_varchar=true)
+"""
+
+
+@register("aquarius_connector_normalize", oracle=_AQUARIUS_ORACLE)
+def aquarius_connector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned Aquarius payload through the full connector
+    (R/downloadAquarius.R:30-574): offset-timestamp parse, NA drop,
+    exact-dup drop, approval/grade/qualifier code mapping with UNK
+    fallback, per-level qualifier overlap collapse, boundary SNAPPING
+    to point times, later-interval overwrite, qualifier comma-append,
+    UNS fills. The oracle reads the expected mirror computed by an
+    independent loop-based replica of the R semantics
+    (fixtures/connectors/gen_aquarius.py)."""
+    from .sources.registry import get_source
+
+    out = get_source("downloadAquarius")(
+        spark, location="09AA-M3", parameter="Wind Gust Vel.Corrected",
+        start_datetime="2025-01-10 00:00:00",
+        end_datetime="2025-01-11 00:00:00",
+        payload_path=str(_FIXDIR / "aquarius_09AA-M3.json"),
+    )
+    return _round(
+        out.select("datetime", "value", "grade", "approval", "qualifier"),
+        {"value": 4},
+    )
+
+
+_ECCC_ORACLE = f"""
+    SELECT CAST(time AS TIMESTAMP) AS datetime,
+           {R('TRY_CAST(wind_dir AS DOUBLE) * 10.0', 4)} AS value,
+           8 AS grade, 6 AS approval, 6 AS qualifier,
+           2 AS owner, 2 AS contributor
+    FROM read_csv('{_FIXDIR / "ecccwx_hourly_50430.csv"}', header=true,
+                  all_varchar=true)
+    WHERE CAST(time AS TIMESTAMP) >= TIMESTAMP '2024-03-01 06:00:00'
+      AND CAST(time AS TIMESTAMP) <= TIMESTAMP '2024-03-02 18:00:00'
+      AND TRY_CAST(wind_dir AS DOUBLE) IS NOT NULL
+"""
+
+
+@register("eccc_connector_fanout", oracle=_ECCC_ORACLE)
+def eccc_connector_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned weathercan hourly table through the ECCC weather
+    connector (R/downloadECCCwx.R:17-188): wide-table column fan-out,
+    inclusive window filter, NA drop, wind_dir tens-of-degrees ×10,
+    UNS QC defaults, ECCC organization stamping."""
+    from .sources.registry import get_source
+
+    out = get_source("downloadECCCwx")(
+        spark, location="50430", parameter="wind_dir",
+        start_datetime="2024-03-01 06:00:00",
+        end_datetime="2024-03-02 18:00:00", interval="hour",
+        payload_path=str(_FIXDIR / "ecccwx_hourly_50430.csv"),
+    )
+    return _round(out, {"value": 4})
+
+
 # ---------------------------------------------------------------------------
 # §2.12 refresh_calculated_daily END-TO-END (patch_48.R:215-702): corrected
 # read -> daily rollup -> dense spine -> DOY stats -> hist-count NULL

@@ -1,0 +1,262 @@
+"""Aquarius connector — corrected-data payload normalization
+(R/downloadAquarius.R:30-574), fetch injectable.
+
+The Aquarius client returns Points (offset-stamped timestamps,
+nullable numeric values) plus Approvals / Grades / Qualifiers interval
+lists. Normalization:
+
+1. Points: parse ``%Y-%m-%dT%H:%M:%OS%z`` -> UTC, drop NULL values,
+   drop exact-duplicate rows (:135-160).
+2. Interval codes map onto the db type ids — approval levels 800-1300,
+   grade codes, qualifier identifiers; unmapped -> UNK (:265-455).
+   Empty interval lists fall back to one UNS interval spanning the
+   points (:184-193).
+3. Same-level overlapping qualifier intervals collapse (:458-483;
+   levels iterate in CHARACTER sort order, split()'s contract).
+4. Interval boundaries SNAP to existing point times — a boundary
+   between two points snaps BACK to the earlier point (findInterval),
+   one before the first point snaps to it (:491-545) — then intervals
+   assign inclusively; later grade/approval intervals overwrite,
+   qualifier levels append comma-separated (:534-545).
+5. Remaining NULLs -> UNS ids (:552-563).
+
+Spark-first: the payload lands as JSON (the fetch fleet's natural
+format); points are one exploded scan; intervals are catalog-sized →
+every interval op (mapping, collapse, snapping, assignment) is a
+broadcast join or tiny window, so the whole normalization is map-only
+over the points at any scale. ``difference=True`` chains the
+reference-exact increments kernel (operators/increments.py) after a
+1-day prefetch, as the reference does (:110-181).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dims import (APPROVAL_CODES, GRADE_CODES, QUALIFIER_CODES,
+                   type_code_to_id)
+
+_GID = type_code_to_id(GRADE_CODES)
+_AID = type_code_to_id(APPROVAL_CODES)
+_QID = type_code_to_id(QUALIFIER_CODES)
+
+# R/downloadAquarius.R:229-258 / :265-325 / :378-444
+APPROVAL_MAP = {"800": "N", "900": "C", "950": "C", "975": "A",
+                "1200": "A", "1300": "A"}
+GRADE_MAP = {"0": "UNS", "-5": "MISS", "-3": "E", "-2": "N", "-1": "UNS",
+             "5": "A", "4": "B", "3": "C", "2": "E", "10": "HD", "11": "HI",
+             "12": "D", "14": "B", "15": "A", "21": "C", "30": "B", "31": "B"}
+QUALIFIER_MAP = {"BKW": "BW", "DD": "DD", "DRY": "DRY", "E": "US-DISTURB",
+                 "ES": "SUS", "FI": "INT", "HW-MISS": "HW-MISS",
+                 "ICE": "ICE", "ICE-EST": "ICE-EST", "LW-MISS": "LW-MISS",
+                 "OOW": "OOW", "PMMAX": "PMMAX", "PMMIN": "PMMIN",
+                 "PYMAX": "PYMAX", "PYMIN": "PYMIN", "REL": "REL"}
+
+_AQ_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSXXX"
+
+
+def _map_level(raw_col, mapping: dict, ids: dict):
+    """Compiled raw-code -> type-id fold; unmapped -> UNK."""
+    expr = F.lit(ids["UNK"])
+    for raw, code in mapping.items():
+        expr = F.when(raw_col == F.lit(raw), F.lit(ids[code])).otherwise(expr)
+    return expr
+
+
+def _intervals(payload_df, field: str, level_field: str, mapping, ids,
+               points: DataFrame) -> DataFrame:
+    """Explode one interval list; empty -> UNS spanning the points
+    (R/downloadAquarius.R:184-193). Output: (__ord, level, s, e)."""
+    fallback_only = True
+    for f in payload_df.schema.fields:
+        if f.name == field:
+            # an empty JSON list infers as string/array<string>; only a
+            # real array<struct> carries intervals
+            dt = f.dataType
+            fallback_only = not (
+                dt.typeName() == "array"
+                and dt.elementType.typeName() == "struct"
+            )
+    if fallback_only:
+        return points.agg(
+            F.lit(0).alias("__ord"),
+            F.lit(ids["UNS"]).alias("level"),
+            F.min("datetime").alias("s"),
+            F.max("datetime").alias("e"),
+        )
+    iv = payload_df.select(
+        F.posexplode_outer(F.col(field)).alias("__ord", "__iv")
+    ).select(
+        "__ord",
+        _map_level(F.col(f"__iv.{level_field}").cast("string"), mapping, ids)
+        .alias("level"),
+        F.to_timestamp(F.col("__iv.StartTime"), _AQ_TS_FMT).alias("s"),
+        F.to_timestamp(F.col("__iv.EndTime"), _AQ_TS_FMT).alias("e"),
+    )
+    fallback = points.agg(
+        F.lit(0).alias("__ord"),
+        F.lit(ids["UNS"]).alias("level"),
+        F.min("datetime").alias("s"),
+        F.max("datetime").alias("e"),
+    )
+    real = iv.where(F.col("s").isNotNull())
+    # catalog-sized existence probe decides the empty-list fallback
+    if real.limit(1).count() == 0:
+        return fallback
+    return real
+
+
+def _snap(intervals: DataFrame, points: DataFrame) -> DataFrame:
+    """Snap boundaries to point times (R:491-545): snapped(t) = last
+    point <= t, or the first point when t precedes all points. The
+    points × intervals product is a broadcast map-only pass (intervals
+    are catalog-sized)."""
+    p = points.select(F.col("datetime").alias("__pt"))
+    iv = intervals.withColumn("__iid", F.monotonically_increasing_id())
+    j = p.crossJoin(F.broadcast(iv))
+    snapped = j.groupBy("__iid").agg(
+        F.first("__ord").alias("__ord"),
+        F.first("level").alias("level"),
+        F.coalesce(
+            F.max(F.when(F.col("__pt") <= F.col("s"), F.col("__pt"))),
+            F.min("__pt"),
+        ).alias("snap_s"),
+        F.coalesce(
+            F.max(F.when(F.col("__pt") <= F.col("e"), F.col("__pt"))),
+            F.min("__pt"),
+        ).alias("snap_e"),
+    )
+    return snapped.select("__ord", "level", "snap_s", "snap_e")
+
+
+def _collapse_levels(intervals: DataFrame) -> DataFrame:
+    """Per-level overlap collapse (R:458-483), then reorder as the
+    reference's split() does: levels as character strings."""
+    w = Window.partitionBy("level").orderBy("s", "e")
+    cummax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    runs = (
+        intervals.withColumn(
+            "__new", F.when(F.col("s") <= cummax, 0).otherwise(1)
+        )
+        .withColumn(
+            "__run", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    merged = runs.groupBy("level", "__run").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    ).drop("__run")
+    w_ord = Window.orderBy(F.col("level").cast("string"), "s")
+    return merged.withColumn("__ord", F.row_number().over(w_ord))
+
+
+def normalize_aquarius(spark: SparkSession, payload_path: str) -> DataFrame:
+    """Full normalization of one canned/fetched Aquarius payload."""
+    payload = spark.read.option("multiLine", True).json(payload_path)
+
+    points = (
+        payload.select(F.explode("Points").alias("p"))
+        .select(
+            F.to_timestamp(F.col("p.Timestamp"), _AQ_TS_FMT).alias("datetime"),
+            F.col("p.Value.Numeric").cast("double").alias("value"),
+        )
+        .where(F.col("value").isNotNull())
+        .dropDuplicates(["datetime", "value"])
+    )
+
+    approvals = _intervals(payload, "Approvals", "ApprovalLevel",
+                           APPROVAL_MAP, _AID, points)
+    grades = _intervals(payload, "Grades", "GradeCode", GRADE_MAP, _GID,
+                        points)
+    quals = _collapse_levels(
+        _intervals(payload, "Qualifiers", "Identifier", QUALIFIER_MAP,
+                   _QID, points).drop("__ord")
+    )
+
+    def overwrite_col(intervals: DataFrame, name: str) -> DataFrame:
+        snapped = _snap(intervals, points)
+        hit = points.select("datetime").join(
+            F.broadcast(snapped),
+            F.col("datetime").between(F.col("snap_s"), F.col("snap_e")),
+        )
+        w = Window.partitionBy("datetime").orderBy(F.desc("__ord"))
+        return (
+            hit.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("datetime", F.col("level").alias(name))
+        )
+
+    def append_col(intervals: DataFrame, name: str) -> DataFrame:
+        snapped = _snap(intervals, points)
+        hit = points.select("datetime").join(
+            F.broadcast(snapped),
+            F.col("datetime").between(F.col("snap_s"), F.col("snap_e")),
+        )
+        # append order = the reference's interval row order (__ord)
+        return hit.groupBy("datetime").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__ord", "level"))
+                    ),
+                    lambda x: x["level"].cast("string"),
+                ),
+                ",",
+            ).alias(name)
+        )
+
+    out = (
+        points.join(overwrite_col(grades, "grade"), "datetime", "left")
+        .join(overwrite_col(approvals, "approval"), "datetime", "left")
+        .join(append_col(quals, "qualifier"), "datetime", "left")
+        .select(
+            "datetime", "value",
+            F.coalesce("grade", F.lit(_GID["UNS"])).alias("grade"),
+            F.coalesce("approval", F.lit(_AID["UNS"])).alias("approval"),
+            F.coalesce("qualifier", F.lit(str(_QID["UNS"]))).alias("qualifier"),
+        )
+    )
+    return out
+
+
+def download_aquarius(
+    spark: SparkSession,
+    location: str,
+    parameter: str,
+    start_datetime: str,
+    end_datetime: str,
+    payload_path: str | None = None,
+    difference: bool = False,
+    reset_drop: float = 20.0,
+    min_pos: float = 0.0,
+    max_gap: int = 0,
+) -> DataFrame:
+    """downloadAquarius (R/downloadAquarius.R:30): normalize the
+    payload; with ``difference=True`` run the reference-exact
+    increments kernel and trim back to the requested start (:160-181).
+    The fetch is injectable via ``payload_path`` (no network here)."""
+    if payload_path is None:
+        raise NotImplementedError(
+            "Aquarius fetch requires network access; pass payload_path "
+            "with a canned getTimeSeriesCorrectedData JSON payload"
+        )
+    ts = normalize_aquarius(spark, payload_path)
+    if difference:
+        from ..operators.increments import compute_increments
+
+        inc = compute_increments(
+            ts.withColumn("__k", F.lit(1)), ["__k"],
+            dt_col="datetime", value_col="value",
+            reset_drop=reset_drop, min_pos=min_pos, max_gap=max_gap,
+        )
+        ts = (
+            inc.drop("__k")
+            .where(
+                F.col("datetime")
+                >= F.lit(start_datetime).cast("timestamp")
+            )
+            .withColumn("value", F.col("increment"))
+            .drop("increment")
+            .where(F.col("value").isNotNull())
+        )
+    return ts

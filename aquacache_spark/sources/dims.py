@@ -12,9 +12,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-GRADE_CODES = ["A", "B", "C", "D", "E", "N", "UNK", "UNS"]
+# Seeding order is append-only: ids are positional (i+1), so new codes
+# (the Aquarius vocabulary, R/downloadAquarius.R:265-455) go at the END
+# to keep previously-issued ids stable.
+GRADE_CODES = ["A", "B", "C", "D", "E", "N", "UNK", "UNS",
+               "MISS", "HD", "HI"]
 APPROVAL_CODES = ["A", "C", "N", "R", "UNK", "UNS"]
-QUALIFIER_CODES = ["DRY", "EST", "ICE", "SUS", "UNK", "UNS"]
+QUALIFIER_CODES = ["DRY", "EST", "ICE", "SUS", "UNK", "UNS",
+                   "BW", "DD", "US-DISTURB", "INT", "HW-MISS", "ICE-EST",
+                   "LW-MISS", "OOW", "PMMAX", "PMMIN", "PYMAX", "PYMIN",
+                   "REL"]
 
 # organizations the connectors stamp as owner/contributor
 ORGANIZATIONS = [

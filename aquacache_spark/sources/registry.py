@@ -107,8 +107,39 @@ def _stub_http(name: str):
     return fetch
 
 
-for _name in ("downloadAquarius", "downloadECCCwx"):
-    _stub_http(_name)
+@register_source("downloadAquarius")
+def download_aquarius_src(spark: SparkSession, location: str, parameter: str,
+                          start_datetime: str, end_datetime: str,
+                          payload_path: str | None = None,
+                          difference: bool = False,
+                          reset_drop: float = 20.0, min_pos: float = 0.0,
+                          max_gap: int = 0, **_) -> DataFrame:
+    """Aquarius connector (R/downloadAquarius.R:30) — payload
+    normalization real (sources/aquarius.py), fetch injectable."""
+    from .aquarius import download_aquarius
+
+    return download_aquarius(
+        spark, location, parameter, start_datetime, end_datetime,
+        payload_path=payload_path, difference=difference,
+        reset_drop=reset_drop, min_pos=min_pos, max_gap=max_gap,
+    )
+
+
+@register_source("downloadECCCwx")
+def download_ecccwx_src(spark: SparkSession, location: str, parameter: str,
+                        start_datetime: str, end_datetime: str,
+                        interval: str = "hour",
+                        payload_path: str | None = None,
+                        organization_id: int = 2, **_) -> DataFrame:
+    """ECCC weather connector (R/downloadECCCwx.R:17) — weathercan-table
+    column fan-out real (sources/ecccwx.py), fetch injectable."""
+    from .ecccwx import download_ecccwx
+
+    return download_ecccwx(
+        spark, location, parameter, start_datetime, end_datetime,
+        interval=interval, payload_path=payload_path,
+        organization_id=organization_id,
+    )
 
 
 @register_source("downloadWSC")

@@ -186,3 +186,134 @@ class TestSWOBMinute:
         vals = [r["value"] for r in out.orderBy("datetime").collect()]
         assert len(vals) == 12
         assert vals[0] == pytest.approx(915.0)
+
+
+class TestAquarius:
+    @pytest.fixture(scope="class")
+    def aq(self, spark, repo_root):
+        out = registry.get_source("downloadAquarius")(
+            spark, location="09AA-M3", parameter="Wind Gust Vel.Corrected",
+            start_datetime="2025-01-10 00:00:00",
+            end_datetime="2025-01-11 00:00:00",
+            payload_path=str(
+                repo_root / "fixtures/connectors/aquarius_09AA-M3.json"
+            ),
+        )
+        rows = {str(r["datetime"]): r for r in out.collect()}
+        return rows, out
+
+    def test_na_and_duplicates_dropped(self, aq):
+        rows, _ = aq
+        assert len(rows) == 95  # 97 points - 2 NA; duplicate collapsed
+
+    def test_boundary_snapping_extends_backwards(self, aq):
+        rows, _ = aq
+        # the 1200->A approval starts at 06:07:30, BETWEEN points; the
+        # reference snaps it back to the 06:00 point (findInterval)
+        assert rows["2025-01-10 06:00:00"]["approval"] == A_ID["A"]
+        assert rows["2025-01-10 05:45:00"]["approval"] == A_ID["C"]
+
+    def test_qualifier_collapse_and_append(self, aq):
+        rows, _ = aq
+        ice = str(Q_ID["ICE"])
+        bw = str(Q_ID["BW"])
+        # two overlapping ICE intervals collapsed into [02:00, 04:00]
+        assert rows["2025-01-10 02:45:00"]["qualifier"] == ice
+        # BKW overlap appends in character-sorted level order
+        assert rows["2025-01-10 03:45:00"]["qualifier"] == f"{ice},{bw}"
+        assert rows["2025-01-10 04:15:00"]["qualifier"] == bw
+
+    def test_unmapped_codes_fall_to_unk(self, aq):
+        rows, _ = aq
+        from aquacache_spark.sources.dims import GRADE_CODES
+        G_ID = type_code_to_id(GRADE_CODES)
+        assert rows["2025-01-10 20:30:00"]["grade"] == G_ID["UNK"]
+        assert rows["2025-01-10 10:00:00"]["qualifier"] == str(Q_ID["UNK"])
+
+    def test_difference_mode_runs_increments(self, spark, repo_root):
+        out = registry.get_source("downloadAquarius")(
+            spark, location="09AA-M3", parameter="x",
+            start_datetime="2025-01-10 06:00:00",
+            end_datetime="2025-01-11 00:00:00",
+            payload_path=str(
+                repo_root / "fixtures/connectors/aquarius_09AA-M3.json"
+            ),
+            difference=True, reset_drop=20.0, min_pos=0.0,
+        ).orderBy("datetime").collect()
+        # trimmed back to the requested start; values are increments
+        assert str(out[0]["datetime"]) >= "2025-01-10 06:00:00"
+        # monotone sine segment: increment == value step (positive part)
+        assert all(r["value"] is not None for r in out)
+
+    def test_empty_interval_lists_fall_back_to_uns(self, spark, tmp_path):
+        import json
+
+        payload = {
+            "Points": [
+                {"Timestamp": "2025-01-10T00:00:00.0000000-00:00",
+                 "Value": {"Numeric": 1.0}},
+                {"Timestamp": "2025-01-10T01:00:00.0000000-00:00",
+                 "Value": {"Numeric": 2.0}},
+            ],
+            "Approvals": [], "Grades": [], "Qualifiers": [],
+        }
+        p = tmp_path / "aq_empty.json"
+        p.write_text(json.dumps(payload))
+        out = registry.get_source("downloadAquarius")(
+            spark, location="x", parameter="y",
+            start_datetime="2025-01-10 00:00:00",
+            end_datetime="2025-01-11 00:00:00", payload_path=str(p),
+        ).collect()
+        from aquacache_spark.sources.dims import GRADE_CODES
+        G_ID = type_code_to_id(GRADE_CODES)
+        assert all(r["grade"] == G_ID["UNS"] for r in out)
+        assert all(r["approval"] == A_ID["UNS"] for r in out)
+        assert all(r["qualifier"] == str(Q_ID["UNS"]) for r in out)
+
+
+class TestECCCwx:
+    def test_daily_table_stamps_6utc_next_day(self, spark, repo_root):
+        out = registry.get_source("downloadECCCwx")(
+            spark, location="50430", parameter="mean_temp",
+            start_datetime="2024-03-01 00:00:00",
+            end_datetime="2024-03-15 00:00:00", interval="day",
+            payload_path=str(
+                repo_root / "fixtures/connectors/ecccwx_daily_50430.csv"
+            ),
+        ).orderBy("datetime").collect()
+        # date + 30h: values for Mar 1 land at Mar 2 06:00 UTC
+        assert str(out[0]["datetime"]) == "2024-03-02 06:00:00"
+        assert out[0]["value"] == pytest.approx(-4.0)
+
+    def test_na_parameter_rows_dropped(self, spark, repo_root):
+        out = registry.get_source("downloadECCCwx")(
+            spark, location="50430", parameter="total_precip",
+            start_datetime="2024-03-01 00:00:00",
+            end_datetime="2024-03-15 00:00:00", interval="day",
+            payload_path=str(
+                repo_root / "fixtures/connectors/ecccwx_daily_50430.csv"
+            ),
+        ).collect()
+        assert len(out) == 9  # day index 4 has an empty value
+
+    def test_missing_parameter_errors(self, spark, repo_root):
+        with pytest.raises(ValueError, match="not available"):
+            registry.get_source("downloadECCCwx")(
+                spark, location="50430", parameter="nope",
+                start_datetime="2024-03-01 00:00:00",
+                end_datetime="2024-03-15 00:00:00",
+                payload_path=str(
+                    repo_root / "fixtures/connectors/ecccwx_daily_50430.csv"
+                ),
+            )
+
+    def test_date_only_end_extends_to_end_of_day(self, spark, repo_root):
+        out = registry.get_source("downloadECCCwx")(
+            spark, location="50430", parameter="temp",
+            start_datetime="2024-03-01 00:00:00",
+            end_datetime="2024-03-02", interval="hour",
+            payload_path=str(
+                repo_root / "fixtures/connectors/ecccwx_hourly_50430.csv"
+            ),
+        ).agg(F.max("datetime").alias("m")).collect()
+        assert str(out[0]["m"]) == "2024-03-02 23:00:00"
