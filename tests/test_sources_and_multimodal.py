@@ -26,10 +26,14 @@ def test_dispatch_unknown_source(spark):
 
 
 def test_http_stub_raises(spark):
-    # downloadAquarius remains fetch-stubbed (no network here); WSC/NWIS/
-    # SWOB now have real payload parsers (tests/test_connectors.py)
-    with pytest.raises(NotImplementedError, match="downloadAquarius"):
-        registry.get_source("downloadAquarius")(spark)
+    # downloadAquarius's payload normalization is real (sources/aquarius.py)
+    # but the fetch is injectable-only: without a payload_path it must
+    # raise NotImplementedError (no network in this environment).
+    with pytest.raises(NotImplementedError, match="Aquarius fetch"):
+        registry.get_source("downloadAquarius")(
+            spark, "09AB001", "Stage.Preliminary",
+            "2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        )
 
 
 def test_contract_validation_drops_nulls(spark):
