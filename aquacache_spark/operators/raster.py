@@ -1,0 +1,262 @@
+"""Tiled raster algebra: ingest, clip, zonal stats, pyramids, forecast
+lifecycle.
+
+Reference data model (R/writeRaster.R:1-45, R/insertACRaster.R:4-8):
+rasters are stored tiled — many rows per raster in ``spatial.rasters``,
+all linked to one row in ``spatial.rasters_reference`` carrying the
+metadata (series, valid_from/valid_to, issued, flag, band names).
+Tiling exists so a spatial window fetch touches only the tiles it
+needs; PostGIS does that with raster constraints + GiST.
+
+Spark-first re-expression:
+
+- A *cells* frame ``(x, y, value)`` is the decoded-grid exchange format
+  (what a connector's decode step emits).
+- A *tiles* frame stores one row per tile: ``(tile_x, tile_y, tw, th,
+  xmin, ymin, xmax, ymax, cells array<double>)`` with the cell values
+  row-major within the tile and NULL for no-data cells.  The bbox
+  columns are plain min/max ints, so parquet column statistics prune
+  tiles at scan time — the Spark analog of the PostGIS spatial index:
+  a ``WHERE xmin <= qx AND xmax >= qx`` clip reaches the scan as a
+  pushed filter and skips whole row groups of out-of-window tiles.
+- All tile math is JVM-side higher-order functions (``transform``,
+  ``posexplode``, ``aggregate``) — no Python in the hot path.
+
+At 100 TB: tiles are the unit of parallelism; a raster series
+partitioned by (reference_id) with ~16k-cell tiles gives multi-MB
+parquet rows that scan at full columnar speed, and every operator
+below is either map-only over tiles or a single shuffle keyed by a
+bounded-cardinality key (zone id, pyramid cell, reference id).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .daily import exact_mean, exact_sum
+
+
+def tile_cells(
+    cells: DataFrame,
+    tile: int = 16,
+    keys: Sequence[str] = (),
+    x: str = "x",
+    y: str = "y",
+    value: str = "value",
+) -> DataFrame:
+    """Pack a cell-level frame into row-major tiles (writeRaster.R:20-28
+    "blocks" splitting, distributed).
+
+    One shuffle on (keys, tile_x, tile_y); within a tile the cells are
+    placed by position arithmetic, absent cells become NULL (PostGIS
+    no-data).  ``map_from_entries`` + ``transform(sequence(...))`` keeps
+    the packing in whole-stage codegen.
+    """
+    kx, ky = F.col(x), F.col(y)
+    placed = cells.select(
+        *keys,
+        F.floor(kx / tile).cast("int").alias("tile_x"),
+        F.floor(ky / tile).cast("int").alias("tile_y"),
+        ((ky % tile) * tile + (kx % tile)).cast("int").alias("__pos"),
+        F.col(value).cast("double").alias("__v"),
+    )
+    n = tile * tile
+    return (
+        placed.groupBy(*keys, "tile_x", "tile_y")
+        .agg(F.map_from_entries(F.collect_list(F.struct("__pos", "__v"))).alias("__m"))
+        .select(
+            *keys,
+            "tile_x",
+            "tile_y",
+            F.lit(tile).alias("tw"),
+            F.lit(tile).alias("th"),
+            (F.col("tile_x") * tile).alias("xmin"),
+            (F.col("tile_y") * tile).alias("ymin"),
+            (F.col("tile_x") * tile + tile - 1).alias("xmax"),
+            (F.col("tile_y") * tile + tile - 1).alias("ymax"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.element_at(F.col("__m"), i.cast("int")),
+            ).alias("cells"),
+        )
+    )
+
+
+def untile(tiles: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
+    """Explode tiles back to (x, y, value) cells, dropping no-data.
+
+    Map-only (narrow): posexplode + position arithmetic.
+    """
+    return (
+        tiles.select(*keys, "tile_x", "tile_y", "tw", "th",
+                     F.posexplode("cells").alias("__pos", "value"))
+        .where(F.col("value").isNotNull())
+        .select(
+            *keys,
+            (F.col("tile_x") * F.col("tw") + F.col("__pos") % F.col("tw"))
+            .cast("int").alias("x"),
+            (F.col("tile_y") * F.col("th") + (F.col("__pos") / F.col("tw"))
+             .cast("int")).cast("int").alias("y"),
+            "value",
+        )
+    )
+
+
+def clip(tiles: DataFrame, xmin: int, ymin: int, xmax: int, ymax: int,
+         keys: Sequence[str] = ()) -> DataFrame:
+    """Window read (rpostgis::pgGetRast boundary fetch): prune tiles by
+    bbox — a pushed parquet filter, no shuffle — then trim cells.
+    """
+    pruned = tiles.where(
+        (F.col("xmin") <= xmax) & (F.col("xmax") >= xmin)
+        & (F.col("ymin") <= ymax) & (F.col("ymax") >= ymin)
+    )
+    c = untile(pruned, keys=keys)
+    return c.where(
+        (F.col("x") >= xmin) & (F.col("x") <= xmax)
+        & (F.col("y") >= ymin) & (F.col("y") <= ymax)
+    )
+
+
+def zonal_stats(
+    tiles: DataFrame,
+    zones: DataFrame,
+    keys: Sequence[str] = (),
+    zone_keys: Sequence[str] = ("zone_id",),
+) -> DataFrame:
+    """Per-zone mean/min/max/count over axis-aligned zones.
+
+    ``zones``: (zone_keys..., zxmin, zymin, zxmax, zymax) — catalog-sized,
+    broadcast.  Stage 1 joins *tiles* (not cells) to zones on bbox
+    overlap, so non-intersecting tiles never explode; stage 2 explodes
+    only the touched tiles and aggregates with the exact-sum idiom
+    (order-independent across partitionings).  Shuffle: one, keyed on
+    the zone id.
+    """
+    touched = tiles.join(
+        F.broadcast(zones),
+        (F.col("xmin") <= F.col("zxmax")) & (F.col("xmax") >= F.col("zxmin"))
+        & (F.col("ymin") <= F.col("zymax")) & (F.col("ymax") >= F.col("zymin")),
+    )
+    cells = (
+        touched.select(
+            *keys, *zone_keys, "zxmin", "zymin", "zxmax", "zymax",
+            "tile_x", "tile_y", "tw", "th",
+            F.posexplode("cells").alias("__pos", "value"),
+        )
+        .where(F.col("value").isNotNull())
+        .withColumn("x", (F.col("tile_x") * F.col("tw") + F.col("__pos") % F.col("tw")).cast("int"))
+        .withColumn("y", (F.col("tile_y") * F.col("th") + (F.col("__pos") / F.col("tw")).cast("int")).cast("int"))
+        .where(
+            (F.col("x") >= F.col("zxmin")) & (F.col("x") <= F.col("zxmax"))
+            & (F.col("y") >= F.col("zymin")) & (F.col("y") <= F.col("zymax"))
+        )
+    )
+    return cells.groupBy(*keys, *zone_keys).agg(
+        exact_mean(F.col("value")).alias("zmean"),
+        F.min("value").alias("zmin"),
+        F.max("value").alias("zmax"),
+        F.count("value").alias("zcount"),
+    )
+
+
+def pyramid(tiles: DataFrame, factor: int, keys: Sequence[str] = ()) -> DataFrame:
+    """One overview level (createRasterPyramids.R): mean-resample cells
+    into (x div factor, y div factor).
+
+    Single shuffle keyed by the coarse cell; exact mean so the level is
+    reproducible across partition layouts.  Chains: pyramid(pyramid(t,2),2)
+    == pyramid(t,4) for factor powers.
+    """
+    c = untile(tiles, keys=keys)
+    return (
+        c.groupBy(
+            *keys,
+            F.floor(F.col("x") / factor).cast("int").alias("px"),
+            F.floor(F.col("y") / factor).cast("int").alias("py"),
+        )
+        .agg(exact_mean(F.col("value")).alias("pvalue"),
+             F.count("value").alias("pcount"))
+    )
+
+
+def forecast_survivors(
+    reference: DataFrame,
+    keep: str = "selective",
+    tol_seconds: int = 5,
+    series_col: str = "raster_series_id",
+) -> DataFrame:
+    """Forecast-replacement lifecycle (getNewRasters.R:393-447).
+
+    For each series the newest issue (max ``issued``) is "the new
+    forecast"; older rasters are deleted per ``keep``:
+
+    - ``selective``: drop rows whose ``valid_from`` is also covered by
+      the new issue and whose ``issued`` is NOT within ``tol_seconds``
+      of the new issue (reference: ``issued NOT BETWEEN new-5 AND new+5``).
+    - ``none``: drop every row not issued within tolerance of the new
+      issue.
+    - ``all``: keep everything.
+
+    Returns the surviving reference rows.  Relational throughout: one
+    window max per series + a broadcast-able semi-join on the new
+    issue's valid_from set — no driver loop, so a 10k-series refresh is
+    one job.
+    """
+    if keep not in ("selective", "all", "none"):
+        raise ValueError("keep must be 'selective', 'all' or 'none'")
+    if keep == "all":
+        return reference
+    w = Window.partitionBy(series_col)
+    ref = reference.withColumn("__new_issue", F.max("issued").over(w))
+    within = (
+        F.abs(F.col("issued").cast("long") - F.col("__new_issue").cast("long"))
+        <= tol_seconds
+    )
+    if keep == "none":
+        return ref.where(within).drop("__new_issue")
+    # survivors = rows issued within tolerance of the new issue, plus
+    # rows whose valid_from the new issue does not cover
+    new_valid = (
+        ref.where(within)
+        .select(F.col(series_col).alias("__sid"), F.col("valid_from").alias("__nvf"))
+        .distinct()
+        .withColumn("__covered", F.lit(True))
+    )
+    marked = ref.join(
+        F.broadcast(new_valid),
+        (F.col(series_col) == F.col("__sid")) & (F.col("valid_from") == F.col("__nvf")),
+        "left",
+    )
+    return (
+        marked.where(within | F.col("__covered").isNull())
+        .drop("__new_issue", "__sid", "__nvf", "__covered")
+    )
+
+
+def model_asof(
+    reference: DataFrame,
+    series_col: str = "raster_series_id",
+) -> DataFrame:
+    """Best-available raster per (series, valid_from)
+    (insertACRaster.R:302-345 PRELIMINARY replacement +
+    insertACModelRaster issue ranking).
+
+    Rank candidates: non-PRELIMINARY beats PRELIMINARY, then latest
+    ``issued``, then highest reference_id (insertion order) — exactly
+    the row the reference would have kept after its delete-and-replace
+    dance, computed as one window instead of per-row DML.
+    """
+    w = Window.partitionBy(series_col, "valid_from").orderBy(
+        F.when(F.col("flag") == "PRELIMINARY", 1).otherwise(0).asc(),
+        F.col("issued").desc(),
+        F.col("reference_id").desc(),
+    )
+    return (
+        reference.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -3679,3 +3679,190 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"value": 4, "hist_min": 4, "hist_max": 4, "hist_mean": 4,
                         "q10": 4, "q25": 4, "q50": 4, "q75": 4, "q90": 4,
                         "percent_historic_range": 4})
+
+
+# ---------------------------------------------------------------------------
+# Raster subsystem (writeRaster.R tiled model, insertACRaster.R:4-8,
+# getNewRasters.R:393-447, createRasterPyramids.R). Cells are derived
+# deterministically from driver tables (x/y from event_id), mirrored in
+# the oracle, so both engines see the same grid without synthesizing
+# side data. Tiles carry bbox metadata -> parquet min/max pruning is the
+# PostGIS-spatial-index analog at 100 TB.
+# ---------------------------------------------------------------------------
+
+_RASTER_CELLS_SQL = """
+      SELECT (event_id % 100) AS x,
+             CAST(floor(event_id / 100) AS INT) AS y,
+             value
+      FROM events
+"""
+
+_RASTER_ZONES_SQL = """
+      SELECT n_nationkey AS zone_id,
+             (n_nationkey * 13) % 80 AS zxmin,
+             (n_nationkey * 29) % 80 AS zymin,
+             (n_nationkey * 13) % 80 + 19 AS zxmax,
+             (n_nationkey * 29) % 80 + 19 AS zymax
+      FROM nation
+"""
+
+
+def _raster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 100).cast("int").alias("x"),
+        F.floor(F.col("event_id") / 100).cast("int").alias("y"),
+        "value",
+    )
+
+
+@register(
+    "raster_zonal_stats",
+    oracle=f"""
+    WITH cells AS ({_RASTER_CELLS_SQL}),
+         zones AS ({_RASTER_ZONES_SQL})
+    SELECT zone_id,
+           {R(DSUM('c.value') + ' / count(*)', 6)} AS zmean,
+           min(c.value) AS zmin,
+           max(c.value) AS zmax,
+           count(*) AS zcount
+    FROM cells c JOIN zones z
+      ON c.x BETWEEN z.zxmin AND z.zxmax
+     AND c.y BETWEEN z.zymin AND z.zymax
+    GROUP BY zone_id
+    """,
+)
+def raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal mean/min/max/count over a tiled raster (zonal statistics on
+    spatial.rasters; the read path of R/writeRaster.R:6-10 tiling).
+
+    Spark plan: tile once (shuffle keyed by tile), broadcast the
+    catalog-sized zone table, bbox-join *tiles* so only intersecting
+    tiles explode, aggregate per zone with exact sums. The oracle joins
+    raw cells — same result, different (non-scalable) plan."""
+    from .operators.raster import tile_cells, zonal_stats
+
+    nation = _t(spark, sf_dir, "nation")
+    zones = nation.select(
+        F.col("n_nationkey").cast("int").alias("zone_id"),
+        ((F.col("n_nationkey") * 13) % 80).cast("int").alias("zxmin"),
+        ((F.col("n_nationkey") * 29) % 80).cast("int").alias("zymin"),
+        ((F.col("n_nationkey") * 13) % 80 + 19).cast("int").alias("zxmax"),
+        ((F.col("n_nationkey") * 29) % 80 + 19).cast("int").alias("zymax"),
+    )
+    tiles = tile_cells(_raster_cells(spark, sf_dir), tile=16)
+    out = zonal_stats(tiles, zones)
+    return _round(out, {"zmean": 6})
+
+
+@register(
+    "raster_pyramid",
+    oracle=f"""
+    WITH cells AS ({_RASTER_CELLS_SQL})
+    SELECT CAST(floor(x / 4) AS INT) AS px,
+           CAST(floor(y / 4) AS INT) AS py,
+           {R(DSUM('value') + ' / count(*)', 6)} AS pvalue,
+           count(*) AS pcount
+    FROM cells
+    GROUP BY 1, 2
+    """,
+)
+def raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview-level generation (createRasterPyramids.R): factor-4
+    mean resample from tiles. One shuffle keyed by the coarse cell;
+    exact mean keeps levels bit-reproducible across partitionings."""
+    from .operators.raster import pyramid, tile_cells
+
+    tiles = tile_cells(_raster_cells(spark, sf_dir), tile=16)
+    out = pyramid(tiles, 4)
+    return _round(out, {"pvalue": 6})
+
+
+_RASTER_REF_SQL = """
+      SELECT o_orderkey AS reference_id,
+             o_custkey % 7 AS raster_series_id,
+             CAST(o_orderdate AS TIMESTAMP)
+               + to_days(CAST(o_orderkey % 5 AS INT)) AS valid_from,
+             CAST(o_orderdate AS TIMESTAMP) AS issued,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'PRELIMINARY'
+                  ELSE 'FINAL' END AS flag
+      FROM orders
+      WHERE o_orderkey % 11 = 0
+"""
+
+
+def _raster_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("reference_id"),
+        (F.col("o_custkey") % 7).alias("raster_series_id"),
+        (F.col("o_orderdate").cast("timestamp")
+         + (F.col("o_orderkey") % 5).cast("int")
+         * F.expr("INTERVAL 1 DAY")).alias("valid_from"),
+        F.col("o_orderdate").cast("timestamp").alias("issued"),
+        F.when(F.col("o_orderkey") % 3 == 0, "PRELIMINARY")
+        .otherwise("FINAL").alias("flag"),
+    )
+
+
+@register(
+    "raster_forecast_selective",
+    oracle=f"""
+    WITH ref AS ({_RASTER_REF_SQL}),
+         m AS (
+           SELECT *, max(issued) OVER (PARTITION BY raster_series_id)
+                       AS new_issue
+           FROM ref
+         ),
+         nv AS (
+           SELECT DISTINCT raster_series_id, valid_from
+           FROM m
+           WHERE abs(epoch(issued) - epoch(new_issue)) <= 5
+         )
+    SELECT m.reference_id, m.raster_series_id, m.valid_from, m.issued
+    FROM m
+    LEFT JOIN nv ON nv.raster_series_id = m.raster_series_id
+                AND nv.valid_from = m.valid_from
+    WHERE abs(epoch(m.issued) - epoch(m.new_issue)) <= 5
+       OR nv.valid_from IS NULL
+    """,
+)
+def raster_forecast_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective forecast replacement (getNewRasters.R:393-425): keep
+    rasters issued with the newest cycle, plus older rasters whose
+    valid time the new cycle does not cover. Window max + broadcast
+    semi-join — no per-row DML, one job for every series at once."""
+    from .operators.raster import forecast_survivors
+
+    ref = _raster_reference(spark, sf_dir)
+    return forecast_survivors(ref, keep="selective").select(
+        "reference_id", "raster_series_id", "valid_from", "issued"
+    )
+
+
+@register(
+    "raster_model_asof",
+    oracle=f"""
+    WITH ref AS ({_RASTER_REF_SQL}),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY raster_series_id, valid_from
+             ORDER BY CASE WHEN flag = 'PRELIMINARY' THEN 1 ELSE 0 END,
+                      issued DESC, reference_id DESC
+           ) AS rn
+           FROM ref
+         )
+    SELECT reference_id, raster_series_id, valid_from, issued, flag
+    FROM ranked WHERE rn = 1
+    """,
+)
+def raster_model_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-available raster per (series, valid time): FINAL beats
+    PRELIMINARY, then latest issue (insertACRaster.R:302-345 replace-
+    on-final + insertACModelRaster issue ranking) as one window."""
+    from .operators.raster import model_asof
+
+    ref = _raster_reference(spark, sf_dir)
+    return model_asof(ref).select(
+        "reference_id", "raster_series_id", "valid_from", "issued", "flag"
+    )

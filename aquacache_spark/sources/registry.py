@@ -230,6 +230,51 @@ def read_snow_workbook_src(spark: SparkSession, path: str, **kwargs) -> DataFram
     )
 
 
+@register_source("downloadERA5")
+def download_era5_src(spark: SparkSession, parameter: str, start_datetime: str,
+                      end_datetime: str, payload_path: str | None = None,
+                      **kw) -> DataFrame:
+    """ERA5 reanalysis raster connector (R/downloadERA5.R:17) — decoded-
+    grid normalization real (sources/raster.py), CDS fetch injectable."""
+    from .raster import download_era5
+
+    return download_era5(spark, parameter, start_datetime, end_datetime,
+                         payload_path=payload_path, **kw)
+
+
+@register_source("downloadHRDPA")
+def download_hrdpa_src(spark: SparkSession, parameter: str, start_datetime: str,
+                       end_datetime: str, payload_path: str | None = None,
+                       **kw) -> DataFrame:
+    """HRDPA precip-analysis raster connector (R/downloadHRDPA.R:11)."""
+    from .raster import download_hrdpa
+
+    return download_hrdpa(spark, parameter, start_datetime, end_datetime,
+                          payload_path=payload_path, **kw)
+
+
+@register_source("downloadHRDPS")
+def download_hrdps_src(spark: SparkSession, parameter: str, start_datetime: str,
+                       end_datetime: str, payload_path: str | None = None,
+                       **kw) -> DataFrame:
+    """HRDPS forecast raster connector (R/downloadHRDPS.R)."""
+    from .raster import download_hrdps
+
+    return download_hrdps(spark, parameter, start_datetime, end_datetime,
+                          payload_path=payload_path, **kw)
+
+
+@register_source("downloadCaLDAS")
+def download_caldas_src(spark: SparkSession, parameter: str, start_datetime: str,
+                        end_datetime: str, payload_path: str | None = None,
+                        **kw) -> DataFrame:
+    """CaLDAS snow-analysis raster connector (R/downloadCaLDAS.R)."""
+    from .raster import download_caldas
+
+    return download_caldas(spark, parameter, start_datetime, end_datetime,
+                           payload_path=payload_path, **kw)
+
+
 def fetch_task_groups(catalog_df: DataFrame) -> DataFrame:
     """Cache-sharing fetch groups for parallel ingest.
 
