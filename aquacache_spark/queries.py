@@ -3866,3 +3866,300 @@ def raster_model_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model_asof(ref).select(
         "reference_id", "raster_series_id", "valid_from", "issued", "flag"
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector subsystem (insertACVector.R:5-23 feature store, load_nhn.R).
+# Geometry rings are array<struct<x,y>> so containment runs in JVM
+# higher-order functions; polygons broadcast; the big point side
+# streams map-only through a bbox pre-filter + exact ray-cast refine.
+# ---------------------------------------------------------------------------
+
+@register(
+    "vector_point_in_polygon",
+    oracle="""
+    WITH tri AS (
+      SELECT n_nationkey AS poly_id,
+             CAST((n_nationkey * 37) % 180 AS DOUBLE) AS ax,
+             CAST((n_nationkey * 53) % 180 AS DOUBLE) AS ay,
+             CAST((n_nationkey * 37) % 180 + 15 + n_nationkey % 7 AS DOUBLE) AS bx,
+             CAST((n_nationkey * 53) % 180 + 3 + n_nationkey % 5 AS DOUBLE) AS by,
+             CAST((n_nationkey * 37) % 180 + 5 + n_nationkey % 4 AS DOUBLE) AS cx,
+             CAST((n_nationkey * 53) % 180 + 17 + n_nationkey % 6 AS DOUBLE) AS cy
+      FROM nation
+    ),
+    pts AS (
+      SELECT c_custkey AS point_id,
+             ((c_custkey * 7919) % 1800) / 10.0 + 0.137 AS px,
+             ((c_custkey * 104729) % 1800) / 10.0 + 0.269 AS py
+      FROM customer
+    )
+    -- triangles are CCW by construction: strict half-plane sign tests
+    SELECT poly_id, count(*) AS n_points,
+           CAST(sum(point_id) AS BIGINT) AS sum_point_ids
+    FROM tri JOIN pts
+      ON (bx - ax) * (py - ay) - (by - ay) * (px - ax) > 0
+     AND (cx - bx) * (py - by) - (cy - by) * (px - bx) > 0
+     AND (ax - cx) * (py - cy) - (ay - cy) * (px - cx) > 0
+    GROUP BY poly_id
+    """,
+)
+def vector_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join (the read path insertACVector enables:
+    which points fall in which basins/waterbodies).
+
+    Spark: broadcast catalog-sized polygons, bbox pre-filter, exact
+    ray-casting in codegen'd array lambdas (operators/vector.py) — the
+    point table never shuffles. The oracle proves the same containment
+    set through independent math (half-plane sign tests on the CCW
+    triangles), so the ray-cast kernel is cross-checked, not mirrored."""
+    from .operators.vector import point_in_polygon_join
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    ax, ay = (k * 37) % 180, (k * 53) % 180
+    verts = [
+        (ax, ay),
+        (ax + 15 + k % 7, ay + 3 + k % 5),
+        (ax + 5 + k % 4, ay + 17 + k % 6),
+    ]
+    polys = nation.select(
+        k.cast("int").alias("poly_id"),
+        F.array(*[
+            F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+            for x, y in verts
+        ]).alias("ring"),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (((F.col("c_custkey") * 7919) % 1800) / 10.0 + 0.137).alias("px"),
+        (((F.col("c_custkey") * 104729) % 1800) / 10.0 + 0.269).alias("py"),
+    )
+    hits = point_in_polygon_join(pts, polys)
+    return hits.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("point_id").alias("sum_point_ids"),
+    )
+
+
+_NHN_FIX = _FIXDIR / "nhn_basins.csv"
+
+@register(
+    "nhn_layer_upsert",
+    oracle=f"""
+    WITH raw AS (
+      SELECT dataset_name, description, area_km2, province
+      FROM read_csv('{_NHN_FIX}', header=true)
+    ),
+    feats AS (
+      SELECT 'National Hydro Network - Basins' AS layer_name,
+             'NHN basin ' || dataset_name AS feature_name,
+             'polygon' AS geom_type,
+             description,
+             '{{"area_km2":' || CAST(area_km2 AS VARCHAR)
+               || ',"province":"' || province || '"}}' AS attributes
+      FROM raw
+    ),
+    existing AS (
+      SELECT 'National Hydro Network - Basins' AS layer_name,
+             'NHN basin basin_0' || CAST(i AS VARCHAR) AS feature_name,
+             'polygon' AS geom_type,
+             9001 + i AS geom_id
+      FROM range(3) t(i)
+    )
+    SELECT f.feature_name, f.geom_type, f.description, f.attributes,
+           CASE WHEN e.geom_id IS NULL THEN 'insert' ELSE 'update' END AS action,
+           COALESCE(e.geom_id,
+             CAST('0x' || substr(md5(f.layer_name || '|' || f.feature_name
+                                 || '|' || f.geom_type), 1, 15) AS BIGINT)
+           ) AS geom_id
+    FROM feats f
+    LEFT JOIN existing e
+      ON e.layer_name = f.layer_name AND e.feature_name = f.feature_name
+     AND e.geom_type = f.geom_type
+    """,
+)
+def nhn_layer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_nhn basins layer end-to-end (load_nhn.R:158-196): decoded-
+    GPKG payload -> WKT decode kernel -> feature_name construction ->
+    attribute JSON routing -> overwrite upsert with geom_id recycling
+    (insertACVector.R:263-293). The WKB/ring columns are exercised (the
+    kernel runs) but the compared output is the relational contract."""
+    from .sources.vector import load_nhn_layer
+
+    existing = spark.range(3).select(
+        F.lit("National Hydro Network - Basins").alias("layer_name"),
+        F.concat(F.lit("NHN basin basin_0"), F.col("id").cast("string"))
+        .alias("feature_name"),
+        F.lit("polygon").alias("geom_type"),
+        (F.col("id") + 9001).alias("geom_id"),
+    )
+    out = load_nhn_layer(
+        spark, "basins", existing,
+        payload_path=str(_NHN_FIX), overwrite=True,
+    )
+    return out.select("feature_name", "geom_type", "description",
+                      "attributes", "action", "geom_id")
+
+
+# ---------------------------------------------------------------------------
+# Media stores (insertACImage.R ON CONFLICT(file_hash) merge,
+# getNewImages.R watermarks, insertACDocument.R type validation).
+# Binary mass is opaque; hashes computed JVM-side; merges are
+# relational classifications keyed on the content hash.
+# ---------------------------------------------------------------------------
+
+_IMG_INCOMING_SQL = """
+      SELECT sha256(text) AS file_hash,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE doc_id % 20 END AS img_series_id,
+             TIMESTAMP '2024-03-01 00:00:00'
+               + to_minutes(CAST(doc_id AS INT)) AS datetime,
+             CASE WHEN doc_id % 4 = 0 THEN NULL
+                  ELSE 'img of doc ' || CAST(doc_id AS VARCHAR)
+                  END AS description
+      FROM documents
+"""
+
+_IMG_EXISTING_SQL = """
+      SELECT sha256(text) AS file_hash,
+             doc_id % 7 AS img_series_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_minutes(CAST(doc_id AS INT)) AS datetime,
+             'old desc ' || CAST(doc_id AS VARCHAR) AS description
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "image_hash_upsert",
+    oracle=f"""
+    WITH incoming AS ({_IMG_INCOMING_SQL}),
+         existing AS ({_IMG_EXISTING_SQL})
+    SELECT i.file_hash,
+           CASE WHEN e.file_hash IS NULL THEN 'insert' ELSE 'update' END
+             AS action,
+           COALESCE(i.img_series_id, e.img_series_id) AS img_series_id,
+           i.datetime,
+           COALESCE(i.description, e.description) AS description
+    FROM incoming i LEFT JOIN existing e ON e.file_hash = i.file_hash
+    """,
+)
+def image_hash_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed image upsert (insertACImage.R ON CONFLICT
+    (file_hash) DO UPDATE): series/description coalesce to the stored
+    value, capture datetime takes the new value. Binary mass derived
+    from documents.text; the hash join is the store's bucketing key so
+    the merge is co-located at scale. 'keep' rows (untouched existing)
+    are excluded so the oracle stays a pure left join."""
+    from .sources.media import image_upsert
+
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    base = dict(
+        fetch_datetime=F.lit(None).cast("timestamp"),
+        share_with=F.lit("public_reader"),
+        location_id=F.lit(None).cast("int"),
+        latitude=F.lit(60.0), longitude=F.lit(-135.0), format=F.lit("jpg"),
+    )
+    incoming = docs.select(
+        F.sha2(blob, 256).alias("file_hash"),
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .otherwise(F.col("doc_id") % 20).cast("int").alias("img_series_id"),
+        (F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+         + F.col("doc_id").cast("int") * F.expr("INTERVAL 1 MINUTE"))
+        .alias("datetime"),
+        F.when(F.col("doc_id") % 4 == 0, None)
+        .otherwise(F.concat(F.lit("img of doc "), F.col("doc_id").cast("string")))
+        .alias("description"),
+        *[v.alias(k) for k, v in base.items()],
+    )
+    existing = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.sha2(blob, 256).alias("file_hash"),
+        (F.col("doc_id") % 7).cast("int").alias("img_series_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.col("doc_id").cast("int") * F.expr("INTERVAL 1 MINUTE"))
+        .alias("datetime"),
+        F.concat(F.lit("old desc "), F.col("doc_id").cast("string"))
+        .alias("description"),
+        *[v.alias(k) for k, v in base.items()],
+    )
+    out = image_upsert(existing, incoming)
+    return out.where(F.col("action") != "keep").select(
+        "file_hash", "action", "img_series_id", "datetime", "description"
+    )
+
+
+@register(
+    "image_series_watermarks",
+    oracle="""
+    SELECT user_id % 20 AS img_series_id,
+           max(ts) AS last_img,
+           max(ts) + INTERVAL 1 SECOND AS next_fetch
+    FROM events
+    GROUP BY 1
+    """,
+)
+def image_series_watermarks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series incremental image fetch start (getNewImages.R:86-88):
+    one second past the newest stored capture — one partial-aggregated
+    groupBy, the same watermark shape as the continuous pipeline."""
+    from .sources.media import image_series_watermarks
+
+    ev = _t(spark, sf_dir, "events")
+    imgs = ev.select(
+        (F.col("user_id") % 20).cast("long").alias("img_series_id"),
+        F.col("ts").alias("datetime"),
+    )
+    return image_series_watermarks(imgs).select(
+        "img_series_id", F.col("last_img"), "next_fetch"
+    )
+
+
+@register(
+    "document_type_validation",
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM (VALUES ('src0', 1), ('src1', 2), ('src2', 3),
+                            ('src4', 5)) t(document_type_en, document_type_id)
+    ),
+    docs AS (
+      SELECT 'doc ' || CAST(doc_id AS VARCHAR) AS name,
+             source AS type,
+             substr(text, 1, CAST(doc_id % 8 AS INT)) AS description,
+             doc_id
+      FROM documents
+    )
+    SELECT d.doc_id, d.type,
+           dim.document_type_id,
+           CASE WHEN dim.document_type_id IS NULL
+                  THEN 'unknown document type: ' || d.type
+                WHEN length(COALESCE(d.description, '')) < 5
+                  THEN 'description must be at least 5 characters'
+                ELSE 'ok' END AS status
+    FROM docs d LEFT JOIN dim ON dim.document_type_en = d.type
+    """,
+)
+def document_type_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insertACDocument's gate (R/insertACDocument.R:66-133) as a
+    split-validation pass: type resolved against the broadcast dim
+    (src3 deliberately missing), short descriptions rejected — every
+    violation reported in one scan instead of fail-fast."""
+    from .sources.media import validate_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias("name"),
+        F.col("source").alias("type"),
+        F.expr("substr(text, 1, CAST(doc_id % 8 AS INT))").alias("description"),
+        "doc_id",
+    )
+    dim = spark.createDataFrame(
+        [("src0", 1), ("src1", 2), ("src2", 3), ("src4", 5)],
+        "document_type_en string, document_type_id int",
+    )
+    ok, rejects = validate_documents(docs, dim)
+    out = ok.withColumn("status", F.lit("ok")).unionByName(
+        rejects.withColumnRenamed("reject_reason", "status")
+    )
+    return out.select("doc_id", "type", "document_type_id", "status")
