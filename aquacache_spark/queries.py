@@ -4163,3 +4163,143 @@ def document_type_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rejects.withColumnRenamed("reject_reason", "status")
     )
     return out.select("doc_id", "type", "document_type_id", "status")
+
+
+# ---------------------------------------------------------------------------
+# Discrete water-quality + snow-course connectors (downloadECCCwq.R,
+# downloadSnowCourse.R).
+# ---------------------------------------------------------------------------
+
+_WQ_FIX = _FIXDIR / "ecccwq_lt.csv"
+_WQ_KEY = _FIXDIR / "ecccwq_key.csv"
+
+
+@register(
+    "ecccwq_results",
+    oracle=f"""
+    WITH f AS (
+      SELECT SITE_NO AS site,
+             CAST(DATE_TIME_HEURE AS TIMESTAMP) + INTERVAL 7 HOURS AS datetime,
+             COALESCE(FLAG_MARQUEUR, '') AS flag,
+             CAST(VALUE_VALEUR AS DOUBLE) AS raw_value,
+             UNIT_UNITE AS input_unit, VARIABLE AS input_param
+      FROM read_csv('{_WQ_FIX}', header=true, all_varchar=true)
+      WHERE SITE_NO = 'YT08AA0017'
+    ),
+    k AS (SELECT * FROM read_csv('{_WQ_KEY}', header=true)),
+    mapped AS (
+      SELECT f.datetime, k.result_type, k.parameter_id,
+             k.sample_fraction_id, k.matrix_state_id, f.flag,
+             f.raw_value * k.conversion + k.result_offset AS conv
+      FROM f JOIN k ON k.input_param = f.input_param
+                   AND k.input_unit = f.input_unit
+      WHERE f.flag IN ('', '<', '>')
+    )
+    SELECT datetime, result_type, parameter_id, sample_fraction_id,
+           matrix_state_id,
+           CASE WHEN flag IN ('<', '>') THEN NULL
+                ELSE {R('conv', 6)} END AS result,
+           CASE WHEN flag = '<' THEN 1 WHEN flag = '>' THEN 2
+                ELSE NULL END AS result_condition,
+           CASE WHEN flag IN ('<', '>') THEN {R('conv', 6)}
+                ELSE NULL END AS result_condition_value
+    FROM mapped
+    """,
+)
+def ecccwq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned ECCC water-quality payload through the full connector
+    (R/downloadECCCwq.R:230-392): bilingual-header CSV -> MST->UTC
+    shift -> import-key mapping with unit conversion -> censoring-flag
+    dispatch ('<' below / '>' above detection, other flags rejected)."""
+    from .sources.ecccwq import download_ecccwq
+
+    key = spark.read.option("header", True).option("inferSchema", True) \
+        .csv(str(_WQ_KEY))
+    out = download_ecccwq(
+        spark, "YT08AA0017", key,
+        "2024-01-01 00:00:00", "2024-12-31 23:59:59", tz="MST",
+        payload_path=str(_WQ_FIX),
+    )
+    return _round(out["results"], {"result": 6, "result_condition_value": 6})
+
+
+@register(
+    "snowcourse_station_merge",
+    oracle="""
+    WITH meas AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'OLD' ELSE 'NEW' END AS location,
+             CAST(ts AS DATE) AS survey_date,
+             value AS swe, value * 0.5 AS depth,
+             event_type = 'error' AS exclude_flag
+      FROM events
+    ),
+    means AS (
+      SELECT location, survey_date,
+             CAST(survey_date AS TIMESTAMP) + INTERVAL 68400 SECONDS
+               AS datetime,
+             p.parameter,
+             CASE p.parameter WHEN 'swe'
+               THEN sum(CAST(floor(swe * 1000000 + 0.5) AS BIGINT))
+                    / 1000000.0 / count(swe)
+               ELSE sum(CAST(floor(depth * 1000000 + 0.5) AS BIGINT))
+                    / 1000000.0 / count(depth) END AS result
+      FROM meas, (VALUES ('swe'), ('depth')) p(parameter)
+      WHERE NOT exclude_flag AND (swe IS NOT NULL OR depth IS NOT NULL)
+      GROUP BY location, survey_date, p.parameter
+    ),
+    old_m AS (SELECT * FROM means WHERE location = 'OLD'),
+    new_m AS (SELECT * FROM means WHERE location = 'NEW'),
+    common AS (
+      SELECT DISTINCT o.datetime FROM old_m o JOIN new_m n USING (datetime)
+    ),
+    offsets AS (
+      SELECT n.parameter,
+             (SELECT sum(CAST(floor(n2.result * 1000000 + 0.5) AS BIGINT))
+                       / 1000000.0 / count(*)
+              FROM new_m n2 JOIN common c ON c.datetime = n2.datetime
+              WHERE n2.parameter = n.parameter)
+             / (SELECT sum(CAST(floor(o2.result * 1000000 + 0.5) AS BIGINT))
+                       / 1000000.0 / count(*)
+                FROM old_m o2 JOIN common c ON c.datetime = o2.datetime
+                WHERE o2.parameter = n.parameter) AS offset
+      FROM (SELECT DISTINCT parameter FROM new_m) n
+    )
+    SELECT parameter, datetime,
+           floor(result * 1000000 + 0.5) / 1000000 AS result,
+           FALSE AS adjusted
+    FROM new_m
+    UNION ALL
+    SELECT o.parameter, o.datetime,
+           floor(o.result * COALESCE(f.offset, 1.0) * 1000000 + 0.5)
+             / 1000000 AS result,
+           TRUE AS adjusted
+    FROM old_m o
+    LEFT JOIN offsets f ON f.parameter = o.parameter
+    WHERE o.datetime NOT IN (SELECT datetime FROM new_m)
+    """,
+)
+def snowcourse_station_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snow-course station move (downloadSnowCourse.R:184-330): per-
+    survey SWE/depth means (exclusion-filtered, noon-MST shifted),
+    ratio calibration over common survey dates, old history scaled and
+    deduplicated against the new station — one relational pass."""
+    from .sources.snowcourse import station_move_adjust, survey_means
+
+    ev = _t(spark, sf_dir, "events")
+    meas = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "OLD").otherwise("NEW")
+        .alias("location"),
+        F.lit(0).alias("survey_id"),
+        F.col("ts").cast("date").alias("survey_date"),
+        F.col("ts").cast("date").alias("target_date"),
+        F.col("value").alias("swe"),
+        (F.col("value") * 0.5).alias("depth"),
+        (F.col("event_type") == "error").alias("exclude_flag"),
+    )
+    means = survey_means(meas).select("location", "parameter", "datetime",
+                                      "result")
+    old = means.where(F.col("location") == "OLD").drop("location")
+    new = means.where(F.col("location") == "NEW").drop("location")
+    out = station_move_adjust(old, new)
+    return _round(out.select("parameter", "datetime", "result", "adjusted"),
+                  {"result": 6})

@@ -230,6 +230,48 @@ def read_snow_workbook_src(spark: SparkSession, path: str, **kwargs) -> DataFram
     )
 
 
+@register_source("downloadECCCwq")
+def download_ecccwq_src(spark: SparkSession, location: str, key_path: str,
+                        start_datetime: str, end_datetime: str,
+                        tz: str = "UTC", payload_path: str | None = None,
+                        **kw) -> DataFrame:
+    """ECCC water-quality connector (R/downloadECCCwq.R:23) — CSV
+    transform, import-key mapping, and censoring-flag dispatch real
+    (sources/ecccwq.py), fetch injectable. Returns the results frame;
+    use sources.ecccwq.download_ecccwq directly for samples+rejects."""
+    from .ecccwq import download_ecccwq
+
+    key = spark.read.option("header", True).option("inferSchema", True) \
+        .csv(key_path)
+    out = download_ecccwq(spark, location, key, start_datetime, end_datetime,
+                          tz=tz, payload_path=payload_path, **kw)
+    return out["results"]
+
+
+@register_source("downloadSnowCourse")
+def download_snowcourse_src(spark: SparkSession, location: str,
+                            start_datetime: str, end_datetime: str,
+                            payload_path: str | None = None,
+                            **_) -> DataFrame:
+    """Snow-course connector (R/downloadSnowCourse.R:88) — survey-mean
+    aggregation and unpivot real (sources/snowcourse.py); the snow DB
+    read is injectable (CSV/parquet with the measurements columns)."""
+    from .snowcourse import survey_means
+
+    if payload_path is None:
+        raise NotImplementedError(
+            "snow-course fetch requires the snow survey database; pass "
+            "payload_path with a measurements extract"
+        )
+    m = spark.read.option("header", True).option("inferSchema", True) \
+        .csv(payload_path)
+    out = survey_means(m.where(F.col("location") == location))
+    return out.where(
+        (F.col("datetime") >= F.to_timestamp(F.lit(start_datetime)))
+        & (F.col("datetime") <= F.to_timestamp(F.lit(end_datetime)))
+    )
+
+
 @register_source("downloadERA5")
 def download_era5_src(spark: SparkSession, parameter: str, start_datetime: str,
                       end_datetime: str, payload_path: str | None = None,
