@@ -190,6 +190,53 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    The fifth dedup tier (reference scope: none — training-data
+    extension). Random-hyperplane buckets (similarity.lsh_buckets,
+    deterministic planes shared with the DuckDB oracle) prune the
+    pair space to same-bucket collisions; exact cosine then filters to
+    ``>= threshold``. The self-join is an equi-join on the bucket key —
+    cost ∝ collision mass, never n². Vectors whose cosine clears a high
+    threshold almost always agree on all sign bits, so recall at
+    thresholds ~0.9 is high; lower thresholds should lower ``planes``
+    or union several plane sets (banding), same trade as MinHash-LSH.
+
+    Output: id_a, id_b (a < b), cosine.
+    """
+    from .similarity import _as_double, _cosine, lsh_buckets
+
+    b = lsh_buckets(df, id_col, vec_col, planes, dim).join(
+        df.select(id_col, vec_col), id_col
+    )
+    # one bucket string per vector -> each colliding pair appears once
+    left = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        _as_double(F.col(vec_col)).alias("__va"),
+    )
+    right = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        _as_double(F.col(vec_col)).alias("__vb"),
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def jaccard_on_candidates(
     df: DataFrame,
     candidates: DataFrame,
@@ -208,6 +255,11 @@ def jaccard_on_candidates(
     false positives) drop out naturally — with any threshold > 0 they
     are non-results either way.
     """
+    # candidates is consumed three times (two id projections + the
+    # intersection join) and its lineage is the full minhash+LSH plan —
+    # persist so signatures are computed once, not three times. Same
+    # for the pruned shingle explode (sizes + both join sides).
+    candidates = candidates.persist()
     needed = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
@@ -216,7 +268,7 @@ def jaccard_on_candidates(
     sh = df.join(needed, id_col, "left_semi").select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "sh")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "sh")

@@ -1168,6 +1168,51 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"jaccard": 6})
 
 
+def _near_dup_oracle(threshold: float, planes: int) -> str:
+    from .operators.similarity import hyperplanes
+
+    hp = hyperplanes(planes, 64)
+    bucket = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in hp
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bucket} AS bucket FROM e
+    ), p AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             list_dot_product(a.v, b2.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b2.v, b2.v))) AS cosine
+      FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b, {R('cosine', 6)} AS cosine
+    FROM p WHERE cosine >= {threshold!r}
+"""
+
+
+@register("embedding_near_dup")
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed, exact
+    cosine verify) — the fifth dedup tier over the embeddings table.
+
+    The 0.3 threshold is tuned to the synthetic corpus (near-random
+    vectors, max pairwise cosine ~0.44) so the declared query returns
+    real pairs; production near-dup removal would run 0.85-0.95."""
+    from .operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(emb, threshold=0.3, planes=6)
+    return _round(out, {"cosine": 6})
+
+
+ORACLES["embedding_near_dup"] = _near_dup_oracle(0.3, 6)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search: exact brute-force cosine top-k over embeddings
 # ---------------------------------------------------------------------------
@@ -3358,20 +3403,16 @@ def discrete_sample_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.discrete_sync import sample_sync_actions
 
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    # keep-first dedupe as min() aggregation: partial map-side combine,
+    # no full partition sort (row_number would force one) — same rows
     base = (
         ev.select(
             (F.col("user_id") % 3).alias("series"),
             F.date_trunc("second", F.col("ts")).alias("datetime"),
             "event_id",
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("series", "datetime").orderBy("event_id")
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("series", "datetime")
+        .agg(F.min("event_id").alias("event_id"))
     )
     local = base.where(F.col("event_id") % 11 != 3).select(
         "series", "datetime",
