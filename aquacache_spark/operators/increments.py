@@ -119,14 +119,43 @@ def compute_increments_pd(
     min_pos: float,
     period_seconds: float | None = None,
     max_gap: int = 0,
+    emit_gap_rows: bool = False,
+    keys: Sequence[str] = (),
 ) -> pd.DataFrame:
-    """Pure-pandas sequential kernel over one series' observed rows."""
+    """Pure-pandas sequential kernel over one series' observed rows.
+
+    With ``emit_gap_rows=True`` the reference's inserted NA-cadence
+    rows (R/compute_increments.R:33-67) are appended in the same pass
+    (vectorized — cost ∝ gap mass), so the operator reads its input
+    exactly once instead of running the upstream lineage a second time
+    for a separate spine generator."""
     pdf = pdf.sort_values(dt_col).reset_index(drop=True)
     out, _ = scan_increments(
         pdf[dt_col], pdf[value_col], reset_drop, min_pos,
         period_seconds, max_gap,
     )
     pdf["increment"] = pd.array(out, dtype="float64")
+    if emit_gap_rows and period_seconds and len(pdf) > 1:
+        import numpy as np
+
+        ep = pdf[dt_col].astype("int64").to_numpy() // 1_000_000_000
+        n_miss = np.floor(np.diff(ep) / period_seconds).astype("int64") - 1
+        left = np.where(n_miss >= 1)[0]  # index of the gap's left edge
+        if len(left):
+            counts = n_miss[left]
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            k = np.arange(cum[-1]) - np.repeat(cum[:-1], counts) + 1
+            spine_ep = np.repeat(ep[left], counts) + k * int(period_seconds)
+            # object dtype holds None for any column type (int64 can't);
+            # Arrow casts to the declared output schema on the way back
+            pad = pd.DataFrame(
+                {c: pd.Series([None] * len(spine_ep), dtype="object")
+                 for c in pdf.columns}
+            )
+            pad[dt_col] = pd.to_datetime(spine_ep, unit="s")
+            for c in keys:  # constant per kernel call; all else stays NULL
+                pad[c] = pdf[c].iloc[0]
+            pdf = pd.concat([pdf, pad], ignore_index=True)
     return pdf
 
 
@@ -187,11 +216,15 @@ def compute_increments(
 
     With ``emit_gap_rows=True`` the output additionally carries the
     reference's inserted NA-cadence rows (value and increment NULL),
-    reproducing R/compute_increments.R's exact row set.
+    reproducing R/compute_increments.R's exact row set — generated
+    inside the same kernel pass, so the upstream lineage is read once.
     """
     from pyspark.sql import types as T
 
     from ._grouped import grouped_apply
+
+    if emit_gap_rows and not period_seconds:
+        raise ValueError("emit_gap_rows requires period_seconds")
 
     # build a fresh StructType — StructType.add mutates in place, which
     # would corrupt df's cached schema object
@@ -203,17 +236,7 @@ def compute_increments(
         return compute_increments_pd(
             pdf, dt_col, value_col, reset_drop, min_pos,
             period_seconds, max_gap,
+            emit_gap_rows=emit_gap_rows, keys=keys,
         )
 
-    out = grouped_apply(df, keys, fn, schema)
-    if emit_gap_rows:
-        if not period_seconds:
-            raise ValueError("emit_gap_rows requires period_seconds")
-        spine = gap_rows(df, keys, dt_col, period_seconds)
-        pad = spine.select(
-            *keys, F.col(dt_col),
-            *[F.lit(None).cast(f.dataType).alias(f.name)
-              for f in schema.fields if f.name not in (*keys, dt_col)],
-        )
-        out = out.unionByName(pad)
-    return out
+    return grouped_apply(df, keys, fn, schema)
