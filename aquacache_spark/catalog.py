@@ -60,6 +60,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet files written without isAdjustedToUTC arrive as
+    # TIMESTAMP_NTZ when inferTimestampNTZ is on (the default in some
+    # harness sessions). DuckDB reads the same column as a naive
+    # timestamp; with the session tz pinned to UTC above, a cast to
+    # TIMESTAMP is wall-clock-preserving and keeps both engines and all
+    # downstream ops (unix_micros, window ranges) on one type.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

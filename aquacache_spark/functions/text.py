@@ -29,6 +29,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer classes, restricted to constructs that RE2
+# (DuckDB) and java.util.regex compile identically: letter runs, digit
+# runs, runs of non-alphanumeric-non-space, each with an optional
+# leading space.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword-boundary token count via the pre-tokenizer regex
+    (the usual proxy for LLM token budgeting when no vocab is loaded)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def md5_int(s: Column, hex_chars: int = 15) -> Column:
     """Portable integer hash: md5 hex prefix -> bigint (4 bits/char)."""
     return F.conv(F.substring(F.md5(s), 1, hex_chars), 16, 10).cast("long")

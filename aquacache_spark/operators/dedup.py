@@ -290,3 +290,52 @@ def jaccard_on_candidates(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    Schleimer/Wilkerson/Aiken SIGMOD'03).
+
+    Character ``k``-grams of the normalized text are hashed; each
+    length-``window`` run of consecutive gram hashes contributes its
+    minimum, and the per-document fingerprint set is the distinct
+    selected hashes. Guarantees every match of length >= k + window - 1
+    shares a fingerprint, with expected density 2/(window+1).
+
+    Reference analog: content fingerprinting for duplicate detection
+    (exact_duplicates covers identical docs; winnowing covers local
+    overlap / containment, which MinHash's whole-document Jaccard
+    dilutes).
+
+    Scale: the gram hashing and window minima are per-row array
+    expressions — map-only, zero shuffle, whole-stage codegen. The only
+    shuffle is the final distinct on (id, fingerprint), proportional to
+    selected-fingerprint mass (~2n/(window+1)), never materializing the
+    full gram list off-row. 100 TB safe.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    m = F.length(norm) - (k - 1)  # number of k-grams
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: md5_int(F.substring(norm, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_win = m - (window - 1)
+    fps = F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(grams, j, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col), F.explode(fps).alias("fp")).distinct()

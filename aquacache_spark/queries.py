@@ -4344,3 +4344,333 @@ def snowcourse_station_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = station_move_adjust(old, new)
     return _round(out.select("parameter", "datetime", "result", "adjusted"),
                   {"result": 6})
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: winnowing rolling-hash fingerprints (MOSS scheme).
+# Local-overlap dedup complement to exact/MinHash — guarantees any shared
+# substring of length >= k + window - 1 produces a shared fingerprint.
+# ---------------------------------------------------------------------------
+
+_WINNOW_ORACLE = """
+    WITH s AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 15)
+                  AS BIGINT) AS h,
+             length(s) - 7 AS m
+      FROM s, LATERAL (
+        SELECT unnest(generate_series(1, greatest(length(s) - 7, 0))) AS i
+      ) t
+    ), w AS (
+      SELECT doc_id, i, m,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM w WHERE i <= m - 3
+"""
+
+
+@register("winnow_fingerprints", oracle=_WINNOW_ORACLE)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, window=4)
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: token budgeting — whitespace vs BPE-ish subword
+# boundary counts + chars/token (the LLM corpus-sizing statistics).
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+               AS bpe_tokens,
+           {R("CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all("
+              "text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')), 1)", 6)}
+               AS chars_per_token
+    FROM documents
+"""
+
+
+@register("token_stats", oracle=_TOKEN_STATS_ORACLE)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    bpe = bpe_token_count(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (F.length("text").cast("double") / F.greatest(bpe, F.lit(1)))
+        .alias("chars_per_token"),
+    )
+    return _round(out, {"chars_per_token": 6})
+
+
+# ---------------------------------------------------------------------------
+# maintain.R housekeeping as oracle-checked operators
+# (operators/maintenance.py): visibility expiry flip, timeseries bounds
+# refresh, orphan/missing-point location checks, and NHN-based location
+# code generation (generateACLocationCode.R).
+# ---------------------------------------------------------------------------
+
+_VIS_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN ['public_reader']
+               WHEN 1 THEN ['admin']
+               ELSE ['admin', 'public_reader'] END AS share_with,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  ELSE DATE '2026-01-01' + (doc_id % 200) * INTERVAL 1 DAY
+             END AS private_expiry
+      FROM documents
+    ), flipped AS (
+      SELECT doc_id,
+             CASE WHEN private_expiry IS NOT NULL
+                       AND private_expiry < DATE '2026-04-01'
+                       AND share_with != ['public_reader']
+                  THEN ['public_reader'] ELSE share_with END AS share_with,
+             private_expiry
+      FROM base
+    )
+    SELECT doc_id,
+           array_to_string(share_with, ',') AS share_csv,
+           CASE WHEN share_with = ['public_reader'] THEN NULL
+                ELSE private_expiry END AS private_expiry
+    FROM flipped
+"""
+
+
+@register("visibility_expiry_maintenance", oracle=_VIS_ORACLE)
+def visibility_expiry_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintain.R:204-242 visibility_check — private rows whose expiry
+    has passed become public, and expiry clears on public rows."""
+    from .operators.maintenance import visibility_expiry_flip
+
+    docs = _t(spark, sf_dir, "documents")
+    share = (
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.lit("public_reader")))
+        .when(F.col("doc_id") % 3 == 1, F.array(F.lit("admin")))
+        .otherwise(F.array(F.lit("admin"), F.lit("public_reader")))
+    )
+    expiry = F.when(
+        F.col("doc_id") % 5 != 0,
+        F.date_add(F.lit("2026-01-01").cast("date"),
+                   (F.col("doc_id") % 200).cast("int")),
+    )
+    staged = docs.select("doc_id", share.alias("share_with"),
+                         expiry.alias("private_expiry"))
+    out = visibility_expiry_flip(staged, F.lit("2026-04-01").cast("date"))
+    return out.select(
+        "doc_id",
+        F.array_join("share_with", ",").alias("share_csv"),
+        "private_expiry",
+    )
+
+
+_BOUNDS_ORACLE = """
+    WITH actual AS (
+      SELECT event_type, min(CAST(ts AS TIMESTAMP)) AS lo,
+             max(CAST(ts AS TIMESTAMP)) AS hi
+      FROM events GROUP BY event_type
+    ), dim AS (
+      SELECT event_type, date_trunc('day', lo) AS start_datetime,
+             date_trunc('day', hi) AS end_datetime
+      FROM actual
+    )
+    SELECT d.event_type,
+           CASE WHEN d.start_datetime != a.lo OR d.end_datetime != a.hi
+                THEN a.lo ELSE d.start_datetime END AS start_datetime,
+           CASE WHEN d.start_datetime != a.lo OR d.end_datetime != a.hi
+                THEN a.hi ELSE d.end_datetime END AS end_datetime,
+           (d.start_datetime != a.lo OR d.end_datetime != a.hi)
+               AS bounds_changed
+    FROM dim d JOIN actual a USING (event_type)
+"""
+
+
+@register("timeseries_bounds_check", oracle=_BOUNDS_ORACLE)
+def timeseries_bounds_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintain.R:51-93 timeseries_check — stale dim bounds (here: the
+    day-truncated actuals) get patched from the measurement min/max."""
+    from .operators.maintenance import timeseries_bounds_refresh
+
+    ev = _t(spark, sf_dir, "events")
+    actual = ev.groupBy("event_type").agg(
+        F.min("ts").alias("__lo0"), F.max("ts").alias("__hi0")
+    )
+    dim = actual.select(
+        "event_type",
+        F.date_trunc("day", "__lo0").alias("start_datetime"),
+        F.date_trunc("day", "__hi0").alias("end_datetime"),
+    )
+    out = timeseries_bounds_refresh(dim, ev, ts_col="event_type", dt_col="ts")
+    return out.select("event_type", "start_datetime", "end_datetime",
+                      "bounds_changed")
+
+
+_LOC_CHECKS_ORACLE = """
+    WITH used AS (
+      SELECT DISTINCT l_suppkey AS uid FROM lineitem WHERE l_quantity > 30
+    ), feats AS (
+      SELECT lower('LOC-' || CAST(s_suppkey AS VARCHAR)) AS feat
+      FROM supplier WHERE s_suppkey % 2 = 0
+    )
+    SELECT s_suppkey AS location_id,
+           (uid IS NULL) AS orphan,
+           (feat IS NULL) AS missing_point
+    FROM supplier
+    LEFT JOIN used ON used.uid = s_suppkey
+    LEFT JOIN feats
+      ON feats.feat = lower('LOC-' || CAST(s_suppkey AS VARCHAR))
+"""
+
+
+@register("location_checks", oracle=_LOC_CHECKS_ORACLE)
+def location_checks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintain.R:95-201 locations_check — unreferenced locations and
+    locations lacking a point feature in the vector store."""
+    from .operators.maintenance import location_checks
+
+    supp = _t(spark, sf_dir, "supplier")
+    locations = supp.select(
+        F.col("s_suppkey").alias("location_id"),
+        F.concat(F.lit("LOC-"), F.col("s_suppkey").cast("string"))
+        .alias("location_code"),
+    )
+    used = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 30)
+        .select(F.col("l_suppkey").alias("location_id"))
+    )
+    feats = supp.where(F.col("s_suppkey") % 2 == 0).select(
+        F.lit("Locations").alias("layer_name"),
+        F.concat(F.lit("LOC-"), F.col("s_suppkey").cast("string"))
+        .alias("feature_name"),
+    )
+    out = location_checks(locations, used, feats)
+    return out.select("location_id", "orphan", "missing_point")
+
+
+_CODE_GEN_ORACLE = """
+    WITH tri AS (
+      SELECT n_nationkey AS bid,
+             CAST((n_nationkey * 37) % 180 AS DOUBLE) AS ax,
+             CAST((n_nationkey * 53) % 180 AS DOUBLE) AS ay,
+             CAST((n_nationkey * 37) % 180 + 15 + n_nationkey % 7 AS DOUBLE) AS bx,
+             CAST((n_nationkey * 53) % 180 + 3 + n_nationkey % 5 AS DOUBLE) AS by,
+             CAST((n_nationkey * 37) % 180 + 5 + n_nationkey % 4 AS DOUBLE) AS cx,
+             CAST((n_nationkey * 53) % 180 + 17 + n_nationkey % 6 AS DOUBLE) AS cy,
+             lpad(CAST((n_nationkey * 7) % 90 + 10 AS VARCHAR), 2, '0')
+               || chr(65 + n_nationkey % 26)
+               || chr(65 + (n_nationkey * 3) % 26)
+               || ' Basin' AS feature_name
+      FROM nation
+    ),
+    pts AS (
+      SELECT c_custkey AS point_id,
+             ((c_custkey * 7919) % 1800) / 10.0 + 0.137 AS px,
+             ((c_custkey * 104729) % 1800) / 10.0 + 0.269 AS py,
+             c_custkey % 3 AS type_id
+      FROM customer
+    ),
+    types(type_id, type_suffix) AS (VALUES (0, 'WL'), (1, 'HG'), (2, NULL)),
+    hits AS (
+      SELECT point_id, px, py, type_id, feature_name,
+             abs((bx - ax) * (cy - ay) - (cx - ax) * (by - ay)) AS area2
+      FROM tri JOIN pts
+        ON (bx - ax) * (py - ay) - (by - ay) * (px - ax) > 0
+       AND (cx - bx) * (py - by) - (cy - by) * (px - bx) > 0
+       AND (ax - cx) * (py - cy) - (ay - cy) * (px - cx) > 0
+    ),
+    assigned AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY point_id ORDER BY area2, feature_name) AS rn
+      FROM hits
+    ),
+    prefixed AS (
+      SELECT a.point_id, a.feature_name,
+             regexp_extract(a.feature_name, '^([0-9]{2}[A-Za-z]{2,3})', 1)
+               || '-' || coalesce(t.type_suffix, 'OT') AS prefix
+      FROM assigned a LEFT JOIN types t USING (type_id)
+      WHERE rn = 1
+    ),
+    existing AS (
+      SELECT lpad(CAST((n_nationkey * 7) % 90 + 10 AS VARCHAR), 2, '0')
+               || chr(65 + n_nationkey % 26)
+               || chr(65 + (n_nationkey * 3) % 26)
+               || '-WL-00007' AS code
+      FROM nation WHERE n_nationkey = 1
+    ),
+    base AS (
+      SELECT regexp_extract(code, '^(.*)-([0-9]+)$', 1) AS prefix,
+             max(CAST(regexp_extract(code, '([0-9]+)$', 1) AS BIGINT)) AS b
+      FROM existing GROUP BY 1
+    )
+    SELECT p.point_id, p.feature_name, p.prefix,
+           p.prefix || '-' ||
+           CASE WHEN length(CAST(coalesce(b.b, 0) + rn2 AS VARCHAR)) > 5
+                THEN CAST(coalesce(b.b, 0) + rn2 AS VARCHAR)
+                ELSE lpad(CAST(coalesce(b.b, 0) + rn2 AS VARCHAR), 5, '0')
+           END AS location_code
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY prefix ORDER BY point_id) AS rn2
+      FROM prefixed
+    ) p LEFT JOIN base b ON b.prefix = p.prefix
+"""
+
+
+@register("location_code_generation", oracle=_CODE_GEN_ORACLE)
+def location_code_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generateACLocationCode.R:120-188 — smallest containing basin ->
+    'NNAA-TT-#####' codes continuing after the existing per-prefix max.
+    The oracle proves containment + numbering through independent math
+    (half-plane tests vs the ray-cast kernel)."""
+    from .operators.maintenance import generate_location_codes
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    ax, ay = (k * 37) % 180, (k * 53) % 180
+    verts = [
+        (ax, ay),
+        (ax + 15 + k % 7, ay + 3 + k % 5),
+        (ax + 5 + k % 4, ay + 17 + k % 6),
+    ]
+    fname = F.concat(
+        F.lpad(((k * 7) % 90 + 10).cast("string"), 2, "0"),
+        F.expr("chr(65 + n_nationkey % 26)"),
+        F.expr("chr(65 + (n_nationkey * 3) % 26)"),
+        F.lit(" Basin"),
+    )
+    basins = nation.select(
+        fname.alias("feature_name"),
+        F.array(*[
+            F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+            for x, y in verts
+        ]).alias("ring"),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (((F.col("c_custkey") * 7919) % 1800) / 10.0 + 0.137).alias("px"),
+        (((F.col("c_custkey") * 104729) % 1800) / 10.0 + 0.269).alias("py"),
+        (F.col("c_custkey") % 3).cast("int").alias("type_id"),
+    )
+    types = spark.createDataFrame(
+        [(0, "WL"), (1, "HG"), (2, None)], "type_id int, type_suffix string"
+    )
+    existing = nation.where(k == 1).select(
+        F.concat(fname.substr(F.lit(1), F.length(fname) - F.lit(6)),
+                 F.lit("-WL-00007")).alias("code")
+    )
+    return generate_location_codes(pts, basins, types, existing)

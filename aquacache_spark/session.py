@@ -65,6 +65,11 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet timestamps without isAdjustedToUTC read as TIMESTAMP
+        # (UTC wall clock), never TIMESTAMP_NTZ — one timestamp type
+        # engine-wide; catalog.table also casts defensively for
+        # sessions built outside this factory
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
