@@ -20,6 +20,19 @@ EN_STOPWORDS = (
 )
 
 
+def bind(col: Column, f) -> Column:
+    """Expression-level `let`: evaluate ``col`` ONCE per row and pass it
+    to ``f`` as a higher-order-function lambda VARIABLE.
+
+    A sub-expression referenced inside a transform/filter lambda body is
+    re-evaluated per element (CollapseProject inlines aliases into the
+    lambda), turning O(n) kernels O(n²) — winnow_fingerprints measured
+    513s -> 0.6s at sf0.001 from this alone. ``transform(array(x),
+    v -> body)`` forces one evaluation; ``element_at(..., 1)`` unwraps.
+    """
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (documents are single-space joined)."""
     return F.split(text, " ")
@@ -92,11 +105,16 @@ def lang_id(text: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as an array<string> (space-joined)."""
-    toks = tokens(F.lower(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    return F.array_distinct(sh)
+    """Distinct k-word shingles as an array<string> (space-joined).
+
+    The token array is bound once per row (see :func:`bind`) — the
+    shingle lambda must not re-split the document per shingle."""
+
+    def shingles_of(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        )
+
+    return bind(tokens(F.lower(text)), shingles_of)

@@ -20,7 +20,7 @@ in the DuckDB oracle, so every stage is differentially testable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, md5_int, tokens, word_shingles
@@ -319,23 +319,32 @@ def winnow_fingerprints(
     selected-fingerprint mass (~2n/(window+1)), never materializing the
     full gram list off-row. 100 TB safe.
     """
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    m = F.length(norm) - (k - 1)  # number of k-grams
-    grams = F.when(
-        m >= 1,
-        F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: md5_int(F.substring(norm, i, F.lit(k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    n_win = m - (window - 1)
-    fps = F.when(
-        n_win >= 1,
-        F.array_distinct(
+    from ..functions.text import bind
+
+    empty = F.array().cast("array<bigint>")
+
+    def grams_of(s: Column) -> Column:
+        m = F.length(s) - (k - 1)  # number of k-grams
+        return F.when(
+            m >= 1,
             F.transform(
-                F.sequence(F.lit(1), n_win),
-                lambda j: F.array_min(F.slice(grams, j, window)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+                F.sequence(F.lit(1), m),
+                lambda i: md5_int(F.substring(s, i, F.lit(k))),
+            ),
+        ).otherwise(empty)
+
+    def fps_of(g: Column) -> Column:
+        n_win = F.size(g) - (window - 1)
+        return F.when(
+            n_win >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda j: F.array_min(F.slice(g, j, window)),
+                )
+            ),
+        ).otherwise(empty)
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    fps = bind(norm, lambda s: bind(grams_of(s), fps_of))
     return df.select(F.col(id_col), F.explode(fps).alias("fp")).distinct()

@@ -58,13 +58,18 @@ def dispatch(spark: SparkSession, source_fx: str, source_fx_args: str | dict) ->
     return validate_contract(df)
 
 
-def validate_contract(df: DataFrame) -> DataFrame:
+def validate_contract(df: DataFrame, key_cols: tuple = ()) -> DataFrame:
     """Normalize to the connector contract (R/getNewContinuous.R:489-553):
-    required (datetime, value); drop NULL values; keep known optionals."""
+    required (datetime, value); drop NULL values; keep known optionals.
+
+    ``key_cols``: extra identity columns to preserve (a multi-series
+    batch carries timeseries_id; the reference's per-series frames
+    don't need one)."""
     missing = [c for c in CONTRACT_COLS if c not in df.columns]
     if missing:
         raise ValueError(f"connector result missing contract columns {missing}")
-    keep = [c for c in df.columns if c in CONTRACT_COLS + OPTIONAL_COLS]
+    keep = [c for c in df.columns
+            if c in tuple(key_cols) + CONTRACT_COLS + OPTIONAL_COLS]
     return (
         df.select(*keep)
         .withColumn("datetime", F.col("datetime").cast("timestamp"))

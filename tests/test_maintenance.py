@@ -1,0 +1,111 @@
+"""Closed-form tests for operators/maintenance.py (maintain.R,
+generateACLocationCode.R)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from aquacache_spark.operators.maintenance import (
+    generate_location_codes,
+    location_checks,
+    timeseries_bounds_refresh,
+    visibility_expiry_flip,
+)
+
+
+def test_visibility_flip_cases(spark):
+    today = datetime.date(2026, 4, 1)
+    rows = [
+        # (id, share, expiry) -> expected (share, expiry)
+        (1, ["admin"], datetime.date(2026, 1, 1)),      # expired -> public, null
+        (2, ["admin"], datetime.date(2026, 12, 1)),     # future -> unchanged
+        (3, ["public_reader"], datetime.date(2026, 1, 1)),  # already public -> expiry nulled
+        (4, ["admin"], None),                           # no expiry -> unchanged
+    ]
+    df = spark.createDataFrame(rows, "id int, share_with array<string>, private_expiry date")
+    out = {
+        r["id"]: (r["share_with"], r["private_expiry"])
+        for r in visibility_expiry_flip(df, F.lit("2026-04-01").cast("date")).collect()
+    }
+    assert out[1] == (["public_reader"], None)
+    assert out[2] == (["admin"], datetime.date(2026, 12, 1))
+    assert out[3] == (["public_reader"], None)
+    assert out[4] == (["admin"], None)
+
+
+def test_bounds_refresh_patches_only_stale(spark):
+    dt = datetime.datetime
+    dim = spark.createDataFrame(
+        [(1, dt(2020, 1, 1), dt(2020, 1, 3)),   # stale end
+         (2, dt(2020, 2, 1), dt(2020, 2, 2)),   # in sync
+         (3, dt(2020, 3, 1), dt(2020, 3, 2))],  # no measurements
+        "timeseries_id int, start_datetime timestamp, end_datetime timestamp",
+    )
+    meas = spark.createDataFrame(
+        [(1, dt(2020, 1, 1)), (1, dt(2020, 1, 5)),
+         (2, dt(2020, 2, 1)), (2, dt(2020, 2, 2))],
+        "timeseries_id int, datetime timestamp",
+    )
+    out = {r["timeseries_id"]: r for r in
+           timeseries_bounds_refresh(dim, meas).collect()}
+    assert out[1]["bounds_changed"] and out[1]["end_datetime"] == dt(2020, 1, 5)
+    assert not out[2]["bounds_changed"]
+    assert not out[3]["bounds_changed"] and out[3]["start_datetime"] == dt(2020, 3, 1)
+
+
+def test_location_checks_flags(spark):
+    locs = spark.createDataFrame(
+        [(1, "A-1"), (2, "B-2"), (3, "C-3")], "location_id int, location_code string")
+    used = spark.createDataFrame([(1,), (3,)], "location_id int")
+    feats = spark.createDataFrame(
+        [("Locations", "a-1"), ("Other", "b-2")], "layer_name string, feature_name string")
+    out = {r["location_id"]: r for r in
+           location_checks(locs, used, feats).collect()}
+    assert not out[1]["orphan"] and not out[1]["missing_point"]
+    assert out[2]["orphan"] and out[2]["missing_point"]  # 'Other' layer ignored
+    assert not out[3]["orphan"] and out[3]["missing_point"]
+
+
+def _unit_square(ox, oy, s=1.0):
+    return [{"x": ox, "y": oy}, {"x": ox + s, "y": oy},
+            {"x": ox + s, "y": oy + s}, {"x": ox, "y": oy + s}]
+
+
+def test_code_generation_sequencing_and_widening(spark):
+    # two basins; points 1-3 in basin A (prefix continues after 00007),
+    # point 4 in basin B whose existing max is 99999 -> widens to 100000.
+    basins = spark.createDataFrame(
+        [("09AB Basin", _unit_square(0.0, 0.0)),
+         ("10CD Basin", _unit_square(10.0, 10.0))],
+        "feature_name string, ring array<struct<x:double,y:double>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5, 0), (2, 0.4, 0.4, 0), (3, 0.6, 0.6, 1), (4, 10.5, 10.5, 9)],
+        "point_id int, px double, py double, type_id int",
+    )
+    types = spark.createDataFrame(
+        [(0, "WL"), (1, "HG")], "type_id int, type_suffix string")
+    existing = spark.createDataFrame(
+        [("09AB-WL-00007",), ("10CD-OT-99999",)], "code string")
+    out = {r["point_id"]: r["location_code"] for r in
+           generate_location_codes(pts, basins, types, existing).collect()}
+    assert out[1] == "09AB-WL-00008"
+    assert out[2] == "09AB-WL-00009"
+    assert out[3] == "09AB-HG-00001"      # different suffix -> own sequence
+    assert out[4] == "10CD-OT-100000"     # unknown type -> OT; widens past 99999
+
+
+def test_code_generation_smallest_basin_wins(spark):
+    # nested squares: point inside both -> smaller area assigned
+    basins = spark.createDataFrame(
+        [("11AA Outer", _unit_square(0.0, 0.0, 10.0)),
+         ("12BB Inner", _unit_square(4.0, 4.0, 2.0))],
+        "feature_name string, ring array<struct<x:double,y:double>>",
+    )
+    pts = spark.createDataFrame([(1, 5.0, 5.0, 0)],
+                                "point_id int, px double, py double, type_id int")
+    types = spark.createDataFrame([(0, "WL")], "type_id int, type_suffix string")
+    existing = spark.createDataFrame([], "code string")
+    rows = generate_location_codes(pts, basins, types, existing).collect()
+    assert rows[0]["feature_name"] == "12BB Inner"
+    assert rows[0]["location_code"] == "12BB-WL-00001"
