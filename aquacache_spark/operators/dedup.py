@@ -348,3 +348,107 @@ def winnow_fingerprints(
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     fps = bind(norm, lambda s: bind(grams_of(s), fps_of))
     return df.select(F.col(id_col), F.explode(fps).alias("fp")).distinct()
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over a
+    candidate-pair edge list (the step after LSH — every doc joined to
+    its transitive duplicate group).
+
+    ``pairs``: (id_a, id_b) undirected edges; ``ids``: one column of
+    node ids (docs with no edges become singletons). Output: (doc_id,
+    cluster_rep, cluster_size) with the representative = min id in the
+    component.
+
+    Algorithm: min-label propagation. Each round every node takes the
+    min of its own label and its neighbors' labels; rounds needed =
+    graph diameter (duplicate clusters are shallow — near-cliques from
+    LSH — so this converges in 2-3 rounds; a driver-side count gates
+    early exit). Each round is one shuffle on node id, and
+    localCheckpoint truncates the plan so round N does not replay
+    rounds 1..N-1. At the 100 TB tier the same loop is the standard
+    map-reduce CC (cf. the large-star/small-star optimization for
+    deep graphs, which LSH output never produces).
+    """
+    id_col = ids.columns[0]
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lab"))
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lab").alias("__nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("__nlab", F.col("lab"))).alias("lab"),
+                (F.col("__nlab") < F.col("lab")).alias("__chg"),
+            )
+        ).localCheckpoint()  # eager: materialize + truncate lineage
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lab")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lab").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    fractions: dict | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the corpus-splitting
+    step of a training-data pipeline, reproducible across runs, engines
+    and partitionings (no RNG: the bucket is a pure function of the id
+    and salt).
+
+    ``fractions``: {stratum: (train_pct, val_pct)} as integer percents;
+    remainder is test. Unlisted strata use 90/5. A per-stratum salt
+    would decorrelate the buckets across strata; one salt keeps a doc's
+    assignment stable even if its stratum label changes.
+    """
+    fractions = fractions or {}
+    bucket = md5_int(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)), 8
+    ) % 100
+    assign = None
+    default = (90, 5)
+    strata = list(fractions.items()) + [(None, default)]
+    expr = None
+    for stratum, (tr, va) in strata:
+        cond_tr = bucket < tr
+        cond_va = (bucket >= tr) & (bucket < tr + va)
+        choice = F.when(cond_tr, "train").when(cond_va, "val").otherwise("test")
+        if stratum is None:
+            expr = choice if expr is None else expr.otherwise(choice)
+        else:
+            expr = (
+                F.when(F.col(strata_col) == stratum, choice)
+                if expr is None
+                else expr.when(F.col(strata_col) == stratum, choice)
+            )
+    return df.withColumn("split", expr).withColumn("__bucket", bucket)

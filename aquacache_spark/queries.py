@@ -4674,3 +4674,99 @@ def location_code_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit("-WL-00007")).alias("code")
     )
     return generate_location_codes(pts, basins, types, existing)
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: duplicate-cluster formation — connected components
+# over the MinHash-LSH candidate pairs (the step that turns pairwise
+# near-dup hits into transitive "keep one per group" clusters). Oracle:
+# a recursive CTE computes each node's min reachable id over the same
+# symmetrized edge list.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = "WITH RECURSIVE " + _MINHASH_SQL + """
+    , banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id,
+               unnest([0, 1, 2, 3]) AS band,
+               unnest([CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR),
+                       CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR),
+                       CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR),
+                       CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)]) AS key
+        FROM sig
+      )
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)
+    SELECT c.node AS doc_id, c.cluster_rep,
+           count(*) OVER (PARTITION BY c.cluster_rep) AS cluster_size
+    FROM comp c
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    return duplicate_clusters(pairs, docs.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: deterministic stratified train/val/test split —
+# assignment is a pure function of (doc_id, salt), reproducible across
+# engines/partitionings; per-source fraction overrides.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'),
+                                 1, 8) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, bucket,
+           CASE
+             WHEN source = 'src0' THEN
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END
+             WHEN source = 'src1' THEN
+               CASE WHEN bucket < 95 THEN 'train'
+                    WHEN bucket < 98 THEN 'val' ELSE 'test' END
+             ELSE
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val' ELSE 'test' END
+           END AS split
+    FROM b
+"""
+
+
+@register("stratified_split", oracle=_SPLIT_ORACLE)
+def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_split(
+        docs, fractions={"src0": (80, 10), "src1": (95, 3)}
+    )
+    return out.select("doc_id", "source", F.col("__bucket").alias("bucket"),
+                      "split")

@@ -1,0 +1,40 @@
+"""Closed-form tests for duplicate_clusters (connected components) and
+stratified_split determinism."""
+
+from pyspark.sql import functions as F
+
+from aquacache_spark.operators.dedup import duplicate_clusters, stratified_split
+
+
+def test_chain_and_singleton_components(spark):
+    # chain 1-2-3-4 (diameter 3 -> needs >1 propagation round),
+    # pair 10-11, singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 20)],
+                                "doc_id bigint")
+    out = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+           for r in duplicate_clusters(pairs, ids).collect()}
+    assert out[1] == (1, 4) and out[4] == (1, 4)
+    assert out[10] == (10, 2) and out[11] == (10, 2)
+    assert out[20] == (20, 1)
+
+
+def test_split_deterministic_and_stratified(spark):
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id bigint, source string",
+    )
+    out1 = stratified_split(docs, fractions={"a": (50, 25)}).collect()
+    out2 = stratified_split(docs, fractions={"a": (50, 25)}).collect()
+    assert sorted(map(str, out1)) == sorted(map(str, out2))  # no RNG anywhere
+    rows = {r["doc_id"]: r for r in out1}
+    for r in rows.values():
+        tr, va = (50, 25) if r["source"] == "a" else (90, 5)
+        expected = ("train" if r["__bucket"] < tr
+                    else "val" if r["__bucket"] < tr + va else "test")
+        assert r["split"] == expected
+    # both strata must see every split class at these sizes
+    for src in ("a", "b"):
+        got = {r["split"] for r in rows.values() if r["source"] == src}
+        assert got == {"train", "val", "test"}
