@@ -4770,3 +4770,114 @@ def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("doc_id", "source", F.col("__bucket").alias("bucket"),
                       "split")
+
+
+# ---------------------------------------------------------------------------
+# addACTimeseries.R constraint ladder (operators/catalog_admin.py): the
+# reference's ~850-line imperative validator as one set-wise pass —
+# FK checks against dims, NULL guards, existing-catalog and in-batch
+# duplicate detection, first-failing reason per row.
+# ---------------------------------------------------------------------------
+
+_TS_INSERT_ORACLE = """
+    WITH batch AS (
+      SELECT o_orderkey AS row_id,
+             o_custkey AS location_id,
+             o_orderkey % 300 AS parameter_id,
+             o_orderkey % 7 AS media_id,
+             CASE o_orderkey % 4 WHEN 0 THEN 'mean' WHEN 1 THEN 'instantaneous'
+                  WHEN 2 THEN 'sum' ELSE 'bogus' END AS aggregation_type,
+             o_orderkey % 3 AS record_rate,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE CAST(o_orderdate AS TIMESTAMP) END AS start_datetime
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    locs AS (SELECT DISTINCT c_custkey FROM customer),
+    params AS (SELECT DISTINCT p_partkey FROM part WHERE p_partkey <= 250),
+    medias(media_id) AS (VALUES (0), (1), (2), (3), (4)),
+    aggs(agg) AS (VALUES ('mean'), ('instantaneous'), ('sum'), ('median')),
+    existing AS (
+      SELECT DISTINCT o_custkey AS location_id,
+             o_orderkey % 300 AS parameter_id,
+             o_orderkey % 7 AS media_id,
+             CASE o_orderkey % 4 WHEN 0 THEN 'mean' WHEN 1 THEN 'instantaneous'
+                  WHEN 2 THEN 'sum' ELSE 'bogus' END AS aggregation_type,
+             o_orderkey % 3 AS record_rate
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    marked AS (
+      SELECT b.*,
+             (l.c_custkey IS NULL) AS no_loc,
+             (p.p_partkey IS NULL) AS no_param,
+             (m.media_id IS NULL) AS no_media,
+             (a.agg IS NULL) AS no_agg,
+             (e.location_id IS NOT NULL) AS dup_exist,
+             row_number() OVER (
+               PARTITION BY b.location_id, b.parameter_id, b.media_id,
+                            b.aggregation_type, b.record_rate
+               ORDER BY b.row_id) AS brn
+      FROM batch b
+      LEFT JOIN locs l ON l.c_custkey = b.location_id
+      LEFT JOIN params p ON p.p_partkey = b.parameter_id
+      LEFT JOIN medias m ON m.media_id = b.media_id
+      LEFT JOIN aggs a ON a.agg = b.aggregation_type
+      LEFT JOIN existing e
+        ON e.location_id = b.location_id AND e.parameter_id = b.parameter_id
+       AND e.media_id = b.media_id AND e.aggregation_type = b.aggregation_type
+       AND e.record_rate = b.record_rate
+    )
+    SELECT row_id, location_id, parameter_id, media_id, aggregation_type,
+           record_rate, start_datetime,
+           CASE WHEN start_datetime IS NULL THEN 'start_datetime_null'
+                WHEN no_loc THEN 'unknown_location'
+                WHEN no_param THEN 'unknown_parameter'
+                WHEN no_media THEN 'unknown_media'
+                WHEN no_agg THEN 'unknown_aggregation_type'
+                WHEN dup_exist THEN 'duplicate_of_existing'
+                WHEN brn > 1 THEN 'duplicate_in_batch'
+           END AS reject_reason
+    FROM marked
+"""
+
+
+@register("timeseries_insert_validation", oracle=_TS_INSERT_ORACLE)
+def timeseries_insert_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.catalog_admin import validate_new_timeseries
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    agg = (
+        F.when(k % 4 == 0, "mean").when(k % 4 == 1, "instantaneous")
+        .when(k % 4 == 2, "sum").otherwise("bogus")
+    )
+    batch = orders.where(k % 2 == 0).select(
+        k.alias("row_id"),
+        F.col("o_custkey").alias("location_id"),
+        (k % 300).alias("parameter_id"),
+        (k % 7).alias("media_id"),
+        agg.alias("aggregation_type"),
+        (k % 3).alias("record_rate"),
+        F.when(k % 11 != 0, F.col("o_orderdate").cast("timestamp"))
+        .alias("start_datetime"),
+    )
+    existing = orders.where(k % 20 == 0).select(
+        F.col("o_custkey").alias("location_id"),
+        (k % 300).alias("parameter_id"),
+        (k % 7).alias("media_id"),
+        agg.alias("aggregation_type"),
+        (k % 3).alias("record_rate"),
+    ).distinct()
+    locations = _t(spark, sf_dir, "customer").select("c_custkey")
+    parameters = (
+        _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 250)
+        .select("p_partkey")
+    )
+    media = spark.createDataFrame([(i,) for i in range(5)], "media_id bigint")
+    aggs = spark.createDataFrame(
+        [("mean",), ("instantaneous",), ("sum",), ("median",)], "agg string")
+    out = validate_new_timeseries(batch, locations, parameters, media, aggs,
+                                  existing)
+    return out.select(
+        "row_id", "location_id", "parameter_id", "media_id",
+        "aggregation_type", "record_rate", "start_datetime", "reject_reason",
+    )

@@ -109,3 +109,30 @@ def test_code_generation_smallest_basin_wins(spark):
     rows = generate_location_codes(pts, basins, types, existing).collect()
     assert rows[0]["feature_name"] == "12BB Inner"
     assert rows[0]["location_code"] == "12BB-WL-00001"
+
+
+def test_insert_timeseries_appends_only_accepted(spark):
+    import datetime
+    from aquacache_spark.operators.catalog_admin import (
+        insert_timeseries, validate_new_timeseries)
+
+    dims = lambda vals, name: spark.createDataFrame([(v,) for v in vals], f"{name} int")
+    cat_schema = ("location_id int, parameter_id int, media_id int, "
+                  "aggregation_type string, record_rate int, start_datetime timestamp")
+    existing = spark.createDataFrame(
+        [(1, 1, 1, "mean", 1, datetime.datetime(2020, 1, 1))], cat_schema)
+    batch = spark.createDataFrame(
+        [(1, 1, 1, 1, "mean", 1, datetime.datetime(2021, 1, 1)),   # dup of existing
+         (2, 1, 2, 1, "mean", 1, datetime.datetime(2021, 1, 1)),   # ok
+         (3, 9, 1, 1, "mean", 1, datetime.datetime(2021, 1, 1)),   # bad location
+         (4, 1, 2, 1, "mean", 1, datetime.datetime(2021, 2, 1))],  # dup in batch of row 2
+        "row_id int, " + cat_schema)
+    v = validate_new_timeseries(
+        batch, dims([1, 2], "location_id"), dims([1, 2], "parameter_id"),
+        dims([1], "media_id"),
+        spark.createDataFrame([("mean",)], "agg string"), existing)
+    reasons = {r["row_id"]: r["reject_reason"] for r in v.collect()}
+    assert reasons == {1: "duplicate_of_existing", 2: None,
+                       3: "unknown_location", 4: "duplicate_in_batch"}
+    merged = insert_timeseries(existing, v)
+    assert merged.count() == 2
