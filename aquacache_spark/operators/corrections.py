@@ -115,10 +115,12 @@ def apply_corrections(
 
     Fast-path dispatch mirrors the reference (no corrections -> raw
     scan, inst/patches/patch_53.R:1871-1936): an empty list compiles to
-    a no-op projection. ``drift_equation`` steps materialize the
-    accumulated value into a temp column so the user expression (parsed
-    by Catalyst via ``F.expr``, gated by the safety validator) can
-    reference it by name; all other steps stay one fused expression.
+    a no-op projection. Every step materializes the accumulated value
+    into a temp column (linear plan size — see the in-loop note);
+    ``drift_equation`` additionally needs the named column so the user
+    expression (parsed by Catalyst via ``F.expr``, gated by the safety
+    validator) can reference it. The chained projections fuse into one
+    codegen stage — still a map-only scan, no joins or shuffles.
     """
     out_col = out_col or value_col
     ordered = sorted(corrections, key=lambda c: c.priority)
@@ -128,6 +130,7 @@ def apply_corrections(
         return df if out_col == value_col else df.withColumn(out_col, F.col(value_col))
 
     value: Column = F.col(value_col).cast("double")
+    _tmp_cols: list[str] = []
     for c in ordered:
         if c.correction_type == "drift_equation":
             assert_safe_numeric_expression(
@@ -153,9 +156,26 @@ def apply_corrections(
             df = df.withColumnRenamed("__acc2__", "__acc__")
             value = F.col("__acc__")
         else:
-            value = _step(value, c, ts, dt)
+            # Materialize the accumulated value once per step. _step
+            # references it in both branches of its when(); folding the
+            # raw expression would duplicate the whole prior tree per
+            # correction — the Column-to-expression conversion is then
+            # exponential in chain length (a 15-step chain OOMed a 24g
+            # driver). A per-step alias keeps conversion linear, stays
+            # inside whole-stage codegen (each alias evaluates once per
+            # row), and CollapseProject leaves multi-use non-trivial
+            # aliases alone. (An expression-level `let` via
+            # transform(array(x), ...) also fixes the blowup but costs
+            # a per-row array alloc per step and drops out of codegen:
+            # 2x slower on the 6M-row scale check.)
+            step_col = f"__corr_{len(_tmp_cols)}__"
+            df = df.withColumn(step_col, _step(value, c, ts, dt))
+            _tmp_cols.append(step_col)
+            value = F.col(step_col)
 
     out = df.withColumn(out_col, value)
     if "__acc__" in out.columns:
         out = out.drop("__acc__")
+    if _tmp_cols:
+        out = out.drop(*_tmp_cols)
     return out

@@ -89,8 +89,46 @@ def main() -> None:
     t("increments", compute_increments(meas, keys=["timeseries_id"],
                                        dt_col="datetime", value_col="value",
                                        reset_drop=5.0))
+
+    # ---- document tier: dedup/fingerprint machinery at 20x bench scale
+    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+    seed = F.col("id") % (n_docs * 9 // 10)  # ~10% exact duplicates
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda j: F.substring(
+                F.md5(F.concat(seed.cast("string"), F.lit("-"),
+                               j.cast("string"))), 1, 6
+            ),
+        ),
+    )
+    (
+        spark.range(0, n_docs)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+        .write.mode("overwrite").parquet(f"{base}/docs.parquet")
+    )
+    docs = spark.read.parquet(f"{base}/docs.parquet")
+
+    from aquacache_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        stratified_split,
+        winnow_fingerprints,
+    )
+
+    t("winnow_fingerprints", winnow_fingerprints(docs, k=8, window=4))
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    t("minhash_lsh_pairs", pairs)
+    t("dedup_clusters", duplicate_clusters(pairs, docs.select("doc_id")))
+    t("stratified_split", stratified_split(
+        docs.withColumn("source", (F.col("doc_id") % 5).cast("string")),
+        strata_col="source"))
+
     print(json.dumps({
-        "rows": n, "series": n_series, "timings": timings,
+        "rows": n, "series": n_series, "docs": n_docs, "timings": timings,
         "total": round(sum(timings.values()), 2),
     }))
 

@@ -79,3 +79,27 @@ class TestTokenSubstitution:
                        "drift_equation", equation="power(value, 2)")
         out = apply_corrections(df, [c]).collect()
         assert out[0]["value"] == 9.0
+
+
+def test_long_correction_chain_plans_linearly(spark):
+    """60-step chain must plan and run — the naive nested fold was
+    exponential in the Column-to-expression conversion (15 steps OOMed
+    a 24g driver before the per-step alias fix)."""
+    import datetime
+
+    from aquacache_spark.operators.corrections import (
+        Correction, apply_corrections)
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 3, 15), 10.0)],
+        "timeseries_id int, datetime timestamp, value double",
+    )
+    corr = [
+        Correction(i, 1, "2020-03-01 00:00:00", "2020-04-01 00:00:00",
+                   "offset_linear", value1=1.0)
+        for i in range(60)
+    ]
+    out = apply_corrections(df, corr).collect()
+    assert out[0]["value"] == 70.0  # 10 + 60 offsets
+    assert [c for c in apply_corrections(df, corr).columns
+            if c.startswith("__corr_")] == []

@@ -180,3 +180,40 @@ def test_stateful_streaming_increments_match_batch(spark, tmp_path):
     assert expect[(1, "2024-01-01 00:30:00")] == 0.0   # reset detected
     assert expect[(1, "2024-01-01 00:45:00")] == 1.5   # post-reset refill
     assert expect[(2, "2024-01-01 03:30:00")] is None  # gap broke chain
+
+
+def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
+    import datetime
+
+    from aquacache_spark.streaming.structured import (
+        dedup_stream, read_document_stream)
+
+    landing = str(tmp_path / "docs_landing")
+    DT = datetime.datetime
+
+    def drop(batch_id, rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, ingest_time timestamp"
+        ).write.mode("append").parquet(landing)
+
+    drop(0, [(1, "alpha beta", DT(2024, 1, 1, 0, 0)),
+             (2, "gamma delta", DT(2024, 1, 1, 0, 1)),
+             (3, "alpha  beta", DT(2024, 1, 1, 0, 2))])  # ws-normalized dup of 1
+
+    stream = dedup_stream(read_document_stream(spark, landing))
+    q = (stream.writeStream.format("memory").queryName("dedup_docs")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # second drop arrives after the first micro-batch finished: the
+    # cross-batch duplicate must still be suppressed by the state store
+    drop(1, [(4, "alpha beta", DT(2024, 1, 1, 0, 10)),     # dup of doc 1
+             (5, "epsilon zeta", DT(2024, 1, 1, 0, 11))])
+    q2 = (dedup_stream(read_document_stream(spark, landing))
+          .writeStream.format("memory").queryName("dedup_docs2")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_docs2").collect()}
+    assert 2 in got and 5 in got
+    assert len({1, 3, 4} & got) == 1  # exactly one survivor of the dup group

@@ -57,3 +57,34 @@ def test_corrections_compile_to_single_stage(spark):
     p = plan(spark, "corrections_chain")
     assert "Join" not in p
     assert "Exchange" not in p
+
+
+def test_winnow_is_map_only_until_distinct(spark):
+    # gram hashing + window minima are per-row array expressions; the
+    # ONLY exchange is the final distinct on (doc_id, fp)
+    p = plan(spark, "winnow_fingerprints")
+    assert "Join" not in p
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_split_is_pure_projection(spark):
+    # split assignment shuffles nothing — pure function of the id
+    p = plan(spark, "stratified_split")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_code_generation_broadcasts_polygons(spark):
+    # PIP join must broadcast the catalog-sized basin side; the point
+    # batch never becomes the build side of a nested loop
+    p = plan(spark, "location_code_generation")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_insert_validation_dims_broadcast(spark):
+    # every FK check is a broadcast join marker, never a sort-merge
+    p = plan(spark, "timeseries_insert_validation")
+    assert "SortMergeJoin" not in p
