@@ -51,39 +51,75 @@ def validate_new_timeseries(
     ``row_id`` must be a stable input-order column (the reference
     processes vectors positionally).
     """
-    def mark(df: DataFrame, dim: DataFrame, key: str, flag: str) -> DataFrame:
+    return validate_batch(
+        new_rows,
+        fk_checks=[
+            ("location_id", locations, "unknown_location"),
+            ("parameter_id", parameters, "unknown_parameter"),
+            ("media_id", media, "unknown_media"),
+            ("aggregation_type", aggregation_types,
+             "unknown_aggregation_type"),
+        ],
+        unique_key=TS_KEY,
+        existing=existing,
+        null_checks=[("start_datetime", "start_datetime_null")],
+    )
+
+
+def validate_batch(
+    new_rows: DataFrame,
+    fk_checks: Sequence[tuple],
+    unique_key: Sequence[str],
+    existing: DataFrame,
+    null_checks: Sequence[tuple] = (),
+    order_col: str = "row_id",
+) -> DataFrame:
+    """The add* validator family, declaratively: the same ladder as
+    validate_new_timeseries for any catalog table.
+
+    The reference repeats this shape for every insert entry point —
+    addACImageSeries.R:44 (location FK + unique series),
+    addACRasterSeries.R (parameter/model FKs), addACOrg.R:69 (unique
+    name), addACLocation.R (type/datum FKs) — so the engine exposes one
+    operator configured by:
+
+    - ``null_checks``: [(col, reason), ...] — required fields;
+    - ``fk_checks``: [(col, dim_df, reason), ...] — dim membership
+      (dim's first column), checked in order;
+    - ``unique_key`` + ``existing``: the INSERT's unique constraint,
+      against the current catalog and within the batch (first by
+      ``order_col`` wins).
+    """
+    out = new_rows
+    flags: list[tuple] = []
+    for i, (col, dim, rsn) in enumerate(fk_checks):
         d = dim.select(F.col(dim.columns[0]).alias("__k")).distinct()
-        return (
-            df.join(F.broadcast(d), df[key] == F.col("__k"), "left")
+        flag = f"__fk_{i}"
+        out = (
+            out.join(F.broadcast(d), out[col] == F.col("__k"), "left")
             .withColumn(flag, F.col("__k").isNull())
             .drop("__k")
         )
+        flags.append((flag, rsn))
 
-    out = mark(new_rows, locations, "location_id", "__no_loc")
-    out = mark(out, parameters, "parameter_id", "__no_param")
-    out = mark(out, media, "media_id", "__no_media")
-    out = mark(out, aggregation_types, "aggregation_type", "__no_agg")
-
-    exist_keys = existing.select(*TS_KEY).distinct().withColumn(
+    exist_keys = existing.select(*unique_key).distinct().withColumn(
         "__exists", F.lit(True)
     )
-    out = out.join(F.broadcast(exist_keys), list(TS_KEY), "left")
-
-    w = Window.partitionBy(*TS_KEY).orderBy("row_id")
+    out = out.join(F.broadcast(exist_keys), list(unique_key), "left")
+    w = Window.partitionBy(*unique_key).orderBy(order_col)
     out = out.withColumn("__batch_rn", F.row_number().over(w))
 
-    reason = (
-        F.when(F.col("start_datetime").isNull(), "start_datetime_null")
-        .when(F.col("__no_loc"), "unknown_location")
-        .when(F.col("__no_param"), "unknown_parameter")
-        .when(F.col("__no_media"), "unknown_media")
-        .when(F.col("__no_agg"), "unknown_aggregation_type")
-        .when(F.col("__exists"), "duplicate_of_existing")
-        .when(F.col("__batch_rn") > 1, "duplicate_in_batch")
+    ladder = (
+        [(F.col(c).isNull(), rsn) for c, rsn in null_checks]
+        + [(F.col(flag), rsn) for flag, rsn in flags]
+        + [(F.col("__exists"), "duplicate_of_existing"),
+           (F.col("__batch_rn") > 1, "duplicate_in_batch")]
     )
+    reason = F.when(*ladder[0])
+    for cond, rsn in ladder[1:]:
+        reason = reason.when(cond, rsn)
     return out.withColumn("reject_reason", reason).drop(
-        "__no_loc", "__no_param", "__no_media", "__no_agg", "__exists",
-        "__batch_rn",
+        "__exists", "__batch_rn", *[f for f, _ in flags]
     )
 
 

@@ -136,3 +136,28 @@ def test_insert_timeseries_appends_only_accepted(spark):
                        3: "unknown_location", 4: "duplicate_in_batch"}
     merged = insert_timeseries(existing, v)
     assert merged.count() == 2
+
+
+def test_validate_batch_generic_series(spark):
+    """validate_batch covers the other add* entry points — here the
+    image-series shape (addACImageSeries.R:44): location FK + unique
+    (location_id, img_type)."""
+    from aquacache_spark.operators.catalog_admin import validate_batch
+
+    locs = spark.createDataFrame([(1,), (2,)], "location_id int")
+    existing = spark.createDataFrame([(1, "auto")],
+                                     "location_id int, img_type string")
+    batch = spark.createDataFrame(
+        [(1, 1, "auto", "d"), (2, 3, "auto", "d"), (3, 2, None, "d"),
+         (4, 2, "manual", "d"), (5, 2, "manual", "d")],
+        "row_id int, location_id int, img_type string, descr string")
+    out = validate_batch(
+        batch,
+        fk_checks=[("location_id", locs, "unknown_location")],
+        unique_key=("location_id", "img_type"),
+        existing=existing,
+        null_checks=[("img_type", "img_type_null")],
+    )
+    reasons = {r["row_id"]: r["reject_reason"] for r in out.collect()}
+    assert reasons == {1: "duplicate_of_existing", 2: "unknown_location",
+                       3: "img_type_null", 4: None, 5: "duplicate_in_batch"}
