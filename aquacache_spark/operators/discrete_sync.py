@@ -88,16 +88,24 @@ def sample_sync_actions(
         .orderBy("__sec")
         .rangeBetween(0, Window.unboundedFollowing)
     )
-    marked = univ.withColumn("__prev_r", F.max(rdt).over(w_prev)).withColumn(
-        "__next_r", F.min(rdt).over(w_next)
+    # Everything below derives from ONE pass over the windowed universe
+    # — per-series remote count and local-presence-at-datetime are
+    # window aggregates sharing the union's single exchange (their
+    # partition keys are supersets of the sort partitioning), so the
+    # inputs are never re-scanned for a groupBy or an anti-join (the
+    # join-based version re-executed both input plans up to 3x).
+    w_part = Window.partitionBy(*keys)
+    w_dt = Window.partitionBy(*keys, dt_col)
+    marked = (
+        univ.withColumn("__prev_r", F.max(rdt).over(w_prev))
+        .withColumn("__next_r", F.min(rdt).over(w_next))
+        .withColumn("__n_remote", F.sum("__is_r").over(w_part))
+        .withColumn(
+            "__has_local", F.max(1 - F.col("__is_r")).over(w_dt)
+        )
     )
-    n_remote = r.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n_remote"))
 
-    loc = (
-        marked.where(F.col("__is_r") == 0)
-        .join(F.broadcast(n_remote), list(keys), "left")
-        .withColumn("__n_remote", F.coalesce("__n_remote", F.lit(0)))
-    )
+    loc = marked.where(F.col("__is_r") == 0)
     s = F.unix_timestamp(F.lit(start).cast("timestamp"))
     e = F.unix_timestamp(F.lit(end).cast("timestamp"))
     sec, prev, nxt = F.col("__sec"), F.col("__prev_r"), F.col("__next_r")
@@ -127,7 +135,7 @@ def sample_sync_actions(
         .alias("action"),
     )
     inserts = (
-        r.join(l.select(*keys, dt_col), [*keys, dt_col], "left_anti")
+        marked.where((F.col("__is_r") == 1) & (F.col("__has_local") == 0))
         .select(
             *keys, dt_col,
             F.lit(source_fx).alias(src_col),  # :902 import_source <- source_fx
