@@ -108,6 +108,10 @@ def lsh_candidate_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # the self-join references the banded table twice; without a
+    # barrier each side re-derives the full shingle->MinHash pipeline
+    # from the raw corpus (2x the expensive md5 mass)
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

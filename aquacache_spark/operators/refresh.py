@@ -212,15 +212,24 @@ def refresh_calculated_daily(
         raw, corrections, ts_col=series_col, dt_col=dt_col,
         value_col=value_col, out_col="__cv",
     )
+    # The composition fans out twice: the spine/DOY stage references
+    # the daily rollup three times (bounds, join, self-join), and the
+    # Feb-29 smoothing references the laddered stats three times (base
+    # + two neighbor legs). Without a materialization barrier each
+    # reference re-derives the whole upstream chain — the one-query
+    # plan held 44 parquet scans of the fact table. Both intermediates
+    # are one-row-per-series-day (catalog × days, tiny next to the
+    # facts), so persisting them is the Delta-materialized-view shape
+    # the reference gets from its calculated_daily table.
     daily = daily_rollup(
         corrected, [series_col], dt_col=dt_col, value_col="__cv",
         agg_type=agg_type, offset_hours=offset_hours,
-    )
+    ).persist()
     spine = dense_daily_spine(
         daily.select(series_col, "date", "value"), [series_col]
     )
     stats = doy_stats(spine, keys=[series_col], exact_hist_mean=True)
-    laddered = stats_ladder(stats)
+    laddered = stats_ladder(stats).persist()
     smoothed = feb29_smooth_ref(laddered, keys=[series_col], today=today)
     return tail_trim(
         smoothed, raw, series_col, dt_col=dt_col, offset_hours=offset_hours

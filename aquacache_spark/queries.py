@@ -462,6 +462,9 @@ def doy_feb29_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = doy_stats(daily, keys=["priority"], date_col="date", value_col="value")
     stats = stats.select("priority", "date", "value", "doy", "doy_count",
                          "hist_min", "hist_max", "hist_mean", "q50")
+    # feb29_smooth joins stats against itself twice (Feb-28 / Mar-1
+    # neighbors); a barrier stops each leg re-deriving the DOY chain
+    stats = stats.persist()
     out = feb29_smooth(stats, keys=["priority"])
     return _round(out, {"value": 4, "hist_min": 4, "hist_max": 4,
                         "hist_mean": 4, "q50": 4})
@@ -2597,6 +2600,9 @@ def impute_donor_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.broadcast(ev.sparkSession.createDataFrame(
         [("error", "click"), ("signup", "view")], ["tgt", "d_et"]
     ))
+    # target/donor legs, offsets and the spine all branch from the
+    # hourly bins — materialize them once instead of re-aggregating
+    # the fact table per branch
     bins = (
         ev.where(F.col("event_type").isin("error", "click", "signup", "view"))
         .groupBy(
@@ -2606,6 +2612,7 @@ def impute_donor_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .agg(exact_mean(F.col("value")).alias("v"))
+        .persist()
     )
     t = bins.join(pairs, bins["et"] == pairs["tgt"]).select(
         "tgt", "h", F.col("v").alias("tv")
@@ -3691,8 +3698,11 @@ def segment_id_recycling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("raw_end", "next_start")
         )
 
-    existing = intervals(97, 0, 20, 5, with_id=True)
-    new = intervals(89, 1, 15, 3, with_id=False)
+    # the overlay references each interval set several times (boundary
+    # union + both value lookups + positional recycle) — materialize
+    # the catalog-sized interval tables once
+    existing = intervals(97, 0, 20, 5, with_id=True).persist()
+    new = intervals(89, 1, 15, 3, with_id=False).persist()
     final = split_segments(
         existing.drop("segment_id"), new, keys=["series"],
         start_col="start_dt", end_col="end_dt", value_col="value",
@@ -4337,8 +4347,11 @@ def snowcourse_station_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") * 0.5).alias("depth"),
         (F.col("event_type") == "error").alias("exclude_flag"),
     )
+    # station_move_adjust references both stations' means repeatedly
+    # (common dates, ratio offsets, dedupe) — one materialization of
+    # the per-survey means instead of re-aggregating the fact per leg
     means = survey_means(meas).select("location", "parameter", "datetime",
-                                      "result")
+                                      "result").persist()
     old = means.where(F.col("location") == "OLD").drop("location")
     new = means.where(F.col("location") == "NEW").drop("location")
     out = station_move_adjust(old, new)
