@@ -456,3 +456,52 @@ def stratified_split(
                 else expr.when(F.col(strata_col) == stratum, choice)
             )
     return df.withColumn("split", expr).withColumn("__bucket", bucket)
+
+
+def simhash_near_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash signatures.
+
+    Pigeonhole banding: a pair within ``max_hamming`` (< bands) must
+    agree exactly on at least one of ``bands`` contiguous bit-chunks,
+    so candidates come from equi-self-joins on (band, chunk-value) —
+    never all-pairs — and the exact Hamming distance
+    (``bit_count(xor)``) verifies. Same candidate-economics as MinHash
+    LSH; cost ∝ chunk-collision mass. 100 TB safe.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = signatures.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col(sig_col), b * width)
+                    .bitwiseAND(F.lit(mask)).alias("chunk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, sig_col, F.col("bk.band").alias("band"),
+             F.col("bk.chunk").alias("chunk")).persist()
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col(sig_col).alias("__sa"), "band", "chunk")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col(sig_col).alias("__sb"), "band", "chunk")
+    return (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+                .alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

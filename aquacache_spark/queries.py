@@ -4894,3 +4894,51 @@ def timeseries_insert_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_id", "location_id", "parameter_id", "media_id",
         "aggregation_type", "record_rate", "start_datetime", "reject_reason",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: SimHash near-dup pairs — pigeonhole banding over
+# contiguous bit-chunks (a pair within Hamming distance < bands agrees
+# exactly on >= 1 chunk), exact bit_count(xor) verify. Completes the
+# SimHash family (signatures -> candidate pairs).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_PAIRS_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash // CAST(pow(2, b.band * 8) AS BIGINT)) % 256 AS chunk
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("simhash_near_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash, simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash(docs, bits=32)
+    return simhash_near_pairs(sig, bits=32, bands=4, max_hamming=3)
