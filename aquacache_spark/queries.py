@@ -3157,43 +3157,18 @@ ORDER_CORRECTIONS = [
 
 _REFRESH_LADDER_AVG = ("q90", "q75", "q50", "q25", "q10", "mean")
 
-_REFRESH_E2E_ORACLE = f"""
-    WITH raw AS (
-      SELECT o_orderpriority AS priority,
-             CAST(o_orderdate AS TIMESTAMP) AS ts,
-             CAST(o_totalprice AS DOUBLE) AS value
-      FROM orders
-    ), c1 AS (  -- trim [20000,400000] on 1-URGENT
-      SELECT priority, ts,
-             CASE WHEN priority = '1-URGENT'
-                       AND ts >= TIMESTAMP '1996-01-01' AND ts < TIMESTAMP '1997-01-01'
-                       AND (value < 20000.0 OR value > 400000.0)
-                  THEN NULL ELSE value END AS v
-      FROM raw
-    ), c2 AS (  -- offset +5000 on 2-HIGH
-      SELECT priority, ts,
-             CASE WHEN priority = '2-HIGH' AND v IS NOT NULL
-                       AND ts >= TIMESTAMP '1996-06-01' AND ts < TIMESTAMP '1997-06-01'
-                  THEN v + 5000.0 ELSE v END AS v
-      FROM c1
-    ), c3 AS (  -- scale 110% on 3-MEDIUM
-      SELECT priority, ts,
-             CASE WHEN priority = '3-MEDIUM' AND v IS NOT NULL
-                       AND ts >= TIMESTAMP '1995-03-01' AND ts < TIMESTAMP '1996-03-01'
-                  THEN v * 110.0 / 100.0 ELSE v END AS v
-      FROM c2
-    ), corr AS (  -- drift +1000/30d on 5-LOW
-      SELECT priority, ts,
-             CASE WHEN priority = '5-LOW' AND v IS NOT NULL
-                       AND ts >= TIMESTAMP '1997-01-01' AND ts < TIMESTAMP '1997-07-01'
-                  THEN v + 1000.0 / 2592000.0
-                       * date_diff('second', TIMESTAMP '1997-01-01', ts)
-                  ELSE v END AS v
-      FROM c3
-    ), daily AS (
-      SELECT priority, CAST(ts AS DATE) AS date,
-             {DSUM('v')} / count(v) AS value
-      FROM corr GROUP BY 1, 2 HAVING count(v) > 0
+def _refresh_tail_sql(last_raw_sql: str) -> str:
+    """The refresh_calculated_daily ladder tail as DuckDB SQL
+    (patch_48.R:215-702): dense per-series spine -> DOY historical
+    stats -> hist-count NULL ladder -> Feb-29 smoothing -> tail trim.
+
+    Continues a WITH chain whose (still-open) last CTE is
+    ``daily(priority, date, value)`` — the returned text closes it.
+    ``last_raw_sql`` supplies the per-series last real-measurement
+    day (the trim bound), which differs per caller: raw facts for
+    the live refresh, the as-of snapshot for point-in-time replay."""
+    return (
+        f"""
     ), bounds AS (
       SELECT priority, min(date) AS min_d FROM daily GROUP BY 1
     ), spine AS (
@@ -3261,11 +3236,13 @@ _REFRESH_E2E_ORACLE = f"""
         CASE WHEN b.min IS NOT NULL AND a.min IS NOT NULL THEN (b.min + a.min) / 2
              WHEN b.min IS NULL AND a.min IS NULL AND f.value IS NOT NULL
              THEN f.value END AS min,
-        """ + ",\n        ".join(
+        """
+        + ",\n        ".join(
             f"CASE WHEN b.{c} IS NOT NULL AND a.{c} IS NOT NULL"
             f" THEN (b.{c} + a.{c}) / 2 END AS {c}"
             for c in _REFRESH_LADDER_AVG
-        ) + f""",
+        )
+        + f""",
         CAST(CASE WHEN b.doy_count IS NOT NULL AND a.doy_count IS NOT NULL
                   THEN LEAST(b.doy_count, a.doy_count)
                   WHEN b.doy_count IS NULL AND a.doy_count IS NULL
@@ -3279,9 +3256,7 @@ _REFRESH_E2E_ORACLE = f"""
       UNION ALL BY NAME
       SELECT * FROM sm
     ), last_raw AS (
-      SELECT o_orderpriority AS priority,
-             max(CAST(o_orderdate AS DATE)) AS last_d
-      FROM orders GROUP BY 1
+      {last_raw_sql}
     )
     SELECT f.priority, f.date, {R('f.value', 4)} AS value, f.doy,
            {R('f.percent_historic_range', 4)} AS percent_historic_range,
@@ -3293,6 +3268,50 @@ _REFRESH_E2E_ORACLE = f"""
     FROM final f JOIN last_raw l ON l.priority = f.priority
     WHERE f.date <= l.last_d
 """
+    )
+
+
+_REFRESH_E2E_ORACLE = f"""
+    WITH raw AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_orderdate AS TIMESTAMP) AS ts,
+             CAST(o_totalprice AS DOUBLE) AS value
+      FROM orders
+    ), c1 AS (  -- trim [20000,400000] on 1-URGENT
+      SELECT priority, ts,
+             CASE WHEN priority = '1-URGENT'
+                       AND ts >= TIMESTAMP '1996-01-01' AND ts < TIMESTAMP '1997-01-01'
+                       AND (value < 20000.0 OR value > 400000.0)
+                  THEN NULL ELSE value END AS v
+      FROM raw
+    ), c2 AS (  -- offset +5000 on 2-HIGH
+      SELECT priority, ts,
+             CASE WHEN priority = '2-HIGH' AND v IS NOT NULL
+                       AND ts >= TIMESTAMP '1996-06-01' AND ts < TIMESTAMP '1997-06-01'
+                  THEN v + 5000.0 ELSE v END AS v
+      FROM c1
+    ), c3 AS (  -- scale 110% on 3-MEDIUM
+      SELECT priority, ts,
+             CASE WHEN priority = '3-MEDIUM' AND v IS NOT NULL
+                       AND ts >= TIMESTAMP '1995-03-01' AND ts < TIMESTAMP '1996-03-01'
+                  THEN v * 110.0 / 100.0 ELSE v END AS v
+      FROM c2
+    ), corr AS (  -- drift +1000/30d on 5-LOW
+      SELECT priority, ts,
+             CASE WHEN priority = '5-LOW' AND v IS NOT NULL
+                       AND ts >= TIMESTAMP '1997-01-01' AND ts < TIMESTAMP '1997-07-01'
+                  THEN v + 1000.0 / 2592000.0
+                       * date_diff('second', TIMESTAMP '1997-01-01', ts)
+                  ELSE v END AS v
+      FROM c3
+    ), daily AS (
+      SELECT priority, CAST(ts AS DATE) AS date,
+             {DSUM('v')} / count(v) AS value
+      FROM corr GROUP BY 1, 2 HAVING count(v) > 0""" + _refresh_tail_sql(
+    """SELECT o_orderpriority AS priority,
+             max(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY 1"""
+)
 
 
 @register("refresh_daily_e2e", oracle=_REFRESH_E2E_ORACLE)
@@ -3314,6 +3333,93 @@ def refresh_daily_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = refresh_calculated_daily(
         raw, ORDER_CORRECTIONS, series_col="priority", dt_col="ts",
         value_col="value", agg_type="mean", today="2026-01-15",
+    )
+    return _round(
+        out,
+        {"value": 4, "percent_historic_range": 4, "max": 4, "min": 4,
+         "mean": 4, "q10": 4, "q25": 4, "q50": 4, "q75": 4, "q90": 4},
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 measurements_calculated_daily_at (patch_50.R:128-420): POINT-IN-TIME
+# daily recomputation. The reference replays the audit log to the requested
+# timestamp (latest committed version per measurement key wins, delete
+# images drop the key) and then runs the exact same daily ladder as the
+# live table. Orders play a versioned measurement log here: key =
+# (priority, order-date, custkey-bucket), version commit time = order-date
+# + (orderkey % 997) hours, and a latest version with status 'P' is a
+# tombstone. Everything downstream of the snapshot is the already-audited
+# refresh composition — reusing _refresh_tail_sql pins BOTH queries to one
+# ladder definition.
+# ---------------------------------------------------------------------------
+
+_DAILY_AT_ASOF_SEC = 929404800  # 1999-06-15 00:00:00 UTC
+
+_DAILY_AT_ORACLE = f"""
+    WITH ver AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_orderdate AS DATE) AS date,
+             o_custkey % 4 AS bucket,
+             o_orderkey AS vid,
+             CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+               + 3600 * (o_orderkey % 997) AS mod_sec,
+             o_orderstatus AS status,
+             CAST(o_totalprice AS DOUBLE) AS value
+      FROM orders
+    ), vis AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY priority, date, bucket
+        ORDER BY mod_sec DESC, vid DESC) AS rn
+      FROM ver WHERE mod_sec <= {_DAILY_AT_ASOF_SEC}
+    ), snap AS (
+      SELECT priority, date, value FROM vis WHERE rn = 1 AND status <> 'P'
+    ), daily AS (
+      SELECT priority, date, {DSUM('value')} / count(value) AS value
+      FROM snap GROUP BY 1, 2 HAVING count(value) > 0""" + _refresh_tail_sql(
+    """SELECT priority, max(date) AS last_d FROM snap GROUP BY 1"""
+)
+
+
+@register("daily_calculated_at", oracle=_DAILY_AT_ORACLE)
+def daily_calculated_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """measurements_calculated_daily_at (patch_50.R:128-420): as-of
+    snapshot of a versioned measurement log (key-partitioned row_number
+    over commit time, tombstones dropped) -> the SAME
+    refresh_calculated_daily ladder as the live table (rollup -> dense
+    spine -> DOY stats -> NULL ladder -> Feb-29 smoothing -> tail trim).
+
+    Scale: the snapshot is one shuffle on the measurement key (the same
+    key any ingest partitions by); the version filter is a pushed-down
+    scan predicate; downstream is the audited refresh plan unchanged."""
+    from .operators.refresh import refresh_calculated_daily
+
+    o = _t(spark, sf_dir, "orders")
+    ver = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("date"),
+        (F.col("o_custkey") % 4).alias("bucket"),
+        F.col("o_orderkey").alias("vid"),
+        (
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            + 3600 * (F.col("o_orderkey") % 997)
+        ).alias("mod_sec"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("value"),
+    ).where(F.col("mod_sec") <= F.lit(_DAILY_AT_ASOF_SEC))
+    w = Window.partitionBy("priority", "date", "bucket").orderBy(
+        F.desc("mod_sec"), F.desc("vid")
+    )
+    snap = (
+        ver.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("status") != "P"))
+        .select(
+            "priority", F.col("date").cast("timestamp").alias("ts"), "value"
+        )
+    )
+    out = refresh_calculated_daily(
+        snap, [], series_col="priority", dt_col="ts", value_col="value",
+        agg_type="mean", today="2026-01-15",
     )
     return _round(
         out,

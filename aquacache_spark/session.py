@@ -70,6 +70,14 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # engine-wide; catalog.table also casts defensively for
         # sessions built outside this factory
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Let a table bucketed/partitioned on a SUBSET of a join's keys
+        # satisfy co-partitioning: the DOY self-join (series, doy) and
+        # sync reconcile (series, datetime) then reuse a series-bucketed
+        # store's layout with ZERO exchanges (tests/test_bucketing.py
+        # pins the plan). Semantically safe — equal join keys imply
+        # equal bucket — at the cost of join parallelism capped at the
+        # bucket count, which the 100 TB store sizes for anyway.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

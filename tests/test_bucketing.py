@@ -37,3 +37,44 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
+
+
+def test_doy_selfjoin_is_shuffle_free_on_bucketed_daily(spark):
+    """The DOY historical self-join (series, doy) + its aggregate over a
+    series-bucketed daily table must be ENTIRELY exchange-free: with
+    requireAllClusterKeysForCoPartition=false (session default),
+    HashPartitioning(series) from the bucketed scan satisfies clustering
+    on (series, doy) for the join and on the full grouping key for the
+    agg — equal join/group keys imply equal series bucket. This is the
+    sf1+/100 TB plan: daily stats recompute with zero shuffles.
+
+    Broadcast is disabled to force the SMJ path the real scale hits —
+    at 100 TB the history side is the same huge table, not a broadcast.
+    """
+    from aquacache_spark.operators.doy import doy_stats
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS doybuck")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(0, 40000).select(
+            (F.col("id") % 50).alias("series"),
+            F.date_add(
+                F.lit("2000-01-01").cast("date"), (F.col("id") / 50).cast("int")
+            ).alias("date"),
+            (F.col("id") * 0.5).alias("value"),
+        )
+        (df.write.mode("overwrite")
+           .bucketBy(8, "series").sortBy("series")
+           .saveAsTable("doybuck.daily"))
+        out = doy_stats(spark.table("doybuck.daily"), keys=["series"])
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, (
+            "DOY self-join over bucketed daily re-shuffled:\n" + plan
+        )
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP DATABASE IF EXISTS doybuck CASCADE")
