@@ -70,14 +70,16 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # engine-wide; catalog.table also casts defensively for
         # sessions built outside this factory
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # Let a table bucketed/partitioned on a SUBSET of a join's keys
-        # satisfy co-partitioning: the DOY self-join (series, doy) and
-        # sync reconcile (series, datetime) then reuse a series-bucketed
-        # store's layout with ZERO exchanges (tests/test_bucketing.py
-        # pins the plan). Semantically safe — equal join keys imply
-        # equal bucket — at the cost of join parallelism capped at the
-        # bucket count, which the 100 TB store sizes for anyway.
-        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # NOTE (bucketed deployments): setting
+        # spark.sql.requireAllClusterKeysForCoPartition=false lets a
+        # table bucketed on a SUBSET of a join's keys satisfy
+        # co-partitioning — the DOY (series, doy) self-join and its
+        # aggregate then run with ZERO exchanges over a series-bucketed
+        # daily store (plan pinned in tests/test_bucketing.py). It is
+        # deliberately NOT the session default: join parallelism drops
+        # to the subset-key partition count, which on a low-cardinality
+        # key (measured: the 5-series bench fact) costs 5x. Enable it
+        # together with a bucketed store sized for the cluster.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

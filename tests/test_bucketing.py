@@ -42,7 +42,9 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 def test_doy_selfjoin_is_shuffle_free_on_bucketed_daily(spark):
     """The DOY historical self-join (series, doy) + its aggregate over a
     series-bucketed daily table must be ENTIRELY exchange-free: with
-    requireAllClusterKeysForCoPartition=false (session default),
+    requireAllClusterKeysForCoPartition=false (an opt-in for bucketed
+    deployments — see session.py note; it caps join parallelism at the
+    subset-key count, so it is NOT the session default),
     HashPartitioning(series) from the bucketed scan satisfies clustering
     on (series, doy) for the join and on the full grouping key for the
     agg — equal join/group keys imply equal series bucket. This is the
@@ -55,7 +57,9 @@ def test_doy_selfjoin_is_shuffle_free_on_bucketed_daily(spark):
 
     spark.sql("CREATE DATABASE IF NOT EXISTS doybuck")
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_cp = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     try:
         df = spark.range(0, 40000).select(
             (F.col("id") % 50).alias("series"),
@@ -77,4 +81,5 @@ def test_doy_selfjoin_is_shuffle_free_on_bucketed_daily(spark):
         assert out.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old_cp)
         spark.sql("DROP DATABASE IF EXISTS doybuck CASCADE")
