@@ -349,6 +349,16 @@ def winnow_fingerprints(
             ),
         ).otherwise(empty)
 
+    # The gram hashing is ~1 md5 per character — orders of magnitude
+    # more compute per byte than a normal scan. Parallelism must not be
+    # inherited from file splits when the source is under-split (a
+    # small/single-row-group parquet reads as ONE task); redistributing
+    # the raw text once is cheap relative to the hashing. Left alone
+    # when the scan already yields enough splits (the 100 TB case).
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, id_col)
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     fps = bind(norm, lambda s: bind(grams_of(s), fps_of))
     return df.select(F.col(id_col), F.explode(fps).alias("fp")).distinct()

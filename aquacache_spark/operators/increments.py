@@ -129,6 +129,31 @@ def compute_increments_pd(
     (vectorized — cost ∝ gap mass), so the operator reads its input
     exactly once instead of running the upstream lineage a second time
     for a separate spine generator."""
+    parts = _increments_parts(
+        pdf, dt_col, value_col, reset_drop, min_pos, period_seconds,
+        max_gap, emit_gap_rows, keys,
+    )
+    return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+
+
+def _increments_parts(
+    pdf: pd.DataFrame,
+    dt_col: str,
+    value_col: str,
+    reset_drop: float,
+    min_pos: float,
+    period_seconds: float | None,
+    max_gap: int,
+    emit_gap_rows: bool,
+    keys: Sequence[str],
+) -> list[pd.DataFrame]:
+    """Kernel body returning [scanned rows, optional NA-cadence pad]
+    WITHOUT concatenating them — the distributed wrapper merges all
+    groups of a partition in one concat (pandas concat per group was
+    the dominant cost at thousands of small series). The pad carries
+    only the datetime spine and key columns; the partition concat
+    NaN-fills the rest, which Arrow writes as the NULLs the reference
+    emits (R/compute_increments.R:33-67)."""
     pdf = pdf.sort_values(dt_col).reset_index(drop=True)
     out, _ = scan_increments(
         pdf[dt_col], pdf[value_col], reset_drop, min_pos,
@@ -146,17 +171,11 @@ def compute_increments_pd(
             cum = np.concatenate([[0], np.cumsum(counts)])
             k = np.arange(cum[-1]) - np.repeat(cum[:-1], counts) + 1
             spine_ep = np.repeat(ep[left], counts) + k * int(period_seconds)
-            # object dtype holds None for any column type (int64 can't);
-            # Arrow casts to the declared output schema on the way back
-            pad = pd.DataFrame(
-                {c: pd.Series([None] * len(spine_ep), dtype="object")
-                 for c in pdf.columns}
-            )
-            pad[dt_col] = pd.to_datetime(spine_ep, unit="s")
+            pad = pd.DataFrame({dt_col: pd.to_datetime(spine_ep, unit="s")})
             for c in keys:  # constant per kernel call; all else stays NULL
                 pad[c] = pdf[c].iloc[0]
-            pdf = pd.concat([pdf, pad], ignore_index=True)
-    return pdf
+            return [pdf, pad]
+    return [pdf]
 
 
 def gap_rows(
@@ -232,11 +251,10 @@ def compute_increments(
         list(df.schema.fields) + [T.StructField("increment", T.DoubleType())]
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return compute_increments_pd(
+    def fn(pdf: pd.DataFrame) -> list[pd.DataFrame]:
+        return _increments_parts(
             pdf, dt_col, value_col, reset_drop, min_pos,
-            period_seconds, max_gap,
-            emit_gap_rows=emit_gap_rows, keys=keys,
+            period_seconds, max_gap, emit_gap_rows, keys,
         )
 
     return grouped_apply(df, keys, fn, schema)

@@ -3436,11 +3436,11 @@ def daily_calculated_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DISCRETE_SAMPLES_SQL = """
     base0 AS (
-      SELECT user_id % 3 AS series,
+      SELECT user_id % 16 AS series,
              date_trunc('second', CAST(ts AS TIMESTAMP)) AS datetime,
              event_id,
              row_number() OVER (
-               PARTITION BY user_id % 3,
+               PARTITION BY user_id % 16,
                             date_trunc('second', CAST(ts AS TIMESTAMP))
                ORDER BY event_id) AS rn
       FROM events WHERE event_type = 'click'
@@ -3520,7 +3520,7 @@ def discrete_sample_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no full partition sort (row_number would force one) — same rows
     base = (
         ev.select(
-            (F.col("user_id") % 3).alias("series"),
+            (F.col("user_id") % 16).alias("series"),
             F.date_trunc("second", F.col("ts")).alias("datetime"),
             "event_id",
         )
@@ -4803,7 +4803,7 @@ def location_code_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # symmetrized edge list.
 # ---------------------------------------------------------------------------
 
-_CLUSTERS_ORACLE = "WITH RECURSIVE " + _MINHASH_SQL + """
+_COMP_SQL = "WITH RECURSIVE " + _MINHASH_SQL + """
     , banded AS (
       SELECT doc_id, band, key FROM (
         SELECT doc_id,
@@ -4830,6 +4830,9 @@ _CLUSTERS_ORACLE = "WITH RECURSIVE " + _MINHASH_SQL + """
       SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
     ),
     comp AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)
+"""
+
+_CLUSTERS_ORACLE = _COMP_SQL + """
     SELECT c.node AS doc_id, c.cluster_rep,
            count(*) OVER (PARTITION BY c.cluster_rep) AS cluster_size
     FROM comp c
@@ -4848,6 +4851,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
     pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
     return duplicate_clusters(pairs, docs.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: CLUSTER-SAFE corpus split. A naive per-doc split
+# leaks training data: two near-duplicate documents can land in train
+# and test. Keying the deterministic split assignment by cluster_rep
+# (instead of doc_id) puts every member of a near-dup cluster in the
+# same partition — the leakage-prevention step a 100 TB pretraining
+# pipeline runs between dedup and sharding.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SPLIT_ORACLE = _COMP_SQL + """
+    , cb AS (
+      SELECT node AS doc_id, cluster_rep,
+             count(*) OVER (PARTITION BY cluster_rep) AS cluster_size,
+             CAST('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)
+                                     || '|split-v1'), 1, 8) AS BIGINT)
+               % 100 AS bucket
+      FROM comp
+    )
+    SELECT doc_id, cluster_rep, cluster_size, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+    FROM cb
+"""
+
+
+@register("cluster_safe_split", oracle=_CLUSTER_SPLIT_ORACLE)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: LSH candidate pairs -> connected
+    components -> deterministic split keyed by the cluster representative,
+    so near-duplicates never straddle splits. Scale: clusters are one
+    label-propagation pass over the (pruned) LSH edge list; the split is
+    a pure projection of cluster_rep — no extra shuffle beyond the
+    cluster join itself."""
+    from .operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        stratified_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    clusters = duplicate_clusters(pairs, docs.select("doc_id"))
+    out = stratified_split(clusters, id_col="cluster_rep")
+    return out.select(
+        "doc_id", "cluster_rep", "cluster_size",
+        F.col("__bucket").alias("bucket"), "split",
+    )
 
 
 # ---------------------------------------------------------------------------
