@@ -67,14 +67,26 @@ def scan_increments(
     with ``period_seconds=None`` inter-point gaps contribute nothing
     and only explicit NA values count toward the run.
     """
+    import numpy as np
+
     out = []
     last_max, prev_value, prev_ts, na_run = state
-    for ts, v in zip(timestamps, values):
-        is_na = v is None or pd.isna(v)
+    # Strip pandas boxing ONCE: iterating a datetime64 Series yields a
+    # pd.Timestamp per row and each gap becomes a Timedelta allocation
+    # (~5us/row — dominated a 6M-row scale run). The loop below sees
+    # plain ints (ns) and floats; the state keeps pd.Timestamp at the
+    # API boundary (the streaming state schema stores epoch-us).
+    ts_ns = pd.Series(timestamps).to_numpy(dtype="datetime64[ns]").astype("int64")
+    vals = pd.Series(values).to_numpy(dtype="float64", na_value=np.nan)
+    prev_ns = None if prev_ts is None else int(pd.Timestamp(prev_ts).value)
+    for i in range(len(ts_ns)):
+        ts = ts_ns[i]
+        v = vals[i]
+        is_na = v != v  # NaN check without a function call
         v = None if is_na else float(v)
         gap_insert = 0
-        if period_seconds and prev_ts is not None:
-            gap_sec = (ts - prev_ts).total_seconds()
+        if period_seconds and prev_ns is not None:
+            gap_sec = (ts - prev_ns) / 1e9
             gap_insert = max(0, int(math.floor(gap_sec / period_seconds)) - 1)
         run = na_run + gap_insert  # NA rows contiguous just before this row
         # in the reference's expanded grid, the row before this one is an
@@ -107,8 +119,11 @@ def scan_increments(
                 out.append(0.0)  # noise: baseline intentionally kept
         na_run = run + 1 if is_na else 0
         prev_value = v
-        prev_ts = ts
-    return out, (last_max, prev_value, prev_ts, na_run)
+        prev_ns = ts
+    return out, (
+        last_max, prev_value,
+        None if prev_ns is None else pd.Timestamp(prev_ns), na_run,
+    )
 
 
 def compute_increments_pd(
