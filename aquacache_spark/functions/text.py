@@ -19,6 +19,23 @@ EN_STOPWORDS = (
     "that", "for", "on", "with", "as", "are", "was", "at", "by", "be",
 )
 
+# Per-language stopword sets for the multi-language variant. Function
+# words are the strongest cheap language signal (high-frequency, mostly
+# disjoint across languages); ~20 per language matches what fastText-
+# style heuristics need for clean separation on running text.
+LANG_STOPWORDS = {
+    "de": ("der", "die", "das", "und", "den", "von", "zu", "mit", "sich",
+           "des", "auf", "ist", "im", "dem", "nicht", "ein", "eine",
+           "als", "auch", "werden"),
+    "en": EN_STOPWORDS,
+    "es": ("el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+           "es", "por", "con", "no", "para", "su", "al", "lo", "como",
+           "del"),
+    "fr": ("le", "la", "les", "des", "et", "en", "un", "une", "est",
+           "que", "pour", "dans", "qui", "sur", "pas", "au", "plus",
+           "par", "avec", "ce"),
+}
+
 
 def bind(col: Column, f) -> Column:
     """Expression-level `let`: evaluate ``col`` ONCE per row and pass it
@@ -102,6 +119,44 @@ def quality_score(text: Column) -> Column:
 def lang_id(text: Column) -> Column:
     """Stopword-ratio language heuristic: 'en' vs 'und'."""
     return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+
+
+def lang_scores(text: Column) -> Column:
+    """Per-language stopword-hit ratios as a struct column (one field
+    per LANG_STOPWORDS key). The token array is bound once per row; each
+    language's score is a filter against a literal array — pure codegen,
+    one pass over the corpus for all languages."""
+
+    def scores_of(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+        fields = []
+        for lang, words in LANG_STOPWORDS.items():
+            stop = F.array(*[F.lit(w) for w in words])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            fields.append((hits / n).alias(lang))
+        return F.struct(*fields)
+
+    return bind(tokens(F.lower(text)), scores_of)
+
+
+def lang_id_multi(text: Column, threshold: float = 0.05) -> Column:
+    """Argmax-language over the per-language stopword scores; 'und'
+    below ``threshold``. Ties break to the alphabetically first
+    language (min over (-score, lang) — deterministic on both
+    engines)."""
+
+    def pick(sc: Column) -> Column:
+        best = F.array_min(
+            F.array(*[
+                F.struct((-sc[lang]).alias("ns"), F.lit(lang).alias("lang"))
+                for lang in LANG_STOPWORDS
+            ])
+        )
+        return F.when(-best["ns"] >= threshold, best["lang"]).otherwise(
+            F.lit("und")
+        )
+
+    return bind(lang_scores(text), pick)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:

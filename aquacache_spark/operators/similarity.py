@@ -21,6 +21,8 @@
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -315,3 +317,199 @@ def ann_topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-side scale path for embedding
+# stores. A 64-dim float corpus is 256 bytes/vector; m=4 one-byte codes
+# are 4 — the compression that lets a 100 TB embedding store's index
+# live in cluster RAM. Jegou/Douze/Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 8,
+) -> list:
+    """Deterministic PQ codebooks: the ``ksub`` lowest-id corpus
+    vectors, sliced into ``m`` contiguous subspaces, 1e-6-quantized
+    (same seed-and-quantize discipline as ``ivf_centroids`` /
+    ``kmeans_centroids`` — RNG-free, replayable in SQL; the per-
+    subspace Lloyd refinement hook is the identical update rule).
+
+    Returns driver-side ``cw[s][c] -> list[float]`` (codebooks are
+    m*ksub*(dim/m) numbers — catalog-sized, like centroids)."""
+    import math
+
+    Q = 1000000.0
+    rows = (
+        corpus.orderBy(F.col(id_col)).limit(ksub)
+        .select(_as_double(F.col(vec_col)).alias("__v"))
+        .collect()
+    )
+    dim = len(rows[0]["__v"])
+    width = dim // m
+    return [
+        [
+            [math.floor(x * Q + 0.5) / Q for x in row["__v"][s * width:(s + 1) * width]]
+            for row in rows
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """Map-only PQ encoding: per subspace, the argmin-L2 codeword
+    (squared distance quantized to 1e-6 before the argmin so the
+    choice is engine-independent; ties break on the lower code id).
+
+    Output: ``(out_id, *keep, code_0 .. code_{m-1})`` — no shuffle,
+    whole-stage codegen; at scale this is the one full read of the raw
+    embeddings, everything downstream touches only the codes."""
+    vec = _as_double(F.col(vec_col))
+    width = len(codebooks[0][0])
+    cols = [F.col(id_col).alias(out_id), *[F.col(c) for c in keep]]
+    for s, cws in enumerate(codebooks):
+        sub = F.slice(vec, s * width + 1, width)
+        choices = []
+        for c, cw in enumerate(cws):
+            carr = F.array(*[F.lit(x) for x in cw])
+            d2 = F.aggregate(
+                F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            d2q = F.floor(d2 * 1000000.0 + F.lit(0.5)).cast("long")
+            choices.append(F.struct(d2q.alias("d"), F.lit(c).alias("c")))
+        cols.append(F.array_min(F.array(*choices))["c"].alias(f"code_{s}"))
+    return df.select(*cols)
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+) -> DataFrame:
+    """Asymmetric PQ top-k: queries stay full-precision, corpus vectors
+    are reconstructed from their codes (codebook lookup per subspace,
+    concatenated), cosine against the reconstruction, exact top-k.
+
+    Scale shape: the ranking pass reads only ``(id, m codes)`` rows —
+    ~64x less I/O/memory than the raw embeddings — plus the broadcast
+    codebooks; classic ADC replaces the reconstruction dot with
+    per-query lookup tables, an executor-local constant-fold of the
+    same expression. Composes with the IVF partitioner
+    (``ann_topk_ivf``) for the probe-pruned variant
+    (``ann_topk_ivfpq``)."""
+    codes = pq_encode(corpus, codebooks := pq_codebooks(
+        corpus, id_col, vec_col, m, ksub), id_col, vec_col, out_id="neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    scored = codes.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return _pq_rank(scored, codebooks, k)
+
+
+def _pq_reconstruction(codebooks: list):
+    """``xhat`` = per-subspace codebook lookup, concatenated. The
+    codebooks are literal 2D arrays (catalog-sized broadcast-by-plan)."""
+    parts = []
+    for s, cws in enumerate(codebooks):
+        table = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cws])
+        parts.append(F.element_at(table, F.col(f"code_{s}") + 1))
+    return F.concat(*parts)
+
+
+def _pq_rank(scored: DataFrame, codebooks: list, k: int) -> DataFrame:
+    """Cosine(query, reconstruction) + per-query exact top-k over a
+    frame carrying ``__qv``, ``query_id``, ``neighbor_id``, codes."""
+    from ..functions.text import bind
+
+    xhat = _pq_reconstruction(codebooks)
+    scored = scored.withColumn(
+        "cosine",
+        bind(xhat, lambda xh: _dot(F.col("__qv"), xh)
+             / (F.sqrt(_dot(F.col("__qv"), F.col("__qv"))) * F.sqrt(_dot(xh, xh)))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 4,
+    ksub: int = 8,
+) -> tuple:
+    """Build the IVF x PQ index: ``(centroids_df, codebooks, codes_df)``.
+
+    ``codes_df`` is the whole serving state — (neighbor_id,
+    centroid_id, m byte-codes), one shuffle-free pass over the raw
+    embeddings after the centroid/codebook collects. In production it
+    is written once (partitioned by centroid_id) and re-read by every
+    serve; the raw float corpus is never scanned again."""
+    cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    cb = pq_codebooks(corpus, id_col, vec_col, m, ksub)
+    lists = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1, out_id="neighbor_id")
+    codes = pq_encode(
+        lists, cb, id_col="neighbor_id", vec_col="__v",
+        out_id="neighbor_id", keep=["centroid_id"],
+    )
+    return cent, cb, codes
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    index: tuple | None = None,
+) -> DataFrame:
+    """IVF probe pruning x PQ compression — the production ANN shape:
+    each query touches ~``nprobe``/``nlist`` of the corpus, and what it
+    touches is ``m`` one-byte codes per vector, not raw floats. At
+    100 TB the inverted lists are the partitioning key (one corpus
+    shuffle at build), the PQ codes table is the only thing the serving
+    scan reads, and the codebooks/centroids are driver-held literals.
+
+    Pass ``index`` (from :func:`ivfpq_index`, codes possibly persisted
+    and re-read) to serve against a prebuilt index; otherwise the index
+    plan is inlined (build + serve in one query, as the oracle replays)."""
+    cent, cb, codes = index or ivfpq_index(
+        corpus, id_col, vec_col, nlist, m, ksub
+    )
+    probes = ivf_assign(
+        queries, cent, id_col, vec_col, nprobe=nprobe, out_id="query_id"
+    ).withColumnRenamed("__v", "__qv")
+    scored = codes.join(F.broadcast(probes), "centroid_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return _pq_rank(scored, cb, k)

@@ -1012,6 +1012,66 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "stopword_ratio": 6, "quality": 6})
 
 
+# ---------------------------------------------------------------------------
+# Training-data tier: multi-language ID — per-language stopword-hit
+# scores in ONE pass (filter against literal arrays, pure codegen),
+# argmax with alphabetical tie-break, 'und' floor. The oracle's CASE
+# chain (de wins ties over en over es over fr) is the same ordering as
+# the engine's min over (-score, lang).
+# ---------------------------------------------------------------------------
+
+def _lang_filter_sql(lang: str) -> str:
+    from .functions.text import LANG_STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (f"CAST(len(list_filter(toks, t -> t IN ({words}))) AS DOUBLE)"
+            f" / greatest(len(toks), 1)")
+
+
+_LANG_ID_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             {_lang_filter_sql('de')} AS de,
+             {_lang_filter_sql('en')} AS en,
+             {_lang_filter_sql('es')} AS es,
+             {_lang_filter_sql('fr')} AS fr
+      FROM t
+    )
+    SELECT doc_id,
+           {R('de', 6)} AS de, {R('en', 6)} AS en,
+           {R('es', 6)} AS es, {R('fr', 6)} AS fr,
+           CASE
+             WHEN greatest(de, en, es, fr) < 0.05 THEN 'und'
+             WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+             WHEN en >= es AND en >= fr THEN 'en'
+             WHEN es >= fr THEN 'es'
+             ELSE 'fr'
+           END AS lang
+    FROM s
+"""
+
+
+@register("language_id", oracle=_LANG_ID_ORACLE)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language ID over the documents table: all language scores
+    from one bound token array per row (no re-tokenization per
+    language), map-only, no shuffle — linear over a 100 TB corpus."""
+    from .functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    sc = X.lang_scores(t)
+    out = docs.select(
+        "doc_id",
+        sc["de"].alias("de"), sc["en"].alias("en"),
+        sc["es"].alias("es"), sc["fr"].alias("fr"),
+        X.lang_id_multi(t).alias("lang"),
+    )
+    return _round(out, {"de": 6, "en": 6, "es": 6, "fr": 6})
+
+
 # shared shingle/minhash SQL fragments (k=3 word shingles, 8 hashes)
 def _shingles_sql(where: str = "") -> str:
     return f"""
@@ -2431,6 +2491,76 @@ ORACLES["ann_lsh_topk"] = _ann_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Similarity scale path: product quantization (asymmetric top-k over
+# reconstructed codes). Deterministic codebooks (lowest-id seed slices,
+# 1e-6-quantized) + 1e-6-quantized argmin keep every engine choosing
+# the same codes; the oracle replays codebook build, encode, and the
+# reconstruction ranking in SQL.
+# ---------------------------------------------------------------------------
+
+_PQ_ORACLE = f"""
+    WITH c AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), seeds AS (
+      SELECT cv, CAST(row_number() OVER (ORDER BY nid) - 1 AS INTEGER) AS seed
+      FROM (SELECT nid, cv FROM c ORDER BY nid LIMIT 8)
+    ), cw AS (
+      SELECT s.sub, seeds.seed AS code,
+             list_transform(cv[s.sub * 16 + 1 : s.sub * 16 + 16],
+                            x -> floor(x * 1000000 + 0.5) / 1000000) AS w
+      FROM seeds, (SELECT unnest([0, 1, 2, 3]) AS sub) s
+    ), subs AS (
+      SELECT nid, s.sub, cv[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+      FROM c, (SELECT unnest([0, 1, 2, 3]) AS sub) s
+    ), enc AS (
+      SELECT nid, sub, code FROM (
+        SELECT subs.nid, subs.sub, cw.code,
+               row_number() OVER (
+                 PARTITION BY subs.nid, subs.sub
+                 ORDER BY CAST(floor(list_sum(list_transform(
+                            generate_series(1, 16),
+                            i -> (sv[i] - w[i]) * (sv[i] - w[i])))
+                          * 1000000 + 0.5) AS BIGINT), cw.code) AS rk
+        FROM subs JOIN cw USING (sub)
+      ) WHERE rk = 1
+    ), rec AS (
+      SELECT e.nid, flatten(list(w ORDER BY e.sub)) AS xhat
+      FROM enc e JOIN cw ON cw.sub = e.sub AND cw.code = e.code
+      GROUP BY e.nid
+    ), q AS (
+      SELECT nid AS qid, cv AS qv FROM c WHERE nid < 10
+    ), s AS (
+      SELECT q.qid AS query_id, r2.nid AS neighbor_id,
+             list_dot_product(q.qv, r2.xhat)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(r2.xhat, r2.xhat))) AS cosine
+      FROM q, rec r2 WHERE q.qid <> r2.nid
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
+    FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_pq_topk", oracle=_PQ_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression tier: 64-dim floats -> m=4 one-byte codes (the
+    64x memory reduction that keeps a 100 TB embedding index in
+    cluster RAM); asymmetric ranking against full-precision queries.
+    Recall vs the exact baseline gated in tests/test_ann_recall.py."""
+    from .operators.similarity import ann_topk_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_topk_pq(emb, emb.where(F.col("vec_id") < 10), k=5, m=4, ksub=8)
+    return _round(out, {"cosine": 6})
+
+
+
+
+# ---------------------------------------------------------------------------
 # §2.1 import-mapping DSL: source codes -> canonical ids with fallback
 # (R/import_mappings.R:26; downloadEQWin parameter mapping,
 # R/downloadEQWin.R:43)
@@ -2798,6 +2928,93 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = ann_topk_ivf(
         emb, emb.where(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4
+    )
+    return _round(out, {"cosine": 6})
+
+
+# ---------------------------------------------------------------------------
+# IVF x PQ composition — probe-pruned AND compressed, the production
+# serving shape. The oracle glues the IVF list/probe CTEs to the PQ
+# codebook/encode/reconstruct CTEs and ranks within probed lists only.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+    WITH corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM corp ORDER BY vec_id LIMIT 16
+    ), lists AS (
+      SELECT vec_id AS neighbor_id, centroid_id, v FROM (
+        SELECT corp.vec_id, cent.centroid_id, corp.v,
+               row_number() OVER (
+                 PARTITION BY corp.vec_id
+                 ORDER BY {_IVF_COS.format(a='corp.v', b='cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM corp, cent) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, centroid_id, v AS qv FROM (
+        SELECT corp.vec_id, cent.centroid_id, corp.v,
+               row_number() OVER (
+                 PARTITION BY corp.vec_id
+                 ORDER BY {_IVF_COS.format(a='corp.v', b='cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM corp, cent WHERE corp.vec_id < 10) WHERE rn <= 4
+    ), seeds AS (
+      SELECT v AS scv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS seed
+      FROM (SELECT vec_id, v FROM corp ORDER BY vec_id LIMIT 8)
+    ), cw AS (
+      SELECT s.sub, seeds.seed AS code,
+             list_transform(scv[s.sub * 16 + 1 : s.sub * 16 + 16],
+                            x -> floor(x * 1000000 + 0.5) / 1000000) AS w
+      FROM seeds, (SELECT unnest([0, 1, 2, 3]) AS sub) s
+    ), subs AS (
+      SELECT neighbor_id AS nid, centroid_id, s.sub,
+             v[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+      FROM lists, (SELECT unnest([0, 1, 2, 3]) AS sub) s
+    ), enc AS (
+      SELECT nid, centroid_id, sub, code FROM (
+        SELECT subs.nid, subs.centroid_id, subs.sub, cw.code,
+               row_number() OVER (
+                 PARTITION BY subs.nid, subs.sub
+                 ORDER BY CAST(floor(list_sum(list_transform(
+                            generate_series(1, 16),
+                            i -> (sv[i] - w[i]) * (sv[i] - w[i])))
+                          * 1000000 + 0.5) AS BIGINT), cw.code) AS rk
+        FROM subs JOIN cw USING (sub)
+      ) WHERE rk = 1
+    ), rec AS (
+      SELECT e.nid, e.centroid_id, flatten(list(w ORDER BY e.sub)) AS xhat
+      FROM enc e JOIN cw ON cw.sub = e.sub AND cw.code = e.code
+      GROUP BY e.nid, e.centroid_id
+    ), s AS (
+      SELECT probes.query_id, rec.nid AS neighbor_id,
+             list_dot_product(probes.qv, rec.xhat)
+               / (sqrt(list_dot_product(probes.qv, probes.qv))
+                  * sqrt(list_dot_product(rec.xhat, rec.xhat))) AS cosine
+      FROM probes JOIN rec USING (centroid_id)
+      WHERE rec.nid <> probes.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
+    FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe pruning x PQ compression: each query scans ~nprobe/
+    nlist of the corpus AND reads only 4 one-byte codes per scanned
+    vector — compute and memory pruned together, which is how a 100 TB
+    embedding store actually serves."""
+    from .operators.similarity import ann_topk_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_topk_ivfpq(
+        emb, emb.where(F.col("vec_id") < 10),
+        k=5, nlist=16, nprobe=4, m=4, ksub=8,
     )
     return _round(out, {"cosine": 6})
 

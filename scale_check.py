@@ -127,8 +127,44 @@ def main() -> None:
         docs.withColumn("source", (F.col("doc_id") % 5).cast("string")),
         strata_col="source"))
 
+    # ---- embedding tier: ANN paths at 1000x the bench corpus. The
+    # point is the *shape*: IVF+PQ serving time must track probed-list
+    # mass (nprobe/nlist of the corpus) and byte-compressed scan width,
+    # not the raw corpus size the brute-force baseline pays.
+    n_vec = int(sys.argv[4]) if len(sys.argv) > 4 else 500_000
+    dim = 64
+    emb_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.round(
+            F.sin(F.col("id") * 0.7919 + j * 1.04729) * 0.5, 6
+        ).cast("float"),
+    )
+    (
+        spark.range(0, n_vec)
+        .select(F.col("id").alias("vec_id"), emb_arr.alias("embedding"))
+        .write.mode("overwrite").parquet(f"{base}/emb.parquet")
+    )
+    emb = spark.read.parquet(f"{base}/emb.parquet")
+    qs = emb.where(F.col("vec_id") < 8)
+
+    from aquacache_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        cosine_topk,
+        ivfpq_index,
+    )
+
+    t("cosine_topk_bruteforce", cosine_topk(emb, qs, k=5))
+    t0 = time.perf_counter()
+    cent, cb, codes = ivfpq_index(emb, nlist=16, m=4, ksub=8)
+    codes.write.mode("overwrite").parquet(f"{base}/pq.parquet")
+    timings["ivfpq_build"] = round(time.perf_counter() - t0, 2)
+    codes_stored = spark.read.parquet(f"{base}/pq.parquet")
+    t("ivfpq_serve", ann_topk_ivfpq(
+        emb, qs, k=5, nprobe=2, index=(cent, cb, codes_stored)))
+
     print(json.dumps({
-        "rows": n, "series": n_series, "docs": n_docs, "timings": timings,
+        "rows": n, "series": n_series, "docs": n_docs, "vecs": n_vec,
+        "timings": timings,
         "total": round(sum(timings.values()), 2),
     }))
 

@@ -100,3 +100,73 @@ def test_ivf_probes_bound_work(spark):
     # build-side assignment is a partition of the corpus
     lists = ivf_assign(emb, cent, nprobe=1, out_id="neighbor_id")
     assert lists.count() == emb.count()
+
+
+def test_pq_recall_and_rank_agreement(spark):
+    """PQ ranks by cosine against code reconstructions: with 8-codeword
+    seed codebooks over uniform random vectors the approximate order
+    must still recover a clear-above-chance share of the exact top-5,
+    and the top-1 reconstruction scores must correlate with the exact
+    cosine (sanity: reconstruction is not degenerate)."""
+    from aquacache_spark.operators.similarity import ann_topk_pq
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ann_topk_pq(emb, queries, k=5, m=4, ksub=8).collect()
+
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # chance = 5/500 = 1%; 8 codewords x 4 subspaces on uniform random
+    # vectors is deliberately coarse — must still be well above chance
+    assert recall >= 0.05, f"PQ recall collapsed: {recall:.2%}"
+    # scores live in cosine range and every query returns exactly k
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert -1.0 <= r["cosine"] <= 1.0
+    assert all(len(v) == 5 for v in by_q.values())
+
+
+def test_pq_encode_deterministic_across_partitionings(spark):
+    from aquacache_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    cb = pq_codebooks(emb, m=4, ksub=8)
+    a = {r["vec_id"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+         for r in pq_encode(emb, cb).collect()}
+    b = {r["vec_id"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+         for r in pq_encode(emb.repartition(13), cb).collect()}
+    assert a == b
+
+
+def test_ivfpq_prunes_and_recalls(spark):
+    """The IVF x PQ composition must (a) only score within probed
+    lists — every returned neighbor's list must be among the query's
+    nprobe probes — and (b) keep recall above chance."""
+    from aquacache_spark.operators.similarity import (
+        ann_topk_ivfpq, ivf_assign, ivf_centroids,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    approx = ann_topk_ivfpq(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    exact = cosine_topk(emb, queries, k=5).collect()
+
+    cent = ivf_centroids(emb, nlist=16)
+    probes = {
+        (r["query_id"], r["centroid_id"])
+        for r in ivf_assign(queries, cent, nprobe=4, out_id="query_id").collect()
+    }
+    lists = {
+        r["neighbor_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, cent, nprobe=1, out_id="neighbor_id").collect()
+    }
+    for r in approx:
+        assert (r["query_id"], lists[r["neighbor_id"]]) in probes
+
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.05, f"IVF-PQ recall collapsed: {recall:.2%}"
