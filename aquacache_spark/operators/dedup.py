@@ -28,6 +28,19 @@ from ..functions.text import fingerprint, md5_int, tokens, word_shingles
 MINHASH_MOD = 2305843009213693951  # 2^61 - 1
 
 
+def _spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Decouple compute parallelism from file splits for hash-heavy
+    map stages (one md5 per shingle/token/char-gram): a small or
+    single-row-group parquet reads as ONE task, which would serialize
+    the hashing before the first shuffle. Redistributing the raw text
+    once is cheap relative to the hashing; left alone when the scan
+    already yields enough splits (the 100 TB case)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, key)
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -64,7 +77,7 @@ def minhash_signatures(
     shuffle on the doc id; all hashes evaluate in one codegen'd
     projection.
     """
-    sh = df.select(
+    sh = _spread_scan(df, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
     base = md5_int(F.col("sh"), 13)
@@ -135,7 +148,7 @@ def simhash(
     Token-level explode + bit explode (plan-time constant width), one
     aggregation keyed by doc — linear in corpus token count.
     """
-    tok = df.select(
+    tok = _spread_scan(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     ).withColumn("h", md5_int(F.col("tok")))
     bit_sums = [
@@ -349,16 +362,7 @@ def winnow_fingerprints(
             ),
         ).otherwise(empty)
 
-    # The gram hashing is ~1 md5 per character — orders of magnitude
-    # more compute per byte than a normal scan. Parallelism must not be
-    # inherited from file splits when the source is under-split (a
-    # small/single-row-group parquet reads as ONE task); redistributing
-    # the raw text once is cheap relative to the hashing. Left alone
-    # when the scan already yields enough splits (the 100 TB case).
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism, id_col)
-
+    df = _spread_scan(df, id_col)
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     fps = bind(norm, lambda s: bind(grams_of(s), fps_of))
     return df.select(F.col(id_col), F.explode(fps).alias("fp")).distinct()
