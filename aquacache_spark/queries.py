@@ -5095,6 +5095,118 @@ _CLUSTER_SPLIT_ORACLE = _COMP_SQL + """
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data tier CAPSTONE: the corpus-curation pipeline END TO END —
+# quality gate -> near-dup clustering -> keep one representative per
+# cluster (min surviving id) -> cluster-safe split -> per-split doc /
+# cluster / token budget. Every stage is individually ⊕ elsewhere; this
+# row pins their composition (filter-before-dedup ordering, rep chosen
+# among survivors, budget on the BPE-ish count).
+# ---------------------------------------------------------------------------
+
+def _split_bucket(idc) -> F.Column:
+    """The deterministic split bucket (same idiom as
+    operators/dedup.stratified_split): md5 of "<id>|split-v1", first 8
+    hex chars as int, mod 100."""
+    from .functions.text import md5_int
+
+    return md5_int(F.concat(idc.cast("string"), F.lit("|split-v1")), 8) % 100
+
+
+_CURATION_QUALITY_SQL = """
+      SELECT doc_id,
+             floor(((least(length(text) / 200.0, 1.0)
+               + least(CAST(len(list_filter(string_split(lower(text), ' '),
+                   t -> t IN ('the','a','an','and','or','of','to','in','is',
+                              'it','that','for','on','with','as','are','was',
+                              'at','by','be'))) AS DOUBLE)
+                 / greatest(len(string_split(lower(text), ' ')), 1) * 5.0, 1.0)
+               + (1.0 - least((length(text) - length(regexp_replace(
+                   text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / greatest(length(text), 1) * 4.0, 1.0))) / 3.0)
+               * 1000000 + 0.5) / 1000000 AS q,
+             len(regexp_extract_all(text,
+                 ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS bpe_tokens
+      FROM documents
+"""
+
+_CURATION_ORACLE = _COMP_SQL + f"""
+    , qual AS ({_CURATION_QUALITY_SQL})
+    , kept AS (
+      SELECT q2.doc_id, q2.bpe_tokens, c.cluster_rep
+      FROM qual q2 JOIN comp c ON c.node = q2.doc_id
+      WHERE q2.q >= 0.7
+    ), reps AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY cluster_rep) AS surv_rep
+      FROM kept
+    ), uniq AS (
+      SELECT doc_id, bpe_tokens, cluster_rep,
+             CAST('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)
+                                     || '|split-v1'), 1, 8) AS BIGINT)
+               % 100 AS bucket
+      FROM reps WHERE doc_id = surv_rep
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens
+    FROM uniq GROUP BY 1
+"""
+
+
+@register("corpus_curation", oracle=_CURATION_ORACLE)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation end to end: quality-gate (composite heuristic,
+    1e-6-rounded threshold compare so both engines cut identically) ->
+    LSH near-dup clusters -> keep the minimum surviving id per cluster
+    -> split keyed by cluster_rep -> per-split document count, cluster
+    count, and BPE-ish token budget.
+
+    Scale: quality/token metrics are map-only; clustering is the
+    audited label-propagation pass; the rep selection is one window
+    over (cluster_rep); the final agg is 3 groups. Nothing here adds a
+    shuffle beyond the already-audited stages."""
+    from .functions.text import bpe_token_count, quality_score
+    from .operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    clusters = duplicate_clusters(pairs, docs.select("doc_id"))
+
+    q = F.floor(quality_score(F.col("text")) * 1000000.0 + F.lit(0.5)) / 1000000.0
+    qual = docs.select(
+        "doc_id", q.alias("q"), bpe_token_count(F.col("text")).alias("bpe_tokens")
+    )
+    kept = qual.where(F.col("q") >= 0.7).join(
+        clusters.select("doc_id", "cluster_rep"), "doc_id"
+    )
+    surv = F.min("doc_id").over(Window.partitionBy("cluster_rep"))
+    uniq = (
+        kept.withColumn("__surv", surv)
+        .where(F.col("doc_id") == F.col("__surv"))
+        .withColumn(
+            "bucket",
+            _split_bucket(F.col("cluster_rep")),
+        )
+    )
+    return uniq.groupBy(
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("split")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_rep").cast("long").alias("n_clusters"),
+        F.sum("bpe_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 @register("cluster_safe_split", oracle=_CLUSTER_SPLIT_ORACLE)
 def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test split: LSH candidate pairs -> connected
