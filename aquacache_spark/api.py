@@ -208,3 +208,57 @@ def measurements_calculated_daily(
     if end_date:
         out = out.where(F.col("date") <= F.lit(end_date).cast("date"))
     return out
+
+
+def measurements_calculated_daily_at(
+    store: FixtureStore,
+    timeseries_id: int,
+    as_of: str,
+    start_date: Optional[str] = None,
+    end_date: Optional[str] = None,
+) -> DataFrame:
+    """Point-in-time daily stats (``measurements_calculated_daily_at``,
+    inst/patches/patch_50.R:128-420): replay the measurement version
+    log to ``as_of`` — latest version committed at or before the
+    timestamp wins per (series, datetime), tombstones drop the key —
+    then run the IDENTICAL daily pipeline as the live read. A store
+    without recorded history reads as the live table at every
+    timestamp (the reference's audit tables start empty).
+
+    Scale: the snapshot is one key-partitioned row_number over the log
+    (the same key any ingest shuffles on); the version-time filter is a
+    pushed-down scan predicate; downstream is the audited live plan.
+    """
+    import dataclasses
+
+    from pyspark.sql import Window
+
+    versions = store.measurement_versions
+    if versions is None:
+        return measurements_calculated_daily(
+            store, timeseries_id, start_date, end_date
+        )
+    vis = versions.where(
+        (F.col("timeseries_id") == timeseries_id)
+        & (F.col("modified_at") <= F.lit(as_of).cast("timestamp"))
+    )
+    w = Window.partitionBy("timeseries_id", "datetime").orderBy(
+        F.desc("modified_at"), F.desc("version_id")
+    )
+    snap = (
+        vis.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & ~F.col("deleted"))
+        .select(
+            "timeseries_id", "datetime", "value", "imputed",
+            F.lit(False).alias("no_update"),
+        )
+    )
+    others = store.measurements.where(
+        F.col("timeseries_id") != timeseries_id
+    )
+    at_store = dataclasses.replace(
+        store, measurements=snap.unionByName(others)
+    )
+    return measurements_calculated_daily(
+        at_store, timeseries_id, start_date, end_date
+    )

@@ -28,6 +28,12 @@ from .operators.corrections import Correction
 START = "2022-06-01 00:00:00"
 END = "2023-06-01 00:00:00"
 
+# ts1 audit-history fixtures: the first ingest was biased +1.0 inside
+# this window and inserted spurious points inside the January gap; the
+# correction batch committed at AUDIT_FIX restored both.
+AUDIT_WINDOW = ("2023-02-10 00:00:00", "2023-02-14 23:59:59")
+AUDIT_FIX = "2023-03-15 00:00:00"
+
 
 @dataclass
 class FixtureStore:
@@ -36,6 +42,11 @@ class FixtureStore:
     corrections: list = field(default_factory=list)
     compounds: dict = field(default_factory=dict)  # tsid -> definition
     grades: DataFrame | None = None  # interval QC (code, start_dt, end_dt)
+    # append-only audit/version log (the reference's audit.* tables,
+    # patch_55.R:2006-2119): one row per committed version of a
+    # measurement key, tombstones flagged. None -> no history recorded;
+    # as-of reads then see the live table at every timestamp.
+    measurement_versions: DataFrame | None = None
 
 
 def build_store(spark: SparkSession, start: str = START, end: str = END) -> FixtureStore:
@@ -133,5 +144,44 @@ def build_store(spark: SparkSession, start: str = START, end: str = END) -> Fixt
         F.col("start_dt").cast("timestamp").alias("start_dt"),
         F.col("end_dt").cast("timestamp").alias("end_dt"),
     )
+    # Version log for ts1 (audit.* shape, patch_55.R:2006-2119): the
+    # first ingest (version 1, committed at each point's own datetime)
+    # carried a +1.0 bias inside AUDIT_WINDOW and spurious hourly points
+    # inside the January gap; a correction batch (version 2, committed
+    # at AUDIT_FIX) re-issued the window at the live values and
+    # tombstoned the spurious points. The log's LATEST state therefore
+    # equals the live `measurements` table — as-of reads at t >=
+    # AUDIT_FIX reproduce live, earlier ones see the bad first ingest.
+    in_w = F.col("datetime").between(
+        F.lit(AUDIT_WINDOW[0]).cast("timestamp"),
+        F.lit(AUDIT_WINDOW[1]).cast("timestamp"),
+    )
+
+    def vrow(df, version, modified, deleted, bias=0.0):
+        mod = (
+            F.col("datetime") if modified is None
+            else F.lit(modified).cast("timestamp")
+        )
+        return df.select(
+            "timeseries_id", "datetime",
+            (F.col("value") + F.lit(bias)).alias("value"), "imputed",
+            F.lit(version).alias("version_id"), mod.alias("modified_at"),
+            F.lit(deleted).alias("deleted"),
+        )
+
+    spurious = series(1, 3600, "round(10 + sin(epoch/86400)*0.25, 3)").where(
+        F.col("datetime").between(
+            F.lit("2023-01-10 01:00:00").cast("timestamp"),
+            F.lit("2023-01-11 23:00:00").cast("timestamp"),
+        )
+    )
+    measurement_versions = (
+        vrow(ts1.where(~in_w), 1, None, False)
+        .unionByName(vrow(ts1.where(in_w), 1, None, False, bias=1.0))
+        .unionByName(vrow(spurious, 1, None, False))
+        .unionByName(vrow(ts1.where(in_w), 2, AUDIT_FIX, False))
+        .unionByName(vrow(spurious, 2, AUDIT_FIX, True))
+    )
     return FixtureStore(timeseries, measurements, corrections, compounds,
-                        grades=grades)
+                        grades=grades,
+                        measurement_versions=measurement_versions)

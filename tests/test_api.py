@@ -184,3 +184,81 @@ class TestCalculatedDaily:
         assert r["value"] is not None
         # second year of a series: exactly 0 or more same-DOY priors
         assert r["doy_count"] >= 0
+
+
+class TestDailyAt:
+    """Point-in-time daily reconstruction (patch_50.R:128-420)."""
+
+    def test_as_of_after_fix_equals_live(self, spark, store):
+        live = {
+            r["date"]: r["value"]
+            for r in api.measurements_calculated_daily(
+                store, 1, start_date="2023-02-08", end_date="2023-02-17"
+            ).collect()
+        }
+        at = {
+            r["date"]: r["value"]
+            for r in api.measurements_calculated_daily_at(
+                store, 1, "2023-04-01 00:00:00",
+                start_date="2023-02-08", end_date="2023-02-17",
+            ).collect()
+        }
+        assert at == live
+
+    def test_as_of_before_fix_sees_biased_ingest(self, spark, store):
+        import datetime as dt
+
+        live = {
+            r["date"]: r["value"]
+            for r in api.measurements_calculated_daily(
+                store, 1, start_date="2023-02-08", end_date="2023-02-17"
+            ).collect()
+        }
+        at = {
+            r["date"]: r["value"]
+            for r in api.measurements_calculated_daily_at(
+                store, 1, "2023-03-01 00:00:00",
+                start_date="2023-02-08", end_date="2023-02-17",
+            ).collect()
+        }
+        w0, w1 = dt.date(2023, 2, 10), dt.date(2023, 2, 14)
+        assert set(at) == set(live)
+        for d, v in at.items():
+            if w0 <= d <= w1:
+                # every point that day was biased +1.0 -> daily mean too
+                assert abs(v - (live[d] + 1.0)) < 1e-9, d
+            else:
+                assert abs(v - live[d]) < 1e-9, d
+
+    def test_as_of_resurrects_tombstoned_gap_points(self, spark, store):
+        import datetime as dt
+
+        live_days = {
+            r["date"]
+            for r in api.measurements_calculated_daily(
+                store, 1, start_date="2023-01-09", end_date="2023-01-13"
+            ).collect()
+        }
+        at_days = {
+            r["date"]
+            for r in api.measurements_calculated_daily_at(
+                store, 1, "2023-03-01 00:00:00",
+                start_date="2023-01-09", end_date="2023-01-13",
+            ).collect()
+        }
+        gap = {dt.date(2023, 1, 10), dt.date(2023, 1, 11)}
+        assert gap.isdisjoint(live_days)  # live: the gap is empty
+        assert gap <= at_days  # pre-fix: spurious ingest rows visible
+
+    def test_no_history_store_reads_live(self, spark, store):
+        import dataclasses
+
+        bare = dataclasses.replace(store, measurement_versions=None)
+        live = api.measurements_calculated_daily(
+            store, 1, start_date="2023-02-08", end_date="2023-02-12"
+        ).collect()
+        at = api.measurements_calculated_daily_at(
+            bare, 1, "2023-01-01 00:00:00",
+            start_date="2023-02-08", end_date="2023-02-12",
+        ).collect()
+        assert sorted(map(tuple, at)) == sorted(map(tuple, live))
