@@ -159,6 +159,73 @@ def lang_id_multi(text: Column, threshold: float = 0.05) -> Column:
     return bind(lang_scores(text), pick)
 
 
+def word_ngrams(text: Column, k: int) -> Column:
+    """All k-word n-grams in document order, NOT deduplicated —
+    repetition metrics need occurrence multiplicities (word_shingles
+    dedups for set semantics). Short docs (< k tokens) yield an empty
+    array rather than a partial gram."""
+
+    def grams_of(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), n - k)
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(tokens(F.lower(text)), grams_of)
+
+
+def top_count(arr: Column) -> Column:
+    """Max multiplicity of any element in the array, computed within
+    the row: sort, then fold counting the longest run of equal adjacent
+    elements. Map-only (no explode/groupBy shuffle) — the per-document
+    repetition statistics stay linear over a 100 TB corpus."""
+
+    def fold(sorted_arr: Column) -> Column:
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(sorted_arr, acc0, step, lambda a: a["best"])
+
+    return bind(F.array_sort(arr), fold)
+
+
+# PII patterns restricted to constructs java.util.regex and RE2 (DuckDB)
+# compile identically — simple character classes, no backrefs/lookarounds.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_PATTERN = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email/phone/IPv4 matches with typed placeholder tokens.
+    Order matters: emails first (an address can embed digits), then
+    phones, then IPs. Pure regexp_replace — map-only, codegen'd."""
+    out = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+    return F.regexp_replace(out, IPV4_PATTERN, "<IP>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) match counts for audit trails."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), 0)),
+    )
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as an array<string> (space-joined).
 

@@ -519,3 +519,46 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_k: int = 5,
+    threshold: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many
+    distinct k-word n-grams it shares with ANY eval-set document.
+
+    The standard train/test-leakage sweep (the reference corpus tool
+    this engine extends; the GPT-3/PaLM papers use the same shape with
+    k=8..13): eval docs are tiny next to the corpus, so their distinct
+    shingle set is collected once and broadcast — the training side is
+    then a map-only scan + partial-aggregable count, never a shuffle of
+    the corpus text. Output: one row per training doc,
+    ``overlap_ngrams`` (0 when clean) and ``contaminated`` =
+    overlap >= threshold.
+    """
+    t_sh = _spread_scan(train, id_col).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), ngram_k)).alias("sh"),
+    )
+    e_sh = evalset.select(
+        F.explode(word_shingles(F.col(text_col), ngram_k)).alias("sh")
+    ).distinct()
+    hits = (
+        t_sh.join(F.broadcast(e_sh), "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) >= threshold).alias("contaminated"),
+        )
+    )

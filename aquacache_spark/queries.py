@@ -5431,3 +5431,200 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sig = simhash(docs, bits=32)
     return simhash_near_pairs(sig, bits=32, bands=4, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: benchmark decontamination — n-gram overlap of the
+# training corpus against a held-out eval set (the GPT-3/PaLM
+# "13-gram dedup" sweep shape, k=5 here because the synthetic docs are
+# 10-100 tokens). Eval shingles broadcast; the corpus side is map-only
+# + partial-aggregable count — no shuffle of corpus text at 100 TB.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, len(toks) - 4),
+               i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3],
+                              toks[i+4], toks[i+5])))) AS sh
+      FROM docs
+    ), ev AS (
+      SELECT DISTINCT sh FROM g WHERE doc_id % 19 = 3
+    ), hits AS (
+      SELECT g.doc_id, count(*) AS overlap_ngrams
+      FROM g JOIN ev USING (sh)
+      WHERE g.doc_id % 19 != 3
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(h.overlap_ngrams, 0) AS overlap_ngrams,
+           COALESCE(h.overlap_ngrams, 0) >= 8 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 19 != 3) d
+    LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("eval_decontamination", oracle=_DECONTAM_ORACLE)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 19 == 3)
+    train = docs.where(F.col("doc_id") % 19 != 3)
+    return contamination_overlap(train, evalset, ngram_k=5, threshold=8)
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: Gopher/C4-style repetition metrics — all
+# WITHIN-ROW array kernels (sort + fold for top-element multiplicity),
+# so the per-document statistics are map-only and linear over a 100 TB
+# corpus; the oracle reaches the same numbers via unnest + groupBy.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_transform(range(0, len(toks) - 1),
+               i -> concat_ws(' ', toks[i+1], toks[i+2])) AS bigrams,
+             list_transform(range(0, len(toks) - 2),
+               i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) AS trigrams
+      FROM d
+    ), tt AS (
+      SELECT doc_id, max(c) AS top_tok FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS x FROM d) GROUP BY doc_id, x
+      ) GROUP BY doc_id
+    ), tb AS (
+      SELECT doc_id, max(c) AS top_big FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS x FROM b) GROUP BY doc_id, x
+      ) GROUP BY doc_id
+    ), m AS (
+      SELECT b.doc_id,
+             len(toks) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+               / greatest(len(toks), 1) AS unique_token_ratio,
+             CAST(tt.top_tok AS DOUBLE) / greatest(len(toks), 1) AS top_token_frac,
+             CAST(tb.top_big AS DOUBLE) / greatest(len(bigrams), 1) AS top_bigram_frac,
+             1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+               / greatest(len(trigrams), 1) AS dup_trigram_frac
+      FROM b JOIN tt USING (doc_id) JOIN tb USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           {R('unique_token_ratio', 6)} AS unique_token_ratio,
+           {R('top_token_frac', 6)} AS top_token_frac,
+           {R('top_bigram_frac', 6)} AS top_bigram_frac,
+           {R('dup_trigram_frac', 6)} AS dup_trigram_frac,
+           (unique_token_ratio >= 0.2 AND top_bigram_frac <= 0.2
+            AND dup_trigram_frac <= 0.6) AS gopher_keep
+    FROM m
+"""
+
+
+@register("repetition_metrics", oracle=_REPETITION_ORACLE)
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = X.tokens(F.lower(t))
+    n = F.greatest(F.size(toks), F.lit(1))
+    big = X.word_ngrams(t, 2)
+    tri = X.word_ngrams(t, 3)
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / n).alias("unique_token_ratio"),
+        (X.top_count(toks) / n).alias("top_token_frac"),
+        (X.top_count(big) / F.greatest(F.size(big), F.lit(1)))
+        .alias("top_bigram_frac"),
+        (1.0 - F.size(F.array_distinct(tri))
+         / F.greatest(F.size(tri), F.lit(1))).alias("dup_trigram_frac"),
+    ).withColumn(
+        "gopher_keep",
+        (F.col("unique_token_ratio") >= 0.2)
+        & (F.col("top_bigram_frac") <= 0.2)
+        & (F.col("dup_trigram_frac") <= 0.6),
+    )
+    return _round(out, {"unique_token_ratio": 6, "top_token_frac": 6,
+                        "top_bigram_frac": 6, "dup_trigram_frac": 6})
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: PII redaction — deterministic synthetic PII is
+# injected from doc_id on BOTH engines (the raw synthetic corpus has
+# none), then typed-placeholder redaction + audit counts. Map-only
+# regexp work, codegen'd; the patterns are restricted to the
+# java.util.regex ∩ RE2 common subset.
+# ---------------------------------------------------------------------------
+
+_PII_ORACLE = r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 1
+                     THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 2
+                     THEN ' host 192.168.' || (doc_id % 256) || '.' || (doc_id % 100)
+                     ELSE '' END AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             len(regexp_extract_all(text,
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+               AS redacted
+      FROM aug
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           md5(redacted) AS redacted_hash
+    FROM red
+"""
+
+
+@register("pii_redaction", oracle=_PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(k % 3 == 0,
+               F.concat(F.lit(" contact user"), k.cast("string"),
+                        F.lit("@example.com"))).otherwise(""),
+        F.when(k % 4 == 1,
+               F.concat(F.lit(" call 555-867-"),
+                        F.lpad((k % 10000).cast("string"), 4, "0"))
+               ).otherwise(""),
+        F.when(k % 5 == 2,
+               F.concat(F.lit(" host 192.168."), (k % 256).cast("string"),
+                        F.lit("."), (k % 100).cast("string"))).otherwise(""),
+    )
+    a = docs.select("doc_id", aug.alias("__aug"))
+    n_emails, n_phones, n_ips = X.pii_counts(F.col("__aug"))
+    return a.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        F.length(X.redact_pii(F.col("__aug"))).cast("long").alias("redacted_len"),
+        F.md5(X.redact_pii(F.col("__aug"))).alias("redacted_hash"),
+    )
