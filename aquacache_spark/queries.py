@@ -5628,3 +5628,109 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(X.redact_pii(F.col("__aug"))).cast("long").alias("redacted_len"),
         F.md5(X.redact_pii(F.col("__aug"))).alias("redacted_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# addNewContinuous (R/addNewContinuous.R:16): direct-append with
+# overwrite modes, set-wise over many series. The query runs the most
+# complex mode ('all': wipe-and-replace the incoming temporal range) —
+# NA drop, UNS/catalog defaults, instantaneous-period assignment,
+# basic-only rejection, existence probe, and range deletes in one
+# classified-actions frame. Modes 'no'/'conflict' in tests/test_add_new.py.
+# ---------------------------------------------------------------------------
+
+_ADD_NEW_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events
+    ), cat AS (
+      SELECT event_type AS tsid,
+             CASE WHEN event_type = 'error' THEN 'compound'
+                  ELSE 'basic' END AS tstype,
+             CASE WHEN length(event_type) % 2 = 0 THEN 'instantaneous'
+                  ELSE 'mean' END AS agg,
+             'org_' || event_type AS def_owner,
+             CAST(length(event_type) AS BIGINT) AS def_dsa
+      FROM (SELECT DISTINCT event_type FROM ev)
+    ), existing AS (
+      SELECT event_type AS tsid, ts AS datetime FROM ev WHERE event_id % 2 = 0
+    ), incoming0 AS (
+      SELECT event_type AS tsid, ts AS datetime,
+             CASE WHEN event_id % 30 != 0 THEN value * 2 END AS value,
+             CASE WHEN event_id % 5 != 0 THEN 'contrib' END AS owner
+      FROM ev WHERE event_id % 3 = 0
+    ), norm AS (
+      SELECT i.tsid, i.datetime, i.value,
+             COALESCE(i.owner, c.def_owner) AS owner,
+             'UNS' AS grade, 'UNS' AS approval, 'UNS' AS qualifier,
+             c.def_dsa AS data_sharing_agreement_id,
+             CAST(0 AS INT) AS imputed, CAST(0 AS INT) AS no_update,
+             CASE WHEN c.agg = 'instantaneous' THEN 0.0 END AS period_seconds,
+             (c.tstype IS NULL OR c.tstype != 'basic') AS rej
+      FROM incoming0 i LEFT JOIN cat c ON c.tsid = i.tsid
+      WHERE i.value IS NOT NULL
+    ), probed AS (
+      SELECT n.*, (e.tsid IS NOT NULL) AS ex
+      FROM norm n LEFT JOIN existing e
+        ON e.tsid = n.tsid AND e.datetime = n.datetime
+    ), upserts AS (
+      SELECT tsid AS timeseries_id, datetime, {R('value', 6)} AS value,
+             owner, grade, approval, qualifier,
+             data_sharing_agreement_id, imputed, no_update, period_seconds,
+             CASE WHEN rej THEN 'reject'
+                  WHEN ex THEN 'update' ELSE 'insert' END AS action
+      FROM probed
+    ), bounds AS (
+      SELECT tsid, min(datetime) AS lo, max(datetime) AS hi
+      FROM norm WHERE NOT rej GROUP BY 1
+    ), dels AS (
+      SELECT e.tsid AS timeseries_id, e.datetime,
+             CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS owner,
+             CAST(NULL AS VARCHAR) AS grade, CAST(NULL AS VARCHAR) AS approval,
+             CAST(NULL AS VARCHAR) AS qualifier,
+             CAST(NULL AS BIGINT) AS data_sharing_agreement_id,
+             CAST(NULL AS INT) AS imputed, CAST(NULL AS INT) AS no_update,
+             CAST(NULL AS DOUBLE) AS period_seconds,
+             'delete' AS action
+      FROM existing e JOIN bounds b ON b.tsid = e.tsid
+      WHERE e.datetime BETWEEN b.lo AND b.hi
+        AND NOT EXISTS (SELECT 1 FROM norm n
+                        WHERE NOT n.rej AND n.tsid = e.tsid
+                          AND n.datetime = e.datetime)
+    )
+    SELECT * FROM upserts UNION ALL SELECT * FROM dels
+"""
+
+
+@register("add_new_continuous_actions", oracle=_ADD_NEW_ORACLE)
+def add_new_continuous_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.add_new import add_new_continuous
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    existing = ev.where(k % 2 == 0).select(
+        F.col("event_type").alias("timeseries_id"),
+        F.col("ts").alias("datetime"),
+    )
+    incoming = ev.where(k % 3 == 0).select(
+        F.col("event_type").alias("timeseries_id"),
+        F.col("ts").alias("datetime"),
+        F.when(k % 30 != 0, F.col("value") * 2).alias("value"),
+        F.when(k % 5 != 0, F.lit("contrib")).alias("owner"),
+    )
+    catalog = ev.select("event_type").distinct().select(
+        F.col("event_type").alias("timeseries_id"),
+        F.when(F.col("event_type") == "error", "compound")
+        .otherwise("basic").alias("timeseries_type"),
+        F.when(F.length("event_type") % 2 == 0, "instantaneous")
+        .otherwise("mean").alias("aggregation_type"),
+        F.concat(F.lit("org_"), F.col("event_type")).alias("default_owner"),
+        F.length("event_type").cast("long")
+        .alias("default_data_sharing_agreement_id"),
+    )
+    out = add_new_continuous(incoming, existing, catalog, overwrite="all")
+    # nullable booleans cross the pandas bridge differently per engine
+    # (None vs NaN); ints compare NULL-safe numerically
+    out = out.withColumn("imputed", F.col("imputed").cast("int")) \
+             .withColumn("no_update", F.col("no_update").cast("int"))
+    return _round(out, {"value": 6})
