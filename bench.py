@@ -33,6 +33,10 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # evict blocks persisted inside this query's plan before moving
+        # on: 80+ queries' leftover storage otherwise accumulates in the
+        # executor store and skews later timings (GC pressure)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
