@@ -5734,3 +5734,76 @@ def add_new_continuous_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.withColumn("imputed", F.col("imputed").cast("int")) \
              .withColumn("no_update", F.col("no_update").cast("int"))
     return _round(out, {"value": 6})
+
+
+# ---------------------------------------------------------------------------
+# Gridded-model raster connector normalization (downloadHRDPA.R:80-181):
+# a synthetic directory listing is built from orders on BOTH engines
+# (finals + preliminary variants with overlapping datetimes), then the
+# connector's parse -> start filter -> prelim-supersession dedup ->
+# accumulation-window derivation runs. HRDPS run selection/expansion in
+# tests/test_gridded.py.
+# ---------------------------------------------------------------------------
+
+_HRDPA_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderdate AS TIMESTAMP)
+               + to_hours(CAST((o_orderkey % 4) * 6 AS INT)) AS dt
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), listing AS (
+      SELECT strftime(dt, '%Y%m%dT%H')
+               || 'Z_MSC_HRDPA_APCP-Accum6h_Sfc.grib2' AS file
+      FROM base WHERE k % 3 = 0
+      UNION ALL
+      SELECT strftime(dt, '%Y%m%dT%H')
+               || 'Z_MSC_HRDPA_APCP-Accum6h_Sfc_Prelim.grib2'
+      FROM base WHERE k % 5 = 0
+    ), parsed AS (
+      SELECT file, 'https://dd/' || file AS path,
+             strptime(substr(file, 1, 11), '%Y%m%dT%H') AS datetime,
+             contains(file, 'Prelim') AS prelim
+      FROM listing
+    ), filtered AS (
+      SELECT * FROM parsed WHERE datetime >= TIMESTAMP '1994-01-01'
+    ), counted AS (
+      SELECT *, count(*) OVER (PARTITION BY datetime) AS n FROM filtered
+    )
+    SELECT file, path, datetime, prelim,
+           datetime - INTERVAL 6 HOUR AS valid_from,
+           datetime AS valid_to,
+           CASE WHEN prelim THEN 'PRELIMINARY' END AS flag,
+           'HRDPA' AS model, FALSE AS forecast
+    FROM counted
+    WHERE NOT (prelim AND n > 1)
+"""
+
+
+@register("hrdpa_listing_normalize", oracle=_HRDPA_ORACLE)
+def hrdpa_listing_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.gridded import hrdpa_normalize
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.where(k % 7 == 0).select(
+        k.alias("k"),
+        (F.col("o_orderdate").cast("timestamp")
+         + ((k % 4) * 6).cast("int") * F.expr("INTERVAL 1 HOUR")).alias("dt"),
+    )
+    stamp = F.date_format("dt", "yyyyMMdd'T'HH")
+    finals = base.where(F.col("k") % 3 == 0).select(
+        F.concat(stamp, F.lit("Z_MSC_HRDPA_APCP-Accum6h_Sfc.grib2"))
+        .alias("file")
+    )
+    prelims = base.where(F.col("k") % 5 == 0).select(
+        F.concat(stamp, F.lit("Z_MSC_HRDPA_APCP-Accum6h_Sfc_Prelim.grib2"))
+        .alias("file")
+    )
+    listing = finals.unionByName(prelims).select(
+        "file", F.concat(F.lit("https://dd/"), F.col("file")).alias("path")
+    )
+    import datetime as _dt
+
+    return hrdpa_normalize(
+        listing, "APCP-Accum6h_Sfc", _dt.datetime(1994, 1, 1)
+    )
