@@ -5807,3 +5807,56 @@ def hrdpa_listing_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hrdpa_normalize(
         listing, "APCP-Accum6h_Sfc", _dt.datetime(1994, 1, 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# ERA5/CDS request batching (downloadERA5.R:149-200): full months become
+# one request, partial head/tail months go day-by-day — planned set-wise
+# for a catalog of ranges with a months-spine explode + days explode.
+# ---------------------------------------------------------------------------
+
+_ERA5_PLAN_ORACLE = """
+    WITH r AS (
+      SELECT o_orderkey AS req_id,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST((o_orderkey % 90) + 10 AS INT) AS e
+      FROM orders WHERE o_orderkey % 41 = 5
+    ), m AS (
+      SELECT req_id, s, e,
+             CAST(unnest(generate_series(
+               date_trunc('month', s), date_trunc('month', e),
+               INTERVAL 1 MONTH)) AS DATE) AS mth
+      FROM r
+    ), rng AS (
+      SELECT req_id, s, e, mth, last_day(mth) AS me,
+             greatest(s, mth) AS rs, least(e, last_day(mth)) AS re
+      FROM m
+    ), days AS (
+      SELECT req_id,
+             CAST(unnest(generate_series(CAST(rs AS TIMESTAMP),
+                                         CAST(re AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM rng WHERE NOT (rs = mth AND re = me)
+    )
+    SELECT req_id, 'month' AS request_type,
+           rs AS range_start, re AS range_end
+    FROM rng WHERE rs = mth AND re = me
+    UNION ALL
+    SELECT req_id, 'day', d, d FROM days
+"""
+
+
+@register("era5_request_plan", oracle=_ERA5_PLAN_ORACLE)
+def era5_request_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.gridded import era5_request_plan
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ranges = o.where(k % 41 == 5).select(
+        k.alias("req_id"),
+        F.to_date("o_orderdate").alias("start_ts"),
+        F.date_add(F.to_date("o_orderdate"),
+                   (k % 90 + 10).cast("int")).alias("end_ts"),
+    )
+    return era5_request_plan(ranges)

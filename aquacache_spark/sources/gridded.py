@@ -137,3 +137,73 @@ def fetch_grib(url: str):  # pragma: no cover - environment adapter
         "GRIB fetch/decode requires network + GDAL; inject a fetcher "
         "returning (x, y, value) cells and feed operators/raster.tile_cells"
     )
+
+
+CALDAS_HOURS = (0, 3, 6, 9, 12, 15, 18, 21)
+
+
+def caldas_validate_hours(hrs) -> list[int]:
+    """CaLDAS 3-hourly cadence gate (R/downloadCaLDAS.R:36-51): accepts
+    a comma-separated string or numeric vector; every hour must be on
+    the 3-hour grid."""
+    if isinstance(hrs, str):
+        hrs = [h for h in hrs.split(",") if h.strip() != ""]
+    hrs = [int(h) for h in hrs]
+    if not hrs or any(h not in CALDAS_HOURS for h in hrs):
+        raise ValueError(
+            f"'hrs' must be a subset of {CALDAS_HOURS}"
+        )
+    return hrs
+
+
+def era5_request_plan(
+    ranges,
+    id_col: str = "req_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+):
+    """ERA5/CDS request batching (R/downloadERA5.R:149-200), set-wise.
+
+    The reference walks each requested [start, end] window a month at a
+    time: a month fully inside the window becomes ONE CDS request;
+    partial head/tail months are requested day by day (so only the
+    needed days download, and a failure loses at most one day). Here
+    the walk is a months-spine explode + a days explode of the partial
+    months — one generator pass for a whole catalog of ranges, no
+    Python, no shuffle.
+
+    Output: (id_col, request_type 'month'|'day', range_start,
+    range_end) with day rows having range_start == range_end.
+    """
+    from pyspark.sql import functions as F
+
+    s_day = F.to_date(start_col)
+    e_day = F.to_date(end_col)
+    m = ranges.select(
+        id_col,
+        s_day.alias("__s"),
+        e_day.alias("__e"),
+        F.explode(F.sequence(
+            F.trunc(s_day, "month"), F.trunc(e_day, "month"),
+            F.expr("INTERVAL 1 MONTH"),
+        )).alias("__m"),
+    ).select(
+        id_col, "__s", "__e", "__m",
+        F.last_day("__m").alias("__me"),
+        F.greatest(F.col("__s"), F.col("__m")).alias("__rs"),
+        F.least(F.col("__e"), F.last_day("__m")).alias("__re"),
+    )
+    full = (F.col("__rs") == F.col("__m")) & (F.col("__re") == F.col("__me"))
+    months = m.where(full).select(
+        id_col, F.lit("month").alias("request_type"),
+        F.col("__rs").alias("range_start"), F.col("__re").alias("range_end"),
+    )
+    days = m.where(~full).select(
+        id_col,
+        F.explode(F.sequence("__rs", "__re", F.expr("INTERVAL 1 DAY")))
+        .alias("__d"),
+    ).select(
+        id_col, F.lit("day").alias("request_type"),
+        F.col("__d").alias("range_start"), F.col("__d").alias("range_end"),
+    )
+    return months.unionByName(days)

@@ -115,3 +115,47 @@ def test_hrdps_step_expansion(spark, runs):
 def test_fetch_is_gated():
     with pytest.raises(NotImplementedError):
         fetch_grib("https://dd/x.grib2")
+
+
+def test_caldas_hours_validation():
+    from aquacache_spark.sources.gridded import caldas_validate_hours
+
+    assert caldas_validate_hours("0,6,12,18") == [0, 6, 12, 18]
+    assert caldas_validate_hours([0, 3]) == [0, 3]
+    with pytest.raises(ValueError):
+        caldas_validate_hours([0, 5])  # off the 3-hour grid
+    with pytest.raises(ValueError):
+        caldas_validate_hours("")
+
+
+def test_era5_plan_edges(spark):
+    from aquacache_spark.sources.gridded import era5_request_plan
+
+    ranges = spark.createDataFrame(
+        [
+            # spans a partial head month, one full month, a partial tail
+            (1, dt.date(2024, 1, 15), dt.date(2024, 3, 10)),
+            # exactly one full month -> single month request
+            (2, dt.date(2024, 2, 1), dt.date(2024, 2, 29)),
+            # inside one month -> day requests only
+            (3, dt.date(2024, 4, 5), dt.date(2024, 4, 7)),
+        ],
+        "req_id int, start_ts date, end_ts date",
+    )
+    out = era5_request_plan(ranges).collect()
+    by_req = {}
+    for r in out:
+        by_req.setdefault(r["req_id"], []).append(r)
+    r1 = sorted(by_req[1], key=lambda r: r["range_start"])
+    months = [r for r in r1 if r["request_type"] == "month"]
+    days = [r for r in r1 if r["request_type"] == "day"]
+    assert len(months) == 1
+    assert (months[0]["range_start"], months[0]["range_end"]) == (
+        dt.date(2024, 2, 1), dt.date(2024, 2, 29))
+    # 17 head days (Jan 15-31) + 10 tail days (Mar 1-10)
+    assert len(days) == 17 + 10
+    assert all(r["range_start"] == r["range_end"] for r in days)
+    r2 = by_req[2]
+    assert len(r2) == 1 and r2[0]["request_type"] == "month"
+    r3 = by_req[3]
+    assert len(r3) == 3 and all(r["request_type"] == "day" for r in r3)
