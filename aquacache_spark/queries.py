@@ -5860,3 +5860,148 @@ def era5_request_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (k % 90 + 10).cast("int")).alias("end_ts"),
     )
     return era5_request_plan(ranges)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-state resolution ladder for discrete results (patch_39.R:798-970
+# + utils.R:861-1131): explicit id > numeric/text label (with unknown/
+# ambiguous rejection) > media default gated by parameter units >
+# unique-parameter-state fallback. Dims from nation/part; every arm of
+# the ladder is exercised by the o_orderkey residue classes.
+# ---------------------------------------------------------------------------
+
+_MATRIX_STATE_ORACLE = """
+    WITH ms(matrix_state_id, code, name, name_fr) AS (
+      VALUES (1, 'liquid', 'Aqueous', 'Liquide'),
+             (2, 'solid', 'Solid', 'Solide'),
+             (3, 'gas', 'Gas', 'aqueous')
+    ), labels AS (
+      SELECT lab, count(*) AS n_lab, min(matrix_state_id) AS lab_id FROM (
+        SELECT DISTINCT matrix_state_id,
+               unnest([lower(code), lower(name), lower(name_fr)]) AS lab
+        FROM ms
+      ) GROUP BY lab
+    ), med AS (
+      SELECT n_nationkey AS media_id,
+             CASE n_nationkey % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                  WHEN 2 THEN 3 END AS med_def
+      FROM nation
+    ), par AS (
+      SELECT p_partkey AS param_id,
+             CASE WHEN p_partkey % 3 = 0 THEN 10 END AS units_liquid,
+             CASE WHEN p_partkey % 5 = 0 THEN 20 END AS units_solid,
+             CASE WHEN p_partkey % 7 = 0 THEN 30 END AS units_gas
+      FROM part
+    ), par_states AS (
+      SELECT param_id,
+             CASE WHEN count(*) = 1 THEN min(ms.matrix_state_id) END AS uniq_id
+      FROM (
+        SELECT param_id, unnest([
+          CASE WHEN units_liquid IS NOT NULL THEN 'liquid' END,
+          CASE WHEN units_solid IS NOT NULL THEN 'solid' END,
+          CASE WHEN units_gas IS NOT NULL THEN 'gas' END]) AS c
+        FROM par) s
+      JOIN ms ON ms.code = s.c
+      GROUP BY param_id
+    ), res AS (
+      SELECT o_orderkey AS result_id,
+             o_custkey % 25 AS sample_media_id,
+             CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                  ELSE o_orderkey % 400 + 1 END AS parameter_id,
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN CAST(o_orderkey % 3 + 1 AS INT) END AS matrix_state_id,
+             CASE o_orderkey % 13 WHEN 0 THEN 'liquid' WHEN 1 THEN 'SOLID'
+                  WHEN 2 THEN ' Liquide ' WHEN 3 THEN '2' WHEN 4 THEN 'bogus'
+                  WHEN 5 THEN 'aqueous' WHEN 6 THEN '' WHEN 7 THEN 'NA'
+             END AS matrix_state
+      FROM orders
+    ), norm AS (
+      SELECT *, CASE WHEN lower(trim(matrix_state)) IN ('', 'na', 'null')
+                     THEN NULL ELSE lower(trim(matrix_state)) END AS nrm
+      FROM res
+    ), flags AS (
+      SELECT *, COALESCE(regexp_full_match(nrm, '[+-]?[0-9]+'), FALSE)
+                  AS is_num
+      FROM norm
+    ), j AS (
+      SELECT f.*, l.n_lab, l.lab_id, m.med_def, mc.code AS med_code,
+             p.units_liquid, p.units_solid, p.units_gas, ps.uniq_id,
+             CASE mc.code WHEN 'liquid' THEN p.units_liquid
+                  WHEN 'solid' THEN p.units_solid
+                  WHEN 'gas' THEN p.units_gas END AS med_unit
+      FROM flags f
+      LEFT JOIN labels l ON f.nrm = l.lab AND NOT f.is_num
+      LEFT JOIN med m ON m.media_id = f.sample_media_id
+      LEFT JOIN ms mc ON mc.matrix_state_id = m.med_def
+      LEFT JOIN par p ON p.param_id = f.parameter_id
+      LEFT JOIN par_states ps ON ps.param_id = f.parameter_id
+    )
+    SELECT result_id, sample_media_id, parameter_id,
+           CAST(CASE
+             WHEN matrix_state_id IS NOT NULL THEN matrix_state_id
+             WHEN nrm IS NOT NULL AND is_num THEN CAST(nrm AS INT)
+             WHEN nrm IS NOT NULL AND n_lab = 1 THEN lab_id
+             WHEN nrm IS NOT NULL THEN NULL
+             WHEN med_def IS NOT NULL AND (parameter_id IS NULL
+                  OR med_unit IS NOT NULL) THEN med_def
+             ELSE uniq_id END AS INT) AS matrix_state_id,
+           CASE
+             WHEN matrix_state_id IS NOT NULL THEN 'explicit'
+             WHEN nrm IS NOT NULL AND is_num THEN 'numeric_label'
+             WHEN nrm IS NOT NULL AND n_lab = 1 THEN 'label'
+             WHEN nrm IS NOT NULL THEN NULL
+             WHEN med_def IS NOT NULL AND (parameter_id IS NULL
+                  OR med_unit IS NOT NULL) THEN 'media_default'
+             WHEN uniq_id IS NOT NULL THEN 'unique_parameter_state'
+             ELSE 'unresolved' END AS resolved_via,
+           CASE WHEN matrix_state_id IS NULL AND nrm IS NOT NULL
+                     AND NOT is_num AND n_lab IS NULL
+                  THEN 'unknown_matrix_state'
+                WHEN matrix_state_id IS NULL AND nrm IS NOT NULL
+                     AND NOT is_num AND n_lab > 1
+                  THEN 'ambiguous_matrix_state' END AS reject_reason
+    FROM j
+"""
+
+
+@register("matrix_state_resolution", oracle=_MATRIX_STATE_ORACLE)
+def matrix_state_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.discrete import resolve_matrix_states
+
+    matrix_states = spark.createDataFrame(
+        [(1, "liquid", "Aqueous", "Liquide"),
+         (2, "solid", "Solid", "Solide"),
+         (3, "gas", "Gas", "aqueous")],
+        "matrix_state_id int, matrix_state_code string,"
+        " matrix_state_name string, matrix_state_name_fr string",
+    )
+    n = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    media_types = n.select(
+        nk.alias("media_id"),
+        F.when(nk % 4 == 0, 1).when(nk % 4 == 1, 2).when(nk % 4 == 2, 3)
+        .alias("default_matrix_state_id"),
+    )
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    parameters = p.select(
+        pk.alias("parameter_id"),
+        F.when(pk % 3 == 0, 10).alias("units_liquid"),
+        F.when(pk % 5 == 0, 20).alias("units_solid"),
+        F.when(pk % 7 == 0, 30).alias("units_gas"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    results = o.select(
+        k.alias("result_id"),
+        (F.col("o_custkey") % 25).alias("sample_media_id"),
+        F.when(k % 17 != 0, k % 400 + 1).alias("parameter_id"),
+        F.when(k % 11 == 0, (k % 3 + 1).cast("int")).alias("matrix_state_id"),
+        F.when(k % 13 == 0, "liquid").when(k % 13 == 1, "SOLID")
+        .when(k % 13 == 2, " Liquide ").when(k % 13 == 3, "2")
+        .when(k % 13 == 4, "bogus").when(k % 13 == 5, "aqueous")
+        .when(k % 13 == 6, "").when(k % 13 == 7, "NA")
+        .alias("matrix_state"),
+    )
+    return resolve_matrix_states(results, matrix_states, media_types,
+                                 parameters)
