@@ -217,3 +217,64 @@ def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_docs2").collect()}
     assert 2 in got and 5 in got
     assert len({1, 3, 4} & got) == 1  # exactly one survivor of the dup group
+
+
+def test_streaming_rollup_merges_into_store(spark, tmp_path):
+    """The production write path end to end: windowed streaming rollup
+    -> foreachBatch -> ParquetMergeStore MERGE keyed on (series, bin).
+    Late rows inside the watermark re-emit their window (update mode)
+    and the merge overwrites the stale store row, so after both
+    micro-batches the store equals a batch recompute over all data."""
+    from aquacache_spark.sources.store import ParquetMergeStore
+    from aquacache_spark.streaming.structured import (
+        read_measurement_stream, start_incremental_sink, windowed_rollup,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = ParquetMergeStore(
+        spark, str(tmp_path / "store"),
+        key_cols=["timeseries_id", "bin_start"], n_buckets=4,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, ["timeseries_id", "datetime", "value"]
+        ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+
+    def process(df, epoch_id):
+        if df.isEmpty():
+            return
+        store.merge(
+            df.select("timeseries_id", "bin_start", "n", "min", "max", "mean"),
+            on_conflict="update",
+        )
+
+    stream = read_measurement_stream(spark, str(landing))
+    rolled = windowed_rollup(stream, window_seconds=3600, watermark="10 minutes")
+    q = start_incremental_sink(rolled, process, ckpt)
+    try:
+        mk([(1, "2024-01-01 00:10:00", 4.0),
+            (1, "2024-01-01 00:40:00", 8.0),
+            (2, "2024-01-01 01:05:00", 1.0)]).write.mode("append").parquet(
+            str(landing))
+        q.processAllAvailable()
+        # late row lands inside series 1's 00:00 window + a new window
+        mk([(1, "2024-01-01 00:50:00", 9.0),
+            (2, "2024-01-01 02:30:00", 3.0)]).write.mode("append").parquet(
+            str(landing))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["timeseries_id"], str(r["bin_start"])): r
+        for r in store.read().collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")]["n"] == 3  # late row merged in
+    assert got[(1, "2024-01-01 00:00:00")]["mean"] == 7.0
+    assert got[(1, "2024-01-01 00:00:00")]["max"] == 9.0
+    assert got[(2, "2024-01-01 01:00:00")]["n"] == 1
+    assert got[(2, "2024-01-01 02:00:00")]["n"] == 1
+    assert len(got) == 3
