@@ -55,7 +55,7 @@ def main() -> None:
     from aquacache_spark.operators.asof import asof_join
     from aquacache_spark.operators.corrections import Correction, apply_corrections
     from aquacache_spark.operators.daily import daily_rollup
-    from aquacache_spark.operators.doy import doy_stats
+    from aquacache_spark.operators.doy import doy_stats, doy_stats_expanding
     from aquacache_spark.operators.increments import compute_increments
     from aquacache_spark.operators.resample import resample
 
@@ -73,6 +73,8 @@ def main() -> None:
     daily_c.count()
     t("doy_stats", doy_stats(daily_c, keys=["timeseries_id"],
                              date_col="date", value_col="value"))
+    t("doy_stats_expanding", doy_stats_expanding(
+        daily_c, keys=["timeseries_id"], date_col="date", value_col="value"))
     t("resample_1h", resample(meas, keys=["timeseries_id"],
                               dt_col="datetime", value_col="value",
                               seconds=3600))
