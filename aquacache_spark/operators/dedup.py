@@ -562,3 +562,46 @@ def contamination_overlap(
             (F.coalesce("overlap_ngrams", F.lit(0)) >= threshold).alias("contaminated"),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the CCNet/Wikipedia-LM
+    quality signal computed from the corpus itself: train a unigram LM
+    (one token-count aggregation), then score each document by the
+    mean of ``-ln p(token)`` over its tokens. Low surprisal ≈ common,
+    fluent text; high ≈ rare-token soup (a standard filtering axis
+    next to the heuristic metrics in functions/text.py).
+
+    Determinism: each token's surprisal is quantized to integer
+    micro-nats before the per-doc sum, so the mean is independent of
+    accumulation order (partitioning) and bit-reproducible in the
+    DuckDB oracle — the engine-wide exact-sum idiom (operators/daily).
+
+    Scale: one token-explode aggregation for the LM (shuffle ∝ corpus
+    tokens, the minhash cost class); the vocabulary is tiny next to
+    the corpus, so scoring is a broadcast join + partial-aggregable
+    sum. Output: (id, n_tokens, mean_surprisal).
+    """
+    from pyspark.sql import Window
+
+    tok = _spread_scan(df, id_col).select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # the global total over the vocab-sized freq table: an empty-frame
+    # window, evaluated on one partition of a tiny frame
+    freq = freq.withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    q = F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6 + 0.5).cast("long")
+    surp = freq.select("tok", q.alias("__q"))
+    return (
+        tok.join(F.broadcast(surp), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum("__q") / 1e6 / F.count(F.lit(1))).alias("mean_surprisal"),
+        )
+    )

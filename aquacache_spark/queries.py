@@ -6005,3 +6005,38 @@ def matrix_state_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return resolve_matrix_states(results, matrix_states, media_types,
                                  parameters)
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: unigram-LM surprisal (the CCNet-style quality
+# axis) — corpus-trained token frequencies, per-doc mean -ln p(token)
+# in order-independent micro-nat accumulation.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt) AS total FROM freq
+    ), surp AS (
+      SELECT tok, CAST(floor(-ln(cnt / total) * 1000000 + 0.5) AS BIGINT) AS q
+      FROM freq, tot
+    ), d AS (
+      SELECT t.doc_id, sum(q) AS sq, count(*) AS n
+      FROM tok t JOIN surp USING (tok) GROUP BY 1
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           {R('sq / 1000000.0 / n', 6)} AS mean_surprisal
+    FROM d
+"""
+
+
+@register("unigram_surprisal", oracle=_SURPRISAL_ORACLE)
+def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import unigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return _round(unigram_surprisal(docs), {"mean_surprisal": 6})
