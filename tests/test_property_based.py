@@ -73,3 +73,75 @@ def test_rle_reconstruction_roundtrip(spark, codes):
     for a, b in zip(segs.itertuples(), segs.iloc[1:].itertuples()):
         assert b.start == a.end + 1
         assert b.c != a.c
+
+
+# --------------------------------------------------------------------------
+# Segment-overlay algebra (operators/segments.split_segments): pointwise
+# brute-force reference + structural invariants. Inputs are
+# non-overlapping per source, mirroring the reference's tstzrange
+# exclusion constraints (patch_55.R:227-255).
+# --------------------------------------------------------------------------
+
+def _seg_lists(max_segs=4):
+    """Non-overlapping (start, end, value) integer-hour segments."""
+    return st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 5),
+                  st.integers(0, 2)),
+        min_size=0, max_size=max_segs,
+    ).map(_cumulate)
+
+
+def _cumulate(gaps):
+    segs, t = [], 0
+    for gap, length, val in gaps:
+        start = t + gap
+        t = start + length
+        segs.append((start, t, val))
+    return segs
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(existing=_seg_lists(), new=_seg_lists())
+def test_split_segments_pointwise(spark, existing, new):
+    from aquacache_spark.operators.segments import split_segments
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [("k", T0 + dt.timedelta(hours=s), T0 + dt.timedelta(hours=e), v)
+             for s, e, v in rows],
+            "key string, start_dt timestamp, end_dt timestamp, value long",
+        )
+
+    out = [
+        ((r["start_dt"] - T0).total_seconds() / 3600,
+         (r["end_dt"] - T0).total_seconds() / 3600, r["value"])
+        for r in split_segments(df(existing), df(new), keys=["key"]).collect()
+    ]
+
+    # pointwise: for every half-open unit hour, new wins over existing
+    def covering(segs, t):
+        for s, e, v in segs:
+            if s <= t < e:
+                return v
+        return None
+
+    hi = max([e for _, e, _ in existing + new], default=0)
+    for t in range(int(hi)):
+        expected = covering(new, t)
+        if expected is None:
+            expected = covering(existing, t)
+        got = covering(out, t)
+        # boundary-split drops elementary intervals covered by nothing;
+        # but anything covered on input must be covered with the winner
+        assert got == expected, (t, out, existing, new)
+
+    # structural invariants: non-overlap and maximal merging
+    out.sort()
+    for (s1, e1, v1), (s2, e2, v2) in zip(out, out[1:]):
+        assert e1 <= s2  # no overlap
+        assert not (e1 == s2 and v1 == v2)  # adjacent equal values merged
