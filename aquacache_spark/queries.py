@@ -6040,3 +6040,136 @@ def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return _round(unigram_surprisal(docs), {"mean_surprisal": 6})
+
+
+# ---------------------------------------------------------------------------
+# The public read API end-to-end (§2.13, patch_53.R:1844-2260), oracle-
+# checked: a NESTED compound (8 = coalesce(compound 6, basic 5); 6 =
+# coalesce(corrected basic 1, basic 2)) with a member-level correction,
+# a correction on the outer compound itself, and a resampled 'mean'
+# statistic — one call through measurements_continuous_corrected
+# exercises plan dispatch, recursive member resolution, correction
+# fast-paths, and the dense resample tail in a single hash-matched
+# result.
+# ---------------------------------------------------------------------------
+
+_API_READ_ORACLE = f"""
+    WITH m AS (
+      SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                  ELSE 5 END AS tsid,
+             CAST(ts AS TIMESTAMP) AS datetime, value
+      FROM events
+    ), win AS (
+      SELECT * FROM m
+      WHERE datetime >= TIMESTAMP '2024-01-03 00:00:00'
+        AND datetime <= TIMESTAMP '2024-01-25 00:00:00'
+    ), c1 AS (
+      SELECT datetime,
+             CASE WHEN datetime >= TIMESTAMP '2024-01-05 00:00:00'
+                       AND datetime < TIMESTAMP '2024-01-15 00:00:00'
+                       AND value IS NOT NULL
+                  THEN value + 0.5 ELSE value END AS value
+      FROM win WHERE tsid = 1
+    ), c6 AS (
+      SELECT datetime, value FROM (
+        SELECT datetime, value,
+               row_number() OVER (PARTITION BY datetime ORDER BY prio, al) rn
+        FROM (
+          SELECT datetime, value, 1 AS prio, 'a' AS al FROM c1
+          WHERE value IS NOT NULL
+          UNION ALL
+          SELECT datetime, value, 2, 'b' FROM win
+          WHERE tsid = 2 AND value IS NOT NULL
+        )
+      ) WHERE rn = 1
+    ), c8raw AS (
+      SELECT datetime, value FROM (
+        SELECT datetime, value,
+               row_number() OVER (PARTITION BY datetime ORDER BY prio, al) rn
+        FROM (
+          SELECT datetime, value, 1 AS prio, 'm6' AS al FROM c6
+          WHERE value IS NOT NULL
+          UNION ALL
+          SELECT datetime, value, 2, 'm5' FROM win
+          WHERE tsid = 5 AND value IS NOT NULL
+        )
+      ) WHERE rn = 1
+    ), c8 AS (
+      SELECT datetime,
+             CASE WHEN datetime >= TIMESTAMP '2024-01-10 00:00:00'
+                       AND datetime < TIMESTAMP '2024-01-20 00:00:00'
+                       AND value IS NOT NULL
+                  THEN value * 110.0 / 100 ELSE value END AS cv
+      FROM c8raw
+    ), b AS (
+      SELECT TIMESTAMP '1970-01-01'
+               + CAST(floor(epoch(datetime) / 21600) * 21600 AS BIGINT)
+                 * INTERVAL 1 SECOND AS bin_start,
+             {DSUM('cv')} / count(cv) AS mean
+      FROM c8 WHERE cv IS NOT NULL
+      GROUP BY 1
+    ), bounds AS (
+      SELECT min(bin_start) AS lo, max(bin_start) AS hi FROM b
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 21600 SECOND))
+               AS bin_start
+      FROM bounds
+    )
+    SELECT s.bin_start, {R('b.mean', 6)} AS corrected_value
+    FROM spine s LEFT JOIN b USING (bin_start)
+"""
+
+
+@register("api_corrected_read", oracle=_API_READ_ORACLE)
+def api_corrected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .api import measurements_continuous_corrected
+    from .fixtures import FixtureStore
+    from .operators.corrections import Correction
+
+    ev = _t(spark, sf_dir, "events")
+    tsid = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 4)
+        .otherwise(5)
+    )
+    meas = ev.select(
+        tsid.alias("timeseries_id"), F.col("ts").alias("datetime"), "value"
+    )
+    timeseries = spark.createDataFrame(
+        [(i, "basic", "mean") for i in range(1, 6)]
+        + [(6, "compound", "mean"), (8, "compound", "mean")],
+        "timeseries_id int, timeseries_type string, aggregation_type string",
+    )
+    corrections = [
+        Correction(1, 1, "2024-01-05 00:00:00", "2024-01-15 00:00:00",
+                   "offset_linear", value1=0.5),
+        Correction(2, 8, "2024-01-10 00:00:00", "2024-01-20 00:00:00",
+                   "scale", value1=110.0),
+    ]
+    compounds = {
+        6: {"expression": None, "members": [
+            {"alias": "a", "timeseries_id": 1, "priority": 1,
+             "use_from": None, "use_to": None},
+            {"alias": "b", "timeseries_id": 2, "priority": 2,
+             "use_from": None, "use_to": None},
+        ]},
+        8: {"expression": None, "members": [
+            {"alias": "m6", "timeseries_id": 6, "priority": 1,
+             "use_from": None, "use_to": None},
+            {"alias": "m5", "timeseries_id": 5, "priority": 2,
+             "use_from": None, "use_to": None},
+        ]},
+    }
+    store = FixtureStore(
+        timeseries=timeseries, measurements=meas,
+        corrections=corrections, compounds=compounds,
+    )
+    out = measurements_continuous_corrected(
+        store, 8, "2024-01-03 00:00:00", "2024-01-25 00:00:00",
+        statistic="mean", resample_seconds=21600,
+    )
+    return _round(out.select("bin_start", "corrected_value"),
+                  {"corrected_value": 6})
