@@ -97,3 +97,50 @@ def expression_compound(
     return base.withColumn(value_col, F.expr(expression)).select(
         *extra_keys, dt_col, value_col, *[m.alias for m in members]
     )
+
+
+def expression_compound_asof(
+    members: Sequence[Member],
+    expression: str,
+    tolerance_seconds: float,
+    dt_col: str = "datetime",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tolerant-alignment expression compound: the reference's as-of
+    member alignment (patch_53.R:1113-1131 candidate fetch, :1216-1256
+    two-sided 1:1 dedupe) feeding the safe-expression projection
+    (:1273-1294) — the composition the SURVEY §2.4 'compound member
+    alignment, tolerant' row describes.
+
+    ``members[0]`` is the anchor: its timestamps form the output spine
+    (every anchor row survives); each other member contributes its
+    mutually-nearest value within ``tolerance_seconds`` (NULL when its
+    best match is claimed elsewhere or out of tolerance), so the
+    expression yields NULL on unmatched rows — exactly the generated
+    LEFT JOIN LATERAL SQL's behavior.
+
+    Scale: each alignment is the bucketed equi-join of operators/asof
+    (no BNLJ), chained as left joins on the anchor spine.
+    """
+    from .asof import asof_join
+
+    assert_safe_numeric_expression(
+        expression, allowed_idents=tuple(m.alias for m in members)
+    )
+    anchor = members[0]
+    base = _windowed(anchor, dt_col).select(
+        dt_col, F.col(value_col).cast("double").alias(anchor.alias)
+    )
+    for m in members[1:]:
+        rd = _windowed(m, dt_col).select(
+            dt_col, F.col(value_col).cast("double").alias("__mv")
+        )
+        base = asof_join(
+            base, rd, keys=[], left_ts=dt_col, right_ts=dt_col,
+            left_id=dt_col, right_id=dt_col,
+            tolerance_seconds=tolerance_seconds, one_to_one=True,
+            right_cols=["__mv"],
+        ).withColumnRenamed("right___mv", m.alias).drop(f"match_{dt_col}")
+    return base.withColumn(value_col, F.expr(expression)).select(
+        dt_col, value_col, *[m.alias for m in members]
+    )

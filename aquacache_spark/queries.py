@@ -6173,3 +6173,54 @@ def api_corrected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _round(out.select("bin_start", "corrected_value"),
                   {"corrected_value": 6})
+
+
+# ---------------------------------------------------------------------------
+# Tolerant-alignment expression compound (§2.4 'compound member
+# alignment, tolerant' composed with §2.10): clicks anchor a spine,
+# views align 1:1 mutually-nearest within 10 min, and the compound
+# expression projects over the aligned aliases (NULL where unmatched).
+# ---------------------------------------------------------------------------
+
+_COMPOUND_ASOF_ORACLE = f"""
+    WITH l AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS datetime, value AS a,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS lus
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT CAST(ts AS TIMESTAMP) AS rts, value AS b,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS rus
+      FROM events WHERE event_type = 'view'
+    ), cand AS (
+      SELECT l.datetime, l.lus, r.rus, r.b, abs(l.lus - r.rus) AS d
+      FROM l JOIN r ON abs(l.lus - r.rus) <= 600 * 1000000
+    ), ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY lus ORDER BY d, rus) AS ar,
+        row_number() OVER (PARTITION BY rus ORDER BY d, lus) AS mr
+      FROM cand
+    ), pairs AS (
+      SELECT lus, b FROM ranked WHERE ar = 1 AND mr = 1
+    )
+    SELECT l.datetime, {R('l.a + 0.1 * p.b', 6)} AS value,
+           {R('l.a', 6)} AS a, {R('p.b', 6)} AS b
+    FROM l LEFT JOIN pairs p USING (lus)
+"""
+
+
+@register("compound_asof_expression", oracle=_COMPOUND_ASOF_ORACLE)
+def compound_asof_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compound import Member, expression_compound_asof
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("datetime"), "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("ts").alias("datetime"), "value"
+    )
+    out = expression_compound_asof(
+        [Member("a", clicks, 1), Member("b", views, 2)],
+        "a + 0.1 * b", tolerance_seconds=600,
+    )
+    return _round(out, {"value": 6, "a": 6, "b": 6})
