@@ -5530,21 +5530,45 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import text as X
 
     docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    toks = X.tokens(F.lower(t))
-    n = F.greatest(F.size(toks), F.lit(1))
-    big = X.word_ngrams(t, 2)
-    tri = X.word_ngrams(t, 3)
-    out = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(F.array_distinct(toks)) / n).alias("unique_token_ratio"),
-        (X.top_count(toks) / n).alias("top_token_frac"),
-        (X.top_count(big) / F.greatest(F.size(big), F.lit(1)))
-        .alias("top_bigram_frac"),
-        (1.0 - F.size(F.array_distinct(tri))
-         / F.greatest(F.size(tri), F.lit(1))).alias("dup_trigram_frac"),
-    ).withColumn(
+
+    # all five metrics inside ONE nested bind (token array, bigrams,
+    # trigrams each evaluated once per row), surfaced through inline()
+    # — a generator node projection collapse cannot inline, so the
+    # shared subtrees are not re-evaluated per output column (measured
+    # 2.1s -> see commit; the per-column form recomputed the ngram
+    # arrays up to 2x each)
+    def metrics(toks: F.Column) -> F.Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+
+        def grams(k: int) -> F.Column:
+            idx = F.sequence(F.lit(0), F.size(toks) - k)
+            return F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        def with_big(bg: F.Column) -> F.Column:
+            def with_tri(tr: F.Column) -> F.Column:
+                return F.struct(
+                    F.size(toks).cast("long").alias("n_tokens"),
+                    (F.size(F.array_distinct(toks)) / n)
+                    .alias("unique_token_ratio"),
+                    (X.top_count(toks) / n).alias("top_token_frac"),
+                    (X.top_count(bg) / F.greatest(F.size(bg), F.lit(1)))
+                    .alias("top_bigram_frac"),
+                    (1.0 - F.size(F.array_distinct(tr))
+                     / F.greatest(F.size(tr), F.lit(1)))
+                    .alias("dup_trigram_frac"),
+                )
+
+            return X.bind(grams(3), with_tri)
+
+        return X.bind(grams(2), with_big)
+
+    m = X.bind(X.tokens(F.lower(F.col("text"))), metrics)
+    out = docs.select("doc_id", F.inline(F.array(m))).withColumn(
         "gopher_keep",
         (F.col("unique_token_ratio") >= 0.2)
         & (F.col("top_bigram_frac") <= 0.2)
