@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .fixtures import FixtureStore
-from .operators.compound import Member, expression_compound, priority_coalesce
+from .operators.compound import (
+    Member,
+    expression_compound,
+    expression_compound_asof,
+    priority_coalesce,
+)
 from .operators.corrections import apply_corrections
 from .operators.daily import daily_rollup
 from .operators.doy import doy_stats
@@ -103,15 +108,25 @@ def _resolve_raw(
             m["priority"],
             m["use_from"],
             m["use_to"],
+            m.get("alignment_tolerance_seconds"),
+            m.get("reuse_member_values", False),
         )
         for m in spec["members"]
     ]
     if spec["expression"] is None:
         out = priority_coalesce(members, dt_col="datetime", value_col="value")
         return out.select("datetime", "value")
-    out = expression_compound(
-        members, spec["expression"], dt_col="datetime", value_col="value"
-    )
+    # tolerant alignment when any non-anchor member carries an
+    # alignment_tolerance (patch_53.R:503-528, :1113-1131); exact
+    # equi-join alignment otherwise (:1087-1096)
+    if any(m.alignment_tolerance_seconds is not None for m in members[1:]):
+        out = expression_compound_asof(
+            members, spec["expression"], dt_col="datetime", value_col="value"
+        )
+    else:
+        out = expression_compound(
+            members, spec["expression"], dt_col="datetime", value_col="value"
+        )
     return out.select("datetime", "value")
 
 

@@ -36,6 +36,11 @@ class Member:
     priority: int = 1
     use_from: Optional[str] = None  # 'YYYY-MM-DD HH:MM:SS' inclusive
     use_to: Optional[str] = None  # exclusive
+    # patch_53.R:503-528: per-member as-of alignment window (NULL ->
+    # exact timestamp equality) and whether one member point may align
+    # to several anchors (reuse) or only its mutual nearest (1:1)
+    alignment_tolerance_seconds: Optional[float] = None
+    reuse_member_values: bool = False
 
 
 def _windowed(m: Member, dt_col: str) -> DataFrame:
@@ -102,7 +107,7 @@ def expression_compound(
 def expression_compound_asof(
     members: Sequence[Member],
     expression: str,
-    tolerance_seconds: float,
+    tolerance_seconds: Optional[float] = None,
     dt_col: str = "datetime",
     value_col: str = "value",
 ) -> DataFrame:
@@ -135,10 +140,18 @@ def expression_compound_asof(
         rd = _windowed(m, dt_col).select(
             dt_col, F.col(value_col).cast("double").alias("__mv")
         )
+        tol = (m.alignment_tolerance_seconds
+               if m.alignment_tolerance_seconds is not None
+               else tolerance_seconds)
+        if tol is None:
+            raise ValueError(
+                f"member {m.alias!r} has no alignment tolerance and no "
+                "default was given"
+            )
         base = asof_join(
             base, rd, keys=[], left_ts=dt_col, right_ts=dt_col,
             left_id=dt_col, right_id=dt_col,
-            tolerance_seconds=tolerance_seconds, one_to_one=True,
+            tolerance_seconds=tol, one_to_one=not m.reuse_member_values,
             right_cols=["__mv"],
         ).withColumnRenamed("right___mv", m.alias).drop(f"match_{dt_col}")
     return base.withColumn(value_col, F.expr(expression)).select(

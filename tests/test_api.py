@@ -262,3 +262,90 @@ class TestDailyAt:
             start_date="2023-02-08", end_date="2023-02-12",
         ).collect()
         assert sorted(map(tuple, at)) == sorted(map(tuple, live))
+
+
+class TestTolerantCompound:
+    def test_member_tolerance_routes_to_asof(self, spark):
+        """A compound whose member carries alignment_tolerance_seconds
+        aligns as-of (patch_53.R:503-528): the offset member lands on
+        the anchor spine within tolerance; beyond it the expression
+        projects NULL."""
+        import datetime as dt
+
+        from aquacache_spark.api import measurements_continuous_corrected
+        from aquacache_spark.fixtures import FixtureStore
+        from pyspark.sql import functions as F
+
+        T0 = dt.datetime(2024, 1, 1)
+
+        def mk(tsid, offsets_s, base):
+            return [(tsid, T0 + dt.timedelta(seconds=s), base + i)
+                    for i, s in enumerate(offsets_s)]
+
+        meas = spark.createDataFrame(
+            # anchor on the hour; member offset by 90s (inside 120s
+            # tolerance) except the last point (offset 600s: outside)
+            mk(1, [0, 3600, 7200], 10.0)
+            + mk(2, [90, 3690, 7800], 100.0),
+            "timeseries_id int, datetime timestamp, value double",
+        )
+        ts = spark.createDataFrame(
+            [(1, "basic", "mean"), (2, "basic", "mean"),
+             (3, "compound", "mean")],
+            "timeseries_id int, timeseries_type string,"
+            " aggregation_type string",
+        )
+        compounds = {3: {"expression": "a + b", "members": [
+            {"alias": "a", "timeseries_id": 1, "priority": 1,
+             "use_from": None, "use_to": None},
+            {"alias": "b", "timeseries_id": 2, "priority": 2,
+             "use_from": None, "use_to": None,
+             "alignment_tolerance_seconds": 120.0},
+        ]}}
+        store = FixtureStore(timeseries=ts, measurements=meas,
+                             compounds=compounds)
+        out = {
+            r["datetime"]: r["corrected_value"]
+            for r in measurements_continuous_corrected(store, 3).collect()
+        }
+        assert out[T0] == 110.0                       # 10 + 100 @ +90s
+        assert out[T0 + dt.timedelta(seconds=3600)] == 112.0
+        # member point at +7800s is 600s away: outside tolerance -> NULL
+        assert out[T0 + dt.timedelta(seconds=7200)] is None
+        assert len(out) == 3  # anchor spine survives in full
+
+    def test_reuse_member_values(self, spark):
+        """reuse_member_values=TRUE: one member point may serve several
+        anchors (patch_53.R:1113-1131); FALSE keeps mutual-1:1 so the
+        second-nearest anchor loses its match (:1216-1256)."""
+        import datetime as dt
+
+        from aquacache_spark.operators.compound import (
+            Member, expression_compound_asof,
+        )
+
+        T0 = dt.datetime(2024, 1, 1)
+        anchor = spark.createDataFrame(
+            [(T0, 1.0), (T0 + dt.timedelta(seconds=60), 2.0)],
+            "datetime timestamp, value double",
+        )
+        member = spark.createDataFrame(
+            [(T0 + dt.timedelta(seconds=20), 5.0)],
+            "datetime timestamp, value double",
+        )
+
+        def run(reuse):
+            ms = [Member("a", anchor, 1),
+                  Member("b", member, 2, reuse_member_values=reuse)]
+            return {
+                r["datetime"]: r["b"]
+                for r in expression_compound_asof(
+                    ms, "a + b", tolerance_seconds=120).collect()
+            }
+
+        strict = run(False)
+        assert strict[T0] == 5.0
+        assert strict[T0 + dt.timedelta(seconds=60)] is None  # claimed
+        reuse = run(True)
+        assert reuse[T0] == 5.0
+        assert reuse[T0 + dt.timedelta(seconds=60)] == 5.0  # reused
