@@ -39,11 +39,38 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # the round-1 suite was 48 queries; the suite has since grown, so
+    # the raw total is not comparable round-over-round — emit the
+    # like-for-like subset alongside it
+    r01 = {
+        "ann_ivf_topk", "ann_lsh_topk", "asof_join_1to1", "audit_as_of",
+        "calculate_period", "compound_expression",
+        "compound_priority_coalesce", "corrections_chain",
+        "customers_without_recent_orders", "daily_rollup",
+        "daily_rollup_median", "dedup_exact", "divergence_cutoff",
+        "donor_offset_scoring", "doy_feb29_smoothed", "doy_historic_stats",
+        "doy_stats_30yr_window", "embedding_cosine_topk", "ffill_bfill",
+        "gap_expansion", "grade_exclusion_antijoin", "hydat_daily_merge",
+        "import_mapping_join", "impute_donor_fill",
+        "incremental_daily_refresh", "increments_stateful",
+        "iso_period_format", "json_extract_args", "lag_diff_period",
+        "linear_interpolation", "minhash_lsh_pairs", "minhash_signatures",
+        "multimodal_features", "nearest_station_search",
+        "ngram_jaccard_pairs", "pricing_summary",
+        "recursive_downstream_closure", "region_revenue",
+        "resample_6h_dense", "rle_segments", "rls_share_with_filter",
+        "segment_overlay", "simhash_signatures", "spline_imputation",
+        "sync_reconcile", "text_metrics", "topk_per_group",
+        "unit_conversions",
+    }
+    subset = round(sum(v for k, v in timings.items() if k in r01), 3)
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
+        "r01_subset_seconds": subset,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
