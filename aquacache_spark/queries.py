@@ -6248,3 +6248,297 @@ def compound_asof_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a + 0.1 * b", tolerance_seconds=600,
     )
     return _round(out, {"value": 6, "a": 6, "b": 6})
+
+
+# ---------------------------------------------------------------------------
+# Water-quality guideline (criteria) evaluation, §patch_51: input
+# resolution with result-type preference ranks + condition-value
+# fallback + single/avg/max aggregation + calibrated-bound clamp and
+# reject, then rule algorithms (constant / narrative / linear /
+# log-linear) with output caps and per-rule rounding, then the
+# bound-preferring scalar. Dims are VALUES on both engines; the results
+# fact derives from orders so every status arm fires somewhere.
+# ---------------------------------------------------------------------------
+
+_GUIDELINE_RESULTS_SQL = """
+      SELECT o_orderkey AS result_id,
+             o_custkey % 120 AS sample_id,
+             CASE o_orderkey % 3 WHEN 0 THEN 7 WHEN 1 THEN 8 ELSE 9 END
+               AS parameter_id,
+             CASE WHEN o_orderkey % 19 = 0 THEN NULL
+                  ELSE (o_orderkey % 400) * 0.1 + 0.2 END AS result,
+             CASE WHEN o_orderkey % 19 = 0
+                  THEN (o_orderkey % 50) * 0.1 + 0.1 END
+               AS result_condition_value,
+             CASE o_orderkey % 4 WHEN 0 THEN 'field' WHEN 1 THEN 'lab'
+                  WHEN 2 THEN 'other' END AS result_type,
+             o_orderkey % 2 + 1 AS matrix_state_id,
+             o_orderkey % 3 + 1 AS sample_fraction_id,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderkey % 4 + 1 END AS result_speciation_id
+      FROM orders
+"""
+
+_GUIDELINE_EVAL_CTE = f"""
+    WITH res AS ({_GUIDELINE_RESULTS_SQL}),
+    samples AS (SELECT DISTINCT sample_id FROM res),
+    inputs(input_id, parameter_id, matrix_state_id, sample_fraction_id,
+           result_speciation_id, result_type, allow_condition_value,
+           aggregate_method, lower_calibrated_bound, upper_calibrated_bound,
+           bounds_action) AS (
+      VALUES (1, 7, NULL, NULL, NULL, NULL, TRUE, 'avg', 1.0, 30.0, 'clamp'),
+             (2, 8, 1, NULL, NULL, NULL, FALSE, 'single', 0.5, 35.0, 'reject'),
+             (3, 9, NULL, NULL, NULL, 'field', FALSE, 'max', NULL, NULL, 'warn')
+    ),
+    cand AS (
+      SELECT r.sample_id, i.input_id, r.result_id,
+             CASE WHEN i.input_id = 1 THEN
+               CASE r.result_type WHEN 'field' THEN 1 WHEN 'lab' THEN 2 END
+             ELSE 1 END AS rnk,
+             CASE WHEN r.result IS NOT NULL THEN r.result
+                  WHEN i.allow_condition_value THEN r.result_condition_value
+             END AS v
+      FROM res r JOIN inputs i ON r.parameter_id = i.parameter_id
+       AND (i.matrix_state_id IS NULL
+            OR r.matrix_state_id = i.matrix_state_id)
+       AND (i.result_type IS NULL
+            OR r.result_type IS NOT DISTINCT FROM i.result_type)
+       AND (i.input_id <> 1 OR r.result_type IN ('field', 'lab'))
+    ),
+    agg AS (
+      SELECT sample_id, input_id, count(*) AS matching, count(v) AS usable,
+             min(rnk) FILTER (WHERE v IS NOT NULL) AS sel_rank
+      FROM cand GROUP BY 1, 2
+    ),
+    at_rank AS (
+      SELECT c.sample_id, c.input_id, count(*) AS n_pref,
+             avg(c.v) AS vavg, min(c.v) AS vmin, max(c.v) AS vmax
+      FROM cand c JOIN agg a USING (sample_id, input_id)
+      WHERE c.v IS NOT NULL AND c.rnk = a.sel_rank
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.sample_id, i.input_id, i.aggregate_method,
+             i.lower_calibrated_bound, i.upper_calibrated_bound,
+             i.bounds_action
+      FROM samples s CROSS JOIN inputs i
+    ),
+    iv AS (
+      SELECT g.sample_id, g.input_id,
+             CASE WHEN st = 'value' THEN clamped END AS input_value,
+             st AS status
+      FROM (
+        SELECT g.*, a.matching, a.usable, p.n_pref,
+               CASE g.aggregate_method WHEN 'avg' THEN p.vavg
+                    WHEN 'max' THEN p.vmax ELSE p.vmin END AS raw
+        FROM grid g
+        LEFT JOIN agg a USING (sample_id, input_id)
+        LEFT JOIN at_rank p USING (sample_id, input_id)
+      ) g,
+      LATERAL (SELECT
+        CASE WHEN g.lower_calibrated_bound IS NOT NULL
+                  AND g.raw < g.lower_calibrated_bound
+                  AND g.bounds_action = 'clamp'
+               THEN g.lower_calibrated_bound
+             WHEN g.upper_calibrated_bound IS NOT NULL
+                  AND g.raw > g.upper_calibrated_bound
+                  AND g.bounds_action = 'clamp'
+               THEN g.upper_calibrated_bound
+             ELSE g.raw END AS clamped,
+        CASE WHEN g.matching IS NULL OR g.matching = 0 THEN 'missing_input'
+             WHEN g.usable = 0 THEN 'missing_input_value'
+             WHEN g.aggregate_method = 'single' AND g.n_pref > 1
+               THEN 'ambiguous_input'
+             WHEN ((g.lower_calibrated_bound IS NOT NULL
+                    AND g.raw < g.lower_calibrated_bound)
+                   OR (g.upper_calibrated_bound IS NOT NULL
+                       AND g.raw > g.upper_calibrated_bound))
+                  AND g.bounds_action = 'reject'
+               THEN 'outside_calibrated_range'
+             ELSE 'value' END AS st) x
+    ),
+    rules(rule_id, guideline_id, bound_code, rule_priority, algorithm_code,
+          fixed_value, input_id, intercept, slope, min_output_value,
+          max_output_value, rounding_digits, rounding_method) AS (
+      VALUES (1, 1, 'upper', 1, 'constant', 25.456, NULL, NULL, NULL, NULL,
+              NULL, 1, 'round'),
+             (2, 1, 'lower', 2, 'narrative', NULL, NULL, NULL, NULL, NULL,
+              NULL, NULL, NULL),
+             (3, 2, 'upper', 1, 'linear', NULL, 1, 2.0, 0.3, 5.0, 40.0,
+              1, 'floor'),
+             (4, 2, 'upper', 2, 'log_linear', NULL, 2, 0.7, 0.74, NULL,
+              NULL, 3, 'round'),
+             (5, 3, 'upper', 1, 'log_linear', NULL, 3, 0.2, 0.5, NULL,
+              NULL, 2, 'ceiling')
+    ),
+    ev0 AS (
+      SELECT s.sample_id, r.*, v.input_value, v.status AS in_status
+      FROM samples s CROSS JOIN rules r
+      LEFT JOIN iv v ON v.sample_id = s.sample_id AND v.input_id = r.input_id
+    ),
+    ev1 AS (
+      SELECT *,
+        CASE algorithm_code
+          WHEN 'constant' THEN fixed_value
+          WHEN 'linear' THEN intercept + slope * input_value
+          WHEN 'log_linear' THEN exp(intercept + slope * ln(input_value))
+        END AS rawv
+      FROM ev0
+      -- ln() of a non-positive input errors in DuckDB rather than
+      -- yielding NULL: mask it before the projection
+      WHERE NOT (algorithm_code = 'log_linear'
+                 AND COALESCE(input_value <= 0, FALSE))
+      UNION ALL
+      SELECT *, NULL AS rawv FROM ev0
+      WHERE algorithm_code = 'log_linear'
+        AND COALESCE(input_value <= 0, FALSE)
+    ),
+    ev2 AS (
+      SELECT *,
+        CASE WHEN rawv IS NULL THEN NULL
+             WHEN max_output_value IS NOT NULL
+                  AND (CASE WHEN min_output_value IS NOT NULL
+                                 AND rawv < min_output_value
+                            THEN min_output_value ELSE rawv END)
+                      > max_output_value
+               THEN max_output_value
+             WHEN min_output_value IS NOT NULL AND rawv < min_output_value
+               THEN min_output_value
+             ELSE rawv END AS capv
+      FROM ev1
+    ),
+    ev AS (
+      SELECT sample_id, rule_id, guideline_id, bound_code, rule_priority,
+        CASE WHEN st = 'value' THEN rounded END AS guideline_value,
+        st AS output_status
+      FROM (
+        SELECT *,
+          CASE WHEN capv IS NULL OR rounding_method IS NULL
+                    OR rounding_method = 'none' THEN capv
+               WHEN rounding_method = 'round'
+                 THEN floor(capv * pow(10, COALESCE(rounding_digits, 0))
+                            + 0.5) / pow(10, COALESCE(rounding_digits, 0))
+               WHEN rounding_method = 'floor'
+                 THEN floor(capv * pow(10, COALESCE(rounding_digits, 0)))
+                      / pow(10, COALESCE(rounding_digits, 0))
+               WHEN rounding_method = 'ceiling'
+                 THEN ceiling(capv * pow(10, COALESCE(rounding_digits, 0)))
+                      / pow(10, COALESCE(rounding_digits, 0))
+          END AS rounded,
+          CASE WHEN algorithm_code = 'narrative' THEN 'narrative'
+               WHEN algorithm_code IN ('linear', 'log_linear')
+                    AND in_status <> 'value' THEN in_status
+               WHEN algorithm_code = 'log_linear' AND in_status = 'value'
+                    AND input_value <= 0 THEN 'invalid_input_value'
+               WHEN CASE WHEN capv IS NULL OR rounding_method IS NULL
+                              OR rounding_method = 'none' THEN capv
+                         ELSE capv END IS NULL THEN 'no_value'
+               ELSE 'value' END AS st
+        FROM ev2
+      )
+    )
+"""
+
+_GUIDELINE_EVAL_ORACLE = _GUIDELINE_EVAL_CTE + f"""
+    SELECT sample_id, rule_id, guideline_id, bound_code,
+           {R('guideline_value', 6)} AS guideline_value, output_status
+    FROM ev
+"""
+
+
+def _guideline_frames(spark: SparkSession, sf_dir: str):
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    results = o.select(
+        k.alias("result_id"),
+        (F.col("o_custkey") % 120).alias("sample_id"),
+        F.when(k % 3 == 0, 7).when(k % 3 == 1, 8).otherwise(9)
+        .alias("parameter_id"),
+        F.when(k % 19 != 0, (k % 400) * 0.1 + 0.2).alias("result"),
+        F.when(k % 19 == 0, (k % 50) * 0.1 + 0.1)
+        .alias("result_condition_value"),
+        F.when(k % 4 == 0, "field").when(k % 4 == 1, "lab")
+        .when(k % 4 == 2, "other").alias("result_type"),
+        (k % 2 + 1).alias("matrix_state_id"),
+        (k % 3 + 1).alias("sample_fraction_id"),
+        F.when(k % 5 != 0, k % 4 + 1).alias("result_speciation_id"),
+    )
+    samples = results.select("sample_id").distinct()
+    inputs = spark.createDataFrame(
+        [
+            (1, 7, None, None, None, None, ["field", "lab"], True, "avg",
+             1.0, 30.0, "clamp"),
+            (2, 8, 1, None, None, None, None, False, "single",
+             0.5, 35.0, "reject"),
+            (3, 9, None, None, None, "field", None, False, "max",
+             None, None, "warn"),
+        ],
+        "input_id int, parameter_id int, matrix_state_id int,"
+        " sample_fraction_id int, result_speciation_id int,"
+        " result_type string, result_type_preference array<string>,"
+        " allow_condition_value boolean, aggregate_method string,"
+        " lower_calibrated_bound double, upper_calibrated_bound double,"
+        " bounds_action string",
+    )
+    rules = spark.createDataFrame(
+        [
+            (1, 1, "upper", 1, "constant", 25.456, None, None, None, None,
+             None, None, 1, "round"),
+            (2, 1, "lower", 2, "narrative", None, None, None, None, None,
+             None, None, None, None),
+            (3, 2, "upper", 1, "linear", None, 1, 2.0, 0.3, None, 5.0, 40.0,
+             1, "floor"),
+            (4, 2, "upper", 2, "log_linear", None, 2, 0.7, 0.74, None, None,
+             None, 3, "round"),
+            (5, 3, "upper", 1, "log_linear", None, 3, 0.2, 0.5, None, None,
+             None, 2, "ceiling"),
+        ],
+        "rule_id int, guideline_id int, bound_code string,"
+        " rule_priority int, algorithm_code string, fixed_value double,"
+        " input_id int, intercept double, slope double,"
+        " formula_expr string, min_output_value double,"
+        " max_output_value double, rounding_digits int,"
+        " rounding_method string",
+    )
+    return samples, results, inputs, rules
+
+
+@register("guideline_rule_evaluation", oracle=_GUIDELINE_EVAL_ORACLE)
+def guideline_rule_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.guidelines import (
+        evaluate_guideline_rules, guideline_input_values,
+    )
+
+    samples, results, inputs, rules = _guideline_frames(spark, sf_dir)
+    iv = guideline_input_values(samples, results, inputs)
+    ev = evaluate_guideline_rules(rules, iv)
+    out = ev.select("sample_id", "rule_id", "guideline_id", "bound_code",
+                    "guideline_value", "output_status")
+    return _round(out, {"guideline_value": 6})
+
+
+_GUIDELINE_SCALAR_ORACLE = _GUIDELINE_EVAL_CTE + f"""
+    , vals AS (SELECT * FROM ev WHERE output_status = 'value')
+    , best AS (
+      SELECT guideline_id, sample_id,
+             min(struct_pack(o := CASE bound_code WHEN 'upper' THEN 1
+                                       WHEN 'lower' THEN 2 ELSE 4 END,
+                             r := rule_id, v := guideline_value)) AS b
+      FROM vals GROUP BY 1, 2
+    )
+    SELECT guideline_id, sample_id, {R('b.v', 6)} AS guideline_value
+    FROM best
+"""
+
+
+@register("guideline_scalar", oracle=_GUIDELINE_SCALAR_ORACLE)
+def guideline_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.guidelines import (
+        evaluate_guideline_rules, get_guideline_values,
+        guideline_input_values,
+    )
+
+    samples, results, inputs, rules = _guideline_frames(spark, sf_dir)
+    iv = guideline_input_values(samples, results, inputs)
+    ev = evaluate_guideline_rules(rules, iv)
+    return _round(get_guideline_values(ev), {"guideline_value": 6})

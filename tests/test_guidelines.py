@@ -1,0 +1,132 @@
+"""Criteria (guideline) evaluation kernels (patch_51.R). The full
+rule-evaluation surface is oracle-checked by `guideline_rule_evaluation`
+and `guideline_scalar`; these closed forms pin the hardness fallback
+ladder and the gated dynamic-expression algorithm."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aquacache_spark.operators.guidelines import (
+    evaluate_guideline_rules,
+    get_guideline_values,
+    guideline_input_values,
+    sample_hardness,
+)
+
+CA, MG, HARD = 1, 2, 3   # parameter ids
+DISS, TOT = 10, 11       # fraction ids
+CACO3 = 20               # speciation id
+
+
+def res_row(sid, pid, fid, value, spec=None):
+    return (sid, pid, fid, spec, float(value))
+
+
+@pytest.fixture(scope="module")
+def hardness_results(spark):
+    rows = [
+        # s1: dissolved Ca+Mg -> computed hardness
+        res_row(1, CA, DISS, 10.0), res_row(1, MG, DISS, 5.0),
+        res_row(1, HARD, DISS, 999.0, CACO3),  # ladder prefers Ca+Mg
+        # s2: only dissolved hardness as CaCO3
+        res_row(2, HARD, DISS, 42.0, CACO3),
+        # s3: dissolved hardness, wrong speciation -> any-speciation arm
+        res_row(3, HARD, DISS, 33.0, 99),
+        # s4: only total-fraction Ca+Mg
+        res_row(4, CA, TOT, 8.0), res_row(4, MG, TOT, 2.0),
+        # s5: nothing usable
+        res_row(5, CA, DISS, 0.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sample_id int, parameter_id int, sample_fraction_id int,"
+        " result_speciation_id int, result double",
+    )
+
+
+def test_hardness_ladder(spark, hardness_results):
+    out = {
+        r["sample_id"]: r["hardness"]
+        for r in sample_hardness(
+            hardness_results, CA, MG, HARD, DISS, TOT, CACO3
+        ).collect()
+    }
+    assert out[1] == pytest.approx(2.497 * 10 + 4.118 * 5)
+    assert out[2] == 42.0
+    assert out[3] == 33.0
+    assert out[4] == pytest.approx(2.497 * 8 + 4.118 * 2)
+    assert out[5] is None
+
+
+def test_safe_expr_algorithm(spark):
+    """safe_expr replaces the reference's EXECUTE'd sql_scalar: a
+    validator-gated expression over per-sample scalars (here the CCME
+    hardness-dependent shape), with caps and rounding applied after."""
+    iv = spark.createDataFrame(
+        [(1, None, None, None), (2, None, None, None)],
+        "sample_id int, input_id int, input_value double, status string",
+    ).select("sample_id", F.lit(None).cast("int").alias("input_id"),
+             "input_value", "status")
+    scalars = spark.createDataFrame(
+        [(1, 50.0), (2, 400.0)], "sample_id int, hardness double"
+    )
+    rules = spark.createDataFrame(
+        [(1, 1, "upper", 1, "safe_expr", None, None, None, None,
+          "exp(0.736 * ln(hardness) + 0.6951)", None, 150.0, 2, "round")],
+        "rule_id int, guideline_id int, bound_code string,"
+        " rule_priority int, algorithm_code string, fixed_value double,"
+        " input_id int, intercept double, slope double,"
+        " formula_expr string, min_output_value double,"
+        " max_output_value double, rounding_digits int,"
+        " rounding_method string",
+    )
+    out = {
+        r["sample_id"]: r
+        for r in evaluate_guideline_rules(rules, iv, scalars).collect()
+    }
+    import math
+
+    expected_1 = round(math.exp(0.736 * math.log(50.0) + 0.6951), 2)
+    assert out[1]["guideline_value"] == pytest.approx(expected_1)
+    assert out[1]["output_status"] == "value"
+    # sample 2's raw value exceeds the 150 cap -> capped then rounded
+    assert out[2]["guideline_value"] == 150.0
+
+
+def test_safe_expr_rejects_unsafe(spark):
+    iv = spark.createDataFrame(
+        [(1, None, None, None)],
+        "sample_id int, input_id int, input_value double, status string",
+    )
+    rules = spark.createDataFrame(
+        [(1, 1, "upper", 1, "safe_expr", None, None, None, None,
+          "hardness; DROP TABLE x", None, None, None, "none")],
+        "rule_id int, guideline_id int, bound_code string,"
+        " rule_priority int, algorithm_code string, fixed_value double,"
+        " input_id int, intercept double, slope double,"
+        " formula_expr string, min_output_value double,"
+        " max_output_value double, rounding_digits double,"
+        " rounding_method string",
+    ).withColumn("rounding_digits", F.col("rounding_digits").cast("int"))
+    with pytest.raises(Exception):
+        evaluate_guideline_rules(rules, iv)
+
+
+def test_scalar_prefers_upper_bound(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 1, "lower", 2, 3.0, "value"),
+            (1, 2, 1, "upper", 1, 9.0, "value"),
+            (1, 3, 1, "other", 3, 1.0, "value"),
+            (2, 4, 1, "lower", 1, 4.0, "value"),
+            (2, 5, 1, "upper", 1, None, "narrative"),  # non-value skipped
+        ],
+        "sample_id int, rule_id int, guideline_id int, bound_code string,"
+        " rule_priority int, guideline_value double, output_status string",
+    )
+    out = {
+        r["sample_id"]: r["guideline_value"]
+        for r in get_guideline_values(ev).collect()
+    }
+    assert out[1] == 9.0  # upper beats lower/other regardless of priority
+    assert out[2] == 4.0  # lower wins when no usable upper
