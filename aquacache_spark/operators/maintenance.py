@@ -29,6 +29,8 @@ windows over the (tiny) batch.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -222,4 +224,59 @@ def generate_location_codes(
             ),
         )
         .select("point_id", "feature_name", "prefix", "location_code")
+    )
+
+
+def masked_location_points(
+    locations: DataFrame,
+    min_offset_m: float,
+    max_offset_m: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    seed_col: str = "seed",
+    earth_radius_m: float = 6371008.8,
+) -> DataFrame:
+    """Deterministic public location masking
+    (reference inst/patches/DEV_locs_masking.R:397-462,
+    ``public.location_masked_point``): two md5-derived uniforms from the
+    caller's seed — ``md5(seed || ':bearing')`` / ``':distance'`` first
+    8 hex chars as uint32 / 4294967295 — pick a bearing in [0, 2π) and a
+    distance in [min, max] metres; the point projects forward along
+    that bearing. Stable across queries (masking, not randomization),
+    and a pure map-side expression here.
+
+    Divergence, documented: the reference projects on the WGS84
+    spheroid (ST_Project on geography); this uses the spherical forward
+    formula on the mean Earth radius — centimetre-scale difference at
+    masking-scale offsets, and bit-reproducible in the DuckDB oracle.
+
+    Output: input columns + masked_lat, masked_lon, offset_m,
+    bearing_rad.
+    """
+    if min_offset_m < 0 or max_offset_m < min_offset_m:
+        raise ValueError("offsets must satisfy 0 <= min <= max")
+
+    def u(tag: str) -> Column:
+        h = F.substring(F.md5(F.concat(F.col(seed_col), F.lit(":" + tag))), 1, 8)
+        return F.conv(h, 16, 10).cast("double") / 4294967295.0
+
+    dist = F.lit(float(min_offset_m)) + F.lit(
+        float(max_offset_m - min_offset_m)) * u("distance")
+    bearing = 2.0 * math.pi * u("bearing")
+    lat1 = F.radians(F.col(lat_col))
+    lon1 = F.radians(F.col(lon_col))
+    delta = dist / F.lit(earth_radius_m)
+    lat2 = F.asin(
+        F.sin(lat1) * F.cos(delta) + F.cos(lat1) * F.sin(delta) * F.cos(bearing)
+    )
+    lon2 = lon1 + F.atan2(
+        F.sin(bearing) * F.sin(delta) * F.cos(lat1),
+        F.cos(delta) - F.sin(lat1) * F.sin(lat2),
+    )
+    return locations.select(
+        "*",
+        F.degrees(lat2).alias("masked_lat"),
+        F.degrees(lon2).alias("masked_lon"),
+        dist.alias("offset_m"),
+        bearing.alias("bearing_rad"),
     )

@@ -6542,3 +6542,66 @@ def guideline_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = guideline_input_values(samples, results, inputs)
     ev = evaluate_guideline_rules(rules, iv)
     return _round(get_guideline_values(ev), {"guideline_value": 6})
+
+
+# ---------------------------------------------------------------------------
+# Public location masking (DEV_locs_masking.R:397-462): stable
+# md5-seeded bearing/distance, spherical forward projection. Map-only.
+# ---------------------------------------------------------------------------
+
+_MASKED_LOC_ORACLE = f"""
+    WITH loc AS (
+      SELECT c_custkey AS location_id,
+             (c_custkey % 140) - 70 + 0.123 AS lat,
+             (c_custkey % 340) - 170 + 0.456 AS lon,
+             'loc-' || c_custkey AS seed
+      FROM customer
+    ), un AS (
+      SELECT *,
+        CAST('0x' || substr(md5(seed || ':bearing'), 1, 8) AS BIGINT)
+          / 4294967295.0 AS ub,
+        CAST('0x' || substr(md5(seed || ':distance'), 1, 8) AS BIGINT)
+          / 4294967295.0 AS ud
+      FROM loc
+    ), prj AS (
+      SELECT location_id, lat, lon,
+             50.0 + 450.0 * ud AS dist,
+             2.0 * pi() * ub AS brg,
+             radians(lat) AS lat1, radians(lon) AS lon1,
+             (50.0 + 450.0 * ud) / 6371008.8 AS delta
+      FROM un
+    ), out1 AS (
+      SELECT location_id, lat, lon, dist, brg,
+             asin(sin(lat1) * cos(delta)
+                  + cos(lat1) * sin(delta) * cos(brg)) AS lat2r,
+             lon1, delta, lat1
+      FROM prj
+    )
+    SELECT location_id,
+           {R('degrees(lat2r)', 6)} AS masked_lat,
+           {R('degrees(lon1 + atan2(sin(brg) * sin(delta) * cos(lat1),'
+              ' cos(delta) - sin(lat1) * sin(lat2r)))', 6)} AS masked_lon,
+           {R('dist', 3)} AS offset_m,
+           {R('brg', 6)} AS bearing_rad
+    FROM out1
+"""
+
+
+@register("location_masking", oracle=_MASKED_LOC_ORACLE)
+def location_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.maintenance import masked_location_points
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    locs = c.select(
+        k.alias("location_id"),
+        ((k % 140) - 70 + 0.123).alias("lat"),
+        ((k % 340) - 170 + 0.456).alias("lon"),
+        F.concat(F.lit("loc-"), k.cast("string")).alias("seed"),
+    )
+    out = masked_location_points(locs, 50.0, 500.0)
+    return _round(
+        out.select("location_id", "masked_lat", "masked_lon",
+                   "offset_m", "bearing_rad"),
+        {"masked_lat": 6, "masked_lon": 6, "offset_m": 3, "bearing_rad": 6},
+    )
