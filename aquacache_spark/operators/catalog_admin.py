@@ -135,3 +135,69 @@ def insert_timeseries(
     cols = list(columns or catalog.columns)
     accepted = validated.where(F.col("reject_reason").isNull()).select(*cols)
     return catalog.unionByName(accepted)
+
+
+def validate_no_overlap(
+    batch: DataFrame,
+    existing: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Interval non-overlap validator — the set-wise analog of the
+    reference's exclusion constraints and overlap-prevention triggers
+    (boreholes.prevent_geology_overlap / prevent_permafrost_overlap,
+    patch_23.R:356-379; the tstzrange ``WITH &&`` constraints on the QC
+    tables, patch_55.R:227-255): a half-open [start, end) interval may
+    not overlap another interval of the same key.
+
+    Per batch row, ``reject_reason`` is 'overlaps_existing' when it
+    overlaps any existing interval of its key, else
+    'overlaps_in_batch' when it overlaps an earlier batch row
+    (``order_col`` = insertion order — the trigger fires row-wise, so
+    the earlier of an in-batch pair wins), else NULL. The in-batch
+    check is pessimistic about chains (a row overlapping only an
+    already-rejected row is still flagged), which is the safe direction
+    for a validator.
+
+    Both probes are equi-joins on the keys + interval predicates over
+    interval-table-sized frames.
+    """
+    ex = existing.select(
+        *[F.col(k).alias(f"__e_{k}") for k in keys],
+        F.col(start_col).alias("__e_s"),
+        F.col(end_col).alias("__e_e"),
+    )
+    cond_e = [batch[k] == ex[f"__e_{k}"] for k in keys] + [
+        batch[start_col] < ex["__e_e"], batch[end_col] > ex["__e_s"]
+    ]
+    hits_e = (
+        batch.join(ex, cond_e, "left_semi")
+        .select(*keys, order_col)
+        .withColumn("__hit_e", F.lit(True))
+    )
+    b2 = batch.select(
+        *[F.col(k).alias(f"__b_{k}") for k in keys],
+        F.col(start_col).alias("__b_s"),
+        F.col(end_col).alias("__b_e"),
+        F.col(order_col).alias("__b_o"),
+    )
+    cond_b = [batch[k] == b2[f"__b_{k}"] for k in keys] + [
+        batch[start_col] < b2["__b_e"], batch[end_col] > b2["__b_s"],
+        b2["__b_o"] < batch[order_col],
+    ]
+    hits_b = (
+        batch.join(b2, cond_b, "left_semi")
+        .select(*keys, order_col)
+        .withColumn("__hit_b", F.lit(True))
+    )
+    out = (
+        batch.join(hits_e, [*keys, order_col], "left")
+        .join(hits_b, [*keys, order_col], "left")
+    )
+    reason = (
+        F.when(F.col("__hit_e"), "overlaps_existing")
+        .when(F.col("__hit_b"), "overlaps_in_batch")
+    )
+    return out.select(*batch.columns, reason.alias("reject_reason"))

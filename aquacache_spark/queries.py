@@ -6605,3 +6605,66 @@ def location_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "offset_m", "bearing_rad"),
         {"masked_lat": 6, "masked_lon": 6, "offset_m": 3, "bearing_rad": 6},
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval non-overlap validator (exclusion-constraint analog,
+# patch_23.R:356-379 / patch_55.R:227-255): a borehole-geology-shaped
+# batch checked against existing intervals and earlier in-batch rows.
+# ---------------------------------------------------------------------------
+
+_NO_OVERLAP_ORACLE = """
+    WITH ex AS (
+      SELECT o_custkey % 60 AS borehole_id,
+             (o_orderkey % 40) * 5.0 AS depth_from_m,
+             (o_orderkey % 40) * 5.0 + (o_orderkey % 4 + 1) * 1.5
+               AS depth_to_m
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), batch AS (
+      SELECT o_orderkey AS rec_id,
+             o_custkey % 60 AS borehole_id,
+             (o_orderkey % 45) * 4.5 AS depth_from_m,
+             (o_orderkey % 45) * 4.5 + (o_orderkey % 5 + 1) * 1.2
+               AS depth_to_m
+      FROM orders WHERE o_orderkey % 11 = 3
+    ), he AS (
+      SELECT DISTINCT b.rec_id FROM batch b JOIN ex e
+        ON b.borehole_id = e.borehole_id
+       AND b.depth_from_m < e.depth_to_m AND b.depth_to_m > e.depth_from_m
+    ), hb AS (
+      SELECT DISTINCT b.rec_id FROM batch b JOIN batch b2
+        ON b.borehole_id = b2.borehole_id
+       AND b.depth_from_m < b2.depth_to_m AND b.depth_to_m > b2.depth_from_m
+       AND b2.rec_id < b.rec_id
+    )
+    SELECT b.rec_id, b.borehole_id, b.depth_from_m, b.depth_to_m,
+           CASE WHEN he.rec_id IS NOT NULL THEN 'overlaps_existing'
+                WHEN hb.rec_id IS NOT NULL THEN 'overlaps_in_batch'
+           END AS reject_reason
+    FROM batch b
+    LEFT JOIN he ON he.rec_id = b.rec_id
+    LEFT JOIN hb ON hb.rec_id = b.rec_id
+"""
+
+
+@register("interval_overlap_validation", oracle=_NO_OVERLAP_ORACLE)
+def interval_overlap_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.catalog_admin import validate_no_overlap
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    existing = o.where(k % 7 == 0).select(
+        (F.col("o_custkey") % 60).alias("borehole_id"),
+        ((k % 40) * 5.0).alias("depth_from_m"),
+        ((k % 40) * 5.0 + (k % 4 + 1) * 1.5).alias("depth_to_m"),
+    )
+    batch = o.where(k % 11 == 3).select(
+        k.alias("rec_id"),
+        (F.col("o_custkey") % 60).alias("borehole_id"),
+        ((k % 45) * 4.5).alias("depth_from_m"),
+        ((k % 45) * 4.5 + (k % 5 + 1) * 1.2).alias("depth_to_m"),
+    )
+    return validate_no_overlap(
+        batch, existing, keys=["borehole_id"],
+        start_col="depth_from_m", end_col="depth_to_m", order_col="rec_id",
+    )
