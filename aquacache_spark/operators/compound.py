@@ -157,3 +157,124 @@ def expression_compound_asof(
     return base.withColumn(value_col, F.expr(expression)).select(
         dt_col, value_col, *[m.alias for m in members]
     )
+
+
+def compound_metadata_rollup(
+    basics: DataFrame,
+    compound_members: DataFrame,
+    has_expression: DataFrame,
+    max_depth: int = 20,
+) -> DataFrame:
+    """Compound timeseries metadata maintenance, set-wise
+    (refresh_compound_timeseries_datetime_bounds, patch_41.R:684-806;
+    fastest_compound_member_record_rate, patch_53.R:306-318):
+
+    - a member's effective window clips its series bounds to the
+      membership window: [greatest(start, use_from),
+      least(end, use_to)], NULL series bounds stay NULL;
+    - priority-coalesce compounds take the UNION of valid member
+      windows (min start, max end over windows with both ends non-null
+      and end >= start);
+    - expression compounds take the INTERSECTION (max start, min end) —
+      and only when EVERY member window is valid and the intersection
+      is non-empty, else NULL bounds;
+    - record rate = the fastest (minimum) member rate.
+
+    ``basics``: (timeseries_id, start_datetime, end_datetime,
+    record_rate_seconds) for basic series; ``compound_members``:
+    (timeseries_id, member_timeseries_id, use_from, use_to);
+    ``has_expression``: (timeseries_id, has_expression). Nested
+    compounds resolve level by level — the level schedule comes from
+    the collected (catalog-sized) membership graph, each level is one
+    broadcast join + aggregation.
+    """
+    edges = [
+        (r["timeseries_id"], r["member_timeseries_id"])
+        for r in compound_members.select(
+            "timeseries_id", "member_timeseries_id").collect()
+    ]
+    children: dict = {}
+    for cid, mid in edges:
+        children.setdefault(cid, set()).add(mid)
+    known_ids = set(r[0] for r in basics.select("timeseries_id").collect())
+    levels: list[list] = []
+    pending = dict(children)
+    for _ in range(max_depth):
+        ready = [c for c, ms in pending.items() if ms <= known_ids]
+        if not ready:
+            break
+        levels.append(ready)
+        known_ids |= set(ready)
+        for c in ready:
+            del pending[c]
+    if pending:
+        raise ValueError(
+            f"unresolvable compound graph (cycle or missing member): "
+            f"{sorted(pending)}"
+        )
+
+    known = basics.select(
+        "timeseries_id", "start_datetime", "end_datetime",
+        "record_rate_seconds",
+    )
+    out = None
+    for level in levels:
+        lvl_members = compound_members.where(
+            F.col("timeseries_id").isin([int(c) for c in level])
+        )
+        j = lvl_members.join(
+            known.select(
+                F.col("timeseries_id").alias("member_timeseries_id"),
+                F.col("start_datetime").alias("__ms"),
+                F.col("end_datetime").alias("__me"),
+                F.col("record_rate_seconds").alias("__mr"),
+            ),
+            "member_timeseries_id",
+        )
+        eff_s = F.when(
+            F.col("__ms").isNotNull(),
+            F.when(F.col("use_from").isNull(), F.col("__ms"))
+            .otherwise(F.greatest(F.col("__ms"), F.col("use_from"))),
+        )
+        eff_e = F.when(
+            F.col("__me").isNotNull(),
+            F.when(F.col("use_to").isNull(), F.col("__me"))
+            .otherwise(F.least(F.col("__me"), F.col("use_to"))),
+        )
+        j = j.select(
+            "timeseries_id", eff_s.alias("__es"), eff_e.alias("__ee"),
+            F.col("__mr"),
+        )
+        valid = (F.col("__es").isNotNull() & F.col("__ee").isNotNull()
+                 & (F.col("__ee") >= F.col("__es")))
+        agg = j.groupBy("timeseries_id").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(valid, F.lit(1))).alias("__n_valid"),
+            F.min(F.when(valid, F.col("__es"))).alias("__u_s"),
+            F.max(F.when(valid, F.col("__ee"))).alias("__u_e"),
+            F.max(F.when(valid, F.col("__es"))).alias("__i_s"),
+            F.min(F.when(valid, F.col("__ee"))).alias("__i_e"),
+            F.min("__mr").alias("record_rate_seconds"),
+        ).join(F.broadcast(has_expression), "timeseries_id", "left")
+        ix_ok = (
+            (F.col("__n") > 0) & (F.col("__n_valid") == F.col("__n"))
+            & (F.col("__i_s") <= F.col("__i_e"))
+        )
+        lvl = agg.select(
+            "timeseries_id",
+            F.when(F.coalesce("has_expression", F.lit(False)),
+                   F.when(ix_ok, F.col("__i_s")))
+            .otherwise(F.col("__u_s")).alias("start_datetime"),
+            F.when(F.coalesce("has_expression", F.lit(False)),
+                   F.when(ix_ok, F.col("__i_e")))
+            .otherwise(F.col("__u_e")).alias("end_datetime"),
+            "record_rate_seconds",
+        )
+        # persist each resolved level: the next level joins against it,
+        # and without a barrier the lineage re-derives every prior level
+        lvl = lvl.persist()
+        known = known.unionByName(lvl)
+        out = lvl if out is None else out.unionByName(lvl)
+    if out is None:
+        return known.limit(0)
+    return out

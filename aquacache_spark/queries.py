@@ -6668,3 +6668,133 @@ def interval_overlap_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, existing, keys=["borehole_id"],
         start_col="depth_from_m", end_col="depth_to_m", order_col="rec_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Compound metadata rollup (patch_41.R:684-806 + patch_53.R:306-318):
+# union bounds for coalesce compounds, intersection (all-members-valid)
+# for expression compounds, fastest member record rate — two nested
+# levels resolved level by level.
+# ---------------------------------------------------------------------------
+
+_COMPOUND_META_ORACLE = """
+    WITH m AS (
+      SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                  ELSE 5 END AS tsid,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), b AS (
+      SELECT tsid, min(ts) AS s, max(ts) AS e,
+             CAST(tsid * 300 AS DOUBLE) AS rr
+      FROM m GROUP BY tsid
+    ), mem(cid, mid, uf, ut) AS (
+      VALUES
+        (6, 1, TIMESTAMP '2024-01-05 00:00:00', CAST(NULL AS TIMESTAMP)),
+        (6, 2, CAST(NULL AS TIMESTAMP), TIMESTAMP '2024-01-20 00:00:00'),
+        (7, 3, CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)),
+        (7, 4, TIMESTAMP '2024-01-10 00:00:00', CAST(NULL AS TIMESTAMP)),
+        (8, 6, CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)),
+        (8, 5, CAST(NULL AS TIMESTAMP), TIMESTAMP '2024-01-15 00:00:00')
+    ), eff1 AS (
+      SELECT mem.cid,
+        CASE WHEN b.s IS NULL THEN NULL
+             WHEN mem.uf IS NULL THEN b.s
+             ELSE greatest(b.s, mem.uf) END AS es,
+        CASE WHEN b.e IS NULL THEN NULL
+             WHEN mem.ut IS NULL THEN b.e
+             ELSE least(b.e, mem.ut) END AS ee,
+        b.rr
+      FROM mem JOIN b ON b.tsid = mem.mid WHERE mem.cid IN (6, 7)
+    ), agg1 AS (
+      SELECT cid, count(*) AS n,
+        count(*) FILTER (es IS NOT NULL AND ee IS NOT NULL AND ee >= es)
+          AS nv,
+        min(es) FILTER (es IS NOT NULL AND ee IS NOT NULL AND ee >= es)
+          AS u_s,
+        max(ee) FILTER (es IS NOT NULL AND ee IS NOT NULL AND ee >= es)
+          AS u_e,
+        max(es) FILTER (es IS NOT NULL AND ee IS NOT NULL AND ee >= es)
+          AS i_s,
+        min(ee) FILTER (es IS NOT NULL AND ee IS NOT NULL AND ee >= es)
+          AS i_e,
+        min(rr) AS rr
+      FROM eff1 GROUP BY cid
+    ), lvl1 AS (
+      SELECT cid AS timeseries_id,
+        CASE WHEN cid = 7
+             THEN CASE WHEN n > 0 AND nv = n AND i_s <= i_e THEN i_s END
+             ELSE u_s END AS start_datetime,
+        CASE WHEN cid = 7
+             THEN CASE WHEN n > 0 AND nv = n AND i_s <= i_e THEN i_e END
+             ELSE u_e END AS end_datetime,
+        rr AS record_rate_seconds
+      FROM agg1
+    ), src2 AS (
+      SELECT tsid, s, e, rr FROM b
+      UNION ALL
+      SELECT timeseries_id, start_datetime, end_datetime,
+             record_rate_seconds
+      FROM lvl1
+    ), eff2 AS (
+      SELECT mem.cid,
+        CASE WHEN src2.s IS NULL THEN NULL
+             WHEN mem.uf IS NULL THEN src2.s
+             ELSE greatest(src2.s, mem.uf) END AS es,
+        CASE WHEN src2.e IS NULL THEN NULL
+             WHEN mem.ut IS NULL THEN src2.e
+             ELSE least(src2.e, mem.ut) END AS ee,
+        src2.rr
+      FROM mem JOIN src2 ON src2.tsid = mem.mid WHERE mem.cid = 8
+    ), lvl2 AS (
+      SELECT cid AS timeseries_id,
+        min(es) FILTER (es IS NOT NULL AND ee IS NOT NULL AND ee >= es)
+          AS start_datetime,
+        max(ee) FILTER (es IS NOT NULL AND ee IS NOT NULL AND ee >= es)
+          AS end_datetime,
+        min(rr) AS record_rate_seconds
+      FROM eff2 GROUP BY cid
+    )
+    SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
+"""
+
+
+@register("compound_metadata_rollup", oracle=_COMPOUND_META_ORACLE)
+def compound_metadata_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.compound import compound_metadata_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    tsid = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 4)
+        .otherwise(5)
+    )
+    basics = ev.select(tsid.alias("timeseries_id"), "ts").groupBy(
+        "timeseries_id"
+    ).agg(
+        F.min("ts").alias("start_datetime"),
+        F.max("ts").alias("end_datetime"),
+        (F.col("timeseries_id") * 300.0).alias("record_rate_seconds"),
+    )
+    import datetime as _dt
+
+    T = _dt.datetime
+    members = spark.createDataFrame(
+        [
+            (6, 1, T(2024, 1, 5), None),
+            (6, 2, None, T(2024, 1, 20)),
+            (7, 3, None, None),
+            (7, 4, T(2024, 1, 10), None),
+            (8, 6, None, None),
+            (8, 5, None, T(2024, 1, 15)),
+        ],
+        "timeseries_id int, member_timeseries_id int,"
+        " use_from timestamp, use_to timestamp",
+    )
+    has_expr = spark.createDataFrame(
+        [(6, False), (7, True), (8, False)],
+        "timeseries_id int, has_expression boolean",
+    )
+    return compound_metadata_rollup(basics, members, has_expr)

@@ -349,3 +349,24 @@ class TestTolerantCompound:
         reuse = run(True)
         assert reuse[T0] == 5.0
         assert reuse[T0 + dt.timedelta(seconds=60)] == 5.0  # reused
+
+
+def test_compound_metadata_rollup_cycle_detected(spark):
+    from aquacache_spark.operators.compound import compound_metadata_rollup
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    basics = spark.createDataFrame(
+        [(1, None, None, 300.0)],
+        "timeseries_id int, start_datetime timestamp,"
+        " end_datetime timestamp, record_rate_seconds double",
+    )
+    members = spark.createDataFrame(
+        [(6, 7, None, None), (7, 6, None, None)],
+        "timeseries_id int, member_timeseries_id int,"
+        " use_from timestamp, use_to timestamp",
+    )
+    he = spark.createDataFrame(
+        [(6, False), (7, False)], "timeseries_id int, has_expression boolean")
+    with _pytest.raises(ValueError, match="unresolvable"):
+        compound_metadata_rollup(basics, members, he)
