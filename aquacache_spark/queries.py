@@ -6798,3 +6798,72 @@ def compound_metadata_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timeseries_id int, has_expression boolean",
     )
     return compound_metadata_rollup(basics, members, has_expr)
+
+
+# ---------------------------------------------------------------------------
+# audit.jsonb_changed_fields (patch_37.R:2759-2773): the row-image diff
+# at the heart of the audit triggers — keys of the new image whose
+# value IS DISTINCT FROM the old image's. Old/new JSON images derive
+# from orders on both engines; map_filter keeps it map-only.
+# ---------------------------------------------------------------------------
+
+_CHANGED_FIELDS_ORACLE = """
+    WITH imgs AS (
+      SELECT o_orderkey AS row_id,
+             json_object(
+               'value', CAST((o_orderkey % 50) * 0.5 AS VARCHAR),
+               'grade', CASE o_orderkey % 3 WHEN 0 THEN 'A' ELSE 'B' END,
+               'approval', 'APP') AS old_row,
+             json_object(
+               'value', CAST(
+                 CASE WHEN o_orderkey % 4 = 0
+                      THEN (o_orderkey % 50) * 0.5 + 1
+                      ELSE (o_orderkey % 50) * 0.5 END AS VARCHAR),
+               'grade', CASE o_orderkey % 2 WHEN 0 THEN 'A' ELSE 'B' END,
+               'approval', 'APP',
+               'qualifier', CASE WHEN o_orderkey % 5 = 0 THEN 'EST' END
+             ) AS new_row
+      FROM orders WHERE o_orderkey % 13 = 1
+    )
+    SELECT row_id,
+           COALESCE(array_to_string(list_sort(list_filter(
+             json_keys(new_row),
+             k -> json_extract_string(old_row, '$.' || k)
+                  IS DISTINCT FROM json_extract_string(new_row, '$.' || k)
+           )), ','), '') AS changed_fields
+    FROM imgs
+"""
+
+
+@register("audit_changed_fields", oracle=_CHANGED_FIELDS_ORACLE)
+def audit_changed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bind
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old_row = F.to_json(F.struct(
+        ((k % 50) * 0.5).cast("string").alias("value"),
+        F.when(k % 3 == 0, "A").otherwise("B").alias("grade"),
+        F.lit("APP").alias("approval"),
+    ))
+    new_row = F.to_json(F.struct(
+        F.when(k % 4 == 0, (k % 50) * 0.5 + 1).otherwise((k % 50) * 0.5)
+        .cast("string").alias("value"),
+        F.when(k % 2 == 0, "A").otherwise("B").alias("grade"),
+        F.lit("APP").alias("approval"),
+        F.when(k % 5 == 0, "EST").alias("qualifier"),
+    ))
+    imgs = o.where(k % 13 == 1).select(
+        k.alias("row_id"), old_row.alias("old_row"), new_row.alias("new_row"))
+    om = F.from_json(F.col("old_row"), "map<string,string>")
+    nm = F.from_json(F.col("new_row"), "map<string,string>")
+
+    def diff(o_map: F.Column) -> F.Column:
+        def inner(n_map: F.Column) -> F.Column:
+            return F.concat_ws(",", F.array_sort(F.map_keys(F.map_filter(
+                n_map,
+                lambda kk, vv: ~F.element_at(o_map, kk).eqNullSafe(vv),
+            ))))
+        return bind(nm, inner)
+
+    return imgs.select("row_id", bind(om, diff).alias("changed_fields"))
