@@ -6867,3 +6867,141 @@ def audit_changed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bind(nm, inner)
 
     return imgs.select("row_id", bind(om, diff).alias("changed_fields"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data CAPSTONE v2 — the full modern curation gate: heuristic
+# quality AND Gopher repetition rules AND benchmark decontamination
+# (eval docs excluded, contaminated train docs dropped), then near-dup
+# clusters -> one representative -> cluster-safe split -> per-split
+# budgets. Every constituent is individually ⊕; this pins the composed
+# ordering with 1e-6-rounded threshold compares on both engines.
+# ---------------------------------------------------------------------------
+
+_FULL_GATE_ORACLE = _COMP_SQL + f"""
+    , qual AS ({_CURATION_QUALITY_SQL})
+    , rtoks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), rb AS (
+      SELECT doc_id, toks,
+             list_transform(range(0, len(toks) - 1),
+               i -> concat_ws(' ', toks[i+1], toks[i+2])) AS bigrams,
+             list_transform(range(0, len(toks) - 2),
+               i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))
+               AS trigrams
+      FROM rtoks
+    ), rtb AS (
+      SELECT doc_id, max(c) AS top_big FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS x FROM rb)
+        GROUP BY doc_id, x
+      ) GROUP BY doc_id
+    ), rep AS (
+      SELECT rb.doc_id,
+        floor(CAST(len(list_distinct(toks)) AS DOUBLE)
+              / greatest(len(toks), 1) * 1000000 + 0.5) / 1000000 AS utr,
+        floor(CAST(rtb.top_big AS DOUBLE)
+              / greatest(len(bigrams), 1) * 1000000 + 0.5) / 1000000 AS tbf,
+        floor((1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+               / greatest(len(trigrams), 1)) * 1000000 + 0.5) / 1000000
+          AS dtf
+      FROM rb JOIN rtb USING (doc_id)
+    ), dsh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(0, len(toks) - 4),
+        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+                       toks[i+5])))) AS sh5
+      FROM rtoks
+    ), evsh AS (
+      SELECT DISTINCT sh5 FROM dsh WHERE doc_id % 19 = 3
+    ), dhits AS (
+      SELECT d.doc_id, count(*) AS n
+      FROM dsh d JOIN evsh USING (sh5)
+      WHERE d.doc_id % 19 != 3 GROUP BY 1
+    ), gate AS (
+      SELECT q.doc_id, q.bpe_tokens, c.cluster_rep
+      FROM qual q
+      JOIN comp c ON c.node = q.doc_id
+      JOIN rep r ON r.doc_id = q.doc_id
+      LEFT JOIN dhits h ON h.doc_id = q.doc_id
+      WHERE q.doc_id % 19 != 3
+        AND q.q >= 0.7
+        AND r.utr >= 0.2 AND r.tbf <= 0.2 AND r.dtf <= 0.6
+        AND COALESCE(h.n, 0) < 8
+    ), reps2 AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY cluster_rep) AS surv
+      FROM gate
+    ), uniq2 AS (
+      SELECT doc_id, bpe_tokens, cluster_rep,
+             CAST('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)
+                                     || '|split-v1'), 1, 8) AS BIGINT)
+               % 100 AS bucket
+      FROM reps2 WHERE doc_id = surv
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens
+    FROM uniq2 GROUP BY 1
+"""
+
+
+@register("curation_full_gate", oracle=_FULL_GATE_ORACLE)
+def curation_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import (
+        bpe_token_count, quality_score, tokens, top_count, word_ngrams,
+    )
+    from .operators.dedup import (
+        contamination_overlap, duplicate_clusters, lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    clusters = duplicate_clusters(pairs, docs.select("doc_id"))
+
+    def r6(c):
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    t = F.col("text")
+    toks = tokens(F.lower(t))
+    n = F.greatest(F.size(toks), F.lit(1))
+    big = word_ngrams(t, 2)
+    tri = word_ngrams(t, 3)
+    metrics = docs.select(
+        "doc_id",
+        r6(quality_score(t)).alias("q"),
+        bpe_token_count(t).alias("bpe_tokens"),
+        r6(F.size(F.array_distinct(toks)) / n).alias("utr"),
+        r6(top_count(big) / F.greatest(F.size(big), F.lit(1))).alias("tbf"),
+        r6(1.0 - F.size(F.array_distinct(tri))
+           / F.greatest(F.size(tri), F.lit(1))).alias("dtf"),
+    )
+    evalset = docs.where(F.col("doc_id") % 19 == 3)
+    train = docs.where(F.col("doc_id") % 19 != 3)
+    clean = contamination_overlap(train, evalset, ngram_k=5, threshold=8) \
+        .where(~F.col("contaminated")).select("doc_id")
+    kept = (
+        metrics.where(F.col("doc_id") % 19 != 3)  # eval docs never train
+        .where((F.col("q") >= 0.7) & (F.col("utr") >= 0.2)
+               & (F.col("tbf") <= 0.2) & (F.col("dtf") <= 0.6))
+        .join(clean, "doc_id", "left_semi")
+        .join(clusters.select("doc_id", "cluster_rep"), "doc_id")
+    )
+    surv = F.min("doc_id").over(Window.partitionBy("cluster_rep"))
+    uniq = (
+        kept.withColumn("__surv", surv)
+        .where(F.col("doc_id") == F.col("__surv"))
+        .withColumn("bucket", _split_bucket(F.col("cluster_rep")))
+    )
+    return uniq.groupBy(
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test").alias("split")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_rep").cast("long").alias("n_clusters"),
+        F.sum("bpe_tokens").cast("long").alias("total_tokens"),
+    )
