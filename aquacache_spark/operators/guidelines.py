@@ -153,23 +153,28 @@ def guideline_input_values(
         "sample_id", "input_id", "result_id",
         rank.cast("int").alias("__rank"), use_val.alias("__v"),
     )
-    sel_rank = F.min(F.when(F.col("__v").isNotNull(), F.col("__rank")))
+    # selected rank via a window, then ONE conditional aggregation on
+    # the same keys — the window's exchange is reused by the groupBy,
+    # so the candidate set is scanned once (a join-back against a
+    # separate rank aggregate re-derived the whole candidate join)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sample_id", "input_id")
+    cand = cand.withColumn(
+        "__sel_rank",
+        F.min(F.when(F.col("__v").isNotNull(), F.col("__rank"))).over(w),
+    )
+    at_pref = F.col("__v").isNotNull() & (
+        F.col("__rank") == F.col("__sel_rank"))
     agg = cand.groupBy("sample_id", "input_id").agg(
         F.count(F.lit(1)).alias("__matching"),
         F.count("__v").alias("__usable"),
-        sel_rank.alias("__sel_rank"),
+        F.count(F.when(at_pref, F.lit(1))).alias("__n_pref"),
+        F.avg(F.when(at_pref, F.col("__v"))).alias("__avg"),
+        F.min(F.when(at_pref, F.col("__v"))).alias("__min"),
+        F.max(F.when(at_pref, F.col("__v"))).alias("__max"),
     )
-    at_rank = cand.join(
-        agg.select("sample_id", "input_id", "__sel_rank"),
-        ["sample_id", "input_id"],
-    ).where(
-        F.col("__v").isNotNull() & (F.col("__rank") == F.col("__sel_rank"))
-    ).groupBy("sample_id", "input_id").agg(
-        F.count(F.lit(1)).alias("__n_pref"),
-        F.avg("__v").alias("__avg"),
-        F.min("__v").alias("__min"),
-        F.max("__v").alias("__max"),
-    )
+
     # the (sample x input) grid so zero-candidate pairs surface as
     # missing_input (the per-call function's first exit)
     grid = samples.select("sample_id").crossJoin(
@@ -178,10 +183,7 @@ def guideline_input_values(
             "upper_calibrated_bound", "bounds_action",
         ))
     )
-    g = (
-        grid.join(agg, ["sample_id", "input_id"], "left")
-        .join(at_rank, ["sample_id", "input_id"], "left")
-    )
+    g = grid.join(agg, ["sample_id", "input_id"], "left")
     raw = (
         F.when(F.col("aggregate_method") == "avg", F.col("__avg"))
         .when(F.col("aggregate_method") == "max", F.col("__max"))
