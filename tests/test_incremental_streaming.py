@@ -278,3 +278,68 @@ def test_streaming_rollup_merges_into_store(spark, tmp_path):
     assert got[(2, "2024-01-01 01:00:00")]["n"] == 1
     assert got[(2, "2024-01-01 02:00:00")]["n"] == 1
     assert len(got) == 3
+
+
+def test_streaming_merge_survives_restart(spark, tmp_path):
+    """Kill the query between micro-batches and restart from the same
+    checkpoint: the merge-keyed sink is idempotent on (series, bin), so
+    the store converges to the batch-equivalent answer with no dupes."""
+    from aquacache_spark.sources.store import ParquetMergeStore
+    from aquacache_spark.streaming.structured import (
+        read_measurement_stream, start_incremental_sink, windowed_rollup,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = ParquetMergeStore(
+        spark, str(tmp_path / "store"),
+        key_cols=["timeseries_id", "bin_start"], n_buckets=4,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, ["timeseries_id", "datetime", "value"]
+        ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+
+    def process(df, epoch_id):
+        if not df.isEmpty():
+            store.merge(
+                df.select("timeseries_id", "bin_start", "n", "min", "max",
+                          "mean"),
+                on_conflict="update",
+            )
+
+    def start():
+        stream = read_measurement_stream(spark, str(landing))
+        rolled = windowed_rollup(stream, window_seconds=3600,
+                                 watermark="10 minutes")
+        return start_incremental_sink(rolled, process, ckpt)
+
+    q = start()
+    try:
+        mk([(1, "2024-01-01 00:10:00", 2.0),
+            (1, "2024-01-01 00:20:00", 4.0)]).write.mode("append").parquet(
+            str(landing))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # second file lands while the query is DOWN; restart picks it up
+    mk([(1, "2024-01-01 00:30:00", 6.0),
+        (1, "2024-01-01 01:10:00", 8.0)]).write.mode("append").parquet(
+        str(landing))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["timeseries_id"], str(r["bin_start"])): r
+        for r in store.read().collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")]["n"] == 3
+    assert got[(1, "2024-01-01 00:00:00")]["mean"] == 4.0
+    assert got[(1, "2024-01-01 01:00:00")]["n"] == 1
+    assert len(got) == 2
