@@ -170,7 +170,13 @@ def guideline_input_values(
         F.count(F.lit(1)).alias("__matching"),
         F.count("__v").alias("__usable"),
         F.count(F.when(at_pref, F.lit(1))).alias("__n_pref"),
-        F.avg(F.when(at_pref, F.col("__v"))).alias("__avg"),
+        # exact mean (order-independent): avg() of doubles varies in
+        # the last ulp with partition order, which can flip the 1e-6
+        # rounding boundary between runs/engines
+        (F.sum(F.when(at_pref,
+                      F.floor(F.col("__v") * 1000000.0 + 0.5).cast("long")))
+         / 1000000.0
+         / F.count(F.when(at_pref, F.lit(1)))).alias("__avg"),
         F.min(F.when(at_pref, F.col("__v"))).alias("__min"),
         F.max(F.when(at_pref, F.col("__v"))).alias("__max"),
     )

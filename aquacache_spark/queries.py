@@ -6312,7 +6312,9 @@ _GUIDELINE_EVAL_CTE = f"""
     ),
     at_rank AS (
       SELECT c.sample_id, c.input_id, count(*) AS n_pref,
-             avg(c.v) AS vavg, min(c.v) AS vmin, max(c.v) AS vmax
+             sum(CAST(floor(c.v * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / count(*) AS vavg,
+             min(c.v) AS vmin, max(c.v) AS vmax
       FROM cand c JOIN agg a USING (sample_id, input_id)
       WHERE c.v IS NOT NULL AND c.rnk = a.sel_rank
       GROUP BY 1, 2
