@@ -71,3 +71,153 @@ def extract_media_features(
             })
 
     return df.select(id_col, blob_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# A REAL decode path: 24-bit uncompressed BMP, parsed with stdlib
+# struct + numpy only — so at least one image format runs end-to-end in
+# this container (the general `decoder` hook stays for PIL/libraries).
+# The reference ingests camera images as opaque binaries
+# (R/downloadNupointImages.R, insertACImage.R); this is the decode /
+# feature-extract stage its consumers would run.
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit BMP writer (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding, BGR byte order). ``pixels``: uint8 array
+    (h, w, 3) in RGB."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = px[r, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def decode_bmp(blob: bytes):
+    """Parse a 24-bit uncompressed BMP into an (h, w, 3) RGB uint8
+    array. Raises ValueError on anything that is not exactly that
+    (magic, bit depth, compression) — corrupt inputs surface instead of
+    yielding garbage features."""
+    import struct
+
+    import numpy as np
+
+    if blob is None or len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP (bad magic or truncated header)")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    (bi_size, w, h, _planes, bitcount, compression) = struct.unpack_from(
+        "<IiiHHI", blob, 14)
+    if bi_size < 40 or bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (bitcount={bitcount}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    if len(blob) < data_offset + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for r in range(h):
+        off = data_offset + r * stride
+        row = np.frombuffer(blob, dtype=np.uint8, count=row_bytes,
+                            offset=off).reshape(w, 3)[:, ::-1]  # BGR->RGB
+        rows.append(row)
+    px = np.stack(rows)
+    return px[::-1] if bottom_up else px
+
+
+def extract_bmp_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """Real image decode, Arrow-batched: per item width/height and
+    per-channel means from actual pixel parsing (no stub). Undecodable
+    blobs yield NULL dimensions and a FALSE ``decoded`` flag rather
+    than killing the task."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": pdf[id_col].astype("int64"), "decoded": [],
+                   "width": [], "height": [], "mean_r": [], "mean_g": [],
+                   "mean_b": []}
+            for blob in pdf[blob_col]:
+                try:
+                    px = decode_bmp(blob)
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    out["decoded"].append(True)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["mean_r"].append(float(means[0]))
+                    out["mean_g"].append(float(means[1]))
+                    out["mean_b"].append(float(means[2]))
+                except (ValueError, TypeError):
+                    out["decoded"].append(False)
+                    for c in ("width", "height", "mean_r", "mean_g",
+                              "mean_b"):
+                        out[c].append(None)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("Int32")
+            pdf_out["height"] = pdf_out["height"].astype("Int32")
+            yield pdf_out
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def synthesize_bmps(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Deterministic BMP fixtures: pixel (r, c) of item ``i`` is
+    ((i*7 + r*16 + c) % 256, (i*11 + r*5 + c*3) % 256,
+    (i*13 + r*2 + c*7) % 256) — a closed form the oracle can average
+    without parsing. Encoded through the REAL writer so the decode
+    path is exercised on genuine BMP bytes."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        r = np.arange(height)[:, None]
+        c = np.arange(width)[None, :]
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                px = np.stack([
+                    (i * 7 + r * 16 + c) % 256,
+                    (i * 11 + r * 5 + c * 3) % 256,
+                    (i * 13 + r * 2 + c * 7) % 256,
+                ], axis=-1).astype("uint8")
+                blobs.append(encode_bmp(px))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)

@@ -7007,3 +7007,49 @@ def curation_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_rep").cast("long").alias("n_clusters"),
         F.sum("bpe_tokens").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode end to end: deterministic BMPs are written with the
+# actual 24-bit encoder, then the actual parser extracts dimensions and
+# per-channel means inside an Arrow mapInPandas stage; the oracle
+# averages the same pixel closed form without parsing. (The generic
+# decoder hook stays stubbed for codec-library formats.)
+# ---------------------------------------------------------------------------
+
+_BMP_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1
+    ), grid AS (
+      SELECT r, c
+      FROM (SELECT unnest(range(0, 8)) AS r), (SELECT unnest(range(0, 8)) AS c)
+    ), px AS (
+      SELECT media_id,
+             (media_id * 7 + r * 16 + c) % 256 AS pr,
+             (media_id * 11 + r * 5 + c * 3) % 256 AS pg,
+             (media_id * 13 + r * 2 + c * 7) % 256 AS pb
+      FROM ids CROSS JOIN grid
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           {R('avg(pr)', 6)} AS mean_r,
+           {R('avg(pg)', 6)} AS mean_g,
+           {R('avg(pb)', 6)} AS mean_b
+    FROM px GROUP BY media_id
+"""
+
+
+@register("bmp_decode_features", oracle=_BMP_ORACLE)
+def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_bmp_features, synthesize_bmps
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"))
+    bmps = synthesize_bmps(ids, width=8, height=8)
+    out = extract_bmp_features(bmps)
+    return _round(
+        out.select("media_id", "decoded", F.col("width").cast("int"),
+                   F.col("height").cast("int"), "mean_r", "mean_g", "mean_b"),
+        {"mean_r": 6, "mean_g": 6, "mean_b": 6},
+    )

@@ -57,3 +57,35 @@ def test_multimodal_feature_plumbing(spark):
     assert len(out[0]["sha256"]) == 64
     assert len(out[0]["feature"]) == 8
     assert out[1]["n_bytes"] == 0
+
+
+class TestBmpCodec:
+    def test_roundtrip_identity(self, spark):
+        import numpy as np
+
+        from aquacache_spark.operators.multimodal import (
+            decode_bmp, encode_bmp,
+        )
+
+        rng = np.random.default_rng(42)
+        for h, w in [(1, 1), (3, 5), (8, 8), (7, 3)]:  # odd widths -> padding
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            back = decode_bmp(encode_bmp(px))
+            assert back.shape == (h, w, 3)
+            assert (back == px).all(), (h, w)
+
+    def test_corrupt_inputs_flagged_not_fatal(self, spark):
+        import numpy as np
+
+        from aquacache_spark.operators.multimodal import (
+            encode_bmp, extract_bmp_features,
+        )
+
+        good = encode_bmp(np.full((2, 2, 3), 9, dtype=np.uint8))
+        rows = [(1, good), (2, b"not a bmp"), (3, good[:20]), (4, None)]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        out = {r["media_id"]: r for r in extract_bmp_features(df).collect()}
+        assert out[1]["decoded"] and out[1]["mean_r"] == 9.0
+        assert not out[2]["decoded"] and out[2]["width"] is None
+        assert not out[3]["decoded"]
+        assert not out[4]["decoded"]
