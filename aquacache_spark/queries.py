@@ -7053,3 +7053,114 @@ def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("height").cast("int"), "mean_r", "mean_g", "mean_b"),
         {"mean_r": 6, "mean_g": 6, "mean_b": 6},
     )
+
+
+# ---------------------------------------------------------------------------
+# The DAILY read API end to end (§2.13): corrected read (offset window)
+# -> unusable-grade-N interval exclusion -> exact-mean daily rollup ->
+# DOY historical stats + percent_historic_range, all through one
+# measurements_calculated_daily call over a multi-year orders-derived
+# store — the refresh ladder as the USER-facing read, hash-matched.
+# ---------------------------------------------------------------------------
+
+_API_DAILY_ORACLE = f"""
+    WITH meas AS (
+      SELECT 1 AS timeseries_id,
+             CAST(o_orderdate AS TIMESTAMP)
+               + to_hours(CAST(o_orderkey % 24 AS INT)) AS datetime,
+             (o_orderkey % 1000) * 0.1 AS value
+      FROM orders
+    ), corrected AS (
+      SELECT timeseries_id, datetime,
+             CASE WHEN datetime >= TIMESTAMP '1995-01-01 00:00:00'
+                       AND datetime < TIMESTAMP '1996-01-01 00:00:00'
+                  THEN value + 0.5 ELSE value END AS cv
+      FROM meas
+    ), kept AS (
+      SELECT * FROM corrected
+      WHERE NOT (datetime BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+                              AND TIMESTAMP '1996-04-15 00:00:00')
+    ), daily AS (
+      SELECT timeseries_id, CAST(datetime AS DATE) AS date,
+             {DSUM('cv')} / count(cv) AS value
+      FROM kept GROUP BY 1, 2
+    ), dd AS (
+      SELECT *,
+             CAST(CASE
+               WHEN month(date) = 2 AND day(date) = 29 THEN NULL
+               WHEN (year(date) % 4 = 0
+                     AND (year(date) % 100 <> 0 OR year(date) % 400 = 0))
+                    AND dayofyear(date) > 60 THEN dayofyear(date) - 1
+               ELSE dayofyear(date) END AS INTEGER) AS doy
+      FROM daily
+    ), joined AS (
+      SELECT t.timeseries_id, t.date, t.value, t.doy,
+             count(h.value) AS doy_count,
+             min(h.value) AS hist_min,
+             max(h.value) AS hist_max,
+             avg(h.value) AS hist_mean,
+             quantile_cont(h.value, 0.10) AS q10,
+             quantile_cont(h.value, 0.25) AS q25,
+             quantile_cont(h.value, 0.50) AS q50,
+             quantile_cont(h.value, 0.75) AS q75,
+             quantile_cont(h.value, 0.90) AS q90
+      FROM dd t
+      LEFT JOIN dd h ON t.doy = h.doy AND h.date < t.date
+      GROUP BY t.timeseries_id, t.date, t.value, t.doy
+    )
+    SELECT timeseries_id, date, {R('value', 4)} AS value, doy, doy_count,
+           {R('hist_min', 4)} AS hist_min, {R('hist_max', 4)} AS hist_max,
+           {R('hist_mean', 4)} AS hist_mean,
+           {R('q10', 4)} AS q10, {R('q25', 4)} AS q25, {R('q50', 4)} AS q50,
+           {R('q75', 4)} AS q75, {R('q90', 4)} AS q90,
+           {R('CASE WHEN doy_count > 1 AND doy IS NOT NULL '
+              'THEN (value - hist_min) / nullif(hist_max - hist_min, 0)'
+              ' * 100.0 END', 4)} AS percent_historic_range
+    FROM joined
+"""
+
+
+@register("api_daily_read", oracle=_API_DAILY_ORACLE)
+def api_daily_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .api import measurements_calculated_daily
+    from .fixtures import FixtureStore
+    from .operators.corrections import Correction
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    meas = o.select(
+        F.lit(1).alias("timeseries_id"),
+        (F.col("o_orderdate").cast("timestamp")
+         + (k % 24).cast("int") * F.expr("INTERVAL 1 HOUR")).alias("datetime"),
+        ((k % 1000) * 0.1).alias("value"),
+    )
+    timeseries = spark.createDataFrame(
+        [(1, "basic", "mean")],
+        "timeseries_id int, timeseries_type string, aggregation_type string",
+    )
+    grades = spark.createDataFrame(
+        [
+            (1, "N", "1996-03-01 00:00:00", "1996-04-15 00:00:00"),
+            (1, "N", "1997-01-01 00:00:00", "1997-01-01 00:00:00"),  # zero-width
+            (1, "A", "1994-01-01 00:00:00", "1999-01-01 00:00:00"),
+        ],
+        "timeseries_id int, grade_code string, start_dt string, end_dt string",
+    ).select(
+        "timeseries_id", "grade_code",
+        F.col("start_dt").cast("timestamp").alias("start_dt"),
+        F.col("end_dt").cast("timestamp").alias("end_dt"),
+    )
+    store = FixtureStore(
+        timeseries=timeseries, measurements=meas,
+        corrections=[Correction(1, 1, "1995-01-01 00:00:00",
+                                "1996-01-01 00:00:00", "offset_linear",
+                                value1=0.5)],
+        grades=grades,
+    )
+    out = measurements_calculated_daily(store, 1)
+    return _round(
+        out,
+        {"value": 4, "hist_min": 4, "hist_max": 4, "hist_mean": 4,
+         "q10": 4, "q25": 4, "q50": 4, "q75": 4, "q90": 4,
+         "percent_historic_range": 4},
+    )
