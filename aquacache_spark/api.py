@@ -217,7 +217,7 @@ def measurements_calculated_daily(
         agg_type=agg_type,
     )
     out = doy_stats(daily, keys=["timeseries_id"], date_col="date",
-                    value_col="value")
+                    value_col="value", exact_hist_mean=True)
     if start_date:
         out = out.where(F.col("date") >= F.lit(start_date).cast("date"))
     if end_date:

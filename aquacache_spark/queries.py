@@ -295,7 +295,8 @@ _DOY_ORACLE = f"""
              count(h.value)                          AS doy_count,
              min(h.value)                            AS hist_min,
              max(h.value)                            AS hist_max,
-             avg(h.value)                            AS hist_mean,
+             sum(CAST(floor(h.value * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / count(h.value) AS hist_mean,
              quantile_cont(h.value, 0.10)            AS q10,
              quantile_cont(h.value, 0.25)            AS q25,
              quantile_cont(h.value, 0.50)            AS q50,
@@ -328,7 +329,8 @@ def doy_historic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("o_totalprice").alias("value"))
     )
-    out = doy_stats(daily, keys=["priority"], date_col="date", value_col="value")
+    out = doy_stats(daily, keys=["priority"], date_col="date",
+                    value_col="value", exact_hist_mean=True)
     return _round(
         out,
         {"value": 4, "hist_min": 4, "hist_max": 4, "hist_mean": 4,
@@ -362,7 +364,8 @@ _DOY_30YR_ORACLE = f"""
              count(h.value)               AS doy_count,
              min(h.value)                 AS hist_min,
              max(h.value)                 AS hist_max,
-             avg(h.value)                 AS hist_mean,
+             sum(CAST(floor(h.value * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / count(h.value) AS hist_mean,
              quantile_cont(h.value, 0.50) AS q50
       FROM dd t
       LEFT JOIN dd h
@@ -387,8 +390,9 @@ def doy_stats_30yr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("o_totalprice").alias("value"))
     )
-    out = doy_stats(daily, keys=["priority"], date_col="date", value_col="value",
-                    years_window=3)
+    out = doy_stats(daily, keys=["priority"], date_col="date",
+                    value_col="value", years_window=3,
+                    exact_hist_mean=True)
     out = out.select("priority", "date", "value", "doy", "doy_count",
                      "hist_min", "hist_max", "hist_mean", "q50")
     return _round(out, {"value": 4, "hist_min": 4, "hist_max": 4,
@@ -420,7 +424,8 @@ _FEB29_ORACLE = f"""
              count(h.value)               AS doy_count,
              min(h.value)                 AS hist_min,
              max(h.value)                 AS hist_max,
-             avg(h.value)                 AS hist_mean,
+             sum(CAST(floor(h.value * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / count(h.value) AS hist_mean,
              quantile_cont(h.value, 0.50) AS q50
       FROM dd t
       LEFT JOIN dd h
@@ -459,7 +464,8 @@ def doy_feb29_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("o_totalprice").alias("value"))
     )
-    stats = doy_stats(daily, keys=["priority"], date_col="date", value_col="value")
+    stats = doy_stats(daily, keys=["priority"], date_col="date",
+                      value_col="value", exact_hist_mean=True)
     stats = stats.select("priority", "date", "value", "doy", "doy_count",
                          "hist_min", "hist_max", "hist_mean", "q50")
     # feb29_smooth joins stats against itself twice (Feb-28 / Mar-1
@@ -4049,7 +4055,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = daily_rollup(
         corrected, keys=["event_type"], dt_col="ts", value_col="value", agg_type="mean"
     )
-    out = doy_stats(daily, keys=["event_type"], date_col="date", value_col="value")
+    out = doy_stats(daily, keys=["event_type"], date_col="date",
+                    value_col="value", exact_hist_mean=True)
     return _round(out, {"value": 4, "hist_min": 4, "hist_max": 4, "hist_mean": 4,
                         "q10": 4, "q25": 4, "q50": 4, "q75": 4, "q90": 4,
                         "percent_historic_range": 4})
@@ -7098,7 +7105,8 @@ _API_DAILY_ORACLE = f"""
              count(h.value) AS doy_count,
              min(h.value) AS hist_min,
              max(h.value) AS hist_max,
-             avg(h.value) AS hist_mean,
+             sum(CAST(floor(h.value * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / count(h.value) AS hist_mean,
              quantile_cont(h.value, 0.10) AS q10,
              quantile_cont(h.value, 0.25) AS q25,
              quantile_cont(h.value, 0.50) AS q50,
