@@ -61,6 +61,23 @@ def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
     return df
 
 
+def _exact_sum_col(col: str):
+    """Order-independent double sum (see operators/daily.exact_sum):
+    partition-merge order perturbs a raw float sum in the last ulps,
+    which can flip the rounding quantum vs the single-threaded oracle."""
+    from .operators.daily import exact_sum
+
+    return exact_sum(F.col(col))
+
+
+def _exact_mean_of(col):
+    """Order-independent mean of a double expression (micro-quantized);
+    see _exact_sum_col."""
+    from .operators.daily import exact_mean
+
+    return exact_mean(col)
+
+
 def R(expr: str, n: int) -> str:
     """The same deterministic rounding idiom, as oracle SQL text."""
     return f"floor(({expr}) * {10**n} + 0.5) / {10**n}"
@@ -279,7 +296,8 @@ _DOY_ORACLE = f"""
     WITH daily AS (
       SELECT o_orderpriority AS priority,
              CAST(o_orderdate AS DATE) AS date,
-             sum(o_totalprice) AS value
+             sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 AS value
       FROM orders
       GROUP BY 1, 2
     ), dd AS (
@@ -327,7 +345,7 @@ def doy_historic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
             F.to_date("o_orderdate").alias("date"),
         )
-        .agg(F.sum("o_totalprice").alias("value"))
+        .agg(_exact_sum_col("o_totalprice").alias("value"))
     )
     out = doy_stats(daily, keys=["priority"], date_col="date",
                     value_col="value", exact_hist_mean=True)
@@ -348,7 +366,8 @@ _DOY_30YR_ORACLE = f"""
     WITH daily AS (
       SELECT o_orderpriority AS priority,
              CAST(o_orderdate AS DATE) AS date,
-             sum(o_totalprice) AS value
+             sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 AS value
       FROM orders
       GROUP BY 1, 2
     ), dd AS (
@@ -388,7 +407,7 @@ def doy_stats_30yr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
             F.to_date("o_orderdate").alias("date"),
         )
-        .agg(F.sum("o_totalprice").alias("value"))
+        .agg(_exact_sum_col("o_totalprice").alias("value"))
     )
     out = doy_stats(daily, keys=["priority"], date_col="date",
                     value_col="value", years_window=3,
@@ -408,7 +427,8 @@ _FEB29_ORACLE = f"""
     WITH daily AS (
       SELECT o_orderpriority AS priority,
              CAST(o_orderdate AS DATE) AS date,
-             sum(o_totalprice) AS value
+             sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 AS value
       FROM orders
       GROUP BY 1, 2
     ), dd AS (
@@ -462,7 +482,7 @@ def doy_feb29_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
             F.to_date("o_orderdate").alias("date"),
         )
-        .agg(F.sum("o_totalprice").alias("value"))
+        .agg(_exact_sum_col("o_totalprice").alias("value"))
     )
     stats = doy_stats(daily, keys=["priority"], date_col="date",
                       value_col="value", exact_hist_mean=True)
@@ -2623,7 +2643,8 @@ _DONOR_ORACLE = f"""
     )
     SELECT t.event_type AS target, d.event_type AS donor,
            count(*) AS n_overlap,
-           {R('avg(d.v - t.v)', 4)} AS avg_offset,
+           {R('sum(CAST(floor((d.v - t.v) * 1000000 + 0.5) AS BIGINT))'
+              ' / 1000000.0 / count(*)', 4)} AS avg_offset,
            {R('stddev_samp(d.v - t.v)', 4)} AS sd_offset
     FROM hourly t JOIN hourly d
       ON t.h = d.h AND t.event_type <> d.event_type
@@ -2655,7 +2676,7 @@ def donor_offset_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("target", "donor")
         .agg(
             F.count(F.lit(1)).alias("n_overlap"),
-            F.avg(F.col("dv") - F.col("tv")).alias("avg_offset"),
+            _exact_mean_of(F.col("dv") - F.col("tv")).alias("avg_offset"),
             F.stddev_samp(F.col("dv") - F.col("tv")).alias("sd_offset"),
         )
     )
@@ -2686,7 +2707,9 @@ _FILL_ORACLE = f"""
     t AS (SELECT p.tgt, b.h, b.v AS tv FROM pairs p JOIN bins b ON b.et = p.tgt),
     d AS (SELECT p.tgt, b.h, b.v AS dv FROM pairs p JOIN bins b ON b.et = p.d_et),
     off AS (
-      SELECT t.tgt, avg(d.dv - t.tv) AS avg_offset
+      SELECT t.tgt,
+             sum(CAST(floor((d.dv - t.tv) * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / count(*) AS avg_offset
       FROM t JOIN d ON d.tgt = t.tgt AND d.h = t.h GROUP BY 1
     ),
     bounds AS (SELECT tgt, min(h) AS lo, max(h) AS hi FROM t GROUP BY 1),
@@ -2759,7 +2782,7 @@ def impute_donor_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = (
         t.join(d, ["tgt", "h"])
         .groupBy("tgt")
-        .agg(F.avg(F.col("dv") - F.col("tv")).alias("avg_offset"))
+        .agg(_exact_mean_of(F.col("dv") - F.col("tv")).alias("avg_offset"))
     )
     spine = (
         t.groupBy("tgt")
