@@ -7195,3 +7195,105 @@ def api_daily_read(spark: SparkSession, sf_dir: str) -> DataFrame:
          "q10": 4, "q25": 4, "q50": 4, "q75": 4, "q90": 4,
          "percent_historic_range": 4},
     )
+
+
+# ---------------------------------------------------------------------------
+# Hardness-dependent guideline end to end (patch_51.R:1780-1905 +
+# safe_expr): per-sample hardness from the Ca/Mg/CaCO3 fallback ladder
+# feeds the CCME-shaped exp/ln guideline expression through the §2.10
+# safety gate, with an output cap and rounding.
+# ---------------------------------------------------------------------------
+
+_HARDNESS_ORACLE = f"""
+    WITH res AS (
+      SELECT o_custkey % 150 AS sample_id,
+             CASE o_orderkey % 6 WHEN 0 THEN 1 WHEN 1 THEN 2
+                  WHEN 2 THEN 3 ELSE 4 END AS parameter_id,
+             CASE o_orderkey % 4 WHEN 0 THEN 10 ELSE 11 END
+               AS sample_fraction_id,
+             CASE WHEN o_orderkey % 5 = 0 THEN 20
+                  ELSE CAST(o_orderkey % 3 AS INT) END
+               AS result_speciation_id,
+             (o_orderkey % 90) * 1.5 + 4.0 AS result
+      FROM orders WHERE o_orderkey % 7 != 0
+    ), agg AS (
+      SELECT sample_id,
+        max(result) FILTER (parameter_id = 1 AND sample_fraction_id = 10)
+          AS ca_d,
+        max(result) FILTER (parameter_id = 2 AND sample_fraction_id = 10)
+          AS mg_d,
+        max(result) FILTER (parameter_id = 3 AND sample_fraction_id = 10
+                            AND result_speciation_id = 20) AS h_d_caco3,
+        max(result) FILTER (parameter_id = 3 AND sample_fraction_id = 10)
+          AS h_d_any,
+        max(result) FILTER (parameter_id = 1 AND sample_fraction_id = 11)
+          AS ca_t,
+        max(result) FILTER (parameter_id = 2 AND sample_fraction_id = 11)
+          AS mg_t,
+        max(result) FILTER (parameter_id = 3 AND sample_fraction_id = 11
+                            AND result_speciation_id = 20) AS h_t_caco3,
+        max(result) FILTER (parameter_id = 3 AND sample_fraction_id = 11)
+          AS h_t_any
+      FROM res GROUP BY 1
+    ), hard AS (
+      SELECT sample_id, CASE
+        WHEN ca_d > 0 AND mg_d > 0 THEN 2.497 * ca_d + 4.118 * mg_d
+        WHEN h_d_caco3 > 0 THEN h_d_caco3
+        WHEN h_d_any > 0 THEN h_d_any
+        WHEN ca_t > 0 AND mg_t > 0 THEN 2.497 * ca_t + 4.118 * mg_t
+        WHEN h_t_caco3 > 0 THEN h_t_caco3
+        WHEN h_t_any > 0 THEN h_t_any END AS hardness
+      FROM agg
+    ), ev AS (
+      SELECT sample_id, hardness,
+             CASE WHEN hardness IS NOT NULL
+                  THEN least(exp(0.736 * ln(hardness) + 0.6951), 150.0)
+             END AS raw
+      FROM hard
+    )
+    SELECT sample_id, {R('hardness', 4)} AS hardness,
+           CASE WHEN raw IS NULL THEN NULL
+                ELSE floor(raw * 100 + 0.5) / 100 END AS guideline_value,
+           CASE WHEN raw IS NULL THEN 'no_value' ELSE 'value' END
+             AS output_status
+    FROM ev
+"""
+
+
+@register("hardness_guideline", oracle=_HARDNESS_ORACLE)
+def hardness_guideline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.guidelines import (
+        evaluate_guideline_rules, sample_hardness,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    res = o.where(k % 7 != 0).select(
+        (F.col("o_custkey") % 150).alias("sample_id"),
+        F.when(k % 6 == 0, 1).when(k % 6 == 1, 2).when(k % 6 == 2, 3)
+        .otherwise(4).alias("parameter_id"),
+        F.when(k % 4 == 0, 10).otherwise(11).alias("sample_fraction_id"),
+        F.when(k % 5 == 0, 20).otherwise((k % 3).cast("int"))
+        .alias("result_speciation_id"),
+        ((k % 90) * 1.5 + 4.0).alias("result"),
+    )
+    hard = sample_hardness(res, calcium_pid=1, magnesium_pid=2,
+                           hardness_pid=3, dissolved_fid=10, total_fid=11,
+                           caco3_sid=20)
+    iv = hard.select("sample_id", F.lit(None).cast("int").alias("input_id"),
+                     F.lit(None).cast("double").alias("input_value"),
+                     F.lit(None).cast("string").alias("status"))
+    rules = spark.createDataFrame(
+        [(1, 1, "upper", 1, "safe_expr", None, None, None, None,
+          "exp(0.736 * ln(hardness) + 0.6951)", None, 150.0, 2, "round")],
+        "rule_id int, guideline_id int, bound_code string,"
+        " rule_priority int, algorithm_code string, fixed_value double,"
+        " input_id int, intercept double, slope double,"
+        " formula_expr string, min_output_value double,"
+        " max_output_value double, rounding_digits int,"
+        " rounding_method string",
+    )
+    ev = evaluate_guideline_rules(rules, iv, hard)
+    out = ev.join(hard, "sample_id").select(
+        "sample_id", "hardness", "guideline_value", "output_status")
+    return _round(out, {"hardness": 4})
