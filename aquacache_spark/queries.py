@@ -7297,3 +7297,177 @@ def hardness_guideline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.join(hard, "sample_id").select(
         "sample_id", "hardness", "guideline_value", "output_status")
     return _round(out, {"hardness": 4})
+
+
+# ---------------------------------------------------------------------------
+# §2.1 downloadEQWin end to end on canned Access-export fixtures
+# (R/downloadEQWin.R:43-742): result parsing with detection-limit
+# conditions, conversion+offset, the SampleClass/blank-wording sample
+# type ladder, station-type defaults, unknown-time datetimes -> UTC,
+# required fraction/speciation drops, ordered-unique note collapse,
+# result-less sample drops.
+# ---------------------------------------------------------------------------
+
+_EQ_TYPES = {"sample-routine": 1, "QC-sample-field replicate": 3,
+             "QC-sample-field blank": 4, "QC-sample-trip blank": 5,
+             "QC-sample-lab blank": 6, "sample-other": 7, "unknown": 8}
+_EQ_MEDIA = {"surface water": 1, "groundwater": 2}
+_EQ_COLLECT = {"Water Bottle (direct fill)": 27, "Pump": 14}
+
+_EQWIN_ORACLE = f"""
+    WITH stations AS (
+      SELECT * FROM read_csv('{_FIXDIR / "eqwin_stations.csv"}',
+                             header=true, all_varchar=true)
+    ), samples0 AS (
+      SELECT * FROM read_csv('{_FIXDIR / "eqwin_samples.csv"}',
+                             header=true, all_varchar=true)
+    ), results0 AS (
+      SELECT * FROM read_csv('{_FIXDIR / "eqwin_results.csv"}',
+                             header=true, all_varchar=true)
+    ), mapping AS (
+      SELECT input_param, input_unit,
+             CAST(parameter_id AS BIGINT) AS parameter_id,
+             TRY_CAST(conversion AS DOUBLE) AS conversion,
+             TRY_CAST(result_offset AS DOUBLE) AS result_offset,
+             CAST(result_type AS BIGINT) AS result_type,
+             TRY_CAST(sample_fraction_id AS BIGINT) AS sample_fraction_id,
+             TRY_CAST(result_speciation_id AS BIGINT) AS result_speciation_id,
+             CAST(matrix_state_id AS BIGINT) AS matrix_state_id
+      FROM read_csv('{_FIXDIR / "eqwin_mapping.csv"}', header=true,
+                    all_varchar=true)
+    ), params AS (
+      SELECT CAST(parameter_id AS BIGINT) AS pid,
+             CAST(sample_fraction AS BOOLEAN) AS need_frac,
+             CAST(result_speciation AS BOOLEAN) AS need_spec
+      FROM read_csv('{_FIXDIR / "eqwin_parameters.csv"}', header=true,
+                    all_varchar=true)
+    ), res AS (
+      SELECT CAST(r.SampleId AS BIGINT) AS sample_key,
+             m.parameter_id, m.result_type, m.sample_fraction_id,
+             m.result_speciation_id, m.matrix_state_id,
+             CASE WHEN trim(r.Result) LIKE '<%' THEN 1
+                  WHEN trim(r.Result) LIKE '>%' THEN 2 END AS result_condition,
+             TRY_CAST(regexp_replace(trim(r.Result), '^[<>]\\s*', '')
+                      AS DOUBLE)
+               * coalesce(m.conversion, 1.0)
+               + coalesce(m.result_offset, 0.0) AS xval,
+             nullif(concat_ws('; ',
+               nullif(trim(r.ResultCode), ''),
+               CASE WHEN nullif(trim(r.ResultQuality), '')
+                         IS DISTINCT FROM nullif(trim(r.ResultCode), '')
+                    THEN nullif(trim(r.ResultQuality), '') END,
+               CASE WHEN nullif(trim(r.DetailComment), '')
+                         IS DISTINCT FROM nullif(trim(r.ResultCode), '')
+                    AND nullif(trim(r.DetailComment), '')
+                         IS DISTINCT FROM nullif(trim(r.ResultQuality), '')
+                    THEN nullif(trim(r.DetailComment), '') END), '')
+               AS result_note
+      FROM results0 r
+      JOIN mapping m
+        ON r.ParamCode = m.input_param AND r.Units = m.input_unit
+      WHERE TRY_CAST(regexp_replace(trim(r.Result), '^[<>]\\s*', '')
+                     AS DOUBLE) IS NOT NULL
+    ), res_kept AS (
+      SELECT res.* FROM res
+      LEFT JOIN params ON res.parameter_id = params.pid
+      WHERE NOT (coalesce(need_frac, false) AND sample_fraction_id IS NULL)
+        AND NOT (coalesce(need_spec, false) AND result_speciation_id IS NULL)
+    ), samp AS (
+      SELECT CAST(s.SampleId AS BIGINT) AS sample_key,
+             st.StnCode AS location_code,
+             CAST(regexp_replace(
+                    CASE WHEN length(trim(s.CollectDateTime)) = 10
+                         THEN trim(s.CollectDateTime) || ' 00:00:00'
+                         ELSE trim(s.CollectDateTime) END,
+                    ' 00:00:00$', ' 12:00:00') AS TIMESTAMP)
+               + INTERVAL 7 HOUR AS datetime,
+             CASE WHEN upper(trim(st.StnType)) IN ('GW', 'GROUNDWATER')
+                  THEN {_EQ_MEDIA['groundwater']}
+                  ELSE {_EQ_MEDIA['surface water']} END AS media_id,
+             CASE WHEN upper(trim(st.StnType)) IN ('GW', 'GROUNDWATER')
+                  THEN {_EQ_COLLECT['Pump']}
+                  ELSE {_EQ_COLLECT['Water Bottle (direct fill)']} END
+               AS collection_method,
+             CASE
+               WHEN regexp_matches(
+                      concat_ws(' ', lower(trim(s.SampleNo)),
+                                lower(trim(s.SampleComments))),
+                      '\\btrip\\s+blank\\b')
+                 THEN {_EQ_TYPES['QC-sample-trip blank']}
+               WHEN regexp_matches(
+                      concat_ws(' ', lower(trim(s.SampleNo)),
+                                lower(trim(s.SampleComments))),
+                      '\\blab(oratory)?\\s+blank\\b|\\blabblank\\b')
+                 THEN {_EQ_TYPES['QC-sample-lab blank']}
+               WHEN regexp_matches(
+                      concat_ws(' ', lower(trim(s.SampleNo)),
+                                lower(trim(s.SampleComments))),
+                      '\\bfield\\s+blank\\b|\\bblank\\b')
+                 THEN {_EQ_TYPES['QC-sample-field blank']}
+               WHEN upper(trim(s.SampleClass)) = 'D'
+                 THEN {_EQ_TYPES['QC-sample-field replicate']}
+               WHEN upper(trim(s.SampleClass)) = 'I'
+                 THEN {_EQ_TYPES['sample-other']}
+               WHEN upper(trim(s.SampleClass)) = 'XX'
+                 THEN {_EQ_TYPES['unknown']}
+               ELSE {_EQ_TYPES['sample-routine']} END AS sample_type,
+             'EQWin-' || s.SampleId AS import_source_id,
+             nullif(concat_ws('; ',
+               nullif(trim(s.SampleNo), ''),
+               CASE WHEN ('EQWin SampleClass: ' || trim(s.SampleClass))
+                         IS DISTINCT FROM nullif(trim(s.SampleNo), '')
+                    THEN 'EQWin SampleClass: ' || trim(s.SampleClass) END,
+               CASE WHEN nullif(trim(s.SampleComments), '')
+                         IS DISTINCT FROM nullif(trim(s.SampleNo), '')
+                    AND nullif(trim(s.SampleComments), '')
+                         IS DISTINCT FROM
+                           ('EQWin SampleClass: ' || trim(s.SampleClass))
+                    THEN nullif(trim(s.SampleComments), '') END), '')
+               AS sample_note
+      FROM samples0 s
+      JOIN stations st ON s.StnId = st.StnId
+      WHERE EXISTS (SELECT 1 FROM res_kept k
+                    WHERE k.sample_key = CAST(s.SampleId AS BIGINT))
+    )
+    SELECT s.import_source_id, s.location_code, s.datetime, s.media_id,
+           s.collection_method, s.sample_type, s.sample_note,
+           r.parameter_id, r.result_type,
+           {R('CASE WHEN r.result_condition IS NULL THEN r.xval END', 6)}
+             AS result,
+           r.result_condition,
+           {R('CASE WHEN r.result_condition IS NOT NULL THEN r.xval END', 6)}
+             AS result_condition_value,
+           r.sample_fraction_id, r.result_speciation_id, r.matrix_state_id,
+           r.result_note
+    FROM samp s JOIN res_kept r USING (sample_key)
+"""
+
+
+@register("eqwin_normalize", oracle=_EQWIN_ORACLE)
+def eqwin_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned EQWin Access export through the full connector
+    normalization (sources/eqwin.py; R/downloadEQWin.R:43-742)."""
+    from .sources.eqwin import normalize_eqwin, resolve_type_ids
+
+    def csv(name: str) -> DataFrame:
+        return spark.read.csv(str(_FIXDIR / name), header=True)
+
+    samp, res = normalize_eqwin(
+        stations=csv("eqwin_stations.csv"),
+        samples=csv("eqwin_samples.csv"),
+        results=csv("eqwin_results.csv"),
+        mapping=csv("eqwin_mapping.csv"),
+        parameters=csv("eqwin_parameters.csv"),
+        type_ids=resolve_type_ids(_EQ_TYPES),
+        media_ids=_EQ_MEDIA,
+        collection_ids=_EQ_COLLECT,
+    )
+    out = (
+        samp.withColumnRenamed("note", "sample_note")
+        .join(res.withColumnRenamed("note", "result_note"), "sample_key")
+        .drop("sample_key")
+        .withColumn("media_id", F.col("media_id").cast("int"))
+        .withColumn("collection_method", F.col("collection_method").cast("int"))
+        .withColumn("sample_type", F.col("sample_type").cast("int"))
+    )
+    return _round(out, {"result": 6, "result_condition_value": 6})
