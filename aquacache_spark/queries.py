@@ -7471,3 +7471,92 @@ def eqwin_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_type", F.col("sample_type").cast("int"))
     )
     return _round(out, {"result": 6, "result_condition_value": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.1 import-mapping resolution with subset-match criteria and
+# specificity ranking (R/import_mappings.R:1266-1315): best match by
+# priority ASC, criteria-count DESC, mapping id ASC; equal-priority
+# equal-specificity ties are ambiguous; inactive and unmatchable
+# mappings ignored.  (import_mapping_join covers the simple LIKE-join
+# shape; this is the full DSL.)
+# ---------------------------------------------------------------------------
+
+_RESOLVE_ORACLE = """
+    WITH mapping(import_mapping_id, priority, active, m_brand, m_size,
+                 badkey, parameter_id) AS (VALUES
+      (1, 1, true,  'Brand#13', NULL, 0, 101),
+      (2, 1, true,  'Brand#13', '7',  0, 102),
+      (3, 0, true,  NULL,       '3',  0, 103),
+      (4, 1, true,  'Brand#22', NULL, 0, 104),
+      (5, 1, true,  'Brand#22', NULL, 0, 105),
+      (6, 1, true,  'Brand#13', '19', 0, 106),
+      (7, 2, false, 'Brand#34', NULL, 0, 107),
+      (8, 3, true,  NULL,       NULL, 1, 108),
+      (9, 1, true,  'Brand#21', NULL, 0, 109)
+    ), m AS (
+      SELECT *,
+             CAST(m_brand IS NOT NULL AS INT)
+             + CAST(m_size IS NOT NULL AS INT) + badkey AS match_size
+      FROM mapping WHERE active
+    ), hits AS (
+      SELECT p.p_partkey AS record_id, m.import_mapping_id, m.priority,
+             m.match_size, m.parameter_id
+      FROM part p JOIN m
+        ON (m_brand IS NULL OR m_brand = coalesce(p.p_brand, ''))
+       AND (m_size IS NULL
+            OR m_size = coalesce(CAST(p.p_size AS VARCHAR), ''))
+       AND badkey = 0
+    ), rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY record_id
+               ORDER BY priority, match_size DESC, import_mapping_id) AS rk,
+             count(*) OVER (PARTITION BY record_id, priority, match_size)
+               AS n_tied
+      FROM hits
+    ), best AS (SELECT * FROM rk WHERE rk = 1)
+    SELECT p.p_partkey AS record_id, p.p_brand AS brand,
+           CAST(p.p_size AS VARCHAR) AS size,
+           CASE WHEN b.record_id IS NULL THEN 'unmapped'
+                WHEN b.n_tied > 1 THEN 'ambiguous'
+                ELSE 'matched' END AS status,
+           CASE WHEN b.n_tied = 1 THEN b.import_mapping_id END
+             AS import_mapping_id,
+           CASE WHEN b.n_tied = 1 THEN b.parameter_id END AS parameter_id
+    FROM part p LEFT JOIN best b ON b.record_id = p.p_partkey
+"""
+
+
+@register("import_mapping_resolution", oracle=_RESOLVE_ORACLE)
+def import_mapping_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full import-mapping DSL over the part table as source records
+    (sources/import_mappings.resolve_mappings)."""
+    from .sources.import_mappings import resolve_mappings
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(
+        F.col("p_partkey").alias("record_id"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("string").alias("size"),
+    )
+    rows = [
+        (1, 1, True, {"brand": "Brand#13"}, 101),
+        (2, 1, True, {"brand": "Brand#13", "size": "7"}, 102),
+        (3, 0, True, {"size": "3"}, 103),
+        (4, 1, True, {"brand": "Brand#22"}, 104),
+        (5, 1, True, {"brand": "Brand#22"}, 105),
+        (6, 1, True, {"brand": "Brand#13", "size": "19"}, 106),
+        (7, 2, False, {"brand": "Brand#34"}, 107),
+        (8, 3, True, {"no_such_key": "x"}, 108),
+        (9, 1, True, {"brand": "Brand#21"}, 109),
+    ]
+    mappings = spark.createDataFrame(
+        rows,
+        "import_mapping_id int, priority int, active boolean,"
+        " source_match map<string,string>, parameter_id int",
+    )
+    out = resolve_mappings(records, mappings, payload_cols=("parameter_id",))
+    return out.select(
+        "record_id", "brand", "size", "status",
+        "import_mapping_id", "parameter_id",
+    )
