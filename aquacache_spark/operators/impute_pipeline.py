@@ -229,8 +229,9 @@ def impute_from_donor(
     assignment. Output: (bin_start, value, imputed).
     """
     spark = measurements.sparkSession
-    assignments = spark.createDataFrame(
-        [(target_tsid, donor_tsid, float(avg_offset))],
+    from ..session import local_df
+    assignments = local_df(
+        spark, [(target_tsid, donor_tsid, float(avg_offset))],
         ["target_tsid", "donor_tsid", "avg_offset"],
     )
     return impute_from_donors(

@@ -64,9 +64,34 @@ def tile_cells(
         F.col(value).cast("double").alias("__v"),
     )
     n = tile * tile
+    # Dense packing without a map: map element_at is a linear scan
+    # (O(tile²) per lookup series), so instead concat the present
+    # (pos, v) entries with one NULL filler per position, sort (struct
+    # order puts the NULL filler before a real value at the same pos),
+    # and keep the last entry of each pos run — array element_at is
+    # O(1), total O(m log m) per tile.
+    entries = F.collect_list(F.struct(F.col("__pos").alias("p"),
+                                      F.col("__v").alias("v")))
+    fillers = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.struct(i.cast("int").alias("p"),
+                           F.lit(None).cast("double").alias("v")),
+    )
+    merged = F.array_sort(F.concat(entries, fillers))
+
+    def last_of_run(arr):
+        # F.get is 0-based and NULL past the end (ANSI-safe)
+        return F.filter(
+            arr,
+            lambda e, i: F.coalesce(
+                F.get(arr, (i + F.lit(1)).cast("int"))["p"] != e["p"],
+                F.lit(True),
+            ),
+        )
+
     return (
         placed.groupBy(*keys, "tile_x", "tile_y")
-        .agg(F.map_from_entries(F.collect_list(F.struct("__pos", "__v"))).alias("__m"))
+        .agg(merged.alias("__all"))
         .select(
             *keys,
             "tile_x",
@@ -77,10 +102,8 @@ def tile_cells(
             (F.col("tile_y") * tile).alias("ymin"),
             (F.col("tile_x") * tile + tile - 1).alias("xmax"),
             (F.col("tile_y") * tile + tile - 1).alias("ymax"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n - 1)),
-                lambda i: F.element_at(F.col("__m"), i.cast("int")),
-            ).alias("cells"),
+            F.transform(last_of_run(F.col("__all")), lambda e: e["v"])
+            .alias("cells"),
         )
     )
 

@@ -243,8 +243,9 @@ def kmeans_centroids(
         ]
 
     spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [(cid, cv) for cid, cv in enumerate(cents)],
+    from ..session import local_df
+    return local_df(
+        spark, [(cid, cv) for cid, cv in enumerate(cents)],
         "centroid_id bigint, __centv array<double>",
     )
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import catalog
+from .session import local_df as _ldf
 from .operators.corrections import Correction, apply_corrections
 from .operators.daily import daily_rollup
 from .operators.doy import doy_stats
@@ -1678,11 +1679,11 @@ _CLOSURE_ORACLE = f"""
 def recursive_downstream_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.incremental import downstream_closure
 
-    members = spark.createDataFrame(
+    members = _ldf(spark, 
         [(b, a) for a, b in _CLOSURE_EDGES],
         ["timeseries_id", "member_timeseries_id"],
     )
-    seeds = spark.createDataFrame([(2,), (9,)], ["id"])
+    seeds = _ldf(spark, [(2,), (9,)], ["id"])
     return downstream_closure(members, seeds).select(F.col("id").cast("long"))
 
 
@@ -1768,7 +1769,7 @@ _GRADE_SEGMENTS = [
 @register("grade_exclusion_antijoin", oracle=_GRADE_EXCL_ORACLE)
 def grade_exclusion_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    grades = spark.createDataFrame(
+    grades = _ldf(spark, 
         _GRADE_SEGMENTS, ["event_type", "start_dt", "end_dt"]
     ).select(
         "event_type",
@@ -2257,7 +2258,7 @@ def incremental_daily_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((exact_sum(F.col("value")) * 2 / F.count("value")).alias("value"))
     )
     existing = _round(existing, {"value": 4})
-    changes = spark.createDataFrame(
+    changes = _ldf(spark, 
         [("click", "2024-01-10 00:00:00", "2024-01-15 23:59:59"),
          ("error", "2024-01-10 00:00:00", "2024-01-15 23:59:59")],
         ["timeseries_id", "min_dt", "max_dt"],
@@ -2317,7 +2318,7 @@ def unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.cleaning import inf_to_na
 
     ev = _t(spark, sf_dir, "events")
-    conv = spark.createDataFrame(_UNIT_DIM, ["event_type", "factor", "delta"])
+    conv = _ldf(spark, _UNIT_DIM, ["event_type", "factor", "delta"])
     converted = (
         ev.join(F.broadcast(conv), "event_type")
         .withColumn(
@@ -2451,7 +2452,7 @@ def segment_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.segments import split_segments
 
     def seg_df(rows):
-        return spark.createDataFrame(
+        return _ldf(spark, 
             rows, ["event_type", "start_dt", "end_dt", "value"]
         ).select(
             "event_type",
@@ -2610,7 +2611,7 @@ _MAPPING_ORACLE = """
 @register("import_mapping_join", oracle=_MAPPING_ORACLE)
 def import_mapping_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    mapping = spark.createDataFrame(
+    mapping = _ldf(spark, 
         [("BRASS", "alloy"), ("COPPER", "metal"), ("STEEL", "metal"),
          ("TIN", "metal"), ("NICKEL", "metal")],
         ["src_token", "category"],
@@ -2756,7 +2757,7 @@ def impute_donor_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.daily import exact_mean
 
     ev = _t(spark, sf_dir, "events")
-    pairs = F.broadcast(ev.sparkSession.createDataFrame(
+    pairs = F.broadcast(_ldf(ev.sparkSession, 
         [("error", "click"), ("signup", "view")], ["tgt", "d_et"]
     ))
     # target/donor legs, offsets and the spine all branch from the
@@ -4558,7 +4559,7 @@ def document_type_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(text, 1, CAST(doc_id % 8 AS INT))").alias("description"),
         "doc_id",
     )
-    dim = spark.createDataFrame(
+    dim = _ldf(spark, 
         [("src0", 1), ("src1", 2), ("src2", 3), ("src4", 5)],
         "document_type_en string, document_type_id int",
     )
@@ -5032,7 +5033,7 @@ def location_code_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("c_custkey") * 104729) % 1800) / 10.0 + 0.269).alias("py"),
         (F.col("c_custkey") % 3).cast("int").alias("type_id"),
     )
-    types = spark.createDataFrame(
+    types = _ldf(spark, 
         [(0, "WL"), (1, "HG"), (2, None)], "type_id int, type_suffix string"
     )
     existing = nation.where(k == 1).select(
@@ -5404,8 +5405,8 @@ def timeseries_insert_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 250)
         .select("p_partkey")
     )
-    media = spark.createDataFrame([(i,) for i in range(5)], "media_id bigint")
-    aggs = spark.createDataFrame(
+    media = _ldf(spark, [(i,) for i in range(5)], "media_id bigint")
+    aggs = _ldf(spark, 
         [("mean",), ("instantaneous",), ("sum",), ("median",)], "agg string")
     out = validate_new_timeseries(batch, locations, parameters, media, aggs,
                                   existing)
@@ -6022,7 +6023,7 @@ _MATRIX_STATE_ORACLE = """
 def matrix_state_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.discrete import resolve_matrix_states
 
-    matrix_states = spark.createDataFrame(
+    matrix_states = _ldf(spark, 
         [(1, "liquid", "Aqueous", "Liquide"),
          (2, "solid", "Solid", "Solide"),
          (3, "gas", "Gas", "aqueous")],
@@ -6192,7 +6193,7 @@ def api_corrected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     meas = ev.select(
         tsid.alias("timeseries_id"), F.col("ts").alias("datetime"), "value"
     )
-    timeseries = spark.createDataFrame(
+    timeseries = _ldf(spark, 
         [(i, "basic", "mean") for i in range(1, 6)]
         + [(6, "compound", "mean"), (8, "compound", "mean")],
         "timeseries_id int, timeseries_type string, aggregation_type string",
@@ -6496,7 +6497,7 @@ def _guideline_frames(spark: SparkSession, sf_dir: str):
         F.when(k % 5 != 0, k % 4 + 1).alias("result_speciation_id"),
     )
     samples = results.select("sample_id").distinct()
-    inputs = spark.createDataFrame(
+    inputs = _ldf(spark, 
         [
             (1, 7, None, None, None, None, ["field", "lab"], True, "avg",
              1.0, 30.0, "clamp"),
@@ -6512,7 +6513,7 @@ def _guideline_frames(spark: SparkSession, sf_dir: str):
         " lower_calibrated_bound double, upper_calibrated_bound double,"
         " bounds_action string",
     )
-    rules = spark.createDataFrame(
+    rules = _ldf(spark, 
         [
             (1, 1, "upper", 1, "constant", 25.456, None, None, None, None,
              None, None, 1, "round"),
@@ -6813,7 +6814,7 @@ def compound_metadata_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
     T = _dt.datetime
-    members = spark.createDataFrame(
+    members = _ldf(spark, 
         [
             (6, 1, T(2024, 1, 5), None),
             (6, 2, None, T(2024, 1, 20)),
@@ -6825,7 +6826,7 @@ def compound_metadata_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timeseries_id int, member_timeseries_id int,"
         " use_from timestamp, use_to timestamp",
     )
-    has_expr = spark.createDataFrame(
+    has_expr = _ldf(spark, 
         [(6, False), (7, True), (8, False)],
         "timeseries_id int, has_expression boolean",
     )
@@ -7165,11 +7166,11 @@ def api_daily_read(spark: SparkSession, sf_dir: str) -> DataFrame:
          + (k % 24).cast("int") * F.expr("INTERVAL 1 HOUR")).alias("datetime"),
         ((k % 1000) * 0.1).alias("value"),
     )
-    timeseries = spark.createDataFrame(
+    timeseries = _ldf(spark, 
         [(1, "basic", "mean")],
         "timeseries_id int, timeseries_type string, aggregation_type string",
     )
-    grades = spark.createDataFrame(
+    grades = _ldf(spark, 
         [
             (1, "N", "1996-03-01 00:00:00", "1996-04-15 00:00:00"),
             (1, "N", "1997-01-01 00:00:00", "1997-01-01 00:00:00"),  # zero-width
@@ -7283,7 +7284,7 @@ def hardness_guideline(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = hard.select("sample_id", F.lit(None).cast("int").alias("input_id"),
                      F.lit(None).cast("double").alias("input_value"),
                      F.lit(None).cast("string").alias("status"))
-    rules = spark.createDataFrame(
+    rules = _ldf(spark, 
         [(1, 1, "upper", 1, "safe_expr", None, None, None, None,
           "exp(0.736 * ln(hardness) + 0.6951)", None, 150.0, 2, "round")],
         "rule_id int, guideline_id int, bound_code string,"
@@ -7550,7 +7551,7 @@ def import_mapping_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8, 3, True, {"no_such_key": "x"}, 108),
         (9, 1, True, {"brand": "Brand#21"}, 109),
     ]
-    mappings = spark.createDataFrame(
+    mappings = _ldf(spark, 
         rows,
         "import_mapping_id int, priority int, active boolean,"
         " source_match map<string,string>, parameter_id int",

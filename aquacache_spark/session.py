@@ -84,3 +84,26 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+
+
+def local_df(spark: SparkSession, data, schema):
+    """Small local frame as a LocalRelation (no Python-RDD scan job).
+
+    ``createDataFrame(list-of-tuples)`` plans a ``Scan ExistingRDD``;
+    every broadcast of it then runs a separate Spark job through the
+    Py4J RDD path (~0.2-0.4 s fixed cost each, and it blocks
+    whole-stage codegen for the joined stage). Routing the rows through
+    pandas + Arrow folds them into a ``LocalRelation``: broadcasting
+    becomes driver-side with no job at all. Falls back to the vanilla
+    path for inputs the Arrow converter rejects.
+    """
+    import pandas as pd
+
+    try:
+        if isinstance(schema, (list, tuple)):
+            pdf = pd.DataFrame(data, columns=list(schema))
+            return spark.createDataFrame(pdf)
+        pdf = pd.DataFrame(data)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(data, schema)

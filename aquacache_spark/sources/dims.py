@@ -32,8 +32,10 @@ ORGANIZATIONS = [
 
 
 def _dim(spark: SparkSession, codes, id_col: str, code_col: str) -> DataFrame:
-    return spark.createDataFrame(
-        [(i + 1, c) for i, c in enumerate(codes)], [id_col, code_col]
+    from ..session import local_df
+
+    return local_df(
+        spark, [(i + 1, c) for i, c in enumerate(codes)], [id_col, code_col]
     )
 
 
@@ -45,8 +47,8 @@ def default_type_dims(spark: SparkSession) -> dict[str, DataFrame]:
                                "approval_type_code"),
         "qualifier_types": _dim(spark, QUALIFIER_CODES, "qualifier_type_id",
                                 "qualifier_type_code"),
-        "organizations": spark.createDataFrame(
-            ORGANIZATIONS, ["organization_id", "name"]
+        "organizations": __import__("aquacache_spark.session", fromlist=["local_df"]).local_df(
+            spark, ORGANIZATIONS, ["organization_id", "name"]
         ),
     }
 

@@ -174,8 +174,8 @@ def download_nwis(
                 f"(would fetch {url})"
             )
         payload = fetcher(url)
-    payloads = spark.createDataFrame([(location, payload)],
-                                     ["site", "payload"])
+    from ..session import local_df
+    payloads = local_df(spark, [(location, payload)], ["site", "payload"])
     parsed = (
         parse_nwis_rdb(payloads, p)
         .where(F.col("value").isNotNull())  # R:135 drops NA before codes

@@ -120,8 +120,9 @@ def read_snow_workbook(
     (readSnowWorkbook.R:142-176) instead of imported.
     """
     surveys, measurements = parse_snow_workbook(path)
-    sdf = spark.createDataFrame(surveys, SURVEY_SCHEMA)
-    mdf = spark.createDataFrame(measurements, MEASUREMENT_SCHEMA)
+    from ..session import local_df
+    sdf = local_df(spark, surveys, SURVEY_SCHEMA)
+    mdf = local_df(spark, measurements, MEASUREMENT_SCHEMA)
     if locations is None:
         rejected = spark.createDataFrame([], SURVEY_SCHEMA)
     else:

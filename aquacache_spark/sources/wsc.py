@@ -203,8 +203,9 @@ def download_wsc(
                 f"(would fetch {url})"
             )
         payload = fetcher(url)
-    payloads = spark.createDataFrame([(location, payload)],
-                                     ["location", "payload"])
+    from ..session import local_df
+    payloads = local_df(spark, [(location, payload)],
+                        ["location", "payload"])
     # NA values are kept, like the reference — the connector contract
     # (registry.validate_contract) drops them at dispatch
     parsed = parse_wsc_csv(payloads)
