@@ -1,0 +1,224 @@
+"""Training-batch assembly operators: sequence packing into fixed
+token-budget context windows, deterministic domain-mixture sampling,
+and DSIR-style hashed n-gram importance weights.
+
+These extend the engine beyond the reference's surface into the
+operations a large-scale training-data pipeline needs after curation
+(north star, SURVEY.md §7.1 item 12).  All deterministic: re-running
+at any partitioning produces identical assignments.
+
+Scale shapes:
+
+- ``pack_sequences`` shards by a portable hash of the doc id, then runs
+  the (inherently sequential) next-fit scan per shard with one Arrow
+  stream per partition — the same economics as the increments kernel
+  (operators/_grouped.py).  Shards are independent, so parallelism is
+  ``n_shards``; bin quality is unaffected by shard count (each bin
+  lives inside one shard).
+- ``mixture_sample`` needs one catalog-sized aggregate (per-domain
+  token totals) + a map-only keep/drop pass — no per-doc shuffle.
+- ``importance_weights`` builds bucket log-ratios with two aggregates
+  over hashed bigrams (target sample vs raw corpus), broadcasts the
+  bucket table (size = num_buckets, fixed), and scores docs map-only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import md5_int, tokens
+from ._grouped import grouped_apply
+
+
+def _pack_kernel(budget: int, id_col: str, token_col: str):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, offsets = [], []
+        bin_id, fill = 0, 0
+        for t in pdf[token_col].astype("int64"):
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                bin_id += 1
+                fill = 0
+            offsets.append(fill)
+            bins.append(bin_id)
+            fill += t
+        out = pdf.copy()
+        out["bin_id"] = pd.Series(bins, dtype="int64")
+        out["bin_offset"] = pd.Series(offsets, dtype="int64")
+        return out
+
+    return kernel
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Next-fit packing of documents into fixed token-budget bins.
+
+    Within a shard (md5 of the id mod ``n_shards``) documents pack in
+    id order; a document that would overflow the open bin starts a new
+    one; an oversized document occupies a bin alone (splitting it into
+    budget-size pieces is the trainer's concern).  Output adds
+    (shard, bin_id, bin_offset) — bin ids are per-shard.
+
+    Next-fit is a prefix-dependent recurrence (each assignment depends
+    on the running fill), so the scan is a per-shard Arrow kernel, not
+    a window: a cumulative-sum split would let documents straddle
+    bins.
+    """
+    sharded = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+        (md5_int(F.col(id_col).cast("string")) % n_shards).alias("shard"),
+    )
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(token_col, T.LongType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("bin_offset", T.LongType()),
+    ])
+    return grouped_apply(
+        sharded, ["shard"], _pack_kernel(budget, id_col, token_col), schema
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    target_weights: dict[str, float],
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic down-sampling to a target domain token mixture.
+
+    Given per-domain target weights, the largest feasible corpus
+    keeping every domain at (or naturally below) its target share is
+    the one anchored by the domain with the highest tokens/weight
+    deficit: scale = min over domains of (domain_tokens / weight).
+    Each domain keeps ``weight * scale`` tokens via a hash-of-id keep
+    rule (keep_frac of docs, stable under re-runs and immune to doc
+    order).  Domains missing from ``target_weights`` are dropped.
+
+    Output: docs + (keep_frac, kept).  Filtering to ``kept`` realizes
+    the mixture in expectation over the id hash.
+    """
+    spark = docs.sparkSession
+    totals = {
+        r[domain_col]: r["t"]
+        for r in docs.groupBy(domain_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+    }
+    # a requested domain with no tokens cannot anchor the mixture —
+    # it is skipped (the produced corpus under-represents it)
+    scale = min(
+        totals[d] / w
+        for d, w in target_weights.items()
+        if w > 0 and totals.get(d)
+    )
+    fracs = [
+        (d, min(1.0, (w * scale) / totals[d]))
+        for d, w in target_weights.items()
+        if totals.get(d)
+    ]
+    from ..session import local_df
+
+    frac_df = local_df(spark, fracs, f"{domain_col} string, keep_frac double")
+    # uniform [0,1) from a 12-hex-digit md5 prefix (48 bits)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt),
+                                          F.col(id_col).cast("string"))), 1, 12),
+            16, 10,
+        ).cast("double") / F.lit(float(16 ** 12))
+    )
+    return (
+        docs.join(F.broadcast(frac_df), domain_col, "inner")
+        .withColumn("kept", u < F.col("keep_frac"))
+    )
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data-selection weights (hashed-bigram importance
+    sampling): per-doc mean log-likelihood ratio between a target
+    distribution and the raw corpus over hashed word-bigram features.
+
+    Both distributions are add-``smoothing`` estimates over
+    ``num_buckets`` hash buckets; a doc's weight is
+    mean over its bigrams of ``ln(p_target(b) / p_raw(b))`` — higher
+    means the doc looks more like the target set.  The log-ratio table
+    is ``num_buckets`` rows -> broadcast; corpus docs are scored in one
+    map-side pass + one explode-aggregate keyed by doc.
+    """
+
+    def bigram_buckets(df: DataFrame) -> DataFrame:
+        toks = tokens(F.lower(F.col(text_col)))
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return df.select(
+            F.col(id_col),
+            F.explode(bigrams).alias("bigram"),
+        ).select(
+            id_col, (md5_int(F.col("bigram")) % num_buckets).alias("bucket")
+        )
+
+    tgt = bigram_buckets(target).groupBy("bucket").agg(
+        F.count("*").alias("tn"))
+    raw = bigram_buckets(corpus).groupBy("bucket").agg(
+        F.count("*").alias("rn"))
+    tgt_total = tgt.agg(F.sum("tn")).first()[0] or 0
+    raw_total = raw.agg(F.sum("rn")).first()[0] or 0
+    # the per-bucket log ratio is quantized to 1e-6 so the per-doc mean
+    # can accumulate through exact integer micro-units — order
+    # independent across partitionings (see operators/daily.exact_mean)
+    lr = (
+        F.log(
+            (F.coalesce(F.col("tn"), F.lit(0)) + F.lit(smoothing))
+            / F.lit(float(tgt_total) + smoothing * num_buckets)
+        )
+        - F.log(
+            (F.coalesce(F.col("rn"), F.lit(0)) + F.lit(smoothing))
+            / F.lit(float(raw_total) + smoothing * num_buckets)
+        )
+    )
+    ratios = tgt.join(raw, "bucket", "full_outer").select(
+        "bucket",
+        (F.floor(lr * 1e6 + F.lit(0.5)) / 1e6).alias("log_ratio"),
+    )
+    from .daily import exact_mean
+
+    scored = (
+        bigram_buckets(corpus)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            exact_mean(F.col("log_ratio")).alias("importance"),
+        )
+    )
+    return corpus.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("importance", F.lit(0.0)).alias("importance"),
+    )

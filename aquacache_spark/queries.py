@@ -7561,3 +7561,162 @@ def import_mapping_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "brand", "size", "status",
         "import_mapping_id", "parameter_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch assembly tier (operators/packing.py): sequence packing
+# into fixed context windows, deterministic domain-mixture sampling,
+# DSIR-style importance weights.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET, _PACK_SHARDS = 2048, 8
+
+_PACK_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_PACK_SHARDS} AS shard
+      FROM documents
+    ), ord AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+               AS rn
+      FROM docs
+    ), pack AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(0 AS BIGINT) AS bin_offset,
+             n_tokens AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN CAST(0 AS BIGINT) ELSE p.fill END,
+             CASE WHEN p.fill + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE p.fill + o.n_tokens END
+      FROM ord o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, n_tokens, shard, bin_id, bin_offset FROM pack
+"""
+
+
+@register("sequence_packing", oracle=_PACK_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit packing of the corpus into 2048-token context windows,
+    8 independent shards (operators/packing.pack_sequences); oracle
+    replays the prefix recurrence as a recursive CTE."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+_MIX_ORACLE = f"""
+    WITH w(domain, wt) AS (VALUES
+      ('web', 0.5), ('code', 0.3), ('wiki', 0.2)
+    ), docs AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'web' WHEN 1 THEN 'code'
+               WHEN 2 THEN 'wiki' ELSE 'books' END AS domain,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT domain, sum(n_tokens) AS t FROM docs GROUP BY 1
+    ), sc AS (
+      SELECT min(CAST(t AS DOUBLE) / wt) AS scale
+      FROM tot JOIN w USING (domain) WHERE wt > 0 AND t > 0
+    ), fr AS (
+      SELECT w.domain,
+             least(1.0, wt * scale / CAST(t AS DOUBLE)) AS keep_frac
+      FROM w JOIN tot USING (domain), sc WHERE t > 0
+    )
+    SELECT d.doc_id, d.domain, d.n_tokens,
+           {R('f.keep_frac', 6)} AS keep_frac,
+           (CAST('0x' || substr(md5('mix-v1|' || CAST(d.doc_id AS VARCHAR)),
+                                1, 12) AS BIGINT)
+            / CAST(281474976710656 AS DOUBLE)) < f.keep_frac AS kept
+    FROM docs d JOIN fr f USING (domain)
+"""
+
+
+@register("mixture_domain_sample", oracle=_MIX_ORACLE)
+def mixture_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-mixture rebalancing across four synthetic
+    domains (operators/packing.mixture_sample); 'books' has no target
+    weight and drops out."""
+    from .operators.packing import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, "web")
+        .when(F.col("doc_id") % 4 == 1, "code")
+        .when(F.col("doc_id") % 4 == 2, "wiki")
+        .otherwise("books").alias("domain"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    out = mixture_sample(
+        docs, {"web": 0.5, "code": 0.3, "wiki": 0.2}
+    ).select("doc_id", "domain", "n_tokens", "keep_frac", "kept")
+    return _round(out, {"keep_frac": 6})
+
+
+_DSIR_BUCKETS = 512
+
+_DSIR_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15)
+                  AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+      FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+    ), counts AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE doc_id % 17 = 2) AS tn,
+             count(*) AS rn
+      FROM bg GROUP BY bucket
+    ), totals AS (
+      SELECT sum(tn) AS tt, sum(rn) AS rt FROM counts
+    ), ratios AS (
+      SELECT bucket,
+             {R("ln((CAST(tn AS DOUBLE) + 1.0)"
+                f" / (CAST(tt AS DOUBLE) + {float(_DSIR_BUCKETS)}))"
+                " - ln((CAST(rn AS DOUBLE) + 1.0)"
+                f" / (CAST(rt AS DOUBLE) + {float(_DSIR_BUCKETS)}))", 6)}
+               AS log_ratio
+      FROM counts, totals
+    ), scored AS (
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             sum(CAST(floor(log_ratio * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / count(*) AS importance
+      FROM bg JOIN ratios USING (bucket)
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           {R('coalesce(s.importance, 0.0)', 6)} AS importance
+    FROM docs d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register("dsir_importance", oracle=_DSIR_ORACLE)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram importance weights of every corpus doc against a
+    deterministic pseudo-target subset (doc_id % 17 == 2), the
+    data-selection-for-LM recipe (operators/packing.importance_weights).
+    """
+    from .operators.packing import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = importance_weights(
+        docs, docs.where(F.col("doc_id") % 17 == 2),
+        num_buckets=_DSIR_BUCKETS,
+    )
+    return _round(out, {"importance": 6})
