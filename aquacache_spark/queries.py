@@ -7720,3 +7720,145 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=_DSIR_BUCKETS,
     )
     return _round(out, {"importance": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.1 readSnowWorkbook QA/QC rules, set-wise over a synthesized batch
+# (readSnowWorkbook.R:139-330,629-700): method resolution ladder,
+# required dates, no-sample reconciliation, note-only drops, zero-depth
+# rule, cm->mm SWE, apostrophe strip.
+# ---------------------------------------------------------------------------
+
+_SNOWQC_ORACLE = f"""
+    WITH surveys AS (
+      SELECT o_orderkey AS survey_id,
+             'SC-' || CAST(o_custkey % 50 AS VARCHAR) AS location_name,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE CAST(o_orderdate AS VARCHAR) END AS target_date,
+             CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                  ELSE CAST(o_orderdate AS VARCHAR) END AS survey_date,
+             'O''Brien ' || CAST(o_custkey % 7 AS VARCHAR) AS sampler,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'Bulk sample'
+                  WHEN o_orderkey % 5 = 1 THEN 'No sample'
+                  ELSE 'standard survey' END AS method,
+             CASE WHEN o_orderkey % 3 = 0 THEN 1.5 END AS est_avg,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'it''s cold' END AS notes
+      FROM orders WHERE o_orderkey % 9 = 0
+    ), meas AS (
+      SELECT l_orderkey AS survey_id,
+             CASE WHEN l_partkey % 31 = 0 THEN NULL
+                  WHEN l_partkey % 7 = 0 THEN 0.0
+                  ELSE l_quantity END AS depth,
+             CASE WHEN l_partkey % 31 = 0 THEN NULL
+                  WHEN l_partkey % 5 = 0 THEN NULL
+                  ELSE l_quantity * 0.35 END AS swe,
+             l_partkey % 11 = 0 AS excluded
+      FROM lineitem
+      WHERE l_orderkey % 9 = 0 AND l_linenumber <= 4
+        AND l_orderkey % 45 <> 9
+    ), m_clean AS (
+      SELECT survey_id,
+             depth,
+             CASE WHEN depth = 0 THEN 0.0 ELSE swe END AS swe,
+             CAST(floor(CASE WHEN depth = 0 THEN 0.0 ELSE swe END * 10 + 0.5)
+                  AS BIGINT) AS swe_mm,
+             excluded
+      FROM meas WHERE depth IS NOT NULL OR swe IS NOT NULL
+    ), counts AS (
+      SELECT survey_id, count(*) AS n FROM m_clean GROUP BY 1
+    ), s AS (
+      SELECT sv.*, coalesce(c.n, 0) AS n_meas,
+             CASE WHEN est_avg IS NOT NULL
+                       AND lower(method) <> 'bulk sample'
+                  THEN 'average' ELSE method END AS method0
+      FROM surveys sv LEFT JOIN counts c USING (survey_id)
+    ), graded AS (
+      SELECT survey_id, location_name,
+             CASE WHEN n_meas = 0 AND lower(method0) <> 'no sample'
+                  THEN 'no sample' ELSE method0 END AS method_resolved,
+             CASE WHEN target_date IS NULL
+                    THEN 'rejected_missing_target_date'
+                  WHEN survey_date IS NULL
+                    THEN 'rejected_missing_survey_date'
+                  WHEN n_meas > 0 AND lower(method0) = 'no sample'
+                    THEN 'rejected_no_sample_conflict'
+                  ELSE 'ok' END AS status,
+             replace(sampler, '''', '') AS sampler,
+             replace(notes, '''', '') AS notes
+      FROM s
+    )
+    SELECT g.survey_id, g.location_name, g.method_resolved, g.status,
+           g.sampler, g.notes,
+           CAST(coalesce(count(m.survey_id), 0) AS BIGINT) AS n_meas,
+           sum(m.swe_mm) AS sum_swe_mm,
+           {R(DSUM('m.depth') + ' / count(m.depth)', 6)} AS mean_depth,
+           CAST(coalesce(sum(CASE WHEN m.excluded THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_excluded
+    FROM graded g
+    LEFT JOIN m_clean m ON m.survey_id = g.survey_id AND g.status = 'ok'
+    GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+@register("snow_workbook_qc", oracle=_SNOWQC_ORACLE)
+def snow_workbook_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workbook QA/QC ladder over a synthesized survey batch
+    (sources/snow_workbook.qc_survey_batch)."""
+    from .operators.daily import exact_sum
+    from .sources.snow_workbook import qc_survey_batch
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    surveys = o.where(k % 9 == 0).select(
+        k.alias("survey_id"),
+        F.concat(F.lit("SC-"), (F.col("o_custkey") % 50).cast("string"))
+        .alias("location_name"),
+        F.when(k % 13 != 0, F.col("o_orderdate").cast("string"))
+        .alias("target_date"),
+        F.when(k % 17 != 0, F.col("o_orderdate").cast("string"))
+        .alias("survey_date"),
+        F.concat(F.lit("O'Brien "), (F.col("o_custkey") % 7).cast("string"))
+        .alias("sampler"),
+        F.when(k % 5 == 0, "Bulk sample")
+        .when(k % 5 == 1, "No sample")
+        .otherwise("standard survey").alias("method"),
+        F.when(k % 3 == 0, F.lit(1.5)).alias("est_avg"),
+        F.when(k % 4 == 0, F.lit("it's cold")).alias("notes"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    lk, pk = F.col("l_orderkey"), F.col("l_partkey")
+    meas = (
+        li.where((lk % 9 == 0) & (F.col("l_linenumber") <= 4)
+                 & (lk % 45 != 9))
+        .select(
+            lk.alias("survey_id"),
+            F.when(pk % 31 == 0, F.lit(None).cast("double"))
+            .when(pk % 7 == 0, F.lit(0.0))
+            .otherwise(F.col("l_quantity").cast("double")).alias("depth"),
+            F.when(pk % 31 == 0, F.lit(None).cast("double"))
+            .when(pk % 5 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("l_quantity").cast("double") * 0.35)
+            .alias("swe"),
+            (pk % 11 == 0).alias("excluded"),
+        )
+    )
+    s, m = qc_survey_batch(surveys, meas)
+    rollup = m.groupBy("survey_id").agg(
+        F.count("*").alias("__n"),
+        F.sum("swe_mm").alias("__swe"),
+        (exact_sum(F.col("depth")) / F.count("depth")).alias("__d"),
+        F.sum(F.when(F.col("excluded"), 1).otherwise(0)).cast("long")
+        .alias("__ex"),
+    )
+    out = (
+        s.join(rollup, "survey_id", "left")
+        .select(
+            "survey_id", "location_name", "method_resolved", "status",
+            "sampler", "notes",
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_meas"),
+            F.col("__swe").alias("sum_swe_mm"),
+            F.col("__d").alias("mean_depth"),
+            F.coalesce("__ex", F.lit(0)).cast("long").alias("n_excluded"),
+        )
+    )
+    return _round(out, {"mean_depth": 6})

@@ -154,3 +154,86 @@ def read_snow_workbooks(
                 yield pd.DataFrame(rows, columns=cols)
 
     return pdf.mapInPandas(parse, MEASUREMENT_SCHEMA)
+
+
+def qc_survey_batch(
+    surveys: DataFrame,
+    measurements: DataFrame,
+    id_col: str = "survey_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Set-wise QA/QC + derivation over parsed survey batches — the
+    rules readSnowWorkbook.R applies per sheet, applied to any number
+    of workbooks in one pass:
+
+    - apostrophes stripped from sampler/notes (:287-289);
+    - method resolution (:186-193): the workbook's method, overridden
+      to 'average' when an estimated average exists and the method is
+      not 'bulk sample';
+    - missing target/survey date -> survey rejected (:291-310);
+    - no measurements & method != 'no sample' -> method forced to
+      'no sample' (:313-320); measurements present & method
+      'no sample' -> rejected (:322-328; the reference stop()s the
+      sheet — set-wise we mark it so one bad sheet cannot abort a
+      bulk import);
+    - measurement derivation (:629-700): note-only rows (depth AND swe
+      both NULL) dropped, depth == 0 forces swe = 0 (:139-141), SWE
+      cm -> mm via round(swe*10) (:648; half-up floor idiom rather
+      than R's half-even — documented divergence on exact .5 values).
+
+    ``surveys``: (survey_id, location_name, target_date, survey_date,
+    sampler, method, est_avg, notes); ``measurements``: (survey_id,
+    depth, swe, excluded).  Returns (surveys + method_resolved/status/
+    cleaned strings, measurements cleaned for accepted surveys).
+    """
+    m_clean = (
+        measurements
+        .where(F.col("depth").isNotNull() | F.col("swe").isNotNull())
+        .withColumn(
+            "swe",
+            F.when(F.col("depth") == 0, F.lit(0.0)).otherwise(F.col("swe")),
+        )
+        .withColumn(
+            "swe_mm",
+            F.floor(F.col("swe") * 10 + F.lit(0.5)).cast("long"),
+        )
+    )
+    counts = m_clean.groupBy(id_col).agg(F.count("*").alias("__n_meas"))
+
+    s = (
+        surveys.join(counts, id_col, "left")
+        .withColumn("__n_meas", F.coalesce("__n_meas", F.lit(0)))
+        .withColumn(
+            "__method0",
+            F.when(
+                F.col("est_avg").isNotNull()
+                & (F.lower(F.col("method")) != "bulk sample"),
+                F.lit("average"),
+            ).otherwise(F.col("method")),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("target_date").isNull(),
+                   F.lit("rejected_missing_target_date"))
+            .when(F.col("survey_date").isNull(),
+                  F.lit("rejected_missing_survey_date"))
+            .when(
+                (F.col("__n_meas") > 0)
+                & (F.lower(F.col("__method0")) == "no sample"),
+                F.lit("rejected_no_sample_conflict"),
+            )
+            .otherwise(F.lit("ok")),
+        )
+        .withColumn(
+            "method_resolved",
+            F.when(
+                (F.col("__n_meas") == 0)
+                & (F.lower(F.col("__method0")) != "no sample"),
+                F.lit("no sample"),
+            ).otherwise(F.col("__method0")),
+        )
+        .withColumn("sampler", F.regexp_replace(F.col("sampler"), "'", ""))
+        .withColumn("notes", F.regexp_replace(F.col("notes"), "'", ""))
+        .drop("__method0", "__n_meas")
+    )
+    accepted = s.where(F.col("status") == "ok").select(id_col)
+    return s, m_clean.join(F.broadcast(accepted), id_col, "left_semi")

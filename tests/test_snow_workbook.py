@@ -179,3 +179,54 @@ def test_error_and_date_cells_do_not_abort_parse(tmp_path):
     assert cells[(2, 1)] == "#DIV/0!"
     assert cells[(2, 2)] == "2026-03-01T00:00:00"
     assert cells[(2, 3)] == "not-a-number"
+
+
+class TestQcSurveyBatch:
+    def _run(self, spark, surveys, meas):
+        from aquacache_spark.session import local_df
+        from aquacache_spark.sources.snow_workbook import qc_survey_batch
+
+        s = local_df(spark, surveys,
+                     "survey_id long, location_name string,"
+                     " target_date string, survey_date string,"
+                     " sampler string, method string, est_avg double,"
+                     " notes string")
+        m = local_df(spark, meas,
+                     "survey_id long, depth double, swe double,"
+                     " excluded boolean")
+        so, mo = qc_survey_batch(s, m)
+        return ({r["survey_id"]: r for r in so.collect()}, mo.collect())
+
+    def test_method_ladder_and_conflict(self, spark):
+        surveys = [
+            (1, "A", "2024-03-01", "2024-03-02", "X", "standard", 1.2, None),
+            (2, "A", "2024-03-01", "2024-03-02", "X", "Bulk sample", 1.2, None),
+            (3, "A", "2024-03-01", "2024-03-02", "X", "No sample", None, None),
+            (4, "A", None, "2024-03-02", "X", "standard", None, None),
+            (5, "A", "2024-03-01", "2024-03-02", "X", "standard", None, None),
+        ]
+        meas = [(1, 10.0, 3.0, False), (2, 8.0, 2.5, False),
+                (3, 5.0, 2.0, False)]
+        by, _ = self._run(spark, surveys, meas)
+        # est_avg overrides unless bulk (:186-193)
+        assert by[1]["method_resolved"] == "average"
+        assert by[2]["method_resolved"] == "Bulk sample"
+        # measurements under 'no sample' -> rejected (:322-328)
+        assert by[3]["status"] == "rejected_no_sample_conflict"
+        assert by[4]["status"] == "rejected_missing_target_date"
+        # no measurements -> method forced (:313-320)
+        assert by[5]["method_resolved"] == "no sample"
+        assert by[5]["status"] == "ok"
+
+    def test_measurement_derivations(self, spark):
+        surveys = [(1, "A", "2024-03-01", "2024-03-02", "O'Hara", "standard",
+                    None, "don't freeze")]
+        meas = [
+            (1, 0.0, 7.7, False),    # zero depth forces swe 0 (:139-141)
+            (1, 12.0, 4.25, True),   # cm -> mm round (:648)
+            (1, None, None, False),  # note-only row dropped (:98-101)
+        ]
+        by, rows = self._run(spark, surveys, meas)
+        assert by[1]["sampler"] == "OHara" and by[1]["notes"] == "dont freeze"
+        got = sorted((r["depth"], r["swe_mm"]) for r in rows)
+        assert got == [(0.0, 0), (12.0, 43)]  # 42.5 rounds half-up
