@@ -169,18 +169,20 @@ def importance_weights(
     map-side pass + one explode-aggregate keyed by doc.
     """
 
-    def bigram_buckets(df: DataFrame) -> DataFrame:
+    def bigram_buckets(df: DataFrame, keep_empty: bool = False) -> DataFrame:
         toks = tokens(F.lower(F.col(text_col)))
         bigrams = F.zip_with(
             F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-        return df.select(
-            F.col(id_col),
-            F.explode(bigrams).alias("bigram"),
-        ).select(
-            id_col, (md5_int(F.col("bigram")) % num_buckets).alias("bucket")
+        # explode_outer keeps bigram-less docs as one NULL row, so the
+        # final score aggregate covers every doc without a corpus-scale
+        # reattachment join
+        exp = F.explode_outer(bigrams) if keep_empty else F.explode(bigrams)
+        return df.select(F.col(id_col), exp.alias("bigram")).select(
+            id_col,
+            (md5_int(F.col("bigram")) % num_buckets).alias("bucket"),
         )
 
     tgt = bigram_buckets(target).groupBy("bucket").agg(
@@ -208,17 +210,17 @@ def importance_weights(
     )
     from .daily import exact_mean
 
-    scored = (
-        bigram_buckets(corpus)
-        .join(F.broadcast(ratios), "bucket")
+    # one pass over the corpus: broadcast-join the bucket table (a
+    # NULL bucket from a bigram-less doc matches nothing), aggregate
+    # per doc — no corpus-vs-corpus shuffle join anywhere
+    return (
+        bigram_buckets(corpus, keep_empty=True)
+        .join(F.broadcast(ratios), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            exact_mean(F.col("log_ratio")).alias("importance"),
+            F.count("log_ratio").alias("n_bigrams"),
+            F.coalesce(
+                exact_mean(F.col("log_ratio")), F.lit(0.0)
+            ).alias("importance"),
         )
-    )
-    return corpus.select(id_col).join(scored, id_col, "left").select(
-        id_col,
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.coalesce("importance", F.lit(0.0)).alias("importance"),
     )

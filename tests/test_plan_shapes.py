@@ -88,3 +88,48 @@ def test_insert_validation_dims_broadcast(spark):
     # every FK check is a broadcast join marker, never a sort-merge
     p = plan(spark, "timeseries_insert_validation")
     assert "SortMergeJoin" not in p
+
+
+def test_import_mapping_resolution_broadcasts_criteria(spark):
+    # melted criteria + best/payload joins all broadcast; the only
+    # exchange over records is the (record, mapping) hit count
+    p = plan(spark, "import_mapping_resolution")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_eqwin_normalize_broadcasts_dims(spark):
+    p = plan(spark, "eqwin_normalize")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_sequence_packing_single_shuffle(spark):
+    # one hash exchange on the shard key feeding the Arrow kernel;
+    # no joins at all
+    import re
+
+    p = plan(spark, "sequence_packing")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "Join" not in p
+    assert "MapInPandas" in p
+
+
+def test_dsir_scoring_broadcasts_bucket_table(spark):
+    # the corpus-side score pass joins the (num_buckets)-row ratio
+    # table by broadcast; the only sort-merge join is the full-outer
+    # merge of the two bucket-sized count tables
+    import re
+
+    p = plan(spark, "dsir_importance")
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) <= 1
+    assert "SortMergeJoin LeftOuter" not in p and "SortMergeJoin Inner" not in p
+
+
+def test_mixture_sample_map_only_keep_rule(spark):
+    # after the catalog-sized totals aggregate, the keep/drop pass is
+    # a broadcast join + projection over the docs scan
+    p = plan(spark, "mixture_domain_sample")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
