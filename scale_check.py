@@ -164,6 +164,26 @@ def main() -> None:
     t("ivfpq_serve", ann_topk_ivfpq(
         emb, qs, k=5, nprobe=2, index=(cent, cb, codes_stored)))
 
+    # ---- training-batch assembly tier over the same document corpus
+    from aquacache_spark.operators.packing import (
+        importance_weights,
+        mixture_sample,
+        pack_sequences,
+    )
+
+    doc_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    t("sequence_packing", pack_sequences(doc_tokens, budget=2048,
+                                         n_shards=64))
+    t("mixture_sample", mixture_sample(
+        doc_tokens.withColumn(
+            "domain", (F.col("doc_id") % 3).cast("string")),
+        {"0": 0.5, "1": 0.3, "2": 0.2}))
+    t("dsir_importance", importance_weights(
+        docs, docs.where(F.col("doc_id") % 17 == 2), num_buckets=4096))
+
     print(json.dumps({
         "rows": n, "series": n_series, "docs": n_docs, "vecs": n_vec,
         "timings": timings,
