@@ -7862,3 +7862,116 @@ def snow_workbook_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _round(out, {"mean_depth": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.12 high-watermark ingest + bounds maintenance + tail trim in one
+# composition (getNewContinuous.R:469-477,514-518; patch_41.R:1007-1051;
+# patch_48.R:113-200) — previously unit-only, now oracle-checked.
+# ---------------------------------------------------------------------------
+
+_WM_CUTOFF = "2024-03-01 00:00:00"
+
+_WM_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS datetime, value,
+             event_id
+      FROM events
+    ), existing AS (
+      SELECT * FROM ev WHERE datetime < TIMESTAMP '{_WM_CUTOFF}'
+    ), wm AS (
+      SELECT event_type, max(datetime) AS last_data_point
+      FROM existing GROUP BY 1
+    ), remote AS (
+      -- the source re-serves everything; NA values dropped at the
+      -- contract gate (getNewContinuous.R:514-518)
+      SELECT event_type, datetime,
+             CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+      FROM ev
+    ), new_rows AS (
+      SELECT r.event_type, r.datetime, r.value
+      FROM remote r JOIN wm USING (event_type)
+      WHERE r.datetime > wm.last_data_point AND r.value IS NOT NULL
+    ), merged AS (
+      SELECT event_type, datetime FROM existing
+      UNION ALL
+      SELECT event_type, datetime FROM new_rows
+    ), bounds AS (
+      SELECT event_type, min(datetime) AS start_datetime,
+             max(datetime) AS end_datetime
+      FROM merged GROUP BY 1
+    ), daily AS (
+      SELECT event_type, CAST(datetime AS DATE) AS date
+      FROM ev GROUP BY 1, 2
+    ), last_day AS (
+      SELECT event_type, max(CAST(datetime AS DATE)) AS d
+      FROM existing GROUP BY 1
+    ), trim AS (
+      SELECT daily.event_type, count(*) AS n_trim
+      FROM daily JOIN last_day USING (event_type)
+      WHERE daily.date > last_day.d
+      GROUP BY 1
+    )
+    SELECT wm.event_type, wm.last_data_point,
+           (SELECT count(*) FROM new_rows n
+            WHERE n.event_type = wm.event_type) AS n_new,
+           b.start_datetime, b.end_datetime,
+           coalesce(t.n_trim, 0) AS n_trim
+    FROM wm
+    JOIN bounds b ON b.event_type = wm.event_type
+    LEFT JOIN trim t ON t.event_type = wm.event_type
+"""
+
+
+@register("watermark_ingest_trim", oracle=_WM_ORACLE)
+def watermark_ingest_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest cycle: per-series watermark -> contract-gated
+    new rows -> bounds refresh -> daily tail trim
+    (streaming/incremental.py + sources/registry.validate_contract)."""
+    from .streaming.incremental import (
+        high_watermarks, series_bounds, trim_daily_tail,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").alias("datetime"), "value", "event_id"
+    )
+    existing = ev.where(F.col("datetime") < F.lit(_WM_CUTOFF).cast("timestamp"))
+    wm = high_watermarks(existing, ts_col="event_type")
+    remote = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    new_rows = (
+        remote.join(F.broadcast(wm), "event_type")
+        .where(
+            (F.col("datetime") > F.col("last_data_point"))
+            & F.col("value").isNotNull()
+        )
+        .select("event_type", "datetime", "value")
+    )
+    merged = existing.select("event_type", "datetime").unionByName(
+        new_rows.select("event_type", "datetime")
+    )
+    bounds = series_bounds(merged, ts_col="event_type")
+    daily = ev.select(
+        "event_type", F.to_date("datetime").alias("date")
+    ).distinct()
+    trims = (
+        trim_daily_tail(daily, existing, ts_col="event_type",
+                        dt_col="datetime")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_trim"))
+    )
+    counts = new_rows.groupBy("event_type").agg(F.count("*").alias("n_new"))
+    return (
+        wm.join(bounds, "event_type")
+        .join(counts, "event_type", "left")
+        .join(trims, "event_type", "left")
+        .select(
+            "event_type", "last_data_point",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "start_datetime", "end_datetime",
+            F.coalesce("n_trim", F.lit(0)).alias("n_trim"),
+        )
+    )
