@@ -32,6 +32,26 @@ from pyspark.sql import functions as F
 FIELD_COLS = ("timeseries_id", "type_id", "start_dt", "end_dt")
 
 
+def rows_as_of(
+    current: DataFrame,
+    log: DataFrame,
+    as_of: str,
+    field_cols: tuple[str, ...] = FIELD_COLS,
+) -> DataFrame:
+    """Generic table snapshot at ``as_of`` — the audit.*_as_of family
+    (patch_55.R:2336-2420), parameterized by field columns so the same
+    reconstruction serves QC intervals, corrections, and compound
+    definitions.
+
+    ``current``: (row_id, *field_cols, row_created). ``log``: (log_id,
+    action_timestamp, orig_row_id, orig_<field>..., new_row_id,
+    row_created); NULL orig_* = the row did not exist before the
+    change (insert). Current FULL OUTER first-post-as_of log change;
+    the log's original values win; rows created after ``as_of`` drop.
+    """
+    return _rows_as_of(current, log, as_of, field_cols)
+
+
 def qc_rows_as_of(
     current: DataFrame,
     log: DataFrame,
@@ -47,6 +67,18 @@ def qc_rows_as_of(
     orig_end_dt, new_row_id, row_created (NULL orig_* = the row did not
     exist before the change, i.e. an insert).
     """
+    return _rows_as_of(current, log, as_of, FIELD_COLS,
+                       window_start, window_end)
+
+
+def _rows_as_of(
+    current: DataFrame,
+    log: DataFrame,
+    as_of: str,
+    field_cols: tuple[str, ...],
+    window_start: str | None = None,
+    window_end: str | None = None,
+) -> DataFrame:
     as_of_ts = F.lit(as_of).cast("timestamp")
     fut = log.where(F.col("action_timestamp") > as_of_ts).withColumn(
         "__key", F.coalesce(F.col("orig_row_id"), F.col("new_row_id"))
@@ -57,13 +89,13 @@ def qc_rows_as_of(
         .where(F.col("__rn") == 1)
         .select(
             F.col("__key").alias("__f_row_id"),
-            *[F.col(f"orig_{c}").alias(f"__f_{c}") for c in FIELD_COLS],
+            *[F.col(f"orig_{c}").alias(f"__f_{c}") for c in field_cols],
             F.col("row_created").alias("__f_created"),
         )
     )
     c = current.select(
         F.col("row_id").alias("__c_row_id"),
-        *[F.col(col).alias(f"__c_{col}") for col in FIELD_COLS],
+        *[F.col(col).alias(f"__c_{col}") for col in field_cols],
         F.col("row_created").alias("__c_created"),
     )
     j = c.join(first, c["__c_row_id"] == first["__f_row_id"], "full_outer")
@@ -80,7 +112,7 @@ def qc_rows_as_of(
 
     snap = j.select(
         F.coalesce(F.col("__f_row_id"), F.col("__c_row_id")).alias("row_id"),
-        *[pick(col).alias(col) for col in FIELD_COLS],
+        *[pick(col).alias(col) for col in field_cols],
         F.when(has_future, F.col("__f_created"))
         .otherwise(F.col("__c_created"))
         .alias("row_created"),

@@ -280,3 +280,80 @@ def masked_location_points(
         dist.alias("offset_m"),
         bearing.alias("bearing_rad"),
     )
+
+
+def cleanup_share_with(
+    df: DataFrame,
+    role: str,
+    replacement: str | None = None,
+    col: str = "share_with",
+):
+    """Role removal/replacement across ``share_with`` arrays
+    (public.cleanup_share_with_role, patch_45.R:104-210).
+
+    Without a replacement, the role is removed; a row where it is the
+    SOLE entry cannot be emptied — the reference refuses the whole run,
+    we mark the row ``blocked`` so callers can assert the count is
+    zero before committing.  With a replacement, ``array_replace`` then
+    distinct + ascending sort (the reference's SELECT DISTINCT ...
+    ORDER BY).  Returns the frame with (matched, only_role, action,
+    <col>_new) appended — map-only, no shuffle.
+    """
+    sw = F.col(col)
+    matched = F.array_contains(sw, role)
+    removed = F.filter(
+        F.array_remove(sw, role), lambda x: x.isNotNull()
+    )
+    only_role = matched & (F.size(removed) == 0)
+    if replacement is None:
+        new_arr = F.when(matched & ~only_role, removed).otherwise(sw)
+        action = (
+            F.when(only_role, "blocked")
+            .when(matched, "updated")
+            .otherwise("unchanged")
+        )
+    else:
+        replaced = F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        sw,
+                        lambda x: F.when(x == role, F.lit(replacement))
+                        .otherwise(x),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            )
+        )
+        new_arr = F.when(matched, replaced).otherwise(sw)
+        action = F.when(matched, "updated").otherwise("unchanged")
+    return (
+        df.withColumn("matched", matched)
+        .withColumn("only_role", only_role)
+        .withColumn("action", action)
+        .withColumn(f"{col}_new", new_arr)
+    )
+
+
+def validate_share_with(
+    df: DataFrame,
+    roles: DataFrame,
+    col: str = "share_with",
+    role_col: str = "role_name",
+) -> DataFrame:
+    """Every share_with entry must name an existing role
+    (public.validate_share_with trigger, patch_11.R:415-424).  Returns
+    the frame + (unknown_roles, share_with_valid); the roles dim is
+    catalog-sized -> collected into one literal array so the check is
+    a map-only expression (no join)."""
+    known = [r[role_col] for r in roles.select(role_col).distinct().collect()]
+    known_arr = F.array(*[F.lit(k) for k in sorted(known)])
+    unknown = F.array_sort(
+        F.filter(
+            F.array_distinct(F.col(col)),
+            lambda x: x.isNull() | ~F.array_contains(known_arr, x),
+        )
+    )
+    return df.withColumn("unknown_roles", unknown).withColumn(
+        "share_with_valid", F.size("unknown_roles") == 0
+    )

@@ -7975,3 +7975,269 @@ def watermark_ingest_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_trim", F.lit(0)).alias("n_trim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 point-in-time corrected read (apply_corrections_at +
+# measurements_continuous_corrected_at, patch_55.R:460-545,3282-3600):
+# the corrections table is reconstructed from its audit log at p_as_of,
+# then the ordered chain applies to the measurements. Log fixture
+# exercises: future update (original wins), future insert (excluded),
+# future delete (resurrected), past delete (stays absent), untouched.
+# ---------------------------------------------------------------------------
+
+_CRA_AS_OF = "2024-06-01 00:00:00"
+
+_CRA_ORACLE = f"""
+    WITH current AS (
+      SELECT * FROM (VALUES
+        (1, 'click', TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-10',
+         'offset_linear', 0.9, CAST(NULL AS DOUBLE),
+         TIMESTAMP '2024-02-01'),
+        (2, 'purchase', TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20',
+         'scale', 110.0, CAST(NULL AS DOUBLE), TIMESTAMP '2024-07-15'),
+        (4, 'view', TIMESTAMP '2024-01-03', TIMESTAMP '2024-01-08',
+         'offset_two_point', 1.0, 3.0, TIMESTAMP '2024-01-20')
+      ) AS t(row_id, event_type, start_dt, end_dt, ctype, value1, value2,
+             row_created)
+    ), log AS (
+      SELECT * FROM (VALUES
+        (101, TIMESTAMP '2024-07-01', 1, 'click', TIMESTAMP '2024-01-05',
+         TIMESTAMP '2024-01-10', 'offset_linear', 0.25,
+         CAST(NULL AS DOUBLE), 1, TIMESTAMP '2024-02-01'),
+        (102, TIMESTAMP '2024-07-15', CAST(NULL AS INT),
+         CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+         CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 2,
+         TIMESTAMP '2024-07-15'),
+        (103, TIMESTAMP '2024-08-01', 3, 'error', TIMESTAMP '2024-01-01',
+         TIMESTAMP '2024-02-01', 'trim', 5.0, 45.0, CAST(NULL AS INT),
+         TIMESTAMP '2024-01-15'),
+        (104, TIMESTAMP '2024-05-01', 5, 'signup', TIMESTAMP '2024-01-02',
+         TIMESTAMP '2024-01-12', 'drift_linear', 2.5,
+         CAST(NULL AS DOUBLE), CAST(NULL AS INT), TIMESTAMP '2024-03-01')
+      ) AS t(log_id, action_timestamp, orig_row_id, orig_event_type,
+             orig_start_dt, orig_end_dt, orig_ctype, orig_value1,
+             orig_value2, new_row_id, row_created)
+    ), fut AS (
+      SELECT *, coalesce(orig_row_id, new_row_id) AS key,
+             row_number() OVER (
+               PARTITION BY coalesce(orig_row_id, new_row_id)
+               ORDER BY action_timestamp, log_id) AS rn
+      FROM log WHERE action_timestamp > TIMESTAMP '{_CRA_AS_OF}'
+    ), first_chg AS (SELECT * FROM fut WHERE rn = 1
+    ), snap AS (
+      SELECT coalesce(f.key, c.row_id) AS row_id,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_event_type
+                  ELSE c.event_type END AS event_type,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_start_dt
+                  ELSE c.start_dt END AS start_dt,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_end_dt
+                  ELSE c.end_dt END AS end_dt,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_ctype
+                  ELSE c.ctype END AS ctype,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_value1
+                  ELSE c.value1 END AS value1,
+             CASE WHEN f.key IS NOT NULL THEN f.orig_value2
+                  ELSE c.value2 END AS value2,
+             CASE WHEN f.key IS NOT NULL THEN f.row_created
+                  ELSE c.row_created END AS row_created
+      FROM current c FULL OUTER JOIN first_chg f ON c.row_id = f.key
+    ), ao AS (
+      SELECT * FROM snap
+      WHERE row_created <= TIMESTAMP '{_CRA_AS_OF}'
+        AND event_type IS NOT NULL
+    ),
+    -- the as-of set is (trim error; offset_linear 0.25 click;
+    -- two-point view) — apply in (type priority, id) order
+    c_trim AS (
+      SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
+             CASE WHEN a.row_id IS NOT NULL
+                       AND (e.value < a.value1 OR e.value > a.value2)
+                  THEN NULL ELSE e.value END AS v
+      FROM events e
+      LEFT JOIN ao a
+        ON a.ctype = 'trim' AND e.event_type = a.event_type
+       AND CAST(e.ts AS TIMESTAMP) >= a.start_dt
+       AND CAST(e.ts AS TIMESTAMP) < a.end_dt
+    ), c_off AS (
+      SELECT t.event_id, t.ts, t.event_type,
+             CASE WHEN a.row_id IS NOT NULL AND t.v IS NOT NULL
+                  THEN t.v + a.value1 ELSE t.v END AS v
+      FROM c_trim t
+      LEFT JOIN ao a
+        ON a.ctype = 'offset_linear' AND t.event_type = a.event_type
+       AND t.ts >= a.start_dt AND t.ts < a.end_dt
+    ), c_two AS (
+      SELECT t.event_id, t.ts, t.event_type,
+             CASE WHEN a.row_id IS NOT NULL AND t.v IS NOT NULL
+                  THEN t.v + a.value1 + (a.value2 - a.value1)
+                       * date_diff('second', a.start_dt, t.ts)
+                       / date_diff('second', a.start_dt, a.end_dt)
+                  ELSE t.v END AS v
+      FROM c_off t
+      LEFT JOIN ao a
+        ON a.ctype = 'offset_two_point' AND t.event_type = a.event_type
+       AND t.ts >= a.start_dt AND t.ts < a.end_dt
+    )
+    SELECT event_id, event_type, ts, {R('v', 4)} AS corrected_value
+    FROM c_two
+"""
+
+
+@register("corrected_read_at", oracle=_CRA_ORACLE)
+def corrected_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrections reconstructed from their audit log at a past
+    timestamp (operators/audit.rows_as_of), compiled into the ordered
+    chain and applied to the fact (apply_corrections_at)."""
+    from .operators.audit import rows_as_of
+
+    fields = ("event_type", "start_dt", "end_dt", "ctype", "value1",
+              "value2")
+    current = _ldf(spark, [
+        (1, "click", "2024-01-05 00:00:00", "2024-01-10 00:00:00",
+         "offset_linear", 0.9, None, "2024-02-01 00:00:00"),
+        (2, "purchase", "2024-01-10 00:00:00", "2024-01-20 00:00:00",
+         "scale", 110.0, None, "2024-07-15 00:00:00"),
+        (4, "view", "2024-01-03 00:00:00", "2024-01-08 00:00:00",
+         "offset_two_point", 1.0, 3.0, "2024-01-20 00:00:00"),
+    ], "row_id int, event_type string, start_dt string, end_dt string,"
+       " ctype string, value1 double, value2 double, row_created string")
+    log = _ldf(spark, [
+        (101, "2024-07-01 00:00:00", 1, "click", "2024-01-05 00:00:00",
+         "2024-01-10 00:00:00", "offset_linear", 0.25, None, 1,
+         "2024-02-01 00:00:00"),
+        (102, "2024-07-15 00:00:00", None, None, None, None, None,
+         None, None, 2, "2024-07-15 00:00:00"),
+        (103, "2024-08-01 00:00:00", 3, "error", "2024-01-01 00:00:00",
+         "2024-02-01 00:00:00", "trim", 5.0, 45.0, None,
+         "2024-01-15 00:00:00"),
+        (104, "2024-05-01 00:00:00", 5, "signup", "2024-01-02 00:00:00",
+         "2024-01-12 00:00:00", "drift_linear", 2.5, None, None,
+         "2024-03-01 00:00:00"),
+    ], "log_id int, action_timestamp string, orig_row_id int,"
+       " orig_event_type string, orig_start_dt string,"
+       " orig_end_dt string, orig_ctype string, orig_value1 double,"
+       " orig_value2 double, new_row_id int, row_created string")
+    for c in ("start_dt", "end_dt", "row_created"):
+        current = current.withColumn(c, F.col(c).cast("timestamp"))
+    for c in ("action_timestamp", "orig_start_dt", "orig_end_dt",
+              "row_created"):
+        log = log.withColumn(c, F.col(c).cast("timestamp"))
+
+    snap = rows_as_of(current, log, _CRA_AS_OF, field_cols=fields)
+    rows = sorted(
+        (r for r in snap.collect() if r["event_type"] is not None),
+        key=lambda r: r["row_id"],
+    )
+    corrections = [
+        Correction(r["row_id"], r["event_type"], str(r["start_dt"]),
+                   str(r["end_dt"]), r["ctype"], value1=r["value1"],
+                   value2=r["value2"])
+        for r in rows
+    ]
+    ev = _t(spark, sf_dir, "events")
+    out = apply_corrections(
+        ev, corrections, ts_col="event_type", dt_col="ts",
+        value_col="value", out_col="v",
+    ).select("event_id", "event_type", "ts", "v")
+    return _round(out, {"v": 4}).withColumnRenamed("v", "corrected_value")
+
+
+# ---------------------------------------------------------------------------
+# RLS share_with maintenance (public.cleanup_share_with_role,
+# patch_45.R:104-210; public.validate_share_with trigger,
+# patch_11.R:415-424): role removal with sole-entry blocking, role
+# replacement with distinct+sort, unknown-role validation.
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN ['yg_reader']
+                  WHEN doc_id % 5 = 1 THEN ['admin', 'yg_reader']
+                  WHEN doc_id % 5 = 2 THEN ['public_reader']
+                  WHEN doc_id % 5 = 3 THEN ['admin', 'ghost_role']
+                  ELSE ['yg_reader', 'public_reader', 'yg_reader'] END
+               AS share_with
+      FROM documents
+    ), removal AS (
+      SELECT doc_id, share_with,
+             list_contains(share_with, 'yg_reader') AS matched,
+             list_contains(share_with, 'yg_reader')
+               AND len(list_filter(share_with,
+                                   x -> x <> 'yg_reader')) = 0
+               AS only_role
+      FROM tagged
+    )
+    SELECT doc_id,
+           array_to_string(share_with, ',') AS share_with,
+           matched, only_role,
+           CASE WHEN only_role THEN 'blocked'
+                WHEN matched THEN 'updated'
+                ELSE 'unchanged' END AS action,
+           array_to_string(
+             CASE WHEN matched AND NOT only_role
+                  THEN list_filter(share_with, x -> x <> 'yg_reader')
+                  ELSE share_with END, ',') AS removed_arr,
+           array_to_string(
+             CASE WHEN matched
+                  THEN list_sort(list_distinct(list_transform(
+                         share_with,
+                         x -> CASE WHEN x = 'yg_reader'
+                                   THEN 'public_reader' ELSE x END)))
+                  ELSE share_with END, ',') AS replaced_arr,
+           coalesce(array_to_string(
+             list_sort(list_filter(list_distinct(share_with),
+               x -> NOT list_contains(
+                 ['admin', 'public_reader', 'yg_reader'], x))), ','), '')
+             AS unknown_roles,
+           len(list_filter(list_distinct(share_with),
+               x -> NOT list_contains(
+                 ['admin', 'public_reader', 'yg_reader'], x))) = 0
+             AS share_with_valid
+    FROM removal
+"""
+
+
+@register("share_with_maintenance", oracle=_SHARE_ORACLE)
+def share_with_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role removal (sole-entry blocked), role replacement, and
+    unknown-role validation over synthesized share_with arrays
+    (operators/maintenance.cleanup_share_with / validate_share_with).
+    """
+    from .operators.maintenance import cleanup_share_with, validate_share_with
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 5
+    tagged = docs.select(
+        "doc_id",
+        F.when(k == 0, F.array(F.lit("yg_reader")))
+        .when(k == 1, F.array(F.lit("admin"), F.lit("yg_reader")))
+        .when(k == 2, F.array(F.lit("public_reader")))
+        .when(k == 3, F.array(F.lit("admin"), F.lit("ghost_role")))
+        .otherwise(F.array(F.lit("yg_reader"), F.lit("public_reader"),
+                           F.lit("yg_reader"))).alias("share_with"),
+    )
+    removed = cleanup_share_with(tagged, "yg_reader")
+    replaced = cleanup_share_with(
+        tagged, "yg_reader", replacement="public_reader"
+    ).select("doc_id", F.col("share_with_new").alias("__rep"))
+    roles = _ldf(spark, [("admin",), ("public_reader",), ("yg_reader",)],
+                 ["role_name"])
+    out = (
+        validate_share_with(
+            removed.join(replaced, "doc_id"),
+            roles,
+        )
+        .select(
+            "doc_id",
+            F.array_join("share_with", ",").alias("share_with"),
+            "matched", "only_role", "action",
+            F.array_join("share_with_new", ",").alias("removed_arr"),
+            F.array_join("__rep", ",").alias("replaced_arr"),
+            F.array_join("unknown_roles", ",").alias("unknown_roles"),
+            "share_with_valid",
+        )
+    )
+    return out
