@@ -240,3 +240,27 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         )
 
     return bind(tokens(F.lower(text)), shingles_of)
+
+
+def c4_line_filter(text: Column, sep: str = "\n",
+                   min_words: int = 5) -> Column:
+    """C4-recipe line retention (Raffel et al. 2020 §2.2): keep lines
+    that end in terminal punctuation and have >= ``min_words`` words.
+    Returns the struct (kept_lines array, n_total).  Pure codegen:
+    split + filter lambdas, no UDF."""
+    lines = F.split(text, sep)
+    kept = F.filter(
+        lines,
+        lambda x: F.trim(x).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= min_words),
+    )
+    return F.struct(
+        kept.alias("kept_lines"), F.size(lines).alias("n_total")
+    )
+
+
+def c4_doc_flags(text: Column) -> tuple[Column, Column]:
+    """C4 page-level removal signals: curly brace (code) and
+    'lorem ipsum' placeholder text."""
+    low = F.lower(text)
+    return low.contains("{"), low.contains("lorem ipsum")

@@ -8241,3 +8241,119 @@ def share_with_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: C4-style line filtering + page flags, and a
+# per-domain top-share quality gate with deterministic tie-breaks.
+# ---------------------------------------------------------------------------
+
+_C4_ORACLE = """
+    WITH lines AS (
+      SELECT doc_id, lower(text) AS low,
+             string_split(text, '. ') AS ls
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             list_filter(ls, x ->
+               regexp_matches(trim(x), '[.!?"]$')
+               AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5)
+               AS kept,
+             len(ls) AS n_total,
+             contains(low, '{') AS has_brace,
+             contains(low, 'lorem ipsum') AS has_lorem
+      FROM lines
+    )
+    SELECT doc_id, CAST(len(kept) AS INT) AS n_kept,
+           CAST(n_total AS INT) AS n_total, has_brace, has_lorem,
+           len(kept) >= 3 AND NOT has_brace AND NOT has_lorem AS doc_kept
+    FROM f
+"""
+
+
+@register("c4_line_filter", oracle=_C4_ORACLE)
+def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line retention + page flags over sentence-segmented docs
+    (functions/text.c4_line_filter; the corpus has no newlines, so
+    '. ' plays the line separator)."""
+    from .functions.text import c4_doc_flags, c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    lf = c4_line_filter(F.col("text"), sep=r"\. ")
+    brace, lorem = c4_doc_flags(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.size(lf["kept_lines"]).alias("n_kept"),
+        lf["n_total"].alias("n_total"),
+        brace.alias("has_brace"),
+        lorem.alias("has_lorem"),
+    ).withColumn(
+        "doc_kept",
+        (F.col("n_kept") >= 3) & ~F.col("has_brace") & ~F.col("has_lorem"),
+    )
+    return out
+
+
+_GATE_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'web' WHEN 1 THEN 'code'
+               WHEN 2 THEN 'wiki' ELSE 'books' END AS domain,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]',
+                                                  '', 'g')) AS n_punct,
+             string_split(lower(text), ' ') AS ltoks
+      FROM documents
+    ), q AS (
+      SELECT doc_id, domain,
+             {R('(least(n_chars / 200.0, 1.0)'
+                " + least(CAST(len(list_filter(ltoks, t -> t IN"
+                " ('the','a','an','and','or','of','to','in','is','it',"
+                "'that','for','on','with','as','are','was','at','by','be')))"
+                ' AS DOUBLE) / greatest(len(ltoks), 1) * 5.0, 1.0)'
+                ' + (1.0 - least(CAST(n_punct AS DOUBLE)'
+                ' / greatest(n_chars, 1) * 4.0, 1.0))) / 3.0', 6)} AS quality
+      FROM m
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY quality DESC, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY domain) AS n
+      FROM q
+    )
+    SELECT doc_id, domain, quality, CAST(rnk AS BIGINT) AS rnk,
+           rnk <= CAST(ceil(0.3 * n) AS BIGINT) AS kept
+    FROM ranked
+"""
+
+
+@register("domain_quality_gate", oracle=_GATE_ORACLE)
+def domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top 30% of each domain by quality score with a
+    deterministic (quality DESC, doc_id) tie-break — rank-based rather
+    than interpolated-percentile so the cut reproduces bit-exactly at
+    any partitioning.  (At 100 TB swap the full sort for a sampled
+    threshold + filter; the rank form is the correctness oracle.)"""
+    from .functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, "web")
+        .when(F.col("doc_id") % 4 == 1, "code")
+        .when(F.col("doc_id") % 4 == 2, "wiki")
+        .otherwise("books").alias("domain"),
+        (F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("quality"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("quality"), "doc_id")
+    wc = Window.partitionBy("domain")
+    return (
+        q.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count("*").over(wc))
+        .withColumn(
+            "kept", F.col("rnk") <= F.ceil(0.3 * F.col("__n")).cast("long")
+        )
+        .drop("__n")
+    )
