@@ -216,3 +216,104 @@ def test_merge_same_value_invariants(spark, segs):
     assert set(out_ids) <= in_ids
     assert deleted <= in_ids
     assert deleted.isdisjoint(out_ids)
+
+
+# ---- next-fit sequence packing (operators/packing._pack_kernel) ----
+
+from aquacache_spark.operators.packing import _pack_kernel
+
+token_lists = st.lists(
+    st.integers(min_value=1, max_value=3000), min_size=1, max_size=80
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(token_lists, st.integers(min_value=100, max_value=2500))
+def test_pack_kernel_invariants(tokens, budget):
+    pdf = pd.DataFrame({
+        "doc_id": range(len(tokens)),
+        "n_tokens": tokens,
+    })
+    out = _pack_kernel(budget, "doc_id", "n_tokens")(pdf)
+    # 1. brute-force next-fit replay agrees exactly
+    bin_id, fill, exp_bins, exp_offs = 0, 0, [], []
+    for t in tokens:
+        if fill > 0 and fill + t > budget:
+            bin_id += 1
+            fill = 0
+        exp_offs.append(fill)
+        exp_bins.append(bin_id)
+        fill += t
+    assert list(out["bin_id"]) == exp_bins
+    assert list(out["bin_offset"]) == exp_offs
+    # 2. every multi-doc bin fits the budget (only a lone oversized
+    # doc may exceed it)
+    for _, g in out.groupby("bin_id"):
+        if len(g) > 1:
+            assert g["n_tokens"].sum() <= budget
+    # 3. bins are contiguous from 0 and offsets are prefix sums
+    assert sorted(out["bin_id"].unique()) == list(range(out["bin_id"].max() + 1))
+    for _, g in out.groupby("bin_id"):
+        assert list(g["bin_offset"]) == list(g["n_tokens"].cumsum().shift(1).fillna(0).astype(int))
+
+
+# ---- import-mapping resolution vs brute force ----
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(  # mappings: (priority, {criteria}) over keys a/b
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.dictionaries(
+                st.sampled_from(["a", "b"]),
+                st.sampled_from(["x", "y", ""]),
+                min_size=1, max_size=2,
+            ),
+        ),
+        min_size=1, max_size=6,
+    ),
+    st.lists(  # records over the same value alphabet (+None)
+        st.tuples(st.sampled_from(["x", "y", "", None]),
+                  st.sampled_from(["x", "y", "", None])),
+        min_size=1, max_size=8,
+    ),
+)
+def test_resolve_mappings_matches_bruteforce(spark, mapping_rows, record_rows):
+    from aquacache_spark.sources.import_mappings import resolve_mappings
+    from aquacache_spark.session import local_df
+
+    mappings = local_df(
+        spark,
+        [(i + 1, p, True, crit, 100 + i)
+         for i, (p, crit) in enumerate(mapping_rows)],
+        "import_mapping_id int, priority int, active boolean,"
+        " source_match map<string,string>, parameter_id int",
+    )
+    records = local_df(
+        spark,
+        [(i, a, b) for i, (a, b) in enumerate(record_rows)],
+        "record_id int, a string, b string",
+    )
+    got = {
+        r["record_id"]: (r["status"], r["import_mapping_id"])
+        for r in resolve_mappings(records, mappings).collect()
+    }
+
+    for rid, (a, b) in enumerate(record_rows):
+        rec = {"a": a if a is not None else "", "b": b if b is not None else ""}
+        hits = [
+            (p, -len(crit), mid)
+            for mid, (p, crit) in enumerate(mapping_rows, start=1)
+            if all(rec[k] == v for k, v in crit.items())
+        ]
+        if not hits:
+            assert got[rid] == ("unmapped", None), rid
+            continue
+        hits.sort()
+        top = [h for h in hits if h[:2] == hits[0][:2]]
+        if len(top) > 1:
+            assert got[rid] == ("ambiguous", None), rid
+        else:
+            assert got[rid] == ("matched", hits[0][2]), rid
