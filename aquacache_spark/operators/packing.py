@@ -34,19 +34,31 @@ from ..functions.text import md5_int, tokens
 from ._grouped import grouped_apply
 
 
+def scan_pack(
+    tokens, budget: int, state: tuple[int, int] = (0, 0)
+) -> tuple[list[int], list[int], tuple[int, int]]:
+    """The next-fit recurrence over a token-count sequence, resumable:
+    ``state`` is (open bin id, its fill).  Returns (bin ids, offsets,
+    final state) — shared by the batch kernel and the streaming
+    operator (streaming/stateful.streaming_pack) so both produce
+    identical assignments."""
+    bin_id, fill = state
+    bins, offsets = [], []
+    for t in tokens:
+        t = int(t)
+        if fill > 0 and fill + t > budget:
+            bin_id += 1
+            fill = 0
+        offsets.append(fill)
+        bins.append(bin_id)
+        fill += t
+    return bins, offsets, (bin_id, fill)
+
+
 def _pack_kernel(budget: int, id_col: str, token_col: str):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        bins, offsets = [], []
-        bin_id, fill = 0, 0
-        for t in pdf[token_col].astype("int64"):
-            t = int(t)
-            if fill > 0 and fill + t > budget:
-                bin_id += 1
-                fill = 0
-            offsets.append(fill)
-            bins.append(bin_id)
-            fill += t
+        bins, offsets, _ = scan_pack(pdf[token_col].astype("int64"), budget)
         out = pdf.copy()
         out["bin_id"] = pd.Series(bins, dtype="int64")
         out["bin_offset"] = pd.Series(offsets, dtype="int64")

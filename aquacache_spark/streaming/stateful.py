@@ -86,3 +86,50 @@ def streaming_increments(
     return stream.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
+
+
+PACK_STATE_SCHEMA = "bin_id bigint, fill bigint"
+
+
+def streaming_pack(
+    stream: DataFrame,
+    budget: int,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Next-fit sequence packing over a document stream: the open bin
+    (id, fill) persists per shard in the state store, so continuously
+    arriving documents pack into exactly the bins a batch run over the
+    full corpus would produce (operators/packing.scan_pack is the
+    shared recurrence).  Within a micro-batch documents sort by id;
+    cross-batch order is arrival order — the same contract as
+    streaming_increments."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.packing import scan_pack
+
+    out_schema = T.StructType(
+        list(stream.schema.fields)
+        + [T.StructField("bin_id", T.LongType()),
+           T.StructField("bin_offset", T.LongType())]
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        st = tuple(state.get) if state.exists else (0, 0)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            bins, offsets, st = scan_pack(
+                pdf[token_col].astype("int64"), budget, st
+            )
+            pdf["bin_id"] = pd.Series(bins, dtype="int64")
+            pdf["bin_offset"] = pd.Series(offsets, dtype="int64")
+            yield pdf
+        state.update(tuple(int(x) for x in st))
+
+    return stream.groupBy(shard_col).applyInPandasWithState(
+        fn, out_schema, PACK_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -343,3 +343,70 @@ def test_streaming_merge_survives_restart(spark, tmp_path):
     assert got[(1, "2024-01-01 00:00:00")]["mean"] == 4.0
     assert got[(1, "2024-01-01 01:00:00")]["n"] == 1
     assert len(got) == 2
+
+
+def test_streaming_pack_matches_batch(spark, tmp_path):
+    """The open-bin state carries across micro-batches and a query
+    restart: streamed next-fit packing equals the batch kernel over
+    the full corpus."""
+    from pyspark.sql import types as T
+
+    from aquacache_spark.operators.packing import pack_sequences
+    from aquacache_spark.streaming.stateful import streaming_pack
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    ckpt = str(tmp_path / "pack_ckpt")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("shard", T.LongType()),
+    ])
+
+    # shard 0's open bin straddles the batch boundary: 700+900=1600
+    # fits 2048, doc 5 (800) overflows -> bin 1 ONLY if the state
+    # carried; a stateless second batch would restart at bin 0
+    batch1 = [(1, 700, 0), (3, 900, 0), (2, 2047, 1)]
+    batch2 = [(5, 800, 0), (7, 1300, 0), (4, 10, 1), (6, 3000, 1)]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    seen = []
+
+    def run_one(rows):
+        mk(rows).coalesce(1).write.mode("append").parquet(str(landing))
+        stream = spark.readStream.schema(schema).parquet(str(landing))
+        packed = streaming_pack(stream, budget=2048)
+        q = (packed.writeStream
+             .foreachBatch(lambda df, _eid: seen.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_one(batch1)
+    run_one(batch2)
+
+    # batch reference over the full corpus — same shard hash? No:
+    # pack_sequences derives shards from md5(doc_id); here shards are
+    # explicit, so replay the kernel per shard on the ordered union
+    from aquacache_spark.operators.packing import scan_pack
+
+    expect = {}
+    for shard in (0, 1):
+        rows = sorted(
+            [r for b in (batch1, batch2) for r in b if r[2] == shard],
+            key=lambda r: next(
+                i for i, b in enumerate((batch1, batch2)) if r in b
+            ) * 1000 + r[0],
+        )
+        # arrival order: batch1 docs (sorted by id) then batch2 docs
+        bins, offs, _ = scan_pack([r[1] for r in rows], 2048)
+        for r, b, o in zip(rows, bins, offs):
+            expect[r[0]] = (b, o)
+
+    got = {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in seen}
+    assert got == expect
