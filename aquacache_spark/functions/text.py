@@ -264,3 +264,53 @@ def c4_doc_flags(text: Column) -> tuple[Column, Column]:
     'lorem ipsum' placeholder text."""
     low = F.lower(text)
     return low.contains("{"), low.contains("lorem ipsum")
+
+
+def token_entropy(text: Column) -> Column:
+    """Within-doc Shannon entropy of the token distribution, in nats —
+    the low-entropy-boilerplate curation signal.
+
+    One sorted-array fold in codegen (the ``top_count`` pattern): run
+    lengths of the sorted tokens accumulate quantized
+    ``(c/n)·ln(c/n)`` micro-nat terms through an exact integer sum, so
+    the result is order-independent and reproducible bit-for-bit in
+    SQL.  Returns the struct (entropy double, n_distinct int).
+    """
+    toks = F.array_sort(tokens(F.lower(text)))
+    n = F.size(toks)
+
+    def term(run: Column) -> Column:
+        p = run.cast("double") / n.cast("double")
+        return F.floor(p * F.log(p) * 1e6 + F.lit(0.5)).cast("long")
+
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("acc"),
+        F.lit(0).alias("nd"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x.eqNullSafe(acc["prev"])
+        return F.when(
+            same,
+            F.struct(x.alias("prev"), (acc["run"] + 1).alias("run"),
+                     acc["acc"].alias("acc"), acc["nd"].alias("nd")),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"), F.lit(1).alias("run"),
+                (acc["acc"] + F.when(acc["run"] > 0, term(acc["run"]))
+                 .otherwise(F.lit(0).cast("long"))).alias("acc"),
+                (acc["nd"] + 1).alias("nd"),
+            )
+        )
+
+    def fin(acc: Column) -> Column:
+        total = acc["acc"] + F.when(acc["run"] > 0, term(acc["run"])) \
+            .otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            (-total.cast("double") / 1e6).alias("entropy"),
+            acc["nd"].alias("n_distinct"),
+        )
+
+    return F.aggregate(toks, acc0, step, fin)

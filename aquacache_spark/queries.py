@@ -8357,3 +8357,46 @@ def domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: within-doc token-distribution entropy (the
+# low-entropy-boilerplate signal), exact integer micro-nat accumulation.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ), totals AS (
+      SELECT doc_id, sum(c) AS n FROM counts GROUP BY 1
+    ), per_doc AS (
+      SELECT counts.doc_id,
+             sum(CAST(floor(
+               (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+               * 1000000 + 0.5) AS BIGINT)) AS acc,
+             CAST(count(*) AS INT) AS n_distinct
+      FROM counts JOIN totals USING (doc_id)
+      GROUP BY counts.doc_id
+    )
+    SELECT doc_id, {R('-CAST(acc AS DOUBLE) / 1000000.0', 6)} AS entropy,
+           n_distinct
+    FROM per_doc
+"""
+
+
+@register("token_entropy", oracle=_ENTROPY_ORACLE)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token entropy + distinct count in one codegen'd
+    sorted-array fold (functions/text.token_entropy)."""
+    from .functions.text import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    e = token_entropy(F.col("text"))
+    out = docs.select(
+        "doc_id", e["entropy"].alias("entropy"),
+        e["n_distinct"].alias("n_distinct"),
+    )
+    return _round(out, {"entropy": 6})
