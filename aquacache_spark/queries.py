@@ -8400,3 +8400,104 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e["n_distinct"].alias("n_distinct"),
     )
     return _round(out, {"entropy": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.6/§2.11 adjust() end to end (R/adjust_functions.R:18-250,540-620):
+# incoming point-wise QC codes -> run-length segments (prevailing until
+# the next change) -> overlay onto the existing interval table (new
+# wins, adjacent equal values merge) -> positional id recycling with
+# delete actions. The overlay+recycle tail is shared verbatim with the
+# segment_id_recycling oracle.
+# ---------------------------------------------------------------------------
+
+_ADJUST_SRC_SQL = """
+    ex AS (
+      SELECT * FROM (VALUES
+        ('click', 1, TIMESTAMP '2024-01-03', TIMESTAMP '2024-01-12', 'A'),
+        ('click', 2, TIMESTAMP '2024-01-12', TIMESTAMP '2024-01-20', 'B'),
+        ('click', 3, TIMESTAMP '2024-01-20', TIMESTAMP '2024-01-28', 'A'),
+        ('error', 4, TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-15', 'C'),
+        ('error', 5, TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-25', 'B')
+      ) AS t(series, segment_id, start_dt, end_dt, value)
+    ), pts AS (
+      SELECT event_type AS series, CAST(ts AS TIMESTAMP) AS t, event_id,
+             CASE WHEN value < 10 THEN 'A'
+                  WHEN value < 30 THEN 'B' ELSE 'C' END AS g
+      FROM events
+      WHERE event_type IN ('click', 'error')
+        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    ), rle0 AS (
+      SELECT *, CASE WHEN g IS NOT DISTINCT FROM
+                       lag(g) OVER (PARTITION BY series ORDER BY t, event_id)
+                THEN 0 ELSE 1 END AS new_run
+      FROM pts
+    ), rle1 AS (
+      SELECT *, sum(new_run) OVER (
+        PARTITION BY series ORDER BY t, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM rle0
+    ), seg AS (
+      SELECT series, min(t) AS rs, max(t) AS re, min(g) AS value
+      FROM rle1 GROUP BY series, run
+    ), nw0 AS (
+      SELECT *, lead(rs) OVER (PARTITION BY series ORDER BY rs) AS nxt
+      FROM seg
+    ), nw AS (
+      SELECT series, rs AS start_dt, COALESCE(nxt, re) AS end_dt, value
+      FROM nw0 WHERE COALESCE(nxt, re) > rs
+    )
+"""
+
+_ADJUST_ORACLE = (
+    "WITH " + _ADJUST_SRC_SQL
+    + ", allseg AS" + _SEG_IDS_ORACLE.split(", allseg AS", 1)[1]
+)
+
+
+@register("qc_adjust_e2e", oracle=_ADJUST_ORACLE)
+def qc_adjust_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """adjust() composition: rle_segments -> prevailing-interval
+    conversion -> split_segments -> recycle_split_ids."""
+    from .operators.segments import (
+        recycle_split_ids, rle_segments, split_segments,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.where(
+        F.col("event_type").isin("click", "error")
+        & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
+    ).select(
+        F.col("event_type").alias("series"), "ts", "event_id",
+        F.when(F.col("value") < 10, "A")
+        .when(F.col("value") < 30, "B").otherwise("C").alias("g"),
+    )
+    runs = rle_segments(pts, keys=["series"], order_col=["ts", "event_id"],
+                        value_col="g")
+    w = Window.partitionBy("series").orderBy("start")
+    new = (
+        runs.withColumn("__nxt", F.lead("start").over(w))
+        .withColumn("end_dt", F.coalesce("__nxt", "end"))
+        .where(F.col("end_dt") > F.col("start"))
+        .select("series", F.col("start").alias("start_dt"), "end_dt",
+                F.col("g").alias("value"))
+    )
+    existing = _ldf(spark, [
+        ("click", 1, "2024-01-03 00:00:00", "2024-01-12 00:00:00", "A"),
+        ("click", 2, "2024-01-12 00:00:00", "2024-01-20 00:00:00", "B"),
+        ("click", 3, "2024-01-20 00:00:00", "2024-01-28 00:00:00", "A"),
+        ("error", 4, "2024-01-05 00:00:00", "2024-01-15 00:00:00", "C"),
+        ("error", 5, "2024-01-15 00:00:00", "2024-01-25 00:00:00", "B"),
+    ], "series string, segment_id int, start_dt string, end_dt string,"
+       " value string")
+    for c in ("start_dt", "end_dt"):
+        existing = existing.withColumn(c, F.col(c).cast("timestamp"))
+    final = split_segments(
+        existing.drop("segment_id"), new, keys=["series"],
+        start_col="start_dt", end_col="end_dt", value_col="value",
+    )
+    return recycle_split_ids(
+        existing, final, keys=["series"], id_col="segment_id",
+        start_col="start_dt", end_col="end_dt",
+    )
