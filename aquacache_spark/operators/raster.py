@@ -283,3 +283,64 @@ def model_asof(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def zonal_stats_polygon(
+    tiles: DataFrame,
+    polygons: DataFrame,
+    keys: Sequence[str] = (),
+    poly_keys: Sequence[str] = ("poly_id",),
+    ring: str = "ring",
+) -> DataFrame:
+    """Per-polygon raster statistics — the PostGIS
+    ``ST_SummaryStats(ST_Clip(rast, geom))`` read path (basin-averaged
+    precipitation over HRDPA tiles, getNewRasters.R consumers).
+
+    Filter-refine over TILES first: polygons gain bboxes
+    (operators/vector.with_bbox) and broadcast; only bbox-intersecting
+    tiles explode to cells; the exact ray-cast (vector.point_in_ring)
+    refines the sample points; one shuffle keyed on the polygon id
+    with the exact-sum idiom.  Sample points are the integer cell
+    coordinates nudged off the lattice (+0.137, +0.269) so a cell
+    lying exactly on a polygon edge cannot flip between containment
+    conventions — the boundary-cell policy PostGIS exposes as
+    ST_Clip's touched/center options.
+    """
+    from .vector import point_in_ring, with_bbox
+    from .daily import exact_mean
+
+    polys = with_bbox(polygons, ring=ring).select(
+        *poly_keys, ring,
+        F.col("xmin").alias("pxmin"), F.col("xmax").alias("pxmax"),
+        F.col("ymin").alias("pymin"), F.col("ymax").alias("pymax"),
+    )
+    touched = tiles.join(
+        F.broadcast(polys),
+        (F.col("xmin") <= F.col("pxmax")) & (F.col("xmax") >= F.col("pxmin"))
+        & (F.col("ymin") <= F.col("pymax")) & (F.col("ymax") >= F.col("pymin")),
+    )
+    cells = (
+        touched.select(
+            *keys, *poly_keys, ring, "tile_x", "tile_y", "tw", "th",
+            F.posexplode("cells").alias("__pos", "value"),
+        )
+        .where(F.col("value").isNotNull())
+        .withColumn(
+            "x",
+            (F.col("tile_x") * F.col("tw") + F.col("__pos") % F.col("tw"))
+            .cast("double") + F.lit(0.137),
+        )
+        .withColumn(
+            "y",
+            (F.col("tile_y") * F.col("th")
+             + (F.col("__pos") / F.col("tw")).cast("int")).cast("double")
+            + F.lit(0.269),
+        )
+        .where(point_in_ring(F.col("x"), F.col("y"), F.col(ring)))
+    )
+    return cells.groupBy(*keys, *poly_keys).agg(
+        exact_mean(F.col("value")).alias("zmean"),
+        F.min("value").alias("zmin"),
+        F.max("value").alias("zmax"),
+        F.count("value").alias("zcount"),
+    )

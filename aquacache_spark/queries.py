@@ -8501,3 +8501,64 @@ def qc_adjust_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing, final, keys=["series"], id_col="segment_id",
         start_col="start_dt", end_col="end_dt",
     )
+
+
+# ---------------------------------------------------------------------------
+# Raster x vector composition: per-polygon (basin) raster statistics —
+# ST_SummaryStats(ST_Clip(rast, geom)) over tiled storage. The oracle
+# proves containment through independent half-plane math on the CCW
+# triangles (as in vector_point_in_polygon), not a mirrored ray cast.
+# ---------------------------------------------------------------------------
+
+_BASIN_ORACLE = f"""
+    WITH cells AS ({_RASTER_CELLS_SQL}),
+    tri AS (
+      SELECT n_nationkey AS poly_id,
+             CAST((n_nationkey * 11) % 70 AS DOUBLE) AS ax,
+             CAST((n_nationkey * 23) % 70 AS DOUBLE) AS ay,
+             CAST((n_nationkey * 11) % 70 + 20 + n_nationkey % 7 AS DOUBLE) AS bx,
+             CAST((n_nationkey * 23) % 70 + 4 + n_nationkey % 5 AS DOUBLE) AS by,
+             CAST((n_nationkey * 11) % 70 + 6 + n_nationkey % 4 AS DOUBLE) AS cx,
+             CAST((n_nationkey * 23) % 70 + 24 + n_nationkey % 6 AS DOUBLE) AS cy
+      FROM nation
+    )
+    , pts AS (
+      SELECT x + 0.137 AS sx, y + 0.269 AS sy, value FROM cells
+    )
+    SELECT poly_id,
+           {R(DSUM('c.value') + ' / count(*)', 6)} AS zmean,
+           min(c.value) AS zmin, max(c.value) AS zmax,
+           count(*) AS zcount
+    FROM tri JOIN pts c
+      ON (bx - ax) * (c.sy - ay) - (by - ay) * (c.sx - ax) > 0
+     AND (cx - bx) * (c.sy - by) - (cy - by) * (c.sx - bx) > 0
+     AND (ax - cx) * (c.sy - cy) - (ay - cy) * (c.sx - cx) > 0
+    GROUP BY poly_id
+"""
+
+
+@register("raster_basin_stats", oracle=_BASIN_ORACLE)
+def raster_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basin-averaged raster values: tiles bbox-pruned against
+    broadcast CCW triangle basins, ray-cast refine on cell centers
+    (operators/raster.zonal_stats_polygon)."""
+    from .operators.raster import tile_cells, zonal_stats_polygon
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    ax, ay = (k * 11) % 70, (k * 23) % 70
+    verts = [
+        (ax, ay),
+        (ax + 20 + k % 7, ay + 4 + k % 5),
+        (ax + 6 + k % 4, ay + 24 + k % 6),
+    ]
+    polys = nation.select(
+        k.cast("int").alias("poly_id"),
+        F.array(*[
+            F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+            for x, y in verts
+        ]).alias("ring"),
+    )
+    tiles = tile_cells(_raster_cells(spark, sf_dir), tile=16)
+    out = zonal_stats_polygon(tiles, polys)
+    return _round(out, {"zmean": 6})
