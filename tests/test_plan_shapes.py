@@ -133,3 +133,34 @@ def test_mixture_sample_map_only_keep_rule(spark):
     p = plan(spark, "mixture_domain_sample")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_corrected_read_at_is_map_only(spark):
+    # corrections reconstructed at plan-build time compile into one
+    # when()-chain: zero exchanges over the fact
+    import re
+
+    p = plan(spark, "corrected_read_at")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
+    assert "Join" not in p
+
+
+def test_basin_stats_broadcasts_polygons(spark):
+    # the non-equi bbox join must build on the broadcast polygon side;
+    # no shuffle of tiles against polygons
+    import re
+
+    p = plan(spark, "raster_basin_stats")
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p and "BuildRight" in p
+
+
+def test_text_kernels_map_only(spark):
+    # entropy fold and C4 line filter never shuffle
+    import re
+
+    for name in ("token_entropy", "c4_line_filter"):
+        p = plan(spark, name)
+        assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0, name
+        assert "Join" not in p, name
