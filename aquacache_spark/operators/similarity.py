@@ -216,8 +216,13 @@ def kmeans_centroids(
         for cid, cv in enumerate(cents):
             carr = F.array(*[F.lit(c) for c in cv])
             sim = _dot(vec, carr) / (nv * F.sqrt(_dot(carr, carr)))
+            # 1e-9 quantization before the argmax: assignment decisions
+            # survive sub-quantum engine drift (belt-and-suspenders; the
+            # arithmetic is already written to be bit-identical on both
+            # engines, and the oracle quantizes the same way)
+            qsim = F.floor(sim * 1e9 + F.lit(0.5))
             choices.append(
-                F.struct(sim.alias("s"), F.lit(-cid).alias("nc"))
+                F.struct(qsim.alias("s"), F.lit(-cid).alias("nc"))
             )
         best = F.array_max(F.array(*choices))
         rows = (

@@ -2875,7 +2875,8 @@ def _kmeans_cte(nlist: int = 16, iters: int = 3, dim: int = 64) -> str:
       SELECT vec_id, emb, cid FROM (
         SELECT corp.vec_id, corp.emb, c.cid,
                row_number() OVER (PARTITION BY corp.vec_id
-                 ORDER BY {_cos_sql('corp.emb', 'c.centv', dim)} DESC,
+                 ORDER BY floor(({_cos_sql('corp.emb', 'c.centv', dim)})
+                                * 1000000000.0 + 0.5) DESC,
                           c.cid) AS rn
         FROM corp, cent_{t} c) WHERE rn = 1
     ), upd_{t} AS (
