@@ -249,7 +249,11 @@ def embedding_near_duplicates(
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", _cosine(F.col("__va"), F.col("__vb")))
-        .where(F.col("cosine") >= F.lit(threshold))
+        .where(
+            # quantized threshold compare — see similarity._qrank
+            F.floor(F.col("cosine") * 1e9 + F.lit(0.5))
+            >= F.floor(F.lit(threshold) * 1e9 + F.lit(0.5))
+        )
         .select("id_a", "id_b", "cosine")
     )
 

@@ -33,6 +33,15 @@ def _as_double(arr):
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def _qrank(c):
+    """1e-9 quantization of a similarity used as a RANKING/THRESHOLD
+    key (not an output value): structure-determining comparisons must
+    not flip on last-ulp differences between engine dot-product
+    implementations (Spark's sequential fold vs the oracle's
+    list_dot_product)."""
+    return F.floor(c * 1e9 + F.lit(0.5))
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -64,7 +73,8 @@ def cosine_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", dot / (nq * nc))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(_qrank(F.col("cosine"))), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
@@ -142,7 +152,8 @@ def ann_topk_lsh(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", dot / (nq * nc))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(_qrank(F.col("cosine"))), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
@@ -271,7 +282,8 @@ def ivf_assign(
         .crossJoin(F.broadcast(centroids))
         .withColumn("__sim", _cosine(F.col("__v"), F.col("__centv")))
     )
-    w = Window.partitionBy(out_id).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    w = Window.partitionBy(out_id).orderBy(
+        F.desc(_qrank(F.col("__sim"))), F.asc("centroid_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= nprobe)
@@ -317,7 +329,8 @@ def ann_topk_ivf(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", _cosine(F.col("__qv"), F.col("__v")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(_qrank(F.col("cosine"))), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
@@ -454,7 +467,8 @@ def _pq_rank(scored: DataFrame, codebooks: list, k: int) -> DataFrame:
         bind(xhat, lambda xh: _dot(F.col("__qv"), xh)
              / (F.sqrt(_dot(F.col("__qv"), F.col("__qv"))) * F.sqrt(_dot(xh, xh)))),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(_qrank(F.col("cosine"))), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)

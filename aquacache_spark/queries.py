@@ -1281,7 +1281,8 @@ def _near_dup_oracle(threshold: float, planes: int) -> str:
       FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id
     )
     SELECT id_a, id_b, {R('cosine', 6)} AS cosine
-    FROM p WHERE cosine >= {threshold!r}
+    FROM p WHERE floor(cosine * 1000000000.0 + 0.5)
+               >= floor({threshold!r} * 1000000000.0 + 0.5)
 """
 
 
@@ -1322,7 +1323,8 @@ _COSINE_TOPK_ORACLE = f"""
       FROM q, c WHERE query_id <> neighbor_id
     ), r AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
+                                   ORDER BY floor(cosine * 1000000000.0 + 0.5) DESC,
+                                            neighbor_id) AS rank
       FROM s
     )
     SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
@@ -2497,7 +2499,8 @@ def _ann_oracle() -> str:
       FROM q JOIN b USING (bucket) WHERE b.nid <> q.qid
     ), r AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
+                                   ORDER BY floor(cosine * 1000000000.0 + 0.5) DESC,
+                                            neighbor_id) AS rank
       FROM s
     )
     SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
@@ -2564,7 +2567,8 @@ _PQ_ORACLE = f"""
       FROM q, rec r2 WHERE q.qid <> r2.nid
     ), r AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
+                                   ORDER BY floor(cosine * 1000000000.0 + 0.5) DESC,
+                                            neighbor_id) AS rank
       FROM s
     )
     SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
@@ -2923,7 +2927,8 @@ _IVF_ORACLE = f"""
         SELECT corp.vec_id, cent.centroid_id, corp.v,
                row_number() OVER (
                  PARTITION BY corp.vec_id
-                 ORDER BY {_IVF_COS.format(a='corp.v', b='cent.cv')} DESC,
+                 ORDER BY floor(({_IVF_COS.format(a='corp.v', b='cent.cv')})
+                                * 1000000000.0 + 0.5) DESC,
                           cent.centroid_id) AS rn
         FROM corp, cent) WHERE rn = 1
     ), probes AS (
@@ -2931,7 +2936,8 @@ _IVF_ORACLE = f"""
         SELECT corp.vec_id, cent.centroid_id, corp.v,
                row_number() OVER (
                  PARTITION BY corp.vec_id
-                 ORDER BY {_IVF_COS.format(a='corp.v', b='cent.cv')} DESC,
+                 ORDER BY floor(({_IVF_COS.format(a='corp.v', b='cent.cv')})
+                                * 1000000000.0 + 0.5) DESC,
                           cent.centroid_id) AS rn
         FROM corp, cent WHERE corp.vec_id < 10) WHERE rn <= 4
     ), s AS (
@@ -2941,7 +2947,8 @@ _IVF_ORACLE = f"""
       WHERE lists.neighbor_id <> probes.query_id
     ), r AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
+                                   ORDER BY floor(cosine * 1000000000.0 + 0.5) DESC,
+                                            neighbor_id) AS rank
       FROM s
     )
     SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
@@ -2979,7 +2986,8 @@ _IVFPQ_ORACLE = f"""
         SELECT corp.vec_id, cent.centroid_id, corp.v,
                row_number() OVER (
                  PARTITION BY corp.vec_id
-                 ORDER BY {_IVF_COS.format(a='corp.v', b='cent.cv')} DESC,
+                 ORDER BY floor(({_IVF_COS.format(a='corp.v', b='cent.cv')})
+                                * 1000000000.0 + 0.5) DESC,
                           cent.centroid_id) AS rn
         FROM corp, cent) WHERE rn = 1
     ), probes AS (
@@ -2987,7 +2995,8 @@ _IVFPQ_ORACLE = f"""
         SELECT corp.vec_id, cent.centroid_id, corp.v,
                row_number() OVER (
                  PARTITION BY corp.vec_id
-                 ORDER BY {_IVF_COS.format(a='corp.v', b='cent.cv')} DESC,
+                 ORDER BY floor(({_IVF_COS.format(a='corp.v', b='cent.cv')})
+                                * 1000000000.0 + 0.5) DESC,
                           cent.centroid_id) AS rn
         FROM corp, cent WHERE corp.vec_id < 10) WHERE rn <= 4
     ), seeds AS (
@@ -3026,7 +3035,8 @@ _IVFPQ_ORACLE = f"""
       WHERE rec.nid <> probes.query_id
     ), r AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
+                                   ORDER BY floor(cosine * 1000000000.0 + 0.5) DESC,
+                                            neighbor_id) AS rank
       FROM s
     )
     SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
