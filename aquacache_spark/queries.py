@@ -3093,9 +3093,13 @@ _NEAREST_ORACLE = f"""
       SELECT c_custkey AS target_id, {_CLAT} AS lat, {_CLON} AS lon
       FROM customer WHERE c_custkey <= 20
     ), scored AS (
+      -- dist quantized to 1e-6 km at computation: sin/cos/asin differ
+      -- in last ulps between JVM Math and libm, so every downstream
+      -- comparison (radius, rank, 1e-3 rounding) uses the quantum
       SELECT t.target_id, s.station_id,
-             {_HAVERSINE_SQL.format(lat1='t.lat', lon1='t.lon',
-                                    lat2='s.lat', lon2='s.lon')} AS dist_km
+             floor(({_HAVERSINE_SQL.format(lat1='t.lat', lon1='t.lon',
+                                           lat2='s.lat', lon2='s.lon')})
+                   * 1000000 + 0.5) / 1000000 AS dist_km
       FROM targets t, stations s
     ), ranked AS (
       SELECT *, row_number() OVER (PARTITION BY target_id
@@ -3149,7 +3153,8 @@ def nearest_station_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("target_id").orderBy("dist_km", "station_id")
     out = (
         stations.crossJoin(F.broadcast(targets))
-        .withColumn("dist_km", dist)
+        # 1e-6 km quantization — see the oracle note
+        .withColumn("dist_km", F.floor(dist * 1e6 + F.lit(0.5)) / 1e6)
         .where(F.col("dist_km") <= 3000.0)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
