@@ -266,51 +266,62 @@ def c4_doc_flags(text: Column) -> tuple[Column, Column]:
     return low.contains("{"), low.contains("lorem ipsum")
 
 
-def token_entropy(text: Column) -> Column:
+def token_entropy_cols(df, text_col: str = "text",
+                       entropy_col: str = "entropy",
+                       distinct_col: str = "n_distinct"):
     """Within-doc Shannon entropy of the token distribution, in nats —
     the low-entropy-boilerplate curation signal.
 
-    One sorted-array fold in codegen (the ``top_count`` pattern): run
-    lengths of the sorted tokens accumulate quantized
-    ``(c/n)·ln(c/n)`` micro-nat terms through an exact integer sum, so
-    the result is order-independent and reproducible bit-for-bit in
-    SQL.  Returns the struct (entropy double, n_distinct int).
+    DataFrame-level on purpose: each stage materializes as a projected
+    column, so array subexpressions are evaluated once per row.  An
+    expression nested inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT (measured: the single-Column formulation
+    of this kernel re-sorted the token array inside the fold and went
+    quadratic).  Pipeline: sorted tokens -> run-start flags (zip with
+    the shifted array) -> run-start positions -> run lengths -> one
+    short fold over DISTINCT-token counts accumulating quantized
+    (c/n)·ln(c/n) micro-nat terms through an exact integer sum
+    (order-independent, bit-reproducible in SQL).
     """
-    toks = F.array_sort(tokens(F.lower(text)))
-    n = F.size(toks)
-
-    def term(run: Column) -> Column:
-        p = run.cast("double") / n.cast("double")
-        return F.floor(p * F.log(p) * 1e6 + F.lit(0.5)).cast("long")
-
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).cast("long").alias("acc"),
-        F.lit(0).alias("nd"),
+    toks = F.array_sort(tokens(F.lower(F.col(text_col))))
+    df = df.withColumn("__te_toks", toks)
+    df = df.withColumn("__te_n", F.size("__te_toks"))
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(F.col("__te_toks"), 1,
+                F.greatest(F.col("__te_n") - 1, F.lit(0))),
+    )
+    flags = F.zip_with(
+        F.col("__te_toks"), prev, lambda a, b: ~a.eqNullSafe(b)
+    )
+    df = df.withColumn(
+        "__te_starts",
+        F.filter(
+            F.transform(flags, lambda fl, i: F.when(fl, i)),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    ends = F.concat(
+        F.slice(F.col("__te_starts"), 2,
+                F.greatest(F.size("__te_starts") - 1, F.lit(0))),
+        F.array(F.col("__te_n")),
+    )
+    df = df.withColumn(
+        "__te_counts",
+        F.zip_with(F.col("__te_starts"), ends, lambda s, e: e - s),
     )
 
-    def step(acc: Column, x: Column) -> Column:
-        same = x.eqNullSafe(acc["prev"])
-        return F.when(
-            same,
-            F.struct(x.alias("prev"), (acc["run"] + 1).alias("run"),
-                     acc["acc"].alias("acc"), acc["nd"].alias("nd")),
-        ).otherwise(
-            F.struct(
-                x.alias("prev"), F.lit(1).alias("run"),
-                (acc["acc"] + F.when(acc["run"] > 0, term(acc["run"]))
-                 .otherwise(F.lit(0).cast("long"))).alias("acc"),
-                (acc["nd"] + 1).alias("nd"),
-            )
-        )
-
-    def fin(acc: Column) -> Column:
-        total = acc["acc"] + F.when(acc["run"] > 0, term(acc["run"])) \
-            .otherwise(F.lit(0).cast("long"))
-        return F.struct(
-            (-total.cast("double") / 1e6).alias("entropy"),
-            acc["nd"].alias("n_distinct"),
-        )
-
-    return F.aggregate(toks, acc0, step, fin)
+    nn = F.col("__te_n").cast("double")
+    total = F.aggregate(
+        F.col("__te_counts"),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + F.floor(
+            (c.cast("double") / nn) * F.log(c.cast("double") / nn) * 1e6
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return (
+        df.withColumn(entropy_col, -total.cast("double") / 1e6)
+        .withColumn(distinct_col, F.size("__te_starts"))
+        .drop("__te_toks", "__te_n", "__te_starts", "__te_counts")
+    )

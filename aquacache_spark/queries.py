@@ -8405,16 +8405,12 @@ _ENTROPY_ORACLE = f"""
 
 @register("token_entropy", oracle=_ENTROPY_ORACLE)
 def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc token entropy + distinct count in one codegen'd
-    sorted-array fold (functions/text.token_entropy)."""
-    from .functions.text import token_entropy
+    """Per-doc token entropy + distinct count via staged array
+    columns (functions/text.token_entropy_cols)."""
+    from .functions.text import token_entropy_cols
 
     docs = _t(spark, sf_dir, "documents")
-    e = token_entropy(F.col("text"))
-    out = docs.select(
-        "doc_id", e["entropy"].alias("entropy"),
-        e["n_distinct"].alias("n_distinct"),
-    )
+    out = token_entropy_cols(docs).select("doc_id", "entropy", "n_distinct")
     return _round(out, {"entropy": 6})
 
 
@@ -8430,19 +8426,23 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADJUST_SRC_SQL = """
     ex AS (
       SELECT * FROM (VALUES
-        ('click', 1, TIMESTAMP '2024-01-03', TIMESTAMP '2024-01-12', 'A'),
-        ('click', 2, TIMESTAMP '2024-01-12', TIMESTAMP '2024-01-20', 'B'),
-        ('click', 3, TIMESTAMP '2024-01-20', TIMESTAMP '2024-01-28', 'A'),
-        ('error', 4, TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-15', 'C'),
-        ('error', 5, TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-25', 'B')
+        ('click', 1, TIMESTAMP '2024-01-03', TIMESTAMP '2024-01-08 12:00:00', 'A'),
+        ('click', 2, TIMESTAMP '2024-01-08 12:00:00', TIMESTAMP '2024-01-09 06:00:00', 'B'),
+        ('click', 3, TIMESTAMP '2024-01-09 06:00:00', TIMESTAMP '2024-01-11', 'A'),
+        ('error', 4, TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-09', 'C'),
+        ('error', 5, TIMESTAMP '2024-01-09', TIMESTAMP '2024-01-12', 'B')
       ) AS t(series, segment_id, start_dt, end_dt, value)
     ), pts AS (
       SELECT event_type AS series, CAST(ts AS TIMESTAMP) AS t, event_id,
              CASE WHEN value < 10 THEN 'A'
                   WHEN value < 30 THEN 'B' ELSE 'C' END AS g
       FROM events
+      -- one fetch batch's worth of points: the interval algebra
+      -- operates on catalog-sized QC segment sets (a batch's runs),
+      -- never a month of raw points (adjust_functions.R applies per
+      -- getNewContinuous fetch)
       WHERE event_type IN ('click', 'error')
-        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-10'
     ), rle0 AS (
       SELECT *, CASE WHEN g IS NOT DISTINCT FROM
                        lag(g) OVER (PARTITION BY series ORDER BY t, event_id)
@@ -8482,8 +8482,8 @@ def qc_adjust_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     pts = ev.where(
         F.col("event_type").isin("click", "error")
-        & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
+        & (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-10").cast("timestamp"))
     ).select(
         F.col("event_type").alias("series"), "ts", "event_id",
         F.when(F.col("value") < 10, "A")
@@ -8500,11 +8500,11 @@ def qc_adjust_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("g").alias("value"))
     )
     existing = _ldf(spark, [
-        ("click", 1, "2024-01-03 00:00:00", "2024-01-12 00:00:00", "A"),
-        ("click", 2, "2024-01-12 00:00:00", "2024-01-20 00:00:00", "B"),
-        ("click", 3, "2024-01-20 00:00:00", "2024-01-28 00:00:00", "A"),
-        ("error", 4, "2024-01-05 00:00:00", "2024-01-15 00:00:00", "C"),
-        ("error", 5, "2024-01-15 00:00:00", "2024-01-25 00:00:00", "B"),
+        ("click", 1, "2024-01-03 00:00:00", "2024-01-08 12:00:00", "A"),
+        ("click", 2, "2024-01-08 12:00:00", "2024-01-09 06:00:00", "B"),
+        ("click", 3, "2024-01-09 06:00:00", "2024-01-11 00:00:00", "A"),
+        ("error", 4, "2024-01-05 00:00:00", "2024-01-09 00:00:00", "C"),
+        ("error", 5, "2024-01-09 00:00:00", "2024-01-12 00:00:00", "B"),
     ], "series string, segment_id int, start_dt string, end_dt string,"
        " value string")
     for c in ("start_dt", "end_dt"):

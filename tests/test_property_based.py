@@ -333,15 +333,11 @@ def test_token_entropy_matches_direct(spark, words):
 
     from pyspark.sql import functions as F
 
-    from aquacache_spark.functions.text import token_entropy
+    from aquacache_spark.functions.text import token_entropy_cols
     from aquacache_spark.session import local_df
 
     text = " ".join(words)
-    row = (
-        local_df(spark, [(text,)], ["text"])
-        .select(token_entropy(F.col("text")).alias("e"))
-        .first()["e"]
-    )
+    row = token_entropy_cols(local_df(spark, [(text,)], ["text"])).first()
     toks = text.lower().split(" ")
     counts = Counter(toks)
     n = len(toks)
