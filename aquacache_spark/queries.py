@@ -8108,8 +8108,34 @@ def corrected_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain and applied to the fact (apply_corrections_at)."""
     from .operators.audit import rows_as_of
 
-    fields = ("event_type", "start_dt", "end_dt", "ctype", "value1",
-              "value2")
+    current, log = _cra_frames(spark)
+    snap = rows_as_of(current, log, _CRA_AS_OF,
+                      field_cols=_CRA_FIELDS)
+    rows = sorted(
+        (r for r in snap.collect() if r["event_type"] is not None),
+        key=lambda r: r["row_id"],
+    )
+    corrections = [
+        Correction(r["row_id"], r["event_type"], str(r["start_dt"]),
+                   str(r["end_dt"]), r["ctype"], value1=r["value1"],
+                   value2=r["value2"])
+        for r in rows
+    ]
+    ev = _t(spark, sf_dir, "events")
+    out = apply_corrections(
+        ev, corrections, ts_col="event_type", dt_col="ts",
+        value_col="value", out_col="v",
+    ).select("event_id", "event_type", "ts", "v")
+    return _round(out, {"v": 4}).withColumnRenamed("v", "corrected_value")
+
+
+_CRA_FIELDS = ("event_type", "start_dt", "end_dt", "ctype", "value1",
+               "value2")
+
+
+def _cra_frames(spark: SparkSession):
+    """The corrections current-table + audit-log fixture shared by
+    corrected_read_at and daily_corrected_at."""
     current = _ldf(spark, [
         (1, "click", "2024-01-05 00:00:00", "2024-01-10 00:00:00",
          "offset_linear", 0.9, None, "2024-02-01 00:00:00"),
@@ -8140,24 +8166,7 @@ def corrected_read_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("action_timestamp", "orig_start_dt", "orig_end_dt",
               "row_created"):
         log = log.withColumn(c, F.col(c).cast("timestamp"))
-
-    snap = rows_as_of(current, log, _CRA_AS_OF, field_cols=fields)
-    rows = sorted(
-        (r for r in snap.collect() if r["event_type"] is not None),
-        key=lambda r: r["row_id"],
-    )
-    corrections = [
-        Correction(r["row_id"], r["event_type"], str(r["start_dt"]),
-                   str(r["end_dt"]), r["ctype"], value1=r["value1"],
-                   value2=r["value2"])
-        for r in rows
-    ]
-    ev = _t(spark, sf_dir, "events")
-    out = apply_corrections(
-        ev, corrections, ts_col="event_type", dt_col="ts",
-        value_col="value", out_col="v",
-    ).select("event_id", "event_type", "ts", "v")
-    return _round(out, {"v": 4}).withColumnRenamed("v", "corrected_value")
+    return current, log
 
 
 # ---------------------------------------------------------------------------
@@ -8578,3 +8587,59 @@ def raster_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = tile_cells(_raster_cells(spark, sf_dir), tile=16)
     out = zonal_stats_polygon(tiles, polys)
     return _round(out, {"zmean": 6})
+
+
+# ---------------------------------------------------------------------------
+# §2.12 measurements_calculated_daily_corrected_at (patch_55.R:3282-3600):
+# the daily table recomputed from the point-in-time CORRECTED fact —
+# corrections reconstructed from their audit log at p_as_of, then the
+# exact same refresh ladder as the live table (the oracle reuses
+# _refresh_tail_sql, pinning all three daily queries to one definition).
+# ---------------------------------------------------------------------------
+
+_DAILY_CORR_AT_ORACLE = (
+    _CRA_ORACLE.split("SELECT event_id, event_type, ts,")[0]
+    + f""", daily AS (
+      SELECT event_type AS priority, CAST(ts AS DATE) AS date,
+             {DSUM('v')} / count(v) AS value
+      FROM c_two GROUP BY 1, 2 HAVING count(v) > 0"""
+    + _refresh_tail_sql(
+        """SELECT event_type AS priority,
+             max(CAST(ts AS DATE)) AS last_d
+      FROM events GROUP BY 1"""
+    )
+)
+
+
+@register("daily_corrected_at", oracle=_DAILY_CORR_AT_ORACLE)
+def daily_corrected_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of corrections (operators/audit.rows_as_of) -> corrected
+    fact -> full daily refresh ladder (operators/refresh)."""
+    from .operators.audit import rows_as_of
+    from .operators.refresh import refresh_calculated_daily
+
+    current, log = _cra_frames(spark)
+    snap = rows_as_of(current, log, _CRA_AS_OF, field_cols=_CRA_FIELDS)
+    rows = sorted(
+        (r for r in snap.collect() if r["event_type"] is not None),
+        key=lambda r: r["row_id"],
+    )
+    corrections = [
+        Correction(r["row_id"], r["event_type"], str(r["start_dt"]),
+                   str(r["end_dt"]), r["ctype"], value1=r["value1"],
+                   value2=r["value2"])
+        for r in rows
+    ]
+    raw = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("priority"),
+        F.col("ts"), F.col("value"),
+    )
+    out = refresh_calculated_daily(
+        raw, corrections, series_col="priority", dt_col="ts",
+        value_col="value", agg_type="mean", today="2026-01-15",
+    )
+    return _round(
+        out,
+        {"value": 4, "percent_historic_range": 4, "max": 4, "min": 4,
+         "mean": 4, "q10": 4, "q25": 4, "q50": 4, "q75": 4, "q90": 4},
+    )
