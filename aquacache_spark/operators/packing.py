@@ -73,6 +73,7 @@ def pack_sequences(
     n_shards: int = 32,
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
+    group_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Next-fit packing of documents into fixed token-budget bins.
 
@@ -87,20 +88,34 @@ def pack_sequences(
     a window: a cumulative-sum split would let documents straddle
     bins.
     """
-    sharded = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col(token_col).cast("long").alias(token_col),
-        (md5_int(F.col(id_col).cast("string")) % n_shards).alias("shard"),
-    )
+    if group_cols is None:
+        keys = ["shard"]
+        sharded = docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(token_col).cast("long").alias(token_col),
+            (md5_int(F.col(id_col).cast("string")) % n_shards)
+            .alias("shard"),
+        )
+        key_fields = [T.StructField("shard", T.LongType())]
+    else:
+        # caller-supplied packing groups (e.g. (split, shard)): bins
+        # never span a group, parallelism = group count
+        keys = list(group_cols)
+        sharded = docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(token_col).cast("long").alias(token_col),
+            *keys,
+        )
+        key_fields = [sharded.schema[k] for k in keys]
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField(token_col, T.LongType()),
-        T.StructField("shard", T.LongType()),
+        *key_fields,
         T.StructField("bin_id", T.LongType()),
         T.StructField("bin_offset", T.LongType()),
     ])
     return grouped_apply(
-        sharded, ["shard"], _pack_kernel(budget, id_col, token_col), schema
+        sharded, keys, _pack_kernel(budget, id_col, token_col), schema
     )
 
 

@@ -8643,3 +8643,83 @@ def daily_corrected_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"value": 4, "percent_historic_range": 4, "max": 4, "min": 4,
          "mean": 4, "q10": 4, "q25": 4, "q50": 4, "q75": 4, "q90": 4},
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: curated corpus -> packed training manifest. The curation
+# head (quality gate -> LSH clusters -> one rep per cluster ->
+# cluster-safe split) is shared verbatim with corpus_curation's oracle;
+# the kept docs then pack next-fit into 2048-token context windows per
+# (split, shard) — the manifest a trainer consumes.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_ORACLE = _CURATION_ORACLE.split("    SELECT CASE WHEN bucket")[0] + f"""
+    , sel AS (
+      SELECT doc_id, bpe_tokens AS n_tokens,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 4 AS shard
+      FROM uniq
+    ), ord AS (
+      SELECT *, row_number() OVER (PARTITION BY split, shard
+                                   ORDER BY doc_id) AS rn
+      FROM sel
+    ), pack AS (
+      SELECT split, shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(0 AS BIGINT) AS bin_offset,
+             n_tokens AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.split, o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens > 2048
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + o.n_tokens > 2048
+                  THEN CAST(0 AS BIGINT) ELSE p.fill END,
+             CASE WHEN p.fill + o.n_tokens > 2048
+                  THEN o.n_tokens ELSE p.fill + o.n_tokens END
+      FROM ord o JOIN pack p
+        ON o.split = p.split AND o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT split, shard, doc_id, n_tokens, bin_id, bin_offset FROM pack
+"""
+
+
+@register("curation_packed_manifest", oracle=_MANIFEST_ORACLE)
+def curation_packed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate -> near-dup clusters -> cluster reps ->
+    cluster-safe split -> next-fit packing per (split, shard): the
+    end-to-end path from raw corpus to trainer manifest."""
+    from .functions.text import bpe_token_count, quality_score, md5_int
+    from .operators.dedup import (
+        duplicate_clusters, lsh_candidate_pairs, minhash_signatures,
+    )
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    clusters = duplicate_clusters(pairs, docs.select("doc_id"))
+    q = F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5)) / 1e6
+    qual = docs.select(
+        "doc_id", q.alias("q"),
+        bpe_token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = qual.where(F.col("q") >= 0.7).join(
+        clusters.select("doc_id", "cluster_rep"), "doc_id"
+    )
+    surv = F.min("doc_id").over(Window.partitionBy("cluster_rep"))
+    sel = (
+        kept.withColumn("__surv", surv)
+        .where(F.col("doc_id") == F.col("__surv"))
+        .withColumn("bucket", _split_bucket(F.col("cluster_rep")))
+        .select(
+            "doc_id", "n_tokens",
+            F.when(F.col("bucket") < 90, "train")
+            .when(F.col("bucket") < 95, "val").otherwise("test")
+            .alias("split"),
+            (md5_int(F.col("doc_id").cast("string")) % 4).alias("shard"),
+        )
+    )
+    return pack_sequences(sel, budget=2048, group_cols=["split", "shard"])
