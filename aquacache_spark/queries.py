@@ -8723,3 +8723,57 @@ def curation_packed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pack_sequences(sel, budget=2048, group_cols=["split", "shard"])
+
+
+# ---------------------------------------------------------------------------
+# Sensor-QC spike detection: Hampel identifier (rolling median ± MAD)
+# per series — the automated detector in front of the reference's
+# manual grade/qualifier workflow (operators/spike.py).
+# ---------------------------------------------------------------------------
+
+_HAMPEL_ORACLE = f"""
+    WITH s AS (
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+             list_sort(list(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS win
+      FROM events
+    ), m AS (
+      SELECT *,
+             CASE WHEN len(win) % 2 = 1 THEN win[len(win) // 2 + 1]
+                  ELSE (win[len(win) // 2] + win[len(win) // 2 + 1]) / 2.0
+             END AS wmed
+      FROM s
+    ), d AS (
+      SELECT *, list_sort(list_transform(win, x -> abs(x - wmed))) AS devs
+      FROM m
+    ), md AS (
+      SELECT *,
+             CASE WHEN len(devs) % 2 = 1 THEN devs[len(devs) // 2 + 1]
+                  ELSE (devs[len(devs) // 2] + devs[len(devs) // 2 + 1]) / 2.0
+             END AS mad
+      FROM d
+    )
+    SELECT event_id, event_type, ts,
+           {R('wmed', 6)} AS window_median, {R('mad', 6)} AS mad,
+           coalesce(CASE WHEN value IS NOT NULL
+                         THEN abs(value - wmed) > 3.0 * 1.4826 * mad END,
+                    false) AS is_spike
+    FROM md
+"""
+
+
+@register("hampel_spike_flags", oracle=_HAMPEL_ORACLE)
+def hampel_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel spike flags over events, ±5-point windows, t=3."""
+    from .operators.spike import hampel_flags
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = hampel_flags(
+        ev, keys=["event_type"], dt_col="ts", value_col="value", k=5,
+        t=3.0, tiebreak_cols=["event_id"],
+    ).select("event_id", "event_type", "ts", "window_median", "mad",
+             "is_spike")
+    return _round(out, {"window_median": 6, "mad": 6})

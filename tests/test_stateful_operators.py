@@ -181,3 +181,27 @@ class TestPeriodKernel:
             spark.createDataFrame(pdf), keys=["k"], dt_col="t"
         ).toPandas()
         assert set(out["period"]) == {"P0DT1H30M0S"}
+
+
+class TestHampel:
+    def test_flags_known_spike(self, spark):
+        from aquacache_spark.operators.spike import hampel_flags
+        from aquacache_spark.session import local_df
+
+        rows = [(1, i, 10.0 + (i % 3) * 0.1) for i in range(20)]
+        rows[9] = (1, 9, 55.0)  # a clear spike
+        df = local_df(spark, rows, "series long, t long, value double")
+        out = {r["t"]: r for r in hampel_flags(
+            df, keys=["series"], dt_col="t", k=5, t=3.0).collect()}
+        assert out[9]["is_spike"] is True
+        assert sum(1 for r in out.values() if r["is_spike"]) == 1
+
+    def test_null_never_flagged(self, spark):
+        from aquacache_spark.operators.spike import hampel_flags
+        from aquacache_spark.session import local_df
+
+        rows = [(1, i, None if i == 4 else float(i % 2)) for i in range(10)]
+        df = local_df(spark, rows, "series long, t long, value double")
+        out = {r["t"]: r for r in hampel_flags(
+            df, keys=["series"], dt_col="t", k=2).collect()}
+        assert out[4]["is_spike"] is False
