@@ -92,6 +92,12 @@ def main() -> None:
                                        dt_col="datetime", value_col="value",
                                        reset_drop=5.0))
 
+    from aquacache_spark.operators.spike import hampel_flags
+
+    t("hampel_flags", hampel_flags(meas, keys=["timeseries_id"],
+                                   dt_col="datetime", value_col="value",
+                                   k=5))
+
     # ---- document tier: dedup/fingerprint machinery at 20x bench scale
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     seed = F.col("id") % (n_docs * 9 // 10)  # ~10% exact duplicates
