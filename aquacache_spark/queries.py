@@ -8777,3 +8777,79 @@ def hampel_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "ts", "window_median", "mad",
              "is_spike")
     return _round(out, {"window_median": 6, "mad": 6})
+
+
+# ---------------------------------------------------------------------------
+# Automated QC proposal: Hampel spike flags -> run-length spike
+# segments — the interval rows adjust() would then reconcile into the
+# qualifier table (detector in front of adjust_functions.R).
+# ---------------------------------------------------------------------------
+
+_SPIKE_SEG_ORACLE = f"""
+    WITH s AS (
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+             list_sort(list(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS win
+      FROM events
+    ), m AS (
+      SELECT *,
+             CASE WHEN len(win) % 2 = 1 THEN win[len(win) // 2 + 1]
+                  ELSE (win[len(win) // 2] + win[len(win) // 2 + 1]) / 2.0
+             END AS wmed
+      FROM s
+    ), d AS (
+      SELECT *, list_sort(list_transform(win, x -> abs(x - wmed))) AS devs
+      FROM m
+    ), md AS (
+      SELECT event_id, event_type, ts,
+             coalesce(CASE WHEN value IS NOT NULL
+                  THEN abs(value - (CASE WHEN len(win) % 2 = 1
+                                    THEN win[len(win) // 2 + 1]
+                                    ELSE (win[len(win) // 2]
+                                          + win[len(win) // 2 + 1]) / 2.0 END))
+                       > 3.0 * 1.4826
+                         * (CASE WHEN len(devs) % 2 = 1
+                            THEN devs[len(devs) // 2 + 1]
+                            ELSE (devs[len(devs) // 2]
+                                  + devs[len(devs) // 2 + 1]) / 2.0 END)
+                  END, false) AS is_spike
+      FROM d
+    ), rle0 AS (
+      SELECT *, CASE WHEN is_spike IS NOT DISTINCT FROM
+                       lag(is_spike) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id)
+                THEN 0 ELSE 1 END AS new_run
+      FROM md
+    ), rle1 AS (
+      SELECT *, sum(new_run) OVER (
+        PARTITION BY event_type ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM rle0
+    )
+    SELECT event_type, min(ts) AS start, max(ts) AS "end",
+           count(*) AS n
+    FROM rle1 WHERE is_spike
+    GROUP BY event_type, run
+"""
+
+
+@register("spike_qc_segments", oracle=_SPIKE_SEG_ORACLE)
+def spike_qc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hampel_flags -> rle_segments over the boolean flag -> proposed
+    spike intervals per series."""
+    from .operators.segments import rle_segments
+    from .operators.spike import hampel_flags
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    flagged = hampel_flags(
+        ev, keys=["event_type"], dt_col="ts", value_col="value", k=5,
+        t=3.0, tiebreak_cols=["event_id"],
+    ).select("event_type", "ts", "event_id", "is_spike")
+    runs = rle_segments(flagged, keys=["event_type"],
+                        order_col=["ts", "event_id"], value_col="is_spike")
+    return runs.where(F.col("is_spike")).select(
+        "event_type", "start", "end", "n"
+    )
