@@ -609,3 +609,89 @@ def unigram_surprisal(
             (F.sum("__q") / 1e6 / F.count(F.lit(1))).alias("mean_surprisal"),
         )
     )
+
+
+def repeated_span_coverage(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fragment-level exact-substring duplication signal — the
+    suffix-array-free approximation of "train-set substrings repeated
+    verbatim elsewhere": positions of k-token grams whose hash occurs
+    in >= 2 documents, reduced to the per-doc fraction of tokens
+    covered by any such span.
+
+    The covered-token union needs no interval algebra: with start
+    positions sorted, each start contributes ``min(k, s_i - s_{i-1})``
+    (first contributes k) — one lag window per doc.  Shapes: the gram
+    explode is map-side (token array bound once per row); the
+    repeated-hash reduction is one groupBy on the hash (shuffle ∝ gram
+    mass); the final reattachment joins two corpus-cardinality frames
+    co-partitioned on the doc id.  Docs shorter than k tokens emit no
+    grams and score 0.
+    """
+    from ..functions.text import bind, md5_int, tokens
+
+    def grams_of(toks):
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), n - k)
+        return F.when(
+            n >= k,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    md5_int(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+                    .alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+        bind(tokens(F.lower(F.col(text_col))), grams_of).alias("__g"),
+    )
+    grams = base.select(
+        id_col, F.explode("__g").alias("g")
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    repeated = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("h")
+    )
+    dup = grams.join(repeated, "h", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        dup.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__contrib",
+            F.when(F.col("__prev").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("pos") - F.col("__prev"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__contrib").alias("dup_tokens"),
+            F.count("*").alias("dup_spans"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(cov, id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("long")
+            .alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            (F.coalesce("dup_tokens", F.lit(0))
+             / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
+            .alias("coverage_frac"),
+        )
+    )

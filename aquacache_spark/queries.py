@@ -8853,3 +8853,64 @@ def spike_qc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.where(F.col("is_spike")).select(
         "event_type", "start", "end", "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data tier: fragment-level exact-substring duplication — the
+# per-doc fraction of tokens covered by k-grams repeated verbatim in
+# other documents (the suffix-array dedup signal, approximated with a
+# hashed positional-gram inverted index; operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+_SPAN_COV_ORACLE = f"""
+    WITH docs0 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(toks) AS n_tokens, toks FROM docs0
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST('0x' || substr(md5(array_to_string(
+               toks[i : i + {_SPAN_K} - 1], ' ')), 1, 15) AS BIGINT) AS h
+      FROM base, unnest(generate_series(1, len(toks) - {_SPAN_K} + 1)) AS t(i)
+      WHERE len(toks) >= {_SPAN_K}
+    ), repeated AS (
+      SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dup AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN repeated USING (h)
+    ), cov AS (
+      SELECT doc_id,
+             CAST(sum(contrib) AS BIGINT) AS dup_tokens,
+             count(*) AS dup_spans
+      FROM (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         IS NULL THEN {_SPAN_K}
+                    ELSE LEAST({_SPAN_K},
+                               pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos))
+               END AS contrib
+        FROM dup
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+           coalesce(c.dup_spans, 0) AS dup_spans,
+           coalesce(c.dup_tokens, 0) AS dup_tokens,
+           {R('coalesce(c.dup_tokens, 0)'
+              ' / CAST(greatest(b.n_tokens, 1) AS DOUBLE)', 6)}
+             AS coverage_frac
+    FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register("repeated_span_coverage", oracle=_SPAN_COV_ORACLE)
+def repeated_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc verbatim-duplication coverage over 8-token grams
+    (operators/dedup.repeated_span_coverage)."""
+    from .operators.dedup import repeated_span_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repeated_span_coverage(docs, k=_SPAN_K)
+    return _round(out, {"coverage_frac": 6})
