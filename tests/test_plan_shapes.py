@@ -164,3 +164,20 @@ def test_text_kernels_map_only(spark):
         p = plan(spark, name)
         assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0, name
         assert "Join" not in p, name
+
+
+def test_hampel_single_window_shuffle(spark):
+    # detector = one per-series window exchange, no joins
+    import re
+
+    p = plan(spark, "hampel_spike_flags")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "Join" not in p
+
+
+def test_span_coverage_no_fact_sort_merge_blowup(spark):
+    # gram reduction groups on the hash; reattachment is the only
+    # doc-keyed join and must not be a nested loop or cartesian
+    p = plan(spark, "repeated_span_coverage")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
