@@ -135,6 +135,10 @@ def main() -> None:
         docs.withColumn("source", (F.col("doc_id") % 5).cast("string")),
         strata_col="source"))
 
+    from aquacache_spark.operators.dedup import repeated_span_coverage
+
+    t("repeated_span_coverage", repeated_span_coverage(docs, k=8))
+
     # ---- embedding tier: ANN paths at 1000x the bench corpus. The
     # point is the *shape*: IVF+PQ serving time must track probed-list
     # mass (nprobe/nlist of the corpus) and byte-compressed scan width,
