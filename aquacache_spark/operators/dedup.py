@@ -657,13 +657,24 @@ def repeated_span_coverage(
     grams = base.select(
         id_col, F.explode("__g").alias("g")
     ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    repeated = (
+    # ONE gram pass: a repeated-hash semi-join would recompute the
+    # (md5-heavy) explode for both join sides; instead the single
+    # hash-keyed aggregate carries the (doc, pos) occurrence list and
+    # explodes the surviving hashes back out — occurrence lists are
+    # bounded by duplicate mass, the same inverted-index contract as
+    # the LSH tier
+    dup = (
         grams.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.collect_list(F.struct(F.col(id_col), F.col("pos")))
+            .alias("__ps"),
+        )
         .where(F.col("__nd") >= 2)
-        .select("h")
+        .select(F.explode("__ps").alias("p"))
+        .select(F.col(f"p.{id_col}").alias(id_col),
+                F.col("p.pos").alias("pos"))
     )
-    dup = grams.join(repeated, "h", "left_semi")
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
