@@ -75,45 +75,82 @@ def split_segments(
     (R/adjust_functions.R:18-250): the union of all interval boundaries
     defines elementary intervals; each takes the new value if a new
     segment covers it, else the existing value; adjacent equal values
-    merge. All per-series window work on interval tables (small).
+    merge.
+
+    Boundary-event sweep, O(b log b) per series with ONE exchange
+    (pinned in tests/test_plan_shapes.py): every segment emits an open
+    event ``(pos=start, ord=1, covered, value)`` and a close event
+    ``(pos=end, ord=0, not-covered)``; a single per-series window
+    ordered by ``(pos, ord)`` carries the per-source (new/existing)
+    active state via ``last(..., ignorenulls)``, and the last event row
+    at each position resolves the elementary interval that starts
+    there. Replaces the former elems x segments containment join
+    (O(segments^2) per series) — safe because segments within one
+    source never overlap, the reference's tstzrange exclusion
+    constraint (patch_55.R:227-255); zero-length segments cover no
+    half-open elementary interval and are dropped up front, as the
+    containment join did implicitly.
     """
     e = existing.select(*keys, start_col, end_col, F.col(value_col).alias("__v")) \
         .withColumn("__src", F.lit(0))
     n = new.select(*keys, start_col, end_col, F.col(value_col).alias("__v")) \
         .withColumn("__src", F.lit(1))
-    allseg = e.unionByName(n)
+    allseg = e.unionByName(n).where(F.col(start_col) < F.col(end_col))
+    vtype = allseg.schema["__v"].dataType
 
-    bounds = (
-        allseg.select(*keys, F.col(start_col).alias("__b"))
-        .unionByName(allseg.select(*keys, F.col(end_col).alias("__b")))
-        .distinct()
+    def events(pos_col: str, ord_val: int, covered: bool) -> DataFrame:
+        return allseg.select(
+            *keys,
+            F.col(pos_col).alias("__b"),
+            F.lit(ord_val).alias("__ord"),
+            "__src",
+            F.struct(
+                F.lit(covered).alias("cov"),
+                (F.col("__v") if covered
+                 else F.lit(None).cast(vtype)).alias("v"),
+            ).alias("__ev"),
+        )
+
+    evs = events(start_col, 1, True).unionByName(events(end_col, 0, False))
+    # Close sorts before open at the same position: a segment ending at
+    # b is inactive on [b, next), one starting at b is active there.
+    # __src / v in the order only for determinism under (contract-
+    # violating) same-source overlap.
+    order = [F.col("__b"), F.col("__ord"), F.col("__src"), F.col("__ev.v")]
+    w_carry = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    w = Window.partitionBy(*keys).orderBy("__b")
-    elems = (
-        bounds.withColumn("__next", F.lead("__b").over(w))
-        .where(F.col("__next").isNotNull())
-        .select(*keys, F.col("__b").alias("__es"), F.col("__next").alias("__ee"))
+    w_lead = Window.partitionBy(*keys).orderBy(*order)
+    state = (
+        evs.withColumn(
+            "__n", F.last(F.when(F.col("__src") == 1, F.col("__ev")),
+                          ignorenulls=True).over(w_carry))
+        .withColumn(
+            "__e", F.last(F.when(F.col("__src") == 0, F.col("__ev")),
+                          ignorenulls=True).over(w_carry))
+        .withColumn("__nxt_b", F.lead("__b").over(w_lead))
     )
-    # resolve each elementary interval: any covering new segment wins,
-    # else covering existing segment; none -> drop. Rename the segment
-    # side before joining — elems derives from allseg, so an unaliased
-    # join would be an ambiguous self-join.
-    segs = allseg.select(
-        *[F.col(k).alias(f"__s_{k}") for k in keys],
-        F.col(start_col).alias("__s_start"),
-        F.col(end_col).alias("__s_end"),
-        F.col("__v"),
-        F.col("__src"),
+    # last event row at each position carries the resolved state for
+    # the elementary interval starting there; its end is the next
+    # distinct boundary.
+    per_pos = state.where(
+        F.col("__nxt_b").isNull() | (F.col("__nxt_b") != F.col("__b"))
     )
-    cond = [elems[k] == segs[f"__s_{k}"] for k in keys]
-    covered = elems.join(segs, cond).where(
-        (F.col("__s_start") <= F.col("__es")) & (F.col("__s_end") >= F.col("__ee"))
-    )
-    w_pick = Window.partitionBy(*keys, "__es", "__ee").orderBy(F.desc("__src"))
+    w_next = Window.partitionBy(*keys).orderBy("__b")
     resolved = (
-        covered.withColumn("__pick", F.row_number().over(w_pick))
-        .where(F.col("__pick") == 1)
-        .select(*keys, F.col("__es"), F.col("__ee"), F.col("__v"))
+        per_pos.withColumn("__ee", F.lead("__b").over(w_next))
+        .where(
+            F.col("__ee").isNotNull()
+            & (F.coalesce(F.col("__n.cov"), F.lit(False))
+               | F.coalesce(F.col("__e.cov"), F.lit(False)))
+        )
+        .select(
+            *keys,
+            F.col("__b").alias("__es"),
+            F.col("__ee"),
+            F.when(F.col("__n.cov"), F.col("__n.v"))
+            .otherwise(F.col("__e.v")).alias("__v"),
+        )
     )
     # merge adjacent equal-valued elementary intervals (segment id via
     # "starts a new run" flag: value change OR gap)

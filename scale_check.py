@@ -98,6 +98,40 @@ def main() -> None:
                                    dt_col="datetime", value_col="value",
                                    k=5))
 
+    # ---- interval algebra at spike-QC density: 1M+ segments, 10k per
+    # series — the former elems x segments containment join was
+    # O(segments^2) per series (10^8 per series here); the boundary
+    # sweep must stay O(b log b)
+    from aquacache_spark.operators.segments import split_segments
+
+    n_seg_series, n_seg = 104, 10_000
+    seg_base = (
+        spark.range(0, n_seg_series * n_seg)
+        .select(
+            (F.col("id") % n_seg_series).alias("series"),
+            F.timestamp_seconds(
+                F.lit(1577836800)
+                + (F.col("id") / n_seg_series).cast("long") * 3600
+            ).alias("start_dt"),
+            ((F.col("id") % 7) + 1).alias("len_h"),
+            (F.col("id") % 3).alias("value"),
+        )
+        .withColumn(
+            "end_dt",
+            F.timestamp_seconds(
+                F.unix_timestamp("start_dt")
+                + F.least(F.col("len_h"), F.lit(1)) * 3600
+            ),
+        )
+        .drop("len_h")
+    )
+    seg_existing = seg_base.where(F.col("series") % 2 == 0)
+    seg_new = seg_base.where(F.col("series") % 2 == 1).withColumn(
+        "series", F.col("series") - 1
+    )
+    t("segment_overlay_1m", split_segments(
+        seg_existing, seg_new, keys=["series"]))
+
     # ---- document tier: dedup/fingerprint machinery at 20x bench scale
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     seed = F.col("id") % (n_docs * 9 // 10)  # ~10% exact duplicates

@@ -181,3 +181,14 @@ def test_span_coverage_no_fact_sort_merge_blowup(spark):
     p = plan(spark, "repeated_span_coverage")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_segment_overlay_sweep_single_exchange(spark):
+    # boundary-event sweep: one per-series exchange, zero joins — the
+    # former elems x segments containment join (O(segments^2) per
+    # series) must never come back
+    import re
+
+    p = plan(spark, "segment_overlay")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "Join" not in p
