@@ -627,10 +627,15 @@ def repeated_span_coverage(
     positions sorted, each start contributes ``min(k, s_i - s_{i-1})``
     (first contributes k) — one lag window per doc.  Shapes: the gram
     explode is map-side (token array bound once per row); the
-    repeated-hash reduction is one groupBy on the hash (shuffle ∝ gram
-    mass); the final reattachment joins two corpus-cardinality frames
-    co-partitioned on the doc id.  Docs shorter than k tokens emit no
-    grams and score 0.
+    repeated-hash reduction aggregates COUNTS only (never occurrence
+    lists — a boilerplate gram present in millions of docs must not
+    land one unbounded reducer array), then a hash-keyed semi-join
+    filters the gram table to surviving hashes: linear output per hot
+    hash, AQE-splittable, spill-safe.  The exploded gram table is
+    persisted once so the md5-heavy explode is not recomputed for the
+    second pass.  The final reattachment joins two corpus-cardinality
+    frames co-partitioned on the doc id.  Docs shorter than k tokens
+    emit no grams and score 0.
     """
     from ..functions.text import bind, md5_int, tokens
 
@@ -654,27 +659,25 @@ def repeated_span_coverage(
         F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
         bind(tokens(F.lower(F.col(text_col))), grams_of).alias("__g"),
     )
+    from pyspark.storagelevel import StorageLevel
+
     grams = base.select(
         id_col, F.explode("__g").alias("g")
-    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    # ONE gram pass: a repeated-hash semi-join would recompute the
-    # (md5-heavy) explode for both join sides; instead the single
-    # hash-keyed aggregate carries the (doc, pos) occurrence list and
-    # explodes the surviving hashes back out — occurrence lists are
-    # bounded by duplicate mass, the same inverted-index contract as
-    # the LSH tier
-    dup = (
+    ).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # counts-only reduction: count_distinct plans as a (h, doc)
+    # partial-distinct then a plain count — constant per-key state, no
+    # arrays, so a gram in millions of docs costs rows, not one
+    # reducer's heap. The semi-join back is linear in the hot hash's
+    # gram rows (right side is distinct hashes) and AQE-splittable.
+    survivors = (
         grams.groupBy("h")
-        .agg(
-            F.count_distinct(F.col(id_col)).alias("__nd"),
-            F.collect_list(F.struct(F.col(id_col), F.col("pos")))
-            .alias("__ps"),
-        )
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .where(F.col("__nd") >= 2)
-        .select(F.explode("__ps").alias("p"))
-        .select(F.col(f"p.{id_col}").alias(id_col),
-                F.col("p.pos").alias("pos"))
+        .select("h")
     )
+    dup = grams.join(survivors, "h", "left_semi").select(id_col, "pos")
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")

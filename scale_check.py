@@ -172,6 +172,19 @@ def main() -> None:
     from aquacache_spark.operators.dedup import repeated_span_coverage
 
     t("repeated_span_coverage", repeated_span_coverage(docs, k=8))
+    # adversarial hot-gram fixture: one 24-token boilerplate prefix in
+    # 50% of docs — every one of its k-grams lands in n_docs/2
+    # documents; the counts-only reduction must keep max-task memory
+    # bounded (the former collect_list variant buffered n_docs/2
+    # entries per hot hash in one reducer)
+    boiler = " ".join(f"rights{j} reserved{j}" for j in range(12))
+    hot = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(boiler + " "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    t("repeated_span_hot_gram", repeated_span_coverage(hot, k=8))
 
     # ---- embedding tier: ANN paths at 1000x the bench corpus. The
     # point is the *shape*: IVF+PQ serving time must track probed-list
