@@ -57,19 +57,57 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
                               n_buckets=8)
     base = make_df(spark, [(i, "2024-01-01 00:00:00", float(i)) for i in range(40)])
     store.merge(base)
+    before = store._load_manifest()["buckets"]
+
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 111.0)]))
+    after = store._load_manifest()["buckets"]
+    # only the bucket holding series 1 points at the new version dir —
+    # every other bucket's data was not rewritten
+    changed = [b for b in before if after[b] != before[b]]
+    assert len(changed) == 1
+    assert set(after) == set(before)
+
+
+def test_crash_between_stage_and_commit_reads_old_store(
+    spark, tmp_path, monkeypatch
+):
+    """Kill-mid-merge: a failure anywhere before the manifest replace
+    must leave the store exactly at its previous committed state."""
+    path = str(tmp_path / "store3")
+    store = ParquetMergeStore(spark, path, ["timeseries_id", "datetime"],
+                              n_buckets=4)
+    base = make_df(spark, [(i, "2024-01-01 00:00:00", float(i)) for i in range(8)])
+    store.merge(base)
+    pre = sorted(
+        (r["timeseries_id"], r["value"]) for r in store.read().collect()
+    )
+
     import os
 
-    before = {
-        b: os.path.getmtime(os.path.join(path, b))
-        for b in os.listdir(path) if b.startswith("bucket=")
-    }
-    import time
+    real_replace = os.replace
 
-    time.sleep(1.1)
-    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 111.0)]))
-    after = {
-        b: os.path.getmtime(os.path.join(path, b))
-        for b in os.listdir(path) if b.startswith("bucket=")
-    }
-    changed = [b for b in before if after[b] != before[b]]
-    assert len(changed) == 1  # only the bucket holding series 1
+    def boom(src, dst):
+        raise OSError("crash before commit")
+
+    monkeypatch.setattr("aquacache_spark.sources.store.os.replace", boom)
+    try:
+        store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 999.0)]))
+    except OSError:
+        pass
+    monkeypatch.setattr("aquacache_spark.sources.store.os.replace",
+                        real_replace)
+
+    # staged-but-uncommitted version dir is ignored by readers
+    post = sorted(
+        (r["timeseries_id"], r["value"]) for r in store.read().collect()
+    )
+    assert post == pre
+
+    # retry commits cleanly and sweeps the orphan version dir
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 999.0)]))
+    got = {r["timeseries_id"]: r["value"] for r in store.read().collect()}
+    assert got[1] == 999.0 and got[2] == 2.0
+    live = set(store._load_manifest()["buckets"].values())
+    on_disk = {int(d[1:]) for d in os.listdir(path)
+               if d.startswith("v") and d[1:].isdigit()}
+    assert on_disk == live
