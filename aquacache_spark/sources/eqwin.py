@@ -34,8 +34,10 @@ normalizes an arbitrary number of stations' exports:
   dropped entirely (R/downloadEQWin.R:243-246).
 
 Scale shape: mapping/parameters/stations are catalog-sized broadcasts;
-the results fact is touched in one map-side pass + one broadcast-semi
-join back to samples.  No Python UDFs anywhere.
+the results fact is touched in one map-side pass; the result<->sample
+reconciliation is a pair of shuffle semi-joins co-partitioned on
+sample_key (sample-cardinality — never broadcast).  No Python UDFs
+anywhere.
 """
 
 from __future__ import annotations
@@ -335,9 +337,11 @@ def normalize_eqwin(
         samples, stations, type_ids, media_ids, collection_ids,
         import_source, tz_offset_hours, unknown_time_local,
     )
+    # both semi-join filters are SAMPLE-cardinality (data, not
+    # catalog) — plain shuffle semi-joins on the shared sample_key;
+    # broadcasting a batch's worth of keys would not survive large
+    # imports
     keep = res.select("sample_key").distinct()
-    samp = samp.join(F.broadcast(keep), "sample_key", "left_semi")
-    res = res.join(
-        F.broadcast(samp.select("sample_key")), "sample_key", "left_semi"
-    )
+    samp = samp.join(keep, "sample_key", "left_semi")
+    res = res.join(samp.select("sample_key"), "sample_key", "left_semi")
     return samp, res

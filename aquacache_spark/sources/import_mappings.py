@@ -123,7 +123,11 @@ def resolve_mappings(
         F.col("import_mapping_id").alias("__mid"), *payload_cols
     )
     out = (
-        records.join(F.broadcast(best), record_id, "left")
+        # `best` is one row per MATCHED RECORD (data cardinality) — a
+        # plain shuffle join, co-partitioned on record_id; broadcasting
+        # it would OOM the driver at batch scale. Only the
+        # catalog-sized mapping payload broadcasts.
+        records.join(best, record_id, "left")
         .join(F.broadcast(payload), "__mid", "left")
         .withColumn(
             "status",

@@ -235,5 +235,6 @@ def qc_survey_batch(
         .withColumn("notes", F.regexp_replace(F.col("notes"), "'", ""))
         .drop("__method0", "__n_meas")
     )
+    # accepted ids are survey-cardinality (data) — shuffle semi-join
     accepted = s.where(F.col("status") == "ok").select(id_col)
-    return s, m_clean.join(F.broadcast(accepted), id_col, "left_semi")
+    return s, m_clean.join(accepted, id_col, "left_semi")

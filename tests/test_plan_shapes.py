@@ -91,11 +91,12 @@ def test_insert_validation_dims_broadcast(spark):
 
 
 def test_import_mapping_resolution_broadcasts_criteria(spark):
-    # melted criteria + best/payload joins all broadcast; the only
-    # exchange over records is the (record, mapping) hit count
+    # melted criteria + mapping payload broadcast; `best` (one row per
+    # matched record — data cardinality) must NOT broadcast: its
+    # reattachment is the shuffle join on record_id
     p = plan(spark, "import_mapping_resolution")
     assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_eqwin_normalize_broadcasts_dims(spark):
