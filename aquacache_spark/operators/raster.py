@@ -69,7 +69,11 @@ def tile_cells(
     # (pos, v) entries with one NULL filler per position, sort (struct
     # order puts the NULL filler before a real value at the same pos),
     # and keep the last entry of each pos run — array element_at is
-    # O(1), total O(m log m) per tile.
+    # O(1), total O((m + tile²) log(m + tile²)) per tile over the
+    # m real entries plus tile² fillers. Two input cells at the same
+    # (tile, pos) are a data contract violation (the former
+    # map_from_entries packing raised on duplicate keys) — asserted
+    # below, never silently last-wins.
     entries = F.collect_list(F.struct(F.col("__pos").alias("p"),
                                       F.col("__v").alias("v")))
     fillers = F.transform(
@@ -89,9 +93,20 @@ def tile_cells(
             ),
         )
 
+    dup_guard = F.assert_true(
+        F.col("__m") == F.col("__md"),
+        F.format_string(
+            "tile_cells: duplicate cell positions in tile (%s,%s)",
+            F.col("tile_x"), F.col("tile_y"),
+        ),
+    )
     return (
         placed.groupBy(*keys, "tile_x", "tile_y")
-        .agg(merged.alias("__all"))
+        .agg(
+            merged.alias("__all"),
+            F.count(F.lit(1)).alias("__m"),
+            F.count_distinct(F.col("__pos")).alias("__md"),
+        )
         .select(
             *keys,
             "tile_x",
@@ -102,8 +117,10 @@ def tile_cells(
             (F.col("tile_y") * tile).alias("ymin"),
             (F.col("tile_x") * tile + tile - 1).alias("xmax"),
             (F.col("tile_y") * tile + tile - 1).alias("ymax"),
-            F.transform(last_of_run(F.col("__all")), lambda e: e["v"])
-            .alias("cells"),
+            F.when(
+                dup_guard.isNull(),
+                F.transform(last_of_run(F.col("__all")), lambda e: e["v"]),
+            ).alias("cells"),
         )
     )
 

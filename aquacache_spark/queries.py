@@ -8734,9 +8734,10 @@ def curation_packed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HAMPEL_ORACLE = f"""
     WITH s AS (
       SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
-             list_sort(list(value) OVER (
+             list_sort(list_filter(list(value) OVER (
                PARTITION BY event_type ORDER BY ts, event_id
-               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS win
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING),
+               x -> x IS NOT NULL)) AS win
       FROM events
     ), m AS (
       SELECT *,
@@ -8779,6 +8780,37 @@ def hampel_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"window_median": 6, "mad": 6})
 
 
+# NULL-bearing variant: events.value has zero NULLs at every fixture
+# scale factor, so the NULL path of the detector (collect_list drops
+# NULLs; the oracle's list() must list_filter them) was latent — this
+# query nullifies a deterministic slice so both engines exercise it.
+_HAMPEL_NULLS_ORACLE = _HAMPEL_ORACLE.replace(
+    "FROM events",
+    "FROM (SELECT event_id, event_type, ts,"
+    " CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS value"
+    " FROM events)",
+)
+
+
+@register("hampel_spike_nulls", oracle=_HAMPEL_NULLS_ORACLE)
+def hampel_spike_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel flags with every 37th value NULLed: NULLs are excluded
+    from the median/MAD window and never flag as spikes."""
+    from .operators.spike import hampel_flags
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts",
+        F.when(F.col("event_id") % 37 == 0, F.lit(None))
+        .otherwise(F.col("value")).alias("value"),
+    )
+    out = hampel_flags(
+        ev, keys=["event_type"], dt_col="ts", value_col="value", k=5,
+        t=3.0, tiebreak_cols=["event_id"],
+    ).select("event_id", "event_type", "ts", "window_median", "mad",
+             "is_spike")
+    return _round(out, {"window_median": 6, "mad": 6})
+
+
 # ---------------------------------------------------------------------------
 # Automated QC proposal: Hampel spike flags -> run-length spike
 # segments — the interval rows adjust() would then reconcile into the
@@ -8788,9 +8820,10 @@ def hampel_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPIKE_SEG_ORACLE = f"""
     WITH s AS (
       SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
-             list_sort(list(value) OVER (
+             list_sort(list_filter(list(value) OVER (
                PARTITION BY event_type ORDER BY ts, event_id
-               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS win
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING),
+               x -> x IS NOT NULL)) AS win
       FROM events
     ), m AS (
       SELECT *,

@@ -101,9 +101,22 @@ def local_df(spark: SparkSession, data, schema):
 
     try:
         if isinstance(schema, (list, tuple)):
-            pdf = pd.DataFrame(data, columns=list(schema))
-            return spark.createDataFrame(pdf)
+            # pandas would widen an int column containing None to
+            # float64 (silent long->double schema drift vs the
+            # createDataFrame(list, names) path); infer the Spark
+            # schema from the rows with the same rules as that path,
+            # then let Arrow pack the object-dtype frame.
+            names = list(schema)
+            struct = spark._inferSchemaFromList(data, names)
+            pdf = pd.DataFrame(data, columns=names, dtype=object)
+            return spark.createDataFrame(pdf, schema=struct)
         pdf = pd.DataFrame(data)
         return spark.createDataFrame(pdf, schema=schema)
-    except Exception:
+    except Exception as exc:  # Arrow converter rejections are varied
+        import warnings
+
+        warnings.warn(
+            "local_df: LocalRelation fast path fell back to the "
+            f"RDD scan path ({exc!r})"
+        )
         return spark.createDataFrame(data, schema)

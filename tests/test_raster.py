@@ -165,3 +165,17 @@ def test_hrdps_connector_selective_lifecycle(spark, repo_root):
     got = sorted((r.valid_from.hour, r.issued.hour) for r in surv.collect())
     assert got == [(1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 0),
                    (7, 6), (8, 6), (9, 6)]
+
+
+def test_tile_cells_rejects_duplicate_positions(spark):
+    # two cells at the same (x, y) are a data error — the packer must
+    # raise, never silently keep one of them
+    import pytest
+    from aquacache_spark.operators.raster import tile_cells
+
+    cells = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 1, 7.0), (2, 1, 1.0)],
+        "x int, y int, value double",
+    )
+    with pytest.raises(Exception, match="duplicate cell positions"):
+        tile_cells(cells, tile=4).collect()
