@@ -317,3 +317,45 @@ class TestECCCwx:
             ),
         ).agg(F.max("datetime").alias("m")).collect()
         assert str(out[0]["m"]) == "2024-03-02 23:00:00"
+
+
+class TestAquariusBatch:
+    def test_batch_matches_per_payload_runs_and_never_single_partitions(
+        self, spark, repo_root, tmp_path
+    ):
+        """A batch of payloads normalizes in ONE pass with per-payload
+        windows — results identical to per-payload runs, and the plan
+        has no single-partition global sort (VERDICT r2 finding on the
+        qualifier-collapse window)."""
+        import shutil
+
+        from aquacache_spark.sources.aquarius import (
+            normalize_aquarius, normalize_aquarius_batch,
+        )
+
+        fix = repo_root / "fixtures/connectors/aquarius_09AA-M3.json"
+        a, b = tmp_path / "pay_a.json", tmp_path / "pay_b.json"
+        shutil.copy(fix, a)
+        shutil.copy(fix, b)
+
+        batch = normalize_aquarius_batch(spark, [str(a), str(b)])
+        p = batch._sc._jvm.PythonSQLUtils.explainString(
+            batch._jdf.queryExecution(), "formatted"
+        )
+        assert "SinglePartition" not in p
+
+        rows = batch.collect()
+        per_payload = {}
+        for r in rows:
+            per_payload.setdefault(r["payload"].split("/")[-1], []).append(
+                (str(r["datetime"]), r["value"], r["grade"], r["approval"],
+                 r["qualifier"])
+            )
+        assert set(per_payload) == {"pay_a.json", "pay_b.json"}
+        single = sorted(
+            (str(r["datetime"]), r["value"], r["grade"], r["approval"],
+             r["qualifier"])
+            for r in normalize_aquarius(spark, str(a)).collect()
+        )
+        assert sorted(per_payload["pay_a.json"]) == single
+        assert sorted(per_payload["pay_b.json"]) == single
