@@ -4424,6 +4424,76 @@ def nhn_layer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "attributes", "action", "geom_id")
 
 
+_NHN_GPKG = _FIXDIR / "nhn_sample.gpkg"
+
+@register(
+    "nhn_gpkg_layer_upsert",
+    oracle=f"""
+    WITH raw AS (
+      SELECT dataset_name, description, geometry, area_km2, province
+      FROM read_csv('{_NHN_FIX}', header=true)
+    ),
+    feats AS (
+      SELECT 'National Hydro Network - Basins' AS layer_name,
+             'NHN basin ' || dataset_name AS feature_name,
+             'polygon' AS geom_type,
+             -- WKT ring vertices minus the closing point == decoded
+             -- ring length (proves the GPB/WKB decode, not just the
+             -- attribute passthrough)
+             len(string_split(geometry, ',')) - 1 AS n_vertices,
+             description,
+             '{{"area_km2":' || CAST(area_km2 AS VARCHAR)
+               || ',"province":"' || province || '"}}' AS attributes
+      FROM raw
+    ),
+    existing AS (
+      SELECT 'National Hydro Network - Basins' AS layer_name,
+             'NHN basin basin_0' || CAST(i AS VARCHAR) AS feature_name,
+             'polygon' AS geom_type,
+             9001 + i AS geom_id
+      FROM range(3) t(i)
+    )
+    SELECT f.feature_name, f.geom_type, f.n_vertices, f.description,
+           f.attributes,
+           CASE WHEN e.geom_id IS NULL THEN 'insert' ELSE 'update' END AS action,
+           COALESCE(e.geom_id,
+             CAST('0x' || substr(md5(f.layer_name || '|' || f.feature_name
+                                 || '|' || f.geom_type), 1, 15) AS BIGINT)
+           ) AS geom_id
+    FROM feats f
+    LEFT JOIN existing e
+      ON e.layer_name = f.layer_name AND e.feature_name = f.feature_name
+     AND e.geom_type = f.geom_type
+    """,
+)
+def nhn_gpkg_layer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_nhn from the NATIVE GeoPackage container
+    (R/load_nhn.R:96-115,228-243): executors read disjoint rowid
+    ranges of the SQLite feature table, strip the GPB header, decode
+    WKB to rings, then run the same feature_name / attribute-JSON /
+    upsert pipeline. The oracle reads the CSV twin of the same
+    features — the container read must reproduce it exactly,
+    including the decoded ring length."""
+    from .sources.vector import load_nhn_layer
+
+    existing = spark.range(3).select(
+        F.lit("National Hydro Network - Basins").alias("layer_name"),
+        F.concat(F.lit("NHN basin basin_0"), F.col("id").cast("string"))
+        .alias("feature_name"),
+        F.lit("polygon").alias("geom_type"),
+        (F.col("id") + 9001).alias("geom_id"),
+    )
+    out = load_nhn_layer(
+        spark, "basins", existing,
+        gpkg_path=str(_NHN_GPKG), gpkg_table="basins", overwrite=True,
+    )
+    return out.select(
+        "feature_name", "geom_type",
+        F.size("ring").cast("bigint").alias("n_vertices"),
+        "description", "attributes", "action", "geom_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Media stores (insertACImage.R ON CONFLICT(file_hash) merge,
 # getNewImages.R watermarks, insertACDocument.R type validation).

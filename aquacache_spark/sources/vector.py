@@ -8,12 +8,16 @@ database's unique ``feature_name`` per layer (load_nhn.R:228-243,
 remaining attribute columns to JSON, clips to a bbox, and inserts via
 insertACVector with ``overwrite`` semantics.
 
-No GDAL here, so the GPKG decode is injectable: layers arrive as CSV
-with a WKT ``geometry`` column plus attribute columns (the exact frame
-``terra::vect`` would yield).  Everything after decode is real and
-distributed: WKT -> (ring, wkb) via an Arrow-batched kernel, layer
-normalization as column expressions, bbox clip, and the relational
-upsert from operators/vector.py.
+No GDAL here, but none is needed for the container: GeoPackage is
+SQLite, so ``read_gpkg_layer`` opens the national archive with the
+stdlib driver — catalog tables on the driver process, feature rows
+read by EXECUTORS over disjoint rowid ranges (the partitioned-JDBC
+pattern) — and ``decode_gpkg_geometries`` strips the GPB header and
+decodes the WKB with the pure-stdlib codec (functions/wkb.py). A CSV
+payload with a WKT ``geometry`` column remains supported as the
+injectable decode seam.  Everything after decode is distributed:
+layer normalization as column expressions, bbox clip, and the
+relational upsert from operators/vector.py.
 """
 
 from __future__ import annotations
@@ -41,6 +45,127 @@ NHN_LAYERS = {
 }
 
 RING_TYPE = "array<struct<x:double,y:double>>"
+
+
+_SQLITE_TO_SPARK = {
+    "INTEGER": "bigint", "INT": "bigint", "MEDIUMINT": "bigint",
+    "REAL": "double", "DOUBLE": "double", "FLOAT": "double",
+    "TEXT": "string", "VARCHAR": "string", "BLOB": "binary",
+}
+
+
+def gpb_to_wkb(blob: bytes) -> bytes:
+    """Strip the GeoPackage binary header (GPB, OGC 12-128r19 §2.1.3):
+    magic 'GP', version, flags byte (bits 1-3 = envelope contents
+    code), int32 srs_id, optional envelope — the rest is standard WKB,
+    which functions/wkb.py decodes."""
+    if blob[:2] != b"GP":
+        raise ValueError("not a GeoPackage geometry blob")
+    flags = blob[3]
+    env_code = (flags >> 1) & 0b111
+    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}.get(env_code)
+    if env_len is None:
+        raise ValueError(f"invalid GPB envelope code {env_code}")
+    return bytes(blob[8 + env_len:])
+
+
+def read_gpkg_layer(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    n_chunks: int = 16,
+) -> DataFrame:
+    """Distributed read of one GeoPackage feature table — GPKG is
+    SQLite, so the container opens with the stdlib driver; the driver
+    process reads only the catalog (gpkg_geometry_columns, PRAGMA
+    table_info, rowid bounds) and EXECUTORS each read a disjoint rowid
+    range — the partitioned-JDBC pattern without a JDBC jar. At scale
+    the .gpkg sits on shared storage and the scan parallelizes across
+    the cluster; per-chunk work is an index-range sqlite scan.
+
+    Output: attribute columns (sqlite decltypes mapped to Spark types)
+    plus the geometry as ``geometry binary`` (raw GPB blob).
+    """
+    import sqlite3
+
+    uri = f"file:{path}?mode=ro"
+    con = sqlite3.connect(uri, uri=True)
+    try:
+        row = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns "
+            "WHERE table_name = ?", (table,)
+        ).fetchone()
+        if row is None:
+            raise ValueError(f"{table!r} is not a feature table in {path}")
+        geom_col = row[0]
+        info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+        lo_hi = con.execute(
+            f'SELECT min(rowid), max(rowid) FROM "{table}"'
+        ).fetchone()
+    finally:
+        con.close()
+    lo, hi = (lo_hi[0] or 0), (lo_hi[1] or -1)
+
+    attr_cols = [name for _, name, *_ in info if name != geom_col]
+    types = {
+        name: _SQLITE_TO_SPARK.get(
+            (decl or "TEXT").split("(")[0].strip().upper(), "string")
+        for _, name, decl, *_ in info
+    }
+    schema = ", ".join(
+        [f"`{c}` {types[c]}" for c in attr_cols] + ["geometry binary"]
+    )
+    n = max(1, min(n_chunks, hi - lo + 1))
+    step = (hi - lo + n) // n if hi >= lo else 1
+    bounds = spark.range(n).select(
+        (F.lit(lo) + F.col("id") * step).alias("__lo"),
+        F.least(F.lit(lo) + (F.col("id") + 1) * step - 1, F.lit(hi))
+        .alias("__hi"),
+    )
+    sel = ", ".join([f'"{c}"' for c in attr_cols] + [f'"{geom_col}"'])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for b_lo, b_hi in zip(pdf["__lo"], pdf["__hi"]):
+                c = sqlite3.connect(uri, uri=True)
+                try:
+                    cur = c.execute(
+                        f'SELECT {sel} FROM "{table}" '
+                        "WHERE rowid BETWEEN ? AND ?",
+                        (int(b_lo), int(b_hi)),
+                    )
+                    rows = cur.fetchall()
+                finally:
+                    c.close()
+                out = pd.DataFrame(
+                    rows, columns=attr_cols + ["geometry"], dtype=object
+                )
+                yield out
+
+    return bounds.mapInPandas(kernel, schema=schema)
+
+
+def decode_gpkg_geometries(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
+    """Bulk GPB blob -> (geom_type, ring, wkb), Arrow-batched — the
+    native-container sibling of decode_wkt_geometries."""
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != geom_col
+    )
+    out_schema = (fields + ", " if fields else "") + \
+        f"geom_type string, ring {RING_TYPE}, wkb binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wkbs = [gpb_to_wkb(b) for b in pdf[geom_col]]
+            geoms = [wkb_codec.decode(w) for w in wkbs]
+            out = pdf.drop(columns=[geom_col]).copy()
+            out["geom_type"] = [g[0] for g in geoms]
+            out["ring"] = [[{"x": x, "y": y} for x, y in g[1]] for g in geoms]
+            out["wkb"] = wkbs
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def decode_wkt_geometries(df: DataFrame, wkt_col: str = "geometry") -> DataFrame:
@@ -71,6 +196,8 @@ def load_nhn_layer(
     layer: str,
     existing: DataFrame,
     payload_path: str | None = None,
+    gpkg_path: str | None = None,
+    gpkg_table: str | None = None,
     clip: tuple[float, float, float, float] | None = None,
     overwrite: bool = False,
 ) -> DataFrame:
@@ -82,15 +209,20 @@ def load_nhn_layer(
     if layer not in NHN_LAYERS:
         raise ValueError(f"unknown NHN layer {layer!r}; "
                          f"valid: {sorted(NHN_LAYERS)}")
-    if payload_path is None:
+    if payload_path is None and gpkg_path is None:
         raise NotImplementedError(
-            "NHN fetch requires the NRCan archive; pass payload_path with "
-            "a decoded layer CSV (WKT geometry column)"
+            "NHN fetch requires the NRCan archive; pass gpkg_path with a "
+            "downloaded GeoPackage (read natively, R/load_nhn.R:96-115) "
+            "or payload_path with a decoded layer CSV (WKT geometry)"
         )
     layer_name, prefix, id_col, attr_cols = NHN_LAYERS[layer]
-    raw = spark.read.option("header", True).option("inferSchema", True) \
-        .csv(payload_path)
-    g = decode_wkt_geometries(raw)
+    if gpkg_path is not None:
+        raw = read_gpkg_layer(spark, gpkg_path, gpkg_table or layer)
+        g = decode_gpkg_geometries(raw)
+    else:
+        raw = spark.read.option("header", True).option("inferSchema", True) \
+            .csv(payload_path)
+        g = decode_wkt_geometries(raw)
     # unique key construction (load_nhn.R:228-243): prefix + feature id
     g = g.withColumn("__fname", F.concat(F.lit(prefix), F.col(id_col).cast("string")))
     feats = prepare_features(

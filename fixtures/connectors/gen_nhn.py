@@ -46,8 +46,66 @@ def write(name, header, rows):
     print(name, len(rows), "rows")
 
 
+def write_gpkg(name="nhn_sample.gpkg"):
+    """Native GeoPackage fixture: the same basins/waterbodies features
+    as the CSVs, but as a real SQLite container with gpkg_contents /
+    gpkg_geometry_columns and GPB-wrapped WKB geometry blobs — what
+    R/load_nhn.R:96-115 actually opens."""
+    import sqlite3
+    import struct
+    import sys
+
+    sys.path.insert(0, os.path.join(HERE, "..", ".."))
+    from aquacache_spark.functions import wkb as wkb_codec
+
+    path = os.path.join(HERE, name)
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    con.executescript("""
+        PRAGMA application_id = 0x47504B47;
+        CREATE TABLE gpkg_contents (
+          table_name TEXT PRIMARY KEY, data_type TEXT, identifier TEXT,
+          srs_id INTEGER);
+        CREATE TABLE gpkg_geometry_columns (
+          table_name TEXT, column_name TEXT, geometry_type_name TEXT,
+          srs_id INTEGER, z INTEGER, m INTEGER);
+        CREATE TABLE basins (
+          fid INTEGER PRIMARY KEY, dataset_name TEXT, description TEXT,
+          geom BLOB, area_km2 REAL, province TEXT);
+        CREATE TABLE waterbodies (
+          fid INTEGER PRIMARY KEY, waterbody_id INTEGER, geom BLOB,
+          permanency TEXT, area_km2 REAL);
+    """)
+    for tbl, gtype in (("basins", "POLYGON"), ("waterbodies", "POLYGON")):
+        con.execute("INSERT INTO gpkg_contents VALUES (?, 'features', ?, 4326)",
+                    (tbl, tbl))
+        con.execute("INSERT INTO gpkg_geometry_columns VALUES "
+                    "(?, 'geom', ?, 4326, 0, 0)", (tbl, gtype))
+
+    def gpb(wkt):
+        gt, coords = wkb_codec.parse_wkt(wkt)
+        # GPB header: magic, version 0, flags (envelope code 0,
+        # little-endian byte order), srs_id
+        return (b"GP" + bytes([0, 0b00000001])
+                + struct.pack("<i", 4326) + wkb_codec.encode(gt, coords))
+
+    _, brows = basins()
+    for fid, (ds, desc, wkt, area, prov) in enumerate(brows, start=1):
+        con.execute("INSERT INTO basins VALUES (?,?,?,?,?,?)",
+                    (fid, ds, desc, gpb(wkt), area, prov))
+    _, wrows = waterbodies()
+    for fid, (wid, wkt, perm, area) in enumerate(wrows, start=1):
+        con.execute("INSERT INTO waterbodies VALUES (?,?,?,?,?)",
+                    (fid, wid, gpb(wkt), perm, area))
+    con.commit()
+    con.close()
+    print(name, len(brows) + len(wrows), "features")
+
+
 if __name__ == "__main__":
     for name, gen in (("nhn_basins.csv", basins),
                       ("nhn_waterbodies.csv", waterbodies)):
         header, rows = gen()
         write(name, header, rows)
+    write_gpkg()

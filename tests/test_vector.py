@@ -146,3 +146,73 @@ def test_load_nhn_overwrite_semantics(spark, repo_root):
     acts = {r.feature_name: (r.action, r.geom_id) for r in out.collect()}
     assert acts["NHN waterbody 1000"] == ("update", 777)
     assert sum(1 for a, _ in acts.values() if a == "insert") == 7
+
+
+class TestGpkgReader:
+    def test_reads_layer_with_types_and_chunking(self, spark, repo_root):
+        from aquacache_spark.sources.vector import read_gpkg_layer
+
+        path = str(repo_root / "fixtures/connectors/nhn_sample.gpkg")
+        # more chunks than rows: empty ranges must be harmless
+        df = read_gpkg_layer(spark, path, "basins", n_chunks=64)
+        assert df.schema["dataset_name"].dataType.simpleString() == "string"
+        assert df.schema["area_km2"].dataType.simpleString() == "double"
+        assert df.schema["fid"].dataType.simpleString() == "bigint"
+        assert df.schema["geometry"].dataType.simpleString() == "binary"
+        rows = df.collect()
+        assert len(rows) == 6
+        assert {r["dataset_name"] for r in rows} == {
+            f"basin_{i:02d}" for i in range(6)
+        }
+
+    def test_gpb_header_stripping(self):
+        import struct
+
+        from aquacache_spark.functions import wkb as wkb_codec
+        from aquacache_spark.sources.vector import gpb_to_wkb
+
+        wkb = wkb_codec.encode_point(1.5, -2.5)
+        no_env = b"GP" + bytes([0, 0b001]) + struct.pack("<i", 4326) + wkb
+        assert gpb_to_wkb(no_env) == wkb
+        # envelope code 1: 4 doubles (minx maxx miny maxy)
+        env = struct.pack("<4d", 1.5, 1.5, -2.5, -2.5)
+        with_env = b"GP" + bytes([0, 0b011]) + struct.pack("<i", 4326) \
+            + env + wkb
+        assert gpb_to_wkb(with_env) == wkb
+        import pytest
+
+        with pytest.raises(ValueError, match="not a GeoPackage"):
+            gpb_to_wkb(b"XX" + no_env[2:])
+
+    def test_non_feature_table_rejected(self, spark, repo_root):
+        import pytest
+
+        from aquacache_spark.sources.vector import read_gpkg_layer
+
+        path = str(repo_root / "fixtures/connectors/nhn_sample.gpkg")
+        with pytest.raises(ValueError, match="not a feature table"):
+            read_gpkg_layer(spark, path, "gpkg_contents")
+
+    def test_waterbodies_decode_matches_csv_payload(self, spark, repo_root):
+        """Container read + GPB decode reproduces the decoded-CSV seam
+        for the second layer (different schema)."""
+        from aquacache_spark.sources.vector import (
+            decode_gpkg_geometries, decode_wkt_geometries, read_gpkg_layer,
+        )
+
+        gp = decode_gpkg_geometries(read_gpkg_layer(
+            spark, str(repo_root / "fixtures/connectors/nhn_sample.gpkg"),
+            "waterbodies"))
+        cs = decode_wkt_geometries(
+            spark.read.option("header", True).option("inferSchema", True)
+            .csv(str(repo_root / "fixtures/connectors/nhn_waterbodies.csv")))
+
+        def key(df):
+            return sorted(
+                (r["waterbody_id"], r["geom_type"],
+                 tuple((p["x"], p["y"]) for p in r["ring"]),
+                 bytes(r["wkb"]).hex())
+                for r in df.collect()
+            )
+
+        assert key(gp) == key(cs)
