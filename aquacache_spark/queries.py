@@ -5951,6 +5951,85 @@ def hrdpa_listing_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HRDPA raster ingest END-TO-END (downloadHRDPA.R:80-181): directory
+# listing -> prelim/analysis dedup -> real GRIB2 decode (pure-stdlib
+# codec, functions/grib2.py) -> per-cell daily accumulation -> tiled
+# store -> zonal stats. The oracle reads the fixture generator's
+# decoded-cell CSV twin, so the binary decode itself is differentially
+# checked, not just the relational plumbing.
+# ---------------------------------------------------------------------------
+
+_HRDPA_GRIB_DIR = _FIXDIR / "hrdpa_grib"
+_HRDPA_CELLS = _FIXDIR / "hrdpa_cells.csv"
+
+_HRDPA_GRIB_ORACLE = f"""
+    WITH raw AS (
+      SELECT file, CAST(datetime AS TIMESTAMP) AS datetime, x, y,
+             CAST(value AS DOUBLE) AS value
+      FROM read_csv('{_HRDPA_CELLS}', header=true)
+    ), kept AS (
+      SELECT DISTINCT file FROM raw
+      WHERE NOT (file LIKE '%Prelim%' AND EXISTS (
+        SELECT 1 FROM raw r2 WHERE r2.datetime = raw.datetime
+          AND r2.file NOT LIKE '%Prelim%'))
+    ), cells AS (
+      SELECT r.x, r.y, r.value
+      FROM raw r JOIN kept k USING (file)
+      WHERE r.value IS NOT NULL
+    ), daily AS (
+      SELECT x, y, {DSUM('value')} AS dsum
+      FROM cells GROUP BY x, y
+    ), zones AS (
+      SELECT * FROM (VALUES (1,0,0,5,4),(2,6,0,11,4),
+                            (3,0,5,5,9),(4,6,5,11,9))
+        AS z(zone_id, zxmin, zymin, zxmax, zymax)
+    )
+    SELECT z.zone_id,
+           {R(DSUM('dsum') + ' / COUNT(dsum)', 6)} AS zmean,
+           {R('MIN(dsum)', 6)} AS zmin,
+           {R('MAX(dsum)', 6)} AS zmax,
+           COUNT(dsum) AS zcount
+    FROM daily d JOIN zones z
+      ON d.x BETWEEN z.zxmin AND z.zxmax
+     AND d.y BETWEEN z.zymin AND z.zymax
+    GROUP BY z.zone_id
+"""
+
+
+@register("hrdpa_grib_ingest", oracle=_HRDPA_GRIB_ORACLE)
+def hrdpa_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Listing -> dedup -> GRIB2 decode -> daily accumulation -> tiles
+    -> zonal stats, one pipeline."""
+    import datetime as _dt
+    import os as _os
+
+    from .operators.raster import tile_cells, zonal_stats
+    from .sources.gridded import grib_cells, hrdpa_normalize
+
+    names = sorted(_os.listdir(_HRDPA_GRIB_DIR))
+    listing = _ldf(spark, [(n, n) for n in names], ["file", "path"])
+    kept = hrdpa_normalize(listing, "APCP-Accum6h",
+                           _dt.datetime(2024, 1, 1))
+    cells = grib_cells(spark, str(_HRDPA_GRIB_DIR) + "/*.grib2")
+    cells = cells.join(F.broadcast(kept.select("file")), "file",
+                       "left_semi")
+    daily = cells.groupBy("x", "y").agg(
+        _exact_sum_col("value").alias("value"))
+    tiles = tile_cells(daily, tile=8)
+    zones = _ldf(
+        spark,
+        [(1, 0, 0, 5, 4), (2, 6, 0, 11, 4), (3, 0, 5, 5, 9),
+         (4, 6, 5, 11, 9)],
+        ["zone_id", "zxmin", "zymin", "zxmax", "zymax"],
+    )
+    zs = zonal_stats(tiles, zones)
+    return _round(
+        zs.select("zone_id", "zmean", "zmin", "zmax", "zcount"),
+        {"zmean": 6, "zmin": 6, "zmax": 6},
+    )
+
+
+# ---------------------------------------------------------------------------
 # ERA5/CDS request batching (downloadERA5.R:149-200): full months become
 # one request, partial head/tail months go day-by-day — planned set-wise
 # for a catalog of ranges with a months-spine explode + days explode.

@@ -130,12 +130,56 @@ def hrdps_forecast_steps(
 
 
 def fetch_grib(url: str):  # pragma: no cover - environment adapter
-    """GRIB fetch+decode adapter (terra::rast in the reference). No
-    network or GDAL in this environment; a deployment injects one that
-    returns a cells frame for operators/raster.tile_cells."""
+    """GRIB *fetch* adapter (the download half of terra::rast(url) in
+    the reference). No network in this environment; a deployment
+    injects one returning the raw bytes — decode itself is real, see
+    ``grib_cells``."""
     raise NotImplementedError(
-        "GRIB fetch/decode requires network + GDAL; inject a fetcher "
-        "returning (x, y, value) cells and feed operators/raster.tile_cells"
+        "GRIB fetch requires network access; inject a fetcher returning "
+        "raw GRIB2 bytes (or stage files and use grib_cells on a path)"
+    )
+
+
+GRIB_CELL_SCHEMA = ("file string, msg int, x int, y int, lon double, "
+                    "lat double, value double")
+
+
+def grib_cells(spark, path: str) -> DataFrame:
+    """Distributed GRIB2 decode: a ``binaryFile`` scan fans the staged
+    files out one-per-task, and the pure-stdlib codec
+    (functions/grib2.py — grid template 3.0, simple packing, bitmap)
+    unpacks each to (x, y, lon, lat, value) cell rows; bitmap-masked
+    cells are dropped (terra's NA trim, R/downloadHRDPA.R:168-170).
+    The cells frame feeds operators/raster.tile_cells exactly as the
+    reference's in-memory rast feeds writeRaster."""
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions.grib2 import decode_grib2
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                fname = os.path.basename(path_)
+                for mi, m in enumerate(decode_grib2(bytes(content))):
+                    for idx, v in enumerate(m.values):
+                        if v is None:
+                            continue
+                        j, i = divmod(idx, m.ni)
+                        rows.append(
+                            (fname, mi, i, j, m.lon(i), m.lat(j), v))
+                yield pd.DataFrame(
+                    rows, columns=["file", "msg", "x", "y", "lon", "lat",
+                                   "value"],
+                )
+
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+        .mapInPandas(kernel, schema=GRIB_CELL_SCHEMA)
     )
 
 
