@@ -77,8 +77,18 @@ def daily_value(value: Column, agg_type: str) -> Column:
     raise ValueError(f"unknown aggregation_type {agg_type!r}")
 
 
-def local_day(dt_col: Column, offset_hours: int = 0) -> Column:
-    """UTC timestamp -> local-offset date (integer-hour arithmetic shift)."""
+def local_day(dt_col: Column, offset_hours: int = 0,
+              tz: str | None = None) -> Column:
+    """UTC timestamp -> local date. ``offset_hours`` is the reference's
+    integer arithmetic shift (timezone_daily_calc); ``tz`` instead
+    applies a NAMED zone through the JVM tz database
+    (``from_utc_timestamp``), closing the DST gap for deployments
+    configured with zones that observe it — still a pure map-side
+    expression."""
+    if tz is not None and offset_hours:
+        raise ValueError("pass offset_hours or tz, not both")
+    if tz is not None:
+        return F.to_date(F.from_utc_timestamp(dt_col, tz))
     if offset_hours:
         dt_col = dt_col + F.expr(f"INTERVAL {offset_hours} HOURS")
     return F.to_date(dt_col)
@@ -92,6 +102,7 @@ def daily_rollup(
     agg_type: str = "mean",
     offset_hours: int = 0,
     imputed_col: str | None = None,
+    tz: str | None = None,
 ) -> DataFrame:
     """Roll raw points up to one row per (keys, local date).
 
@@ -116,7 +127,8 @@ def daily_rollup(
     # value expression into the filter predicate and blow the
     # whole-stage-codegen method size (janino fallback observed).
     return (
-        base.groupBy(*keys, local_day(F.col(dt_col), offset_hours).alias("date"))
+        base.groupBy(
+            *keys, local_day(F.col(dt_col), offset_hours, tz).alias("date"))
         .agg(*aggs)
         .where(F.col("count") > 0)
     )

@@ -168,6 +168,56 @@ def daily_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"value": 4, "min": 4, "max": 4, "mean": 4})
 
 
+# Named-timezone daily bucketing with real DST arithmetic
+# (patch_48.R timezone_daily_calc generalized beyond integer offsets):
+# events are spread across the year so both America/Vancouver
+# transitions (spring-forward/fall-back) land inside the data, and the
+# local-day bucket must agree with DuckDB's ICU zone rules.
+_TZ_DAILY_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(ts AS TIMESTAMP)
+               + to_days(CAST(event_id % 300 AS INT)) AS dt,
+             value
+      FROM events
+    ), local AS (
+      SELECT event_type,
+             timezone('America/Vancouver', timezone('UTC', dt)) AS ldt,
+             value
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(ldt AS DATE)                         AS date,
+           {R(DSUM('value') + ' / count(value)', 4)} AS value,
+           {R('min(value)', 4)}                      AS min,
+           {R('max(value)', 4)}                      AS max,
+           {R(DSUM('value') + ' / count(value)', 4)} AS mean,
+           count(value)                              AS count
+    FROM local
+    GROUP BY event_type, CAST(ldt AS DATE)
+    HAVING count(value) > 0
+"""
+
+
+@register("tz_daily_rollup_dst", oracle=_TZ_DAILY_ORACLE)
+def tz_daily_rollup_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daily_rollup(tz='America/Vancouver'): named-zone local days via
+    the JVM tz database (from_utc_timestamp), exercised across both
+    DST transitions."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.timestamp_add(
+            "DAY", (F.col("event_id") % 300).cast("int"), F.col("ts")
+        ).alias("dt"),
+        "value",
+    )
+    out = daily_rollup(
+        ev, keys=["event_type"], dt_col="dt", value_col="value",
+        agg_type="mean", tz="America/Vancouver",
+    )
+    return _round(out, {"value": 4, "min": 4, "max": 4, "mean": 4})
+
+
 _DAILY_MEDIAN_ORACLE = f"""
     SELECT event_type,
            CAST(ts AS DATE)                          AS date,

@@ -23,8 +23,9 @@ normalizes an arbitrary number of stations' exports:
   ``eqwin_collect_datetime_to_utc``): date-only or exact-midnight local
   stamps get the ``unknown_time_local`` time, then local -> UTC.  The
   reference converts via a named zone (default MST, fixed UTC-7); here
-  the offset is an explicit hour parameter (documented divergence: no
-  DST arithmetic — MST itself has none);
+  the default is the equivalent explicit hour offset, and the ``tz``
+  parameter opts into a named zone with real DST arithmetic
+  (``to_utc_timestamp``) for zones that observe it;
 - required-target drops (R/downloadEQWin.R:711-733): parameters flagged
   ``sample_fraction`` / ``result_speciation`` in ``public.parameters``
   reject results whose mapping lacks the corresponding id;
@@ -156,16 +157,23 @@ def collect_datetime_to_utc(
     dt: Column,
     tz_offset_hours: int = -7,
     unknown_time_local: str = "12:00:00",
+    tz: str | None = None,
 ) -> Column:
     """Local Access datetime text -> UTC timestamp
     (R/downloadEQWin.R:478-489): date-only values gain ' 00:00:00',
     exact-midnight values are rewritten to ``unknown_time_local``
-    (collection time unknown), then the fixed local offset is removed.
-    """
+    (collection time unknown), then local -> UTC. The reference
+    converts via a named zone (default MST, fixed UTC-7); the default
+    here is the equivalent explicit hour offset, and ``tz`` opts into
+    a NAMED zone with real DST arithmetic (``to_utc_timestamp``
+    through the JVM tz database) for deployments whose source zone
+    observes it."""
     s = F.trim(dt.cast("string"))
     s = F.when(F.length(s) == 10, F.concat(s, F.lit(" 00:00:00"))).otherwise(s)
     s = F.regexp_replace(s, r" 00:00:00$", " " + unknown_time_local)
     local = F.to_timestamp(s)
+    if tz is not None:
+        return F.to_utc_timestamp(local, tz)
     return local - F.make_interval(hours=F.lit(tz_offset_hours))
 
 
@@ -277,6 +285,7 @@ def normalize_samples(
     import_source: str = "EQWin",
     tz_offset_hours: int = -7,
     unknown_time_local: str = "12:00:00",
+    tz: str | None = None,
 ) -> DataFrame:
     """eqsampls rows -> canonical sample rows (datetime UTC, sample
     type from the ladder, station defaults, collapsed note,
@@ -295,7 +304,8 @@ def normalize_samples(
             F.col("SampleId").cast("long").alias("sample_key"),
             F.col("StnCode").alias("location_code"),
             collect_datetime_to_utc(
-                F.col("CollectDateTime"), tz_offset_hours, unknown_time_local
+                F.col("CollectDateTime"), tz_offset_hours,
+                unknown_time_local, tz,
             ).alias("datetime"),
             media.alias("media_id"),
             method.alias("collection_method"),
@@ -328,6 +338,7 @@ def normalize_eqwin(
     import_source: str = "EQWin",
     tz_offset_hours: int = -7,
     unknown_time_local: str = "12:00:00",
+    tz: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full connector composition: (samples, results) contract frames
     with result-less samples dropped (R/downloadEQWin.R:243-246,287).
@@ -335,7 +346,7 @@ def normalize_eqwin(
     res = parse_results(results, mapping, parameters)
     samp = normalize_samples(
         samples, stations, type_ids, media_ids, collection_ids,
-        import_source, tz_offset_hours, unknown_time_local,
+        import_source, tz_offset_hours, unknown_time_local, tz,
     )
     # both semi-join filters are SAMPLE-cardinality (data, not
     # catalog) — plain shuffle semi-joins on the shared sample_key;

@@ -148,3 +148,26 @@ class TestCollapseNote:
             ).alias("n")
         )
         assert df.first()["n"] == "b; a; c"
+
+
+def test_collect_datetime_named_zone_dst(spark):
+    """tz= applies real DST arithmetic: America/Vancouver is UTC-8 in
+    winter, UTC-7 in summer; the fixed-offset default stays UTC-7
+    year-round (MST)."""
+    from aquacache_spark.sources.eqwin import collect_datetime_to_utc
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-01-15 10:00:00",), ("2024-07-15 10:00:00",),
+         ("2024-07-15",)],
+        "dt string",
+    ).select(
+        collect_datetime_to_utc(
+            F.col("dt"), tz="America/Vancouver").alias("named"),
+        collect_datetime_to_utc(F.col("dt")).alias("fixed"),
+    )
+    rows = [(str(r["named"]), str(r["fixed"])) for r in df.collect()]
+    assert rows[0] == ("2024-01-15 18:00:00", "2024-01-15 17:00:00")  # PST
+    assert rows[1] == ("2024-07-15 17:00:00", "2024-07-15 17:00:00")  # PDT
+    # date-only -> unknown_time_local 12:00 local, then zone conversion
+    assert rows[2] == ("2024-07-15 19:00:00", "2024-07-15 19:00:00")
