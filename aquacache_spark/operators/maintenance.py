@@ -235,6 +235,7 @@ def masked_location_points(
     lon_col: str = "lon",
     seed_col: str = "seed",
     earth_radius_m: float = 6371008.8,
+    spheroid: bool = False,
 ) -> DataFrame:
     """Deterministic public location masking
     (reference inst/patches/DEV_locs_masking.R:397-462,
@@ -245,10 +246,12 @@ def masked_location_points(
     that bearing. Stable across queries (masking, not randomization),
     and a pure map-side expression here.
 
-    Divergence, documented: the reference projects on the WGS84
-    spheroid (ST_Project on geography); this uses the spherical forward
-    formula on the mean Earth radius — centimetre-scale difference at
-    masking-scale offsets, and bit-reproducible in the DuckDB oracle.
+    The reference projects on the WGS84 spheroid (ST_Project on
+    geography); the default here is the spherical forward formula on
+    the mean Earth radius — centimetre-scale difference at
+    masking-scale offsets, bit-reproducible in the DuckDB oracle —
+    and ``spheroid=True`` opts into the exact Vincenty direct
+    projection (functions/geodesy.py) for PostGIS parity.
 
     Output: input columns + masked_lat, masked_lon, offset_m,
     bearing_rad.
@@ -263,6 +266,16 @@ def masked_location_points(
     dist = F.lit(float(min_offset_m)) + F.lit(
         float(max_offset_m - min_offset_m)) * u("distance")
     bearing = 2.0 * math.pi * u("bearing")
+    if spheroid:
+        from ..functions.geodesy import with_vincenty_projection
+
+        staged = locations.withColumn("offset_m", dist).withColumn(
+            "bearing_rad", bearing)
+        return with_vincenty_projection(
+            staged, F.col(lat_col), F.col(lon_col),
+            F.col("bearing_rad"), F.col("offset_m"),
+            lat_out="masked_lat", lon_out="masked_lon",
+        )
     lat1 = F.radians(F.col(lat_col))
     lon1 = F.radians(F.col(lon_col))
     delta = dist / F.lit(earth_radius_m)

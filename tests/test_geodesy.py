@@ -1,0 +1,83 @@
+"""Vincenty spheroid geodesy vs authoritative golden values.
+
+Golden sources: the WGS84 quarter meridian and equatorial quarter arc
+(closed-form ellipsoid constants) and Vincenty's own published test
+line (Flinders Peak -> Buninyong, 54972.271 m)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from aquacache_spark.functions.geodesy import (with_vincenty_distance,
+                                               with_vincenty_projection)
+
+
+def _dist(spark, lat1, lon1, lat2, lon2):
+    df = spark.createDataFrame(
+        [(float(lat1), float(lon1), float(lat2), float(lon2))],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    out = with_vincenty_distance(
+        df, F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+        out_col="d",
+    )
+    return out.collect()[0]["d"]
+
+
+def test_equatorial_quarter_arc(spark):
+    # equator is a circle of radius a: quarter = a * pi / 2
+    assert abs(_dist(spark, 0, 0, 0, 90) - 6378137.0 * math.pi / 2) < 1e-3
+
+
+def test_quarter_meridian(spark):
+    # WGS84 pole-to-equator meridian arc, the classic 10,001,965.729 m
+    assert abs(_dist(spark, 0, 0, 90, 0) - 10001965.729) < 1e-2
+
+
+def test_vincenty_published_test_line(spark):
+    # Vincenty (1975) Flinders Peak -> Buninyong: 54,972.271 m
+    flinders = (-(37 + 57 / 60 + 3.72030 / 3600),
+                144 + 25 / 60 + 29.52440 / 3600)
+    buninyong = (-(37 + 39 / 60 + 10.15610 / 3600),
+                 143 + 55 / 60 + 35.38390 / 3600)
+    d = _dist(spark, flinders[0], flinders[1], buninyong[0], buninyong[1])
+    assert abs(d - 54972.271) < 1e-3
+
+
+def test_coincident_points_zero(spark):
+    assert _dist(spark, 48.5, -123.3, 48.5, -123.3) == 0.0
+
+
+def test_spherical_divergence_is_sub_half_percent(spark):
+    d_sph = 2 * 6371008.8 * math.asin(math.sqrt(
+        math.sin(math.radians(10) / 2) ** 2))
+    d_vin = _dist(spark, 40, -75, 50, -75)
+    assert abs(d_vin - d_sph) / d_vin < 0.005
+
+
+def test_project_round_trips_through_inverse(spark):
+    """direct(p, bearing, d) then inverse(p, q) recovers d to sub-mm —
+    the two independent formula paths must agree."""
+    df = spark.createDataFrame(
+        [(60.7, -135.05, b / 7.0, 250.0 + 100 * b) for b in range(14)],
+        "lat double, lon double, bearing double, dist double",
+    )
+    df = with_vincenty_projection(
+        df, F.col("lat"), F.col("lon"), F.col("bearing"), F.col("dist"))
+    out = with_vincenty_distance(
+        df, F.col("lat"), F.col("lon"), F.col("dest_lat"),
+        F.col("dest_lon"), out_col="back",
+    ).select("dist", "back").collect()
+    for r in out:
+        assert abs(r["back"] - r["dist"]) < 1e-3
+
+
+def test_expression_only_no_python_udf(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0)],
+                               "a double, b double, c double, d double")
+    out = with_vincenty_distance(
+        df, F.col("a"), F.col("b"), F.col("c"), F.col("d"))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure map-side

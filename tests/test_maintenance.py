@@ -161,3 +161,25 @@ def test_validate_batch_generic_series(spark):
     reasons = {r["row_id"]: r["reject_reason"] for r in out.collect()}
     assert reasons == {1: "duplicate_of_existing", 2: "unknown_location",
                        3: "img_type_null", 4: None, 5: "duplicate_in_batch"}
+
+
+def test_masked_points_spheroid_distance_matches_request(spark):
+    """spheroid=True projects on WGS84: the Vincenty inverse distance
+    back to the origin recovers the requested offset to sub-mm."""
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.functions.geodesy import with_vincenty_distance
+    from aquacache_spark.operators.maintenance import masked_location_points
+
+    locs = spark.createDataFrame(
+        [(60.72 + i * 0.3, -135.05 + i * 0.7, f"s{i}") for i in range(8)],
+        "lat double, lon double, seed string",
+    )
+    masked = masked_location_points(locs, 100.0, 500.0, spheroid=True)
+    back = with_vincenty_distance(
+        masked, F.col("lat"), F.col("lon"),
+        F.col("masked_lat"), F.col("masked_lon"), out_col="back",
+    ).select("offset_m", "back").collect()
+    for r in back:
+        assert 100.0 <= r["offset_m"] <= 500.0
+        assert abs(r["back"] - r["offset_m"]) < 1e-3
