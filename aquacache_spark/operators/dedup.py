@@ -611,32 +611,27 @@ def unigram_surprisal(
     )
 
 
-def repeated_span_coverage(
+def _repeated_gram_positions(
     docs: DataFrame,
-    k: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Fragment-level exact-substring duplication signal — the
-    suffix-array-free approximation of "train-set substrings repeated
-    verbatim elsewhere": positions of k-token grams whose hash occurs
-    in >= 2 documents, reduced to the per-doc fraction of tokens
-    covered by any such span.
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared engine for the exact-substring family: -> (base, dup).
 
-    The covered-token union needs no interval algebra: with start
-    positions sorted, each start contributes ``min(k, s_i - s_{i-1})``
-    (first contributes k) — one lag window per doc.  Shapes: the gram
-    explode is map-side (token array bound once per row); the
-    repeated-hash reduction aggregates COUNTS only (never occurrence
-    lists — a boilerplate gram present in millions of docs must not
-    land one unbounded reducer array), then a hash-keyed semi-join
-    filters the gram table to surviving hashes: linear output per hot
-    hash, AQE-splittable, spill-safe.  The exploded gram table is
-    persisted once so the md5-heavy explode is not recomputed for the
-    second pass.  The final reattachment joins two corpus-cardinality
-    frames co-partitioned on the doc id.  Docs shorter than k tokens
-    emit no grams and score 0.
+    ``base`` = (id, n_tokens, __toks); ``dup`` = (id, pos) start
+    positions of k-token grams whose hash occurs in >= 2 documents.
+    Shapes: the gram explode is map-side (token array bound once per
+    row); the repeated-hash reduction aggregates COUNTS only (never
+    occurrence lists — a boilerplate gram present in millions of docs
+    must not land one unbounded reducer array), then a hash-keyed
+    semi-join filters the gram table to surviving hashes: linear
+    output per hot hash, AQE-splittable, spill-safe.  The exploded
+    gram table is persisted once so the md5-heavy explode is not
+    recomputed for the second pass.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions.text import bind, md5_int, tokens
 
     def grams_of(toks):
@@ -657,10 +652,9 @@ def repeated_span_coverage(
     base = docs.select(
         F.col(id_col),
         F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
         bind(tokens(F.lower(F.col(text_col))), grams_of).alias("__g"),
     )
-    from pyspark.storagelevel import StorageLevel
-
     grams = base.select(
         id_col, F.explode("__g").alias("g")
     ).select(
@@ -678,6 +672,30 @@ def repeated_span_coverage(
         .select("h")
     )
     dup = grams.join(survivors, "h", "left_semi").select(id_col, "pos")
+    return base.drop("__g"), dup
+
+
+def repeated_span_coverage(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fragment-level exact-substring duplication signal — the
+    suffix-array-free approximation of "train-set substrings repeated
+    verbatim elsewhere": positions of k-token grams whose hash occurs
+    in >= 2 documents, reduced to the per-doc fraction of tokens
+    covered by any such span (machinery shared with
+    remove_repeated_spans via _repeated_gram_positions — see its
+    docstring for the scale shape).
+
+    The covered-token union needs no interval algebra: with start
+    positions sorted, each start contributes ``min(k, s_i - s_{i-1})``
+    (first contributes k) — one lag window per doc.  The final
+    reattachment joins two corpus-cardinality frames co-partitioned on
+    the doc id.  Docs shorter than k tokens emit no grams and score 0.
+    """
+    base, dup = _repeated_gram_positions(docs, k, id_col, text_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -707,5 +725,58 @@ def repeated_span_coverage(
             (F.coalesce("dup_tokens", F.lit(0))
              / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
             .alias("coverage_frac"),
+        )
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication ACTION (the ExactSubstr cut of
+    "Deduplicating Training Data Makes Language Models Better"):
+    rebuild each document with every token covered by a cross-document
+    repeated k-gram removed — the companion of repeated_span_coverage,
+    which only measures.
+
+    Scale shape: shares _repeated_gram_positions (counts-only
+    reduction, no hot-gram arrays); covered token indices come from a
+    bounded per-start ``sequence(pos, pos+k-1)`` explode + distinct;
+    the rebuild is a tokens-explode anti-join co-partitioned on
+    (doc, idx) and one per-doc ordered reassembly — shuffle ∝ corpus
+    tokens, the minhash cost class, nothing quadratic.
+
+    Output: (id, n_tokens, kept_tokens, cleaned_text).
+    """
+    base, dup = _repeated_gram_positions(docs, k, id_col, text_col)
+    covered = dup.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("idx"),
+    ).distinct()
+    toks = base.select(
+        id_col, F.posexplode("__toks").alias("idx", "tok")
+    )
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(agg, id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )

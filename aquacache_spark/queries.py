@@ -9146,3 +9146,53 @@ def repeated_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = repeated_span_coverage(docs, k=_SPAN_K)
     return _round(out, {"coverage_frac": 6})
+
+
+_SPAN_RM_ORACLE = f"""
+    WITH docs0 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(toks) AS n_tokens, toks FROM docs0
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST('0x' || substr(md5(array_to_string(
+               toks[i : i + {_SPAN_K} - 1], ' ')), 1, 15) AS BIGINT) AS h
+      FROM base, unnest(generate_series(1, len(toks) - {_SPAN_K} + 1)) AS t(i)
+      WHERE len(toks) >= {_SPAN_K}
+    ), repeated AS (
+      SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dup AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN repeated USING (h)
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos + j AS idx
+      FROM dup, unnest(generate_series(0, {_SPAN_K} - 1)) AS t(j)
+    ), tokidx AS (
+      SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+      FROM base, unnest(generate_series(1, len(toks))) AS t(i)
+    ), kept AS (
+      SELECT t.doc_id, t.idx, t.tok
+      FROM tokidx t LEFT JOIN covered c
+        ON c.doc_id = t.doc_id AND c.idx = t.idx
+      WHERE c.idx IS NULL
+    ), agg AS (
+      SELECT doc_id, count(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY idx) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+           coalesce(a.kept_tokens, 0) AS kept_tokens,
+           coalesce(a.cleaned_text, '') AS cleaned_text
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("repeated_span_removal", oracle=_SPAN_RM_ORACLE)
+def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup ACTION: cut every token covered by a
+    cross-document repeated {_SPAN_K}-gram and reassemble the text
+    (operators/dedup.remove_repeated_spans)."""
+    from .operators.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, k=_SPAN_K)

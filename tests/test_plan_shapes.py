@@ -193,3 +193,23 @@ def test_segment_overlay_sweep_single_exchange(spark):
     p = plan(spark, "segment_overlay")
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
     assert "Join" not in p
+
+
+def test_tz_daily_rollup_single_exchange(spark):
+    # named-zone bucketing stays a map-side expression: one groupBy
+    # exchange, no joins, no python
+    import re
+
+    p = plan(spark, "tz_daily_rollup_dst")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_nhn_gpkg_read_no_shuffle(spark):
+    # container read is a rowid-chunked mapInPandas scan; the upsert
+    # classification joins broadcast — zero exchanges end to end
+    import re
+
+    p = plan(spark, "nhn_gpkg_layer_upsert")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
+    assert "SortMergeJoin" not in p
