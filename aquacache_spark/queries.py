@@ -8552,6 +8552,127 @@ _GATE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# URL normalization + domain-level curation rollup (operators/web.py):
+# canonical URLs, registered domains (public-suffix-aware), per-domain
+# doc/host/url-dup/token/https statistics — the domain axis of corpus
+# curation. URLs are synthesized deterministically from documents
+# (the fixture carries none); every normalization rule mirrors 1:1.
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+      lower(
+        (CASE WHEN doc_id % 4 = 0 THEN 'https://' ELSE 'http://' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END)
+        || source
+        || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.example.com' END)
+        || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+        || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+        || (CASE WHEN doc_id % 2 = 0
+            THEN '?b=2&utm_source=x&a=' || CAST(doc_id % 3 AS VARCHAR)
+            ELSE '' END)
+      )
+"""
+
+_URL_ROLLUP_ORACLE = f"""
+    WITH raw AS (
+      SELECT doc_id, text, {_URL_SQL} AS url FROM documents
+    ), parsed0 AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(url, '^[a-z][a-z0-9+.-]*://', ''),
+                            '^www\\.', '') AS rest,
+             starts_with(url, 'https://') AS is_https
+      FROM raw
+    ), parsed1 AS (
+      SELECT *, string_split_regex(rest, '[/?]')[1] AS hostport
+      FROM parsed0
+    ), parsed2 AS (
+      SELECT *,
+             regexp_replace(hostport, ':(80|443)$', '') AS host,
+             substr(rest, len(hostport) + 1) AS after_host
+      FROM parsed1
+    ), parsed3 AS (
+      SELECT *,
+             CASE WHEN string_split_regex(after_host, '\\?')[1] = ''
+                  THEN '/' ELSE string_split_regex(after_host, '\\?')[1]
+             END AS path,
+             CASE WHEN position('?' IN after_host) > 0
+                  THEN substr(after_host, position('?' IN after_host) + 1)
+                  ELSE '' END AS raw_query
+      FROM parsed2
+    ), parsed4 AS (
+      SELECT *,
+             -- array_to_string([]) is NULL in DuckDB (Spark
+             -- array_join gives '') — coalesce to match
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(raw_query, '&'),
+               p -> p <> '' AND NOT (starts_with(p, 'utm_')
+                 OR starts_with(p, 'fbclid') OR starts_with(p, 'gclid')
+                 OR starts_with(p, 'ref=')))), '&'), '') AS query_norm,
+             string_split(host, '.') AS labels
+      FROM parsed3
+    ), parsed AS (
+      SELECT doc_id, host, is_https,
+             len(string_split(lower(text), ' ')) AS ntok,
+             host || path
+               || (CASE WHEN query_norm = '' THEN ''
+                   ELSE '?' || query_norm END) AS url_norm,
+             CASE
+               WHEN labels[-2] || '.' || labels[-1] IN
+                    ('co.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+                     'co.jp','com.br','gc.ca','on.ca','qc.ca')
+                    AND len(labels) >= 3
+               THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+               WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+               ELSE host END AS registered_domain
+      FROM parsed4
+    ), per_url AS (
+      SELECT registered_domain, url_norm, count(*) AS n
+      FROM parsed GROUP BY 1, 2
+    ), url_dups AS (
+      SELECT registered_domain, sum(n - 1) AS dup_url_docs,
+             count(*) AS n_urls
+      FROM per_url GROUP BY 1
+    ), stats AS (
+      SELECT registered_domain, count(*) AS n_docs,
+             count(DISTINCT host) AS n_hosts,
+             sum(ntok) AS total_tokens,
+             sum(CASE WHEN is_https THEN 1 ELSE 0 END) AS n_https
+      FROM parsed GROUP BY 1
+    )
+    SELECT s.registered_domain, s.n_docs, s.n_hosts, u.n_urls,
+           u.dup_url_docs, s.total_tokens,
+           {R('s.n_https / CAST(s.n_docs AS DOUBLE)', 6)} AS https_frac
+    FROM stats s JOIN url_dups u USING (registered_domain)
+"""
+
+
+@register("url_domain_rollup", oracle=_URL_ROLLUP_ORACLE)
+def url_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain rollup
+    (operators/web.domain_rollup)."""
+    from .operators.web import domain_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.lower(F.concat(
+        F.when(F.col("doc_id") % 4 == 0, "https://").otherwise("http://"),
+        F.when(F.col("doc_id") % 3 == 0, "www.").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "cdn.").otherwise(""),
+        F.col("source"),
+        F.when(F.col("doc_id") % 5 == 0, ".co.uk").otherwise(".example.com"),
+        F.when(F.col("doc_id") % 11 == 0, ":443").otherwise(""),
+        F.lit("/p/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?b=2&utm_source=x&a="),
+                     (F.col("doc_id") % 3).cast("string")),
+        ).otherwise(""),
+    ))
+    out = domain_rollup(docs.withColumn("url", url))
+    return _round(out, {"https_frac": 6})
+
+
 @register("domain_quality_gate", oracle=_GATE_ORACLE)
 def domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the top 30% of each domain by quality score with a
