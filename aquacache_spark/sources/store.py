@@ -14,14 +14,18 @@ write amplification unit is a *partition*, so the design constraint
 - conflict modes mirror the reference: ``do_nothing`` keeps existing
   rows on key collision, ``update`` replaces them.
 
-Commit protocol (the Delta-log idea reduced to one file): bucket data
-lives in immutable versioned directories ``v<k>/bucket=N``; a single
-JSON manifest maps each bucket to the version directory holding its
-current data. A merge writes the touched buckets under a NEW version
-dir, then publishes with one atomic ``os.replace`` of the manifest —
-readers resolve through the manifest, so a crash at any point leaves
-either the old or the new store, never a mixed one (unreferenced
-version dirs are garbage, swept on the next successful commit).
+Commit protocol (the Delta-log idea reduced to one file per commit):
+bucket data lives in immutable versioned directories ``v<k>/bucket=N``;
+a JSON manifest maps each bucket to the version directory holding its
+data at that commit. A merge writes the touched buckets under a NEW
+version dir, writes ``_MANIFEST.v<k>.json``, then publishes with one
+atomic ``os.replace`` of the current-pointer ``_MANIFEST.json`` —
+readers resolve through a manifest, so a crash at any point leaves
+either the old or the new store, never a mixed one. Because commit
+manifests are retained, ``read(version=k)`` is Delta-style TIME
+TRAVEL (the audit/as-of emulation's storage analog); ``vacuum``
+drops old manifests and sweeps bucket dirs no retained commit
+references.
 
 At 100 TB the same API maps 1:1 onto Delta MERGE with the bucket
 column as a clustering key; nothing above this module would change.
@@ -55,15 +59,32 @@ class ParquetMergeStore:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, _MANIFEST)
 
-    def _load_manifest(self) -> dict:
-        with open(self._manifest_path) as f:
-            m = json.load(f)
+    def _version_manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, f"_MANIFEST.v{version}.json")
+
+    def _load_manifest(self, version: int | None = None) -> dict:
+        path = (self._manifest_path if version is None
+                else self._version_manifest_path(version))
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            if version is not None:
+                raise ValueError(
+                    f"version {version} is not available (never committed "
+                    "or vacuumed away)") from None
+            raise
         return {"version": m["version"],
                 "buckets": {int(k): int(v) for k, v in m["buckets"].items()}}
 
     def _commit_manifest(self, manifest: dict) -> None:
-        """Publish atomically: tmp file in the same directory, fsync,
-        one ``os.replace`` — the commit point."""
+        """Publish atomically: the retained per-commit manifest first,
+        then tmp file + fsync + one ``os.replace`` of the current
+        pointer — the commit point."""
+        with open(self._version_manifest_path(manifest["version"]), "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         tmp = os.path.join(self.path, f".{_MANIFEST}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -81,11 +102,33 @@ class ParquetMergeStore:
             if d.startswith("bucket=")
         )
 
-    def _gc(self, manifest: dict) -> None:
-        """Best-effort sweep of version dirs no commit references —
-        crash-orphans and superseded buckets. Never touches the
-        manifest; failure here cannot corrupt the store."""
-        live = set(manifest["buckets"].values())
+    def _retained_versions(self) -> list[int]:
+        """Committed versions only: a per-commit manifest NEWER than
+        the current pointer is a crashed, never-published attempt —
+        not readable history (its number is reused on retry)."""
+        try:
+            current = self._load_manifest()["version"]
+        except (FileNotFoundError, json.JSONDecodeError):
+            return []
+        try:
+            return sorted(
+                v for f in os.listdir(self.path)
+                if f.startswith("_MANIFEST.v") and f.endswith(".json")
+                and (v := int(f[len("_MANIFEST.v"):-len(".json")])) <= current
+            )
+        except OSError:
+            return []
+
+    def _gc(self) -> None:
+        """Best-effort sweep of version dirs no RETAINED commit
+        references — crash-orphans and vacuumed-away history. Never
+        touches a manifest; failure here cannot corrupt the store."""
+        live: set[int] = set()
+        for v in self._retained_versions():
+            try:
+                live |= set(self._load_manifest(v)["buckets"].values())
+            except (ValueError, OSError, json.JSONDecodeError):
+                continue
         try:
             for d in os.listdir(self.path):
                 if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in live:
@@ -93,6 +136,21 @@ class ParquetMergeStore:
                                   ignore_errors=True)
         except OSError:
             pass
+
+    def vacuum(self, retain_last: int = 1) -> list[int]:
+        """Drop all but the newest ``retain_last`` commit manifests,
+        then sweep bucket dirs nothing retained references (Delta
+        VACUUM). Returns the versions still readable."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = self._retained_versions()
+        for v in versions[:-retain_last]:
+            try:
+                os.remove(self._version_manifest_path(v))
+            except OSError:
+                pass
+        self._gc()
+        return self._retained_versions()
 
     # -- store API ----------------------------------------------------
     def _bucket(self, df: DataFrame) -> DataFrame:
@@ -103,12 +161,17 @@ class ParquetMergeStore:
     def exists(self) -> bool:
         return os.path.exists(self._manifest_path)
 
-    def read(self) -> DataFrame:
-        """Resolve current bucket dirs through the manifest. One read
-        per referenced version (each with ``basePath`` at its version
-        dir so the ``bucket=N`` partition column survives and bucket
-        pruning still works), unioned."""
-        m = self._load_manifest()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Resolve bucket dirs through a manifest — the current one,
+        or commit ``version`` for TIME TRAVEL over retained history.
+        One read per referenced version dir (each with ``basePath`` at
+        its version dir so the ``bucket=N`` partition column survives
+        and bucket pruning still works), unioned."""
+        if version is not None and version not in self._retained_versions():
+            raise ValueError(
+                f"version {version} is not available (never committed "
+                "or vacuumed away)")
+        m = self._load_manifest(version)
         by_version: dict[int, list[int]] = {}
         for b, v in m["buckets"].items():
             by_version.setdefault(v, []).append(b)
@@ -138,7 +201,7 @@ class ParquetMergeStore:
             "buckets": {b: version for b in self._written_buckets(version)},
         }
         self._commit_manifest(manifest)
-        self._gc(manifest)
+        self._gc()
 
     def merge(self, updates: DataFrame, on_conflict: str = "update") -> dict:
         """Upsert ``updates`` by key. Returns counts per action.
@@ -190,6 +253,6 @@ class ParquetMergeStore:
         buckets.update({b: version for b in self._written_buckets(version)})
         manifest = {"version": version, "buckets": buckets}
         self._commit_manifest(manifest)
-        self._gc(manifest)
+        self._gc()
         updates.unpersist()
         return counts

@@ -111,3 +111,38 @@ def test_crash_between_stage_and_commit_reads_old_store(
     on_disk = {int(d[1:]) for d in os.listdir(path)
                if d.startswith("v") and d[1:].isdigit()}
     assert on_disk == live
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """Retained commit manifests give Delta-style time travel;
+    vacuum(retain_last) drops history and sweeps unreferenced dirs."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "store4")
+    store = ParquetMergeStore(spark, path, ["timeseries_id", "datetime"],
+                              n_buckets=4)
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 1.0),
+                                (2, "2024-01-01 00:00:00", 2.0)]))
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 10.0)]))
+    store.merge(make_df(spark, [(3, "2024-01-01 00:00:00", 3.0)]))
+
+    def snap(version=None):
+        return {r["timeseries_id"]: r["value"]
+                for r in store.read(version).collect()}
+
+    assert snap(1) == {1: 1.0, 2: 2.0}
+    assert snap(2) == {1: 10.0, 2: 2.0}
+    assert snap(3) == {1: 10.0, 2: 2.0, 3: 3.0}
+    assert snap() == snap(3)
+
+    assert store.vacuum(retain_last=1) == [3]
+    with pytest.raises(ValueError, match="not available"):
+        store.read(1)
+    assert snap() == {1: 10.0, 2: 2.0, 3: 3.0}  # current unaffected
+    # only dirs the retained commit references remain
+    live = set(store._load_manifest()["buckets"].values())
+    on_disk = {int(d[1:]) for d in os.listdir(path)
+               if d.startswith("v") and d[1:].isdigit()}
+    assert on_disk == live
