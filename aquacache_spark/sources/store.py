@@ -186,6 +186,103 @@ class ParquetMergeStore:
             out = out.unionByName(fr)
         return out
 
+    def _read_buckets(self, manifest: dict, buckets: "set[int]") -> DataFrame | None:
+        by_version: dict[int, list[int]] = {}
+        for b, v in manifest["buckets"].items():
+            if b in buckets:
+                by_version.setdefault(v, []).append(b)
+        frames = [
+            self.spark.read.option("basePath", self._vdir(v)).parquet(
+                *[os.path.join(self._vdir(v), f"bucket={b}") for b in sorted(bs)]
+            )
+            for v, bs in sorted(by_version.items())
+        ]
+        if not frames:
+            return None
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed between two committed snapshots (Delta CDF
+        shape): rows tagged ``_change_type`` in {'insert', 'delete',
+        'update_preimage', 'update_postimage'} plus ``_commit_version``.
+
+        Partition-pruned: only buckets whose version pointer moved
+        between the two manifests are read at all — untouched buckets
+        cost nothing, the same write-amplification unit as the merge."""
+        retained = self._retained_versions()
+        if to_version is None:
+            to_version = self._load_manifest()["version"]
+        for v in (since_version, to_version):
+            if v not in retained:
+                raise ValueError(
+                    f"version {v} is not available (never committed "
+                    "or vacuumed away)")
+        m_from = self._load_manifest(since_version)
+        m_to = self._load_manifest(to_version)
+        changed = {
+            b for b in set(m_from["buckets"]) | set(m_to["buckets"])
+            if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+        }
+        old = self._read_buckets(m_from, changed)
+        new = self._read_buckets(m_to, changed)
+        ver = F.lit(to_version).alias("_commit_version")
+        if old is None and new is None:  # no bucket moved: empty feed
+            return self.read(to_version).limit(0).select(
+                "*", F.lit("insert").alias("_change_type"), ver)
+        data_cols = [c for c in (old if old is not None else new).columns
+                     if c not in self.key_cols and c != "bucket"]
+        if old is None:
+            return new.select(
+                "*", F.lit("insert").alias("_change_type"), ver)
+        if new is None:
+            return old.select(
+                "*", F.lit("delete").alias("_change_type"), ver)
+        o = old.select(
+            *self.key_cols,
+            *[F.col(c).alias(f"__old_{c}") for c in data_cols],
+        )
+        n = new.select(
+            *self.key_cols,
+            *[F.col(c).alias(f"__new_{c}") for c in data_cols],
+        )
+        # side-presence markers: inferring presence from data columns
+        # is ambiguous when a present row has all-NULL data
+        o = o.withColumn("__old_present", F.lit(True))
+        n = n.withColumn("__new_present", F.lit(True))
+        j = o.join(n, self.key_cols, "full_outer")
+        differs = F.lit(False)
+        for c in data_cols:
+            differs = differs | ~F.col(f"__old_{c}").eqNullSafe(
+                F.col(f"__new_{c}"))
+        inserts = j.where(F.col("__old_present").isNull()).select(
+            *self.key_cols,
+            *[F.col(f"__new_{c}").alias(c) for c in data_cols],
+            F.lit("insert").alias("_change_type"), ver,
+        )
+        deletes = j.where(F.col("__new_present").isNull()).select(
+            *self.key_cols,
+            *[F.col(f"__old_{c}").alias(c) for c in data_cols],
+            F.lit("delete").alias("_change_type"), ver,
+        )
+        upd = j.where(
+            F.col("__old_present").isNotNull()
+            & F.col("__new_present").isNotNull() & differs
+        )
+        pre = upd.select(
+            *self.key_cols,
+            *[F.col(f"__old_{c}").alias(c) for c in data_cols],
+            F.lit("update_preimage").alias("_change_type"), ver,
+        )
+        post = upd.select(
+            *self.key_cols,
+            *[F.col(f"__new_{c}").alias(c) for c in data_cols],
+            F.lit("update_postimage").alias("_change_type"), ver,
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
     def _write_version(self, df: DataFrame, version: int) -> None:
         # overwrite clobbers partial output from a crashed attempt at
         # the same (never-committed) version number

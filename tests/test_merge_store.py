@@ -146,3 +146,34 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     on_disk = {int(d[1:]) for d in os.listdir(path)
                if d.startswith("v") and d[1:].isdigit()}
     assert on_disk == live
+
+
+def test_change_data_feed_between_versions(spark, tmp_path):
+    """changes(v_from, v_to): Delta-CDF-shaped diff reading only
+    buckets whose version pointer moved."""
+    path = str(tmp_path / "store5")
+    store = ParquetMergeStore(spark, path, ["timeseries_id", "datetime"],
+                              n_buckets=4)
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 1.0),
+                                (2, "2024-01-01 00:00:00", 2.0),
+                                (5, "2024-01-01 00:00:00", 5.0)]))
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 10.0),
+                                (3, "2024-01-01 00:00:00", 3.0)]))
+
+    rows = {(r["timeseries_id"], r["_change_type"]): r["value"]
+            for r in store.changes(1, 2).collect()}
+    assert rows == {
+        (1, "update_preimage"): 1.0,
+        (1, "update_postimage"): 10.0,
+        (3, "insert"): 3.0,
+    }
+    assert all(r["_commit_version"] == 2
+               for r in store.changes(1, 2).collect())
+    # no-op diff
+    assert store.changes(2, 2).count() == 0
+    # vacuumed-away version refuses
+    import pytest
+
+    store.vacuum(retain_last=1)
+    with pytest.raises(ValueError, match="not available"):
+        store.changes(1, 2)
