@@ -132,6 +132,26 @@ def main() -> None:
     t("segment_overlay_1m", split_segments(
         seg_existing, seg_new, keys=["series"]))
 
+    # ---- connector batch shape: a fetch fleet's worth of Aquarius
+    # payloads normalized in ONE pass — per-payload windows, no
+    # single-partition sorts (the r2 finding); 200 payloads ~ a
+    # mid-size station network's nightly corrected-data pull
+    import shutil as _shutil
+
+    from aquacache_spark.sources.aquarius import normalize_aquarius_batch
+
+    aq_fix = "fixtures/connectors/aquarius_09AA-M3.json"
+    aq_dir = f"{base}/aq_payloads"
+    import os as _os
+
+    _os.makedirs(aq_dir, exist_ok=True)
+    paths = []
+    for i in range(200):
+        dst = f"{aq_dir}/payload_{i:03d}.json"
+        _shutil.copy(aq_fix, dst)
+        paths.append(dst)
+    t("aquarius_batch_200", normalize_aquarius_batch(spark, paths))
+
     # ---- document tier: dedup/fingerprint machinery at 20x bench scale
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     seed = F.col("id") % (n_docs * 9 // 10)  # ~10% exact duplicates
