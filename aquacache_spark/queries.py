@@ -6079,6 +6079,84 @@ def hrdpa_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HRDPS_GRIB_DIR = _FIXDIR / "hrdps_grib"
+_HRDPS_CELLS = _FIXDIR / "hrdps_cells.csv"
+
+# HRDPS forecast ingest end-to-end (downloadHRDPS.R:39-199): run
+# listing -> latest-COMPLETE-run selection (the 06Z run has only 3 of
+# the required 5 steps and must lose to 12Z) -> per-step references ->
+# real GRIB2 decode -> per-step zonal stats, with the decoded
+# section-4 forecast hour cross-checking the filename-derived step.
+_HRDPS_GRIB_ORACLE = f"""
+    WITH raw AS (
+      SELECT file, CAST(issue AS TIMESTAMP) AS issue, step, x, y,
+             CAST(value AS DOUBLE) AS value
+      FROM read_csv('{_HRDPS_CELLS}', header=true)
+    ), runs AS (
+      SELECT issue, count(DISTINCT step) AS n_steps FROM raw GROUP BY 1
+    ), sel_run AS (
+      SELECT issue FROM runs
+      WHERE n_steps >= 5 AND issue > TIMESTAMP '2024-01-09 00:00:00'
+      ORDER BY issue DESC LIMIT 1
+    ), sel AS (
+      SELECT r.* FROM raw r JOIN sel_run USING (issue)
+      WHERE r.value IS NOT NULL AND r.step <= 4
+    )
+    SELECT CAST(step AS BIGINT) AS step,
+           issue AS issued,
+           issue + to_hours(step) AS valid_from,
+           issue + to_hours(step + 1) AS valid_to,
+           CAST(step AS BIGINT) AS decoded_fh,
+           count(*) AS n_cells,
+           {R(DSUM('value') + ' / count(value)', 6)} AS zmean,
+           {R('min(value)', 6)} AS zmin,
+           {R('max(value)', 6)} AS zmax
+    FROM sel GROUP BY step, issue
+"""
+
+
+@register("hrdps_grib_ingest", oracle=_HRDPS_GRIB_ORACLE)
+def hrdps_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-complete-run selection -> step expansion -> GRIB2 decode
+    -> per-step stats; decoded forecast hours must equal the step."""
+    import os as _os
+
+    from .sources.gridded import (grib_cells, hrdps_forecast_steps,
+                                  hrdps_select_run)
+
+    names = sorted(_os.listdir(_HRDPS_GRIB_DIR))
+    listing = _ldf(spark, [(n,) for n in names], ["file"])
+    runs = (
+        listing.select(
+            F.to_timestamp(F.substring("file", 1, 11), "yyyyMMdd'T'HH")
+            .alias("issue"))
+        .groupBy("issue").agg(F.count(F.lit(1)).alias("n_steps"))
+        .withColumn("base_url", F.lit("https://dd/model_hrdps/2.5km"))
+    )
+    sel = hrdps_select_run(runs, last_issued="2024-01-09 00:00:00",
+                           min_steps=5)
+    steps = hrdps_forecast_steps(sel, "TMP_AGL-2m", n_steps=4)
+    refs = steps.select(
+        F.col("step").cast("long").alias("step"), "issued",
+        "valid_from", "valid_to",
+        F.substring_index("source", "/", -1).alias("file"),
+    )
+    cells = grib_cells(spark, str(_HRDPS_GRIB_DIR) + "/*.grib2")
+    j = cells.join(F.broadcast(refs), "file")
+    out = j.groupBy("step", "issued", "valid_from", "valid_to").agg(
+        F.min("fhours").cast("long").alias("decoded_fh"),
+        F.count(F.lit(1)).alias("n_cells"),
+        _exact_mean_of(F.col("value")).alias("zmean"),
+        F.min("value").alias("zmin"),
+        F.max("value").alias("zmax"),
+    )
+    return _round(
+        out.select("step", "issued", "valid_from", "valid_to",
+                   "decoded_fh", "n_cells", "zmean", "zmin", "zmax"),
+        {"zmean": 6, "zmin": 6, "zmax": 6},
+    )
+
+
 # ---------------------------------------------------------------------------
 # ERA5/CDS request batching (downloadERA5.R:149-200): full months become
 # one request, partial head/tail months go day-by-day — planned set-wise

@@ -2,13 +2,15 @@
 and run selection (R/downloadHRDPA.R:11, R/downloadHRDPS.R:11).
 
 The reference's four gridded connectors (ERA5/HRDPA/HRDPS/CaLDAS) are
-HTTP directory scrapes + GRIB decodes. The network fetch and the
-terra/GDAL decode are environment adapters (stubbed here, like the
-multimodal decode); everything between them — filename parsing,
-analysis-vs-preliminary dedup, accumulation-window derivation, and
-latest-complete-run selection — is pure relational logic, implemented
-as codegen'd column expressions over a *listing* frame so a 30-day
-scrape of thousands of files normalizes in one map pass.
+HTTP directory scrapes + GRIB decodes. Only the network fetch remains
+an environment adapter; the GRIB2 decode itself is real
+(functions/grib2.py via ``grib_cells`` — a binaryFile scan fanning
+files one-per-task). Everything between listing and decode — filename
+parsing, analysis-vs-preliminary dedup, accumulation-window
+derivation, and latest-complete-run selection — is pure relational
+logic, implemented as codegen'd column expressions over a *listing*
+frame so a 30-day scrape of thousands of files normalizes in one map
+pass.
 
 Downstream, the selected references flow into the tiled raster store
 (sources/raster.py, operators/raster.py) exactly as the reference's
@@ -140,8 +142,8 @@ def fetch_grib(url: str):  # pragma: no cover - environment adapter
     )
 
 
-GRIB_CELL_SCHEMA = ("file string, msg int, x int, y int, lon double, "
-                    "lat double, value double")
+GRIB_CELL_SCHEMA = ("file string, msg int, fhours int, x int, y int, "
+                    "lon double, lat double, value double")
 
 
 def grib_cells(spark, path: str) -> DataFrame:
@@ -170,10 +172,11 @@ def grib_cells(spark, path: str) -> DataFrame:
                             continue
                         j, i = divmod(idx, m.ni)
                         rows.append(
-                            (fname, mi, i, j, m.lon(i), m.lat(j), v))
+                            (fname, mi, m.forecast_hours, i, j,
+                             m.lon(i), m.lat(j), v))
                 yield pd.DataFrame(
-                    rows, columns=["file", "msg", "x", "y", "lon", "lat",
-                                   "value"],
+                    rows, columns=["file", "msg", "fhours", "x", "y",
+                                   "lon", "lat", "value"],
                 )
 
     return (

@@ -110,6 +110,16 @@ FILES = [
 ]
 
 
+# HRDPS forecast fixture: two runs of TMP_AGL-2m — 06Z incomplete
+# (3 steps), 12Z complete (steps 0..4) — so latest-complete-run
+# selection is live (downloadHRDPS.R:39-126).
+HRDPS_OUT = os.path.join(HERE, "hrdps_grib")
+HRDPS_RUNS = [
+    ("20240110T06Z", (2024, 1, 10, 6), range(3)),
+    ("20240110T12Z", (2024, 1, 10, 12), range(5)),
+]
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rows = []
@@ -134,6 +144,28 @@ def main():
         w.writerow(["file", "datetime", "x", "y", "lon", "lat", "value"])
         w.writerows(rows)
     print("hrdpa_cells.csv", len(rows), "rows")
+
+    os.makedirs(HRDPS_OUT, exist_ok=True)
+    hrows = []
+    for stamp, rt, steps in HRDPS_RUNS:
+        for step in steps:
+            name = (f"{stamp}_MSC_HRDPS_TMP_AGL-2m_RLatLon0.0225_"
+                    f"PT{step:03d}H.grib2")
+            vals = field(rt[3] * 10 + step)
+            with open(os.path.join(HRDPS_OUT, name), "wb") as fh:
+                fh.write(encode(vals, rt, fhours=step))
+            issue = (f"{stamp[:4]}-{stamp[4:6]}-{stamp[6:8]} "
+                     f"{stamp[9:11]}:00:00")
+            for idx, v in enumerate(vals):
+                j, i = divmod(idx, NI)
+                hrows.append([name, issue, step, i, j,
+                              "" if v is None else v])
+        print(stamp, "HRDPS", len(steps), "steps")
+    with open(os.path.join(HERE, "hrdps_cells.csv"), "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["file", "issue", "step", "x", "y", "value"])
+        w.writerows(hrows)
+    print("hrdps_cells.csv", len(hrows), "rows")
 
 
 if __name__ == "__main__":
