@@ -6157,6 +6157,72 @@ def hrdps_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ERA5_NC = _FIXDIR / "era5_tp.nc"
+_ERA5_CELLS = _FIXDIR / "era5_cells.csv"
+
+# ERA5 NetCDF ingest end-to-end (downloadERA5.R payload half): real
+# NetCDF-3 decode (packed shorts + scale/offset + fill, record-dim
+# time slabs — functions/netcdf3.py) -> hourly cells -> daily
+# accumulation per cell -> half-grid zonal stats; oracle reads the
+# fixture generator's decoded CSV twin so the binary decode itself is
+# differentially checked.
+_ERA5_NC_ORACLE = f"""
+    WITH raw AS (
+      SELECT hour, x, y, CAST(tp AS DOUBLE) AS tp
+      FROM read_csv('{_ERA5_CELLS}', header=true)
+      WHERE tp IS NOT NULL
+    ), stamped AS (
+      SELECT TIMESTAMP '1900-01-01 00:00:00' + to_hours(hour) AS dt,
+             x, y, tp
+      FROM raw
+    ), daily AS (
+      SELECT CAST(dt AS DATE) AS date, x, y,
+             {DSUM('tp')} AS dsum, count(*) AS n_hours
+      FROM stamped GROUP BY 1, 2, 3
+    )
+    SELECT date, CASE WHEN x < 3 THEN 'west' ELSE 'east' END AS zone,
+           count(*) AS n_cells,
+           {R(DSUM('dsum') + ' / count(dsum)', 6)} AS zmean,
+           {R('min(dsum)', 6)} AS zmin,
+           {R('max(dsum)', 6)} AS zmax,
+           CAST(sum(n_hours) AS BIGINT) AS total_hours
+    FROM daily
+    GROUP BY 1, 2
+"""
+
+
+@register("era5_netcdf_ingest", oracle=_ERA5_NC_ORACLE)
+def era5_netcdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF-3 decode -> hourly cells -> per-cell daily accumulation
+    -> half-grid zonal stats."""
+    from .sources.gridded import netcdf_cells
+
+    cells = netcdf_cells(spark, str(_ERA5_NC), "tp")
+    stamped = cells.select(
+        F.timestamp_add("HOUR", F.col("hour").cast("int"),
+                        F.lit("1900-01-01 00:00:00").cast("timestamp"))
+        .alias("dt"),
+        "x", "y", "value",
+    )
+    daily = stamped.groupBy(
+        F.to_date("dt").alias("date"), "x", "y"
+    ).agg(
+        _exact_sum_col("value").alias("dsum"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    out = daily.groupBy(
+        "date",
+        F.when(F.col("x") < 3, "west").otherwise("east").alias("zone"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        _exact_mean_of(F.col("dsum")).alias("zmean"),
+        F.min("dsum").alias("zmin"),
+        F.max("dsum").alias("zmax"),
+        F.sum("n_hours").cast("bigint").alias("total_hours"),
+    )
+    return _round(out, {"zmean": 6, "zmin": 6, "zmax": 6})
+
+
 # ---------------------------------------------------------------------------
 # ERA5/CDS request batching (downloadERA5.R:149-200): full months become
 # one request, partial head/tail months go day-by-day — planned set-wise

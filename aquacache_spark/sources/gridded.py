@@ -186,6 +186,63 @@ def grib_cells(spark, path: str) -> DataFrame:
     )
 
 
+NC_CELL_SCHEMA = ("file string, hour bigint, x int, y int, "
+                  "lon double, lat double, value double")
+
+
+def netcdf_cells(
+    spark,
+    path: str,
+    var: str,
+    time_var: str = "time",
+    lat_var: str = "latitude",
+    lon_var: str = "longitude",
+) -> DataFrame:
+    """Distributed NetCDF-3 decode for ERA5-style CDS payloads
+    (functions/netcdf3.py): binaryFile scan, one file per task; packed
+    shorts unscale via scale_factor/add_offset, _FillValue cells drop.
+    Output one row per (time, lat, lon) cell with the raw time
+    coordinate (hours since the CDS epoch) — the ERA5 sibling of
+    ``grib_cells``."""
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions.netcdf3 import NetCDF3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                nc = NetCDF3(bytes(content))
+                hours = nc.read_raw(time_var)
+                lats = nc.read(lat_var)
+                lons = nc.read(lon_var)
+                vals = nc.read(var)
+                fname = os.path.basename(path_)
+                nlat, nlon = len(lats), len(lons)
+                rows = []
+                for t, hour in enumerate(hours):
+                    base = t * nlat * nlon
+                    for j in range(nlat):
+                        for i in range(nlon):
+                            v = vals[base + j * nlon + i]
+                            if v is None:
+                                continue
+                            rows.append((fname, int(hour), i, j,
+                                         lons[i], lats[j], v))
+                yield pd.DataFrame(
+                    rows, columns=["file", "hour", "x", "y", "lon",
+                                   "lat", "value"],
+                )
+
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+        .mapInPandas(kernel, schema=NC_CELL_SCHEMA)
+    )
+
+
 CALDAS_HOURS = (0, 3, 6, 9, 12, 15, 18, 21)
 
 
