@@ -134,6 +134,24 @@ def expand_changed_ranges(
     )
 
 
+def changed_ranges_from_cdf(
+    cdf: DataFrame,
+    ts_col: str = "timeseries_id",
+    dt_col: str = "datetime",
+) -> DataFrame:
+    """ParquetMergeStore.changes() output -> the (series, min_dt,
+    max_dt) frame incremental_daily_refresh consumes — the
+    lakehouse-native trigger: instead of the reference's row triggers
+    enqueuing (timeseries_id, range) work items (patch_48.R:401-408),
+    the change data feed between two store commits IS the work list.
+    Pre/postimages and deletes all widen the affected range; one
+    partial-aggregable groupBy on the series."""
+    return cdf.groupBy(F.col(ts_col)).agg(
+        F.min(dt_col).alias("min_dt"),
+        F.max(dt_col).alias("max_dt"),
+    )
+
+
 def incremental_daily_refresh(
     measurements: DataFrame,
     changed_ranges: DataFrame,

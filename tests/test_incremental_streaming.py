@@ -410,3 +410,56 @@ def test_streaming_pack_matches_batch(spark, tmp_path):
 
     got = {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in seen}
     assert got == expect
+
+
+def test_cdf_drives_scoped_daily_refresh(spark, tmp_path):
+    """merge -> changes(v1, v2) -> changed ranges -> scoped daily
+    recompute: the CDF-scoped result must equal a full recompute on
+    the changed slices, and untouched (series, date) slices are never
+    recomputed."""
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.operators.daily import daily_rollup
+    from aquacache_spark.sources.store import ParquetMergeStore
+    from aquacache_spark.streaming.incremental import (
+        changed_ranges_from_cdf, incremental_daily_refresh,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, ["timeseries_id", "datetime", "value"]
+        ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+
+    store = ParquetMergeStore(
+        spark, str(tmp_path / "cdfstore"), ["timeseries_id", "datetime"],
+        n_buckets=4)
+    base = mk([(s, f"2024-01-{d:02d} {h:02d}:00:00", float(s * 100 + d + h))
+               for s in (1, 2, 3) for d in (1, 2) for h in (0, 12)])
+    store.merge(base)
+
+    def rollup(df):
+        return daily_rollup(df, keys=["timeseries_id"], dt_col="datetime",
+                            value_col="value", agg_type="mean")
+
+    daily_v1 = rollup(store.read(1))
+
+    # v2: series 1 day 1 gets a corrected hour; series 3 gets a new day
+    store.merge(mk([(1, "2024-01-01 00:00:00", 999.0),
+                    (3, "2024-01-03 00:00:00", 7.0)]))
+
+    ranges = changed_ranges_from_cdf(store.changes(1, 2))
+    got = {(r["timeseries_id"], str(r["min_dt"])[:10], str(r["max_dt"])[:10])
+           for r in ranges.collect()}
+    assert got == {(1, "2024-01-01", "2024-01-01"),
+                   (3, "2024-01-03", "2024-01-03")}
+
+    out = incremental_daily_refresh(
+        store.read(), ranges, daily_v1, rollup)
+    rows = {(r["timeseries_id"], str(r["date"])): r
+            for r in out.collect()}
+    # only the two changed slices appear
+    assert set(rows) == {(1, "2024-01-01"), (3, "2024-01-03")}
+    assert rows[(1, "2024-01-01")]["merge_action"] == "update"
+    assert rows[(1, "2024-01-01")]["value"] == (999.0 + 113.0) / 2
+    assert rows[(3, "2024-01-03")]["merge_action"] == "insert"
+    assert rows[(3, "2024-01-03")]["value"] == 7.0
