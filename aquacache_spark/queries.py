@@ -6223,6 +6223,56 @@ def era5_netcdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"zmean": 6, "zmin": 6, "zmax": 6})
 
 
+_CALDAS_GRIB_DIR = _FIXDIR / "caldas_grib"
+_CALDAS_CELLS = _FIXDIR / "caldas_cells.csv"
+
+# CaLDAS analysis ingest (downloadCaLDAS.R:36-51 + decode): requested
+# hours pass the 3-hourly cadence gate, per-(day, hour) references
+# select the staged analyses (the 21Z file exists but is NOT in the
+# request), GRIB2 decode, per-analysis stats.
+_CALDAS_ORACLE = f"""
+    WITH raw AS (
+      SELECT file, CAST(datetime AS TIMESTAMP) AS datetime, x, y,
+             CAST(value AS DOUBLE) AS value
+      FROM read_csv('{_CALDAS_CELLS}', header=true)
+    ), sel AS (
+      SELECT * FROM raw
+      WHERE hour(datetime) IN (0, 6, 12) AND value IS NOT NULL
+    )
+    SELECT datetime,
+           count(*) AS n_cells,
+           {R(DSUM('value') + ' / count(value)', 6)} AS zmean,
+           {R('min(value)', 6)} AS zmin,
+           {R('max(value)', 6)} AS zmax
+    FROM sel GROUP BY datetime
+"""
+
+
+@register("caldas_grib_ingest", oracle=_CALDAS_ORACLE)
+def caldas_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence-gated hour selection -> analysis decode -> per-analysis
+    stats (the fourth gridded connector, decode-wired)."""
+    from .sources.gridded import caldas_validate_hours, grib_cells
+
+    hrs = caldas_validate_hours("0,6,12")
+    refs = _ldf(spark, [
+        (f"20240110T{h:02d}Z_MSC_CaLDAS-NSRPS_SD_Veg_"
+         f"RLatLon0.009_PT0H.grib2",
+         f"2024-01-10 {h:02d}:00:00")
+        for h in hrs
+    ], ["file", "dt"]).select(
+        "file", F.col("dt").cast("timestamp").alias("datetime"))
+    cells = grib_cells(spark, str(_CALDAS_GRIB_DIR) + "/*.grib2")
+    j = cells.join(F.broadcast(refs), "file")
+    out = j.groupBy("datetime").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        _exact_mean_of(F.col("value")).alias("zmean"),
+        F.min("value").alias("zmin"),
+        F.max("value").alias("zmax"),
+    )
+    return _round(out, {"zmean": 6, "zmin": 6, "zmax": 6})
+
+
 # ---------------------------------------------------------------------------
 # ERA5/CDS request batching (downloadERA5.R:149-200): full months become
 # one request, partial head/tail months go day-by-day — planned set-wise

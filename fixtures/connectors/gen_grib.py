@@ -167,6 +167,28 @@ def main():
         w.writerows(hrows)
     print("hrdps_cells.csv", len(hrows), "rows")
 
+    # CaLDAS snow-depth analyses at the 3-hourly cadence
+    # (downloadCaLDAS.R): one file per (day, hour), hours on the 3-h
+    # grid; one off-grid-named file must never be selected.
+    caldas_out = os.path.join(HERE, "caldas_grib")
+    os.makedirs(caldas_out, exist_ok=True)
+    crows = []
+    for hour, t in ((0, 11), (6, 12), (12, 13), (21, 14)):
+        name = (f"20240110T{hour:02d}Z_MSC_CaLDAS-NSRPS_SD_Veg_"
+                "RLatLon0.009_PT0H.grib2")
+        vals = field(t)
+        with open(os.path.join(caldas_out, name), "wb") as fh:
+            fh.write(encode(vals, (2024, 1, 10, hour)))
+        for idx, v in enumerate(vals):
+            j, i = divmod(idx, NI)
+            crows.append([name, f"2024-01-10 {hour:02d}:00:00", i, j,
+                          "" if v is None else v])
+    with open(os.path.join(HERE, "caldas_cells.csv"), "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["file", "datetime", "x", "y", "value"])
+        w.writerows(crows)
+    print("caldas_cells.csv", len(crows), "rows")
+
 
 if __name__ == "__main__":
     main()
