@@ -213,3 +213,14 @@ def test_nhn_gpkg_read_no_shuffle(spark):
     p = plan(spark, "nhn_gpkg_layer_upsert")
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
     assert "SortMergeJoin" not in p
+
+
+def test_gridded_ingest_joins_broadcast(spark):
+    # decode-to-stats pipelines join catalog-sized reference frames
+    # broadcast; no sort-merge over the cell mass, nothing cartesian
+    # except the bbox-overlap zonal join (broadcast BNLJ by design)
+    for name in ("hrdpa_grib_ingest", "hrdps_grib_ingest",
+                 "caldas_grib_ingest", "era5_netcdf_ingest"):
+        p = plan(spark, name)
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
