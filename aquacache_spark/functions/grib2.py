@@ -1,4 +1,4 @@
-"""Minimal pure-stdlib GRIB2 decoder (WMO FM 92 GRIB Edition 2).
+"""Minimal pure-stdlib+numpy GRIB2 decoder (WMO FM 92 GRIB Edition 2).
 
 The reference's gridded connectors hand GRIB urls to ``terra::rast``
 (R/downloadHRDPA.R:155-181); this engine decodes the payload itself —
@@ -6,25 +6,45 @@ the raster-ingest sibling of the BMP codec in operators/multimodal.py,
 so no GDAL binary is required for the supported product shape:
 
 - Section 3 grid template 3.0 (regular latitude/longitude grid),
-- Section 5 data representation template 5.0 (simple packing),
+- Section 5 data representation templates
+    5.0  simple packing,
+    5.2  complex packing (grouped), and
+    5.3  complex packing with spatial differencing (orders 1 and 2) —
+  5.2/5.3 are what production ECCC HRDPA/HRDPS/CaLDAS files actually
+  use; 5.0 is what synthetic/archival payloads use,
 - Section 6 bitmap (indicator 0 = present, 255 = none),
-- Section 7 packed data, MSB-first bit stream.
+- Section 7 packed data, MSB-first bit stream; each block of a complex
+  message (references, widths, lengths, data) is byte-aligned per spec.
 
-Decoded value = (R + M * 2**E) / 10**D with R the IEEE-754 float32
-reference, M the ``nbits``-wide unsigned integer, E/D the binary and
-decimal scale factors (GRIB sign-and-magnitude int16). Cells masked
-out by the bitmap decode as None (terra's NA).
+Decoded value = (R + X * 2**E) / 10**D with R the IEEE-754 float32
+reference, X the unpacked integer (group reference + offset for
+complex packing, un-differenced first when template 5.3), E/D the
+binary and decimal scale factors (GRIB sign-and-magnitude int16).
+Cells masked out by the bitmap decode as None (terra's NA).
+
+Spec notes enforced loudly rather than guessed:
+
+- Section 5 octets 6-9 count the points encoded in Section 7 — the
+  PRESENT count when a bitmap exists — while the grid size comes from
+  Section 3; the bitmap is iterated over the grid size and its
+  popcount must equal Section 5's count or decoding raises.
+- Section 4 octet 18 is the forecast-time unit indicator; known units
+  (minute/hour/day/3h/6h/12h/second) convert to whole hours, anything
+  else (or a non-integral conversion) raises.
 
 Scalar codec only — the distributed path batches it through
 ``mapInPandas`` (sources/gridded.py:grib_cells), one file per task of
 a binaryFile scan, which is exactly how a 30-day fleet of HRDPA files
-fans out on a cluster.
+fans out on a cluster; the bit-stream unpacking itself is vectorized
+numpy so a 3M-point operational grid decodes in well under a second.
 """
 
 from __future__ import annotations
 
 import struct
 from typing import List, Optional
+
+import numpy as np
 
 
 def _su16(b: bytes, off: int) -> int:
@@ -42,13 +62,59 @@ def _si32(b: bytes, off: int) -> int:
     return raw
 
 
+# Section 4 octet 18 -> hours multiplier (WMO code table 4.4).
+_TIME_UNIT_HOURS = {
+    0: 1.0 / 60.0,   # minute
+    1: 1.0,          # hour
+    2: 24.0,         # day
+    10: 3.0,         # 3 hours
+    11: 6.0,         # 6 hours
+    12: 12.0,        # 12 hours
+    13: 1.0 / 3600.0,  # second
+}
+
+
+class _BitReader:
+    """MSB-first bit cursor over a byte string, vectorized unpacking."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read_uints(self, count: int, width: int) -> np.ndarray:
+        """``count`` unsigned big-endian ints of ``width`` bits each."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        if width == 0:
+            return np.zeros(count, dtype=np.int64)
+        end = self.pos + count * width
+        if end > self.bits.size:
+            raise ValueError("GRIB2 packed data truncated")
+        arr = self.bits[self.pos:end].reshape(count, width).astype(np.int64)
+        self.pos = end
+        weights = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+        return arr @ weights
+
+    def read_signed(self, count: int, width: int) -> np.ndarray:
+        """Sign-and-magnitude ints (first bit = sign), per GRIB ints."""
+        raw = self.read_uints(count, width)
+        sign = np.int64(1) << (width - 1)
+        return np.where(raw & sign, -(raw & (sign - 1)), raw)
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) // 8 * 8
+
+
 class Grib2Message:
     __slots__ = ("discipline", "ref_time", "param_category", "param_number",
                  "forecast_hours", "ni", "nj", "lat0", "lon0", "dlat",
-                 "dlon", "scan_mode", "values")
+                 "dlon", "scan_mode", "packing", "values")
 
     def __init__(self):
         self.values: List[Optional[float]] = []
+        self.packing = None  # data representation template number
 
     def lat(self, j: int) -> float:
         """Latitude of row j under the decoded scanning mode (+j =
@@ -77,13 +143,28 @@ def decode_grib2(data: bytes) -> List[Grib2Message]:
     return out
 
 
+def _forecast_hours(s: bytes) -> int:
+    """Section 4 forecast time -> whole hours, honoring the octet-18
+    time-unit indicator (code table 4.4); unknown units raise."""
+    unit = s[17]
+    if unit not in _TIME_UNIT_HOURS:
+        raise ValueError(f"unsupported forecast time unit indicator {unit}")
+    raw = struct.unpack_from(">I", s, 18)[0]
+    hours = raw * _TIME_UNIT_HOURS[unit]
+    if hours != int(hours):
+        raise ValueError(
+            f"non-integral forecast hours: {raw} in unit {unit}"
+        )
+    return int(hours)
+
+
 def _decode_message(msg: bytes) -> Grib2Message:
     m = Grib2Message()
     m.discipline = msg[6]
     pos = 16
     bitmap: Optional[bytes] = None
-    npoints = 0
-    ref = e = d = nbits = None
+    ndata = 0          # section 5 octets 6-9: points encoded in section 7
+    sec5: Optional[bytes] = None
     while msg[pos:pos + 4] != b"7777":
         sec_len = struct.unpack_from(">I", msg, pos)[0]
         sec_num = msg[pos + 4]
@@ -114,19 +195,16 @@ def _decode_message(msg: bytes) -> Grib2Message:
                 )
             m.param_category = s[9]
             m.param_number = s[10]
-            m.forecast_hours = struct.unpack_from(">I", s, 18)[0]
+            m.forecast_hours = _forecast_hours(s)
         elif sec_num == 5:
-            npoints = struct.unpack_from(">I", s, 5)[0]
-            template = struct.unpack_from(">H", s, 9)[0]
-            if template != 0:
+            ndata = struct.unpack_from(">I", s, 5)[0]
+            sec5 = s
+            m.packing = struct.unpack_from(">H", s, 9)[0]
+            if m.packing not in (0, 2, 3):
                 raise ValueError(
-                    f"unsupported data representation template {template} "
-                    "(only 5.0 simple packing)"
+                    f"unsupported data representation template {m.packing}"
+                    " (only 5.0 simple / 5.2 complex / 5.3 spatial-diff)"
                 )
-            ref = struct.unpack_from(">f", s, 11)[0]
-            e = _su16(s, 15)
-            d = _su16(s, 17)
-            nbits = s[19]
         elif sec_num == 6:
             indicator = s[5]
             if indicator == 0:
@@ -136,61 +214,192 @@ def _decode_message(msg: bytes) -> Grib2Message:
                     f"unsupported bitmap indicator {indicator}"
                 )
         elif sec_num == 7:
-            if ref is None:
+            if sec5 is None:
                 raise ValueError("data section before representation section")
-            m.values = _unpack_simple(
-                s[5:], npoints, ref, e, d, nbits, bitmap
-            )
+            ngrid = m.ni * m.nj
+            if bitmap is not None:
+                popcount = int(np.unpackbits(
+                    np.frombuffer(bitmap, dtype=np.uint8),
+                )[:ngrid].sum())
+                if popcount != ndata:
+                    raise ValueError(
+                        f"bitmap popcount {popcount} != section-5 point "
+                        f"count {ndata}"
+                    )
+            elif ndata != ngrid:
+                raise ValueError(
+                    f"no bitmap but section-5 point count {ndata} != grid "
+                    f"size {ngrid}"
+                )
+            if m.packing == 0:
+                present = _unpack_simple_present(s[5:], ndata, sec5)
+            else:
+                present = _unpack_complex_present(
+                    s[5:], ndata, sec5, m.packing
+                )
+            m.values = _expand_bitmap(present, ngrid, bitmap)
         pos += sec_len
     return m
 
 
+def _scale(x: np.ndarray, miss: Optional[np.ndarray], ref: float,
+           e: int, d: int) -> list:
+    """(R + X*2^E)/10^D as float64; missing positions -> None."""
+    vals = (ref + x.astype(np.float64) * (2.0 ** e)) / (10.0 ** d)
+    out = vals.tolist()
+    if miss is not None and miss.any():
+        for i in np.nonzero(miss)[0].tolist():
+            out[i] = None
+    return out
+
+
+def _expand_bitmap(present: list, ngrid: int,
+                   bitmap: Optional[bytes]) -> List[Optional[float]]:
+    """Spread the present-values sequence over the full grid; cells the
+    bitmap masks out become None. The bitmap covers the SECTION-3 grid
+    size, not section 5's present count."""
+    if bitmap is None:
+        return present
+    mask = np.unpackbits(np.frombuffer(bitmap, dtype=np.uint8))[:ngrid]
+    out: List[Optional[float]] = [None] * ngrid
+    it = iter(present)
+    for idx in np.nonzero(mask)[0].tolist():
+        out[idx] = next(it)
+    return out
+
+
+def _unpack_simple_present(packed: bytes, ndata: int, sec5: bytes) -> list:
+    """Template 7.0: ndata MSB-first fixed-width integers."""
+    ref = struct.unpack_from(">f", sec5, 11)[0]
+    e = _su16(sec5, 15)
+    d = _su16(sec5, 17)
+    nbits = sec5[19]
+    if nbits == 0:
+        return [ref / (10.0 ** d)] * ndata
+    br = _BitReader(packed)
+    return _scale(br.read_uints(ndata, nbits), None, ref, e, d)
+
+
+def _unpack_complex_present(packed: bytes, ndata: int, sec5: bytes,
+                            template: int) -> list:
+    """Templates 7.2 / 7.3: grouped packing, optional spatial diff.
+
+    Layout (each block padded to a byte boundary per spec): for 7.3,
+    ``order`` initial field values then the overall minimum of the
+    differences, each a sign-and-magnitude int of section-5 octet 49's
+    width; then NG group references (octet-20 bits each), NG group
+    widths (octet-37 bits), NG scaled group lengths (octet-47 bits),
+    then per-group offset values. Group g's true width/length are
+    ``width_ref + w[g]`` / ``len_ref + len_inc * l[g]`` with the last
+    group's length overridden by octets 43-46.
+    """
+    ref = struct.unpack_from(">f", sec5, 11)[0]
+    e = _su16(sec5, 15)
+    d = _su16(sec5, 17)
+    nbits = sec5[19]
+    miss_mgmt = sec5[22]
+    if miss_mgmt not in (0, 1):
+        raise ValueError(
+            f"unsupported missing value management {miss_mgmt}"
+        )
+    ng = struct.unpack_from(">I", sec5, 31)[0]
+    width_ref = sec5[35]
+    width_bits = sec5[36]
+    len_ref = struct.unpack_from(">I", sec5, 37)[0]
+    len_inc = sec5[41]
+    last_len = struct.unpack_from(">I", sec5, 42)[0]
+    len_bits = sec5[46]
+
+    br = _BitReader(packed)
+    order = 0
+    h = gmin = None
+    if template == 3:
+        order = sec5[47]
+        extra_octets = sec5[48]
+        if order not in (1, 2):
+            raise ValueError(f"unsupported spatial differencing order {order}")
+        if miss_mgmt != 0:
+            raise ValueError(
+                "missing-value management with spatial differencing "
+                "not supported"
+            )
+        h = br.read_signed(order, extra_octets * 8)
+        gmin = int(br.read_signed(1, extra_octets * 8)[0])
+
+    refs = br.read_uints(ng, nbits)
+    br.align()
+    widths = width_ref + br.read_uints(ng, width_bits)
+    br.align()
+    lens = len_ref + len_inc * br.read_uints(ng, len_bits)
+    br.align()
+    if ng:
+        lens[-1] = last_len
+    if int(lens.sum()) != ndata:
+        raise ValueError(
+            f"group lengths sum {int(lens.sum())} != point count {ndata}"
+        )
+
+    x = np.empty(ndata, dtype=np.int64)
+    miss = np.zeros(ndata, dtype=bool) if miss_mgmt else None
+    all_ones_ref = (np.int64(1) << nbits) - 1 if nbits else np.int64(0)
+    pos = 0
+    for g in range(ng):
+        length = int(lens[g])
+        w = int(widths[g])
+        if w == 0:
+            if miss_mgmt == 1 and nbits and refs[g] == all_ones_ref:
+                miss[pos:pos + length] = True
+                x[pos:pos + length] = 0
+            else:
+                x[pos:pos + length] = refs[g]
+        else:
+            vals = br.read_uints(length, w)
+            if miss_mgmt == 1:
+                mg = vals == (np.int64(1) << w) - 1
+                miss[pos:pos + length] = mg
+            x[pos:pos + length] = refs[g] + vals
+        pos += length
+
+    if template == 3:
+        # undo spatial differencing: packed values are d^order minus
+        # gmin (first `order` slots are placeholders the initial values
+        # replace), so add gmin back then integrate `order` times.
+        x[order:] += gmin
+        if order == 1:
+            x[0] = h[0]
+            x = np.cumsum(x)
+        else:
+            d1 = np.concatenate(([h[1] - h[0]], x[2:])).cumsum()
+            x = np.concatenate(([h[0]], d1)).cumsum()
+            x[0] = h[0]
+    return _scale(x, miss, ref, e, d)
+
+
 def _unpack_simple(
     packed: bytes,
-    npoints: int,
+    ngrid: int,
     ref: float,
     e: int,
     d: int,
     nbits: int,
     bitmap: Optional[bytes],
+    ndata: Optional[int] = None,
 ) -> List[Optional[float]]:
-    scale_e = 2.0 ** e
-    scale_d = 10.0 ** d
-    if nbits == 0:
-        # constant field: every present point equals R / 10^D
-        const = ref / scale_d
-        vals_present = None
-    else:
-        vals_present = []
-        acc = 0
-        acc_bits = 0
-        byte_i = 0
-        need = npoints if bitmap is None else None
-        total_present = (
-            npoints if bitmap is None
-            else sum(bin(b).count("1") for b in bitmap[: (npoints + 7) // 8])
-        )
-        while len(vals_present) < total_present:
-            while acc_bits < nbits:
-                acc = (acc << 8) | packed[byte_i]
-                byte_i += 1
-                acc_bits += 8
-            acc_bits -= nbits
-            mval = (acc >> acc_bits) & ((1 << nbits) - 1)
-            vals_present.append((ref + mval * scale_e) / scale_d)
-        del need
-    if bitmap is None:
-        if nbits == 0:
-            return [const] * npoints
-        return vals_present
-    out: List[Optional[float]] = []
-    it = iter(vals_present) if vals_present is not None else None
-    for idx in range(npoints):
-        present = (bitmap[idx // 8] >> (7 - idx % 8)) & 1
-        if not present:
-            out.append(None)
-        elif it is None:
-            out.append(const)
+    """Back-compat scalar helper used by golden-byte tests: simple
+    packing over a ``ngrid``-cell grid with an optional bitmap.
+    ``ndata`` (the section-5 present count) defaults to the bitmap
+    popcount / grid size per spec."""
+    if ndata is None:
+        if bitmap is None:
+            ndata = ngrid
         else:
-            out.append(next(it))
-    return out
+            ndata = int(np.unpackbits(
+                np.frombuffer(bitmap, dtype=np.uint8))[:ngrid].sum())
+    sec5 = struct.pack(
+        ">IBIHfHHBB", 21, 5, ndata, 0, ref,
+        (0x8000 | -e) if e < 0 else e,
+        (0x8000 | -d) if d < 0 else d,
+        nbits, 0,
+    )
+    present = _unpack_simple_present(packed, ndata, sec5)
+    return _expand_bitmap(present, ngrid, bitmap)

@@ -6011,12 +6011,16 @@ def hrdpa_listing_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HRDPA_GRIB_DIR = _FIXDIR / "hrdpa_grib"
 _HRDPA_CELLS = _FIXDIR / "hrdpa_cells.csv"
+_HRDPA_COMPLEX_DIR = _FIXDIR / "hrdpa_complex_grib"
+_HRDPA_COMPLEX_CELLS = _FIXDIR / "hrdpa_complex_cells.csv"
 
-_HRDPA_GRIB_ORACLE = f"""
+
+def _hrdpa_oracle(cells_csv) -> str:
+    return f"""
     WITH raw AS (
       SELECT file, CAST(datetime AS TIMESTAMP) AS datetime, x, y,
              CAST(value AS DOUBLE) AS value
-      FROM read_csv('{_HRDPA_CELLS}', header=true)
+      FROM read_csv('{cells_csv}', header=true)
     ), kept AS (
       SELECT DISTINCT file FROM raw
       WHERE NOT (file LIKE '%Prelim%' AND EXISTS (
@@ -6046,21 +6050,24 @@ _HRDPA_GRIB_ORACLE = f"""
 """
 
 
-@register("hrdpa_grib_ingest", oracle=_HRDPA_GRIB_ORACLE)
-def hrdpa_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+_HRDPA_GRIB_ORACLE = _hrdpa_oracle(_HRDPA_CELLS)
+
+
+def _hrdpa_pipeline(spark: SparkSession, grib_dir) -> DataFrame:
     """Listing -> dedup -> GRIB2 decode -> daily accumulation -> tiles
-    -> zonal stats, one pipeline."""
+    -> zonal stats, one pipeline (shared by the simple- and
+    complex-packed fixture sets)."""
     import datetime as _dt
     import os as _os
 
     from .operators.raster import tile_cells, zonal_stats
     from .sources.gridded import grib_cells, hrdpa_normalize
 
-    names = sorted(_os.listdir(_HRDPA_GRIB_DIR))
+    names = sorted(_os.listdir(grib_dir))
     listing = _ldf(spark, [(n, n) for n in names], ["file", "path"])
     kept = hrdpa_normalize(listing, "APCP-Accum6h",
                            _dt.datetime(2024, 1, 1))
-    cells = grib_cells(spark, str(_HRDPA_GRIB_DIR) + "/*.grib2")
+    cells = grib_cells(spark, str(grib_dir) + "/*.grib2")
     cells = cells.join(F.broadcast(kept.select("file")), "file",
                        "left_semi")
     daily = cells.groupBy("x", "y").agg(
@@ -6077,6 +6084,24 @@ def hrdpa_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         zs.select("zone_id", "zmean", "zmin", "zmax", "zcount"),
         {"zmean": 6, "zmin": 6, "zmax": 6},
     )
+
+
+@register("hrdpa_grib_ingest", oracle=_HRDPA_GRIB_ORACLE)
+def hrdpa_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Listing -> dedup -> GRIB2 decode -> daily accumulation -> tiles
+    -> zonal stats, one pipeline."""
+    return _hrdpa_pipeline(spark, _HRDPA_GRIB_DIR)
+
+
+@register("hrdpa_complex_ingest", oracle=_hrdpa_oracle(_HRDPA_COMPLEX_CELLS))
+def hrdpa_complex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same end-to-end HRDPA pipeline over COMPLEX-packed payloads
+    (data representation templates 5.2 and 5.3, spatial differencing
+    orders 1-2 — what production ECCC files actually carry,
+    R/downloadHRDPA.R:80-181 via terra/GDAL). The oracle reads the
+    fixture generator's decoded-cell CSV twin, so the grouped
+    bit-unpacking and un-differencing are differentially checked."""
+    return _hrdpa_pipeline(spark, _HRDPA_COMPLEX_DIR)
 
 
 _HRDPS_GRIB_DIR = _FIXDIR / "hrdps_grib"

@@ -31,6 +31,22 @@ def _sm16(v: int) -> int:
     return (0x8000 | -v) if v < 0 else v
 
 
+def _pack_stream(pairs):
+    """MSB-first bit packing of (value, width) pairs, zero-padded to a
+    byte boundary — one spec 'block' of a complex-packed section 7."""
+    acc = accbits = 0
+    out = bytearray()
+    for v, w in pairs:
+        acc = (acc << w) | v
+        accbits += w
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
 def field(t: int):
     """Deterministic 6-h precip field; None = bitmap-masked cell."""
     vals = []
@@ -43,7 +59,61 @@ def field(t: int):
     return vals
 
 
-def encode(vals, ref_time, fhours=0):
+def _complex_sec57(mvals, spatial_order=0, group_len=7):
+    """Sections 5+7 for complex packing (5.2) / spatial differencing
+    (5.3, orders 1-2): fixed group length with the last group short
+    (len_bits=0, length reference carries the common length), per-group
+    min as reference, per-group offset width; 5.3 stores the initial
+    value(s) + overall difference minimum as 2-octet sign-magnitude
+    ints and packs order-th differences minus that minimum."""
+    order = spatial_order
+    seq = list(mvals)
+    extra = b""
+    if order:
+        h = seq[:order]
+        if order == 1:
+            diffs = [0] + [seq[i] - seq[i - 1] for i in range(1, len(seq))]
+        else:
+            diffs = [0, 0] + [seq[i] - 2 * seq[i - 1] + seq[i - 2]
+                              for i in range(2, len(seq))]
+        gmin = min(diffs[order:]) if len(diffs) > order else 0
+        seq = [0] * order + [x - gmin for x in diffs[order:]]
+        extra = struct.pack(
+            ">" + "H" * (order + 1),
+            *[_sm16(v) for v in h + [gmin]],
+        )
+    groups = [seq[i:i + group_len] for i in range(0, len(seq), group_len)]
+    refs = [min(g) for g in groups]
+    offs = [[x - r for x in g] for g, r in zip(groups, refs)]
+    widths = [max(o).bit_length() for o in offs]
+    nbits = max((r.bit_length() for r in refs), default=0) or 1
+    wbits = max((w.bit_length() for w in widths), default=0) or 1
+    ng = len(groups)
+    last_len = len(groups[-1]) if groups else 0
+    template = 3 if order else 2
+    sec5 = struct.pack(
+        ">IBIHfHHBB", 47 + (2 if order else 0), 5, len(mvals), template,
+        0.0, _sm16(0), _sm16(D_SCALE), nbits, 0,
+    ) + struct.pack(
+        ">BBIIIBBIBIB", 1, 0, 0, 0, ng, 0, wbits, group_len, 1, last_len, 0,
+    )
+    if order:
+        sec5 += struct.pack(">BB", order, 2)
+    payload = (
+        extra
+        + _pack_stream((r, nbits) for r in refs)
+        + _pack_stream((w, wbits) for w in widths)
+        + _pack_stream(
+            (o, widths[g])
+            for g, grp in enumerate(offs) if widths[g]
+            for o in grp
+        )
+    )
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    return sec5, sec7
+
+
+def encode(vals, ref_time, fhours=0, packing=0, spatial_order=0):
     year, mon, day, hour = ref_time
     present = [v for v in vals if v is not None]
     mvals = [int(round(v * 10 ** D_SCALE)) for v in present]
@@ -72,27 +142,23 @@ def encode(vals, ref_time, fhours=0):
     tmpl4 = struct.pack(">BBBBBHBBIBBIBBI", 1, 8, 2, 0, 0, 0, 0, 1,
                         fhours, 1, 0, 0, 255, 0, 0)
     sec4 = struct.pack(">IBHH", 9 + len(tmpl4), 4, 0, 0) + tmpl4
-    # section 5: simple packing, R=0, E=0, D=1
-    sec5 = struct.pack(">IBIHfHHBB", 21, 5, NI * NJ, 0, 0.0,
-                       _sm16(0), _sm16(D_SCALE), nbits, 0)
     # section 6: bitmap
     bm = bytearray((NI * NJ + 7) // 8)
     for idx, v in enumerate(vals):
         if v is not None:
             bm[idx // 8] |= 1 << (7 - idx % 8)
     sec6 = struct.pack(">IBB", 6 + len(bm), 6, 0) + bytes(bm)
-    # section 7: MSB-first packed integers
-    acc = accbits = 0
-    packed = bytearray()
-    for mv in mvals:
-        acc = (acc << nbits) | mv
-        accbits += nbits
-        while accbits >= 8:
-            accbits -= 8
-            packed.append((acc >> accbits) & 0xFF)
-    if accbits:
-        packed.append((acc << (8 - accbits)) & 0xFF)
-    sec7 = struct.pack(">IB", 5 + len(packed), 7) + bytes(packed)
+    if packing == 0:
+        # section 5: simple packing, R=0, E=0, D=1; octets 6-9 carry the
+        # PRESENT count (the number of points in section 7), per spec —
+        # the grid size lives in section 3.
+        sec5 = struct.pack(">IBIHfHHBB", 21, 5, len(mvals), 0, 0.0,
+                           _sm16(0), _sm16(D_SCALE), nbits, 0)
+        sec7 = struct.pack(
+            ">IB", 5 + len(_pack_stream((m, nbits) for m in mvals)), 7
+        ) + _pack_stream((m, nbits) for m in mvals)
+    else:
+        sec5, sec7 = _complex_sec57(mvals, spatial_order=spatial_order)
 
     body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
     total = 16 + len(body) + 4
@@ -144,6 +210,40 @@ def main():
         w.writerow(["file", "datetime", "x", "y", "lon", "lat", "value"])
         w.writerows(rows)
     print("hrdpa_cells.csv", len(rows), "rows")
+
+    # Complex-packed twin of the HRDPA set: what production ECCC files
+    # actually use (templates 5.2 / 5.3 with spatial differencing) —
+    # same listing semantics (prelim/final pair at 12Z), packing varies
+    # per file so every decode branch is differentially oracled.
+    complex_out = os.path.join(HERE, "hrdpa_complex_grib")
+    os.makedirs(complex_out, exist_ok=True)
+    crows2 = []
+    for (stamp, rt, t, prelim), (packing, order) in zip(
+        [(s, r, t + 20, p) for s, r, t, p in FILES],
+        [(2, 0), (3, 1), (3, 2), (3, 2)],
+    ):
+        tag = "Prelim_" if prelim else ""
+        name = (f"{stamp}_MSC_HRDPA-{tag}APCP-Accum6h_Sfc_"
+                "RLatLon0.0225_PT0H.grib2")
+        vals = field(t)
+        with open(os.path.join(complex_out, name), "wb") as fh:
+            fh.write(encode(vals, rt, packing=packing, spatial_order=order))
+        for idx, v in enumerate(vals):
+            j, i = divmod(idx, NI)
+            crows2.append([
+                name, f"{stamp[:4]}-{stamp[4:6]}-{stamp[6:8]} "
+                f"{stamp[9:11]}:00:00", i, j,
+                LON0 + i * DLON, LAT0 + j * DLAT,
+                "" if v is None else v,
+            ])
+        print(name, f"5.{packing}", f"order={order}",
+              sum(v is not None for v in vals), "cells")
+    with open(os.path.join(HERE, "hrdpa_complex_cells.csv"), "w",
+              newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["file", "datetime", "x", "y", "lon", "lat", "value"])
+        w.writerows(crows2)
+    print("hrdpa_complex_cells.csv", len(crows2), "rows")
 
     os.makedirs(HRDPS_OUT, exist_ok=True)
     hrows = []

@@ -44,6 +44,120 @@ def test_nbits_zero_constant_field():
     assert vals == [4.2, None, 4.2]
 
 
+def _complex_sec5(ndata, template, nbits, ng, wbits, len_ref, last_len,
+                  order=0):
+    tail = struct.pack(">BBIIIBBIBIB", 1, 0, 0, 0, ng, 0, wbits,
+                       len_ref, 1, last_len, 0)
+    s = struct.pack(">IBIHfHHBB", 47 + (2 if order else 0), 5, ndata,
+                    template, 0.0, 0, 0, nbits, 0) + tail
+    if order:
+        s += struct.pack(">BB", order, 2)
+    return s
+
+
+def test_complex_packing_hand_computed():
+    from aquacache_spark.functions.grib2 import _unpack_complex_present
+
+    # X = [3,5,4 | 10,12]; refs 3,10 (4-bit), widths 2,2 (2-bit raw),
+    # len_ref=3 lbits=0 last=2; offsets 0,2,1,0,2 at 2 bits
+    sec5 = _complex_sec5(5, 2, nbits=4, ng=2, wbits=2, len_ref=3,
+                         last_len=2)
+    payload = bytes([0x3A, 0xA0, 0b00100100, 0b10000000])
+    assert _unpack_complex_present(payload, 5, sec5, 2) == [
+        3.0, 5.0, 4.0, 10.0, 12.0]
+
+
+def test_spatial_diff_order2_constant_second_difference():
+    from aquacache_spark.functions.grib2 import _unpack_complex_present
+
+    # f = [10,12,15,19,24]: d2 = [1,1,1], gmin=1, packed seq all zero
+    # (one zero-width group); extra descriptors h1=10 h2=12 gmin=1
+    sec5 = _complex_sec5(5, 3, nbits=1, ng=1, wbits=1, len_ref=5,
+                         last_len=5, order=2)
+    payload = bytes([0, 10, 0, 12, 0, 1, 0x00, 0x00])
+    assert _unpack_complex_present(payload, 5, sec5, 3) == [
+        10.0, 12.0, 15.0, 19.0, 24.0]
+
+
+def test_spatial_diff_order1_negative_gmin_sign_magnitude():
+    from aquacache_spark.functions.grib2 import _unpack_complex_present
+
+    # f = [5,3,2,2,3]: d1 = [-2,-1,0,1], gmin=-2 -> 0x8002 in GRIB
+    # sign-magnitude; offsets [0,0,1,2,3] one group width 2
+    sec5 = _complex_sec5(5, 3, nbits=1, ng=1, wbits=2, len_ref=5,
+                         last_len=5, order=1)
+    # extra: h1=5, gmin=0x8002; refs: 0 (1 bit); widths: 2 (2 bits);
+    # data: 00 00 01 10 11 -> 0b0000 0110 11 -> 0x06, 0xC0
+    payload = bytes([0, 5, 0x80, 0x02, 0x00, 0x80, 0x06, 0xC0])
+    assert _unpack_complex_present(payload, 5, sec5, 3) == [
+        5.0, 3.0, 2.0, 2.0, 3.0]
+
+
+def test_section5_count_is_present_count(repo_root):
+    # Spec: section 5 octets 6-9 = points in section 7 (present count
+    # under a bitmap); the fixtures encode it that way and a popcount
+    # mismatch is rejected loudly, not silently mis-gridded.
+    import pytest
+
+    fixdir = repo_root / "fixtures/connectors/hrdpa_grib"
+    raw = bytearray(sorted(fixdir.glob("*.grib2"))[0].read_bytes())
+    (m,) = decode_grib2(bytes(raw))
+    assert len(m.values) == m.ni * m.nj == 120
+    assert sum(v is not None for v in m.values) == 109
+    # corrupt the section-5 count: walk sections to find it
+    pos = 16
+    while True:
+        sec_len = struct.unpack_from(">I", raw, pos)[0]
+        if raw[pos + 4] == 5:
+            break
+        pos += sec_len
+    struct.pack_into(">I", raw, pos + 5, 120)  # grid size, not present
+    with pytest.raises(ValueError, match="popcount"):
+        decode_grib2(bytes(raw))
+
+
+def test_forecast_time_units():
+    from aquacache_spark.functions.grib2 import _forecast_hours
+
+    def sec4(unit, value):
+        return struct.pack(">IBHHBBBBBHBBI", 34, 4, 0, 0, 1, 8, 2, 0, 0,
+                           0, 0, unit, value)
+
+    assert _forecast_hours(sec4(1, 6)) == 6       # hours
+    assert _forecast_hours(sec4(0, 180)) == 3     # minutes
+    assert _forecast_hours(sec4(2, 2)) == 48      # days
+    assert _forecast_hours(sec4(10, 4)) == 12     # 3-hour units
+    assert _forecast_hours(sec4(13, 7200)) == 2   # seconds
+    import pytest
+    with pytest.raises(ValueError, match="time unit"):
+        _forecast_hours(sec4(3, 1))               # months: unsupported
+    with pytest.raises(ValueError, match="non-integral"):
+        _forecast_hours(sec4(0, 90))              # 1.5 h
+
+
+def test_complex_fixture_roundtrip_against_csv_twin(repo_root):
+    import csv
+
+    from collections import defaultdict
+
+    fixdir = repo_root / "fixtures/connectors/hrdpa_complex_grib"
+    expected = defaultdict(dict)
+    with open(repo_root / "fixtures/connectors/hrdpa_complex_cells.csv") as fh:
+        for row in csv.DictReader(fh):
+            v = None if row["value"] == "" else float(row["value"])
+            expected[row["file"]][(int(row["x"]), int(row["y"]))] = v
+    seen = set()
+    for path in sorted(fixdir.glob("*.grib2")):
+        (m,) = decode_grib2(path.read_bytes())
+        seen.add(m.packing)
+        got = {}
+        for idx, v in enumerate(m.values):
+            j, i = divmod(idx, m.ni)
+            got[(i, j)] = None if v is None else round(v, 6)
+        assert got == expected[path.name], path.name
+    assert seen == {2, 3}  # both complex templates exercised
+
+
 def test_fixture_roundtrip_against_csv_twin(repo_root):
     import csv
 
