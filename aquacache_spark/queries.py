@@ -6184,6 +6184,9 @@ def hrdps_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ERA5_NC = _FIXDIR / "era5_tp.nc"
 _ERA5_CELLS = _FIXDIR / "era5_cells.csv"
+_ERA5_NC4 = _FIXDIR / "era5_tp_nc4.nc"
+_ERA5_NC4_CELLS = _FIXDIR / "era5_nc4_cells.csv"
+
 
 # ERA5 NetCDF ingest end-to-end (downloadERA5.R payload half): real
 # NetCDF-3 decode (packed shorts + scale/offset + fill, record-dim
@@ -6191,10 +6194,11 @@ _ERA5_CELLS = _FIXDIR / "era5_cells.csv"
 # accumulation per cell -> half-grid zonal stats; oracle reads the
 # fixture generator's decoded CSV twin so the binary decode itself is
 # differentially checked.
-_ERA5_NC_ORACLE = f"""
+def _era5_oracle(cells_csv) -> str:
+    return f"""
     WITH raw AS (
       SELECT hour, x, y, CAST(tp AS DOUBLE) AS tp
-      FROM read_csv('{_ERA5_CELLS}', header=true)
+      FROM read_csv('{cells_csv}', header=true)
       WHERE tp IS NOT NULL
     ), stamped AS (
       SELECT TIMESTAMP '1900-01-01 00:00:00' + to_hours(hour) AS dt,
@@ -6216,13 +6220,15 @@ _ERA5_NC_ORACLE = f"""
 """
 
 
-@register("era5_netcdf_ingest", oracle=_ERA5_NC_ORACLE)
-def era5_netcdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NetCDF-3 decode -> hourly cells -> per-cell daily accumulation
-    -> half-grid zonal stats."""
+_ERA5_NC_ORACLE = _era5_oracle(_ERA5_CELLS)
+
+
+def _era5_pipeline(spark: SparkSession, nc_path) -> DataFrame:
+    """NetCDF decode -> hourly cells -> per-cell daily accumulation
+    -> half-grid zonal stats (shared by the CDF-1 and HDF5 payloads)."""
     from .sources.gridded import netcdf_cells
 
-    cells = netcdf_cells(spark, str(_ERA5_NC), "tp")
+    cells = netcdf_cells(spark, str(nc_path), "tp")
     stamped = cells.select(
         F.timestamp_add("HOUR", F.col("hour").cast("int"),
                         F.lit("1900-01-01 00:00:00").cast("timestamp"))
@@ -6246,6 +6252,25 @@ def era5_netcdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hours").cast("bigint").alias("total_hours"),
     )
     return _round(out, {"zmean": 6, "zmin": 6, "zmax": 6})
+
+
+@register("era5_netcdf_ingest", oracle=_ERA5_NC_ORACLE)
+def era5_netcdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF-3 decode -> hourly cells -> per-cell daily accumulation
+    -> half-grid zonal stats."""
+    return _era5_pipeline(spark, _ERA5_NC)
+
+
+@register("era5_netcdf4_ingest", oracle=_era5_oracle(_ERA5_NC4_CELLS))
+def era5_netcdf4_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ERA5 pipeline over a NetCDF-4 (HDF5) payload — the format
+    the CDS API frequently serves (R/downloadERA5.R:149-200): chunked
+    int16 with the netCDF default shuffle+deflate pipeline, decoded by
+    the pure-stdlib HDF5 subset reader (functions/hdf5.py); the oracle
+    reads the fixture generator's decoded-cell CSV twin, so chunk
+    B-tree walking, unshuffling, and inflation are differentially
+    checked."""
+    return _era5_pipeline(spark, _ERA5_NC4)
 
 
 _CALDAS_GRIB_DIR = _FIXDIR / "caldas_grib"

@@ -160,6 +160,9 @@ def grib_cells(spark, path: str) -> DataFrame:
     import pandas as pd
 
     from ..functions.grib2 import decode_grib2
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -198,23 +201,28 @@ def netcdf_cells(
     lat_var: str = "latitude",
     lon_var: str = "longitude",
 ) -> DataFrame:
-    """Distributed NetCDF-3 decode for ERA5-style CDS payloads
-    (functions/netcdf3.py): binaryFile scan, one file per task; packed
-    shorts unscale via scale_factor/add_offset, _FillValue cells drop.
-    Output one row per (time, lat, lon) cell with the raw time
-    coordinate (hours since the CDS epoch) — the ERA5 sibling of
-    ``grib_cells``."""
+    """Distributed NetCDF decode for ERA5-style CDS payloads: binaryFile
+    scan, one file per task; magic-byte dispatch picks the CDF-1/2
+    classic reader (functions/netcdf3.py) or the NetCDF-4/HDF5 reader
+    (functions/hdf5.py — chunked + shuffle + deflate, the netCDF-C
+    default); packed shorts unscale via scale_factor/add_offset,
+    _FillValue cells drop. Output one row per (time, lat, lon) cell
+    with the raw time coordinate (hours since the CDS epoch) — the
+    ERA5 sibling of ``grib_cells``."""
     import os
     from typing import Iterator
 
     import pandas as pd
 
-    from ..functions.netcdf3 import NetCDF3
+    from ..functions.hdf5 import open_netcdf
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
-                nc = NetCDF3(bytes(content))
+                nc = open_netcdf(bytes(content))
                 hours = nc.read_raw(time_var)
                 lats = nc.read(lat_var)
                 lons = nc.read(lon_var)
