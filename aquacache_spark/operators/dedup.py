@@ -98,13 +98,27 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Candidate pairs: docs sharing any band of the signature.
 
     Band key = concat of the band's hash values; self-join per band on
     the key with id_a < id_b, then distinct pairs. Equi-join on the
-    band key — at scale only colliding docs meet, and a pathological
-    hot bucket (boilerplate text) is handled by AQE skew split.
+    band key — at scale only colliding docs meet.
+
+    Hot-bucket cap (the SlimPajama-scale mitigation): a genuinely hot
+    band bucket — m documents sharing boilerplate — would emit m²
+    candidate pairs, and AQE skew-split only fixes partition skew, not
+    the quadratic pair MASS. Buckets larger than ``max_bucket`` are
+    short-circuited to a STAR on the bucket's minimum id (m-1 edges):
+    connectivity for ``duplicate_clusters`` is preserved exactly (every
+    member still reaches one shared anchor), while pair mass stays
+    linear in bucket size. Deterministic (min-id anchor, no sampling),
+    and no document is dropped. ``max_bucket=None`` restores the
+    uncapped all-pairs semantics. Downstream exact-verify stages see
+    anchor-member pairs for oversized buckets instead of all pairs —
+    the standard trade at 100 TB, where one boilerplate bucket of 10⁶
+    docs would otherwise emit 10¹² pairs.
     """
     rows = num_hashes // bands
     banded = signatures.select(
@@ -125,16 +139,41 @@ def lsh_candidate_pairs(
     # barrier each side re-derives the full shingle->MinHash pipeline
     # from the raw corpus (2x the expensive md5 mass)
     banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    if max_bucket is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(b, ["band", "key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    # bucket stats ride the same (band, key) partitioning as the join;
+    # data-cardinality frame, so joined (never broadcast/collected)
+    stats = banded.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__anchor")
+    )
+    tagged = banded.join(stats, ["band", "key"])
+    small = tagged.where(F.col("__n") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = (
         a.join(b, ["band", "key"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+    star = tagged.where(
+        (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__anchor"))
+    ).select(
+        F.col("__anchor").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return pairs.unionByName(star).distinct()
 
 
 def simhash(

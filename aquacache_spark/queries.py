@@ -1226,6 +1226,51 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, num_hashes=8, bands=4)
 
 
+# Hot-bucket cap differential: max_bucket=2 makes buckets of >=3 docs
+# (which exist at both test SFs) take the star short-circuit — anchor
+# (min doc id) to every member, m-1 edges instead of m(m-1)/2 — so the
+# cap semantics themselves are DuckDB-verified, not just the uncapped
+# path. At 100 TB this is what bounds a boilerplate bucket of 10^6
+# docs to linear pair mass (operators/dedup.py:lsh_candidate_pairs).
+_LSH_CAPPED_ORACLE = "WITH " + _MINHASH_SQL + """
+    , banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id,
+               unnest([0, 1, 2, 3]) AS band,
+               unnest([CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR),
+                       CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR),
+                       CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR),
+                       CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)]) AS key
+        FROM sig
+      )
+    ), stats AS (
+      SELECT band, key, count(*) AS n, min(doc_id) AS anchor
+      FROM banded GROUP BY 1, 2
+    )
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.key = b.key
+      JOIN stats s ON s.band = a.band AND s.key = a.key
+      WHERE s.n <= 2 AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT s.anchor AS id_a, a.doc_id AS id_b
+      FROM banded a
+      JOIN stats s ON s.band = a.band AND s.key = a.key
+      WHERE s.n > 2 AND a.doc_id <> s.anchor
+    )
+"""
+
+
+@register("lsh_capped_pairs", oracle=_LSH_CAPPED_ORACLE)
+def lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    return lsh_candidate_pairs(sig, num_hashes=8, bands=4, max_bucket=2)
+
+
 _SIMHASH_ORACLE = """
     WITH tok AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

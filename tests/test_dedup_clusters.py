@@ -38,3 +38,29 @@ def test_split_deterministic_and_stratified(spark):
     for src in ("a", "b"):
         got = {r["split"] for r in rows.values() if r["source"] == src}
         assert got == {"train", "val", "test"}
+
+
+def test_lsh_hot_bucket_cap_star_semantics(spark):
+    from aquacache_spark.operators.dedup import (duplicate_clusters,
+                                                 lsh_candidate_pairs)
+
+    # 6 docs with identical signatures (one hot bucket in every band)
+    # plus a small 2-doc bucket in band 0 only
+    hot = [(i, [7, 7, 7, 7, 7, 7, 7, 7]) for i in range(6)]
+    small = [(10, [1, 2, 9, 9, 9, 9, 9, 9]), (11, [1, 2, 8, 8, 8, 8, 8, 8])]
+    sig = spark.createDataFrame(hot + small,
+                                "doc_id bigint, sig array<bigint>")
+    capped = lsh_candidate_pairs(sig, num_hashes=8, bands=4, max_bucket=4)
+    got = sorted((r["id_a"], r["id_b"]) for r in capped.collect())
+    # hot bucket -> star on min id (5 edges, not 15); small bucket ->
+    # its one true pair
+    assert got == [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (10, 11)]
+    # connectivity for clustering is preserved exactly
+    ids = sig.select("doc_id")
+    out = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+           for r in duplicate_clusters(capped, ids).collect()}
+    assert all(out[i] == (0, 6) for i in range(6))
+    assert out[10] == (10, 2) and out[11] == (10, 2)
+    # uncapped baseline still emits all 15 + 1 pairs
+    full = lsh_candidate_pairs(sig, num_hashes=8, bands=4, max_bucket=None)
+    assert full.count() == 16
