@@ -8878,7 +8878,11 @@ _URL_ROLLUP_ORACLE = f"""
       FROM parsed0
     ), parsed2 AS (
       SELECT *,
-             regexp_replace(hostport, ':(80|443)$', '') AS host,
+             regexp_replace(hostport, ':\\d+$', '') AS host,
+             CASE WHEN regexp_extract(hostport, ':(\\d+)$', 1)
+                       IN ('', '80', '443') THEN ''
+                  ELSE ':' || regexp_extract(hostport, ':(\\d+)$', 1)
+             END AS port_norm,
              substr(rest, len(hostport) + 1) AS after_host
       FROM parsed1
     ), parsed3 AS (
@@ -8897,14 +8901,15 @@ _URL_ROLLUP_ORACLE = f"""
              coalesce(array_to_string(list_sort(list_filter(
                string_split(raw_query, '&'),
                p -> p <> '' AND NOT (starts_with(p, 'utm_')
-                 OR starts_with(p, 'fbclid') OR starts_with(p, 'gclid')
-                 OR starts_with(p, 'ref=')))), '&'), '') AS query_norm,
+                 OR string_split(p, '=')[1] IN ('fbclid', 'gclid',
+                                                'ref')))), '&'), '')
+               AS query_norm,
              string_split(host, '.') AS labels
       FROM parsed3
     ), parsed AS (
       SELECT doc_id, host, is_https,
              len(string_split(lower(text), ' ')) AS ntok,
-             host || path
+             host || port_norm || path
                || (CASE WHEN query_norm = '' THEN ''
                    ELSE '?' || query_norm END) AS url_norm,
              CASE
@@ -8959,6 +8964,156 @@ def url_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(""),
     ))
     out = domain_rollup(docs.withColumn("url", url))
+    return _round(out, {"https_frac": 6})
+
+
+# PSL-table variant: registered domains resolve against the broadcast
+# public-suffix snapshot (fixtures/public_suffix_snapshot.csv) instead
+# of the embedded 11-suffix set — .com.mx / .co.nz / 3-label k12.ca.us
+# hosts roll up correctly, non-default :8080 ports stay in the
+# canonical URL but out of the domain, and gclidx=1 (prefix of a
+# tracking NAME, not the name itself) survives canonicalization.
+_URL_PSL_SQL = """
+      lower(
+        (CASE WHEN doc_id % 4 = 0 THEN 'https://' ELSE 'http://' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN 'shop.' ELSE '' END)
+        || source
+        || (CASE doc_id % 6 WHEN 0 THEN '.com.mx' WHEN 1 THEN '.co.nz'
+            WHEN 2 THEN '.k12.ca.us' WHEN 3 THEN '.example.org'
+            WHEN 4 THEN '.com.au' ELSE '.io' END)
+        || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+        || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+        || (CASE WHEN doc_id % 2 = 0
+            THEN '?b=2&utm_source=x&gclidx=1&ref=abc&a='
+                 || CAST(doc_id % 3 AS VARCHAR)
+            ELSE '' END)
+      )
+"""
+
+_PSL_CSV = _FIXDIR.parent / "public_suffix_snapshot.csv"
+
+_URL_PSL_ORACLE = f"""
+    WITH psl AS (
+      SELECT suffix FROM read_csv('{_PSL_CSV}', header=true)
+    ), raw AS (
+      SELECT doc_id, text, {_URL_PSL_SQL} AS url FROM documents
+    ), parsed0 AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(url, '^[a-z][a-z0-9+.-]*://', ''),
+                            '^www\\.', '') AS rest,
+             starts_with(url, 'https://') AS is_https
+      FROM raw
+    ), parsed1 AS (
+      SELECT *, string_split_regex(rest, '[/?]')[1] AS hostport
+      FROM parsed0
+    ), parsed2 AS (
+      SELECT *,
+             regexp_replace(hostport, ':\\d+$', '') AS host,
+             CASE WHEN regexp_extract(hostport, ':(\\d+)$', 1)
+                       IN ('', '80', '443') THEN ''
+                  ELSE ':' || regexp_extract(hostport, ':(\\d+)$', 1)
+             END AS port_norm,
+             substr(rest, len(hostport) + 1) AS after_host
+      FROM parsed1
+    ), parsed3 AS (
+      SELECT *,
+             CASE WHEN string_split_regex(after_host, '\\?')[1] = ''
+                  THEN '/' ELSE string_split_regex(after_host, '\\?')[1]
+             END AS path,
+             CASE WHEN position('?' IN after_host) > 0
+                  THEN substr(after_host, position('?' IN after_host) + 1)
+                  ELSE '' END AS raw_query
+      FROM parsed2
+    ), parsed4 AS (
+      SELECT *,
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(raw_query, '&'),
+               p -> p <> '' AND NOT (starts_with(p, 'utm_')
+                 OR string_split(p, '=')[1] IN ('fbclid', 'gclid',
+                                                'ref')))), '&'), '')
+               AS query_norm,
+             string_split(host, '.') AS labels
+      FROM parsed3
+    ), tails AS (
+      SELECT *,
+             CASE WHEN len(labels) >= 2
+                  THEN labels[-2] || '.' || labels[-1] END AS tail2,
+             CASE WHEN len(labels) >= 3
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+             END AS tail3
+      FROM parsed4
+    ), joined AS (
+      SELECT t.*, s2.suffix AS m2, s3.suffix AS m3
+      FROM tails t
+      LEFT JOIN psl s2 ON t.tail2 = s2.suffix
+      LEFT JOIN psl s3 ON t.tail3 = s3.suffix
+    ), parsed AS (
+      SELECT doc_id, host, is_https,
+             len(string_split(lower(text), ' ')) AS ntok,
+             host || port_norm || path
+               || (CASE WHEN query_norm = '' THEN ''
+                   ELSE '?' || query_norm END) AS url_norm,
+             CASE
+               WHEN m3 IS NOT NULL AND len(labels) >= 4
+               THEN labels[-4] || '.' || tail3
+               WHEN m3 IS NOT NULL THEN host
+               WHEN m2 IS NOT NULL AND len(labels) >= 3
+               THEN labels[-3] || '.' || tail2
+               WHEN m2 IS NOT NULL THEN host
+               WHEN len(labels) >= 2 THEN tail2
+               ELSE host END AS registered_domain
+      FROM joined
+    ), per_url AS (
+      SELECT registered_domain, url_norm, count(*) AS n
+      FROM parsed GROUP BY 1, 2
+    ), url_dups AS (
+      SELECT registered_domain, sum(n - 1) AS dup_url_docs,
+             count(*) AS n_urls
+      FROM per_url GROUP BY 1
+    ), stats AS (
+      SELECT registered_domain, count(*) AS n_docs,
+             count(DISTINCT host) AS n_hosts,
+             sum(ntok) AS total_tokens,
+             sum(CASE WHEN is_https THEN 1 ELSE 0 END) AS n_https
+      FROM parsed GROUP BY 1
+    )
+    SELECT s.registered_domain, s.n_docs, s.n_hosts, u.n_urls,
+           u.dup_url_docs, s.total_tokens,
+           {R('s.n_https / CAST(s.n_docs AS DOUBLE)', 6)} AS https_frac
+    FROM stats s JOIN url_dups u USING (registered_domain)
+"""
+
+
+@register("url_domain_rollup_psl", oracle=_URL_PSL_ORACLE)
+def url_domain_rollup_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rollup with the public-suffix table broadcast
+    (operators/web.registered_domain_psl): longest-suffix matching on
+    the PSL snapshot dim, mixed 2-/3-label suffixes, non-default
+    ports, name-exact tracking-param dropping."""
+    from .operators.web import domain_rollup, load_psl
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.lower(F.concat(
+        F.when(F.col("doc_id") % 4 == 0, "https://").otherwise("http://"),
+        F.when(F.col("doc_id") % 3 == 0, "www.").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "shop.").otherwise(""),
+        F.col("source"),
+        F.when(F.col("doc_id") % 6 == 0, ".com.mx")
+        .when(F.col("doc_id") % 6 == 1, ".co.nz")
+        .when(F.col("doc_id") % 6 == 2, ".k12.ca.us")
+        .when(F.col("doc_id") % 6 == 3, ".example.org")
+        .when(F.col("doc_id") % 6 == 4, ".com.au")
+        .otherwise(".io"),
+        F.when(F.col("doc_id") % 11 == 0, ":8080").otherwise(""),
+        F.lit("/p/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?b=2&utm_source=x&gclidx=1&ref=abc&a="),
+                     (F.col("doc_id") % 3).cast("string")),
+        ).otherwise(""),
+    ))
+    out = domain_rollup(docs.withColumn("url", url), psl=load_psl(spark))
     return _round(out, {"https_frac": 6})
 
 

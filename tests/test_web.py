@@ -40,3 +40,49 @@ def test_single_label_host(spark):
     r = _parse(spark, "http://localhost:80/admin")
     assert r["host"] == "localhost"
     assert r["registered_domain"] == "localhost"
+
+
+def test_nondefault_port_kept_in_url_not_domain(spark):
+    r = _parse(spark, "http://shop.example.com:8080/x?a=1")
+    assert r["host"] == "shop.example.com"       # no port in host
+    assert r["registered_domain"] == "example.com"
+    assert r["url_norm"] == "shop.example.com:8080/x?a=1"  # port survives
+
+
+def test_tracking_params_match_by_name_not_prefix(spark):
+    r = _parse(spark,
+               "http://e.com/x?gclidx=1&gclid=zz&refresh=2&ref=aa&fbclid=b")
+    # exact names fbclid/gclid/ref drop; gclidx/refresh are different
+    # params and survive
+    assert r["query_norm"] == "gclidx=1&refresh=2"
+
+
+def test_registered_domain_psl_longest_match(spark):
+    from aquacache_spark.operators.web import load_psl, registered_domain_psl
+
+    psl = load_psl(spark)
+    hosts = ["a.b.k12.ca.us", "b.k12.ca.us", "k12.ca.us", "x.ca.us",
+             "shop.acme.com.mx", "acme.co.nz", "plain.example.org",
+             "localhost", "gov.uk"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = {r["host"]: r["registered_domain"]
+           for r in registered_domain_psl(df, psl).collect()}
+    assert out["a.b.k12.ca.us"] == "b.k12.ca.us"  # 3-label rule wins
+    assert out["b.k12.ca.us"] == "b.k12.ca.us"
+    assert out["k12.ca.us"] == "k12.ca.us"        # host == suffix
+    assert out["x.ca.us"] == "x.ca.us"            # 2-label rule ca.us
+    assert out["shop.acme.com.mx"] == "acme.com.mx"
+    assert out["acme.co.nz"] == "acme.co.nz"
+    assert out["plain.example.org"] == "example.org"  # default rule
+    assert out["localhost"] == "localhost"
+    assert out["gov.uk"] == "gov.uk"
+
+
+def test_psl_joins_are_broadcast(spark):
+    from aquacache_spark.operators.web import load_psl, registered_domain_psl
+
+    df = spark.createDataFrame([("a.co.uk",)], "host string")
+    p = registered_domain_psl(df, load_psl(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p and "Exchange hashpartitioning" not in p
