@@ -172,6 +172,12 @@ class ParquetMergeStore:
                 f"version {version} is not available (never committed "
                 "or vacuumed away)")
         m = self._load_manifest(version)
+        if not m["buckets"]:
+            # empty commits are rejected at write time, so this is a
+            # hand-edited/corrupt manifest — loud beats IndexError
+            raise ValueError(
+                f"manifest for version {m['version']} references no "
+                "buckets")
         by_version: dict[int, list[int]] = {}
         for b, v in m["buckets"].items():
             by_version.setdefault(v, []).append(b)
@@ -229,17 +235,28 @@ class ParquetMergeStore:
         old = self._read_buckets(m_from, changed)
         new = self._read_buckets(m_to, changed)
         ver = F.lit(to_version).alias("_commit_version")
+
+        def project(df: DataFrame, change_type: str,
+                    cols: list[str]) -> DataFrame:
+            # one schema on EVERY branch: key_cols + data_cols +
+            # _change_type + _commit_version, never the bucket
+            # partition column (ADVICE r3: the full-outer path dropped
+            # it while the one-sided paths kept it)
+            return df.select(
+                *self.key_cols, *cols,
+                F.lit(change_type).alias("_change_type"), ver)
+
         if old is None and new is None:  # no bucket moved: empty feed
-            return self.read(to_version).limit(0).select(
-                "*", F.lit("insert").alias("_change_type"), ver)
+            base = self.read(to_version).limit(0)
+            cols = [c for c in base.columns
+                    if c not in self.key_cols and c != "bucket"]
+            return project(base, "insert", cols)
         data_cols = [c for c in (old if old is not None else new).columns
                      if c not in self.key_cols and c != "bucket"]
         if old is None:
-            return new.select(
-                "*", F.lit("insert").alias("_change_type"), ver)
+            return project(new, "insert", data_cols)
         if new is None:
-            return old.select(
-                "*", F.lit("delete").alias("_change_type"), ver)
+            return project(old, "delete", data_cols)
         o = old.select(
             *self.key_cols,
             *[F.col(c).alias(f"__old_{c}") for c in data_cols],
@@ -290,12 +307,21 @@ class ParquetMergeStore:
             self._vdir(version))
 
     def overwrite(self, df: DataFrame) -> None:
+        """Replace the store contents. An EMPTY frame is rejected: a
+        zero-bucket commit would be unreadable (partitionBy writes no
+        bucket= dirs, so no schema survives) — truncation is not a
+        store operation the reference has either."""
         version = self._load_manifest()["version"] + 1 if self.exists() else 1
         os.makedirs(self.path, exist_ok=True)
         self._write_version(self._bucket(df), version)
+        buckets = self._written_buckets(version)
+        if not buckets:
+            raise ValueError(
+                "refusing to commit an empty store (overwrite received "
+                "a frame with no rows)")
         manifest = {
             "version": version,
-            "buckets": {b: version for b in self._written_buckets(version)},
+            "buckets": {b: version for b in buckets},
         }
         self._commit_manifest(manifest)
         self._gc()
@@ -317,9 +343,15 @@ class ParquetMergeStore:
         if not self.exists():
             os.makedirs(self.path, exist_ok=True)
             self._write_version(updates, 1)
+            initial = self._written_buckets(1)
+            if not initial:
+                updates.unpersist()
+                raise ValueError(
+                    "refusing to create an empty store (initial merge "
+                    "received a frame with no rows)")
             manifest = {
                 "version": 1,
-                "buckets": {b: 1 for b in self._written_buckets(1)},
+                "buckets": {b: 1 for b in initial},
             }
             self._commit_manifest(manifest)
             n = updates.count()

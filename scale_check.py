@@ -152,6 +152,58 @@ def main() -> None:
         paths.append(dst)
     t("aquarius_batch_200", normalize_aquarius_batch(spark, paths))
 
+    # ---- managed store at scale: 1M-row initial merge into 256
+    # buckets, then a small upsert touching 8 series. The 100 TB
+    # argument (SCALE.md: write amplification unit = bucket) is IO-
+    # PINNED here, not just claimed: the incremental version dir must
+    # contain ONLY the touched buckets, and the CDF read must open
+    # ONLY moved-bucket files.
+    import os as _os2
+
+    from aquacache_spark.sources.store import ParquetMergeStore
+
+    store = ParquetMergeStore(
+        spark, f"{base}/merge_store", ["timeseries_id", "datetime"],
+        n_buckets=256)
+    n_store = 1_000_000
+    store_df = spark.range(0, n_store).select(
+        (F.col("id") % 2000).alias("timeseries_id"),
+        F.timestamp_seconds(
+            F.lit(1577836800) + (F.col("id") / 2000).cast("long") * 3600
+        ).alias("datetime"),
+        (F.col("id") % 1000 / 10.0).alias("value"),
+    )
+    t0 = time.perf_counter()
+    store.merge(store_df)
+    timings["store_initial_merge_1m"] = round(time.perf_counter() - t0, 2)
+
+    upd = store_df.where(F.col("timeseries_id") < 8).withColumn(
+        "value", F.col("value") + 100.0)
+    t0 = time.perf_counter()
+    store.merge(upd)
+    timings["store_incremental_merge"] = round(time.perf_counter() - t0, 2)
+
+    touched = {r["bucket"] for r in store._bucket(
+        spark.range(0, 8).select(F.col("id").alias("timeseries_id"))
+    ).select("bucket").distinct().collect()}
+    written = set(store._written_buckets(2))
+    assert written == touched, (
+        f"incremental merge rewrote {len(written)} buckets, expected the "
+        f"{len(touched)} touched ones: {sorted(written ^ touched)}")
+
+    t0 = time.perf_counter()
+    cdf = store.changes(1, 2)
+    n_changes = cdf.count()
+    timings["store_cdf_1m"] = round(time.perf_counter() - t0, 2)
+    assert n_changes == upd.count() * 2  # pre+post image per updated row
+    opened = {f for f in cdf.inputFiles()}
+    bad = [f for f in opened
+           if not any(f"bucket={b}/" in f or f.rstrip("/").endswith(f"bucket={b}")
+                      for b in touched)]
+    assert not bad, f"CDF read opened untouched-bucket files: {bad[:3]}"
+    n_v1_dirs = len(_os2.listdir(store._vdir(1)))
+    assert n_v1_dirs >= 250, n_v1_dirs  # the full store really is wide
+
     # ---- document tier: dedup/fingerprint machinery at 20x bench scale
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     seed = F.col("id") % (n_docs * 9 // 10)  # ~10% exact duplicates

@@ -177,3 +177,44 @@ def test_change_data_feed_between_versions(spark, tmp_path):
     store.vacuum(retain_last=1)
     with pytest.raises(ValueError, match="not available"):
         store.changes(1, 2)
+
+
+def test_changes_schema_identical_across_branches(spark, tmp_path):
+    """Every changes() branch (full-outer diff, insert-only, empty
+    feed) returns key_cols + data_cols + _change_type +
+    _commit_version — never the bucket partition column."""
+    path = str(tmp_path / "store6")
+    store = ParquetMergeStore(spark, path, ["timeseries_id", "datetime"],
+                              n_buckets=4)
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 1.0)]))
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 2.0)]))
+    # insert-only branch: a bucket that appears fresh in v3
+    store.merge(make_df(spark, [(9, "2024-01-01 00:00:00", 9.0)]))
+
+    expected = ["timeseries_id", "datetime", "value", "_change_type",
+                "_commit_version"]
+    assert store.changes(1, 2).columns == expected  # full-outer path
+    assert store.changes(2, 3).columns == expected  # insert-heavy path
+    assert store.changes(3, 3).columns == expected  # empty feed
+    # and the union of any two branches is therefore legal
+    both = store.changes(1, 2).unionByName(store.changes(2, 3))
+    assert both.count() == store.changes(1, 2).count() + \
+        store.changes(2, 3).count()
+
+
+def test_empty_commits_rejected(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "store7")
+    store = ParquetMergeStore(spark, path, ["timeseries_id", "datetime"])
+    empty = make_df(spark, [(1, "2024-01-01 00:00:00", 1.0)]).limit(0)
+    with pytest.raises(ValueError, match="empty store"):
+        store.overwrite(empty)
+    with pytest.raises(ValueError, match="empty store"):
+        store.merge(empty)
+    assert not store.exists()  # nothing half-committed
+    # a real store then works, and an empty MERGE into it is a no-op
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 1.0)]))
+    stats = store.merge(empty)
+    assert stats == {"inserted": 0, "updated": 0, "kept": 0}
+    assert store.read().count() == 1
