@@ -8,10 +8,19 @@ module closes the gap for callers that need PostGIS-parity metres:
 
 - ``with_vincenty_distance``: the inverse problem (Vincenty 1975), a
   FIXED number of λ-iterations. Converges in <4 iterations except
-  within ~0.01° of the antipode (Karney's method would be needed for
-  exact antipodal behavior).
+  within ~0.01° of the antipode.
 - ``with_vincenty_projection``: the direct problem (start + bearing +
   distance -> destination), same construction.
+- ``with_geodesic_distance``: Vincenty everywhere it converges, plus
+  an ANTIPODAL fallback (the region where Vincenty's λ-iteration
+  oscillates and PostGIS' GeographicLib backend still converges,
+  R/imputeMissing.R:546-548): flagged rows route through an
+  Arrow-batched kernel solving the inverse problem on Karney's
+  auxiliary-sphere parametrization with the EXACT distance/longitude
+  integrands evaluated by Gauss-Legendre quadrature — no series
+  truncation, no convergence failure. The fallback is a cold path by
+  construction (a vanishing fraction of any real station catalog is
+  antipodal); the hot path stays codegen'd Vincenty.
 
 Both are DataFrame transforms that STAGE every iteration through
 named projection columns — the engine-wide lesson from the HOF tier
@@ -27,6 +36,8 @@ lines (cos²α = 0) use the standard cos(2σm)=0 substitution.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +50,7 @@ _TMP = [
     "__vd_sl", "__vd_cl", "__vd_ss", "__vd_cs", "__vd_sig", "__vd_sa",
     "__vd_c2a", "__vd_c2sm", "__vd_C", "__vd_usq", "__vd_A", "__vd_B",
     "__vd_dsig", "__vd_sal", "__vd_cal", "__vd_sig1", "__vd_base",
+    "__vd_lam_prev",
 ]
 
 
@@ -50,9 +62,15 @@ def with_vincenty_distance(
     lon2: Column,
     out_col: str = "dist_m",
     iterations: int = 8,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = WGS84 spheroid metres between the two points
-    (Vincenty inverse). Temp columns are dropped before returning."""
+    (Vincenty inverse). Temp columns are dropped before returning.
+
+    ``flag_col``: optionally emit a boolean marking rows where the
+    λ-iteration did NOT converge (the near-antipodal oscillation
+    region, where Vincenty's result can be off by km) — the routing
+    signal for ``with_geodesic_distance``'s exact fallback."""
     f = WGS84_F
     u1 = F.atan((1 - f) * F.tan(F.radians(lat1)))
     u2 = F.atan((1 - f) * F.tan(F.radians(lat2)))
@@ -66,6 +84,7 @@ def with_vincenty_distance(
     su2, cu2 = F.col("__vd_su2"), F.col("__vd_cu2")
     for _ in range(iterations):
         df = df.withColumns({
+            "__vd_lam_prev": F.col("__vd_lam"),
             "__vd_sl": F.sin(F.col("__vd_lam")),
             "__vd_cl": F.cos(F.col("__vd_lam")),
         })
@@ -127,6 +146,14 @@ def with_vincenty_distance(
     dist = WGS84_B * F.col("__vd_A") * (F.col("__vd_sig") - F.col("__vd_dsig"))
     df = df.withColumn(
         out_col, F.when(ss == 0, F.lit(0.0)).otherwise(dist))
+    if flag_col is not None:
+        import math as _math
+
+        df = df.withColumn(
+            flag_col,
+            (F.abs(F.col("__vd_lam") - F.col("__vd_lam_prev")) > 1e-11)
+            | (F.abs(F.col("__vd_lam")) > _math.pi),
+        )
     return df.drop(*_TMP)
 
 
@@ -215,3 +242,193 @@ def with_vincenty_projection(
     df = df.withColumn(lat_out, F.degrees(lat2)).withColumn(
         lon_out, lon2_deg)
     return df.drop(*_TMP)
+
+
+# ---------------------------------------------------------------------------
+# Antipodal-exact inverse (the Vincenty non-convergence region)
+# ---------------------------------------------------------------------------
+#
+# Karney's auxiliary-sphere parametrization (Algorithms for geodesics,
+# J. Geodesy 2013, eqs. 5-9) gives EXACT relations — no series:
+#
+#   sin(beta)  = cos(alpha0) sin(sigma)        (reduced latitude)
+#   tan(omega) = sin(alpha0) tan(sigma)        (sphere longitude)
+#   s / b      = I1 = INT sqrt(1 + k^2 sin^2 s') ds',  k = e' cos(alpha0)
+#   lambda     = omega - f sin(alpha0) * I3,
+#   I3         = INT (2 - f) / (1 + (1 - f) sqrt(1 + k^2 sin^2 s')) ds'
+#
+# The solver below evaluates I1/I3 by Gauss-Legendre quadrature
+# (machine precision on these smooth integrands) and finds the azimuth
+# whose longitude difference matches the target by bracketed bisection
+# — robust exactly where Vincenty's fixed-point iteration is not.
+# Scalar Python on purpose: it only ever sees the flagged rows.
+
+_EP2 = (WGS84_A ** 2 - WGS84_B ** 2) / WGS84_B ** 2  # e'^2
+
+
+def _geod_quad(fn, hi: float, nodes) -> float:
+    """INT_0^hi fn via Gauss-Legendre (handles hi < 0 by sign)."""
+    x, w = nodes
+    half = hi / 2.0
+    import numpy as np
+
+    return float(half * np.sum(w * fn(half * (x + 1.0))))
+
+
+def geodesic_inverse_exact(lat1: float, lon1: float, lat2: float,
+                           lon2: float) -> tuple[float, float]:
+    """(distance_m, azimuth1_deg) of the WGS84 inverse problem, exact
+    auxiliary-sphere integration. Intended for the near-antipodal
+    domain; correct (if slower than Vincenty) elsewhere too."""
+    import numpy as np
+
+    f = WGS84_F
+    b = WGS84_B
+    nodes = np.polynomial.legendre.leggauss(64)
+    beta1 = math.atan((1 - f) * math.tan(math.radians(lat1)))
+    beta2 = math.atan((1 - f) * math.tan(math.radians(lat2)))
+    dlon = math.radians(lon2) - math.radians(lon1)
+    dlon = (dlon + math.pi) % (2 * math.pi) - math.pi
+    lam_t, mirror = abs(dlon), dlon < 0
+    if lam_t == 0.0 and beta1 == beta2:
+        return 0.0, 0.0
+
+    def omega(sig: float, sina0: float) -> float:
+        n = round(sig / math.pi)
+        sigmod = sig - n * math.pi
+        if abs(abs(sigmod) - math.pi / 2) < 1e-15:
+            return math.copysign(math.pi / 2, sigmod) * (
+                1 if sina0 >= 0 else -1) + n * math.pi
+        return math.atan(sina0 * math.tan(sigmod)) + n * math.pi
+
+    def eval_alpha(a1: float):
+        """lambda12 and (sigma1, sigma2, sina0, cosa0) for azimuth a1."""
+        sina0 = math.sin(a1) * math.cos(beta1)
+        cosa0 = math.sqrt(max(0.0, 1.0 - sina0 * sina0))
+        if cosa0 < abs(math.sin(beta2)) - 1e-15 or cosa0 == 0.0:
+            return None  # geodesic never reaches latitude beta2
+        sig1 = math.atan2(math.sin(beta1), math.cos(a1) * math.cos(beta1))
+        x = max(-1.0, min(1.0, math.sin(beta2) / cosa0)) if cosa0 else 0.0
+        base = math.asin(x)
+        # candidate second crossings; antipodal target: nearest to
+        # sig1 + pi
+        cands = [base + 2 * k * math.pi for k in (-1, 0, 1)]
+        cands += [math.pi - base + 2 * k * math.pi for k in (-1, 0, 1)]
+        sig2 = min(cands, key=lambda s: abs(s - (sig1 + math.pi)))
+        k2 = _EP2 * cosa0 * cosa0
+        i3 = _geod_quad(
+            lambda s: (2 - f) / (1 + (1 - f) * np.sqrt(
+                1 + k2 * np.sin(s) ** 2)),
+            sig2, nodes,
+        ) - _geod_quad(
+            lambda s: (2 - f) / (1 + (1 - f) * np.sqrt(
+                1 + k2 * np.sin(s) ** 2)),
+            sig1, nodes,
+        )
+        lam12 = (omega(sig2, sina0) - omega(sig1, sina0)
+                 - f * sina0 * i3)
+        return lam12, sig1, sig2, cosa0
+
+    def dist_at(a1: float) -> float:
+        _lam, sig1, sig2, cosa0 = eval_alpha(a1)
+        k2 = _EP2 * cosa0 * cosa0
+        i1 = _geod_quad(
+            lambda s: np.sqrt(1 + k2 * np.sin(s) ** 2), sig2, nodes
+        ) - _geod_quad(
+            lambda s: np.sqrt(1 + k2 * np.sin(s) ** 2), sig1, nodes
+        )
+        return b * i1
+
+    # scan the azimuth for sign changes of lambda12(alpha1) - target;
+    # near the antipode MULTIPLE geodesics solve the equation, so every
+    # bracketed root is refined and the SHORTEST wins
+    n_scan = 256
+    alphas = [1e-9] + [
+        math.pi * i / (n_scan + 1) for i in range(1, n_scan + 1)
+    ] + [math.pi - 1e-9]
+    roots: list[float] = []
+    best = None  # fallback: closest |h| if nothing brackets
+    prev = None
+    for a1 in alphas:
+        r = eval_alpha(a1)
+        if r is None:
+            prev = None
+            continue
+        h = r[0] - lam_t
+        if best is None or abs(h) < abs(best[1]):
+            best = (a1, h)
+        if prev is not None and prev[1] * h <= 0:
+            lo, hlo = prev
+            hi_ = a1
+            for _ in range(80):
+                mid = (lo + hi_) / 2
+                rm = eval_alpha(mid)
+                if rm is None:
+                    break
+                hm = rm[0] - lam_t
+                if hlo * hm <= 0:
+                    hi_ = mid
+                else:
+                    lo, hlo = mid, hm
+            cand = (lo + hi_) / 2
+            rc = eval_alpha(cand)
+            # the sigma2 sheet choice makes lambda12 piecewise; a sign
+            # change across a sheet JUMP is not a geodesic — only keep
+            # roots whose residual actually vanishes
+            if rc is not None and abs(rc[0] - lam_t) < 1e-9:
+                roots.append(cand)
+        prev = (a1, h)
+    if not roots:
+        roots = [best[0]]
+    a1 = min(roots, key=dist_at)
+    dist = dist_at(a1)
+    azi = math.degrees(a1)
+    if mirror:
+        azi = (360.0 - azi) % 360.0
+    return dist, azi
+
+
+def with_geodesic_distance(
+    df: DataFrame,
+    lat1: str,
+    lon1: str,
+    lat2: str,
+    lon2: str,
+    out_col: str = "dist_m",
+    iterations: int = 8,
+) -> DataFrame:
+    """PostGIS-parity spheroid distance everywhere: staged-column
+    Vincenty for converged rows (the entire hot path), exact
+    auxiliary-sphere integration for the flagged near-antipodal
+    remainder via an Arrow-batched kernel on the FILTERED split only
+    — the UDF never sees a converged row."""
+    import pandas as pd
+
+    staged = with_vincenty_distance(
+        df, F.col(lat1), F.col(lon1), F.col(lat2), F.col(lon2),
+        out_col=out_col, iterations=iterations, flag_col="__geo_flag",
+    )
+    # barrier: filtering the staged plan directly would push the flag
+    # predicate down through every λ-iteration projection, inlining the
+    # aliased subtrees exponentially (Catalyst OOMs on 4 rows). The
+    # cache boundary stops alias substitution; both branches then scan
+    # the one materialized result.
+    staged = staged.persist()
+    ok = staged.where(~F.col("__geo_flag")).drop("__geo_flag")
+
+    bad = staged.where(F.col("__geo_flag")).drop("__geo_flag")
+    schema = ", ".join(
+        f"`{name}` {dtype}" for name, dtype in bad.dtypes)
+
+    def kernel(batches):
+        for pdf in batches:
+            vals = [
+                geodesic_inverse_exact(la1, lo1, la2, lo2)[0]
+                for la1, lo1, la2, lo2 in zip(
+                    pdf[lat1], pdf[lon1], pdf[lat2], pdf[lon2])
+            ]
+            pdf[out_col] = pd.Series(vals, index=pdf.index, dtype="float64")
+            yield pdf
+
+    exact = bad.mapInPandas(kernel, schema=schema)
+    return ok.unionByName(exact)

@@ -81,3 +81,80 @@ def test_expression_only_no_python_udf(spark):
         out._jdf.queryExecution(), "formatted")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure map-side
+
+
+def test_antipodal_exact_quarter_meridian_pair():
+    # (0,0) -> (0,180): the geodesic runs over the pole, twice the
+    # WGS84 quarter meridian (10001965.7293 m, a published constant)
+    from aquacache_spark.functions.geodesy import geodesic_inverse_exact
+
+    d, _ = geodesic_inverse_exact(0.0, 0.0, 0.0, 180.0)
+    assert abs(d - 2 * 10001965.7293) < 1e-3
+
+
+def test_antipodal_matches_geographiclib_example():
+    # Karney, "Algorithms for geodesics" (2013), the antipodal inverse
+    # example: phi1=-30, phi2=29.9, lam12=179.8 ->
+    # s12=19989832.827610 m, alpha1=161.890524...; cross-validated via
+    # the independent Vincenty DIRECT implementation in this module
+    # (projecting from p1 with this azimuth/distance lands on p2).
+    from aquacache_spark.functions.geodesy import geodesic_inverse_exact
+
+    d, a = geodesic_inverse_exact(-30.0, 0.0, 29.9, 179.8)
+    assert abs(d - 19989832.827610) < 1e-3
+    assert abs(a - 161.890524) < 1e-5
+    # mirror symmetry: westward twin has the same length
+    d2, a2 = geodesic_inverse_exact(30.0, 10.0, -29.9, 189.8)
+    assert abs(d2 - d) < 1e-6
+    assert abs(a2 - (180.0 - 161.890524)) < 1e-5
+
+
+def test_with_geodesic_distance_routes_antipodal_rows(spark):
+    from aquacache_spark.functions.geodesy import with_geodesic_distance
+
+    rows = [
+        (1, -37.95103341666667, 144.42486788888888,
+         -37.65282113888889, 143.92649552777777),   # Vincenty hot path
+        (2, 0.0, 0.0, 0.0, 180.0),                   # antipodal
+        (3, -30.0, 0.0, 29.9, 179.8),                # near-antipodal
+        (4, 45.0, -120.0, 46.0, -119.0),             # Vincenty hot path
+    ]
+    df = spark.createDataFrame(
+        rows, "pid bigint, lat1 double, lon1 double, lat2 double, "
+              "lon2 double")
+    out = {r["pid"]: r["dist_m"]
+           for r in with_geodesic_distance(
+               df, "lat1", "lon1", "lat2", "lon2").collect()}
+    assert len(out) == 4
+    assert abs(out[1] - 54972.271) < 1e-3       # Flinders-Buninyong
+    assert abs(out[2] - 20003931.4586) < 1e-3
+    assert abs(out[3] - 19989832.8276) < 1e-3
+    # Vincenty would have been km off on the flagged rows
+    assert abs(out[2] - 19903593.39) > 50_000
+
+
+def test_direct_roundtrip_near_antipode(spark):
+    # inverse -> direct consistency across the antipodal strip: the
+    # exact solver's (s, azi) projected from p1 must land on p2
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.functions.geodesy import (
+        geodesic_inverse_exact, with_vincenty_projection)
+
+    pairs = [(-30.0, 0.0, 29.9, 179.8), (10.0, 5.0, -10.05, 184.9),
+             (0.5, 0.0, -0.5, 179.5), (55.0, 30.0, -54.95, 209.85)]
+    sols = [geodesic_inverse_exact(*p) for p in pairs]
+    df = spark.createDataFrame(
+        [(la1, lo1, la2, lo2, math.radians(a), s)
+         for (la1, lo1, la2, lo2), (s, a) in zip(pairs, sols)],
+        "lat1 double, lon1 double, lat2 double, lon2 double, "
+        "azi double, d double")
+    got = with_vincenty_projection(
+        df, F.col("lat1"), F.col("lon1"), F.col("azi"), F.col("d"),
+        iterations=10).collect()
+    for r in got:
+        assert abs(r["dest_lat"] - r["lat2"]) < 1e-6, r
+        dlon = (r["dest_lon"] - r["lon2"] + 180) % 360 - 180
+        assert abs(dlon) < 1e-6, r
