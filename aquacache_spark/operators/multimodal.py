@@ -187,6 +187,248 @@ def extract_bmp_features(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+# ---------------------------------------------------------------------------
+# PNG: the format real web corpora actually contain. Pure stdlib-zlib
+# + numpy: critical chunks (IHDR/PLTE/IDAT/IEND), CRC-verified, all
+# five scanline filters, 8-bit gray/RGB/palette/RGBA. Anything outside
+# that subset (16-bit, interlace) raises — corrupt or exotic inputs
+# quarantine via the ``decoded`` flag, never yield garbage features.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a, b, c):
+    import numpy as np
+
+    p = a.astype(np.int32) + b - c
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels, filters=None) -> bytes:
+    """Minimal 8-bit RGB PNG writer. Per-row filter types cycle 0-4 by
+    default, so fixture bytes exercise EVERY unfilter path (None, Sub,
+    Up, Average, Paeth) in ``decode_png``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        ft = (filters[r % len(filters)] if filters else r % 5)
+        row = px[r].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        up = prev
+        ul = np.concatenate([np.zeros(bpp, np.uint8), up[:-bpp]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - up
+        elif ft == 3:
+            enc = row - ((left.astype(np.int32) + up) // 2).astype(np.uint8)
+        else:
+            enc = row - _paeth(left, up, ul).astype(np.uint8)
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes):
+    """Parse a PNG into an (h, w, 3) RGB uint8 array. CRCs verified;
+    8-bit gray (0), RGB (2), palette (3) and RGBA (6, alpha dropped)
+    supported; anything else raises ValueError. Sequential unfiltering
+    is per-row numpy except the left-dependent filters' byte loop —
+    fine for the feature tier; swap in a library decoder via the
+    ``decoder`` hook for bulk pixel work."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob is None or len(blob) < 8 or blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(blob):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype_n)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype_n}")
+    if ctype_n == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    bpp = channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, count=stride,
+                            offset=r * (stride + 1) + 1).copy()
+        if ft == 0:
+            rec = row
+        elif ft == 2:
+            rec = row + prev
+        elif ft in (1, 3, 4):
+            rec = row
+            up = prev.astype(np.int32)
+            ul = np.concatenate([np.zeros(bpp, np.int32), up[:-bpp]])
+            rec = rec.astype(np.int32)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    rec[i] = (rec[i] + left) & 0xFF
+                elif ft == 3:
+                    rec[i] = (rec[i] + (left + up[i]) // 2) & 0xFF
+                else:
+                    a, b, c = left, int(up[i]), int(ul[i])
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    rec[i] = (rec[i] + pred) & 0xFF
+            rec = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec
+        prev = out[r]
+    px = out.reshape(h, w, channels)
+    if ctype_n == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_n == 3:
+        return plte[px[:, :, 0]]
+    if ctype_n == 6:
+        return px[:, :, :3].copy()
+    return px
+
+
+def extract_png_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """PNG sibling of ``extract_bmp_features``: real inflate + unfilter
+    per item, Arrow-batched; undecodable blobs quarantine with a FALSE
+    ``decoded`` flag."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": pdf[id_col].astype("int64"), "decoded": [],
+                   "width": [], "height": [], "mean_r": [], "mean_g": [],
+                   "mean_b": []}
+            for blob in pdf[blob_col]:
+                try:
+                    px = decode_png(blob)
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    out["decoded"].append(True)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["mean_r"].append(float(means[0]))
+                    out["mean_g"].append(float(means[1]))
+                    out["mean_b"].append(float(means[2]))
+                except (ValueError, TypeError, EOFError, OSError):
+                    out["decoded"].append(False)
+                    for c in ("width", "height", "mean_r", "mean_g",
+                              "mean_b"):
+                        out[c].append(None)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("Int32")
+            pdf_out["height"] = pdf_out["height"].astype("Int32")
+            yield pdf_out
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def synthesize_pngs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Deterministic PNG fixtures with the SAME closed-form pixels as
+    ``synthesize_bmps`` (the oracle averages them without parsing),
+    encoded through the real writer with cycling row filters so decode
+    exercises every unfilter path on genuine deflate streams."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        r = np.arange(height)[:, None]
+        c = np.arange(width)[None, :]
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                px = np.stack([
+                    (i * 7 + r * 16 + c) % 256,
+                    (i * 11 + r * 5 + c * 3) % 256,
+                    (i * 13 + r * 2 + c * 7) % 256,
+                ], axis=-1).astype("uint8")
+                blobs.append(encode_png(px))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
 def synthesize_bmps(
     df: DataFrame,
     id_col: str = "media_id",

@@ -7590,6 +7590,49 @@ def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PNG sibling: same closed-form pixels, different id slice; the bytes
+# under decode are genuine deflate streams with cycling row filters
+# (every unfilter path: None/Sub/Up/Average/Paeth), so inflation,
+# CRC checking, and filter reconstruction are all differentially
+# verified (operators/multimodal.py:decode_png).
+_PNG_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2
+    ), grid AS (
+      SELECT r, c
+      FROM (SELECT unnest(range(0, 8)) AS r), (SELECT unnest(range(0, 8)) AS c)
+    ), px AS (
+      SELECT media_id,
+             (media_id * 7 + r * 16 + c) % 256 AS pr,
+             (media_id * 11 + r * 5 + c * 3) % 256 AS pg,
+             (media_id * 13 + r * 2 + c * 7) % 256 AS pb
+      FROM ids CROSS JOIN grid
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           {R('avg(pr)', 6)} AS mean_r,
+           {R('avg(pg)', 6)} AS mean_g,
+           {R('avg(pb)', 6)} AS mean_b
+    FROM px GROUP BY media_id
+"""
+
+
+@register("png_decode_features", oracle=_PNG_ORACLE)
+def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_png_features, synthesize_pngs
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"))
+    pngs = synthesize_pngs(ids, width=8, height=8)
+    out = extract_png_features(pngs)
+    return _round(
+        out.select("media_id", "decoded", F.col("width").cast("int"),
+                   F.col("height").cast("int"), "mean_r", "mean_g", "mean_b"),
+        {"mean_r": 6, "mean_g": 6, "mean_b": 6},
+    )
+
+
 # ---------------------------------------------------------------------------
 # The DAILY read API end to end (§2.13): corrected read (offset window)
 # -> unusable-grade-N interval exclusion -> exact-mean daily rollup ->

@@ -89,3 +89,73 @@ class TestBmpCodec:
         assert not out[2]["decoded"] and out[2]["width"] is None
         assert not out[3]["decoded"]
         assert not out[4]["decoded"]
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from aquacache_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    for filters in [None, [0], [1], [2], [3], [4], [4, 3, 2, 1, 0]]:
+        assert (decode_png(encode_png(px, filters=filters)) == px).all()
+
+
+def test_png_corrupt_inputs_raise_and_quarantine(spark):
+    import numpy as np
+    import pytest
+
+    from aquacache_spark.operators.multimodal import (decode_png,
+                                                      encode_png,
+                                                      extract_png_features)
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(px)
+    bad_crc = bytearray(good)
+    bad_crc[30] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a" + good)
+    # distributed path: bad rows quarantine, good rows decode
+    df = spark.createDataFrame(
+        [(1, good), (2, bytes(bad_crc)), (3, b"junk")],
+        "media_id bigint, content binary")
+    rows = {r["media_id"]: r for r in extract_png_features(df).collect()}
+    assert rows[1]["decoded"] and rows[1]["width"] == 4
+    assert not rows[2]["decoded"] and rows[2]["width"] is None
+    assert not rows[3]["decoded"]
+
+
+def test_png_gray_palette_rgba_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from aquacache_spark.operators.multimodal import decode_png
+
+    def chunk(t, d):
+        body = t + d
+        return struct.pack(">I", len(d)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    raw = b"".join(b"\x00" + gray[r].tobytes() for r in range(4))
+    g = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(g)[:, :, 0] == gray).all()
+    plte = np.array([[250, 1, 2], [3, 250, 4]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(2))
+    p = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+         + chunk(b"PLTE", plte.tobytes())
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(p) == plte[idx]).all()
+    rgba = np.arange(36, dtype=np.uint8).reshape(3, 3, 4)
+    raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(3))
+    q = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 6, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(q) == rgba[:, :, :3]).all()
