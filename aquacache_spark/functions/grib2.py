@@ -5,7 +5,11 @@ The reference's gridded connectors hand GRIB urls to ``terra::rast``
 the raster-ingest sibling of the BMP codec in operators/multimodal.py,
 so no GDAL binary is required for the supported product shape:
 
-- Section 3 grid template 3.0 (regular latitude/longitude grid),
+- Section 3 grid templates 3.0 (regular latitude/longitude) and 3.1
+  (ROTATED latitude/longitude — what the ``RLatLon`` in every real
+  ECCC HRDPA/HRDPS/CaLDAS filename means; the south-pole parameters
+  decode and ``true_coords`` unrotates grid points to geographic
+  lat/lon),
 - Section 5 data representation templates
     5.0  simple packing,
     5.2  complex packing (grouped), and
@@ -110,20 +114,66 @@ class _BitReader:
 class Grib2Message:
     __slots__ = ("discipline", "ref_time", "param_category", "param_number",
                  "forecast_hours", "ni", "nj", "lat0", "lon0", "dlat",
-                 "dlon", "scan_mode", "packing", "values")
+                 "dlon", "scan_mode", "packing", "values",
+                 "rotated", "sp_lat", "sp_lon", "rot_angle")
 
     def __init__(self):
         self.values: List[Optional[float]] = []
         self.packing = None  # data representation template number
+        self.rotated = False
+        self.sp_lat = self.sp_lon = self.rot_angle = 0.0
 
     def lat(self, j: int) -> float:
-        """Latitude of row j under the decoded scanning mode (+j =
-        south->north when bit 2 of scan_mode is set, else north->south)."""
+        """GRID latitude of row j under the decoded scanning mode (+j =
+        south->north when bit 2 of scan_mode is set, else north->south).
+        For a rotated grid (template 3.1) this is the ROTATED
+        coordinate; ``true_coords`` gives geographic ones."""
         sign = 1.0 if self.scan_mode & 0x40 else -1.0
         return self.lat0 + sign * j * self.dlat
 
     def lon(self, i: int) -> float:
         return self.lon0 + i * self.dlon
+
+    def true_coords(self, i: int, j: int) -> tuple:
+        """(geographic lat, lon) of grid point (i, j): identity for
+        template 3.0, the south-pole unrotation for 3.1 (north pole of
+        the rotated system at (-sp_lat, sp_lon - 180), the standard
+        CF ``rotated_latitude_longitude`` relation)."""
+        latr, lonr = self.lat(j), self.lon(i)
+        if not self.rotated:
+            return latr, lonr
+        return _unrotate(latr, lonr, self.sp_lat, self.sp_lon)
+
+
+def _unrotate(latr: float, lonr: float, sp_lat: float,
+              sp_lon: float) -> tuple:
+    """Rotated -> geographic coordinates, degrees in and out.
+
+    The rotated system's north pole sits at true (phi_p, lam_p) =
+    (-sp_lat, sp_lon - 180). Basis vectors of the rotated frame in the
+    true frame: z = pole direction, x = 90 deg down the lam_p meridian
+    toward the true equator, y = east at lam_p (right-handed) — the
+    standard CF rotated_latitude_longitude convention with zero
+    rotation angle.
+    """
+    import math
+
+    phi_p = math.radians(-sp_lat)
+    lam_p = math.radians(sp_lon - 180.0)
+    pr = math.radians(latr)
+    lr = math.radians(lonr)
+    ux = math.cos(pr) * math.cos(lr)
+    uy = math.cos(pr) * math.sin(lr)
+    uz = math.sin(pr)
+    sp, cp = math.sin(phi_p), math.cos(phi_p)
+    sl, cl = math.sin(lam_p), math.cos(lam_p)
+    # x-hat, y-hat, z-hat of the rotated frame, in true coordinates
+    vx = ux * (sp * cl) + uy * (-sl) + uz * (cp * cl)
+    vy = ux * (sp * sl) + uy * (cl) + uz * (cp * sl)
+    vz = ux * (-cp) + uz * sp
+    lat = math.degrees(math.asin(max(-1.0, min(1.0, vz))))
+    lon = math.degrees(math.atan2(vy, vx)) % 360.0
+    return lat, lon
 
 
 def decode_grib2(data: bytes) -> List[Grib2Message]:
@@ -174,12 +224,13 @@ def _decode_message(msg: bytes) -> Grib2Message:
             m.ref_time = (year, s[14], s[15], s[16], s[17], s[18])
         elif sec_num == 3:
             template = struct.unpack_from(">H", s, 12)[0]
-            if template != 0:
+            if template not in (0, 1):
                 raise ValueError(
                     f"unsupported grid definition template {template} "
-                    "(only 3.0 regular lat/lon)"
+                    "(only 3.0 regular / 3.1 rotated lat/lon)"
                 )
-            # template 3.0 octet offsets (1-based per spec; -1 here)
+            # template 3.0 octet offsets (1-based per spec; -1 here);
+            # 3.1 shares the layout and appends the rotation params
             m.ni = struct.unpack_from(">I", s, 30)[0]
             m.nj = struct.unpack_from(">I", s, 34)[0]
             m.lat0 = _si32(s, 46) / 1e6
@@ -187,6 +238,16 @@ def _decode_message(msg: bytes) -> Grib2Message:
             m.dlon = struct.unpack_from(">I", s, 63)[0] / 1e6
             m.dlat = struct.unpack_from(">I", s, 67)[0] / 1e6
             m.scan_mode = s[71]
+            if template == 1:
+                m.rotated = True
+                m.sp_lat = _si32(s, 72) / 1e6
+                m.sp_lon = _si32(s, 76) / 1e6
+                m.rot_angle = struct.unpack_from(">f", s, 80)[0]
+                if m.rot_angle != 0.0:
+                    raise ValueError(
+                        "nonzero rotation angle unsupported (ECCC "
+                        "products use 0)"
+                    )
         elif sec_num == 4:
             template = struct.unpack_from(">H", s, 7)[0]
             if template not in (0, 8):

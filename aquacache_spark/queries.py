@@ -6138,6 +6138,52 @@ def hrdpa_grib_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hrdpa_pipeline(spark, _HRDPA_GRIB_DIR)
 
 
+_HRDPA_ROT_DIR = _FIXDIR / "hrdpa_rot_grib"
+_HRDPA_ROT_CELLS = _FIXDIR / "hrdpa_rot_cells.csv"
+
+# Rotated-grid ingest (grid template 3.1 + complex packing — the real
+# shape of an ECCC 'RLatLon' file): per-cell TRUE geographic
+# coordinates come out of the unrotation (functions/grib2.py
+# _unrotate), and the oracle's lat/lon come from the fixture
+# generator's INDEPENDENT matrix implementation — aggregating per
+# true-latitude band makes the rotation math itself hash-checked.
+_HRDPA_ROT_ORACLE = f"""
+    WITH raw AS (
+      SELECT file, x, y, CAST(lat AS DOUBLE) AS lat,
+             CAST(lon AS DOUBLE) AS lon, CAST(value AS DOUBLE) AS value
+      FROM read_csv('{_HRDPA_ROT_CELLS}', header=true)
+      WHERE value IS NOT NULL
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_band,
+           count(*) AS n_cells,
+           count(DISTINCT file) AS n_files,
+           {R(DSUM('value') + ' / count(value)', 6)} AS vmean,
+           {R('min(lon)', 6)} AS lon_min,
+           {R('max(lon)', 6)} AS lon_max
+    FROM raw GROUP BY 1
+"""
+
+
+@register("hrdpa_rotated_ingest", oracle=_HRDPA_ROT_ORACLE)
+def hrdpa_rotated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated lat/lon GRIB2 decode -> true-coordinate latitude-band
+    stats (template 3.1 + complex packing, the production ECCC file
+    shape)."""
+    from .sources.gridded import grib_cells
+
+    cells = grib_cells(spark, str(_HRDPA_ROT_DIR) + "/*.grib2")
+    out = cells.groupBy(
+        F.floor(F.col("lat")).cast("bigint").alias("lat_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("file").alias("n_files"),
+        _exact_mean_of(F.col("value")).alias("vmean"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+    )
+    return _round(out, {"vmean": 6, "lon_min": 6, "lon_max": 6})
+
+
 @register("hrdpa_complex_ingest", oracle=_hrdpa_oracle(_HRDPA_COMPLEX_CELLS))
 def hrdpa_complex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same end-to-end HRDPA pipeline over COMPLEX-packed payloads

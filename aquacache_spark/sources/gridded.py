@@ -174,9 +174,11 @@ def grib_cells(spark, path: str) -> DataFrame:
                         if v is None:
                             continue
                         j, i = divmod(idx, m.ni)
+                        # geographic coords (identity on regular grids,
+                        # unrotation on template 3.1)
+                        la, lo = m.true_coords(i, j)
                         rows.append(
-                            (fname, mi, m.forecast_hours, i, j,
-                             m.lon(i), m.lat(j), v))
+                            (fname, mi, m.forecast_hours, i, j, lo, la, v))
                 yield pd.DataFrame(
                     rows, columns=["file", "msg", "fhours", "x", "y",
                                    "lon", "lat", "value"],

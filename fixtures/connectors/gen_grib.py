@@ -113,7 +113,34 @@ def _complex_sec57(mvals, spatial_order=0, group_len=7):
     return sec5, sec7
 
 
-def encode(vals, ref_time, fhours=0, packing=0, spatial_order=0):
+SP_LAT, SP_LON = -36.0885, 245.305  # the HRDPS rotated-pole parameters
+
+
+def rotate_to_true(latr, lonr):
+    """Independent rotated->geographic check values for the CSV twin:
+    matrix composition Rz(lam_p) @ Ry(pi/2 - phi_p) applied to the
+    rotated-frame unit vector (the decoder expands the same convention
+    as scalar trig)."""
+    import numpy as np
+
+    phi_p = np.radians(-SP_LAT)
+    lam_p = np.radians(SP_LON - 180.0)
+    th = np.pi / 2 - phi_p
+    ry = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                   [-np.sin(th), 0, np.cos(th)]])
+    rz = np.array([[np.cos(lam_p), -np.sin(lam_p), 0],
+                   [np.sin(lam_p), np.cos(lam_p), 0], [0, 0, 1]])
+    pr, lr = np.radians(latr), np.radians(lonr)
+    u = np.array([np.cos(pr) * np.cos(lr), np.cos(pr) * np.sin(lr),
+                  np.sin(pr)])
+    v = rz @ ry @ u
+    lat = float(np.degrees(np.arcsin(np.clip(v[2], -1, 1))))
+    lon = float(np.degrees(np.arctan2(v[1], v[0])) % 360.0)
+    return round(lat, 10), round(lon, 10)
+
+
+def encode(vals, ref_time, fhours=0, packing=0, spatial_order=0,
+           grid_template=0):
     year, mon, day, hour = ref_time
     present = [v for v in vals if v is not None]
     mvals = [int(round(v * 10 ** D_SCALE)) for v in present]
@@ -136,8 +163,14 @@ def encode(vals, ref_time, fhours=0, packing=0, spatial_order=0):
         int(DLON * 1e6), int(DLAT * 1e6),
         0x40,                                 # scan mode: +i, +j (S->N)
     )
-    sec3 = struct.pack(">IBBIBBH", 14 + len(tmpl3), 3, 0, NI * NJ, 0, 0, 0) \
-        + tmpl3
+    if grid_template == 1:  # rotated lat/lon: append south pole + angle
+        def sm32(v: int) -> int:  # GRIB sign-and-magnitude int32
+            return (0x80000000 | -v) if v < 0 else v
+
+        tmpl3 += struct.pack(
+            ">IIf", sm32(int(SP_LAT * 1e6)), sm32(int(SP_LON * 1e6)), 0.0)
+    sec3 = struct.pack(">IBBIBBH", 14 + len(tmpl3), 3, 0, NI * NJ, 0, 0,
+                       grid_template) + tmpl3
     # section 4: product definition, template 4.0 (APCP: cat 1 num 8)
     tmpl4 = struct.pack(">BBBBBHBBIBBIBBI", 1, 8, 2, 0, 0, 0, 0, 1,
                         fhours, 1, 0, 0, 255, 0, 0)
@@ -244,6 +277,42 @@ def main():
         w.writerow(["file", "datetime", "x", "y", "lon", "lat", "value"])
         w.writerows(crows2)
     print("hrdpa_complex_cells.csv", len(crows2), "rows")
+
+    # ROTATED lat/lon twin (grid template 3.1 + complex packing — the
+    # actual shape of a production ECCC file, hence the 'RLatLon' in
+    # the datamart names): grid coords are rotated-pole, the CSV twin
+    # carries TRUE geographic lat/lon from an independent matrix
+    # implementation of the unrotation.
+    rot_out = os.path.join(HERE, "hrdpa_rot_grib")
+    os.makedirs(rot_out, exist_ok=True)
+    rrows = []
+    for (stamp, rt, t), (packing, order) in zip(
+        [("20240110T06Z", (2024, 1, 10, 6), 30),
+         ("20240110T12Z", (2024, 1, 10, 12), 31)],
+        [(2, 0), (3, 2)],
+    ):
+        name = (f"{stamp}_MSC_HRDPA-APCP-Accum6h_Sfc_"
+                "RLatLon0.0225_PT0H.grib2")
+        vals = field(t)
+        with open(os.path.join(rot_out, name), "wb") as fh:
+            fh.write(encode(vals, rt, packing=packing,
+                            spatial_order=order, grid_template=1))
+        for idx, v in enumerate(vals):
+            j, i = divmod(idx, NI)
+            tlat, tlon = rotate_to_true(LAT0 + j * DLAT, LON0 + i * DLON)
+            rrows.append([
+                name, f"{stamp[:4]}-{stamp[4:6]}-{stamp[6:8]} "
+                f"{stamp[9:11]}:00:00", i, j, tlon, tlat,
+                "" if v is None else v,
+            ])
+        print(name, "rotated", f"5.{packing}",
+              sum(v is not None for v in vals), "cells")
+    with open(os.path.join(HERE, "hrdpa_rot_cells.csv"), "w",
+              newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["file", "datetime", "x", "y", "lon", "lat", "value"])
+        w.writerows(rrows)
+    print("hrdpa_rot_cells.csv", len(rrows), "rows")
 
     os.makedirs(HRDPS_OUT, exist_ok=True)
     hrows = []

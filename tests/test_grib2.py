@@ -212,3 +212,68 @@ def test_grib_cells_distributed_decode(spark, repo_root):
            if "T06Z" in r["file"]}
     assert one[(1, 0)] == 0.7
     assert (0, 0) not in one  # masked
+
+
+def test_unrotate_anchors_and_isometry():
+    import math
+
+    from aquacache_spark.functions.grib2 import _unrotate
+
+    # south pole at (-90, 180) -> identity
+    lat, lon = _unrotate(30.0, 40.0, -90.0, 180.0)
+    assert abs(lat - 30) < 1e-9 and abs(lon - 40) < 1e-9
+    # the rotated pole itself maps to (-sp_lat, sp_lon - 180)
+    lat, lon = _unrotate(90.0, 0.0, -36.0885, 245.305)
+    assert abs(lat - 36.0885) < 1e-9 and abs(lon - 65.305) < 1e-9
+    # rotation is an isometry: angular distances preserved
+    def ang(p, q):
+        p1, l1, p2, l2 = map(math.radians, (*p, *q))
+        return math.acos(max(-1, min(1, math.sin(p1) * math.sin(p2)
+                                     + math.cos(p1) * math.cos(p2)
+                                     * math.cos(l1 - l2))))
+    a, b = (10.0, 20.0), (-5.0, 60.0)
+    at = _unrotate(*a, -36.0885, 245.305)
+    bt = _unrotate(*b, -36.0885, 245.305)
+    assert abs(ang(a, b) - ang(at, bt)) < 1e-12
+
+
+def test_rotated_fixture_roundtrip(repo_root):
+    import csv
+
+    from collections import defaultdict
+
+    fixdir = repo_root / "fixtures/connectors/hrdpa_rot_grib"
+    expected = defaultdict(dict)
+    with open(repo_root / "fixtures/connectors/hrdpa_rot_cells.csv") as fh:
+        for row in csv.DictReader(fh):
+            v = None if row["value"] == "" else float(row["value"])
+            expected[row["file"]][(int(row["x"]), int(row["y"]))] = (
+                v, float(row["lat"]), float(row["lon"]))
+    for path in sorted(fixdir.glob("*.grib2")):
+        (m,) = decode_grib2(path.read_bytes())
+        assert m.rotated and m.sp_lat == -36.0885 and m.sp_lon == 245.305
+        for idx, v in enumerate(m.values):
+            j, i = divmod(idx, m.ni)
+            ev, elat, elon = expected[path.name][(i, j)]
+            la, lo = m.true_coords(i, j)
+            assert (v is None) == (ev is None)
+            if v is not None:
+                assert round(v, 6) == ev
+            # decoder trig vs the generator's independent matrix math
+            assert abs(la - elat) < 1e-9 and abs(lo - elon) < 1e-9
+
+
+def test_nonzero_rotation_angle_rejected(repo_root):
+    import pytest
+
+    fixdir = repo_root / "fixtures/connectors/hrdpa_rot_grib"
+    raw = bytearray(sorted(fixdir.glob("*.grib2"))[0].read_bytes())
+    pos = 16
+    while True:
+        sec_len = struct.unpack_from(">I", raw, pos)[0]
+        if raw[pos + 4] == 3:
+            break
+        pos += sec_len
+    struct.pack_into(">f", raw, pos + 80, 10.0)  # angle octets 81-84
+    with pytest.raises(ValueError, match="rotation angle"):
+        decode_grib2(bytes(raw))
