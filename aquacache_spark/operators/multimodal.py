@@ -188,6 +188,157 @@ def extract_bmp_features(
 
 
 # ---------------------------------------------------------------------------
+# WAV: the audio tier's real decode path (RIFF/WAVE PCM, stdlib struct
+# + numpy). 8/16-bit integer PCM, mono or multi-channel; anything else
+# (float, ADPCM, truncated chunks) raises, so corrupt inputs
+# quarantine via the ``decoded`` flag like the image codecs.
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal 16-bit PCM mono WAV writer (RIFF + fmt + data)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes):
+    """Parse a PCM WAV into (sample_rate, channels, int16 ndarray of
+    shape (n_frames, channels)). 8-bit unsigned widens to 16-bit
+    signed; non-PCM formats raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" \
+            or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", blob, pos + 4)
+        chunk = blob[pos + 8:pos + 8 + clen]
+        if len(chunk) != clen:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, sr, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_fmt}, bits={bits})")
+    if bits == 16:
+        arr = np.frombuffer(data[:len(data) // 2 * 2], dtype="<i2")
+    else:
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+               - 128) * 256
+    n = arr.size // channels
+    return sr, channels, arr[:n * channels].reshape(n, channels)
+
+
+def extract_wav_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """Audio features from real PCM decode, Arrow-batched: duration,
+    RMS, peak, zero-crossing count over the channel-mean signal.
+    Undecodable blobs quarantine with ``decoded`` = FALSE."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in ("decoded", "sample_rate", "n_frames",
+                                   "duration_s", "mean_amp", "rms",
+                                   "peak", "zero_crossings")}
+            for blob in pdf[blob_col]:
+                try:
+                    sr, _ch, frames = decode_wav(blob)
+                    mono = frames.astype(np.float64).mean(axis=1)
+                    nz = mono >= 0
+                    out["decoded"].append(True)
+                    out["sample_rate"].append(sr)
+                    out["n_frames"].append(len(mono))
+                    out["duration_s"].append(len(mono) / sr)
+                    out["mean_amp"].append(float(mono.mean()))
+                    out["rms"].append(
+                        float(np.sqrt((mono ** 2).sum() / len(mono))))
+                    out["peak"].append(int(np.abs(frames).max()))
+                    out["zero_crossings"].append(
+                        int((nz[1:] != nz[:-1]).sum()))
+                except (ValueError, TypeError, ZeroDivisionError):
+                    out["decoded"].append(False)
+                    for c in ("sample_rate", "n_frames", "duration_s",
+                              "mean_amp", "rms", "peak",
+                              "zero_crossings"):
+                        out[c].append(None)
+            pdf_out = pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), **out})
+            pdf_out["sample_rate"] = pdf_out["sample_rate"].astype("Int32")
+            pdf_out["n_frames"] = pdf_out["n_frames"].astype("Int64")
+            pdf_out["peak"] = pdf_out["peak"].astype("Int32")
+            pdf_out["zero_crossings"] = \
+                pdf_out["zero_crossings"].astype("Int64")
+            yield pdf_out
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def synthesize_wavs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic WAV fixtures: sample k of item i is
+    ((i*37 + k*101) % 4001) - 2000 — a closed form the oracle can
+    aggregate (exact integer sums of s and s^2) without parsing —
+    encoded through the real 16-bit PCM writer."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        k = np.arange(n_samples)
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                s = ((i * 37 + k * 101) % 4001) - 2000
+                blobs.append(encode_wav(s, sample_rate))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
 # PNG: the format real web corpora actually contain. Pure stdlib-zlib
 # + numpy: critical chunks (IHDR/PLTE/IDAT/IEND), CRC-verified, all
 # five scanline filters, 8-bit gray/RGB/palette/RGBA. Anything outside

@@ -7663,6 +7663,63 @@ _PNG_ORACLE = f"""
 """
 
 
+# WAV sibling for the AUDIO tier: real RIFF/PCM decode under the
+# features; integer closed-form samples make every aggregate exact on
+# both sides (sum and sum-of-squares stay in int64 range).
+_WAV_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 4 = 1
+    ), grid AS (
+      SELECT unnest(range(0, 256)) AS k
+    ), s AS (
+      SELECT media_id, k,
+             ((media_id * 37 + k * 101) % 4001) - 2000 AS samp
+      FROM ids CROSS JOIN grid
+    ), lagged AS (
+      SELECT media_id, k, samp,
+             lag(samp) OVER (PARTITION BY media_id ORDER BY k) AS prev
+      FROM s
+    ), zc AS (
+      SELECT media_id,
+             sum(CASE WHEN prev IS NOT NULL
+                       AND ((samp >= 0) <> (prev >= 0))
+                 THEN 1 ELSE 0 END) AS zero_crossings
+      FROM lagged GROUP BY 1
+    ), agg AS (
+      SELECT media_id,
+             sum(samp) AS ssum, sum(samp * samp) AS ssq,
+             max(abs(samp)) AS peak
+      FROM s GROUP BY 1
+    )
+    SELECT a.media_id, TRUE AS decoded,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(256 AS BIGINT) AS n_frames,
+           {R('256.0 / 8000', 6)} AS duration_s,
+           {R('a.ssum / 256.0', 6)} AS mean_amp,
+           {R('sqrt(a.ssq / 256.0)', 6)} AS rms,
+           CAST(a.peak AS INT) AS peak,
+           CAST(z.zero_crossings AS BIGINT) AS zero_crossings
+    FROM agg a JOIN zc z USING (media_id)
+"""
+
+
+@register("wav_decode_features", oracle=_WAV_ORACLE)
+def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_wav_features, synthesize_wavs
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 4 == 1).select(
+        F.col("doc_id").alias("media_id"))
+    wavs = synthesize_wavs(ids, n_samples=256, sample_rate=8000)
+    out = extract_wav_features(wavs)
+    return _round(
+        out.select("media_id", "decoded", "sample_rate", "n_frames",
+                   "duration_s", "mean_amp", "rms", "peak",
+                   "zero_crossings"),
+        {"duration_s": 6, "mean_amp": 6, "rms": 6},
+    )
+
+
 @register("png_decode_features", oracle=_PNG_ORACLE)
 def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_png_features, synthesize_pngs

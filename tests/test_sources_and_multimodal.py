@@ -159,3 +159,54 @@ def test_png_gray_palette_rgba_variants():
     q = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 6, 0, 0, 0))
          + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     assert (decode_png(q) == rgba[:, :, :3]).all()
+
+
+def test_wav_roundtrip_and_variants():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from aquacache_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array([0, 1000, -1000, 32767, -32768, 5], dtype=np.int16)
+    sr, ch, frames = decode_wav(encode_wav(s, 44100))
+    assert (sr, ch) == (44100, 1)
+    assert (frames[:, 0] == s).all()
+    # 8-bit unsigned widens to signed 16
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 3) + bytes([128, 255, 0]))
+    blob = b"RIFF" + struct.pack("<I", len(body) + 1) + body + b"\x00"
+    sr, ch, frames = decode_wav(blob)
+    assert frames[:, 0].tolist() == [0, 127 * 256, -128 * 256]
+    # stereo
+    st = np.array([[100, -100], [200, -200]], dtype="<i2").reshape(-1)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 8) + st.tobytes())
+    sr, ch, frames = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert ch == 2 and frames.shape == (2, 2)
+    # non-PCM and junk raise
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float
+        b3 = (b"WAVEfmt " + struct.pack("<I", len(fmt3)) + fmt3
+              + b"data" + struct.pack("<I", 0))
+        decode_wav(b"RIFF" + struct.pack("<I", len(b3)) + b3)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS junk")
+
+
+def test_wav_features_quarantine(spark):
+    import numpy as np
+
+    from aquacache_spark.operators.multimodal import (encode_wav,
+                                                      extract_wav_features)
+
+    good = encode_wav(np.array([1000, -1000] * 8, dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, good), (2, b"not audio")], "media_id bigint, content binary")
+    rows = {r["media_id"]: r for r in extract_wav_features(df).collect()}
+    assert rows[1]["decoded"] and rows[1]["n_frames"] == 16
+    assert rows[1]["zero_crossings"] == 15 and rows[1]["peak"] == 1000
+    assert not rows[2]["decoded"] and rows[2]["rms"] is None
