@@ -165,24 +165,48 @@ def grib_cells(spark, path: str) -> DataFrame:
     ensure_package_on_workers(spark)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
-                rows = []
+                frames = []
                 fname = os.path.basename(path_)
                 for mi, m in enumerate(decode_grib2(bytes(content))):
-                    for idx, v in enumerate(m.values):
-                        if v is None:
-                            continue
-                        j, i = divmod(idx, m.ni)
-                        # geographic coords (identity on regular grids,
-                        # unrotation on template 3.1)
-                        la, lo = m.true_coords(i, j)
-                        rows.append(
-                            (fname, mi, m.forecast_hours, i, j, lo, la, v))
-                yield pd.DataFrame(
-                    rows, columns=["file", "msg", "fhours", "x", "y",
-                                   "lon", "lat", "value"],
-                )
+                    vals = m.values_np
+                    keep = ~np.isnan(vals)
+                    idx = np.nonzero(keep)[0]
+                    j, i = np.divmod(idx, m.ni)
+                    lat_sign = 1.0 if m.scan_mode & 0x40 else -1.0
+                    latr = m.lat0 + lat_sign * j * m.dlat
+                    lonr = m.lon0 + i * m.dlon
+                    if m.rotated:
+                        # vectorized unrotation (identity otherwise);
+                        # same convention as Grib2Message.true_coords
+                        phi_p = np.radians(-m.sp_lat)
+                        lam_p = np.radians(m.sp_lon - 180.0)
+                        pr, lr = np.radians(latr), np.radians(lonr)
+                        ux = np.cos(pr) * np.cos(lr)
+                        uy = np.cos(pr) * np.sin(lr)
+                        uz = np.sin(pr)
+                        sp, cp = np.sin(phi_p), np.cos(phi_p)
+                        sl, cl = np.sin(lam_p), np.cos(lam_p)
+                        vx = ux * (sp * cl) - uy * sl + uz * (cp * cl)
+                        vy = ux * (sp * sl) + uy * cl + uz * (cp * sl)
+                        vz = -ux * cp + uz * sp
+                        la = np.degrees(np.arcsin(np.clip(vz, -1, 1)))
+                        lo = np.degrees(np.arctan2(vy, vx)) % 360.0
+                    else:
+                        la, lo = latr, lonr
+                    frames.append(pd.DataFrame({
+                        "file": fname, "msg": mi,
+                        "fhours": m.forecast_hours,
+                        "x": i.astype("int32"), "y": j.astype("int32"),
+                        "lon": lo, "lat": la, "value": vals[idx],
+                    }))
+                yield (pd.concat(frames, ignore_index=True) if frames
+                       else pd.DataFrame(columns=["file", "msg", "fhours",
+                                                  "x", "y", "lon", "lat",
+                                                  "value"]))
 
     return (
         spark.read.format("binaryFile").load(path)

@@ -33,18 +33,24 @@ def _sm16(v: int) -> int:
 
 def _pack_stream(pairs):
     """MSB-first bit packing of (value, width) pairs, zero-padded to a
-    byte boundary — one spec 'block' of a complex-packed section 7."""
-    acc = accbits = 0
-    out = bytearray()
-    for v, w in pairs:
-        acc = (acc << w) | v
-        accbits += w
-        while accbits >= 8:
-            accbits -= 8
-            out.append((acc >> accbits) & 0xFF)
-    if accbits:
-        out.append((acc << (8 - accbits)) & 0xFF)
-    return bytes(out)
+    byte boundary — one spec 'block' of a complex-packed section 7.
+    Vectorized (numpy bit-scatter + packbits) so operational-size
+    grids encode in milliseconds for the decode throughput check."""
+    import numpy as np
+
+    pairs = list(pairs)
+    if not pairs:
+        return b""
+    v = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+    w = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+    ends = np.cumsum(w)
+    starts = ends - w
+    total = int(ends[-1])
+    bits = np.zeros((total + 7) // 8 * 8, dtype=np.uint8)
+    for b in range(int(w.max())):
+        sel = w > b
+        bits[starts[sel] + b] = (v[sel] >> (w[sel] - 1 - b)) & 1
+    return np.packbits(bits).tobytes()
 
 
 def field(t: int):

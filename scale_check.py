@@ -204,6 +204,33 @@ def main() -> None:
     n_v1_dirs = len(_os2.listdir(store._vdir(1)))
     assert n_v1_dirs >= 250, n_v1_dirs  # the full store really is wide
 
+    # ---- gridded codec throughput at OPERATIONAL grid size: one
+    # 2540x1290 HRDPA-shaped message (rotated grid, complex packing
+    # 5.3 order 2, ~470k groups) must decode bit-exact in seconds on
+    # one core — the per-file unit of the binaryFile fan-out.
+    import sys as _sys
+
+    _sys.path.insert(0, "fixtures/connectors")
+    import gen_grib as _G
+
+    import numpy as _np
+
+    from aquacache_spark.functions.grib2 import decode_grib2 as _dec
+
+    _ni, _nj = _G.NI, _G.NJ
+    _G.NI, _G.NJ = 2540, 1290
+    _field = (_np.cumsum(
+        _np.random.default_rng(1).integers(-3, 4, _G.NI * _G.NJ)) % 1000
+        / 10.0).tolist()
+    _blob = _G.encode(_field, (2024, 1, 10, 6), packing=3,
+                      spatial_order=2, grid_template=1)
+    _G.NI, _G.NJ = _ni, _nj
+    t0 = time.perf_counter()
+    (_m,) = _dec(_blob)
+    timings["grib2_decode_3m_points"] = round(time.perf_counter() - t0, 2)
+    assert _m.values_np.size == 2540 * 1290
+    assert float(_np.abs(_m.values_np - _np.asarray(_field)).max()) == 0.0
+
     # ---- document tier: dedup/fingerprint machinery at 20x bench scale
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     seed = F.col("id") % (n_docs * 9 // 10)  # ~10% exact duplicates

@@ -63,7 +63,7 @@ def test_complex_packing_hand_computed():
     sec5 = _complex_sec5(5, 2, nbits=4, ng=2, wbits=2, len_ref=3,
                          last_len=2)
     payload = bytes([0x3A, 0xA0, 0b00100100, 0b10000000])
-    assert _unpack_complex_present(payload, 5, sec5, 2) == [
+    assert _unpack_complex_present(payload, 5, sec5, 2).tolist() == [
         3.0, 5.0, 4.0, 10.0, 12.0]
 
 
@@ -75,7 +75,7 @@ def test_spatial_diff_order2_constant_second_difference():
     sec5 = _complex_sec5(5, 3, nbits=1, ng=1, wbits=1, len_ref=5,
                          last_len=5, order=2)
     payload = bytes([0, 10, 0, 12, 0, 1, 0x00, 0x00])
-    assert _unpack_complex_present(payload, 5, sec5, 3) == [
+    assert _unpack_complex_present(payload, 5, sec5, 3).tolist() == [
         10.0, 12.0, 15.0, 19.0, 24.0]
 
 
@@ -89,7 +89,7 @@ def test_spatial_diff_order1_negative_gmin_sign_magnitude():
     # extra: h1=5, gmin=0x8002; refs: 0 (1 bit); widths: 2 (2 bits);
     # data: 00 00 01 10 11 -> 0b0000 0110 11 -> 0x06, 0xC0
     payload = bytes([0, 5, 0x80, 0x02, 0x00, 0x80, 0x06, 0xC0])
-    assert _unpack_complex_present(payload, 5, sec5, 3) == [
+    assert _unpack_complex_present(payload, 5, sec5, 3).tolist() == [
         5.0, 3.0, 2.0, 2.0, 3.0]
 
 

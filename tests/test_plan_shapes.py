@@ -220,7 +220,9 @@ def test_gridded_ingest_joins_broadcast(spark):
     # broadcast; no sort-merge over the cell mass, nothing cartesian
     # except the bbox-overlap zonal join (broadcast BNLJ by design)
     for name in ("hrdpa_grib_ingest", "hrdps_grib_ingest",
-                 "caldas_grib_ingest", "era5_netcdf_ingest"):
+                 "caldas_grib_ingest", "era5_netcdf_ingest",
+                 "hrdpa_complex_ingest", "hrdpa_rotated_ingest",
+                 "era5_netcdf4_ingest"):
         p = plan(spark, name)
         assert "SortMergeJoin" not in p, name
         assert "CartesianProduct" not in p, name
