@@ -390,22 +390,28 @@ class NetCDF4:
     def shape(self, var: str) -> List[int]:
         return list(self._h5.datasets[var].shape)
 
-    def read_raw(self, var: str) -> List[Any]:
-        return self._h5.read_array(var).ravel().tolist()
+    def read_np(self, var: str) -> np.ndarray:
+        return self._h5.read_array(var).ravel()
 
-    def read(self, var: str) -> List[Optional[float]]:
+    def read_scaled_np(self, var: str) -> np.ndarray:
+        """Float64 values with CDS unpacking applied; fill -> NaN
+        (fill compared on the RAW packed values)."""
         ds = self._h5.datasets[var]
-        raw = self._h5.read_array(var).ravel()
+        raw = self.read_np(var)
         scale = ds.attrs.get("scale_factor", 1)
         offset = ds.attrs.get("add_offset", 0)
         fill = ds.attrs.get("_FillValue", ds.attrs.get("missing_value"))
         vals = raw.astype(np.float64) * scale + offset
-        # fill comparison on the RAW (packed) values, like NetCDF3.read
-        out = vals.tolist()
         if fill is not None:
-            for i in np.nonzero(raw == fill)[0].tolist():
-                out[i] = None
-        return out
+            vals = np.where(raw == fill, np.nan, vals)
+        return vals
+
+    def read_raw(self, var: str) -> List[Any]:
+        return self.read_np(var).tolist()
+
+    def read(self, var: str) -> List[Optional[float]]:
+        vals = self.read_scaled_np(var)
+        return [None if np.isnan(v) else v for v in vals.tolist()]
 
 
 def open_netcdf(data: bytes):

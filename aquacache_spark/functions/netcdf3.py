@@ -139,37 +139,55 @@ class NetCDF3:
     def _is_record(self, v: NcVar) -> bool:
         return bool(v.dimids) and self.dims[v.dimids[0]][1] == 0
 
-    def read_raw(self, var: str) -> List[Any]:
-        """Row-major raw values (no scaling)."""
+    def read_np(self, var: str):
+        """Row-major raw values as a numpy array (no scaling) — the
+        vectorized storage the distributed kernel consumes."""
+        import numpy as np
+
         v = self.vars[var]
         shape = self.shape(var)
         n = 1
         for s in shape:
             n *= s
+        dt = np.dtype(">" + {1: "i1", 3: "i2", 4: "i4", 5: "f4",
+                             6: "f8"}[v.nc_type])
         if not self._is_record(v):
-            return list(struct.unpack_from(
-                f">{n}{_FMT[v.nc_type]}", self._d, v.begin))
+            return np.frombuffer(self._d, dtype=dt, count=n,
+                                 offset=v.begin)
         # record variable: one padded slab per record at stride recsize
         per_rec = n // max(self.numrecs, 1)
         recsize = sum(
             w.vsize for w in self.vars.values() if self._is_record(w))
-        out: List[Any] = []
-        for rec in range(self.numrecs):
-            out.extend(struct.unpack_from(
-                f">{per_rec}{_FMT[v.nc_type]}", self._d,
-                v.begin + rec * recsize))
-        return out
+        slabs = [
+            np.frombuffer(self._d, dtype=dt, count=per_rec,
+                          offset=v.begin + rec * recsize)
+            for rec in range(self.numrecs)
+        ]
+        return (np.concatenate(slabs) if slabs
+                else np.zeros(0, dtype=dt))
+
+    def read_scaled_np(self, var: str):
+        """Float64 values with CDS unpacking applied; fill -> NaN."""
+        import numpy as np
+
+        v = self.vars[var]
+        raw = self.read_np(var)
+        scale = v.attrs.get("scale_factor", 1)
+        offset = v.attrs.get("add_offset", 0)
+        fill = v.attrs.get("_FillValue", v.attrs.get("missing_value"))
+        vals = raw.astype(np.float64) * scale + offset
+        if fill is not None:
+            vals = np.where(raw == fill, np.nan, vals)
+        return vals
+
+    def read_raw(self, var: str) -> List[Any]:
+        """Row-major raw values (no scaling)."""
+        return self.read_np(var).tolist()
 
     def read(self, var: str) -> List[Optional[float]]:
         """Values with CDS unpacking: scale_factor/add_offset applied,
         _FillValue / missing_value -> None."""
-        v = self.vars[var]
-        raw = self.read_raw(var)
-        scale = v.attrs.get("scale_factor", 1)
-        offset = v.attrs.get("add_offset", 0)
-        fill = v.attrs.get("_FillValue", v.attrs.get("missing_value"))
-        return [
-            None if (fill is not None and r == fill)
-            else (r * scale + offset)
-            for r in raw
-        ]
+        import numpy as np
+
+        vals = self.read_scaled_np(var)
+        return [None if np.isnan(x) else x for x in vals.tolist()]

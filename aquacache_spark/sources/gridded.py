@@ -246,29 +246,29 @@ def netcdf_cells(
     ensure_package_on_workers(spark)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
                 nc = open_netcdf(bytes(content))
-                hours = nc.read_raw(time_var)
-                lats = nc.read(lat_var)
-                lons = nc.read(lon_var)
-                vals = nc.read(var)
+                hours = np.asarray(nc.read_np(time_var), dtype=np.int64)
+                lats = np.asarray(nc.read_scaled_np(lat_var))
+                lons = np.asarray(nc.read_scaled_np(lon_var))
+                vals = nc.read_scaled_np(var)
                 fname = os.path.basename(path_)
-                nlat, nlon = len(lats), len(lons)
-                rows = []
-                for t, hour in enumerate(hours):
-                    base = t * nlat * nlon
-                    for j in range(nlat):
-                        for i in range(nlon):
-                            v = vals[base + j * nlon + i]
-                            if v is None:
-                                continue
-                            rows.append((fname, int(hour), i, j,
-                                         lons[i], lats[j], v))
-                yield pd.DataFrame(
-                    rows, columns=["file", "hour", "x", "y", "lon",
-                                   "lat", "value"],
-                )
+                nlat, nlon = lats.size, lons.size
+                # vectorized (time, lat, lon) unravel over present
+                # cells — a CDS month is ~40M cells; no Python loop
+                idx = np.nonzero(~np.isnan(vals))[0]
+                t, rem = np.divmod(idx, nlat * nlon)
+                j, i = np.divmod(rem, nlon)
+                yield pd.DataFrame({
+                    "file": fname,
+                    "hour": hours[t],
+                    "x": i.astype("int32"), "y": j.astype("int32"),
+                    "lon": lons[i], "lat": lats[j],
+                    "value": vals[idx],
+                })
 
     return (
         spark.read.format("binaryFile").load(path)
