@@ -361,3 +361,125 @@ def zonal_stats_polygon(
         F.max("value").alias("zmax"),
         F.count("value").alias("zcount"),
     )
+
+
+def export_pgraster(
+    tiles: DataFrame,
+    origin_x: float = 0.0,
+    origin_y: float = 0.0,
+    scale_x: float = 1.0,
+    scale_y: float = -1.0,
+    srid: int = 4326,
+    nodata: float = -9999.0,
+    table: str = "spatial.rasters",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """raster2pgsql emulation (R/writeRaster.R:342-361): one PostGIS
+    raster WKB per tile, hex-encoded, plus the INSERT statement the
+    reference pipes to psql. Tile grid row 0 is the insertion-point
+    row; the world position of tile (tx, ty) is ``origin +
+    tile_index * tile_size * scale`` (scale_y negative = north-up).
+
+    Arrow-batched kernel for the binary encode (stdlib codec,
+    functions/pgraster.py); everything else — insertion points, hex,
+    SQL text — is a codegen'd projection. Map-only: exporting N tiles
+    costs one pass, no shuffle.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions.pgraster import encode_pgraster
+    from ..session import ensure_package_on_workers
+
+    if tiles.sparkSession is not None:
+        ensure_package_on_workers(tiles.sparkSession)
+
+    base_cols = [*keys, "tile_x", "tile_y", "tw", "th"]
+    src = tiles.select(
+        *base_cols,
+        F.col("cells"),
+        (F.lit(origin_x) + F.col("tile_x") * F.col("tw") * F.lit(scale_x))
+        .alias("ip_x"),
+        (F.lit(origin_y) + F.col("tile_y") * F.col("th") * F.lit(scale_y))
+        .alias("ip_y"),
+    )
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in src.drop("cells").dtypes]
+        + ["wkb binary"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wkbs = [
+                encode_pgraster(cells, int(tw), int(th), float(ipx),
+                                float(ipy), scale_x, scale_y, srid,
+                                nodata)
+                for cells, tw, th, ipx, ipy in zip(
+                    pdf["cells"], pdf["tw"], pdf["th"], pdf["ip_x"],
+                    pdf["ip_y"])
+            ]
+            out = pdf.drop(columns=["cells"])
+            out["wkb"] = wkbs
+            yield out
+
+    exported = src.mapInPandas(kernel, schema=schema)
+    hexwkb = F.upper(F.hex(F.col("wkb")))
+    return exported.select(
+        *base_cols, "ip_x", "ip_y", "wkb",
+        hexwkb.alias("hexwkb"),
+        F.concat(
+            F.lit(f"INSERT INTO {table} (rast) VALUES ('"),
+            hexwkb, F.lit("'::raster);"),
+        ).alias("sql"),
+    )
+
+
+def export_geotiff(
+    tiles: DataFrame,
+    origin_x: float = 0.0,
+    origin_y: float = 0.0,
+    scale_x: float = 1.0,
+    scale_y: float = -1.0,
+    nodata: float = -9999.0,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Per-tile GeoTIFF artifacts (the terra::writeRaster half of the
+    reference's write path, R/writeRaster.R:330): same tile grid and
+    georeferencing as export_pgraster, EPSG:4326 GeoKeys, GDAL_NODATA.
+    Map-only Arrow kernel."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions.geotiff import encode_geotiff
+    from ..session import ensure_package_on_workers
+
+    if tiles.sparkSession is not None:
+        ensure_package_on_workers(tiles.sparkSession)
+
+    base_cols = [*keys, "tile_x", "tile_y", "tw", "th"]
+    src = tiles.select(
+        *base_cols, "cells",
+        (F.lit(origin_x) + F.col("tile_x") * F.col("tw") * F.lit(scale_x))
+        .alias("ip_x"),
+        (F.lit(origin_y) + F.col("tile_y") * F.col("th") * F.lit(scale_y))
+        .alias("ip_y"),
+    )
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in src.drop("cells").dtypes]
+        + ["tiff binary"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tiffs = [
+                encode_geotiff(cells, int(tw), int(th), float(ipx),
+                               float(ipy), scale_x, scale_y, nodata)
+                for cells, tw, th, ipx, ipy in zip(
+                    pdf["cells"], pdf["tw"], pdf["th"], pdf["ip_x"],
+                    pdf["ip_y"])
+            ]
+            out = pdf.drop(columns=["cells"])
+            out["tiff"] = tiffs
+            yield out
+
+    return src.mapInPandas(kernel, schema=schema)

@@ -7620,6 +7620,68 @@ _BMP_ORACLE = f"""
 """
 
 
+# writeRaster's BINARY path (R/writeRaster.R:330-361): tiles -> real
+# PostGIS raster WKB (raster2pgsql wire format, functions/pgraster.py)
+# -> decode back -> per-tile stats. The oracle recomputes the stats
+# and the deterministic WKB geometry (fixed header + 64BF band ->
+# 2118 bytes per 16x16 tile) straight from the cell grid, so the
+# binary encode/decode pair surviving value-exact is hash-checked.
+_PGRASTER_ORACLE = f"""
+    WITH cells AS ({_RASTER_CELLS_SQL}),
+    tiled AS (
+      SELECT CAST(floor(x / 16) AS INT) AS tile_x,
+             CAST(floor(y / 16) AS INT) AS tile_y,
+             value
+      FROM cells
+    )
+    SELECT tile_x, tile_y,
+           CAST(61 + 9 + 16 * 16 * 8 AS BIGINT) AS wkb_bytes,
+           {R('200.0 + tile_x * 16 * 0.25', 6)} AS ip_x,
+           {R('65.0 - tile_y * 16 * 0.25', 6)} AS ip_y,
+           count(value) AS n_cells,
+           {R(DSUM('value') + ' / count(value)', 6)} AS vmean
+    FROM tiled GROUP BY 1, 2
+"""
+
+
+@register("pgraster_wkb_export", oracle=_PGRASTER_ORACLE)
+def pgraster_wkb_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.pgraster import decode_pgraster
+    from .operators.raster import export_pgraster, tile_cells
+
+    cells = _raster_cells(spark, sf_dir)
+    tiles = tile_cells(cells, tile=16)
+    exp = export_pgraster(tiles, origin_x=200.0, origin_y=65.0,
+                          scale_x=0.25, scale_y=-0.25)
+
+    def kernel(batches):
+        import math as _math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for tx, ty, wkb in zip(pdf["tile_x"], pdf["tile_y"],
+                                   pdf["wkb"]):
+                d = decode_pgraster(bytes(wkb))
+                present = [v for v in d["values"] if v is not None]
+                vsum = sum(
+                    int(_math.floor(v * 1e6 + 0.5)) for v in present)
+                rows.append((int(tx), int(ty), len(wkb), d["ip_x"],
+                             d["ip_y"], len(present),
+                             vsum / 1e6 / len(present)))
+            yield pd.DataFrame(rows, columns=[
+                "tile_x", "tile_y", "wkb_bytes", "ip_x", "ip_y",
+                "n_cells", "vmean"])
+
+    out = exp.select("tile_x", "tile_y", "wkb").mapInPandas(
+        kernel,
+        schema=("tile_x int, tile_y int, wkb_bytes bigint, "
+                "ip_x double, ip_y double, n_cells bigint, "
+                "vmean double"))
+    return _round(out, {"ip_x": 6, "ip_y": 6, "vmean": 6})
+
+
 @register("bmp_decode_features", oracle=_BMP_ORACLE)
 def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_bmp_features, synthesize_bmps

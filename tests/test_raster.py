@@ -179,3 +179,81 @@ def test_tile_cells_rejects_duplicate_positions(spark):
     )
     with pytest.raises(Exception, match="duplicate cell positions"):
         tile_cells(cells, tile=4).collect()
+
+
+def test_pgraster_codec_roundtrip_and_golden_header():
+    import struct
+
+    from aquacache_spark.functions.pgraster import (decode_pgraster,
+                                                    encode_pgraster)
+
+    vals = [1.5, None, 3.25, -2.0, 0.0, None]
+    b = encode_pgraster(vals, 3, 2, ip_x=230.0, ip_y=64.5,
+                        scale_x=0.25, scale_y=-0.5)
+    d = decode_pgraster(b)
+    assert d["values"] == vals
+    assert (d["width"], d["height"], d["srid"]) == (3, 2, 4326)
+    assert (d["ip_x"], d["ip_y"]) == (230.0, 64.5)
+    # golden header layout per the PostGIS raster WKB spec
+    assert b[0] == 1                                   # NDR
+    assert struct.unpack_from("<H", b, 1)[0] == 0      # version
+    assert struct.unpack_from("<H", b, 3)[0] == 1      # nBands
+    assert struct.unpack_from("<i", b, 53)[0] == 4326  # srid
+    assert struct.unpack_from("<HH", b, 57) == (3, 2)  # dims
+    assert b[61] & 0x0F == 11 and b[61] & 0x40         # 64BF + hasNodata
+    assert len(b) == 61 + 9 + 6 * 8
+    # all-nodata tile carries the isNodataValue hint
+    d2 = decode_pgraster(encode_pgraster([None] * 6, 3, 2, 0, 0, 1, -1))
+    assert d2["all_nodata"] and d2["values"] == [None] * 6
+
+
+def test_geotiff_codec_roundtrip():
+    import pytest
+
+    from aquacache_spark.functions.geotiff import (decode_geotiff,
+                                                   encode_geotiff)
+
+    vals = [1.5, None, 3.25, -2.0, 0.0, None]
+    g = encode_geotiff(vals, 3, 2, origin_x=230.0, origin_y=64.5,
+                       scale_x=0.25, scale_y=0.25)
+    d = decode_geotiff(g)
+    assert d["values"] == vals
+    assert (d["width"], d["height"], d["epsg"]) == (3, 2, 4326)
+    assert (d["origin_x"], d["origin_y"]) == (230.0, 64.5)
+    assert (d["scale_x"], d["scale_y"]) == (0.25, 0.25)
+    with pytest.raises(ValueError, match="magic"):
+        decode_geotiff(b"PK\x03\x04 not a tiff")
+
+
+def test_export_operators_distributed(spark):
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.functions.geotiff import decode_geotiff
+    from aquacache_spark.functions.pgraster import decode_pgraster
+    from aquacache_spark.operators.raster import (export_geotiff,
+                                                  export_pgraster,
+                                                  tile_cells)
+
+    cells = spark.range(0, 100).select(
+        (F.col("id") % 10).cast("int").alias("x"),
+        (F.col("id") / 10).cast("int").alias("y"),
+        (F.col("id") * 0.5).alias("value"),
+    ).where(F.col("id") % 7 != 0)
+    tiles = tile_cells(cells, tile=8)
+    exp = export_pgraster(tiles, origin_x=100.0, origin_y=50.0,
+                          scale_x=0.1, scale_y=-0.1).collect()
+    assert len(exp) == 4  # 10x10 grid -> 2x2 tiles of 8
+    for r in exp:
+        d = decode_pgraster(bytes(r["wkb"]))
+        assert d["width"] == d["height"] == 8
+        assert r["hexwkb"] == bytes(r["wkb"]).hex().upper()
+        assert r["sql"].startswith("INSERT INTO spatial.rasters")
+        assert r["sql"].endswith("'::raster);")
+        assert d["ip_x"] == 100.0 + r["tile_x"] * 8 * 0.1
+    tifs = export_geotiff(tiles, origin_x=100.0, origin_y=50.0,
+                          scale_x=0.1, scale_y=-0.1).collect()
+    got = {(r["tile_x"], r["tile_y"]): decode_geotiff(bytes(r["tiff"]))
+           for r in tifs}
+    assert got[(0, 0)]["values"][0 * 8 + 1] == 0.5  # cell (1,0) = id 1
+    assert got[(0, 0)]["values"][0] is None         # id 0 dropped (7|0)
+    assert all(d["epsg"] == 4326 for d in got.values())
