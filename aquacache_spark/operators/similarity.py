@@ -533,3 +533,76 @@ def ann_topk_ivfpq(
         F.col("query_id") != F.col("neighbor_id")
     )
     return _pq_rank(scored, cb, k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding corpus.
+
+    1. Partition the corpus with the deterministic k-means above
+       (``centroids`` reuses a trained frame; None trains in place).
+    2. Within each cluster, a vector DROPS when its cosine to any
+       higher-ranked cluster member reaches ``threshold``. Rank keeps
+       the LOWEST-centroid-similarity member of a duplicate group (the
+       paper's best-performing keep rule), ties broken by id.
+
+    The drop rule is set-wise ("similar to any earlier member"), not
+    sequential — exactly the paper's implementation — so it is one
+    equi-self-join keyed by the cluster id: pair mass is sum of
+    per-cluster m², the published scaling story (nlist ~ sqrt(N) at
+    corpus scale bounds it; the LSH star cap in operators/dedup.py is
+    the mitigation when a cluster degenerates). Centroids broadcast;
+    one shuffle on the cluster key.
+
+    Output: (id, centroid_id, centroid_sim, kept) for every vector.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, nlist=nlist,
+            iters=iters, dim=dim)
+    assigned = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", _qrank(_cosine(F.col("__v"), F.col("__centv"))))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__sim"), F.asc("centroid_id"))
+    assigned = (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "centroid_id", F.col("__sim").alias("__csim"),
+                "__v")
+        .persist()  # both join sides below read this once-materialized
+    )
+    qthr = F.floor(F.lit(threshold) * 1e9 + F.lit(0.5))
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    rank_a = F.struct(F.col("a.__csim").alias("s"),
+                      F.col(f"a.{id_col}").alias("i"))
+    rank_b = F.struct(F.col("b.__csim").alias("s"),
+                      F.col(f"b.{id_col}").alias("i"))
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(rank_b < rank_a)  # b ranks first (lower centroid sim)
+        .where(_qrank(_cosine(F.col("a.__v"), F.col("b.__v"))) >= qthr)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__drop", F.lit(True)),
+                      id_col, "left")
+        .select(
+            id_col, "centroid_id",
+            (F.col("__csim") / 1e9).alias("centroid_sim"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

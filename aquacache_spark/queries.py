@@ -2946,11 +2946,14 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-def _kmeans_cte(nlist: int = 16, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_cte(nlist: int = 16, iters: int = 3, dim: int = 64,
+                corp_sql: str | None = None) -> str:
     """CTE chain replaying operators/similarity.kmeans_centroids: seeds
     = nlist lowest-id vectors quantized to 1e-6; each iteration assigns
     by cosine argmax (ties -> lowest cid) and re-centers with the
-    quantized integer-sum mean. Ends with ``cent_f(cid, centv)``."""
+    quantized integer-sum mean. Ends with ``cent_f(cid, centv)``.
+    ``corp_sql`` overrides the corpus CTE body (must yield
+    (vec_id, emb DOUBLE[]))."""
     Q = "1000000.0"
     seed_list = "[" + ", ".join(
         f"floor(emb[{i}] * {Q} + 0.5) / {Q}" for i in range(1, dim + 1)
@@ -2960,9 +2963,12 @@ def _kmeans_cte(nlist: int = 16, iters: int = 3, dim: int = 64) -> str:
         f" / count(*) + 0.5) / {Q}"
         for i in range(1, dim + 1)
     ) + "]"
+    corp_body = corp_sql or (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
+    )
     sql = f"""
     corp AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      {corp_body}
     ), cent_0 AS (
       SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
              {seed_list} AS centv
@@ -2993,6 +2999,71 @@ _KMEANS_CENTROIDS_ORACLE = "WITH " + _kmeans_cte(16, 3, 64) + f"""
            {R('centv[CAST(i AS INTEGER)]', 6)} AS value
     FROM cent_f, (SELECT unnest(generate_series(1, 64)) AS i)
 """
+
+
+# SemDeDup (Abbas et al. 2023): deterministic k-means partition, then
+# within-cluster "similar to any lower-centroid-sim member -> drop".
+# The corpus is the embeddings table UNIONed with perturbed twins
+# (v'_k = v_k + 0.05 * v_{(k mod 64)+1}, ids +100000) so the prune has
+# real semantic duplicates to find; every stage — Lloyd iterations,
+# final assignment, rank, pairwise cosine gate — replays in SQL.
+_SEMDEDUP_CORP_SQL = """
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             [CAST(embedding[i] AS DOUBLE)
+              + 0.05 * CAST(embedding[(i % 64) + 1] AS DOUBLE)
+              for i in generate_series(1, 64)] AS emb
+      FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+_SEMDEDUP_ORACLE = "WITH " + _kmeans_cte(
+    16, 3, 64, corp_sql=_SEMDEDUP_CORP_SQL) + f"""
+    , afin AS MATERIALIZED (
+      SELECT vec_id, emb, cid, s FROM (
+        SELECT corp.vec_id, corp.emb, c.cid,
+               floor(({_cos_sql('corp.emb', 'c.centv', 64)})
+                     * 1000000000.0 + 0.5) AS s,
+               row_number() OVER (PARTITION BY corp.vec_id
+                 ORDER BY floor(({_cos_sql('corp.emb', 'c.centv', 64)})
+                                * 1000000000.0 + 0.5) DESC,
+                          c.cid) AS rn
+        FROM corp, cent_f c) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM afin a JOIN afin b ON a.cid = b.cid
+      WHERE (b.s < a.s OR (b.s = a.s AND b.vec_id < a.vec_id))
+        AND floor(({_cos_sql('a.emb', 'b.emb', 64)})
+                  * 1000000000.0 + 0.5) >= 950000000
+    )
+    SELECT a.vec_id, a.cid AS centroid_id,
+           {R('a.s / 1000000000.0', 6)} AS centroid_sim,
+           d.vec_id IS NULL AS kept
+    FROM afin a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@register("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    twins = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            vec,
+            lambda x, i: x.cast("double")
+            + 0.05 * F.element_at(vec, ((i + 1) % 64 + 1).cast("int"))
+            .cast("double"),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(vec, lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(twins)
+    out = semantic_dedup(corpus, threshold=0.95)
+    return _round(out, {"centroid_sim": 6})
 
 
 @register("ivf_kmeans_centroids", oracle=_KMEANS_CENTROIDS_ORACLE)

@@ -170,3 +170,31 @@ def test_ivfpq_prunes_and_recalls(spark):
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.05, f"IVF-PQ recall collapsed: {recall:.2%}"
+
+
+def test_semantic_dedup_drops_twin_not_original_rule(spark):
+    """SemDeDup semantics: a scaled twin (cosine exactly 1) loses to
+    whichever member ranks first (lower centroid sim, then id); the
+    rule is 'similar to ANY earlier member', set-wise."""
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.operators.similarity import semantic_dedup
+
+    import math
+
+    base = [(i, [math.sin(i * 1.7 + k * 0.3) for k in range(8)])
+            for i in range(1, 9)]
+    twins = [(100 + i, [x * 2.0 for x in v]) for i, v in base[:3]]
+    df = spark.createDataFrame(base + twins,
+                               "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.999, nlist=2, iters=2, dim=8)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 11
+    # each twin pair contributes exactly one drop
+    for i in (1, 2, 3):
+        pair_kept = [rows[i]["kept"], rows[100 + i]["kept"]]
+        assert sorted(pair_kept) == [False, True], (i, pair_kept)
+        # same cluster by construction (identical direction)
+        assert rows[i]["centroid_id"] == rows[100 + i]["centroid_id"]
+    # vectors without a twin all survive
+    assert all(rows[i]["kept"] for i in range(4, 9))
