@@ -1,0 +1,518 @@
+"""Baseline JPEG codec (stdlib struct + numpy — no libjpeg).
+
+The third real image format of the multimodal tier (after BMP and PNG
+in operators/multimodal.py), and the one web corpora are mostly made
+of. Scope is baseline sequential DCT (SOF0):
+
+- markers: SOI/APPn/COM (skipped), DQT (8- and 16-bit tables), SOF0,
+  DHT, DRI + RST0-7 restarts, SOS, EOI;
+- 8-bit samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+  sampling (nearest-neighbor chroma upsampling, the libjpeg "fancy
+  upsampling off" behavior);
+- progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+  modes raise ValueError loudly — corrupt/exotic inputs quarantine at
+  the feature-extraction layer, never produce garbage pixels.
+
+Entropy decoding is a per-symbol Python loop (Huffman is inherently
+sequential); dequantization and the IDCT are vectorized numpy over
+all blocks at once, so the codec is practical for feature extraction
+at thumbnail-to-photo sizes inside the Arrow-batched mapInPandas
+kernels. The encoder (for fixtures and round-trip tests) writes
+baseline 4:4:4 or grayscale with legal fixed-length canonical Huffman
+tables (DC: 12 symbols @ 4 bits, AC: 256 @ 9 bits — valid by Kraft,
+deliberately simple) and Annex-K quantization tables scaled by the
+usual quality curve; quality 100 scales every divisor to 1, making
+block-constant grayscale images round-trip bit-exact (the property
+the differential oracle pins).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 example quantization tables (natural order).
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def _zigzag_order():
+    """Zigzag index -> natural (raster) index, generated from the
+    diagonal walk rather than a memorized table."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        order += diag
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+# orthonormal 8-point DCT-II basis: pixels = A.T @ coeffs @ A
+_A = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)
+])
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * s + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _build_huffman(bits, symbols):
+    """(length, code) -> symbol map from the canonical description."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first cursor over de-stuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def get_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get_bit()
+        return v
+
+    def decode_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.get_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, nbits: int) -> int:
+    if nbits == 0:
+        return 0
+    return v if v >= (1 << (nbits - 1)) else v - (1 << nbits) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) RGB uint8."""
+    if blob is None or len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables = {}
+    huff_dc = {}
+    huff_ac = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", blob, pos)
+        seg = blob[pos + 2:pos + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        seg, np.uint8, 64, off).astype(np.int64)
+                    off += 64
+                else:
+                    qtables[tq] = np.frombuffer(
+                        seg, ">u2", 64, off).astype(np.int64)
+                    off += 128
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF marker 0x{marker:02X}; "
+                "baseline sequential only)")
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1:off + 17])
+                n = sum(bits)
+                symbols = list(seg[off + 17:off + 17 + n])
+                table = _build_huffman(bits, symbols)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                off += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append({"cs": cs, "dc": tables >> 4,
+                             "ac": tables & 0x0F})
+            pos += seg_len
+            break
+        pos += seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # de-stuff entropy bytes up to EOI, tracking restart markers
+    data = bytearray()
+    restarts = []  # bit offsets where a restart resets state
+    i = pos
+    n = len(blob)
+    while i < n:
+        b = blob[i]
+        if b != 0xFF:
+            data.append(b)
+            i += 1
+            continue
+        nxt = blob[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            data.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            restarts.append(len(data) * 8)
+            i += 2
+        else:  # EOI or next marker
+            break
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c["bx"] = mcus_x * c["h"]
+        c["by"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scan]
+    for c, s in zip(order, scan):
+        c["hdc"] = huff_dc[s["dc"]]
+        c["hac"] = huff_ac[s["ac"]]
+
+    br = _BitReader(bytes(data))
+    preds = {c["id"]: 0 for c in comps}
+    mcu_index = 0
+    ri = restart_interval
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and mcu_index and mcu_index % ri == 0:
+                # byte-align + reset DC predictors at each restart
+                br.pos = (br.pos + 7) // 8 * 8
+                preds = {c["id"]: 0 for c in comps}
+            for c in order:
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.int64)
+                        t = br.decode_symbol(c["hdc"])
+                        diff = _extend(br.get_bits(t), t)
+                        preds[c["id"]] += diff
+                        blk[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_symbol(c["hac"])
+                            r, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(br.get_bits(ssss), ssss)
+                            k += 1
+                        row = my * c["v"] + vy
+                        col = mx * c["h"] + vx
+                        c["coef"][row * c["bx"] + col] = blk
+            mcu_index += 1
+
+    # dequant + de-zigzag + batch IDCT per component
+    planes = []
+    for c in comps:
+        # the DQT stream stores tables in zigzag order and the entropy
+        # decoder fills blocks in zigzag order: dequantize in zigzag
+        # space, then scatter to natural order via _ZZ
+        q = qtables[c["tq"]]
+        coefs = c["coef"] * q[None, :]
+        nat = np.zeros_like(coefs)
+        nat[:, _ZZ] = coefs
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A)
+        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        plane = (pix.reshape(c["by"], c["bx"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["by"] * 8, c["bx"] * 8))
+        # upsample to full resolution (nearest), crop to frame size
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:frame["h"], :frame["w"]])
+
+    if len(planes) == 1:
+        y = planes[0].astype(np.float64)
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        rgb = np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixtures + round-trip tests)
+# ---------------------------------------------------------------------------
+
+# deliberately simple LEGAL canonical tables: DC = 12 symbols @ 4 bits
+# (Kraft 12/16), AC = 255 symbols @ 9 bits + 1 @ 10 (a DHT length
+# count is one byte, so 256-at-one-length is unencodable)
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_SYMS = list(range(12))
+_ENC_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+_ENC_AC_SYMS = list(range(256))
+
+
+def _enc_codes(bits, symbols):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _enc_codes(_ENC_DC_BITS, _ENC_DC_SYMS)
+_AC_CODES = _enc_codes(_ENC_AC_BITS, _ENC_AC_SYMS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nacc += length
+        while self.nacc >= 8:
+            self.nacc -= 8
+            byte = (self.acc >> self.nacc) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+
+    def flush(self) -> bytes:
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    mag = abs(diff)
+    t = mag.bit_length()
+    bw.put(*_DC_CODES[t])
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*_AC_CODES[0xF0])  # ZRL
+            run -= 16
+        mag = abs(v)
+        ssss = mag.bit_length()
+        bw.put(*_AC_CODES[(run << 4) | ssss])
+        bw.put(v if v >= 0 else v + (1 << ssss) - 1, ssss)
+        run = 0
+    if last < 63:
+        bw.put(*_AC_CODES[0x00])  # EOB
+    return dc
+
+
+def _plane_blocks(plane, q, bx, by):
+    """Pad to (by*8, bx*8), forward DCT + quantize, -> (by*bx, 64)
+    zigzag-ordered quantized coefficients."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, by * 8 - h), (0, bx * 8 - w)),
+                    mode="edge") - 128.0
+    blocks = (padded.reshape(by, 8, bx, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    coefs = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+    return np.round(coefs.reshape(-1, 64)[:, _ZZ]
+                    / q[_ZZ][None, :]).astype(np.int64)
+
+
+def encode_jpeg(pixels, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG bytes.
+    ``subsampling``: '444' or '420' (2x2-mean chroma downsample).
+    Quality 100 gives all-ones quantization, so MCU-constant grayscale
+    content round-trips bit-exact."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+        if subsampling == "420":
+            factors = [(2, 2), (1, 1), (1, 1)]
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            sub = []
+            for p in planes[1:]:
+                pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                sub.append(np.round(
+                    pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))))
+            planes = [planes[0]] + sub
+        elif subsampling == "444":
+            factors = [(1, 1)] * 3
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling}")
+    qlum = _scaled_qt(_QT_LUM, quality)
+    qchr = _scaled_qt(_QT_CHR, quality)
+    qts = [qlum] + ([] if gray else [qchr, qchr])
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zz_planes = []
+    dims = []
+    for plane, q, (fh, fv) in zip(planes, qts, factors):
+        bx, by = mcus_x * fh, mcus_y * fv
+        zz_planes.append(_plane_blocks(plane, q, bx, by))
+        dims.append((bx, by))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0]) + bytes(qlum[_ZZ].astype(np.uint8)))
+    if not gray:
+        seg(0xDB, bytes([1]) + bytes(qchr[_ZZ].astype(np.uint8)))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        fh, fv = factors[cid - 1]
+        sof += bytes([cid, (fh << 4) | fv, 0 if cid == 1 else 1])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00] + _ENC_DC_BITS) + bytes(_ENC_DC_SYMS))
+    seg(0xC4, bytes([0x10] + _ENC_AC_BITS) + bytes(_ENC_AC_SYMS))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                out.extend(bw.flush())
+                out.extend(bytes([
+                    0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]))
+                bw = _BitWriter()
+                preds = [0] * ncomp
+            mcu_count += 1
+            for ci in range(ncomp):
+                fh, fv = factors[ci]
+                bx = dims[ci][0]
+                for vy in range(fv):
+                    for vx in range(fh):
+                        n = (my * fv + vy) * bx + (mx * fh + vx)
+                        preds[ci] = _encode_block(
+                            bw, zz_planes[ci][n], preds[ci])
+    out.extend(bw.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)

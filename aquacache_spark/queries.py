@@ -7796,6 +7796,48 @@ _PNG_ORACLE = f"""
 """
 
 
+# JPEG tier: real baseline decode (Huffman entropy decode, dequant,
+# batch IDCT, color convert — functions/jpeg.py) under the features.
+# Fixtures are quality-100 block-constant grayscale, the regime where
+# the baseline round trip is bit-exact, so the oracle averages the
+# closed-form block values directly; any drift anywhere in the codec
+# (zigzag, Huffman table build, predictor, IDCT scaling) breaks the
+# hash.
+_JPEG_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 4 = 2
+    ), blocks AS (
+      SELECT media_id, b,
+             (media_id * 7 + b * 37) % 200 + 28 AS v
+      FROM ids, (SELECT unnest(range(0, 4)) AS b)
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           {R('avg(v)', 6)} AS mean_r,
+           {R('avg(v)', 6)} AS mean_g,
+           {R('avg(v)', 6)} AS mean_b
+    FROM blocks GROUP BY media_id
+"""
+
+
+@register("jpeg_decode_features", oracle=_JPEG_ORACLE)
+def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (extract_jpeg_features,
+                                       synthesize_jpegs)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 4 == 2).select(
+        F.col("doc_id").alias("media_id"))
+    jpegs = synthesize_jpegs(ids)
+    out = extract_jpeg_features(jpegs)
+    return _round(
+        out.select("media_id", "decoded", F.col("width").cast("int"),
+                   F.col("height").cast("int"), "mean_r", "mean_g",
+                   "mean_b"),
+        {"mean_r": 6, "mean_g": 6, "mean_b": 6},
+    )
+
+
 # WAV sibling for the AUDIO tier: real RIFF/PCM decode under the
 # features; integer closed-form samples make every aggregate exact on
 # both sides (sum and sum-of-squares stay in int64 range).

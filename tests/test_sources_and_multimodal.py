@@ -210,3 +210,71 @@ def test_wav_features_quarantine(spark):
     assert rows[1]["decoded"] and rows[1]["n_frames"] == 16
     assert rows[1]["zero_crossings"] == 15 and rows[1]["peak"] == 1000
     assert not rows[2]["decoded"] and rows[2]["rms"] is None
+
+
+def test_jpeg_roundtrip_and_modes():
+    import numpy as np
+    import pytest
+
+    from aquacache_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    # block-constant gray at q100: bit-exact through the whole codec
+    img = np.zeros((16, 24), dtype=np.uint8)
+    for b in range(6):
+        bj, bi = divmod(b, 3)
+        img[bj * 8:(bj + 1) * 8, bi * 8:(bi + 1) * 8] = 30 + 35 * b
+    assert (decode_jpeg(encode_jpeg(img, 100))[:, :, 0] == img).all()
+    # restart markers reset predictors correctly
+    for ri in (1, 3):
+        out = decode_jpeg(encode_jpeg(img, 100, restart_interval=ri))
+        assert (out[:, :, 0] == img).all(), ri
+    # 4:2:0 MCU-constant color at q100: only color-convert rounding
+    cimg = np.zeros((32, 48, 3), dtype=np.uint8)
+    rng = np.random.default_rng(5)
+    for bj in range(2):
+        for bi in range(3):
+            cimg[bj * 16:(bj + 1) * 16, bi * 16:(bi + 1) * 16] = \
+                rng.integers(20, 230, 3)
+    out = decode_jpeg(encode_jpeg(cimg, 100, subsampling="420"))
+    assert np.abs(out.astype(int) - cimg.astype(int)).max() <= 2
+    # smooth content, odd dimensions, q90 stays close
+    x = np.linspace(0, 1, 45)
+    simg = (np.stack([np.outer(np.linspace(0, 1, 37), x)] * 3, axis=-1)
+            * 200 + 20).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(simg, 90, subsampling="420"))
+    assert out.shape == simg.shape
+    err = out.astype(float) - simg.astype(float)
+    assert float(np.sqrt((err ** 2).mean())) < 2.0
+    # progressive and junk inputs fail loudly
+    prog = bytearray(encode_jpeg(img, 90))
+    sof = bytes(prog).find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"GIF89a...")
+
+
+def test_jpeg_features_quarantine(spark):
+    import numpy as np
+
+    from aquacache_spark.operators.multimodal import (
+        extract_jpeg_features, synthesize_jpegs)
+    from aquacache_spark.functions.jpeg import encode_jpeg
+
+    good = encode_jpeg(
+        np.full((8, 8), 77, dtype=np.uint8), quality=100)
+    df = spark.createDataFrame(
+        [(1, good), (2, b"\xff\xd8 truncated")],
+        "media_id bigint, content binary")
+    rows = {r["media_id"]: r for r in extract_jpeg_features(df).collect()}
+    assert rows[1]["decoded"] and rows[1]["mean_r"] == 77.0
+    assert not rows[2]["decoded"]
+    # synthesized fixture pipeline end-to-end
+    ids = spark.createDataFrame([(3,), (4,)], "media_id bigint")
+    out = {r["media_id"]: r
+           for r in extract_jpeg_features(synthesize_jpegs(ids)).collect()}
+    for i in (3, 4):
+        exp = sum((i * 7 + b * 37) % 200 + 28 for b in range(4)) / 4.0
+        assert out[i]["decoded"] and out[i]["width"] == 16
+        assert out[i]["mean_g"] == exp
