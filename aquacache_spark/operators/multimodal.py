@@ -702,3 +702,112 @@ def synthesize_jpegs(
                                 "content": blobs})
 
     return df.select(id_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# VIDEO: MJPEG-in-AVI (functions/avi.py) — container walk + frame
+# SAMPLING + per-frame decode through the real JPEG codec. Sampling
+# first means unsampled frame payloads are never entropy-decoded (the
+# cheap path that makes video feature extraction tractable at corpus
+# scale).
+# ---------------------------------------------------------------------------
+
+def extract_video_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+    sample_every: int = 2,
+) -> DataFrame:
+    """Per-video metadata + mean luma over every ``sample_every``-th
+    frame (decoded with the baseline JPEG codec). Undecodable
+    containers or frames quarantine with ``decoded`` = FALSE."""
+    from ..functions.avi import decode_avi
+    from ..functions.jpeg import decode_jpeg
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("decoded", "width", "height", "fps",
+                                   "n_frames", "n_sampled", "mean_luma")}
+            for blob in pdf[blob_col]:
+                try:
+                    v = decode_avi(bytes(blob) if blob is not None
+                                   else None)
+                    sampled = v["frames"][::sample_every]
+                    total = 0.0
+                    npix = 0
+                    for fr in sampled:
+                        px = decode_jpeg(fr)
+                        total += float(px.mean())
+                        npix += 1
+                    out["decoded"].append(True)
+                    out["width"].append(v["width"])
+                    out["height"].append(v["height"])
+                    out["fps"].append(v["fps"])
+                    out["n_frames"].append(v["n_frames"])
+                    out["n_sampled"].append(len(sampled))
+                    out["mean_luma"].append(
+                        total / npix if npix else None)
+                except (ValueError, TypeError, IndexError, KeyError):
+                    out["decoded"].append(False)
+                    for c in ("width", "height", "fps", "n_frames",
+                              "n_sampled", "mean_luma"):
+                        out[c].append(None)
+            pdf_out = pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), **out})
+            for c in ("width", "height", "fps"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            for c in ("n_frames", "n_sampled"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            yield pdf_out
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def synthesize_avis(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_frames: int = 6,
+    fps: int = 10,
+) -> DataFrame:
+    """Deterministic MJPEG AVIs: frame f of item i is a 16x16 gray
+    image of four 8x8 blocks valued (i*7 + f*11 + b*37) % 200 + 28,
+    encoded at JPEG quality 100 (bit-exact regime) and wrapped in the
+    real AVI container — so the oracle can average the closed form."""
+    from ..functions.avi import encode_avi
+    from ..functions.jpeg import encode_jpeg
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                frames = []
+                for f in range(n_frames):
+                    img = np.zeros((16, 16), dtype=np.uint8)
+                    for b in range(4):
+                        bj, bi = divmod(b, 2)
+                        img[bj * 8:(bj + 1) * 8, bi * 8:(bi + 1) * 8] = \
+                            (i * 7 + f * 11 + b * 37) % 200 + 28
+                    frames.append(encode_jpeg(img, quality=100))
+                blobs.append(encode_avi(frames, 16, 16, fps))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)

@@ -7838,6 +7838,47 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# VIDEO tier: MJPEG-in-AVI container walk + frame sampling + per-frame
+# baseline JPEG decode (functions/avi.py + functions/jpeg.py). Every
+# sampled frame runs the full entropy-decode/IDCT pipeline in the
+# bit-exact q100 regime; unsampled payloads are never decoded.
+_VIDEO_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 5 = 3
+    ), cells AS (
+      SELECT media_id, f, b,
+             (media_id * 7 + f * 11 + b * 37) % 200 + 28 AS v
+      FROM ids,
+           (SELECT unnest([0, 2, 4]) AS f),
+           (SELECT unnest(range(0, 4)) AS b)
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(10 AS INT) AS fps,
+           CAST(6 AS BIGINT) AS n_frames,
+           CAST(3 AS BIGINT) AS n_sampled,
+           {R('avg(v)', 6)} AS mean_luma
+    FROM cells GROUP BY media_id
+"""
+
+
+@register("video_frame_features", oracle=_VIDEO_ORACLE)
+def video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (extract_video_features,
+                                       synthesize_avis)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 5 == 3).select(
+        F.col("doc_id").alias("media_id"))
+    avis = synthesize_avis(ids, n_frames=6, fps=10)
+    out = extract_video_features(avis, sample_every=2)
+    return _round(
+        out.select("media_id", "decoded", "width", "height", "fps",
+                   "n_frames", "n_sampled", "mean_luma"),
+        {"mean_luma": 6},
+    )
+
+
 # WAV sibling for the AUDIO tier: real RIFF/PCM decode under the
 # features; integer closed-form samples make every aggregate exact on
 # both sides (sum and sum-of-squares stay in int64 range).

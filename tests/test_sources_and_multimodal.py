@@ -278,3 +278,38 @@ def test_jpeg_features_quarantine(spark):
         exp = sum((i * 7 + b * 37) % 200 + 28 for b in range(4)) / 4.0
         assert out[i]["decoded"] and out[i]["width"] == 16
         assert out[i]["mean_g"] == exp
+
+
+def test_avi_container_roundtrip_and_quarantine(spark):
+    import numpy as np
+    import pytest
+
+    from aquacache_spark.functions.avi import decode_avi, encode_avi
+    from aquacache_spark.functions.jpeg import encode_jpeg
+    from aquacache_spark.operators.multimodal import extract_video_features
+
+    frames = [encode_jpeg(np.full((8, 8), 50 + 10 * f, dtype=np.uint8),
+                          quality=100) for f in range(5)]
+    blob = encode_avi(frames, 8, 8, fps=25)
+    v = decode_avi(blob)
+    assert (v["width"], v["height"], v["fps"], v["n_frames"]) == (8, 8, 25, 5)
+    assert v["frames"] == frames  # payloads survive the container
+    # odd-length frame payloads stay word-aligned
+    odd = encode_avi([b"\xff\xd8x"], 2, 2)
+    assert decode_avi(odd)["frames"] == [b"\xff\xd8x"]
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi(b"not a riff file....")
+    # non-MJPG codec rejected loudly
+    h264 = bytearray(blob)
+    h264[h264.find(b"vidsMJPG") + 4:h264.find(b"vidsMJPG") + 8] = b"H264"
+    h264[h264.find(b"MJPG"):h264.find(b"MJPG") + 4] = b"H264"
+    with pytest.raises(ValueError, match="codec"):
+        decode_avi(bytes(h264))
+    # distributed path: sampling decodes frames 0,2,4 only
+    df = spark.createDataFrame([(1, blob), (2, b"junk")],
+                               "media_id bigint, content binary")
+    rows = {r["media_id"]: r
+            for r in extract_video_features(df, sample_every=2).collect()}
+    assert rows[1]["decoded"] and rows[1]["n_sampled"] == 3
+    assert rows[1]["mean_luma"] == (50 + 70 + 90) / 3.0
+    assert not rows[2]["decoded"]
