@@ -6,11 +6,13 @@ Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python row by
 row, and the pipeline schema is explicit at every step.
 
-The *decode* step itself is STUBBED here (no image/audio codecs in
-this container): ``decoder=None`` uses a deterministic fake (byte-level
-stats standing in for pixel stats) so the Spark-side plumbing — schema,
-batching, partition sizing — is real and testable; pass a real decoder
-callable (e.g. PIL/librosa based) in production.
+Real codecs, no external libraries: BMP and PNG (below), baseline
+JPEG (functions/jpeg.py), PCM WAV audio, and MJPEG-in-AVI video
+(functions/avi.py) all decode for real — stdlib struct/zlib + numpy —
+with corrupt inputs quarantining per row via a ``decoded`` flag. The
+generic ``extract_media_features`` hook remains for formats outside
+that set (its ``decoder=None`` fake keeps the plumbing testable
+without a codec; pass a PIL/librosa-backed callable in production).
 """
 
 from __future__ import annotations
