@@ -174,3 +174,118 @@ def add_new_continuous(
         F.lit("delete").alias("action"),
     )
     return out.unionByName(deletes)
+
+
+def add_new_discrete(
+    samples: DataFrame,
+    results: DataFrame,
+    organizations: DataFrame,
+    approvals: DataFrame,
+    grades: DataFrame,
+    qualifiers: DataFrame,
+    max_sample_id: int = 0,
+    batch_key: str = "batch_id",
+) -> DataFrame:
+    """Batch-set-wise ``addNewDiscrete`` (R/addNewDiscrete.R:30-120):
+    the reference inserts ONE sample + its results per transaction; a
+    cluster ingests a whole batch in one pass, classifying every row
+    into the action the transactional writer would take.
+
+    Semantics ported:
+
+    - owner is REQUIRED and must resolve against ``organizations``
+      (the reference errors; set-wise that is
+      ``action='reject_unknown_owner'``) — contributor is optional but
+      must resolve when present;
+    - approval / grade / qualifier are optional code strings that must
+      resolve against their dim tables when present;
+    - valid samples get sequential ``sample_id`` after
+      ``max_sample_id``, ordered deterministically by (location_id,
+      datetime, batch key) — the find_discrete_sample_id analog;
+    - results attach to their batch's sample id; a NULL result with no
+      ``result_condition`` is dropped (the reference's documented NA
+      rule), and conditions 1/2 (below/above detection limit) REQUIRE
+      ``result_condition_value``;
+    - results of rejected samples reject with the sample's reason.
+
+    Output one action frame: (entity 'sample'|'result', batch key,
+    entity_id, action, sample_id). All dim lookups broadcast (code
+    tables); the only shuffle is the window assigning sample ids —
+    keyed by nothing data-dependent, it is a tiny batch-sized sort at
+    ingest cadence, not a fact-table operation.
+    """
+    org = F.broadcast(organizations.select(
+        F.col("name").alias("__org_name"),
+        F.col("organization_id").alias("__org_id")))
+    s = (
+        samples
+        .join(org, F.col("owner") == F.col("__org_name"), "left")
+        .withColumnRenamed("__org_id", "__owner_id").drop("__org_name")
+        .join(org, F.col("contributor") == F.col("__org_name"), "left")
+        .withColumnRenamed("__org_id", "__contrib_id").drop("__org_name")
+    )
+    for dim, col in ((approvals, "approval"), (grades, "grade"),
+                     (qualifiers, "qualifier")):
+        d = F.broadcast(dim.select(
+            F.col("code").alias(f"__{col}_code"),
+            F.lit(True).alias(f"__{col}_ok")))
+        s = s.join(d, F.col(col) == F.col(f"__{col}_code"), "left") \
+            .drop(f"__{col}_code")
+    reason = (
+        F.when(F.col("__owner_id").isNull(),
+               F.lit("reject_unknown_owner"))
+        .when(F.col("contributor").isNotNull()
+              & F.col("__contrib_id").isNull(),
+              F.lit("reject_unknown_contributor"))
+        .when(F.col("approval").isNotNull()
+              & F.col("__approval_ok").isNull(),
+              F.lit("reject_unknown_approval"))
+        .when(F.col("grade").isNotNull() & F.col("__grade_ok").isNull(),
+              F.lit("reject_unknown_grade"))
+        .when(F.col("qualifier").isNotNull()
+              & F.col("__qualifier_ok").isNull(),
+              F.lit("reject_unknown_qualifier"))
+    )
+    s = s.withColumn("__reason", reason)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("location_id", "datetime", batch_key)
+    ok = s.where(F.col("__reason").isNull()).withColumn(
+        "__sid", F.row_number().over(w) + F.lit(max_sample_id))
+    sample_actions = (
+        ok.select(F.lit("sample").alias("entity"), F.col(batch_key),
+                  F.col("location_id").cast("long").alias("entity_id"),
+                  F.lit("insert").alias("action"),
+                  F.col("__sid").alias("sample_id"))
+        .unionByName(
+            s.where(F.col("__reason").isNotNull()).select(
+                F.lit("sample").alias("entity"), F.col(batch_key),
+                F.col("location_id").cast("long").alias("entity_id"),
+                F.col("__reason").alias("action"),
+                F.lit(None).cast("long").alias("sample_id")))
+    )
+    sid_map = ok.select(F.col(batch_key), F.col("__sid"))
+    rej_map = s.where(F.col("__reason").isNotNull()).select(
+        F.col(batch_key), F.col("__reason"))
+    r = (
+        results
+        .join(F.broadcast(sid_map), batch_key, "left")
+        .join(F.broadcast(rej_map), batch_key, "left")
+    )
+    r_action = (
+        F.when(F.col("__reason").isNotNull(), F.col("__reason"))
+        .when(F.col("result").isNull()
+              & F.col("result_condition").isNull(),
+              F.lit("drop_na_result"))
+        .when(F.col("result_condition").isin(1, 2)
+              & F.col("result_condition_value").isNull(),
+              F.lit("reject_condition_value_missing"))
+        .otherwise(F.lit("insert"))
+    )
+    result_actions = r.select(
+        F.lit("result").alias("entity"), F.col(batch_key),
+        F.col("result_id").cast("long").alias("entity_id"),
+        r_action.alias("action"),
+        F.col("__sid").alias("sample_id"),
+    )
+    return sample_actions.unionByName(result_actions)

@@ -6009,6 +6009,147 @@ _ADD_NEW_ORACLE = f"""
 """
 
 
+# addNewDiscrete parity (R/addNewDiscrete.R:30-120): dim-validated
+# sample inserts with sequential sample_id assignment and the result
+# NA/detection-limit-condition ladder, classified batch-set-wise.
+_ADD_DISCRETE_ORACLE = f"""
+    WITH orgs AS (
+      SELECT n_name AS name, n_nationkey AS organization_id FROM nation
+    ), approvals AS (SELECT unnest(['A', 'UNS', 'C']) AS code
+    ), grades AS (SELECT unnest(['A', 'B', 'UNS']) AS code
+    ), qualifiers AS (SELECT unnest(['ICE', 'EST', 'UNS']) AS code
+    ), samples AS (
+      SELECT c_custkey AS batch_id,
+             c_custkey % 50 AS location_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_hours(c_custkey % 1000) AS datetime,
+             CASE WHEN c_custkey % 11 = 0 THEN 'NO SUCH ORG'
+                  ELSE (SELECT n_name FROM nation
+                        WHERE n_nationkey = c_nationkey) END AS owner,
+             CASE WHEN c_custkey % 7 = 0 THEN 'WHO DIS'
+                  WHEN c_custkey % 7 = 1 THEN NULL
+                  ELSE (SELECT n_name FROM nation
+                        WHERE n_nationkey = c_nationkey)
+             END AS contributor,
+             CASE c_custkey % 5 WHEN 0 THEN 'A' WHEN 1 THEN 'BOGUS'
+                  ELSE NULL END AS approval,
+             CASE c_custkey % 4 WHEN 0 THEN 'B' WHEN 1 THEN 'Z9'
+                  ELSE NULL END AS grade,
+             CASE c_custkey % 6 WHEN 0 THEN 'ICE' WHEN 1 THEN 'XX'
+                  ELSE NULL END AS qualifier
+      FROM customer
+    ), judged AS (
+      SELECT s.*,
+             o.organization_id AS owner_id,
+             co.organization_id AS contrib_id,
+             a.code AS a_ok, g.code AS g_ok, q.code AS q_ok,
+             CASE
+               WHEN o.organization_id IS NULL
+               THEN 'reject_unknown_owner'
+               WHEN s.contributor IS NOT NULL
+                    AND co.organization_id IS NULL
+               THEN 'reject_unknown_contributor'
+               WHEN s.approval IS NOT NULL AND a.code IS NULL
+               THEN 'reject_unknown_approval'
+               WHEN s.grade IS NOT NULL AND g.code IS NULL
+               THEN 'reject_unknown_grade'
+               WHEN s.qualifier IS NOT NULL AND q.code IS NULL
+               THEN 'reject_unknown_qualifier'
+             END AS reason
+      FROM samples s
+      LEFT JOIN orgs o ON s.owner = o.name
+      LEFT JOIN orgs co ON s.contributor = co.name
+      LEFT JOIN approvals a ON s.approval = a.code
+      LEFT JOIN grades g ON s.grade = g.code
+      LEFT JOIN qualifiers q ON s.qualifier = q.code
+    ), numbered AS (
+      SELECT batch_id, location_id,
+             CAST(100 + row_number() OVER (
+               ORDER BY location_id, datetime, batch_id) AS BIGINT)
+               AS sid
+      FROM judged WHERE reason IS NULL
+    ), sample_actions AS (
+      SELECT 'sample' AS entity, j.batch_id,
+             CAST(j.location_id AS BIGINT) AS entity_id,
+             COALESCE(j.reason, 'insert') AS action,
+             n.sid AS sample_id
+      FROM judged j LEFT JOIN numbered n USING (batch_id)
+    ), results AS (
+      SELECT o_custkey AS batch_id, o_orderkey AS result_id,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE (o_orderkey % 1000) * 0.1 END AS result,
+             CASE o_orderkey % 5 WHEN 0 THEN 1 WHEN 1 THEN 2
+                  WHEN 2 THEN 3 ELSE NULL END AS result_condition,
+             CASE WHEN o_orderkey % 3 <> 0
+                  THEN (o_orderkey % 90) * 0.01 END
+               AS result_condition_value
+      FROM orders
+    ), result_actions AS (
+      SELECT 'result' AS entity, r.batch_id,
+             CAST(r.result_id AS BIGINT) AS entity_id,
+             CASE
+               WHEN j.reason IS NOT NULL THEN j.reason
+               WHEN r.result IS NULL AND r.result_condition IS NULL
+               THEN 'drop_na_result'
+               WHEN r.result_condition IN (1, 2)
+                    AND r.result_condition_value IS NULL
+               THEN 'reject_condition_value_missing'
+               ELSE 'insert' END AS action,
+             n.sid AS sample_id
+      FROM results r
+      JOIN judged j USING (batch_id)
+      LEFT JOIN numbered n USING (batch_id)
+    )
+    SELECT * FROM sample_actions UNION ALL SELECT * FROM result_actions
+"""
+
+
+@register("add_new_discrete_actions", oracle=_ADD_DISCRETE_ORACLE)
+def add_new_discrete_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.add_new import add_new_discrete
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("c_custkey")
+    nat_name = nat.select(F.col("n_nationkey").alias("c_nationkey"),
+                          F.col("n_name").alias("__nn"))
+    samples = cust.join(nat_name, "c_nationkey").select(
+        k.alias("batch_id"),
+        (k % 50).alias("location_id"),
+        F.timestamp_add("HOUR", (k % 1000).cast("int"),
+                        F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .alias("datetime"),
+        F.when(k % 11 == 0, "NO SUCH ORG").otherwise(F.col("__nn"))
+        .alias("owner"),
+        F.when(k % 7 == 0, "WHO DIS")
+        .when(k % 7 == 1, F.lit(None).cast("string"))
+        .otherwise(F.col("__nn")).alias("contributor"),
+        F.when(k % 5 == 0, "A").when(k % 5 == 1, "BOGUS")
+        .alias("approval"),
+        F.when(k % 4 == 0, "B").when(k % 4 == 1, "Z9").alias("grade"),
+        F.when(k % 6 == 0, "ICE").when(k % 6 == 1, "XX")
+        .alias("qualifier"),
+    )
+    ok_ = F.col("o_orderkey")
+    results = orders.select(
+        F.col("o_custkey").alias("batch_id"),
+        ok_.alias("result_id"),
+        F.when(ok_ % 7 != 0, (ok_ % 1000) * 0.1).alias("result"),
+        F.when(ok_ % 5 == 0, 1).when(ok_ % 5 == 1, 2)
+        .when(ok_ % 5 == 2, 3).alias("result_condition"),
+        F.when(ok_ % 3 != 0, (ok_ % 90) * 0.01)
+        .alias("result_condition_value"),
+    )
+    orgs = nat.select(F.col("n_name").alias("name"),
+                      F.col("n_nationkey").alias("organization_id"))
+    approvals = _ldf(spark, [("A",), ("UNS",), ("C",)], ["code"])
+    grades = _ldf(spark, [("A",), ("B",), ("UNS",)], ["code"])
+    qualifiers = _ldf(spark, [("ICE",), ("EST",), ("UNS",)], ["code"])
+    return add_new_discrete(samples, results, orgs, approvals, grades,
+                            qualifiers, max_sample_id=100)
+
+
 @register("add_new_continuous_actions", oracle=_ADD_NEW_ORACLE)
 def add_new_continuous_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.add_new import add_new_continuous

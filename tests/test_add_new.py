@@ -121,3 +121,57 @@ def test_bad_mode_rejected(spark, frames):
     catalog, existing, incoming = frames
     with pytest.raises(ValueError):
         add_new_continuous(incoming, existing, catalog, overwrite="replace")
+
+
+def test_add_new_discrete_validation_ladder(spark):
+    from aquacache_spark.operators.add_new import add_new_discrete
+
+    orgs = spark.createDataFrame(
+        [("YG", 1), ("WSC", 2)], "name string, organization_id int")
+    dims = {
+        n: spark.createDataFrame([("A",), ("UNS",)], "code string")
+        for n in ("approvals", "grades", "qualifiers")
+    }
+    samples = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "YG", None, None, None, None),
+            (2, 10, "2024-01-01 01:00:00", "Nobody", None, None, None,
+             None),                                 # unknown owner
+            (3, 11, "2024-01-01 00:00:00", "YG", "WSC", "A", "UNS",
+             "A"),                                  # all dims valid
+            (4, 12, "2024-01-01 00:00:00", "YG", None, "ZZZ", None,
+             None),                                 # bad approval
+        ],
+        "batch_id bigint, location_id int, datetime string, "
+        "owner string, contributor string, approval string, "
+        "grade string, qualifier string",
+    )
+    results = spark.createDataFrame(
+        [
+            (1, 100, 5.0, None, None),      # plain insert
+            (1, 101, None, None, None),     # NA, no condition -> drop
+            (1, 102, None, 1, 0.05),        # below DL with value -> insert
+            (1, 103, None, 1, None),        # condition 1, no value -> reject
+            (2, 104, 5.0, None, None),      # sample rejected -> reject
+        ],
+        "batch_id bigint, result_id bigint, result double, "
+        "result_condition int, result_condition_value double",
+    )
+    out = add_new_discrete(samples, results, orgs, dims["approvals"],
+                           dims["grades"], dims["qualifiers"],
+                           max_sample_id=500)
+    rows = {(r["entity"], r["batch_id"], r["entity_id"]): r
+            for r in out.collect()}
+    # deterministic sequential ids in (location, datetime) order
+    assert rows[("sample", 1, 10)]["action"] == "insert"
+    assert rows[("sample", 1, 10)]["sample_id"] == 501
+    assert rows[("sample", 3, 11)]["sample_id"] == 502
+    assert rows[("sample", 4, 12)]["action"] == "reject_unknown_approval"
+    assert rows[("sample", 2, 10)]["action"] == "reject_unknown_owner"
+    assert rows[("result", 1, 100)]["action"] == "insert"
+    assert rows[("result", 1, 100)]["sample_id"] == 501
+    assert rows[("result", 1, 101)]["action"] == "drop_na_result"
+    assert rows[("result", 1, 102)]["action"] == "insert"
+    assert rows[("result", 1, 103)]["action"] == \
+        "reject_condition_value_missing"
+    assert rows[("result", 2, 104)]["action"] == "reject_unknown_owner"
