@@ -201,3 +201,70 @@ def validate_no_overlap(
         .when(F.col("__hit_b"), "overlaps_in_batch")
     )
     return out.select(*batch.columns, reason.alias("reject_reason"))
+
+
+def classify_unit_updates(
+    parameters: DataFrame,
+    updates: DataFrame,
+    matrix_states: DataFrame,
+    results: DataFrame,
+    timeseries: DataFrame,
+    measurements: DataFrame,
+) -> DataFrame:
+    """Unit-change guard (inst/patches/patch_52.R:
+    prevent_used_parameter_unit_update + parameter_matrix_state_has_
+    results), set-wise over a batch of proposed parameter updates.
+
+    A proposed change to units_liquid/solid/gas is BLOCKED when the
+    old unit is set, differs from the new one (IS DISTINCT FROM —
+    NULLing a set unit is a change), and the parameter has usage in
+    that matrix state: a discrete result, or a continuous timeseries
+    with at least one measurement. Unchanged units are 'noop',
+    unguarded changes 'update'.
+
+    One melt (3 phases per parameter), usage derived with two
+    left-semi EXISTS probes unioned — the fact tables are only ever
+    semi-joined on their partition keys, never widened.
+
+    Output: (parameter_id, phase, old_unit, new_unit, action).
+    """
+    ms = matrix_states.select("matrix_state_id", "matrix_state_code")
+    discrete_usage = (
+        results.join(ms, "matrix_state_id")
+        .select("parameter_id", F.col("matrix_state_code").alias("phase"))
+        .distinct()
+    )
+    measured_ts = timeseries.join(
+        measurements.select("timeseries_id").distinct(),
+        "timeseries_id", "left_semi")
+    continuous_usage = (
+        measured_ts.join(ms, "matrix_state_id")
+        .select("parameter_id", F.col("matrix_state_code").alias("phase"))
+        .distinct()
+    )
+    usage = discrete_usage.unionByName(continuous_usage).distinct() \
+        .withColumn("__used", F.lit(True))
+
+    melted = None
+    for phase in ("liquid", "solid", "gas"):
+        part = (
+            parameters.select(
+                "parameter_id",
+                F.col(f"units_{phase}").alias("old_unit"))
+            .join(updates.select(
+                "parameter_id",
+                F.col(f"units_{phase}").alias("new_unit")),
+                "parameter_id")
+            .withColumn("phase", F.lit(phase))
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    j = melted.join(usage, ["parameter_id", "phase"], "left")
+    distinct_change = ~F.col("old_unit").eqNullSafe(F.col("new_unit"))
+    action = (
+        F.when(~distinct_change, "noop")
+        .when(F.col("old_unit").isNotNull()
+              & F.coalesce(F.col("__used"), F.lit(False)), "blocked")
+        .otherwise("update")
+    )
+    return j.select("parameter_id", "phase", "old_unit", "new_unit",
+                    action.alias("action"))

@@ -6009,6 +6009,110 @@ _ADD_NEW_ORACLE = f"""
 """
 
 
+# Unit-change guard (inst/patches/patch_52.R): a units_{phase} update
+# is blocked iff the old unit is set, IS DISTINCT FROM the new one,
+# and the parameter has discrete results OR measured continuous
+# timeseries in that matrix state.
+_UNIT_GUARD_ORACLE = """
+    WITH params AS (
+      SELECT p_partkey AS parameter_id,
+             CASE p_partkey % 4 WHEN 1 THEN NULL
+                  WHEN 0 THEN 'mg/L' ELSE 'ug/L' END AS units_liquid,
+             CASE WHEN p_partkey % 3 = 0 THEN 'mg/kg' END AS units_solid,
+             CASE WHEN p_partkey % 5 = 0 THEN 'ppm' END AS units_gas
+      FROM part
+    ), updates AS (
+      SELECT parameter_id,
+             CASE parameter_id % 3 WHEN 0 THEN 'g/L' WHEN 1 THEN NULL
+                  ELSE units_liquid END AS units_liquid,
+             CASE WHEN parameter_id % 2 = 0 THEN 'g/kg'
+                  ELSE units_solid END AS units_solid,
+             units_gas
+      FROM params
+    ), ms AS (
+      SELECT * FROM (VALUES (1, 'liquid'), (2, 'solid'), (3, 'gas'))
+        AS t(matrix_state_id, matrix_state_code)
+    ), results AS (
+      SELECT l_partkey AS parameter_id,
+             1 + l_orderkey % 3 AS matrix_state_id
+      FROM lineitem
+    ), ts AS (
+      SELECT p_partkey * 10 AS timeseries_id,
+             p_partkey AS parameter_id,
+             1 + p_partkey % 3 AS matrix_state_id
+      FROM part WHERE p_partkey % 7 = 0
+    ), meas AS (
+      SELECT p_partkey * 10 AS timeseries_id FROM part
+      WHERE p_partkey % 14 = 0
+    ), usage AS (
+      SELECT DISTINCT r.parameter_id, m.matrix_state_code AS phase
+      FROM results r JOIN ms m USING (matrix_state_id)
+      UNION
+      SELECT DISTINCT t.parameter_id, m.matrix_state_code AS phase
+      FROM ts t JOIN ms m USING (matrix_state_id)
+      WHERE EXISTS (SELECT 1 FROM meas
+                    WHERE meas.timeseries_id = t.timeseries_id)
+    ), melted AS (
+      SELECT p.parameter_id, 'liquid' AS phase,
+             p.units_liquid AS old_unit, u.units_liquid AS new_unit
+      FROM params p JOIN updates u USING (parameter_id)
+      UNION ALL
+      SELECT p.parameter_id, 'solid', p.units_solid, u.units_solid
+      FROM params p JOIN updates u USING (parameter_id)
+      UNION ALL
+      SELECT p.parameter_id, 'gas', p.units_gas, u.units_gas
+      FROM params p JOIN updates u USING (parameter_id)
+    )
+    SELECT m.parameter_id, m.phase, m.old_unit, m.new_unit,
+           CASE
+             WHEN m.old_unit IS NOT DISTINCT FROM m.new_unit THEN 'noop'
+             WHEN m.old_unit IS NOT NULL AND us.phase IS NOT NULL
+             THEN 'blocked'
+             ELSE 'update' END AS action
+    FROM melted m
+    LEFT JOIN usage us
+      ON us.parameter_id = m.parameter_id AND us.phase = m.phase
+"""
+
+
+@register("parameter_unit_guard", oracle=_UNIT_GUARD_ORACLE)
+def parameter_unit_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.catalog_admin import classify_unit_updates
+
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    pk = F.col("p_partkey")
+    params = part.select(
+        pk.alias("parameter_id"),
+        F.when(pk % 4 == 0, "mg/L").when(pk % 4 == 1, None)
+        .otherwise("ug/L").alias("units_liquid"),
+        F.when(pk % 3 == 0, "mg/kg").alias("units_solid"),
+        F.when(pk % 5 == 0, "ppm").alias("units_gas"),
+    )
+    pid = F.col("parameter_id")
+    updates = params.select(
+        "parameter_id",
+        F.when(pid % 3 == 0, "g/L").when(pid % 3 == 1, None)
+        .otherwise(F.col("units_liquid")).alias("units_liquid"),
+        F.when(pid % 2 == 0, "g/kg").otherwise(F.col("units_solid"))
+        .alias("units_solid"),
+        "units_gas",
+    )
+    ms = _ldf(spark, [(1, "liquid"), (2, "solid"), (3, "gas")],
+              ["matrix_state_id", "matrix_state_code"])
+    results = li.select(
+        F.col("l_partkey").alias("parameter_id"),
+        (1 + F.col("l_orderkey") % 3).alias("matrix_state_id"),
+    )
+    ts = part.where(pk % 7 == 0).select(
+        (pk * 10).alias("timeseries_id"), pk.alias("parameter_id"),
+        (1 + pk % 3).alias("matrix_state_id"),
+    )
+    meas = part.where(pk % 14 == 0).select(
+        (pk * 10).alias("timeseries_id"))
+    return classify_unit_updates(params, updates, ms, results, ts, meas)
+
+
 # addNewDiscrete parity (R/addNewDiscrete.R:30-120): dim-validated
 # sample inserts with sequential sample_id assignment and the result
 # NA/detection-limit-condition ladder, classified batch-set-wise.

@@ -183,3 +183,40 @@ def test_masked_points_spheroid_distance_matches_request(spark):
     for r in back:
         assert 100.0 <= r["offset_m"] <= 500.0
         assert abs(r["back"] - r["offset_m"]) < 1e-3
+
+
+def test_unit_update_guard_semantics(spark):
+    """patch_52 trigger parity: change + usage -> blocked; NULLing a
+    set unit counts as a change; unused or NULL-old units update."""
+    from aquacache_spark.operators.catalog_admin import (
+        classify_unit_updates)
+
+    params = spark.createDataFrame(
+        [(1, "mg/L", None, None), (2, "mg/L", "mg/kg", None),
+         (3, None, None, "ppm")],
+        "parameter_id int, units_liquid string, units_solid string, "
+        "units_gas string")
+    updates = spark.createDataFrame(
+        [(1, "g/L", None, None),    # change, used -> blocked
+         (2, None, "mg/kg", None),  # NULLed liquid (unused) + solid noop
+         (3, "mg/L", None, "ppm")], # NULL old -> update; gas noop
+        "parameter_id int, units_liquid string, units_solid string, "
+        "units_gas string")
+    ms = spark.createDataFrame(
+        [(1, "liquid"), (2, "solid"), (3, "gas")],
+        "matrix_state_id int, matrix_state_code string")
+    results = spark.createDataFrame(
+        [(1, 1)], "parameter_id int, matrix_state_id int")  # p1 liquid
+    ts = spark.createDataFrame(
+        [(10, 2, 2), (11, 2, 1)],
+        "timeseries_id int, parameter_id int, matrix_state_id int")
+    meas = spark.createDataFrame(
+        [(10,)], "timeseries_id int")  # only the SOLID ts is measured
+    out = {(r["parameter_id"], r["phase"]): r["action"]
+           for r in classify_unit_updates(
+               params, updates, ms, results, ts, meas).collect()}
+    assert out[(1, "liquid")] == "blocked"   # discrete usage
+    assert out[(2, "liquid")] == "update"    # ts 11 exists but unmeasured
+    assert out[(2, "solid")] == "noop"
+    assert out[(3, "liquid")] == "update"    # old NULL: never guarded
+    assert out[(3, "gas")] == "noop"
