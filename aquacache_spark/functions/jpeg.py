@@ -135,8 +135,203 @@ def _extend(v: int, nbits: int) -> int:
     return v if v >= (1 << (nbits - 1)) else v - (1 << nbits) + 1
 
 
+def _destuff(blob: bytes, pos: int):
+    """Entropy bytes from ``pos`` to the next true marker: 0xFF00
+    un-stuffed, RST0-7 markers dropped (restart boundaries are
+    recovered by interval counting + byte alignment). Returns
+    (data bytes, position of the terminating marker's 0xFF)."""
+    data = bytearray()
+    i = pos
+    n = len(blob)
+    while i < n:
+        b = blob[i]
+        if b != 0xFF:
+            data.append(b)
+            i += 1
+            continue
+        nxt = blob[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            data.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            i += 2
+        else:
+            break
+    return bytes(data), i
+
+
+def _baseline_block(br: _BitReader, c: dict, preds: dict) -> np.ndarray:
+    blk = np.zeros(64, dtype=np.int64)
+    t = br.decode_symbol(c["hdc"])
+    diff = _extend(br.get_bits(t), t)
+    preds[c["id"]] += diff
+    blk[0] = preds[c["id"]]
+    k = 1
+    while k < 64:
+        rs = br.decode_symbol(c["hac"])
+        r, ssss = rs >> 4, rs & 0x0F
+        if ssss == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        blk[k] = _extend(br.get_bits(ssss), ssss)
+        k += 1
+    return blk
+
+
+def _ac_first_block(br, coef, hac, ss, se, al, state) -> None:
+    """Progressive AC initial scan (Ah=0) for one block's band."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(hac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.get_bits(r)
+                return
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        coef[k] = _extend(br.get_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(br, coef, hac, ss, se, al, state) -> None:
+    """Progressive AC refinement scan (Ah>0): libjpeg's
+    decode_mcu_AC_refine — newly-significant coefficients arrive as
+    ±1<<Al, already-significant ones take a correction bit as the
+    cursor passes them."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = br.decode_symbol(hac)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.get_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude category")
+                val = p1 if br.get_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.get_bit():
+                        if (int(coef[k]) & p1) == 0:
+                            coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if br.get_bit():
+                    if (int(coef[k]) & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan(frame, order, ss, se, ah, al, ri, data,
+                 progressive) -> None:
+    br = _BitReader(data)
+    state = {"eobrun": 0}
+    preds = {c["id"]: 0 for c in order}
+
+    def restart(unit_index: int) -> None:
+        if ri and unit_index and unit_index % ri == 0:
+            br.pos = (br.pos + 7) // 8 * 8
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+    interleaved = len(order) > 1
+    if interleaved:
+        if progressive and ss != 0:
+            raise ValueError(
+                "progressive AC scans must be non-interleaved")
+        # MCU walk: baseline full-band, or progressive DC (Ss=Se=0)
+        unit = 0
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                restart(unit)
+                unit += 1
+                for c in order:
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            idx = ((my * c["v"] + vy) * c["bx"]
+                                   + mx * c["h"] + vx)
+                            if not progressive:
+                                c["coef"][idx] = _baseline_block(
+                                    br, c, preds)
+                            elif ah == 0:
+                                t = br.decode_symbol(c["hdc"])
+                                diff = _extend(br.get_bits(t), t)
+                                preds[c["id"]] += diff
+                                c["coef"][idx][0] = preds[c["id"]] << al
+                            else:
+                                c["coef"][idx][0] |= br.get_bit() << al
+        return
+    # non-interleaved scan (single component): the MCU is ONE block and
+    # the walk covers the component's own ceil(comp_w/8) x ceil(comp_h/8)
+    # grid — NOT the MCU-padded c["bx"]/c["by"] grid (F.2.3 / libjpeg
+    # per-component scan geometry). Holds for baseline single-component
+    # scans and for all progressive AC scans.
+    c = order[0]
+    comp_w = -(-frame["w"] * c["h"] // frame["hmax"])
+    comp_h = -(-frame["h"] * c["v"] // frame["vmax"])
+    cw, ch = -(-comp_w // 8), -(-comp_h // 8)
+    unit = 0
+    for row in range(ch):
+        for col in range(cw):
+            restart(unit)
+            unit += 1
+            blk = c["coef"][row * c["bx"] + col]
+            if not progressive:
+                c["coef"][row * c["bx"] + col] = _baseline_block(
+                    br, c, preds)
+            elif ss == 0:
+                if ah == 0:
+                    t = br.decode_symbol(c["hdc"])
+                    diff = _extend(br.get_bits(t), t)
+                    preds[c["id"]] += diff
+                    blk[0] = preds[c["id"]] << al
+                else:
+                    blk[0] |= br.get_bit() << al
+            elif ah == 0:
+                _ac_first_block(br, blk, c["hac"], ss, se, al, state)
+            else:
+                _ac_refine_block(br, blk, c["hac"], ss, se, al, state)
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) RGB uint8."""
+    """Baseline or PROGRESSIVE JPEG bytes -> (h, w, 3) RGB uint8.
+
+    Progressive (SOF2) support is complete: spectral selection,
+    successive approximation (DC and AC initial + refinement scans,
+    EOB runs), interleaved DC scans, per-scan restart intervals."""
     if blob is None or len(blob) < 4 or blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -145,8 +340,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     huff_ac = {}
     frame = None
     restart_interval = 0
-    scan = None
-    while pos < len(blob):
+    progressive = False
+    scans_done = 0
+    while pos + 1 < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = blob[pos + 1]
@@ -170,23 +366,34 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     qtables[tq] = np.frombuffer(
                         seg, ">u2", 64, off).astype(np.int64)
                     off += 128
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             comps = []
-            for c in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["bx"] = mcus_x * c["h"]
+                c["by"] = mcus_y * c["v"]
+                c["coef"] = np.zeros((c["by"] * c["bx"], 64),
+                                     dtype=np.int64)
+            frame = {"h": h, "w": w, "comps": comps, "hmax": hmax,
+                     "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF marker 0x{marker:02X}; "
-                "baseline sequential only)")
+                "baseline sequential and progressive only)")
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):
@@ -200,90 +407,34 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = []
-            for c in range(ns):
-                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan.append({"cs": cs, "dc": tables >> 4,
-                             "ac": tables & 0x0F})
-            pos += seg_len
-            break
-        pos += seg_len
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
-
-    # de-stuff entropy bytes up to EOI, tracking restart markers
-    data = bytearray()
-    restarts = []  # bit offsets where a restart resets state
-    i = pos
-    n = len(blob)
-    while i < n:
-        b = blob[i]
-        if b != 0xFF:
-            data.append(b)
-            i += 1
+            by_id = {c["id"]: c for c in frame["comps"]}
+            order = []
+            for ci in range(ns):
+                cs, tables = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                c = by_id[cs]
+                if tables >> 4 in huff_dc:
+                    c["hdc"] = huff_dc[tables >> 4]
+                if tables & 0x0F in huff_ac:
+                    c["hac"] = huff_ac[tables & 0x0F]
+                order.append(c)
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            data, nxt = _destuff(blob, pos + seg_len)
+            _decode_scan(frame, order, ss, se, ah, al,
+                         restart_interval, data, progressive)
+            scans_done += 1
+            pos = nxt
             continue
-        nxt = blob[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:
-            data.append(0xFF)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            restarts.append(len(data) * 8)
-            i += 2
-        else:  # EOI or next marker
-            break
-
+        pos += seg_len
+    if frame is None or scans_done == 0:
+        raise ValueError("JPEG missing SOF/SOS")
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-frame["w"] // (8 * hmax))
-    mcus_y = -(-frame["h"] // (8 * vmax))
-    for c in comps:
-        c["bx"] = mcus_x * c["h"]
-        c["by"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
-    by_id = {c["id"]: c for c in comps}
-    order = [by_id[s["cs"]] for s in scan]
-    for c, s in zip(order, scan):
-        c["hdc"] = huff_dc[s["dc"]]
-        c["hac"] = huff_ac[s["ac"]]
-
-    br = _BitReader(bytes(data))
-    preds = {c["id"]: 0 for c in comps}
-    mcu_index = 0
-    ri = restart_interval
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if ri and mcu_index and mcu_index % ri == 0:
-                # byte-align + reset DC predictors at each restart
-                br.pos = (br.pos + 7) // 8 * 8
-                preds = {c["id"]: 0 for c in comps}
-            for c in order:
-                for vy in range(c["v"]):
-                    for vx in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.int64)
-                        t = br.decode_symbol(c["hdc"])
-                        diff = _extend(br.get_bits(t), t)
-                        preds[c["id"]] += diff
-                        blk[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode_symbol(c["hac"])
-                            r, ssss = rs >> 4, rs & 0x0F
-                            if ssss == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[k] = _extend(br.get_bits(ssss), ssss)
-                            k += 1
-                        row = my * c["v"] + vy
-                        col = mx * c["h"] + vx
-                        c["coef"][row * c["bx"] + col] = blk
-            mcu_index += 1
+    hmax, vmax = frame["hmax"], frame["vmax"]
 
     # dequant + de-zigzag + batch IDCT per component
     planes = []
