@@ -2,14 +2,20 @@
 
 The third real image format of the multimodal tier (after BMP and PNG
 in operators/multimodal.py), and the one web corpora are mostly made
-of. Scope is baseline sequential DCT (SOF0):
+of. Scope is baseline sequential DCT (SOF0) plus progressive (SOF2):
 
 - markers: SOI/APPn/COM (skipped), DQT (8- and 16-bit tables), SOF0,
-  DHT, DRI + RST0-7 restarts, SOS, EOI;
+  SOF2, DHT, DRI + RST0-7 restarts, SOS, EOI;
 - 8-bit samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
   sampling (nearest-neighbor chroma upsampling, the libjpeg "fancy
   upsampling off" behavior);
-- progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+- progressive: spectral selection, successive approximation (DC and
+  AC initial + refinement scans, EOB runs), interleaved DC scans —
+  real web corpora are ~10% progressive, so the decode path is
+  first-class and pinned by :func:`encode_jpeg_progressive`
+  round-trips (same quantized coefficients as baseline, so the two
+  decodes are bit-identical at any quality);
+- arithmetic coding (SOF9-11), 12-bit, lossless, and hierarchical
   modes raise ValueError loudly — corrupt/exotic inputs quarantine at
   the feature-extraction layer, never produce garbage pixels.
 
@@ -568,13 +574,10 @@ def _plane_blocks(plane, q, bx, by):
                     / q[_ZZ][None, :]).astype(np.int64)
 
 
-def encode_jpeg(pixels, quality: int = 90,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG bytes.
-    ``subsampling``: '444' or '420' (2x2-mean chroma downsample).
-    Quality 100 gives all-ones quantization, so MCU-constant grayscale
-    content round-trips bit-exact."""
+def _quantized_planes(pixels, quality: int, subsampling: str):
+    """Shared encoder front half: color convert, subsample, forward
+    DCT + quantize. Returns (gray, h, w, factors, qlum, qchr,
+    zz_planes, dims, mcus_x, mcus_y)."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -616,8 +619,12 @@ def encode_jpeg(pixels, quality: int = 90,
         bx, by = mcus_x * fh, mcus_y * fv
         zz_planes.append(_plane_blocks(plane, q, bx, by))
         dims.append((bx, by))
+    return gray, h, w, factors, qlum, qchr, zz_planes, dims, mcus_x, mcus_y
 
-    out = bytearray(b"\xff\xd8")
+
+def _header_segments(out, gray, h, w, factors, qlum, qchr,
+                     sof_marker: int) -> None:
+    """DQT + SOF + DHT segments shared by both encoders."""
 
     def seg(marker, body):
         out.extend(bytes([0xFF, marker]))
@@ -627,14 +634,35 @@ def encode_jpeg(pixels, quality: int = 90,
     seg(0xDB, bytes([0]) + bytes(qlum[_ZZ].astype(np.uint8)))
     if not gray:
         seg(0xDB, bytes([1]) + bytes(qchr[_ZZ].astype(np.uint8)))
-    ncomp = len(planes)
+    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         fh, fv = factors[cid - 1]
         sof += bytes([cid, (fh << 4) | fv, 0 if cid == 1 else 1])
-    seg(0xC0, sof)
+    seg(sof_marker, sof)
     seg(0xC4, bytes([0x00] + _ENC_DC_BITS) + bytes(_ENC_DC_SYMS))
     seg(0xC4, bytes([0x10] + _ENC_AC_BITS) + bytes(_ENC_AC_SYMS))
+
+
+def encode_jpeg(pixels, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG bytes.
+    ``subsampling``: '444' or '420' (2x2-mean chroma downsample).
+    Quality 100 gives all-ones quantization, so MCU-constant grayscale
+    content round-trips bit-exact."""
+    (gray, h, w, factors, qlum, qchr, zz_planes, dims,
+     mcus_x, mcus_y) = _quantized_planes(pixels, quality, subsampling)
+    ncomp = len(zz_planes)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    _header_segments(out, gray, h, w, factors, qlum, qchr, 0xC0)
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -665,5 +693,184 @@ def encode_jpeg(pixels, quality: int = 90,
                         preds[ci] = _encode_block(
                             bw, zz_planes[ci][n], preds[ci])
     out.extend(bw.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixtures + round-trip tests for the SOF2 path)
+# ---------------------------------------------------------------------------
+# Scan script: interleaved DC first (Al=1) -> per-component AC bands
+# 1-5 and 6-63 (Ah=0, Al=1) -> interleaved DC refinement (Ah=1) ->
+# per-component AC refinement 1-63 (Ah=1, Al=0). Covers every decoder
+# branch: spectral selection, DC+AC successive approximation, EOB
+# runs, ZRL-with-correction-bits. The walk-coverage model mirrors the
+# decoder exactly (each ZRL/(r,1) symbol carries the correction bits
+# for precisely the positions its decode walk visits), which is also
+# the T.81 G.1.2.3 consumption order.
+
+
+def _emit_eobrun(bw: "_BitWriter", state: dict) -> None:
+    if state["eobrun"] > 0:
+        eb = state["eobrun"]
+        nbits = eb.bit_length() - 1
+        bw.put(*_AC_CODES[nbits << 4])
+        if nbits:
+            bw.put(eb - (1 << nbits), nbits)
+        state["eobrun"] = 0
+        for b in state["be"]:
+            bw.put(b, 1)
+        state["be"] = []
+
+
+def _enc_ac_first_block(bw, zz, ss, se, al, state) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = abs(v) >> al  # G.1.2.2 point transform: truncate toward 0
+        if mag == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw, state)
+        while r > 15:
+            bw.put(*_AC_CODES[0xF0])
+            r -= 16
+        nbits = mag.bit_length()
+        bw.put(*_AC_CODES[(r << 4) | nbits])
+        enc = mag if v >= 0 else (-mag) + (1 << nbits) - 1
+        bw.put(enc, nbits)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, state)
+
+
+def _enc_ac_refine_block(bw, zz, ss, se, al, state) -> None:
+    """Refinement: newly-significant coefficients (shifted magnitude
+    == 1) emit (run,1)+sign; already-significant ones emit one
+    correction bit, attached to the symbol whose decode walk passes
+    them (or folded into the EOB run's buffered bits)."""
+    band = list(range(ss, se + 1))
+    mags = {k: abs(int(zz[k])) >> al for k in band}
+    new_sigs = [k for k in band if mags[k] == 1]
+    cursor = ss
+
+    def corrections(lo, hi):  # correction bits for history-nonzero in [lo,hi)
+        return [(abs(int(zz[k])) >> al) & 1
+                for k in range(lo, hi) if mags[k] > 1]
+
+    for n in new_sigs:
+        zeros = [k for k in range(cursor, n) if mags[k] == 0]
+        while len(zeros) > 15:
+            _emit_eobrun(bw, state)
+            bw.put(*_AC_CODES[0xF0])
+            pos16 = zeros[15]  # decode walk stops AT the 16th zero
+            for b in corrections(cursor, pos16):
+                bw.put(b, 1)
+            cursor = pos16 + 1
+            zeros = zeros[16:]
+        _emit_eobrun(bw, state)
+        bw.put(*_AC_CODES[(len(zeros) << 4) | 1])
+        bw.put(1 if int(zz[n]) >= 0 else 0, 1)
+        for b in corrections(cursor, n):
+            bw.put(b, 1)
+        cursor = n + 1
+    tail = corrections(cursor, se + 1)
+    if cursor <= se:
+        state["eobrun"] += 1
+        state["be"].extend(tail)
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, state)
+
+
+def encode_jpeg_progressive(pixels, quality: int = 90,
+                            subsampling: str = "444") -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> progressive (SOF2)
+    JPEG bytes. Same quantized coefficients as :func:`encode_jpeg`,
+    re-ordered into progressive scans — so ``decode_jpeg`` of the
+    progressive stream is bit-identical to the baseline stream's
+    decode at any quality."""
+    (gray, h, w, factors, qlum, qchr, zz_planes, dims,
+     mcus_x, mcus_y) = _quantized_planes(pixels, quality, subsampling)
+    ncomp = len(zz_planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    _header_segments(out, gray, h, w, factors, qlum, qchr, 0xC2)
+
+    def sos(comps, ss, se, ah, al, body_writer):
+        hdr = bytes([len(comps)])
+        for cid in comps:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, hdr)
+        bw = _BitWriter()
+        body_writer(bw)
+        out.extend(bw.flush())
+
+    def comp_grid(ci):
+        fh, fv = factors[ci]
+        cw = -(-(-(-w * fh // hmax)) // 8)
+        ch = -(-(-(-h * fv // vmax)) // 8)
+        return cw, ch
+
+    def dc_first(bw):  # interleaved, Al=1
+        preds = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    fh, fv = factors[ci]
+                    bx = dims[ci][0]
+                    for vy in range(fv):
+                        for vx in range(fh):
+                            nblk = (my * fv + vy) * bx + (mx * fh + vx)
+                            d = int(zz_planes[ci][nblk][0]) >> 1
+                            diff = d - preds[ci]
+                            preds[ci] = d
+                            t = abs(diff).bit_length()
+                            bw.put(*_DC_CODES[t])
+                            if t:
+                                bw.put(diff if diff >= 0
+                                       else diff + (1 << t) - 1, t)
+
+    def dc_refine(bw):  # interleaved, Ah=1 -> one raw bit per block
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    fh, fv = factors[ci]
+                    bx = dims[ci][0]
+                    for vy in range(fv):
+                        for vx in range(fh):
+                            nblk = (my * fv + vy) * bx + (mx * fh + vx)
+                            bw.put(int(zz_planes[ci][nblk][0]) & 1, 1)
+
+    def ac_scan(ci, ss, se, ah, al):
+        def writer(bw):
+            state = {"eobrun": 0, "be": []}
+            cw, ch = comp_grid(ci)
+            bx = dims[ci][0]
+            enc = _enc_ac_refine_block if ah else _enc_ac_first_block
+            for row in range(ch):
+                for col in range(cw):
+                    enc(bw, zz_planes[ci][row * bx + col],
+                        ss, se, al, state)
+            _emit_eobrun(bw, state)
+        return writer
+
+    sos(list(range(1, ncomp + 1)), 0, 0, 0, 1, dc_first)
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 5, 0, 1, ac_scan(ci, 1, 5, 0, 1))
+        sos([ci + 1], 6, 63, 0, 1, ac_scan(ci, 6, 63, 0, 1))
+    sos(list(range(1, ncomp + 1)), 0, 0, 1, 0, dc_refine)
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 63, 1, 0, ac_scan(ci, 1, 63, 1, 0))
     out.extend(b"\xff\xd9")
     return bytes(out)

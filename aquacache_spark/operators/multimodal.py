@@ -706,6 +706,41 @@ def synthesize_jpegs(
     return df.select(id_col).mapInPandas(batches, schema)
 
 
+def synthesize_progressive_jpegs(
+    df: DataFrame,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Progressive (SOF2) siblings of :func:`synthesize_jpegs`:
+    16x16 grayscale, block b of item i = (i*9 + b*31) % 200 + 30,
+    encoded via the multi-scan progressive script (spectral selection
+    + DC/AC successive approximation) at quality 100 — the bit-exact
+    regime, so the oracle averages the closed form while the decode
+    runs every progressive scan type."""
+    from ..functions.jpeg import encode_jpeg_progressive
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                img = np.zeros((16, 16), dtype=np.uint8)
+                for b in range(4):
+                    bj, bi = divmod(b, 2)
+                    img[bj * 8:(bj + 1) * 8, bi * 8:(bi + 1) * 8] = \
+                        (i * 9 + b * 31) % 200 + 30
+                blobs.append(encode_jpeg_progressive(img, quality=100))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
 # ---------------------------------------------------------------------------
 # VIDEO: MJPEG-in-AVI (functions/avi.py) — container walk + frame
 # SAMPLING + per-frame decode through the real JPEG codec. Sampling

@@ -544,6 +544,7 @@ def semantic_dedup(
     nlist: int = 16,
     iters: int = 3,
     dim: int = 64,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding corpus.
@@ -558,10 +559,23 @@ def semantic_dedup(
     The drop rule is set-wise ("similar to any earlier member"), not
     sequential — exactly the paper's implementation — so it is one
     equi-self-join keyed by the cluster id: pair mass is sum of
-    per-cluster m², the published scaling story (nlist ~ sqrt(N) at
-    corpus scale bounds it; the LSH star cap in operators/dedup.py is
-    the mitigation when a cluster degenerates). Centroids broadcast;
-    one shuffle on the cluster key.
+    per-cluster m² (nlist ~ sqrt(N) at corpus scale bounds it when
+    clusters stay balanced). Centroids broadcast; one shuffle on the
+    cluster key.
+
+    ``max_cluster`` is the degenerate-cluster guard (the SemDeDup
+    analog of ``lsh_candidate_pairs``' hot-bucket star cap in
+    operators/dedup.py): when set to K, the comparison (b) side is
+    restricted to each cluster's top-K keep-priority members (rank by
+    centroid-sim ASC, id ASC — the keep rule's own order), so pair
+    mass is m*min(m, K) — LINEAR in the cluster size — instead of m².
+    Semantics are EXACT for clusters with <= K members and a
+    documented approximation above (a drop is missed only when a
+    vector's sole similar predecessors all rank past K; in the
+    boilerplate-heavy corpora that produce degenerate clusters,
+    members are near-identical to the top-ranked ones, so recall loss
+    is negligible — same argument as the LSH star cap). Default None
+    = exact paper semantics (the differential oracle's regime).
 
     Output: (id, centroid_id, centroid_sim, kept) for every vector.
     """
@@ -584,8 +598,20 @@ def semantic_dedup(
         .persist()  # both join sides below read this once-materialized
     )
     qthr = F.floor(F.lit(threshold) * 1e9 + F.lit(0.5))
+    b_side = assigned
+    if max_cluster is not None:
+        # rank-banded b side: the window shuffles on centroid_id, the
+        # SAME key the join below hashes on, so the exchange is reused
+        # and the b side shrinks to <= nlist * K rows
+        wc = Window.partitionBy("centroid_id").orderBy(
+            F.asc("__csim"), F.asc(id_col))
+        b_side = (
+            assigned.withColumn("__crank", F.row_number().over(wc))
+            .where(F.col("__crank") <= max_cluster)
+            .drop("__crank")
+        )
     a = assigned.alias("a")
-    b = assigned.alias("b")
+    b = b_side.alias("b")
     rank_a = F.struct(F.col("a.__csim").alias("s"),
                       F.col(f"a.{id_col}").alias("i"))
     rank_b = F.struct(F.col("b.__csim").alias("s"),

@@ -3066,6 +3066,67 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"centroid_sim": 6})
 
 
+# Capped variant: max_cluster=2 restricts the comparison side to each
+# cluster's top-2 keep-priority members (rank by centroid-sim ASC, id
+# ASC) — the degenerate-cluster guard that makes pair mass linear at
+# 100 TB. cap=2 is far below real cluster sizes at test SFs, so the
+# capped code path (rank window + restricted join) is what the hash
+# verifies, not a no-op.
+_SEMDEDUP_CAPPED_ORACLE = "WITH " + _kmeans_cte(
+    16, 3, 64, corp_sql=_SEMDEDUP_CORP_SQL) + f"""
+    , afin AS MATERIALIZED (
+      SELECT vec_id, emb, cid, s FROM (
+        SELECT corp.vec_id, corp.emb, c.cid,
+               floor(({_cos_sql('corp.emb', 'c.centv', 64)})
+                     * 1000000000.0 + 0.5) AS s,
+               row_number() OVER (PARTITION BY corp.vec_id
+                 ORDER BY floor(({_cos_sql('corp.emb', 'c.centv', 64)})
+                                * 1000000000.0 + 0.5) DESC,
+                          c.cid) AS rn
+        FROM corp, cent_f c) WHERE rn = 1
+    ), banded AS MATERIALIZED (
+      SELECT vec_id, emb, cid, s FROM (
+        SELECT vec_id, emb, cid, s,
+               row_number() OVER (PARTITION BY cid
+                 ORDER BY s ASC, vec_id ASC) AS crank
+        FROM afin) WHERE crank <= 2
+    ), dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM afin a JOIN banded b ON a.cid = b.cid
+      WHERE (b.s < a.s OR (b.s = a.s AND b.vec_id < a.vec_id))
+        AND floor(({_cos_sql('a.emb', 'b.emb', 64)})
+                  * 1000000000.0 + 0.5) >= 950000000
+    )
+    SELECT a.vec_id, a.cid AS centroid_id,
+           {R('a.s / 1000000000.0', 6)} AS centroid_sim,
+           d.vec_id IS NULL AS kept
+    FROM afin a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@register("semdedup_capped_prune", oracle=_SEMDEDUP_CAPPED_ORACLE)
+def semdedup_capped_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    twins = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            vec,
+            lambda x, i: x.cast("double")
+            + 0.05 * F.element_at(vec, ((i + 1) % 64 + 1).cast("int"))
+            .cast("double"),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(vec, lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(twins)
+    out = semantic_dedup(corpus, threshold=0.95, max_cluster=2)
+    return _round(out, {"centroid_sim": 6})
+
+
 @register("ivf_kmeans_centroids", oracle=_KMEANS_CENTROIDS_ORACLE)
 def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF centroids: 3 deterministic Lloyd iterations over the
@@ -8083,6 +8144,46 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Progressive sibling: the fixtures are multi-scan SOF2 streams
+# (spectral selection bands 1-5/6-63, DC+AC successive approximation,
+# EOB runs — functions/jpeg.py:encode_jpeg_progressive), so the full
+# progressive decode path (_ac_first_block/_ac_refine_block, DC
+# refinement) is differentially verified, not just unit-tested.
+_JPEG_PROG_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 4 = 1
+    ), blocks AS (
+      SELECT media_id, b,
+             (media_id * 9 + b * 31) % 200 + 30 AS v
+      FROM ids, (SELECT unnest(range(0, 4)) AS b)
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           {R('avg(v)', 6)} AS mean_r,
+           {R('avg(v)', 6)} AS mean_g,
+           {R('avg(v)', 6)} AS mean_b
+    FROM blocks GROUP BY media_id
+"""
+
+
+@register("jpeg_progressive_features", oracle=_JPEG_PROG_ORACLE)
+def jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (extract_jpeg_features,
+                                       synthesize_progressive_jpegs)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 4 == 1).select(
+        F.col("doc_id").alias("media_id"))
+    jpegs = synthesize_progressive_jpegs(ids)
+    out = extract_jpeg_features(jpegs)
+    return _round(
+        out.select("media_id", "decoded", F.col("width").cast("int"),
+                   F.col("height").cast("int"), "mean_r", "mean_g",
+                   "mean_b"),
+        {"mean_r": 6, "mean_g": 6, "mean_b": 6},
+    )
+
+
 # VIDEO tier: MJPEG-in-AVI container walk + frame sampling + per-frame
 # baseline JPEG decode (functions/avi.py + functions/jpeg.py). Every
 # sampled frame runs the full entropy-decode/IDCT pipeline in the
@@ -9722,6 +9823,119 @@ def url_domain_rollup_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     out = domain_rollup(docs.withColumn("url", url), psl=load_psl(spark))
     return _round(out, {"https_frac": 6})
+
+
+# Full publicsuffix.org algorithm (operators/web.registered_domain_psl
+# + psl_rule_dim): wildcard rules (*.ck, *.kawasaki.jp) match one
+# extra host label, exception rules (!www.ck, !city.kawasaki.jp) beat
+# everything and shorten the suffix by one label, 4-label literal
+# rules resolve 5-label hosts, hosts that ARE a public suffix resolve
+# to themselves, and unmatched TLDs fall back to the implicit '*'
+# rule. The oracle replays the algorithm rule-by-rule from the SAME
+# snapshot CSV (tiny non-equi join + arg_max), not a hand-coded
+# per-case table.
+_PSL_WILD_HOST_SQL = """
+  CASE doc_id % 9
+    WHEN 0 THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.ck'
+    WHEN 1 THEN 'www.ck'
+    WHEN 2 THEN 'a' || CAST(doc_id % 3 AS VARCHAR) || '.b.kawasaki.jp'
+    WHEN 3 THEN 'city.kawasaki.jp'
+    WHEN 4 THEN 's' || CAST(doc_id % 4 AS VARCHAR)
+                || '.cdn.prod.atlassian-dev.net'
+    WHEN 5 THEN 'cdn.prod.atlassian-dev.net'
+    WHEN 6 THEN 'deep' || CAST(doc_id % 2 AS VARCHAR)
+                || '.example.k12.ca.us'
+    WHEN 7 THEN 'foo' || CAST(doc_id % 3 AS VARCHAR) || '.ck'
+    ELSE 'plain' || CAST(doc_id % 6 AS VARCHAR) || '.example.io'
+  END
+"""
+
+_PSL_WILD_ORACLE = f"""
+    WITH rules0 AS (
+      SELECT suffix AS rule FROM read_csv('{_PSL_CSV}', header=true)
+    ), rules AS (
+      SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                  WHEN rule LIKE '*.%' THEN substr(rule, 3)
+                  ELSE rule END AS match_key,
+             (rule LIKE '*.%') AS wild,
+             CASE WHEN rule LIKE '!%' THEN 10000
+                  WHEN rule LIKE '*.%'
+                  THEN len(string_split(substr(rule, 3), '.')) + 1
+                  ELSE len(string_split(rule, '.')) END AS prio,
+             CASE WHEN rule LIKE '!%'
+                  THEN len(string_split(substr(rule, 2), '.')) - 1
+                  WHEN rule LIKE '*.%'
+                  THEN len(string_split(substr(rule, 3), '.')) + 1
+                  ELSE len(string_split(rule, '.')) END AS pub_len
+      FROM rules0
+    ), hosts AS (
+      SELECT doc_id, {_PSL_WILD_HOST_SQL} AS host FROM documents
+    ), lab AS (
+      SELECT doc_id, host, string_split(host, '.') AS labels FROM hosts
+    ), matches AS (
+      SELECT l.doc_id, r.prio * 16 + r.pub_len AS ord, r.pub_len
+      FROM lab l JOIN rules r
+        ON len(l.labels) >= len(string_split(r.match_key, '.'))
+            + (CASE WHEN r.wild THEN 1 ELSE 0 END)
+       AND array_to_string(list_slice(l.labels,
+             len(l.labels) - len(string_split(r.match_key, '.')) + 1,
+             len(l.labels)), '.') = r.match_key
+    ), best AS (
+      SELECT doc_id, arg_max(pub_len, ord) AS pub_len
+      FROM matches GROUP BY doc_id
+    ), resolved AS (
+      SELECT l.doc_id, l.host,
+             CASE WHEN len(l.labels) > coalesce(b.pub_len, 1)
+                  THEN array_to_string(list_slice(l.labels,
+                        len(l.labels) - coalesce(b.pub_len, 1),
+                        len(l.labels)), '.')
+                  ELSE l.host END AS registered_domain
+      FROM lab l LEFT JOIN best b USING (doc_id)
+    )
+    SELECT registered_domain,
+           count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts
+    FROM resolved GROUP BY 1
+"""
+
+
+@register("psl_wildcard_resolution", oracle=_PSL_WILD_ORACLE)
+def psl_wildcard_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain resolution under the complete PSL rule
+    grammar: wildcards, exceptions, 4-label literals, suffix-only
+    hosts, implicit-'*' fallback."""
+    from .operators.web import load_psl, registered_domain_psl
+
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".example.ck")))
+        .when(F.col("doc_id") % 9 == 1, F.lit("www.ck"))
+        .when(F.col("doc_id") % 9 == 2,
+              F.concat(F.lit("a"), (F.col("doc_id") % 3).cast("string"),
+                       F.lit(".b.kawasaki.jp")))
+        .when(F.col("doc_id") % 9 == 3, F.lit("city.kawasaki.jp"))
+        .when(F.col("doc_id") % 9 == 4,
+              F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"),
+                       F.lit(".cdn.prod.atlassian-dev.net")))
+        .when(F.col("doc_id") % 9 == 5, F.lit("cdn.prod.atlassian-dev.net"))
+        .when(F.col("doc_id") % 9 == 6,
+              F.concat(F.lit("deep"), (F.col("doc_id") % 2).cast("string"),
+                       F.lit(".example.k12.ca.us")))
+        .when(F.col("doc_id") % 9 == 7,
+              F.concat(F.lit("foo"), (F.col("doc_id") % 3).cast("string"),
+                       F.lit(".ck")))
+        .otherwise(
+            F.concat(F.lit("plain"), (F.col("doc_id") % 6).cast("string"),
+                     F.lit(".example.io")))
+    )
+    resolved = registered_domain_psl(
+        docs.select("doc_id", host.alias("host")), load_psl(spark))
+    return resolved.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("host").alias("n_hosts"),
+    )
 
 
 @register("domain_quality_gate", oracle=_GATE_ORACLE)

@@ -245,14 +245,55 @@ def test_jpeg_roundtrip_and_modes():
     assert out.shape == simg.shape
     err = out.astype(float) - simg.astype(float)
     assert float(np.sqrt((err ** 2).mean())) < 2.0
-    # progressive and junk inputs fail loudly
-    prog = bytearray(encode_jpeg(img, 90))
-    sof = bytes(prog).find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(bytes(prog))
+    # genuinely unsupported modes and junk inputs fail loudly
+    arith = bytearray(encode_jpeg(img, 90))
+    sof = bytes(arith).find(b"\xff\xc0")
+    arith[sof + 1] = 0xC9  # arithmetic-coded sequential
+    with pytest.raises(ValueError, match="unsupported JPEG mode"):
+        decode_jpeg(bytes(arith))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"GIF89a...")
+
+
+def test_jpeg_progressive_roundtrip():
+    import numpy as np
+
+    from aquacache_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(7)
+    # progressive re-orders the SAME quantized coefficients, so its
+    # decode must be bit-identical to the baseline stream's decode —
+    # across gray/color, 444/420, odd sizes, and noisy content (which
+    # exercises ZRL-with-correction-bits and long EOB runs).
+    cases = [((16, 16), "444", 100), ((37, 45, 3), "444", 90),
+             ((37, 45, 3), "420", 85), ((8, 8), "444", 50),
+             ((64, 48, 3), "420", 95), ((23, 19, 3), "444", 100)]
+    for shape, sub, q in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, q, subsampling=sub))
+        blob = encode_jpeg_progressive(img, q, subsampling=sub)
+        assert (decode_jpeg(blob) == base).all(), (shape, sub, q)
+    # smooth gradients (sparse high-frequency bands -> EOB-run heavy)
+    x = np.linspace(0, 1, 45)
+    simg = (np.stack([np.outer(np.linspace(0, 1, 37), x)] * 3, axis=-1)
+            * 200 + 20).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(simg, 75, subsampling="420"))
+    assert (decode_jpeg(
+        encode_jpeg_progressive(simg, 75, subsampling="420")) == base).all()
+    # q100 block-constant grayscale: progressive decode is bit-exact
+    # vs the ORIGINAL pixels (the oracle regime)
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for b in range(4):
+        bj, bi = divmod(b, 2)
+        img[bj * 8:(bj + 1) * 8, bi * 8:(bi + 1) * 8] = (b * 37 + 28)
+    assert (decode_jpeg(encode_jpeg_progressive(img, 100))[:, :, 0]
+            == img).all()
+    # truncated progressive stream fails loudly (never garbage pixels)
+    blob = encode_jpeg_progressive(
+        rng.integers(0, 256, (24, 24, 3)).astype(np.uint8), 90)
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(blob[:len(blob) * 2 // 3])
 
 
 def test_jpeg_features_quarantine(spark):
