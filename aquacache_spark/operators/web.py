@@ -19,10 +19,12 @@ no UDFs — and every rule is mirrored 1:1 in the DuckDB oracle
 - registered domain = last two host labels, or one more when the
   host's tail matches a multi-label public suffix: either the small
   embedded set (zero-join fast path) or, via
-  ``registered_domain_psl``/``load_psl``, the public-suffix snapshot
-  fixture broadcast as a dim table (fixtures/public_suffix_snapshot
-  .csv — regenerate from the full publicsuffix.org list in a
-  deployment, same schema).
+  ``registered_domain_psl``/``load_psl``, the FULL publicsuffix.org
+  algorithm (literal rules of any length, ``*.``-wildcards,
+  ``!``-exceptions, longest-rule-wins, implicit-'*' fallback) against
+  the snapshot fixture broadcast as per-length dim tables
+  (fixtures/public_suffix_snapshot.csv — regenerate from the full
+  publicsuffix.org list in a deployment, same raw-rule schema).
 """
 
 from __future__ import annotations
@@ -113,11 +115,63 @@ def with_parsed_url(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def load_psl(spark, path: str | None = None) -> DataFrame:
-    """The public-suffix snapshot as a dim table (one ``suffix``
-    column, multi-label rules only). Genuinely tiny and static (~10k
-    rows even for the full publicsuffix.org list) — a legitimate
-    broadcast, unlike data-cardinality frames."""
+    """The public-suffix snapshot as a dim table: one ``suffix``
+    column holding RAW publicsuffix.org rules — literal (``co.uk``,
+    up to ~5 labels), wildcard (``*.ck``), and exception (``!www.ck``)
+    forms all supported. Genuinely tiny and static (~10k rows even for
+    the full publicsuffix.org list) — a legitimate broadcast, unlike
+    data-cardinality frames."""
     return spark.read.option("header", "true").csv(path or PSL_SNAPSHOT)
+
+
+# A rule's precedence / public-suffix length packed into one int so a
+# single greatest() resolves "exception beats all, else most labels":
+# ord = prio * 16 + pub_len, prio = 10000 for exceptions else the
+# rule's label count (wildcard '*' counts as a label, per the PSL
+# algorithm step 'the prevailing rule is the one with most labels').
+_PSL_ORD_BASE = 16
+
+
+def psl_rules(psl: DataFrame) -> dict[int, list[tuple]]:
+    """Driver-side parse + pivot of the raw rule table into per-length
+    match dims: {match_len: [(match_key, lit_ord, wild_ord), ...]}.
+
+    ``match_key`` is the literal label tail to equality-join against
+    (wildcards contribute their base — ``*.ck`` -> ``ck``; exceptions
+    their body — ``!www.ck`` -> ``www.ck``); ``lit_ord``/``wild_ord``
+    pack the best (priority, public-suffix-length) of the literal-or-
+    exception / wildcard rules on that key. Wildcards stay a separate
+    slot because they additionally require the host to have one MORE
+    label than the key (the ``*`` must consume a real label).
+
+    The collect is catalog-class, not data-cardinality: the rule table
+    is broadcast-sized by construction (~10k rows for the full PSL),
+    and every downstream broadcast join ships it through the driver
+    anyway — pivoting here keeps the executor plan exchange-free."""
+    by_key: dict[tuple[str, int], list] = {}
+    for r in psl.collect():
+        rule = r["suffix"]
+        if rule.startswith("!"):
+            key = rule[1:]
+            k = key.count(".") + 1
+            prio, pub, wild = 10000, k - 1, False
+        elif rule.startswith("*."):
+            key = rule[2:]
+            k = key.count(".") + 1
+            prio, pub, wild = k + 1, k + 1, True
+        else:
+            key = rule
+            k = key.count(".") + 1
+            prio, pub, wild = k, k, False
+        ordv = prio * _PSL_ORD_BASE + pub
+        slot = by_key.setdefault((key, k), [None, None])
+        i = 1 if wild else 0
+        if slot[i] is None or ordv > slot[i]:
+            slot[i] = ordv
+    out: dict[int, list[tuple]] = {}
+    for (key, k), (lit, wildv) in by_key.items():
+        out.setdefault(k, []).append((key, lit, wildv))
+    return out
 
 
 def registered_domain_psl(
@@ -126,12 +180,16 @@ def registered_domain_psl(
     host_col: str = "host",
     out_col: str = "registered_domain",
 ) -> DataFrame:
-    """Re-resolve the registered domain against the public-suffix
-    table: longest multi-label suffix wins (3-label rules like
-    ``k12.ca.us`` beat 2-label like ``ca.us`` beat the default
-    last-two-labels rule). Two broadcast left joins — map-side only,
-    no shuffle, no UDF; the suffix table replaces the embedded
-    MULTI_SUFFIXES set (VERDICT r3 'What's missing' #5)."""
+    """Re-resolve the registered domain with the FULL publicsuffix.org
+    algorithm against the broadcast rule table: literal rules of any
+    label count, ``*.``-wildcards (match one extra host label), and
+    ``!``-exceptions (beat everything; public suffix is the rule minus
+    its leftmost label). Longest matching rule wins; no match falls
+    back to the implicit ``*`` rule (public suffix = last label). One
+    broadcast left join per distinct rule length — map-side only, no
+    shuffle, no UDF. Hosts that ARE a public suffix resolve to
+    themselves (the pipeline-friendly stand-in for the PSL's 'no
+    registered domain')."""
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
 
@@ -144,26 +202,26 @@ def registered_domain_psl(
             ]),
         )
 
-    tagged = (
-        df.withColumn("__tail2", tail(2))
-        .withColumn("__tail3", tail(3))
-        .join(
-            F.broadcast(psl.select(F.col("suffix").alias("__s2"))),
-            F.col("__tail2") == F.col("__s2"), "left")
-        .join(
-            F.broadcast(psl.select(F.col("suffix").alias("__s3"))),
-            F.col("__tail3") == F.col("__s3"), "left")
-    )
-    reg = (
-        F.when(F.col("__s3").isNotNull() & (n >= 4), tail(4))
-        .when(F.col("__s3").isNotNull(), F.col(host_col))
-        .when(F.col("__s2").isNotNull() & (n >= 3), tail(3))
-        .when(F.col("__s2").isNotNull(), F.col(host_col))
-        .when(n >= 2, F.col("__tail2"))
-        .otherwise(F.col(host_col))
-    )
-    return tagged.withColumn(out_col, reg).drop(
-        "__tail2", "__tail3", "__s2", "__s3")
+    rules = psl_rules(psl)
+    lens = sorted(rules)
+    spark = df.sparkSession
+    tagged = df
+    cands: list[Column] = []
+    for k in lens:
+        d = spark.createDataFrame(
+            rules[k], schema=f"__k{k} string, __lit{k} int, __wild{k} int")
+        tagged = tagged.join(
+            F.broadcast(d), tail(k) == F.col(f"__k{k}"), "left")
+        cands.append(F.col(f"__lit{k}"))
+        # the '*' must consume a real host label
+        cands.append(F.when(n >= k + 1, F.col(f"__wild{k}")))
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    pub = F.when(best.isNotNull(), best % _PSL_ORD_BASE).otherwise(F.lit(1))
+    reg = F.when(
+        n > pub, F.concat_ws(".", F.slice(labels, n - pub, pub + 1))
+    ).otherwise(F.col(host_col))
+    drop = [c for k in lens for c in (f"__k{k}", f"__lit{k}", f"__wild{k}")]
+    return tagged.withColumn(out_col, reg).drop(*drop)
 
 
 def domain_rollup(

@@ -1,12 +1,15 @@
 """Generate the public-suffix snapshot fixture (multi-label rules).
 
-A SNAPSHOT SUBSET of the ICANN section of the Mozilla Public Suffix
-List (publicsuffix.org): the well-known country-code second-level
-registries plus the US state k12/cc/lib third-level families. Single
--label TLDs are implicit (the default "last two labels" rule needs no
-table entry), and wildcard/exception rules are out of scope for the
-snapshot. A deployment regenerates this file from the full PSL — same
-one-column schema, no code change (operators/web.py broadcasts it).
+A SNAPSHOT SUBSET of the Mozilla Public Suffix List
+(publicsuffix.org): the well-known country-code second-level
+registries, the US state k12/cc/lib third-level families, the
+wildcard ccTLDs with their exceptions (``*.ck`` / ``!www.ck``, the
+Japanese city wildcards ``*.kawasaki.jp`` / ``!city.kawasaki.jp``,
+...), and representative 4-label private-section rules. Single-label
+TLDs are implicit (the default "last two labels" rule needs no table
+entry). A deployment regenerates this file from the full PSL — same
+one-column schema holding RAW rule text (literal / ``*.`` / ``!``
+forms), no code change (operators/web.py parses + broadcasts it).
 
 Run from the repo root: python fixtures/gen_psl.py
 """
@@ -108,6 +111,28 @@ US_STATES = [
 ]
 
 
+# Wildcard ccTLDs / city registries with their exception rules, as
+# published in the ICANN section of the real PSL.
+WILDCARDS = [
+    "*.ck", "*.bd", "*.er", "*.jm", "*.kh", "*.mm",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+]
+EXCEPTIONS = [
+    "!www.ck",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp",
+]
+# Representative 4-label rules (private-section style, e.g. managed
+# platform subdomains) so the resolver's longer-than-3-label path is
+# exercised by the snapshot itself.
+FOUR_LABEL = [
+    "cdn.prod.atlassian-dev.net",
+    "eu.pages.dev.example-paas.net",
+]
+
+
 def main():
     suffixes = []
     for tld, seconds in SECOND_LEVEL.items():
@@ -117,6 +142,9 @@ def main():
         suffixes.append(f"{st}.us")
         for third in ("k12", "cc", "lib"):
             suffixes.append(f"{third}.{st}.us")
+    suffixes.extend(WILDCARDS)
+    suffixes.extend(EXCEPTIONS)
+    suffixes.extend(FOUR_LABEL)
     suffixes.sort()
     path = os.path.join(HERE, "public_suffix_snapshot.csv")
     with open(path, "w", newline="") as fh:

@@ -78,11 +78,47 @@ def test_registered_domain_psl_longest_match(spark):
     assert out["gov.uk"] == "gov.uk"
 
 
-def test_psl_joins_are_broadcast(spark):
+def test_registered_domain_psl_wildcard_exception(spark):
     from aquacache_spark.operators.web import load_psl, registered_domain_psl
 
+    psl = load_psl(spark)
+    hosts = [
+        "a.example.ck",       # *.ck: pub suffix example.ck
+        "example.ck",         # host IS a wildcard public suffix
+        "www.ck",             # !www.ck exception: pub suffix ck
+        "b.www.ck",           # under the exception: registered www.ck
+        "ck",                 # bare TLD
+        "x.y.kawasaki.jp",    # *.kawasaki.jp: pub suffix y.kawasaki.jp
+        "city.kawasaki.jp",   # exception: registered city.kawasaki.jp
+        "a.city.kawasaki.jp",
+        "s.cdn.prod.atlassian-dev.net",  # 4-label literal rule
+        "cdn.prod.atlassian-dev.net",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = {r["host"]: r["registered_domain"]
+           for r in registered_domain_psl(df, psl).collect()}
+    assert out["a.example.ck"] == "a.example.ck"
+    assert out["example.ck"] == "example.ck"
+    assert out["www.ck"] == "www.ck"
+    assert out["b.www.ck"] == "www.ck"
+    assert out["ck"] == "ck"
+    assert out["x.y.kawasaki.jp"] == "x.y.kawasaki.jp"
+    assert out["city.kawasaki.jp"] == "city.kawasaki.jp"
+    assert out["a.city.kawasaki.jp"] == "city.kawasaki.jp"
+    assert out["s.cdn.prod.atlassian-dev.net"] == \
+        "s.cdn.prod.atlassian-dev.net"
+    assert out["cdn.prod.atlassian-dev.net"] == \
+        "cdn.prod.atlassian-dev.net"
+
+
+def test_psl_joins_are_broadcast(spark):
+    from aquacache_spark.operators.web import (load_psl, psl_rules,
+                                               registered_domain_psl)
+
+    psl = load_psl(spark)
+    n_lens = len(psl_rules(psl))  # one broadcast join per rule length
     df = spark.createDataFrame([("a.co.uk",)], "host string")
-    p = registered_domain_psl(df, load_psl(spark))._jdf.queryExecution() \
+    p = registered_domain_psl(df, psl)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert p.count("BroadcastHashJoin") == 2
+    assert p.count("BroadcastHashJoin") == n_lens
     assert "SortMergeJoin" not in p and "Exchange hashpartitioning" not in p
