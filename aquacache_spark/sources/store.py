@@ -25,7 +25,9 @@ either the old or the new store, never a mixed one. Because commit
 manifests are retained, ``read(version=k)`` is Delta-style TIME
 TRAVEL (the audit/as-of emulation's storage analog); ``vacuum``
 drops old manifests and sweeps bucket dirs no retained commit
-references.
+references; ``optimize`` is the Delta-OPTIMIZE analog — a
+``dataChange=false`` compaction commit that collapses many-small-
+commit fragmentation into one version dir with one file per bucket.
 
 At 100 TB the same API maps 1:1 onto Delta MERGE with the bucket
 column as a clustering key; nothing above this module would change.
@@ -74,8 +76,12 @@ class ParquetMergeStore:
                     f"version {version} is not available (never committed "
                     "or vacuumed away)") from None
             raise
-        return {"version": m["version"],
-                "buckets": {int(k): int(v) for k, v in m["buckets"].items()}}
+        buckets = {int(k): int(v) for k, v in m["buckets"].items()}
+        # pre-optimize manifests carry no "data" map: every pointer
+        # move was a data change then, so the buckets map IS the map
+        data = ({int(k): int(v) for k, v in m["data"].items()}
+                if "data" in m else dict(buckets))
+        return {"version": m["version"], "buckets": buckets, "data": data}
 
     def _commit_manifest(self, manifest: dict) -> None:
         """Publish atomically: the retained per-commit manifest first,
@@ -215,9 +221,12 @@ class ParquetMergeStore:
         shape): rows tagged ``_change_type`` in {'insert', 'delete',
         'update_preimage', 'update_postimage'} plus ``_commit_version``.
 
-        Partition-pruned: only buckets whose version pointer moved
+        Partition-pruned: only buckets whose DATA version moved
         between the two manifests are read at all — untouched buckets
-        cost nothing, the same write-amplification unit as the merge."""
+        cost nothing, the same write-amplification unit as the merge.
+        Buckets whose pointer moved only because ``optimize`` rewrote
+        them are skipped too (the Delta ``dataChange=false`` CDF
+        semantics): a pure compaction commit contributes no changes."""
         retained = self._retained_versions()
         if to_version is None:
             to_version = self._load_manifest()["version"]
@@ -229,8 +238,8 @@ class ParquetMergeStore:
         m_from = self._load_manifest(since_version)
         m_to = self._load_manifest(to_version)
         changed = {
-            b for b in set(m_from["buckets"]) | set(m_to["buckets"])
-            if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+            b for b in set(m_from["data"]) | set(m_to["data"])
+            if m_from["data"].get(b) != m_to["data"].get(b)
         }
         old = self._read_buckets(m_from, changed)
         new = self._read_buckets(m_to, changed)
@@ -322,9 +331,57 @@ class ParquetMergeStore:
         manifest = {
             "version": version,
             "buckets": {b: version for b in buckets},
+            "data": {b: version for b in buckets},
         }
         self._commit_manifest(manifest)
         self._gc()
+
+    def optimize(self, buckets: Sequence[int] | None = None) -> dict:
+        """OPTIMIZE analog: rewrite the current snapshot (or just the
+        given buckets) into ONE new version dir, coalescing each
+        bucket to a single file. A pure compaction — no row changes:
+
+        - collapses the per-version fragmentation merges accumulate
+          (a current manifest referencing k version dirs makes
+          ``read()`` a k-way union; after optimize it is one scan);
+        - the commit is ``dataChange=false``: the manifest's ``data``
+          map keeps each bucket's last data-changing version, so
+          ``changes()`` across an optimize commit prunes to nothing
+          instead of full-outer-joining identical snapshots;
+        - time travel within retention is untouched (old manifests
+          still reference the old dirs; ``vacuum`` reclaims them).
+
+        Reference analog: R/maintain.R vacuum/analyze housekeeping;
+        lakehouse analog: Delta OPTIMIZE (bin-packing compaction).
+        Returns {'version', 'buckets_rewritten', 'dirs_before'}.
+        """
+        old = self._load_manifest()
+        target = (set(old["buckets"]) if buckets is None
+                  else {b for b in buckets if b in old["buckets"]})
+        if not target:
+            raise ValueError("no existing buckets to optimize")
+        dirs_before = len(set(old["buckets"].values()))
+        current = self._read_buckets(old, target)
+        version = old["version"] + 1
+        # one task per bucket -> one file per bucket: the small-file
+        # rewrite. At 100 TB this maps to Delta OPTIMIZE's bin packing
+        # (a bucket is the clustering unit, so per-bucket coalesce is
+        # the same file-layout contract).
+        self._write_version(
+            current.repartition(len(target), "bucket"), version)
+        written = set(self._written_buckets(version))
+        if written != target:
+            raise RuntimeError(
+                f"optimize rewrote buckets {sorted(written)} but expected "
+                f"{sorted(target)}")
+        new_buckets = dict(old["buckets"])
+        new_buckets.update({b: version for b in written})
+        manifest = {"version": version, "buckets": new_buckets,
+                    "data": dict(old["data"])}  # dataChange=false
+        self._commit_manifest(manifest)
+        self._gc()
+        return {"version": version, "buckets_rewritten": len(written),
+                "dirs_before": dirs_before}
 
     def merge(self, updates: DataFrame, on_conflict: str = "update") -> dict:
         """Upsert ``updates`` by key. Returns counts per action.
@@ -352,6 +409,7 @@ class ParquetMergeStore:
             manifest = {
                 "version": 1,
                 "buckets": {b: 1 for b in initial},
+                "data": {b: 1 for b in initial},
             }
             self._commit_manifest(manifest)
             n = updates.count()
@@ -378,9 +436,12 @@ class ParquetMergeStore:
 
         version = old["version"] + 1
         self._write_version(merged, version)
+        written = self._written_buckets(version)
         buckets = dict(old["buckets"])
-        buckets.update({b: version for b in self._written_buckets(version)})
-        manifest = {"version": version, "buckets": buckets}
+        buckets.update({b: version for b in written})
+        data = dict(old["data"])
+        data.update({b: version for b in written})
+        manifest = {"version": version, "buckets": buckets, "data": data}
         self._commit_manifest(manifest)
         self._gc()
         updates.unpersist()

@@ -220,6 +220,98 @@ def test_empty_commits_rejected(spark, tmp_path):
     assert store.read().count() == 1
 
 
+def test_optimize_compacts_preserving_history_and_cdf(spark, tmp_path):
+    """OPTIMIZE analog: many small merges fragment the current
+    snapshot across version dirs; optimize collapses it to ONE dir
+    with one file per bucket, changes nothing row-wise, is invisible
+    to the change feed (dataChange=false), and keeps time travel."""
+    import os
+
+    path = str(tmp_path / "store_opt")
+    store = ParquetMergeStore(spark, path, ["timeseries_id", "datetime"],
+                              n_buckets=8)
+    store.merge(make_df(
+        spark, [(i, "2024-01-01 00:00:00", float(i)) for i in range(16)]))
+    for k in range(1, 6):  # small commits touching single series
+        store.merge(make_df(spark, [(k, "2024-01-01 01:00:00", k * 10.0)]))
+    pre = store._load_manifest()
+    assert len(set(pre["buckets"].values())) > 1  # fragmented
+    key = lambda r: (r["timeseries_id"], str(r["datetime"]), r["value"])  # noqa: E731
+    pre_rows = sorted(key(r) for r in store.read().collect())
+
+    res = store.optimize()
+    m = store._load_manifest()
+    assert res["buckets_rewritten"] == len(m["buckets"])
+    assert set(m["buckets"].values()) == {m["version"]}  # one dir
+    for b in m["buckets"]:  # one file per bucket (small-file rewrite)
+        bdir = os.path.join(store._vdir(m["version"]), f"bucket={b}")
+        assert sum(f.endswith(".parquet") for f in os.listdir(bdir)) == 1
+    assert sorted(key(r) for r in store.read().collect()) == pre_rows
+    vdir = store._vdir(m["version"])
+    assert all(vdir in f for f in store.read().inputFiles())  # one scan
+    # dataChange=false: the optimize commit contributes NO changes
+    assert store.changes(pre["version"], m["version"]).count() == 0
+    # time travel to the pre-optimize snapshot still resolves
+    assert sorted(
+        key(r) for r in store.read(version=pre["version"]).collect()
+    ) == pre_rows
+    # a data merge AFTER optimize still produces a correct scoped feed
+    store.merge(make_df(spark, [(2, "2024-01-01 00:00:00", 999.0)]))
+    ch = store.changes(m["version"]).collect()
+    assert {r["_change_type"] for r in ch} == {
+        "update_preimage", "update_postimage"}
+    assert len(ch) == 2
+    # vacuum now reclaims the pre-optimize fragments
+    store.vacuum(retain_last=1)
+    live_dirs = {d for d in os.listdir(path)
+                 if d.startswith("v") and d[1:].isdigit()}
+    latest = store._load_manifest()
+    assert live_dirs == {f"v{v}" for v in set(latest["buckets"].values())}
+    assert sorted(key(r) for r in store.read().collect()) != pre_rows
+
+
+def test_optimize_partial_buckets(spark, tmp_path):
+    path = str(tmp_path / "store_opt2")
+    store = ParquetMergeStore(spark, path, ["timeseries_id", "datetime"],
+                              n_buckets=8)
+    store.merge(make_df(
+        spark, [(i, "2024-01-01 00:00:00", float(i)) for i in range(32)]))
+    store.merge(make_df(spark, [(3, "2024-01-01 01:00:00", 30.0)]))
+    m1 = store._load_manifest()
+    moved = [b for b, v in m1["buckets"].items() if v == m1["version"]]
+    res = store.optimize(buckets=moved)
+    m2 = store._load_manifest()
+    assert res["buckets_rewritten"] == len(moved)
+    for b, v in m2["buckets"].items():
+        assert v == (m2["version"] if b in moved else m1["buckets"][b])
+    assert store.changes(m1["version"], m2["version"]).count() == 0
+
+
+def test_manifest_accumulation_and_retention_sweep(spark, tmp_path):
+    """1000-commit metadata accumulation: retained-version listing and
+    vacuum's retention bound must stay correct (and fast) when the
+    commit history is three orders of magnitude past the tests above.
+    Only manifests are written — the data layer is exercised by the
+    merge tests; this pins the METADATA scaling of commit history."""
+    path = str(tmp_path / "store_hist")
+    store = ParquetMergeStore(spark, path, ["timeseries_id", "datetime"],
+                              n_buckets=4)
+    store.merge(make_df(spark, [(1, "2024-01-01 00:00:00", 1.0)]))
+    base = store._load_manifest()
+    for v in range(2, 1001):  # manifest-only commits (same bucket dirs)
+        store._commit_manifest({"version": v, "buckets": base["buckets"],
+                                "data": base["data"]})
+    assert store._retained_versions() == list(range(1, 1001))
+    assert store._load_manifest()["version"] == 1000
+    kept = store.vacuum(retain_last=5)
+    assert kept == [996, 997, 998, 999, 1000]
+    assert store.read(version=996).count() == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="not available"):
+        store.read(version=995)
+
+
 def test_delta_spark_recheck():
     """VERDICT r3 #4: back ParquetMergeStore with real Delta when the
     environment gains delta-spark. Rechecked round 4 (2026-08-14):
