@@ -90,49 +90,106 @@ def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
-def _build_huffman(bits, symbols):
-    """(length, code) -> symbol map from the canonical description."""
-    table = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = symbols[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _HuffTable:
+    """16-bit peek LUT (the libjpeg HUFF_LOOKAHEAD strategy, taken to
+    the full code width): every code of length L owns the 2^(16-L)
+    16-bit keys that extend it, so decoding one symbol is ONE list
+    index instead of up-to-16 per-bit probes. Prefix-freeness means
+    the pad/extension bits never change which symbol resolves."""
+
+    __slots__ = ("lens", "syms")
+
+    def __init__(self, bits, symbols):
+        # numpy scalar-broadcast fills (no temp lists), one tolist()
+        # each: list indexing beats numpy scalar indexing in the
+        # per-symbol decode loop
+        lens = np.zeros(65536, dtype=np.int32)
+        syms = np.zeros(65536, dtype=np.int32)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                start = code << (16 - length)
+                end = (code + 1) << (16 - length)
+                lens[start:end] = length
+                syms[start:end] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.lens = lens.tolist()
+        self.syms = syms.tolist()
+
+
+# Keyed by the canonical (bits, symbols) description: web corpora
+# overwhelmingly ship the Annex K example tables (and the fixture
+# encoder always does), so across a mapInPandas batch of images the
+# LUT builds amortize to zero instead of costing 2x64k fills per DHT
+# per image — decisive for thumbnail-sized inputs.
+_HUFF_CACHE: dict = {}
+
+
+def _build_huffman(bits, symbols) -> _HuffTable:
+    """Peek-LUT table from the canonical (bits, symbols) description,
+    cached per distinct table."""
+    key = (bytes(bits), bytes(symbols))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        if len(_HUFF_CACHE) >= 64:  # bound worker-resident memory
+            _HUFF_CACHE.clear()
+        t = _HuffTable(bits, symbols)
+        _HUFF_CACHE[key] = t
+    return t
 
 
 class _BitReader:
-    """MSB-first cursor over de-stuffed entropy bytes."""
+    """MSB-first cursor over de-stuffed entropy bytes.
+
+    Multi-bit reads go through a 3-4 byte ``int.from_bytes`` window
+    (one slice + shift per read) and symbol decode through the
+    :class:`_HuffTable` peek LUT — the per-SYMBOL cost replaces the
+    former per-BIT Python call, the decoder's documented throughput
+    bound. Reads that *start* past the end of the real data raise
+    loudly (truncated streams quarantine, never produce pixels); a
+    final symbol's code may extend into the zero padding, which is
+    safe because prefix-free codes resolve on their own bits."""
 
     __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: bytes):
-        self.data = data
+        self.data = data + b"\x00\x00\x00\x00"
         self.pos = 0  # bit position
+        self.nbits = len(data) * 8
 
     def get_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        bit = (byte >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return bit
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError("JPEG entropy data exhausted")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
 
     def get_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.get_bit()
-        return v
+        if n == 0:
+            return 0
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError("JPEG entropy data exhausted")
+        b = p >> 3
+        chunk = int.from_bytes(self.data[b:b + 4], "big")
+        self.pos = p + n
+        return (chunk >> (32 - (p & 7) - n)) & ((1 << n) - 1)
 
-    def decode_symbol(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.get_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+    def decode_symbol(self, table: _HuffTable) -> int:
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError("JPEG entropy data exhausted")
+        b = p >> 3
+        chunk = int.from_bytes(self.data[b:b + 3], "big")
+        key = (chunk >> (8 - (p & 7))) & 0xFFFF
+        length = table.lens[key]
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.pos = p + length
+        return table.syms[key]
 
 
 def _extend(v: int, nbits: int) -> int:
@@ -166,27 +223,102 @@ def _destuff(blob: bytes, pos: int):
     return bytes(data), i
 
 
-def _baseline_block(br: _BitReader, c: dict, preds: dict) -> np.ndarray:
-    blk = np.zeros(64, dtype=np.int64)
-    t = br.decode_symbol(c["hdc"])
-    diff = _extend(br.get_bits(t), t)
-    preds[c["id"]] += diff
-    blk[0] = preds[c["id"]]
-    k = 1
-    while k < 64:
-        rs = br.decode_symbol(c["hac"])
-        r, ssss = rs >> 4, rs & 0x0F
-        if ssss == 0:
-            if r == 15:
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC run past block end")
-        blk[k] = _extend(br.get_bits(ssss), ssss)
-        k += 1
-    return blk
+def _decode_baseline_scan(frame, order, ri, data) -> None:
+    """Baseline entropy decode, fully inlined: the bit cursor lives in
+    locals and each coefficient costs ONE 5-byte ``int.from_bytes``
+    window serving both the 16-bit symbol peek and the magnitude
+    receive — no per-coefficient method calls. This is the documented
+    throughput bound of the codec (module docstring), so the hot loop
+    trades abstraction for ~4x over the _BitReader path (which the
+    colder progressive scans still use)."""
+    buf = data + b"\x00\x00\x00\x00\x00"
+    nbits = len(data) * 8
+    pos = 0
+    preds = {c["id"]: 0 for c in order}
+
+    def block(c, idx):
+        nonlocal pos
+        p = pos
+        if p >= nbits:
+            raise ValueError("JPEG entropy data exhausted")
+        dlens, dsyms = c["hdc"].lens, c["hdc"].syms
+        alens, asyms = c["hac"].lens, c["hac"].syms
+        blk = [0] * 64
+        b = p >> 3
+        chunk = int.from_bytes(buf[b:b + 5], "big")
+        off = 40 - (p & 7)
+        key = (chunk >> (off - 16)) & 0xFFFF
+        t = dlens[key]
+        if t == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        cat = dsyms[key]
+        p += t
+        if cat:
+            v = (chunk >> (off - t - cat)) & ((1 << cat) - 1)
+            p += cat
+            preds[c["id"]] += (v if v >= (1 << (cat - 1))
+                               else v - (1 << cat) + 1)
+        blk[0] = preds[c["id"]]
+        k = 1
+        while k < 64:
+            if p >= nbits:
+                raise ValueError("JPEG entropy data exhausted")
+            b = p >> 3
+            chunk = int.from_bytes(buf[b:b + 5], "big")
+            off = 40 - (p & 7)
+            key = (chunk >> (off - 16)) & 0xFFFF
+            length = alens[key]
+            if length == 0:
+                raise ValueError("invalid JPEG Huffman code")
+            rs = asyms[key]
+            p += length
+            s = rs & 0x0F
+            if s == 0:
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("AC run past block end")
+            v = (chunk >> (off - length - s)) & ((1 << s) - 1)
+            p += s
+            blk[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            k += 1
+        pos = p
+        c["coef"][idx] = blk  # one bulk row store per block
+
+    def restart(unit_index):
+        nonlocal pos
+        if ri and unit_index and unit_index % ri == 0:
+            pos = (pos + 7) // 8 * 8
+            for cid in preds:
+                preds[cid] = 0
+
+    if len(order) > 1:  # interleaved MCU walk
+        unit = 0
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                restart(unit)
+                unit += 1
+                for c in order:
+                    bx, cv, chh = c["bx"], c["v"], c["h"]
+                    for vy in range(cv):
+                        for vx in range(chh):
+                            block(c, (my * cv + vy) * bx + mx * chh + vx)
+        return
+    # single-component scan: the MCU is one block over the component's
+    # own ceil(comp_w/8) x ceil(comp_h/8) grid (F.2.3)
+    c = order[0]
+    comp_w = -(-frame["w"] * c["h"] // frame["hmax"])
+    comp_h = -(-frame["h"] * c["v"] // frame["vmax"])
+    cw, ch = -(-comp_w // 8), -(-comp_h // 8)
+    unit = 0
+    for row in range(ch):
+        for col in range(cw):
+            restart(unit)
+            unit += 1
+            block(c, row * c["bx"] + col)
 
 
 def _ac_first_block(br, coef, hac, ss, se, al, state) -> None:
@@ -262,6 +394,8 @@ def _ac_refine_block(br, coef, hac, ss, se, al, state) -> None:
 
 def _decode_scan(frame, order, ss, se, ah, al, ri, data,
                  progressive) -> None:
+    if not progressive:  # baseline: the inlined hot loop
+        return _decode_baseline_scan(frame, order, ri, data)
     br = _BitReader(data)
     state = {"eobrun": 0}
     preds = {c["id"]: 0 for c in order}
@@ -275,10 +409,10 @@ def _decode_scan(frame, order, ss, se, ah, al, ri, data,
 
     interleaved = len(order) > 1
     if interleaved:
-        if progressive and ss != 0:
+        if ss != 0:
             raise ValueError(
                 "progressive AC scans must be non-interleaved")
-        # MCU walk: baseline full-band, or progressive DC (Ss=Se=0)
+        # MCU walk: progressive DC (Ss=Se=0)
         unit = 0
         for my in range(frame["mcus_y"]):
             for mx in range(frame["mcus_x"]):
@@ -289,10 +423,7 @@ def _decode_scan(frame, order, ss, se, ah, al, ri, data,
                         for vx in range(c["h"]):
                             idx = ((my * c["v"] + vy) * c["bx"]
                                    + mx * c["h"] + vx)
-                            if not progressive:
-                                c["coef"][idx] = _baseline_block(
-                                    br, c, preds)
-                            elif ah == 0:
+                            if ah == 0:
                                 t = br.decode_symbol(c["hdc"])
                                 diff = _extend(br.get_bits(t), t)
                                 preds[c["id"]] += diff
@@ -303,8 +434,7 @@ def _decode_scan(frame, order, ss, se, ah, al, ri, data,
     # non-interleaved scan (single component): the MCU is ONE block and
     # the walk covers the component's own ceil(comp_w/8) x ceil(comp_h/8)
     # grid — NOT the MCU-padded c["bx"]/c["by"] grid (F.2.3 / libjpeg
-    # per-component scan geometry). Holds for baseline single-component
-    # scans and for all progressive AC scans.
+    # per-component scan geometry). Holds for all progressive AC scans.
     c = order[0]
     comp_w = -(-frame["w"] * c["h"] // frame["hmax"])
     comp_h = -(-frame["h"] * c["v"] // frame["vmax"])
@@ -315,10 +445,7 @@ def _decode_scan(frame, order, ss, se, ah, al, ri, data,
             restart(unit)
             unit += 1
             blk = c["coef"][row * c["bx"] + col]
-            if not progressive:
-                c["coef"][row * c["bx"] + col] = _baseline_block(
-                    br, c, preds)
-            elif ss == 0:
+            if ss == 0:
                 if ah == 0:
                     t = br.decode_symbol(c["hdc"])
                     diff = _extend(br.get_bits(t), t)
@@ -327,9 +454,15 @@ def _decode_scan(frame, order, ss, se, ah, al, ri, data,
                 else:
                     blk[0] |= br.get_bit() << al
             elif ah == 0:
-                _ac_first_block(br, blk, c["hac"], ss, se, al, state)
+                # operate on a plain list: the per-coefficient walks in
+                # the AC scans pay Python-int costs, not numpy-scalar
+                lst = blk.tolist()
+                _ac_first_block(br, lst, c["hac"], ss, se, al, state)
+                blk[:] = lst
             else:
-                _ac_refine_block(br, blk, c["hac"], ss, se, al, state)
+                lst = blk.tolist()
+                _ac_refine_block(br, lst, c["hac"], ss, se, al, state)
+                blk[:] = lst
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
