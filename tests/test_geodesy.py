@@ -158,3 +158,57 @@ def test_direct_roundtrip_near_antipode(spark):
         assert abs(r["dest_lat"] - r["lat2"]) < 1e-6, r
         dlon = (r["dest_lon"] - r["lon2"] + 180) % 360 - 180
         assert abs(dlon) < 1e-6, r
+
+
+def test_direct_exact_matches_karney_table2():
+    """Karney (2013, Algorithms for geodesics) Table 2 published
+    direct-problem example: phi1=40, alpha1=30, s12=10,000 km."""
+    from aquacache_spark.functions.geodesy import geodesic_direct_exact
+
+    lat2, lon2, azi2 = geodesic_direct_exact(40.0, 0.0, 30.0, 10_000_000.0)
+    assert abs(lat2 - 41.79331020506) < 1e-9
+    assert abs(lon2 - 137.84490004377) < 1e-9
+    assert abs(azi2 - 149.09016931807) < 1e-9
+
+
+def test_direct_exact_roundtrips_through_exact_inverse():
+    """direct(p1, azi, s) -> p2, then inverse(p1, p2) must recover s
+    to sub-mm and azi to ~1e-8 deg — including the polar regime the
+    series direct solution coarsens in, long lines near the antipode,
+    and exact-equatorial lines."""
+    from aquacache_spark.functions.geodesy import (
+        geodesic_direct_exact, geodesic_inverse_exact)
+
+    cases = [(40.0, 0.0, 30.0, 10_000_000.0),
+             (-30.0, 10.0, 170.0, 5_000_000.0),
+             (80.0, 20.0, 10.0, 3_000_000.0),    # crosses the pole side
+             (89.5, 0.0, 45.0, 200_000.0),       # near-pole start
+             (-88.0, 120.0, 181.0, 500_000.0),
+             (0.0, 0.0, 90.0, 1_000_000.0),      # exact equatorial
+             (0.0, 0.0, 90.0, 19_000_000.0),     # long equatorial
+             (0.0, 5.0, 270.0, 2_000_000.0),     # westward equatorial
+             (12.0, -60.0, 95.0, 19_900_000.0),  # near-antipodal line
+             (45.0, 100.0, 359.0, 12_345_678.0)]
+    for (la, lo, az, s) in cases:
+        plat, plon, _azi2 = geodesic_direct_exact(la, lo, az, s)
+        d, a1 = geodesic_inverse_exact(la, lo, plat, plon)
+        assert abs(d - s) < 1e-3, (la, lo, az, s, d)
+        diff = abs(a1 - az % 360)
+        assert min(diff, 360 - diff) < 1e-7, (la, lo, az, a1)
+
+
+def test_inverse_exact_general_pairs_take_first_crossing():
+    """Regression for the former nearest-to-sigma1+pi crossing choice:
+    a plain 5,000 km SHORT arc must not resolve to the second latitude
+    crossing (the old code returned 6,744 km here), and equatorial
+    pairs short of (1-f)*pi resolve in closed form."""
+    import math as m
+
+    from aquacache_spark.functions.geodesy import geodesic_inverse_exact
+
+    d, a1 = geodesic_inverse_exact(-30.0, 10.0, -73.019236798, 34.746350141)
+    assert abs(d - 5_000_000.0) < 1.0
+    assert abs(a1 - 170.0) < 1e-6
+    d, a1 = geodesic_inverse_exact(0.0, 0.0, 0.0, 90.0)
+    assert abs(d - m.radians(90.0) * 6378137.0) < 1e-6
+    assert a1 == 90.0
