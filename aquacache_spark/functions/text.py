@@ -266,6 +266,67 @@ def c4_doc_flags(text: Column) -> tuple[Column, Column]:
     return low.contains("{"), low.contains("lorem ipsum")
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(text: Column, line_text: Column | None = None,
+                 min_words: int = 50, max_words: int = 100_000) -> dict:
+    """The full Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A 'quality filtering'), pure codegen:
+
+    - word count in [min_words, max_words];
+    - mean word length in [3, 10] (documents are single-space joined,
+      so the mean is (chars - (n-1)) / n — no per-token HOF);
+    - symbol-to-word ratio ('#' or '...') <= 0.1;
+    - <= 90% of lines start with a bullet ('- ' / '* ');
+    - <= 30% of lines end with an ellipsis;
+    - >= 80% of words contain at least one alphabetic character;
+    - at least 2 of the 8 required stopwords present.
+
+    ``line_text`` carries the line structure when the stored ``text``
+    is whitespace-normalized (the line rules run on it; the word rules
+    stay on ``text``). Returns a dict of named metric columns plus
+    ``keep``; mirror 1:1 in the DuckDB oracle."""
+    lt = line_text if line_text is not None else text
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = (F.length(text) - (n - 1)) / nd
+    hash_n = F.length(lt) - F.length(F.replace(lt, F.lit("#"), F.lit("")))
+    ell_n = (F.length(lt)
+             - F.length(F.replace(lt, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (hash_n + ell_n) / nd
+    lines = F.split(lt, "\n")
+    nl = F.size(lines).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda x: x.startswith("- ") | x.startswith("* "))) / nl
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda x: x.endswith("..."))) / nl
+    alpha_frac = F.size(F.filter(
+        toks, lambda w: w.rlike("[A-Za-z]"))) / nd
+    hits = None
+    for sw in GOPHER_STOPWORDS:
+        h = F.array_contains(toks, sw).cast("int")
+        hits = h if hits is None else hits + h
+    keep = (
+        (n >= min_words) & (n <= max_words)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9) & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8) & (hits >= 2)
+    )
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_frac": alpha_frac,
+        "stopword_hits": hits.cast("long"),
+        "keep": keep,
+    }
+
+
 def token_entropy_cols(df, text_col: str = "text",
                        entropy_col: str = "entropy",
                        distinct_col: str = "n_distinct"):

@@ -9515,6 +9515,171 @@ def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Full Gopher rule set (Rae et al. 2021 Appendix A) over documents
+# with a synthesized line structure: ' a ' becomes a bullet line
+# break, ' the ' an ellipsis line break, and every 7th doc gets two
+# '#' symbols — so every rule (bullet fraction, ellipsis fraction,
+# symbol ratio, stopword hits, word/length bounds) discriminates at
+# test SF instead of being constant. Word rules run on the original
+# text, line rules on the synthesized line text, mirrored exactly.
+_GOPHER_LT_SQL = """
+      '- ' || replace(replace(text, ' a ', chr(10) || '- '),
+                      ' the ', '...' || chr(10))
+      || (CASE WHEN doc_id % 7 = 0 THEN ' # #' ELSE '' END)
+"""
+
+_GOPHER_ORACLE = f"""
+    WITH lt AS (
+      SELECT doc_id, text, {_GOPHER_LT_SQL} AS lt FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             (len(text) - (len(string_split(text, ' ')) - 1))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mlen,
+             (len(lt) - len(replace(lt, '#', ''))
+              + (len(lt) - len(replace(lt, '...', ''))) / 3.0)
+               / len(string_split(text, ' ')) AS sym,
+             len(list_filter(string_split(lt, chr(10)),
+                 l -> starts_with(l, '- ') OR starts_with(l, '* ')))
+               / CAST(len(string_split(lt, chr(10))) AS DOUBLE) AS bf,
+             len(list_filter(string_split(lt, chr(10)),
+                 l -> ends_with(l, '...')))
+               / CAST(len(string_split(lt, chr(10))) AS DOUBLE) AS ef,
+             len(list_filter(string_split(text, ' '),
+                 w -> regexp_matches(w, '[A-Za-z]')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS af,
+             (CASE WHEN list_contains(string_split(text, ' '), 'the')
+                   THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(string_split(text, ' '), 'be')
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(string_split(text, ' '), 'to')
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(string_split(text, ' '), 'of')
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(string_split(text, ' '), 'and')
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(string_split(text, ' '), 'that')
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(string_split(text, ' '), 'have')
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(string_split(text, ' '), 'with')
+                     THEN 1 ELSE 0 END) AS hits
+      FROM lt
+    )
+    SELECT doc_id, n_words,
+           {R('mlen', 6)} AS mean_word_len,
+           {R('sym', 6)} AS symbol_ratio,
+           {R('bf', 6)} AS bullet_frac,
+           {R('ef', 6)} AS ellipsis_frac,
+           {R('af', 6)} AS alpha_frac,
+           hits AS stopword_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mlen >= 3.0 AND mlen <= 10.0 AND sym <= 0.1
+            AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
+            AND hits >= 2) AS keep
+    FROM m
+"""
+
+
+@register("gopher_quality_gate", oracle=_GOPHER_ORACLE)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher quality rules (functions/text.gopher_flags): word
+    bounds, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, required-stopword hits."""
+    from .functions.text import gopher_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    lt = F.concat(
+        F.lit("- "),
+        F.replace(
+            F.replace(F.col("text"), F.lit(" a "),
+                      F.concat(F.lit("\n"), F.lit("- "))),
+            F.lit(" the "), F.concat(F.lit("..."), F.lit("\n"))),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" # #")).otherwise(F.lit("")),
+    )
+    flags = gopher_flags(F.col("text"), line_text=lt)
+    out = docs.select("doc_id", *[
+        flags[name].alias(name)
+        for name in ("n_words", "mean_word_len", "symbol_ratio",
+                     "bullet_frac", "ellipsis_frac", "alpha_frac",
+                     "stopword_hits", "keep")
+    ])
+    return _round(out, {"mean_word_len": 6, "symbol_ratio": 6,
+                        "bullet_frac": 6, "ellipsis_frac": 6,
+                        "alpha_frac": 6})
+
+
+# BM25 top-k per probe query (operators/search.py): postings restricted
+# to query terms via broadcast, df computed on the restricted set,
+# per-term contributions quantized at 1e-6 and summed as longs so the
+# ranking is order-independent; ties broken by doc_id. The oracle
+# replays the identical quantized pipeline.
+_BM25_QUERIES = [(0, "spark join key"), (1, "table scan fast value"),
+                 (2, "window agg batch"), (3, "customer query line slow")]
+
+_BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+
+_BM25_ORACLE = f"""
+    WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
+    base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(toks) AS dl FROM base
+    ), stats AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl FROM dl
+    ), post AS (
+      SELECT doc_id, unnest(toks) AS term FROM base
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2
+    ), qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id, unnest(string_split(lower(query), ' ')) AS term
+        FROM q)
+    ), qterms AS (
+      SELECT DISTINCT term FROM qt
+    ), dfq AS (
+      SELECT term, count(*) AS df
+      FROM tf JOIN qterms USING (term) GROUP BY 1
+    ), contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(floor(
+               ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                  + 0.75 * dl.dl / (CAST(s.sumdl AS DOUBLE) / s.n)))
+               * 1000000.0 + 0.5) AS BIGINT) AS c
+      FROM tf
+      JOIN qt USING (term)
+      JOIN dfq ON tf.term = dfq.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    ), sc AS (
+      SELECT query_id, doc_id, sum(c) AS cl FROM contrib GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, doc_id, cl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cl DESC, doc_id) AS rn
+      FROM sc
+    )
+    SELECT query_id, doc_id,
+           {R('cl / 1000000.0', 6)} AS score
+    FROM ranked WHERE rn <= 5
+"""
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 per probe query (operators/search.bm25_topk)."""
+    from .operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query string")
+    out = bm25_topk(docs, queries, k=5)
+    return _round(out, {"score": 6})
+
+
 _GATE_ORACLE = f"""
     WITH m AS (
       SELECT doc_id,

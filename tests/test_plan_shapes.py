@@ -226,3 +226,29 @@ def test_gridded_ingest_joins_broadcast(spark):
         p = plan(spark, name)
         assert "SortMergeJoin" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_bm25_single_postings_scan_broadcast_joins(spark):
+    # the postings explode+aggregate appears ONCE (df is a count
+    # window over the query-term-restricted set, not a groupBy joined
+    # back, which would recompute the subtree); query terms and corpus
+    # stats join broadcast; no sort-merge anywhere; top-k is a
+    # WindowGroupLimit
+    import re
+
+    p = plan(spark, "bm25_topk")
+    postings = re.findall(r"hashpartitioning\(doc_id[^)]*__dl", p)
+    assert len(postings) == 1, postings
+    assert "SortMergeJoin" not in p
+    assert "WindowGroupLimit" in p
+    assert "EvalPython" not in p
+
+
+def test_gopher_gate_map_only(spark):
+    # the full Gopher rule set is one codegen'd projection — zero
+    # exchanges, zero joins, zero python
+    import re
+
+    p = plan(spark, "gopher_quality_gate")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
+    assert "Join" not in p and "EvalPython" not in p
