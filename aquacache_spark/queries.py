@@ -9680,6 +9680,258 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"score": 6})
 
 
+# Stream cross-section hydraulics (inst/patches/patch_54.R views 1-4,
+# operators/cross_section.py): points -> panel calculated hydraulics
+# -> manual/calculated preference -> section rollup (wetted width, net
+# /total area incl. ice+slush, discharge) -> preference again.
+# Synthesized hierarchy: orders rows are panels (orderkey % 37 -> 37
+# sections x ~400 panels at sf0.01), lineitems are point velocity
+# readings. All synthetic magnitudes are dyadic (k/16 multiples) so
+# products are exact; DERIVED sums/means go through the repo exact-sum
+# idiom on both sides.
+_XS_V_SQL = """
+      SELECT o_orderkey AS vertical_id,
+             o_orderkey % 37 AS xsection_id,
+             (o_orderkey % 13 + 1) * CAST(0.25 AS DOUBLE) AS panel_width_m,
+             CASE WHEN o_orderkey % 11 <> 0
+                  THEN (o_custkey % 17 + 1) * CAST(0.125 AS DOUBLE)
+             END AS panel_flowing_water_depth_m,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN (o_orderkey % 8) * CAST(0.25 AS DOUBLE)
+             END AS ice_thickness_m,
+             CASE WHEN o_orderkey % 10 = 1
+                  THEN (o_orderkey % 4 + 1) * CAST(0.125 AS DOUBLE)
+             END AS slush_ice_thickness_m,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN (o_orderkey % 9 + 2) * CAST(0.5 AS DOUBLE)
+             END AS panel_area_m2,
+             CASE WHEN o_orderkey % 6 = 0
+                  THEN (o_orderkey % 5 + 1) * CAST(0.0625 AS DOUBLE)
+             END AS panel_mean_velocity_m_s,
+             CASE WHEN o_orderkey % 9 = 0
+                  THEN (o_orderkey % 11 + 1) * CAST(0.25 AS DOUBLE)
+             END AS panel_discharge_m3_s,
+             o_orderkey % 2 = 0 AS use_calculated_values
+      FROM orders
+"""
+
+_XS_P_SQL = """
+      SELECT l_orderkey AS vertical_id,
+             (CAST(l_quantity AS BIGINT) % 30) * CAST(0.0625 AS DOUBLE)
+               + CAST(0.25 AS DOUBLE) AS velocity_m_s
+      FROM lineitem
+"""
+
+_XS_VV_SQL = f"""
+    v AS ({_XS_V_SQL}),
+    p AS ({_XS_P_SQL}),
+    pv AS (
+      SELECT vertical_id,
+             sum(CAST(floor(velocity_m_s * 1000000.0 + 0.5) AS BIGINT))
+               / 1000000.0 / count(velocity_m_s) AS pt_vel
+      FROM p GROUP BY 1
+    ), vc AS (
+      SELECT v.vertical_id,
+             CASE WHEN panel_width_m IS NOT NULL
+                   AND panel_flowing_water_depth_m IS NOT NULL
+                  THEN panel_width_m * panel_flowing_water_depth_m
+             END AS area_c,
+             pv.pt_vel AS vel_c,
+             CASE WHEN panel_width_m IS NOT NULL
+                   AND panel_flowing_water_depth_m IS NOT NULL
+                   AND pv.pt_vel IS NOT NULL
+                  THEN panel_width_m * panel_flowing_water_depth_m
+                       * pv.pt_vel
+             END AS dis_c
+      FROM v LEFT JOIN pv USING (vertical_id)
+    ), vv AS (
+      SELECT v.vertical_id, v.xsection_id, v.panel_width_m,
+             v.panel_flowing_water_depth_m, v.ice_thickness_m,
+             v.slush_ice_thickness_m, v.use_calculated_values,
+             CASE WHEN v.use_calculated_values
+                  THEN coalesce(vc.area_c, v.panel_area_m2)
+                  ELSE coalesce(v.panel_area_m2, vc.area_c)
+             END AS panel_area_m2,
+             CASE WHEN v.use_calculated_values
+                  THEN coalesce(vc.vel_c, v.panel_mean_velocity_m_s)
+                  ELSE coalesce(v.panel_mean_velocity_m_s, vc.vel_c)
+             END AS panel_mean_velocity_m_s,
+             CASE WHEN v.use_calculated_values
+                  THEN coalesce(vc.dis_c, v.panel_discharge_m3_s)
+                  ELSE coalesce(v.panel_discharge_m3_s, vc.dis_c)
+             END AS panel_discharge_m3_s
+      FROM v LEFT JOIN vc USING (vertical_id)
+    )
+"""
+
+_XS_PANEL_ORACLE = f"""
+    WITH {_XS_VV_SQL}
+    SELECT vertical_id, xsection_id,
+           {R('panel_area_m2', 6)} AS panel_area_m2,
+           {R('panel_mean_velocity_m_s', 6)} AS panel_mean_velocity_m_s,
+           {R('panel_discharge_m3_s', 6)} AS panel_discharge_m3_s
+    FROM vv
+"""
+
+
+def _xs_inputs(spark: SparkSession, sf_dir: str):
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    verticals = o.select(
+        k.alias("vertical_id"),
+        (k % 37).alias("xsection_id"),
+        ((k % 13 + 1) * 0.25).alias("panel_width_m"),
+        F.when(k % 11 != 0, (F.col("o_custkey") % 17 + 1) * 0.125)
+        .alias("panel_flowing_water_depth_m"),
+        F.when(k % 5 == 0, (k % 8) * 0.25).alias("ice_thickness_m"),
+        F.when(k % 10 == 1, (k % 4 + 1) * 0.125)
+        .alias("slush_ice_thickness_m"),
+        F.when(k % 7 == 0, (k % 9 + 2) * 0.5).alias("panel_area_m2"),
+        F.when(k % 6 == 0, (k % 5 + 1) * 0.0625)
+        .alias("panel_mean_velocity_m_s"),
+        F.when(k % 9 == 0, (k % 11 + 1) * 0.25)
+        .alias("panel_discharge_m3_s"),
+        (k % 2 == 0).alias("use_calculated_values"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    points = li.select(
+        F.col("l_orderkey").alias("vertical_id"),
+        ((F.col("l_quantity").cast("long") % 30) * 0.0625 + 0.25)
+        .alias("velocity_m_s"),
+    )
+    return verticals, points
+
+
+@register("cross_section_panel_hydraulics", oracle=_XS_PANEL_ORACLE)
+def cross_section_panel_hydraulics(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """patch_54 views 1+2: per-panel calculated hydraulics from point
+    velocities, resolved through the manual/calculated preference."""
+    from .operators.cross_section import verticals_view
+
+    verticals, points = _xs_inputs(spark, sf_dir)
+    out = verticals_view(verticals, points).select(
+        "vertical_id", "xsection_id", "panel_area_m2",
+        "panel_mean_velocity_m_s", "panel_discharge_m3_s")
+    return _round(out, {"panel_area_m2": 6, "panel_mean_velocity_m_s": 6,
+                        "panel_discharge_m3_s": 6})
+
+
+_XS_CS_SQL = """
+      SELECT DISTINCT o_orderkey % 37 AS xsection_id,
+             CASE WHEN (o_orderkey % 37) % 3 = 0
+                  THEN ((o_orderkey % 37) % 6 + 3) * CAST(0.5 AS DOUBLE)
+             END AS wetted_width_m,
+             CASE WHEN (o_orderkey % 37) % 4 = 1
+                  THEN ((o_orderkey % 37) % 7 + 5) * CAST(0.25 AS DOUBLE)
+             END AS total_area_m2,
+             CASE WHEN (o_orderkey % 37) % 4 = 2
+                  THEN ((o_orderkey % 37) % 5 + 4) * CAST(0.25 AS DOUBLE)
+             END AS net_area_m2,
+             CASE WHEN (o_orderkey % 37) % 5 = 0
+                  THEN ((o_orderkey % 37) % 9 + 1) * CAST(0.125 AS DOUBLE)
+             END AS avg_total_depth_m,
+             CASE WHEN (o_orderkey % 37) % 5 = 1
+                  THEN ((o_orderkey % 37) % 3 + 1) * CAST(0.125 AS DOUBLE)
+             END AS avg_velocity_m_s,
+             CASE WHEN (o_orderkey % 37) % 6 = 3
+                  THEN ((o_orderkey % 37) % 13 + 2) * CAST(0.5 AS DOUBLE)
+             END AS discharge_m3_s,
+             CASE WHEN (o_orderkey % 37) % 7 = 2
+                  THEN ((o_orderkey % 37) % 4 + 1) * CAST(0.125 AS DOUBLE)
+             END AS ice_avg_thickness_m,
+             CASE WHEN (o_orderkey % 37) % 7 = 4
+                  THEN ((o_orderkey % 37) % 6 + 1) * CAST(0.25 AS DOUBLE)
+             END AS ice_area_m2,
+             CASE WHEN (o_orderkey % 37) % 8 = 5
+                  THEN ((o_orderkey % 37) % 3 + 1) * CAST(0.0625 AS DOUBLE)
+             END AS slush_avg_thickness_m,
+             CASE WHEN (o_orderkey % 37) % 8 = 6
+                  THEN ((o_orderkey % 37) % 5 + 1) * CAST(0.125 AS DOUBLE)
+             END AS slush_area_m2,
+             (o_orderkey % 37) % 2 = 0 AS use_calculated_values
+      FROM orders
+"""
+
+_XS_ESUM = "sum(CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0"
+_XS_EMEAN = _XS_ESUM + " / count({x})"
+
+_XS_SECTION_ORACLE = f"""
+    WITH {_XS_VV_SQL},
+    cs AS ({_XS_CS_SQL}),
+    agg AS (
+      SELECT xsection_id,
+             {_XS_ESUM.format(x='panel_width_m')} AS ww_c,
+             {_XS_ESUM.format(x='panel_area_m2')} AS na_c,
+             {_XS_EMEAN.format(x='panel_flowing_water_depth_m')} AS ad_c,
+             {_XS_EMEAN.format(x='panel_mean_velocity_m_s')} AS av_c,
+             {_XS_ESUM.format(x='panel_discharge_m3_s')} AS q_c,
+             {_XS_EMEAN.format(x='ice_thickness_m')} AS it_c,
+             {_XS_ESUM.format(x='panel_width_m * ice_thickness_m')} AS ia_c,
+             {_XS_EMEAN.format(x='slush_ice_thickness_m')} AS st_c,
+             {_XS_ESUM.format(x='panel_width_m * slush_ice_thickness_m')}
+               AS sa_c
+      FROM vv GROUP BY 1
+    ), calc AS (
+      SELECT cs.xsection_id, a.ww_c, a.na_c, a.ad_c, a.av_c, a.q_c,
+             a.it_c, a.ia_c, a.st_c, a.sa_c,
+             CASE WHEN a.na_c IS NOT NULL OR a.ia_c IS NOT NULL
+                   OR a.sa_c IS NOT NULL
+                  THEN coalesce(a.na_c, 0) + coalesce(a.ia_c, 0)
+                       + coalesce(a.sa_c, 0)
+             END AS ta_c
+      FROM cs LEFT JOIN agg a USING (xsection_id)
+    )
+    SELECT cs.xsection_id, cs.use_calculated_values,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.ww_c, cs.wetted_width_m) ELSE coalesce(cs.wetted_width_m, c.ww_c) END", 6)} AS wetted_width_m,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.ta_c, cs.total_area_m2) ELSE coalesce(cs.total_area_m2, c.ta_c) END", 6)} AS total_area_m2,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.na_c, cs.net_area_m2) ELSE coalesce(cs.net_area_m2, c.na_c) END", 6)} AS net_area_m2,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.ad_c, cs.avg_total_depth_m) ELSE coalesce(cs.avg_total_depth_m, c.ad_c) END", 6)} AS avg_total_depth_m,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.av_c, cs.avg_velocity_m_s) ELSE coalesce(cs.avg_velocity_m_s, c.av_c) END", 6)} AS avg_velocity_m_s,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.q_c, cs.discharge_m3_s) ELSE coalesce(cs.discharge_m3_s, c.q_c) END", 6)} AS discharge_m3_s,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.it_c, cs.ice_avg_thickness_m) ELSE coalesce(cs.ice_avg_thickness_m, c.it_c) END", 6)} AS ice_avg_thickness_m,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.ia_c, cs.ice_area_m2) ELSE coalesce(cs.ice_area_m2, c.ia_c) END", 6)} AS ice_area_m2,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.st_c, cs.slush_avg_thickness_m) ELSE coalesce(cs.slush_avg_thickness_m, c.st_c) END", 6)} AS slush_avg_thickness_m,
+           {R("CASE WHEN cs.use_calculated_values THEN coalesce(c.sa_c, cs.slush_area_m2) ELSE coalesce(cs.slush_area_m2, c.sa_c) END", 6)} AS slush_area_m2
+    FROM cs JOIN calc c USING (xsection_id)
+"""
+
+
+@register("cross_section_discharge", oracle=_XS_SECTION_ORACLE)
+def cross_section_discharge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """patch_54 views 3+4 end-to-end: section hydraulics rolled up
+    from preferred panel values, then resolved through the section
+    preference ladder (operators/cross_section.cross_sections_view)."""
+    from .operators.cross_section import cross_sections_view
+
+    verticals, points = _xs_inputs(spark, sf_dir)
+    x = F.col("xsection_id")
+    cs = verticals.select("xsection_id").distinct().select(
+        "xsection_id",
+        F.when(x % 3 == 0, (x % 6 + 3) * 0.5).alias("wetted_width_m"),
+        F.when(x % 4 == 1, (x % 7 + 5) * 0.25).alias("total_area_m2"),
+        F.when(x % 4 == 2, (x % 5 + 4) * 0.25).alias("net_area_m2"),
+        F.when(x % 5 == 0, (x % 9 + 1) * 0.125).alias("avg_total_depth_m"),
+        F.when(x % 5 == 1, (x % 3 + 1) * 0.125).alias("avg_velocity_m_s"),
+        F.when(x % 6 == 3, (x % 13 + 2) * 0.5).alias("discharge_m3_s"),
+        F.when(x % 7 == 2, (x % 4 + 1) * 0.125)
+        .alias("ice_avg_thickness_m"),
+        F.when(x % 7 == 4, (x % 6 + 1) * 0.25).alias("ice_area_m2"),
+        F.when(x % 8 == 5, (x % 3 + 1) * 0.0625)
+        .alias("slush_avg_thickness_m"),
+        F.when(x % 8 == 6, (x % 5 + 1) * 0.125).alias("slush_area_m2"),
+        (x % 2 == 0).alias("use_calculated_values"),
+    )
+    out = cross_sections_view(cs, verticals, points).select(
+        "xsection_id", "use_calculated_values", "wetted_width_m",
+        "total_area_m2", "net_area_m2", "avg_total_depth_m",
+        "avg_velocity_m_s", "discharge_m3_s", "ice_avg_thickness_m",
+        "ice_area_m2", "slush_avg_thickness_m", "slush_area_m2")
+    return _round(out, {c: 6 for c in out.columns
+                        if c not in ("xsection_id",
+                                     "use_calculated_values")})
+
+
 _GATE_ORACLE = f"""
     WITH m AS (
       SELECT doc_id,
