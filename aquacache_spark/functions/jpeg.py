@@ -156,7 +156,9 @@ class _BitReader:
     __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: bytes):
-        self.data = data + b"\x00\x00\x00\x00"
+        # 5 pad bytes: the widest inlined window is 5 bytes (symbol
+        # peek + magnitude receive from one int.from_bytes)
+        self.data = data + b"\x00\x00\x00\x00\x00"
         self.pos = 0  # bit position
         self.nbits = len(data) * 8
 
@@ -322,58 +324,99 @@ def _decode_baseline_scan(frame, order, ri, data) -> None:
 
 
 def _ac_first_block(br, coef, hac, ss, se, al, state) -> None:
-    """Progressive AC initial scan (Ah=0) for one block's band."""
+    """Progressive AC initial scan (Ah=0) for one block's band.
+    Inlined bit cursor (same discipline as _decode_baseline_scan):
+    one 5-byte window serves the symbol peek and the receive."""
     if state["eobrun"] > 0:
         state["eobrun"] -= 1
         return
+    buf, nbits = br.data, br.nbits
+    p = br.pos
+    lens, syms = hac.lens, hac.syms
     k = ss
     while k <= se:
-        rs = br.decode_symbol(hac)
+        if p >= nbits:
+            raise ValueError("JPEG entropy data exhausted")
+        b = p >> 3
+        chunk = int.from_bytes(buf[b:b + 5], "big")
+        off = 40 - (p & 7)
+        key = (chunk >> (off - 16)) & 0xFFFF
+        length = lens[key]
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        rs = syms[key]
+        p += length
         r, s = rs >> 4, rs & 0x0F
         if s == 0:
             if r < 15:
                 state["eobrun"] = (1 << r) - 1
                 if r:
-                    state["eobrun"] += br.get_bits(r)
-                return
+                    state["eobrun"] += (
+                        chunk >> (off - length - r)) & ((1 << r) - 1)
+                    p += r
+                break
             k += 16
             continue
         k += r
         if k > se:
             raise ValueError("AC run past spectral band end")
-        coef[k] = _extend(br.get_bits(s), s) << al
+        v = (chunk >> (off - length - s)) & ((1 << s) - 1)
+        p += s
+        coef[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
         k += 1
+    br.pos = p
 
 
 def _ac_refine_block(br, coef, hac, ss, se, al, state) -> None:
     """Progressive AC refinement scan (Ah>0): libjpeg's
     decode_mcu_AC_refine — newly-significant coefficients arrive as
     ±1<<Al, already-significant ones take a correction bit as the
-    cursor passes them."""
+    cursor passes them. Inlined bit cursor; correction bits are
+    single-byte reads (they never cross a window)."""
     p1 = 1 << al
     m1 = -1 << al
+    buf, nbits = br.data, br.nbits
+    p = br.pos
+    lens, syms = hac.lens, hac.syms
     k = ss
     if state["eobrun"] == 0:
         while k <= se:
-            rs = br.decode_symbol(hac)
+            if p >= nbits:
+                raise ValueError("JPEG entropy data exhausted")
+            b = p >> 3
+            chunk = int.from_bytes(buf[b:b + 5], "big")
+            off = 40 - (p & 7)
+            key = (chunk >> (off - 16)) & 0xFFFF
+            length = lens[key]
+            if length == 0:
+                raise ValueError("invalid JPEG Huffman code")
+            rs = syms[key]
+            p += length
             r, s = rs >> 4, rs & 0x0F
             val = 0
             if s == 0:
                 if r < 15:
                     state["eobrun"] = 1 << r
                     if r:
-                        state["eobrun"] += br.get_bits(r)
+                        state["eobrun"] += (
+                            chunk >> (off - length - r)) & ((1 << r) - 1)
+                        p += r
                     break
                 # r == 15 (ZRL): skip 16 zero-history positions
             else:
                 if s != 1:
                     raise ValueError("bad refinement magnitude category")
-                val = p1 if br.get_bit() else m1
+                val = p1 if (chunk >> (off - length - 1)) & 1 else m1
+                p += 1
             while k <= se:
-                if coef[k] != 0:
-                    if br.get_bit():
-                        if (int(coef[k]) & p1) == 0:
-                            coef[k] += p1 if coef[k] >= 0 else m1
+                ck = coef[k]
+                if ck != 0:
+                    if p >= nbits:
+                        raise ValueError("JPEG entropy data exhausted")
+                    bit = (buf[p >> 3] >> (7 - (p & 7))) & 1
+                    p += 1
+                    if bit and (ck & p1) == 0:
+                        coef[k] = ck + (p1 if ck >= 0 else m1)
                 else:
                     if r == 0:
                         break
@@ -384,12 +427,17 @@ def _ac_refine_block(br, coef, hac, ss, se, al, state) -> None:
             k += 1
     if state["eobrun"] > 0:
         while k <= se:
-            if coef[k] != 0:
-                if br.get_bit():
-                    if (int(coef[k]) & p1) == 0:
-                        coef[k] += p1 if coef[k] >= 0 else m1
+            ck = coef[k]
+            if ck != 0:
+                if p >= nbits:
+                    raise ValueError("JPEG entropy data exhausted")
+                bit = (buf[p >> 3] >> (7 - (p & 7))) & 1
+                p += 1
+                if bit and (ck & p1) == 0:
+                    coef[k] = ck + (p1 if ck >= 0 else m1)
             k += 1
         state["eobrun"] -= 1
+    br.pos = p
 
 
 def _decode_scan(frame, order, ss, se, ah, al, ri, data,

@@ -337,7 +337,7 @@ def main() -> None:
         time.perf_counter() - t0, 2)
     assert (_px == _pxp).all()  # same quantized coefficients
     assert timings["jpeg_decode_512"] < 0.6, timings["jpeg_decode_512"]
-    assert timings["jpeg_progressive_decode_512"] < 0.9, \
+    assert timings["jpeg_progressive_decode_512"] < 0.75, \
         timings["jpeg_progressive_decode_512"]
 
     # ---- document tier: dedup/fingerprint machinery at 20x bench scale
