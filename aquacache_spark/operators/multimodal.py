@@ -742,6 +742,144 @@ def synthesize_progressive_jpegs(
 
 
 # ---------------------------------------------------------------------------
+# Perceptual hashing (pHash): decode -> grayscale -> 32x32 block-mean
+# pool -> 2D DCT -> top-left 8x8 band (DC excluded) -> 63-bit
+# signature. The image-side near-duplicate detector: identical or
+# lightly re-encoded/re-scaled images land within a few Hamming bits,
+# then dedup.simhash_near_pairs' pigeonhole banding finds pairs
+# without an all-pairs join. Two threshold modes:
+#
+# - 'median' (the classic pHash, production default): bit = coefficient
+#   above the band median — illumination-invariant, ~32 bits set, well
+#   spread across bands;
+# - 'fixed' (the differential-oracle regime): bit = quantized
+#   coefficient > tau. Median thresholding ranks near-zero noise
+#   coefficients, so a one-count pixel difference (e.g. a libm cos ulp
+#   between engines) can flip noise-rank bits — a determinism hazard
+#   for cross-engine verification, not a robustness feature. The fixed
+#   threshold keeps every bit decided by a >= 6-sigma margin, so the
+#   DuckDB oracle can replay pixels -> DCT -> hash exactly.
+# ---------------------------------------------------------------------------
+
+_PHASH_Q = 1_000_000  # coefficient quantum (repo exact-sum idiom)
+
+
+def _dct_basis(n: int):
+    import numpy as np
+
+    t = np.arange(n)
+    b = np.cos((2 * t[None, :] + 1) * np.arange(n)[:, None] * np.pi
+               / (2 * n))
+    b *= np.sqrt(2.0 / n)
+    b[0] *= np.sqrt(0.5)
+    return b
+
+
+def phash64(gray, method: str = "median", tau: float = 100.0) -> int:
+    """(h, w) uint8 grayscale -> 63-bit perceptual hash (top-left 8x8
+    DCT band, DC excluded; bit index = u*8 + v - 1, row-major)."""
+    import numpy as np
+
+    img = np.asarray(gray, dtype=np.float64)
+    h, w = img.shape
+    if (h, w) != (32, 32):  # block-mean pool onto the 32x32 grid
+        ph, pw = h // 32, w // 32
+        if ph < 1 or pw < 1:
+            raise ValueError("pHash input must be at least 32x32")
+        img = img[:ph * 32, :pw * 32].reshape(32, ph, 32, pw).mean((1, 3))
+    b = _dct_basis(32)
+    c = b @ img.T @ b.T  # C[u, v]: u along x (cols), v along y (rows)
+    band = c[:8, :8]
+    q = np.floor(band * _PHASH_Q + 0.5).astype(np.int64).reshape(64)[1:]
+    if method == "median":
+        thr = int(np.median(q))
+    elif method == "fixed":
+        thr = int(tau * _PHASH_Q)
+    else:
+        raise ValueError("method must be 'median' or 'fixed'")
+    bits = q > thr
+    return int(sum(1 << i for i in range(63) if bits[i]))
+
+
+def extract_image_phash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+    method: str = "median",
+    tau: float = 100.0,
+) -> DataFrame:
+    """(id, phash) over BMP blobs — map-only Arrow kernel; undecodable
+    inputs quarantine as NULL hash."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for blob in pdf[blob_col]:
+                try:
+                    px = decode_bmp(bytes(blob))
+                    gray = np.asarray(px[:, :, 0], dtype=np.float64)
+                    out.append(phash64(gray, method=method, tau=tau))
+                except (ValueError, IndexError):
+                    out.append(None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "phash": pd.Series(out, dtype="Int64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def synthesize_pattern_bmps(
+    df: DataFrame,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """32x32 grayscale cosine-pattern BMPs (lossless, via the real BMP
+    writer): item i superposes three DCT basis modes selected by its
+    PATTERN KEY i % 16 — so items sharing a key are near-duplicates
+    (identical hash; amplitudes carry a small per-item jitter that
+    moves pixels but no hash bit) — at amplitudes (40 + i % 3, 25, 15)
+    around mid-gray. No clipping occurs (128 +- 83), so the DCT
+    coefficients are the closed form 16*amplitude at the chosen modes
+    and rounding noise (<= ~32 pre-quantization) everywhere else: every
+    hash bit is decided by a wide margin the SQL oracle reproduces."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        x = np.arange(32)[None, :]
+        y = np.arange(32)[:, None]
+
+        def mode(u, v):
+            return (np.cos((2 * x + 1) * u * np.pi / 64.0)
+                    * np.cos((2 * y + 1) * v * np.pi / 64.0))
+
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                p = int(i) % 16
+                img = (128.0
+                       + (40 + int(i) % 3) * mode(p % 7 + 1, p % 5 + 1)
+                       + 25 * mode(p % 6 + 1, p % 4 + 2)
+                       + 15 * mode(p % 5 + 2, p % 3 + 3))
+                g = np.clip(np.floor(img + 0.5), 0, 255).astype(np.uint8)
+                blobs.append(encode_bmp(np.stack([g, g, g], axis=-1)))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
 # VIDEO: MJPEG-in-AVI (functions/avi.py) — container walk + frame
 # SAMPLING + per-frame decode through the real JPEG codec. Sampling
 # first means unsampled frame payloads are never entropy-decoded (the

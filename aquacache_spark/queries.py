@@ -9680,6 +9680,83 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"score": 6})
 
 
+# Image near-duplicate detection via perceptual hashing
+# (operators/multimodal.phash64 + extract_image_phash + dedup.
+# simhash_near_pairs): lossless cosine-pattern BMPs -> real BMP decode
+# -> 32x32 DCT -> 63-bit signature (fixed-threshold oracle regime;
+# every bit decided by a wide margin) -> pigeonhole-banded pairs.
+# Items sharing a pattern key are near-duplicates (hamming 0 despite
+# per-item amplitude jitter moving pixels). The oracle replays pixels
+# -> DCT -> hash -> pairs numerically; hamming <= 2 < 4 bands makes
+# the pigeonhole banding lossless, so the oracle's all-pairs filter is
+# the same set.
+_PHASH_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 16 AS p
+      FROM documents WHERE doc_id % 4 = 2
+    ), grid AS (
+      SELECT unnest(range(0, 32)) AS t
+    ), px AS (
+      SELECT i.media_id, yy.t AS y, xx.t AS x,
+             least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+               floor(128.0
+                 + (40 + i.media_id % 3)
+                   * cos((2*xx.t+1) * (i.p % 7 + 1) * pi() / 64.0)
+                   * cos((2*yy.t+1) * (i.p % 5 + 1) * pi() / 64.0)
+                 + 25 * cos((2*xx.t+1) * (i.p % 6 + 1) * pi() / 64.0)
+                      * cos((2*yy.t+1) * (i.p % 4 + 2) * pi() / 64.0)
+                 + 15 * cos((2*xx.t+1) * (i.p % 5 + 2) * pi() / 64.0)
+                      * cos((2*yy.t+1) * (i.p % 3 + 3) * pi() / 64.0)
+                 + 0.5))) AS v
+      FROM ids i, grid xx, grid yy
+    ), uv AS (
+      SELECT uu.t AS u, vv.t AS v
+      FROM (SELECT unnest(range(0, 8)) AS t) uu,
+           (SELECT unnest(range(0, 8)) AS t) vv
+      WHERE NOT (uu.t = 0 AND vv.t = 0)
+    ), coef AS (
+      SELECT p.media_id, uv.u, uv.v,
+             CAST(floor(sum(p.v
+               * (CASE WHEN uv.u = 0 THEN sqrt(1.0/32.0)
+                       ELSE sqrt(2.0/32.0) END)
+               * cos((2*p.x+1) * uv.u * pi() / 64.0)
+               * (CASE WHEN uv.v = 0 THEN sqrt(1.0/32.0)
+                       ELSE sqrt(2.0/32.0) END)
+               * cos((2*p.y+1) * uv.v * pi() / 64.0)
+             ) * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM px p, uv GROUP BY 1, 2, 3
+    ), hashes AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN q > 100000000
+                      THEN (CAST(1 AS BIGINT) << (u * 8 + v - 1))
+                      ELSE 0 END) AS BIGINT) AS phash
+      FROM coef GROUP BY 1
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
+@register("image_phash_near_dup", oracle=_PHASH_ORACLE)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-duplicate pairs over decoded images: BMP decode ->
+    32x32 DCT signature -> pigeonhole-banded pair join."""
+    from .operators.dedup import simhash_near_pairs
+    from .operators.multimodal import (extract_image_phash,
+                                       synthesize_pattern_bmps)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 4 == 2).select(
+        F.col("doc_id").alias("media_id"))
+    hashes = extract_image_phash(
+        synthesize_pattern_bmps(ids), method="fixed", tau=100.0)
+    return simhash_near_pairs(
+        hashes, id_col="media_id", sig_col="phash",
+        bits=64, bands=4, max_hamming=2)
+
+
 # Stream cross-section hydraulics (inst/patches/patch_54.R views 1-4,
 # operators/cross_section.py): points -> panel calculated hydraulics
 # -> manual/calculated preference -> section rollup (wetted width, net

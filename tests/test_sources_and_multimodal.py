@@ -354,3 +354,48 @@ def test_avi_container_roundtrip_and_quarantine(spark):
     assert rows[1]["decoded"] and rows[1]["n_sampled"] == 3
     assert rows[1]["mean_luma"] == (50 + 70 + 90) / 3.0
     assert not rows[2]["decoded"]
+
+
+def test_phash_modes_and_pooling():
+    import numpy as np
+
+    from aquacache_spark.operators.multimodal import (decode_bmp,
+                                                      encode_bmp, phash64,
+                                                      synthesize_pattern_bmps)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 200, (64, 64)).astype(np.uint8)
+    # deterministic; 64x64 exercises the block-mean pooling path
+    assert phash64(img, "median") == phash64(img, "median")
+    # median mode: brightness shift moves only DC -> hash ~unchanged
+    shifted = np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8)
+    d = bin(phash64(img, "median") ^ phash64(shifted, "median")).count("1")
+    assert d <= 6
+    # too-small input fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="at least 32x32"):
+        phash64(img[:16, :16])
+    # fixed mode on a cosine-pattern fixture: exactly the 3 chosen
+    # mode bits are set (every bit decided by a wide margin)
+    i, p = 18, 18 % 16
+    x = np.arange(32)[None, :]
+    y = np.arange(32)[:, None]
+
+    def mode(u, v):
+        return (np.cos((2 * x + 1) * u * np.pi / 64.0)
+                * np.cos((2 * y + 1) * v * np.pi / 64.0))
+
+    g = np.clip(np.floor(
+        128.0 + (40 + i % 3) * mode(p % 7 + 1, p % 5 + 1)
+        + 25 * mode(p % 6 + 1, p % 4 + 2)
+        + 15 * mode(p % 5 + 2, p % 3 + 3) + 0.5), 0, 255).astype(np.uint8)
+    got = phash64(g, "fixed", 100.0)
+    expect = sum(1 << (u * 8 + v - 1) for u, v in
+                 ((p % 7 + 1, p % 5 + 1), (p % 6 + 1, p % 4 + 2),
+                  (p % 5 + 2, p % 3 + 3)))
+    assert got == expect
+    # and the BMP round trip preserves it
+    blob = encode_bmp(np.stack([g, g, g], axis=-1))
+    assert phash64(decode_bmp(blob)[:, :, 0], "fixed", 100.0) == expect
+    assert synthesize_pattern_bmps is not None
