@@ -835,6 +835,102 @@ def extract_image_phash(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprinting: the Haitsma-Kalker/Shazam-family shape reduced
+# to EXACT integer arithmetic — per-frame per-band energies (sums of
+# squared PCM samples, int64-exact) and sign-of-delta bits across
+# adjacent frames. Monotone gain changes scale every energy by the
+# same factor, so re-levelled copies of a recording fingerprint
+# identically; the pair stage reuses the pigeonhole banding. All-int
+# energies make the DuckDB oracle an exact replay, no float-sum risk.
+# ---------------------------------------------------------------------------
+
+_FP_FRAMES = 16   # frames considered
+_FP_FRAME = 256   # samples per frame
+_FP_BANDS = 4     # sub-bands per frame (time-domain energy quarters)
+
+
+def audio_fingerprint64(samples) -> int:
+    """int16 PCM -> 60-bit fingerprint: bit b*15+f set iff band b's
+    energy RISES from frame f to f+1 (f < 15). Exact integer sums."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    need = _FP_FRAMES * _FP_FRAME
+    if s.size < need:
+        s = np.pad(s, (0, need - s.size))
+    s = s[:need]
+    e = (s * s).reshape(_FP_FRAMES, _FP_BANDS,
+                        _FP_FRAME // _FP_BANDS).sum(axis=2)
+    fp = 0
+    for b in range(_FP_BANDS):
+        for f in range(_FP_FRAMES - 1):
+            if e[f + 1, b] > e[f, b]:
+                fp |= 1 << (b * (_FP_FRAMES - 1) + f)
+    return fp
+
+
+def extract_audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """(id, fingerprint) over WAV blobs — map-only Arrow kernel;
+    undecodable inputs quarantine as NULL."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for blob in pdf[blob_col]:
+                try:
+                    _rate, _ch, samples = decode_wav(bytes(blob))
+                    out.append(audio_fingerprint64(samples[:, 0]))
+                except (ValueError, IndexError):
+                    out.append(None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "fingerprint": pd.Series(out, dtype="Int64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def synthesize_tone_wavs(
+    df: DataFrame,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """16-frame WAV fixtures for the fingerprint tier: item i plays
+    the waveform of its GROUP i % 8 — sample k is
+    (1 + i % 3) * (((i % 8) * 37 + k * 101) % 4001 - 2000) — so items
+    sharing a group are re-levelled copies (per-item gain 1-3x) that
+    must fingerprint identically; encoded through the real PCM16
+    writer."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    n = _FP_FRAMES * _FP_FRAME
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        k = np.arange(n)
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                g = int(i) % 8
+                base = ((g * 37 + k * 101) % 4001) - 2000
+                blobs.append(encode_wav((1 + int(i) % 3) * base))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
 def synthesize_pattern_bmps(
     df: DataFrame,
     id_col: str = "media_id",

@@ -9757,6 +9757,61 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=64, bands=4, max_hamming=2)
 
 
+# Audio near-duplicate detection (operators/multimodal.
+# audio_fingerprint64): real WAV decode -> per-frame per-band EXACT
+# integer energies -> sign-of-delta bits -> pigeonhole-banded pairs.
+# Group twins are re-levelled copies (1-3x gain) that must fingerprint
+# identically (energies scale uniformly, comparisons unchanged). The
+# oracle replays samples -> energies -> bits -> pairs in exact integer
+# arithmetic; hamming <= 3 < 4 bands keeps the banding lossless.
+_AUDIO_FP_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 8 AS g, 1 + doc_id % 3 AS fac
+      FROM documents WHERE doc_id % 4 = 3
+    ), t AS (
+      SELECT unnest(range(0, 4096)) AS k
+    ), s AS (
+      SELECT media_id, k // 256 AS f, (k % 256) // 64 AS b,
+             fac * (((g * 37 + k * 101) % 4001) - 2000) AS v
+      FROM ids, t
+    ), e AS (
+      SELECT media_id, f, b, sum(v * v) AS e FROM s GROUP BY 1, 2, 3
+    ), bits AS (
+      SELECT a.media_id, a.b * 15 + a.f AS idx, (n.e > a.e) AS bit
+      FROM e a JOIN e n ON a.media_id = n.media_id AND a.b = n.b
+                        AND n.f = a.f + 1
+      WHERE a.f < 15
+    ), fp AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN bit
+                      THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+                  AS BIGINT) AS fingerprint
+      FROM bits GROUP BY 1
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+"""
+
+
+@register("audio_fingerprint_near_dup", oracle=_AUDIO_FP_ORACLE)
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: WAV decode -> integer band-energy
+    fingerprint -> pigeonhole-banded pair join."""
+    from .operators.dedup import simhash_near_pairs
+    from .operators.multimodal import (extract_audio_fingerprint,
+                                       synthesize_tone_wavs)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 4 == 3).select(
+        F.col("doc_id").alias("media_id"))
+    fps = extract_audio_fingerprint(synthesize_tone_wavs(ids))
+    return simhash_near_pairs(
+        fps, id_col="media_id", sig_col="fingerprint",
+        bits=60, bands=4, max_hamming=3)
+
+
 # Stream cross-section hydraulics (inst/patches/patch_54.R views 1-4,
 # operators/cross_section.py): points -> panel calculated hydraulics
 # -> manual/calculated preference -> section rollup (wetted width, net

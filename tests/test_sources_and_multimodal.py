@@ -399,3 +399,28 @@ def test_phash_modes_and_pooling():
     blob = encode_bmp(np.stack([g, g, g], axis=-1))
     assert phash64(decode_bmp(blob)[:, :, 0], "fixed", 100.0) == expect
     assert synthesize_pattern_bmps is not None
+
+
+def test_audio_fingerprint_gain_invariance():
+    import numpy as np
+
+    from aquacache_spark.operators.multimodal import (audio_fingerprint64,
+                                                      decode_wav, encode_wav)
+
+    k = np.arange(4096)
+    base = ((3 * 37 + k * 101) % 4001) - 2000
+    fp1 = audio_fingerprint64(base)
+    # re-levelled copies fingerprint identically (energies scale by
+    # the square of the gain; comparisons unchanged)
+    assert audio_fingerprint64(2 * base) == fp1
+    assert audio_fingerprint64(3 * base) == fp1
+    assert fp1 != 0 and fp1 < (1 << 60)
+    # a different waveform differs
+    other = ((5 * 37 + k * 101) % 4001) - 2000
+    assert audio_fingerprint64(other) != fp1
+    # short input zero-pads (trailing-silence frames decided as drops)
+    assert audio_fingerprint64(base[:1000]) == audio_fingerprint64(
+        np.pad(base[:1000], (0, 4096 - 1000)))
+    # survives the real PCM16 round trip
+    _r, _c, arr = decode_wav(encode_wav(base))
+    assert audio_fingerprint64(arr[:, 0]) == fp1
