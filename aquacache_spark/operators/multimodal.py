@@ -742,6 +742,110 @@ def synthesize_progressive_jpegs(
 
 
 # ---------------------------------------------------------------------------
+# Video temporal fingerprint: decode every frame through the real
+# MJPEG/JPEG path, take each frame's EXACT integer luma sum, and set
+# bit f iff luma rises from frame f to f+1 — the shot-rhythm
+# signature. Brightness-offset copies (uniform per-video re-grade)
+# fingerprint identically (constant offsets cancel in deltas). Exact
+# integers end to end, so the oracle replays the closed-form frames.
+# ---------------------------------------------------------------------------
+
+_VFP_FRAMES = 16
+
+
+def video_fingerprint(frames_luma_sums) -> int:
+    """Frame-ordered integer luma sums -> (n-1)-bit rise/fall code."""
+    fp = 0
+    s = list(frames_luma_sums)[:_VFP_FRAMES]
+    for f in range(len(s) - 1):
+        if s[f + 1] > s[f]:
+            fp |= 1 << f
+    return fp
+
+
+def extract_video_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """(id, fingerprint) over MJPEG-AVI blobs: every retained frame is
+    entropy-decoded (no sampling — the fingerprint needs the full
+    temporal sequence); undecodable inputs quarantine as NULL."""
+    from ..functions.avi import decode_avi
+    from ..functions.jpeg import decode_jpeg
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for blob in pdf[blob_col]:
+                try:
+                    v = decode_avi(bytes(blob))
+                    sums = [int(np.asarray(decode_jpeg(fr)[:, :, 0],
+                                           dtype=np.int64).sum())
+                            for fr in v["frames"][:_VFP_FRAMES]]
+                    out.append(video_fingerprint(sums))
+                except (ValueError, IndexError):
+                    out.append(None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "fingerprint": pd.Series(out, dtype="Int64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def synthesize_group_avis(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_frames: int = _VFP_FRAMES,
+    fps: int = 10,
+) -> DataFrame:
+    """16-frame MJPEG AVIs for the fingerprint tier: frame f of item i
+    is the 16x16 four-block mosaic of its GROUP g = i % 8 — block b
+    valued (g*7 + f*11 + b*37) % 200 + 28 — plus a per-item uniform
+    brightness offset (i % 3) * 4, so group twins are re-graded copies
+    that must fingerprint identically. Quality-100 block-constant
+    frames are bit-exact through the JPEG round trip, keeping the
+    frame luma sums the closed form the oracle replays."""
+    from ..functions.avi import encode_avi
+    from ..functions.jpeg import encode_jpeg
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                g = int(i) % 8
+                off = (int(i) % 3) * 4
+                frames = []
+                for f in range(n_frames):
+                    img = np.zeros((16, 16), dtype=np.uint8)
+                    for b in range(4):
+                        bj, bi = divmod(b, 2)
+                        img[bj * 8:(bj + 1) * 8, bi * 8:(bi + 1) * 8] = \
+                            (g * 7 + f * 11 + b * 37) % 200 + 28 + off
+                    frames.append(encode_jpeg(img, quality=100))
+                blobs.append(encode_avi(frames, 16, 16, fps))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
 # Perceptual hashing (pHash): decode -> grayscale -> 32x32 block-mean
 # pool -> 2D DCT -> top-left 8x8 band (DC excluded) -> 63-bit
 # signature. The image-side near-duplicate detector: identical or

@@ -9812,6 +9812,62 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=60, bands=4, max_hamming=3)
 
 
+# Video temporal fingerprint (operators/multimodal.
+# extract_video_fingerprint): every frame entropy-decoded through the
+# real MJPEG/JPEG path, exact integer luma sums, rise/fall bits across
+# adjacent frames. Group twins are uniformly re-graded copies (offset
+# cancels in deltas). 15-bit code, 3 pigeonhole bands, hamming <= 2
+# keeps the banding lossless; all-integer oracle.
+_VIDEO_FP_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 8 AS g,
+             (doc_id % 3) * 4 AS off
+      FROM documents WHERE doc_id % 3 = 0
+    ), fr AS (
+      SELECT unnest(range(0, 16)) AS f
+    ), bl AS (
+      SELECT unnest(range(0, 4)) AS b
+    ), luma AS (
+      SELECT media_id, f,
+             sum(CAST(64 AS BIGINT)
+                 * ((g * 7 + f * 11 + b * 37) % 200 + 28 + off)) AS s
+      FROM ids, fr, bl GROUP BY 1, 2
+    ), bits AS (
+      SELECT a.media_id, a.f AS idx, (n.s > a.s) AS bit
+      FROM luma a JOIN luma n
+        ON a.media_id = n.media_id AND n.f = a.f + 1
+      WHERE a.f < 15
+    ), fp AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN bit
+                      THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+                  AS BIGINT) AS fingerprint
+      FROM bits GROUP BY 1
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
+"""
+
+
+@register("video_fingerprint_near_dup", oracle=_VIDEO_FP_ORACLE)
+def video_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs: full-frame MJPEG decode -> integer
+    luma-rhythm fingerprint -> pigeonhole-banded pair join."""
+    from .operators.dedup import simhash_near_pairs
+    from .operators.multimodal import (extract_video_fingerprint,
+                                       synthesize_group_avis)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"))
+    fps = extract_video_fingerprint(synthesize_group_avis(ids))
+    return simhash_near_pairs(
+        fps, id_col="media_id", sig_col="fingerprint",
+        bits=15, bands=3, max_hamming=2)
+
+
 # Stream cross-section hydraulics (inst/patches/patch_54.R views 1-4,
 # operators/cross_section.py): points -> panel calculated hydraulics
 # -> manual/calculated preference -> section rollup (wetted width, net
