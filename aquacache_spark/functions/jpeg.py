@@ -209,18 +209,20 @@ def _destuff(blob: bytes, pos: int):
     i = pos
     n = len(blob)
     while i < n:
-        b = blob[i]
-        if b != 0xFF:
-            data.append(b)
-            i += 1
-            continue
-        nxt = blob[i + 1] if i + 1 < n else 0xD9
+        j = blob.find(b"\xff", i)  # bulk-copy between markers: the
+        if j == -1:                # per-byte append was 30% of decode
+            data += blob[i:]
+            i = n
+            break
+        data += blob[i:j]
+        nxt = blob[j + 1] if j + 1 < n else 0xD9
         if nxt == 0x00:
-            data.append(0xFF)
-            i += 2
+            data += b"\xff"
+            i = j + 2
         elif 0xD0 <= nxt <= 0xD7:
-            i += 2
+            i = j + 2
         else:
+            i = j
             break
     return bytes(data), i
 
