@@ -242,6 +242,86 @@ def main() -> None:
     subset02 = round(sum(v for k, v in timings.items() if k in r02), 3)
     subset03 = round(sum(v for k, v in timings.items() if k in r03), 3)
     subset04 = round(sum(v for k, v in timings.items() if k in r04), 3)
+    # the 158-query round-5 suite, frozen for round-over-round
+    # comparability
+    r05 = {
+        "add_new_continuous_actions", "add_new_discrete_actions",
+        "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
+        "ann_pq_topk", "api_corrected_read", "api_daily_read",
+        "aquarius_connector_normalize", "asof_join_1to1",
+        "audio_fingerprint_near_dup", "audit_as_of",
+        "audit_changed_fields", "bm25_topk", "bmp_decode_features",
+        "c4_line_filter", "calculate_period", "caldas_grib_ingest",
+        "cluster_safe_split", "compound_asof_expression",
+        "compound_expression", "compound_metadata_rollup",
+        "compound_priority_coalesce", "corpus_curation",
+        "corrected_read_at", "corrections_chain",
+        "cross_section_discharge", "cross_section_panel_hydraulics",
+        "curation_full_gate", "curation_packed_manifest",
+        "customers_without_recent_orders", "daily_calculated_at",
+        "daily_corrected_at", "daily_rollup", "daily_rollup_median",
+        "dedup_clusters", "dedup_exact", "discrete_result_sync",
+        "discrete_sample_sync", "divergence_cutoff",
+        "document_type_validation", "domain_quality_gate",
+        "donor_offset_scoring", "doy_feb29_smoothed",
+        "doy_historic_stats", "doy_stats_30yr_window",
+        "dsir_importance", "eccc_connector_fanout",
+        "ecccwq_results", "embedding_cosine_topk",
+        "embedding_near_dup", "eqwin_normalize",
+        "era5_netcdf4_ingest", "era5_netcdf_ingest",
+        "era5_request_plan", "eval_decontamination", "ffill_bfill",
+        "gap_expansion", "gopher_quality_gate",
+        "grade_exclusion_antijoin", "guideline_rule_evaluation",
+        "guideline_scalar", "hampel_spike_flags",
+        "hampel_spike_nulls", "hardness_guideline",
+        "hrdpa_complex_ingest", "hrdpa_grib_ingest",
+        "hrdpa_listing_normalize", "hrdpa_rotated_ingest",
+        "hrdps_grib_ingest", "hydat_daily_merge",
+        "image_hash_upsert", "image_phash_near_dup",
+        "image_series_watermarks", "import_mapping_join",
+        "import_mapping_resolution", "impute_donor_fill",
+        "incremental_daily_refresh", "increments_stateful",
+        "interval_overlap_validation", "iso_period_format",
+        "ivf_kmeans_centroids", "jpeg_decode_features",
+        "jpeg_progressive_features", "json_extract_args",
+        "lag_diff_period", "language_id", "linear_interpolation",
+        "location_checks", "location_code_generation",
+        "location_masking", "lsh_capped_pairs",
+        "matrix_state_resolution", "minhash_lsh_pairs",
+        "minhash_signatures", "mixture_domain_sample",
+        "multimodal_features", "nearest_station_search",
+        "ngram_jaccard_pairs", "nhn_gpkg_layer_upsert",
+        "nhn_layer_upsert", "nwis_connector_normalize",
+        "parameter_unit_guard", "pgraster_wkb_export",
+        "pii_redaction", "png_decode_features", "pricing_summary",
+        "psl_wildcard_resolution", "qc_adjust_e2e",
+        "qc_intervals_as_of", "raster_basin_stats",
+        "raster_forecast_selective", "raster_model_asof",
+        "raster_pyramid", "raster_zonal_stats",
+        "recursive_downstream_closure", "refresh_daily_e2e",
+        "region_revenue", "repeated_span_coverage",
+        "repeated_span_removal", "repetition_metrics",
+        "resample_6h_dense", "rle_segments",
+        "rls_share_with_filter", "segment_id_recycling",
+        "segment_overlay", "semdedup_capped_prune",
+        "semdedup_prune", "sequence_packing",
+        "share_with_maintenance", "simhash_near_pairs",
+        "simhash_signatures", "snow_workbook_qc",
+        "snowcourse_station_merge", "spike_qc_segments",
+        "spline_imputation", "stratified_split",
+        "swob_minute_normalize", "sync_reconcile", "text_metrics",
+        "timeseries_bounds_check", "timeseries_insert_validation",
+        "token_entropy", "token_stats", "topk_per_group",
+        "tz_daily_rollup_dst", "unigram_surprisal",
+        "unit_conversions", "url_domain_rollup",
+        "url_domain_rollup_psl", "vector_point_in_polygon",
+        "video_fingerprint_near_dup", "video_frame_features",
+        "visibility_expiry_maintenance", "watermark_ingest_trim",
+        "wav_decode_features", "winnow_fingerprints",
+        "wsc_connector_daily"
+    }
+    subset05 = round(sum(v for k, v in timings.items() if k in r05), 3)
+
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": total,
@@ -252,6 +332,7 @@ def main() -> None:
         "r02_subset_seconds": subset02,
         "r03_subset_seconds": subset03,
         "r04_subset_seconds": subset04,
+        "r05_subset_seconds": subset05,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
