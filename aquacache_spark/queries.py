@@ -9868,6 +9868,174 @@ def video_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=15, bands=3, max_hamming=2)
 
 
+# Cross-modal asset dedup CAPSTONE: one asset = a document with a text
+# body, an image rendition, and an audio track; near-duplicate edges
+# come from THREE independent modality detectors — text MinHash-LSH
+# band collisions, image pHash (hamming <= 2), audio band-energy
+# fingerprint (hamming <= 3) — unioned into one edge list and resolved
+# to asset-level clusters by distributed min-label propagation. An
+# edge in ANY modality merges the assets, so a cluster can be held
+# together by a text-only edge on one side and an audio-only edge on
+# the other (the cross-modal story a single-modality dedup misses).
+# The oracle replays all three pair pipelines + a recursive-CTE
+# component closure.
+_ASSET_PRED = "doc_id % 6 = 0"
+
+_ASSET_DEDUP_ORACLE = ("WITH RECURSIVE "
+    + _shingles_sql(f"WHERE {_ASSET_PRED}") + """
+    , hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 13) AS BIGINT) AS base
+      FROM shingles
+    ), sig AS (
+      SELECT doc_id,
+    """ + ",\n".join(
+    f"min(({2 * i + 3} * base + {(i + 1) * 2654435769}) % {_MINHASH_MOD})"
+    f" AS h{i}"
+    for i in range(8)
+) + """
+      FROM hashed GROUP BY doc_id
+    ), t_banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id,
+               unnest([0, 1, 2, 3]) AS band,
+               unnest([CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR),
+                       CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR),
+                       CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR),
+                       CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)])
+                 AS key
+        FROM sig
+      )
+    ), text_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t_banded a JOIN t_banded b
+        ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    ), img_ids AS (
+      SELECT doc_id AS media_id, doc_id % 16 AS p
+      FROM documents WHERE """ + _ASSET_PRED + """
+    ), grid AS (
+      SELECT unnest(range(0, 32)) AS t
+    ), img_px AS (
+      SELECT i.media_id, yy.t AS y, xx.t AS x,
+             least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+               floor(128.0
+                 + (40 + i.media_id % 3)
+                   * cos((2*xx.t+1) * (i.p % 7 + 1) * pi() / 64.0)
+                   * cos((2*yy.t+1) * (i.p % 5 + 1) * pi() / 64.0)
+                 + 25 * cos((2*xx.t+1) * (i.p % 6 + 1) * pi() / 64.0)
+                      * cos((2*yy.t+1) * (i.p % 4 + 2) * pi() / 64.0)
+                 + 15 * cos((2*xx.t+1) * (i.p % 5 + 2) * pi() / 64.0)
+                      * cos((2*yy.t+1) * (i.p % 3 + 3) * pi() / 64.0)
+                 + 0.5))) AS v
+      FROM img_ids i, grid xx, grid yy
+    ), uv AS (
+      SELECT uu.t AS u, vv.t AS v
+      FROM (SELECT unnest(range(0, 8)) AS t) uu,
+           (SELECT unnest(range(0, 8)) AS t) vv
+      WHERE NOT (uu.t = 0 AND vv.t = 0)
+    ), img_coef AS (
+      SELECT p.media_id, uv.u, uv.v,
+             CAST(floor(sum(p.v
+               * (CASE WHEN uv.u = 0 THEN sqrt(1.0/32.0)
+                       ELSE sqrt(2.0/32.0) END)
+               * cos((2*p.x+1) * uv.u * pi() / 64.0)
+               * (CASE WHEN uv.v = 0 THEN sqrt(1.0/32.0)
+                       ELSE sqrt(2.0/32.0) END)
+               * cos((2*p.y+1) * uv.v * pi() / 64.0)
+             ) * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM img_px p, uv GROUP BY 1, 2, 3
+    ), img_hash AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN q > 100000000
+                      THEN (CAST(1 AS BIGINT) << (u * 8 + v - 1))
+                      ELSE 0 END) AS BIGINT) AS phash
+      FROM img_coef GROUP BY 1
+    ), img_pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM img_hash a JOIN img_hash b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 2
+    ), aud_ids AS (
+      SELECT doc_id AS media_id, doc_id % 8 AS g, 1 + doc_id % 3 AS fac
+      FROM documents WHERE """ + _ASSET_PRED + """
+    ), aud_t AS (
+      SELECT unnest(range(0, 4096)) AS k
+    ), aud_s AS (
+      SELECT media_id, k // 256 AS f, (k % 256) // 64 AS b,
+             fac * (((g * 37 + k * 101) % 4001) - 2000) AS v
+      FROM aud_ids, aud_t
+    ), aud_e AS (
+      SELECT media_id, f, b, sum(v * v) AS e FROM aud_s GROUP BY 1, 2, 3
+    ), aud_bits AS (
+      SELECT a.media_id, a.b * 15 + a.f AS idx, (n.e > a.e) AS bit
+      FROM aud_e a JOIN aud_e n ON a.media_id = n.media_id
+                                AND a.b = n.b AND n.f = a.f + 1
+      WHERE a.f < 15
+    ), aud_fp AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN bit
+                      THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+                  AS BIGINT) AS fp
+      FROM aud_bits GROUP BY 1
+    ), aud_pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM aud_fp a JOIN aud_fp b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    ), all_pairs AS (
+      SELECT id_a, id_b FROM text_pairs
+      UNION SELECT id_a, id_b FROM img_pairs
+      UNION SELECT id_a, id_b FROM aud_pairs
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM all_pairs
+      UNION SELECT id_b, id_a FROM all_pairs
+    ), reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents WHERE """ + _ASSET_PRED + """
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, cluster_rep,
+           count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM comp
+""")
+
+
+@register("asset_cross_modal_dedup", oracle=_ASSET_DEDUP_ORACLE)
+def asset_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level near-dup clusters from the UNION of text (MinHash
+    LSH), image (pHash), and audio (band-energy fingerprint) edges —
+    distributed min-label propagation over the combined edge list."""
+    from .operators.dedup import (duplicate_clusters, lsh_candidate_pairs,
+                                  minhash_signatures, simhash_near_pairs)
+    from .operators.multimodal import (extract_audio_fingerprint,
+                                       extract_image_phash,
+                                       synthesize_pattern_bmps,
+                                       synthesize_tone_wavs)
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.where(F.col("doc_id") % 6 == 0)
+    ids = assets.select(F.col("doc_id").alias("media_id"))
+
+    sig = minhash_signatures(assets, num_hashes=8, shingle_k=3)
+    text_pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4) \
+        .select("id_a", "id_b")
+    img_pairs = simhash_near_pairs(
+        extract_image_phash(synthesize_pattern_bmps(ids),
+                            method="fixed", tau=100.0),
+        id_col="media_id", sig_col="phash",
+        bits=64, bands=4, max_hamming=2,
+    ).select("id_a", "id_b")
+    aud_pairs = simhash_near_pairs(
+        extract_audio_fingerprint(synthesize_tone_wavs(ids)),
+        id_col="media_id", sig_col="fingerprint",
+        bits=60, bands=4, max_hamming=3,
+    ).select("id_a", "id_b")
+
+    pairs = text_pairs.unionByName(img_pairs).unionByName(aud_pairs) \
+        .distinct()
+    return duplicate_clusters(pairs, assets.select("doc_id"))
+
+
 # Stream cross-section hydraulics (inst/patches/patch_54.R views 1-4,
 # operators/cross_section.py): points -> panel calculated hydraulics
 # -> manual/calculated preference -> section rollup (wetted width, net
