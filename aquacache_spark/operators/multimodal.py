@@ -189,6 +189,56 @@ def extract_bmp_features(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+def resize_image_blob(blob: bytes, out_h: int, out_w: int) -> bytes:
+    """BMP bytes -> block-mean-downscaled BMP bytes. EXACT integer
+    arithmetic: each output pixel is the floor-divided sum of its
+    source block (crop to the divisible region first, like the pHash
+    pooling) — deterministic and SQL-replayable, no float resampling."""
+    import numpy as np
+
+    px = decode_bmp(blob)
+    h, w, _ = px.shape
+    fh, fw = h // out_h, w // out_w
+    if fh < 1 or fw < 1:
+        raise ValueError(
+            f"cannot downscale {h}x{w} to {out_h}x{out_w} (upscale is "
+            "not a reduction)")
+    cells = (
+        px[:fh * out_h, :fw * out_w].astype(np.int64)
+        .reshape(out_h, fh, out_w, fw, 3).sum(axis=(1, 3)) // (fh * fw)
+    )
+    return encode_bmp(cells.astype(np.uint8))
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """(id, content) of resized BMPs — map-only Arrow kernel, the
+    thumbnail/normalization step of an image-corpus pipeline.
+    Undecodable or too-small inputs quarantine as NULL content."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for blob in pdf[blob_col]:
+                try:
+                    out.append(resize_image_blob(bytes(blob), out_h, out_w))
+                except (ValueError, TypeError):
+                    out.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": out})
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
 # ---------------------------------------------------------------------------
 # WAV: the audio tier's real decode path (RIFF/WAVE PCM, stdlib struct
 # + numpy). 8/16-bit integer PCM, mono or multi-channel; anything else

@@ -9868,6 +9868,51 @@ def video_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=15, bands=3, max_hamming=2)
 
 
+# Image resize kernel (operators/multimodal.resize_images): block-mean
+# downscale in EXACT integer arithmetic (sum // block-size per output
+# pixel), re-encoded through the real BMP writer, then features
+# re-extracted through the real decoder — the thumbnail/normalization
+# step of an image-corpus pipeline, fully differentially verified
+# because every stage is integer-exact.
+_RESIZE_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 5 = 1
+    ), rc AS (
+      SELECT rr.t AS r, cc.t AS c
+      FROM (SELECT unnest(range(0, 16)) AS t) rr,
+           (SELECT unnest(range(0, 16)) AS t) cc
+    ), cells AS (
+      SELECT media_id, r // 4 AS cr, c // 4 AS cc,
+             sum((media_id * 7 + r * 16 + c) % 256) // 16 AS vr,
+             sum((media_id * 11 + r * 5 + c * 3) % 256) // 16 AS vg,
+             sum((media_id * 13 + r * 2 + c * 7) % 256) // 16 AS vb
+      FROM ids, rc GROUP BY 1, 2, 3
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           {R('sum(vr) / 16.0', 6)} AS mean_r,
+           {R('sum(vg) / 16.0', 6)} AS mean_g,
+           {R('sum(vb) / 16.0', 6)} AS mean_b
+    FROM cells GROUP BY media_id
+"""
+
+
+@register("image_resize_features", oracle=_RESIZE_ORACLE)
+def image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16x16 BMPs block-mean-resized to 4x4 (integer-exact), features
+    re-extracted through the real decoder."""
+    from .operators.multimodal import (extract_bmp_features, resize_images,
+                                       synthesize_bmps)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 5 == 1).select(
+        F.col("doc_id").alias("media_id"))
+    small = resize_images(synthesize_bmps(ids, width=16, height=16),
+                          out_h=4, out_w=4)
+    out = extract_bmp_features(small)
+    return _round(out, {"mean_r": 6, "mean_g": 6, "mean_b": 6})
+
+
 # Cross-modal asset dedup CAPSTONE: one asset = a document with a text
 # body, an image rendition, and an audio track; near-duplicate edges
 # come from THREE independent modality detectors — text MinHash-LSH

@@ -383,6 +383,23 @@ class ParquetMergeStore:
         return {"version": version, "buckets_rewritten": len(written),
                 "dirs_before": dirs_before}
 
+    def maybe_optimize(self, max_fragments: int = 16,
+                       buckets: Sequence[int] | None = None) -> dict | None:
+        """Auto-compaction policy: run ``optimize`` only when the
+        current snapshot is spread across more than ``max_fragments``
+        version dirs (each merge commit adds one, so read() degrades
+        into an ever-wider union as small commits accumulate). Returns
+        the optimize stats, or None if below the threshold — callers
+        drop this after ingest batches the way the reference schedules
+        maintain.R housekeeping after updates."""
+        try:
+            m = self._load_manifest()
+        except FileNotFoundError:
+            return None
+        if len(set(m["buckets"].values())) <= max_fragments:
+            return None
+        return self.optimize(buckets)
+
     def merge(self, updates: DataFrame, on_conflict: str = "update") -> dict:
         """Upsert ``updates`` by key. Returns counts per action.
 

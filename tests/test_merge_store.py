@@ -287,6 +287,22 @@ def test_optimize_partial_buckets(spark, tmp_path):
     assert store.changes(m1["version"], m2["version"]).count() == 0
 
 
+def test_maybe_optimize_policy(spark, tmp_path):
+    store = ParquetMergeStore(spark, str(tmp_path / "store_auto"),
+                              ["timeseries_id", "datetime"], n_buckets=8)
+    assert store.maybe_optimize() is None  # no store yet: no-op
+    store.merge(make_df(
+        spark, [(i, "2024-01-01 00:00:00", float(i)) for i in range(16)]))
+    assert store.maybe_optimize(max_fragments=3) is None  # 1 dir
+    for k in range(1, 5):
+        store.merge(make_df(spark, [(k, "2024-01-01 01:00:00", k * 1.0)]))
+    res = store.maybe_optimize(max_fragments=3)  # 5 dirs > 3 -> compact
+    assert res is not None and res["dirs_before"] == 5
+    m = store._load_manifest()
+    assert set(m["buckets"].values()) == {m["version"]}
+    assert store.maybe_optimize(max_fragments=3) is None  # compacted
+
+
 def test_manifest_accumulation_and_retention_sweep(spark, tmp_path):
     """1000-commit metadata accumulation: retained-version listing and
     vacuum's retention bound must stay correct (and fast) when the

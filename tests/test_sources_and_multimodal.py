@@ -424,3 +424,26 @@ def test_audio_fingerprint_gain_invariance():
     # survives the real PCM16 round trip
     _r, _c, arr = decode_wav(encode_wav(base))
     assert audio_fingerprint64(arr[:, 0]) == fp1
+
+
+def test_resize_image_blob_exact_and_guards():
+    import numpy as np
+    import pytest
+
+    from aquacache_spark.operators.multimodal import (decode_bmp,
+                                                      encode_bmp,
+                                                      resize_image_blob)
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (12, 20, 3)).astype(np.uint8)
+    out = decode_bmp(resize_image_blob(encode_bmp(px), 3, 5))
+    assert out.shape == (3, 5, 3)
+    # exact contract: each output pixel is the floor-divided block sum
+    expect = (px.astype(np.int64).reshape(3, 4, 5, 4, 3).sum((1, 3))
+              // 16).astype(np.uint8)
+    assert (out == expect).all()
+    # non-divisible dims crop to the divisible region first
+    out2 = decode_bmp(resize_image_blob(encode_bmp(px[:11, :19]), 3, 5))
+    assert out2.shape == (3, 5, 3)
+    with pytest.raises(ValueError, match="cannot downscale"):
+        resize_image_blob(encode_bmp(px), 24, 40)
