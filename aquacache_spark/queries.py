@@ -9868,6 +9868,48 @@ def video_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=15, bands=3, max_hamming=2)
 
 
+# Corpus health monitoring: EXACT per-source token/char quantiles
+# (p50/p90/p99, linear interpolation over sorted values — Spark
+# percentile == DuckDB quantile_cont definition; integer inputs keep
+# the interpolation arithmetic deterministic) plus doc counts — the
+# distribution dashboard a curation pipeline watches between rounds.
+_TOKEN_QUANTILES_ORACLE = f"""
+    WITH m AS (
+      SELECT source, len(string_split(text, ' ')) AS n_tok, n_chars
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           {R('quantile_cont(n_tok, 0.5)', 6)} AS tok_p50,
+           {R('quantile_cont(n_tok, 0.9)', 6)} AS tok_p90,
+           {R('quantile_cont(n_tok, 0.99)', 6)} AS tok_p99,
+           {R('quantile_cont(n_chars, 0.5)', 6)} AS chars_p50,
+           {R('quantile_cont(n_chars, 0.99)', 6)} AS chars_p99
+    FROM m GROUP BY source
+"""
+
+
+@register("corpus_token_quantiles", oracle=_TOKEN_QUANTILES_ORACLE)
+def corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token/char quantiles (no approx sketch — the
+    exact percentile is a single per-group sort, the right tool at
+    dashboard cardinality; sketches belong on the full-corpus axis)."""
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "source", token_count(F.col("text")).alias("n_tok"), "n_chars")
+    out = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_tok", F.lit(0.5)).alias("tok_p50"),
+        F.percentile("n_tok", F.lit(0.9)).alias("tok_p90"),
+        F.percentile("n_tok", F.lit(0.99)).alias("tok_p99"),
+        F.percentile("n_chars", F.lit(0.5)).alias("chars_p50"),
+        F.percentile("n_chars", F.lit(0.99)).alias("chars_p99"),
+    )
+    return _round(out, {c: 6 for c in ("tok_p50", "tok_p90", "tok_p99",
+                                       "chars_p50", "chars_p99")})
+
+
 # Image resize kernel (operators/multimodal.resize_images): block-mean
 # downscale in EXACT integer arithmetic (sum // block-size per output
 # pixel), re-encoded through the real BMP writer, then features
