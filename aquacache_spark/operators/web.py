@@ -204,6 +204,13 @@ def registered_domain_psl(
 
     rules = psl_rules(psl)
     lens = sorted(rules)
+    if not lens:  # empty rule table: only the implicit '*' rule
+        labels_ = F.split(F.col(host_col), r"\.")
+        reg0 = F.when(
+            F.size(labels_) >= 2,
+            F.concat_ws(".", F.slice(labels_, F.size(labels_) - 1, 2)),
+        ).otherwise(F.col(host_col))
+        return df.withColumn(out_col, reg0)
     spark = df.sparkSession
     tagged = df
     cands: list[Column] = []

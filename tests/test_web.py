@@ -122,3 +122,17 @@ def test_psl_joins_are_broadcast(spark):
         .executedPlan().toString()
     assert p.count("BroadcastHashJoin") == n_lens
     assert "SortMergeJoin" not in p and "Exchange hashpartitioning" not in p
+
+
+def test_registered_domain_psl_empty_rule_table(spark):
+    from aquacache_spark.operators.web import registered_domain_psl
+
+    psl = spark.createDataFrame([], "suffix string")
+    df = spark.createDataFrame(
+        [("a.b.co.uk",), ("example.com",), ("localhost",)], "host string")
+    out = {r["host"]: r["registered_domain"]
+           for r in registered_domain_psl(df, psl).collect()}
+    # only the implicit '*' rule applies: last two labels
+    assert out["a.b.co.uk"] == "co.uk"
+    assert out["example.com"] == "example.com"
+    assert out["localhost"] == "localhost"
