@@ -190,7 +190,11 @@ def registered_domain_psl(
     shuffle, no UDF. Hosts that ARE a public suffix resolve to
     themselves (the pipeline-friendly stand-in for the PSL's 'no
     registered domain')."""
-    labels = F.split(F.col(host_col), r"\.")
+    # stage the label split ONCE: tail(k) appears in every per-length
+    # join condition, and re-splitting the host in each would repeat
+    # the regex k times per row (the HOF/staged-column lesson)
+    df = df.withColumn("__psl_labels", F.split(F.col(host_col), r"\."))
+    labels = F.col("__psl_labels")
     n = F.size(labels)
 
     def tail(k: int) -> Column:
@@ -228,7 +232,7 @@ def registered_domain_psl(
         n > pub, F.concat_ws(".", F.slice(labels, n - pub, pub + 1))
     ).otherwise(F.col(host_col))
     drop = [c for k in lens for c in (f"__k{k}", f"__lit{k}", f"__wild{k}")]
-    return tagged.withColumn(out_col, reg).drop(*drop)
+    return tagged.withColumn(out_col, reg).drop("__psl_labels", *drop)
 
 
 def domain_rollup(
