@@ -136,3 +136,53 @@ def test_registered_domain_psl_empty_rule_table(spark):
     assert out["a.b.co.uk"] == "co.uk"
     assert out["example.com"] == "example.com"
     assert out["localhost"] == "localhost"
+
+
+def _psl_reference(host: str, rules: list) -> str:
+    """Pure-Python publicsuffix.org algorithm (the spec, independently
+    re-implemented): all matching rules considered, exception beats
+    all, else most labels wins, no match -> implicit '*'."""
+    labels = host.split(".")
+    n = len(labels)
+    matches = []
+    for rule in rules:
+        if rule.startswith("!"):
+            body = rule[1:].split(".")
+            k = len(body)
+            if n >= k and labels[-k:] == body:
+                matches.append((10 ** 9, k - 1))
+        elif rule.startswith("*."):
+            body = rule[2:].split(".")
+            k = len(body)
+            if n >= k + 1 and labels[-k:] == body:
+                matches.append((k + 1, k + 1))
+        else:
+            body = rule.split(".")
+            k = len(body)
+            if n >= k and labels[-k:] == body:
+                matches.append((k, k))
+    pub = max(matches)[1] if matches else 1
+    return host if n <= pub else ".".join(labels[-(pub + 1):])
+
+
+def test_registered_domain_psl_exhaustive_vs_reference(spark):
+    """Exhaustive differential check over EVERY host of 1-4 labels on
+    {a, b, c} against a tricky rule set: same-key literal+wildcard
+    collision ('b' vs '*.b'), exception overriding a same-key literal
+    ('!a.b' vs 'a.b'), a 1-label literal, and a 3-label literal — one
+    Spark job for all 120 hosts."""
+    from itertools import product
+
+    from aquacache_spark.operators.web import registered_domain_psl
+
+    rules = ["b", "*.b", "!a.b", "a.b", "b.a", "c.c.c"]
+    hosts = [".".join(p)
+             for k in (1, 2, 3, 4)
+             for p in product("abc", repeat=k)]
+    psl = spark.createDataFrame([(r,) for r in rules], "suffix string")
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["registered_domain"]
+           for r in registered_domain_psl(df, psl).collect()}
+    for h in hosts:
+        assert got[h] == _psl_reference(h, rules), (
+            h, got[h], _psl_reference(h, rules))
