@@ -522,6 +522,7 @@ def simhash_near_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs from SimHash signatures.
 
@@ -530,7 +531,26 @@ def simhash_near_pairs(
     so candidates come from equi-self-joins on (band, chunk-value) —
     never all-pairs — and the exact Hamming distance
     (``bit_count(xor)``) verifies. Same candidate-economics as MinHash
-    LSH; cost ∝ chunk-collision mass. 100 TB safe.
+    LSH; cost ∝ chunk-collision mass.
+
+    Hot-bucket cap (the same guard as ``lsh_candidate_pairs``'
+    ``max_bucket`` and SemDeDup's ``max_cluster``): a (band, chunk)
+    bucket with m members emits m² candidates, and identical media
+    assets — placeholder thumbnails, silence clips, test cards — are
+    among the most duplicated objects in web corpora, so at 100 TB one
+    bucket of 10⁶ identical signatures would emit 10¹² pairs. Buckets
+    larger than ``max_bucket`` short-circuit to a STAR on the bucket's
+    minimum id (m-1 edges, each still exact-Hamming-verified against
+    the anchor's full signature): connectivity for
+    ``duplicate_clusters`` is preserved for identical/near-identical
+    members (the population that creates hot buckets — Hamming to the
+    anchor ≈ 0), pair mass stays linear, and no member is dropped from
+    consideration. Deterministic (min-id anchor, no sampling). A pair
+    is missed only when BOTH endpoints sit in oversized buckets in
+    every band they co-collide in AND both are > ``max_hamming`` from
+    that bucket's anchor — the standard trade at scale. Default
+    ``None`` = exact all-pairs-per-bucket semantics (the differential
+    oracle's regime).
     """
     width = bits // bands
     mask = (1 << width) - 1
@@ -553,14 +573,46 @@ def simhash_near_pairs(
                       F.col(sig_col).alias("__sa"), "band", "chunk")
     b = banded.select(F.col(id_col).alias("id_b"),
                       F.col(sig_col).alias("__sb"), "band", "chunk")
-    return (
-        a.join(b, ["band", "chunk"])
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    if max_bucket is None:
+        # Hamming verify BEFORE distinct: failed candidates never enter
+        # the distinct's exchange (same result — hamming is a function
+        # of the two signatures — strictly less shuffle mass).
+        return (
+            a.join(b, ["band", "chunk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    # bucket stats ride the same (band, chunk) partitioning as the
+    # join; data-cardinality frame, so joined (never collected)
+    stats = banded.groupBy("band", "chunk").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.col(id_col)).alias("__anchor"),
+        F.min_by(F.col(sig_col), F.col(id_col)).alias("__asig"),
+    )
+    tagged = banded.join(stats, ["band", "chunk"])
+    small_a = tagged.where(F.col("__n") <= max_bucket).select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sa"),
+        "band", "chunk")
+    pairs = (
+        small_a.join(b, ["band", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
-                .alias("hamming"))
-        .distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+    )
+    star = tagged.where(
+        (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__anchor"))
+    ).select(
+        F.col("__anchor").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.bit_count(F.col("__asig").bitwiseXOR(F.col(sig_col)))
+        .alias("hamming"),
+    )
+    return (
+        pairs.unionByName(star)
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

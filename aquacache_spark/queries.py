@@ -5777,6 +5777,66 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sig, bits=32, bands=4, max_hamming=3)
 
 
+# Capped-mode variant: the hot-bucket star cap ACTIVE at test SF
+# (max_bucket=2 — with 8-bit chunks most (band, chunk) buckets exceed
+# 2 members, so the oracle genuinely replays the star semantics:
+# min-id anchor, m-1 anchor-verified edges, Hamming filter after).
+_SIMHASH_CAPPED_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash // CAST(pow(2, b.band * 8) AS BIGINT)) % 256 AS chunk
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ), stats AS (
+      SELECT band, chunk, count(*) AS n, min(doc_id) AS anchor,
+             arg_min(simhash, doc_id) AS asig
+      FROM banded GROUP BY 1, 2
+    )
+    SELECT DISTINCT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+      JOIN stats s ON s.band = a.band AND s.chunk = a.chunk
+      WHERE s.n <= 2 AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT s.anchor AS id_a, a.doc_id AS id_b,
+             bit_count(xor(s.asig, a.simhash)) AS hamming
+      FROM banded a
+      JOIN stats s ON s.band = a.band AND s.chunk = a.chunk
+      WHERE s.n > 2 AND a.doc_id <> s.anchor
+    )
+    WHERE hamming <= 3
+"""
+
+
+@register("simhash_capped_pairs", oracle=_SIMHASH_CAPPED_ORACLE)
+def simhash_capped_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash, simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash(docs, bits=32)
+    return simhash_near_pairs(sig, bits=32, bands=4, max_hamming=3,
+                              max_bucket=2)
+
+
 # ---------------------------------------------------------------------------
 # Training-data tier: benchmark decontamination — n-gram overlap of the
 # training corpus against a held-out eval set (the GPT-3/PaLM

@@ -397,6 +397,40 @@ def main() -> None:
     t("dedup_clusters_hot_bucket", duplicate_clusters(
         hot_pairs, hot_docs.select("doc_id")))
 
+    # adversarial hot (band, chunk) bucket for the pigeonhole banding
+    # every perceptual near-dup operator shares (simhash_near_pairs —
+    # pHash / audio / video fingerprints + the cross-modal capstone):
+    # 50% of assets carry ONE identical signature (the
+    # placeholder-thumbnail regime), so each band's hot chunk collects
+    # n_docs/2 members and uncapped banding would emit
+    # ~4*(n_docs/2)^2 candidate pairs (10^10 here, 10^12 at 10^6
+    # assets). The max_bucket star cap must keep pair mass linear AND
+    # still link every identical member to the min-id anchor at
+    # Hamming 0 so duplicate_clusters resolves one component.
+    from aquacache_spark.operators.dedup import simhash_near_pairs
+
+    hot_sigs = spark.range(0, n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(0x5A5A5A5A).cast("long"))
+        .otherwise(F.xxhash64(F.col("id"))
+                   .bitwiseAND(F.lit((1 << 32) - 1))).alias("simhash"),
+    )
+    t0 = time.perf_counter()
+    ph_pairs = simhash_near_pairs(
+        hot_sigs, bits=32, bands=4, max_hamming=3, max_bucket=128
+    ).persist()
+    n_pairs = ph_pairs.count()
+    hot_edges = ph_pairs.where(
+        (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0)).count()
+    timings["simhash_hot_bucket_capped"] = round(
+        time.perf_counter() - t0, 2)
+    ph_pairs.unpersist()
+    # the identical half must star onto anchor doc_id=0: exactly
+    # n_docs/2 - 1 even-even edges, all Hamming 0; total pair mass
+    # stays linear in n_docs (the random half's buckets are capped too)
+    assert hot_edges == n_docs // 2 - 1, f"hot star edges: {hot_edges}"
+    assert n_pairs < 5 * n_docs, f"pair mass not linear: {n_pairs}"
+
     from aquacache_spark.operators.dedup import repeated_span_coverage
 
     t("repeated_span_coverage", repeated_span_coverage(docs, k=8))
