@@ -11502,3 +11502,407 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return remove_repeated_spans(docs, k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# Instruments metadata validation (inst/patches/patch_44.R): the
+# sensor-current-assignment uniqueness trigger (:1290-1342, with the
+# 'BLANK' exemption), the connection-signal/timeseries consistency
+# trigger (:552-642), and the deferred deployment-overlap constraint
+# (:716-755) — each replayed set-wise over a synthetic instruments
+# schema derived from the TPC-H keys.
+# ---------------------------------------------------------------------------
+
+_SENSOR_ASSIGN_ORACLE = """
+    WITH ev AS (
+      SELECT o_orderkey AS event_id, o_custkey % 120 AS instrument_id,
+             CAST(o_orderdate AS TIMESTAMP) AS obs_datetime
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), sl AS (
+      SELECT o_orderkey AS event_id,
+             1 + (o_orderkey // 3) % 4 AS slot_number,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE 1 + (o_orderkey * 7) % 300 END AS sensor_id
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), sn AS (
+      SELECT p_partkey AS sensor_id,
+             CASE WHEN p_partkey % 29 = 0 THEN '  Blank '
+                  ELSE 'SN-' || CAST(p_partkey AS VARCHAR)
+             END AS sensor_serial
+      FROM part WHERE p_partkey <= 300
+    ), cur AS (
+      SELECT instrument_id, slot_number, sensor_id FROM (
+        SELECT ev.instrument_id, sl.slot_number, sl.sensor_id,
+               row_number() OVER (
+                 PARTITION BY ev.instrument_id, sl.slot_number
+                 ORDER BY ev.obs_datetime DESC, ev.event_id DESC) AS rn
+        FROM ev JOIN sl ON ev.event_id = sl.event_id
+      ) WHERE rn = 1
+    ), asg AS (
+      SELECT c.sensor_id, sn.sensor_serial, c.instrument_id, c.slot_number
+      FROM cur c LEFT JOIN sn ON c.sensor_id = sn.sensor_id
+      WHERE c.sensor_id IS NOT NULL
+    )
+    SELECT sensor_id, sensor_serial,
+           CAST(count(*) AS BIGINT) AS n_assignments,
+           string_agg('instrument ' || CAST(instrument_id AS VARCHAR)
+                      || ' slot ' || CAST(slot_number AS VARCHAR), ', '
+                      ORDER BY instrument_id, slot_number)
+             AS assignment_summary,
+           upper(trim(coalesce(sensor_serial, ''))) = 'BLANK' AS exempt,
+           count(*) > 1
+             AND NOT upper(trim(coalesce(sensor_serial, ''))) = 'BLANK'
+             AS violation
+    FROM asg
+    GROUP BY sensor_id, sensor_serial
+"""
+
+
+@register("sensor_assignment_validation", oracle=_SENSOR_ASSIGN_ORACLE)
+def sensor_assignment_validation_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """patch_44.R:1290-1342 assert_sensor_current_assignment_is_unique
+    for every sensor at once: latest event per (instrument, slot) via
+    the DISTINCT ON replay, then per-sensor assignment counts with the
+    trigger's string_agg diagnostic; ' Blank ' serials exempt."""
+    from .operators.instruments import sensor_assignment_validation
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 3 == 0)
+    k = F.col("o_orderkey")
+    events = o.select(
+        k.alias("event_id"),
+        (F.col("o_custkey") % 120).alias("instrument_id"),
+        (F.col("o_custkey") % 40).alias("observer"),
+        F.col("o_orderdate").cast("timestamp").alias("obs_datetime"),
+    )
+    slots = o.select(
+        k.alias("event_id"),
+        (F.lit(1) + F.floor(k / 3) % 4).alias("slot_number"),
+        F.when(k % 13 != 0, F.lit(1) + (k * 7) % 300).alias("sensor_id"),
+        F.when(k % 13 == 0, F.lit("sensor removed")).alias("note"),
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    sensors = p.select(
+        F.col("p_partkey").alias("sensor_id"),
+        F.when(F.col("p_partkey") % 29 == 0, F.lit("  Blank "))
+        .otherwise(F.concat(F.lit("SN-"),
+                            F.col("p_partkey").cast("string")))
+        .alias("sensor_serial"),
+        (F.col("p_partkey") % 6).alias("sensor_type"),
+    )
+    return sensor_assignment_validation(events, slots, sensors)
+
+
+def _instruments_fixture(spark, sf_dir):
+    """Shared synthetic instruments schema (deployments / timeseries /
+    connections / signals) keyed off dense customer keys so reference
+    existence is SF-proportional: custkey %3==0 -> deployment AND
+    timeseries, %3==1 -> connection (instrument side = ck-1, every
+    11th points at a nonexistent deployment), %3==2 -> signal
+    (connection = sk-1, every 13th unknown; timeseries normally sk-2 =
+    the connection's own deployment key, with NULL / unknown / shared
+    branches to exercise every trigger arm)."""
+    c = _t(spark, sf_dir, "customer")
+    m = F.col("c_custkey")
+    d0 = F.lit("2020-01-01").cast("date")
+    dep = c.where(m % 3 == 0).select(
+        m.alias("metadata_id"),
+        (m % 10).alias("location_id"),
+        F.when(m % 4 != 0, m % 5).alias("sub_location_id"),
+        F.when(m % 6 == 0, m % 7).alias("z_id"),
+        F.when(m % 19 != 0, F.lit(1) + m % 400).alias("instrument_id"),
+        F.date_add(d0, (m % 100).cast("int")).cast("timestamp")
+        .alias("start_datetime"),
+        F.when(m % 9 != 0,
+               F.date_add(d0, (m % 100 + 400).cast("int"))
+               .cast("timestamp")).alias("end_datetime"),
+    )
+    ts = c.where(m % 3 == 0).select(
+        m.alias("timeseries_id"),
+        (m % 40).alias("parameter_id"),
+        F.when(m % 8 == 0, m % 10 + 1).otherwise(m % 10)
+        .alias("location_id"),
+        F.when(m % 4 == 0, F.lit(None).cast("bigint"))
+        .when(m % 13 == 0, m % 5 + 1).otherwise(m % 5)
+        .alias("sub_location_id"),
+        F.when(m % 6 == 0,
+               F.when(m % 12 == 0, m % 7).otherwise(m % 7 + 1))
+        .alias("z_id"),
+    )
+    conn = c.where(m % 3 == 1).select(
+        m.alias("connection_id"),
+        F.when(m % 11 == 0, m).otherwise(m - 1)
+        .alias("instrument_metadata_id"),
+        F.when(m % 7 == 0, m - 1).otherwise(m - 31)
+        .alias("logger_metadata_id"),
+        (m % 5).alias("protocol_id"),
+        F.date_add(d0, (180 + m % 100).cast("int")).cast("timestamp")
+        .alias("start_datetime"),
+        F.when(m % 5 != 0,
+               F.date_add(d0, (m % 100 + 270).cast("int"))
+               .cast("timestamp")).alias("end_datetime"),
+    )
+    sig = c.where(m % 3 == 2).select(
+        m.alias("connection_signal_id"),
+        F.when(m % 13 == 0, m).otherwise(m - 1).alias("connection_id"),
+        F.when(m % 7 == 0, F.lit(None).cast("bigint"))
+        .when(m % 17 == 0, 3 * m + 1)
+        .when(m % 10 == 7, m - 14)
+        .otherwise(m - 2).alias("timeseries_id"),
+        F.when(m % 6 == 0, F.lit(None).cast("bigint"))
+        .when(m % 10 == 3, (m - 2) % 40 + 1)
+        .otherwise((m - 2) % 40).alias("parameter_id"),
+    )
+    return dep, ts, conn, sig
+
+
+_INSTR_FIXTURE_SQL = """
+    dep AS (
+      SELECT c_custkey AS metadata_id,
+             c_custkey % 10 AS location_id,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE c_custkey % 5 END AS sub_location_id,
+             CASE WHEN c_custkey % 6 = 0 THEN c_custkey % 7 END AS z_id,
+             CASE WHEN c_custkey % 19 = 0 THEN NULL
+                  ELSE 1 + c_custkey % 400 END AS instrument_id,
+             CAST(DATE '2020-01-01' + (c_custkey % 100) * INTERVAL 1 DAY
+                  AS TIMESTAMP) AS start_datetime,
+             CASE WHEN c_custkey % 9 = 0 THEN NULL
+                  ELSE CAST(DATE '2020-01-01'
+                            + (c_custkey % 100 + 400) * INTERVAL 1 DAY
+                            AS TIMESTAMP) END AS end_datetime
+      FROM customer WHERE c_custkey % 3 = 0
+    ), ts AS (
+      SELECT c_custkey AS timeseries_id,
+             c_custkey % 40 AS parameter_id,
+             CASE WHEN c_custkey % 8 = 0 THEN c_custkey % 10 + 1
+                  ELSE c_custkey % 10 END AS location_id,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL
+                  WHEN c_custkey % 13 = 0 THEN c_custkey % 5 + 1
+                  ELSE c_custkey % 5 END AS sub_location_id,
+             CASE WHEN c_custkey % 6 = 0 THEN
+                  CASE WHEN c_custkey % 12 = 0 THEN c_custkey % 7
+                       ELSE c_custkey % 7 + 1 END
+             END AS z_id
+      FROM customer WHERE c_custkey % 3 = 0
+    ), conn AS (
+      SELECT c_custkey AS connection_id,
+             CASE WHEN c_custkey % 11 = 0 THEN c_custkey
+                  ELSE c_custkey - 1 END AS instrument_metadata_id,
+             CASE WHEN c_custkey % 7 = 0 THEN c_custkey - 1
+                  ELSE c_custkey - 31 END AS logger_metadata_id,
+             c_custkey % 5 AS protocol_id,
+             CAST(DATE '2020-01-01'
+                  + (180 + c_custkey % 100) * INTERVAL 1 DAY
+                  AS TIMESTAMP) AS start_datetime,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE CAST(DATE '2020-01-01'
+                            + (c_custkey % 100 + 270) * INTERVAL 1 DAY
+                            AS TIMESTAMP) END AS end_datetime
+      FROM customer WHERE c_custkey % 3 = 1
+    ), sig AS (
+      SELECT c_custkey AS connection_signal_id,
+             CASE WHEN c_custkey % 13 = 0 THEN c_custkey
+                  ELSE c_custkey - 1 END AS connection_id,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  WHEN c_custkey % 17 = 0 THEN 3 * c_custkey + 1
+                  WHEN c_custkey % 10 = 7 THEN c_custkey - 14
+                  ELSE c_custkey - 2 END AS timeseries_id,
+             CASE WHEN c_custkey % 6 = 0 THEN NULL
+                  WHEN c_custkey % 10 = 3 THEN (c_custkey - 2) % 40 + 1
+                  ELSE (c_custkey - 2) % 40 END AS parameter_id
+      FROM customer WHERE c_custkey % 3 = 2
+    )
+"""
+
+
+_CONN_SIGNAL_ORACLE = "WITH " + _INSTR_FIXTURE_SQL + """
+    , j AS (
+      SELECT s.connection_signal_id, s.connection_id, s.timeseries_id,
+             s.parameter_id,
+             c.connection_id IS NOT NULL AS has_con,
+             c.start_datetime AS cs,
+             coalesce(c.end_datetime, TIMESTAMP '9999-01-01') AS ce,
+             d.metadata_id IS NOT NULL AS has_dep,
+             d.location_id AS d_loc, d.sub_location_id AS d_sub,
+             d.z_id AS d_z,
+             t.timeseries_id IS NOT NULL AS has_ts,
+             t.parameter_id AS t_param, t.location_id AS t_loc,
+             t.sub_location_id AS t_sub, t.z_id AS t_z
+      FROM sig s
+      LEFT JOIN conn c ON c.connection_id = s.connection_id
+      LEFT JOIN dep d ON d.metadata_id = c.instrument_metadata_id
+      LEFT JOIN ts t ON t.timeseries_id = s.timeseries_id
+    ), linked AS (
+      SELECT DISTINCT j.connection_signal_id
+      FROM j
+      JOIN sig o ON o.timeseries_id = j.timeseries_id
+              AND o.connection_signal_id <> j.connection_signal_id
+      JOIN conn oc ON oc.connection_id = o.connection_id
+      WHERE j.cs < coalesce(oc.end_datetime, TIMESTAMP '9999-01-01')
+        AND j.ce > oc.start_datetime
+    )
+    SELECT j.connection_signal_id, j.connection_id, j.timeseries_id,
+           j.parameter_id,
+           CASE WHEN j.timeseries_id IS NULL THEN NULL
+                WHEN NOT has_con THEN 'unknown_connection'
+                WHEN NOT has_dep THEN 'unknown_deployment'
+                WHEN NOT has_ts THEN 'unknown_timeseries'
+                WHEN t_loc <> d_loc OR t_sub IS DISTINCT FROM d_sub
+                  THEN 'location_mismatch'
+                WHEN d_z IS NOT NULL AND t_z IS DISTINCT FROM d_z
+                  THEN 'z_mismatch'
+                WHEN j.parameter_id IS NOT NULL
+                     AND t_param IS DISTINCT FROM j.parameter_id
+                  THEN 'parameter_mismatch'
+                WHEN l.connection_signal_id IS NOT NULL
+                  THEN 'timeseries_already_linked'
+           END AS reject_reason
+    FROM j LEFT JOIN linked l
+      ON l.connection_signal_id = j.connection_signal_id
+"""
+
+
+@register("instrument_connection_signal_check", oracle=_CONN_SIGNAL_ORACLE)
+def instrument_connection_signal_check(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """patch_44.R:552-642 check_instrument_connection_signal_timeseries
+    set-wise: every connection-signal row labelled with the first
+    failing trigger check (unknown refs, location/z/parameter
+    consistency, overlapping duplicate timeseries link)."""
+    from .operators.instruments import connection_signal_validation
+
+    dep, ts, conn, sig = _instruments_fixture(spark, sf_dir)
+    return connection_signal_validation(sig, conn, dep, ts)
+
+
+_DEPLOY_OVERLAP_ORACLE = "WITH " + _INSTR_FIXTURE_SQL + """
+    , links AS (
+      SELECT c_custkey - 1 AS metadata_id,
+             (c_custkey - 1) % 90 AS timeseries_id
+      FROM customer WHERE c_custkey % 3 = 1
+    ), ld AS (
+      SELECT l.timeseries_id, l.metadata_id, d.start_datetime AS s,
+             coalesce(d.end_datetime, TIMESTAMP '9999-01-01') AS e
+      FROM links l JOIN dep d ON d.metadata_id = l.metadata_id
+    )
+    SELECT DISTINCT a.timeseries_id, a.metadata_id AS metadata_a,
+           b.metadata_id AS metadata_b
+    FROM ld a JOIN ld b
+      ON a.timeseries_id = b.timeseries_id
+     AND a.metadata_id < b.metadata_id
+     AND a.s < b.e AND a.e > b.s
+"""
+
+
+@register("instrument_deployment_overlap", oracle=_DEPLOY_OVERLAP_ORACLE)
+def instrument_deployment_overlap(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """patch_44.R:716-755 deferred tstzrange && constraint replay: the
+    (timeseries, deployment-pair) conflicts where one timeseries is
+    linked to two deployments with overlapping periods."""
+    from .operators.instruments import deployment_timeseries_overlap
+
+    dep, _, _, _ = _instruments_fixture(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer")
+    m = F.col("c_custkey")
+    links = c.where(m % 3 == 1).select(
+        (m - 1).alias("metadata_id"),
+        ((m - 1) % 90).alias("timeseries_id"),
+    )
+    return deployment_timeseries_overlap(links, dep)
+
+
+_ACQ_DEP_ORACLE = "WITH " + _INSTR_FIXTURE_SQL + """
+    , instr AS (
+      SELECT p_partkey AS instrument_id,
+             CASE WHEN p_partkey % 17 = 0 THEN NULL
+                  ELSE p_partkey % 3 <> 1 END AS can_be_logger
+      FROM part WHERE p_partkey <= 400
+    ), prot AS (
+      SELECT * FROM (VALUES (0, 'internal'), (1, 'sdi12'), (2, 'modbus'),
+                            (3, 'analog'), (4, 'rs232'))
+        AS t(protocol_id, family_code)
+    ), cj AS (
+      SELECT c.instrument_metadata_id, c.logger_metadata_id,
+             c.start_datetime AS c_s,
+             coalesce(c.end_datetime, TIMESTAMP '9999-01-01') AS c_e,
+             i.instrument_id AS i_inst, i.location_id AS i_loc,
+             i.start_datetime AS i_s,
+             coalesce(i.end_datetime, TIMESTAMP '9999-01-01') AS i_e,
+             l.instrument_id AS l_inst, l.location_id AS l_loc,
+             l.start_datetime AS l_s,
+             coalesce(l.end_datetime, TIMESTAMP '9999-01-01') AS l_e,
+             p.family_code, li.can_be_logger
+      FROM conn c
+      LEFT JOIN dep i ON i.metadata_id = c.instrument_metadata_id
+      LEFT JOIN dep l ON l.metadata_id = c.logger_metadata_id
+      LEFT JOIN prot p ON p.protocol_id = c.protocol_id
+      LEFT JOIN instr li ON li.instrument_id = l.instrument_id
+    ), bad AS (
+      SELECT * FROM cj WHERE
+        i_inst IS NULL OR l_inst IS NULL
+        OR can_be_logger IS DISTINCT FROM TRUE
+        OR (family_code = 'internal'
+            AND instrument_metadata_id <> logger_metadata_id)
+        OR (family_code <> 'internal'
+            AND instrument_metadata_id = logger_metadata_id)
+        OR i_loc <> l_loc
+        OR c_s < i_s OR c_s < l_s
+        OR c_e > i_e OR c_e > l_e
+    ), f1 AS (
+      SELECT DISTINCT metadata_id FROM (
+        SELECT instrument_metadata_id AS metadata_id FROM bad
+        UNION ALL
+        SELECT logger_metadata_id AS metadata_id FROM bad
+      ) WHERE metadata_id IS NOT NULL
+    ), f2 AS (
+      SELECT DISTINCT d.metadata_id
+      FROM sig s
+      JOIN conn c ON c.connection_id = s.connection_id
+      JOIN ts t ON t.timeseries_id = s.timeseries_id
+      JOIN dep d ON d.metadata_id = c.instrument_metadata_id
+      WHERE s.timeseries_id IS NOT NULL AND (
+        t.location_id <> d.location_id
+        OR t.sub_location_id IS DISTINCT FROM d.sub_location_id
+        OR (d.z_id IS NOT NULL AND t.z_id IS DISTINCT FROM d.z_id)
+        OR (s.parameter_id IS NOT NULL
+            AND t.parameter_id IS DISTINCT FROM s.parameter_id))
+    )
+    SELECT d.metadata_id,
+           f1.metadata_id IS NOT NULL AS invalid_connection_metadata,
+           f2.metadata_id IS NOT NULL AS invalid_signal_mapping,
+           NOT (f1.metadata_id IS NOT NULL OR f2.metadata_id IS NOT NULL)
+             AS valid
+    FROM dep d
+    LEFT JOIN f1 ON f1.metadata_id = d.metadata_id
+    LEFT JOIN f2 ON f2.metadata_id = d.metadata_id
+"""
+
+
+@register("instrument_acquisition_validation", oracle=_ACQ_DEP_ORACLE)
+def instrument_acquisition_validation(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """patch_44.R:645-714
+    check_locations_metadata_instruments_acquisition_dependents for
+    every deployment at once: probe 1 flags deployments whose
+    dependent connections violate the instrument/logger/protocol/
+    period rules; probe 2 flags deployments whose signal->timeseries
+    mappings disagree on location / sub-location / z / parameter."""
+    from .operators.instruments import deployment_acquisition_validation
+
+    dep, ts, conn, sig = _instruments_fixture(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 400)
+    instruments = p.select(
+        F.col("p_partkey").alias("instrument_id"),
+        F.when(F.col("p_partkey") % 17 != 0, F.col("p_partkey") % 3 != 1)
+        .alias("can_be_logger"),
+    )
+    protocols = _ldf(
+        spark,
+        [(0, "internal"), (1, "sdi12"), (2, "modbus"), (3, "analog"),
+         (4, "rs232")],
+        "protocol_id bigint, family_code string",
+    )
+    return deployment_acquisition_validation(
+        dep, conn, instruments, protocols, sig, ts)
