@@ -11906,3 +11906,342 @@ def instrument_acquisition_validation(spark: SparkSession,
     )
     return deployment_acquisition_validation(
         dep, conn, instruments, protocols, sig, ts)
+
+
+# ---------------------------------------------------------------------------
+# Data-sharing agreements + CSW layer (inst/patches/patch_32.R): the
+# agreement-overlap constraint trigger (:259-289), the
+# default-agreement document-type trigger (:304-330), and the
+# get_csw_layer() catalog read view (:1415-1520).
+# ---------------------------------------------------------------------------
+
+_SHARING_OVERLAP_ORACLE = """
+    WITH ag AS (
+      SELECT o_orderkey AS timeseries_data_sharing_agreement_id,
+             o_custkey % 150 AS timeseries_id,
+             (o_orderkey * 11) % 500 AS data_sharing_agreement_id,
+             CAST(o_orderdate AS TIMESTAMP) AS start_dt,
+             CASE WHEN o_orderkey % 6 = 0 THEN NULL
+                  ELSE CAST(CAST(o_orderdate AS DATE) + 120 AS TIMESTAMP)
+             END AS end_dt
+      FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT a.timeseries_data_sharing_agreement_id, a.timeseries_id,
+           a.data_sharing_agreement_id, a.start_dt, a.end_dt,
+           EXISTS (
+             SELECT 1 FROM ag b
+             WHERE b.timeseries_id = a.timeseries_id
+               AND b.timeseries_data_sharing_agreement_id
+                   <> a.timeseries_data_sharing_agreement_id
+               AND a.start_dt < coalesce(b.end_dt, TIMESTAMP '9999-01-01')
+               AND coalesce(a.end_dt, TIMESTAMP '9999-01-01') > b.start_dt
+           ) AS violation
+    FROM ag a
+"""
+
+
+@register("sharing_agreement_overlap_check",
+          oracle=_SHARING_OVERLAP_ORACLE)
+def sharing_agreement_overlap_check(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """patch_32.R:259-289 check_timeseries_data_sharing_agreements_
+    overlap replayed for the whole table: both members of an
+    overlapping same-timeseries pair flag."""
+    from .operators.sharing import sharing_agreement_overlap_validation
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 1)
+    k = F.col("o_orderkey")
+    ag = o.select(
+        k.alias("timeseries_data_sharing_agreement_id"),
+        (F.col("o_custkey") % 150).alias("timeseries_id"),
+        ((k * 11) % 500).alias("data_sharing_agreement_id"),
+        F.col("o_orderdate").cast("timestamp").alias("start_dt"),
+        F.when(k % 6 != 0,
+               F.date_add(F.col("o_orderdate"), 120).cast("timestamp"))
+        .alias("end_dt"),
+    )
+    return sharing_agreement_overlap_validation(ag)
+
+
+_DEFAULT_AGREEMENT_ORACLE = """
+    WITH ts AS (
+      SELECT c_custkey AS timeseries_id,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE (c_custkey * 3) % 520
+             END AS default_data_sharing_agreement_id
+      FROM customer
+    ), doc AS (
+      SELECT p_partkey AS document_id, p_partkey % 8 AS document_type_id
+      FROM part WHERE p_partkey <= 500
+    ), ok AS (
+      SELECT document_id FROM doc WHERE document_type_id = 3
+    )
+    SELECT t.timeseries_id, t.default_data_sharing_agreement_id,
+           CASE WHEN t.default_data_sharing_agreement_id IS NOT NULL
+                     AND o.document_id IS NULL
+                THEN 'invalid_document_type' END AS reject_reason
+    FROM ts t
+    LEFT JOIN ok o ON o.document_id = t.default_data_sharing_agreement_id
+"""
+
+
+@register("default_sharing_agreement_check",
+          oracle=_DEFAULT_AGREEMENT_ORACLE)
+def default_sharing_agreement_check(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """patch_32.R:304-330 files.check_default_data_sharing_agreement:
+    non-NULL default agreement ids must reference a document typed
+    'data sharing agreement' (type_id 3 in the fixture's type table)."""
+    from .operators.sharing import default_agreement_type_validation
+
+    c = _t(spark, sf_dir, "customer")
+    m = F.col("c_custkey")
+    ts = c.select(
+        m.alias("timeseries_id"),
+        F.when(m % 5 != 0, (m * 3) % 520)
+        .alias("default_data_sharing_agreement_id"),
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    docs = p.select(
+        F.col("p_partkey").alias("document_id"),
+        (F.col("p_partkey") % 8).alias("document_type_id"),
+    )
+    types = _ldf(
+        spark,
+        [(i, "data sharing agreement" if i == 3 else f"report-{i}")
+         for i in range(8)],
+        "document_type_id bigint, type string",
+    )
+    return default_agreement_type_validation(ts, docs, types)
+
+
+_CSW_LAYER_ORACLE = """
+    WITH loc AS (
+      SELECT c_custkey AS location_id,
+             'LOC-' || CAST(c_custkey AS VARCHAR) AS location_code,
+             'Station ' || CAST(c_custkey AS VARCHAR) AS name,
+             'Poste ' || CAST(c_custkey AS VARCHAR) AS name_fr,
+             (c_custkey % 120) - 60 + CAST(0.5 AS DOUBLE) AS latitude,
+             (c_custkey % 300) - 150 + CAST(0.25 AS DOUBLE) AS longitude,
+             1 + c_custkey % 20 AS location_type,
+             c_custkey % 7 <> 0 AS jurisdictional_relevance
+      FROM customer WHERE c_custkey % 2 = 0
+    ), lt AS (
+      SELECT type_id, 'type-' || CAST(type_id AS VARCHAR) AS type
+      FROM (SELECT unnest(generate_series(1, 20)) AS type_id)
+    ), tser AS (
+      SELECT c_custkey AS timeseries_id,
+             c_custkey - 1 AS location_id,
+             CASE WHEN c_custkey % 9 = 0 THEN 999
+                  WHEN c_custkey % 8 = 1 THEN 1150
+                  WHEN c_custkey % 8 = 3 THEN 1165
+                  WHEN c_custkey % 8 = 5 THEN 21
+                  ELSE 1220 END AS parameter_id,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL
+                  ELSE c_custkey % 6 END AS sub_location_id
+      FROM customer WHERE c_custkey % 2 = 1
+    ), subl AS (
+      SELECT sub_location_id,
+             'Sub ' || CAST(sub_location_id AS VARCHAR)
+               AS sub_location_name,
+             'Sous ' || CAST(sub_location_id AS VARCHAR)
+               AS sub_location_name_fr
+      FROM (SELECT unnest(generate_series(0, 5)) AS sub_location_id)
+    ), par AS (
+      SELECT * FROM (VALUES
+        (1150, 'water level', 'niveau d''eau', 'm'),
+        (1165, 'discharge', 'debit', 'm3/s'),
+        (21, 'air temperature', 'temperature de l''air', 'C'),
+        (1220, 'snow depth', 'profondeur de neige', 'cm'),
+        (999, 'turbidity', 'turbidite', 'NTU'))
+        AS t(parameter_id, param_name, param_name_fr, param_units)
+    ), daily AS (
+      SELECT (o_custkey % 750) * 2 + 1 AS timeseries_id,
+             CAST(o_orderdate AS DATE) AS date,
+             CAST(o_orderkey % 1000 AS DOUBLE) / 10 AS value,
+             CAST(o_orderkey % 200 AS DOUBLE) / 2
+               AS percent_historic_range,
+             CAST(o_orderkey % 1000 AS DOUBLE) / 10 - 1 AS mean,
+             CAST(o_orderkey % 1000 AS DOUBLE) / 10 - 5 AS min,
+             CAST(o_orderkey % 1000 AS DOUBLE) / 10 + 5 AS max,
+             o_orderkey % 40 AS doy_count
+      FROM orders
+    ), dr AS (
+      SELECT 'LOC-' || CAST(p_partkey AS VARCHAR) AS feature_name,
+             CAST(p_partkey AS DOUBLE) / 4 AS drainage_area_km2
+      FROM part WHERE p_partkey % 3 = 0
+    ), cdat AS (
+      SELECT c_custkey AS location_id,
+             CAST(c_custkey % 9 AS DOUBLE) / 4 AS conversion_m,
+             'datum-en-' || CAST(c_custkey % 5 AS VARCHAR)
+               AS datum_name_en,
+             'datum-fr-' || CAST(c_custkey % 5 AS VARCHAR)
+               AS datum_name_fr
+      FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 20 = 0
+    ), own AS (
+      SELECT c_custkey AS timeseries_id, c_custkey % 12 AS organization_id,
+             CAST(DATE '2015-01-01' + ((c_custkey * 13) % 3000)
+                  * INTERVAL 1 DAY AS TIMESTAMP) AS start_dt,
+             CAST(DATE '2015-01-01' + ((c_custkey * 13) % 3000 + 200)
+                  * INTERVAL 1 DAY AS TIMESTAMP) AS end_dt
+      FROM customer WHERE c_custkey % 2 = 1
+      UNION ALL
+      SELECT c_custkey, (c_custkey + 5) % 12,
+             CAST(DATE '2015-01-01'
+                  + ((c_custkey * 13) % 3000 + c_custkey % 7 - 3)
+                  * INTERVAL 1 DAY AS TIMESTAMP),
+             CAST(DATE '2015-01-01'
+                  + ((c_custkey * 13) % 3000 + c_custkey % 7 + 97)
+                  * INTERVAL 1 DAY AS TIMESTAMP)
+      FROM customer WHERE c_custkey % 4 = 1
+    ), own1 AS (
+      SELECT location_id,
+             'Org-' || CAST(organization_id AS VARCHAR) AS owner_name,
+             'OrgFR-' || CAST(organization_id AS VARCHAR) AS owner_name_fr
+      FROM (
+        SELECT t.location_id, o.organization_id,
+               row_number() OVER (
+                 PARTITION BY t.location_id
+                 ORDER BY o.start_dt DESC, o.end_dt DESC,
+                          o.organization_id DESC) AS rn
+        FROM own o JOIN tser t ON t.timeseries_id = o.timeseries_id
+      ) WHERE rn = 1
+    )
+    SELECT l.location_code AS location,
+           CASE WHEN s.sub_location_name IS NOT NULL
+                THEN l.name || ' - ' || s.sub_location_name
+                ELSE l.name END AS station_name,
+           CASE WHEN s.sub_location_name_fr IS NOT NULL
+                THEN l.name_fr || ' - ' || s.sub_location_name_fr
+                ELSE l.name_fr END AS station_name_fr,
+           l.latitude, l.longitude, lt.type,
+           ow.owner_name, ow.owner_name_fr,
+           t.timeseries_id, t.parameter_id, p.param_name, p.param_name_fr,
+           p.param_units, d.date,
+           CASE WHEN p.param_name = 'water level'
+                THEN d.value + coalesce(c.conversion_m, CAST(0 AS DOUBLE))
+                ELSE d.value END AS value,
+           d.percent_historic_range,
+           CASE WHEN p.param_name = 'water level'
+                THEN d.mean + coalesce(c.conversion_m, CAST(0 AS DOUBLE))
+                ELSE d.mean END AS mean,
+           CASE WHEN p.param_name = 'water level'
+                THEN d.min + coalesce(c.conversion_m, CAST(0 AS DOUBLE))
+                ELSE d.min END AS min,
+           CASE WHEN p.param_name = 'water level'
+                THEN d.max + coalesce(c.conversion_m, CAST(0 AS DOUBLE))
+                ELSE d.max END AS max,
+           d.doy_count, dr.drainage_area_km2,
+           CASE WHEN p.param_name = 'water level'
+                THEN c.datum_name_en END AS datum_name_en,
+           CASE WHEN p.param_name = 'water level'
+                THEN c.datum_name_fr END AS datum_name_fr
+    FROM daily d
+    JOIN tser t ON t.timeseries_id = d.timeseries_id
+    JOIN loc l ON l.location_id = t.location_id
+    JOIN lt ON lt.type_id = l.location_type
+    LEFT JOIN subl s ON s.sub_location_id = t.sub_location_id
+    JOIN par p ON p.parameter_id = t.parameter_id
+    LEFT JOIN dr ON dr.feature_name = l.location_code
+    LEFT JOIN cdat c ON c.location_id = l.location_id
+    LEFT JOIN own1 ow ON ow.location_id = l.location_id
+    WHERE l.jurisdictional_relevance
+      AND lt.type_id IN (1, 2, 16)
+      AND t.parameter_id IN (1150, 1165, 21, 1220)
+      AND d.date >= DATE '1998-08-02' - 30
+"""
+
+
+@register("csw_layer_read", oracle=_CSW_LAYER_ORACLE)
+def csw_layer_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """patch_32.R:1415-1520 public.get_csw_layer(): the CSW catalog
+    view — trailing-30-day corrected daily values joined to station /
+    parameter / latest-owner / drainage / datum metadata, with the
+    water-level datum offset applied to value/mean/min/max."""
+    from .operators.sharing import csw_layer
+
+    c = _t(spark, sf_dir, "customer")
+    m = F.col("c_custkey")
+    locations = c.where(m % 2 == 0).select(
+        m.alias("location_id"),
+        F.concat(F.lit("LOC-"), m.cast("string")).alias("location_code"),
+        F.concat(F.lit("Station "), m.cast("string")).alias("name"),
+        F.concat(F.lit("Poste "), m.cast("string")).alias("name_fr"),
+        ((m % 120) - 60 + F.lit(0.5)).alias("latitude"),
+        ((m % 300) - 150 + F.lit(0.25)).alias("longitude"),
+        (F.lit(1) + m % 20).alias("location_type"),
+        (m % 7 != 0).alias("jurisdictional_relevance"),
+    )
+    location_types = _ldf(
+        spark, [(i, f"type-{i}") for i in range(1, 21)],
+        "type_id bigint, type string")
+    timeseries = c.where(m % 2 == 1).select(
+        m.alias("timeseries_id"),
+        (m - 1).alias("location_id"),
+        F.when(m % 9 == 0, 999).when(m % 8 == 1, 1150)
+        .when(m % 8 == 3, 1165).when(m % 8 == 5, 21)
+        .otherwise(1220).alias("parameter_id"),
+        F.when(m % 3 != 0, m % 6).alias("sub_location_id"),
+    )
+    sub_locations = _ldf(
+        spark, [(i, f"Sub {i}", f"Sous {i}") for i in range(6)],
+        "sub_location_id bigint, sub_location_name string, "
+        "sub_location_name_fr string")
+    parameters = _ldf(
+        spark,
+        [(1150, "water level", "niveau d'eau", "m"),
+         (1165, "discharge", "debit", "m3/s"),
+         (21, "air temperature", "temperature de l'air", "C"),
+         (1220, "snow depth", "profondeur de neige", "cm"),
+         (999, "turbidity", "turbidite", "NTU")],
+        "parameter_id bigint, param_name string, param_name_fr string, "
+        "unit_default string")
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v = (k % 1000).cast("double") / 10
+    daily = o.select(
+        ((F.col("o_custkey") % 750) * 2 + 1).alias("timeseries_id"),
+        F.col("o_orderdate").cast("date").alias("date"),
+        v.alias("value"),
+        ((k % 200).cast("double") / 2).alias("percent_historic_range"),
+        (v - 1).alias("mean"), (v - 5).alias("min"), (v + 5).alias("max"),
+        (k % 40).alias("doy_count"),
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 3 == 0)
+    drainage = p.select(
+        F.concat(F.lit("LOC-"), F.col("p_partkey").cast("string"))
+        .alias("feature_name"),
+        (F.col("p_partkey").cast("double") / 4).alias("drainage_area_km2"),
+    )
+    datum_conversions = c.where(m % 10 == 0).select(
+        m.alias("location_id"),
+        (m % 5).alias("datum_id_to"),
+        ((m % 9).cast("double") / 4).alias("conversion_m"),
+        (m % 20 == 0).alias("current"),
+    )
+    datum_list = _ldf(
+        spark, [(i, f"datum-en-{i}", f"datum-fr-{i}") for i in range(5)],
+        "datum_id bigint, datum_name_en string, datum_name_fr string")
+    d0 = F.lit("2015-01-01").cast("date")
+    own_a = c.where(m % 2 == 1).select(
+        m.alias("timeseries_id"), (m % 12).alias("organization_id"),
+        F.date_add(d0, ((m * 13) % 3000).cast("int")).cast("timestamp")
+        .alias("start_dt"),
+        F.date_add(d0, ((m * 13) % 3000 + 200).cast("int"))
+        .cast("timestamp").alias("end_dt"),
+    )
+    own_b = c.where(m % 4 == 1).select(
+        m.alias("timeseries_id"), ((m + 5) % 12).alias("organization_id"),
+        F.date_add(d0, ((m * 13) % 3000 + m % 7 - 3).cast("int"))
+        .cast("timestamp").alias("start_dt"),
+        F.date_add(d0, ((m * 13) % 3000 + m % 7 + 97).cast("int"))
+        .cast("timestamp").alias("end_dt"),
+    )
+    owners = own_a.unionByName(own_b)
+    organizations = _ldf(
+        spark, [(i, f"Org-{i}", f"OrgFR-{i}") for i in range(12)],
+        "organization_id bigint, name string, name_fr string")
+    return csw_layer(
+        locations, location_types, timeseries, sub_locations, parameters,
+        daily, drainage, datum_conversions, datum_list, owners,
+        organizations, as_of_date="1998-08-02")
