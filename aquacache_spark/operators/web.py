@@ -163,6 +163,14 @@ def psl_rules(psl: DataFrame) -> dict[int, list[tuple]]:
             key = rule
             k = key.count(".") + 1
             prio, pub, wild = k, k, False
+        if pub >= _PSL_ORD_BASE:
+            # a >=16-label public suffix would corrupt both the packed
+            # priority and the `best % 16` pub-length extraction; real
+            # PSL rules max ~5 labels, so a violation means a malformed
+            # snapshot — fail loudly instead of resolving wrong domains
+            raise ValueError(
+                f"PSL rule {rule!r} has public-suffix length {pub} >= "
+                f"{_PSL_ORD_BASE}; raise _PSL_ORD_BASE to pack it")
         ordv = prio * _PSL_ORD_BASE + pub
         slot = by_key.setdefault((key, k), [None, None])
         i = 1 if wild else 0
@@ -185,11 +193,22 @@ def registered_domain_psl(
     label count, ``*.``-wildcards (match one extra host label), and
     ``!``-exceptions (beat everything; public suffix is the rule minus
     its leftmost label). Longest matching rule wins; no match falls
-    back to the implicit ``*`` rule (public suffix = last label). One
-    broadcast left join per distinct rule length — map-side only, no
-    shuffle, no UDF. Hosts that ARE a public suffix resolve to
-    themselves (the pipeline-friendly stand-in for the PSL's 'no
-    registered domain')."""
+    back to the implicit ``*`` rule (public suffix = last label).
+
+    Plan shape: one hash probe per distinct rule length, all against a
+    SINGLE shared broadcast dim keyed on (key, rule-length) — the
+    per-length joins reference the same build subtree, so Spark
+    materializes ONE BroadcastExchange and the rest are
+    ReusedExchange (one-local-relation-broadcast fixed cost instead of
+    one per length; each costs a driver round trip, which dominated
+    the bench at small SF). Probes stay O(1) per row per length —
+    map-side only, no shuffle, no UDF, whole-stage codegen'd. The TLD
+    pre-prune gates each multi-label probe on an InSet test of the
+    host's last label, so common TLDs (com/org/...) never build the
+    4- and 5-label tail strings (CASE WHEN short-circuits in codegen)
+    and null-key probes fast-path. Hosts that ARE a public suffix
+    resolve to themselves (the pipeline-friendly stand-in for the
+    PSL's 'no registered domain')."""
     # stage the label split ONCE: tail(k) appears in every per-length
     # join condition, and re-splitting the host in each would repeat
     # the regex k times per row (the HOF/staged-column lesson)
@@ -209,20 +228,40 @@ def registered_domain_psl(
     rules = psl_rules(psl)
     lens = sorted(rules)
     if not lens:  # empty rule table: only the implicit '*' rule
-        labels_ = F.split(F.col(host_col), r"\.")
         reg0 = F.when(
-            F.size(labels_) >= 2,
-            F.concat_ws(".", F.slice(labels_, F.size(labels_) - 1, 2)),
+            n >= 2, F.concat_ws(".", F.slice(labels, n - 1, 2))
         ).otherwise(F.col(host_col))
-        return df.withColumn(out_col, reg0)
+        return df.withColumn(out_col, reg0).drop("__psl_labels")
     spark = df.sparkSession
-    tagged = df
+    # one dim for ALL rule lengths, keyed on the rule key alone: a
+    # k-label tail string can only equal a k-label key (labels cannot
+    # contain dots), so the per-length probes need no length column —
+    # and because every probe's build subtree is then IDENTICAL, Spark
+    # materializes the broadcast once and reuses the exchange
+    all_rules = sorted(
+        (key, lit, wild)
+        for k in lens for key, lit, wild in rules[k]
+    )
+    d = spark.createDataFrame(
+        all_rules,
+        schema="__psl_key string, __psl_lit int, __psl_wild int",
+    )
+    bd = F.broadcast(d)
+    tagged = df.withColumn(
+        "__psl_tld", F.try_element_at(labels, F.lit(-1)))
+    tld = F.col("__psl_tld")
     cands: list[Column] = []
     for k in lens:
-        d = spark.createDataFrame(
-            rules[k], schema=f"__k{k} string, __lit{k} int, __wild{k} int")
-        tagged = tagged.join(
-            F.broadcast(d), tail(k) == F.col(f"__k{k}"), "left")
+        key = tail(k)
+        if k >= 2:
+            tlds_k = sorted({r[0].rsplit(".", 1)[-1] for r in rules[k]})
+            key = F.when(tld.isin(tlds_k), key)
+        tagged = (
+            tagged.join(bd, key == F.col("__psl_key"), "left")
+            .withColumnsRenamed({"__psl_lit": f"__lit{k}",
+                                 "__psl_wild": f"__wild{k}"})
+            .drop("__psl_key")
+        )
         cands.append(F.col(f"__lit{k}"))
         # the '*' must consume a real host label
         cands.append(F.when(n >= k + 1, F.col(f"__wild{k}")))
@@ -231,8 +270,9 @@ def registered_domain_psl(
     reg = F.when(
         n > pub, F.concat_ws(".", F.slice(labels, n - pub, pub + 1))
     ).otherwise(F.col(host_col))
-    drop = [c for k in lens for c in (f"__k{k}", f"__lit{k}", f"__wild{k}")]
-    return tagged.withColumn(out_col, reg).drop("__psl_labels", *drop)
+    drop = [c for k in lens for c in (f"__lit{k}", f"__wild{k}")]
+    return tagged.withColumn(out_col, reg).drop(
+        "__psl_labels", "__psl_tld", *drop)
 
 
 def domain_rollup(

@@ -116,11 +116,18 @@ def test_psl_joins_are_broadcast(spark):
                                                registered_domain_psl)
 
     psl = load_psl(spark)
-    n_lens = len(psl_rules(psl))  # one broadcast join per rule length
+    n_lens = len(psl_rules(psl))  # one hash probe per rule length...
     df = spark.createDataFrame([("a.co.uk",)], "host string")
-    p = registered_domain_psl(df, psl)._jdf.queryExecution() \
-        .executedPlan().toString()
+    out = registered_domain_psl(df, psl)
+    out.collect()  # materialize so the AQE final plan is available
+    p = out._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]  # count the FINAL plan only
     assert p.count("BroadcastHashJoin") == n_lens
+    # ...but ONE materialized broadcast: the shared single-key rule dim
+    # makes every build subtree identical, so all later probes reuse
+    # the first exchange instead of paying a driver round trip each
+    assert "ReusedExchange" in p
+    assert p.count("BroadcastExchange") - p.count("ReusedExchange") == 1
     assert "SortMergeJoin" not in p and "Exchange hashpartitioning" not in p
 
 
