@@ -148,9 +148,11 @@ class _BitReader:
     (one slice + shift per read) and symbol decode through the
     :class:`_HuffTable` peek LUT — the per-SYMBOL cost replaces the
     former per-BIT Python call, the decoder's documented throughput
-    bound. Reads that *start* past the end of the real data raise
-    loudly (truncated streams quarantine, never produce pixels); a
-    final symbol's code may extend into the zero padding, which is
+    bound. Symbol reads that *start* past the end of the real data
+    raise loudly, and magnitude/EOB-run receives additionally check
+    their full extent (start + n) — a receive is not prefix-free, so
+    one extending into the padding would fabricate a coefficient. A
+    final symbol's CODE may extend into the zero padding, which is
     safe because prefix-free codes resolve on their own bits."""
 
     __slots__ = ("data", "pos", "nbits")
@@ -173,7 +175,12 @@ class _BitReader:
         if n == 0:
             return 0
         p = self.pos
-        if p >= self.nbits:
+        # strict end check (p + n, not just p): a magnitude/receive
+        # read is NOT prefix-free, so one that starts in-bounds but
+        # extends past the last real bit would silently consume zero
+        # padding and fabricate a coefficient — truncation mid-value
+        # must quarantine like every other corrupt-input path
+        if p + n > self.nbits:
             raise ValueError("JPEG entropy data exhausted")
         b = p >> 3
         chunk = int.from_bytes(self.data[b:b + 4], "big")
@@ -258,6 +265,8 @@ def _decode_baseline_scan(frame, order, ri, data) -> None:
         cat = dsyms[key]
         p += t
         if cat:
+            if p + cat > nbits:  # receive is not prefix-free
+                raise ValueError("JPEG entropy data exhausted")
             v = (chunk >> (off - t - cat)) & ((1 << cat) - 1)
             p += cat
             preds[c["id"]] += (v if v >= (1 << (cat - 1))
@@ -285,6 +294,8 @@ def _decode_baseline_scan(frame, order, ri, data) -> None:
             k += rs >> 4
             if k > 63:
                 raise ValueError("AC run past block end")
+            if p + s > nbits:  # receive is not prefix-free
+                raise ValueError("JPEG entropy data exhausted")
             v = (chunk >> (off - length - s)) & ((1 << s) - 1)
             p += s
             blk[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -353,6 +364,8 @@ def _ac_first_block(br, coef, hac, ss, se, al, state) -> None:
             if r < 15:
                 state["eobrun"] = (1 << r) - 1
                 if r:
+                    if p + r > nbits:  # receive is not prefix-free
+                        raise ValueError("JPEG entropy data exhausted")
                     state["eobrun"] += (
                         chunk >> (off - length - r)) & ((1 << r) - 1)
                     p += r
@@ -362,6 +375,8 @@ def _ac_first_block(br, coef, hac, ss, se, al, state) -> None:
         k += r
         if k > se:
             raise ValueError("AC run past spectral band end")
+        if p + s > nbits:  # receive is not prefix-free
+            raise ValueError("JPEG entropy data exhausted")
         v = (chunk >> (off - length - s)) & ((1 << s) - 1)
         p += s
         coef[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
@@ -400,6 +415,9 @@ def _ac_refine_block(br, coef, hac, ss, se, al, state) -> None:
                 if r < 15:
                     state["eobrun"] = 1 << r
                     if r:
+                        if p + r > nbits:  # receive, not prefix-free
+                            raise ValueError(
+                                "JPEG entropy data exhausted")
                         state["eobrun"] += (
                             chunk >> (off - length - r)) & ((1 << r) - 1)
                         p += r
@@ -408,6 +426,8 @@ def _ac_refine_block(br, coef, hac, ss, se, al, state) -> None:
             else:
                 if s != 1:
                     raise ValueError("bad refinement magnitude category")
+                if p + 1 > nbits:  # receive, not prefix-free
+                    raise ValueError("JPEG entropy data exhausted")
                 val = p1 if (chunk >> (off - length - 1)) & 1 else m1
                 p += 1
             while k <= se:

@@ -275,23 +275,27 @@ def gopher_flags(text: Column, line_text: Column | None = None,
     Appendix A 'quality filtering'), pure codegen:
 
     - word count in [min_words, max_words];
-    - mean word length in [3, 10] (documents are single-space joined,
-      so the mean is (chars - (n-1)) / n — no per-token HOF);
+    - mean word length in [3, 10];
     - symbol-to-word ratio ('#' or '...') <= 0.1;
     - <= 90% of lines start with a bullet ('- ' / '* ');
     - <= 30% of lines end with an ellipsis;
     - >= 80% of words contain at least one alphabetic character;
     - at least 2 of the 8 required stopwords present.
 
+    Word rules tokenize on WHITESPACE RUNS (``\\s+`` after trim) and
+    mean word length is non-whitespace chars / words — robust to
+    tabs, newlines, and consecutive spaces, unlike the corpus-wide
+    single-space ``tokens()`` regime (on single-space-joined text the
+    two agree exactly, which is the regime the DuckDB oracle mirrors).
     ``line_text`` carries the line structure when the stored ``text``
     is whitespace-normalized (the line rules run on it; the word rules
     stay on ``text``). Returns a dict of named metric columns plus
     ``keep``; mirror 1:1 in the DuckDB oracle."""
     lt = line_text if line_text is not None else text
-    toks = tokens(text)
+    toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
     nd = n.cast("double")
-    mean_len = (F.length(text) - (n - 1)) / nd
+    mean_len = F.length(F.regexp_replace(text, r"\s+", "")) / nd
     hash_n = F.length(lt) - F.length(F.replace(lt, F.lit("#"), F.lit("")))
     ell_n = (F.length(lt)
              - F.length(F.replace(lt, F.lit("..."), F.lit("")))) / 3

@@ -447,3 +447,45 @@ def test_resize_image_blob_exact_and_guards():
     assert out2.shape == (3, 5, 3)
     with pytest.raises(ValueError, match="cannot downscale"):
         resize_image_blob(encode_bmp(px), 24, 40)
+
+
+def test_jpeg_receive_truncation_is_strict():
+    """A bit receive (magnitude / EOB-run) that starts in-bounds but
+    extends past the last real bit must raise, not silently consume
+    the zero padding — only prefix-free SYMBOL reads may overrun into
+    padding (they resolve on their own bits)."""
+    import pytest
+
+    from aquacache_spark.functions.jpeg import _BitReader
+
+    br = _BitReader(b"\xa5")  # 8 real bits
+    br.pos = 4
+    with pytest.raises(ValueError):
+        br.get_bits(8)  # starts in-bounds, needs 12
+    br.pos = 4
+    assert br.get_bits(4) == 0x5  # exact fit still fine
+    with pytest.raises(ValueError):
+        br.get_bits(1)  # now exhausted
+
+
+def test_gopher_flags_whitespace_robust(spark):
+    """Mean word length / word count / alpha fraction must agree
+    between single-space-joined text and the same text with messy
+    whitespace (tabs, newlines, double spaces)."""
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.functions.text import gopher_flags
+
+    clean = "the quick brown fox jumps over the lazy dog"
+    messy = "the  quick\tbrown fox\n jumps over\t\tthe lazy  dog "
+    df = spark.createDataFrame([(1, clean), (2, messy)], "i int, t string")
+    flags = gopher_flags(F.col("t"), min_words=1)
+    out = {r["i"]: r for r in df.select(
+        "i", flags["n_words"].alias("n"),
+        flags["mean_word_len"].alias("mwl"),
+        flags["alpha_frac"].alias("af"),
+        flags["stopword_hits"].alias("sh")).collect()}
+    assert out[1]["n"] == out[2]["n"] == 9
+    assert abs(out[1]["mwl"] - out[2]["mwl"]) < 1e-12
+    assert out[1]["af"] == out[2]["af"] == 1.0
+    assert out[1]["sh"] == out[2]["sh"]
