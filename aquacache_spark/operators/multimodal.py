@@ -1024,6 +1024,94 @@ def audio_fingerprint64(samples) -> int:
     return fp
 
 
+# Spectral variant (the Haitsma-Kalker shape): per frame, an INTEGER
+# DFT over 4-sample chunk pre-sums, 16 bins grouped into 4 frequency
+# bands; bit = band energy rises between adjacent frames. The basis is
+# a fixed-point cosine/sine table (scale 128) computed once with
+# math.cos/sin and shared VERBATIM with the DuckDB oracle (embedded as
+# list literals), so both engines do exact int64 arithmetic — no
+# cross-engine trig drift can flip a sign-of-delta bit. Gain
+# invariance is exact: energies are quadratic forms in the samples.
+_SPEC_CHUNK = 4                      # samples pre-summed per DFT point
+_SPEC_N = _FP_FRAME // _SPEC_CHUNK   # DFT length (64)
+_SPEC_BINS = 16                      # bins 1..16 (DC skipped)
+_SPEC_SCALE = 128                    # fixed-point basis scale
+
+
+def _spec_basis() -> tuple[list[list[int]], list[list[int]]]:
+    """Fixed-point DFT basis, row n-1 (bin n), column k:
+    floor(cos/sin(2*pi*n*k/N) * SCALE + 0.5). Pure math module —
+    deterministic everywhere; the oracle embeds these exact ints."""
+    import math
+
+    bc, bs = [], []
+    for nbin in range(1, _SPEC_BINS + 1):
+        bc.append([math.floor(
+            math.cos(2 * math.pi * nbin * k / _SPEC_N) * _SPEC_SCALE + 0.5)
+            for k in range(_SPEC_N)])
+        bs.append([math.floor(
+            math.sin(2 * math.pi * nbin * k / _SPEC_N) * _SPEC_SCALE + 0.5)
+            for k in range(_SPEC_N)])
+    return bc, bs
+
+
+def audio_spectral_fingerprint64(samples) -> int:
+    """int16 PCM -> 60-bit spectral fingerprint: bit b*15+f set iff
+    frequency band b's DFT energy RISES from frame f to f+1. Exact
+    int64 arithmetic end to end (|coeff| <= 24000*128*64 ~ 2e8,
+    squared+summed <= ~2e17 < 2^63)."""
+    import numpy as np
+
+    bc, bs = _spec_basis()
+    cb = np.asarray(bc, dtype=np.int64)   # (BINS, N)
+    sb = np.asarray(bs, dtype=np.int64)
+    s = np.asarray(samples, dtype=np.int64)
+    need = _FP_FRAMES * _FP_FRAME
+    if s.size < need:
+        s = np.pad(s, (0, need - s.size))
+    cs = s[:need].reshape(_FP_FRAMES, _SPEC_N, _SPEC_CHUNK).sum(axis=2)
+    cr = cs @ cb.T                        # (FRAMES, BINS)
+    ci = cs @ sb.T
+    e = (cr * cr + ci * ci).reshape(
+        _FP_FRAMES, _FP_BANDS, _SPEC_BINS // _FP_BANDS).sum(axis=2)
+    fp = 0
+    for b in range(_FP_BANDS):
+        for f in range(_FP_FRAMES - 1):
+            if e[f + 1, b] > e[f, b]:
+                fp |= 1 << (b * (_FP_FRAMES - 1) + f)
+    return fp
+
+
+def extract_audio_spectral_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """(id, fingerprint) over WAV blobs using the spectral (DFT)
+    kernel — map-only Arrow kernel; undecodable inputs quarantine as
+    NULL."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for blob in pdf[blob_col]:
+                try:
+                    _rate, _ch, samples = decode_wav(bytes(blob))
+                    out.append(audio_spectral_fingerprint64(samples[:, 0]))
+                except (ValueError, IndexError):
+                    out.append(None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "fingerprint": pd.Series(out, dtype="Int64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
 def extract_audio_fingerprint(
     df: DataFrame,
     id_col: str = "media_id",

@@ -37,23 +37,19 @@ from ..functions.text import tokens
 _Q = 1e6  # score quantum (matches the unigram-surprisal idiom)
 
 
-def bm25_topk(
+def _bm25_contribs(
     docs: DataFrame,
     queries: DataFrame,
-    k: int = 5,
-    k1: float = 1.2,
-    b: float = 0.75,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    query_id: str = "query_id",
-    query_col: str = "query",
+    k1: float,
+    b: float,
+    id_col: str,
+    text_col: str,
+    query_id: str,
+    query_col: str,
 ) -> DataFrame:
-    """Okapi BM25 top-k per probe query.
-
-    Output: (query_id, doc_id, score) with score = the quantized
-    contribution sum / 1e6, ranked per query by (score DESC, doc_id
-    ASC), at most ``k`` rows per query.
-    """
+    """Per-(query, doc, term) quantized BM25 contributions — the
+    shared core of :func:`bm25_topk` and :func:`bm25_phrase_topk`.
+    Returns (query_id, id_col, __q)."""
     base = docs.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
     ).withColumn("__dl", F.size("__toks"))
@@ -89,8 +85,10 @@ def bm25_topk(
            + k1 * (1.0 - b + b * F.col("__dl") / avgdl))
     )
     q = F.floor(contrib * _Q + F.lit(0.5)).cast("long")
-    per_doc = scored.select(query_id, id_col, q.alias("__q")).groupBy(
-        query_id, id_col).agg(F.sum("__q").alias("__ql"))
+    return scored.select(query_id, id_col, q.alias("__q"))
+
+
+def _rank_topk(per_doc, k, id_col, query_id):
     w = Window.partitionBy(query_id).orderBy(
         F.desc("__ql"), F.asc(id_col))
     return (
@@ -99,3 +97,110 @@ def bm25_topk(
         .select(query_id, id_col,
                 (F.col("__ql") / F.lit(_Q)).alias("score"))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Okapi BM25 top-k per probe query.
+
+    Output: (query_id, doc_id, score) with score = the quantized
+    contribution sum / 1e6, ranked per query by (score DESC, doc_id
+    ASC), at most ``k`` rows per query.
+    """
+    contribs = _bm25_contribs(
+        docs, queries, k1, b, id_col, text_col, query_id, query_col)
+    per_doc = contribs.groupBy(query_id, id_col).agg(
+        F.sum("__q").alias("__ql"))
+    return _rank_topk(per_doc, k, id_col, query_id)
+
+
+def bm25_phrase_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    w_bigram: float = 0.5,
+    w_phrase: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """BM25 + phrase/proximity scoring:
+
+    score = BM25
+          + w_bigram * Σ_{query bigrams g}  ln(1 + tf_g(doc))
+          + w_phrase * ln(1 + tf_phrase(doc))        [phrases of >= 2]
+
+    where tf_g counts the bigram's occurrences among the document's
+    adjacent token pairs (the order-sensitive proximity signal BM25
+    lacks) and tf_phrase counts occurrences of the FULL query as a
+    consecutive token run. Every component is 1e-6-quantized and
+    exact-summed, so ranking is order-independent.
+
+    Scale shape: probe queries are catalog-sized BY DEFINITION, so
+    their phrases are collected driver-side (the PSL-pivot precedent)
+    and the document side builds one partial-aggregable L-gram count
+    per DISTINCT gram length needed (2 for bigrams + each phrase
+    length) — each is explode → map-side-combined count → broadcast
+    semi-restriction to query grams. No corpus shuffle beyond the
+    per-(doc, gram) aggregation; no UDFs.
+    """
+    contribs = _bm25_contribs(
+        docs, queries, k1, b, id_col, text_col, query_id, query_col)
+    grams: dict[int, list[tuple]] = {}
+    for r in queries.select(query_id, query_col).collect():
+        toks = str(r[query_col]).lower().split()
+        qid = r[query_id]
+        for i in range(len(toks) - 1):
+            grams.setdefault(2, []).append(
+                (qid, toks[i] + " " + toks[i + 1], w_bigram))
+        if len(toks) >= 2:
+            grams.setdefault(len(toks), []).append(
+                (qid, " ".join(toks), w_phrase))
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    parts = [contribs]
+    for L in sorted(grams):
+        gdim = spark.createDataFrame(
+            sorted(set(grams[L])),
+            schema=f"{query_id} int, __gram string, __w double")
+        toks = F.col("__toks")
+        gram_arr = F.when(
+            F.col("__n") >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - (L - 1)),
+                lambda i: F.concat_ws(" ", *[
+                    F.element_at(toks, i + j) for j in range(L)]),
+            ),
+        )
+        gtf = (
+            base.select(id_col, F.explode(gram_arr).alias("__gram"))
+            .groupBy(id_col, "__gram")
+            .agg(F.count(F.lit(1)).alias("__gtf"))
+        )
+        bonus = F.floor(
+            F.col("__w") * F.log(1.0 + F.col("__gtf")) * _Q + F.lit(0.5)
+        ).cast("long")
+        parts.append(
+            gtf.join(F.broadcast(gdim), "__gram")
+            .select(query_id, id_col, bonus.alias("__q"))
+        )
+    allq = parts[0]
+    for p in parts[1:]:
+        allq = allq.unionByName(p)
+    per_doc = allq.groupBy(query_id, id_col).agg(
+        F.sum("__q").alias("__ql"))
+    return _rank_topk(per_doc, k, id_col, query_id)

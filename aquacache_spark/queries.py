@@ -12245,3 +12245,205 @@ def csw_layer_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         locations, location_types, timeseries, sub_locations, parameters,
         daily, drainage, datum_conversions, datum_list, owners,
         organizations, as_of_date="1998-08-02")
+
+
+# ---------------------------------------------------------------------------
+# Spectral (DFT) audio fingerprint variant (operators/multimodal.
+# audio_spectral_fingerprint64): real WAV decode -> 4-sample chunk
+# pre-sums -> EXACT fixed-point integer DFT (basis table shared
+# verbatim with this oracle, so no cross-engine trig drift) -> 4
+# frequency bands x 16 bins -> rise/fall bits across adjacent frames.
+# Gain invariance exact (energies quadratic in the samples), so group
+# twins fingerprint identically.
+# ---------------------------------------------------------------------------
+
+def _audio_spec_oracle() -> str:
+    from .operators.multimodal import _spec_basis
+
+    bc, bs = _spec_basis()
+    lc = ",".join(str(v) for row in bc for v in row)
+    ls = ",".join(str(v) for row in bs for v in row)
+    return f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 8 AS g, 1 + doc_id % 3 AS fac
+      FROM documents WHERE doc_id % 4 = 1
+    ), t AS (
+      SELECT unnest(range(0, 4096)) AS k
+    ), s AS (
+      SELECT media_id, k // 256 AS f, (k % 256) // 4 AS j,
+             fac * (((g * 37 + k * 101) % 4001) - 2000) AS v
+      FROM ids, t
+    ), ch AS (
+      SELECT media_id, f, j, sum(v) AS cs FROM s GROUP BY 1, 2, 3
+    ), bas AS (
+      SELECT [{lc}] AS bc, [{ls}] AS bs
+    ), bins AS (
+      SELECT unnest(range(1, 17)) AS n
+    ), sp AS (
+      SELECT media_id, f, (n - 1) // 4 AS b,
+             sum(cs * bc[(n - 1) * 64 + j + 1]) AS cr,
+             sum(cs * bs[(n - 1) * 64 + j + 1]) AS ci
+      FROM ch, bins, bas
+      GROUP BY media_id, f, b, n
+    ), e AS (
+      SELECT media_id, f, b, sum(cr * cr + ci * ci) AS e
+      FROM sp GROUP BY 1, 2, 3
+    ), bits AS (
+      SELECT a.media_id, a.b * 15 + a.f AS idx, (n.e > a.e) AS bit
+      FROM e a JOIN e n ON a.media_id = n.media_id AND a.b = n.b
+                        AND n.f = a.f + 1
+      WHERE a.f < 15
+    ), fp AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN bit
+                      THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+                  AS BIGINT) AS fingerprint
+      FROM bits GROUP BY 1
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+"""
+
+
+_AUDIO_SPEC_ORACLE = _audio_spec_oracle()
+
+
+@register("audio_spectral_near_dup", oracle=_AUDIO_SPEC_ORACLE)
+def audio_spectral_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio near-dup pairs: WAV decode -> fixed-point
+    integer DFT band energies -> rise/fall fingerprint -> pigeonhole-
+    banded pair join."""
+    from .operators.dedup import simhash_near_pairs
+    from .operators.multimodal import (extract_audio_spectral_fingerprint,
+                                       synthesize_tone_wavs)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 4 == 1).select(
+        F.col("doc_id").alias("media_id"))
+    fps = extract_audio_spectral_fingerprint(synthesize_tone_wavs(ids))
+    return simhash_near_pairs(
+        fps, id_col="media_id", sig_col="fingerprint",
+        bits=60, bands=4, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# BM25 + phrase/proximity scoring (operators/search.bm25_phrase_topk):
+# base BM25 plus w_bigram * ln(1+tf) per query bigram matched among a
+# document's adjacent token pairs, plus w_phrase * ln(1+tf) for the
+# full query as a consecutive run (a 2-word query earns BOTH — it IS
+# its own bigram). Every component 1e-6-quantized + exact-summed.
+# ---------------------------------------------------------------------------
+
+_BM25P_QUERIES = [(0, "batch batch"), (1, "merge slow join"),
+                  (2, "the fast key"), (3, "small part fast value")]
+_BM25P_W_BIGRAM = 0.5
+_BM25P_W_PHRASE = 1.0
+
+
+def _bm25p_grams() -> dict[int, list[tuple]]:
+    grams: dict[int, list[tuple]] = {}
+    for qid, q in _BM25P_QUERIES:
+        toks = q.split()
+        for i in range(len(toks) - 1):
+            grams.setdefault(2, []).append(
+                (qid, toks[i] + " " + toks[i + 1], _BM25P_W_BIGRAM))
+        if len(toks) >= 2:
+            grams.setdefault(len(toks), []).append(
+                (qid, " ".join(toks), _BM25P_W_PHRASE))
+    return {L: sorted(set(v)) for L, v in grams.items()}
+
+
+def _bm25p_oracle() -> str:
+    values = ", ".join(f"({i}, '{q}')" for i, q in _BM25P_QUERIES)
+    gram_ctes, bonus_selects = [], []
+    for L in sorted(_bm25p_grams()):
+        rows = ", ".join(
+            f"({qid}, '{g}', CAST({w} AS DOUBLE))"
+            for qid, g, w in _bm25p_grams()[L])
+        cat = " || ' ' || ".join(f"toks[i + {j}]" for j in range(L))
+        gram_ctes.append(f"""
+    qg{L}(query_id, gram, w) AS (VALUES {rows}),
+    dg{L} AS (
+      SELECT doc_id, {cat} AS gram
+      FROM base, unnest(generate_series(1, len(toks) - {L - 1}))
+           AS t(i)
+    ), gtf{L} AS (
+      SELECT doc_id, gram, count(*) AS tf FROM dg{L}
+      JOIN (SELECT DISTINCT gram FROM qg{L}) USING (gram)
+      GROUP BY 1, 2
+    )""")
+        bonus_selects.append(f"""
+      SELECT q.query_id, g.doc_id,
+             CAST(floor(q.w * ln(1 + g.tf) * 1000000.0 + 0.5)
+                  AS BIGINT) AS c
+      FROM gtf{L} g JOIN qg{L} q USING (gram)""")
+    grams_sql = ",".join(gram_ctes)
+    bonuses = " UNION ALL ".join(bonus_selects)
+    return f"""
+    WITH q(query_id, query) AS (VALUES {values}),
+    base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),{grams_sql}, dl AS (
+      SELECT doc_id, len(toks) AS dl FROM base
+    ), stats AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl FROM dl
+    ), post AS (
+      SELECT doc_id, unnest(toks) AS term FROM base
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2
+    ), qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id, unnest(string_split(lower(query), ' ')) AS term
+        FROM q)
+    ), qterms AS (
+      SELECT DISTINCT term FROM qt
+    ), dfq AS (
+      SELECT term, count(*) AS df
+      FROM tf JOIN qterms USING (term) GROUP BY 1
+    ), contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(floor(
+               ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                  + 0.75 * dl.dl / (CAST(s.sumdl AS DOUBLE) / s.n)))
+               * 1000000.0 + 0.5) AS BIGINT) AS c
+      FROM tf
+      JOIN qt USING (term)
+      JOIN dfq ON tf.term = dfq.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      UNION ALL {bonuses}
+    ), sc AS (
+      SELECT query_id, doc_id, sum(c) AS cl FROM contrib GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, doc_id, cl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cl DESC, doc_id) AS rn
+      FROM sc
+    )
+    SELECT query_id, doc_id,
+           {R('cl / 1000000.0', 6)} AS score
+    FROM ranked WHERE rn <= 5
+"""
+
+
+_BM25P_ORACLE = _bm25p_oracle()
+
+
+@register("bm25_phrase_topk", oracle=_BM25P_ORACLE)
+def bm25_phrase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + bigram-proximity + full-phrase top-5 per probe query
+    (operators/search.bm25_phrase_topk)."""
+    from .operators.search import bm25_phrase_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25P_QUERIES, "query_id int, query string")
+    out = bm25_phrase_topk(
+        docs, queries, k=5,
+        w_bigram=_BM25P_W_BIGRAM, w_phrase=_BM25P_W_PHRASE)
+    return _round(out, {"score": 6})

@@ -330,7 +330,7 @@ def test_manifest_accumulation_and_retention_sweep(spark, tmp_path):
 
 def test_delta_spark_recheck():
     """VERDICT r3 #4: back ParquetMergeStore with real Delta when the
-    environment gains delta-spark. Rechecked round 5 (2026-08-15):
+    environment gains delta-spark. Rechecked round 6 (2026-08-15):
     still not installed — this skip IS the recorded recheck, and the
     test body below becomes the acceptance gate the moment `import
     delta` succeeds (MERGE INTO / VERSION AS OF / CDF through the same

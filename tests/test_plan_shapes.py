@@ -244,6 +244,17 @@ def test_bm25_single_postings_scan_broadcast_joins(spark):
     assert "EvalPython" not in p
 
 
+def test_bm25_phrase_gram_joins_broadcast(spark):
+    # the phrase/proximity variant adds one explode+aggregate per
+    # distinct gram length; every query-gram dim joins BROADCAST
+    # (probe queries are catalog-sized by definition), no sort-merge
+    # join anywhere, top-k still a WindowGroupLimit, zero python
+    p = plan(spark, "bm25_phrase_topk")
+    assert "SortMergeJoin" not in p
+    assert "WindowGroupLimit" in p
+    assert "EvalPython" not in p
+
+
 def test_gopher_gate_map_only(spark):
     # the full Gopher rule set is one codegen'd projection — zero
     # exchanges, zero joins, zero python

@@ -489,3 +489,31 @@ def test_gopher_flags_whitespace_robust(spark):
     assert abs(out[1]["mwl"] - out[2]["mwl"]) < 1e-12
     assert out[1]["af"] == out[2]["af"] == 1.0
     assert out[1]["sh"] == out[2]["sh"]
+
+
+def test_audio_spectral_fingerprint_properties():
+    """Closed-form checks: exact gain invariance, sensitivity to
+    frequency CONTENT at equal total energy (where the time-domain
+    band-energy fingerprint is blind), and quarantine parity."""
+    import numpy as np
+
+    from aquacache_spark.operators.multimodal import (
+        _FP_FRAME, _FP_FRAMES, audio_fingerprint64,
+        audio_spectral_fingerprint64)
+
+    n = _FP_FRAMES * _FP_FRAME
+    k = np.arange(n)
+    base = ((k * 101 + 17) % 4001) - 2000
+    # exact gain invariance (integer scaling)
+    assert (audio_spectral_fingerprint64(base)
+            == audio_spectral_fingerprint64(3 * base))
+    # alternating frames of LOW (bin 2) vs HIGH (bin 14) square waves
+    # at identical amplitude: total per-frame energy is flat, so the
+    # time-domain fingerprint sees nothing — the spectral one must.
+    lo = np.where((k // 16) % 2 == 0, 1000, -1000)   # period 32 -> bin 2
+    hi = np.where((k // 2) % 2 == 0, 1000, -1000)    # period 4 -> bin 16
+    frames = k // _FP_FRAME
+    mixed = np.where(frames % 2 == 0, lo, hi)
+    spec = audio_spectral_fingerprint64(mixed)
+    assert spec != 0  # band energies alternate frame to frame
+    assert audio_fingerprint64(mixed) == 0  # time-domain is blind
