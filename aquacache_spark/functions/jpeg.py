@@ -2,7 +2,8 @@
 
 The third real image format of the multimodal tier (after BMP and PNG
 in operators/multimodal.py), and the one web corpora are mostly made
-of. Scope is baseline sequential DCT (SOF0) plus progressive (SOF2):
+of. Scope is baseline sequential DCT (SOF0), extended sequential
+(SOF1, incl. 12-bit), plus progressive (SOF2):
 
 - markers: SOI/APPn/COM (skipped), DQT (8- and 16-bit tables), SOF0,
   SOF2, DHT, DRI + RST0-7 restarts, SOS, EOI;
@@ -15,7 +16,9 @@ of. Scope is baseline sequential DCT (SOF0) plus progressive (SOF2):
   first-class and pinned by :func:`encode_jpeg_progressive`
   round-trips (same quantized coefficients as baseline, so the two
   decodes are bit-identical at any quality);
-- arithmetic coding (SOF9-11), 12-bit, lossless, and hierarchical
+- 12-bit samples decode via SOF1/SOF2 and encode via
+  :func:`encode_jpeg_12bit` (grayscale extended sequential);
+- arithmetic coding (SOF9-11), lossless, and hierarchical
   modes raise ValueError loudly — corrupt/exotic inputs quarantine at
   the feature-extraction layer, never produce garbage pixels.
 
@@ -575,10 +578,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     qtables[tq] = np.frombuffer(
                         seg, ">u2", 64, off).astype(np.int64)
                     off += 128
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 prog
             progressive = marker == 0xC2
             precision = seg[0]
-            if precision != 8:
+            # T.81 B.2.2: baseline (SOF0) is 8-bit only; extended
+            # sequential (SOF1) and progressive (SOF2) also allow 12
+            if precision != 8 and not (precision == 12
+                                       and marker in (0xC1, 0xC2)):
                 raise ValueError(f"unsupported precision {precision}")
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
@@ -597,7 +603,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 c["coef"] = np.zeros((c["by"] * c["bx"], 64),
                                      dtype=np.int64)
             frame = {"h": h, "w": w, "comps": comps, "hmax": hmax,
-                     "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y}
+                     "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+                     "prec": precision}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -644,6 +651,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF/SOS")
     comps = frame["comps"]
     hmax, vmax = frame["hmax"], frame["vmax"]
+    mid = float(1 << (frame["prec"] - 1))
+    maxv = (1 << frame["prec"]) - 1
+    out_dtype = np.uint16 if frame["prec"] > 8 else np.uint8
 
     # dequant + de-zigzag + batch IDCT per component
     planes = []
@@ -657,7 +667,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         nat[:, _ZZ] = coefs
         blocks = nat.reshape(-1, 8, 8).astype(np.float64)
         pix = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A)
-        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        pix = np.clip(np.round(pix + mid), 0, maxv).astype(out_dtype)
         plane = (pix.reshape(c["by"], c["bx"], 8, 8)
                  .transpose(0, 2, 1, 3)
                  .reshape(c["by"] * 8, c["bx"] * 8))
@@ -671,14 +681,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         rgb = np.stack([y, y, y], axis=-1)
     else:
         y = planes[0].astype(np.float64)
-        cb = planes[1].astype(np.float64) - 128.0
-        cr = planes[2].astype(np.float64) - 128.0
+        cb = planes[1].astype(np.float64) - mid
+        cr = planes[2].astype(np.float64) - mid
         rgb = np.stack([
             y + 1.402 * cr,
             y - 0.344136 * cb - 0.714136 * cr,
             y + 1.772 * cb,
         ], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -710,6 +720,14 @@ def _enc_codes(bits, symbols):
 _DC_CODES = _enc_codes(_ENC_DC_BITS, _ENC_DC_SYMS)
 _AC_CODES = _enc_codes(_ENC_AC_BITS, _ENC_AC_SYMS)
 
+# 12-bit DC table: 16 categories (diffs reach +-32760 -> SSSS <= 15)
+# at 5 bits each — Kraft 16/32, all-ones code 31 unused. The flat
+# 256-symbol AC table above already covers every (run, size) the
+# 12-bit range can produce.
+_ENC12_DC_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_ENC12_DC_SYMS = list(range(16))
+_DC12_CODES = _enc_codes(_ENC12_DC_BITS, _ENC12_DC_SYMS)
+
 
 class _BitWriter:
     def __init__(self):
@@ -734,12 +752,15 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes=_DC_CODES) -> int:
     dc = int(zz[0])
     diff = dc - pred
     mag = abs(diff)
     t = mag.bit_length()
-    bw.put(*_DC_CODES[t])
+    if t >= len(dc_codes):
+        raise ValueError("DC difference exceeds Huffman category range")
+    bw.put(*dc_codes[t])
     if t:
         bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
     run = 0
@@ -756,6 +777,9 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
             run -= 16
         mag = abs(v)
         ssss = mag.bit_length()
+        if ssss > 15:
+            raise ValueError(
+                "AC coefficient exceeds Huffman category range")
         bw.put(*_AC_CODES[(run << 4) | ssss])
         bw.put(v if v >= 0 else v + (1 << ssss) - 1, ssss)
         run = 0
@@ -764,12 +788,13 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
     return dc
 
 
-def _plane_blocks(plane, q, bx, by):
+def _plane_blocks(plane, q, bx, by, mid: float = 128.0):
     """Pad to (by*8, bx*8), forward DCT + quantize, -> (by*bx, 64)
-    zigzag-ordered quantized coefficients."""
+    zigzag-ordered quantized coefficients. ``mid`` is the level shift
+    (128 for 8-bit samples, 2048 for 12-bit)."""
     h, w = plane.shape
     padded = np.pad(plane, ((0, by * 8 - h), (0, bx * 8 - w)),
-                    mode="edge") - 128.0
+                    mode="edge") - mid
     blocks = (padded.reshape(by, 8, bx, 8)
               .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
     coefs = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
@@ -895,6 +920,48 @@ def encode_jpeg(pixels, quality: int = 90,
                         n = (my * fv + vy) * bx + (mx * fh + vx)
                         preds[ci] = _encode_block(
                             bw, zz_planes[ci][n], preds[ci])
+    out.extend(bw.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_12bit(pixels, quality: int = 90) -> bytes:
+    """(h, w) GRAYSCALE uint16 samples in [0, 4095] -> 12-bit extended
+    sequential JPEG (SOF1, precision 12). The scientific/medical
+    profile: single component, level shift 2048, the 16-category DC
+    table (12-bit DC diffs reach SSSS 15). Quality 100 gives all-ones
+    quantization, so block-constant content round-trips bit-exact
+    through :func:`decode_jpeg` (which returns uint16 for 12-bit
+    streams). Reference analog: none (the reference stores imagery as
+    opaque blobs); this extends the codec tier's raster-export path
+    (functions/geotiff.py) to high-bit-depth instrument imagery."""
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError("12-bit encoder is grayscale-only")
+    if px.size and (int(px.max()) > 4095 or int(px.min()) < 0):
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    h, w = px.shape
+    qlum = _scaled_qt(_QT_LUM, quality)
+    bx, by = -(-w // 8), -(-h // 8)
+    zz = _plane_blocks(px.astype(np.float64), qlum, bx, by, mid=2048.0)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0]) + bytes(qlum[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    seg(0xC1, sof)
+    seg(0xC4, bytes([0x00] + _ENC12_DC_BITS) + bytes(_ENC12_DC_SYMS))
+    seg(0xC4, bytes([0x10] + _ENC_AC_BITS) + bytes(_ENC_AC_SYMS))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    pred = 0
+    for n in range(by * bx):
+        pred = _encode_block(bw, zz[n], pred, dc_codes=_DC12_CODES)
     out.extend(bw.flush())
     out.extend(b"\xff\xd9")
     return bytes(out)

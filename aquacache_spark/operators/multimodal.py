@@ -756,6 +756,41 @@ def synthesize_jpegs(
     return df.select(id_col).mapInPandas(batches, schema)
 
 
+def synthesize_jpegs12(
+    df: DataFrame,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """12-bit extended-sequential JPEG fixtures: 16x16 GRAYSCALE
+    images of four 8x8-constant blocks, block b of item i =
+    (i * 13 + b * 911) % 4000 + 48, encoded at quality 100 — the
+    bit-exact regime, so the oracle averages the closed form while
+    every stream still runs the full SOF1/12-bit decode path
+    (16-category DC Huffman, uint16 output)."""
+    from ..functions.jpeg import encode_jpeg_12bit
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                img = np.zeros((16, 16), dtype=np.uint16)
+                for b in range(4):
+                    bj, bi = divmod(b, 2)
+                    img[bj * 8:(bj + 1) * 8, bi * 8:(bi + 1) * 8] = \
+                        (int(i) * 13 + b * 911) % 4000 + 48
+                blobs.append(encode_jpeg_12bit(img, quality=100))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
 def synthesize_progressive_jpegs(
     df: DataFrame,
     id_col: str = "media_id",

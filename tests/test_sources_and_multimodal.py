@@ -517,3 +517,38 @@ def test_audio_spectral_fingerprint_properties():
     spec = audio_spectral_fingerprint64(mixed)
     assert spec != 0  # band energies alternate frame to frame
     assert audio_fingerprint64(mixed) == 0  # time-domain is blind
+
+
+def test_jpeg_12bit_roundtrip_and_guards():
+    """12-bit extended sequential (SOF1): bit-exact q100 round trip on
+    block-constant content, uint16 output, bounded error on lossy
+    content, and loud rejection of out-of-range samples / color
+    input / 12-bit-with-SOF0 streams."""
+    import numpy as np
+    import pytest
+
+    from aquacache_spark.functions.jpeg import (decode_jpeg,
+                                                encode_jpeg_12bit)
+
+    img = np.zeros((16, 16), dtype=np.uint16)
+    for b in range(4):
+        bj, bi = divmod(b, 2)
+        img[bj * 8:(bj + 1) * 8, bi * 8:(bi + 1) * 8] = b * 911 + 148
+    out = decode_jpeg(encode_jpeg_12bit(img, quality=100))
+    assert out.dtype == np.uint16
+    assert (out[:, :, 0] == img).all()
+    # lossy: smooth 12-bit ramp survives within a few quanta
+    ramp = (np.arange(24)[:, None] * 170 + np.arange(40)[None, :] * 3
+            ).astype(np.uint16)
+    dec = decode_jpeg(encode_jpeg_12bit(ramp, quality=95))[:, :, 0]
+    assert np.abs(dec.astype(int) - ramp.astype(int)).max() < 64
+    with pytest.raises(ValueError):
+        encode_jpeg_12bit(np.full((8, 8), 4096, dtype=np.uint16))
+    with pytest.raises(ValueError):
+        encode_jpeg_12bit(np.zeros((8, 8, 3), dtype=np.uint16))
+    # a 12-bit precision byte on a BASELINE (SOF0) stream is invalid
+    blob = bytearray(encode_jpeg_12bit(img, quality=100))
+    sof = blob.find(b"\xff\xc1")
+    blob[sof + 1] = 0xC0
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(blob))
