@@ -483,3 +483,40 @@ def export_geotiff(
             yield out
 
     return src.mapInPandas(kernel, schema=schema)
+
+
+def sync_reference_cell_sizes(
+    rasters: DataFrame,
+    references: DataFrame,
+) -> DataFrame:
+    """spatial.sync_rr_cell_size_deg_{ins,upd} (patch_33.R:473-560) +
+    the patch's backfill UPDATE: per ``reference_id``, the reference
+    index's ``cell_size_x_deg``/``cell_size_y_deg`` become
+    ``MIN(ABS(scale_x))`` / ``MIN(ABS(scale_y))`` over that
+    reference's raster tiles; references with no tiles keep their
+    existing values (the trigger's UPDATE ... FROM only touches
+    matched rows).
+
+    ``rasters`` carries per-tile (reference_id, scale_x, scale_y) —
+    the affine terms the repo's pgraster WKB header parses
+    (functions/pgraster.py); the statement-level trigger's
+    new_rows/old_rows scoping collapses to one whole-table aggregate
+    here (set-wise replay). One partial-aggregable groupBy on the
+    reference key + a broadcast join back onto the catalog-sized
+    reference index.
+    """
+    agg = (
+        rasters.where(F.col("reference_id").isNotNull())
+        .groupBy("reference_id")
+        .agg(F.min(F.abs(F.col("scale_x"))).alias("__cx"),
+             F.min(F.abs(F.col("scale_y"))).alias("__cy"))
+    )
+    out = references.join(F.broadcast(agg), "reference_id", "left")
+    return out.select(
+        *[c for c in references.columns
+          if c not in ("cell_size_x_deg", "cell_size_y_deg")],
+        F.coalesce(F.col("__cx"), F.col("cell_size_x_deg"))
+        .alias("cell_size_x_deg"),
+        F.coalesce(F.col("__cy"), F.col("cell_size_y_deg"))
+        .alias("cell_size_y_deg"),
+    )

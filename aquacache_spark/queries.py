@@ -12485,3 +12485,68 @@ def jpeg12_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "mean_b"),
         {"mean_r": 6, "mean_g": 6, "mean_b": 6},
     )
+
+
+# ---------------------------------------------------------------------------
+# Raster-reference cell-size sync (inst/patches/patch_33.R:473-560):
+# the statement-level triggers keeping rasters_reference's
+# cell_size_{x,y}_deg equal to MIN(ABS(scale)) over the reference's
+# tiles, replayed set-wise for the whole index.
+# ---------------------------------------------------------------------------
+
+_RR_CELL_SIZE_ORACLE = """
+    WITH r AS (
+      SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE o_custkey % 80 END AS reference_id,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN CAST(1 + o_orderkey % 20 AS DOUBLE) / 400
+                  ELSE -CAST(1 + o_orderkey % 20 AS DOUBLE) / 400
+             END AS scale_x,
+             -CAST(1 + o_orderkey % 15 AS DOUBLE) / 200 AS scale_y
+      FROM orders WHERE o_orderkey % 3 = 1
+    ), rr AS (
+      SELECT p_partkey % 100 AS reference_id,
+             CASE WHEN p_partkey % 4 = 0 THEN NULL
+                  ELSE CAST(p_partkey % 7 + 1 AS DOUBLE) / 100
+             END AS cell_size_x_deg,
+             CASE WHEN p_partkey % 4 = 0 THEN NULL
+                  ELSE CAST(p_partkey % 5 + 1 AS DOUBLE) / 100
+             END AS cell_size_y_deg
+      FROM part WHERE p_partkey <= 100
+    ), agg AS (
+      SELECT reference_id, min(abs(scale_x)) AS cx, min(abs(scale_y)) AS cy
+      FROM r WHERE reference_id IS NOT NULL GROUP BY 1
+    )
+    SELECT rr.reference_id,
+           coalesce(agg.cx, rr.cell_size_x_deg) AS cell_size_x_deg,
+           coalesce(agg.cy, rr.cell_size_y_deg) AS cell_size_y_deg
+    FROM rr LEFT JOIN agg ON agg.reference_id = rr.reference_id
+"""
+
+
+@register("raster_reference_cell_size_sync", oracle=_RR_CELL_SIZE_ORACLE)
+def raster_reference_cell_size_sync(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """patch_33.R:473-560 cell-size sync: references take
+    MIN(ABS(scale)) over their tiles; tile-less references keep their
+    existing values."""
+    from .operators.raster import sync_reference_cell_sizes
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 3 == 1)
+    k = F.col("o_orderkey")
+    rasters = o.select(
+        F.when(k % 13 != 0, F.col("o_custkey") % 80).alias("reference_id"),
+        (F.when(k % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+         * (1 + k % 20).cast("double") / 400).alias("scale_x"),
+        (-(1 + k % 15).cast("double") / 200).alias("scale_y"),
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    m = F.col("p_partkey")
+    references = p.select(
+        (m % 100).alias("reference_id"),
+        F.when(m % 4 != 0, (m % 7 + 1).cast("double") / 100)
+        .alias("cell_size_x_deg"),
+        F.when(m % 4 != 0, (m % 5 + 1).cast("double") / 100)
+        .alias("cell_size_y_deg"),
+    )
+    return sync_reference_cell_sizes(rasters, references)
