@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MULTI_SUFFIXES = (
@@ -315,4 +315,141 @@ def domain_rollup(
         "registered_domain", "n_docs", "n_hosts", "n_urls",
         "dup_url_docs", "total_tokens",
         (F.col("n_https") / F.col("n_docs")).alias("https_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt tier (RFC 9309): parse a robots corpus into a rules table
+# and evaluate crawl permission per URL — the provenance-compliance
+# gate a responsible web-scale training pipeline runs next to the
+# quality/dedup gates. Public spec only; no reference analog (the
+# reference is a hydrometric store).
+# ---------------------------------------------------------------------------
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "content",
+) -> DataFrame:
+    """(host, robots.txt text) -> one row per (host, agent, rule,
+    path) — the RFC 9309 group structure flattened.
+
+    Grouping is the spec's: consecutive ``User-agent`` lines open a
+    group; the group's Allow/Disallow lines bind to EVERY agent named
+    in its header run. Re-expressed set-wise: lines get positions
+    (posexplode), a group id is the running count of header runs (an
+    agent line whose predecessor is not an agent line), and agents
+    join rules within (host, group). Comments (#) strip; empty-valued
+    Disallow lines drop (an empty Disallow is 'no restriction').
+
+    Shuffle shape: one window + one self-join keyed on (host, group) —
+    robots files are small but NUMEROUS, so everything stays
+    partitioned by host; nothing collects or broadcasts the corpus.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "__raw"),
+    ).withColumn(
+        "__line", F.trim(F.substring_index(F.col("__raw"), "#", 1))
+    ).where(F.col("__line") != "")
+    directive = F.lower(F.trim(F.substring_index(F.col("__line"), ":", 1)))
+    value = F.trim(F.expr("substring(__line, instr(__line, ':') + 1)"))
+    parsed = lines.select(
+        "host", "pos", directive.alias("__d"), value.alias("__v"),
+    )
+    is_agent = F.col("__d") == "user-agent"
+    w = Window.partitionBy("host").orderBy("pos")
+    parsed = parsed.withColumn("__is_agent", is_agent).withColumn(
+        "__new_block",
+        (F.col("__is_agent")
+         & ~F.coalesce(F.lag("__is_agent").over(w), F.lit(False)))
+        .cast("int"),
+    ).withColumn(
+        "__grp",
+        F.sum("__new_block").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agents = parsed.where(F.col("__is_agent")).select(
+        "host", F.col("__grp").alias("grp"),
+        F.lower(F.col("__v")).alias("agent"),
+    )
+    rules = parsed.where(
+        F.col("__d").isin("allow", "disallow") & (F.col("__v") != "")
+    ).select(
+        "host", F.col("__grp").alias("grp"),
+        F.col("__d").alias("rule"), F.col("__v").alias("path"),
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "rule", "path")
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "aquabot",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Crawl-permission verdict per URL against a parsed rules table
+    (RFC 9309 matching): the applicable group is the named agent's if
+    the host has one, else ``*``; among matching rules the LONGEST
+    path pattern wins, Allow beating Disallow on ties; no matching
+    rule (or no rules at all) = allowed.
+
+    Patterns support the spec's ``*`` wildcard and ``$`` end anchor,
+    compiled to LIKE (``%`` wildcard; a trailing ``$`` drops the
+    implicit suffix wildcard) with ``%``/``_`` escaped — identical
+    string surgery on both engines, no regex dialects to reconcile.
+
+    Shuffle shape: one equi-join on host (robots rules are
+    data-cardinality at web scale — never broadcast), one window per
+    URL for the longest-match pick.
+    """
+    exact = rules.where(F.col("agent") == agent.lower())
+    star = rules.where(F.col("agent") == "*").join(
+        exact.select("host").distinct(), "host", "left_anti")
+    eff = exact.unionByName(star).withColumn(
+        "__esc",
+        F.replace(
+            F.replace(
+                F.replace(F.col("path"), F.lit("\\"), F.lit("\\\\")),
+                F.lit("%"), F.lit("\\%")),
+            F.lit("_"), F.lit("\\_")),
+    )
+    like_pat = F.when(
+        F.col("__esc").endswith("$"),
+        F.expr("replace(left(__esc, length(__esc) - 1), '*', '%')"),
+    ).otherwise(
+        F.concat(F.replace(F.col("__esc"), F.lit("*"), F.lit("%")),
+                 F.lit("%")))
+    eff = (eff.withColumn("__like", like_pat)
+           .withColumn("__len", F.length("path")).drop("__esc"))
+    passthru = [c for c in urls.columns if c not in (host_col, path_col)]
+    u = urls.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("__upath"),
+        *passthru,
+    )
+    j = u.join(eff, "host", "left").withColumn(
+        "__hit",
+        F.expr("__upath LIKE __like ESCAPE '\\\\'")
+        & F.col("__like").isNotNull(),
+    )
+    # partition by the FULL url identity: two docs sharing (host, path)
+    # must each keep their verdict row
+    w = Window.partitionBy("host", "__upath", *passthru).orderBy(
+        F.desc("__hit"), F.desc("__len"),
+        F.desc(F.col("rule") == "allow"), F.asc("path"))
+    win = (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    allowed = (~F.coalesce(F.col("__hit"), F.lit(False))
+               | (F.col("rule") == "allow"))
+    return win.select(
+        "host", F.col("__upath").alias(path_col),
+        *[c for c in urls.columns if c not in (host_col, path_col)],
+        allowed.alias("allowed"),
+        F.when(F.col("__hit"), F.col("rule")).alias("matched_rule"),
+        F.when(F.col("__hit"), F.col("path")).alias("matched_path"),
     )

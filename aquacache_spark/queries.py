@@ -12550,3 +12550,188 @@ def raster_reference_cell_size_sync(spark: SparkSession,
         .alias("cell_size_y_deg"),
     )
     return sync_reference_cell_sizes(rasters, references)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt tier (RFC 9309, public spec; no reference analog): parse
+# a robots corpus into a rules table and evaluate crawl permission per
+# URL — exact-agent group precedence over '*', longest-pattern wins,
+# Allow beats Disallow on ties, '*' wildcards and '$' end anchors.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_SQL = """
+    robots AS (
+      SELECT 'h' || CAST(k AS VARCHAR) AS host,
+             'User-agent: *' || chr(10)
+             || 'Disallow: /private' || chr(10)
+             || 'Allow: /private/ok' || chr(10)
+             || CASE WHEN k % 3 = 0 THEN
+                  'User-agent: aquabot' || chr(10)
+                  || 'Disallow: /tmp*' || chr(10)
+                  || 'Allow: /tmp/keep$' || chr(10)
+                ELSE '' END
+             || CASE WHEN k % 5 = 0 THEN
+                  'Disallow: /blog' || chr(10) ELSE '' END
+             || CASE WHEN k % 4 = 1 THEN
+                  'User-agent: *' || chr(10)
+                  || 'Disallow: /search' || chr(10) ELSE '' END
+               AS content
+      FROM (SELECT unnest(range(0, 50)) AS k)
+    ), rl AS (
+      SELECT host, i AS pos,
+             trim(split_part(ls[i], '#', 1)) AS line
+      FROM (SELECT host, string_split(content, chr(10)) AS ls
+            FROM robots),
+           unnest(generate_series(1, len(ls))) AS t(i)
+    ), parsed AS (
+      SELECT host, pos,
+             lower(trim(split_part(line, ':', 1))) AS d,
+             trim(substr(line, strpos(line, ':') + 1)) AS v
+      FROM rl WHERE line <> ''
+    ), blocks AS (
+      SELECT host, pos, d, v,
+             d = 'user-agent' AS ia,
+             CASE WHEN d = 'user-agent' AND NOT coalesce(
+                    lag(d = 'user-agent') OVER
+                      (PARTITION BY host ORDER BY pos), FALSE)
+                  THEN 1 ELSE 0 END AS nb
+      FROM parsed
+    ), grouped AS (
+      SELECT host, pos, d, v, ia,
+             sum(nb) OVER (PARTITION BY host ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS grp
+      FROM blocks
+    ), agents AS (
+      SELECT host, grp, lower(v) AS agent FROM grouped WHERE ia
+    ), rules AS (
+      SELECT a.host, a.agent, g.rule, g.path FROM (
+        SELECT host, grp, d AS rule, v AS path FROM grouped
+        WHERE d IN ('allow', 'disallow') AND v <> ''
+      ) g JOIN agents a ON a.host = g.host AND a.grp = g.grp
+    )
+"""
+
+
+_ROBOTS_RULES_ORACLE = "WITH " + _ROBOTS_SQL + """
+    SELECT host, agent, rule, path FROM rules
+"""
+
+
+def _robots_fixture(spark):
+    nl = F.lit("\n")
+    k = F.col("id")
+    content = F.concat(
+        F.lit("User-agent: *"), nl,
+        F.lit("Disallow: /private"), nl,
+        F.lit("Allow: /private/ok"), nl,
+        F.when(k % 3 == 0, F.concat(
+            F.lit("User-agent: aquabot"), nl,
+            F.lit("Disallow: /tmp*"), nl,
+            F.lit("Allow: /tmp/keep$"), nl)).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.concat(
+            F.lit("Disallow: /blog"), nl)).otherwise(F.lit("")),
+        F.when(k % 4 == 1, F.concat(
+            F.lit("User-agent: *"), nl,
+            F.lit("Disallow: /search"), nl)).otherwise(F.lit("")),
+    )
+    return spark.range(50).select(
+        F.concat(F.lit("h"), k.cast("string")).alias("host"),
+        content.alias("content"),
+    )
+
+
+@register("robots_rules_parse", oracle=_ROBOTS_RULES_ORACLE)
+def robots_rules_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 group-structure parse: consecutive User-agent lines
+    open a group, its Allow/Disallow lines bind to every named agent;
+    comments strip, empty Disallow drops, a rule block appended after
+    an agent-specific group extends THAT group."""
+    from .operators.web import parse_robots
+
+    return parse_robots(_robots_fixture(spark))
+
+
+_ROBOTS_FILTER_ORACLE = "WITH " + _ROBOTS_SQL + """
+    , urls AS (
+      SELECT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host,
+             CASE o_orderkey % 8
+               WHEN 0 THEN '/private/doc' || CAST(o_orderkey % 20 AS VARCHAR)
+               WHEN 1 THEN '/private/ok/p' || CAST(o_orderkey % 20 AS VARCHAR)
+               WHEN 2 THEN '/tmp' || CAST(o_orderkey % 10 AS VARCHAR) || '/x'
+               WHEN 3 THEN '/tmp/keep'
+               WHEN 4 THEN '/blog/post' || CAST(o_orderkey % 30 AS VARCHAR)
+               WHEN 5 THEN '/search/q' || CAST(o_orderkey % 9 AS VARCHAR)
+               WHEN 6 THEN '/public/a' || CAST(o_orderkey % 40 AS VARCHAR)
+               ELSE '/tmp/keepx' END AS path,
+             o_orderkey AS doc_id
+      FROM orders WHERE o_orderkey % 6 = 2
+    ), exact AS (
+      SELECT * FROM rules WHERE agent = 'aquabot'
+    ), eff AS (
+      SELECT * FROM exact
+      UNION ALL
+      SELECT * FROM rules r WHERE r.agent = '*'
+        AND NOT EXISTS (SELECT 1 FROM exact e WHERE e.host = r.host)
+    ), pats AS (
+      SELECT host, rule, path, length(path) AS plen,
+             CASE WHEN ends_with(esc, '$')
+                  THEN replace(left(esc, length(esc) - 1), '*', '%')
+                  ELSE replace(esc, '*', '%') || '%' END AS likepat
+      FROM (SELECT host, rule, path,
+                   replace(replace(replace(path, '\\', '\\\\'),
+                                   '%', '\\%'), '_', '\\_') AS esc
+            FROM eff)
+    ), joined AS (
+      SELECT u.host, u.path AS upath, u.doc_id, p.rule, p.path, p.plen,
+             p.likepat IS NOT NULL
+               AND u.path LIKE p.likepat ESCAPE '\\' AS hit
+      FROM urls u LEFT JOIN pats p ON p.host = u.host
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY host, upath, doc_id
+               ORDER BY hit DESC, plen DESC, rule = 'allow' DESC,
+                        path ASC) AS rn
+      FROM joined
+    )
+    SELECT host, upath AS path, doc_id,
+           CASE WHEN coalesce(hit, FALSE) THEN rule = 'allow'
+                ELSE TRUE END AS allowed,
+           CASE WHEN hit THEN rule END AS matched_rule,
+           CASE WHEN hit THEN path END AS matched_path
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register("robots_url_filter", oracle=_ROBOTS_FILTER_ORACLE)
+def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-permission verdict per URL: exact-agent group beats '*',
+    longest pattern wins, Allow beats Disallow on ties, '$' anchors,
+    rule-less hosts allowed."""
+    from .operators.web import parse_robots, robots_allowed
+
+    rules = parse_robots(_robots_fixture(spark))
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 6 == 2)
+    k = F.col("o_orderkey")
+    path = (
+        F.when(k % 8 == 0, F.concat(F.lit("/private/doc"),
+                                    (k % 20).cast("string")))
+        .when(k % 8 == 1, F.concat(F.lit("/private/ok/p"),
+                                   (k % 20).cast("string")))
+        .when(k % 8 == 2, F.concat(F.lit("/tmp"), (k % 10).cast("string"),
+                                   F.lit("/x")))
+        .when(k % 8 == 3, F.lit("/tmp/keep"))
+        .when(k % 8 == 4, F.concat(F.lit("/blog/post"),
+                                   (k % 30).cast("string")))
+        .when(k % 8 == 5, F.concat(F.lit("/search/q"),
+                                   (k % 9).cast("string")))
+        .when(k % 8 == 6, F.concat(F.lit("/public/a"),
+                                   (k % 40).cast("string")))
+        .otherwise(F.lit("/tmp/keepx"))
+    )
+    urls = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"))
+        .alias("host"),
+        path.alias("path"),
+        k.alias("doc_id"),
+    )
+    return robots_allowed(urls, rules, agent="aquabot")

@@ -193,3 +193,37 @@ def test_registered_domain_psl_exhaustive_vs_reference(spark):
     for h in hosts:
         assert got[h] == _psl_reference(h, rules), (
             h, got[h], _psl_reference(h, rules))
+
+
+def test_robots_rfc9309_semantics(spark):
+    """Closed-form RFC 9309 checks: exact-agent group precedence (the
+    '*' group is IGNORED when the agent has its own), wildcard + '$'
+    anchor matching, longest-match with Allow winning ties, and
+    rule-less hosts allowed."""
+    from aquacache_spark.operators.web import parse_robots, robots_allowed
+
+    txt = ("# c\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+           "User-agent: aquabot\nUser-agent: other\n"
+           "Disallow: /tmp*\nAllow: /tmp/keep$\nDisallow: /exact$\n")
+    robots = spark.createDataFrame(
+        [("h1", txt), ("h2", "User-agent: *\nDisallow: /\nDisallow:\n")],
+        "host string, content string")
+    rules = parse_robots(robots)
+    got = {(r["host"], r["agent"], r["rule"], r["path"])
+           for r in rules.collect()}
+    assert ("h1", "aquabot", "disallow", "/tmp*") in got
+    assert ("h1", "other", "allow", "/tmp/keep$") in got
+    assert ("h2", "*", "disallow", "/") in got
+    assert not any(p == "" for (_, _, _, p) in got)  # empty Disallow drops
+
+    urls = spark.createDataFrame(
+        [("h1", "/private/x", 1), ("h1", "/tmp9/f", 2),
+         ("h1", "/tmp/keep", 3), ("h1", "/tmp/keepx", 4),
+         ("h1", "/exact", 5), ("h1", "/exactly", 6),
+         ("h2", "/a", 7), ("h9", "/b", 8)],
+        "host string, path string, doc_id int")
+    out = {r["doc_id"]: r["allowed"]
+           for r in robots_allowed(urls, rules, agent="AquaBot").collect()}
+    # exact-agent group: '*' rules (incl. /private) do NOT apply
+    assert out == {1: True, 2: False, 3: True, 4: False,
+                   5: False, 6: True, 7: False, 8: True}
