@@ -12735,3 +12735,59 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("doc_id"),
     )
     return robots_allowed(urls, rules, agent="aquabot")
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM surprisal (operators/dedup.bigram_surprisal):
+# the KenLM-lite quality axis — p(w|prev) = 0.75*c(prev,w)/c(prev)
+# + 0.25*c(w)/N from the corpus itself, per-bigram micro-nat
+# quantization, NULL mean for sub-2-token docs.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SURPRISAL_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT unnest(toks) AS w FROM base
+    ), uni AS (
+      SELECT w, count(*) AS cw FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cw) AS DOUBLE) AS total FROM uni
+    ), pairs AS (
+      SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+      FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+    ), bgc AS (
+      SELECT p, w, count(*) AS cb FROM pairs GROUP BY 1, 2
+    ), score AS (
+      SELECT bgc.p, bgc.w,
+             CAST(floor(
+               -ln(CAST(0.75 AS DOUBLE) * bgc.cb / up.cw
+                   + CAST(0.25 AS DOUBLE) * uw.cw / tot.total)
+               * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+      FROM bgc
+      JOIN uni up ON up.w = bgc.p
+      JOIN uni uw ON uw.w = bgc.w
+      CROSS JOIN tot
+    ), per_doc AS (
+      SELECT pairs.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             {R('sum(q) / 1000000.0 / count(*)', 6)} AS mean_surprisal
+      FROM pairs JOIN score ON score.p = pairs.p AND score.w = pairs.w
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           coalesce(d.n_bigrams, 0) AS n_bigrams,
+           d.mean_surprisal
+    FROM base b LEFT JOIN per_doc d ON d.doc_id = b.doc_id
+"""
+
+
+@register("bigram_surprisal", oracle=_BIGRAM_SURPRISAL_ORACLE)
+def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM surprisal over the documents corpus."""
+    from .operators.dedup import bigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_surprisal(docs, lam=0.75)
+    return _round(out, {"mean_surprisal": 6})
