@@ -330,9 +330,21 @@ def parse_robots(
     robots: DataFrame,
     host_col: str = "host",
     text_col: str = "content",
+    max_bytes: int | None = 512_000,
 ) -> DataFrame:
     """(host, robots.txt text) -> one row per (host, agent, rule,
     path) — the RFC 9309 group structure flattened.
+
+    ``max_bytes`` is the spec's parse limit (RFC 9309 §2.5: crawlers
+    MUST process at least 500 KiB and MAY ignore content beyond it):
+    the file TAIL past the limit is dropped before line splitting —
+    the faithful truncation, and the guard that bounds per-host rule
+    mass against adversarial multi-megabyte robots files (the rules
+    table joins against every URL of its host, so rule count is the
+    per-URL work multiplier). Measured in CHARACTERS (exact for the
+    ASCII files robots.txt overwhelmingly are; a character
+    approximation of the octet limit otherwise). ``None`` disables
+    the cap.
 
     Grouping is the spec's: consecutive ``User-agent`` lines open a
     group; the group's Allow/Disallow lines bind to EVERY agent named
@@ -346,9 +358,12 @@ def parse_robots(
     robots files are small but NUMEROUS, so everything stays
     partitioned by host; nothing collects or broadcasts the corpus.
     """
+    text = F.col(text_col)
+    if max_bytes is not None:
+        text = F.substring(text, 1, max_bytes)
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n"))
+        F.posexplode(F.split(text, "\n"))
         .alias("pos", "__raw"),
     ).withColumn(
         "__line", F.trim(F.substring_index(F.col("__raw"), "#", 1))

@@ -227,3 +227,20 @@ def test_robots_rfc9309_semantics(spark):
     # exact-agent group: '*' rules (incl. /private) do NOT apply
     assert out == {1: True, 2: False, 3: True, 4: False,
                    5: False, 6: True, 7: False, 8: True}
+
+
+def test_parse_robots_size_cap(spark):
+    """RFC 9309 §2.5 parse limit: content past max_bytes is ignored
+    (tail truncation), bounding per-host rule mass against
+    adversarial multi-megabyte robots files."""
+    from aquacache_spark.operators.web import parse_robots
+
+    head = "User-agent: *\nDisallow: /a\n"
+    tail = "Disallow: /bomb\n" * 1000
+    robots = spark.createDataFrame(
+        [("h1", head + tail)], "host string, content string")
+    capped = parse_robots(robots, max_bytes=len(head))
+    rules = {(r["rule"], r["path"]) for r in capped.collect()}
+    assert rules == {("disallow", "/a")}
+    full = parse_robots(robots, max_bytes=None)
+    assert full.count() == 1001
