@@ -12791,3 +12791,162 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = bigram_surprisal(docs, lam=0.75)
     return _round(out, {"mean_surprisal": 6})
+
+
+# ---------------------------------------------------------------------------
+# Provenance-aware curation capstone: robots.txt crawl permission x
+# a minimal quality gate x exact-dedup canonicalization, composed in
+# the standard order (provenance + quality first, dedup among
+# survivors). Each component is independently oracled elsewhere
+# (robots_url_filter, gopher_quality_gate/text_metrics, dedup_exact);
+# this verifies the COMPOSITION.
+# ---------------------------------------------------------------------------
+
+_PROV_GATE_ORACLE = "WITH " + _ROBOTS_SQL + """
+    , urls AS (
+      SELECT doc_id, text,
+             'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+             CASE doc_id % 6
+               WHEN 0 THEN '/private/p' || CAST(doc_id % 9 AS VARCHAR)
+               WHEN 1 THEN '/private/ok/q' || CAST(doc_id % 9 AS VARCHAR)
+               WHEN 2 THEN '/blog/b' || CAST(doc_id % 9 AS VARCHAR)
+               WHEN 3 THEN '/search/s' || CAST(doc_id % 9 AS VARCHAR)
+               WHEN 4 THEN '/tmp' || CAST(doc_id % 9 AS VARCHAR)
+               ELSE '/page/' || CAST(doc_id % 40 AS VARCHAR) END AS path
+      FROM documents
+    ), exact AS (
+      SELECT * FROM rules WHERE agent = 'aquabot'
+    ), eff AS (
+      SELECT * FROM exact
+      UNION ALL
+      SELECT * FROM rules r WHERE r.agent = '*'
+        AND NOT EXISTS (SELECT 1 FROM exact e WHERE e.host = r.host)
+    ), pats AS (
+      SELECT host, rule, path, length(path) AS plen,
+             CASE WHEN ends_with(esc, '$')
+                  THEN replace(left(esc, length(esc) - 1), '*', '%')
+                  ELSE replace(esc, '*', '%') || '%' END AS likepat
+      FROM (SELECT host, rule, path,
+                   replace(replace(replace(path, '\\', '\\\\'),
+                                   '%', '\\%'), '_', '\\_') AS esc
+            FROM eff)
+    ), verdict AS (
+      SELECT doc_id, allowed FROM (
+        SELECT u.doc_id, coalesce(hit, FALSE) AS hitf, p.rule,
+               row_number() OVER (
+                 PARTITION BY u.doc_id
+                 ORDER BY hit DESC, plen DESC, rule = 'allow' DESC,
+                          p.path ASC) AS rn
+        FROM urls u LEFT JOIN (
+          SELECT host, rule, path, plen, likepat, TRUE AS pat_row
+          FROM pats) p ON p.host = u.host
+        CROSS JOIN LATERAL (SELECT p.pat_row IS NOT NULL
+               AND u.path LIKE p.likepat ESCAPE '\\' AS hit)
+      ), LATERAL (SELECT CASE WHEN hitf THEN rule = 'allow'
+                              ELSE TRUE END AS allowed)
+      WHERE rn = 1
+    ), q AS (
+      -- every 11th doc collapses to one boilerplate page: the exact-dup
+      -- class web corpora are full of, so the dedup axis has real work
+      SELECT doc_id,
+             len(string_split(t2, ' ')) AS nw,
+             (CASE WHEN list_contains(string_split(t2, ' '), 'the')
+                   THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(string_split(t2, ' '), 'and')
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(string_split(t2, ' '), 'of')
+                     THEN 1 ELSE 0 END) AS hits,
+             md5(regexp_replace(lower(t2), '\\s+', ' ', 'g')) AS fp
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 7
+                        THEN 'the default page of this site and all of '
+                             || 'the content is pending review the '
+                             || 'webmaster of the site posted nothing '
+                             || 'here yet and the page will update soon '
+                             || 'with all of the new content of the '
+                             || 'season'
+                        ELSE text END AS t2
+            FROM documents)
+    ), gated AS (
+      SELECT q.doc_id, v.allowed,
+             q.nw >= 20 AND q.nw <= 100000 AND q.hits >= 1
+               AS quality_keep,
+             q.fp
+      FROM q JOIN verdict v ON v.doc_id = q.doc_id
+    ), canon AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) = doc_id
+               AS canonical
+      FROM gated WHERE allowed AND quality_keep
+    )
+    SELECT g.doc_id, g.allowed, g.quality_keep,
+           coalesce(c.canonical, FALSE) AS canonical,
+           g.allowed AND g.quality_keep
+             AND coalesce(c.canonical, FALSE) AS kept
+    FROM gated g LEFT JOIN canon c ON c.doc_id = g.doc_id
+"""
+
+
+@register("provenance_curation_gate", oracle=_PROV_GATE_ORACLE)
+def provenance_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: robots permission AND minimal quality gate AND
+    exact-dedup canonical (min doc id per fingerprint AMONG gate
+    survivors) -> kept."""
+    from pyspark.sql import Window as W
+
+    from .functions.text import fingerprint, tokens
+    from .operators.web import parse_robots, robots_allowed
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/private/p"),
+                                    (d % 9).cast("string")))
+        .when(d % 6 == 1, F.concat(F.lit("/private/ok/q"),
+                                   (d % 9).cast("string")))
+        .when(d % 6 == 2, F.concat(F.lit("/blog/b"),
+                                   (d % 9).cast("string")))
+        .when(d % 6 == 3, F.concat(F.lit("/search/s"),
+                                   (d % 9).cast("string")))
+        .when(d % 6 == 4, F.concat(F.lit("/tmp"), (d % 9).cast("string")))
+        .otherwise(F.concat(F.lit("/page/"), (d % 40).cast("string")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 50).cast("string")).alias("host"),
+        path.alias("path"),
+    )
+    rules = parse_robots(_robots_fixture(spark))
+    verdict = robots_allowed(urls, rules, agent="aquabot") \
+        .select("doc_id", "allowed")
+    boiler = ("the default page of this site and all of the content is "
+              "pending review the webmaster of the site posted nothing "
+              "here yet and the page will update soon with all of the "
+              "new content of the season")
+    t2 = F.when(d % 11 == 7, F.lit(boiler)).otherwise(F.col("text"))
+    toks = tokens(t2)
+    nw = F.size(toks)
+    hits = sum(
+        F.array_contains(toks, w).cast("int") for w in ("the", "and", "of"))
+    gated = (
+        docs.select(
+            "doc_id",
+            ((nw >= 20) & (nw <= 100_000) & (hits >= 1))
+            .alias("quality_keep"),
+            fingerprint(t2).alias("__fp"),
+        )
+        .join(verdict, "doc_id")
+    )
+    surv = gated.where(F.col("allowed") & F.col("quality_keep")) \
+        .withColumn(
+            "canonical",
+            F.min("doc_id").over(W.partitionBy("__fp")) == F.col("doc_id"),
+        ).select("doc_id", "canonical")
+    return (
+        gated.join(surv, "doc_id", "left")
+        .select(
+            "doc_id", "allowed", "quality_keep",
+            F.coalesce("canonical", F.lit(False)).alias("canonical"),
+            (F.col("allowed") & F.col("quality_keep")
+             & F.coalesce("canonical", F.lit(False))).alias("kept"),
+        )
+    )
