@@ -173,21 +173,36 @@ def bm25_phrase_topk(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
     parts = [contribs]
-    for L in sorted(grams):
-        gdim = spark.createDataFrame(
-            sorted(set(grams[L])),
-            schema=f"{query_id} int, __gram string, __w double")
+    if grams:
+        # ONE corpus pass for all needed gram lengths: the per-L gram
+        # arrays concatenate before a single explode + count, and an
+        # L-gram string can never equal an L'-gram string (different
+        # word counts), so one combined query-gram dim joins once —
+        # the 3-scan/3-join version benched 2.5x slower
         toks = F.col("__toks")
-        gram_arr = F.when(
-            F.col("__n") >= L,
-            F.transform(
-                F.sequence(F.lit(1), F.col("__n") - (L - 1)),
-                lambda i: F.concat_ws(" ", *[
-                    F.element_at(toks, i + j) for j in range(L)]),
-            ),
-        )
+
+        def arr(L: int):
+            return F.when(
+                F.col("__n") >= L,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - (L - 1)),
+                    lambda i: F.concat_ws(" ", *[
+                        F.element_at(toks, i + j) for j in range(L)]),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        all_arr = F.concat(*[arr(L) for L in sorted(grams)]) \
+            if len(grams) > 1 else arr(next(iter(grams)))
+        gdim = spark.createDataFrame(
+            sorted({g for v in grams.values() for g in v}),
+            schema=f"{query_id} int, __gram string, __w double")
+        # broadcast-semi restrict to QUERY grams before counting: the
+        # count's shuffle then carries only matching grams (bounded by
+        # query vocabulary x docs), not the corpus's entire gram space
         gtf = (
-            base.select(id_col, F.explode(gram_arr).alias("__gram"))
+            base.select(id_col, F.explode(all_arr).alias("__gram"))
+            .join(F.broadcast(gdim.select("__gram").distinct()),
+                  "__gram", "left_semi")
             .groupBy(id_col, "__gram")
             .agg(F.count(F.lit(1)).alias("__gtf"))
         )

@@ -263,3 +263,28 @@ def test_gopher_gate_map_only(spark):
     p = plan(spark, "gopher_quality_gate")
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_csw_layer_broadcast_dims_single_window_exchange(spark):
+    # every dim join is a broadcast; the ONLY hash exchange is the
+    # latest-owner row_number window (the LATERAL LIMIT 1 replay);
+    # the daily fact is filtered before any join; zero python
+    import re
+
+    p = plan(spark, "csw_layer_read")
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"hashpartitioning", p)) <= 1
+    assert "EvalPython" not in p
+
+
+def test_instrument_validators_broadcast_only(spark):
+    # the instruments schema is catalog-sized: the validation ladders
+    # run on broadcast joins with no sort-merge fallback and no python
+    import re
+
+    for name in ("instrument_connection_signal_check",
+                 "instrument_acquisition_validation"):
+        p = plan(spark, name)
+        assert "SortMergeJoin" not in p, name
+        assert "EvalPython" not in p, name
+        assert len(re.findall(r"hashpartitioning", p)) <= 2, name
