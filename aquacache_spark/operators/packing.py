@@ -251,3 +251,65 @@ def importance_weights(
             ).alias("importance"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into training-window chunks with overlap —
+    the standard pre-tokenization windowing stage (every chunk at most
+    ``max_tokens`` whitespace tokens; consecutive chunks share
+    ``overlap`` tokens so no context is lost at boundaries).
+
+    Chunk starts advance by ``stride = max_tokens - overlap``; the
+    last chunk may be shorter, and a chunk is emitted at a start
+    position only when it contributes at least one NEW token (so a
+    doc of <= max_tokens yields exactly one chunk). Deterministic:
+    chunk_id = start // stride.
+
+    Pure map-side: one staged token-array column, a sequence() of
+    chunk starts, slice + concat_ws per chunk, one explode — no
+    shuffle at all, embarrassingly parallel at 100 TB. Output:
+    (id, chunk_id, chunk_text, n_tokens, start_token).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    base = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    n = F.col("__n")
+    # starts: 0, stride, 2*stride, ... while start < n (and the chunk
+    # adds new tokens: start + overlap < n for start > 0 — equivalent
+    # to start < n - overlap, i.e. last start index floor((n-1-overlap)
+    # / stride) for n > max_tokens; <= max_tokens docs -> one chunk)
+    last = F.greatest(
+        F.floor((n - 1 - F.lit(overlap)).cast("double") / stride)
+        .cast("int"), F.lit(0))
+    chunks = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.struct(
+            i.alias("cid"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__toks"), i * stride + 1,
+                        F.lit(max_tokens))).alias("txt"),
+            F.least(n - i * stride, F.lit(max_tokens)).alias("nt"),
+            (i * stride).alias("st"),
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(chunks).alias("__c"),
+    ).select(
+        id_col,
+        F.col("__c.cid").cast("long").alias("chunk_id"),
+        F.col("__c.txt").alias("chunk_text"),
+        F.col("__c.nt").cast("long").alias("n_tokens"),
+        F.col("__c.st").cast("long").alias("start_token"),
+    )

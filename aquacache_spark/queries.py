@@ -12950,3 +12950,43 @@ def provenance_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
              & F.coalesce("canonical", F.lit(False))).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (operators/packing.chunk_documents): the standard
+# pre-tokenization windowing stage — max_tokens windows advancing by
+# (max_tokens - overlap), last chunk short, <=max_tokens docs yield
+# one chunk. Pure map-side; fixture uses 24/8 so the 10-100-token docs
+# produce real multi-chunk splits.
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               greatest(CAST(floor(CAST(n - 1 - 8 AS DOUBLE) / 16)
+                             AS INT), 0))) AS i
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(toks[i * 16 + 1 : i * 16 + 24], ' ')
+             AS chunk_text,
+           CAST(least(n - i * 16, 24) AS BIGINT) AS n_tokens,
+           CAST(i * 16 AS BIGINT) AS start_token
+    FROM starts
+"""
+
+
+@register("document_chunking", oracle=_CHUNK_ORACLE)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training-window chunks (24-token windows, 8-token
+    overlap) over the documents corpus."""
+    from .operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=24, overlap=8)

@@ -101,3 +101,34 @@ class TestImportanceWeights:
                                  num_buckets=64).toPandas().set_index("doc_id")
         assert out.loc[2, "n_bigrams"] == 0
         assert out.loc[2, "importance"] == 0.0
+
+
+def test_chunk_documents_closed_form(spark):
+    """Edge math: short doc -> one chunk; exact-boundary doc -> one
+    chunk; one-past-boundary -> two chunks whose overlap region is
+    shared verbatim; reconstruction: stitching chunks (dropping each
+    successor's overlap prefix) rebuilds the original text."""
+    import pytest
+
+    from aquacache_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(9))      # n=9
+    exact = " ".join(f"w{i}" for i in range(6))      # n=6 == max
+    short = "a b"
+    df = spark.createDataFrame(
+        [(1, words), (2, exact), (3, short)], "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=6, overlap=2)  # stride 4
+    rows = sorted([(r["doc_id"], r["chunk_id"], r["chunk_text"],
+                    r["n_tokens"], r["start_token"])
+                   for r in out.collect()])
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3 w4 w5", 6, 0),
+        (1, 1, "w4 w5 w6 w7 w8", 5, 4),
+        (2, 0, "w0 w1 w2 w3 w4 w5", 6, 0),
+        (3, 0, "a b", 2, 0),
+    ]
+    # stitch doc 1: chunk0 + chunk1 minus its 2-token overlap prefix
+    stitched = rows[0][2] + " " + " ".join(rows[1][2].split()[2:])
+    assert stitched == words
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
