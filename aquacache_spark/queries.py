@@ -12990,3 +12990,90 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, max_tokens=24, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level cross-document near-dup: chunking x MinHash/LSH composed
+# at sub-document granularity — catches partial overlap (quotation,
+# boilerplate sections, plagiarized passages) that document-level
+# signatures dilute away. Same-document pairs are excluded (adjacent
+# chunks trivially share their overlap region).
+# ---------------------------------------------------------------------------
+
+_CHUNK_NEARDUP_ORACLE = """
+    WITH cbase AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id * 1000 + i AS cid,
+             array_to_string(toks[i * 16 + 1 : i * 16 + 24], ' ') AS ctext
+      FROM cbase,
+           unnest(generate_series(0,
+             greatest(CAST(floor(CAST(n - 1 - 8 AS DOUBLE) / 16) AS INT),
+                      0))) AS t(i)
+    ), shingled AS (
+      SELECT cid, toks, n,
+             unnest(generate_series(0, greatest(n - 3, 0))) AS i
+      FROM (SELECT cid, string_split(lower(ctext), ' ') AS toks,
+                   len(string_split(lower(ctext), ' ')) AS n
+            FROM chunks)
+    ), shingles AS (
+      SELECT DISTINCT cid,
+             array_to_string(toks[i + 1 : i + 3], ' ') AS sh
+      FROM shingled
+    ), hashed AS (
+      SELECT cid, CAST('0x' || substr(md5(sh), 1, 13) AS BIGINT) AS base
+      FROM shingles
+    ), sig AS (
+      SELECT cid,
+""" + ",\n".join(
+    f"min(({2 * i + 3} * base + {(i + 1) * 2654435769}) % {_MINHASH_MOD})"
+    f" AS h{i}"
+    for i in range(8)
+) + """
+      FROM hashed GROUP BY cid
+    ), banded AS (
+      SELECT cid, band, key FROM (
+        SELECT cid,
+               unnest([0, 1, 2, 3]) AS band,
+               unnest([CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR),
+                       CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR),
+                       CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR),
+                       CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)])
+                 AS key
+        FROM sig
+      )
+    ), pairs AS (
+      SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.cid < b.cid
+    )
+    SELECT id_a // 1000 AS doc_a, id_a % 1000 AS chunk_a,
+           id_b // 1000 AS doc_b, id_b % 1000 AS chunk_b
+    FROM pairs
+    WHERE id_a // 1000 <> id_b // 1000
+"""
+
+
+@register("chunk_cross_doc_near_dup", oracle=_CHUNK_NEARDUP_ORACLE)
+def chunk_cross_doc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document near-dup pairs: 24/8 chunking -> per-chunk MinHash
+    -> LSH banding -> cross-document candidate pairs."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from .operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, max_tokens=24, overlap=8).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    sig = minhash_signatures(ch, id_col="cid", text_col="chunk_text",
+                             num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, id_col="cid", num_hashes=8, bands=4)
+    da = F.expr("id_a div 1000")
+    db = F.expr("id_b div 1000")
+    return pairs.where(da != db).select(
+        da.alias("doc_a"), (F.col("id_a") % 1000).alias("chunk_a"),
+        db.alias("doc_b"), (F.col("id_b") % 1000).alias("chunk_b"),
+    )
