@@ -13077,3 +13077,63 @@ def chunk_cross_doc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         da.alias("doc_a"), (F.col("id_a") % 1000).alias("chunk_a"),
         db.alias("doc_b"), (F.col("id_b") % 1000).alias("chunk_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (functions/text.hashed_linear_score):
+# the DCLM/FineWeb-Edu filtering shape — unigram+bigram feature
+# hashing into 4096 buckets, tf-weighted dot product with a weight
+# vector (deterministic stand-in here; broadcast a trained model in
+# production), sigmoid squash. Pure codegen, map-only.
+# ---------------------------------------------------------------------------
+
+_MODEL_QUALITY_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               toks,
+               CASE WHEN n >= 2
+                    THEN list_transform(range(1, n),
+                           i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END)) AS gm
+      FROM base
+    ), feats AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gm), 1, 13) AS BIGINT) % 4096 AS b
+      FROM grams
+    ), scored AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_features,
+             sum(CAST(floor(
+               ((b * 2654435761) % 2001 - 1000)
+                 / CAST(1000 AS DOUBLE) * 1000000.0
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+      FROM feats GROUP BY 1
+    )
+    SELECT doc_id, n_features,
+           {R('1 / (1 + exp(-(q / 1000000.0 / n_features)))', 6)}
+             AS quality_prob
+    FROM scored
+"""
+
+
+@register("model_quality_score", oracle=_MODEL_QUALITY_ORACLE)
+def model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier over the documents corpus."""
+    from .functions.text import hashed_linear_score, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    n_features = n + F.greatest(n - 1, F.lit(0))
+    out = docs.select(
+        "doc_id",
+        n_features.cast("long").alias("n_features"),
+        hashed_linear_score(F.col("text"), num_buckets=4096)
+        .alias("quality_prob"),
+    )
+    return _round(out, {"quality_prob": 6})

@@ -552,3 +552,30 @@ def test_jpeg_12bit_roundtrip_and_guards():
     blob[sof + 1] = 0xC0
     with pytest.raises(ValueError, match="precision"):
         decode_jpeg(bytes(blob))
+
+
+def test_hashed_linear_score_with_real_weights(spark):
+    """The weights-column path (the production shape): a broadcast
+    weight vector replaces the stand-in, and an all-zeros model scores
+    exactly 0.5 for every document."""
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.functions.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a b"), (3, "single")],
+        "doc_id int, text string")
+    zeros = F.array_repeat(F.lit(0.0), 64)
+    out = df.select(
+        "doc_id",
+        hashed_linear_score(F.col("text"), num_buckets=64,
+                            weights=zeros).alias("p"))
+    assert all(r["p"] == 0.5 for r in out.collect())
+    # a biased model moves the score off 0.5 deterministically
+    ones = F.array_repeat(F.lit(1.0), 64)
+    out2 = df.select(
+        hashed_linear_score(F.col("text"), num_buckets=64,
+                            weights=ones).alias("p"))
+    import math
+    expect = 1.0 / (1.0 + math.exp(-1.0))
+    assert all(abs(r["p"] - expect) < 1e-9 for r in out2.collect())
