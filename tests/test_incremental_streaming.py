@@ -678,3 +678,46 @@ def test_streaming_image_phash_dedup(spark, tmp_path):
     got = {r["media_id"] for r in seen}
     assert 1 in got and 2 in got and 4 in got
     assert 3 not in got  # cross-run perceptual duplicate suppressed
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """chunk_documents is a pure map-side projection, so it applies to
+    a readStream unchanged — streamed chunks across two AvailableNow
+    drops equal the batch result over the same landing data."""
+    import datetime
+
+    from aquacache_spark.operators.packing import chunk_documents
+
+    landing = str(tmp_path / "chunk_landing")
+    DT = datetime.datetime
+
+    def drop(rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, ingest_time timestamp"
+        ).write.mode("append").parquet(landing)
+
+    long = " ".join(f"w{i}" for i in range(15))
+    drop([(1, long, DT(2024, 1, 1)), (2, "a b c", DT(2024, 1, 1))])
+
+    schema = "doc_id bigint, text string, ingest_time timestamp"
+    stream = spark.readStream.schema(schema).parquet(landing)
+    q = (chunk_documents(stream, max_tokens=6, overlap=2)
+         .writeStream.format("memory").queryName("chunks1")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    drop([(3, " ".join(f"x{i}" for i in range(8)), DT(2024, 1, 2))])
+    q2 = (chunk_documents(spark.readStream.schema(schema).parquet(landing),
+                          max_tokens=6, overlap=2)
+          .writeStream.format("memory").queryName("chunks2")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    streamed = {(r["doc_id"], r["chunk_id"], r["chunk_text"])
+                for r in spark.sql("SELECT * FROM chunks2").collect()}
+    batch = {(r["doc_id"], r["chunk_id"], r["chunk_text"])
+             for r in chunk_documents(
+                 spark.read.parquet(landing), max_tokens=6,
+                 overlap=2).collect()}
+    assert streamed == batch
+    assert {d for d, _, _ in streamed} == {1, 2, 3}
