@@ -13137,3 +13137,84 @@ def model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality_prob"),
     )
     return _round(out, {"quality_prob": 6})
+
+
+# ---------------------------------------------------------------------------
+# Document containment from chunk matches: per ordered (doc_a, doc_b),
+# the fraction of A's chunks with at least one LSH match in B — the
+# asymmetric overlap measure ("A is mostly contained in B") that
+# symmetric document signatures cannot express.
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = _CHUNK_NEARDUP_ORACLE.replace(
+    """    SELECT id_a // 1000 AS doc_a, id_a % 1000 AS chunk_a,
+           id_b // 1000 AS doc_b, id_b % 1000 AS chunk_b
+    FROM pairs
+    WHERE id_a // 1000 <> id_b // 1000
+""",
+    """    , cross_pairs AS (
+      SELECT id_a // 1000 AS doc_a, id_a % 1000 AS chunk_a,
+             id_b // 1000 AS doc_b, id_b % 1000 AS chunk_b
+      FROM pairs
+      WHERE id_a // 1000 <> id_b // 1000
+    ), directed AS (
+      SELECT doc_a, chunk_a, doc_b FROM cross_pairs
+      UNION
+      SELECT doc_b AS doc_a, chunk_b AS chunk_a, doc_a AS doc_b
+      FROM cross_pairs
+    ), matched AS (
+      SELECT doc_a, doc_b, count(DISTINCT chunk_a) AS m
+      FROM directed GROUP BY 1, 2
+    ), nchunks AS (
+      SELECT doc_id,
+             CAST(greatest(CAST(floor(CAST(n - 1 - 8 AS DOUBLE) / 16)
+                                AS INT), 0) + 1 AS BIGINT) AS nc
+      FROM cbase
+    )
+    SELECT m.doc_a, m.doc_b, m.m AS matched_chunks, c.nc AS total_chunks,
+           CAST(floor(CAST(m.m AS DOUBLE) / c.nc * 1000000.0
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / 1000000.0 AS containment
+    FROM matched m JOIN nchunks c ON c.doc_id = m.doc_a
+""")
+
+
+@register("doc_containment_scores", oracle=_CONTAINMENT_ORACLE)
+def doc_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric doc-overlap: fraction of A's chunks LSH-matching any
+    chunk of B, per ordered (doc_a, doc_b)."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from .operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, max_tokens=24, overlap=8)
+    cids = ch.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    sig = minhash_signatures(cids, id_col="cid", text_col="chunk_text",
+                             num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, id_col="cid", num_hashes=8, bands=4)
+    cross = pairs.where(
+        F.expr("id_a div 1000") != F.expr("id_b div 1000")).select(
+        F.expr("id_a div 1000").alias("doc_a"),
+        (F.col("id_a") % 1000).alias("chunk_a"),
+        F.expr("id_b div 1000").alias("doc_b"),
+        (F.col("id_b") % 1000).alias("chunk_b"),
+    )
+    directed = cross.select("doc_a", "chunk_a", "doc_b").unionByName(
+        cross.select(F.col("doc_b").alias("doc_a"),
+                     F.col("chunk_b").alias("chunk_a"),
+                     F.col("doc_a").alias("doc_b"))).distinct()
+    matched = directed.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("chunk_a").alias("matched_chunks"))
+    nchunks = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_chunks"))
+    out = matched.join(
+        nchunks.select(F.col("doc_id").alias("doc_a"), "total_chunks"),
+        "doc_a")
+    cont = (F.floor(
+        F.col("matched_chunks").cast("double") / F.col("total_chunks")
+        * 1e6 + F.lit(0.5)) / 1e6)
+    return out.select("doc_a", "doc_b", "matched_chunks", "total_chunks",
+                      cont.alias("containment"))
