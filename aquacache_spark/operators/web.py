@@ -370,7 +370,10 @@ def parse_robots(
     ).where(F.col("__line") != "")
     directive = F.lower(F.trim(F.substring_index(F.col("__line"), ":", 1)))
     value = F.trim(F.expr("substring(__line, instr(__line, ':') + 1)"))
-    parsed = lines.select(
+    # a line without ':' carries no directive (RFC: invalid lines are
+    # ignored) — without this filter a bare 'Disallow' word would
+    # parse as both directive AND value
+    parsed = lines.where(F.expr("instr(__line, ':')") > 0).select(
         "host", "pos", directive.alias("__d"), value.alias("__v"),
     )
     is_agent = F.col("__d") == "user-agent"

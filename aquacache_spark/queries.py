@@ -12587,7 +12587,7 @@ _ROBOTS_SQL = """
       SELECT host, pos,
              lower(trim(split_part(line, ':', 1))) AS d,
              trim(substr(line, strpos(line, ':') + 1)) AS v
-      FROM rl WHERE line <> ''
+      FROM rl WHERE line <> '' AND strpos(line, ':') > 0
     ), blocks AS (
       SELECT host, pos, d, v,
              d = 'user-agent' AS ia,

@@ -244,3 +244,73 @@ def test_parse_robots_size_cap(spark):
     assert rules == {("disallow", "/a")}
     full = parse_robots(robots, max_bytes=None)
     assert full.count() == 1001
+
+
+def _robots_reference(text: str, max_bytes=None):
+    """Pure-Python RFC 9309 group parser, independently re-implemented
+    (the spec, not the operator): returns {(host-agnostic) (agent,
+    rule, path)} for one file."""
+    if max_bytes is not None:
+        text = text[:max_bytes]
+    out = []
+    agents: list[str] = []
+    in_header = False
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue  # blank or invalid (no directive separator)
+        d = line.split(":", 1)[0].strip().lower()
+        v = line.split(":", 1)[1].strip()
+        if d == "user-agent":
+            if not in_header:
+                agents = []
+                in_header = True
+            agents.append(v.lower())
+        else:
+            in_header = False
+            if d in ("allow", "disallow") and v != "":
+                for a in agents:
+                    out.append((a, d, v))
+    return set(out)
+
+
+def test_parse_robots_random_vs_reference(spark):
+    """Randomized differential check: 60 generated robots files (agent
+    runs, comments, blanks, empty values, rule blocks appended after
+    agent-specific groups) parsed by the operator must equal the
+    independent pure-Python RFC parser — one Spark job for all files."""
+    import random
+
+    from aquacache_spark.operators.web import parse_robots
+
+    rng = random.Random(20260815)
+    agents = ["*", "aquabot", "Crawler-X", "other"]
+    paths = ["/a", "/a/b", "/tmp*", "/x$", "/deep/path/seg", ""]
+    files = []
+    for h in range(60):
+        lines = []
+        for _ in range(rng.randint(2, 14)):
+            r = rng.random()
+            if r < 0.35:
+                lines.append(f"User-agent: {rng.choice(agents)}")
+            elif r < 0.75:
+                lines.append(
+                    f"{rng.choice(['Allow', 'Disallow'])}: "
+                    f"{rng.choice(paths)}")
+            elif r < 0.85:
+                lines.append("# comment line")
+            elif r < 0.9:
+                lines.append("")
+            elif r < 0.95:
+                lines.append("Crawl-delay: 10")
+            else:
+                lines.append(rng.choice(
+                    ["Disallow", "User-agent", "garbage words here"]))
+        files.append((f"h{h}", "\n".join(lines)))
+    robots = spark.createDataFrame(files, "host string, content string")
+    got: dict = {}
+    for r in parse_robots(robots).collect():
+        got.setdefault(r["host"], set()).add(
+            (r["agent"], r["rule"], r["path"]))
+    for host, text in files:
+        assert got.get(host, set()) == _robots_reference(text), host
