@@ -82,6 +82,58 @@ def cosine_topk(
     )
 
 
+def knn_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors under any of the three FAISS metric
+    families: ``cosine``, ``ip`` (inner product, MIPS), or ``l2``
+    (SQUARED euclidean — the monotone surrogate FAISS also ranks by;
+    skipping the sqrt keeps the arithmetic exactly mirrorable).
+    Ranking uses the 1e-9-quantized score (engine-wide idiom) with
+    neighbor-id ties, ascending for l2, descending otherwise.
+
+    Same scale shape as :func:`cosine_topk`: queries broadcast against
+    the corpus scan (the brute-force baseline the IVF/PQ tier
+    approximates). Output: query_id, neighbor_id, score, rank.
+    """
+    if metric not in ("cosine", "ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"))
+    dot = _dot(F.col("__qv"), F.col("__cv"))
+    if metric == "cosine":
+        score = dot / (F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+                       * F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
+    elif metric == "ip":
+        score = dot
+    else:  # l2 (squared)
+        score = (_dot(F.col("__qv"), F.col("__qv"))
+                 - 2 * dot
+                 + _dot(F.col("__cv"), F.col("__cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", score)
+    )
+    order = (F.asc(_qrank(F.col("score"))) if metric == "l2"
+             else F.desc(_qrank(F.col("score"))))
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def _md5_py(s: str) -> int:
     import hashlib
 

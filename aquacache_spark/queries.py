@@ -13218,3 +13218,78 @@ def doc_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1e6 + F.lit(0.5)) / 1e6)
     return out.select("doc_a", "doc_b", "matched_chunks", "total_chunks",
                       cont.alias("containment"))
+
+
+# ---------------------------------------------------------------------------
+# ANN metric parity (operators/similarity.knn_topk): exact top-k under
+# inner product (MIPS) and squared-L2 next to the existing cosine —
+# the three FAISS metric families.
+# ---------------------------------------------------------------------------
+
+_IP_TOPK_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 40 = 7
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) AS score
+      FROM q, c WHERE query_id <> neighbor_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY floor(score * 1000000000.0 + CAST(0.5 AS DOUBLE))
+                          DESC,
+                        neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, {R('score', 6)} AS score, rank
+    FROM r WHERE rank <= 5
+"""
+
+
+@register("embedding_ip_topk", oracle=_IP_TOPK_ORACLE)
+def embedding_ip_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_topk(emb, emb.where(F.col("vec_id") % 40 == 7),
+                   metric="ip", k=5)
+    return _round(out, {"score": 6})
+
+
+_L2_TOPK_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 40 = 13
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+               + list_dot_product(cv, cv) AS score
+      FROM q, c WHERE query_id <> neighbor_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY floor(score * 1000000000.0 + CAST(0.5 AS DOUBLE))
+                          ASC,
+                        neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, {R('score', 6)} AS score, rank
+    FROM r WHERE rank <= 5
+"""
+
+
+@register("embedding_l2_topk", oracle=_L2_TOPK_ORACLE)
+def embedding_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_topk(emb, emb.where(F.col("vec_id") % 40 == 13),
+                   metric="l2", k=5)
+    return _round(out, {"score": 6})
