@@ -958,3 +958,97 @@ def bigram_surprisal(
             "mean_surprisal",
         )
     )
+
+
+def trigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    l3: float = 0.6,
+    l2: float = 0.3,
+) -> DataFrame:
+    """Per-document mean DELETED-INTERPOLATION TRIGRAM surprisal —
+    the next rung after :func:`bigram_surprisal`:
+
+        p(w | u, v) = l3 * c(uvw)/c(uv) + l2 * c(vw)/c(v)
+                      + (1 - l3 - l2) * c(w)/N
+
+    (denominators are the lower-order counts over ALL positions — the
+    same documented deficient-normalization MLE as the bigram model,
+    so the oracle mirrors it exactly). Score = mean of ``-ln p`` over
+    trigram positions; docs with < 3 tokens report 0 trigrams and a
+    NULL mean.
+
+    Determinism + scale: identical to the bigram model one order up —
+    micro-nat quantization before the exact sum; one trigram-explode
+    aggregation for the LM; the scoring dim is trigram-vocab-sized and
+    left to AQE. Output: (id, n_trigrams, mean_surprisal).
+    """
+    from pyspark.sql import Window
+
+    base = _spread_scan(df, id_col).select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    toks = F.col("__toks")
+    uni = (
+        base.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+        .withColumn("total", F.sum("cw").over(Window.partitionBy()))
+    )
+
+    def grams(L):
+        return F.when(
+            F.col("__n") >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - (L - 1)),
+                lambda i: F.struct(*[
+                    F.element_at(toks, i + j).alias(f"t{j}")
+                    for j in range(L)]),
+            ),
+        )
+
+    bg = base.select(F.explode(grams(2)).alias("g")).select(
+        F.col("g.t0").alias("u"), F.col("g.t1").alias("v"))
+    bgc = bg.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cb"))
+    tri = base.select(
+        F.col(id_col), F.explode(grams(3)).alias("g"),
+    ).select(id_col, F.col("g.t0").alias("u"), F.col("g.t1").alias("v"),
+             F.col("g.t2").alias("w"))
+    tric = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("ct"))
+    l1 = 1.0 - l3 - l2
+    score = (
+        tric
+        .join(bgc, ["u", "v"])                       # c(uv)
+        .join(bgc.select(F.col("u").alias("v"), F.col("v").alias("w"),
+                         F.col("cb").alias("cvw")), ["v", "w"])   # c(vw)
+        .join(uni.select(F.col("w").alias("v"), F.col("cw").alias("cv")),
+              "v")                                    # c(v)
+        .join(uni, "w")                               # c(w), N
+        .select(
+            "u", "v", "w",
+            F.floor(
+                -F.log(
+                    F.lit(l3) * F.col("ct") / F.col("cb")
+                    + F.lit(l2) * F.col("cvw") / F.col("cv")
+                    + F.lit(l1) * F.col("cw") / F.col("total"))
+                * 1e6 + F.lit(0.5)
+            ).cast("long").alias("__q"),
+        )
+    )
+    scored = (
+        tri.join(score, ["u", "v", "w"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+             (F.sum("__q") / 1e6 / F.count(F.lit(1)))
+             .alias("mean_surprisal"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            "mean_surprisal",
+        )
+    )

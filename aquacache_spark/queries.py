@@ -13293,3 +13293,69 @@ def embedding_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_topk(emb, emb.where(F.col("vec_id") % 40 == 13),
                    metric="l2", k=5)
     return _round(out, {"score": 6})
+
+
+# ---------------------------------------------------------------------------
+# Deleted-interpolation trigram LM surprisal (operators/dedup.
+# trigram_surprisal): p(w|u,v) = 0.6*c(uvw)/c(uv) + 0.3*c(vw)/c(v)
+# + 0.1*c(w)/N; micro-nat quantization; NULL mean under 3 tokens.
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_SURPRISAL_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n
+      FROM documents
+    ), tok AS (
+      SELECT unnest(toks) AS w FROM base
+    ), uni AS (
+      SELECT w, count(*) AS cw FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cw) AS DOUBLE) AS total FROM uni
+    ), bg AS (
+      SELECT toks[i] AS u, toks[i + 1] AS v
+      FROM base, unnest(generate_series(1, n - 1)) AS t(i)
+    ), bgc AS (
+      SELECT u, v, count(*) AS cb FROM bg GROUP BY 1, 2
+    ), tri AS (
+      SELECT doc_id, toks[i] AS u, toks[i + 1] AS v, toks[i + 2] AS w
+      FROM base, unnest(generate_series(1, n - 2)) AS t(i)
+    ), tric AS (
+      SELECT u, v, w, count(*) AS ct FROM tri GROUP BY 1, 2, 3
+    ), score AS (
+      SELECT t.u, t.v, t.w,
+             CAST(floor(
+               -ln(CAST(0.6 AS DOUBLE) * t.ct / buv.cb
+                   + CAST(0.3 AS DOUBLE) * bvw.cb / uv2.cw
+                   + (CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE)
+                      - CAST(0.3 AS DOUBLE)) * uw.cw / tot.total)
+               * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+      FROM tric t
+      JOIN bgc buv ON buv.u = t.u AND buv.v = t.v
+      JOIN bgc bvw ON bvw.u = t.v AND bvw.v = t.w
+      JOIN uni uv2 ON uv2.w = t.v
+      JOIN uni uw ON uw.w = t.w
+      CROSS JOIN tot
+    ), per_doc AS (
+      SELECT tri.doc_id,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             {R('sum(q) / 1000000.0 / count(*)', 6)} AS mean_surprisal
+      FROM tri JOIN score
+        ON score.u = tri.u AND score.v = tri.v AND score.w = tri.w
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           coalesce(d.n_trigrams, 0) AS n_trigrams,
+           d.mean_surprisal
+    FROM base b LEFT JOIN per_doc d ON d.doc_id = b.doc_id
+"""
+
+
+@register("trigram_surprisal", oracle=_TRIGRAM_SURPRISAL_ORACLE)
+def trigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deleted-interpolation trigram LM surprisal over the corpus."""
+    from .operators.dedup import trigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    out = trigram_surprisal(docs, l3=0.6, l2=0.3)
+    return _round(out, {"mean_surprisal": 6})
