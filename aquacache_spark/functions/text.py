@@ -447,3 +447,31 @@ def hashed_linear_score(
     # bind(): build the gram array ONCE per row — referenced by both
     # the fold and the size, which would otherwise re-derive it
     return bind(grams, score_of)
+
+
+# Unicode punctuation folding map — the standard web-text
+# normalization pass (curly quotes, dashes, ellipsis, NBSP and
+# zero-width characters) shared VERBATIM with the DuckDB oracle so
+# both engines apply the identical sequence of replacements.
+FOLD_MAP = (
+    ("‘", "'"), ("’", "'"), ("‚", "'"), ("‛", "'"),
+    ("“", '"'), ("”", '"'), ("„", '"'), ("‟", '"'),
+    ("–", "-"), ("—", "-"), ("―", "-"), ("−", "-"),
+    ("…", "..."),
+    (" ", " "), (" ", " "), (" ", " "), ("　", " "),
+    ("​", ""), ("‌", ""), ("‍", ""), ("﻿", ""),
+)
+
+
+def fold_text(text: Column, collapse_ws: bool = True) -> Column:
+    """Fold typographic Unicode to ASCII equivalents (FOLD_MAP order),
+    then optionally collapse whitespace runs and trim — the
+    normalization applied before hashing/fingerprinting so smart-quote
+    re-renderings of one document dedup together. Pure codegen
+    (chained replace + one regexp), map-only."""
+    out = text
+    for src_ch, dst in FOLD_MAP:
+        out = F.replace(out, F.lit(src_ch), F.lit(dst))
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

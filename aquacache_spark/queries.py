@@ -13359,3 +13359,64 @@ def trigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = trigram_surprisal(docs, l3=0.6, l2=0.3)
     return _round(out, {"mean_surprisal": 6})
+
+
+# ---------------------------------------------------------------------------
+# Unicode punctuation folding (functions/text.fold_text): curly
+# quotes / dashes / ellipsis / NBSP / zero-width folding + whitespace
+# collapse, with the exact-dedup consequence measured (smart-quote
+# re-renderings collapse to one fingerprint).
+# ---------------------------------------------------------------------------
+
+def _fold_sql(expr: str) -> str:
+    from .functions.text import FOLD_MAP
+
+    out = expr
+    for src_ch, dst in FOLD_MAP:
+        d = dst.replace("'", "''")
+        out = f"replace({out}, chr({ord(src_ch)}), '{d}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+_FOLD_ORACLE = f"""
+    WITH noisy AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN chr(8220) || text || chr(8221) || chr(8230)
+               WHEN 1 THEN replace(text, ' ', chr(160))
+               WHEN 2 THEN chr(8203) || replace(text, ' ',
+                           ' ' || chr(8212) || ' ')
+               ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id, {_fold_sql('t')} AS folded,
+           md5(regexp_replace(lower({_fold_sql('t')}), '\\s+', ' ', 'g'))
+             AS fingerprint
+    FROM noisy
+"""
+
+
+@register("unicode_fold_normalize", oracle=_FOLD_ORACLE)
+def unicode_fold_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typographic-Unicode folding over a noisy re-rendering of the
+    corpus (curly quotes + ellipsis, NBSP spacing, zero-width + em-dash
+    injection), with the post-fold fingerprint."""
+    from .functions.text import fingerprint, fold_text
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = (
+        F.when(d % 4 == 0, F.concat(F.lit("“"), F.col("text"),
+                                    F.lit("”"), F.lit("…")))
+        .when(d % 4 == 1, F.replace(F.col("text"), F.lit(" "),
+                                    F.lit(" ")))
+        .when(d % 4 == 2, F.concat(F.lit("​"),
+                                   F.replace(F.col("text"), F.lit(" "),
+                                             F.lit(" — "))))
+        .otherwise(F.col("text"))
+    )
+    folded = fold_text(t)
+    return docs.select(
+        "doc_id", folded.alias("folded"),
+        fingerprint(folded).alias("fingerprint"),
+    )
