@@ -420,9 +420,17 @@ def robots_allowed(
     implicit suffix wildcard) with ``%``/``_`` escaped — identical
     string surgery on both engines, no regex dialects to reconcile.
 
-    Shuffle shape: one equi-join on host (robots rules are
-    data-cardinality at web scale — never broadcast), one window per
-    URL for the longest-match pick.
+    Shuffle shape: equi-joins on (host[, first-path-char]) — robots
+    rules are data-cardinality at web scale, never broadcast — and one
+    window per URL for the longest-match pick. The FIRST-CHAR bucket
+    is the hot-host guard: a pattern whose first character after '/'
+    is literal can only prefix-match URLs sharing that character
+    (lossless — a matching URL starts with the rule's first two
+    chars), so a pathological host carrying the RFC-capped maximum of
+    rules costs each of its URLs only the same-first-char slice plus
+    the wildcard-leading catch-alls, not the full rule list. (Full
+    first-SEGMENT equality would NOT be lossless: '/bomb1'
+    prefix-matches '/bomb10/x'.)
     """
     exact = rules.where(F.col("agent") == agent.lower())
     star = rules.where(F.col("agent") == "*").join(
@@ -441,18 +449,36 @@ def robots_allowed(
     ).otherwise(
         F.concat(F.replace(F.col("__esc"), F.lit("*"), F.lit("%")),
                  F.lit("%")))
+    first = F.substring(F.col("path"), 2, 1)
     eff = (eff.withColumn("__like", like_pat)
-           .withColumn("__len", F.length("path")).drop("__esc"))
+           .withColumn("__len", F.length("path"))
+           .withColumn(
+               "__pb",
+               F.when(
+                   F.col("path").startswith("/")
+                   & (F.length("path") >= 2)
+                   & ~first.isin("*", "$"),
+                   first,
+               ))
+           .drop("__esc"))
+    bucketed = eff.where(F.col("__pb").isNotNull())
+    catchall = eff.where(F.col("__pb").isNull()).drop("__pb")
     passthru = [c for c in urls.columns if c not in (host_col, path_col)]
     u = urls.select(
         F.col(host_col).alias("host"), F.col(path_col).alias("__upath"),
         *passthru,
     )
-    j = u.join(eff, "host", "left").withColumn(
-        "__hit",
-        F.expr("__upath LIKE __like ESCAPE '\\\\'")
-        & F.col("__like").isNotNull(),
+    ub = F.substring(F.col("__upath"), 2, 1)
+    u1 = u.withColumn("__ub", ub)
+    cand = (
+        u1.join(bucketed.withColumnRenamed("host", "__rh"),
+                (F.col("host") == F.col("__rh"))
+                & (F.col("__ub") == F.col("__pb")), "inner")
+        .drop("__rh", "__pb", "__ub")
+        .unionByName(u.join(catchall, "host", "inner"))
     )
+    j = cand.withColumn(
+        "__hit", F.expr("__upath LIKE __like ESCAPE '\\\\'"))
     # partition by the FULL url identity: two docs sharing (host, path)
     # must each keep their verdict row
     w = Window.partitionBy("host", "__upath", *passthru).orderBy(
@@ -462,6 +488,12 @@ def robots_allowed(
         j.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
     )
+    # restore rule-less URLs (no candidate rows at all): allowed, no
+    # matched rule
+    win = u.join(
+        win.select("host", "__upath", *passthru, "rule", "path",
+                   "__hit"),
+        ["host", "__upath", *passthru], "left")
     allowed = (~F.coalesce(F.col("__hit"), F.lit(False))
                | (F.col("rule") == "allow"))
     return win.select(

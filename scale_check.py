@@ -536,6 +536,53 @@ def main() -> None:
     t("dsir_importance", importance_weights(
         docs, docs.where(F.col("doc_id") % 17 == 2), num_buckets=4096))
 
+    # adversarial robots.txt: one host serves a rule bomb (25k
+    # Disallow lines over 26 path prefixes) and receives 20% of the
+    # URL corpus. Two guards must hold: the RFC 9309 parse limit
+    # bounds the host's rule mass, and the first-char rule bucketing
+    # in robots_allowed means each URL probes only the same-first-char
+    # slice (~1/26th) plus catch-alls — NOT the full capped list. A
+    # single-prefix bomb ('/bombN' x 25k) remains cap_rules-per-URL by
+    # construction (one bucket) — that residual is the RFC's own
+    # bound, documented in SCALE.md.
+    from aquacache_spark.operators.web import parse_robots, robots_allowed
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    bomb = "User-agent: *\n" + "".join(
+        f"Disallow: /{letters[i % 26]}sec{i}\n" for i in range(15_000))
+    hosts = spark.range(0, 200).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.when(F.col("id") == 0, F.lit(bomb))
+        .otherwise(F.lit("User-agent: *\nDisallow: /private\n"))
+        .alias("content"),
+    )
+    urls = spark.range(0, n_docs).select(
+        F.concat(F.lit("h"),
+                 F.when(F.col("id") % 10 == 0, F.lit(0))
+                 .otherwise(F.col("id") % 200).cast("string"))
+        .alias("host"),  # 10% of URLs hit the bomb host
+        F.concat(F.lit("/"),
+                 F.substring(F.lit(letters),
+                             (F.col("id") % 26 + 1).cast("int"), 1),
+                 F.lit("sec"), (F.col("id") % 30_000).cast("string"),
+                 F.lit("/x")).alias("path"),
+        F.col("id").alias("doc_id"),
+    )
+    t0 = time.perf_counter()
+    rules = parse_robots(hosts)
+    verdicts = robots_allowed(urls, rules, agent="aquabot")
+    n_denied = verdicts.where(~F.col("allowed")).count()
+    timings["robots_bomb_capped"] = round(time.perf_counter() - t0, 2)
+    assert n_denied > 0
+    # the RFC 9309 parse limit, pinned separately on a genuinely
+    # oversized file (40k rules ~ 740 KiB > the 500 KiB cap)
+    mega = "User-agent: *\n" + "".join(
+        f"Disallow: /{letters[i % 26]}sec{i}\n" for i in range(40_000))
+    n_mega = parse_robots(
+        spark.createDataFrame([("hx", mega)], "host string, content string")
+    ).count()
+    assert n_mega < 40_000, f"parse limit inactive: {n_mega}"
+
     print(json.dumps({
         "rows": n, "series": n_series, "docs": n_docs, "vecs": n_vec,
         "timings": timings,
