@@ -1147,6 +1147,83 @@ def extract_audio_spectral_fingerprint(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+def audio_spectral_features(samples) -> tuple:
+    """int16 PCM -> (spectral_centroid, rolloff_bin, total_energy):
+    whole-clip DFT bin energies via the SAME fixed-point integer basis
+    as the fingerprint, then
+
+    - centroid = sum(bin * E_bin) / sum(E_bin)  (bins 1..16);
+    - rolloff  = smallest bin with cumulative energy >= 85% of total
+      (the 85% spectral-rolloff convention), computed in exact integer
+      arithmetic (20 * cum >= 17 * total);
+    - total    = sum(E_bin) (int, exact).
+
+    Energies sum exactly in int64 per frame and across frames
+    (~2e17 * 16 frames < 2^63 / ... bounded by the fingerprint's own
+    budget), so both derived features are deterministic and the oracle
+    replays them verbatim."""
+    import numpy as np
+
+    bc, bs = _spec_basis()
+    cb = np.asarray(bc, dtype=np.int64)
+    sb = np.asarray(bs, dtype=np.int64)
+    s = np.asarray(samples, dtype=np.int64)
+    need = _FP_FRAMES * _FP_FRAME
+    if s.size < need:
+        s = np.pad(s, (0, need - s.size))
+    cs = s[:need].reshape(_FP_FRAMES, _SPEC_N, _SPEC_CHUNK).sum(axis=2)
+    cr = cs @ cb.T
+    ci = cs @ sb.T
+    e = (cr * cr + ci * ci).sum(axis=0)  # (BINS,) int64 per-bin energy
+    total = int(e.sum())
+    if total == 0:
+        return 0.0, 0, 0
+    centroid = float(sum((b + 1) * int(e[b]) for b in range(_SPEC_BINS))
+                     / total)
+    cum = 0
+    rolloff = _SPEC_BINS
+    for b in range(_SPEC_BINS):
+        cum += int(e[b])
+        if 20 * cum >= 17 * total:
+            rolloff = b + 1
+            break
+    return centroid, rolloff, total
+
+
+def extract_audio_spectral_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """(id, spectral_centroid, rolloff_bin, total_energy) over WAV
+    blobs — map-only Arrow kernel; undecodable inputs quarantine."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("spectral_centroid", T.DoubleType()),
+        T.StructField("rolloff_bin", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cen, rol, tot = [], [], []
+            for blob in pdf[blob_col]:
+                try:
+                    _rate, _ch, samples = decode_wav(bytes(blob))
+                    c, r, t = audio_spectral_features(samples[:, 0])
+                    cen.append(c); rol.append(r); tot.append(t)
+                except (ValueError, IndexError):
+                    cen.append(None); rol.append(None); tot.append(None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "spectral_centroid": pd.Series(cen, dtype="float64"),
+                "rolloff_bin": pd.Series(rol, dtype="Int64"),
+                "total_energy": pd.Series(tot, dtype="Int64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
 def extract_audio_fingerprint(
     df: DataFrame,
     id_col: str = "media_id",

@@ -13420,3 +13420,81 @@ def unicode_fold_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", folded.alias("folded"),
         fingerprint(folded).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral features (operators/multimodal.audio_spectral_
+# features): whole-clip bin energies via the shared fixed-point
+# integer DFT basis -> spectral centroid + 85% rolloff bin + total
+# energy, all exact-integer until the final division.
+# ---------------------------------------------------------------------------
+
+def _audio_specfeat_oracle() -> str:
+    from .operators.multimodal import _spec_basis
+
+    bc, bs = _spec_basis()
+    lc = ",".join(str(v) for row in bc for v in row)
+    ls = ",".join(str(v) for row in bs for v in row)
+    return f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 8 AS g, 1 + doc_id % 3 AS fac
+      FROM documents WHERE doc_id % 4 = 0
+    ), t AS (
+      SELECT unnest(range(0, 4096)) AS k
+    ), s AS (
+      SELECT media_id, k // 256 AS f, (k % 256) // 4 AS j,
+             fac * (((g * 37 + k * 101) % 4001) - 2000) AS v
+      FROM ids, t
+    ), ch AS (
+      SELECT media_id, f, j, sum(v) AS cs FROM s GROUP BY 1, 2, 3
+    ), bas AS (
+      SELECT [{lc}] AS bc, [{ls}] AS bs
+    ), bins AS (
+      SELECT unnest(range(1, 17)) AS n
+    ), sp AS (
+      SELECT media_id, f, n,
+             sum(cs * bc[(n - 1) * 64 + j + 1]) AS cr,
+             sum(cs * bs[(n - 1) * 64 + j + 1]) AS ci
+      FROM ch, bins, bas
+      GROUP BY media_id, f, n
+    ), eb AS (
+      SELECT media_id, n, sum(cr * cr + ci * ci) AS e
+      FROM sp GROUP BY 1, 2
+    ), tot AS (
+      SELECT media_id, sum(e) AS total FROM eb GROUP BY 1
+    ), cum AS (
+      SELECT media_id, n,
+             sum(e) OVER (PARTITION BY media_id ORDER BY n) AS c
+      FROM eb
+    ), rol AS (
+      SELECT cum.media_id, CAST(min(n) AS BIGINT) AS rolloff_bin
+      FROM cum JOIN tot ON tot.media_id = cum.media_id
+      WHERE 20 * c >= 17 * total GROUP BY 1
+    )
+    SELECT eb.media_id,
+           {R('sum(eb.n * eb.e) / CAST(t.total AS DOUBLE)', 6)}
+             AS spectral_centroid,
+           r.rolloff_bin,
+           CAST(t.total AS BIGINT) AS total_energy
+    FROM eb
+    JOIN tot t ON t.media_id = eb.media_id
+    JOIN rol r ON r.media_id = eb.media_id
+    GROUP BY eb.media_id, t.total, r.rolloff_bin
+"""
+
+
+_AUDIO_SPECFEAT_ORACLE = _audio_specfeat_oracle()
+
+
+@register("audio_spectral_features", oracle=_AUDIO_SPECFEAT_ORACLE)
+def audio_spectral_features_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Spectral centroid / rolloff / energy over decoded WAV clips."""
+    from .operators.multimodal import (extract_audio_spectral_features,
+                                       synthesize_tone_wavs)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("media_id"))
+    out = extract_audio_spectral_features(synthesize_tone_wavs(ids))
+    return _round(out, {"spectral_centroid": 6})
