@@ -1253,6 +1253,61 @@ def extract_audio_fingerprint(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+def image_sharpness(gray) -> tuple:
+    """Grayscale pixels -> (n_interior, lap_sum, lap_var): the
+    4-neighbor integer Laplacian over interior pixels, and its
+    variance — the classic blur/sharpness signal (low variance = flat
+    or blurred content). All-integer sums; the variance is
+    (n*sum(L^2) - sum(L)^2) / n^2 evaluated from exact ints, so the
+    oracle replays it bit-for-bit."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64)
+    lap = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+           - g[1:-1, :-2] - g[1:-1, 2:])
+    n = int(lap.size)
+    if n == 0:
+        return 0, 0, None
+    s = int(lap.sum())
+    q = int((lap * lap).sum())
+    return n, s, float(q * n - s * s) / (n * n)
+
+
+def extract_image_sharpness(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """(id, n_interior, lap_sum, lap_var) over BMP blobs (channel 0 of
+    the decode) — map-only Arrow kernel; undecodable inputs
+    quarantine."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("n_interior", T.LongType()),
+        T.StructField("lap_sum", T.LongType()),
+        T.StructField("lap_var", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns, ss, vs = [], [], []
+            for blob in pdf[blob_col]:
+                try:
+                    px = decode_bmp(bytes(blob))
+                    n, s, v = image_sharpness(px[:, :, 0])
+                    ns.append(n); ss.append(s); vs.append(v)
+                except (ValueError, TypeError):
+                    ns.append(None); ss.append(None); vs.append(None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "n_interior": pd.Series(ns, dtype="Int64"),
+                "lap_sum": pd.Series(ss, dtype="Int64"),
+                "lap_var": pd.Series(vs, dtype="float64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
 def synthesize_tone_wavs(
     df: DataFrame,
     id_col: str = "media_id",

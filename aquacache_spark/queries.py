@@ -13498,3 +13498,66 @@ def audio_spectral_features_q(spark: SparkSession,
         F.col("doc_id").alias("media_id"))
     out = extract_audio_spectral_features(synthesize_tone_wavs(ids))
     return _round(out, {"spectral_centroid": 6})
+
+
+# ---------------------------------------------------------------------------
+# Image sharpness (operators/multimodal.image_sharpness): 4-neighbor
+# integer Laplacian variance over interior pixels — the blur signal.
+# Exact-integer sums; the oracle replays pixels -> Laplacian -> sums.
+# ---------------------------------------------------------------------------
+
+_SHARPNESS_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 16 AS p
+      FROM documents WHERE doc_id % 4 = 2
+    ), grid AS (
+      SELECT unnest(range(0, 32)) AS t
+    ), px AS (
+      SELECT i.media_id, yy.t AS y, xx.t AS x,
+             least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+               floor(128.0
+                 + (40 + i.media_id % 3)
+                   * cos((2*xx.t+1) * (i.p % 7 + 1) * pi() / 64.0)
+                   * cos((2*yy.t+1) * (i.p % 5 + 1) * pi() / 64.0)
+                 + 25 * cos((2*xx.t+1) * (i.p % 6 + 1) * pi() / 64.0)
+                      * cos((2*yy.t+1) * (i.p % 4 + 2) * pi() / 64.0)
+                 + 15 * cos((2*xx.t+1) * (i.p % 5 + 2) * pi() / 64.0)
+                      * cos((2*yy.t+1) * (i.p % 3 + 3) * pi() / 64.0)
+                 + 0.5))) AS v
+      FROM ids i, grid xx, grid yy
+    ), lap AS (
+      SELECT c.media_id,
+             4*c.v - u.v - d.v - l.v - r.v AS lv
+      FROM px c
+      JOIN px u ON u.media_id = c.media_id AND u.y = c.y - 1
+               AND u.x = c.x
+      JOIN px d ON d.media_id = c.media_id AND d.y = c.y + 1
+               AND d.x = c.x
+      JOIN px l ON l.media_id = c.media_id AND l.y = c.y
+               AND l.x = c.x - 1
+      JOIN px r ON r.media_id = c.media_id AND r.y = c.y
+               AND r.x = c.x + 1
+      WHERE c.y BETWEEN 1 AND 30 AND c.x BETWEEN 1 AND 30
+    ), agg AS (
+      SELECT media_id, count(*) AS n, sum(lv) AS s, sum(lv*lv) AS q
+      FROM lap GROUP BY 1
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_interior,
+           CAST(s AS BIGINT) AS lap_sum,
+           {R('(q * n - s * s) / (CAST(n AS DOUBLE) * n)', 6)} AS lap_var
+    FROM agg
+"""
+
+
+@register("image_sharpness_metrics", oracle=_SHARPNESS_ORACLE)
+def image_sharpness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplacian-variance sharpness over decoded pattern BMPs."""
+    from .operators.multimodal import (extract_image_sharpness,
+                                       synthesize_pattern_bmps)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 4 == 2).select(
+        F.col("doc_id").alias("media_id"))
+    out = extract_image_sharpness(synthesize_pattern_bmps(ids))
+    return _round(out, {"lap_var": 6})
