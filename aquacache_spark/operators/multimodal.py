@@ -886,6 +886,76 @@ def extract_video_fingerprint(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+def scene_cuts(frame_luma_sums, n_pixels: int, tau: int = 8) -> tuple:
+    """Exact-integer scene-cut detection over per-frame luma sums: a
+    cut occurs between adjacent frames when the absolute luma-sum
+    delta exceeds ``tau`` grey levels PER PIXEL (|ds| > tau *
+    n_pixels — integer compare, no float). Returns (n_cuts,
+    shot_count, longest_shot_frames)."""
+    cuts = 0
+    run = 1
+    longest = 1 if frame_luma_sums else 0
+    for a, b in zip(frame_luma_sums, frame_luma_sums[1:]):
+        if abs(b - a) > tau * n_pixels:
+            cuts += 1
+            run = 1
+        else:
+            run += 1
+        longest = max(longest, run)
+    return cuts, cuts + 1 if frame_luma_sums else 0, longest
+
+
+def extract_video_scene_cuts(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+    tau: int = 8,
+) -> DataFrame:
+    """(id, n_frames, n_cuts, shot_count, longest_shot) over MJPEG-AVI
+    blobs: every frame entropy-decoded, exact integer luma sums, cuts
+    where the per-pixel mean jumps more than ``tau`` grey levels —
+    map-only Arrow kernel; undecodable inputs quarantine."""
+    from ..functions.avi import decode_avi
+    from ..functions.jpeg import decode_jpeg
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("shot_count", T.LongType()),
+        T.StructField("longest_shot", T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            nf, nc, sc, ls = [], [], [], []
+            for blob in pdf[blob_col]:
+                try:
+                    v = decode_avi(bytes(blob))
+                    planes = [np.asarray(decode_jpeg(fr)[:, :, 0],
+                                         dtype=np.int64)
+                              for fr in v["frames"]]
+                    sums = [int(p.sum()) for p in planes]
+                    npx = int(planes[0].size) if planes else 0
+                    c, s, lo = scene_cuts(sums, npx, tau)
+                    nf.append(len(sums)); nc.append(c)
+                    sc.append(s); ls.append(lo)
+                except (ValueError, IndexError):
+                    nf.append(None); nc.append(None)
+                    sc.append(None); ls.append(None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "n_frames": pd.Series(nf, dtype="Int64"),
+                "n_cuts": pd.Series(nc, dtype="Int64"),
+                "shot_count": pd.Series(sc, dtype="Int64"),
+                "longest_shot": pd.Series(ls, dtype="Int64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
 def synthesize_group_avis(
     df: DataFrame,
     id_col: str = "media_id",

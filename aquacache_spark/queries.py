@@ -13561,3 +13561,63 @@ def image_sharpness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"))
     out = extract_image_sharpness(synthesize_pattern_bmps(ids))
     return _round(out, {"lap_var": 6})
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (operators/multimodal.scene_cuts): exact
+# integer luma-sum deltas between adjacent decoded frames; a cut when
+# the per-pixel mean jumps > tau grey levels. Shot islands via the
+# cumulative-cut window. tau=16: the fixture's steady +11/frame drift
+# stays within a shot; mod-200 block wraps exceed it.
+# ---------------------------------------------------------------------------
+
+_SCENE_CUT_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 8 AS g,
+             (doc_id % 3) * 4 AS off
+      FROM documents WHERE doc_id % 3 = 1
+    ), fr AS (
+      SELECT unnest(range(0, 16)) AS f
+    ), bl AS (
+      SELECT unnest(range(0, 4)) AS b
+    ), luma AS (
+      SELECT media_id, f,
+             sum(CAST(64 AS BIGINT)
+                 * ((g * 7 + f * 11 + b * 37) % 200 + 28 + off)) AS s
+      FROM ids, fr, bl GROUP BY 1, 2
+    ), marked AS (
+      SELECT media_id, f,
+             CASE WHEN f = 0 THEN 0
+                  WHEN abs(s - lag(s) OVER w) > 16 * 256 THEN 1
+                  ELSE 0 END AS cut_before
+      FROM luma WINDOW w AS (PARTITION BY media_id ORDER BY f)
+    ), shots AS (
+      SELECT media_id, f,
+             sum(cut_before) OVER (PARTITION BY media_id ORDER BY f)
+               AS shot_id
+      FROM marked
+    ), per_shot AS (
+      SELECT media_id, shot_id, count(*) AS len FROM shots GROUP BY 1, 2
+    )
+    SELECT m.media_id,
+           CAST(16 AS BIGINT) AS n_frames,
+           CAST(sum(m.cut_before) AS BIGINT) AS n_cuts,
+           CAST(sum(m.cut_before) + 1 AS BIGINT) AS shot_count,
+           CAST(p.longest AS BIGINT) AS longest_shot
+    FROM marked m
+    JOIN (SELECT media_id, max(len) AS longest FROM per_shot GROUP BY 1) p
+      ON p.media_id = m.media_id
+    GROUP BY m.media_id, p.longest
+"""
+
+
+@register("video_scene_cuts", oracle=_SCENE_CUT_ORACLE)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut / shot statistics over decoded MJPEG-AVI clips."""
+    from .operators.multimodal import (extract_video_scene_cuts,
+                                       synthesize_group_avis)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"))
+    return extract_video_scene_cuts(synthesize_group_avis(ids), tau=16)
