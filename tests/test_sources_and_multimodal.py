@@ -579,3 +579,56 @@ def test_hashed_linear_score_with_real_weights(spark):
     import math
     expect = 1.0 / (1.0 + math.exp(-1.0))
     assert all(abs(r["p"] - expect) < 1e-9 for r in out2.collect())
+
+
+def test_all_media_extractors_quarantine_fuzz(spark):
+    """Robustness sweep: random bytes, truncated real files, and valid
+    magic numbers with corrupt bodies must QUARANTINE (null row) in
+    every media extractor — never a task-killing exception."""
+    import random
+
+    import numpy as np
+
+    from aquacache_spark.functions.avi import encode_avi
+    from aquacache_spark.functions.jpeg import encode_jpeg
+    from aquacache_spark.operators.multimodal import (
+        encode_bmp, encode_png, encode_wav, extract_audio_fingerprint,
+        extract_audio_spectral_features, extract_audio_spectral_fingerprint,
+        extract_bmp_features, extract_image_phash, extract_image_sharpness,
+        extract_jpeg_features, extract_png_features, extract_video_features,
+        extract_video_fingerprint, extract_video_scene_cuts,
+        extract_wav_features)
+
+    rng = random.Random(60815)
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    rgb = np.stack([img] * 3, axis=-1)
+    real = [
+        encode_bmp(rgb), encode_png(rgb), encode_jpeg(img),
+        encode_wav(list(range(-50, 50))),
+        encode_avi([encode_jpeg(img)], 8, 8, fps=5),
+    ]
+    blobs = []
+    for b in real:
+        blobs.append(b[:len(b) // 2])              # truncated
+        mid = bytearray(b)
+        for _ in range(8):                          # corrupt body bytes
+            mid[rng.randrange(10, len(mid))] = rng.randrange(256)
+        blobs.append(bytes(mid))
+    for n in (0, 1, 3, 17, 200):                    # random garbage
+        blobs.append(bytes(rng.randrange(256) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)],
+        "media_id bigint, content binary")
+    extractors = [
+        extract_bmp_features, extract_png_features, extract_jpeg_features,
+        extract_wav_features, extract_video_features,
+        extract_video_fingerprint, extract_video_scene_cuts,
+        extract_image_phash, extract_image_sharpness,
+        extract_audio_fingerprint, extract_audio_spectral_fingerprint,
+        extract_audio_spectral_features,
+    ]
+    for ex in extractors:
+        out = ex(df)
+        # every input row yields exactly one output row (quarantined or
+        # decoded) and the job completes
+        assert out.count() == len(blobs), ex.__name__
