@@ -956,6 +956,70 @@ def extract_video_scene_cuts(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+def extract_video_shot_signatures(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+    tau: int = 8,
+) -> DataFrame:
+    """(id, shot_id, sig) per detected shot: the shot's within-shot
+    luma-delta sequence hashed (md5 of comma-joined integer deltas) —
+    brightness-offset-invariant (a uniform regrade shifts every frame
+    sum equally, so deltas cancel it), which is exactly the
+    re-encoded/re-graded copy class shot-level dedup must catch.
+    Single-frame shots hash the empty string. Map-only Arrow kernel;
+    undecodable inputs quarantine (no rows)."""
+    import hashlib
+
+    from ..functions.avi import decode_avi
+    from ..functions.jpeg import decode_jpeg
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("shot_id", T.LongType()),
+        T.StructField("sig", T.StringType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            mids, sids, sigs = [], [], []
+            for mid, blob in zip(pdf[id_col].astype("int64"),
+                                 pdf[blob_col]):
+                try:
+                    v = decode_avi(bytes(blob))
+                    planes = [np.asarray(decode_jpeg(fr)[:, :, 0],
+                                         dtype=np.int64)
+                              for fr in v["frames"]]
+                    sums = [int(p.sum()) for p in planes]
+                    npx = int(planes[0].size) if planes else 0
+                except (ValueError, IndexError):
+                    continue
+                shot, deltas = 0, []
+                out_shots = []
+                for a, b in zip(sums, sums[1:]):
+                    if abs(b - a) > tau * npx:
+                        out_shots.append((shot, deltas))
+                        shot += 1
+                        deltas = []
+                    else:
+                        deltas.append(b - a)
+                out_shots.append((shot, deltas))
+                for sid, ds in out_shots:
+                    mids.append(int(mid))
+                    sids.append(sid)
+                    sigs.append(hashlib.md5(
+                        ",".join(str(d) for d in ds).encode()).hexdigest())
+            yield pd.DataFrame({
+                id_col: pd.Series(mids, dtype="int64"),
+                "shot_id": pd.Series(sids, dtype="int64"),
+                "sig": pd.Series(sigs, dtype="object"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
 def synthesize_group_avis(
     df: DataFrame,
     id_col: str = "media_id",

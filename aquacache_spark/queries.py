@@ -13621,3 +13621,95 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.where(F.col("doc_id") % 3 == 1).select(
         F.col("doc_id").alias("media_id"))
     return extract_video_scene_cuts(synthesize_group_avis(ids), tau=16)
+
+
+# ---------------------------------------------------------------------------
+# Shot-level video containment: per-shot brightness-offset-invariant
+# delta signatures -> fraction of clip A's shots appearing in clip B
+# (the video analog of doc_containment_scores — re-graded partial
+# copies that clip-level fingerprints dilute away).
+# ---------------------------------------------------------------------------
+
+_SHOT_CONTAIN_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 8 AS g,
+             (doc_id % 3) * 4 AS off
+      FROM documents WHERE doc_id % 6 = 2
+    ), fr AS (
+      SELECT unnest(range(0, 16)) AS f
+    ), bl AS (
+      SELECT unnest(range(0, 4)) AS b
+    ), luma AS (
+      SELECT media_id, f,
+             sum(CAST(64 AS BIGINT)
+                 * ((g * 7 + f * 11 + b * 37) % 200 + 28 + off)) AS s
+      FROM ids, fr, bl GROUP BY 1, 2
+    ), marked AS (
+      SELECT media_id, f, s,
+             s - lag(s) OVER w AS d,
+             CASE WHEN f = 0 THEN 0
+                  WHEN abs(s - lag(s) OVER w) > 16 * 256 THEN 1
+                  ELSE 0 END AS cut_before
+      FROM luma WINDOW w AS (PARTITION BY media_id ORDER BY f)
+    ), shots AS (
+      SELECT media_id, f, d, cut_before,
+             sum(cut_before) OVER (PARTITION BY media_id ORDER BY f)
+               AS shot_id
+      FROM marked
+    ), sigs AS (
+      -- within-shot deltas exclude each shot's first frame (f=0 or a
+      -- cut frame)
+      SELECT media_id, shot_id,
+             md5(coalesce(string_agg(CAST(d AS VARCHAR), ',' ORDER BY f)
+                 FILTER (WHERE f > 0 AND cut_before = 0), '')) AS sig
+      FROM shots GROUP BY 1, 2
+    ), nshots AS (
+      SELECT media_id, count(*) AS total_shots FROM sigs GROUP BY 1
+    ), matched AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             count(DISTINCT a.shot_id) AS matched_shots
+      FROM sigs a JOIN sigs b
+        ON a.sig = b.sig AND a.media_id <> b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT m.media_a, m.media_b,
+           CAST(m.matched_shots AS BIGINT) AS matched_shots,
+           CAST(n.total_shots AS BIGINT) AS total_shots,
+           CAST(floor(CAST(m.matched_shots AS DOUBLE) / n.total_shots
+                      * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / 1000000.0 AS containment
+    FROM matched m JOIN nshots n ON n.media_id = m.media_a
+"""
+
+
+@register("video_shot_containment", oracle=_SHOT_CONTAIN_ORACLE)
+def video_shot_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shot-overlap between clips via offset-invariant shot
+    delta signatures."""
+    from .operators.multimodal import (extract_video_shot_signatures,
+                                       synthesize_group_avis)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 6 == 2).select(
+        F.col("doc_id").alias("media_id"))
+    sigs = extract_video_shot_signatures(
+        synthesize_group_avis(ids), tau=16)
+    a = sigs.select(F.col("media_id").alias("media_a"),
+                    F.col("shot_id").alias("__sa"), "sig")
+    b = sigs.select(F.col("media_id").alias("media_b"), "sig")
+    matched = (
+        a.join(b, "sig")
+        .where(F.col("media_a") != F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.countDistinct("__sa").alias("matched_shots"))
+    )
+    nshots = sigs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("total_shots"))
+    out = matched.join(
+        nshots.select(F.col("media_id").alias("media_a"), "total_shots"),
+        "media_a")
+    cont = (F.floor(
+        F.col("matched_shots").cast("double") / F.col("total_shots")
+        * 1e6 + F.lit(0.5)) / 1e6)
+    return out.select("media_a", "media_b", "matched_shots",
+                      "total_shots", cont.alias("containment"))
