@@ -13713,3 +13713,95 @@ def video_shot_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1e6 + F.lit(0.5)) / 1e6)
     return out.select("media_a", "media_b", "matched_shots",
                       "total_shots", cont.alias("containment"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus datacard (the dataset-documentation rollup): per source —
+# doc/token counts (whitespace + BPE-ish), within-source exact-dup
+# doc count, mean heuristic quality (per-doc micro-quantized then
+# exact-summed), and English share via the EXACT integer form of the
+# stopword threshold (20*hits >= n_tokens == ratio >= 0.05).
+# ---------------------------------------------------------------------------
+
+_DATACARD_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             'src-' || CAST(doc_id % 5 AS VARCHAR) AS source,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text,
+                 ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS bpe_tokens,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+             CAST(floor(((least(length(text) / 200.0, 1.0)
+               + least(CAST(len(list_filter(string_split(lower(text), ' '),
+                   t -> t IN ('the','a','an','and','or','of','to','in','is',
+                              'it','that','for','on','with','as','are','was',
+                              'at','by','be'))) AS DOUBLE)
+                 / greatest(len(string_split(lower(text), ' ')), 1)
+                 * 5.0, 1.0)
+               + (1.0 - least((length(text) - length(regexp_replace(
+                   text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / greatest(length(text), 1) * 4.0, 1.0))) / 3.0)
+               * 1000000 + 0.5) AS BIGINT) AS ql,
+             (20 * len(list_filter(string_split(lower(text), ' '),
+                   t -> t IN ('the','a','an','and','or','of','to','in','is',
+                              'it','that','for','on','with','as','are','was',
+                              'at','by','be')))
+              >= greatest(len(string_split(lower(text), ' ')), 1)) AS en
+      FROM documents
+    ), dup AS (
+      SELECT source, fp, count(*) AS m FROM base GROUP BY 1, 2
+    ), dupdocs AS (
+      SELECT source, CAST(sum(CASE WHEN m > 1 THEN m ELSE 0 END)
+                          AS BIGINT) AS n_dup_docs
+      FROM dup GROUP BY 1
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(b.bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           d.n_dup_docs,
+           {R('sum(b.ql) / 1000000.0 / count(*)', 6)} AS mean_quality,
+           {R('CAST(sum(CASE WHEN b.en THEN 1 ELSE 0 END) AS DOUBLE)'
+              ' / count(*)', 6)} AS en_share
+    FROM base b JOIN dupdocs d ON d.source = b.source
+    GROUP BY b.source, d.n_dup_docs
+"""
+
+
+@register("corpus_datacard", oracle=_DATACARD_ORACLE)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-documentation rollup."""
+    from pyspark.sql import Window as W
+
+    from .functions.text import (EN_STOPWORDS, bpe_token_count,
+                                 fingerprint, quality_score, tokens)
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens(F.lower(t))
+    hits = F.size(F.filter(
+        toks, lambda x: F.array_contains(
+            F.array(*[F.lit(w) for w in EN_STOPWORDS]), x)))
+    base = docs.select(
+        F.concat(F.lit("src-"), (F.col("doc_id") % 5).cast("string"))
+        .alias("source"),
+        F.size(tokens(t)).cast("long").alias("ws_tokens"),
+        bpe_token_count(t).cast("long").alias("bpe_tokens"),
+        fingerprint(t).alias("fp"),
+        F.floor(quality_score(t) * 1e6 + F.lit(0.5)).cast("long")
+        .alias("ql"),
+        (20 * hits >= F.greatest(F.size(toks), F.lit(1))).alias("en"),
+    )
+    base = base.withColumn(
+        "__m", F.count(F.lit(1)).over(W.partitionBy("source", "fp")))
+    out = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.sum(F.when(F.col("__m") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_docs"),
+        (F.sum("ql") / 1e6 / F.count(F.lit(1))).alias("mean_quality"),
+        (F.sum(F.col("en").cast("int")).cast("double")
+         / F.count(F.lit(1))).alias("en_share"),
+    )
+    return _round(out, {"mean_quality": 6, "en_share": 6})
