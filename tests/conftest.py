@@ -101,6 +101,15 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
 
 
 def run_compare(spark, con, query_fn, sql: str, sf_dir: str, name: str = "") -> None:
-    spark_pdf = query_fn(spark, sf_dir).toPandas()
-    oracle_pdf = con.execute(sql).fetchdf()
+    try:
+        spark_pdf = query_fn(spark, sf_dir).toPandas()
+        oracle_pdf = con.execute(sql).fetchdf()
+    finally:
+        # several operators persist() internal frames (LSH banding,
+        # SemDeDup assignment, ...); across a 190-test session those
+        # blocks accumulate in the shared JVM and eventually starve
+        # SYSTEM memory — the symptom was DuckDB malloc failures in
+        # later oracles, not Spark errors (bench.py clears per query
+        # for the same reason)
+        spark.catalog.clearCache()
     assert_frames_match(spark_pdf, oracle_pdf, name)

@@ -20,6 +20,7 @@ def test_query_vs_oracle_sf0001(name, spark, duck001):
     if name not in ORACLES:
         df = QUERIES[name](spark, SF_SMOKE)
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
+        spark.catalog.clearCache()
         return
     run_compare(spark, duck001, QUERIES[name], ORACLES[name], SF_SMOKE, name)
 
@@ -30,6 +31,7 @@ def test_query_vs_oracle_sf001(name, spark, duck01):
     if name not in ORACLES:
         df = QUERIES[name](spark, SF_CORRECTNESS)
         assert df.count() >= 0
+        spark.catalog.clearCache()
         return
     run_compare(spark, duck01, QUERIES[name], ORACLES[name], SF_CORRECTNESS, name)
 
