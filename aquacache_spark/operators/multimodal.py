@@ -968,7 +968,16 @@ def extract_video_shot_signatures(
     sum equally, so deltas cancel it), which is exactly the
     re-encoded/re-graded copy class shot-level dedup must catch.
     Single-frame shots hash the empty string. Map-only Arrow kernel;
-    undecodable inputs quarantine (no rows)."""
+    undecodable inputs quarantine (no rows).
+
+    100 TB note: the downstream sig equi-join's pair mass is sum of
+    m^2 over signature groups — a boilerplate shot (channel intro,
+    test card) present in millions of clips is the hot-bucket class
+    again. The standard mitigation is document-frequency capping
+    (drop signatures whose clip count exceeds a cap before the join —
+    they carry no discriminative signal), the same trade as the LSH
+    star cap in operators/dedup.py; apply it on the sig posting list
+    when deploying over a web-scale corpus."""
     import hashlib
 
     from ..functions.avi import decode_avi

@@ -13575,7 +13575,7 @@ _SCENE_CUT_ORACLE = """
     WITH ids AS (
       SELECT doc_id AS media_id, doc_id % 8 AS g,
              (doc_id % 3) * 4 AS off
-      FROM documents WHERE doc_id % 3 = 1
+      FROM documents WHERE doc_id % 9 = 1
     ), fr AS (
       SELECT unnest(range(0, 16)) AS f
     ), bl AS (
@@ -13618,7 +13618,7 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        synthesize_group_avis)
 
     docs = _t(spark, sf_dir, "documents")
-    ids = docs.where(F.col("doc_id") % 3 == 1).select(
+    ids = docs.where(F.col("doc_id") % 9 == 1).select(
         F.col("doc_id").alias("media_id"))
     return extract_video_scene_cuts(synthesize_group_avis(ids), tau=16)
 
@@ -13634,7 +13634,7 @@ _SHOT_CONTAIN_ORACLE = """
     WITH ids AS (
       SELECT doc_id AS media_id, doc_id % 8 AS g,
              (doc_id % 3) * 4 AS off
-      FROM documents WHERE doc_id % 6 = 2
+      FROM documents WHERE doc_id % 24 = 2
     ), fr AS (
       SELECT unnest(range(0, 16)) AS f
     ), bl AS (
@@ -13690,7 +13690,7 @@ def video_shot_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        synthesize_group_avis)
 
     docs = _t(spark, sf_dir, "documents")
-    ids = docs.where(F.col("doc_id") % 6 == 2).select(
+    ids = docs.where(F.col("doc_id") % 24 == 2).select(
         F.col("doc_id").alias("media_id"))
     sigs = extract_video_shot_signatures(
         synthesize_group_avis(ids), tau=16)
