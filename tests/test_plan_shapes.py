@@ -288,3 +288,16 @@ def test_instrument_validators_broadcast_only(spark):
         assert "SortMergeJoin" not in p, name
         assert "EvalPython" not in p, name
         assert len(re.findall(r"hashpartitioning", p)) <= 2, name
+
+
+def test_new_map_only_kernels_zero_exchange(spark):
+    # chunking, Unicode folding, and the hashed linear classifier are
+    # pure projections: zero exchanges, zero joins, zero python
+    import re
+
+    for name in ("document_chunking", "unicode_fold_normalize",
+                 "model_quality_score"):
+        p = plan(spark, name)
+        assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0, name
+        assert "Join" not in p, name
+        assert "EvalPython" not in p, name
