@@ -41,6 +41,19 @@ def _spread_scan(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def _with_corpus_total(freq: DataFrame, cnt_col: str) -> DataFrame:
+    """Stamp the corpus-wide ``total`` = sum(cnt_col) onto a count
+    frame WITHOUT an unpartitioned window: an empty-frame
+    ``F.sum().over(Window.partitionBy())`` shuffles the whole vocab
+    into ONE task just to compute a constant — harmless on a toy vocab,
+    a single-task bottleneck on a web-scale (10^8+ row) one. Instead:
+    distributed partial aggregation to a 1-row frame, then a broadcast
+    cross-join back. Long addition is associative, so the total is
+    bit-identical to the window form."""
+    total = freq.agg(F.sum(cnt_col).alias("total"))
+    return freq.crossJoin(F.broadcast(total))
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -681,15 +694,11 @@ def unigram_surprisal(
     the corpus, so scoring is a broadcast join + partial-aggregable
     sum. Output: (id, n_tokens, mean_surprisal).
     """
-    from pyspark.sql import Window
-
     tok = _spread_scan(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    # the global total over the vocab-sized freq table: an empty-frame
-    # window, evaluated on one partition of a tiny frame
-    freq = freq.withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    freq = _with_corpus_total(freq, "cnt")
     q = F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6 + 0.5).cast("long")
     surp = freq.select("tok", q.alias("__q"))
     return (
@@ -901,17 +910,15 @@ def bigram_surprisal(
     equi-join on the bigram key) instead of being forced broadcast.
     Output: (id, n_bigrams, mean_surprisal).
     """
-    from pyspark.sql import Window
-
     base = _spread_scan(df, id_col).select(
         F.col(id_col),
         tokens(F.lower(F.col(text_col))).alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
     toks = F.col("__toks")
-    uni = (
+    uni = _with_corpus_total(
         base.select(F.explode(toks).alias("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-        .withColumn("total", F.sum("cw").over(Window.partitionBy()))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cw")),
+        "cw",
     )
     pairs = base.select(
         F.col(id_col),
@@ -984,17 +991,15 @@ def trigram_surprisal(
     aggregation for the LM; the scoring dim is trigram-vocab-sized and
     left to AQE. Output: (id, n_trigrams, mean_surprisal).
     """
-    from pyspark.sql import Window
-
     base = _spread_scan(df, id_col).select(
         F.col(id_col),
         tokens(F.lower(F.col(text_col))).alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
     toks = F.col("__toks")
-    uni = (
+    uni = _with_corpus_total(
         base.select(F.explode(toks).alias("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-        .withColumn("total", F.sum("cw").over(Window.partitionBy()))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cw")),
+        "cw",
     )
 
     def grams(L):

@@ -301,3 +301,14 @@ def test_new_map_only_kernels_zero_exchange(spark):
         assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0, name
         assert "Join" not in p, name
         assert "EvalPython" not in p, name
+
+
+def test_lm_surprisal_no_global_window(spark):
+    # the corpus total must come from agg + 1-row broadcast crossJoin,
+    # never F.sum().over(Window.partitionBy()) — an unpartitioned
+    # window funnels the whole vocab through ONE task at web scale
+    for name in ("unigram_surprisal", "bigram_surprisal",
+                 "trigram_surprisal"):
+        p = plan(spark, name)
+        assert "Window" not in p, name
+        assert "Exchange SinglePartition" not in p, name
