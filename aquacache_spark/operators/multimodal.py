@@ -1235,9 +1235,13 @@ def _spec_basis() -> tuple[list[list[int]], list[list[int]]]:
 
 def audio_spectral_fingerprint64(samples) -> int:
     """int16 PCM -> 60-bit spectral fingerprint: bit b*15+f set iff
-    frequency band b's DFT energy RISES from frame f to f+1. Exact
-    int64 arithmetic end to end (|coeff| <= 24000*128*64 ~ 2e8,
-    squared+summed <= ~2e17 < 2^63)."""
+    frequency band b's DFT energy RISES from frame f to f+1.
+
+    Exact for ANY int16 input: the per-frame per-bin energy is int64-
+    safe by construction (|chunk sum| <= 4*32768 = 2^17, so |cr| <=
+    64 * 2^17 * 128 = 2^30 and cr^2 + ci^2 <= 2^61), while the 4-bin
+    band sums — which CAN reach 2^63 on full-scale PCM — accumulate in
+    Python big ints, so the rise/fall comparisons never wrap."""
     import numpy as np
 
     bc, bs = _spec_basis()
@@ -1250,12 +1254,14 @@ def audio_spectral_fingerprint64(samples) -> int:
     cs = s[:need].reshape(_FP_FRAMES, _SPEC_N, _SPEC_CHUNK).sum(axis=2)
     cr = cs @ cb.T                        # (FRAMES, BINS)
     ci = cs @ sb.T
-    e = (cr * cr + ci * ci).reshape(
-        _FP_FRAMES, _FP_BANDS, _SPEC_BINS // _FP_BANDS).sum(axis=2)
+    eraw = cr * cr + ci * ci              # (FRAMES, BINS) exact int64
+    g = _SPEC_BINS // _FP_BANDS
+    e = [[sum(int(eraw[f, b * g + j]) for j in range(g))
+          for b in range(_FP_BANDS)] for f in range(_FP_FRAMES)]
     fp = 0
     for b in range(_FP_BANDS):
         for f in range(_FP_FRAMES - 1):
-            if e[f + 1, b] > e[f, b]:
+            if e[f + 1][b] > e[f][b]:
                 fp |= 1 << (b * (_FP_FRAMES - 1) + f)
     return fp
 
@@ -1301,10 +1307,14 @@ def audio_spectral_features(samples) -> tuple:
       arithmetic (20 * cum >= 17 * total);
     - total    = sum(E_bin) (int, exact).
 
-    Energies sum exactly in int64 per frame and across frames
-    (~2e17 * 16 frames < 2^63 / ... bounded by the fingerprint's own
-    budget), so both derived features are deterministic and the oracle
-    replays them verbatim."""
+    Per-frame per-bin energies are int64-exact for ANY int16 input
+    (|cr| <= 64 * 2^17 * 128 = 2^30, squared+summed <= 2^61); the
+    cross-frame and cross-bin accumulations — which CAN exceed 2^63 on
+    loud full-scale PCM — run in Python big ints, so centroid and
+    rolloff never silently wrap. total_energy itself must fit the
+    int64 output column: clips beyond that envelope raise ValueError
+    and quarantine as NULL in the extractor (the DuckDB oracle sums in
+    HUGEINT, so a wrapped value could never match anyway)."""
     import numpy as np
 
     bc, bs = _spec_basis()
@@ -1317,16 +1327,20 @@ def audio_spectral_features(samples) -> tuple:
     cs = s[:need].reshape(_FP_FRAMES, _SPEC_N, _SPEC_CHUNK).sum(axis=2)
     cr = cs @ cb.T
     ci = cs @ sb.T
-    e = (cr * cr + ci * ci).sum(axis=0)  # (BINS,) int64 per-bin energy
-    total = int(e.sum())
+    eraw = cr * cr + ci * ci              # (FRAMES, BINS) exact int64
+    e = [sum(int(eraw[f, b]) for f in range(_FP_FRAMES))
+         for b in range(_SPEC_BINS)]      # per-bin totals, big-int
+    total = sum(e)
     if total == 0:
         return 0.0, 0, 0
-    centroid = float(sum((b + 1) * int(e[b]) for b in range(_SPEC_BINS))
+    if total > 2**63 - 1:
+        raise ValueError("total_energy exceeds int64 output envelope")
+    centroid = float(sum((b + 1) * e[b] for b in range(_SPEC_BINS))
                      / total)
     cum = 0
     rolloff = _SPEC_BINS
     for b in range(_SPEC_BINS):
-        cum += int(e[b])
+        cum += e[b]
         if 20 * cum >= 17 * total:
             rolloff = b + 1
             break

@@ -193,9 +193,18 @@ def bm25_phrase_topk(
 
         all_arr = F.concat(*[arr(L) for L in sorted(grams)]) \
             if len(grams) > 1 else arr(next(iter(grams)))
+        # the query-id field type follows the queries frame (string /
+        # bigint ids must survive; a hardcoded int would raise or
+        # truncate)
+        from pyspark.sql import types as T
         gdim = spark.createDataFrame(
             sorted({g for v in grams.values() for g in v}),
-            schema=f"{query_id} int, __gram string, __w double")
+            schema=T.StructType([
+                T.StructField(query_id,
+                              queries.schema[query_id].dataType),
+                T.StructField("__gram", T.StringType()),
+                T.StructField("__w", T.DoubleType()),
+            ]))
         # broadcast-semi restrict to QUERY grams before counting: the
         # count's shuffle then carries only matching grams (bounded by
         # query vocabulary x docs), not the corpus's entire gram space

@@ -398,7 +398,12 @@ def parse_robots(
         "host", F.col("__grp").alias("grp"),
         F.col("__d").alias("rule"), F.col("__v").alias("path"),
     )
-    return agents.join(rules, ["host", "grp"]).select(
+    # LEFT join: a named group with no effective rules ('User-agent:
+    # aquabot' + empty 'Disallow:') still registers agent PRESENCE as
+    # (host, agent, NULL, NULL) — RFC 9309 says the matched named
+    # group (allow-everything here) is used and '*' ignored, so
+    # robots_allowed must see the group even when it binds no rules.
+    return rules.join(agents, ["host", "grp"], "right").select(
         "host", "agent", "rule", "path")
 
 
@@ -464,10 +469,17 @@ def robots_allowed(
     bucketed = eff.where(F.col("__pb").isNotNull())
     catchall = eff.where(F.col("__pb").isNull()).drop("__pb")
     passthru = [c for c in urls.columns if c not in (host_col, path_col)]
+    # synthetic per-row id: the verdict restore join and the
+    # longest-match window key on __rid alone, so NULL passthru values
+    # can never orphan a row (a name-based equi-join back would
+    # silently fail-open on them) and exact-duplicate URL rows each
+    # keep their own verdict. persist() materializes the ids once —
+    # monotonically_increasing_id is only stable across the three
+    # references below if the frame is computed a single time.
     u = urls.select(
         F.col(host_col).alias("host"), F.col(path_col).alias("__upath"),
         *passthru,
-    )
+    ).withColumn("__rid", F.monotonically_increasing_id()).persist()
     ub = F.substring(F.col("__upath"), 2, 1)
     u1 = u.withColumn("__ub", ub)
     cand = (
@@ -479,9 +491,7 @@ def robots_allowed(
     )
     j = cand.withColumn(
         "__hit", F.expr("__upath LIKE __like ESCAPE '\\\\'"))
-    # partition by the FULL url identity: two docs sharing (host, path)
-    # must each keep their verdict row
-    w = Window.partitionBy("host", "__upath", *passthru).orderBy(
+    w = Window.partitionBy("__rid").orderBy(
         F.desc("__hit"), F.desc("__len"),
         F.desc(F.col("rule") == "allow"), F.asc("path"))
     win = (
@@ -490,10 +500,8 @@ def robots_allowed(
     )
     # restore rule-less URLs (no candidate rows at all): allowed, no
     # matched rule
-    win = u.join(
-        win.select("host", "__upath", *passthru, "rule", "path",
-                   "__hit"),
-        ["host", "__upath", *passthru], "left")
+    win = u.join(win.select("__rid", "rule", "path", "__hit"),
+                 "__rid", "left")
     allowed = (~F.coalesce(F.col("__hit"), F.lit(False))
                | (F.col("rule") == "allow"))
     return win.select(

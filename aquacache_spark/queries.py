@@ -12572,6 +12572,11 @@ _ROBOTS_SQL = """
                 ELSE '' END
              || CASE WHEN k % 5 = 0 THEN
                   'Disallow: /blog' || chr(10) ELSE '' END
+             || CASE WHEN k % 7 = 3 THEN
+                  -- rule-less named group: RFC 9309 still selects it
+                  -- over '*' (allow-everything for the named agent)
+                  'User-agent: aquabot' || chr(10)
+                  || 'Disallow:' || chr(10) ELSE '' END
              || CASE WHEN k % 4 = 1 THEN
                   'User-agent: *' || chr(10)
                   || 'Disallow: /search' || chr(10) ELSE '' END
@@ -12604,10 +12609,11 @@ _ROBOTS_SQL = """
     ), agents AS (
       SELECT host, grp, lower(v) AS agent FROM grouped WHERE ia
     ), rules AS (
-      SELECT a.host, a.agent, g.rule, g.path FROM (
+      -- LEFT: rule-less named groups still register agent presence
+      SELECT a.host, a.agent, g.rule, g.path FROM agents a LEFT JOIN (
         SELECT host, grp, d AS rule, v AS path FROM grouped
         WHERE d IN ('allow', 'disallow') AND v <> ''
-      ) g JOIN agents a ON a.host = g.host AND a.grp = g.grp
+      ) g ON a.host = g.host AND a.grp = g.grp
     )
 """
 
@@ -12630,6 +12636,9 @@ def _robots_fixture(spark):
             F.lit("Allow: /tmp/keep$"), nl)).otherwise(F.lit("")),
         F.when(k % 5 == 0, F.concat(
             F.lit("Disallow: /blog"), nl)).otherwise(F.lit("")),
+        F.when(k % 7 == 3, F.concat(
+            F.lit("User-agent: aquabot"), nl,
+            F.lit("Disallow:"), nl)).otherwise(F.lit("")),
         F.when(k % 4 == 1, F.concat(
             F.lit("User-agent: *"), nl,
             F.lit("Disallow: /search"), nl)).otherwise(F.lit("")),
@@ -12644,8 +12653,10 @@ def _robots_fixture(spark):
 def robots_rules_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 group-structure parse: consecutive User-agent lines
     open a group, its Allow/Disallow lines bind to every named agent;
-    comments strip, empty Disallow drops, a rule block appended after
-    an agent-specific group extends THAT group."""
+    comments strip, empty Disallow drops (but the GROUP still emits an
+    agent-presence row with NULL rule/path, so a rule-less named group
+    beats '*' downstream), a rule block appended after an
+    agent-specific group extends THAT group."""
     from .operators.web import parse_robots
 
     return parse_robots(_robots_fixture(spark))

@@ -536,8 +536,9 @@ def main() -> None:
     t("dsir_importance", importance_weights(
         docs, docs.where(F.col("doc_id") % 17 == 2), num_buckets=4096))
 
-    # adversarial robots.txt: one host serves a rule bomb (25k
-    # Disallow lines over 26 path prefixes) and receives 20% of the
+    # adversarial robots.txt: one host serves a rule bomb (15k
+    # Disallow lines over 26 path prefixes; the separate parse-limit
+    # probe below uses 40k) and receives 20% of the
     # URL corpus. Two guards must hold: the RFC 9309 parse limit
     # bounds the host's rule mass, and the first-char rule bucketing
     # in robots_allowed means each URL probes only the same-first-char

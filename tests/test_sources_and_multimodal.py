@@ -519,6 +519,63 @@ def test_audio_spectral_fingerprint_properties():
     assert audio_fingerprint64(mixed) == 0  # time-domain is blind
 
 
+def test_audio_spectral_full_scale_int16_no_wrap():
+    """Full-scale int16 PCM: per-frame-bin energies are int64-safe by
+    construction, but cross-frame/cross-bin sums exceed 2^63 — they
+    must accumulate in Python big ints (verified against an
+    independent pure-Python big-int DFT), and total_energy beyond the
+    int64 output column quarantines instead of silently wrapping."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from aquacache_spark.operators.multimodal import (
+        _FP_BANDS, _FP_FRAME, _FP_FRAMES, _SPEC_BINS, _SPEC_CHUNK,
+        _SPEC_N, _spec_basis, audio_spectral_features,
+        audio_spectral_fingerprint64)
+
+    n = _FP_FRAMES * _FP_FRAME
+    k = np.arange(n)
+    # full-scale square waves, alternating low/high bins per frame
+    lo = np.where((k // 16) % 2 == 0, 32767, -32768)
+    hi = np.where((k // 2) % 2 == 0, 32767, -32768)
+    loud = np.where((k // _FP_FRAME) % 2 == 0, lo, hi).astype(np.int64)
+
+    # independent big-int reference (pure Python, no numpy dtypes)
+    bc, bs = _spec_basis()
+    ref_e = []
+    for f in range(_FP_FRAMES):
+        fr = [int(x) for x in loud[f * _FP_FRAME:(f + 1) * _FP_FRAME]]
+        cs = [sum(fr[i * _SPEC_CHUNK:(i + 1) * _SPEC_CHUNK])
+              for i in range(_SPEC_N)]
+        row = []
+        for b in range(_SPEC_BINS):
+            cr = sum(cs[i] * bc[b][i] for i in range(_SPEC_N))
+            ci = sum(cs[i] * bs[b][i] for i in range(_SPEC_N))
+            row.append(cr * cr + ci * ci)
+        ref_e.append(row)
+    g = _SPEC_BINS // _FP_BANDS
+    ref_fp = 0
+    for b in range(_FP_BANDS):
+        for f in range(_FP_FRAMES - 1):
+            if (sum(ref_e[f + 1][b * g:(b + 1) * g])
+                    > sum(ref_e[f][b * g:(b + 1) * g])):
+                ref_fp |= 1 << (b * (_FP_FRAMES - 1) + f)
+    assert audio_spectral_fingerprint64(loud) == ref_fp
+
+    total = sum(sum(r) for r in ref_e)
+    if total > 2**63 - 1:
+        with pytest.raises(ValueError, match="int64"):
+            audio_spectral_features(loud)
+    else:
+        c, r, t = audio_spectral_features(loud)
+        assert t == total
+        num = sum((b + 1) * sum(ref_e[f][b] for f in range(_FP_FRAMES))
+                  for b in range(_SPEC_BINS))
+        assert math.isclose(c, num / total)
+
+
 def test_jpeg_12bit_roundtrip_and_guards():
     """12-bit extended sequential (SOF1): bit-exact q100 round trip on
     block-constant content, uint16 output, bounded error on lossy

@@ -253,7 +253,9 @@ def _robots_reference(text: str, max_bytes=None):
     if max_bytes is not None:
         text = text[:max_bytes]
     out = []
+    groups: list[tuple[list[str], int]] = []  # (agent run, n rules)
     agents: list[str] = []
+    nrules = 0
     in_header = False
     for raw in text.split("\n"):
         line = raw.split("#", 1)[0].strip()
@@ -263,14 +265,25 @@ def _robots_reference(text: str, max_bytes=None):
         v = line.split(":", 1)[1].strip()
         if d == "user-agent":
             if not in_header:
-                agents = []
+                if agents:
+                    groups.append((agents, nrules))
+                agents, nrules = [], 0
                 in_header = True
             agents.append(v.lower())
         else:
             in_header = False
             if d in ("allow", "disallow") and v != "":
+                nrules += 1
                 for a in agents:
                     out.append((a, d, v))
+    if agents:
+        groups.append((agents, nrules))
+    # a group that binds no rules still registers agent presence
+    # (NULL rule/path) — RFC 9309 group selection needs it
+    for ag, n in groups:
+        if n == 0:
+            for a in ag:
+                out.append((a, None, None))
     return set(out)
 
 
@@ -314,3 +327,55 @@ def test_parse_robots_random_vs_reference(spark):
             (r["agent"], r["rule"], r["path"]))
     for host, text in files:
         assert got.get(host, set()) == _robots_reference(text), host
+
+
+def test_robots_ruleless_named_group_beats_star(spark):
+    """RFC 9309: a named group that binds NO rules ('User-agent:
+    aquabot' + empty 'Disallow:') is still the MATCHED group for that
+    agent — allow everything — and the '*' group's restrictions must
+    not apply. parse_robots registers the group as an agent-presence
+    row (NULL rule/path)."""
+    from aquacache_spark.operators.web import parse_robots, robots_allowed
+
+    txt = ("User-agent: *\nDisallow: /\n"
+           "User-agent: aquabot\nDisallow:\n")
+    robots = spark.createDataFrame(
+        [("h1", txt)], "host string, content string")
+    rules = parse_robots(robots)
+    got = {(r["agent"], r["rule"], r["path"]) for r in rules.collect()}
+    assert ("aquabot", None, None) in got
+    assert ("*", "disallow", "/") in got
+
+    urls = spark.createDataFrame(
+        [("h1", "/anything", 1)], "host string, path string, doc_id int")
+    out = robots_allowed(urls, rules, agent="aquabot").collect()
+    assert len(out) == 1 and out[0]["allowed"] is True
+    assert out[0]["matched_rule"] is None
+    # a different agent still hits the '*' group
+    out2 = robots_allowed(urls, rules, agent="otherbot").collect()
+    assert out2[0]["allowed"] is False
+
+
+def test_robots_null_passthru_and_duplicate_rows(spark):
+    """The verdict restore join keys on a synthetic row id: URL rows
+    with NULL passthru values must keep their DISALLOWED verdict (a
+    name-based join-back silently fails open on NULLs), and exact
+    duplicate URL rows each keep one verdict row."""
+    from aquacache_spark.operators.web import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /private\n")],
+        "host string, content string")
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("h1", "/private/x", None), ("h1", "/private/x", None),
+         ("h1", "/ok", None), ("h1", "/private/y", 7)],
+        "host string, path string, meta int")
+    out = robots_allowed(urls, rules, agent="aquabot")
+    rows = out.collect()
+    assert len(rows) == 4  # duplicates preserved
+    verdicts = sorted((r["path"], bool(r["allowed"])) for r in rows)
+    assert verdicts == [("/ok", True), ("/private/x", False),
+                        ("/private/x", False), ("/private/y", False)]
+    assert all(r["matched_rule"] == "disallow" for r in rows
+               if r["path"].startswith("/private"))
