@@ -973,11 +973,9 @@ def extract_video_shot_signatures(
     100 TB note: the downstream sig equi-join's pair mass is sum of
     m^2 over signature groups — a boilerplate shot (channel intro,
     test card) present in millions of clips is the hot-bucket class
-    again. The standard mitigation is document-frequency capping
-    (drop signatures whose clip count exceeds a cap before the join —
-    they carry no discriminative signal), the same trade as the LSH
-    star cap in operators/dedup.py; apply it on the sig posting list
-    when deploying over a web-scale corpus."""
+    again. :func:`shot_containment_pairs` implements the mitigation
+    (document-frequency cap on the sig posting list, the same trade
+    as the LSH star cap in operators/dedup.py)."""
     import hashlib
 
     from ..functions.avi import decode_avi
@@ -1027,6 +1025,118 @@ def extract_video_shot_signatures(
             })
 
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def shot_containment_pairs(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    max_sig_clips: int | None = 1024,
+) -> DataFrame:
+    """Directed shot-overlap between clips from a (id, shot_id, sig)
+    table: (media_a, media_b, matched_shots, total_shots, containment)
+    with containment = matched_shots / total_shots(media_a), rounded
+    to 1e-6.
+
+    Hot-signature cap (the web-scale guard, same class as the LSH
+    star cap in operators/dedup.py): a boilerplate shot — channel
+    intro, test card, black-frame run — shared by m clips yields m²
+    rows out of a raw sig equi-join, and AQE skew handling cannot
+    reduce that pair MASS. Signatures present in more than
+    ``max_sig_clips`` clips carry no discriminative signal, so they
+    are dropped from BOTH join sides before the equi-join (one
+    partial-aggregable distinct-count on the posting list, shuffled on
+    the same sig key the join uses); pair mass per signature is then
+    bounded by max_sig_clips². ``total_shots`` deliberately stays the
+    FULL per-clip shot count — capping shrinks the numerator only, so
+    a containment score never inflates under the cap, and a clip made
+    entirely of boilerplate simply emits no pairs.
+    ``max_sig_clips=None`` restores uncapped all-pairs semantics."""
+    from pyspark.sql import functions as F
+
+    sigs = sigs.select(id_col, "shot_id", "sig")
+    nshots = sigs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_shots"))
+    joinable = sigs
+    if max_sig_clips is not None:
+        # distinct clip count per sig (a clip may repeat a shot);
+        # data-cardinality frame, joined on the sig key — never
+        # collected or broadcast
+        hot = (sigs.select("sig", id_col).distinct()
+               .groupBy("sig").agg(F.count(F.lit(1)).alias("__m"))
+               .where(F.col("__m") > max_sig_clips))
+        joinable = sigs.join(hot, "sig", "left_anti")
+    a = joinable.select(F.col(id_col).alias("media_a"),
+                        F.col("shot_id").alias("__sa"), "sig")
+    b = joinable.select(F.col(id_col).alias("media_b"), "sig")
+    matched = (
+        a.join(b, "sig")
+        .where(F.col("media_a") != F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.countDistinct("__sa").alias("matched_shots"))
+    )
+    out = matched.join(
+        nshots.select(F.col(id_col).alias("media_a"), "total_shots"),
+        "media_a")
+    cont = (F.floor(
+        F.col("matched_shots").cast("double") / F.col("total_shots")
+        * 1e6 + F.lit(0.5)) / 1e6)
+    return out.select("media_a", "media_b", "matched_shots",
+                      "total_shots", cont.alias("containment"))
+
+
+def synthesize_intro_avis(
+    df: DataFrame,
+    id_col: str = "media_id",
+    fps: int = 10,
+) -> DataFrame:
+    """16-frame MJPEG AVIs with a BOILERPLATE INTRO: frames 0-7 are a
+    shared channel intro (block value 40 + f*9 + b*20 — identical for
+    every item up to the per-item regrade offset (i%3)*4, which the
+    delta signatures cancel), then a hard cut into group content —
+    frame 8+j of item i steps by 3 + 2*bit_{j-1}(g) per frame with
+    g = ((i - 2) / 24) // 4, so clips come in runs of 4 twins while
+    EVERY clip shares the intro shot (the hot-signature class
+    shot_containment_pairs' cap must bound). All values stay inside
+    0..255 with no modular wraps, deltas stay under the cut threshold
+    within each segment, and the f7->f8 per-pixel mean jump is a
+    constant 40 — the whole luma-sum trace is the closed form the
+    DuckDB oracle replays. Quality-100 block-constant frames are
+    bit-exact through the JPEG round trip."""
+    from ..functions.avi import encode_avi
+    from ..functions.jpeg import encode_jpeg
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                g = (int(i) - 2) // 24 // 4
+                off = (int(i) % 3) * 4
+                frames = []
+                for f in range(16):
+                    img = np.zeros((16, 16), dtype=np.uint8)
+                    for b in range(4):
+                        if f < 8:
+                            v = 40 + f * 9 + b * 20 + off
+                        else:
+                            pre = sum(3 + 2 * ((g >> (j - 1)) & 1)
+                                      for j in range(1, f - 7))
+                            v = 170 + pre + b * 2 + off
+                        bj, bi = divmod(b, 2)
+                        img[bj * 8:(bj + 1) * 8,
+                            bi * 8:(bi + 1) * 8] = v
+                    frames.append(encode_jpeg(img, quality=100))
+                blobs.append(encode_avi(frames, 16, 16, fps))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.select(id_col).mapInPandas(batches, schema)
 
 
 def synthesize_group_avis(

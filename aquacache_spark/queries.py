@@ -4836,6 +4836,73 @@ def image_series_watermarks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_share_with_restriction",
+    oracle="""
+    WITH images AS (
+      SELECT doc_id AS img_id,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE CAST(doc_id % 20 AS INT) END AS img_series_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN ['public_reader', 'yg_reader']
+                  ELSE ['yg_reader'] END AS share_with
+      FROM documents
+    ), idx AS (
+      SELECT CAST(sid AS INT) AS img_series_id,
+             CASE WHEN sid % 4 = 0 THEN ['public_reader']
+                  ELSE ['yg_reader_group'] END AS share_with
+      FROM (SELECT unnest(range(0, 15)) AS sid)
+    ), j AS (
+      SELECT i.img_id, i.img_series_id,
+             coalesce(NOT list_contains(x.share_with, 'public_reader'),
+                      FALSE) AS parent_restrictive,
+             list_contains(i.share_with, 'public_reader') AS child_public
+      FROM images i LEFT JOIN idx x
+        ON x.img_series_id = i.img_series_id
+    )
+    SELECT img_id, img_series_id, parent_restrictive,
+           (img_series_id IS NOT NULL AND parent_restrictive
+            AND child_public) AS violation,
+           CASE WHEN img_series_id IS NOT NULL AND parent_restrictive
+                     AND child_public
+                THEN 'images_index entry for img_series_id '
+                     || CAST(img_series_id AS VARCHAR)
+                     || ' has a restrictive share_with, '
+                     || 'images.share_with cannot be {public_reader}'
+           END AS reject_reason
+    FROM j
+    """,
+)
+def image_share_with_restriction(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """files.enforce_share_with_restriction (patch_26.R:137-160): an
+    image under a restrictively-shared series cannot carry
+    public_reader. NULL-series and index-absent rows skip; the series
+    dim broadcasts."""
+    from .sources.media import image_share_with_validation
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    images = docs.select(
+        d.alias("img_id"),
+        F.when(d % 3 == 0, F.lit(None))
+        .otherwise(d % 20).cast("int").alias("img_series_id"),
+        F.when(d % 2 == 0,
+               F.array(F.lit("public_reader"), F.lit("yg_reader")))
+        .otherwise(F.array(F.lit("yg_reader"))).alias("share_with"),
+    )
+    # series 15..19 deliberately absent: the trigger's PERFORM finds
+    # nothing there, so those rows pass
+    idx = spark.range(15).select(
+        F.col("id").cast("int").alias("img_series_id"),
+        F.when(F.col("id") % 4 == 0, F.array(F.lit("public_reader")))
+        .otherwise(F.array(F.lit("yg_reader_group"))).alias("share_with"),
+    )
+    return image_share_with_validation(images, idx).select(
+        "img_id", "img_series_id", "parent_restrictive", "violation",
+        "reject_reason")
+
+
+@register(
     "document_type_validation",
     oracle="""
     WITH dim AS (
@@ -13696,8 +13763,11 @@ _SHOT_CONTAIN_ORACLE = """
 @register("video_shot_containment", oracle=_SHOT_CONTAIN_ORACLE)
 def video_shot_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shot-overlap between clips via offset-invariant shot
-    delta signatures."""
+    delta signatures (uncapped all-pairs regime — the group fixture
+    has no boilerplate signature; the web-scale df-capped path is
+    video_shot_containment_capped)."""
     from .operators.multimodal import (extract_video_shot_signatures,
+                                       shot_containment_pairs,
                                        synthesize_group_avis)
 
     docs = _t(spark, sf_dir, "documents")
@@ -13705,25 +13775,102 @@ def video_shot_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"))
     sigs = extract_video_shot_signatures(
         synthesize_group_avis(ids), tau=16)
-    a = sigs.select(F.col("media_id").alias("media_a"),
-                    F.col("shot_id").alias("__sa"), "sig")
-    b = sigs.select(F.col("media_id").alias("media_b"), "sig")
-    matched = (
-        a.join(b, "sig")
-        .where(F.col("media_a") != F.col("media_b"))
-        .groupBy("media_a", "media_b")
-        .agg(F.countDistinct("__sa").alias("matched_shots"))
+    return shot_containment_pairs(sigs, max_sig_clips=None)
+
+
+# Capped variant: the intro fixture gives EVERY clip a shared
+# boilerplate intro shot (the m² hot-signature class); the df cap
+# drops it from the join while group shots (runs of 4 twins) still
+# match, and total_shots keeps counting the intro. Closed-form luma
+# trace: frames 0-7 block value 40 + f*9 + b*20 + off; frames 8-15
+# value 170 + prefix-sum of (3 + 2*bit_{j-1}(g)) + b*2 + off with
+# g = ((doc_id-2)/24)//4 — no modular wraps, one cut at f=8.
+_SHOT_CONTAIN_CAPPED_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             ((doc_id - 2) // 24) // 4 AS g
+      FROM documents WHERE doc_id % 24 = 2
+    ), fr AS (
+      SELECT unnest(range(0, 16)) AS f
+    ), pre AS (
+      SELECT media_id, g, f,
+             CASE WHEN f < 8 THEN 0 ELSE (
+               SELECT coalesce(sum(3 + 2 * ((g // power(2, j - 1)::BIGINT)
+                                            % 2)), 0)
+               FROM unnest(generate_series(1, f - 8)) AS t(j))
+             END AS p
+      FROM ids, fr
+    ), luma AS (
+      -- per-frame luma sum over the four 8x8 blocks; the (i%3)*4
+      -- regrade offset cancels in deltas, so it is omitted here and
+      -- the absolute sums below are offset-free ONLY in the deltas
+      -- the sigs consume
+      SELECT media_id, f,
+             CASE WHEN f < 8
+                  THEN 64 * (4 * (40 + f * 9 + (media_id % 3) * 4)
+                             + 20 * 6)
+                  ELSE 64 * (4 * (170 + p + (media_id % 3) * 4) + 2 * 6)
+             END AS s
+      FROM pre
+    ), marked AS (
+      SELECT media_id, f, s,
+             s - lag(s) OVER w AS d,
+             CASE WHEN f = 0 THEN 0
+                  WHEN abs(s - lag(s) OVER w) > 16 * 256 THEN 1
+                  ELSE 0 END AS cut_before
+      FROM luma WINDOW w AS (PARTITION BY media_id ORDER BY f)
+    ), shots AS (
+      SELECT media_id, f, d, cut_before,
+             sum(cut_before) OVER (PARTITION BY media_id ORDER BY f)
+               AS shot_id
+      FROM marked
+    ), sigs AS (
+      SELECT media_id, shot_id,
+             md5(coalesce(string_agg(CAST(d AS VARCHAR), ',' ORDER BY f)
+                 FILTER (WHERE f > 0 AND cut_before = 0), '')) AS sig
+      FROM shots GROUP BY 1, 2
+    ), nshots AS (
+      SELECT media_id, count(*) AS total_shots FROM sigs GROUP BY 1
+    ), hot AS (
+      SELECT sig FROM (SELECT sig, media_id FROM sigs GROUP BY 1, 2)
+      GROUP BY sig HAVING count(*) > 10
+    ), joinable AS (
+      SELECT * FROM sigs WHERE sig NOT IN (SELECT sig FROM hot)
+    ), matched AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             count(DISTINCT a.shot_id) AS matched_shots
+      FROM joinable a JOIN joinable b
+        ON a.sig = b.sig AND a.media_id <> b.media_id
+      GROUP BY 1, 2
     )
-    nshots = sigs.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("total_shots"))
-    out = matched.join(
-        nshots.select(F.col("media_id").alias("media_a"), "total_shots"),
-        "media_a")
-    cont = (F.floor(
-        F.col("matched_shots").cast("double") / F.col("total_shots")
-        * 1e6 + F.lit(0.5)) / 1e6)
-    return out.select("media_a", "media_b", "matched_shots",
-                      "total_shots", cont.alias("containment"))
+    SELECT m.media_a, m.media_b,
+           CAST(m.matched_shots AS BIGINT) AS matched_shots,
+           CAST(n.total_shots AS BIGINT) AS total_shots,
+           CAST(floor(CAST(m.matched_shots AS DOUBLE) / n.total_shots
+                      * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / 1000000.0 AS containment
+    FROM matched m JOIN nshots n ON n.media_id = m.media_a
+"""
+
+
+@register("video_shot_containment_capped",
+          oracle=_SHOT_CONTAIN_CAPPED_ORACLE)
+def video_shot_containment_capped(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Shot containment under the hot-signature df cap: every clip
+    shares a boilerplate intro shot (> cap clips -> dropped before the
+    equi-join), group shots still match, and total_shots keeps the
+    full count so containment never inflates."""
+    from .operators.multimodal import (extract_video_shot_signatures,
+                                       shot_containment_pairs,
+                                       synthesize_intro_avis)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 24 == 2).select(
+        F.col("doc_id").alias("media_id"))
+    sigs = extract_video_shot_signatures(
+        synthesize_intro_avis(ids), tau=16)
+    return shot_containment_pairs(sigs, max_sig_clips=10)
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,65 @@ def image_series_watermarks(images: DataFrame) -> DataFrame:
     )
 
 
+def image_share_with_validation(
+    images: DataFrame, images_index: DataFrame
+) -> DataFrame:
+    """files.enforce_share_with_restriction port (reference
+    inst/patches/patch_26.R:137-160, first shipped patch_9.R:446-472):
+    an image row attached to a RESTRICTIVELY shared series
+    (images_index.share_with without 'public_reader') must not itself
+    carry 'public_reader' — a child published wider than its parent
+    would leak the series through RLS. Rows with NULL img_series_id
+    skip the check (patch_26.R:143-145), as do rows whose series is
+    absent from the index (the trigger's PERFORM finds nothing).
+
+    Reference-divergence note: the PL/pgSQL body's literal guard is
+    inverted relative to its own exception message — it runs the
+    parent probe only when NEW.share_with does NOT contain
+    public_reader (patch_26.R:148), so it fires on the benign
+    restrictive-under-restrictive direction and never on the leak the
+    message describes. This port follows the documented intent
+    (trigger name + exception text): violation = parent restrictive
+    AND child shared to public_reader.
+
+    Shuffle shape: the series index is catalog-sized -> broadcast
+    left join; the verdict is a map-side flag. Output: the image rows
+    plus (parent_restrictive, violation, reject_reason)."""
+    idx = images_index.select(
+        F.col("img_series_id").alias("__sid"),
+        (~F.array_contains(F.col("share_with"), "public_reader"))
+        .alias("__parent_restrictive"),
+    )
+    j = images.join(
+        F.broadcast(idx),
+        images["img_series_id"] == idx["__sid"], "left").drop("__sid")
+    child_public = F.array_contains(F.col("share_with"), "public_reader")
+    viol = (
+        F.col("img_series_id").isNotNull()
+        & F.coalesce(F.col("__parent_restrictive"), F.lit(False))
+        & child_public
+    )
+    return (
+        j.withColumn("parent_restrictive",
+                     F.coalesce(F.col("__parent_restrictive"),
+                                F.lit(False)))
+        .withColumn("violation", viol)
+        .withColumn(
+            "reject_reason",
+            F.when(
+                viol,
+                F.concat(
+                    F.lit("images_index entry for img_series_id "),
+                    F.col("img_series_id").cast("string"),
+                    F.lit(" has a restrictive share_with, "
+                          "images.share_with cannot be {public_reader}"),
+                ),
+            ),
+        )
+        .drop("__parent_restrictive")
+    )
+
+
 def validate_documents(
     docs: DataFrame, document_types: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

@@ -431,6 +431,42 @@ def main() -> None:
     assert hot_edges == n_docs // 2 - 1, f"hot star edges: {hot_edges}"
     assert n_pairs < 5 * n_docs, f"pair mass not linear: {n_pairs}"
 
+    # adversarial hot shot SIGNATURE (video tier): EVERY clip opens
+    # with the same boilerplate intro shot (channel intro / test
+    # card), so the raw sig equi-join would emit n_docs^2 pairs (10^10
+    # here). shot_containment_pairs' df cap must drop the hot sig
+    # before the join while the 3 discriminative group shots (8 clips
+    # per group) still match, keeping pair mass linear: 8*7 directed
+    # pairs per group = 7*n_docs rows, each 3/4 contained. Synthetic
+    # sig table — the pin stresses the JOIN, not the codec.
+    from aquacache_spark.operators.multimodal import shot_containment_pairs
+
+    shot_sigs = spark.range(0, n_docs).select(
+        F.col("id").alias("media_id"),
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("shot_id"),
+                     F.lit("boilerplate-intro").alias("sig")),
+            *[F.struct(F.lit(s).alias("shot_id"),
+                       F.concat(F.lit(f"g{s}-"),
+                                F.expr("id div 8").cast("string"))
+                       .alias("sig"))
+              for s in (1, 2, 3)],
+        )).alias("sh"),
+    ).select("media_id", F.col("sh.shot_id").alias("shot_id"),
+             F.col("sh.sig").alias("sig"))
+    t0 = time.perf_counter()
+    sc_pairs = shot_containment_pairs(
+        shot_sigs, max_sig_clips=64).persist()
+    sc_rows = sc_pairs.count()
+    sc_bad = sc_pairs.where(
+        (F.col("matched_shots") != 3) | (F.col("total_shots") != 4)
+        | (F.col("containment") != 0.75)).count()
+    timings["shot_sig_hot_bucket_capped"] = round(
+        time.perf_counter() - t0, 2)
+    sc_pairs.unpersist()
+    assert sc_rows == 7 * n_docs, f"shot pair mass: {sc_rows}"
+    assert sc_bad == 0, f"shot containment rows off: {sc_bad}"
+
     from aquacache_spark.operators.dedup import repeated_span_coverage
 
     t("repeated_span_coverage", repeated_span_coverage(docs, k=8))

@@ -118,3 +118,28 @@ def test_download_wsc_images(spark, tmp_path):
     assert len(rows[0].file_hash) == 64
     with pytest.raises(NotImplementedError):
         M.download_wsc_images(spark, "x", "2024-01-01", "2024-01-02")
+
+
+def test_image_share_with_restriction_directions(spark):
+    """Both directions of the patch_26 trigger: a public child under a
+    restrictive series violates; a restrictive child under the same
+    series passes (the reference's literal inverted guard would flag
+    exactly the opposite pair — this port follows the exception
+    message's documented intent); NULL / index-absent series skip."""
+    idx = spark.createDataFrame(
+        [(1, ["yg_reader_group"]), (2, ["public_reader"])],
+        "img_series_id int, share_with array<string>")
+    images = spark.createDataFrame(
+        [(10, 1, ["public_reader"]),        # leak: public under restrictive
+         (11, 1, ["yg_reader"]),            # fine: restrictive under restrictive
+         (12, 2, ["public_reader"]),        # fine: public under public
+         (13, None, ["public_reader"]),     # fine: no series
+         (14, 9, ["public_reader"])],       # fine: series absent from index
+        "img_id int, img_series_id int, share_with array<string>")
+    out = {r["img_id"]: r for r in
+           M.image_share_with_validation(images, idx).collect()}
+    assert [out[i]["violation"] for i in (10, 11, 12, 13, 14)] == \
+        [True, False, False, False, False]
+    assert out[10]["parent_restrictive"] is True
+    assert "img_series_id 1" in out[10]["reject_reason"]
+    assert all(out[i]["reject_reason"] is None for i in (11, 12, 13, 14))
