@@ -967,6 +967,100 @@ def bigram_surprisal(
     )
 
 
+def kn_bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED KNESER-NEY bigram surprisal —
+    the continuation-count rung above deleted interpolation
+    (:func:`bigram_surprisal`):
+
+        p(w | u) = ( max(c(u,w) - D, 0)
+                     + D * N1+(u,*) * (N1+(*,w) / N_bb) ) / c(u,*)
+
+    with c(u,*) = bigram positions starting with u, N1+(u,*) = distinct
+    continuations of u, N1+(*,w) = distinct histories of w (the
+    continuation probability's numerator — how many contexts w opens,
+    not how often it occurs: the 'San Francisco' correction), and
+    N_bb = distinct bigram types (= sum over w of N1+(*,w), so p_cont
+    normalizes). Every scored bigram occurs in the corpus (c >= 1), so
+    p > 0 with no extra floor. Docs with < 2 tokens report 0 bigrams
+    and a NULL mean.
+
+    Determinism: per-bigram surprisal quantizes to integer micro-nats
+    before the per-doc exact sum; the float expression shape (operand
+    order, int->double promotion points) is mirrored verbatim in the
+    DuckDB oracle so both engines agree to the ulp.
+
+    Scale: one bigram-explode aggregation (corpus-token shuffle
+    class); left/right continuation stats are two partial-aggregable
+    groupBys over the BIGRAM-TYPE frame (far below corpus
+    cardinality); N_bb is an agg + 1-row broadcast cross-join (never a
+    global window); the scoring dim is bigram-vocab-sized and left to
+    AQE. Output: (id, n_bigrams, mean_surprisal).
+    """
+    base = _spread_scan(df, id_col).select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    toks = F.col("__toks")
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.col("__n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("p"),
+                        F.element_at(toks, i + 1).alias("w")),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
+    bgc = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("cb"))
+    left = bgc.groupBy("p").agg(
+        F.sum("cb").alias("cu"),          # c(u,*)
+        F.count(F.lit(1)).alias("n1u"),   # N1+(u,*)
+    )
+    right = bgc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n1w"))   # N1+(*,w)
+    nbb = bgc.agg(F.count(F.lit(1)).alias("nbb"))
+    score = (
+        bgc.join(left, "p").join(right, "w")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "p", "w",
+            F.floor(
+                -F.log(
+                    (F.greatest(F.col("cb") - F.lit(discount), F.lit(0.0))
+                     + F.lit(discount) * F.col("n1u")
+                     * (F.col("n1w") / F.col("nbb")))
+                    / F.col("cu"))
+                * 1e6 + F.lit(0.5)
+            ).cast("long").alias("__q"),
+        )
+    )
+    scored = (
+        pairs.join(score, ["p", "w"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+             (F.sum("__q") / 1e6 / F.count(F.lit(1)))
+             .alias("mean_surprisal"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "mean_surprisal",
+        )
+    )
+
+
 def trigram_surprisal(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -961,21 +961,35 @@ def extract_video_shot_signatures(
     id_col: str = "media_id",
     blob_col: str = "content",
     tau: int = 8,
+    mode: str = "exact",
 ) -> DataFrame:
     """(id, shot_id, sig) per detected shot: the shot's within-shot
-    luma-delta sequence hashed (md5 of comma-joined integer deltas) —
-    brightness-offset-invariant (a uniform regrade shifts every frame
-    sum equally, so deltas cancel it), which is exactly the
-    re-encoded/re-graded copy class shot-level dedup must catch.
-    Single-frame shots hash the empty string. Map-only Arrow kernel;
-    undecodable inputs quarantine (no rows).
+    luma-delta sequence hashed — brightness-offset-invariant (a
+    uniform regrade shifts every frame sum equally, so deltas cancel
+    it), which is exactly the re-encoded/re-graded copy class
+    shot-level dedup must catch. Two signature regimes:
+
+    - ``mode='exact'``: md5 of the comma-joined integer deltas — the
+      bit-exact tier and the differential-oracle regime;
+    - ``mode='sign'``: md5 of the delta SIGN string (+/-/0 per
+      transition, the video-fingerprint quantization) — a lossy
+      re-encode perturbs delta magnitudes but rarely their direction,
+      so sign signatures survive recompression that breaks the exact
+      tier (kept alongside it, not instead: sign mode trades a
+      coarser collision class for the robustness).
+
+    Single-frame shots hash the empty string in both modes. Map-only
+    Arrow kernel; undecodable inputs quarantine (no rows).
 
     100 TB note: the downstream sig equi-join's pair mass is sum of
     m^2 over signature groups — a boilerplate shot (channel intro,
     test card) present in millions of clips is the hot-bucket class
-    again. :func:`shot_containment_pairs` implements the mitigation
+    again, and the coarser sign regime makes hot signatures MORE
+    likely. :func:`shot_containment_pairs` implements the mitigation
     (document-frequency cap on the sig posting list, the same trade
     as the LSH star cap in operators/dedup.py)."""
+    if mode not in ("exact", "sign"):
+        raise ValueError(f"unknown signature mode: {mode!r}")
     import hashlib
 
     from ..functions.avi import decode_avi
@@ -1016,8 +1030,13 @@ def extract_video_shot_signatures(
                 for sid, ds in out_shots:
                     mids.append(int(mid))
                     sids.append(sid)
-                    sigs.append(hashlib.md5(
-                        ",".join(str(d) for d in ds).encode()).hexdigest())
+                    if mode == "sign":
+                        key = "".join(
+                            "+" if d > 0 else "-" if d < 0 else "0"
+                            for d in ds)
+                    else:
+                        key = ",".join(str(d) for d in ds)
+                    sigs.append(hashlib.md5(key.encode()).hexdigest())
             yield pd.DataFrame({
                 id_col: pd.Series(mids, dtype="int64"),
                 "shot_id": pd.Series(sids, dtype="int64"),
@@ -1088,20 +1107,31 @@ def synthesize_intro_avis(
     df: DataFrame,
     id_col: str = "media_id",
     fps: int = 10,
+    jitter: bool = False,
 ) -> DataFrame:
     """16-frame MJPEG AVIs with a BOILERPLATE INTRO: frames 0-7 are a
     shared channel intro (block value 40 + f*9 + b*20 — identical for
     every item up to the per-item regrade offset (i%3)*4, which the
-    delta signatures cancel), then a hard cut into group content —
-    frame 8+j of item i steps by 3 + 2*bit_{j-1}(g) per frame with
+    delta signatures cancel), then a hard cut into group content with
     g = ((i - 2) / 24) // 4, so clips come in runs of 4 twins while
     EVERY clip shares the intro shot (the hot-signature class
-    shot_containment_pairs' cap must bound). All values stay inside
-    0..255 with no modular wraps, deltas stay under the cut threshold
-    within each segment, and the f7->f8 per-pixel mean jump is a
-    constant 40 — the whole luma-sum trace is the closed form the
-    DuckDB oracle replays. Quality-100 block-constant frames are
-    bit-exact through the JPEG round trip."""
+    shot_containment_pairs' cap must bound).
+
+    - ``jitter=False``: frame 8+j steps by 3 + 2*bit_{j-1}(g) — all
+      four group twins are delta-exact copies (the exact-signature
+      regime).
+    - ``jitter=True`` (the lossy re-encode stand-in): frame 8+j steps
+      by SIGNED 4 * (+1 if bit_{j-1}(g) else -1), plus a per-item
+      luminance dither (t + f) % 2 with t = (i - 2) / 24 — twins of
+      opposite t-parity differ in every delta MAGNITUDE but never in
+      delta SIGN, so mode='sign' signatures match all four twins while
+      mode='exact' splits them into two parity classes.
+
+    All values stay inside 0..255 with no modular wraps, deltas stay
+    under the cut threshold within each segment, and the f7->f8
+    per-pixel mean jump is >= 40 — the whole luma-sum trace is the
+    closed form the DuckDB oracle replays. Quality-100 block-constant
+    frames are bit-exact through the JPEG round trip."""
     from ..functions.avi import encode_avi
     from ..functions.jpeg import encode_jpeg
 
@@ -1116,7 +1146,8 @@ def synthesize_intro_avis(
         for pdf in it:
             blobs = []
             for i in pdf[id_col].astype("int64"):
-                g = (int(i) - 2) // 24 // 4
+                t = (int(i) - 2) // 24
+                g = t // 4
                 off = (int(i) % 3) * 4
                 frames = []
                 for f in range(16):
@@ -1124,6 +1155,11 @@ def synthesize_intro_avis(
                     for b in range(4):
                         if f < 8:
                             v = 40 + f * 9 + b * 20 + off
+                        elif jitter:
+                            pre = sum(
+                                4 if ((g >> (j - 1)) & 1) else -4
+                                for j in range(1, f - 7))
+                            v = 190 + pre + b * 2 + off + (t + f) % 2
                         else:
                             pre = sum(3 + 2 * ((g >> (j - 1)) & 1)
                                       for j in range(1, f - 7))

@@ -12871,6 +12871,60 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"mean_surprisal": 6})
 
 
+# Kneser-Ney: the continuation-count rung above deleted interpolation.
+# The float expression shape (operand order, promotion points) is
+# mirrored verbatim so both engines agree to the ulp.
+_KN_BIGRAM_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+      FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+    ), bgc AS (
+      SELECT p, w, count(*) AS cb FROM pairs GROUP BY 1, 2
+    ), lft AS (
+      SELECT p, sum(cb) AS cu, count(*) AS n1u FROM bgc GROUP BY 1
+    ), rgt AS (
+      SELECT w, count(*) AS n1w FROM bgc GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS nbb FROM bgc
+    ), score AS (
+      SELECT bgc.p, bgc.w,
+             CAST(floor(
+               -ln((greatest(bgc.cb - CAST(0.75 AS DOUBLE),
+                             CAST(0 AS DOUBLE))
+                    + CAST(0.75 AS DOUBLE) * lft.n1u
+                    * (rgt.n1w / tot.nbb))
+                   / lft.cu)
+               * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+      FROM bgc JOIN lft ON lft.p = bgc.p JOIN rgt ON rgt.w = bgc.w
+      CROSS JOIN tot
+    ), per_doc AS (
+      SELECT pairs.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             {R('sum(q) / 1000000.0 / count(*)', 6)} AS mean_surprisal
+      FROM pairs JOIN score ON score.p = pairs.p AND score.w = pairs.w
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           coalesce(d.n_bigrams, 0) AS n_bigrams,
+           d.mean_surprisal
+    FROM base b LEFT JOIN per_doc d ON d.doc_id = b.doc_id
+"""
+
+
+@register("kn_bigram_surprisal", oracle=_KN_BIGRAM_ORACLE)
+def kn_bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal (continuation counts:
+    p_cont(w) = distinct histories of w / distinct bigram types)."""
+    from .operators.dedup import kn_bigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kn_bigram_surprisal(docs, discount=0.75)
+    return _round(out, {"mean_surprisal": 6})
+
+
 # ---------------------------------------------------------------------------
 # Provenance-aware curation capstone: robots.txt crawl permission x
 # a minimal quality gate x exact-dedup canonicalization, composed in
@@ -13851,6 +13905,102 @@ _SHOT_CONTAIN_CAPPED_ORACLE = """
              / 1000000.0 AS containment
     FROM matched m JOIN nshots n ON n.media_id = m.media_a
 """
+
+
+# Sign-of-delta (quantized) signature regime on the jittered fixture:
+# twins of opposite t-parity differ in every delta magnitude (the
+# lossy re-encode stand-in) but never in delta sign, so sign sigs
+# match all four group twins while exact sigs would split them 2/2.
+# The boilerplate intro ('+++++++' for every clip) is the hot sig the
+# cap drops.
+_SHOT_CONTAIN_SIGN_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             (doc_id - 2) // 24 AS t,
+             ((doc_id - 2) // 24) // 4 AS g
+      FROM documents WHERE doc_id % 24 = 2
+    ), fr AS (
+      SELECT unnest(range(0, 16)) AS f
+    ), pre AS (
+      SELECT media_id, t, g, f,
+             CASE WHEN f < 8 THEN 0 ELSE (
+               SELECT coalesce(sum(CASE WHEN
+                   (g // power(2, j - 1)::BIGINT) % 2 = 1
+                   THEN 4 ELSE -4 END), 0)
+               FROM unnest(generate_series(1, f - 8)) AS q(j))
+             END AS p
+      FROM ids, fr
+    ), luma AS (
+      SELECT media_id, f,
+             CASE WHEN f < 8
+                  THEN 64 * (4 * (40 + f * 9 + (media_id % 3) * 4)
+                             + 20 * 6)
+                  ELSE 64 * (4 * (190 + p + (media_id % 3) * 4
+                                  + (t + f) % 2) + 2 * 6)
+             END AS s
+      FROM pre
+    ), marked AS (
+      SELECT media_id, f, s,
+             s - lag(s) OVER w AS d,
+             CASE WHEN f = 0 THEN 0
+                  WHEN abs(s - lag(s) OVER w) > 16 * 256 THEN 1
+                  ELSE 0 END AS cut_before
+      FROM luma WINDOW w AS (PARTITION BY media_id ORDER BY f)
+    ), shots AS (
+      SELECT media_id, f, d, cut_before,
+             sum(cut_before) OVER (PARTITION BY media_id ORDER BY f)
+               AS shot_id
+      FROM marked
+    ), sigs AS (
+      SELECT media_id, shot_id,
+             md5(coalesce(string_agg(
+                 CASE WHEN d > 0 THEN '+' WHEN d < 0 THEN '-'
+                      ELSE '0' END, '' ORDER BY f)
+                 FILTER (WHERE f > 0 AND cut_before = 0), '')) AS sig
+      FROM shots GROUP BY 1, 2
+    ), nshots AS (
+      SELECT media_id, count(*) AS total_shots FROM sigs GROUP BY 1
+    ), hot AS (
+      SELECT sig FROM (SELECT sig, media_id FROM sigs GROUP BY 1, 2)
+      GROUP BY sig HAVING count(*) > 10
+    ), joinable AS (
+      SELECT * FROM sigs WHERE sig NOT IN (SELECT sig FROM hot)
+    ), matched AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             count(DISTINCT a.shot_id) AS matched_shots
+      FROM joinable a JOIN joinable b
+        ON a.sig = b.sig AND a.media_id <> b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT m.media_a, m.media_b,
+           CAST(m.matched_shots AS BIGINT) AS matched_shots,
+           CAST(n.total_shots AS BIGINT) AS total_shots,
+           CAST(floor(CAST(m.matched_shots AS DOUBLE) / n.total_shots
+                      * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / 1000000.0 AS containment
+    FROM matched m JOIN nshots n ON n.media_id = m.media_a
+"""
+
+
+@register("video_shot_containment_sign",
+          oracle=_SHOT_CONTAIN_SIGN_ORACLE)
+def video_shot_containment_sign(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Shot containment under the SIGN-quantized signature regime: the
+    jittered fixture's re-encode twins differ in delta magnitudes but
+    match on delta signs, so the sign tier recovers all four group
+    twins where the exact tier splits them by dither parity; the
+    boilerplate intro still drops under the df cap."""
+    from .operators.multimodal import (extract_video_shot_signatures,
+                                       shot_containment_pairs,
+                                       synthesize_intro_avis)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 24 == 2).select(
+        F.col("doc_id").alias("media_id"))
+    sigs = extract_video_shot_signatures(
+        synthesize_intro_avis(ids, jitter=True), tau=16, mode="sign")
+    return shot_containment_pairs(sigs, max_sig_clips=10)
 
 
 @register("video_shot_containment_capped",

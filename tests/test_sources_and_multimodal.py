@@ -689,3 +689,36 @@ def test_all_media_extractors_quarantine_fuzz(spark):
         # every input row yields exactly one output row (quarantined or
         # decoded) and the job completes
         assert out.count() == len(blobs), ex.__name__
+
+
+def test_shot_sign_signatures_survive_reencode_jitter(spark):
+    """On the jittered fixture (the lossy re-encode stand-in), exact
+    shot signatures split each 4-twin group into two dither-parity
+    classes while sign signatures match all four; the boilerplate
+    intro shot drops under the df cap in both regimes."""
+    from aquacache_spark.operators.multimodal import (
+        extract_video_shot_signatures, shot_containment_pairs,
+        synthesize_intro_avis)
+
+    # 8 clips = 2 full groups (media_id = 24t + 2, t = 0..7)
+    ids = spark.createDataFrame(
+        [(24 * t + 2,) for t in range(8)], "media_id long")
+    avis = synthesize_intro_avis(ids, jitter=True).persist()
+    exact = shot_containment_pairs(
+        extract_video_shot_signatures(avis, tau=16, mode="exact"),
+        max_sig_clips=4)
+    sign = shot_containment_pairs(
+        extract_video_shot_signatures(avis, tau=16, mode="sign"),
+        max_sig_clips=4)
+    # sign: 4 twins per group -> 4*3 directed pairs * 2 groups
+    srows = sign.collect()
+    assert len(srows) == 24
+    assert all(r["matched_shots"] == 1 and r["total_shots"] == 2
+               and r["containment"] == 0.5 for r in srows)
+    # exact: only same-parity twins match -> 2*1 directed pairs per
+    # parity class * 2 classes * 2 groups
+    erows = exact.collect()
+    assert len(erows) == 8
+    spairs = {(r["media_a"], r["media_b"]) for r in srows}
+    assert {(r["media_a"], r["media_b"]) for r in erows} < spairs
+    avis.unpersist()
