@@ -528,6 +528,43 @@ def stratified_split(
     return df.withColumn("split", expr).withColumn("__bucket", bucket)
 
 
+def hash_stratified_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic exact-k-per-stratum sample: rank rows inside each
+    stratum by a salted id hash and keep the k smallest — the
+    reproducible replacement for RNG reservoir sampling (inspection
+    panels, eval carve-outs, per-domain pilots). Changing the salt
+    draws an independent sample; the same salt reproduces it across
+    runs, engines, and partitionings. Strata with <= k rows pass
+    through whole.
+
+    Scale: one hash projection (map-side) + one rank window per
+    stratum (WindowGroupLimit pushes the k limit into the sort, so no
+    stratum materializes more than k rows past the shuffle). A skewed
+    giant stratum is one partition's sort — for pathological single-
+    stratum corpora, pre-aggregate with a (stratum, bucket) two-level
+    rank; not needed while strata are domains/sources.
+    """
+    from pyspark.sql import Window
+
+    h = md5_int(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)), 15)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.asc("__h"), F.asc(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(*df.columns,
+                F.col("__rn").cast("long").alias("sample_rank"))
+    )
+
+
 def simhash_near_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

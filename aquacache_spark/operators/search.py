@@ -228,3 +228,58 @@ def bm25_phrase_topk(
     per_doc = allq.groupBy(query_id, id_col).agg(
         F.sum("__q").alias("__ql"))
     return _rank_topk(per_doc, k, id_col, query_id)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the corpus-keyword /
+    datacard-vocabulary primitive (and the feature extractor classic
+    sparse classifiers sit on).
+
+    score(term, doc) = tf * ln((n_docs + 1) / (df + 1))   [+1 smoothing]
+
+    quantized to 1e-6 before ranking so ties and ordering are
+    bit-stable across engines; rank ties break (score DESC, term ASC).
+
+    Scale shape: (doc, term, tf) is one explode + partial-aggregable
+    count; df aggregates the SAME postings frame on term (corpus-
+    VOCAB-sized — far too big to broadcast at web scale, so the score
+    join stays an equi-join on term for AQE to plan); n_docs is an
+    agg + 1-row broadcast cross-join; top-k is a rank window per doc
+    (WindowGroupLimit pushes the limit into the sort).
+    """
+    postings = (
+        docs.select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    ndocs = docs.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            id_col, "term",
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0)))
+                * 1e6 + F.lit(0.5)
+            ).cast("long").alias("__q"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__q"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(id_col, "term", F.col("__rn").cast("long").alias("rank"),
+                (F.col("__q") / F.lit(_Q)).alias("tfidf"))
+    )

@@ -5686,6 +5686,87 @@ def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic exact-k-per-stratum sampling: rank by salted id hash,
+# keep the k smallest — the reproducible reservoir-sampling
+# replacement (inspection panels, per-domain pilots).
+# ---------------------------------------------------------------------------
+
+_HASH_SAMPLE_ORACLE = """
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                     || '|sample-v1'), 1, 15) AS BIGINT)
+               AS hh
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hh ASC, doc_id ASC)
+               AS sample_rank
+      FROM h
+    )
+    SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 7
+"""
+
+
+@register("hash_stratified_sample", oracle=_HASH_SAMPLE_ORACLE)
+def hash_stratified_sample_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Exact 7 docs per source, drawn by salted-hash rank (no RNG:
+    same salt -> same sample on any engine/partitioning)."""
+    from .operators.dedup import hash_stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_stratified_sample(docs, k=7)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document (operators/search.tfidf_top_terms):
+# corpus-keyword extraction; df join stays an equi-join (vocab-sized,
+# never broadcast at web scale), n_docs is an agg + 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+    WITH postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY 1
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT p.doc_id, p.term,
+             CAST(floor(p.tf * ln((nd.n_docs + CAST(1 AS DOUBLE))
+                                  / (d.df + CAST(1 AS DOUBLE)))
+                        * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS q
+      FROM postings p JOIN dfreq d USING (term) CROSS JOIN nd
+    ), ranked AS (
+      SELECT doc_id, term, q,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY q DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+           q / 1000000.0 AS tfidf
+    FROM ranked WHERE rank <= 3
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document."""
+    from .operators.search import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
 # addACTimeseries.R constraint ladder (operators/catalog_admin.py): the
 # reference's ~850-line imperative validator as one set-wise pass —
 # FK checks against dims, NULL guards, existing-catalog and in-batch
@@ -12813,6 +12894,69 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("doc_id"),
     )
     return robots_allowed(urls, rules, agent="aquabot")
+
+
+# ---------------------------------------------------------------------------
+# Host-graph PageRank (operators/graph.host_pagerank): the link-based
+# quality prior. INTEGER power iteration — bigint micro-units, floor
+# divisions — so every iteration is bit-equal between engines under
+# any partitioning; the oracle unrolls the 5 iterations as CTEs.
+# Nodes 50..59 appear only as destinations -> dangling mass exercised.
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle() -> str:
+    sql = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 60 AS dst
+      FROM orders
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ), deg AS (
+      SELECT n.node, coalesce(o.outdeg, 0) AS outdeg
+      FROM nodes n LEFT JOIN (
+        SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1) o
+        USING (node)
+    ), nn AS (
+      SELECT count(*) AS n FROM deg
+    ), pr0 AS (
+      SELECT node, outdeg, CAST(1000000000 AS BIGINT) AS pr FROM deg
+    )"""
+    for i in range(1, 6):
+        p = f"pr{i - 1}"
+        sql += f""", pr{i} AS (
+      SELECT d.node, d.outdeg,
+             150000000 + 85 * (coalesce(s.insum, 0) + dg.dang // nn.n)
+               // 100 AS pr
+      FROM deg d
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // p.outdeg) AS insum
+        FROM e JOIN {p} p ON p.node = e.src AND p.outdeg > 0
+        GROUP BY 1) s ON s.node = d.node
+      CROSS JOIN (SELECT coalesce(sum(pr), 0) AS dang
+                  FROM {p} WHERE outdeg = 0) dg
+      CROSS JOIN nn
+    )"""
+    sql += """
+    SELECT node, CAST(pr AS BIGINT) AS rank_units,
+           CAST(pr AS BIGINT) / 1000000000.0 AS rank
+    FROM pr5
+"""
+    return sql
+
+
+@register("host_pagerank", oracle=_pagerank_oracle())
+def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration integer-exact PageRank over a synthesized host
+    link graph (damping 0.85, dangling mass shared uniformly)."""
+    from .operators.graph import host_pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("o_orderkey") % 60).alias("dst"),
+    ).distinct()
+    return host_pagerank(edges, iterations=5)
 
 
 # ---------------------------------------------------------------------------
