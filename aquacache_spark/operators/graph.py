@@ -82,6 +82,11 @@ def host_pagerank(
     pr = deg.select("node", "outdeg",
                     F.lit(PR_UNIT).cast("long").alias("pr"))
     for _ in range(iterations):
+        # truncate the lineage each round: the dangling-mass agg and
+        # the next iteration's join must read THIS round's ranks, not
+        # replay every earlier round (O(iters^2) work and a driver
+        # broadcast round trip per replay otherwise)
+        pr = pr.localCheckpoint(eager=True)
         dang = (
             pr.where(F.col("outdeg") == 0)
             .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dang"))

@@ -1,0 +1,175 @@
+"""Mergeable sketches for 100 TB corpus statistics.
+
+Exact distinct counts and exact heavy-hitter tables need a shuffle
+proportional to the KEY cardinality — at web scale (10^9+ distinct
+tokens/URLs) that is the dominant cost of a datacard. Sketches bound
+the state: HyperLogLog registers (2^p rows per group) and count-min
+counters (d*w rows total) are partial-aggregable, mergeable across
+shards, and probe-able with a broadcast join.
+
+Spark ships approx_count_distinct (HLL++), but its register layout is
+engine-private — useless for differential verification. These
+implementations are DETERMINISTIC by construction: the md5-prefix
+hash (functions/text.md5_int) is bit-identical in DuckDB, register
+updates are integer max/sum (associative), and the only float math is
+a final closed-form expression over exactly-summed integers — so the
+full sketch state and the estimates hash-match the oracle, the same
+differential story as every other operator in this repo.
+
+Reference analog: none (the reference is a hydrometric store); this
+is the training-data extension tier's "novel sketch" slot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_int
+
+#: md5_int(_, 15) yields 60 hash bits
+_HASH_BITS = 60
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group.
+
+    Layout: h = 60-bit md5 prefix of the key; register index = h mod
+    2^p; rho = leading-zero count of the remaining 60-p bits + 1
+    (computed via integer binary-string length — no float log2 edge
+    cases). Registers aggregate with MAX (associative, mergeable);
+    the indicator sum Z = sum_j 2^-M_j is computed EXACTLY as the
+    bigint sum of 2^(Q - M_j) with Q = 60 - p + 1 (absent registers
+    contribute 2^Q), so the only float math is the final closed form
+
+        E = alpha_m * m^2 * 2^Q / S        (alpha_m = 0.7213 /
+                                            (1 + 1.079 / m))
+
+    with the standard linear-counting fallback E <= 2.5m & zeros > 0
+    -> m * ln(m / zeros). Relative error ~ 1.04/sqrt(2^p) (~6.5% at
+    p=8).
+
+    Scale: one map-side hash projection; state is at most 2^p rows
+    PER GROUP after a partial-aggregable max — the shuffle carries
+    registers, not keys. Output: (group..., n_registers, zeros,
+    s_units, estimate).
+    """
+    group_cols = group_cols or []
+    m = 1 << p
+    q = _HASH_BITS - p + 1
+    h = md5_int(F.col(key_col).cast("string"), 15)
+    w = F.expr(f"__h div {m}")
+    # bin-length of w = floor(log2(w)) + 1, integer-exact; rho is the
+    # leading-zero run of the (60-p)-bit suffix plus one
+    rho = F.when(
+        w > 0, F.lit(_HASH_BITS - p) - (F.length(F.expr("bin(__w)")) - 1)
+    ).otherwise(F.lit(_HASH_BITS - p + 1)).cast("int")
+    regs = (
+        df.select(*group_cols, h.alias("__h"))
+        .withColumn("__idx", F.expr(f"__h % {m}"))
+        .withColumn("__w", w)
+        .withColumn("__rho", rho)
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - __M)"))
+        .alias("__s_present"),
+    )
+    s_units = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("n_registers"))
+        * F.expr(f"shiftleft(CAST(1 AS BIGINT), {q})")
+    )
+    zeros = F.lit(m) - F.col("n_registers")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
+        * F.lit(float(1 << q)) / F.col("s_units")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    return (
+        per_group
+        .withColumn("zeros", zeros.cast("long"))
+        .withColumn("s_units", s_units.cast("long"))
+        .select(*group_cols, "n_registers", "zeros", "s_units",
+                est.alias("estimate"))
+    )
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch: d rows of w counters; every key increments
+    counter (i, md5(i || '|' || key) mod w) for i in 0..d-1.
+
+    The sketch is (d * w) rows REGARDLESS of corpus size — a bounded,
+    mergeable (counter-wise sum) summary; the per-key explode is
+    map-side and the single shuffle aggregates on (row, cell).
+    Output: (row, cell, cnt)."""
+    wcol = (F.col(weight_col).cast("long") if weight_col
+            else F.lit(1).cast("long"))
+    cells = df.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                (md5_int(F.concat(F.lit(f"{i}|"),
+                                  F.col(key_col).cast("string")), 15)
+                 % w).alias("cell"),
+            )
+            for i in range(d)
+        ])).alias("rc"),
+        wcol.alias("__w"),
+    )
+    return (
+        cells.select(F.col("rc.row").alias("row"),
+                     F.col("rc.cell").alias("cell"), "__w")
+        .groupBy("row", "cell")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-estimate probe keys against a count-min sketch: estimate
+    = min over the d counters a key hashes to (never an
+    underestimate; overestimates by collision mass ~ N/w per row).
+
+    The sketch is d*w rows -> broadcast; probes join map-side. Output:
+    probe columns + est (bigint)."""
+    probed = probes.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                (md5_int(F.concat(F.lit(f"{i}|"),
+                                  F.col(key_col).cast("string")), 15)
+                 % w).alias("cell"),
+            )
+            for i in range(d)
+        ])).alias("rc"),
+    ).select("*", F.col("rc.row").alias("row"),
+             F.col("rc.cell").alias("cell")).drop("rc")
+    return (
+        probed.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy(*probes.columns)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

@@ -5767,6 +5767,130 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch tier (operators/sketch.py): bounded-state corpus statistics.
+# Deterministic by construction — md5-prefix hashing, integer register
+# max / counter sums, one final float closed form over exactly-summed
+# integers — so the full sketch STATE hash-matches the oracle, unlike
+# approx_count_distinct's engine-private HLL++ registers.
+# ---------------------------------------------------------------------------
+
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)
+
+_HLL_ORACLE = f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tokk
+      FROM documents
+    ), h AS (
+      SELECT source,
+             CAST('0x' || substr(md5(tokk), 1, 15) AS BIGINT) AS hh
+      FROM tok
+    ), r AS (
+      SELECT source, hh % 256 AS idx, hh // 256 AS w FROM h
+    ), regs AS (
+      SELECT source, idx,
+             max(CASE WHEN w > 0 THEN 52 - (length(bin(w)) - 1)
+                      ELSE 53 END) AS m
+      FROM r GROUP BY 1, 2
+    ), pg AS (
+      SELECT source, count(*) AS n_registers,
+             sum(CAST(1 AS BIGINT) << (53 - m)) AS s_present
+      FROM regs GROUP BY 1
+    ), fin AS (
+      SELECT source, n_registers,
+             256 - n_registers AS zeros,
+             s_present + (256 - n_registers)
+               * (CAST(1 AS BIGINT) << 53) AS s_units
+      FROM pg
+    )
+    SELECT source, CAST(n_registers AS BIGINT) AS n_registers,
+           CAST(zeros AS BIGINT) AS zeros,
+           CAST(s_units AS BIGINT) AS s_units,
+           {R(f'''CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0
+                       * 256.0 * 9007199254740992.0 / s_units <= 640.0
+                       AND zeros > 0
+                  THEN 256.0 * ln(CAST(256 AS DOUBLE) / zeros)
+                  ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0
+                       * 9007199254740992.0 / s_units END''', 6)}
+             AS estimate
+    FROM fin
+"""
+
+
+@register("hll_token_distinct", oracle=_HLL_ORACLE)
+def hll_token_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate from 256 HLL registers —
+    register state AND estimate both hash-matched."""
+    from .functions.text import tokens
+    from .operators.sketch import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tokk"))
+    out = hll_distinct(tok, "tokk", group_cols=["source"], p=8)
+    return _round(out, {"estimate": 6})
+
+
+_CMS_PROBES = ["the", "and", "of", "data", "zzz-unseen"]
+
+_CMS_ORACLE = """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tokk
+      FROM documents
+    ), cells AS (
+      SELECT i,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tokk),
+                                 1, 15) AS BIGINT) % 1024 AS cell
+      FROM tok, (SELECT unnest(range(0, 4)) AS i)
+    ), sk AS (
+      SELECT i AS row, cell, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ), probes AS (
+      SELECT unnest(['the', 'and', 'of', 'data', 'zzz-unseen']) AS word
+    ), pc AS (
+      SELECT word, i AS row,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || word),
+                                 1, 15) AS BIGINT) % 1024 AS cell
+      FROM probes, (SELECT unnest(range(0, 4)) AS i)
+    ), est AS (
+      SELECT word, min(coalesce(cnt, 0)) AS est
+      FROM pc LEFT JOIN sk USING (row, cell) GROUP BY 1
+    ), ex AS (
+      SELECT p.word, count(t.tokk) AS exact
+      FROM probes p LEFT JOIN tok t ON t.tokk = p.word GROUP BY 1
+    )
+    SELECT e.word, CAST(e.est AS BIGINT) AS est,
+           CAST(x.exact AS BIGINT) AS exact,
+           e.est >= x.exact AS never_under
+    FROM est e JOIN ex x ON x.word = e.word
+"""
+
+
+@register("countmin_heavy_hitters", oracle=_CMS_ORACLE)
+def countmin_heavy_hitters_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """4x1024 count-min sketch over the token stream, probed for four
+    known-hot words and one absent word; est >= exact always (the CMS
+    one-sided error), exact equality for the absent word unless all 4
+    of its counters collide."""
+    from .functions.text import tokens
+    from .operators.sketch import countmin_build, countmin_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tokk"))
+    sk = countmin_build(tok, "tokk", d=4, w=1024)
+    probes = spark.createDataFrame(
+        [(w,) for w in _CMS_PROBES], "word string")
+    est = countmin_estimate(sk, probes, "word", d=4, w=1024)
+    exact = (
+        probes.join(tok, probes["word"] == tok["tokk"], "left")
+        .groupBy("word").agg(F.count("tokk").alias("exact"))
+    )
+    return est.join(exact, "word").select(
+        "word", "est", "exact",
+        (F.col("est") >= F.col("exact")).alias("never_under"))
+
+
+# ---------------------------------------------------------------------------
 # addACTimeseries.R constraint ladder (operators/catalog_admin.py): the
 # reference's ~850-line imperative validator as one set-wise pass —
 # FK checks against dims, NULL guards, existing-catalog and in-batch
@@ -13987,7 +14111,8 @@ _SHOT_CONTAIN_CAPPED_ORACLE = """
     WITH ids AS (
       SELECT doc_id AS media_id,
              ((doc_id - 2) // 24) // 4 AS g
-      FROM documents WHERE doc_id % 24 = 2
+      FROM documents
+      WHERE doc_id % 24 = 2 AND (doc_id - 2) // 24 < 60
     ), fr AS (
       SELECT unnest(range(0, 16)) AS f
     ), pre AS (
@@ -14062,7 +14187,8 @@ _SHOT_CONTAIN_SIGN_ORACLE = """
       SELECT doc_id AS media_id,
              (doc_id - 2) // 24 AS t,
              ((doc_id - 2) // 24) // 4 AS g
-      FROM documents WHERE doc_id % 24 = 2
+      FROM documents
+      WHERE doc_id % 24 = 2 AND (doc_id - 2) // 24 < 60
     ), fr AS (
       SELECT unnest(range(0, 16)) AS f
     ), pre AS (
@@ -14140,8 +14266,10 @@ def video_shot_containment_sign(spark: SparkSession,
                                        synthesize_intro_avis)
 
     docs = _t(spark, sf_dir, "documents")
-    ids = docs.where(F.col("doc_id") % 24 == 2).select(
-        F.col("doc_id").alias("media_id"))
+    ids = docs.where(
+        (F.col("doc_id") % 24 == 2)
+        & F.expr("(doc_id - 2) div 24 < 60")
+    ).select(F.col("doc_id").alias("media_id"))
     sigs = extract_video_shot_signatures(
         synthesize_intro_avis(ids, jitter=True), tau=16, mode="sign")
     return shot_containment_pairs(sigs, max_sig_clips=10)
@@ -14160,8 +14288,13 @@ def video_shot_containment_capped(spark: SparkSession,
                                        synthesize_intro_avis)
 
     docs = _t(spark, sf_dir, "documents")
-    ids = docs.where(F.col("doc_id") % 24 == 2).select(
-        F.col("doc_id").alias("media_id"))
+    # first 60 clips only: the cap/containment SEMANTICS are what this
+    # variant verifies; codec throughput at full fixture scale is
+    # already priced by video_shot_containment
+    ids = docs.where(
+        (F.col("doc_id") % 24 == 2)
+        & F.expr("(doc_id - 2) div 24 < 60")
+    ).select(F.col("doc_id").alias("media_id"))
     sigs = extract_video_shot_signatures(
         synthesize_intro_avis(ids), tau=16)
     return shot_containment_pairs(sigs, max_sig_clips=10)
