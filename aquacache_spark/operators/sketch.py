@@ -173,3 +173,76 @@ def countmin_estimate(
         .groupBy(*probes.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 16384,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Bloom filter over a key column: ``m_bits`` bits as 32-bit words
+    in bigint cells, ``k_hashes`` md5-derived positions per key.
+
+    The 100 TB use: a distributed semi-join against a huge key set
+    costs a shuffle of BOTH sides; a Bloom filter of the build side is
+    m_bits/32 rows (512 here — broadcastable at any corpus size) with
+    NO false negatives, so the probe side prunes map-side and only
+    survivors pay the exact join. Build is one map-side explode +
+    partial-aggregable bit_or; merge across shards = bit_or again.
+    32-bit words keep every value positive and well inside bigint on
+    both engines. Output: (word_idx, word)."""
+    pos = F.array(*[
+        (md5_int(F.concat(F.lit(f"b{i}|"),
+                          F.col(key_col).cast("string")), 15) % m_bits)
+        for i in range(k_hashes)
+    ])
+    return (
+        df.select(F.explode(pos).alias("pos"))
+        .select(
+            F.expr("pos div 32").cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 16384,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Membership test against :func:`bloom_build`'s table: a key
+    'maybe' belongs iff ALL k of its bits are set (never a false
+    negative; false-positive rate ~ (1 - e^(-kn/m))^k). The bit table
+    broadcasts; the test is k bit-probes per row aggregated with
+    min(). Output: probe columns + maybe_present (boolean)."""
+    pos = F.array(*[
+        (md5_int(F.concat(F.lit(f"b{i}|"),
+                          F.col(key_col).cast("string")), 15) % m_bits)
+        for i in range(k_hashes)
+    ])
+    probed = (
+        probes.select("*", F.explode(pos).alias("pos"))
+        .select(
+            "*",
+            F.expr("pos div 32").cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            .alias("mask"),
+        )
+        .drop("pos")
+    )
+    hit = (F.coalesce(F.col("__word"), F.lit(0).cast("long"))
+           .bitwiseAND(F.col("mask")) == F.col("mask"))
+    return (
+        probed.join(
+            F.broadcast(bloom.withColumnRenamed("word", "__word")),
+            "word_idx", "left")
+        .select(*probes.columns, hit.cast("int").alias("__hit"))
+        .groupBy(*probes.columns)
+        .agg((F.min("__hit") == 1).alias("maybe_present"))
+    )

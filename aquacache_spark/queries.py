@@ -5864,6 +5864,75 @@ _CMS_ORACLE = """
 """
 
 
+_BLOOM_ORACLE = """
+    WITH src0 AS (
+      SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents WHERE source = 'src0'
+    ), positions AS (
+      SELECT word,
+             CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|'
+                                     || word), 1, 15) AS BIGINT)
+               % 16384 AS idx
+      FROM src0, (SELECT unnest(range(0, 7)) AS i)
+    ), bits AS (
+      SELECT idx // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS word
+      FROM positions GROUP BY 1
+    ), vocab AS (
+      SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), pc AS (
+      SELECT v.word AS probe, p.idx // 32 AS word_idx,
+             CAST(1 AS BIGINT) << CAST(p.idx % 32 AS INT) AS mask
+      FROM vocab v, LATERAL (
+        SELECT CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|'
+                                       || v.word), 1, 15) AS BIGINT)
+                 % 16384 AS idx
+        FROM (SELECT unnest(range(0, 7)) AS i)) p
+    ), hits AS (
+      SELECT probe AS word,
+             min(CASE WHEN (coalesce(b.word, 0) & mask) = mask
+                      THEN 1 ELSE 0 END) = 1 AS maybe_present
+      FROM pc LEFT JOIN bits b USING (word_idx) GROUP BY 1
+    )
+    SELECT h.word, h.maybe_present,
+           s.word IS NOT NULL AS actually_present,
+           (h.maybe_present OR s.word IS NULL) AS no_false_negative
+    FROM hits h LEFT JOIN src0 s ON s.word = h.word
+"""
+
+
+@register("bloom_membership", oracle=_BLOOM_ORACLE)
+def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (16384 bits / 7 hashes) built over source-src0's
+    token vocabulary, probed with the WHOLE corpus vocabulary: never a
+    false negative (pinned per row); false positives priced by the
+    maybe/actual columns."""
+    from .functions.text import tokens
+    from .operators.sketch import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def vocab_of(df):
+        return df.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("word")
+        ).distinct()
+
+    src0 = vocab_of(docs.where(F.col("source") == "src0"))
+    bloom = bloom_build(src0, "word", m_bits=16384, k_hashes=7)
+    probed = bloom_probe(bloom, vocab_of(docs), "word",
+                         m_bits=16384, k_hashes=7)
+    return (
+        probed.join(src0.withColumn("__in", F.lit(True)), "word", "left")
+        .select(
+            "word", "maybe_present",
+            F.coalesce("__in", F.lit(False)).alias("actually_present"),
+            (F.col("maybe_present") | ~F.coalesce("__in", F.lit(False)))
+            .alias("no_false_negative"),
+        )
+    )
+
+
 @register("countmin_heavy_hitters", oracle=_CMS_ORACLE)
 def countmin_heavy_hitters_q(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

@@ -81,3 +81,30 @@ def test_countmin_weighted_and_mergeable(spark):
     out = {r["word"]: r["est"] for r in
            countmin_estimate(merged, probes, "word", d=2, w=64).collect()}
     assert out["x"] >= 7 and out["y"] >= 2 and out["z"] >= 5
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Every inserted key probes maybe_present=true (structural: bit_or
+    only sets bits); absent keys false-positive at roughly
+    (1 - e^(-kn/m))^k — with n=500, m=16384, k=7 that is ~2%, so
+    require < 10% on 500 absent probes. Merging two shard filters by
+    bit_or equals the whole-set filter."""
+    from aquacache_spark.operators.sketch import bloom_build, bloom_probe
+
+    present = spark.range(500).select(
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias("k"))
+    absent = spark.range(500).select(
+        F.concat(F.lit("nope-"), F.col("id").cast("string")).alias("k"))
+    bloom = bloom_build(present, "k")
+    got_p = bloom_probe(bloom, present, "k").collect()
+    assert all(r["maybe_present"] for r in got_p)
+    fp = sum(r["maybe_present"] for r in bloom_probe(bloom, absent, "k")
+             .collect())
+    assert fp < 50, fp
+    # shard merge: bit_or of two half filters == whole filter
+    a = bloom_build(present.where(F.col("k") < "key-3"), "k")
+    b = bloom_build(present.where(~(F.col("k") < "key-3")), "k")
+    merged = (a.unionByName(b).groupBy("word_idx")
+              .agg(F.bit_or("word").alias("word")))
+    assert (merged.exceptAll(bloom).count() == 0
+            and bloom.exceptAll(merged).count() == 0)
