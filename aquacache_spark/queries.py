@@ -5950,11 +5950,17 @@ def countmin_heavy_hitters_q(spark: SparkSession,
     probes = spark.createDataFrame(
         [(w,) for w in _CMS_PROBES], "word string")
     est = countmin_estimate(sk, probes, "word", d=4, w=1024)
+    # exact side: pre-aggregate the corpus, then RIGHT join with the
+    # tiny probe list broadcast — never build a hash table of the
+    # corpus side
+    cnts = tok.groupBy("tokk").agg(F.count(F.lit(1)).alias("__c"))
     exact = (
-        probes.join(tok, probes["word"] == tok["tokk"], "left")
-        .groupBy("word").agg(F.count("tokk").alias("exact"))
+        cnts.join(F.broadcast(probes),
+                  cnts["tokk"] == probes["word"], "right")
+        .select("word",
+                F.coalesce("__c", F.lit(0)).cast("long").alias("exact"))
     )
-    return est.join(exact, "word").select(
+    return est.join(F.broadcast(exact), "word").select(
         "word", "est", "exact",
         (F.col("est") >= F.col("exact")).alias("never_under"))
 

@@ -312,3 +312,18 @@ def test_lm_surprisal_no_global_window(spark):
         p = plan(spark, name)
         assert "Window" not in p, name
         assert "Exchange SinglePartition" not in p, name
+
+
+def test_sketch_and_tfidf_plan_shapes(spark):
+    # sketches: the probe/cross joins ride broadcasts; no sort-merge
+    # join anywhere (bounded state tables must never shuffle the
+    # corpus side on their key)
+    import re
+
+    for name in ("hll_token_distinct", "countmin_heavy_hitters",
+                 "bloom_membership", "tfidf_top_terms"):
+        p = plan(spark, name)
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+    # tfidf: the top-k rank must push the limit into the sort
+    assert "WindowGroupLimit" in plan(spark, "tfidf_top_terms")
