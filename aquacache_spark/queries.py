@@ -670,6 +670,54 @@ def rle_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gap-based sessionization via Spark's native session_window (the
+# dynamic-gap analog of the RLE/segment family; in a training-data
+# pipeline: user/crawl session assembly before per-session features).
+# Spark merges events whose [ts, ts+gap) windows OVERLAP, so a gap of
+# EXACTLY 30 minutes starts a new session (>=, not >, in the oracle).
+# One shuffle on user_id; the session assembly is a single
+# aggregation, no self-join.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS nb
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@register("event_sessionization", oracle=_SESSION_ORACLE)
+def event_sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user over the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.6 forward/backward fill (R/calculate_period.R:132-135)
 # ---------------------------------------------------------------------------
 
