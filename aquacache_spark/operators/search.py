@@ -283,3 +283,49 @@ def tfidf_top_terms(
         .select(id_col, "term", F.col("__rn").cast("long").alias("rank"),
                 (F.col("__q") / F.lit(_Q)).alias("tfidf"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    topk: int = 5,
+    k_const: int = 60,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of independent retrieval rankings —
+    the standard hybrid-search combiner (lexical BM25 + vector ANN):
+
+        rrf(d) = sum_sources 1 / (k + rank_source(d))
+
+    Each input frame carries (query_id, id_col, rank). Contributions
+    quantize to integer nano-units (floor(1e9 / (k + rank))) before
+    the exact sum, so fusion is order-independent for ANY number of
+    sources and bit-stable across engines; ties break on the doc id.
+
+    Scale: each ranking is already top-k-per-query (query-catalog
+    sized), so the union + fused aggregation is tiny regardless of
+    corpus size — the expensive parts are the upstream retrievers.
+    Output: (query_id, id_col, rrf_score, rank).
+    """
+    parts = [
+        r.select(
+            query_id, id_col,
+            F.floor(F.lit(1e9) / (F.lit(k_const) + F.col("rank")))
+            .cast("long").alias("__u"),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy(query_id, id_col).agg(
+        F.sum("__u").alias("__units"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("__units"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(query_id, id_col,
+                (F.col("__units") / F.lit(1e9)).alias("rrf_score"),
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -10074,8 +10074,8 @@ _BM25_QUERIES = [(0, "spark join key"), (1, "table scan fast value"),
 
 _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
 
-_BM25_ORACLE = f"""
-    WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
+# shared through `ranked` so the hybrid-RRF oracle reuses the chain
+_BM25_CTES = f"""q(query_id, query) AS (VALUES {_BM25_VALUES}),
     base AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks
       FROM documents
@@ -10117,6 +10117,10 @@ _BM25_ORACLE = f"""
                                 ORDER BY cl DESC, doc_id) AS rn
       FROM sc
     )
+"""
+
+_BM25_ORACLE = f"""
+    WITH {_BM25_CTES}
     SELECT query_id, doc_id,
            {R('cl / 1000000.0', 6)} AS score
     FROM ranked WHERE rn <= 5
@@ -10133,6 +10137,85 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id int, query string")
     out = bm25_topk(docs, queries, k=5)
     return _round(out, {"score": 6})
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# vector (cosine top-k) rankings — the standard two-tower serving
+# combiner. Contributions quantize to integer nano-units before the
+# exact sum, so fusion is order-independent for any source count.
+# Probe ids 0..3 name BOTH a text query and an embedding row.
+# ---------------------------------------------------------------------------
+
+_HYBRID_ORACLE = f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT query_id, doc_id, rn AS rank FROM ranked WHERE rn <= 10
+    ), qv AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 4
+    ), cvv AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), vs AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM qv, cvv WHERE query_id <> neighbor_id
+    ), vec AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, neighbor_id AS doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY floor(cosine * 1000000000.0 + 0.5) DESC,
+                          neighbor_id) AS rank
+        FROM vs) WHERE rank <= 10
+    ), uni AS (
+      SELECT query_id, doc_id,
+             CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS u
+      FROM lex
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS u
+      FROM vec
+    ), fused AS (
+      SELECT query_id, doc_id, sum(u) AS units FROM uni GROUP BY 1, 2
+    ), fr AS (
+      SELECT query_id, doc_id, units,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY units DESC, doc_id) AS rank
+      FROM fused
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(units AS BIGINT) / 1000000000.0 AS rrf_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM fr WHERE rank <= 5
+"""
+
+
+@register("hybrid_rrf_topk", oracle=_HYBRID_ORACLE)
+def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of BM25 top-10 and cosine top-10 per probe query."""
+    from pyspark.sql import Window as W
+
+    from .operators.search import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query string")
+    lex = bm25_topk(docs, queries, k=10)
+    wl = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    lex = lex.select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id",
+        "score").withColumn("rank", F.row_number().over(wl))
+    vec = cosine_topk(emb, emb.where(F.col("vec_id") < 4), k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex.select("query_id", "doc_id", "rank"), vec],
+                    topk=5)
 
 
 # Image near-duplicate detection via perceptual hashing
