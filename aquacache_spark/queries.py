@@ -13140,7 +13140,8 @@ def robots_rules_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots(_robots_fixture(spark))
 
 
-_ROBOTS_FILTER_ORACLE = "WITH " + _ROBOTS_SQL + """
+# urls + verdict chain shared with the crawl-frontier capstone
+_ROBOTS_VERDICT_CTES = """
     , urls AS (
       SELECT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host,
              CASE o_orderkey % 8
@@ -13181,14 +13182,21 @@ _ROBOTS_FILTER_ORACLE = "WITH " + _ROBOTS_SQL + """
                ORDER BY hit DESC, plen DESC, rule = 'allow' DESC,
                         path ASC) AS rn
       FROM joined
+    ), verdicts AS (
+      SELECT host, upath AS path, doc_id,
+             CASE WHEN coalesce(hit, FALSE) THEN rule = 'allow'
+                  ELSE TRUE END AS allowed,
+             CASE WHEN hit THEN rule END AS matched_rule,
+             CASE WHEN hit THEN path END AS matched_path
+      FROM ranked WHERE rn = 1
     )
-    SELECT host, upath AS path, doc_id,
-           CASE WHEN coalesce(hit, FALSE) THEN rule = 'allow'
-                ELSE TRUE END AS allowed,
-           CASE WHEN hit THEN rule END AS matched_rule,
-           CASE WHEN hit THEN path END AS matched_path
-    FROM ranked WHERE rn = 1
 """
+
+_ROBOTS_FILTER_ORACLE = ("WITH " + _ROBOTS_SQL + _ROBOTS_VERDICT_CTES
+                         + """
+    SELECT host, path, doc_id, allowed, matched_rule, matched_path
+    FROM verdicts
+""")
 
 
 @register("robots_url_filter", oracle=_ROBOTS_FILTER_ORACLE)
@@ -13234,12 +13242,10 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Nodes 50..59 appear only as destinations -> dangling mass exercised.
 # ---------------------------------------------------------------------------
 
-def _pagerank_oracle() -> str:
-    sql = """
-    WITH e AS (
-      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 60 AS dst
-      FROM orders
-    ), nodes AS (
+def _pr_cte_chain(iterations: int) -> str:
+    """deg/nn/pr0..prN CTE text over a preceding CTE ``e(src, dst)``
+    (shared by host_pagerank and the crawl-frontier capstone)."""
+    sql = """nodes AS (
       SELECT DISTINCT node FROM (
         SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
     ), deg AS (
@@ -13252,7 +13258,7 @@ def _pagerank_oracle() -> str:
     ), pr0 AS (
       SELECT node, outdeg, CAST(1000000000 AS BIGINT) AS pr FROM deg
     )"""
-    for i in range(1, 6):
+    for i in range(1, iterations + 1):
         p = f"pr{i - 1}"
         sql += f""", pr{i} AS (
       SELECT d.node, d.outdeg,
@@ -13267,12 +13273,19 @@ def _pagerank_oracle() -> str:
                   FROM {p} WHERE outdeg = 0) dg
       CROSS JOIN nn
     )"""
-    sql += """
+    return sql
+
+
+def _pagerank_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 60 AS dst
+      FROM orders
+    ), {_pr_cte_chain(5)}
     SELECT node, CAST(pr AS BIGINT) AS rank_units,
            CAST(pr AS BIGINT) / 1000000000.0 AS rank
     FROM pr5
 """
-    return sql
 
 
 @register("host_pagerank", oracle=_pagerank_oracle())
@@ -13287,6 +13300,91 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 60).alias("dst"),
     ).distinct()
     return host_pagerank(edges, iterations=5)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier capstone: the web tier composed — RFC 9309 verdicts
+# gate the URL corpus, host PageRank prices each host, and the
+# frontier table carries per-host budgets (allowed/blocked counts,
+# next allowed path). Every component is independently oracled
+# (robots_url_filter, host_pagerank); this verifies the COMPOSITION.
+# ---------------------------------------------------------------------------
+
+_FRONTIER_ORACLE = (
+    "WITH " + _ROBOTS_SQL + _ROBOTS_VERDICT_CTES + """
+    , e AS (
+      SELECT DISTINCT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS src,
+             'h' || CAST(o_orderkey % 50 AS VARCHAR) AS dst
+      FROM orders
+    ), """ + _pr_cte_chain(3) + """
+    , agg AS (
+      SELECT host,
+             CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_allowed,
+             CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_disallowed,
+             min(CASE WHEN allowed THEN path END) AS next_path
+      FROM verdicts GROUP BY 1
+    )
+    SELECT a.host, CAST(coalesce(p.pr, 0) AS BIGINT) AS rank_units,
+           a.n_allowed, a.n_disallowed, a.next_path
+    FROM agg a LEFT JOIN pr3 p ON p.node = a.host
+""")
+
+
+@register("crawl_frontier_priority", oracle=_FRONTIER_ORACLE)
+def crawl_frontier_priority_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-host crawl budget: robots-gated URL counts + link-graph
+    priority (3-iteration integer PageRank) + next allowed path."""
+    from .operators.graph import host_pagerank
+    from .operators.web import parse_robots, robots_allowed
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 6 == 2)
+    k = F.col("o_orderkey")
+    path = (
+        F.when(k % 8 == 0, F.concat(F.lit("/private/doc"),
+                                    (k % 20).cast("string")))
+        .when(k % 8 == 1, F.concat(F.lit("/private/ok/p"),
+                                   (k % 20).cast("string")))
+        .when(k % 8 == 2, F.concat(F.lit("/tmp"), (k % 10).cast("string"),
+                                   F.lit("/x")))
+        .when(k % 8 == 3, F.lit("/tmp/keep"))
+        .when(k % 8 == 4, F.concat(F.lit("/blog/post"),
+                                   (k % 30).cast("string")))
+        .when(k % 8 == 5, F.concat(F.lit("/search/q"),
+                                   (k % 9).cast("string")))
+        .when(k % 8 == 6, F.concat(F.lit("/public/a"),
+                                   (k % 40).cast("string")))
+        .otherwise(F.lit("/tmp/keepx"))
+    )
+    urls = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"))
+        .alias("host"),
+        path.alias("path"),
+        k.alias("doc_id"),
+    )
+    verdict = robots_allowed(
+        urls, parse_robots(_robots_fixture(spark)), agent="aquabot")
+    full = _t(spark, sf_dir, "orders")
+    edges = full.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 50).cast("string"))
+        .alias("dst"),
+    ).distinct()
+    pr = host_pagerank(edges, iterations=3).select(
+        F.col("node").alias("host"), "rank_units")
+    agg = verdict.groupBy("host").agg(
+        F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        F.sum((~F.col("allowed")).cast("long")).alias("n_disallowed"),
+        F.min(F.when(F.col("allowed"), F.col("path"))).alias("next_path"),
+    )
+    return agg.join(pr, "host", "left").select(
+        "host",
+        F.coalesce("rank_units", F.lit(0)).cast("long")
+        .alias("rank_units"),
+        "n_allowed", "n_disallowed", "next_path")
 
 
 # ---------------------------------------------------------------------------
