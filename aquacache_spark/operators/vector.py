@@ -158,3 +158,51 @@ def upsert_features(
         .withColumn("geom_id", F.coalesce(F.col("__ex_id"), new_id))
         .drop("__ex_id")
     )
+
+
+def zorder_key(
+    x: Column,
+    y: Column,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key for two coordinates: quantize each axis to
+    ``bits`` levels over FIXED bounds, then interleave the bits — the
+    space-filling-curve sort key that makes 2-D locality survive a 1-D
+    file layout.
+
+    The 100 TB use: sorting/bucketing a spatial table (stations,
+    raster tiles, masked points) by this key before writing means a
+    bbox query's row-group min/max statistics prune to O(perimeter)
+    z-runs instead of scanning every file — the Delta/Iceberg
+    OPTIMIZE ZORDER layout, reproduced as a plain codegen'd sort key
+    (no UDF, no shuffle beyond the write's own sort). Bounds are
+    explicit arguments (data-independent, so the key is stable as the
+    table grows); out-of-range coordinates clamp to the edge cells.
+
+    Integer-exact in both engines: quantization is floor() of a
+    bounded double expression, interleave is shifts/masks of bigints.
+    """
+    span_x = x_max - x_min
+    span_y = y_max - y_min
+    n = (1 << bits) - 1
+    qx = F.floor(
+        F.least(F.greatest((x - F.lit(x_min)) / F.lit(span_x),
+                           F.lit(0.0)), F.lit(1.0)) * n
+    ).cast("long")
+    qy = F.floor(
+        F.least(F.greatest((y - F.lit(y_min)) / F.lit(span_y),
+                           F.lit(0.0)), F.lit(1.0)) * n
+    ).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)),
+                          2 * i + 1)
+        )
+    return z

@@ -13303,6 +13303,54 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) layout key: the OPTIMIZE-ZORDER story as a plain
+# codegen'd sort key — bbox queries over a z-sorted table prune on
+# row-group min/max stats instead of scanning every file.
+# ---------------------------------------------------------------------------
+
+_Z_INTERLEAVE = " + ".join(
+    f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16))
+
+_ZORDER_ORACLE = f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             50.0 + (c_custkey % 2000) / CAST(100 AS DOUBLE) AS lat,
+             -140.0 + (c_custkey % 3500) / CAST(100 AS DOUBLE) AS lon
+      FROM customer
+    ), q AS (
+      SELECT c_custkey,
+             CAST(floor(least(greatest(
+               (lat - CAST(50 AS DOUBLE)) / CAST(20 AS DOUBLE),
+               CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) * 65535)
+               AS BIGINT) AS qx,
+             CAST(floor(least(greatest(
+               (lon - CAST(-140 AS DOUBLE)) / CAST(35 AS DOUBLE),
+               CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) * 65535)
+               AS BIGINT) AS qy
+      FROM pts
+    )
+    SELECT c_custkey, CAST({_Z_INTERLEAVE} AS BIGINT) AS zkey
+    FROM q
+"""
+
+
+@register("zorder_layout_key", oracle=_ZORDER_ORACLE)
+def zorder_layout_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit-per-axis Morton key over synthesized station
+    coordinates (fixed Yukon-ish bounds; out-of-range clamps)."""
+    from .operators.vector import zorder_key
+
+    c = _t(spark, sf_dir, "customer")
+    lat = F.lit(50.0) + (F.col("c_custkey") % 2000) / F.lit(100.0)
+    lon = F.lit(-140.0) + (F.col("c_custkey") % 3500) / F.lit(100.0)
+    return c.select(
+        "c_custkey",
+        zorder_key(lat, lon, 50.0, 70.0, -140.0, -105.0, bits=16)
+        .alias("zkey"))
+
+
+# ---------------------------------------------------------------------------
 # Crawl-frontier capstone: the web tier composed — RFC 9309 verdicts
 # gate the URL corpus, host PageRank prices each host, and the
 # frontier table carries per-host budgets (allowed/blocked counts,

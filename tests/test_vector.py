@@ -216,3 +216,44 @@ class TestGpkgReader:
             )
 
         assert key(gp) == key(cs)
+
+
+def test_zorder_key_locality_and_clamping(spark):
+    """The Morton key must (a) clamp out-of-range coordinates to the
+    edge cells, (b) keep bbox neighbours in FEW contiguous z-runs —
+    the property that makes min/max row-group pruning work on a
+    z-sorted layout (a row-major key would shatter a tall bbox into
+    one run per row of cells)."""
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.operators.vector import zorder_key
+
+    pts = spark.range(10_000).select(
+        F.col("id"),
+        (F.lit(50.0) + (F.col("id") % 100) / F.lit(5.0)).alias("lat"),
+        (F.lit(-140.0) + (F.col("id") / 100).cast("int") / F.lit(3.0))
+        .alias("lon"),
+    )
+    z = pts.select(
+        "id", "lat", "lon",
+        zorder_key(F.col("lat"), F.col("lon"),
+                   50.0, 70.0, -140.0, -105.0).alias("zkey"))
+    rows = sorted(z.collect(), key=lambda r: r["zkey"])
+    # bbox = a 4x4-degree square in the middle
+    in_box = [i for i, r in enumerate(rows)
+              if 58 <= r["lat"] <= 62 and -130 <= r["lon"] <= -126]
+    runs = 1 + sum(1 for a, b in zip(in_box, in_box[1:]) if b != a + 1)
+    assert len(in_box) > 200
+    # locality: the bbox occupies far fewer sorted runs than points
+    assert runs < len(in_box) / 4, (runs, len(in_box))
+
+    clamped = spark.createDataFrame(
+        [(1, -999.0, 999.0), (2, 50.0, -140.0), (3, 70.0, -105.0)],
+        "id long, lat double, lon double")
+    out = {r["id"]: r["zkey"] for r in clamped.select(
+        "id", zorder_key(F.col("lat"), F.col("lon"),
+                         50.0, 70.0, -140.0, -105.0).alias("zkey"))
+        .collect()}
+    assert out[2] == 0                      # both mins -> cell (0, 0)
+    assert out[3] == (1 << 32) - 1          # both maxes -> all bits set
+    assert 0 <= out[1] <= (1 << 32) - 1     # clamped inside the domain
