@@ -721,3 +721,62 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
                  overlap=2).collect()}
     assert streamed == batch
     assert {d for d, _, _ in streamed} == {1, 2, 3}
+
+
+def test_streaming_sessionization_matches_batch(spark, tmp_path):
+    """Append-mode session_window: sessions merge across micro-batches
+    while open and emit exactly once when the watermark passes their
+    end — the emitted set must equal the batch sessionization of the
+    closed history, and the still-open tail must NOT emit."""
+    from aquacache_spark.streaming.structured import (
+        read_measurement_stream, sessionize_stream, start_incremental_sink,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, ["timeseries_id", "datetime", "value"],
+        ).withColumn("datetime", F.col("datetime").cast("timestamp")) \
+         .write.mode("append").parquet(str(landing))
+
+    seen = []
+
+    def process(df, epoch_id):
+        seen.append(df.collect())
+
+    stream = read_measurement_stream(spark, str(landing))
+    rolled = sessionize_stream(stream, gap="30 minutes",
+                               watermark="1 hour")
+    q = start_incremental_sink(rolled, process, ckpt,
+                               output_mode="append")
+    try:
+        # two sessions for series 1 (gap > 30 min), one for series 2;
+        # the second event of session A arrives in a LATER micro-batch
+        # and must merge into the open session
+        write([(1, "2024-01-01 00:00:00", 1.0),
+               (2, "2024-01-01 00:05:00", 1.0)])
+        q.processAllAvailable()
+        write([(1, "2024-01-01 00:10:00", 1.0),
+               (1, "2024-01-01 01:30:00", 1.0)])
+        q.processAllAvailable()
+        # watermark pusher: 10:00 - 1h closes everything above
+        write([(1, "2024-01-01 10:00:00", 1.0)])
+        q.processAllAvailable()
+        # far-future tail: closes the 10:00 session, stays open itself
+        write([(2, "2024-01-02 12:00:00", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["timeseries_id"], str(r["session_start"]),
+            str(r["session_end"]), r["n_events"])
+           for batch in seen for r in batch}
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:40:00", 2),
+        (1, "2024-01-01 01:30:00", "2024-01-01 02:00:00", 1),
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:35:00", 1),
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1),
+    }  # the 2024-01-02 session is still open -> not emitted
