@@ -13491,6 +13491,110 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"mean_surprisal": 6})
 
 
+# PMI collocations: pointwise mutual information over adjacent token
+# pairs — the classic corpus collocation extractor ("new york"-class
+# multiword expressions). pmi = ln(c(a,b) * T / (c(a) * c(b))) with T
+# = total bigram positions; min-count floor keeps the head of the
+# distribution; micro-nat quantization makes ranking bit-stable.
+_PMI_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT unnest(toks) AS w FROM base
+    ), uni AS (
+      SELECT w, count(*) AS cw FROM tok GROUP BY 1
+    ), pairs AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b
+      FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+    ), bgc AS (
+      SELECT a, b, count(*) AS cb FROM pairs GROUP BY 1, 2
+    ), tot AS (
+      SELECT count(*) AS t FROM pairs
+    ), scored AS (
+      SELECT bgc.a, bgc.b, bgc.cb,
+             CAST(floor(
+               ln(CAST(bgc.cb AS DOUBLE) * tot.t
+                  / (CAST(ua.cw AS DOUBLE) * ub.cw))
+               * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+      FROM bgc
+      JOIN uni ua ON ua.w = bgc.a
+      JOIN uni ub ON ub.w = bgc.b
+      CROSS JOIN tot
+      WHERE bgc.cb >= 5
+    ), ranked AS (
+      SELECT a, b, cb, q,
+             row_number() OVER (ORDER BY q DESC, a ASC, b ASC) AS rank
+      FROM scored
+    )
+    SELECT a, b, CAST(cb AS BIGINT) AS pair_count,
+           q / 1000000.0 AS pmi, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+"""
+
+
+@register("pmi_collocations", oracle=_PMI_ORACLE)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-pair collocations by PMI (min pair count 5).
+
+    Scale: one bigram aggregation (corpus-token shuffle class), uni
+    dims joined on the token key (vocab-sized, AQE decides), total via
+    agg + 1-row broadcast. The final global top-20 ranks a frame
+    already cut to cb >= 5 collocation candidates — bigram-TYPE
+    cardinality, not corpus cardinality; at web scale raise the floor
+    (or rank per shard then merge) before the single-partition sort."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.text import tokens
+    from pyspark.sql import Window as W
+
+    base = docs.select(tokens(F.lower(F.col("text"))).alias("__toks"))
+    base = base.withColumn("__n", F.size("__toks"))
+    toks = F.col("__toks")
+    uni = (
+        base.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    )
+    pairs = base.select(
+        F.explode(
+            F.when(
+                F.col("__n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, i + 1).alias("b")),
+                ),
+            )
+        ).alias("bg"),
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    bgc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cb"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("t"))
+    scored = (
+        bgc.where(F.col("cb") >= 5)
+        .join(uni.select(F.col("w").alias("a"),
+                         F.col("cw").alias("ca")), "a")
+        .join(uni.select(F.col("w").alias("b"),
+                         F.col("cw").alias("cb2")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a", "b", "cb",
+            F.floor(
+                F.log(F.col("cb").cast("double") * F.col("t")
+                      / (F.col("ca").cast("double") * F.col("cb2")))
+                * 1e6 + F.lit(0.5)
+            ).cast("long").alias("__q"),
+        )
+    )
+    w = W.orderBy(F.desc("__q"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("a", "b", F.col("cb").alias("pair_count"),
+                (F.col("__q") / F.lit(1e6)).alias("pmi"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 # Kneser-Ney: the continuation-count rung above deleted interpolation.
 # The float expression shape (operand order, promotion points) is
 # mirrored verbatim so both engines agree to the ulp.
