@@ -565,6 +565,52 @@ def hash_stratified_sample(
     )
 
 
+def weighted_stratified_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted k-sample per stratum (Efraimidis &
+    Spirakis A-ES): each row draws u in (0, 1] from its salted id hash
+    and scores key = ln(u) / w; the k LARGEST keys win — inclusion
+    probability proportional to weight, without replacement. The
+    quality-weighted data-selection primitive (sample high-quality
+    docs harder), reproducible across runs/engines/partitionings like
+    :func:`hash_stratified_sample` (same salt -> same sample).
+
+    Determinism: u = (h + 1) / 2^60 from the 60-bit md5 prefix, so
+    ln(u)/w is the same double on both engines; keys quantize to
+    integer nano-units (floor toward -inf on both) before the rank,
+    ties break on the id. Rows with weight <= 0 are excluded (A-ES is
+    undefined there); strata with <= k positive rows pass whole.
+
+    Scale: one hash projection + one rank window per stratum
+    (WindowGroupLimit bounds per-stratum materialization to k past
+    the shuffle).
+    """
+    from pyspark.sql import Window
+
+    h = md5_int(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)), 15)
+    u = (h + F.lit(1)) / F.lit(float(1 << 60))
+    key = F.floor(
+        F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9)
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("__key"), F.asc(id_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(*df.columns,
+                F.col("__rn").cast("long").alias("sample_rank"))
+    )
+
+
 def simhash_near_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

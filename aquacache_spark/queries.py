@@ -5770,6 +5770,51 @@ def hash_stratified_sample_q(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Weighted A-ES sampling: inclusion probability proportional to a
+# per-doc weight, without replacement, no RNG — key = ln(u)/w from the
+# salted id hash, nano-quantized before the per-stratum rank.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = """
+    WITH h AS (
+      SELECT doc_id, source, (doc_id % 10) + 1 AS weight,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                     || '|wsample-v1'), 1, 15) AS BIGINT)
+               AS hh
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, weight,
+             CAST(floor(
+               ln((hh + 1) / CAST(1152921504606846976 AS DOUBLE))
+               / CAST(weight AS DOUBLE) * 1000000000.0) AS BIGINT) AS k
+      FROM h WHERE weight > 0
+    ), r AS (
+      SELECT doc_id, source, weight,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY k DESC, doc_id ASC)
+               AS sample_rank
+      FROM keyed
+    )
+    SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 7
+"""
+
+
+@register("weighted_stratified_sample", oracle=_WSAMPLE_ORACLE)
+def weighted_stratified_sample_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """7 docs per source, weight-proportional (A-ES) with weight =
+    doc_id % 10 + 1."""
+    from .operators.dedup import weighted_stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (F.col("doc_id") % 10 + 1).alias("weight"))
+    return weighted_stratified_sample(docs, k=7, weight_col="weight")
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top-k terms per document (operators/search.tfidf_top_terms):
 # corpus-keyword extraction; df join stays an equi-join (vocab-sized,
 # never broadcast at web scale), n_docs is an agg + 1-row broadcast.

@@ -572,6 +572,52 @@ def main() -> None:
     t("dsir_importance", importance_weights(
         docs, docs.where(F.col("doc_id") % 17 == 2), num_buckets=4096))
 
+    # sketch tier at volume: state must stay BOUNDED (256 HLL
+    # registers / 4x1024 CMS counters / 512 Bloom words) while the key
+    # stream grows — 5M keys here, any n at 100 TB; the shuffles carry
+    # registers/counters/words, never keys. HLL estimate must hold its
+    # ~6.5% (p=8) error at 2M distinct.
+    from aquacache_spark.operators.sketch import (bloom_build,
+                                                  bloom_probe,
+                                                  countmin_build,
+                                                  countmin_estimate,
+                                                  hll_distinct)
+
+    keys = spark.range(0, 5_000_000).select(
+        (F.col("id") % 2_000_000).cast("string").alias("k"))
+    t0 = time.perf_counter()
+    hll_row = hll_distinct(keys, "k", p=8).collect()[0]
+    timings["hll_2m_distinct"] = round(time.perf_counter() - t0, 2)
+    assert hll_row["n_registers"] == 256
+    assert abs(hll_row["estimate"] - 2_000_000) / 2_000_000 < 0.2, \
+        hll_row["estimate"]
+    t0 = time.perf_counter()
+    cms = countmin_build(keys, "k", d=4, w=1024).persist()
+    n_cells = cms.count()
+    cms_probe = countmin_estimate(
+        cms, spark.createDataFrame([("7",), ("1999999",)],
+                                   "word string"),
+        "word", d=4, w=1024).collect()
+    timings["countmin_5m_build_probe"] = round(
+        time.perf_counter() - t0, 2)
+    cms.unpersist()
+    assert n_cells <= 4 * 1024
+    assert all(r["est"] >= 2 for r in cms_probe)  # true count ~2-3
+    t0 = time.perf_counter()
+    bl = bloom_build(keys.distinct(), "k").persist()
+    n_words = bl.count()
+    hits = bloom_probe(
+        bl, spark.range(0, 1_000_000).select(
+            F.col("id").cast("string").alias("k")), "k"
+    ).where(F.col("maybe_present")).count()
+    timings["bloom_2m_build_1m_probe"] = round(
+        time.perf_counter() - t0, 2)
+    bl.unpersist()
+    assert n_words <= 512
+    # 2M keys into 16384 bits: saturated -> everything maybe-present;
+    # the pin is the BOUNDED state + linear probe cost, not FP rate
+    assert hits == 1_000_000
+
     # adversarial robots.txt: one host serves a rule bomb (15k
     # Disallow lines over 26 path prefixes; the separate parse-limit
     # probe below uses 40k) and receives 20% of the
