@@ -13630,10 +13630,13 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("__q"),
         )
     )
+    # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps, k-row merge) — no single-partition window
+    # over the candidate frame; the rank window then runs on 20 rows
+    top = scored.orderBy(F.desc("__q"), F.asc("a"), F.asc("b")).limit(20)
     w = W.orderBy(F.desc("__q"), F.asc("a"), F.asc("b"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("a", "b", F.col("cb").alias("pair_count"),
                 (F.col("__q") / F.lit(1e6)).alias("pmi"),
                 F.col("rank").cast("long").alias("rank"))
