@@ -7525,6 +7525,80 @@ def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets: rank every document by its corpus-LM
+# mean surprisal and cut the ranking into exact terciles (head =
+# lowest surprisal = most fluent). The global ranking uses
+# operators/rank.global_rank — range partition + per-bucket window +
+# offset join, NO single-partition exchange (the weak-flag class a
+# global row_number window would be). Ranking key is the micro-nat
+# QUANTIZED mean (an integer, identical on both engines), doc_id
+# tiebreak.
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt) AS total FROM freq
+    ), surp AS (
+      SELECT tok, CAST(floor(-ln(cnt / total) * 1000000 + 0.5) AS BIGINT) AS q
+      FROM freq, tot
+    ), d AS (
+      SELECT t.doc_id, sum(q) AS sq, count(*) AS n
+      FROM tok t JOIN surp USING (tok) GROUP BY 1
+    ), keyed AS (
+      SELECT doc_id,
+             CAST(floor((sq / 1000000.0 / n) * 1000000 + 0.5) AS BIGINT)
+               AS mq
+      FROM d
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM keyed
+    ), r AS (
+      SELECT doc_id, mq,
+             row_number() OVER (ORDER BY mq ASC, doc_id ASC) AS rank
+      FROM keyed
+    )
+    SELECT doc_id, mq / 1000000.0 AS mean_surprisal,
+           CAST(rank AS BIGINT) AS rank,
+           CASE WHEN rank * 3 <= nd.n_docs THEN 'head'
+                WHEN rank * 3 <= nd.n_docs * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r CROSS JOIN nd
+"""
+
+
+@register("surprisal_quality_buckets", oracle=_PPL_BUCKETS_ORACLE)
+def surprisal_quality_buckets_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Exact surprisal terciles over the corpus (head/middle/tail)."""
+    from .operators.dedup import unigram_surprisal
+    from .operators.rank import global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    surp = unigram_surprisal(docs)
+    keyed = surp.select(
+        "doc_id",
+        F.floor(F.col("mean_surprisal").cast("double") * 1e6
+                + F.lit(0.5)).cast("long").alias("__mq"))
+    ranked = global_rank(keyed, ["__mq", "doc_id"], rank_col="rank")
+    nd = keyed.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        ranked.crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            (F.col("__mq") / F.lit(1e6)).alias("mean_surprisal"),
+            "rank",
+            F.when(F.col("rank") * 3 <= F.col("n_docs"), "head")
+            .when(F.col("rank") * 3 <= F.col("n_docs") * 2, "middle")
+            .otherwise("tail").alias("bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # The public read API end-to-end (§2.13, patch_53.R:1844-2260), oracle-
 # checked: a NESTED compound (8 = coalesce(compound 6, basic 5); 6 =
 # coalesce(corrected basic 1, basic 2)) with a member-level correction,
