@@ -717,6 +717,64 @@ def event_sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-user session features on top of the session assembly: the
+# engagement profile (session counts, exact-summed active seconds,
+# busiest session) — sessionization COMPOSED with aggregation. Active
+# seconds = last-minus-first event per session (integer epoch diff,
+# exact), not the gap-padded window end.
+_SESSION_FEATURES_ORACLE = """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS nb
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ), sess AS (
+      SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_events,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+               AS active_seconds
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(sum(active_seconds) AS BIGINT) AS total_active_seconds,
+           CAST(max(n_events) AS BIGINT) AS busiest_session_events
+    FROM sess GROUP BY 1
+"""
+
+
+@register("session_features", oracle=_SESSION_FEATURES_ORACLE)
+def session_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement profile from 30-minute-gap sessions —
+    two partial-aggregable groupBys on the same user key (the second
+    shuffle is AQE-coalesced), all-integer arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr("(unix_micros(max(ts)) - unix_micros(min(ts)))"
+                   " div 1000000").alias("active_seconds"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.sum("active_seconds").cast("long")
+        .alias("total_active_seconds"),
+        F.max("n_events").cast("long").alias("busiest_session_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 forward/backward fill (R/calculate_period.R:132-135)
 # ---------------------------------------------------------------------------
