@@ -13480,7 +13480,36 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Z-order (Morton) layout key: the OPTIMIZE-ZORDER story as a plain
+# Deep-graph connected components (operators/graph.connected_components,
+# pointer jumping): 97-node chains are the adversarial shape for plain
+# min-label propagation (depth rounds); path halving converges in
+# O(log depth). Chain-break fixture has a closed-form answer.
+# ---------------------------------------------------------------------------
+
+_CHAIN_CC_ORACLE = """
+    WITH nd AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id,
+           (doc_id // 97) * 97 AS component_rep,
+           CAST(least(97, nd.n - (doc_id // 97) * 97) AS BIGINT)
+             AS component_size
+    FROM documents CROSS JOIN nd
+"""
+
+
+@register("chain_components", oracle=_CHAIN_CC_ORACLE)
+def chain_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over consecutive-id chains broken at
+    multiples of 97 (depth-97 paths — the min-label worst case,
+    solved in ~8 pointer-jumping rounds)."""
+    from .operators.graph import connected_components
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    a = ids.select(F.col("doc_id").alias("id_a"))
+    b = ids.select(F.col("doc_id").alias("id_b"))
+    edges = a.join(
+        b, (b["id_b"] == a["id_a"] + 1)
+        & ((a["id_a"] + 1) % 97 != 0))
+    return connected_components(edges, ids)
 # codegen'd sort key — bbox queries over a z-sorted table prune on
 # row-group min/max stats instead of scanning every file.
 # ---------------------------------------------------------------------------

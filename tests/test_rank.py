@@ -43,3 +43,31 @@ def test_global_rank_empty_and_single_row(spark):
     assert global_rank(empty, ["k", "uid"], "r").count() == 0
     one = spark.createDataFrame([(5, 1)], "k long, uid long")
     assert global_rank(one, ["k", "uid"], "r").collect()[0]["r"] == 1
+
+
+def test_pointer_jumping_converges_on_deep_chain(spark):
+    """A 5000-node path has diameter 5000 — plain min-label would need
+    5000 rounds; pointer jumping must resolve it inside 16 (log-depth)
+    and agree with duplicate_clusters on a random shallow graph."""
+    from aquacache_spark.operators.dedup import duplicate_clusters
+    from aquacache_spark.operators.graph import connected_components
+
+    ids = spark.range(5_000).select(F.col("id").alias("doc_id"))
+    chain = spark.range(4_999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    out = connected_components(chain, ids, max_iters=16)
+    rows = out.collect()
+    assert all(r["component_rep"] == 0 for r in rows)
+    assert all(r["component_size"] == 5_000 for r in rows)
+
+    # random shallow graph: parity with the min-label operator
+    pairs = spark.range(300).select(
+        (F.col("id") * 7919 % 500).alias("id_a"),
+        (F.col("id") * 104729 % 500).alias("id_b"),
+    ).where(F.col("id_a") != F.col("id_b"))
+    nodes = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"], r["component_rep"]) for r in
+         connected_components(pairs, nodes).collect()}
+    b = {(r["doc_id"], r["cluster_rep"]) for r in
+         duplicate_clusters(pairs, nodes).collect()}
+    assert a == b
