@@ -13479,6 +13479,76 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, iterations=5)
 
 
+# Link-graph degree profile: in/out degree, distinct peers, and
+# reciprocity (mutual links) per host — the spam/seed triage columns
+# next to PageRank. Reciprocity = edges whose reverse edge exists:
+# one self-equi-join on the reversed key, pair mass = edge count.
+_LINK_STATS_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 60 AS dst
+      FROM orders
+    ), recip AS (
+      SELECT a.src, count(*) AS mutual
+      FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+      GROUP BY 1
+    ), outs AS (
+      SELECT src AS node, count(*) AS out_degree,
+             count(DISTINCT dst) AS out_peers
+      FROM e GROUP BY 1
+    ), ins AS (
+      SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY 1
+    )
+    SELECT coalesce(o.node, i.node) AS node,
+           CAST(coalesce(o.out_degree, 0) AS BIGINT) AS out_degree,
+           CAST(coalesce(o.out_peers, 0) AS BIGINT) AS out_peers,
+           CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree,
+           CAST(coalesce(r.mutual, 0) AS BIGINT) AS mutual_links
+    FROM outs o
+    FULL OUTER JOIN ins i ON i.node = o.node
+    LEFT JOIN recip r ON r.src = coalesce(o.node, i.node)
+"""
+
+
+@register("host_link_stats", oracle=_LINK_STATS_ORACLE)
+def host_link_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host degree/reciprocity profile over the synthesized link
+    graph — three partial-aggregable groupBys + one reversed-edge
+    equi-join (pair mass = edge count, never quadratic)."""
+    o = _t(spark, sf_dir, "orders")
+    e = o.select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("o_orderkey") % 60).alias("dst"),
+    ).distinct()
+    recip = (
+        e.alias("a")
+        .join(e.alias("b"),
+              (F.col("b.src") == F.col("a.dst"))
+              & (F.col("b.dst") == F.col("a.src")))
+        .groupBy(F.col("a.src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("mutual"))
+    )
+    outs = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.countDistinct("dst").alias("out_peers"))
+    ins = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree"))
+    return (
+        outs.join(ins, "node", "full_outer")
+        .join(recip, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).cast("long")
+            .alias("out_degree"),
+            F.coalesce("out_peers", F.lit(0)).cast("long")
+            .alias("out_peers"),
+            F.coalesce("in_degree", F.lit(0)).cast("long")
+            .alias("in_degree"),
+            F.coalesce("mutual", F.lit(0)).cast("long")
+            .alias("mutual_links"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deep-graph connected components (operators/graph.connected_components,
 # pointer jumping): 97-node chains are the adversarial shape for plain
