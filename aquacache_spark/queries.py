@@ -13598,7 +13598,117 @@ def host_link_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Deep-graph connected components (operators/graph.connected_components,
+# Round-7 curation capstone: LM perplexity buckets x exact-dedup
+# canonicalization x weighted A-ES sampling composed into a training
+# manifest — keep head/middle-bucket canonicals, then draw 20 docs per
+# source with head weighted 3:1 over middle. Each component is
+# independently oracled (surprisal_quality_buckets, dedup_exact,
+# weighted_stratified_sample); this verifies the COMPOSITION.
+# ---------------------------------------------------------------------------
+
+_SCORED_MANIFEST_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt) AS total FROM freq
+    ), surp AS (
+      SELECT tok, CAST(floor(-ln(cnt / total) * 1000000 + 0.5) AS BIGINT) AS q
+      FROM freq, tot
+    ), d AS (
+      SELECT t.doc_id, sum(q) AS sq, count(*) AS n
+      FROM tok t JOIN surp USING (tok) GROUP BY 1
+    ), keyed AS (
+      SELECT doc_id,
+             CAST(floor((sq / 1000000.0 / n) * 1000000 + 0.5) AS BIGINT)
+               AS mq
+      FROM d
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM keyed
+    ), r AS (
+      SELECT doc_id, mq,
+             row_number() OVER (ORDER BY mq ASC, doc_id ASC) AS rank
+      FROM keyed
+    ), bucketed AS (
+      SELECT doc_id,
+             CASE WHEN rank * 3 <= nd.n_docs THEN 'head'
+                  WHEN rank * 3 <= nd.n_docs * 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM r CROSS JOIN nd
+    ), canon AS (
+      SELECT d.doc_id, d.source, b.bucket,
+             min(d.doc_id) OVER (
+               PARTITION BY md5(regexp_replace(lower(d.text), '\\s+',
+                                               ' ', 'g'))
+             ) = d.doc_id AS canonical
+      FROM documents d JOIN bucketed b ON b.doc_id = d.doc_id
+      WHERE b.bucket <> 'tail'
+    ), pool AS (
+      SELECT doc_id, source, bucket,
+             CASE WHEN bucket = 'head' THEN 3 ELSE 1 END AS weight
+      FROM canon WHERE canonical
+    ), drawn AS (
+      SELECT doc_id, source, bucket, weight,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(floor(
+                 ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || '|manifest-v1'), 1, 15) AS BIGINT) + 1)
+                    / CAST(1152921504606846976 AS DOUBLE))
+                 / CAST(weight AS DOUBLE) * 1000000000.0) AS BIGINT)
+                 DESC, doc_id ASC) AS sample_rank
+      FROM pool
+    )
+    SELECT doc_id, source, bucket, CAST(weight AS BIGINT) AS weight,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM drawn WHERE sample_rank <= 20
+"""
+
+
+@register("scored_curation_manifest", oracle=_SCORED_MANIFEST_ORACLE)
+def scored_curation_manifest_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Training manifest: fluent-bucket canonicals sampled 3:1
+    head-over-middle, 20 per source."""
+    from .functions.text import fingerprint
+    from .operators.dedup import (unigram_surprisal,
+                                  weighted_stratified_sample)
+    from .operators.rank import global_rank
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    surp = unigram_surprisal(docs)
+    keyed = surp.select(
+        "doc_id",
+        F.floor(F.col("mean_surprisal").cast("double") * 1e6
+                + F.lit(0.5)).cast("long").alias("__mq"))
+    ranked = global_rank(keyed, ["__mq", "doc_id"], rank_col="__r")
+    nd = keyed.agg(F.count(F.lit(1)).alias("n_docs"))
+    bucketed = (
+        ranked.crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.when(F.col("__r") * 3 <= F.col("n_docs"), "head")
+            .when(F.col("__r") * 3 <= F.col("n_docs") * 2, "middle")
+            .otherwise("tail").alias("bucket"))
+        .where(F.col("bucket") != "tail")
+    )
+    wfp = W.partitionBy("__fp")
+    canon = (
+        docs.join(bucketed, "doc_id")
+        .withColumn("__fp", fingerprint(F.col("text")))
+        .withColumn("__canon",
+                    F.min("doc_id").over(wfp) == F.col("doc_id"))
+        .where(F.col("__canon"))
+    )
+    pool = canon.select(
+        "doc_id", "source", "bucket",
+        F.when(F.col("bucket") == "head", 3).otherwise(1)
+        .cast("long").alias("weight"))
+    return weighted_stratified_sample(
+        pool, k=20, weight_col="weight", salt="manifest-v1")
 # pointer jumping): 97-node chains are the adversarial shape for plain
 # min-label propagation (depth rounds); path halving converges in
 # O(log depth). Chain-break fixture has a closed-form answer.
