@@ -133,3 +133,67 @@ def streaming_pack(
         fn, out_schema, PACK_STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hll_distinct(
+    stream: DataFrame,
+    key_col: str,
+    group_col: str = "source",
+    p: int = 8,
+) -> DataFrame:
+    """Streaming distinct-count: the HLL register vector
+    (operators/sketch.hll_distinct's layout — 60-bit md5 prefix,
+    integer rho) kept as per-group state in applyInPandasWithState.
+    State is EXACTLY 2^p ints per group forever (the watermark-free
+    bounded-state case: registers never grow with the key stream);
+    each micro-batch MAXes new observations into the registers and
+    emits the refreshed estimate, so the last emission per group
+    equals the batch sketch over the full history — the parity the
+    test pins. Update mode; restart-safe via the checkpointed state
+    store."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    m = 1 << p
+    q_bits = 60 - p
+
+    out_schema = T.StructType([
+        T.StructField(group_col, T.StringType()),
+        T.StructField("n_registers", T.LongType()),
+        T.StructField("s_units", T.LongType()),
+        T.StructField("estimate", T.DoubleType()),
+    ])
+    state_schema = "regs array<int>"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for v in pdf[key_col]:
+                h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                idx = h % m
+                w = h // m
+                rho = (q_bits - (w.bit_length() - 1)) if w > 0 \
+                    else q_bits + 1
+                if rho > regs[idx]:
+                    regs[idx] = rho
+        state.update((regs,))
+        n_reg = sum(1 for r in regs if r > 0)
+        s_units = sum(1 << (q_bits + 1 - r) for r in regs if r > 0) \
+            + (m - n_reg) * (1 << (q_bits + 1))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * float(m) * float(m) \
+            * float(1 << (q_bits + 1)) / s_units
+        zeros = m - n_reg
+        est = (float(m) * __import__("math").log(float(m) / zeros)
+               if raw <= 2.5 * m and zeros > 0 else raw)
+        yield pd.DataFrame({
+            group_col: [key[0]],
+            "n_registers": [n_reg],
+            "s_units": [s_units],
+            "estimate": [est],
+        })
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

@@ -780,3 +780,55 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path):
         (2, "2024-01-01 00:05:00", "2024-01-01 00:35:00", 1),
         (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1),
     }  # the 2024-01-02 session is still open -> not emitted
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The HLL register vector as applyInPandasWithState state: 2^p
+    ints per group FOREVER (bounded-state streaming distinct-count).
+    After two micro-batch phases the last emission per group must
+    equal the batch sketch over the full history — s_units
+    bit-identical, not just the estimate."""
+    from aquacache_spark.operators.sketch import hll_distinct
+    from aquacache_spark.streaming.stateful import streaming_hll_distinct
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "source string, k string"
+
+    def write(lo, hi):
+        spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+            .alias("source"),
+            (F.col("id") % 700).cast("string").alias("k"),
+        ).write.mode("append").parquet(str(landing))
+
+    latest = {}
+
+    def process(df, epoch_id):
+        for r in df.collect():
+            latest[r["source"]] = r
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 4).load(str(landing)))
+    q = (streaming_hll_distinct(stream, "k", group_col="source")
+         .writeStream.outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(process).start())
+    try:
+        write(0, 600)
+        q.processAllAvailable()
+        write(600, 2000)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.range(0, 2000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+        (F.col("id") % 700).cast("string").alias("k"))
+    batch = {r["source"]: r for r in hll_distinct(
+        full, "k", group_cols=["source"]).collect()}
+    for g in ("a", "b"):
+        assert latest[g]["s_units"] == batch[g]["s_units"], g
+        assert latest[g]["estimate"] == batch[g]["estimate"], g
+        assert latest[g]["n_registers"] == batch[g]["n_registers"], g
