@@ -327,3 +327,21 @@ def test_sketch_and_tfidf_plan_shapes(spark):
         assert "CartesianProduct" not in p, name
     # tfidf: the top-k rank must push the limit into the sort
     assert "WindowGroupLimit" in plan(spark, "tfidf_top_terms")
+
+
+def test_no_cartesian_product_in_any_query(spark):
+    # blanket invariant over the whole battery: no plan may contain a
+    # CartesianProduct — a cross join whose both sides are
+    # data-cardinality is never acceptable at 100 TB (1-row broadcast
+    # cross joins compile to BroadcastNestedLoopJoin, which is fine)
+    offenders = []
+    for name in sorted(Q.QUERIES):
+        try:
+            p = plan(spark, name)
+        except Exception as exc:  # pragma: no cover - plan must build
+            offenders.append((name, f"plan build failed: {exc}"))
+            continue
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        spark.catalog.clearCache()
+    assert not offenders, offenders
