@@ -70,10 +70,14 @@ def host_pagerank(
     )
     outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg"))
-    # degree table rides every iteration: materialize it once
+    # degree table rides every iteration: materialize it once.
+    # localCheckpoint, not persist — blocks are released by the
+    # ContextCleaner when the frame goes out of scope (persist would
+    # pin it in the CacheManager across battery runs), and a lost
+    # block fails loudly instead of silently recomputing.
     deg = nodes.join(outdeg, "node", "left").select(
         "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
-    ).persist()
+    ).localCheckpoint(eager=True)
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"))

@@ -42,10 +42,15 @@ def global_rank(
         "__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*cols)
     b = b.withColumn("__lr", F.row_number().over(w))
-    # persist: the size probe and the final projection must see the
-    # SAME sampled range boundaries (repartitionByRange re-samples on
-    # re-execution, which would desynchronize offsets and ranks)
-    b = b.persist()
+    # localCheckpoint (NOT persist): the size probe and the final
+    # projection must see the SAME sampled range boundaries
+    # (repartitionByRange re-samples on re-execution, which would
+    # desynchronize the collected offsets from recomputed ranks).
+    # A persist()ed block can be silently evicted and recomputed —
+    # producing wrong ranks; a checkpointed block that is lost fails
+    # the job loudly instead. Lineage truncation also releases the
+    # blocks via the ContextCleaner once callers drop the frame.
+    b = b.localCheckpoint(eager=True)
     sizes = {r["__pid"]: r["n"] for r in
              b.groupBy("__pid").agg(F.count(F.lit(1)).alias("n"))
              .collect()}

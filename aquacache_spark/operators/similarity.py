@@ -13,8 +13,9 @@
   to their nearest centroid (inverted lists); each query probes its
   ``nprobe`` nearest lists and brute-forces only those. Centroid
   *refinement* (k-means||) is pluggable; the default seeds are the
-  ``nlist`` lowest-id corpus vectors so the whole operator is
-  deterministic and oracle-checkable. The list assignment is the
+  first ``nlist`` corpus vectors in md5(id) order (hash-spread, no
+  id-correlation bias) so the whole operator is deterministic and
+  oracle-checkable. The list assignment is the
   partitioning key at scale — a 100 TB corpus shuffles once at build
   time, and each query touches ``nprobe``/``nlist`` of the data.
 """
@@ -31,6 +32,17 @@ from ..functions.text import md5_int
 
 def _as_double(arr):
     return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _seed_order(id_col: str):
+    """Seed-selection order: md5-hash of the id, id tiebreak.
+
+    ``orderBy(id).limit(k)`` seeds are deterministic but BIASED on
+    id-correlated corpora (crawl-order ids put all seeds in one
+    neighborhood); hashing first spreads the seeds uniformly while
+    staying RNG-free and exactly replayable in the DuckDB oracle
+    (same md5-prefix integer both engines)."""
+    return [md5_int(F.col(id_col).cast("string"), 15), F.col(id_col)]
 
 
 def _qrank(c):
@@ -221,15 +233,17 @@ def ivf_centroids(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     nlist: int = 16,
 ) -> DataFrame:
-    """Deterministic centroid seeds: the ``nlist`` lowest-id corpus
-    vectors. Production would refine these with MLlib k-means|| — the
-    assignment/probe machinery below is identical either way, and the
-    deterministic seed keeps the operator RNG-free and DuckDB-checkable.
+    """Deterministic centroid seeds: the ``nlist`` hash-first corpus
+    vectors (md5(id) order — uniform spread on id-correlated corpora,
+    see ``_seed_order``). Production would refine these with MLlib
+    k-means|| — the assignment/probe machinery below is identical
+    either way, and the deterministic seed keeps the operator RNG-free
+    and DuckDB-checkable.
 
     Output: ``centroid_id``, ``__centv``.
     """
     return (
-        corpus.orderBy(F.col(id_col)).limit(nlist)
+        corpus.orderBy(*_seed_order(id_col)).limit(nlist)
         .select(
             F.col(id_col).alias("centroid_id"),
             _as_double(F.col(vec_col)).alias("__centv"),
@@ -247,7 +261,7 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic Lloyd refinement of the IVF seed centroids.
 
-    k-means with a fixed seed set (the ``nlist`` lowest-id vectors,
+    k-means with a fixed seed set (the ``nlist`` hash-first vectors,
     quantized to 1e-6), a fixed iteration count, and 1e-6 quantization
     of every centroid update. The update is then an integer sum /
     count — order-independent, so the trained centroids are
@@ -263,7 +277,7 @@ def kmeans_centroids(
     Q = 1000000.0
     vec = _as_double(F.col(vec_col))
     seeds = (
-        corpus.orderBy(F.col(id_col))
+        corpus.orderBy(*_seed_order(id_col))
         .limit(nlist)
         .select(vec.alias("__cv"))
         .collect()
@@ -406,7 +420,7 @@ def pq_codebooks(
     m: int = 4,
     ksub: int = 8,
 ) -> list:
-    """Deterministic PQ codebooks: the ``ksub`` lowest-id corpus
+    """Deterministic PQ codebooks: the ``ksub`` hash-first corpus
     vectors, sliced into ``m`` contiguous subspaces, 1e-6-quantized
     (same seed-and-quantize discipline as ``ivf_centroids`` /
     ``kmeans_centroids`` — RNG-free, replayable in SQL; the per-
@@ -418,7 +432,7 @@ def pq_codebooks(
 
     Q = 1000000.0
     rows = (
-        corpus.orderBy(F.col(id_col)).limit(ksub)
+        corpus.orderBy(*_seed_order(id_col)).limit(ksub)
         .select(_as_double(F.col(vec_col)).alias("__v"))
         .collect()
     )

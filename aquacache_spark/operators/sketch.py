@@ -70,7 +70,12 @@ def hll_distinct(
         w > 0, F.lit(_HASH_BITS - p) - (F.length(F.expr("bin(__w)")) - 1)
     ).otherwise(F.lit(_HASH_BITS - p + 1)).cast("int")
     regs = (
-        df.select(*group_cols, h.alias("__h"))
+        # NULL keys would hash to a NULL register index (md5(NULL) is
+        # NULL), forming a phantom register group that can push
+        # n_registers past 2^p and corrupt zeros/s_units — exclude
+        # them, matching COUNT(DISTINCT key)'s NULL semantics.
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
         .withColumn("__idx", F.expr(f"__h % {m}"))
         .withColumn("__w", w)
         .withColumn("__rho", rho)
@@ -283,7 +288,11 @@ def histogram_quantiles(
         F.lit(bins - 1),
     ).cast("int")
     counts = (
-        df.select(*group_cols, b.alias("__bin"))
+        # NULL values must not be binned: floor(NULL) is NULL but
+        # greatest(NULL, 0) skips NULLs in Spark, so a NULL value
+        # would silently land in bin 0 and shift every quantile.
+        df.where(v.isNotNull())
+        .select(*group_cols, b.alias("__bin"))
         .groupBy(*group_cols, "__bin")
         .agg(F.count(F.lit(1)).alias("__c"))
     )

@@ -473,13 +473,19 @@ def robots_allowed(
     # longest-match window key on __rid alone, so NULL passthru values
     # can never orphan a row (a name-based equi-join back would
     # silently fail-open on them) and exact-duplicate URL rows each
-    # keep their own verdict. persist() materializes the ids once —
-    # monotonically_increasing_id is only stable across the three
-    # references below if the frame is computed a single time.
+    # keep their own verdict. localCheckpoint materializes the ids
+    # ONCE — monotonically_increasing_id is only stable across the
+    # three references below if the frame is computed a single time —
+    # and, unlike persist(), a lost block fails loudly instead of
+    # silently recomputing fresh ids, and the blocks are released by
+    # the ContextCleaner when callers drop the returned frame (a
+    # persist here could never be unpersisted safely: the function
+    # returns lazily, so the cache would accumulate across calls).
     u = urls.select(
         F.col(host_col).alias("host"), F.col(path_col).alias("__upath"),
         *passthru,
-    ).withColumn("__rid", F.monotonically_increasing_id()).persist()
+    ).withColumn("__rid", F.monotonically_increasing_id()) \
+        .localCheckpoint(eager=True)
     ub = F.substring(F.col("__upath"), 2, 1)
     u1 = u.withColumn("__ub", ub)
     cand = (

@@ -2733,8 +2733,13 @@ _PQ_ORACLE = f"""
     WITH c AS (
       SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
     ), seeds AS (
-      SELECT cv, CAST(row_number() OVER (ORDER BY nid) - 1 AS INTEGER) AS seed
-      FROM (SELECT nid, cv FROM c ORDER BY nid LIMIT 8)
+      SELECT cv, CAST(row_number() OVER (ORDER BY h, nid) - 1 AS INTEGER)
+               AS seed
+      FROM (SELECT nid,
+                   CAST('0x' || substr(md5(CAST(nid AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h,
+                   cv
+            FROM c ORDER BY h, nid LIMIT 8)
     ), cw AS (
       SELECT s.sub, seeds.seed AS code,
              list_transform(cv[s.sub * 16 + 1 : s.sub * 16 + 16],
@@ -3076,9 +3081,13 @@ def _kmeans_cte(nlist: int = 16, iters: int = 3, dim: int = 64,
     corp AS (
       {corp_body}
     ), cent_0 AS (
-      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+      SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid,
              {seed_list} AS centv
-      FROM (SELECT vec_id, emb FROM corp ORDER BY vec_id LIMIT {nlist})
+      FROM (SELECT vec_id,
+                   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h,
+                   emb
+            FROM corp ORDER BY h, vec_id LIMIT {nlist})
     )"""
     for t in range(iters):
         sql += f"""
@@ -3254,7 +3263,9 @@ _IVF_ORACLE = f"""
     WITH corp AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), cent AS (
-      SELECT vec_id AS centroid_id, v AS cv FROM corp ORDER BY vec_id LIMIT 16
+      SELECT vec_id AS centroid_id, v AS cv FROM corp
+      ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                 AS BIGINT), vec_id LIMIT 16
     ), lists AS (
       SELECT vec_id AS neighbor_id, centroid_id, v FROM (
         SELECT corp.vec_id, cent.centroid_id, corp.v,
@@ -3313,7 +3324,9 @@ _IVFPQ_ORACLE = f"""
     WITH corp AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), cent AS (
-      SELECT vec_id AS centroid_id, v AS cv FROM corp ORDER BY vec_id LIMIT 16
+      SELECT vec_id AS centroid_id, v AS cv FROM corp
+      ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                 AS BIGINT), vec_id LIMIT 16
     ), lists AS (
       SELECT vec_id AS neighbor_id, centroid_id, v FROM (
         SELECT corp.vec_id, cent.centroid_id, corp.v,
@@ -3333,8 +3346,14 @@ _IVFPQ_ORACLE = f"""
                           cent.centroid_id) AS rn
         FROM corp, cent WHERE corp.vec_id < 10) WHERE rn <= 4
     ), seeds AS (
-      SELECT v AS scv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS seed
-      FROM (SELECT vec_id, v FROM corp ORDER BY vec_id LIMIT 8)
+      SELECT v AS scv,
+             CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
+               AS seed
+      FROM (SELECT vec_id,
+                   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h,
+                   v
+            FROM corp ORDER BY h, vec_id LIMIT 8)
     ), cw AS (
       SELECT s.sub, seeds.seed AS code,
              list_transform(scv[s.sub * 16 + 1 : s.sub * 16 + 16],
@@ -13709,6 +13728,10 @@ def scored_curation_manifest_q(spark: SparkSession,
         .cast("long").alias("weight"))
     return weighted_stratified_sample(
         pool, k=20, weight_col="weight", salt="manifest-v1")
+
+
+# ---------------------------------------------------------------------------
+# Deep-graph connected components (operators/graph.connected_components,
 # pointer jumping): 97-node chains are the adversarial shape for plain
 # min-label propagation (depth rounds); path halving converges in
 # O(log depth). Chain-break fixture has a closed-form answer.
@@ -13738,7 +13761,12 @@ def chain_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (b["id_b"] == a["id_a"] + 1)
         & ((a["id_a"] + 1) % 97 != 0))
     return connected_components(edges, ids)
-# codegen'd sort key — bbox queries over a z-sorted table prune on
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (operators/vector.zorder_key): the OPTIMIZE-ZORDER
+# story as a plain codegen'd sort key — bbox queries over a z-sorted table
+# prune on
 # row-group min/max stats instead of scanning every file.
 # ---------------------------------------------------------------------------
 

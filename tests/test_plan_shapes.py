@@ -329,19 +329,46 @@ def test_sketch_and_tfidf_plan_shapes(spark):
     assert "WindowGroupLimit" in plan(spark, "tfidf_top_terms")
 
 
+_ALL_PLANS: dict = {}
+
+
+def all_plans(spark):
+    """Every registered query's formatted physical plan, built ONCE per
+    session (the walk is ~2.5 min; the blanket invariants below share
+    it). Build failures are recorded as offender strings so each
+    invariant still reports them."""
+    if not _ALL_PLANS:
+        for name in sorted(Q.QUERIES):
+            try:
+                _ALL_PLANS[name] = plan(spark, name)
+            except Exception as exc:  # pragma: no cover - must build
+                _ALL_PLANS[name] = f"__PLAN_BUILD_FAILED__: {exc}"
+            spark.catalog.clearCache()
+    return _ALL_PLANS
+
+
 def test_no_cartesian_product_in_any_query(spark):
     # blanket invariant over the whole battery: no plan may contain a
     # CartesianProduct — a cross join whose both sides are
     # data-cardinality is never acceptable at 100 TB (1-row broadcast
     # cross joins compile to BroadcastNestedLoopJoin, which is fine)
     offenders = []
-    for name in sorted(Q.QUERIES):
-        try:
-            p = plan(spark, name)
-        except Exception as exc:  # pragma: no cover - plan must build
-            offenders.append((name, f"plan build failed: {exc}"))
-            continue
-        if "CartesianProduct" in p:
-            offenders.append((name, "CartesianProduct"))
-        spark.catalog.clearCache()
+    for name, p in all_plans(spark).items():
+        if "CartesianProduct" in p or "__PLAN_BUILD_FAILED__" in p:
+            offenders.append((name, p[:200]))
+    assert not offenders, offenders
+
+
+def test_no_batch_eval_python_in_any_query(spark):
+    # blanket invariant #2: no plan may contain a row-at-a-time Python
+    # UDF node (BatchEvalPython pickles row by row — 10-100x slower
+    # than JVM codegen and the classic hot-path killer). The Arrow
+    # family (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+    # is the allowed Python escape hatch: columnar batch transfer.
+    # Today this holds by convention and per-query pins; this gate
+    # keeps a future scalar @udf from slipping into the registry.
+    offenders = []
+    for name, p in all_plans(spark).items():
+        if "BatchEvalPython" in p:
+            offenders.append(name)
     assert not offenders, offenders
