@@ -15311,3 +15311,547 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1))).alias("en_share"),
     )
     return _round(out, {"mean_quality": 6, "en_share": 6})
+
+
+# ---------------------------------------------------------------------------
+# Bilingual denormalized metadata views (operators/metadata.py) — the
+# reference's main human/catalog read surface:
+# public.location_metadata_en/fr (patch_45.R:381-472) and
+# continuous.timeseries_metadata_en/fr (patch_45.R:489-572), with units
+# resolved through get_parameter_unit_name (patch_39.R:846, consumed at
+# patch_51.R:2961). Catalog tables are synthesized identically in both
+# engines from supplier/nation/region/part; m:n rollups are
+# pre-aggregated per location and the view itself is a pure broadcast
+# star join (the 100 TB story: catalogs are catalog-class, the view
+# never touches measurement-cardinality data).
+# ---------------------------------------------------------------------------
+
+def _meta_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    """Synthetic reference catalog: locations/dims/bridges from the
+    TPC-H tables (mirrored exactly by _META_CTES below)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    s = F.col("s_suppkey")
+    n = F.col("n_nationkey")
+    r = F.col("r_regionkey")
+    p = F.col("p_partkey")
+
+    locations = supp.select(
+        s.alias("location_id"),
+        F.col("s_name").alias("name"),
+        F.concat(F.lit("fr "), F.col("s_name")).alias("name_fr"),
+        F.when(s % 3 == 0,
+               F.concat(F.lit("alias-"), s.cast("string"))).alias("alias"),
+        F.concat(F.lit("LOC-"), s.cast("string")).alias("location_code"),
+        (s % 5).alias("location_type"),
+        (F.lit(50.0) + (s % 200).cast("double") / 4.0).alias("latitude"),
+        (F.lit(-140.0) + (s % 500).cast("double") / 8.0).alias("longitude"),
+        F.when(s % 4 == 0,
+               F.concat(F.lit("note "), s.cast("string"))).alias("note"),
+        F.col("s_nationkey").cast("long").alias("__natkey"),
+    )
+    location_types = reg.select(
+        r.alias("type_id"),
+        F.concat(F.lit("type "), F.col("r_name")).alias("type"),
+        F.concat(F.lit("typefr "), F.col("r_name")).alias("type_fr"))
+    projects = nat.select(
+        n.cast("long").alias("project_id"),
+        F.concat(F.lit("proj "), F.col("n_name")).alias("name"),
+        F.concat(F.lit("projfr "), F.col("n_name")).alias("name_fr"))
+    lp1 = locations.where(F.col("location_id") % 7 != 3).select(
+        "location_id", F.col("__natkey").alias("project_id"))
+    lp2 = locations.where((F.col("location_id") % 7 != 3)
+                          & (F.col("location_id") % 2 == 0)).select(
+        "location_id", ((F.col("__natkey") + 7) % 25).alias("project_id"))
+    locations_projects = lp1.unionByName(lp2)
+    networks = reg.select(
+        r.cast("long").alias("network_id"),
+        F.concat(F.lit("net "), F.col("r_name")).alias("name"),
+        F.concat(F.lit("netfr "), F.col("r_name")).alias("name_fr"))
+    ln1 = locations.where(F.col("location_id") % 6 != 1).select(
+        "location_id", (F.col("location_id") % 5).alias("network_id"))
+    ln2 = locations.where(F.col("location_id") % 3 == 0).select(
+        "location_id",
+        ((F.col("location_id") * 3 + 1) % 5).alias("network_id"))
+    locations_networks = ln1.unionByName(ln2)
+    # one current + one superseded conversion per covered location —
+    # the view must keep only current=true
+    dc_cur = locations.where(F.col("location_id") % 3 != 1).select(
+        "location_id",
+        (F.col("location_id") % 4).alias("datum_id_to"),
+        ((F.col("location_id") % 97).cast("double") + 0.5)
+        .alias("conversion_m"),
+        F.lit(True).alias("current"))
+    dc_old = locations.where(F.col("location_id") % 3 != 1).select(
+        "location_id",
+        ((F.col("location_id") + 1) % 4).alias("datum_id_to"),
+        ((F.col("location_id") % 97).cast("double") + 100.5)
+        .alias("conversion_m"),
+        F.lit(False).alias("current"))
+    datum_conversions = dc_cur.unionByName(dc_old)
+    datum_list = reg.where(r < 4).select(
+        r.cast("long").alias("datum_id"),
+        F.concat(F.lit("datum "), F.col("r_name")).alias("datum_name_en"),
+        F.concat(F.lit("datumfr "), F.col("r_name"))
+        .alias("datum_name_fr"))
+    languages = reg.where(r < 3).select(
+        r.cast("long").alias("language_id"),
+        F.concat(F.lit("lang "), F.col("r_name")).alias("language_name_en"),
+        F.concat(F.lit("langfr "), F.col("r_name"))
+        .alias("language_name_fr"))
+    fn1 = locations.where(F.col("location_id") % 4 == 0).select(
+        "location_id", (F.col("location_id") % 3).alias("language_id"),
+        F.concat(F.lit("FN name "), F.col("location_id").cast("string"))
+        .alias("name"))
+    fn2 = locations.where(F.col("location_id") % 8 == 0).select(
+        "location_id", ((F.col("location_id") + 1) % 3).alias("language_id"),
+        F.concat(F.lit("FN alt "), F.col("location_id").cast("string"))
+        .alias("name"))
+    location_names = fn1.unionByName(fn2)
+
+    parameters = nat.select(
+        n.cast("long").alias("parameter_id"),
+        F.concat(F.lit("param "), F.col("n_name")).alias("param_name"),
+        F.concat(F.lit("paramfr "), F.col("n_name")).alias("param_name_fr"),
+        F.when(n % 5 != 0, (n % 7).cast("long")).alias("units_liquid"),
+        F.when(n % 4 != 0, ((n + 1) % 7).cast("long")).alias("units_solid"),
+        F.when(n % 3 != 0, ((n + 2) % 7).cast("long")).alias("units_gas"))
+    units = nat.where(n < 7).select(
+        n.cast("long").alias("unit_id"),
+        F.concat(F.lit("u-"), F.col("n_name")).alias("unit_name"))
+    matrix_states = reg.where(r < 4).select(
+        (r + 1).cast("long").alias("matrix_state_id"),
+        F.when(r == 0, "liquid").when(r == 1, "solid")
+        .when(r == 2, "gas").otherwise("plasma")
+        .alias("matrix_state_code"))
+    media_types = reg.where(r < 4).select(
+        r.cast("long").alias("media_id"),
+        F.concat(F.lit("media "), F.col("r_name")).alias("media_type"),
+        F.concat(F.lit("mediafr "), F.col("r_name"))
+        .alias("media_type_fr"))
+    aggregation_types = reg.where(r < 3).select(
+        r.cast("long").alias("aggregation_type_id"),
+        F.concat(F.lit("agg "), F.col("r_name")).alias("aggregation_type"),
+        F.concat(F.lit("aggfr "), F.col("r_name"))
+        .alias("aggregation_type_fr"))
+    locations_z = nat.where(n < 7).select(
+        n.cast("long").alias("z_id"),
+        (n.cast("double") * 1.5 - 3.0).alias("z_meters"))
+    timeseries_types = reg.where(r < 2).select(
+        (r + 1).cast("long").alias("timeseries_type"),
+        F.concat(F.lit("tstype "), F.col("r_name"))
+        .alias("timeseries_type_name"),
+        F.concat(F.lit("tstypefr "), F.col("r_name"))
+        .alias("timeseries_type_name_fr"),
+        F.concat(F.lit("desc "), F.col("r_name")).alias("description"),
+        F.concat(F.lit("descfr "), F.col("r_name")).alias("description_fr"))
+    epoch = F.lit("2020-01-01").cast("date")
+    timeseries = part.select(
+        p.alias("timeseries_id"),
+        (p % 10).alias("location_id"),
+        (p % 25).alias("parameter_id"),
+        (p % 4 + 1).alias("matrix_state_id"),
+        (p % 4).alias("media_id"),
+        (p % 3).alias("aggregation_type_id"),
+        F.when(p % 5 == 0, p % 7).alias("z_id"),
+        F.when(p % 3 == 0, "PT5M").when(p % 3 == 1, "PT1H")
+        .otherwise("P1D").alias("record_rate"),
+        (p % 3 + 1).alias("sensor_priority"),
+        F.to_timestamp(F.date_add(epoch, (p % 1000).cast("int")))
+        .alias("start_datetime"),
+        F.to_timestamp(
+            F.date_add(epoch, (p % 1000 + p % 300 + 10).cast("int")))
+        .alias("end_datetime"),
+        F.when(p % 6 == 0, F.concat(F.lit("ts note "), p.cast("string")))
+        .alias("note"),
+        (p % 2 + 1).alias("timeseries_type"),
+        F.to_timestamp(
+            F.date_add(epoch, (p % 1000 + p % 300 + 10).cast("int")))
+        .alias("last_new_data"),
+    )
+    return {
+        "locations": locations.drop("__natkey"),
+        "location_types": location_types,
+        "projects": projects, "locations_projects": locations_projects,
+        "networks": networks, "locations_networks": locations_networks,
+        "datum_conversions": datum_conversions, "datum_list": datum_list,
+        "languages": languages, "location_names": location_names,
+        "parameters": parameters, "units": units,
+        "matrix_states": matrix_states, "media_types": media_types,
+        "aggregation_types": aggregation_types,
+        "locations_z": locations_z,
+        "timeseries_types": timeseries_types, "timeseries": timeseries,
+    }
+
+
+_META_CTES = """
+    locs AS (
+      SELECT s_suppkey AS location_id,
+             s_name AS name,
+             'fr ' || s_name AS name_fr,
+             CASE WHEN s_suppkey % 3 = 0
+                  THEN 'alias-' || CAST(s_suppkey AS VARCHAR) END AS alias,
+             'LOC-' || CAST(s_suppkey AS VARCHAR) AS location_code,
+             s_suppkey % 5 AS location_type,
+             CAST(50 AS DOUBLE)
+               + CAST(s_suppkey % 200 AS DOUBLE) / CAST(4 AS DOUBLE)
+               AS latitude,
+             CAST(-140 AS DOUBLE)
+               + CAST(s_suppkey % 500 AS DOUBLE) / CAST(8 AS DOUBLE)
+               AS longitude,
+             CASE WHEN s_suppkey % 4 = 0
+                  THEN 'note ' || CAST(s_suppkey AS VARCHAR) END AS note,
+             CAST(s_nationkey AS BIGINT) AS natkey
+      FROM supplier
+    ), ltypes AS (
+      SELECT r_regionkey AS type_id, 'type ' || r_name AS type,
+             'typefr ' || r_name AS type_fr FROM region
+    ), projs AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS project_id,
+             'proj ' || n_name AS pname, 'projfr ' || n_name AS pname_fr
+      FROM nation
+    ), loc_proj AS (
+      SELECT location_id, natkey AS project_id FROM locs
+      WHERE location_id % 7 != 3
+      UNION ALL
+      SELECT location_id, (natkey + 7) % 25 FROM locs
+      WHERE location_id % 7 != 3 AND location_id % 2 = 0
+    ), nets AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS network_id,
+             'net ' || r_name AS nname, 'netfr ' || r_name AS nname_fr
+      FROM region
+    ), loc_net AS (
+      SELECT location_id, location_id % 5 AS network_id FROM locs
+      WHERE location_id % 6 != 1
+      UNION ALL
+      SELECT location_id, (location_id * 3 + 1) % 5 FROM locs
+      WHERE location_id % 3 = 0
+    ), dconv AS (
+      SELECT location_id, location_id % 4 AS datum_id_to,
+             CAST(location_id % 97 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+               AS conversion_m
+      FROM locs WHERE location_id % 3 != 1
+    ), dlist AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS datum_id,
+             'datum ' || r_name AS datum_name_en,
+             'datumfr ' || r_name AS datum_name_fr
+      FROM region WHERE r_regionkey < 4
+    ), langs AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS language_id,
+             'lang ' || r_name AS language_name_en,
+             'langfr ' || r_name AS language_name_fr
+      FROM region WHERE r_regionkey < 3
+    ), lnames AS (
+      SELECT location_id, location_id % 3 AS language_id,
+             'FN name ' || CAST(location_id AS VARCHAR) AS fname
+      FROM locs WHERE location_id % 4 = 0
+      UNION ALL
+      SELECT location_id, (location_id + 1) % 3,
+             'FN alt ' || CAST(location_id AS VARCHAR)
+      FROM locs WHERE location_id % 8 = 0
+    )"""
+
+_META_TS_CTES = """
+    , mstates AS (
+      SELECT CAST(r_regionkey + 1 AS BIGINT) AS matrix_state_id,
+             CASE r_regionkey WHEN 0 THEN 'liquid' WHEN 1 THEN 'solid'
+                  WHEN 2 THEN 'gas' ELSE 'plasma' END AS matrix_state_code
+      FROM region WHERE r_regionkey < 4
+    ), params AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS parameter_id,
+             'param ' || n_name AS param_name,
+             'paramfr ' || n_name AS param_name_fr,
+             CASE WHEN n_nationkey % 5 != 0
+                  THEN CAST(n_nationkey % 7 AS BIGINT) END AS units_liquid,
+             CASE WHEN n_nationkey % 4 != 0
+                  THEN CAST((n_nationkey + 1) % 7 AS BIGINT)
+             END AS units_solid,
+             CASE WHEN n_nationkey % 3 != 0
+                  THEN CAST((n_nationkey + 2) % 7 AS BIGINT)
+             END AS units_gas
+      FROM nation
+    ), unitst AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS unit_id,
+             'u-' || n_name AS unit_name
+      FROM nation WHERE n_nationkey < 7
+    ), unit_map AS (
+      SELECT p.parameter_id, ms.matrix_state_id,
+             CASE ms.matrix_state_code WHEN 'liquid' THEN p.units_liquid
+                  WHEN 'solid' THEN p.units_solid
+                  WHEN 'gas' THEN p.units_gas END AS unit_id
+      FROM params p CROSS JOIN mstates ms
+    ), mtypes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS media_id,
+             'media ' || r_name AS media_type,
+             'mediafr ' || r_name AS media_type_fr
+      FROM region WHERE r_regionkey < 4
+    ), aggts AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS aggregation_type_id,
+             'agg ' || r_name AS aggregation_type,
+             'aggfr ' || r_name AS aggregation_type_fr
+      FROM region WHERE r_regionkey < 3
+    ), locz AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS z_id,
+             CAST(n_nationkey AS DOUBLE) * CAST(1.5 AS DOUBLE)
+               - CAST(3 AS DOUBLE) AS z_meters
+      FROM nation WHERE n_nationkey < 7
+    ), tstypes AS (
+      SELECT CAST(r_regionkey + 1 AS BIGINT) AS timeseries_type,
+             'tstype ' || r_name AS timeseries_type_name,
+             'tstypefr ' || r_name AS timeseries_type_name_fr,
+             'desc ' || r_name AS description,
+             'descfr ' || r_name AS description_fr
+      FROM region WHERE r_regionkey < 2
+    ), ts AS (
+      SELECT p_partkey AS timeseries_id,
+             p_partkey % 10 AS location_id,
+             p_partkey % 25 AS parameter_id,
+             p_partkey % 4 + 1 AS matrix_state_id,
+             p_partkey % 4 AS media_id,
+             p_partkey % 3 AS aggregation_type_id,
+             CASE WHEN p_partkey % 5 = 0 THEN p_partkey % 7 END AS z_id,
+             CASE p_partkey % 3 WHEN 0 THEN 'PT5M' WHEN 1 THEN 'PT1H'
+                  ELSE 'P1D' END AS record_rate,
+             p_partkey % 3 + 1 AS sensor_priority,
+             CAST(DATE '2020-01-01' + CAST(p_partkey % 1000 AS INTEGER)
+                  AS TIMESTAMP) AS start_datetime,
+             CAST(DATE '2020-01-01'
+                  + CAST(p_partkey % 1000 + p_partkey % 300 + 10
+                         AS INTEGER) AS TIMESTAMP) AS end_datetime,
+             CASE WHEN p_partkey % 6 = 0
+                  THEN 'ts note ' || CAST(p_partkey AS VARCHAR) END AS note,
+             p_partkey % 2 + 1 AS timeseries_type
+      FROM part
+    )"""
+
+
+def _meta_rollup_ctes(lang: str) -> str:
+    """Per-location sorted-distinct rollups (projects, networks, First
+    Nations names JSON) — the engine-portable array_agg(DISTINCT) /
+    jsonb_agg(DISTINCT) analog, rendered as sorted CSV / JSON-array
+    strings so the driver's value hash is order-insensitive."""
+    pn = "pname" if lang == "en" else "pname_fr"
+    nn = "nname" if lang == "en" else "nname_fr"
+    if lang == "en":
+        js = ("'{\"language_code\":' || CAST(ln.language_id AS VARCHAR)"
+              " || ',\"language_name_en\":\"' || lg.language_name_en"
+              " || '\",\"name\":\"' || ln.fname || '\"}'")
+    else:
+        js = ("'{\"language_id\":' || CAST(ln.language_id AS VARCHAR)"
+              " || ',\"language_name_fr\":\"' || lg.language_name_fr"
+              " || '\",\"name\":\"' || ln.fname || '\"}'")
+    return f"""
+    , proj_roll AS (
+      SELECT location_id, string_agg({pn}, ',' ORDER BY {pn}) AS projects
+      FROM (SELECT DISTINCT lp.location_id, p.{pn}
+            FROM loc_proj lp JOIN projs p USING (project_id))
+      GROUP BY 1
+    ), net_roll AS (
+      SELECT location_id, string_agg({nn}, ',' ORDER BY {nn}) AS networks
+      FROM (SELECT DISTINCT lnk.location_id, n.{nn}
+            FROM loc_net lnk JOIN nets n USING (network_id))
+      GROUP BY 1
+    ), fn_roll AS (
+      SELECT location_id,
+             '[' || string_agg(js, ',' ORDER BY js) || ']' AS fn_names
+      FROM (SELECT DISTINCT ln.location_id, {js} AS js
+            FROM lnames ln JOIN langs lg USING (language_id))
+      GROUP BY 1
+    )"""
+
+
+_LOCMETA_EN_ORACLE = "WITH " + _META_CTES + _meta_rollup_ctes("en") + """
+    SELECT l.location_id, l.name, l.alias, l.location_code,
+           lt.type AS location_type, l.latitude, l.longitude,
+           dc.conversion_m AS elevation, dl.datum_name_en AS datum,
+           l.note,
+           COALESCE(pr.projects, '') AS projects,
+           COALESCE(nr.networks, '') AS networks,
+           COALESCE(fr.fn_names, '[]') AS fn_names
+    FROM locs l
+    LEFT JOIN ltypes lt ON l.location_type = lt.type_id
+    LEFT JOIN dconv dc USING (location_id)
+    LEFT JOIN dlist dl ON dc.datum_id_to = dl.datum_id
+    LEFT JOIN proj_roll pr USING (location_id)
+    LEFT JOIN net_roll nr USING (location_id)
+    LEFT JOIN fn_roll fr USING (location_id)
+"""
+
+_LOCMETA_FR_ORACLE = "WITH " + _META_CTES + _meta_rollup_ctes("fr") + """
+    SELECT l.location_id, l.name_fr AS nom, l.alias,
+           l.location_code AS code_de_site,
+           lt.type_fr AS type_de_site, l.latitude, l.longitude,
+           dc.conversion_m AS altitude, dl.datum_name_fr AS datum,
+           l.note,
+           COALESCE(pr.projects, '') AS projets,
+           COALESCE(nr.networks, '') AS "réseaux",
+           COALESCE(fr.fn_names, '[]') AS "noms_premières_nations"
+    FROM locs l
+    LEFT JOIN ltypes lt ON l.location_type = lt.type_id
+    LEFT JOIN dconv dc USING (location_id)
+    LEFT JOIN dlist dl ON dc.datum_id_to = dl.datum_id
+    LEFT JOIN proj_roll pr USING (location_id)
+    LEFT JOIN net_roll nr USING (location_id)
+    LEFT JOIN fn_roll fr USING (location_id)
+"""
+
+
+def _loc_meta(spark: SparkSession, sf_dir: str, lang: str) -> DataFrame:
+    from .operators.metadata import location_metadata
+
+    fx = _meta_fixture(spark, sf_dir)
+    return location_metadata(
+        fx["locations"], fx["location_types"],
+        fx["locations_projects"], fx["projects"],
+        fx["locations_networks"], fx["networks"],
+        fx["datum_conversions"], fx["datum_list"],
+        fx["location_names"], fx["languages"], lang=lang)
+
+
+@register("location_metadata_read", oracle=_LOCMETA_EN_ORACLE)
+def location_metadata_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """public.location_metadata_en (patch_45.R:381-420): locations star
+    with sorted project/network rollups, current-datum elevation, and
+    the First Nations names JSON payload."""
+    out = _loc_meta(spark, sf_dir, "en")
+    return out.select(
+        "location_id", "name", "alias", "location_code", "location_type",
+        "latitude", "longitude", "elevation", "datum", "note",
+        F.array_join("projects", ",").alias("projects"),
+        F.array_join("networks", ",").alias("networks"),
+        "fn_names")
+
+
+@register("location_metadata_fr", oracle=_LOCMETA_FR_ORACLE)
+def location_metadata_fr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """public.location_metadata_fr (patch_45.R:424-472): the French
+    twin — name_fr/type_fr/datum_name_fr and the reference's accented
+    column names."""
+    out = _loc_meta(spark, sf_dir, "fr")
+    return out.select(
+        "location_id", "nom", "alias", "code_de_site", "type_de_site",
+        "latitude", "longitude", "altitude", "datum", "note",
+        F.array_join("projets", ",").alias("projets"),
+        F.array_join("réseaux", ",").alias("réseaux"),
+        "noms_premières_nations")
+
+
+_TSMETA_EN_ORACLE = ("WITH " + _META_CTES + _META_TS_CTES
+                     + _meta_rollup_ctes("en") + """
+    SELECT t.timeseries_id, t.location_id,
+           l.name AS location_name, lt.type AS location_type,
+           l.alias AS alias_name, lz.z_meters AS depth_height_m,
+           l.latitude, l.longitude,
+           dc.conversion_m AS location_elevation,
+           COALESCE(pr.projects, '') AS projects,
+           COALESCE(nr.networks, '') AS networks,
+           mt.media_type, pa.param_name AS parameter_name,
+           u.unit_name AS units, ag.aggregation_type,
+           t.record_rate AS recording_rate, t.sensor_priority,
+           t.start_datetime, t.end_datetime, t.note,
+           t.timeseries_type AS timeseries_type_code,
+           tt.timeseries_type_name AS timeseries_type,
+           tt.description AS timeseries_type_description,
+           t.end_datetime AS last_new_data
+    FROM ts t
+    JOIN locs l USING (location_id)
+    LEFT JOIN ltypes lt ON l.location_type = lt.type_id
+    LEFT JOIN params pa USING (parameter_id)
+    LEFT JOIN unit_map um USING (parameter_id, matrix_state_id)
+    LEFT JOIN unitst u ON um.unit_id = u.unit_id
+    LEFT JOIN mtypes mt USING (media_id)
+    LEFT JOIN aggts ag USING (aggregation_type_id)
+    LEFT JOIN locz lz USING (z_id)
+    LEFT JOIN tstypes tt USING (timeseries_type)
+    LEFT JOIN dconv dc USING (location_id)
+    LEFT JOIN proj_roll pr USING (location_id)
+    LEFT JOIN net_roll nr USING (location_id)
+""")
+
+_TSMETA_FR_ORACLE = ("WITH " + _META_CTES + _META_TS_CTES
+                     + _meta_rollup_ctes("fr") + """
+    SELECT t.timeseries_id, t.location_id,
+           l.name_fr AS nom_endroit, lt.type_fr AS type_endroit,
+           l.alias AS nom_alias, lz.z_meters AS profondeur_hauteur_m,
+           l.latitude, l.longitude,
+           dc.conversion_m AS "élévation_endroit",
+           COALESCE(pr.projects, '') AS projets,
+           COALESCE(nr.networks, '') AS "réseaux",
+           mt.media_type_fr AS "type_de_média",
+           pa.param_name_fr AS "nom_paramètre",
+           u.unit_name AS "unités",
+           ag.aggregation_type_fr AS "type_agrégation",
+           t.record_rate AS "fréquence_enregistrement",
+           t.sensor_priority AS "priorité_capteur",
+           t.start_datetime AS "début", t.end_datetime AS fin, t.note,
+           t.timeseries_type AS code_type_serie_temporelle,
+           tt.timeseries_type_name AS type_serie_temporelle,
+           tt.description_fr AS description_type_serie_temporelle,
+           t.end_datetime AS dernier_nouvelles_donnees
+    FROM ts t
+    JOIN locs l USING (location_id)
+    LEFT JOIN ltypes lt ON l.location_type = lt.type_id
+    LEFT JOIN params pa USING (parameter_id)
+    LEFT JOIN unit_map um USING (parameter_id, matrix_state_id)
+    LEFT JOIN unitst u ON um.unit_id = u.unit_id
+    LEFT JOIN mtypes mt USING (media_id)
+    LEFT JOIN aggts ag USING (aggregation_type_id)
+    LEFT JOIN locz lz USING (z_id)
+    LEFT JOIN tstypes tt USING (timeseries_type)
+    LEFT JOIN dconv dc USING (location_id)
+    LEFT JOIN proj_roll pr USING (location_id)
+    LEFT JOIN net_roll nr USING (location_id)
+""")
+
+
+def _ts_meta(spark: SparkSession, sf_dir: str, lang: str) -> DataFrame:
+    from .operators.metadata import timeseries_metadata
+
+    fx = _meta_fixture(spark, sf_dir)
+    return timeseries_metadata(
+        fx["timeseries"], fx["locations"], fx["location_types"],
+        fx["parameters"], fx["matrix_states"], fx["units"],
+        fx["media_types"], fx["aggregation_types"], fx["locations_z"],
+        fx["locations_projects"], fx["projects"],
+        fx["locations_networks"], fx["networks"],
+        fx["datum_conversions"], fx["datum_list"],
+        fx["timeseries_types"], lang=lang)
+
+
+@register("timeseries_metadata_read", oracle=_TSMETA_EN_ORACLE)
+def timeseries_metadata_read_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """continuous.timeseries_metadata_en (patch_45.R:489-535): the
+    12-dimension catalog star with get_parameter_unit_name-resolved
+    units (patch_39.R:846)."""
+    out = _ts_meta(spark, sf_dir, "en")
+    return out.select(
+        "timeseries_id", "location_id", "location_name", "location_type",
+        "alias_name", "depth_height_m", "latitude", "longitude",
+        "location_elevation",
+        F.array_join("projects", ",").alias("projects"),
+        F.array_join("networks", ",").alias("networks"),
+        "media_type", "parameter_name", "units", "aggregation_type",
+        "recording_rate", "sensor_priority", "start_datetime",
+        "end_datetime", "note", "timeseries_type_code",
+        "timeseries_type", "timeseries_type_description",
+        "last_new_data")
+
+
+@register("timeseries_metadata_fr", oracle=_TSMETA_FR_ORACLE)
+def timeseries_metadata_fr_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """continuous.timeseries_metadata_fr (patch_45.R:538-572)."""
+    out = _ts_meta(spark, sf_dir, "fr")
+    return out.select(
+        "timeseries_id", "location_id", "nom_endroit", "type_endroit",
+        "nom_alias", "profondeur_hauteur_m", "latitude", "longitude",
+        "élévation_endroit",
+        F.array_join("projets", ",").alias("projets"),
+        F.array_join("réseaux", ",").alias("réseaux"),
+        "type_de_média", "nom_paramètre", "unités", "type_agrégation",
+        "fréquence_enregistrement", "priorité_capteur", "début", "fin",
+        "note", "code_type_serie_temporelle", "type_serie_temporelle",
+        "description_type_serie_temporelle", "dernier_nouvelles_donnees")

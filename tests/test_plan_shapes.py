@@ -329,6 +329,19 @@ def test_sketch_and_tfidf_plan_shapes(spark):
     assert "WindowGroupLimit" in plan(spark, "tfidf_top_terms")
 
 
+def test_metadata_views_all_broadcast(spark):
+    # the bilingual metadata views are catalog-star reads: every dim
+    # and every pre-aggregated rollup must arrive broadcast — a
+    # SortMergeJoin here would shuffle the driving catalog once per
+    # dimension (12x at the timeseries view)
+    for name in ("location_metadata_read", "location_metadata_fr",
+                 "timeseries_metadata_read", "timeseries_metadata_fr"):
+        p = plan(spark, name)
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+
 _ALL_PLANS: dict = {}
 
 
