@@ -15855,3 +15855,44 @@ def timeseries_metadata_fr_q(spark: SparkSession,
         "fréquence_enregistrement", "priorité_capteur", "début", "fin",
         "note", "code_type_serie_temporelle", "type_serie_temporelle",
         "description_type_serie_temporelle", "dernier_nouvelles_donnees")
+
+
+# ---------------------------------------------------------------------------
+# Real ranked-merge BPE tokenizer (functions/bpe.py): merge-table-exact
+# token budgeting. JVM pre-tokenize + vocab-sized count, Arrow-batched
+# encode of DISTINCT words only; the oracle replays the merge table as
+# a chained replace over a pipe-separated symbol string (valid because
+# the table is well-formed — see functions/bpe.py docstring).
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle() -> str:
+    from .functions.bpe import PRETOKEN_RE, oracle_replace_chain
+
+    chain = oracle_replace_chain(
+        "'|' || regexp_replace(w, '(.)', '\\1||', 'g')")
+    return f"""
+    WITH pre AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{PRETOKEN_RE}'))
+               AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS cnt FROM pre GROUP BY 1
+    ), enc AS (
+      SELECT cnt, string_split(trim({chain}, '|'), '||') AS toks
+      FROM wc
+    )
+    SELECT tok AS token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+    FROM (SELECT cnt, unnest(toks) AS tok FROM enc)
+    GROUP BY 1
+"""
+
+
+@register("bpe_tokenize_counts", oracle=_bpe_oracle())
+def bpe_tokenize_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BPE token frequencies under the fixture merge table —
+    the merge-table-exact replacement for text.bpe_token_count's
+    regex estimate."""
+    from .functions.bpe import bpe_token_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_frequencies(docs, "text")
