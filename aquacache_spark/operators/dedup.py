@@ -794,6 +794,53 @@ def unigram_surprisal(
     )
 
 
+def per_language_unigram_surprisal(
+    df: DataFrame,
+    lang_expr,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language unigram surprisal — CCNet is per-language: one LM
+    per detected language, so an English-trained frequency table never
+    scores a French document. Same determinism (integer micro-nat
+    quantization before the per-doc sum) as :func:`unigram_surprisal`.
+
+    ``lang_expr`` is a map-only Column deriving the language from the
+    text (e.g. functions/text.lang_id_multi) — computed inline at
+    explode time, no join. The per-language totals are a ≤n_languages
+    row aggregate broadcast back onto the frequency table (the
+    _with_corpus_total idiom, keyed); the scoring join on
+    (lang, token) is vocabulary-sized and left to AQE.
+
+    Output: (id, lang, n_tokens, mean_surprisal).
+    """
+    # two-step select: a struct-typed HOF expression (lang_scores) in
+    # the SAME projection as a generator loses its struct field names
+    # during the explode rewrite (col1..colN) and fails analysis —
+    # derive lang first, explode second
+    tok = _spread_scan(df, id_col).select(
+        F.col(id_col), lang_expr.alias("lang"), F.col(text_col),
+    ).select(
+        id_col, "lang",
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    freq = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    freq = freq.join(F.broadcast(tot), "lang")
+    q = F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6 + 0.5) \
+        .cast("long")
+    surp = freq.select("lang", "tok", q.alias("__q"))
+    return (
+        tok.join(surp, ["lang", "tok"])
+        .groupBy(id_col, "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum("__q") / 1e6 / F.count(F.lit(1)))
+            .alias("mean_surprisal"),
+        )
+    )
+
+
 def _repeated_gram_positions(
     docs: DataFrame,
     k: int,

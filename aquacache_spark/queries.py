@@ -15896,3 +15896,123 @@ def bpe_tokenize_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_token_frequencies(docs, "text")
+
+
+# ---------------------------------------------------------------------------
+# Per-language curation capstone (CCNet is per-language): language_id
+# -> per-language unigram LMs (totals = keyed agg + broadcast, never a
+# global window) -> own-language surprisal per doc -> a token-length
+# quality gate -> per-language tercile buckets. Terciles come from a
+# bounded 4096-bin histogram per language (the histogram_quantiles
+# integer rank test: threshold bin = min bin with 3*cum >= k*n), NOT a
+# per-language row_number window — the window here runs over <=4096
+# bin rows per language regardless of corpus size, and the bucket
+# assignment is a map-side broadcast join. Ties inside a bin stay in
+# one bucket (CCNet buckets by perplexity VALUE thresholds, not rank).
+# ---------------------------------------------------------------------------
+
+_PER_LANG_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             {_lang_filter_sql('de')} AS de,
+             {_lang_filter_sql('en')} AS en,
+             {_lang_filter_sql('es')} AS es,
+             {_lang_filter_sql('fr')} AS fr
+      FROM t
+    ), langed AS (
+      SELECT doc_id, toks,
+             CASE
+               WHEN greatest(de, en, es, fr) < 0.05 THEN 'und'
+               WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+               WHEN en >= es AND en >= fr THEN 'en'
+               WHEN es >= fr THEN 'es'
+               ELSE 'fr'
+             END AS lang
+      FROM s
+    ), ltok AS (
+      SELECT doc_id, lang, unnest(toks) AS tok
+      FROM langed WHERE lang != 'und'
+    ), freq AS (
+      SELECT lang, tok, count(*) AS cnt FROM ltok GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, sum(cnt) AS total FROM freq GROUP BY 1
+    ), surp AS (
+      SELECT lang, tok,
+             CAST(floor(-ln(cnt / total) * 1000000 + 0.5) AS BIGINT) AS q
+      FROM freq JOIN tot USING (lang)
+    ), d AS (
+      SELECT l.doc_id, l.lang, sum(q) AS sq, count(*) AS n
+      FROM ltok l JOIN surp USING (lang, tok) GROUP BY 1, 2
+    ), g AS (
+      SELECT doc_id, lang,
+             CAST(floor(sq / 1000000.0 / n * 1000000 + 0.5) AS BIGINT)
+               AS mq
+      FROM d WHERE n >= 5
+    ), b AS (
+      SELECT doc_id, lang, mq,
+             least(mq * 4096 // 16000000, 4095) AS bin
+      FROM g
+    ), bc AS (
+      SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, bin,
+             sum(c) OVER (PARTITION BY lang ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM bc
+    ), th AS (
+      SELECT lang,
+             min(CASE WHEN 3 * cum >= n THEN bin END) AS t1,
+             min(CASE WHEN 3 * cum >= 2 * n THEN bin END) AS t2
+      FROM cum GROUP BY 1
+    )
+    SELECT b.doc_id, b.lang, mq / 1000000.0 AS mean_surprisal,
+           CASE WHEN bin <= t1 THEN 'head'
+                WHEN bin <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM b JOIN th USING (lang)
+"""
+
+
+@register("per_language_curation", oracle=_PER_LANG_ORACLE)
+def per_language_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language CCNet-style curation: own-language LM surprisal,
+    n_tokens >= 5 quality gate, per-language value-threshold terciles
+    from a bounded histogram."""
+    from .functions import text as X
+    from .operators.dedup import per_language_unigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    surp = per_language_unigram_surprisal(
+        docs.where(X.lang_id_multi(F.col("text")) != "und"),
+        X.lang_id_multi(F.col("text")))
+    g = surp.where(F.col("n_tokens") >= 5).select(
+        "doc_id", "lang",
+        F.floor(F.col("mean_surprisal").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long").alias("mq"))
+    b = g.withColumn(
+        "bin", F.least(F.expr("mq * 4096 div 16000000"), F.lit(4095)))
+    bc = b.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("lang").orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("lang")
+    cum = (bc.withColumn("cum", F.sum("c").over(wcum))
+           .withColumn("n", F.sum("c").over(wn)))
+    th = cum.groupBy("lang").agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("bin")))
+        .alias("t1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("bin")))
+        .alias("t2"))
+    return (
+        b.join(F.broadcast(th), "lang")
+        .select(
+            "doc_id", "lang",
+            (F.col("mq") / F.lit(1e6)).alias("mean_surprisal"),
+            F.when(F.col("bin") <= F.col("t1"), "head")
+            .when(F.col("bin") <= F.col("t2"), "middle")
+            .otherwise("tail").alias("bucket"),
+        )
+    )
