@@ -151,15 +151,7 @@ def bpe_token_frequencies(
     JVM-side pre-tokenize + count, Arrow-side encode of DISTINCT
     words only, vocab-sized aggregation — see module docstring for
     the 100 TB shape."""
-    words = (
-        docs.select(
-            F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}),"
-                       f" '{PRETOKEN_RE}', 0)")
-            ).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    words = word_counts(docs, text_col)
 
     def encode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -179,6 +171,116 @@ def bpe_token_frequencies(
     enc = words.mapInPandas(encode_batches, "token string, weight long")
     return enc.groupBy("token").agg(
         F.sum("weight").cast("long").alias("n_occurrences"))
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenize + count: the vocabulary frame (w, cnt) every BPE
+    stage runs over — map-side-combined, Zipf-small vs the corpus."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}),"
+                       f" '{PRETOKEN_RE}', 0)")
+            ).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _sym_string(w_col) -> "F.Column":
+    """Initial pipe-separated symbol encoding: 'ab' -> '|a||b||'."""
+    return F.concat(F.lit("|"),
+                    F.regexp_replace(w_col, "(.)", "$1||"))
+
+
+def _pairs_of(words: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word count (overlapping
+    occurrences all counted — the BPE get_stats convention)."""
+    syms = F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|")
+    base = words.select("cnt", syms.alias("__sy")) \
+        .withColumn("__n", F.size("__sy"))
+    pr = base.where(F.col("__n") >= 2).select(
+        "cnt",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.col("__n") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__sy"), i).alias("a"),
+                F.element_at(F.col("__sy"), i + 1).alias("b")),
+        )).alias("pr"))
+    return pr.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b")) \
+        .agg(F.sum("cnt").alias("c"))
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int = 8,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn a BPE merge table from a (w, cnt) vocabulary — the
+    training side of the Sennrich 2016 algorithm, distributed:
+
+    per round, one vocabulary-sized pair-count aggregation, a global
+    argmax via orderBy+limit(1) (takeOrdered tree-reduce, no
+    single-partition exchange), and a map-only merge applied through
+    the boundary-safe pipe-string replace. The argmax row is collected
+    to the driver (1 row per round — catalog-class, the
+    kmeans-centroid idiom) so the next round's replace runs with
+    literal patterns; lineage is localCheckpoint-truncated per round
+    (the PageRank lesson: without it round r replays rounds 0..r-1).
+
+    Ties break on (count DESC, left ASC, right ASC) — deterministic on
+    both engines. Returns (merges, final_words): merges as
+    [(rank, left, right, pair_count)], final_words the vocabulary with
+    its trained symbol string ``s`` (the encoded corpus vocabulary for
+    free).
+    """
+    w = words.select("w", "cnt", _sym_string(F.col("w")).alias("s")) \
+        .localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        best = _pairs_of(w).orderBy(
+            F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((r, a, b, c))
+        w = w.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f"|{a}||{b}|"),
+                           F.lit(f"|{a}{b}|"))
+        ).localCheckpoint(eager=True)
+    return merges, w
+
+
+def oracle_train_ctes(n_merges: int) -> str:
+    """DuckDB replay of :func:`bpe_train`: one (pairs, argmax, merge)
+    CTE triple per round over the same pipe encoding, plus a final
+    ``merges`` CTE of all argmax rows. Expects a ``wc(w, cnt)`` CTE
+    upstream."""
+    parts = ["""
+    w0 AS (
+      SELECT w, cnt, '|' || regexp_replace(w, '(.)', '\\1||', 'g') AS s
+      FROM wc
+    )"""]
+    for r in range(n_merges):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
+      FROM (SELECT cnt, unnest(list_zip(syms, syms[2:])) AS pr
+            FROM (SELECT string_split(trim(s, '|'), '||') AS syms, cnt
+                  FROM w{r}))
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ), m{r} AS (
+      SELECT {r} AS rank, a, b, c FROM p{r}
+      ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ), w{r + 1} AS (
+      SELECT w, cnt,
+             replace(s, '|' || m.a || '||' || m.b || '|',
+                     '|' || m.a || m.b || '|') AS s
+      FROM w{r} CROSS JOIN m{r} m
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}"
+                               for r in range(n_merges))
+    parts.append(f"""
+    , merges AS ({union})""")
+    return "".join(parts)
 
 
 def oracle_replace_chain(expr: str) -> str:

@@ -16016,3 +16016,81 @@ def per_language_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("tail").alias("bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE TRAINING (functions/bpe.bpe_train): learn the merge
+# table itself — per round one vocab-sized pair-count shuffle, a
+# takeOrdered argmax (no single-partition exchange), a map-only
+# literal replace, localCheckpoint lineage truncation. The oracle
+# replays all rounds as chained CTEs (the kmeans-CTE idiom).
+# ---------------------------------------------------------------------------
+
+def _bpe_train_oracle(n: int) -> str:
+    from .functions.bpe import PRETOKEN_RE, oracle_train_ctes
+
+    return f"""
+    WITH pre AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{PRETOKEN_RE}'))
+               AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS cnt FROM pre GROUP BY 1
+    ), {oracle_train_ctes(n)}
+    SELECT CAST(rank AS INT) AS rank, a AS left_sym, b AS right_sym,
+           a || b AS merged, CAST(c AS BIGINT) AS pair_count
+    FROM merges
+"""
+
+
+_BPE_TRAIN_N = 8
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle(_BPE_TRAIN_N))
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 learned BPE merges over the documents corpus
+    (rank, pair, merged symbol, pair count at merge time)."""
+    from .functions.bpe import bpe_train, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_counts(docs), n_merges=_BPE_TRAIN_N)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for r, a, b, c in merges],
+        "rank int, left_sym string, right_sym string, merged string,"
+        " pair_count long")
+
+
+def _bpe_vocab_oracle(n: int) -> str:
+    from .functions.bpe import PRETOKEN_RE, oracle_train_ctes
+
+    return f"""
+    WITH pre AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{PRETOKEN_RE}'))
+               AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS cnt FROM pre GROUP BY 1
+    ), {oracle_train_ctes(n)}
+    SELECT tok AS token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+    FROM (SELECT cnt, unnest(string_split(trim(s, '|'), '||')) AS tok
+          FROM w{n})
+    GROUP BY 1
+"""
+
+
+@register("bpe_trained_vocab_tokens", oracle=_bpe_vocab_oracle(_BPE_TRAIN_N))
+def bpe_trained_vocab_tokens_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Corpus token frequencies under the freshly TRAINED 8-merge
+    table — the end-to-end train->encode pipeline (encodings fall out
+    of the training loop's final symbol strings)."""
+    from .functions.bpe import bpe_train, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    _, final_words = bpe_train(word_counts(docs), n_merges=_BPE_TRAIN_N)
+    syms = F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|")
+    return (
+        final_words.select("cnt", F.explode(syms).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
+    )

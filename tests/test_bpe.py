@@ -74,3 +74,19 @@ def test_distributed_frequencies_match_local(spark):
             for t in bpe_encode(w):
                 want[t] = want.get(t, 0) + 1
     assert got == want
+
+
+def test_bpe_train_closed_form(spark):
+    # corpus {aaab: 2, ab: 3} — hand-traced:
+    # r0: pairs (a,a)=4, (a,b)=5 -> merge (a,b); words [a,a,ab],[ab]
+    # r1: (a,a)=2, (a,ab)=2 tie -> lexicographic (a,a); words [aa,ab]
+    # r2: (aa,ab)=2 -> merge; r3: no pairs left -> early stop
+    from aquacache_spark.functions.bpe import bpe_train
+
+    words = spark.createDataFrame(
+        [("aaab", 2), ("ab", 3)], "w string, cnt long")
+    merges, final_words = bpe_train(words, n_merges=8)
+    assert merges == [(0, "a", "b", 5), (1, "a", "a", 2),
+                      (2, "aa", "ab", 2)]
+    got = {r["w"]: r["s"] for r in final_words.collect()}
+    assert got == {"aaab": "|aaab||", "ab": "|ab||"}
