@@ -698,3 +698,64 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def int8_scales(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int = 64,
+) -> list[float]:
+    """Per-dimension symmetric absmax scales for int8 scalar
+    quantization (the vector-DB storage codec): one posexplode +
+    partial-aggregable max per dimension (the shuffle carries ``dim``
+    groups after map-side combine), collected to the driver — dim
+    floats, catalog-class (the centroid idiom)."""
+    rows = (
+        corpus.select(F.posexplode(_as_double(F.col(vec_col)))
+                      .alias("pos", "v"))
+        .groupBy("pos").agg(F.max(F.abs(F.col("v"))).alias("absmax"))
+        .collect()
+    )
+    by_pos = {r["pos"]: r["absmax"] for r in rows}
+    return [max(by_pos.get(i, 0.0), 1e-12) for i in range(dim)]
+
+
+def int8_quantize_stats(
+    corpus: DataFrame,
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to int8 codes against literal per-dim
+    scales and report reconstruction stats — map-only codegen, no
+    join (scales are literals, like trained centroids).
+
+    code_i = clamp(floor(v_i / s_i * 127 + 0.5), -127, 127); the
+    reconstruction error is accumulated as exact pico-units
+    (floor(err^2 * 1e12 + 0.5) per dim, bigint sum) so the MSE is
+    order-independent and oracle-exact. Output: (id, code_psum —
+    position-weighted code checksum, n_clipped, mse)."""
+    sarr = F.array(*[F.lit(float(s)) for s in scales])
+    v = _as_double(F.col(vec_col))
+    raw = F.zip_with(
+        v, sarr, lambda x, s: F.floor(x / s * 127 + F.lit(0.5)))
+    code = F.transform(
+        raw, lambda q: F.least(F.greatest(q, F.lit(-127)), F.lit(127)))
+    deq = F.zip_with(code, sarr, lambda q, s: q * s / F.lit(127.0))
+    err_units = F.aggregate(
+        F.zip_with(v, deq,
+                   lambda x, d: F.floor((x - d) * (x - d) * 1e12
+                                        + F.lit(0.5)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, e: acc + e)
+    # position-weighted checksum: sum (i+1) * code_i via a sequence zip
+    idx = F.sequence(F.lit(1), F.lit(len(scales)))
+    psum = F.aggregate(
+        F.zip_with(code, idx, lambda q, i: (q * i).cast("long")),
+        F.lit(0).cast("long"), lambda acc, e: acc + e)
+    n_clipped = F.size(F.filter(
+        raw, lambda q: (q > 127) | (q < -127)))
+    mse = err_units / F.lit(1e12) / F.lit(float(len(scales)))
+    return corpus.select(
+        F.col(id_col),
+        psum.alias("code_psum"),
+        n_clipped.cast("int").alias("n_clipped"),
+        mse.alias("mse"),
+    )

@@ -59,9 +59,21 @@ def hll_distinct(
     registers, not keys. Output: (group..., n_registers, zeros,
     s_units, estimate).
     """
+    regs = hll_registers(df, key_col, group_cols, p)
+    return hll_finalize(regs, group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """The raw register frame (group..., __idx, __M) — exposed so
+    sketches built over different slices can be MERGED (register-wise
+    max) before finalizing: the union/intersection machinery below."""
     group_cols = group_cols or []
     m = 1 << p
-    q = _HASH_BITS - p + 1
     h = md5_int(F.col(key_col).cast("string"), 15)
     w = F.expr(f"__h div {m}")
     # bin-length of w = floor(log2(w)) + 1, integer-exact; rho is the
@@ -69,7 +81,7 @@ def hll_distinct(
     rho = F.when(
         w > 0, F.lit(_HASH_BITS - p) - (F.length(F.expr("bin(__w)")) - 1)
     ).otherwise(F.lit(_HASH_BITS - p + 1)).cast("int")
-    regs = (
+    return (
         # NULL keys would hash to a NULL register index (md5(NULL) is
         # NULL), forming a phantom register group that can push
         # n_registers past 2^p and corrupt zeros/s_units — exclude
@@ -82,6 +94,29 @@ def hll_distinct(
         .groupBy(*group_cols, "__idx")
         .agg(F.max("__rho").alias("__M"))
     )
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Union two register frames: register-wise MAX — the HLL merge
+    property (sketch of A ∪ B without rescanning either side)."""
+    group_cols = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__M").alias("__M"))
+    )
+
+
+def hll_finalize(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Closed-form estimate from a register frame (see hll_distinct)."""
+    group_cols = group_cols or []
+    m = 1 << p
+    q = _HASH_BITS - p + 1
     per_group = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_registers"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q} - __M)"))

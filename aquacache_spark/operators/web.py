@@ -517,3 +517,63 @@ def robots_allowed(
         F.when(F.col("__hit"), F.col("rule")).alias("matched_rule"),
         F.when(F.col("__hit"), F.col("path")).alias("matched_path"),
     )
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """RFC 3986-style URL canonicalization (the crawl-frontier /
+    dedup-key normalizer, §6.2 syntax-based normalization):
+
+    - scheme and host lowercased; fragment stripped;
+    - default ports dropped (http:80, https:443), others kept;
+    - path dot-segments resolved (``/a/./b/../c`` -> ``/a/c``) with a
+      string-accumulator FOLD over the split segments — one
+      ``F.aggregate`` higher-order expression, no UDF, mirrored by
+      DuckDB ``list_reduce``; empty segments collapse (``//`` -> ``/``,
+      the usual crawler strictness trade-off, documented divergence
+      from pure RFC); trailing-slash distinction preserved (paths
+      ending ``/``, ``/.`` or ``/..`` keep a trailing ``/``);
+      empty path -> ``/``;
+    - query parameters sorted lexicographically (stable canonical
+      order for dedup keys); empty query dropped.
+
+    Map-only codegen — linear over a 100 TB URL column, no shuffle.
+    Output: input columns + scheme/host/port/path/query/canonical_url.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1)
+    rawpath = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    userinfo = F.regexp_extract(auth, r"^([^@]*)@", 1)
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port_keep = F.when(
+        (port == "") | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    # dot-segment fold: acc starts '' (the split of a '/'-led path
+    # yields a leading '' element, which the CASE ignores — DuckDB's
+    # list_reduce seeds from that same element, keeping parity)
+    segs = F.split(F.concat(F.lit("/"), F.regexp_replace(rawpath, r"^/", "")),
+                   "/")
+    folded = F.aggregate(
+        segs, F.lit(""),
+        lambda acc, x: F.when((x == "") | (x == "."), acc)
+        .when(x == "..", F.regexp_replace(acc, r"/[^/]*$", ""))
+        .otherwise(F.concat(acc, F.lit("/"), x)))
+    trailing = rawpath.rlike(r"(/|/\.|/\.\.)$") | (rawpath == "")
+    path = F.when(folded == "", F.lit("/")).otherwise(
+        F.concat(folded, F.when(trailing, F.lit("/")).otherwise(F.lit(""))))
+    qsorted = F.array_join(F.sort_array(F.split(query, "&")), "&")
+    qpart = F.when(qsorted == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), qsorted))
+    upart = F.when(userinfo == "", F.lit("")).otherwise(
+        F.concat(userinfo, F.lit("@")))
+    canon = F.concat(scheme, F.lit("://"), upart, host, port_keep, path,
+                     qpart)
+    return df.select(
+        "*",
+        scheme.alias("scheme"), host.alias("host"),
+        port_keep.alias("port"), path.alias("path"),
+        qsorted.alias("query"), canon.alias("canonical_url"))

@@ -16094,3 +16094,295 @@ def bpe_trained_vocab_tokens_q(spark: SparkSession,
         .groupBy("token")
         .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (operators/web.url_canonicalize): RFC 3986 §6.2
+# syntax normalization as the crawl-frontier / dedup-key normalizer.
+# Map-only codegen; the dot-segment removal is a higher-order string
+# FOLD (F.aggregate <-> DuckDB list_reduce) — no UDF, no bounded-pass
+# replace chains.
+# ---------------------------------------------------------------------------
+
+_URL_CANON_ORACLE = r"""
+    WITH raw AS (
+      SELECT c_custkey AS url_id,
+             (CASE c_custkey % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+                   ELSE 'HttpS' END)
+             || '://'
+             || (CASE WHEN c_custkey % 11 = 0
+                      THEN 'u' || CAST(c_custkey % 3 AS VARCHAR) || '@'
+                      ELSE '' END)
+             || 'Host' || CAST(c_custkey % 7 AS VARCHAR) || '.Example.COM'
+             || (CASE c_custkey % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                      WHEN 2 THEN ':8080' WHEN 3 THEN '' ELSE ':80' END)
+             || (CASE WHEN c_custkey % 13 = 0 THEN ''
+                      ELSE CASE c_custkey % 6
+                           WHEN 0 THEN '/a/./b/../c'
+                           WHEN 1 THEN '/x/y/z/../../w'
+                           WHEN 2 THEN '/../up'
+                           WHEN 3 THEN '/a//b/.'
+                           WHEN 4 THEN '/dots/..'
+                           ELSE '/keep/me/' END END)
+             || (CASE c_custkey % 4 WHEN 0 THEN '?b=2&a=1'
+                      WHEN 1 THEN '' WHEN 2 THEN '?z=9&a=1&m=3'
+                      ELSE '?single=1' END)
+             || (CASE WHEN c_custkey % 2 = 0 THEN '#sec2' ELSE '' END)
+               AS url
+      FROM customer
+    ), parsed AS (
+      SELECT url_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+             regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+               AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM raw
+    ), comps AS (
+      SELECT url_id, scheme, rawpath, query,
+             regexp_extract(auth, '^([^@]*)@', 1) AS userinfo,
+             lower(regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                                  '^([^:]*)', 1)) AS host,
+             regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                            ':([0-9]+)$', 1) AS port
+      FROM parsed
+    ), norm AS (
+      SELECT url_id, scheme, host, userinfo, query, rawpath,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END AS port_keep,
+             list_reduce(
+               string_split('/' || regexp_replace(rawpath, '^/', ''), '/'),
+               (acc, x) -> CASE WHEN x = '' OR x = '.' THEN acc
+                                WHEN x = '..'
+                                  THEN regexp_replace(acc, '/[^/]*$', '')
+                                ELSE acc || '/' || x END) AS folded,
+             (regexp_matches(rawpath, '(/|/\.|/\.\.)$') OR rawpath = '')
+               AS keep_slash,
+             array_to_string(list_sort(string_split(query, '&')), '&')
+               AS qsorted
+      FROM comps
+    )
+    SELECT url_id, scheme, host, port_keep AS port,
+           CASE WHEN folded = '' THEN '/'
+                ELSE folded || CASE WHEN keep_slash THEN '/' ELSE '' END
+           END AS path,
+           qsorted AS query,
+           scheme || '://'
+           || CASE WHEN userinfo = '' THEN '' ELSE userinfo || '@' END
+           || host || port_keep
+           || CASE WHEN folded = '' THEN '/'
+                   ELSE folded || CASE WHEN keep_slash THEN '/' ELSE '' END
+              END
+           || CASE WHEN qsorted = '' THEN '' ELSE '?' || qsorted END
+             AS canonical_url
+    FROM norm
+"""
+
+
+@register("url_canonicalization", oracle=_URL_CANON_ORACLE)
+def url_canonicalization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize deterministically-messy URLs (mixed-case schemes
+    and hosts, default and non-default ports, userinfo, dot-segments,
+    empty segments, trailing-slash cases, unsorted queries,
+    fragments)."""
+    from .operators.web import url_canonicalize
+
+    k = F.col("c_custkey")
+    url = F.concat(
+        F.when(k % 3 == 0, "http").when(k % 3 == 1, "HTTP")
+        .otherwise("HttpS"),
+        F.lit("://"),
+        F.when(k % 11 == 0,
+               F.concat(F.lit("u"), (k % 3).cast("string"), F.lit("@")))
+        .otherwise(""),
+        F.lit("Host"), (k % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(k % 5 == 0, ":80").when(k % 5 == 1, ":443")
+        .when(k % 5 == 2, ":8080").when(k % 5 == 3, "")
+        .otherwise(":80"),
+        F.when(k % 13 == 0, "").otherwise(
+            F.when(k % 6 == 0, "/a/./b/../c")
+            .when(k % 6 == 1, "/x/y/z/../../w")
+            .when(k % 6 == 2, "/../up")
+            .when(k % 6 == 3, "/a//b/.")
+            .when(k % 6 == 4, "/dots/..")
+            .otherwise("/keep/me/")),
+        F.when(k % 4 == 0, "?b=2&a=1").when(k % 4 == 1, "")
+        .when(k % 4 == 2, "?z=9&a=1&m=3").otherwise("?single=1"),
+        F.when(k % 2 == 0, "#sec2").otherwise(""),
+    )
+    urls = _t(spark, sf_dir, "customer").select(
+        k.alias("url_id"), url.alias("url"))
+    out = url_canonicalize(urls, "url")
+    return out.select("url_id", "scheme", "host", "port", "path",
+                      "query", "canonical_url")
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (operators/funnel.funnel_steps): first-match greedy
+# view -> click -> purchase chain with a 72h per-step window — chained
+# conditional min-aggregations on user_id, no per-user sort window.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1
+        AND ts <= t1 + INTERVAL 72 HOUR
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2
+        AND ts <= t2 + INTERVAL 72 HOUR
+      GROUP BY 1
+    )
+    SELECT s1.user_id, t1, t2, t3,
+           CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INT)
+             AS steps_completed
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+@register("event_funnel", oracle=_FUNNEL_ORACLE)
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel, 72h conversion window per
+    step, first-match greedy semantics."""
+    from .operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"],
+                        max_gap_hours=72)
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (operators/similarity.int8_quantize_stats):
+# the vector-DB storage codec — per-dim absmax scales (one partial-
+# aggregable posexplode max, dim-row collect = the centroid idiom),
+# then map-only quantize/reconstruct with exact pico-unit error sums.
+# ---------------------------------------------------------------------------
+
+_INT8_ORACLE = """
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pos AS (
+      SELECT unnest(generate_series(1, 64)) AS i
+    ), sc AS (
+      SELECT i, greatest(max(abs(v[i])), CAST(1e-12 AS DOUBLE)) AS s
+      FROM c, pos GROUP BY i
+    ), q AS (
+      SELECT vec_id, i,
+             floor(v[i] / s * 127 + CAST(0.5 AS DOUBLE)) AS raw,
+             s, v[i] AS x
+      FROM c, pos JOIN sc USING (i)
+    ), coded AS (
+      SELECT vec_id, i, s, x,
+             least(greatest(raw, -127), 127) AS code,
+             (raw > 127 OR raw < -127) AS clipped
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(sum(CAST(code AS BIGINT) * i) AS BIGINT) AS code_psum,
+           CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS INT)
+             AS n_clipped,
+           sum(CAST(floor((x - code * s / 127)
+                          * (x - code * s / 127) * 1e12
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT))
+             / CAST(1e12 AS DOUBLE) / CAST(64 AS DOUBLE) AS mse
+    FROM coded GROUP BY 1
+"""
+
+
+@register("embedding_int8_quantization", oracle=_INT8_ORACLE)
+def embedding_int8_quantization_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Symmetric-absmax int8 quantization of the embeddings corpus:
+    positional code checksum, clip count, exact reconstruction MSE."""
+    from .operators.similarity import int8_quantize_stats, int8_scales
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scales = int8_scales(emb, dim=64)
+    return int8_quantize_stats(emb, scales)
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra (operators/sketch.hll_merge): union by register-wise
+# max — the merge property — and intersection by inclusion-exclusion,
+# WITHOUT rescanning either side. The distinct-token overlap between
+# two sources from three bounded sketches.
+# ---------------------------------------------------------------------------
+
+def _hll_est_sql(tag: str, src_filter: str) -> str:
+    a = _HLL_ALPHA
+    return f"""
+    tok_{tag} AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tokk
+      FROM documents WHERE {src_filter}
+    ), regs_{tag} AS (
+      SELECT hh % 256 AS idx,
+             max(CASE WHEN hh // 256 > 0
+                      THEN 52 - (length(bin(hh // 256)) - 1)
+                      ELSE 53 END) AS m
+      FROM (SELECT CAST('0x' || substr(md5(tokk), 1, 15) AS BIGINT) AS hh
+            FROM tok_{tag})
+      GROUP BY 1
+    ), est_{tag} AS (
+      SELECT CASE WHEN CAST({a!r} AS DOUBLE) * 256.0 * 256.0
+                       * 9007199254740992.0 / s_units <= 640.0
+                       AND zeros > 0
+                  THEN 256.0 * ln(CAST(256 AS DOUBLE) / zeros)
+                  ELSE CAST({a!r} AS DOUBLE) * 256.0 * 256.0
+                       * 9007199254740992.0 / s_units END AS est
+      FROM (SELECT 256 - count(*) AS zeros,
+                   sum(CAST(1 AS BIGINT) << (53 - m))
+                     + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                     AS s_units
+            FROM regs_{tag})
+    )"""
+
+
+_HLL_IX_ORACLE = f"""
+    WITH {_hll_est_sql('a', "source = 'src0'")},
+    {_hll_est_sql('b', "source = 'src1'")},
+    {_hll_est_sql('u', "source IN ('src0', 'src1')")}
+    SELECT {R('a.est', 6)} AS est_a, {R('b.est', 6)} AS est_b,
+           {R('u.est', 6)} AS est_union,
+           {R('a.est + b.est - u.est', 6)} AS est_intersection
+    FROM est_a a, est_b b, est_u u
+"""
+
+
+@register("hll_token_intersection", oracle=_HLL_IX_ORACLE)
+def hll_token_intersection_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Distinct-token overlap between src0 and src1 via HLL
+    inclusion-exclusion; the union sketch is a register-wise MERGE of
+    the two per-source sketches (never a rescan)."""
+    from .functions.text import tokens
+    from .operators.sketch import hll_finalize, hll_merge, hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def regs_of(src):
+        tok = docs.where(F.col("source") == src).select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("tokk"))
+        return hll_registers(tok, "tokk", [], 8)
+
+    ra, rb = regs_of("src0"), regs_of("src1")
+    ea = hll_finalize(ra, [], 8).select(F.col("estimate").alias("est_a"))
+    eb = hll_finalize(rb, [], 8).select(F.col("estimate").alias("est_b"))
+    eu = hll_finalize(hll_merge(ra, rb), [], 8).select(
+        F.col("estimate").alias("est_union"))
+    out = (
+        ea.crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(eu))
+        .withColumn("est_intersection",
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"))
+    )
+    return _round(out, {"est_a": 6, "est_b": 6, "est_union": 6,
+                        "est_intersection": 6})
