@@ -151,7 +151,13 @@ def bpe_token_frequencies(
     JVM-side pre-tokenize + count, Arrow-side encode of DISTINCT
     words only, vocab-sized aggregation — see module docstring for
     the 100 TB shape."""
-    words = word_counts(docs, text_col)
+    return token_frequencies_from_words(word_counts(docs, text_col))
+
+
+def token_frequencies_from_words(words: DataFrame) -> DataFrame:
+    """The encode+aggregate stage over an already-counted (w, cnt)
+    vocabulary frame (exposed for scale pins and callers that manage
+    their own pre-tokenization)."""
 
     def encode_batches(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -41,6 +41,7 @@ def host_pagerank(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    initial_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over a (src, dst) edge list.
 
@@ -83,8 +84,21 @@ def host_pagerank(
                      F.col(dst_col).alias("dst"))
 
     base_u = (100 - damping_pct) * PR_UNIT // 100
-    pr = deg.select("node", "outdeg",
-                    F.lit(PR_UNIT).cast("long").alias("pr"))
+    if initial_ranks is None:
+        pr = deg.select("node", "outdeg",
+                        F.lit(PR_UNIT).cast("long").alias("pr"))
+    else:
+        # warm start (incremental maintenance over an edge delta /
+        # change feed): seed from a previous run's ranks; nodes new
+        # to this graph fall back to PR_UNIT. A few iterations from a
+        # warm seed converge where a cold start needs the full count.
+        # node-cardinality frame: plain equi-join on node (AQE picks
+        # broadcast when it fits), never a forced broadcast
+        init = initial_ranks.select(
+            F.col("node"), F.col("rank_units").alias("__init"))
+        pr = deg.join(init, "node", "left").select(
+            "node", "outdeg",
+            F.coalesce("__init", F.lit(PR_UNIT)).cast("long").alias("pr"))
     for _ in range(iterations):
         # truncate the lineage each round: the dangling-mass agg and
         # the next iteration's join must read THIS round's ranks, not

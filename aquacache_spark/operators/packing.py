@@ -313,3 +313,61 @@ def chunk_documents(
         F.col("__c.nt").cast("long").alias("n_tokens"),
         F.col("__c.st").cast("long").alias("start_token"),
     )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    budget_frac: float = 0.5,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-LM
+    rebalancing rule, temperature alpha = 0.5): target share
+    q_d ∝ n_d^alpha flattens the natural distribution toward uniform,
+    up-weighting small domains. alpha = 0.5 keeps the power function
+    as IEEE sqrt — correctly rounded on both engines, unlike pow(x,
+    0.3) whose libm rounding may differ.
+
+    The sqrt normalizer accumulates as exact micro-units (bigint sum
+    of floor(sqrt(n_d)*1e6+0.5)) so the shares are independent of the
+    domain-count frame's merge order. Token budget T = floor(
+    budget_frac * total_tokens); keep_frac_d = min(1, q_d * T / n_d),
+    realized by the engine-wide hash-of-id keep rule. All in-plan:
+    the totals are a domain-cardinality aggregate broadcast back — no
+    driver collect.
+
+    Output: docs + (q, keep_frac, kept).
+    """
+    tot = docs.groupBy(domain_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("__n"))
+    tot = tot.withColumn(
+        "__squ", F.floor(F.sqrt(F.col("__n")) * 1e6 + F.lit(0.5))
+        .cast("long"))
+    norm = tot.agg(F.sum("__squ").alias("__ssum"),
+                   F.sum("__n").alias("__grand"))
+    rates = (
+        tot.crossJoin(F.broadcast(norm))
+        .withColumn("q", F.col("__squ") / F.col("__ssum"))
+        .withColumn(
+            "keep_frac",
+            F.least(
+                F.lit(1.0),
+                F.col("__squ") / F.col("__ssum")
+                * F.floor(F.lit(budget_frac) * F.col("__grand"))
+                / F.col("__n")))
+        .select(domain_col, "q", "keep_frac")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"),
+                               F.col(id_col).cast("string"))), 1, 12),
+            16, 10).cast("long")
+        / F.lit(float(1 << 48))
+    )
+    return (
+        docs.join(F.broadcast(rates), domain_col)
+        .withColumn("kept", u < F.col("keep_frac"))
+    )

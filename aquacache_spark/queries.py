@@ -13486,36 +13486,50 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Nodes 50..59 appear only as destinations -> dangling mass exercised.
 # ---------------------------------------------------------------------------
 
-def _pr_cte_chain(iterations: int) -> str:
-    """deg/nn/pr0..prN CTE text over a preceding CTE ``e(src, dst)``
-    (shared by host_pagerank and the crawl-frontier capstone)."""
-    sql = """nodes AS (
+def _pr_cte_chain(iterations: int, e: str = "e", pfx: str = "",
+                  init_join: str | None = None) -> str:
+    """deg/nn/pr0..prN CTE text over a preceding CTE ``{e}(src, dst)``
+    (shared by host_pagerank, the crawl-frontier capstone, and the
+    incremental warm-start replay). ``pfx`` namespaces the CTEs so two
+    chains can coexist; ``init_join`` names a prior chain's final
+    rank CTE to seed pr{pfx}0 from (new nodes fall back to
+    PR_UNIT)."""
+    if init_join is None:
+        init = f"""
+      SELECT node, outdeg, CAST(1000000000 AS BIGINT) AS pr
+      FROM deg{pfx}"""
+    else:
+        init = f"""
+      SELECT d.node, d.outdeg,
+             coalesce(p.pr, CAST(1000000000 AS BIGINT)) AS pr
+      FROM deg{pfx} d LEFT JOIN {init_join} p USING (node)"""
+    sql = f"""nodes{pfx} AS (
       SELECT DISTINCT node FROM (
-        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
-    ), deg AS (
+        SELECT src AS node FROM {e} UNION ALL SELECT dst FROM {e})
+    ), deg{pfx} AS (
       SELECT n.node, coalesce(o.outdeg, 0) AS outdeg
-      FROM nodes n LEFT JOIN (
-        SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1) o
+      FROM nodes{pfx} n LEFT JOIN (
+        SELECT src AS node, count(*) AS outdeg FROM {e} GROUP BY 1) o
         USING (node)
-    ), nn AS (
-      SELECT count(*) AS n FROM deg
-    ), pr0 AS (
-      SELECT node, outdeg, CAST(1000000000 AS BIGINT) AS pr FROM deg
+    ), nn{pfx} AS (
+      SELECT count(*) AS n FROM deg{pfx}
+    ), pr{pfx}0 AS ({init}
     )"""
     for i in range(1, iterations + 1):
-        p = f"pr{i - 1}"
-        sql += f""", pr{i} AS (
+        p = f"pr{pfx}{i - 1}"
+        sql += f""", pr{pfx}{i} AS (
       SELECT d.node, d.outdeg,
-             150000000 + 85 * (coalesce(s.insum, 0) + dg.dang // nn.n)
+             150000000 + 85 * (coalesce(s.insum, 0)
+                               + dg.dang // nn{pfx}.n)
                // 100 AS pr
-      FROM deg d
+      FROM deg{pfx} d
       LEFT JOIN (
-        SELECT e.dst AS node, sum(p.pr // p.outdeg) AS insum
-        FROM e JOIN {p} p ON p.node = e.src AND p.outdeg > 0
+        SELECT {e}.dst AS node, sum(p.pr // p.outdeg) AS insum
+        FROM {e} JOIN {p} p ON p.node = {e}.src AND p.outdeg > 0
         GROUP BY 1) s ON s.node = d.node
       CROSS JOIN (SELECT coalesce(sum(pr), 0) AS dang
                   FROM {p} WHERE outdeg = 0) dg
-      CROSS JOIN nn
+      CROSS JOIN nn{pfx}
     )"""
     return sql
 
@@ -16386,3 +16400,109 @@ def hll_token_intersection_q(spark: SparkSession,
     )
     return _round(out, {"est_a": 6, "est_b": 6, "est_union": 6,
                         "est_intersection": 6})
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (operators/packing.
+# temperature_mixture_sample): multilingual-LM rebalancing with
+# alpha=0.5 (sqrt is IEEE-correctly-rounded on both engines; pow(x,
+# 0.3) is not guaranteed to be) and an exact micro-unit normalizer.
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, source AS domain,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT domain, sum(n_tokens) AS n,
+             CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))
+                        * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS squ
+      FROM docs GROUP BY 1
+    ), norm AS (
+      SELECT sum(squ) AS ssum, sum(n) AS grand FROM tot
+    ), rates AS (
+      SELECT domain,
+             squ / CAST(ssum AS DOUBLE) AS q,
+             least(CAST(1 AS DOUBLE),
+                   squ / CAST(ssum AS DOUBLE)
+                   * floor(CAST(0.5 AS DOUBLE) * grand)
+                   / CAST(n AS DOUBLE)) AS keep_frac
+      FROM tot, norm
+    )
+    SELECT d.doc_id, d.domain, d.n_tokens,
+           {R('r.q', 6)} AS q, {R('r.keep_frac', 6)} AS keep_frac,
+           (CAST('0x' || substr(md5('temp-v1|' || CAST(d.doc_id AS VARCHAR)),
+                                1, 12) AS BIGINT)
+            / CAST(281474976710656 AS DOUBLE)) < r.keep_frac AS kept
+    FROM docs d JOIN rates r USING (domain)
+"""
+
+
+@register("temperature_mixture_sample", oracle=_TEMP_MIX_ORACLE)
+def temperature_mixture_sample_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """sqrt-temperature rebalancing of the 20 document sources at a
+    50% token budget — small sources up-weighted toward uniform."""
+    from .operators.packing import temperature_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("domain"),
+        F.size(F.split(F.col("text"), " ")).cast("long")
+        .alias("n_tokens"))
+    out = temperature_mixture_sample(docs, budget_frac=0.5)
+    return _round(
+        out.select("doc_id", "domain", "n_tokens", "q", "keep_frac",
+                   "kept"),
+        {"q": 6, "keep_frac": 6})
+
+
+# ---------------------------------------------------------------------------
+# Incremental PageRank (operators/graph.host_pagerank warm start): the
+# change-feed maintenance story — after an edge delta, seed the power
+# iteration from the previous ranks and run a SHORT refresh instead of
+# a cold full count. Integer arithmetic keeps the warm trajectory
+# bit-replayable; the oracle chains a 5-iteration base run and a
+# 2-iteration warm run over the delta graph (new nodes seed PR_UNIT).
+# ---------------------------------------------------------------------------
+
+def _incr_pagerank_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 60 AS dst
+      FROM orders
+    ), {_pr_cte_chain(5)},
+    e2 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e
+        UNION ALL
+        SELECT o_custkey % 45 + 5, o_orderkey % 71 FROM orders)
+    ), {_pr_cte_chain(2, e="e2", pfx="w", init_join="pr5")}
+    SELECT node, CAST(pr AS BIGINT) AS rank_units,
+           CAST(pr AS BIGINT) / 1000000000.0 AS rank
+    FROM prw2
+"""
+
+
+@register("incremental_pagerank", oracle=_incr_pagerank_oracle())
+def incremental_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank refresh: 5 cold iterations on the base
+    graph, then an edge delta (new links + 11 new nodes) absorbed
+    with only 2 warm iterations."""
+    from .operators.graph import host_pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    e0 = o.select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("o_orderkey") % 60).alias("dst"),
+    ).distinct()
+    delta = o.select(
+        (F.col("o_custkey") % 45 + 5).alias("src"),
+        (F.col("o_orderkey") % 71).alias("dst"),
+    )
+    e1 = e0.unionByName(delta).distinct()
+    base = host_pagerank(e0, iterations=5)
+    return host_pagerank(
+        e1, iterations=2,
+        initial_ranks=base.select("node", "rank_units"))

@@ -666,6 +666,100 @@ def main() -> None:
     ).count()
     assert n_mega < 40_000, f"parse limit inactive: {n_mega}"
 
+    # ---- round-8 tier ------------------------------------------------
+    # BPE: the kernel cost must be VOCABULARY-bounded — 300k distinct
+    # words through the Arrow encode + the training loop's per-round
+    # pair-count/argmax/replace, regardless of how many running tokens
+    # produced them.
+    from aquacache_spark.functions.bpe import (
+        bpe_train, token_frequencies_from_words)
+
+    words = spark.range(0, 300_000).select(
+        F.lower(F.conv(F.col("id").cast("string"), 10, 36)).alias("w"),
+        (F.col("id") % 50 + 1).alias("cnt"),
+    ).persist()
+    words.count()
+    t0 = time.perf_counter()
+    n_tok = token_frequencies_from_words(words).count()
+    timings["bpe_encode_300k_vocab"] = round(time.perf_counter() - t0, 2)
+    assert n_tok >= 36  # at least the single-char alphabet survives
+    t0 = time.perf_counter()
+    merges, _fw = bpe_train(words, n_merges=4)
+    timings["bpe_train_4r_300k_vocab"] = round(time.perf_counter() - t0, 2)
+    words.unpersist()
+    assert len(merges) == 4 and merges[0][3] > 0
+
+    # per-language LM with adversarial language skew: 95% of 300k docs
+    # are one language — the per-language totals stay a keyed agg +
+    # broadcast and the surprisal join shuffles on (lang, token), so
+    # the skewed language must not funnel through one task (AQE splits
+    # the skewed partition; there is no per-language window anywhere).
+    from aquacache_spark.operators.dedup import (
+        per_language_unigram_surprisal)
+
+    lang_docs = spark.range(0, 300_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 20 != 0,
+            F.concat(F.lit("the of and to in is it "),
+                     F.lit("w"), (F.col("id") % 5_000).cast("string"),
+                     F.lit(" the and"))
+        ).otherwise(
+            F.concat(F.lit("le la et les des une "),
+                     F.lit("m"), (F.col("id") % 5_000).cast("string"),
+                     F.lit(" le des"))
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    pls = per_language_unigram_surprisal(
+        lang_docs,
+        F.when(F.col("text").startswith("the"), "en").otherwise("fr"))
+    n_scored = pls.count()
+    n_langs = pls.select("lang").distinct().count()
+    timings["per_language_lm_95pct_skew"] = round(
+        time.perf_counter() - t0, 2)
+    assert n_scored == 300_000 and n_langs == 2
+
+    # URL canonicalization is map-only — 3M messy URLs, linear.
+    from aquacache_spark.operators.web import url_canonicalize
+
+    murls = spark.range(0, 3_000_000).select(
+        F.col("id").alias("url_id"),
+        F.concat(
+            F.lit("HTTP://Host"), (F.col("id") % 997).cast("string"),
+            F.lit(".Example.COM:80/a/./b"),
+            (F.col("id") % 7).cast("string"),
+            F.lit("/../c?b=2&a="), (F.col("id") % 13).cast("string"),
+            F.lit("#f")).alias("url"),
+    )
+    t0 = time.perf_counter()
+    n_canon = url_canonicalize(murls, "url") \
+        .where(F.col("canonical_url").startswith("http://host")).count()
+    timings["url_canonicalize_3m"] = round(time.perf_counter() - t0, 2)
+    assert n_canon == 3_000_000
+
+    # funnel over 6M events / 500k users: three chained user-keyed
+    # conditional min-aggs, no per-user sort window.
+    from aquacache_spark.operators.funnel import funnel_steps
+
+    fev = spark.range(0, 6_000_000).select(
+        (F.col("id") % 500_000).alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "view")
+        .when(F.col("id") % 3 == 1, "click")
+        .otherwise("purchase").alias("event_type"),
+        F.timestamp_seconds(F.lit(1700000000)
+                            + (F.col("id") / 500_000).cast("long") * 60
+                            ).alias("ts"),
+    )
+    t0 = time.perf_counter()
+    fun = funnel_steps(fev, ["view", "click", "purchase"],
+                       max_gap_hours=24)
+    n_funnel = fun.count()
+    n_full = fun.where(F.col("steps_completed") == 3).count()
+    timings["funnel_6m_events_500k_users"] = round(
+        time.perf_counter() - t0, 2)
+    assert n_funnel == 500_000 and n_full > 0
+
     print(json.dumps({
         "rows": n, "series": n_series, "docs": n_docs, "vecs": n_vec,
         "timings": timings,
