@@ -16506,3 +16506,84 @@ def incremental_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(
         e1, iterations=2,
         initial_ranks=base.select("node", "rank_units"))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend + Sen's slope (operators/trend.mann_kendall): the
+# standard hydrologic trend test over per-(priority, year) daily
+# maxima. Pairwise self-join keyed per series-year — pair mass bounded
+# at (days/year choose 2) per group by construction. Integer sign/tie
+# arithmetic; Var/Z closed form and the interpolated slope median are
+# the only float math.
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             o_orderdate AS d,
+             max(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2, 3
+    ), q AS (
+      SELECT series, yr,
+             datediff('day', DATE '1970-01-01', d) AS t,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq
+      FROM daily
+    ), pairs AS (
+      SELECT a.series, a.yr,
+             CASE WHEN b.vq > a.vq THEN 1
+                  WHEN b.vq < a.vq THEN -1 ELSE 0 END AS sgn,
+             CAST(b.vq - a.vq AS DOUBLE) / CAST(1e6 AS DOUBLE)
+               / (b.t - a.t) AS slope
+      FROM q a JOIN q b ON b.series = a.series AND b.yr = a.yr
+                        AND b.t > a.t
+    ), st AS (
+      SELECT series, yr, CAST(sum(sgn) AS BIGINT) AS s_stat,
+             quantile_cont(slope, 0.5) AS sen_slope
+      FROM pairs GROUP BY 1, 2
+    ), nd AS (
+      SELECT series, yr, count(*) AS n FROM q GROUP BY 1, 2
+    ), ties AS (
+      SELECT series, yr,
+             sum(c * (c - 1) * (2 * c + 5)) AS tiesum
+      FROM (SELECT series, yr, vq, count(*) AS c
+            FROM q GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ), fin AS (
+      SELECT st.series, st.yr, nd.n, st.s_stat, st.sen_slope,
+             CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tiesum
+                  AS DOUBLE) / CAST(18 AS DOUBLE) AS var_s
+      FROM st JOIN nd USING (series, yr) JOIN ties USING (series, yr)
+      WHERE nd.n >= 2
+    )
+    SELECT series, yr, CAST(n AS BIGINT) AS n_days, s_stat,
+           {vr} AS var_s,
+           {zz} AS z,
+           {sen} AS sen_slope
+    FROM fin
+""".format(
+    vr=R("var_s", 6),
+    zz=R("""CASE WHEN var_s > 0 THEN
+              CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                   WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                   ELSE CAST(0 AS DOUBLE) END
+            END""", 6),
+    sen=R("sen_slope", 6),
+)
+
+
+@register("mann_kendall_trend", oracle=_MK_ORACLE)
+def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(order priority, year) Mann-Kendall S/Var/Z + Sen slope
+    over daily maximum order totals."""
+    from .operators.trend import mann_kendall
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderdate").alias("date"),
+    ).agg(F.max("o_totalprice").alias("value"))
+    out = mann_kendall(daily, ["series", "yr"], "date", "value")
+    return _round(out, {"var_s": 6, "z": 6, "sen_slope": 6})

@@ -26,6 +26,7 @@ from typing import Iterator, Sequence
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 STATE_SCHEMA = (
@@ -195,5 +196,59 @@ def streaming_hll_distinct(
         })
 
     return stream.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
+def streaming_countmin(
+    stream: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Streaming count-min sketch: the d x w counter matrix as
+    per-ROW state (operators/sketch.countmin_build's exact layout —
+    counter (i, md5(i || '|' || key) % w) increments per key).
+
+    Each record fans out to its d sketch rows map-side (a stateless
+    projection), the stream groups by sketch row, and each group's
+    state is EXACTLY w bigints forever — the bounded-state invariant:
+    the heavy-hitter table never grows with the key stream. Every
+    micro-batch emits the refreshed row (counters + checksum), so the
+    last emission per row equals the batch sketch over the full
+    history, counter-for-counter — the parity the test pins. Update
+    mode; restart-safe via the checkpointed state store."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("row", T.IntegerType()),
+        T.StructField("counters", T.ArrayType(T.LongType())),
+        T.StructField("total", T.LongType()),
+    ])
+    state_schema = "cnt array<long>"
+
+    fanned = stream.select(
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cnt = list(state.get[0]) if state.exists else [0] * w
+        i = key[0]
+        for pdf in pdfs:
+            for v in pdf["__k"]:
+                h = int(hashlib.md5(f"{i}|{v}".encode())
+                        .hexdigest()[:15], 16)
+                cnt[h % w] += 1
+        state.update((cnt,))
+        yield pd.DataFrame({
+            "row": [i],
+            "counters": [list(cnt)],
+            "total": [sum(cnt)],
+        })
+
+    return fanned.groupBy("row").applyInPandasWithState(
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)

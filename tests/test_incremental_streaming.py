@@ -832,3 +832,54 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         assert latest[g]["s_units"] == batch[g]["s_units"], g
         assert latest[g]["estimate"] == batch[g]["estimate"], g
         assert latest[g]["n_registers"] == batch[g]["n_registers"], g
+
+
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """The d x w count-min counter matrix as per-sketch-row streaming
+    state (w bigints per row forever). After two micro-batch phases
+    the final counters must equal the batch sketch counter-for-counter
+    and the probe estimates must agree."""
+    from aquacache_spark.operators.sketch import countmin_build
+    from aquacache_spark.streaming.stateful import streaming_countmin
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string"
+    d, w = 4, 64
+
+    def write(lo, hi):
+        spark.range(lo, hi).select(
+            (F.col("id") % 37).cast("string").alias("k"),
+        ).write.mode("append").parquet(str(landing))
+
+    latest = {}
+
+    def process(df, epoch_id):
+        for r in df.collect():
+            latest[r["row"]] = r
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 4).load(str(landing)))
+    q = (streaming_countmin(stream, "k", d=d, w=w)
+         .writeStream.outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(process).start())
+    try:
+        write(0, 300)
+        q.processAllAvailable()
+        write(300, 1000)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.range(0, 1000).select(
+        (F.col("id") % 37).cast("string").alias("k"))
+    batch = {}
+    for r in countmin_build(full, "k", d=d, w=w).collect():
+        batch.setdefault(r["row"], {})[r["cell"]] = r["cnt"]
+    assert set(latest) == set(range(d))
+    for i in range(d):
+        got = {j: c for j, c in enumerate(latest[i]["counters"]) if c}
+        assert got == batch[i], f"row {i}"
+        assert latest[i]["total"] == 1000 * 1  # every key hits every row
