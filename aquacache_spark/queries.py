@@ -16587,3 +16587,189 @@ def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("o_totalprice").alias("value"))
     out = mann_kendall(daily, ["series", "yr"], "date", "value")
     return _round(out, {"var_s": 6, "z": 6, "sen_slope": 6})
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection: keep the HIGHEST-QUALITY member
+# of each near-dup cluster (not the min-id one) — the curation upgrade
+# over dedup_clusters' arbitrary representative. Rank key is the
+# 1e-6-quantized composite quality (exact on both engines), doc_id
+# tiebreak; the per-cluster window is bounded by the LSH cluster size.
+# ---------------------------------------------------------------------------
+
+_BEST_CLUSTER_ORACLE = _COMP_SQL + f"""
+    , qm AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS ltoks,
+             length(text) AS nch,
+             length(text) - length(regexp_replace(text,
+               '[^a-zA-Z0-9 ]', '', 'g')) AS np
+      FROM documents
+    ), qr AS (
+      SELECT doc_id,
+             CAST(np AS DOUBLE) / greatest(nch, 1) AS punct_ratio,
+             CAST(len(list_filter(ltoks, t -> t IN
+               ('the','a','an','and','or','of','to','in','is','it',
+                'that','for','on','with','as','are','was','at','by','be')))
+               AS DOUBLE) / greatest(len(ltoks), 1) AS stopword_ratio,
+             nch
+      FROM qm
+    ), qual AS (
+      SELECT doc_id,
+             {R('(least(nch / 200.0, 1.0)'
+                ' + least(stopword_ratio * 5.0, 1.0)'
+                ' + (1.0 - least(punct_ratio * 4.0, 1.0))) / 3.0', 6)}
+               AS quality
+      FROM qr
+    ), sized AS (
+      SELECT node AS doc_id, cluster_rep,
+             count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+      FROM comp
+    ), ranked AS (
+      SELECT s.doc_id, s.cluster_rep, s.cluster_size, q.quality,
+             row_number() OVER (PARTITION BY s.cluster_rep
+                                ORDER BY q.quality DESC, s.doc_id ASC)
+               AS rn
+      FROM sized s JOIN qual q USING (doc_id)
+    )
+    SELECT doc_id, cluster_rep,
+           CAST(cluster_size AS BIGINT) AS cluster_size, quality,
+           (rn = 1) AS is_canonical
+    FROM ranked
+"""
+
+
+@register("dedup_best_of_cluster", oracle=_BEST_CLUSTER_ORACLE)
+def dedup_best_of_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with the highest-quality member marked
+    canonical (quality-aware representative selection)."""
+    from .functions.text import quality_score
+    from .operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    clusters = duplicate_clusters(pairs, docs.select("doc_id"))
+    qual = docs.select(
+        "doc_id",
+        (F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("quality"))
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality"), F.asc("doc_id"))
+    return (
+        clusters.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_rep", "cluster_size", "quality",
+                (F.col("rn") == 1).alias("is_canonical"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-data quality filters (The Stack / StarCoder family): line-length
+# profile, alphanumeric and alphabetic-token fractions, digit fraction,
+# markup density, auto-generated-marker detection, and the composite
+# keep gate. Map-only codegen; the fixture deterministically mutates a
+# slice of the documents (injected newlines + hex dumps, markup, and
+# AUTO-GENERATED headers) so every gate fires both ways.
+# ---------------------------------------------------------------------------
+
+_CODE_FILTERS_ORACLE = f"""
+    WITH mut AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 11 = 0
+                   THEN 'AUTO-GENERATED do not edit' || chr(10) ELSE ''
+              END)
+             || text
+             || (CASE WHEN doc_id % 7 = 0
+                      THEN chr(10) || '<div><span>'
+                           || repeat('0xDEADBEEF4242 ', 40)
+                      ELSE '' END) AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id, t,
+             string_split(t, chr(10)) AS lines,
+             string_split(t, ' ') AS toks,
+             length(t) AS nch
+      FROM mut
+    ), r AS (
+      SELECT doc_id,
+             list_max(list_transform(lines, l -> length(l)))
+               AS max_line_len,
+             CAST(list_sum(list_transform(lines, l -> length(l)))
+                  AS DOUBLE) / len(lines) AS mean_line_len,
+             CAST(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
+                  AS DOUBLE) / greatest(nch, 1) AS alnum_frac,
+             CAST(len(list_filter(toks,
+                                  x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / greatest(len(toks), 1) AS alpha_tok_frac,
+             CAST(length(regexp_replace(t, '[^0-9]', '', 'g'))
+                  AS DOUBLE) / greatest(nch, 1) AS digit_frac,
+             CAST(nch - length(replace(t, '<', '')) AS DOUBLE)
+               / greatest(nch, 1) AS tag_density,
+             (lower(t) LIKE '%auto-generated%'
+              OR lower(t) LIKE '%do not edit%') AS autogen
+      FROM m
+    )
+    SELECT doc_id, CAST(max_line_len AS BIGINT) AS max_line_len,
+           {R('mean_line_len', 6)} AS mean_line_len,
+           {R('alnum_frac', 6)} AS alnum_frac,
+           {R('alpha_tok_frac', 6)} AS alpha_tok_frac,
+           {R('digit_frac', 6)} AS digit_frac,
+           {R('tag_density', 6)} AS tag_density,
+           autogen,
+           (max_line_len <= 600 AND alnum_frac >= 0.25
+            AND alpha_tok_frac >= 0.25 AND digit_frac <= 0.3
+            AND tag_density <= 0.01 AND NOT autogen) AS kept
+    FROM r
+"""
+
+
+@register("code_quality_filters", oracle=_CODE_FILTERS_ORACLE)
+def code_quality_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack-style source-file gates over deterministically
+    mutated documents."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.concat(
+        F.when(d % 11 == 0, "AUTO-GENERATED do not edit\n").otherwise(""),
+        F.col("text"),
+        F.when(d % 7 == 0,
+               F.concat(F.lit("\n<div><span>"),
+                        F.repeat(F.lit("0xDEADBEEF4242 "), 40)))
+        .otherwise(""),
+    )
+    lines = F.split(t, "\n")
+    toks = F.split(t, " ")
+    nch = F.length(t)
+    line_lens = F.transform(lines, lambda line: F.length(line))
+    sum_lines = F.aggregate(line_lens, F.lit(0),
+                            lambda acc, x: acc + x)
+    out = docs.select(
+        "doc_id",
+        F.array_max(line_lens).cast("long").alias("max_line_len"),
+        (sum_lines.cast("double") / F.size(lines)).alias("mean_line_len"),
+        (F.length(F.regexp_replace(t, "[^A-Za-z0-9]", "")).cast("double")
+         / F.greatest(nch, F.lit(1))).alias("alnum_frac"),
+        (F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+         .cast("double") / F.greatest(F.size(toks), F.lit(1)))
+        .alias("alpha_tok_frac"),
+        (F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+         / F.greatest(nch, F.lit(1))).alias("digit_frac"),
+        ((nch - F.length(F.replace(t, F.lit("<"), F.lit(""))))
+         .cast("double") / F.greatest(nch, F.lit(1)))
+        .alias("tag_density"),
+        (F.lower(t).contains("auto-generated")
+         | F.lower(t).contains("do not edit")).alias("autogen"),
+    )
+    out = out.withColumn(
+        "kept",
+        (F.col("max_line_len") <= 600) & (F.col("alnum_frac") >= 0.25)
+        & (F.col("alpha_tok_frac") >= 0.25) & (F.col("digit_frac") <= 0.3)
+        & (F.col("tag_density") <= 0.01) & ~F.col("autogen"))
+    return _round(out, {"mean_line_len": 6, "alnum_frac": 6,
+                        "alpha_tok_frac": 6, "digit_frac": 6,
+                        "tag_density": 6})
