@@ -16773,3 +16773,105 @@ def code_quality_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"mean_line_len": 6, "alnum_frac": 6,
                         "alpha_tok_frac": 6, "digit_frac": 6,
                         "tag_density": 6})
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup: the reason canonicalization exists — URL
+# aliases (case, default ports, dot-segments, query order, fragments)
+# collapse to one canonical form; keep the lowest doc_id per form.
+# Composes url_canonicalize with the exact-dedup keep rule.
+# ---------------------------------------------------------------------------
+
+_CANON_DEDUP_ORACLE = r"""
+    WITH raw AS (
+      SELECT o_orderkey AS doc_id,
+             (CASE o_orderkey % 2 WHEN 0 THEN 'http' ELSE 'HTTP' END)
+             || '://' ||
+             (CASE o_orderkey % 3 WHEN 0 THEN 'site' ELSE 'SITE' END)
+             || CAST(o_orderkey % 40 AS VARCHAR) || '.example.com'
+             || (CASE o_orderkey % 4 WHEN 0 THEN ':80' ELSE '' END)
+             || '/p/' || CAST(o_orderkey % 25 AS VARCHAR)
+             || (CASE o_orderkey % 5 WHEN 0 THEN '/x/../' ELSE '/' END)
+             || (CASE o_orderkey % 6 WHEN 0 THEN '?b=1&a=2'
+                      WHEN 1 THEN '?a=2&b=1' ELSE '' END)
+             || (CASE o_orderkey % 7 WHEN 0 THEN '#frag' ELSE '' END)
+               AS url
+      FROM orders
+    ), parsed AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(
+               regexp_replace(
+                 regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                 '^[^@]*@', ''), '^([^:]*)', 1)) AS host,
+             regexp_extract(
+               regexp_replace(
+                 regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                 '^[^@]*@', ''), ':([0-9]+)$', 1) AS port,
+             regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+               AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM raw
+    ), norm AS (
+      SELECT doc_id, scheme, host,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END AS port_keep,
+             list_reduce(
+               string_split('/' || regexp_replace(rawpath, '^/', ''), '/'),
+               (acc, x) -> CASE WHEN x = '' OR x = '.' THEN acc
+                                WHEN x = '..'
+                                  THEN regexp_replace(acc, '/[^/]*$', '')
+                                ELSE acc || '/' || x END) AS folded,
+             (regexp_matches(rawpath, '(/|/\.|/\.\.)$') OR rawpath = '')
+               AS keep_slash,
+             array_to_string(list_sort(string_split(query, '&')), '&')
+               AS qsorted
+      FROM parsed
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || port_keep
+             || CASE WHEN folded = '' THEN '/'
+                     ELSE folded
+                          || CASE WHEN keep_slash THEN '/' ELSE '' END
+                END
+             || CASE WHEN qsorted = '' THEN '' ELSE '?' || qsorted END
+               AS canonical_url
+      FROM norm
+    )
+    SELECT doc_id, canonical_url,
+           (doc_id = min(doc_id) OVER (PARTITION BY canonical_url))
+             AS is_canonical,
+           count(*) OVER (PARTITION BY canonical_url) AS n_aliases
+    FROM canon
+"""
+
+
+@register("canonical_url_dedup", oracle=_CANON_DEDUP_ORACLE)
+def canonical_url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-heavy URL corpus deduplicated on the canonical form
+    (lowest doc_id kept per form)."""
+    from .operators.web import url_canonicalize
+
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.when(k % 2 == 0, "http").otherwise("HTTP"), F.lit("://"),
+        F.when(k % 3 == 0, "site").otherwise("SITE"),
+        (k % 40).cast("string"), F.lit(".example.com"),
+        F.when(k % 4 == 0, ":80").otherwise(""),
+        F.lit("/p/"), (k % 25).cast("string"),
+        F.when(k % 5 == 0, "/x/../").otherwise("/"),
+        F.when(k % 6 == 0, "?b=1&a=2").when(k % 6 == 1, "?a=2&b=1")
+        .otherwise(""),
+        F.when(k % 7 == 0, "#frag").otherwise(""),
+    )
+    urls = _t(spark, sf_dir, "orders").select(
+        k.alias("doc_id"), url.alias("url"))
+    canon = url_canonicalize(urls, "url")
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id", "canonical_url",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("n_aliases"),
+    )
