@@ -16875,3 +16875,131 @@ def canonical_url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
         F.count(F.lit(1)).over(w).alias("n_aliases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rating curves (operators/rating.apply_rating_curves): the
+# continuous.rating_curves / _points / _shifts tables (patch_3.R:329,
+# patch_11.R:126, patch_40.R:286-288) applied: version selection by
+# validity period, period-scoped stage shifts, log-log interpolation
+# between curve points. Catalog-sized dims broadcast; map-only array
+# bracketing; ln/exp parity pinned by tests/test_rating.py.
+# ---------------------------------------------------------------------------
+
+_RATING_ORACLE = f"""
+    WITH m AS (
+      SELECT event_id, event_type AS series, CAST(ts AS TIMESTAMP) AS ts,
+             value AS stage
+      FROM events
+    ), et AS (
+      SELECT DISTINCT event_type AS series FROM events
+    ), curves AS (
+      SELECT series, ascii(series) * 2 + ver AS curve_id, ver,
+             CASE ver WHEN 1 THEN TIMESTAMP '2024-01-05 00:00:00'
+                  ELSE TIMESTAMP '2024-01-15 00:00:00' END AS c0,
+             CASE ver WHEN 1 THEN TIMESTAMP '2024-01-15 00:00:00'
+                  ELSE TIMESTAMP '2025-01-01 00:00:00' END AS c1
+      FROM et CROSS JOIN (SELECT unnest([1, 2]) AS ver) v
+    ), pts AS (
+      SELECT curve_id, CAST(stage AS DOUBLE) AS stage,
+             {R('CAST(ascii(series) % 7 + ver + 2 AS DOUBLE)'
+                ' * CAST(stage AS DOUBLE) * sqrt(CAST(stage AS DOUBLE))',
+                3)} AS discharge
+      FROM curves CROSS JOIN (
+        SELECT unnest([10, 25, 50, 100, 150, 250]) AS stage) s
+    ), shifts AS (
+      SELECT series, TIMESTAMP '2024-01-10 00:00:00' AS s0,
+             TIMESTAMP '2024-01-20 00:00:00' AS s1,
+             CAST(ascii(series) % 3 AS DOUBLE) * CAST(2.5 AS DOUBLE)
+               AS shift
+      FROM et
+    ), sel AS (
+      SELECT m.*, c.curve_id
+      FROM m LEFT JOIN curves c
+        ON c.series = m.series AND m.ts >= c.c0 AND m.ts < c.c1
+    ), sh AS (
+      SELECT sel.*,
+             coalesce(s.shift, CAST(0 AS DOUBLE)) AS shift,
+             sel.stage + coalesce(s.shift, CAST(0 AS DOUBLE)) AS adj
+      FROM sel LEFT JOIN shifts s
+        ON s.series = sel.series AND sel.ts >= s.s0 AND sel.ts < s.s1
+    ), low AS (
+      SELECT e.event_id, max(p.stage) AS s1, arg_max(p.discharge, p.stage)
+               AS d1
+      FROM sh e JOIN pts p ON p.curve_id = e.curve_id
+                           AND p.stage <= e.adj
+      GROUP BY 1
+    ), up AS (
+      SELECT e.event_id, min(p.stage) AS s2, arg_min(p.discharge, p.stage)
+               AS d2
+      FROM sh e JOIN pts p ON p.curve_id = e.curve_id AND p.stage > e.adj
+      GROUP BY 1
+    ), fin AS (
+      SELECT sh.event_id, sh.series, sh.stage, sh.shift,
+             sh.adj AS adjusted_stage, sh.curve_id,
+             CASE WHEN sh.curve_id IS NULL THEN NULL
+                  WHEN low.s1 = sh.adj THEN low.d1
+                  WHEN low.s1 IS NOT NULL AND up.s2 IS NOT NULL THEN
+                    exp(ln(low.d1)
+                        + (ln(sh.adj) - ln(low.s1))
+                          / (ln(up.s2) - ln(low.s1))
+                          * (ln(up.d2) - ln(low.d1)))
+             END AS discharge,
+             (sh.curve_id IS NOT NULL
+              AND ((low.s1 IS NOT NULL AND low.s1 = sh.adj)
+                   OR (low.s1 IS NOT NULL AND up.s2 IS NOT NULL)))
+               AS in_range
+      FROM sh LEFT JOIN low USING (event_id) LEFT JOIN up USING (event_id)
+    )
+    SELECT event_id, series, stage, shift, adjusted_stage, curve_id,
+           {R('discharge', 6)} AS discharge, in_range
+    FROM fin
+"""
+
+
+@register("rating_curve_discharge", oracle=_RATING_ORACLE)
+def rating_curve_discharge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage series converted to discharge through versioned rating
+    curves with period shifts (exact-point, interpolated, below-range,
+    and pre-curve rows all present in the fixture window)."""
+    from .operators.rating import apply_rating_curves
+
+    ev = _t(spark, sf_dir, "events")
+    meas = ev.select("event_id", F.col("event_type").alias("series"),
+                     "ts", F.col("value").alias("stage"))
+    et = ev.select(F.col("event_type").alias("series")).distinct()
+    a = F.ascii(F.col("series"))
+    ver = F.col("ver")
+    curves = et.crossJoin(
+        _ldf(spark, [(1,), (2,)], "ver int")).select(
+        "series", (a * 2 + ver).alias("curve_id"), "ver",
+        F.when(ver == 1, "2024-01-05 00:00:00")
+        .otherwise("2024-01-15 00:00:00").cast("timestamp")
+        .alias("start_dt"),
+        F.when(ver == 1, "2024-01-15 00:00:00")
+        .otherwise("2025-01-01 00:00:00").cast("timestamp")
+        .alias("end_dt"),
+    )
+    st = F.col("stage")
+    points = curves.crossJoin(
+        _ldf(spark, [(10,), (25,), (50,), (100,), (150,), (250,)],
+             "stage int")).select(
+        "curve_id",
+        st.cast("double").alias("stage"),
+        (F.floor((a % 7 + ver + 2).cast("double")
+                 * st.cast("double") * F.sqrt(st.cast("double"))
+                 * 1000 + F.lit(0.5)) / 1000).alias("discharge"),
+    )
+    shifts = et.select(
+        "series",
+        F.lit("2024-01-10 00:00:00").cast("timestamp").alias("start_dt"),
+        F.lit("2024-01-20 00:00:00").cast("timestamp").alias("end_dt"),
+        ((a % 3).cast("double") * 2.5).alias("shift"),
+    )
+    out = apply_rating_curves(
+        meas, curves.select("series", "curve_id", "start_dt", "end_dt"),
+        points, shifts)
+    out = out.select("event_id", "series", "stage", "shift",
+                     "adjusted_stage", "curve_id", "discharge",
+                     "in_range")
+    return _round(out, {"discharge": 6})
