@@ -1794,3 +1794,83 @@ def synthesize_avis(
                                 "content": blobs})
 
     return df.select(id_col).mapInPandas(batches, schema)
+
+
+def synthesize_gifs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Deterministic GIF fixtures: palette index of pixel (r, c) of
+    item ``i`` is (i*7 + r*16 + c) % 256 against the fixed palette
+    (functions/gif._palette: entry j -> ((j*3+13)%256, (j*5+29)%256,
+    (j*7+43)%256)) — a closed form the oracle maps without parsing.
+    Encoded through the REAL writer (LZW, sub-blocks) so the decode
+    path runs on genuine GIF bytes."""
+    from ..functions.gif import encode_gif
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        r = np.arange(height)[:, None]
+        c = np.arange(width)[None, :]
+        for pdf in it:
+            blobs = []
+            for i in pdf[id_col].astype("int64"):
+                idx = ((int(i) * 7 + r * 16 + c) % 256).astype("uint8")
+                blobs.append(encode_gif(idx.tobytes(), width, height))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "content": blobs})
+
+    return df.mapInPandas(batches, schema)
+
+
+def extract_gif_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """Real GIF decode (header, global color table, LZW inflation,
+    palette mapping), Arrow-batched: width/height + per-channel means.
+    Undecodable blobs yield NULLs + decoded=false."""
+    from ..functions.gif import decode_gif
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": pdf[id_col].astype("int64"),
+                   "decoded": [], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for blob in pdf[blob_col]:
+                try:
+                    px = decode_gif(bytes(blob))
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    out["decoded"].append(True)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["mean_r"].append(float(means[0]))
+                    out["mean_g"].append(float(means[1]))
+                    out["mean_b"].append(float(means[2]))
+                except Exception:
+                    out["decoded"].append(False)
+                    for k in ("width", "height", "mean_r", "mean_g",
+                              "mean_b"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema)

@@ -17003,3 +17003,54 @@ def rating_curve_discharge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "adjusted_stage", "curve_id", "discharge",
                      "in_range")
     return _round(out, {"discharge": 6})
+
+
+# ---------------------------------------------------------------------------
+# GIF decode (functions/gif.py): the dictionary-compression codec
+# family (variable-width LZW, 9->12 bits, CLEAR/EOI, 4096 reset,
+# sub-blocks, global color table) — encoded through the real writer,
+# decoded back; the oracle maps the closed-form palette indices
+# without parsing a byte.
+# ---------------------------------------------------------------------------
+
+_GIF_ORACLE = f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 4 = 3
+    ), grid AS (
+      SELECT r, c
+      FROM (SELECT unnest(range(0, 16)) AS r),
+           (SELECT unnest(range(0, 16)) AS c)
+    ), px AS (
+      SELECT media_id,
+             (media_id * 7 + r * 16 + c) % 256 AS idx
+      FROM ids CROSS JOIN grid
+    ), rgb AS (
+      SELECT media_id,
+             (idx * 3 + 13) % 256 AS pr,
+             (idx * 5 + 29) % 256 AS pg,
+             (idx * 7 + 43) % 256 AS pb
+      FROM px
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           {R('avg(pr)', 6)} AS mean_r,
+           {R('avg(pg)', 6)} AS mean_g,
+           {R('avg(pb)', 6)} AS mean_b
+    FROM rgb GROUP BY media_id
+"""
+
+
+@register("gif_decode_features", oracle=_GIF_ORACLE)
+def gif_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_gif_features, synthesize_gifs
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 4 == 3).select(
+        F.col("doc_id").alias("media_id"))
+    gifs = synthesize_gifs(ids, width=16, height=16)
+    out = extract_gif_features(gifs)
+    return _round(
+        out.select("media_id", "decoded", F.col("width").cast("int"),
+                   F.col("height").cast("int"), "mean_r", "mean_g",
+                   "mean_b"),
+        {"mean_r": 6, "mean_g": 6, "mean_b": 6})
