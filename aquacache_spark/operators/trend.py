@@ -24,7 +24,7 @@ linear in the number of series-periods. Never an unkeyed cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,9 +87,87 @@ def mann_kendall(
     )
     return (
         st.join(nd, keys).join(ties, keys)
+        # var18 = 18 * Var(S), an EXACT bigint — composable across
+        # seasons (seasonal_mann_kendall sums it as integers so the
+        # combined variance is independent of aggregation order)
+        .withColumn("var18",
+                    (n * (n - 1) * (2 * n + 5) - F.col("__tiesum"))
+                    .cast("long"))
         .withColumn("var_s", var_s)
         .withColumn("z", F.when(F.col("var_s") > 0, z))
         .where(n >= 2)
-        .select(*keys, n.alias("n_days"), "s_stat", "var_s", "z",
-                "sen_slope")
+        .select(*keys, n.alias("n_days"), "s_stat", "var18", "var_s",
+                "z", "sen_slope")
     )
+
+
+def seasonal_mann_kendall(
+    daily: DataFrame,
+    keys: list[str],
+    season_col: str,
+    date_col: str = "date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch, Slack & Smith 1982): run the MK
+    test independently per season (pairs only compare the SAME season
+    across periods), then combine S' = sum S_g and Var' = sum Var_g —
+    both summed as exact integers (S and 18*Var), so the combination
+    is aggregation-order independent. Z uses the same continuity
+    correction on the totals.
+
+    Output: (keys..., n_seasons, s_total, var_total, z)."""
+    per = mann_kendall(daily, [*keys, season_col], date_col, value_col)
+    tot = per.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("s_stat").cast("long").alias("s_total"),
+        F.sum("var18").cast("long").alias("__v18"),
+    )
+    var_total = F.col("__v18").cast("double") / F.lit(18.0)
+    s = F.col("s_total")
+    z = (
+        F.when(s > 0, (s - 1) / F.sqrt(var_total))
+        .when(s < 0, (s + 1) / F.sqrt(var_total))
+        .otherwise(F.lit(0.0))
+    )
+    return tot.select(
+        *keys, "n_seasons", "s_total", var_total.alias("var_total"),
+        F.when(F.col("__v18") > 0, z).alias("z"))
+
+
+def flow_duration_curve(
+    daily: DataFrame,
+    keys: list[str],
+    probs: list[int],
+    date_col: str = "date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Empirical flow-duration curve: the flow exceeded p% of the time
+    per series, at integer exceedance probabilities ``probs``, using
+    Weibull plotting positions (P_m = m / (n + 1) over the descending
+    sort). Q_p = the value at the smallest rank m with
+    100*m >= p*(n+1) — a pure-integer rank test, bit-stable on both
+    engines; p beyond n/(n+1) (rank past the record) yields NULL.
+
+    The per-series window runs over daily values — bounded by record
+    length (365 x years per station), the catalog class, never
+    corpus-cardinality. Output: (keys..., exceedance_pct, flow)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).desc(), F.col(date_col).asc())
+    wn = Window.partitionBy(*keys)
+    ranked = daily.select(
+        *keys, F.col(value_col).alias("__v"),
+        F.row_number().over(w).alias("__m"),
+        F.count(F.lit(1)).over(wn).alias("__n"))
+    parts = []
+    for p in probs:
+        hit = (
+            ranked.where(100 * F.col("__m") >= p * (F.col("__n") + 1))
+            .groupBy(*keys)
+            .agg(F.max("__v").alias("flow"))
+            .withColumn("exceedance_pct", F.lit(p).cast("int"))
+        )
+        parts.append(hit)
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.select(*keys, "exceedance_pct", "flow")

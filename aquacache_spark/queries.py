@@ -16585,7 +16585,9 @@ def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("yr"),
         F.col("o_orderdate").alias("date"),
     ).agg(F.max("o_totalprice").alias("value"))
-    out = mann_kendall(daily, ["series", "yr"], "date", "value")
+    out = mann_kendall(daily, ["series", "yr"], "date", "value") \
+        .select("series", "yr", "n_days", "s_stat", "var_s", "z",
+                "sen_slope")
     return _round(out, {"var_s": 6, "z": 6, "sen_slope": 6})
 
 
@@ -17054,3 +17056,127 @@ def gif_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("height").cast("int"), "mean_r", "mean_g",
                    "mean_b"),
         {"mean_r": 6, "mean_g": 6, "mean_b": 6})
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall (Hirsch 1982): per-(priority, month) MK over
+# monthly means across years, combined S' = sum S_m and Var' = sum
+# Var_m — both summed as EXACT integers (S, 18*Var) so the combination
+# is aggregation-order independent.
+# ---------------------------------------------------------------------------
+
+_SMK_ORACLE = """
+    WITH monthly AS (
+      SELECT o_orderpriority AS series,
+             CAST(month(o_orderdate) AS INT) AS mon,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             max(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2, 3
+    ), q AS (
+      SELECT series, mon, yr,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq
+      FROM monthly
+    ), pairs AS (
+      SELECT a.series, a.mon,
+             CASE WHEN b.vq > a.vq THEN 1
+                  WHEN b.vq < a.vq THEN -1 ELSE 0 END AS sgn
+      FROM q a JOIN q b ON b.series = a.series AND b.mon = a.mon
+                        AND b.yr > a.yr
+    ), st AS (
+      SELECT series, mon, CAST(sum(sgn) AS BIGINT) AS s FROM pairs
+      GROUP BY 1, 2
+    ), nd AS (
+      SELECT series, mon, count(*) AS n FROM q GROUP BY 1, 2
+    ), ties AS (
+      SELECT series, mon, sum(c * (c - 1) * (2 * c + 5)) AS tiesum
+      FROM (SELECT series, mon, vq, count(*) AS c FROM q
+            GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT st.series, st.mon, st.s,
+             nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tiesum AS v18
+      FROM st JOIN nd USING (series, mon) JOIN ties USING (series, mon)
+      WHERE nd.n >= 2
+    ), tot AS (
+      SELECT series, CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(s) AS BIGINT) AS s_total,
+             CAST(sum(v18) AS BIGINT) AS v18
+      FROM per GROUP BY 1
+    )
+    SELECT series, n_seasons, s_total,
+           {vt} AS var_total,
+           {zz} AS z
+    FROM tot
+""".format(
+    vt=R("CAST(v18 AS DOUBLE) / CAST(18 AS DOUBLE)", 6),
+    zz=R("""CASE WHEN v18 > 0 THEN
+              CASE WHEN s_total > 0 THEN (s_total - 1)
+                     / sqrt(CAST(v18 AS DOUBLE) / CAST(18 AS DOUBLE))
+                   WHEN s_total < 0 THEN (s_total + 1)
+                     / sqrt(CAST(v18 AS DOUBLE) / CAST(18 AS DOUBLE))
+                   ELSE CAST(0 AS DOUBLE) END
+            END""", 6),
+)
+
+
+@register("seasonal_mann_kendall", oracle=_SMK_ORACLE)
+def seasonal_mann_kendall_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Hirsch seasonal MK per order priority: monthly maxima compared
+    within the same month across years."""
+    from .operators.trend import seasonal_mann_kendall
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.max("o_totalprice").alias("value"))
+    monthly = monthly.withColumn(
+        "date", F.make_date(F.col("yr"), F.lit(1), F.lit(1)))
+    out = seasonal_mann_kendall(
+        monthly, ["series"], "mon", "date", "value")
+    return _round(out, {"var_total": 6, "z": 6})
+
+
+# ---------------------------------------------------------------------------
+# Flow-duration curve: per-series exceedance table at Weibull plotting
+# positions (Q_p = value at the smallest descending rank m with
+# 100*m >= p*(n+1), a pure integer rank test). Window bounded by
+# record length per station.
+# ---------------------------------------------------------------------------
+
+_FDC_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderpriority AS series, o_orderdate AS d,
+             max(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT series, v,
+             row_number() OVER (PARTITION BY series
+                                ORDER BY v DESC, d ASC) AS m,
+             count(*) OVER (PARTITION BY series) AS n
+      FROM daily
+    )
+    SELECT series, p.pct AS exceedance_pct, max(v) AS flow
+    FROM ranked CROSS JOIN (
+      SELECT CAST(unnest([5, 10, 25, 50, 75, 90, 95]) AS INT) AS pct) p
+    WHERE 100 * m >= p.pct * (n + 1)
+    GROUP BY 1, 2
+"""
+
+
+@register("flow_duration_curve", oracle=_FDC_ORACLE)
+def flow_duration_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven-point exceedance table per order priority over daily
+    maxima."""
+    from .operators.trend import flow_duration_curve
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").alias("date"),
+    ).agg(F.max("o_totalprice").alias("value"))
+    return flow_duration_curve(
+        daily, ["series"], [5, 10, 25, 50, 75, 90, 95])
