@@ -577,3 +577,35 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
         scheme.alias("scheme"), host.alias("host"),
         port_keep.alias("port"), path.alias("path"),
         qsorted.alias("query"), canon.alias("canonical_url"))
+
+
+def parse_sitemaps(
+    df: DataFrame, host_col: str = "host", xml_col: str = "content",
+) -> DataFrame:
+    """Sitemap XML (sitemaps.org urlset) -> one row per <url> entry:
+    (host, loc, lastmod date|NULL, changefreq|NULL, priority double|
+    NULL). Regex block extraction (the SWOB-ML approach: the format is
+    machine-generated and rigidly shaped; no XML lib in the hot path),
+    map-only + one explode — linear over any number of sitemap files.
+    Entries missing <loc> are dropped; missing optional fields are
+    NULL."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1))
+    b = F.col("__b")
+    loc = F.regexp_extract(b, r"<loc>(.*?)</loc>", 1)
+    lastmod = F.regexp_extract(b, r"<lastmod>(.*?)</lastmod>", 1)
+    changefreq = F.regexp_extract(b, r"<changefreq>(.*?)</changefreq>", 1)
+    priority = F.regexp_extract(b, r"<priority>(.*?)</priority>", 1)
+    return (
+        df.select(F.col(host_col).alias("host"),
+                  F.explode(blocks).alias("__b"))
+        .select(
+            "host",
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod.cast("date")).alias("lastmod"),
+            F.when(changefreq != "", changefreq).alias("changefreq"),
+            F.when(priority != "", priority.cast("double"))
+            .alias("priority"),
+        )
+        .where(F.col("loc") != "")
+    )

@@ -17180,3 +17180,208 @@ def flow_duration_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("o_totalprice").alias("value"))
     return flow_duration_curve(
         daily, ["series"], [5, 10, 25, 50, 75, 90, 95])
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (functions/html.py): scripts/styles/
+# comments dropped with payloads, <p>-block selection, tag strip,
+# entity decode, whitespace collapse — the pre-pipeline text
+# extraction stage, all map-only codegen.
+# ---------------------------------------------------------------------------
+
+_HTML_CLEAN_SQL = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace("
+    "regexp_replace({src}, '<[^>]*>', ' ', 'g'),"
+    " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    " '&#39;', ''''), '&amp;', '&'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_HTML_ORACLE = f"""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || ' &amp; friends</title>'
+             || '<script type="text/javascript">var x = 1; //junk'
+             || '</script><style>.a {{ color: red; }}</style></head>'
+             || '<body><nav>Home | About | <a href="/x">Links</a></nav>'
+             || '<!-- comment block -->'
+             || '<p>' || substr(text, 1, 120) || '</p>'
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '<p>' || substr(text, 121, 100)
+                           || ' &lt;tagged&gt;</p>'
+                      ELSE '' END)
+             || '<div class="ad">BUY NOW!!!</div>'
+             || '<footer>(c) 2024 Example</footer></body></html>'
+               AS html
+      FROM documents
+    ), noiseless AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS s
+      FROM raw
+    ), parts AS (
+      SELECT doc_id,
+             {_HTML_CLEAN_SQL.format(
+                 src="regexp_extract(s, '(?s)<title[^>]*>(.*?)</title>', 1)")}
+               AS title,
+             array_to_string(list_transform(
+               regexp_extract_all(s, '(?s)<p[^>]*>(.*?)</p>', 1),
+               b -> {_HTML_CLEAN_SQL.format(src='b')}), ' ')
+               AS main_text,
+             CAST(len(regexp_extract_all(s, '(?s)<p[^>]*>(.*?)</p>', 1))
+                  AS INT) AS n_blocks,
+             CAST(length({_HTML_CLEAN_SQL.format(src='s')}) AS BIGINT)
+               AS chars_total
+      FROM noiseless
+    )
+    SELECT doc_id, title, main_text, n_blocks, chars_total,
+           CAST(length(main_text) AS BIGINT) AS chars_kept,
+           {R("CASE WHEN chars_total > 0 THEN"
+              " CAST(chars_total - length(main_text) AS DOUBLE)"
+              " / chars_total ELSE CAST(0 AS DOUBLE) END", 6)}
+             AS boilerplate_ratio
+    FROM parts
+"""
+
+
+@register("html_main_text_extract", oracle=_HTML_ORACLE)
+def html_main_text_extract_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Boilerplate-wrapped documents (nav/script/style/comments/ads/
+    footer + entities) reduced to title + paragraph text."""
+    from .functions.html import with_main_text
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit(" &amp; friends</title>"),
+        F.lit('<script type="text/javascript">var x = 1; //junk'),
+        F.lit("</script><style>.a { color: red; }</style></head>"),
+        F.lit('<body><nav>Home | About | <a href="/x">Links</a></nav>'),
+        F.lit("<!-- comment block -->"),
+        F.lit("<p>"), F.substring(F.col("text"), 1, 120), F.lit("</p>"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("<p>"), F.substring(F.col("text"), 121, 100),
+                        F.lit(" &lt;tagged&gt;</p>"))).otherwise(""),
+        F.lit('<div class="ad">BUY NOW!!!</div>'),
+        F.lit("<footer>(c) 2024 Example</footer></body></html>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("html"))
+    out = with_main_text(docs, "html")
+    return _round(
+        out.select("doc_id", "title", "main_text", "n_blocks",
+                   "chars_total", "chars_kept", "boilerplate_ratio"),
+        {"boilerplate_ratio": 6})
+
+
+# ---------------------------------------------------------------------------
+# Sitemap ingestion (operators/web.parse_sitemaps): sitemaps.org
+# urlset XML -> per-URL rows with lastmod/changefreq/priority, ranked
+# into a per-host fetch order (priority desc, loc asc). Map-only +
+# one explode; the crawl-frontier feeder next to robots.txt.
+# ---------------------------------------------------------------------------
+
+_SITEMAP_ORACLE = """
+    WITH hosts AS (
+      SELECT 'h' || CAST(s_suppkey AS VARCHAR) AS host, s_suppkey AS hk
+      FROM supplier
+    ), xml AS (
+      SELECT host,
+             '<?xml version="1.0"?><urlset>'
+             || array_to_string(list_transform(
+                  generate_series(0, 9), k ->
+                  '<url><loc>https://' || host || '.example.com/p/'
+                  || CAST(k AS VARCHAR) || '</loc>'
+                  || (CASE WHEN (hk + k) % 3 != 0
+                           THEN '<lastmod>2024-01-'
+                                || lpad(CAST((hk + k) % 28 + 1
+                                             AS VARCHAR), 2, '0')
+                                || '</lastmod>' ELSE '' END)
+                  || (CASE WHEN (hk + k) % 4 = 0
+                           THEN '<changefreq>daily</changefreq>'
+                           ELSE '' END)
+                  || (CASE WHEN (hk + k) % 5 != 2
+                           THEN '<priority>0.'
+                                || CAST((hk + k) % 9 + 1 AS VARCHAR)
+                                || '</priority>' ELSE '' END)
+                  || '</url>'), '')
+             || '</urlset>' AS content
+      FROM hosts
+    ), blocks AS (
+      SELECT host, unnest(regexp_extract_all(content,
+               '(?s)<url>(.*?)</url>', 1)) AS b
+      FROM xml
+    ), parsed AS (
+      SELECT host,
+             regexp_extract(b, '<loc>(.*?)</loc>', 1) AS loc,
+             CASE WHEN regexp_extract(b, '<lastmod>(.*?)</lastmod>', 1)
+                       != ''
+                  THEN CAST(regexp_extract(b,
+                         '<lastmod>(.*?)</lastmod>', 1) AS DATE)
+             END AS lastmod,
+             CASE WHEN regexp_extract(b,
+                         '<changefreq>(.*?)</changefreq>', 1) != ''
+                  THEN regexp_extract(b,
+                         '<changefreq>(.*?)</changefreq>', 1)
+             END AS changefreq,
+             CASE WHEN regexp_extract(b,
+                         '<priority>(.*?)</priority>', 1) != ''
+                  THEN CAST(regexp_extract(b,
+                         '<priority>(.*?)</priority>', 1) AS DOUBLE)
+             END AS priority
+      FROM blocks
+    )
+    SELECT host, loc, lastmod, changefreq, priority,
+           CAST(row_number() OVER (
+             PARTITION BY host
+             ORDER BY coalesce(priority, CAST(0.5 AS DOUBLE)) DESC,
+                      loc ASC) AS BIGINT) AS fetch_rank
+    FROM parsed WHERE loc != ''
+"""
+
+
+@register("sitemap_url_ingest", oracle=_SITEMAP_ORACLE)
+def sitemap_url_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized per-host sitemaps (optional lastmod/changefreq/
+    priority fields) parsed and ranked into a fetch order (absent
+    priority defaults to the sitemaps.org 0.5)."""
+    from .operators.web import parse_sitemaps
+
+    hk = F.col("s_suppkey")
+    host = F.concat(F.lit("h"), hk.cast("string"))
+    entry = lambda k: F.concat(  # noqa: E731
+        F.lit("<url><loc>https://"), host, F.lit(".example.com/p/"),
+        k.cast("string"), F.lit("</loc>"),
+        F.when((hk + k) % 3 != 0,
+               F.concat(F.lit("<lastmod>2024-01-"),
+                        F.lpad(((hk + k) % 28 + 1).cast("string"),
+                               2, "0"),
+                        F.lit("</lastmod>"))).otherwise(""),
+        F.when((hk + k) % 4 == 0,
+               F.lit("<changefreq>daily</changefreq>")).otherwise(""),
+        F.when((hk + k) % 5 != 2,
+               F.concat(F.lit("<priority>0."),
+                        ((hk + k) % 9 + 1).cast("string"),
+                        F.lit("</priority>"))).otherwise(""),
+        F.lit("</url>"),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(9)),
+                        lambda k: entry(k)), ""),
+        F.lit("</urlset>"),
+    )
+    sm = _t(spark, sf_dir, "supplier").select(
+        host.alias("host"), xml.alias("content"))
+    parsed = parse_sitemaps(sm)
+    w = Window.partitionBy("host").orderBy(
+        F.desc(F.coalesce("priority", F.lit(0.5))), F.asc("loc"))
+    return parsed.select(
+        "host", "loc", "lastmod", "changefreq", "priority",
+        F.row_number().over(w).cast("long").alias("fetch_rank"))
