@@ -17385,3 +17385,225 @@ def sitemap_url_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "host", "loc", "lastmod", "changefreq", "priority",
         F.row_number().over(w).cast("long").alias("fetch_rank"))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 web capstone: sitemap -> canonicalize -> alias-dedup ->
+# robots verdict -> ranked crawl candidates. Sitemap XML parsed by
+# parse_sitemaps, messy locs (case, default ports, dot-segments,
+# unsorted queries, fragments, one deliberate alias entry per host)
+# collapsed by url_canonicalize, robots filtering against the shared
+# 50-host RFC 9309 fixture, fetch order by (priority desc, url).
+# ---------------------------------------------------------------------------
+
+_SCC_ORACLE = "WITH " + _ROBOTS_SQL + """
+    , sm AS (
+      SELECT DISTINCT s_suppkey % 50 AS hk FROM supplier
+    ), entries AS (
+      SELECT hk, k, hk + k AS i
+      FROM sm CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS k) t
+    ), locs AS (
+      SELECT hk,
+        CASE
+          WHEN k = 10 THEN
+            'HTTPS://H' || CAST(hk AS VARCHAR)
+            || '.Example.COM:443/public/./a'
+            || CAST((hk + 3) % 40 AS VARCHAR) || '?a=2&b=1'
+          WHEN k % 5 = 0 THEN
+            'HTTPS://H' || CAST(hk AS VARCHAR)
+            || '.Example.COM/private/doc'
+            || CAST(i % 20 AS VARCHAR) || '/x/../'
+          WHEN k % 5 = 1 THEN
+            'https://h' || CAST(hk AS VARCHAR)
+            || '.example.com:443/search/q' || CAST(i % 9 AS VARCHAR)
+          WHEN k % 5 = 2 THEN
+            'https://h' || CAST(hk AS VARCHAR)
+            || '.Example.com/tmp' || CAST(i % 10 AS VARCHAR) || '/./x'
+          WHEN k % 5 = 3 THEN
+            'https://h' || CAST(hk AS VARCHAR)
+            || '.example.com/public/a' || CAST(i % 40 AS VARCHAR)
+            || '?b=1&a=2#f'
+          ELSE
+            'https://h' || CAST(hk AS VARCHAR)
+            || '.example.com/blog/./post' || CAST(i % 30 AS VARCHAR)
+        END AS url,
+        CAST('0.' || CAST(i % 9 + 1 AS VARCHAR) AS DOUBLE) AS priority
+      FROM entries
+    ), cparsed AS (
+      SELECT hk, priority,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(
+               regexp_replace(
+                 regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                 '^[^@]*@', ''), '^([^:]*)', 1)) AS chost,
+             regexp_extract(
+               regexp_replace(
+                 regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                 '^[^@]*@', ''), ':([0-9]+)$', 1) AS port,
+             regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+               AS rawpath,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM locs
+    ), cnorm AS (
+      SELECT hk, priority, scheme, chost,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END AS port_keep,
+             list_reduce(
+               string_split('/' || regexp_replace(rawpath, '^/', ''), '/'),
+               (acc, x) -> CASE WHEN x = '' OR x = '.' THEN acc
+                                WHEN x = '..'
+                                  THEN regexp_replace(acc, '/[^/]*$', '')
+                                ELSE acc || '/' || x END) AS folded,
+             (regexp_matches(rawpath, '(/|/\\.|/\\.\\.)$')
+              OR rawpath = '') AS keep_slash,
+             array_to_string(list_sort(string_split(query, '&')), '&')
+               AS qsorted
+      FROM cparsed
+    ), canon AS (
+      SELECT hk, priority,
+             CASE WHEN folded = '' THEN '/'
+                  ELSE folded
+                       || CASE WHEN keep_slash THEN '/' ELSE '' END
+             END AS cpath,
+             scheme || '://' || chost || port_keep
+             || CASE WHEN folded = '' THEN '/'
+                     ELSE folded
+                          || CASE WHEN keep_slash THEN '/' ELSE '' END
+                END
+             || CASE WHEN qsorted = '' THEN '' ELSE '?' || qsorted END
+               AS canonical_url
+      FROM cnorm
+    ), dedup AS (
+      SELECT 'h' || CAST(hk AS VARCHAR) AS host, canonical_url,
+             min(cpath) AS cpath,
+             CAST(count(*) AS BIGINT) AS n_aliases,
+             max(priority) AS priority
+      FROM canon GROUP BY 1, 2
+    ), exact AS (
+      SELECT * FROM rules WHERE agent = 'aquabot'
+    ), eff AS (
+      SELECT * FROM exact
+      UNION ALL
+      SELECT * FROM rules r WHERE r.agent = '*'
+        AND NOT EXISTS (SELECT 1 FROM exact e WHERE e.host = r.host)
+    ), pats AS (
+      SELECT host, rule, path, length(path) AS plen,
+             CASE WHEN ends_with(esc, '$')
+                  THEN replace(left(esc, length(esc) - 1), '*', '%')
+                  ELSE replace(esc, '*', '%') || '%' END AS likepat
+      FROM (SELECT host, rule, path,
+                   replace(replace(replace(path, '\\', '\\\\'),
+                                   '%', '\\%'), '_', '\\_') AS esc
+            FROM eff)
+    ), joined AS (
+      SELECT u.host, u.canonical_url, u.cpath, u.n_aliases, u.priority,
+             p.rule, p.path, p.plen,
+             p.likepat IS NOT NULL
+               AND u.cpath LIKE p.likepat ESCAPE '\\' AS hit
+      FROM dedup u LEFT JOIN pats p ON p.host = u.host
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY host, canonical_url
+               ORDER BY hit DESC, plen DESC, rule = 'allow' DESC,
+                        path ASC) AS rn
+      FROM joined
+    ), verdicts AS (
+      SELECT host, canonical_url, n_aliases, priority,
+             CASE WHEN coalesce(hit, FALSE) THEN rule = 'allow'
+                  ELSE TRUE END AS allowed,
+             CASE WHEN hit THEN rule END AS matched_rule
+      FROM ranked WHERE rn = 1
+    )
+    SELECT host, canonical_url, n_aliases, priority, matched_rule,
+           CAST(row_number() OVER (
+             PARTITION BY host
+             ORDER BY priority DESC, canonical_url ASC) AS BIGINT)
+             AS fetch_rank
+    FROM verdicts WHERE allowed
+"""
+
+
+@register("sitemap_crawl_candidates", oracle=_SCC_ORACLE)
+def sitemap_crawl_candidates_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """End-to-end crawl candidate list: per-host sitemap XML ->
+    canonical URLs (alias entries collapse) -> RFC 9309 verdicts ->
+    allowed URLs in fetch order."""
+    from .operators.web import (
+        parse_robots,
+        parse_sitemaps,
+        robots_allowed,
+        url_canonicalize,
+    )
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") % 50).alias("hk")).distinct()
+    hk = F.col("hk")
+    hks = hk.cast("string")
+
+    def loc(k):
+        i = hk + k
+        return (
+            F.when(k == 10, F.concat(
+                F.lit("HTTPS://H"), hks,
+                F.lit(".Example.COM:443/public/./a"),
+                ((hk + 3) % 40).cast("string"), F.lit("?a=2&b=1")))
+            .when(k % 5 == 0, F.concat(
+                F.lit("HTTPS://H"), hks, F.lit(".Example.COM/private/doc"),
+                (i % 20).cast("string"), F.lit("/x/../")))
+            .when(k % 5 == 1, F.concat(
+                F.lit("https://h"), hks,
+                F.lit(".example.com:443/search/q"),
+                (i % 9).cast("string")))
+            .when(k % 5 == 2, F.concat(
+                F.lit("https://h"), hks, F.lit(".Example.com/tmp"),
+                (i % 10).cast("string"), F.lit("/./x")))
+            .when(k % 5 == 3, F.concat(
+                F.lit("https://h"), hks, F.lit(".example.com/public/a"),
+                (i % 40).cast("string"), F.lit("?b=1&a=2#f")))
+            .otherwise(F.concat(
+                F.lit("https://h"), hks, F.lit(".example.com/blog/./post"),
+                (i % 30).cast("string")))
+        )
+
+    def entry(k):
+        i = hk + k
+        return F.concat(
+            F.lit("<url><loc>"), loc(k), F.lit("</loc><priority>0."),
+            (i % 9 + 1).cast("string"), F.lit("</priority></url>"))
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(F.transform(F.sequence(F.lit(0), F.lit(10)),
+                                 lambda k: entry(k)), ""),
+        F.lit("</urlset>"),
+    )
+    sitemaps = sup.select(
+        F.concat(F.lit("h"), hks).alias("site_host"),
+        xml.alias("content"))
+    parsed = parse_sitemaps(sitemaps, host_col="site_host")
+    canon = url_canonicalize(
+        parsed.select("host", F.col("loc").alias("url"), "priority")
+        .withColumnRenamed("host", "site_host"), "url")
+    dedup = (
+        canon.groupBy("site_host", "canonical_url")
+        .agg(F.min("path").alias("cpath"),
+             F.count(F.lit(1)).cast("long").alias("n_aliases"),
+             F.max("priority").alias("priority"))
+    )
+    rules = parse_robots(_robots_fixture(spark))
+    verdicts = robots_allowed(
+        dedup.select(F.col("site_host").alias("host"),
+                     F.col("cpath").alias("path"),
+                     "canonical_url", "n_aliases", "priority"),
+        rules, agent="aquabot")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("canonical_url"))
+    return (
+        verdicts.where(F.col("allowed"))
+        .select("host", "canonical_url", "n_aliases", "priority",
+                "matched_rule",
+                F.row_number().over(w).cast("long").alias("fetch_rank"))
+    )
