@@ -17607,3 +17607,294 @@ def sitemap_crawl_candidates_q(spark: SparkSession,
                 "matched_rule",
                 F.row_number().over(w).cast("long").alias("fetch_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language temperature rebalancing: language_id -> sqrt-temperature
+# token budget per DETECTED LANGUAGE (the actual multilingual-LM use
+# of temperature sampling; 'und' docs drop at the gate).
+# ---------------------------------------------------------------------------
+
+_LANG_TEMP_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             {_lang_filter_sql('de')} AS de,
+             {_lang_filter_sql('en')} AS en,
+             {_lang_filter_sql('es')} AS es,
+             {_lang_filter_sql('fr')} AS fr
+      FROM t
+    ), docs AS (
+      SELECT doc_id, n_tokens,
+             CASE
+               WHEN greatest(de, en, es, fr) < 0.05 THEN 'und'
+               WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+               WHEN en >= es AND en >= fr THEN 'en'
+               WHEN es >= fr THEN 'es'
+               ELSE 'fr'
+             END AS lang
+      FROM s
+    ), kept_docs AS (
+      SELECT * FROM docs WHERE lang != 'und'
+    ), tot AS (
+      SELECT lang, sum(n_tokens) AS n,
+             CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))
+                        * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS squ
+      FROM kept_docs GROUP BY 1
+    ), norm AS (
+      SELECT sum(squ) AS ssum, sum(n) AS grand FROM tot
+    ), rates AS (
+      SELECT lang,
+             squ / CAST(ssum AS DOUBLE) AS q,
+             least(CAST(1 AS DOUBLE),
+                   squ / CAST(ssum AS DOUBLE)
+                   * floor(CAST(0.5 AS DOUBLE) * grand)
+                   / CAST(n AS DOUBLE)) AS keep_frac
+      FROM tot, norm
+    )
+    SELECT d.doc_id, d.lang, d.n_tokens,
+           {R('r.q', 6)} AS q, {R('r.keep_frac', 6)} AS keep_frac,
+           (CAST('0x' || substr(md5('temp-v1|' || CAST(d.doc_id AS VARCHAR)),
+                                1, 12) AS BIGINT)
+            / CAST(281474976710656 AS DOUBLE)) < r.keep_frac AS kept
+    FROM kept_docs d JOIN rates r USING (lang)
+"""
+
+
+@register("per_language_temperature_sample", oracle=_LANG_TEMP_ORACLE)
+def per_language_temperature_sample_q(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Temperature rebalancing across DETECTED languages at a 50%
+    token budget; 'und' excluded before the totals."""
+    from .functions import text as X
+    from .operators.packing import temperature_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.lang_id_multi(F.col("text")).alias("lang"),
+        F.size(F.split(F.col("text"), " ")).cast("long")
+        .alias("n_tokens")).where(F.col("lang") != "und")
+    out = temperature_mixture_sample(
+        docs, budget_frac=0.5, domain_col="lang")
+    return _round(
+        out.select("doc_id", "lang", "n_tokens", "q", "keep_frac",
+                   "kept"),
+        {"q": 6, "keep_frac": 6})
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style truncated retrieval: exact cosine top-k at a
+# 16-dim PREFIX of the 64-dim embeddings (MRL serving: coarse search
+# on the cheap prefix), each hit flagged for membership in the
+# full-dimension top-k — the per-query recall readout.
+# ---------------------------------------------------------------------------
+
+_MRL_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), st AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv[1:16], cv[1:16])
+               / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                  * sqrt(list_dot_product(cv[1:16], cv[1:16])))
+               AS cos16
+      FROM q, c WHERE query_id <> neighbor_id
+    ), rt AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY floor(cos16 * 1000000000.0 + 0.5) DESC,
+                        neighbor_id) AS rank
+      FROM st
+    ), sf AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS cosf
+      FROM q, c WHERE query_id <> neighbor_id
+    ), rf AS (
+      SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY floor(cosf * 1000000000.0 + 0.5) DESC,
+                        neighbor_id) AS rank
+      FROM sf
+    )
+    SELECT t.query_id, t.neighbor_id, {R('t.cos16', 6)} AS cosine16,
+           CAST(t.rank AS BIGINT) AS rank,
+           (f.neighbor_id IS NOT NULL) AS in_full_topk
+    FROM rt t LEFT JOIN (SELECT query_id, neighbor_id FROM rf
+                         WHERE rank <= 5) f
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    WHERE t.rank <= 5
+"""
+
+
+@register("matryoshka_truncated_topk", oracle=_MRL_ORACLE)
+def matryoshka_truncated_topk_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """16-dim-prefix cosine top-5 with full-dim-agreement flags."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding"))
+    queries16 = trunc.where(F.col("vec_id") < 10)
+    t16 = cosine_topk(trunc, queries16, k=5).select(
+        "query_id", "neighbor_id",
+        F.col("cosine").alias("cosine16"), "rank")
+    full = cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5) \
+        .select("query_id", "neighbor_id")
+    out = t16.join(
+        full.withColumn("__f", F.lit(True)),
+        ["query_id", "neighbor_id"], "left")
+    return _round(
+        out.select("query_id", "neighbor_id", "cosine16", "rank",
+                   F.coalesce("__f", F.lit(False)).alias("in_full_topk")),
+        {"cosine16": 6})
+
+
+# ---------------------------------------------------------------------------
+# Luhn checksum validation (ISO/IEC 7812): the PII-redaction upgrade —
+# 16-digit sequences are only credit-card candidates if the check
+# digit verifies, cutting false redactions. The checksum is a 16-term
+# closed form (per-position digit doubling with the >9 fold-back),
+# identical map-only codegen on both engines.
+# ---------------------------------------------------------------------------
+
+def _luhn_terms(col_sql: str, n: int = 16) -> str:
+    """SQL sum of Luhn terms over an n-digit string column: position j
+    (1-based from the left), doubling positions where (n - j) is odd
+    counted from the right -> (n - j + 1) even."""
+    terms = []
+    for j in range(1, n + 1):
+        d = f"CAST(substr({col_sql}, {j}, 1) AS INT)"
+        if (n - j + 1) % 2 == 0:  # doubled position
+            terms.append(f"(CASE WHEN {d} > 4 THEN 2 * {d} - 9"
+                         f" ELSE 2 * {d} END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+_LUHN_ORACLE = f"""
+    WITH cand AS (
+      SELECT doc_id,
+             lpad(CAST((doc_id * 7919 + 123456789) % 10000000000000000
+                       AS VARCHAR), 16, '0') AS card_candidate
+      FROM documents
+    )
+    SELECT doc_id, card_candidate,
+           ({_luhn_terms('card_candidate')}) % 10 = 0 AS luhn_valid
+    FROM cand
+"""
+
+
+@register("luhn_card_validation", oracle=_LUHN_ORACLE)
+def luhn_card_validation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checks over deterministic 16-digit candidates (~10% pass,
+    exactly the true-checksum subset)."""
+    d = F.col("doc_id")
+    cand = F.lpad(
+        ((d * 7919 + 123456789) % (10 ** 16)).cast("string"), 16, "0")
+    digits = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda j: F.substring(F.col("card_candidate"), 1, 16)
+        .substr(j, F.lit(1)).cast("int"))
+    # position j doubled when (16 - j + 1) is even; fold-back 2d-9
+    terms = F.zip_with(
+        digits, F.sequence(F.lit(1), F.lit(16)),
+        lambda x, j: F.when(
+            (17 - j) % 2 == 0,
+            F.when(x > 4, 2 * x - 9).otherwise(2 * x)).otherwise(x))
+    total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", cand.alias("card_candidate"))
+        .withColumn("luhn_valid", total % 10 == 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law screening: first-digit distribution of a value column
+# vs the Benford expectation — the classic tampering/quality signal
+# for measured data. Expected shares are INLINED literals (no
+# cross-engine log10), counts exact, chi-square from exact counts.
+# ---------------------------------------------------------------------------
+
+_BENFORD_SHARES = {
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829992, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({s!r} AS DOUBLE)"
+    for d, s in _BENFORD_SHARES.items()) + " END"
+
+_BENFORD_ORACLE = f"""
+    WITH v AS (
+      SELECT o_orderpriority AS series,
+             CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT series, digit, CAST(count(*) AS BIGINT) AS n_obs
+      FROM v GROUP BY 1, 2
+    ), tot AS (
+      SELECT series, sum(n_obs) AS n FROM counts GROUP BY 1
+    ), ex AS (
+      SELECT c.series, c.digit, c.n_obs,
+             CAST(t.n AS DOUBLE) * ({_BENFORD_CASE}) AS expected
+      FROM counts c JOIN tot t USING (series)
+    ), chi AS (
+      SELECT series,
+             sum(CAST(floor((n_obs - expected) * (n_obs - expected)
+                            / expected * 1000000
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT))
+               / CAST(1e6 AS DOUBLE) AS chi2
+      FROM ex GROUP BY 1
+    )
+    SELECT e.series, e.digit, e.n_obs, {R('e.expected', 6)} AS expected,
+           {R('c.chi2', 4)} AS chi2
+    FROM ex e JOIN chi c USING (series)
+"""
+
+
+@register("benford_digit_screen", oracle=_BENFORD_ORACLE)
+def benford_digit_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit counts of order totals per priority with Benford
+    expectations and the per-series chi-square statistic."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("int")
+    counts = o.groupBy(
+        F.col("o_orderpriority").alias("series"), digit.alias("digit")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    tot = counts.groupBy("series").agg(F.sum("n_obs").alias("n"))
+    share = F.col("digit")
+    share_expr = None
+    for dgt, s in _BENFORD_SHARES.items():
+        share_expr = (F.when(share == dgt, F.lit(s)) if share_expr is None
+                      else share_expr.when(share == dgt, F.lit(s)))
+    ex = counts.join(F.broadcast(tot), "series").withColumn(
+        "expected", F.col("n").cast("double") * share_expr)
+    # chi2 sums <= 9 doubles per series: quantize contributions to
+    # exact micro-units first so the sum is order-independent
+    contrib = F.floor(
+        (F.col("n_obs") - F.col("expected"))
+        * (F.col("n_obs") - F.col("expected")) / F.col("expected")
+        * 1e6 + F.lit(0.5)).cast("long")
+    chi = ex.withColumn("__c", contrib).groupBy("series").agg(
+        (F.sum("__c") / 1e6).alias("chi2"))
+    out = ex.join(F.broadcast(chi), "series").select(
+        "series", "digit", "n_obs", "expected", "chi2")
+    return _round(out, {"expected": 6, "chi2": 4})
