@@ -520,3 +520,65 @@ def sync_reference_cell_sizes(
         F.coalesce(F.col("__cy"), F.col("cell_size_y_deg"))
         .alias("cell_size_y_deg"),
     )
+
+
+def bilinear_sample(
+    cells: DataFrame,
+    points: DataFrame,
+    id_col: str = "station_id",
+    px_col: str = "px",
+    py_col: str = "py",
+) -> DataFrame:
+    """Bilinear point sampling of a cell grid — extract gridded model
+    values (ERA5/HRDPA class) at station coordinates.
+
+    Each point explodes map-side into its four corner keys; ONE
+    equi-join on (x, y) against the cell fact (the grid is never
+    broadcast or collected — the join is keyed exactly like the zonal
+    operators); a conditional-max pivot restores the four corners and
+    the weighted sum is written in a FIXED parenthesization
+    (t00 + t10 + t01 + t11), so the result is bit-stable without
+    quantization. Points with any missing corner report
+    complete=false and a NULL value.
+
+    Output: (id, px, py, value, complete).
+    """
+    x0 = F.floor(F.col(px_col)).cast("int")
+    y0 = F.floor(F.col(py_col)).cast("int")
+    fx = F.col(px_col) - F.floor(F.col(px_col))
+    fy = F.col(py_col) - F.floor(F.col(py_col))
+    corners = F.array(*[
+        F.struct(
+            F.lit(c).alias("corner"),
+            (x0 + (c % 2)).alias("x"),
+            (y0 + (c // 2)).alias("y"),
+            w.alias("w"),
+        )
+        for c, w in [
+            (0, (1 - fx) * (1 - fy)),
+            (1, fx * (1 - fy)),
+            (2, (1 - fx) * fy),
+            (3, fx * fy),
+        ]
+    ])
+    exploded = points.select(
+        F.col(id_col), F.col(px_col), F.col(py_col),
+        F.explode(corners).alias("c"),
+    ).select(id_col, px_col, py_col,
+             F.col("c.corner").alias("corner"),
+             F.col("c.x").alias("x"), F.col("c.y").alias("y"),
+             F.col("c.w").alias("w"))
+    j = exploded.join(cells, ["x", "y"], "left")
+    piv = j.groupBy(id_col, px_col, py_col).agg(*[
+        F.max(F.when(F.col("corner") == c,
+                     F.col("w") * F.col("value"))).alias(f"__t{c}")
+        for c in range(4)
+    ])
+    complete = (F.col("__t0").isNotNull() & F.col("__t1").isNotNull()
+                & F.col("__t2").isNotNull() & F.col("__t3").isNotNull())
+    value = (F.col("__t0") + F.col("__t1")) + F.col("__t2") \
+        + F.col("__t3")
+    return piv.select(
+        id_col, px_col, py_col,
+        F.when(complete, value).alias("value"),
+        complete.alias("complete"))

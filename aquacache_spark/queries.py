@@ -18073,3 +18073,78 @@ def retrieval_ranking_metrics_q(spark: SparkSession,
     )
     return _round(out, {"mrr": 6, "p_at_5": 6, "dcg5": 6, "idcg5": 6,
                         "ndcg5": 6})
+
+
+# ---------------------------------------------------------------------------
+# Bilinear raster sampling (operators/raster.bilinear_sample): gridded
+# model values extracted at station coordinates — four corner keys per
+# point map-side, one equi-join on the cell fact, fixed-order weighted
+# sum (eighth/quarter fractional offsets keep every weight exactly
+# representable).
+# ---------------------------------------------------------------------------
+
+_BILINEAR_ORACLE = f"""
+    WITH cells AS ({_RASTER_CELLS_SQL}),
+    pts AS (
+      SELECT s_suppkey AS station_id,
+             CAST(s_suppkey % 90 AS DOUBLE)
+               + CAST(s_suppkey % 8 AS DOUBLE) / CAST(8 AS DOUBLE)
+               AS px,
+             CAST(s_suppkey % 12 AS DOUBLE)
+               + CAST(s_suppkey % 4 AS DOUBLE) / CAST(4 AS DOUBLE)
+               AS py
+      FROM supplier
+    ), corners AS (
+      SELECT station_id, px, py, c.corner,
+             CAST(floor(px) AS INT) + c.corner % 2 AS x,
+             CAST(floor(py) AS INT) + c.corner // 2 AS y,
+             CASE c.corner
+               WHEN 0 THEN (1 - (px - floor(px))) * (1 - (py - floor(py)))
+               WHEN 1 THEN (px - floor(px)) * (1 - (py - floor(py)))
+               WHEN 2 THEN (1 - (px - floor(px))) * (py - floor(py))
+               ELSE (px - floor(px)) * (py - floor(py))
+             END AS w
+      FROM pts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS corner) c
+    ), joined AS (
+      SELECT k.station_id, k.px, k.py, k.corner, k.w * cells.value AS t
+      FROM corners k LEFT JOIN cells USING (x, y)
+    ), piv AS (
+      SELECT station_id, px, py,
+             max(CASE WHEN corner = 0 THEN t END) AS t0,
+             max(CASE WHEN corner = 1 THEN t END) AS t1,
+             max(CASE WHEN corner = 2 THEN t END) AS t2,
+             max(CASE WHEN corner = 3 THEN t END) AS t3
+      FROM joined GROUP BY 1, 2, 3
+    )
+    SELECT station_id, px, py,
+           {R("CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL"
+              " AND t2 IS NOT NULL AND t3 IS NOT NULL"
+              " THEN ((t0 + t1) + t2) + t3 END", 6)} AS value,
+           (t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+            AND t3 IS NOT NULL) AS complete
+    FROM piv
+"""
+
+
+@register("raster_bilinear_sample", oracle=_BILINEAR_ORACLE)
+def raster_bilinear_sample_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Station-point bilinear extraction from the events-backed cell
+    grid (eighth/quarter fractional offsets; at sf0.001 the grid is
+    100x10, so stations with py >= 9 exercise the incomplete
+    branch)."""
+    from .operators.raster import bilinear_sample
+
+    cells = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 100).alias("x"),
+        F.floor(F.col("event_id") / 100).cast("int").alias("y"),
+        "value")
+    s = F.col("s_suppkey")
+    pts = _t(spark, sf_dir, "supplier").select(
+        s.alias("station_id"),
+        ((s % 90).cast("double") + (s % 8).cast("double") / 8.0)
+        .alias("px"),
+        ((s % 12).cast("double") + (s % 4).cast("double") / 4.0)
+        .alias("py"))
+    out = bilinear_sample(cells, pts)
+    return _round(out, {"value": 6})
