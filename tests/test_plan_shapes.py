@@ -342,6 +342,26 @@ def test_metadata_views_all_broadcast(spark):
         assert "BroadcastHashJoin" in p, name
 
 
+def test_rating_curves_all_broadcast(spark):
+    # curves/shifts/points are catalog-sized: every rating join must
+    # broadcast them; the measurement fact never shuffles
+    p = plan(spark, "rating_curve_discharge")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    import re
+    assert len(re.findall(r"^\(\d+\) Exchange hashpartitioning", p,
+                          re.M)) == 0
+
+
+def test_bilinear_grid_never_broadcast(spark):
+    # the cell grid is raster-cardinality: the corner join must be a
+    # plain equi-join on (x, y) — whichever side AQE picks to build,
+    # the plan must not force a broadcast of the grid scan
+    p = plan(spark, "raster_bilinear_sample")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 _ALL_PLANS: dict = {}
 
 
