@@ -171,3 +171,52 @@ def flow_duration_curve(
     for x in parts[1:]:
         out = out.unionByName(x)
     return out.select(*keys, "exceedance_pct", "flow")
+
+
+def low_flow_frequency(
+    daily: DataFrame,
+    keys: list[str],
+    year_col: str,
+    date_col: str = "date",
+    value_col: str = "value",
+    window_days: int = 7,
+) -> DataFrame:
+    """Low-flow frequency analysis (the 7Q family): per series, the
+    N-day moving-mean minimum of each year, ranked ascending across
+    years with Weibull return periods T = (n_years + 1) / rank.
+
+    Daily values quantize to integer micro-units BEFORE the moving
+    sum, so the N-day means are exact on both engines (a float window
+    sum is evaluation-order dependent under segment-tree windowing);
+    only complete N-day windows count. Windows are per-series ordered
+    scans bounded by record length — the FDC cost class.
+
+    Output: (keys..., year, qn_min, rank, return_period)."""
+    vq = F.floor(F.col(value_col).cast("double") * 1e6 + F.lit(0.5)) \
+        .cast("long")
+    w = Window.partitionBy(*keys).orderBy(date_col) \
+        .rowsBetween(-(window_days - 1), 0)
+    rolled = daily.select(
+        *keys, F.col(year_col).alias("yr"), F.col(date_col),
+        vq.alias("__vq")
+    ).withColumn("__s", F.sum("__vq").over(w)) \
+        .withColumn("__c", F.count(F.lit(1)).over(w)) \
+        .where(F.col("__c") == window_days)
+    annual = rolled.groupBy(*keys, "yr").agg(
+        F.min("__s").alias("__smin"))
+    wr = Window.partitionBy(*keys).orderBy(
+        F.asc("__smin"), F.asc("yr"))
+    wn = Window.partitionBy(*keys)
+    return (
+        annual
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .select(
+            *keys, "yr",
+            (F.col("__smin") / F.lit(1e6) / F.lit(float(window_days)))
+            .alias("qn_min"),
+            "rank",
+            ((F.col("__n") + 1).cast("double") / F.col("rank"))
+            .alias("return_period"),
+        )
+    )

@@ -18148,3 +18148,141 @@ def raster_bilinear_sample_q(spark: SparkSession,
         .alias("py"))
     out = bilinear_sample(cells, pts)
     return _round(out, {"value": 6})
+
+
+# ---------------------------------------------------------------------------
+# Low-flow frequency (operators/trend.low_flow_frequency): 7-day
+# moving-mean annual minima with Weibull return periods — the 7Q
+# statistic. Daily values micro-quantized BEFORE the moving sum so the
+# window means are exact under any window evaluation strategy.
+# ---------------------------------------------------------------------------
+
+_7Q_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             o_orderdate AS d,
+             min(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2, 3
+    ), q AS (
+      SELECT series, yr, d,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq
+      FROM daily
+    ), rolled AS (
+      SELECT series, yr,
+             sum(vq) OVER (PARTITION BY series ORDER BY d
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS s,
+             count(*) OVER (PARTITION BY series ORDER BY d
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS c
+      FROM q
+    ), annual AS (
+      SELECT series, yr, min(s) AS smin
+      FROM rolled WHERE c = 7 GROUP BY 1, 2
+    ), ranked AS (
+      SELECT series, yr, smin,
+             row_number() OVER (PARTITION BY series
+                                ORDER BY smin ASC, yr ASC) AS rank,
+             count(*) OVER (PARTITION BY series) AS n
+      FROM annual
+    )
+    SELECT series, yr,
+           {R("smin / CAST(1e6 AS DOUBLE) / CAST(7 AS DOUBLE)", 6)}
+             AS qn_min,
+           CAST(rank AS BIGINT) AS rank,
+           {R("CAST(n + 1 AS DOUBLE) / rank", 6)} AS return_period
+    FROM ranked
+"""
+
+
+@register("low_flow_frequency", oracle=_7Q_ORACLE)
+def low_flow_frequency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day low-flow annual minima + Weibull return periods per
+    order priority over daily minimum totals."""
+    from .operators.trend import low_flow_frequency
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderdate").alias("date"),
+    ).agg(F.min("o_totalprice").alias("value"))
+    out = low_flow_frequency(daily, ["series"], "yr")
+    return _round(out, {"qn_min": 6, "return_period": 6})
+
+
+# ---------------------------------------------------------------------------
+# Double-mass consistency screen: each station's annual totals against
+# the mean of the OTHER stations (the WSC homogeneity check for gauge
+# relocation / datum drift). All totals are exact micro-unit integers;
+# the only floats are the final slope ratios; a year is flagged when
+# its slope deviates more than 20% from the station's overall ratio.
+# ---------------------------------------------------------------------------
+
+_DMASS_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             o_orderdate AS d,
+             sum(CAST(floor(o_totalprice * 1000000
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS vq
+      FROM orders GROUP BY 1, 2, 3
+    ), annual AS (
+      SELECT series, yr, sum(vq) AS a FROM daily GROUP BY 1, 2
+    ), totals AS (
+      SELECT yr, sum(a) AS tot, count(*) AS k FROM annual GROUP BY 1
+    ), joined AS (
+      SELECT an.series, an.yr, an.a,
+             (t.tot - an.a) AS ref_sum, t.k - 1 AS k1
+      FROM annual an JOIN totals t USING (yr)
+    ), overall AS (
+      SELECT series, sum(a) AS sa, sum(ref_sum) AS sr,
+             min(k1) AS k1 FROM joined GROUP BY 1
+    ), r AS (
+      SELECT j.series, j.yr,
+             CAST(j.a AS DOUBLE) * j.k1 / j.ref_sum AS slope_ratio,
+             CAST(o.sa AS DOUBLE) * o.k1 / o.sr AS overall_ratio
+      FROM joined j JOIN overall o USING (series)
+    )
+    SELECT series, yr, {R('slope_ratio', 6)} AS slope_ratio,
+           {R('overall_ratio', 6)} AS overall_ratio,
+           (abs(slope_ratio - overall_ratio)
+            > CAST(0.2 AS DOUBLE) * overall_ratio) AS flagged
+    FROM r
+"""
+
+
+@register("double_mass_screen", oracle=_DMASS_ORACLE)
+def double_mass_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annual double-mass slope ratios per order priority vs the mean
+    of the other priorities, with 20%-deviation flags."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5))
+                .cast("long")).alias("vq"))
+    annual = daily.groupBy("series", "yr").agg(F.sum("vq").alias("a"))
+    totals = annual.groupBy("yr").agg(
+        F.sum("a").alias("tot"), F.count(F.lit(1)).alias("k"))
+    joined = annual.join(F.broadcast(totals), "yr").select(
+        "series", "yr", "a",
+        (F.col("tot") - F.col("a")).alias("ref_sum"),
+        (F.col("k") - 1).alias("k1"))
+    overall = joined.groupBy("series").agg(
+        F.sum("a").alias("sa"), F.sum("ref_sum").alias("sr"),
+        F.min("k1").alias("ok1"))
+    r = joined.join(F.broadcast(overall), "series").select(
+        "series", "yr",
+        (F.col("a").cast("double") * F.col("k1") / F.col("ref_sum"))
+        .alias("slope_ratio"),
+        (F.col("sa").cast("double") * F.col("ok1") / F.col("sr"))
+        .alias("overall_ratio"))
+    out = r.withColumn(
+        "flagged",
+        F.abs(F.col("slope_ratio") - F.col("overall_ratio"))
+        > 0.2 * F.col("overall_ratio"))
+    return _round(out, {"slope_ratio": 6, "overall_ratio": 6})
