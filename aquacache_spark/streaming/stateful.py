@@ -252,3 +252,77 @@ def streaming_countmin(
     return fanned.groupBy("row").applyInPandasWithState(
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_gap_hours: int = 72,
+) -> DataFrame:
+    """Online funnel progression: per-user step timestamps as
+    applyInPandasWithState state — exactly ``len(steps)`` bigints per
+    user forever (bounded: no event history is retained).
+
+    Semantics: arrival-order greedy first-match. Within a micro-batch
+    rows process in timestamp order; across batches the state only
+    moves FORWARD, so results equal the batch operator
+    (operators/funnel.funnel_steps) whenever each user's events arrive
+    in timestamp order across batches — the usual at-least-once
+    append-log case, and the parity the test pins. A late-arriving
+    earlier step is ignored (recomputing would require the full event
+    history, which bounded state deliberately does not keep).
+
+    Update mode: a user's refreshed row emits on every batch that
+    touches them. Output: (user, t1..tn, steps_completed)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(steps)
+    gap_us = max_gap_hours * 3600 * 1_000_000
+    out_fields = [T.StructField("user_id", T.LongType())]
+    out_fields += [T.StructField(f"t{i + 1}", T.TimestampType())
+                   for i in range(n)]
+    out_fields.append(T.StructField("steps_completed", T.IntegerType()))
+    out_schema = T.StructType(out_fields)
+    state_schema = ", ".join(f"t{i + 1} bigint" for i in range(n))
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ts_state = list(state.get) if state.exists else [None] * n
+        rows = []
+        for pdf in pdfs:
+            for t, et in zip(pdf[ts_col], pdf[type_col]):
+                rows.append((t.value, et))  # pandas Timestamp -> ns
+        rows.sort(key=lambda r: r[0])
+        for t_ns, et in rows:
+            t_us = t_ns // 1000
+            for i, s in enumerate(steps):
+                if et != s or ts_state[i] is not None:
+                    continue
+                if i == 0:
+                    ts_state[0] = t_us
+                else:
+                    prev = ts_state[i - 1]
+                    if prev is not None and t_us > prev \
+                            and t_us <= prev + gap_us:
+                        ts_state[i] = t_us
+                break
+        state.update(tuple(ts_state))
+        import datetime as _dt
+
+        out = {"user_id": [key[0]]}
+        done = 0
+        for i in range(n):
+            v = ts_state[i]
+            out[f"t{i + 1}"] = [
+                None if v is None else
+                _dt.datetime.utcfromtimestamp(v / 1_000_000)]
+            if v is not None:
+                done += 1
+        out["steps_completed"] = [done]
+        yield pd.DataFrame(out)
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

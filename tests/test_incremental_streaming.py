@@ -883,3 +883,65 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
         got = {j: c for j, c in enumerate(latest[i]["counters"]) if c}
         assert got == batch[i], f"row {i}"
         assert latest[i]["total"] == 1000 * 1  # every key hits every row
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Per-user funnel state (len(steps) bigints, no event history)
+    across two in-order micro-batch phases must equal the batch
+    funnel_steps over the full history."""
+    from aquacache_spark.operators.funnel import funnel_steps
+    from aquacache_spark.streaming.stateful import streaming_funnel
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_type string, ts timestamp"
+    steps = ["view", "click", "purchase"]
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 40).alias("user_id"),
+            F.when(F.col("id") % 3 == 0, "view")
+            .when(F.col("id") % 3 == 1, "click")
+            .otherwise("purchase").alias("event_type"),
+            F.timestamp_seconds(F.lit(1700000000)
+                                + F.col("id") * 1800).alias("ts"),
+        )
+
+    latest = {}
+
+    def process(df, epoch_id):
+        for r in df.collect():
+            latest[r["user_id"]] = r
+
+    # one file per phase + one file per trigger: the in-order-arrival
+    # contract the operator documents (file-source tie order between
+    # same-mtime part files is not name-sorted)
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 1).load(str(landing)))
+    q = (streaming_funnel(stream, steps, max_gap_hours=24)
+         .writeStream.outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(process).start())
+    try:
+        frame(0, 300).coalesce(1).write.mode("append") \
+            .parquet(str(landing))
+        q.processAllAvailable()
+        frame(300, 900).coalesce(1).write.mode("append") \
+            .parquet(str(landing))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = {r["user_id"]: r for r in
+             funnel_steps(frame(0, 900), steps,
+                          max_gap_hours=24).collect()}
+    # streaming emits a row per touched user incl. those that never
+    # reached step 1; the batch frame starts at step-1 users
+    stream_started = {u: r for u, r in latest.items()
+                      if r["t1"] is not None}
+    assert set(stream_started) == set(batch)
+    for u, b in batch.items():
+        s = stream_started[u]
+        for c in ("t1", "t2", "t3", "steps_completed"):
+            assert s[c] == b[c], (u, c, s[c], b[c])
