@@ -255,6 +255,24 @@ def bpe_train(
     return merges, w
 
 
+def word_token_counts(words: DataFrame) -> DataFrame:
+    """(w, ...) -> (w, n_bpe_tokens): the encoder run once per
+    DISTINCT word (vocabulary-bounded) — join back against per-slice
+    word counts to get exact BPE token totals for any grouping
+    without re-encoding."""
+    def encode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "w": pdf["w"],
+                "n_bpe_tokens": [len(bpe_encode(w)) for w in pdf["w"]],
+            })
+
+    return words.select("w").distinct().mapInPandas(
+        encode_batches, "w string, n_bpe_tokens long")
+
+
 def oracle_train_ctes(n_merges: int) -> str:
     """DuckDB replay of :func:`bpe_train`: one (pairs, argmax, merge)
     CTE triple per round over the same pipe encoding, plus a final

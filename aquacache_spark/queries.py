@@ -18286,3 +18286,153 @@ def double_mass_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("slope_ratio") - F.col("overall_ratio"))
         > 0.2 * F.col("overall_ratio"))
     return _round(out, {"slope_ratio": 6, "overall_ratio": 6})
+
+
+# ---------------------------------------------------------------------------
+# Corpus datacard v2: the per-source release card upgraded with the
+# round-8 signals — merge-table-EXACT BPE token totals (distinct words
+# encoded once, joined back against per-source counts) and the full
+# multi-language mix, alongside dup rate and mean quality.
+# ---------------------------------------------------------------------------
+
+def _datacard_v2_oracle() -> str:
+    from .functions.bpe import PRETOKEN_RE, oracle_replace_chain
+
+    chain = oracle_replace_chain(
+        "'|' || regexp_replace(w, '(.)', '\\1||', 'g')")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             string_split(lower(text), ' ') AS toks,
+             len(string_split(text, ' ')) AS ws_tokens,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), langed AS (
+      SELECT doc_id, source, ws_tokens, fp,
+             CASE
+               WHEN greatest({_lang_filter_sql('de')},
+                             {_lang_filter_sql('en')},
+                             {_lang_filter_sql('es')},
+                             {_lang_filter_sql('fr')}) < 0.05 THEN 'und'
+               WHEN {_lang_filter_sql('de')} >= {_lang_filter_sql('en')}
+                AND {_lang_filter_sql('de')} >= {_lang_filter_sql('es')}
+                AND {_lang_filter_sql('de')} >= {_lang_filter_sql('fr')}
+                 THEN 'de'
+               WHEN {_lang_filter_sql('en')} >= {_lang_filter_sql('es')}
+                AND {_lang_filter_sql('en')} >= {_lang_filter_sql('fr')}
+                 THEN 'en'
+               WHEN {_lang_filter_sql('es')} >= {_lang_filter_sql('fr')}
+                 THEN 'es'
+               ELSE 'fr'
+             END AS lang
+      FROM base
+    ), wc AS (
+      SELECT source, w, count(*) AS cnt FROM (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '{PRETOKEN_RE}'))
+                 AS w
+        FROM documents)
+      GROUP BY 1, 2
+    ), enc AS (
+      SELECT w,
+             CAST(len(string_split(trim({chain}, '|'), '||')) AS BIGINT)
+               AS n_bpe
+      FROM (SELECT DISTINCT w FROM wc)
+    ), bpe AS (
+      SELECT source, sum(cnt * n_bpe) AS bpe_tokens
+      FROM wc JOIN enc USING (w) GROUP BY 1
+    ), dup AS (
+      SELECT source, doc_id,
+             count(*) OVER (PARTITION BY source, fp) AS m
+      FROM base
+    ), qual AS (
+      SELECT doc_id,
+             CAST(floor((least(length(text) / 200.0, 1.0)
+               + least(CAST(len(list_filter(toks, t -> t IN
+                   ('the','a','an','and','or','of','to','in','is','it',
+                    'that','for','on','with','as','are','was','at','by',
+                    'be'))) AS DOUBLE) / greatest(len(toks), 1) * 5.0,
+                 1.0)
+               + (1.0 - least((length(text) - length(regexp_replace(
+                     text, '[^a-zA-Z0-9 ]', '', 'g')))
+                   / CAST(greatest(length(text), 1) AS DOUBLE) * 4.0,
+                   1.0))) / 3.0 * 1000000 + CAST(0.5 AS DOUBLE))
+               AS BIGINT) AS ql
+      FROM base
+    ), agg AS (
+      SELECT l.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(l.ws_tokens) AS BIGINT) AS ws_tokens,
+             CAST(sum(CASE WHEN d.m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             sum(q.ql) AS sql_,
+             CAST(sum(CASE WHEN l.lang = 'en' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS en_share,
+             CAST(sum(CASE WHEN l.lang = 'fr' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS fr_share,
+             CAST(sum(CASE WHEN l.lang = 'und' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS und_share
+      FROM langed l JOIN dup d USING (source, doc_id)
+      JOIN qual q ON q.doc_id = l.doc_id
+      GROUP BY 1
+    )
+    SELECT a.source, a.n_docs, a.ws_tokens, b.bpe_tokens AS bpe_tokens,
+           a.n_dup_docs,
+           {R('a.sql_ / 1000000.0 / a.n_docs', 6)} AS mean_quality,
+           {R('a.en_share', 6)} AS en_share,
+           {R('a.fr_share', 6)} AS fr_share,
+           {R('a.und_share', 6)} AS und_share
+    FROM agg a JOIN bpe b USING (source)
+"""
+
+
+@register("corpus_datacard_v2", oracle=_datacard_v2_oracle())
+def corpus_datacard_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datacard with exact BPE totals and language mix."""
+    from .functions import text as X
+    from .functions.bpe import PRETOKEN_RE, word_token_counts
+    from .functions.text import fingerprint, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long")
+        .alias("ws_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+        X.lang_id_multi(F.col("text")).alias("lang"),
+        F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5))
+        .cast("long").alias("ql"),
+    )
+    base = base.withColumn(
+        "__m",
+        F.count(F.lit(1)).over(Window.partitionBy("source", "fp")))
+    wc = docs.select(
+        "source",
+        F.explode(F.expr(
+            f"regexp_extract_all(lower(text), '{PRETOKEN_RE}', 0)"))
+        .alias("w")).groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    enc = word_token_counts(wc)
+    bpe = wc.join(enc, "w").groupBy("source").agg(
+        F.sum(F.col("cnt") * F.col("n_bpe_tokens")).cast("long")
+        .alias("bpe_tokens"))
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_tokens"),
+        F.sum(F.when(F.col("__m") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_docs"),
+        (F.sum("ql") / 1e6 / F.count(F.lit(1))).alias("mean_quality"),
+        (F.sum((F.col("lang") == "en").cast("int")).cast("double")
+         / F.count(F.lit(1))).alias("en_share"),
+        (F.sum((F.col("lang") == "fr").cast("int")).cast("double")
+         / F.count(F.lit(1))).alias("fr_share"),
+        (F.sum((F.col("lang") == "und").cast("int")).cast("double")
+         / F.count(F.lit(1))).alias("und_share"),
+    )
+    out = agg.join(bpe, "source")
+    return _round(
+        out.select("source", "n_docs", "ws_tokens", "bpe_tokens",
+                   "n_dup_docs", "mean_quality", "en_share", "fr_share",
+                   "und_share"),
+        {"mean_quality": 6, "en_share": 6, "fr_share": 6,
+         "und_share": 6})
