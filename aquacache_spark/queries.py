@@ -18436,3 +18436,138 @@ def corpus_datacard_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "und_share"),
         {"mean_quality": 6, "en_share": 6, "fr_share": 6,
          "und_share": 6})
+
+
+# ---------------------------------------------------------------------------
+# Antecedent precipitation index: API_t = sum over the past 30 days of
+# k^age * P. Decay weights are PYTHON-computed literals indexed by age
+# (no cross-engine pow), values micro-quantized, the 30-day lookback a
+# bounded self-join fan-out (30 rows per measurement) keyed per
+# series. The soil-moisture proxy behind storm-response analysis.
+# ---------------------------------------------------------------------------
+
+_API_K = 0.9
+_API_WINDOW = 30
+_API_WEIGHTS = [(_API_K ** j) for j in range(_API_WINDOW)]
+
+_API_W_CASE = "CASE age " + " ".join(
+    f"WHEN {j} THEN CAST({w!r} AS DOUBLE)"
+    for j, w in enumerate(_API_WEIGHTS)) + " END"
+
+_API_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS series, o_orderdate AS d,
+             sum(CAST(floor(o_totalprice * 1000
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS pq
+      FROM orders GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.series, a.d,
+             datediff('day', b.d, a.d) AS age,
+             b.pq
+      FROM daily a JOIN daily b
+        ON b.series = a.series
+       AND datediff('day', b.d, a.d) BETWEEN 0 AND {_API_WINDOW - 1}
+    ), terms AS (
+      SELECT series, d,
+             CAST(floor(pq * ({_API_W_CASE}) + CAST(0.5 AS DOUBLE))
+                  AS BIGINT) AS tu
+      FROM pairs
+    )
+    SELECT series, d AS date,
+           {R('sum(tu) / CAST(1e3 AS DOUBLE)', 6)} AS api
+    FROM terms GROUP BY 1, 2
+"""
+
+
+@register("antecedent_index", oracle=_API_ORACLE)
+def antecedent_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day decayed antecedent index per priority over daily totals
+    (k = 0.9, literal weights, exact milli-unit accumulation)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 1000 + F.lit(0.5))
+                .cast("long")).alias("pq"))
+    a = daily.select("series", F.col("d").alias("da"))
+    b = daily.select("series", F.col("d").alias("db"), "pq")
+    dd = F.datediff(F.col("da"), F.col("db"))
+    pairs = a.join(b, "series").where(
+        (dd >= 0) & (dd <= _API_WINDOW - 1))
+    age = F.datediff(F.col("da"), F.col("db"))
+    w_case = None
+    for j, wgt in enumerate(_API_WEIGHTS):
+        w_case = (F.when(age == j, F.lit(wgt)) if w_case is None
+                  else w_case.when(age == j, F.lit(wgt)))
+    tu = F.floor(F.col("pq") * w_case + F.lit(0.5)).cast("long")
+    out = pairs.withColumn("__tu", tu).groupBy(
+        "series", F.col("da").alias("date")).agg(
+        (F.sum("__tu") / F.lit(1e3)).alias("api"))
+    return _round(out, {"api": 6})
+
+
+# ---------------------------------------------------------------------------
+# Event co-occurrence lift: per ordered event-type pair, support,
+# confidence, and lift over per-user presence sets — pair mass bounded
+# at n_types^2 after a per-user distinct (the market-basket shape).
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = f"""
+    WITH pres AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), nu AS (
+      SELECT count(DISTINCT user_id) AS n FROM events
+    ), singles AS (
+      SELECT event_type, count(*) AS c FROM pres GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS cb
+      FROM pres a JOIN pres b
+        ON b.user_id = a.user_id AND b.event_type != a.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.lhs, p.rhs, CAST(p.cb AS BIGINT) AS n_both,
+           {R('CAST(p.cb AS DOUBLE) / nu.n', 6)} AS support,
+           {R('CAST(p.cb AS DOUBLE) / sl.c', 6)} AS confidence,
+           {R('CAST(p.cb AS DOUBLE) * nu.n'
+              ' / (CAST(sl.c AS BIGINT) * sr.c)', 6)} AS lift
+    FROM pairs p
+    JOIN singles sl ON sl.event_type = p.lhs
+    JOIN singles sr ON sr.event_type = p.rhs
+    CROSS JOIN nu
+"""
+
+
+@register("event_cooccurrence_lift", oracle=_LIFT_ORACLE)
+def event_cooccurrence_lift_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Support / confidence / lift for ordered event-type pairs over
+    per-user presence sets."""
+    ev = _t(spark, sf_dir, "events")
+    pres = ev.select("user_id", "event_type").distinct()
+    nu = pres.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n"))
+    singles = pres.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    a = pres.select("user_id", F.col("event_type").alias("lhs"))
+    b = pres.select("user_id", F.col("event_type").alias("rhs"))
+    pairs = a.join(b, "user_id").where(F.col("lhs") != F.col("rhs")) \
+        .groupBy("lhs", "rhs").agg(F.count(F.lit(1)).alias("cb"))
+    out = (
+        pairs
+        .join(F.broadcast(singles.select(
+            F.col("event_type").alias("lhs"), F.col("c").alias("cl"))),
+            "lhs")
+        .join(F.broadcast(singles.select(
+            F.col("event_type").alias("rhs"), F.col("c").alias("cr"))),
+            "rhs")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "lhs", "rhs", F.col("cb").cast("long").alias("n_both"),
+            (F.col("cb").cast("double") / F.col("n")).alias("support"),
+            (F.col("cb").cast("double") / F.col("cl"))
+            .alias("confidence"),
+            (F.col("cb").cast("double") * F.col("n")
+             / (F.col("cl").cast("long") * F.col("cr"))).alias("lift"),
+        )
+    )
+    return _round(out, {"support": 6, "confidence": 6, "lift": 6})
