@@ -18571,3 +18571,84 @@ def event_cooccurrence_lift_q(spark: SparkSession,
         )
     )
     return _round(out, {"support": 6, "confidence": 6, "lift": 6})
+
+
+# ---------------------------------------------------------------------------
+# Flood frequency (Gumbel / EV1 by method of moments over annual
+# maxima): x_T = u + a*K_T with a = std*sqrt(6)/pi, u = mean -
+# gamma*a, K_T = -ln(-ln(1 - 1/T)). Every transcendental constant is a
+# PYTHON-inlined literal; moments come from exact centi-unit integer
+# sums (annual maxima are few per series, so the squared sums stay in
+# bigint range); sample variance via the integer identity
+# n*Sxx - Sx^2.
+# ---------------------------------------------------------------------------
+
+_GUMBEL_A = 0.779696801233676       # sqrt(6)/pi
+_GUMBEL_G = 0.5772156649015329      # Euler-Mascheroni
+_GUMBEL_K = {2: 0.36651292058166435, 10: 2.2503673273124454,
+             100: 4.600149226776579}
+
+_FLOOD_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             max(CAST(floor(o_totalprice * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS mq
+      FROM orders GROUP BY 1, 2
+    ), mom AS (
+      SELECT series, CAST(count(*) AS BIGINT) AS n,
+             sum(mq) AS sx, sum(mq * mq) AS sxx
+      FROM daily GROUP BY 1
+    ), fit AS (
+      SELECT series, n,
+             CAST(sx AS DOUBLE) / n / 100 AS mean,
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  / (n * (n - 1))) / 100 AS std
+      FROM mom WHERE n >= 2
+    ), params AS (
+      SELECT series, n, mean, std,
+             std * CAST({_GUMBEL_A!r} AS DOUBLE) AS a,
+             mean - CAST({_GUMBEL_G!r} AS DOUBLE)
+               * (std * CAST({_GUMBEL_A!r} AS DOUBLE)) AS u
+      FROM fit
+    )
+    SELECT series, n AS n_years, {R('mean', 6)} AS mean,
+           {R('std', 6)} AS std,
+           {R(f'u + a * CAST({_GUMBEL_K[2]!r} AS DOUBLE)', 6)} AS q2,
+           {R(f'u + a * CAST({_GUMBEL_K[10]!r} AS DOUBLE)', 6)} AS q10,
+           {R(f'u + a * CAST({_GUMBEL_K[100]!r} AS DOUBLE)', 6)}
+             AS q100
+    FROM params
+"""
+
+
+@register("flood_frequency_gumbel", oracle=_FLOOD_ORACLE)
+def flood_frequency_gumbel_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Gumbel MoM flood quantiles (T = 2/10/100) per order priority
+    from annual maxima."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.max(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")).alias("mq"))
+    mom = daily.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mq").alias("sx"),
+        F.sum(F.col("mq") * F.col("mq")).alias("sxx"))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    fit = mom.where(n >= 2).select(
+        "series", n,
+        (sx.cast("double") / n / 100).alias("mean"),
+        (F.sqrt((n * sxx - sx * sx).cast("double") / (n * (n - 1)))
+         / 100).alias("std"))
+    a = F.col("std") * F.lit(_GUMBEL_A)
+    u = F.col("mean") - F.lit(_GUMBEL_G) * a
+    out = fit.select(
+        "series", n.alias("n_years"), "mean", "std",
+        (u + a * F.lit(_GUMBEL_K[2])).alias("q2"),
+        (u + a * F.lit(_GUMBEL_K[10])).alias("q10"),
+        (u + a * F.lit(_GUMBEL_K[100])).alias("q100"))
+    return _round(out, {"mean": 6, "std": 6, "q2": 6, "q10": 6,
+                        "q100": 6})
