@@ -18460,13 +18460,25 @@ _API_ORACLE = f"""
              sum(CAST(floor(o_totalprice * 1000
                             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS pq
       FROM orders GROUP BY 1, 2
+    ), bk AS (
+      SELECT series, d, pq,
+             datediff('day', DATE '1970-01-01', CAST(d AS DATE))
+               // {_API_WINDOW} AS bucket
+      FROM daily
+    ), breg AS (
+      -- banded join: each contributor registers in its own bucket and
+      -- the next, so a target joins on an EQUI key and the per-pair
+      -- filter sees only a bounded 2-bucket candidate set (never a
+      -- per-series cross product)
+      SELECT series, d, pq, bucket + r.o AS reg
+      FROM bk CROSS JOIN (SELECT unnest([0, 1]) AS o) r
     ), pairs AS (
       SELECT a.series, a.d,
              datediff('day', b.d, a.d) AS age,
              b.pq
-      FROM daily a JOIN daily b
-        ON b.series = a.series
-       AND datediff('day', b.d, a.d) BETWEEN 0 AND {_API_WINDOW - 1}
+      FROM bk a JOIN breg b
+        ON b.series = a.series AND b.reg = a.bucket
+      WHERE datediff('day', b.d, a.d) BETWEEN 0 AND {_API_WINDOW - 1}
     ), terms AS (
       SELECT series, d,
              CAST(floor(pq * ({_API_W_CASE}) + CAST(0.5 AS DOUBLE))
@@ -18489,10 +18501,19 @@ def antecedent_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("d"),
     ).agg(F.sum(F.floor(F.col("o_totalprice") * 1000 + F.lit(0.5))
                 .cast("long")).alias("pq"))
-    a = daily.select("series", F.col("d").alias("da"))
-    b = daily.select("series", F.col("d").alias("db"), "pq")
+    epoch = F.lit("1970-01-01").cast("date")
+    bucket = F.floor(
+        F.datediff(F.col("d").cast("date"), epoch) / _API_WINDOW)
+    a = daily.select("series", F.col("d").alias("da"),
+                     bucket.alias("__bk"))
+    # banded join: contributors register in their bucket and the next
+    b = daily.select("series", F.col("d").alias("db"), "pq",
+                     bucket.alias("__b0")).select(
+        "series", "db", "pq",
+        F.explode(F.array(F.col("__b0"), F.col("__b0") + 1))
+        .alias("__bk"))
     dd = F.datediff(F.col("da"), F.col("db"))
-    pairs = a.join(b, "series").where(
+    pairs = a.join(b, ["series", "__bk"]).where(
         (dd >= 0) & (dd <= _API_WINDOW - 1))
     age = F.datediff(F.col("da"), F.col("db"))
     w_case = None
