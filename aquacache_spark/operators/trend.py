@@ -220,3 +220,57 @@ def low_flow_frequency(
             .alias("return_period"),
         )
     )
+
+
+def baseflow_separation(
+    daily: DataFrame,
+    keys: list[str],
+    date_col: str = "date",
+    value_col: str = "value",
+    alpha: float = 0.925,
+) -> DataFrame:
+    """Lyne-Hollick digital baseflow filter (one forward pass):
+
+        f_t = alpha * f_{t-1} + (1 + alpha) / 2 * (q_t - q_{t-1})
+
+    with f_1 = q_1, baseflow b_t = clamp(q_t - max(f_t, 0), 0, q_t),
+    and the baseflow index as the per-series ratio of exact
+    micro-quantized sums. The recurrence is prefix-dependent, so it
+    runs as a per-series Arrow kernel (operators/_grouped economics —
+    one stream per partition); cost is linear in record length, and
+    the sequential double arithmetic replays exactly in the oracle's
+    recursive CTE (same IEEE op order).
+
+    Output: (keys..., date, value, quickflow, baseflow).
+    """
+    k = (1 + alpha) / 2
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(date_col).reset_index(drop=True)
+        q = pdf[value_col].astype("float64").to_numpy()
+        f = 0.0
+        quick = []
+        for i, qt in enumerate(q):
+            f = qt if i == 0 else alpha * f + k * (qt - q[i - 1])
+            quick.append(f)
+        base = [min(max(qt - max(ft, 0.0), 0.0), qt)
+                for qt, ft in zip(q, quick)]
+        out = pdf.copy()
+        out["quickflow"] = pd.Series(quick, dtype="float64")
+        out["baseflow"] = pd.Series(base, dtype="float64")
+        return out
+
+    import pandas as pd  # noqa: F811 (kernel closure import)
+
+    from pyspark.sql import types as T
+
+    from ._grouped import grouped_apply
+
+    base = daily.select(*keys, date_col, F.col(value_col)
+                        .cast("double").alias(value_col))
+    fields = [base.schema[c] for c in (*keys, date_col, value_col)]
+    schema = T.StructType(list(fields) + [
+        T.StructField("quickflow", T.DoubleType()),
+        T.StructField("baseflow", T.DoubleType()),
+    ])
+    return grouped_apply(base, keys, kernel, schema)

@@ -18673,3 +18673,57 @@ def flood_frequency_gumbel_q(spark: SparkSession,
         (u + a * F.lit(_GUMBEL_K[100])).alias("q100"))
     return _round(out, {"mean": 6, "std": 6, "q2": 6, "q10": 6,
                         "q100": 6})
+
+
+# ---------------------------------------------------------------------------
+# Lyne-Hollick baseflow separation (operators/trend.baseflow_separation):
+# the prefix-dependent forward filter as a per-series Arrow kernel; the
+# oracle replays the recurrence row-by-row with a recursive CTE (same
+# IEEE op order). One year of daily maxima keeps the recursion depth
+# at ~365.
+# ---------------------------------------------------------------------------
+
+_BASEFLOW_ALPHA = 0.925
+_BASEFLOW_K = (1 + _BASEFLOW_ALPHA) / 2
+
+_BASEFLOW_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderpriority AS series, o_orderdate AS d,
+             max(o_totalprice) AS v
+      FROM orders WHERE year(o_orderdate) = 1994 GROUP BY 1, 2
+    ), idx AS (
+      SELECT series, d, v,
+             row_number() OVER (PARTITION BY series ORDER BY d) AS rn
+      FROM daily
+    ), scan AS (
+      SELECT series, rn, d, v, v AS f
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.series, i.rn, i.d, i.v,
+             CAST({_BASEFLOW_ALPHA!r} AS DOUBLE) * s.f
+               + CAST({_BASEFLOW_K!r} AS DOUBLE) * (i.v - s.v) AS f
+      FROM scan s JOIN idx i ON i.series = s.series AND i.rn = s.rn + 1
+    )
+    SELECT series, d AS date, v AS value,
+           {R('f', 6)} AS quickflow,
+           {R('least(greatest(v - greatest(f, CAST(0 AS DOUBLE)),'
+              ' CAST(0 AS DOUBLE)), v)', 6)} AS baseflow
+    FROM scan
+"""
+
+
+@register("baseflow_separation", oracle=_BASEFLOW_ORACLE)
+def baseflow_separation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Lyne-Hollick filter over 1994 daily maxima per
+    priority."""
+    from .operators.trend import baseflow_separation
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1994)
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").alias("date"),
+    ).agg(F.max("o_totalprice").alias("value"))
+    out = baseflow_separation(daily, ["series"],
+                              alpha=_BASEFLOW_ALPHA)
+    return _round(out, {"quickflow": 6, "baseflow": 6})
