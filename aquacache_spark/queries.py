@@ -18727,3 +18727,157 @@ def baseflow_separation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = baseflow_separation(daily, ["series"],
                               alpha=_BASEFLOW_ALPHA)
     return _round(out, {"quickflow": 6, "baseflow": 6})
+
+
+# ---------------------------------------------------------------------------
+# Record completeness report: per series, the span, present-day count,
+# completeness ratio, gap count, and longest gap — the
+# data-availability table of a hydrometric publication. All integer
+# day arithmetic (lag over the per-series daily dates).
+# ---------------------------------------------------------------------------
+
+_COMPLETENESS_ORACLE = """
+    WITH daily AS (
+      SELECT DISTINCT o_orderpriority AS series, o_orderdate AS d
+      FROM orders WHERE o_orderkey % 3 != 1
+    ), gaps AS (
+      SELECT series, d,
+             datediff('day',
+                      lag(d) OVER (PARTITION BY series ORDER BY d),
+                      d) AS step
+      FROM daily
+    ), agg AS (
+      SELECT series,
+             CAST(min(d) AS DATE) AS first_day,
+             CAST(max(d) AS DATE) AS last_day,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN step > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps,
+             CAST(coalesce(max(CASE WHEN step > 1 THEN step - 1 END), 0)
+                  AS BIGINT) AS longest_gap_days,
+             datediff('day', min(d), max(d)) + 1 AS span_days
+      FROM gaps GROUP BY 1
+    )
+    SELECT series, first_day, last_day, n_days,
+           CAST(span_days AS BIGINT) AS span_days, n_gaps,
+           longest_gap_days,
+           {c} AS completeness
+    FROM agg
+""".format(c=R("CAST(n_days AS DOUBLE) / span_days", 6))
+
+
+@register("record_completeness", oracle=_COMPLETENESS_ORACLE)
+def record_completeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority availability report over a gappy daily record
+    (every third order key dropped to create holes)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 3 != 1)
+    daily = o.select(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").alias("d")).distinct()
+    w = Window.partitionBy("series").orderBy("d")
+    gaps = daily.withColumn(
+        "step", F.datediff(F.col("d"), F.lag("d").over(w)))
+    agg = gaps.groupBy("series").agg(
+        F.min("d").cast("date").alias("first_day"),
+        F.max("d").cast("date").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("step") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_gaps"),
+        F.coalesce(
+            F.max(F.when(F.col("step") > 1, F.col("step") - 1)),
+            F.lit(0)).cast("long").alias("longest_gap_days"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long")
+        .alias("span_days"),
+    )
+    out = agg.select(
+        "series", "first_day", "last_day", "n_days", "span_days",
+        "n_gaps", "longest_gap_days",
+        (F.col("n_days").cast("double") / F.col("span_days"))
+        .alias("completeness"))
+    return _round(out, {"completeness": 6})
+
+
+# ---------------------------------------------------------------------------
+# Table profile: the per-column data-quality card (row/null counts,
+# min/max, HLL distinct estimate, top value) in long form — distinct
+# counts ride the bounded HLL sketch (exact COUNT DISTINCT of a
+# web-scale column is the shuffle the sketch tier exists to avoid);
+# the top-1 pass is exact with a deterministic tiebreak.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderpriority", "o_orderstatus", "o_custkey"]
+
+
+def _profile_col_sql(c: str) -> str:
+    a = _HLL_ALPHA
+    return f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(min(CAST({c} AS VARCHAR)) AS VARCHAR) AS min_value,
+           CAST(max(CAST({c} AS VARCHAR)) AS VARCHAR) AS max_value,
+           (SELECT {R(f'''CASE WHEN CAST({a!r} AS DOUBLE) * 256.0 * 256.0
+                       * 9007199254740992.0 / s_units <= 640.0
+                       AND zeros > 0
+                  THEN 256.0 * ln(CAST(256 AS DOUBLE) / zeros)
+                  ELSE CAST({a!r} AS DOUBLE) * 256.0 * 256.0
+                       * 9007199254740992.0 / s_units END''', 2)}
+            FROM (SELECT 256 - count(*) AS zeros,
+                         sum(CAST(1 AS BIGINT) << (53 - m))
+                           + (256 - count(*))
+                             * (CAST(1 AS BIGINT) << 53) AS s_units
+                  FROM (SELECT hh % 256 AS idx,
+                               max(CASE WHEN hh // 256 > 0
+                                        THEN 52 - (length(bin(hh // 256))
+                                                   - 1)
+                                        ELSE 53 END) AS m
+                        FROM (SELECT CAST('0x' || substr(md5(
+                                       CAST({c} AS VARCHAR)), 1, 15)
+                                     AS BIGINT) AS hh
+                              FROM orders WHERE {c} IS NOT NULL)
+                        GROUP BY 1))) AS distinct_est,
+           (SELECT CAST(v AS VARCHAR) FROM (
+              SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt
+              FROM orders GROUP BY 1
+              ORDER BY cnt DESC, v ASC LIMIT 1)) AS top_value
+    FROM orders
+"""
+
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    _profile_col_sql(c) for c in _PROFILE_COLS)
+
+
+@register("table_profile", oracle=_PROFILE_ORACLE)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form profile of three orders columns."""
+    from .operators.sketch import hll_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    parts = []
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        base = o.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("int")).cast("long")
+            .alias("n_nulls"),
+            F.min(s).alias("min_value"),
+            F.max(s).alias("max_value"),
+        ).withColumn("column_name", F.lit(c))
+        est = hll_distinct(o.select(s.alias("__k")), "__k", [], 8) \
+            .select(F.col("estimate").alias("distinct_est"))
+        top = (
+            o.where(F.col(c).isNotNull())
+            .groupBy(s.alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("v")).limit(1)
+            .select(F.col("v").alias("top_value"))
+        )
+        parts.append(
+            base.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(top))
+            .select("column_name", "n_rows", "n_nulls", "min_value",
+                    "max_value", "distinct_est", "top_value"))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return _round(out, {"distinct_est": 2})
