@@ -18881,3 +18881,205 @@ def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionByName(x)
     return _round(out, {"distinct_est": 2})
+
+
+# ---------------------------------------------------------------------------
+# TFPW Mann-Kendall (Yue & Pilon 2002 trend-free prewhitening): serial
+# correlation inflates MK's variance, so (1) estimate Sen's slope,
+# (2) detrend, (3) estimate lag-1 autocorrelation r1 of the detrended
+# series EXACTLY (centi-quantized values; the n^2-scaled covariance
+# identity keeps every term an integer — Spark sums them as
+# DECIMAL(38,0), DuckDB as HUGEINT), (4) prewhiten y_t = x'_t -
+# r1*x'_{t-1}, (5) re-add the trend and run MK on the blend. The r1
+# float appears only once per series-year, so the downstream 1e-6
+# quantization inside MK keeps the whole chain hash-exact.
+# ---------------------------------------------------------------------------
+
+_TFPW_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             o_orderdate AS d, max(o_totalprice) AS v
+      FROM orders WHERE year(o_orderdate) IN (1993, 1994)
+      GROUP BY 1, 2, 3
+    ), q AS (
+      SELECT series, yr,
+             datediff('day', DATE '1970-01-01', CAST(d AS DATE)) AS t,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq
+      FROM daily
+    ), beta AS (
+      SELECT a.series AS series, a.yr AS yr,
+             quantile_cont(CAST(b.vq - a.vq AS DOUBLE)
+                           / CAST(1e6 AS DOUBLE) / (b.t - a.t), 0.5)
+               AS beta
+      FROM q a JOIN q b ON b.series = a.series AND b.yr = a.yr
+                        AND b.t > a.t
+      GROUP BY 1, 2
+    ), detr AS (
+      SELECT q.series, q.yr, q.t,
+             CAST(floor((q.vq / CAST(1e6 AS DOUBLE)
+                         - bb.beta * q.t) * 100
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xq,
+             bb.beta
+      FROM q JOIN beta bb USING (series, yr)
+    ), stats AS (
+      SELECT series, yr, count(*) AS n, sum(xq) AS s
+      FROM detr GROUP BY 1, 2
+    ), lagged AS (
+      SELECT d.series, d.yr, d.t, d.xq, d.beta,
+             lag(d.xq) OVER (PARTITION BY d.series, d.yr
+                             ORDER BY d.t) AS pxq
+      FROM detr d
+    ), r1 AS (
+      SELECT l.series, l.yr,
+             sum(CASE WHEN l.pxq IS NOT NULL THEN
+                   CAST(st.n * l.pxq - st.s AS HUGEINT)
+                   * CAST(st.n * l.xq - st.s AS HUGEINT) END) AS num,
+             sum(CAST(st.n * l.xq - st.s AS HUGEINT)
+                 * CAST(st.n * l.xq - st.s AS HUGEINT)) AS den
+      FROM lagged l JOIN stats st USING (series, yr)
+      GROUP BY 1, 2
+    ), blended AS (
+      SELECT l.series, l.yr, l.t,
+             CAST(floor((CASE WHEN l.pxq IS NULL
+                              THEN l.xq / CAST(100 AS DOUBLE)
+                              ELSE l.xq / CAST(100 AS DOUBLE)
+                                   - (CAST(r.num AS DOUBLE) / r.den)
+                                     * (l.pxq / CAST(100 AS DOUBLE))
+                         END + l.beta * l.t) * 1000000
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS zq,
+             CAST(r.num AS DOUBLE) / r.den AS r1,
+             l.beta
+      FROM lagged l JOIN r1 r USING (series, yr)
+    ), pairs AS (
+      SELECT a.series AS series, a.yr AS yr,
+             CASE WHEN b.zq > a.zq THEN 1
+                  WHEN b.zq < a.zq THEN -1 ELSE 0 END AS sgn
+      FROM blended a JOIN blended b
+        ON b.series = a.series AND b.yr = a.yr AND b.t > a.t
+    ), st2 AS (
+      SELECT series, yr, CAST(sum(sgn) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY 1, 2
+    ), nd AS (
+      SELECT series, yr, count(*) AS n FROM blended GROUP BY 1, 2
+    ), ties AS (
+      SELECT series, yr, sum(c * (c - 1) * (2 * c + 5)) AS tiesum
+      FROM (SELECT series, yr, zq, count(*) AS c FROM blended
+            GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ), fin AS (
+      SELECT s2.series, s2.yr, nd.n, s2.s_stat,
+             CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tiesum
+                  AS DOUBLE) / CAST(18 AS DOUBLE) AS var_s,
+             (SELECT max(r1) FROM blended b
+              WHERE b.series = s2.series AND b.yr = s2.yr) AS r1,
+             (SELECT max(beta) FROM blended b
+              WHERE b.series = s2.series AND b.yr = s2.yr) AS beta
+      FROM st2 s2 JOIN nd USING (series, yr) JOIN ties USING (series, yr)
+      WHERE nd.n >= 2
+    )
+    SELECT series, yr, CAST(n AS BIGINT) AS n_days, s_stat,
+           {bt} AS beta, {rr} AS r1, {vr} AS var_s, {zz} AS z
+    FROM fin
+""".format(
+    bt=R("beta", 6), rr=R("r1", 6), vr=R("var_s", 6),
+    zz=R("""CASE WHEN var_s > 0 THEN
+              CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                   WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                   ELSE CAST(0 AS DOUBLE) END
+            END""", 6),
+)
+
+
+@register("tfpw_mann_kendall", oracle=_TFPW_ORACLE)
+def tfpw_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend-free prewhitened MK per (priority, 1993/1994): Sen
+    detrend, exact integer lag-1 autocorrelation, prewhiten, re-trend,
+    MK on the blend."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(1993, 1994))
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(F.max("o_totalprice").alias("v"))
+    t = F.datediff(F.col("d").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+    vq = F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5)) \
+        .cast("long")
+    q = daily.select("series", "yr", t.alias("t"), vq.alias("vq"))
+    a = q.select("series", "yr", F.col("t").alias("ta"),
+                 F.col("vq").alias("va"))
+    b = q.select("series", "yr", F.col("t").alias("tb"),
+                 F.col("vq").alias("vb"))
+    slope = ((F.col("vb") - F.col("va")).cast("double") / F.lit(1e6)
+             / (F.col("tb") - F.col("ta")))
+    beta = (a.join(b, ["series", "yr"])
+            .where(F.col("tb") > F.col("ta"))
+            .withColumn("__sl", slope)
+            .groupBy("series", "yr")
+            .agg(F.expr("percentile(__sl, 0.5)").alias("beta")))
+    detr = q.join(beta, ["series", "yr"]).select(
+        "series", "yr", "t", "beta",
+        F.floor((F.col("vq") / F.lit(1e6) - F.col("beta") * F.col("t"))
+                * 100 + F.lit(0.5)).cast("long").alias("xq"))
+    stats = detr.groupBy("series", "yr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xq").alias("s"))
+    wlag = Window.partitionBy("series", "yr").orderBy("t")
+    lagged = detr.withColumn("pxq", F.lag("xq").over(wlag)) \
+        .join(stats, ["series", "yr"])
+    dec = "decimal(38,0)"
+    cur = (F.col("n") * F.col("xq") - F.col("s")).cast(dec)
+    prv = (F.col("n") * F.col("pxq") - F.col("s")).cast(dec)
+    r1f = lagged.groupBy("series", "yr").agg(
+        F.sum(F.when(F.col("pxq").isNotNull(), prv * cur)).alias("num"),
+        F.sum(cur * cur).alias("den"))
+    r1v = (F.col("num").cast("double") / F.col("den").cast("double"))
+    blended = lagged.join(r1f, ["series", "yr"]).select(
+        "series", "yr", "t", "beta",
+        r1v.alias("r1"),
+        F.floor((
+            F.when(F.col("pxq").isNull(),
+                   F.col("xq") / F.lit(100.0))
+            .otherwise(F.col("xq") / F.lit(100.0)
+                       - r1v * (F.col("pxq") / F.lit(100.0)))
+            + F.col("beta") * F.col("t")) * 1e6 + F.lit(0.5))
+        .cast("long").alias("zq"))
+    za = blended.select("series", "yr", F.col("t").alias("ta"),
+                        F.col("zq").alias("va"))
+    zb = blended.select("series", "yr", F.col("t").alias("tb"),
+                        F.col("zq").alias("vb"))
+    sgn = (F.when(F.col("vb") > F.col("va"), 1)
+           .when(F.col("vb") < F.col("va"), -1).otherwise(0))
+    st2 = (za.join(zb, ["series", "yr"])
+           .where(F.col("tb") > F.col("ta"))
+           .withColumn("__sgn", sgn)
+           .groupBy("series", "yr")
+           .agg(F.sum("__sgn").cast("long").alias("s_stat")))
+    nd = blended.groupBy("series", "yr").agg(
+        F.count(F.lit(1)).alias("n"))
+    ties = (blended.groupBy("series", "yr", "zq")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("series", "yr")
+            .agg(F.sum(F.col("c") * (F.col("c") - 1)
+                       * (2 * F.col("c") + 5)).alias("tiesum")))
+    meta = blended.groupBy("series", "yr").agg(
+        F.max("r1").alias("r1"), F.max("beta").alias("beta"))
+    n = F.col("n")
+    var_s = ((n * (n - 1) * (2 * n + 5) - F.col("tiesum"))
+             .cast("double") / F.lit(18.0))
+    s = F.col("s_stat")
+    out = (st2.join(nd, ["series", "yr"]).join(ties, ["series", "yr"])
+           .join(meta, ["series", "yr"])
+           .withColumn("var_s", var_s)
+           .where(n >= 2)
+           .withColumn(
+               "z",
+               F.when(F.col("var_s") > 0,
+                      F.when(s > 0, (s - 1) / F.sqrt(F.col("var_s")))
+                      .when(s < 0, (s + 1) / F.sqrt(F.col("var_s")))
+                      .otherwise(F.lit(0.0))))
+           .select("series", "yr", n.cast("long").alias("n_days"),
+                   "s_stat", "beta", "r1", "var_s", "z"))
+    return _round(out, {"beta": 6, "r1": 6, "var_s": 6, "z": 6})
