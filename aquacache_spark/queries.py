@@ -19083,3 +19083,151 @@ def tfpw_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("series", "yr", n.cast("long").alias("n_days"),
                    "s_stat", "beta", "r1", "var_s", "z"))
     return _round(out, {"beta": 6, "r1": 6, "var_s": 6, "z": 6})
+
+
+# ---------------------------------------------------------------------------
+# Intensity-duration-frequency (IDF): annual maxima of 1/3/7-day
+# rolling totals (micro-quantized before the window sums) fed through
+# the Gumbel MoM fit -> the T=10 design intensity per duration. The
+# depth-duration composition of the 7Q and flood-frequency machinery.
+# ---------------------------------------------------------------------------
+
+_IDF_DURS = [1, 3, 7]
+
+_IDF_ROLL_SQL = " UNION ALL ".join(f"""
+      SELECT series, yr, {dur} AS duration_days,
+             sum(vq) OVER (PARTITION BY series ORDER BY d
+                           ROWS BETWEEN {dur - 1} PRECEDING
+                           AND CURRENT ROW) AS s,
+             count(*) OVER (PARTITION BY series ORDER BY d
+                            ROWS BETWEEN {dur - 1} PRECEDING
+                            AND CURRENT ROW) AS c
+      FROM q""" for dur in _IDF_DURS)
+
+_IDF_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(year(o_orderdate) AS INT) AS yr, o_orderdate AS d,
+             sum(CAST(floor(o_totalprice * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS vq
+      FROM orders GROUP BY 1, 2, 3
+    ), q AS (SELECT * FROM daily), rolls AS (
+      {_IDF_ROLL_SQL}
+    ), annual AS (
+      SELECT series, duration_days, yr, max(s) AS mq
+      FROM rolls WHERE c = duration_days GROUP BY 1, 2, 3
+    ), mom AS (
+      SELECT series, duration_days, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(mq AS HUGEINT)) AS sx,
+             sum(CAST(mq AS HUGEINT) * mq) AS sxx
+      FROM annual GROUP BY 1, 2
+    ), fit AS (
+      SELECT series, duration_days, n,
+             CAST(sx AS DOUBLE) / n / 100 AS mean,
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  / (n * (n - 1))) / 100 AS std
+      FROM mom WHERE n >= 2
+    )
+    SELECT series, CAST(duration_days AS INT) AS duration_days,
+           n AS n_years, {R('mean', 6)} AS mean_depth,
+           {R(f'''mean - CAST({_GUMBEL_G!r} AS DOUBLE)
+                  * (std * CAST({_GUMBEL_A!r} AS DOUBLE))
+                + std * CAST({_GUMBEL_A!r} AS DOUBLE)
+                  * CAST({_GUMBEL_K[10]!r} AS DOUBLE)''', 6)} AS q10_depth
+    FROM fit
+"""
+
+
+@register("idf_design_depths", oracle=_IDF_ORACLE)
+def idf_design_depths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=10 Gumbel design depths for 1/3/7-day durations per
+    priority."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")).alias("vq"))
+    parts = []
+    for dur in _IDF_DURS:
+        w = Window.partitionBy("series").orderBy("d") \
+            .rowsBetween(-(dur - 1), 0)
+        r = daily.select(
+            "series", "yr", F.lit(dur).alias("duration_days"),
+            F.sum("vq").over(w).alias("s"),
+            F.count(F.lit(1)).over(w).alias("c"),
+        ).where(F.col("c") == dur)
+        parts.append(r)
+    rolls = parts[0]
+    for x in parts[1:]:
+        rolls = rolls.unionByName(x)
+    annual = rolls.groupBy("series", "duration_days", "yr").agg(
+        F.max("s").alias("mq"))
+    mqd = F.col("mq").cast("decimal(18,0)")
+    mom = annual.groupBy("series", "duration_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(mqd).alias("sx"),
+        F.sum(mqd * mqd).alias("sxx"))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    fit = mom.where(n >= 2).select(
+        "series", "duration_days", n,
+        (sx.cast("double") / n / 100).alias("mean"),
+        (F.sqrt((n * sxx - sx * sx).cast("double") / (n * (n - 1)))
+         / 100).alias("std"))
+    a = F.col("std") * F.lit(_GUMBEL_A)
+    u = F.col("mean") - F.lit(_GUMBEL_G) * a
+    out = fit.select(
+        "series", F.col("duration_days").cast("int"),
+        n.alias("n_years"), F.col("mean").alias("mean_depth"),
+        (u + a * F.lit(_GUMBEL_K[10])).alias("q10_depth"))
+    return _round(out, {"mean_depth": 6, "q10_depth": 6})
+
+
+# ---------------------------------------------------------------------------
+# Freshet timing: the day of year by which half the annual volume has
+# passed (center-of-volume date) — the standard snowmelt-shift climate
+# indicator. Pure integer rank test on exact cumulative sums.
+# ---------------------------------------------------------------------------
+
+_FRESHET_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(year(o_orderdate) AS INT) AS yr, o_orderdate AS d,
+             sum(CAST(floor(o_totalprice * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS vq
+      FROM orders GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT series, yr, d, vq,
+             sum(vq) OVER (PARTITION BY series, yr ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS cs,
+             sum(vq) OVER (PARTITION BY series, yr) AS tot
+      FROM daily
+    )
+    SELECT series, yr,
+           CAST(min(CASE WHEN 2 * cs >= tot
+                         THEN dayofyear(d) END) AS BIGINT)
+             AS half_volume_doy
+    FROM cum GROUP BY 1, 2
+"""
+
+
+@register("freshet_timing", oracle=_FRESHET_ORACLE)
+def freshet_timing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Center-of-volume day of year per (priority, year)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")).alias("vq"))
+    wc = Window.partitionBy("series", "yr").orderBy("d") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("series", "yr")
+    cum = daily.withColumn("cs", F.sum("vq").over(wc)) \
+        .withColumn("tot", F.sum("vq").over(wt))
+    return cum.groupBy("series", "yr").agg(
+        F.min(F.when(2 * F.col("cs") >= F.col("tot"),
+                     F.dayofyear("d"))).cast("long")
+        .alias("half_volume_doy"))
