@@ -582,3 +582,43 @@ def bilinear_sample(
         id_col, px_col, py_col,
         F.when(complete, value).alias("value"),
         complete.alias("complete"))
+
+
+def idw_interpolate(
+    points: DataFrame,
+    targets: DataFrame,
+    value_col: str = "value",
+    power_eps: float = 1.0,
+) -> DataFrame:
+    """Inverse-distance-squared interpolation of station values onto
+    target coordinates (the gridding step for sparse gauge networks):
+    v(t) = sum_i w_i v_i / sum_i w_i with w_i = 1 / (d2_i + eps).
+
+    ``points``: (px, py, value); ``targets``: (target_id, tx, ty).
+    The station set is catalog-sized -> broadcast; every target is
+    map-only over it (one explode-free join, no shuffle of targets).
+    Weights quantize to nano-units and values to centi-units BEFORE
+    the sums, so the weighted mean is an exact integer ratio —
+    independent of station iteration order on both engines.
+
+    Output: (target_id, tx, ty, value, n_stations)."""
+    st = points.select(
+        F.col("px").alias("__sx"), F.col("py").alias("__sy"),
+        F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5))
+        .cast("long").alias("__vq"))
+    j = targets.crossJoin(F.broadcast(st))
+    d2 = ((F.col("tx") - F.col("__sx")) * (F.col("tx") - F.col("__sx"))
+          + (F.col("ty") - F.col("__sy"))
+          * (F.col("ty") - F.col("__sy")))
+    wq = F.floor(F.lit(1e9) / (d2 + F.lit(power_eps)) + F.lit(0.5)) \
+        .cast("long")
+    agg = j.withColumn("__wq", wq).groupBy("target_id", "tx", "ty").agg(
+        F.sum(F.col("__wq") * F.col("__vq")).alias("__num"),
+        F.sum("__wq").alias("__den"),
+        F.count(F.lit(1)).cast("long").alias("n_stations"))
+    return agg.select(
+        "target_id", "tx", "ty",
+        F.when(F.col("__den") > 0,
+               F.col("__num") / F.col("__den") / F.lit(100.0))
+        .alias("value"),
+        "n_stations")

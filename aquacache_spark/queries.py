@@ -19231,3 +19231,66 @@ def freshet_timing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(2 * F.col("cs") >= F.col("tot"),
                      F.dayofyear("d"))).cast("long")
         .alias("half_volume_doy"))
+
+
+# ---------------------------------------------------------------------------
+# IDW gridding (operators/raster.idw_interpolate): sparse station
+# values interpolated to target coordinates with 1/(d^2+1) weights —
+# the gauge-network gridding step. Weights/values quantize to integer
+# units BEFORE the sums, so the weighted mean is an exact integer
+# ratio under any station order; stations broadcast, targets map-only.
+# ---------------------------------------------------------------------------
+
+_IDW_ORACLE = f"""
+    WITH st AS (
+      SELECT CAST(s_suppkey % 90 AS DOUBLE)
+               + CAST(s_suppkey % 8 AS DOUBLE) / CAST(8 AS DOUBLE)
+               AS sx,
+             CAST(s_suppkey % 50 AS DOUBLE)
+               + CAST(s_suppkey % 4 AS DOUBLE) / CAST(4 AS DOUBLE)
+               AS sy,
+             CAST(floor(s_acctbal * 100 + CAST(0.5 AS DOUBLE))
+                  AS BIGINT) AS vq
+      FROM supplier
+    ), tg AS (
+      SELECT n_nationkey AS target_id,
+             CAST(n_nationkey * 7 % 90 AS DOUBLE) AS tx,
+             CAST(n_nationkey * 11 % 50 AS DOUBLE) AS ty
+      FROM nation
+    ), j AS (
+      SELECT t.target_id, t.tx, t.ty, st.vq,
+             CAST(floor(CAST(1e9 AS DOUBLE)
+                        / ((t.tx - st.sx) * (t.tx - st.sx)
+                           + (t.ty - st.sy) * (t.ty - st.sy)
+                           + CAST(1 AS DOUBLE))
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wq
+      FROM tg t CROSS JOIN st
+    )
+    SELECT target_id, tx, ty,
+           {R("CASE WHEN sum(wq) > 0 THEN"
+              " CAST(sum(wq * vq) AS DOUBLE) / sum(wq)"
+              " / CAST(100 AS DOUBLE) END", 6)} AS value,
+           CAST(count(*) AS BIGINT) AS n_stations
+    FROM j GROUP BY 1, 2, 3
+"""
+
+
+@register("idw_station_gridding", oracle=_IDW_ORACLE)
+def idw_station_gridding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 target points interpolated from the supplier station set."""
+    from .operators.raster import idw_interpolate
+
+    s = F.col("s_suppkey")
+    pts = _t(spark, sf_dir, "supplier").select(
+        ((s % 90).cast("double") + (s % 8).cast("double") / 8.0)
+        .alias("px"),
+        ((s % 50).cast("double") + (s % 4).cast("double") / 4.0)
+        .alias("py"),
+        F.col("s_acctbal").alias("value"))
+    n = F.col("n_nationkey")
+    tg = _t(spark, sf_dir, "nation").select(
+        n.alias("target_id"),
+        (n * 7 % 90).cast("double").alias("tx"),
+        (n * 11 % 50).cast("double").alias("ty"))
+    out = idw_interpolate(pts, tg)
+    return _round(out, {"value": 6})
