@@ -19294,3 +19294,79 @@ def idw_station_gridding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * 11 % 50).cast("double").alias("ty"))
     out = idw_interpolate(pts, tg)
     return _round(out, {"value": 6})
+
+
+# ---------------------------------------------------------------------------
+# Verified heavy hitters: the standard two-pass shape at scale —
+# pass 1 probes EVERY distinct token against the broadcast count-min
+# sketch (map-side) and keeps est >= threshold candidates (CMS is
+# one-sided, so no true hitter is missed); pass 2 computes EXACT
+# counts for the candidate set only (broadcast semi-restriction before
+# the shuffle — the full-vocabulary exact count never happens).
+# ---------------------------------------------------------------------------
+
+_VHH_ORACLE = """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tokk
+      FROM documents
+    ), tot AS (
+      SELECT count(*) AS n FROM tok
+    ), cells AS (
+      SELECT i,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tokk),
+                                 1, 15) AS BIGINT) % 1024 AS cell
+      FROM tok, (SELECT unnest(range(0, 4)) AS i)
+    ), sk AS (
+      SELECT i AS row, cell, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ), dist AS (
+      SELECT DISTINCT tokk FROM tok
+    ), pc AS (
+      SELECT tokk, i AS row,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tokk),
+                                 1, 15) AS BIGINT) % 1024 AS cell
+      FROM dist, (SELECT unnest(range(0, 4)) AS i)
+    ), probed AS (
+      SELECT tokk, min(coalesce(cnt, 0)) AS est
+      FROM pc LEFT JOIN sk USING (row, cell) GROUP BY 1
+    ), cand AS (
+      SELECT tokk, est FROM probed, tot WHERE est * 200 >= tot.n
+    ), exact AS (
+      SELECT t.tokk, count(*) AS exact
+      FROM tok t JOIN cand USING (tokk) GROUP BY 1
+    )
+    SELECT c.tokk AS token, CAST(x.exact AS BIGINT) AS exact_count,
+           CAST(c.est AS BIGINT) AS est_count
+    FROM cand c JOIN exact x USING (tokk) CROSS JOIN tot
+    WHERE x.exact * 200 >= tot.n
+"""
+
+
+@register("verified_heavy_hitters", oracle=_VHH_ORACLE)
+def verified_heavy_hitters_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Tokens above 0.5% corpus frequency: CMS candidate pass, exact
+    recheck restricted to candidates."""
+    from .functions.text import tokens
+    from .operators.sketch import countmin_build, countmin_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tokk"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    sk = countmin_build(tok, "tokk", d=4, w=1024)
+    dist = tok.select("tokk").distinct()
+    probed = countmin_estimate(sk, dist, "tokk", d=4, w=1024)
+    cand = probed.crossJoin(F.broadcast(tot)) \
+        .where(F.col("est") * 200 >= F.col("n")) \
+        .select("tokk", F.col("est").alias("est_count"))
+    exact = (
+        tok.join(F.broadcast(cand.select("tokk")), "tokk")
+        .groupBy("tokk").agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        cand.join(exact, "tokk").crossJoin(F.broadcast(tot))
+        .where(F.col("exact_count") * 200 >= F.col("n"))
+        .select(F.col("tokk").alias("token"),
+                F.col("exact_count").cast("long"),
+                F.col("est_count").cast("long"))
+    )
