@@ -19370,3 +19370,186 @@ def verified_heavy_hitters_q(spark: SparkSession,
                 F.col("exact_count").cast("long"),
                 F.col("est_count").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Flood frequency via L-MOMENTS (Hosking 1990) — the modern fit next
+# to the MoM version: b0 and b1 are integer-weighted sums over ranked
+# annual maxima (rank weights are exact ints, so both probability-
+# weighted moments are exact integer ratios), alpha = lambda2/ln2 and
+# u = lambda1 - gamma*alpha with inlined literals.
+# ---------------------------------------------------------------------------
+
+_INV_LN2 = 1.4426950408889634
+
+_FLOOD_LM_ORACLE = f"""
+    WITH annual AS (
+      SELECT o_orderpriority AS series,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             max(CAST(floor(o_totalprice * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS mq
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT series, mq,
+             row_number() OVER (PARTITION BY series
+                                ORDER BY mq ASC, yr ASC) AS i
+      FROM annual
+    ), pwm AS (
+      SELECT series, CAST(count(*) AS BIGINT) AS n,
+             sum(mq) AS s0, sum((i - 1) * mq) AS s1
+      FROM ranked GROUP BY 1
+    ), lam AS (
+      SELECT series, n,
+             CAST(s0 AS DOUBLE) / n / 100 AS l1,
+             (2 * CAST(s1 AS DOUBLE) / (n * (n - 1))
+              - CAST(s0 AS DOUBLE) / n) / 100 AS l2
+      FROM pwm WHERE n >= 2
+    ), params AS (
+      SELECT series, n, l1, l2,
+             l2 * CAST({_INV_LN2!r} AS DOUBLE) AS a,
+             l1 - CAST({_GUMBEL_G!r} AS DOUBLE)
+               * (l2 * CAST({_INV_LN2!r} AS DOUBLE)) AS u
+      FROM lam
+    )
+    SELECT series, n AS n_years, {R('l1', 6)} AS lambda1,
+           {R('l2', 6)} AS lambda2,
+           {R(f'u + a * CAST({_GUMBEL_K[10]!r} AS DOUBLE)', 6)} AS q10,
+           {R(f'u + a * CAST({_GUMBEL_K[100]!r} AS DOUBLE)', 6)}
+             AS q100
+    FROM params
+"""
+
+
+@register("flood_frequency_lmoments", oracle=_FLOOD_LM_ORACLE)
+def flood_frequency_lmoments_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Gumbel fit from sample L-moments (exact integer
+    probability-weighted moments over ranked annual maxima)."""
+    o = _t(spark, sf_dir, "orders")
+    annual = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.max(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")).alias("mq"))
+    w = Window.partitionBy("series").orderBy(F.asc("mq"), F.asc("yr"))
+    ranked = annual.withColumn("i", F.row_number().over(w))
+    pwm = ranked.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mq").alias("s0"),
+        F.sum((F.col("i") - 1) * F.col("mq")).alias("s1"))
+    n, s0, s1 = F.col("n"), F.col("s0"), F.col("s1")
+    lam = pwm.where(n >= 2).select(
+        "series", n,
+        (s0.cast("double") / n / 100).alias("l1"),
+        ((2 * s1.cast("double") / (n * (n - 1))
+          - s0.cast("double") / n) / 100).alias("l2"))
+    a = F.col("l2") * F.lit(_INV_LN2)
+    u = F.col("l1") - F.lit(_GUMBEL_G) * a
+    out = lam.select(
+        "series", n.alias("n_years"),
+        F.col("l1").alias("lambda1"), F.col("l2").alias("lambda2"),
+        (u + a * F.lit(_GUMBEL_K[10])).alias("q10"),
+        (u + a * F.lit(_GUMBEL_K[100])).alias("q100"))
+    return _round(out, {"lambda1": 6, "lambda2": 6, "q10": 6,
+                        "q100": 6})
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between station pairs (flood-routing
+# travel-time estimation): Pearson r at lags 0..3 days over matched
+# dates. All five sums are exact (centi/micro-quantized values,
+# DECIMAL products <-> HUGEINT); the moment combination happens in
+# doubles AFTER identical integer->double casts, so r is bit-stable.
+# Pair x lag mass is bounded at n_series^2 * n_lags equi-joins on the
+# shifted date key (never a band filter).
+# ---------------------------------------------------------------------------
+
+_XCORR_LAGS = [0, 1, 2, 3]
+
+_XCORR_ORACLE = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(floor(o_totalprice * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS vq
+      FROM orders GROUP BY 1, 2
+    ), lags AS (
+      SELECT unnest([{', '.join(str(lag) for lag in _XCORR_LAGS)}])
+               AS lag
+    ), j AS (
+      SELECT a.series AS series_a, b.series AS series_b, l.lag,
+             a.vq AS va, b.vq AS vb
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b
+        ON b.series > a.series AND b.d = a.d + l.lag
+    ), mom AS (
+      SELECT series_a, series_b, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(va AS HUGEINT)) AS sa,
+             sum(CAST(vb AS HUGEINT)) AS sb,
+             sum(CAST(va AS HUGEINT) * vb) AS sab,
+             sum(CAST(va AS HUGEINT) * va) AS saa,
+             sum(CAST(vb AS HUGEINT) * vb) AS sbb
+      FROM j GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT series_a, series_b, lag, n,
+             (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+               AS r
+      FROM mom WHERE n >= 2
+    )
+    SELECT series_a, series_b, CAST(lag AS INT) AS lag,
+           n AS n_matched, {R('r', 6)} AS r,
+           (row_number() OVER (
+              PARTITION BY series_a, series_b
+              ORDER BY floor(r * 1000000000.0 + CAST(0.5 AS DOUBLE))
+                         DESC, lag ASC) = 1) AS is_best_lag
+    FROM r
+"""
+
+
+@register("station_lag_correlation", oracle=_XCORR_ORACLE)
+def station_lag_correlation_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Pearson r at 0-3 day lags for every ordered priority pair,
+    best lag flagged."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")).alias("vq"))
+    lags = _ldf(spark, [(lag,) for lag in _XCORR_LAGS], "lag int")
+    a = daily.select(F.col("series").alias("series_a"),
+                     F.col("d").alias("da"), F.col("vq").alias("va"))
+    b = daily.select(F.col("series").alias("series_b"),
+                     F.col("d").alias("db"), F.col("vq").alias("vb"))
+    j = (a.crossJoin(F.broadcast(lags))
+         .join(b, (F.col("series_b") > F.col("series_a"))
+               & (F.col("db") == F.date_add(F.col("da"), F.col("lag")))))
+    dec = "decimal(18,0)"
+    va, vb = F.col("va").cast(dec), F.col("vb").cast(dec)
+    mom = j.groupBy("series_a", "series_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(va).alias("sa"), F.sum(vb).alias("sb"),
+        F.sum(va * vb).alias("sab"),
+        F.sum(va * va).alias("saa"),
+        F.sum(vb * vb).alias("sbb"))
+    n = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    r = ((n * sab - sa * sb)
+         / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)))
+    scored = mom.where(F.col("n") >= 2).withColumn("r", r)
+    w = Window.partitionBy("series_a", "series_b").orderBy(
+        F.desc(F.floor(F.col("r") * 1e9 + F.lit(0.5))), F.asc("lag"))
+    out = scored.select(
+        "series_a", "series_b", F.col("lag").cast("int"),
+        F.col("n").alias("n_matched"), "r",
+        (F.row_number().over(w) == 1).alias("is_best_lag"))
+    return _round(out, {"r": 6})
