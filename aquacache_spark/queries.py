@@ -19553,3 +19553,97 @@ def station_lag_correlation_q(spark: SparkSession,
         F.col("n").alias("n_matched"), "r",
         (F.row_number().over(w) == 1).alias("is_best_lag"))
     return _round(out, {"r": 6})
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test: randomness screen on daily values around
+# the series median (persistence / regime detection). Median from
+# exact quantized ints (both engines interpolate midpoints
+# identically); exact-median days drop (the standard rule); runs =
+# 1 + sign changes via a lag window; mu/sigma closed form over exact
+# integer counts.
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(floor(o_totalprice * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS vq
+      FROM orders GROUP BY 1, 2
+    ), med AS (
+      SELECT series, quantile_cont(vq, 0.5) AS m FROM daily GROUP BY 1
+    ), signed AS (
+      SELECT d.series, d.d,
+             CASE WHEN d.vq > me.m THEN 1 ELSE -1 END AS s
+      FROM daily d JOIN med me USING (series)
+      WHERE CAST(d.vq AS DOUBLE) <> me.m
+    ), flips AS (
+      SELECT series, s,
+             CASE WHEN lag(s) OVER (PARTITION BY series ORDER BY d)
+                       IS DISTINCT FROM s THEN 1 ELSE 0 END AS flip
+      FROM signed
+    ), agg AS (
+      SELECT series,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(sum(flip) AS BIGINT) AS runs
+      FROM flips GROUP BY 1
+    ), stat AS (
+      SELECT series, n1, n2, runs,
+             CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1 AS mu,
+             sqrt(CAST(2 AS DOUBLE) * n1 * n2
+                  * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2)
+                  / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                     * (n1 + n2 - 1))) AS sigma
+      FROM agg WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+    )
+    SELECT series, n1, n2, runs, {mu} AS mu_runs,
+           {zz} AS z
+    FROM stat
+""".format(
+    mu=R("mu", 6),
+    zz=R("CASE WHEN sigma > 0 THEN (runs - mu) / sigma END", 6),
+)
+
+
+@register("runs_randomness_test", oracle=_RUNS_ORACLE)
+def runs_randomness_test_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs z per priority over daily totals."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")).alias("vq"))
+    med = daily.groupBy("series").agg(
+        F.expr("percentile(vq, 0.5)").alias("m"))
+    signed = (daily.join(med, "series")
+              .where(F.col("vq").cast("double") != F.col("m"))
+              .select("series", "d",
+                      F.when(F.col("vq") > F.col("m"), 1)
+                      .otherwise(-1).alias("s")))
+    w = Window.partitionBy("series").orderBy("d")
+    flips = signed.withColumn(
+        "flip",
+        (~F.lag("s").over(w).eqNullSafe(F.col("s"))).cast("int"))
+    agg = flips.groupBy("series").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("long")
+        .alias("n2"),
+        F.sum("flip").cast("long").alias("runs"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    sigma = F.sqrt(
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1)))
+    out = (agg.where((n1 > 0) & (n2 > 0) & (n1 + n2 > 1))
+           .withColumn("mu_runs", mu).withColumn("__sig", sigma)
+           .select("series", "n1", "n2", "runs", "mu_runs",
+                   F.when(F.col("__sig") > 0,
+                          (F.col("runs") - F.col("mu_runs"))
+                          / F.col("__sig")).alias("z")))
+    return _round(out, {"mu_runs": 6, "z": 6})
