@@ -569,9 +569,15 @@ def bilinear_sample(
              F.col("c.x").alias("x"), F.col("c.y").alias("y"),
              F.col("c.w").alias("w"))
     j = exploded.join(cells, ["x", "y"], "left")
+    # a missing corner whose weight is exactly 0 (point on the grid's
+    # max row/column: fx or fy == 0) contributes a well-defined 0 term
+    # and must NOT poison completeness — only missing corners with
+    # nonzero weight do.
+    term = F.coalesce(
+        F.col("w") * F.col("value"),
+        F.when(F.col("w") == 0, F.lit(0.0)))
     piv = j.groupBy(id_col, px_col, py_col).agg(*[
-        F.max(F.when(F.col("corner") == c,
-                     F.col("w") * F.col("value"))).alias(f"__t{c}")
+        F.max(F.when(F.col("corner") == c, term)).alias(f"__t{c}")
         for c in range(4)
     ])
     complete = (F.col("__t0").isNotNull() & F.col("__t1").isNotNull()

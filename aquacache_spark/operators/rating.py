@@ -99,14 +99,24 @@ def apply_rating_curves(
         F.filter(F.col("__pts"), lambda p: p["s"] > adj), F.lit(1))
     exact = lower.isNotNull() & (lower["s"] == adj)
     interpolable = lower.isNotNull() & upper.isNotNull()
+    # log-log needs strictly positive stage AND discharge at both
+    # bracketing points (zero-flow bottom points are common in rating
+    # tables); otherwise fall back to LINEAR interpolation so
+    # in_range=true never pairs with a NULL discharge. upper.s > adj
+    # >= lower.s, so lower.s > 0 & adj > 0 implies upper.s > 0.
+    loggable = ((lower["s"] > 0) & (adj > 0)
+                & (lower["d"] > 0) & (upper["d"] > 0))
     w = ((F.log(adj) - F.log(lower["s"]))
          / (F.log(upper["s"]) - F.log(lower["s"])))
     interp = F.exp(F.log(lower["d"])
                    + w * (F.log(upper["d"]) - F.log(lower["d"])))
+    wlin = (adj - lower["s"]) / (upper["s"] - lower["s"])
+    interp_lin = lower["d"] + wlin * (upper["d"] - lower["d"])
     discharge = (
         F.when(F.col("__pts").isNull(), F.lit(None).cast("double"))
         .when(exact, lower["d"])
-        .when(interpolable, interp)
+        .when(interpolable & loggable, interp)
+        .when(interpolable, interp_lin)
     )
     in_range = F.col("__pts").isNotNull() & (exact | interpolable)
     out = (

@@ -15801,7 +15801,7 @@ _TSMETA_FR_ORACLE = ("WITH " + _META_CTES + _META_TS_CTES
            t.sensor_priority AS "priorité_capteur",
            t.start_datetime AS "début", t.end_datetime AS fin, t.note,
            t.timeseries_type AS code_type_serie_temporelle,
-           tt.timeseries_type_name AS type_serie_temporelle,
+           tt.timeseries_type_name_fr AS type_serie_temporelle,
            tt.description_fr AS description_type_serie_temporelle,
            t.end_datetime AS dernier_nouvelles_donnees
     FROM ts t
@@ -15869,6 +15869,759 @@ def timeseries_metadata_fr_q(spark: SparkSession,
         "fréquence_enregistrement", "priorité_capteur", "début", "fin",
         "note", "code_type_serie_temporelle", "type_serie_temporelle",
         "description_type_serie_temporelle", "dernier_nouvelles_donnees")
+
+
+# ---------------------------------------------------------------------------
+# Discrete bilingual metadata views (operators/metadata.py):
+# discrete.samples_metadata_en/fr (patch_43.R:171-418) and
+# discrete.results_metadata_en/fr (patch_43.R:419-652), both preserved
+# verbatim by patch_52.R:338-470. Samples fact from orders, results
+# fact from lineitem; every dimension catalog-class and broadcast; the
+# project/network rollups resolve COALESCE(name_fr, name) in the fr
+# views and the LATERAL datum pick is ORDER BY conversion_id LIMIT 1
+# (min_by, exercised by locations carrying TWO current=true rows).
+# ---------------------------------------------------------------------------
+
+def _dmeta_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    """Discrete catalog + facts on top of _meta_fixture (mirrored by
+    _DMETA_CTES): dims from region/nation with PARTIAL French names
+    (NULLs exercise the fr views' COALESCE), samples from orders,
+    results from lineitem."""
+    fx = _meta_fixture(spark, sf_dir)
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    n = F.col("n_nationkey")
+    r = F.col("r_regionkey")
+    epoch = F.lit("2020-01-01").cast("date")
+
+    fx["parameters"] = fx["parameters"].withColumn(
+        "cas_number",
+        F.when(F.col("parameter_id") % 2 == 0,
+               F.concat(F.lit("50-00-"),
+                        F.col("parameter_id").cast("string"))))
+    fx["matrix_states"] = fx["matrix_states"].withColumns({
+        "matrix_state_name":
+            F.concat(F.lit("mstate "), F.col("matrix_state_code")),
+        "matrix_state_name_fr":
+            F.when(F.col("matrix_state_id") != 2,
+                   F.concat(F.lit("mstatefr "),
+                            F.col("matrix_state_code")))})
+    fx["sub_locations"] = nat.where(n < 7).select(
+        n.cast("long").alias("sub_location_id"),
+        F.concat(F.lit("sub "), F.col("n_name"))
+        .alias("sub_location_name"),
+        F.when(n % 2 != 0, F.concat(F.lit("subfr "), F.col("n_name")))
+        .alias("sub_location_name_fr"),
+        (F.lit(60.0) + n.cast("double") / 10.0).alias("latitude"),
+        (F.lit(-130.0) - n.cast("double") / 10.0).alias("longitude"))
+    fx["collection_methods"] = reg.where(r < 3).select(
+        r.cast("long").alias("collection_method_id"),
+        F.concat(F.lit("cm "), F.col("r_name")).alias("collection_method"))
+    fx["sample_types"] = reg.where(r < 4).select(
+        r.cast("long").alias("sample_type_id"),
+        F.concat(F.lit("stype "), F.col("r_name")).alias("sample_type"),
+        F.when(r != 1, F.concat(F.lit("stypefr "), F.col("r_name")))
+        .alias("sample_type_fr"))
+    fx["grade_types"] = reg.select(
+        r.cast("long").alias("grade_type_id"),
+        F.concat(F.lit("G"), r.cast("string")).alias("grade_type_code"),
+        F.concat(F.lit("grade "), F.col("r_name"))
+        .alias("grade_type_description"),
+        F.concat(F.lit("gradefr "), F.col("r_name"))
+        .alias("grade_type_description_fr"))
+    fx["approval_types"] = reg.select(
+        r.cast("long").alias("approval_type_id"),
+        F.concat(F.lit("A"), r.cast("string")).alias("approval_type_code"),
+        F.concat(F.lit("appr "), F.col("r_name"))
+        .alias("approval_type_description"),
+        F.concat(F.lit("apprfr "), F.col("r_name"))
+        .alias("approval_type_description_fr"))
+    fx["qualifier_types"] = reg.select(
+        r.cast("long").alias("qualifier_type_id"),
+        F.concat(F.lit("Q"), r.cast("string"))
+        .alias("qualifier_type_code"),
+        F.concat(F.lit("qual "), F.col("r_name"))
+        .alias("qualifier_type_description"),
+        F.concat(F.lit("qualfr "), F.col("r_name"))
+        .alias("qualifier_type_description_fr"))
+    fx["organizations"] = nat.select(
+        n.cast("long").alias("organization_id"),
+        F.concat(F.lit("org "), F.col("n_name")).alias("name"),
+        F.when(n % 3 != 0, F.concat(F.lit("orgfr "), F.col("n_name")))
+        .alias("name_fr"))
+    # TWO current=true conversions for location_id % 6 == 0 — the
+    # ORDER BY conversion_id LIMIT 1 pick must take the even id
+    loc_ids = fx["locations"].select("location_id") \
+        .where(F.col("location_id") % 3 != 1)
+    li = F.col("location_id")
+    dc1 = loc_ids.select(
+        "location_id", (li * 2).alias("conversion_id"),
+        ((li % 97).cast("double") + 0.5).alias("conversion_m"),
+        F.lit(True).alias("current"))
+    dc2 = loc_ids.select(
+        "location_id", (li * 2 + 1).alias("conversion_id"),
+        ((li % 97).cast("double") + 50.5).alias("conversion_m"),
+        (li % 6 == 0).alias("current"))
+    fx["datum_conversions_d"] = dc1.unionByName(dc2)
+
+    fx["sample_fractions"] = reg.select(
+        r.cast("long").alias("sample_fraction_id"),
+        F.concat(F.lit("frac "), F.col("r_name")).alias("sample_fraction"))
+    fx["result_types"] = reg.where(r < 4).select(
+        r.cast("long").alias("result_type_id"),
+        F.concat(F.lit("rtype "), F.col("r_name")).alias("result_type"))
+    fx["result_conditions"] = reg.where(r < 3).select(
+        r.cast("long").alias("result_condition_id"),
+        F.concat(F.lit("rcond "), F.col("r_name"))
+        .alias("result_condition"))
+    fx["result_value_types"] = reg.where(r < 3).select(
+        r.cast("long").alias("result_value_type_id"),
+        F.concat(F.lit("rvt "), F.col("r_name"))
+        .alias("result_value_type"))
+    fx["result_speciations"] = reg.where(r < 4).select(
+        r.cast("long").alias("result_speciation_id"),
+        F.concat(F.lit("rspec "), F.col("r_name"))
+        .alias("result_speciation"))
+    fx["protocols_methods"] = nat.where(n < 6).select(
+        n.cast("long").alias("protocol_id"),
+        F.concat(F.lit("proto "), F.col("n_name")).alias("protocol_name"),
+        F.concat(F.lit("protodesc "), F.col("n_name"))
+        .alias("protocol_description"),
+        F.concat(F.lit("https://example.org/p/"), n.cast("string"))
+        .alias("url"))
+    fx["laboratories"] = nat.where(n < 8).select(
+        n.cast("long").alias("lab_id"),
+        F.concat(F.lit("lab "), F.col("n_name")).alias("lab_name"))
+
+    o = F.col("o_orderkey")
+    fx["samples"] = _t(spark, sf_dir, "orders").select(
+        o.alias("sample_id"),
+        (o % 10).alias("location_id"),
+        F.when(o % 3 == 0, o % 7).alias("sub_location_id"),
+        (o % 4).alias("media_id"),
+        ((o % 50).cast("double") / 10.0).alias("z"),
+        F.to_timestamp(F.date_add(epoch, (o % 1000).cast("int")))
+        .alias("datetime"),
+        F.when(o % 5 == 0, F.to_timestamp(
+            F.date_add(epoch, (o % 1000 + 1).cast("int"))))
+        .alias("target_datetime"),
+        (o % 3).alias("collection_method"),
+        (o % 4).alias("sample_type"),
+        F.when(o % 11 == 0, o + 1).alias("linked_with"),
+        F.when(o % 2 == 0, (o % 90).cast("double") * 10.0)
+        .alias("sample_volume_ml"),
+        F.when(o % 3 == 1, (o % 17).cast("double") / 2.0)
+        .alias("purge_volume_l"),
+        F.when(o % 4 == 2, (o % 30).cast("double"))
+        .alias("purge_time_min"),
+        F.when(o % 5 == 3, (o % 12).cast("double") / 4.0)
+        .alias("flow_rate_l_min"),
+        F.when(o % 7 == 4, (o % 9).cast("double") / 10.0)
+        .alias("wave_hgt_m"),
+        (o % 5).alias("sample_grade"),
+        ((o + 1) % 5).alias("sample_approval"),
+        F.when(o % 6 != 0, (o + 2) % 5).alias("sample_qualifier"),
+        (o % 25).alias("owner"),
+        ((o + 3) % 25).alias("contributor"),
+        F.when(o % 2 == 0, (o + 5) % 25).alias("comissioning_org"),
+        ((o + 7) % 25).alias("sampling_org"),
+        F.when(o % 6 == 0, o * 2).alias("field_visit_id"),
+        F.when(o % 9 == 0, o % 5).alias("data_sharing_agreement_id"),
+        F.when(o % 8 == 0, F.concat(F.lit("doc-"), o.cast("string")))
+        .alias("documents"),
+        F.when(o % 2 == 0, F.lit("EQWin")).alias("import_source"),
+        F.when(o % 2 == 0, F.concat(F.lit("EQ-"), o.cast("string")))
+        .alias("import_source_id"),
+        (o % 13 == 0).alias("no_update"),
+        F.when(o % 10 == 0, F.concat(F.lit("s note "), o.cast("string")))
+        .alias("note"),
+        F.when(o % 2 == 0, F.lit("public_reader"))
+        .otherwise(F.lit("yg_reader")).alias("share_with"),
+        F.when(o % 15 == 0, F.to_timestamp(F.date_add(epoch, 1200)))
+        .alias("private_expiry"),
+        F.to_timestamp(F.date_add(epoch, (o % 400).cast("int")))
+        .alias("created"),
+        F.concat(F.lit("user"), (o % 7).cast("string")).alias("created_by"),
+        F.when(o % 4 == 0, F.to_timestamp(
+            F.date_add(epoch, (o % 400 + 30).cast("int"))))
+        .alias("modified"),
+        F.when(o % 4 == 0, F.concat(F.lit("user"), (o % 5).cast("string")))
+        .alias("modified_by"),
+    )
+    k = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    fx["results"] = _t(spark, sf_dir, "lineitem").select(
+        k.alias("result_id"),
+        F.col("l_orderkey").alias("sample_id"),
+        (F.col("l_partkey") % 25).alias("parameter_id"),
+        (F.col("l_suppkey") % 4 + 1).alias("matrix_state_id"),
+        F.when(k % 3 != 0, k % 5).alias("sample_fraction_id"),
+        (k % 4).alias("result_type"),
+        F.col("l_quantity").cast("double").alias("result"),
+        F.when(k % 7 == 0, k % 3).alias("result_condition"),
+        F.when(k % 7 == 0, (k % 50).cast("double") / 10.0)
+        .alias("result_condition_value"),
+        (k % 3).alias("result_value_type"),
+        F.when(k % 5 == 0, k % 4).alias("result_speciation_id"),
+        F.when(k % 4 != 2, k % 6).alias("protocol_method"),
+        F.when(k % 4 != 1, k % 8).alias("laboratory"),
+        F.to_timestamp(F.date_add(epoch, (k % 900).cast("int")))
+        .alias("analysis_datetime"),
+        (k % 17 == 0).alias("no_update"),
+        F.when(k % 2 == 0, F.lit("public_reader"))
+        .otherwise(F.lit("yg_reader")).alias("share_with"),
+        F.when(k % 21 == 0,
+               F.lit("2023-06-01 00:00:00").cast("timestamp"))
+        .alias("private_expiry"),
+        F.to_timestamp(F.date_add(epoch, (k % 500).cast("int")))
+        .alias("created"),
+        F.concat(F.lit("user"), (k % 7).cast("string")).alias("created_by"),
+        F.when(k % 4 == 0, F.to_timestamp(
+            F.date_add(epoch, (k % 500 + 30).cast("int"))))
+        .alias("modified"),
+        F.when(k % 4 == 0, F.concat(F.lit("user"), (k % 5).cast("string")))
+        .alias("modified_by"),
+    )
+    return fx
+
+
+_DMETA_CTES = """
+    , params_d AS (
+      SELECT *, CASE WHEN parameter_id % 2 = 0
+                     THEN '50-00-' || CAST(parameter_id AS VARCHAR)
+                END AS cas_number
+      FROM params
+    ), mstates_d AS (
+      SELECT *, 'mstate ' || matrix_state_code AS matrix_state_name,
+             CASE WHEN matrix_state_id != 2
+                  THEN 'mstatefr ' || matrix_state_code
+             END AS matrix_state_name_fr
+      FROM mstates
+    ), sublocs AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS sub_location_id,
+             'sub ' || n_name AS sub_location_name,
+             CASE WHEN n_nationkey % 2 != 0
+                  THEN 'subfr ' || n_name END AS sub_location_name_fr,
+             CAST(60 AS DOUBLE) + CAST(n_nationkey AS DOUBLE)
+               / CAST(10 AS DOUBLE) AS sub_lat,
+             CAST(-130 AS DOUBLE) - CAST(n_nationkey AS DOUBLE)
+               / CAST(10 AS DOUBLE) AS sub_lon
+      FROM nation WHERE n_nationkey < 7
+    ), cmeths AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS collection_method_id,
+             'cm ' || r_name AS collection_method
+      FROM region WHERE r_regionkey < 3
+    ), stypes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS sample_type_id,
+             'stype ' || r_name AS sample_type,
+             CASE WHEN r_regionkey != 1
+                  THEN 'stypefr ' || r_name END AS sample_type_fr
+      FROM region WHERE r_regionkey < 4
+    ), gtypes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS grade_type_id,
+             'G' || CAST(r_regionkey AS VARCHAR) AS grade_type_code,
+             'grade ' || r_name AS grade_type_description,
+             'gradefr ' || r_name AS grade_type_description_fr
+      FROM region
+    ), atypes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS approval_type_id,
+             'A' || CAST(r_regionkey AS VARCHAR) AS approval_type_code,
+             'appr ' || r_name AS approval_type_description,
+             'apprfr ' || r_name AS approval_type_description_fr
+      FROM region
+    ), qtypes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS qualifier_type_id,
+             'Q' || CAST(r_regionkey AS VARCHAR) AS qualifier_type_code,
+             'qual ' || r_name AS qualifier_type_description,
+             'qualfr ' || r_name AS qualifier_type_description_fr
+      FROM region
+    ), orgs AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS organization_id,
+             'org ' || n_name AS oname,
+             CASE WHEN n_nationkey % 3 != 0
+                  THEN 'orgfr ' || n_name END AS oname_fr
+      FROM nation
+    ), dconv2 AS (
+      SELECT location_id, location_id * 2 AS conversion_id,
+             CAST(location_id % 97 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+               AS conversion_m, TRUE AS cur
+      FROM locs WHERE location_id % 3 != 1
+      UNION ALL
+      SELECT location_id, location_id * 2 + 1,
+             CAST(location_id % 97 AS DOUBLE) + CAST(50.5 AS DOUBLE),
+             location_id % 6 = 0
+      FROM locs WHERE location_id % 3 != 1
+    ), dpick AS (
+      SELECT location_id, arg_min(conversion_m, conversion_id)
+               AS conversion_m
+      FROM dconv2 WHERE cur GROUP BY 1
+    ), fracs AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS sample_fraction_id,
+             'frac ' || r_name AS sample_fraction FROM region
+    ), rtypes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS result_type_id,
+             'rtype ' || r_name AS result_type
+      FROM region WHERE r_regionkey < 4
+    ), rconds AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS result_condition_id,
+             'rcond ' || r_name AS result_condition
+      FROM region WHERE r_regionkey < 3
+    ), rvtypes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS result_value_type_id,
+             'rvt ' || r_name AS result_value_type
+      FROM region WHERE r_regionkey < 3
+    ), rspecs AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS result_speciation_id,
+             'rspec ' || r_name AS result_speciation
+      FROM region WHERE r_regionkey < 4
+    ), protos AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS protocol_id,
+             'proto ' || n_name AS protocol_name,
+             'protodesc ' || n_name AS protocol_description,
+             'https://example.org/p/' || CAST(n_nationkey AS VARCHAR)
+               AS url
+      FROM nation WHERE n_nationkey < 6
+    ), labs AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS lab_id,
+             'lab ' || n_name AS lab_name
+      FROM nation WHERE n_nationkey < 8
+    ), smp AS (
+      SELECT o_orderkey AS sample_id,
+             o_orderkey % 10 AS location_id,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 7 END
+               AS sub_location_id,
+             o_orderkey % 4 AS media_id,
+             CAST(o_orderkey % 50 AS DOUBLE) / CAST(10 AS DOUBLE) AS z,
+             CAST(DATE '2020-01-01'
+                  + CAST(o_orderkey % 1000 AS INTEGER) AS TIMESTAMP)
+               AS datetime,
+             CASE WHEN o_orderkey % 5 = 0 THEN
+               CAST(DATE '2020-01-01'
+                    + CAST(o_orderkey % 1000 + 1 AS INTEGER) AS TIMESTAMP)
+             END AS target_datetime,
+             o_orderkey % 3 AS collection_method,
+             o_orderkey % 4 AS sample_type,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_orderkey + 1 END
+               AS linked_with,
+             CASE WHEN o_orderkey % 2 = 0 THEN
+               CAST(o_orderkey % 90 AS DOUBLE) * CAST(10 AS DOUBLE)
+             END AS sample_volume_ml,
+             CASE WHEN o_orderkey % 3 = 1 THEN
+               CAST(o_orderkey % 17 AS DOUBLE) / CAST(2 AS DOUBLE)
+             END AS purge_volume_l,
+             CASE WHEN o_orderkey % 4 = 2 THEN
+               CAST(o_orderkey % 30 AS DOUBLE)
+             END AS purge_time_min,
+             CASE WHEN o_orderkey % 5 = 3 THEN
+               CAST(o_orderkey % 12 AS DOUBLE) / CAST(4 AS DOUBLE)
+             END AS flow_rate_l_min,
+             CASE WHEN o_orderkey % 7 = 4 THEN
+               CAST(o_orderkey % 9 AS DOUBLE) / CAST(10 AS DOUBLE)
+             END AS wave_hgt_m,
+             o_orderkey % 5 AS sample_grade,
+             (o_orderkey + 1) % 5 AS sample_approval,
+             CASE WHEN o_orderkey % 6 != 0 THEN (o_orderkey + 2) % 5 END
+               AS sample_qualifier,
+             o_orderkey % 25 AS owner,
+             (o_orderkey + 3) % 25 AS contributor,
+             CASE WHEN o_orderkey % 2 = 0 THEN (o_orderkey + 5) % 25 END
+               AS comissioning_org,
+             (o_orderkey + 7) % 25 AS sampling_org,
+             CASE WHEN o_orderkey % 6 = 0 THEN o_orderkey * 2 END
+               AS field_visit_id,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_orderkey % 5 END
+               AS data_sharing_agreement_id,
+             CASE WHEN o_orderkey % 8 = 0
+                  THEN 'doc-' || CAST(o_orderkey AS VARCHAR)
+             END AS documents,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'EQWin' END
+               AS import_source,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN 'EQ-' || CAST(o_orderkey AS VARCHAR)
+             END AS import_source_id,
+             o_orderkey % 13 = 0 AS no_update,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN 's note ' || CAST(o_orderkey AS VARCHAR)
+             END AS note,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'public_reader'
+                  ELSE 'yg_reader' END AS share_with,
+             CASE WHEN o_orderkey % 15 = 0 THEN
+               CAST(DATE '2020-01-01' + 1200 AS TIMESTAMP)
+             END AS private_expiry,
+             CAST(DATE '2020-01-01'
+                  + CAST(o_orderkey % 400 AS INTEGER) AS TIMESTAMP)
+               AS created,
+             'user' || CAST(o_orderkey % 7 AS VARCHAR) AS created_by,
+             CASE WHEN o_orderkey % 4 = 0 THEN
+               CAST(DATE '2020-01-01'
+                    + CAST(o_orderkey % 400 + 30 AS INTEGER) AS TIMESTAMP)
+             END AS modified,
+             CASE WHEN o_orderkey % 4 = 0
+                  THEN 'user' || CAST(o_orderkey % 5 AS VARCHAR)
+             END AS modified_by
+      FROM orders
+    ), res AS (
+      SELECT l_orderkey * 8 + l_linenumber AS result_id,
+             l_orderkey AS sample_id,
+             l_partkey % 25 AS parameter_id,
+             l_suppkey % 4 + 1 AS matrix_state_id,
+             CASE WHEN k % 3 != 0 THEN k % 5 END AS sample_fraction_id,
+             k % 4 AS result_type,
+             CAST(l_quantity AS DOUBLE) AS result,
+             CASE WHEN k % 7 = 0 THEN k % 3 END AS result_condition,
+             CASE WHEN k % 7 = 0 THEN
+               CAST(k % 50 AS DOUBLE) / CAST(10 AS DOUBLE)
+             END AS result_condition_value,
+             k % 3 AS result_value_type,
+             CASE WHEN k % 5 = 0 THEN k % 4 END AS result_speciation_id,
+             CASE WHEN k % 4 != 2 THEN k % 6 END AS protocol_method,
+             CASE WHEN k % 4 != 1 THEN k % 8 END AS laboratory,
+             CAST(DATE '2020-01-01' + CAST(k % 900 AS INTEGER)
+                  AS TIMESTAMP) AS analysis_datetime,
+             k % 17 = 0 AS no_update,
+             CASE WHEN k % 2 = 0 THEN 'public_reader'
+                  ELSE 'yg_reader' END AS share_with,
+             CASE WHEN k % 21 = 0 THEN TIMESTAMP '2023-06-01 00:00:00'
+             END AS private_expiry,
+             CAST(DATE '2020-01-01' + CAST(k % 500 AS INTEGER)
+                  AS TIMESTAMP) AS created,
+             'user' || CAST(k % 7 AS VARCHAR) AS created_by,
+             CASE WHEN k % 4 = 0 THEN
+               CAST(DATE '2020-01-01' + CAST(k % 500 + 30 AS INTEGER)
+                    AS TIMESTAMP)
+             END AS modified,
+             CASE WHEN k % 4 = 0
+                  THEN 'user' || CAST(k % 5 AS VARCHAR)
+             END AS modified_by
+      FROM (SELECT *, l_orderkey * 8 + l_linenumber AS k FROM lineitem)
+    )"""
+
+
+def _dmeta_sample_cols(lang: str) -> str:
+    """The samples_metadata_{en,fr} SELECT list (patch_43.R order)."""
+    en = lang == "en"
+
+    def co(fr, e):
+        return e if en else f"COALESCE({fr}, {e})"
+
+    q = '"'
+    cols = [
+        "s.sample_id", "s.location_id", "l.location_code",
+        f"{co('l.name_fr', 'l.name')} AS "
+        + ("location_name" if en else "nom_endroit"),
+        "l.alias AS " + ("alias_name" if en else "nom_alias"),
+        "l.latitude", "l.longitude",
+        "dp.conversion_m AS "
+        + ("location_elevation" if en else f'{q}élévation_endroit{q}'),
+        "COALESCE(pr.projects, '') AS "
+        + ("projects" if en else "projets"),
+        "COALESCE(nr.networks, '') AS "
+        + ("networks" if en else f"{q}réseaux{q}"),
+        "s.sub_location_id",
+        f"{co('sl.sub_location_name_fr', 'sl.sub_location_name')} AS "
+        + ("sub_location_name" if en else "nom_sous_endroit"),
+        "sl.sub_lat AS " + ("sub_location_latitude" if en
+                            else "latitude_sous_endroit"),
+        "sl.sub_lon AS " + ("sub_location_longitude" if en
+                            else "longitude_sous_endroit"),
+        "s.media_id",
+        f"{co('mt.media_type_fr', 'mt.media_type')} AS "
+        + ("media_type" if en else f"{q}type_de_média{q}"),
+        "s.z AS " + ("depth_height_m" if en else "profondeur_hauteur_m"),
+        "s.datetime",
+        "s.target_datetime AS " + ("target_datetime" if en
+                                   else "datetime_cible"),
+        "s.collection_method AS collection_method_id",
+        "cm.collection_method AS "
+        + ("collection_method" if en else f"{q}méthode_collecte{q}"),
+        "s.sample_type AS sample_type_id",
+        f"{co('st.sample_type_fr', 'st.sample_type')} AS "
+        + ("sample_type" if en else f"{q}type_échantillon{q}"),
+        "s.linked_with AS linked_sample_id",
+        "s.sample_volume_ml AS "
+        + ("sample_volume_ml" if en else f"{q}volume_échantillon_ml{q}"),
+        "s.purge_volume_l AS "
+        + ("purge_volume_l" if en else "volume_purge_l"),
+        "s.purge_time_min AS "
+        + ("purge_time_min" if en else f"{q}durée_purge_min{q}"),
+        "s.flow_rate_l_min AS "
+        + ("flow_rate_l_min" if en else f"{q}débit_l_min{q}"),
+        "s.wave_hgt_m AS " + ("wave_hgt_m" if en else "hauteur_vague_m"),
+        "s.sample_grade AS sample_grade_id",
+        "gt.grade_type_code AS "
+        + ("sample_grade_code" if en else f"{q}code_grade_échantillon{q}"),
+        ("gt.grade_type_description" if en
+         else "gt.grade_type_description_fr") + " AS "
+        + ("sample_grade_description" if en
+           else f"{q}description_grade_échantillon{q}"),
+        "s.sample_approval AS sample_approval_id",
+        "at2.approval_type_code AS "
+        + ("sample_approval_code" if en
+           else f"{q}code_approbation_échantillon{q}"),
+        ("at2.approval_type_description" if en
+         else "at2.approval_type_description_fr") + " AS "
+        + ("sample_approval_description" if en
+           else f"{q}description_approbation_échantillon{q}"),
+        "s.sample_qualifier AS sample_qualifier_id",
+        "qt.qualifier_type_code AS "
+        + ("sample_qualifier_code" if en
+           else f"{q}code_qualificatif_échantillon{q}"),
+        ("qt.qualifier_type_description" if en
+         else "qt.qualifier_type_description_fr") + " AS "
+        + ("sample_qualifier_description" if en
+           else f"{q}description_qualificatif_échantillon{q}"),
+        "s.owner AS owner_id",
+        f"{co('o1.oname_fr', 'o1.oname')} AS "
+        + ("owner_name" if en else f"{q}propriétaire{q}"),
+        "s.contributor AS contributor_id",
+        f"{co('o2.oname_fr', 'o2.oname')} AS "
+        + ("contributor_name" if en else "contributeur"),
+        "s.comissioning_org AS commissioning_org_id",
+        f"{co('o3.oname_fr', 'o3.oname')} AS "
+        + ("commissioning_org_name" if en else "organisme_mise_service"),
+        "s.sampling_org AS sampling_org_id",
+        f"{co('o4.oname_fr', 'o4.oname')} AS "
+        + ("sampling_org_name" if en
+           else f"{q}organisme_échantillonnage{q}"),
+        "s.field_visit_id", "s.data_sharing_agreement_id", "s.documents",
+        "s.import_source", "s.import_source_id", "s.no_update", "s.note",
+        "s.share_with", "s.private_expiry", "s.created", "s.created_by",
+        "s.modified", "s.modified_by",
+    ]
+    return ",\n           ".join(cols)
+
+
+_DMETA_SAMPLE_JOINS = """
+    FROM smp s
+    JOIN locs l USING (location_id)
+    LEFT JOIN sublocs sl USING (sub_location_id)
+    LEFT JOIN mtypes mt USING (media_id)
+    LEFT JOIN cmeths cm ON s.collection_method = cm.collection_method_id
+    LEFT JOIN stypes st ON s.sample_type = st.sample_type_id
+    LEFT JOIN gtypes gt ON s.sample_grade = gt.grade_type_id
+    LEFT JOIN atypes at2 ON s.sample_approval = at2.approval_type_id
+    LEFT JOIN qtypes qt ON s.sample_qualifier = qt.qualifier_type_id
+    LEFT JOIN orgs o1 ON s.owner = o1.organization_id
+    LEFT JOIN orgs o2 ON s.contributor = o2.organization_id
+    LEFT JOIN orgs o3 ON s.comissioning_org = o3.organization_id
+    LEFT JOIN orgs o4 ON s.sampling_org = o4.organization_id
+    LEFT JOIN dpick dp USING (location_id)
+    LEFT JOIN proj_roll pr USING (location_id)
+    LEFT JOIN net_roll nr USING (location_id)
+"""
+
+
+def _dmeta_oracle_samples(lang: str) -> str:
+    return ("WITH " + _META_CTES + _META_TS_CTES + _DMETA_CTES
+            + _meta_rollup_ctes(lang)
+            + "\n    SELECT " + _dmeta_sample_cols(lang)
+            + _DMETA_SAMPLE_JOINS)
+
+
+def _dmeta_oracle_results(lang: str) -> str:
+    en = lang == "en"
+
+    def co(fr, e):
+        return e if en else f"COALESCE({fr}, {e})"
+
+    q = '"'
+    sm_pass = [
+        "sm.location_id", "sm.location_code",
+        "sm." + ("location_name" if en else "nom_endroit"),
+        "sm." + ("alias_name" if en else "nom_alias"),
+        "sm.latitude", "sm.longitude",
+        "sm." + ("location_elevation" if en
+                 else f"{q}élévation_endroit{q}"),
+        "sm." + ("projects" if en else "projets"),
+        "sm." + ("networks" if en else f"{q}réseaux{q}"),
+        "sm.sub_location_id",
+        "sm." + ("sub_location_name" if en else "nom_sous_endroit"),
+        "sm." + ("sub_location_latitude" if en
+                 else "latitude_sous_endroit"),
+        "sm." + ("sub_location_longitude" if en
+                 else "longitude_sous_endroit"),
+        "sm.media_id",
+        "sm." + ("media_type" if en else f"{q}type_de_média{q}"),
+        "sm." + ("depth_height_m" if en else "profondeur_hauteur_m"),
+        "sm.datetime",
+        "sm." + ("target_datetime" if en else "datetime_cible"),
+        "sm.collection_method_id",
+        "sm." + ("collection_method" if en else f"{q}méthode_collecte{q}"),
+        "sm.sample_type_id",
+        "sm." + ("sample_type" if en else f"{q}type_échantillon{q}"),
+        "sm.sample_grade_id",
+        "sm." + ("sample_grade_code" if en
+                 else f"{q}code_grade_échantillon{q}"),
+        "sm." + ("sample_grade_description" if en
+                 else f"{q}description_grade_échantillon{q}"),
+        "sm.sample_approval_id",
+        "sm." + ("sample_approval_code" if en
+                 else f"{q}code_approbation_échantillon{q}"),
+        "sm." + ("sample_approval_description" if en
+                 else f"{q}description_approbation_échantillon{q}"),
+        "sm.sample_qualifier_id",
+        "sm." + ("sample_qualifier_code" if en
+                 else f"{q}code_qualificatif_échantillon{q}"),
+        "sm." + ("sample_qualifier_description" if en
+                 else f"{q}description_qualificatif_échantillon{q}"),
+        "sm.owner_id AS sample_owner_id",
+        ("sm.owner_name AS sample_owner_name" if en
+         else f"sm.{q}propriétaire{q} AS {q}propriétaire_échantillon{q}"),
+        "sm.contributor_id AS sample_contributor_id",
+        ("sm.contributor_name AS sample_contributor_name" if en
+         else f"sm.contributeur AS {q}contributeur_échantillon{q}"),
+        "sm.import_source AS " + ("sample_import_source" if en
+                                  else
+                                  f"{q}source_importation_échantillon{q}"),
+        "sm.import_source_id AS "
+        + ("sample_import_source_id" if en
+           else f"{q}id_source_importation_échantillon{q}"),
+        "sm.note AS " + ("sample_note" if en
+                         else f"{q}note_échantillon{q}"),
+    ]
+    tail = [
+        "r.parameter_id",
+        f"{co('p.param_name_fr', 'p.param_name')} AS "
+        + ("parameter_name" if en else f"{q}nom_paramètre{q}"),
+        "p.cas_number",
+        "r.matrix_state_id", "ms.matrix_state_code",
+        f"{co('ms.matrix_state_name_fr', 'ms.matrix_state_name')} AS "
+        + ("matrix_state_name" if en else f"{q}état_matrice{q}"),
+        "u.unit_name AS " + ("units" if en else f"{q}unités{q}"),
+        "r.sample_fraction_id",
+        "sf.sample_fraction AS "
+        + ("sample_fraction" if en else f"{q}fraction_échantillon{q}"),
+        "r.result_type AS result_type_id",
+        "rt.result_type AS " + ("result_type" if en
+                                else f"{q}type_résultat{q}"),
+        "r.result AS " + ("result" if en else f"{q}résultat{q}"),
+        "r.result_condition AS result_condition_id",
+        "rc.result_condition AS "
+        + ("result_condition" if en else f"{q}condition_résultat{q}"),
+        "r.result_condition_value AS "
+        + ("result_condition_value" if en
+           else f"{q}valeur_condition_résultat{q}"),
+        "r.result_value_type AS result_value_type_id",
+        "rvt.result_value_type AS "
+        + ("result_value_type" if en else f"{q}type_valeur_résultat{q}"),
+        "r.result_speciation_id",
+        "rs.result_speciation AS "
+        + ("result_speciation" if en else f"{q}spéciation_résultat{q}"),
+        "r.protocol_method AS protocol_method_id",
+        "pm.protocol_name AS "
+        + ("protocol_method" if en else f"{q}méthode_protocole{q}"),
+        "pm.protocol_description AS "
+        + ("protocol_description" if en else f"{q}description_protocole{q}"),
+        "pm.url AS " + ("protocol_url" if en else "url_protocole"),
+        "r.laboratory AS lab_id",
+        "lab.lab_name AS " + ("lab_name" if en else "nom_laboratoire"),
+        "r.analysis_datetime AS "
+        + ("analysis_datetime" if en else "datetime_analyse"),
+        "sm.no_update AS " + ("sample_no_update" if en
+                              else f"{q}no_update_échantillon{q}"),
+        "r.no_update AS " + ("result_no_update" if en
+                             else f"{q}no_update_résultat{q}"),
+        "sm.share_with AS " + ("sample_share_with" if en
+                               else f"{q}share_with_échantillon{q}"),
+        "r.share_with AS " + ("result_share_with" if en
+                              else f"{q}share_with_résultat{q}"),
+        "sm.private_expiry AS "
+        + ("sample_private_expiry" if en
+           else f"{q}private_expiry_échantillon{q}"),
+        "r.private_expiry AS "
+        + ("result_private_expiry" if en
+           else f"{q}private_expiry_résultat{q}"),
+        "r.created", "r.created_by", "r.modified", "r.modified_by",
+    ]
+    return ("WITH " + _META_CTES + _META_TS_CTES + _DMETA_CTES
+            + _meta_rollup_ctes(lang)
+            + ", smeta AS (\n    SELECT " + _dmeta_sample_cols(lang)
+            + _DMETA_SAMPLE_JOINS + ")"
+            + "\n    SELECT r.result_id, r.sample_id,\n           "
+            + ",\n           ".join(sm_pass + tail) + """
+    FROM res r
+    JOIN smeta sm USING (sample_id)
+    LEFT JOIN params_d p USING (parameter_id)
+    LEFT JOIN mstates_d ms USING (matrix_state_id)
+    LEFT JOIN unit_map um USING (parameter_id, matrix_state_id)
+    LEFT JOIN unitst u ON um.unit_id = u.unit_id
+    LEFT JOIN fracs sf USING (sample_fraction_id)
+    LEFT JOIN rtypes rt ON r.result_type = rt.result_type_id
+    LEFT JOIN rconds rc ON r.result_condition = rc.result_condition_id
+    LEFT JOIN rvtypes rvt
+      ON r.result_value_type = rvt.result_value_type_id
+    LEFT JOIN rspecs rs USING (result_speciation_id)
+    LEFT JOIN protos pm ON r.protocol_method = pm.protocol_id
+    LEFT JOIN labs lab ON r.laboratory = lab.lab_id
+""")
+
+
+def _samples_meta(spark: SparkSession, sf_dir: str, lang: str) -> DataFrame:
+    from .operators.metadata import samples_metadata
+
+    fx = _dmeta_fixture(spark, sf_dir)
+    return samples_metadata(
+        fx["samples"], fx["locations"], fx["sub_locations"],
+        fx["media_types"], fx["collection_methods"], fx["sample_types"],
+        fx["grade_types"], fx["approval_types"], fx["qualifier_types"],
+        fx["organizations"], fx["datum_conversions_d"],
+        fx["locations_projects"], fx["projects"],
+        fx["locations_networks"], fx["networks"], lang=lang)
+
+
+def _results_meta(spark: SparkSession, sf_dir: str, lang: str) -> DataFrame:
+    from .operators.metadata import results_metadata
+
+    fx = _dmeta_fixture(spark, sf_dir)
+    sm = _samples_meta(spark, sf_dir, lang)
+    return results_metadata(
+        fx["results"], sm, fx["parameters"], fx["matrix_states"],
+        fx["units"], fx["sample_fractions"], fx["result_types"],
+        fx["result_conditions"], fx["result_value_types"],
+        fx["result_speciations"], fx["protocols_methods"],
+        fx["laboratories"], lang=lang)
+
+
+def _join_arrays(df: DataFrame, cols: tuple) -> DataFrame:
+    """Render the rollup arrays as sorted CSV strings (both engines
+    sort, so the driver's value hash is order-insensitive)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.array_join(F.col(f"`{c}`"), ","))
+    return out
+
+
+@register("samples_metadata_read", oracle=_dmeta_oracle_samples("en"))
+def samples_metadata_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """discrete.samples_metadata_en (patch_43.R:171-293): the samples
+    star with first-current datum elevation and project/network
+    rollups."""
+    return _join_arrays(_samples_meta(spark, sf_dir, "en"),
+                        ("projects", "networks"))
+
+
+@register("samples_metadata_fr", oracle=_dmeta_oracle_samples("fr"))
+def samples_metadata_fr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """discrete.samples_metadata_fr (patch_43.R:294-418): the French
+    twin — every bilingual dimension resolved COALESCE(x_fr, x), with
+    NULL _fr fixture rows exercising the fallback."""
+    return _join_arrays(_samples_meta(spark, sf_dir, "fr"),
+                        ("projets", "réseaux"))
+
+
+@register("results_metadata_read", oracle=_dmeta_oracle_results("en"))
+def results_metadata_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """discrete.results_metadata_en (patch_43.R:419-528): results JOIN
+    samples_metadata_en + result-side dims + get_parameter_unit_name
+    units."""
+    return _join_arrays(_results_meta(spark, sf_dir, "en"),
+                        ("projects", "networks"))
+
+
+@register("results_metadata_fr", oracle=_dmeta_oracle_results("fr"))
+def results_metadata_fr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """discrete.results_metadata_fr (patch_43.R:529-652)."""
+    return _join_arrays(_results_meta(spark, sf_dir, "fr"),
+                        ("projets", "réseaux"))
 
 
 # ---------------------------------------------------------------------------
@@ -18106,7 +18859,9 @@ _BILINEAR_ORACLE = f"""
              END AS w
       FROM pts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS corner) c
     ), joined AS (
-      SELECT k.station_id, k.px, k.py, k.corner, k.w * cells.value AS t
+      SELECT k.station_id, k.px, k.py, k.corner,
+             coalesce(k.w * cells.value,
+                      CASE WHEN k.w = 0 THEN CAST(0 AS DOUBLE) END) AS t
       FROM corners k LEFT JOIN cells USING (x, y)
     ), piv AS (
       SELECT station_id, px, py,

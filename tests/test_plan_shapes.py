@@ -405,3 +405,28 @@ def test_no_batch_eval_python_in_any_query(spark):
         if "BatchEvalPython" in p:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_discrete_metadata_views_dims_broadcast(spark):
+    # discrete.samples_metadata_*: samples is the only fact — every
+    # dim join and pre-aggregated rollup arrives broadcast, the fact
+    # never shuffles. results_metadata_* additionally carries ONE
+    # fact-fact equi-join (results x samples view, on sample_id) —
+    # the pin allows that join in whatever form AQE picks but still
+    # forbids any cartesian/nested-loop anywhere.
+    for name in ("samples_metadata_read", "samples_metadata_fr"):
+        p = plan(spark, name)
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastHashJoin" in p, name
+    for name in ("results_metadata_read", "results_metadata_fr"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        # exactly ONE nested-loop join NODE: parameter_unit_map's
+        # intentional dim x dim cross (|parameters| x |matrix_states|,
+        # both catalog-class) — nothing fact-sized may go near one
+        # (formatted explain prints each node twice: tree + details)
+        import re
+        nl = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
+        assert len(nl) == 1, name
+        assert "BroadcastHashJoin" in p, name

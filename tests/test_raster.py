@@ -257,3 +257,29 @@ def test_export_operators_distributed(spark):
     assert got[(0, 0)]["values"][0 * 8 + 1] == 0.5  # cell (1,0) = id 1
     assert got[(0, 0)]["values"][0] is None         # id 0 dropped (7|0)
     assert all(d["epsg"] == 4326 for d in got.values())
+
+
+def test_bilinear_zero_weight_edge_corner_complete(spark):
+    # points on the grid's max row/column (fx or fy exactly 0) have
+    # zero-weight corners pointing off-grid; the result is still
+    # well-defined and must be complete (ADVICE r8)
+    from aquacache_spark.operators.raster import bilinear_sample
+
+    from pyspark.sql import functions as F
+    cells = spark.createDataFrame(
+        [(x, y, float(10 * y + x)) for x in range(3) for y in range(3)],
+        "x int, y int, value double")
+    pts = spark.createDataFrame(
+        [(1, 2.0, 1.5),   # fx=0 on max column: corners 1,3 off-grid, w=0
+         (2, 1.5, 2.0),   # fy=0 on max row
+         (3, 2.0, 2.0),   # both zero: the far corner point
+         (4, 2.5, 1.0),   # fx=0.5 past the max column: true incomplete
+         (5, 1.25, 0.75)],  # interior
+        "station_id int, px double, py double")
+    out = {r["station_id"]: r for r in
+           bilinear_sample(cells, pts).collect()}
+    assert out[1]["complete"] and out[1]["value"] == 17.0
+    assert out[2]["complete"] and out[2]["value"] == 21.5
+    assert out[3]["complete"] and out[3]["value"] == 22.0
+    assert not out[4]["complete"] and out[4]["value"] is None
+    assert out[5]["complete"] and abs(out[5]["value"] - 8.75) < 1e-9

@@ -77,3 +77,38 @@ def test_ln_exp_cross_engine_parity(spark):
               FROM (SELECT unnest(generate_series(1, 100000)) AS id))
     """).fetchone()[0]
     assert s == d
+
+def test_zero_flow_bottom_point_linear_fallback(spark):
+    # a zero-discharge bottom point (common in rating tables) must NOT
+    # yield (in_range=true, discharge=NULL): log-log is undefined at
+    # d=0, so the bracket falls back to linear interpolation
+    curves = spark.createDataFrame(
+        [("s1", 10, "2024-01-01 00:00:00", "2024-02-01 00:00:00")],
+        "series string, curve_id int, start_dt string, end_dt string"
+    ).withColumns({"start_dt": F.col("start_dt").cast("timestamp"),
+                   "end_dt": F.col("end_dt").cast("timestamp")})
+    points = spark.createDataFrame(
+        [(10, 0.0, 0.0), (10, 2.0, 8.0), (10, 4.0, 40.0)],
+        "curve_id int, stage double, discharge double")
+    meas = spark.createDataFrame(
+        [(1, "s1", "2024-01-10 00:00:00", 1.0),   # zero-d lower bracket
+         (2, "s1", "2024-01-10 00:00:00", 0.0),   # exact at zero point
+         (3, "s1", "2024-01-10 00:00:00", 3.0)],  # positive bracket: log
+        "event_id int, series string, ts string, stage double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r for r in
+           apply_rating_curves(meas, curves, points).collect()}
+    # linear between (0,0) and (2,8): Q(1) = 4
+    assert out[1]["in_range"] and out[1]["discharge"] == 4.0
+    assert out[2]["in_range"] and out[2]["discharge"] == 0.0
+    # log-log between (2,8) and (4,40): exponent log(5)/log(2)
+    import math
+    expect = math.exp(math.log(8.0)
+                      + (math.log(3.0) - math.log(2.0))
+                      / (math.log(4.0) - math.log(2.0))
+                      * (math.log(40.0) - math.log(8.0)))
+    assert abs(out[3]["discharge"] - expect) < 1e-9
+    # every in_range row carries a discharge (the ADVICE invariant)
+    full = apply_rating_curves(meas, curves, points)
+    bad = full.where(F.col("in_range") & F.col("discharge").isNull())
+    assert bad.count() == 0
