@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import catalog
@@ -18001,6 +18001,28 @@ _HTML_ORACLE = f"""
 """
 
 
+def _doc_html(text_col) -> Column:
+    """The boilerplate-wrapped document HTML fixture (title + nav +
+    script/style/comment noise + 1-2 <p> blocks + ad + footer) —
+    shared by html_main_text_extract and the WARC crawl capstone, and
+    mirrored verbatim by their oracles' raw CTEs."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit(" &amp; friends</title>"),
+        F.lit('<script type="text/javascript">var x = 1; //junk'),
+        F.lit("</script><style>.a { color: red; }</style></head>"),
+        F.lit('<body><nav>Home | About | <a href="/x">Links</a></nav>'),
+        F.lit("<!-- comment block -->"),
+        F.lit("<p>"), F.substring(text_col, 1, 120), F.lit("</p>"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("<p>"), F.substring(text_col, 121, 100),
+                        F.lit(" &lt;tagged&gt;</p>"))).otherwise(""),
+        F.lit('<div class="ad">BUY NOW!!!</div>'),
+        F.lit("<footer>(c) 2024 Example</footer></body></html>"),
+    )
+
+
 @register("html_main_text_extract", oracle=_HTML_ORACLE)
 def html_main_text_extract_q(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -18008,28 +18030,267 @@ def html_main_text_extract_q(spark: SparkSession,
     footer + entities) reduced to title + paragraph text."""
     from .functions.html import with_main_text
 
-    d = F.col("doc_id")
-    html = F.concat(
-        F.lit("<html><head><title>Doc "), d.cast("string"),
-        F.lit(" &amp; friends</title>"),
-        F.lit('<script type="text/javascript">var x = 1; //junk'),
-        F.lit("</script><style>.a { color: red; }</style></head>"),
-        F.lit('<body><nav>Home | About | <a href="/x">Links</a></nav>'),
-        F.lit("<!-- comment block -->"),
-        F.lit("<p>"), F.substring(F.col("text"), 1, 120), F.lit("</p>"),
-        F.when(d % 3 == 0,
-               F.concat(F.lit("<p>"), F.substring(F.col("text"), 121, 100),
-                        F.lit(" &lt;tagged&gt;</p>"))).otherwise(""),
-        F.lit('<div class="ad">BUY NOW!!!</div>'),
-        F.lit("<footer>(c) 2024 Example</footer></body></html>"),
-    )
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", html.alias("html"))
+        "doc_id", _doc_html(F.col("text")).alias("html"))
     out = with_main_text(docs, "html")
     return _round(
         out.select("doc_id", "title", "main_text", "n_blocks",
                    "chars_total", "chars_kept", "boilerplate_ratio"),
         {"boilerplate_ratio": 6})
+
+
+# ---------------------------------------------------------------------------
+# WARC web-archive ingest (functions/warc.py + sources/warc.py): the
+# web tier's real on-ramp. Fixtures are synthesized through the REAL
+# writer (one gzip member per record, ISO 28500 framing) and parsed by
+# the REAL reader; oracles recompute expected features closed-form
+# from doc_id/text without touching bytes (the GIF policy). The
+# capstone chains ingest -> HTML main-content extraction -> URL
+# canonicalization: crawl archive to training corpus in one plan.
+# ---------------------------------------------------------------------------
+
+def _warc_fixture(spark: SparkSession, sf_dir: str,
+                  html_payload: bool) -> DataFrame:
+    """Synthesized .warc.gz files over documents: one response record
+    per doc (+ request records for doc_id%7==0 and metadata records
+    for doc_id%11==0, which ingest must classify and filters drop),
+    ~40 docs per file."""
+    from .sources.warc import synthesize_warc_files
+
+    d = F.col("doc_id")
+    date = F.date_format(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_dt_interval(secs=(d % 86400).cast("double")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    if html_payload:
+        payload = _doc_html(F.col("text"))
+        uri = F.concat(F.lit("HTTPS://Example.org/a/./docs/../doc/"),
+                       d.cast("string"), F.lit("?z=1&a=2"))
+        ctype = F.lit("text/html; charset=UTF-8")
+    else:
+        payload = F.col("text")
+        uri = F.concat(
+            F.lit("https://example.org/doc/"), d.cast("string"),
+            F.when(d % 4 == 0, F.lit("?utm=1&b=2&a=1")).otherwise(""))
+        ctype = F.when(d % 5 == 0, F.lit("text/plain")) \
+            .otherwise(F.lit("text/html"))
+    docs = _t(spark, sf_dir, "documents")
+    resp = docs.select(
+        (d % 40).alias("file_id"), (d * 4).alias("seq"),
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:example:"), d.cast("string"))
+        .alias("record_id"),
+        uri.alias("target_uri"), date.alias("warc_date"),
+        F.when(d % 9 == 0, 404).otherwise(200).alias("http_status"),
+        ctype.alias("http_content_type"),
+        payload.alias("payload"))
+    req = docs.where(d % 7 == 0).select(
+        (d % 40).alias("file_id"), (d * 4 + 1).alias("seq"),
+        F.lit("request").alias("warc_type"),
+        F.concat(F.lit("urn:example:req:"), d.cast("string"))
+        .alias("record_id"),
+        uri.alias("target_uri"), date.alias("warc_date"),
+        F.lit(0).alias("http_status"),
+        F.lit("").alias("http_content_type"),
+        F.concat(F.lit("GET /doc/"), d.cast("string"),
+                 F.lit(" HTTP/1.1")).alias("payload"))
+    meta = docs.where(d % 11 == 0).select(
+        (d % 40).alias("file_id"), (d * 4 + 2).alias("seq"),
+        F.lit("metadata").alias("warc_type"),
+        F.concat(F.lit("urn:example:meta:"), d.cast("string"))
+        .alias("record_id"),
+        uri.alias("target_uri"), date.alias("warc_date"),
+        F.lit(0).alias("http_status"),
+        F.lit("").alias("http_content_type"),
+        F.concat(F.lit("meta "), d.cast("string")).alias("payload"))
+    return synthesize_warc_files(
+        resp.unionByName(req).unionByName(meta), order_col="seq")
+
+
+_WARC_INGEST_ORACLE = """
+    SELECT doc_id,
+           doc_id % 40 AS file_id,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '?utm=1&b=2&a=1'
+                     ELSE '' END AS target_uri,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+                    + (doc_id % 86400) * INTERVAL 1 SECOND,
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           CAST(CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS INT)
+             AS http_status,
+           CASE WHEN doc_id % 5 = 0 THEN 'text/plain'
+                ELSE 'text/html' END AS http_content_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           md5(text) AS payload_md5
+    FROM documents
+"""
+
+
+@register("warc_record_ingest", oracle=_WARC_INGEST_ORACLE)
+def warc_record_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through genuine .warc.gz bytes: synthesized archive
+    files (response + request + metadata records, one gzip member
+    each) -> distributed record parse -> response-record projection.
+    Every WARC header and the HTTP payload slice must survive."""
+    from .sources.warc import warc_records
+
+    files = _warc_fixture(spark, sf_dir, html_payload=False)
+    recs = warc_records(files)
+    out = recs.where(F.col("ok") & (F.col("warc_type") == "response"))
+    return out.select(
+        F.regexp_extract("record_id", r"^urn:example:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "file_id", "target_uri", "warc_date", "http_status",
+        "http_content_type",
+        F.length("payload").cast("long").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"))
+
+
+_WARC_CORPUS_ORACLE = f"""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || ' &amp; friends</title>'
+             || '<script type="text/javascript">var x = 1; //junk'
+             || '</script><style>.a {{ color: red; }}</style></head>'
+             || '<body><nav>Home | About | <a href="/x">Links</a></nav>'
+             || '<!-- comment block -->'
+             || '<p>' || substr(text, 1, 120) || '</p>'
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '<p>' || substr(text, 121, 100)
+                           || ' &lt;tagged&gt;</p>'
+                      ELSE '' END)
+             || '<div class="ad">BUY NOW!!!</div>'
+             || '<footer>(c) 2024 Example</footer></body></html>'
+               AS html
+      FROM documents
+      WHERE doc_id % 9 != 0
+    ), noiseless AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS s
+      FROM raw
+    ), parts AS (
+      SELECT doc_id,
+             {_HTML_CLEAN_SQL.format(
+                 src="regexp_extract(s, '(?s)<title[^>]*>(.*?)</title>',"
+                     " 1)")}
+               AS title,
+             array_to_string(list_transform(
+               regexp_extract_all(s, '(?s)<p[^>]*>(.*?)</p>', 1),
+               b -> {_HTML_CLEAN_SQL.format(src='b')}), ' ')
+               AS main_text,
+             CAST(len(regexp_extract_all(s, '(?s)<p[^>]*>(.*?)</p>', 1))
+                  AS INT) AS n_blocks
+      FROM noiseless
+    )
+    SELECT doc_id,
+           'https://example.org/a/doc/' || CAST(doc_id AS VARCHAR)
+             || '?a=2&z=1' AS canonical_url,
+           'example.org' AS host,
+           title, main_text, n_blocks,
+           CAST(length(main_text) AS BIGINT) AS chars_kept
+    FROM parts
+"""
+
+
+@register("warc_crawl_corpus", oracle=_WARC_CORPUS_ORACLE)
+def warc_crawl_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-corpus capstone: .warc.gz ingest -> HTTP 200 text/html
+    responses -> HTML main-content extraction -> RFC 3986 URL
+    canonicalization (dot-segments resolved, host lowercased, query
+    sorted). One declarative plan from archive bytes to corpus rows."""
+    from .functions.html import with_main_text
+    from .operators.web import url_canonicalize
+    from .sources.warc import warc_records
+
+    files = _warc_fixture(spark, sf_dir, html_payload=True)
+    recs = warc_records(files)
+    pages = recs.where(
+        F.col("ok") & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).select(
+        F.regexp_extract("record_id", r"^urn:example:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("html"))
+    text = with_main_text(pages, "html")
+    canon = url_canonicalize(
+        text.select("doc_id", "url", "title", "main_text", "n_blocks"),
+        "url")
+    return canon.select(
+        "doc_id", "canonical_url", "host", "title", "main_text",
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        F.length("main_text").cast("long").alias("chars_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Charset detection + UTF-8 transcoding (functions/charset.py): BOM /
+# meta-prescan / header / UTF-8-validation / windows-1252-fallback
+# detection with a mojibake footprint flag — the decode stage between
+# WARC payload bytes and HTML extraction. Fixtures run REAL encoders
+# per class (the GIF policy); the oracle recomputes every feature
+# closed-form from doc_id/text without touching bytes.
+# ---------------------------------------------------------------------------
+
+_CHARSET_ORACLE = """
+    WITH b AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 1 AND doc_id % 6 != 3
+                          THEN ' cafÃ©' ELSE ' café' END AS base
+      FROM documents
+    ), e AS (
+      SELECT doc_id, base,
+             CASE WHEN doc_id % 6 = 4
+                  THEN '<meta charset="windows-1252">' || base
+                  ELSE base END AS expected
+      FROM b
+    )
+    SELECT doc_id,
+           CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'windows-1252'
+                WHEN 4 THEN 'windows-1252' ELSE 'utf-8'
+           END AS detected_encoding,
+           CASE doc_id % 6 WHEN 0 THEN 'bom' WHEN 1 THEN 'bom'
+                WHEN 2 THEN 'bom' WHEN 3 THEN 'fallback'
+                WHEN 4 THEN 'meta' ELSE 'utf8-valid'
+           END AS detection_source,
+           doc_id % 6 IN (0, 1, 2) AS had_bom,
+           (doc_id % 7 = 1 AND doc_id % 6 != 3) AS mojibake,
+           CAST(0 AS INT) AS replacement_count,
+           CAST(CASE doc_id % 6
+                WHEN 0 THEN 3 + octet_length(encode(base))
+                WHEN 1 THEN 2 + 2 * length(base)
+                WHEN 2 THEN 2 + 2 * length(base)
+                WHEN 3 THEN length(base)
+                WHEN 4 THEN 29 + length(base)
+                ELSE octet_length(encode(base)) END AS BIGINT) AS n_bytes,
+           CAST(length(expected) AS BIGINT) AS n_chars,
+           md5(expected) AS text_md5
+    FROM e
+"""
+
+
+@register("charset_transcode_features", oracle=_CHARSET_ORACLE)
+def charset_transcode_features_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-encoding golden round trip: documents encoded through real
+    codecs (UTF-8/16 BOMs, bare windows-1252, meta-declared
+    windows-1252, plain UTF-8, pre-mojibaked suffixes) -> sniff +
+    transcode kernel -> detection, byte/char counts, text hash."""
+    from .functions.charset import (synthesize_encoded_docs,
+                                    transcode_to_utf8)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = transcode_to_utf8(synthesize_encoded_docs(docs))
+    return out.select(
+        "doc_id", "detected_encoding", "detection_source", "had_bom",
+        "mojibake", "replacement_count", "n_bytes",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"))
 
 
 # ---------------------------------------------------------------------------
