@@ -106,6 +106,75 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_maponly(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures with NO shuffle: per-row ``array_min`` over
+    ``transform`` of the shingle array — the exact same hash family as
+    :func:`minhash_signatures` (parity pinned in tests), row-for-row
+    identical output. The explode+groupBy form is preferred in batch
+    (it spreads one pathological mega-document's shingles across
+    tasks); this form is REQUIRED upstream of a stateful streaming
+    stage, where an aggregation before applyInPandasWithState would
+    make an unsupported multi-stateful plan. Docs with fewer than
+    ``shingle_k`` words have no shingles and are dropped, matching the
+    groupBy form."""
+    from ..functions.text import md5_int, word_shingles
+
+    sh = word_shingles(F.col(text_col), shingle_k)
+
+    # NB: the hash index must be bound via an outer function — a
+    # two-parameter lambda would make F.transform pass the ARRAY INDEX
+    # as the second argument
+    def affine(i):
+        return lambda s: (F.lit(2 * i + 3) * md5_int(s, 13)
+                          + F.lit((i + 1) * 2654435769)) % MINHASH_MOD
+
+    mins = [
+        F.array_min(F.transform(sh, affine(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        df.where(F.size(sh) > 0)
+        .select(F.col(id_col), *mins)
+        .select(id_col,
+                F.array(*[F.col(f"h{i}")
+                          for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def band_key_rows(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, sig) -> one (id, band, key) row per LSH band — the banding
+    projection shared by the batch self-join, the incremental
+    store-probe path, and the streaming front-end. Map-only explode."""
+    rows = num_hashes // bands
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col("sig")[b * rows + r].cast("string")
+                               for r in range(rows)]
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -133,21 +202,7 @@ def lsh_candidate_pairs(
     the standard trade at 100 TB, where one boilerplate bucket of 10⁶
     docs would otherwise emit 10¹² pairs.
     """
-    rows = num_hashes // bands
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
-                    ).alias("key"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = band_key_rows(signatures, id_col, num_hashes, bands)
     # the self-join references the banded table twice; without a
     # barrier each side re-derives the full shingle->MinHash pipeline
     # from the raw corpus (2x the expensive md5 mass)
@@ -187,6 +242,113 @@ def lsh_candidate_pairs(
         F.col("__anchor").alias("id_a"), F.col(id_col).alias("id_b")
     )
     return pairs.unionByName(star).distinct()
+
+
+def incremental_lsh_pairs(
+    store,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = 1024,
+    merge: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection against a PERSISTED signature
+    store — the 100 TB "daily drop" story: the corpus-wide MinHash
+    band keys live in a :class:`~aquacache_spark.sources.store.
+    ParquetMergeStore` keyed (band, key, id) and hash-bucketed on the
+    band key; a new batch
+
+    1. computes its own band keys (map-only),
+    2. probes ONLY the store buckets those keys hash into
+       (``read_buckets`` — a bounded ``<= n_buckets`` driver list, a
+       partition-pruned read; the corpus store is never scanned),
+    3. restricts the probed rows to exact (band, key) hits (equi
+       semi-join),
+    4. runs the same capped pair generation as the batch path over
+       probed-old + new rows, keeping only pairs with at least one
+       NEW endpoint (old-old pairs were emitted when the younger of
+       the two docs arrived — induction gives exact parity),
+    5. MERGEs its band keys into the store (``do_nothing`` — re-fed
+       docs don't duplicate).
+
+    Parity contract (pinned by the differential battery): the union
+    of per-batch outputs over any batch split equals the one-shot
+    ``lsh_candidate_pairs`` of the full corpus, PROVIDED no bucket
+    crosses ``max_bucket`` between batches. When a bucket does cross
+    the cap mid-stream, connectivity of ``duplicate_clusters`` is
+    still preserved (every member keeps an edge path to the bucket's
+    current anchor) but the edge set is a superset of the one-shot
+    star — the same trade the batch cap itself makes.
+
+    The store read happens against the PRE-merge manifest (version
+    dirs are immutable and retained), so the returned frame stays
+    valid after the merge commits.
+    """
+    keys = band_key_rows(batch_sigs, id_col, num_hashes, bands).persist()
+    new_rows = keys.select(id_col, "band", "key",
+                           F.lit(True).alias("__new"))
+    union = new_rows
+    if store.exists():
+        probed = store.bucket_of(keys.select(F.col("key")))
+        hit = sorted({r["bucket"]
+                      for r in probed.select("bucket").distinct().collect()})
+        old = store.read_buckets(hit)
+        if old is not None:
+            old_rows = (
+                old.join(keys.select("band", "key").distinct(),
+                         ["band", "key"], "left_semi")
+                # a re-fed doc id must not meet itself as "old"
+                .join(batch_sigs.select(id_col).distinct(), id_col,
+                      "left_anti")
+                .select(id_col, "band", "key", F.lit(False).alias("__new"))
+            )
+            union = new_rows.unionByName(old_rows)
+    union = union.persist()
+    a = union.alias("a")
+    b = union.alias("b")
+    keep_new = F.col("a.__new") | F.col("b.__new")
+    if max_bucket is None:
+        pairs = (
+            a.join(b, ["band", "key"])
+            .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   & keep_new)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
+    else:
+        stats = union.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(id_col).alias("__anchor"),
+            # whether the bucket's min-id member arrived in THIS
+            # batch — if so, old members need their star edges too
+            F.min_by("__new", F.col(id_col)).alias("__anchor_new"))
+        small_keys = stats.where(F.col("__n") <= max_bucket) \
+            .select("band", "key")
+        small = union.join(small_keys, ["band", "key"], "left_semi")
+        sa = small.alias("a")
+        sb = small.alias("b")
+        small_pairs = (
+            sa.join(sb, ["band", "key"])
+            .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   & keep_new)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+        )
+        star = (
+            union.join(stats.where(F.col("__n") > max_bucket),
+                       ["band", "key"])
+            .where((F.col(id_col) != F.col("__anchor"))
+                   & (F.col("__new") | F.col("__anchor_new")))
+            .select(F.col("__anchor").alias("id_a"),
+                    F.col(id_col).alias("id_b"))
+        )
+        pairs = small_pairs.unionByName(star).distinct()
+    if merge:
+        store.merge(keys.select("band", "key", id_col),
+                    on_conflict="do_nothing")
+    return pairs
 
 
 def simhash(

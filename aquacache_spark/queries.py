@@ -1377,6 +1377,32 @@ def lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, num_hashes=8, bands=4, max_bucket=2)
 
 
+@register("incremental_lsh_parity", oracle=_LSH_PAIRS_ORACLE)
+def incremental_lsh_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB daily-drop dedup story, two-batch vs one-shot: batch
+    1 (doc_id % 3 != 0) seeds a persisted band-key store
+    (ParquetMergeStore, bucketed on the band key), batch 2 probes ONLY
+    the store buckets its own keys hash into, and the union of the two
+    incremental outputs must equal the one-shot LSH of the full corpus
+    — the same parity contract the streaming mirrors pin."""
+    import tempfile
+
+    from .operators.dedup import incremental_lsh_pairs, minhash_signatures
+    from .sources.store import ParquetMergeStore
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    b1 = sig.where(F.col("doc_id") % 3 != 0)
+    b2 = sig.where(F.col("doc_id") % 3 == 0)
+    store = ParquetMergeStore(
+        spark, tempfile.mkdtemp(prefix="aquacache_inclsh_"),
+        key_cols=["band", "key", "doc_id"], series_col="key",
+        n_buckets=64)
+    p1 = incremental_lsh_pairs(store, b1, num_hashes=8, bands=4)
+    p2 = incremental_lsh_pairs(store, b2, num_hashes=8, bands=4)
+    return p1.unionByName(p2).distinct()
+
+
 _SIMHASH_ORACLE = """
     WITH tok AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

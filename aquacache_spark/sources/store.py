@@ -216,6 +216,23 @@ class ParquetMergeStore:
             out = out.unionByName(fr)
         return out
 
+    def read_buckets(self, buckets: Sequence[int],
+                     version: int | None = None) -> DataFrame | None:
+        """Bucket-pruned read: ONLY the listed buckets' files are
+        opened (each bucket is a ``bucket=N`` directory — nothing else
+        even gets listed). The probe primitive for incremental LSH
+        dedup: a daily batch reads just the store buckets its own band
+        keys hash into, not the corpus-wide signature store. Returns
+        None when no listed bucket exists in the manifest."""
+        return self._read_buckets(self._load_manifest(version),
+                                  set(int(b) for b in buckets))
+
+    def bucket_of(self, df: DataFrame) -> DataFrame:
+        """Expose the store's bucketing function (hash(series) mod N)
+        so callers can compute which buckets a batch would touch
+        WITHOUT writing — the probe side of read_buckets."""
+        return self._bucket(df)
+
     def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed between two committed snapshots (Delta CDF
         shape): rows tagged ``_change_type`` in {'insert', 'delete',

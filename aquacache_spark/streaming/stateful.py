@@ -326,3 +326,101 @@ def streaming_funnel(
     return stream.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+NEAR_DUP_STATE_SCHEMA = "members array<bigint>, capped boolean"
+
+
+def streaming_near_dup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming MinHash/LSH near-dup front-end — the streaming mirror
+    of operators/dedup.incremental_lsh_pairs (dedup_stream covers only
+    exact hashes).
+
+    Plan shape: map-only MinHash (minhash_signatures_maponly — no
+    aggregation may precede a stateful stage) -> band-key explode ->
+    ONE applyInPandasWithState keyed on (band, key). State per band
+    bucket is a CAPPED member set: at most ``max_bucket`` doc ids;
+    when a bucket crosses the cap it collapses to its min-id anchor
+    (capped=true) and every later arrival pairs with the anchor only —
+    the stateful twin of the batch star cap, so a boilerplate bucket
+    holds O(1) state and emits O(1) edges per arrival forever.
+
+    Emission contract (append mode): each micro-batch emits exactly
+    the pairs with >= 1 endpoint new to the bucket, (id_a < id_b),
+    possibly repeated across bands — DISTINCT of the run's output
+    equals the batch ``lsh_candidate_pairs`` of everything ingested,
+    provided no bucket crosses the cap mid-run (the incremental
+    operator's identical parity contract; connectivity survives in
+    all cases because a new-minimum arrival still edges to the stored
+    anchor)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import band_key_rows, minhash_signatures_maponly
+
+    sigs = minhash_signatures_maponly(
+        stream, id_col, text_col, num_hashes, shingle_k)
+    keys = band_key_rows(sigs, id_col, num_hashes, bands)
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            members, capped = list(state.get[0]), bool(state.get[1])
+        else:
+            members, capped = [], False
+        seen = set(members)
+        new = []
+        for pdf in pdfs:
+            for d in pdf[id_col]:
+                d = int(d)
+                if d not in seen:
+                    seen.add(d)
+                    new.append(d)
+        if not new:
+            state.update((members, capped))
+            return
+        new.sort()
+        pairs: list[tuple[int, int]] = []
+        if not capped and len(members) + len(new) <= max_bucket:
+            cur = list(members)
+            for d in new:
+                pairs.extend((min(a, d), max(a, d)) for a in cur)
+                cur.append(d)
+            state.update((sorted(cur), False))
+        else:
+            # cap crossed (now or earlier): anchor-star emission with
+            # O(1) state. A new global minimum re-anchors the bucket
+            # but still edges to the old anchor, keeping the
+            # component connected.
+            anchor = min(members) if members else new[0]
+            if not capped:
+                # collapse moment: the one-shot star over everything
+                # currently known (old members + this batch)
+                allm = sorted(set(members) | set(new))
+                anchor = allm[0]
+                pairs.extend((anchor, x) for x in allm if x != anchor)
+            else:
+                for d in new:
+                    if d != anchor:
+                        pairs.append((min(anchor, d), max(anchor, d)))
+                anchor = min(anchor, new[0])
+            state.update(([anchor], True))
+        if pairs:
+            yield pd.DataFrame(
+                {"id_a": [a for a, _ in pairs],
+                 "id_b": [b for _, b in pairs]})
+
+    return keys.groupBy("band", "key").applyInPandasWithState(
+        fn, out_schema, NEAR_DUP_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)

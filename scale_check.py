@@ -431,6 +431,57 @@ def main() -> None:
     assert hot_edges == n_docs // 2 - 1, f"hot star edges: {hot_edges}"
     assert n_pairs < 5 * n_docs, f"pair mass not linear: {n_pairs}"
 
+    # incremental dedup daily drop: a corpus-wide band-key store
+    # (ParquetMergeStore bucketed on the band key, 256 buckets) seeded
+    # with a large batch 1; a small batch 2 must probe ONLY the store
+    # buckets its own keys hash into — <10% of the store — and its
+    # pair output must still find the cross-batch near-dups exactly.
+    from aquacache_spark.operators.dedup import (band_key_rows,
+                                                 incremental_lsh_pairs,
+                                                 minhash_signatures)
+    from aquacache_spark.sources.store import ParquetMergeStore
+
+    n_corpus = 4000
+    # doc pair (2k, 2k+1) shares IDENTICAL group-specific text (md5
+    # word soup — zero shingle overlap across groups), so every dup
+    # pair collides on all bands deterministically and NO cross-group
+    # candidate can exist
+    grp = (F.col("id") / 2).cast("long").cast("string")
+    h = F.md5(grp)
+    inc_docs = spark.range(0, n_corpus).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.substring(h, 1, 8), F.substring(h, 9, 8),
+            F.substring(h, 17, 8), F.substring(h, 25, 8),
+            F.substring(F.md5(F.concat(grp, F.lit("x"))), 1, 8),
+        ).alias("text"))
+    inc_sigs = minhash_signatures(inc_docs, num_hashes=8, shingle_k=3) \
+        .persist()
+    inc_store = ParquetMergeStore(
+        spark, f"{base}/inclsh_store",
+        key_cols=["band", "key", "doc_id"], series_col="key",
+        n_buckets=256)
+    t0 = time.perf_counter()
+    incremental_lsh_pairs(
+        inc_store, inc_sigs.where(F.col("doc_id") >= 8)).count()
+    batch2 = inc_sigs.where(F.col("doc_id") < 8)
+    p2 = incremental_lsh_pairs(inc_store, batch2).persist()
+    n_p2 = p2.count()
+    timings["incremental_lsh_daily_drop"] = round(
+        time.perf_counter() - t0, 2)
+    hit2 = {r["bucket"] for r in inc_store.bucket_of(
+        band_key_rows(batch2, "doc_id", 8, 4).select("key"))
+        .select("bucket").distinct().collect()}
+    assert len(hit2) < 26, (  # <10% of 256 store buckets
+        f"batch 2 touched {len(hit2)}/256 store buckets")
+    # exactly the 4 in-batch dup pairs — nothing cross-group
+    even_pairs = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    assert even_pairs == {(2 * k, 2 * k + 1) for k in range(4)}, \
+        f"batch-2 pair set wrong: {sorted(even_pairs)[:8]}"
+    assert n_p2 == 4, f"incremental pair mass: {n_p2}"
+    p2.unpersist()
+    inc_sigs.unpersist()
+
     # adversarial hot shot SIGNATURE (video tier): EVERY clip opens
     # with the same boilerplate intro shot (channel intro / test
     # card), so the raw sig equi-join would emit n_docs^2 pairs (10^10

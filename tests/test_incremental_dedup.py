@@ -1,0 +1,129 @@
+"""Incremental LSH dedup against a persisted band-key store:
+parity with one-shot, bucket-pruned probing, re-feed idempotence,
+cap-crossing connectivity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aquacache_spark.operators.dedup import (
+    band_key_rows, duplicate_clusters, incremental_lsh_pairs,
+    lsh_candidate_pairs, minhash_signatures)
+from aquacache_spark.sources.store import ParquetMergeStore
+
+
+def _docs(spark, n=40):
+    # pairs of near-identical docs (2k, 2k+1) plus singletons
+    rows = []
+    for i in range(n):
+        base = f"alpha beta gamma delta epsilon zeta {i // 2} " * 4
+        if i % 2 == 1:
+            base += "tail"
+        rows.append((i, base))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _store(spark, tmp_path, n_buckets=32):
+    return ParquetMergeStore(
+        spark, str(tmp_path / "sigstore"),
+        key_cols=["band", "key", "doc_id"], series_col="key",
+        n_buckets=n_buckets)
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_two_batch_union_equals_one_shot(spark, tmp_path):
+    docs = _docs(spark)
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    one_shot = _pairs_set(lsh_candidate_pairs(sig, num_hashes=8, bands=4))
+    store = _store(spark, tmp_path)
+    b1 = sig.where(F.col("doc_id") % 3 != 0)
+    b2 = sig.where(F.col("doc_id") % 3 == 0)
+    p1 = _pairs_set(incremental_lsh_pairs(store, b1))
+    p2 = _pairs_set(incremental_lsh_pairs(store, b2))
+    assert p1 | p2 == one_shot
+    assert p1 & p2 == set()  # runs never re-emit each other's pairs
+
+
+def test_probe_reads_only_hit_buckets(spark, tmp_path):
+    docs = _docs(spark, 60)
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    store = _store(spark, tmp_path, n_buckets=64)
+    incremental_lsh_pairs(store, sig.where(F.col("doc_id") >= 2))
+    batch2 = sig.where(F.col("doc_id") < 2)
+    keys2 = band_key_rows(batch2, "doc_id", 8, 4)
+    hit = {r["bucket"] for r in store.bucket_of(keys2.select("key"))
+           .select("bucket").distinct().collect()}
+    # a 2-doc batch has <= 8 band keys -> far under 10% of 64 buckets
+    assert len(hit) <= 8
+    # the probe read opens ONLY the hit buckets' files (the plan the
+    # operator builds internally is exactly this read)
+    probe = store.read_buckets(sorted(hit))
+    assert probe is not None
+    read_buckets = {
+        int(f.split("bucket=")[1].split("/")[0])
+        for f in probe.inputFiles()}
+    assert read_buckets and read_buckets <= hit, (
+        sorted(read_buckets), sorted(hit))
+    # and the store is genuinely wider than the probe
+    all_buckets = {
+        int(f.split("bucket=")[1].split("/")[0])
+        for f in store.read().inputFiles()}
+    assert len(read_buckets) < len(all_buckets) / 4
+    pairs = incremental_lsh_pairs(store, batch2, merge=False)
+    assert _pairs_set(pairs) == {(0, 1)}
+
+
+def test_refed_docs_are_idempotent(spark, tmp_path):
+    docs = _docs(spark)
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    store = _store(spark, tmp_path)
+    p1 = _pairs_set(incremental_lsh_pairs(store, sig))
+    n_rows = store.read().count()
+    # feeding the same corpus again: no self-pairs, no new store rows,
+    # and the pair set is exactly re-emitted (every pair has a "new"
+    # endpoint again)
+    p2 = _pairs_set(incremental_lsh_pairs(store, sig))
+    assert p2 == p1
+    assert all(a != b for a, b in p2)
+    assert store.read().count() == n_rows
+
+
+def test_cap_crossing_preserves_connectivity(spark, tmp_path):
+    # 8 docs sharing one boilerplate bucket; cap=3 — batch 1 (4 docs)
+    # stays under the cap, batch 2 pushes the bucket over it
+    docs = spark.createDataFrame(
+        [(i, "same boiler plate text repeated here " * 3)
+         for i in range(8)],
+        "doc_id long, text string")
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    one_shot = lsh_candidate_pairs(sig, num_hashes=8, bands=4,
+                                   max_bucket=3)
+    store = _store(spark, tmp_path)
+    p1 = incremental_lsh_pairs(store, sig.where(F.col("doc_id") < 4),
+                               max_bucket=3)
+    p2 = incremental_lsh_pairs(store, sig.where(F.col("doc_id") >= 4),
+                               max_bucket=3)
+    inc = p1.unionByName(p2).distinct()
+    # edge sets may differ (batch 1 ran uncapped), but the clusters
+    # must be identical
+    def clusters(pairs):
+        cl = duplicate_clusters(pairs, docs.select("doc_id"))
+        out = {}
+        for r in cl.collect():
+            out.setdefault(r["cluster_rep"], set()).add(r["doc_id"])
+        return sorted(frozenset(v) for v in out.values())
+
+    assert clusters(inc) == clusters(one_shot)
+    assert _pairs_set(inc) >= _pairs_set(one_shot)
+
+
+def test_first_batch_is_plain_lsh(spark, tmp_path):
+    docs = _docs(spark, 20)
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    store = _store(spark, tmp_path)
+    inc = _pairs_set(incremental_lsh_pairs(store, sig))
+    assert inc == _pairs_set(lsh_candidate_pairs(sig, num_hashes=8,
+                                                 bands=4))
+    assert store.exists()

@@ -945,3 +945,126 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         s = stream_started[u]
         for c in ("t1", "t2", "t3", "steps_completed"):
             assert s[c] == b[c], (u, c, s[c], b[c])
+
+
+def test_streaming_near_dup_matches_batch(spark, tmp_path):
+    """Streaming MinHash/LSH front-end: bounded per-bucket state,
+    append-mode pair emission. DISTINCT of the whole run's output must
+    equal the one-shot batch lsh_candidate_pairs over everything
+    ingested (two micro-batch phases, no bucket near the cap)."""
+    from aquacache_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures,
+        minhash_signatures_maponly)
+    from aquacache_spark.streaming.stateful import streaming_near_dup
+
+    def doc_rows(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            base = (f"alpha beta gamma delta epsilon zeta {i // 2} "
+                    * 4)
+            if i % 2 == 1:
+                base += "tail"
+            rows.append((i, base))
+        return rows
+
+    # map-only signatures are row-identical to the groupBy form
+    all_docs = spark.createDataFrame(doc_rows(0, 30),
+                                     "doc_id long, text string")
+    a = {r["doc_id"]: list(r["sig"]) for r in
+         minhash_signatures(all_docs, num_hashes=8,
+                            shingle_k=3).collect()}
+    b = {r["doc_id"]: list(r["sig"]) for r in
+         minhash_signatures_maponly(all_docs, num_hashes=8,
+                                    shingle_k=3).collect()}
+    assert a == b
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    emitted = []
+
+    def process(df, epoch_id):
+        emitted.extend((r["id_a"], r["id_b"]) for r in df.collect())
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 4).load(str(landing)))
+    q = (streaming_near_dup(stream)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(process).start())
+    try:
+        spark.createDataFrame(doc_rows(0, 14), schema) \
+            .write.mode("append").parquet(str(landing))
+        q.processAllAvailable()
+        # second drop overlaps group 6 (doc 13's twin doc 12 already
+        # arrived) -> a cross-micro-batch pair must be found
+        spark.createDataFrame(doc_rows(14, 30), schema) \
+            .write.mode("append").parquet(str(landing))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    one_shot = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(
+        minhash_signatures(all_docs, num_hashes=8, shingle_k=3),
+        num_hashes=8, bands=4).collect()}
+    assert set(emitted) == one_shot
+    assert (14, 15) in one_shot  # sanity: dups exist in drop 2
+
+
+def test_streaming_near_dup_cap_bounds_state(spark, tmp_path):
+    """A boilerplate bucket crossing the cap collapses to its min-id
+    anchor: edges stay linear per arrival and every member remains
+    connected to the anchor."""
+    from aquacache_spark.streaming.stateful import streaming_near_dup
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    emitted = []
+
+    def process(df, epoch_id):
+        emitted.extend((r["id_a"], r["id_b"]) for r in df.collect())
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 1).load(str(landing)))
+    q = (streaming_near_dup(stream, max_bucket=3)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(process).start())
+    boiler = "same boiler plate text here " * 3
+    try:
+        spark.createDataFrame(
+            [(i, boiler) for i in range(2)], schema) \
+            .write.mode("append").parquet(str(landing))
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(i, boiler) for i in range(2, 8)], schema) \
+            .write.mode("append").parquet(str(landing))
+        q.processAllAvailable()
+        # doc -5 arrives AFTER collapse: must edge to the old anchor
+        spark.createDataFrame([(-5, boiler)], schema) \
+            .write.mode("append").parquet(str(landing))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = set(emitted)
+    # connectivity: union-find over emitted edges -> one component
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in pairs:
+        parent[find(x)] = find(y)
+    comps = {find(i) for i in list(range(8)) + [-5]}
+    assert len(comps) == 1, pairs
+    # linear edge mass: far fewer than the 36 all-pairs edges
+    assert len(pairs) <= 4 * (9 - 1), pairs
+    assert (-5, 0) in pairs  # the late minimum edges to the old anchor
