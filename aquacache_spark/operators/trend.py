@@ -24,7 +24,9 @@ linear in the number of series-periods. Never an unkeyed cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -274,3 +276,135 @@ def baseflow_separation(
         T.StructField("baseflow", T.DoubleType()),
     ])
     return grouped_apply(base, keys, kernel, schema)
+
+
+# Acklam's rational approximation to the standard normal quantile
+# (Peter J. Acklam, 2003, public algorithm; |relative error| < 1.15e-9
+# over (0, 1)). Pure fixed-parenthesization arithmetic + one sqrt/ln
+# per tail — the same cross-engine-exact footing as the repo's
+# ln/exp-chain oracles (tests pin bit-parity against DuckDB over a
+# dense p grid including both tails).
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00)
+ACKLAM_P_LOW = 0.02425
+
+
+def _horner(q: Column, coefs) -> Column:
+    out = F.lit(coefs[0])
+    for c in coefs[1:]:
+        out = out * q + F.lit(c)
+    return out
+
+
+def inv_normal_cdf(p: Column) -> Column:
+    """Phi^-1(p) via Acklam's three-region rational approximation.
+    NULL outside (0, 1). Map-only codegen; the DuckDB mirror is
+    built by :func:`inv_normal_sql` with the identical operation
+    order, so quantized comparisons are exact cross-engine."""
+    q_c = p - F.lit(0.5)
+    r_c = q_c * q_c
+    central = (_horner(r_c, _ACKLAM_A) * q_c
+               / (_horner(r_c, _ACKLAM_B) * r_c + F.lit(1.0)))
+    q_lo = F.sqrt(F.lit(-2.0) * F.log(p))
+    lower = (_horner(q_lo, _ACKLAM_C)
+             / (_horner(q_lo, _ACKLAM_D) * q_lo + F.lit(1.0)))
+    q_hi = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+    upper = -(_horner(q_hi, _ACKLAM_C)
+              / (_horner(q_hi, _ACKLAM_D) * q_hi + F.lit(1.0)))
+    return (
+        F.when((p <= 0) | (p >= 1), F.lit(None).cast("double"))
+        .when(p < ACKLAM_P_LOW, lower)
+        .when(p <= F.lit(1.0 - ACKLAM_P_LOW), central)
+        .otherwise(upper)
+    )
+
+
+def _horner_sql(q: str, coefs) -> str:
+    out = repr(coefs[0])
+    for c in coefs[1:]:
+        out = f"({out} * {q} + {c!r})"
+    return out
+
+
+def inv_normal_sql(p: str) -> str:
+    """The DuckDB text of :func:`inv_normal_cdf` — same coefficients,
+    same parenthesization, same region gates."""
+    qc = f"(({p}) - 0.5)"
+    rc = f"({qc} * {qc})"
+    central = (f"({_horner_sql(rc, _ACKLAM_A)} * {qc}"
+               f" / ({_horner_sql(rc, _ACKLAM_B)} * {rc} + 1.0))")
+    qlo = f"sqrt(-2.0 * ln({p}))"
+    lower = (f"({_horner_sql(qlo, _ACKLAM_C)}"
+             f" / ({_horner_sql(qlo, _ACKLAM_D)} * {qlo} + 1.0))")
+    qhi = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    upper = (f"(-({_horner_sql(qhi, _ACKLAM_C)}"
+             f" / ({_horner_sql(qhi, _ACKLAM_D)} * {qhi} + 1.0)))")
+    return (f"CASE WHEN ({p}) <= 0 OR ({p}) >= 1 THEN NULL"
+            f" WHEN ({p}) < {ACKLAM_P_LOW} THEN {lower}"
+            f" WHEN ({p}) <= {1.0 - ACKLAM_P_LOW!r} THEN {central}"
+            f" ELSE {upper} END")
+
+
+def spi_empirical(
+    monthly: DataFrame,
+    keys: Sequence[str] = ("series",),
+    k: int = 3,
+) -> DataFrame:
+    """Standardized precipitation index, empirical variant (McKee 1993
+    structure; the Gamma MoM fit is replaced by the Weibull plotting
+    position + inverse-normal standardization — the incomplete-gamma
+    CDF has no cross-engine-exact form, the empirical CDF does).
+
+    ``monthly``: one row per (keys..., yr, mon, value) — monthly
+    precipitation totals. Pipeline, all window functions over
+    catalog-bounded cells:
+
+    1. k-month accumulation: rows-window sum over the k most recent
+       PRESENT months per series (micro-quantized ints — exact),
+       rows with fewer than k months dropped;
+    2. per (series, CALENDAR MONTH) ranking across years (the
+       seasonality removal that defines SPI), ties broken by year so
+       the plotting position is total-ordered and deterministic;
+    3. p = rank / (n + 1); SPI = Phi^-1(p) via :func:`inv_normal_cdf`.
+
+    Scale: per-series-month cells hold one row per YEAR of record
+    (<= a few hundred forever), so every window is bounded; the only
+    shuffle is on (keys, mon).
+    """
+    ks = [F.col(c) for c in keys]
+    vq = F.floor(F.col("value").cast("double") * 1e6 + F.lit(0.5)) \
+        .cast("long")
+    w_roll = Window.partitionBy(*ks).orderBy("yr", "mon") \
+        .rowsBetween(-(k - 1), 0)
+    rolled = (
+        monthly.withColumn("__vq", vq)
+        .withColumn("__sumq", F.sum("__vq").over(w_roll))
+        .withColumn("__nwin", F.count("__vq").over(w_roll))
+        .where(F.col("__nwin") == k)
+    )
+    w_rank = Window.partitionBy(*ks, F.col("mon")) \
+        .orderBy("__sumq", "yr")
+    w_cell = Window.partitionBy(*ks, F.col("mon"))
+    out = (
+        rolled
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("n_years", F.count(F.lit(1)).over(w_cell))
+        .withColumn(
+            "p",
+            F.col("rank").cast("double")
+            / (F.col("n_years") + F.lit(1)).cast("double"))
+        .withColumn("spi", inv_normal_cdf(F.col("p")))
+    )
+    return out.select(
+        *keys, "yr", "mon",
+        (F.col("__sumq").cast("double") / 1e6).alias(f"precip_{k}mo"),
+        "rank", "n_years", "p", "spi")

@@ -3527,3 +3527,67 @@ def station_lag_correlation_q(spark: SparkSession,
     return _round(out, {"r": 6})
 
 
+
+
+# ---------------------------------------------------------------------------
+# Standardized precipitation index, empirical variant (operators/
+# trend.spi_empirical): monthly totals -> k-month accumulation ->
+# per-calendar-month Weibull plotting position -> inverse-normal
+# standardization via Acklam's rational approximation (bit-parity with
+# DuckDB pinned over a dense grid incl. both tails in
+# tests/test_trend.py). The Gamma MoM fit of McKee 1993 has no
+# cross-engine-exact incomplete-gamma; the empirical CDF + exact
+# integer ranks does the same standardization deterministically.
+# ---------------------------------------------------------------------------
+
+def _spi_oracle() -> str:
+    from ..operators.trend import inv_normal_sql
+
+    p = "CAST(rank AS DOUBLE) / CAST(n_years + 1 AS DOUBLE)"
+    return f"""
+    WITH monthly AS (
+      SELECT o_orderpriority AS series,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mon,
+             sum(CAST(floor(o_totalprice * 1000000 + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS mq
+      FROM orders GROUP BY 1, 2, 3
+    ), rolled AS (
+      SELECT series, yr, mon,
+             sum(mq) OVER w AS sumq,
+             count(*) OVER w AS nwin
+      FROM monthly
+      WINDOW w AS (PARTITION BY series ORDER BY yr, mon
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ), ranked AS (
+      SELECT series, yr, mon, sumq,
+             CAST(row_number() OVER (PARTITION BY series, mon
+                                     ORDER BY sumq, yr) AS INT) AS rank,
+             count(*) OVER (PARTITION BY series, mon) AS n_years
+      FROM rolled WHERE nwin = 3
+    )
+    SELECT series, yr, mon,
+           sumq / 1000000.0 AS precip_3mo,
+           rank, CAST(n_years AS BIGINT) AS n_years,
+           {p} AS p,
+           {R(inv_normal_sql(f'({p})'), 6)} AS spi
+    FROM ranked
+"""
+
+
+@register("spi_empirical_3mo", oracle=_spi_oracle())
+def spi_empirical_3mo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month SPI over priority-keyed monthly totals: exact integer
+    accumulation, deterministic tie-broken ranks, Acklam
+    inverse-normal."""
+    from ..operators.daily import exact_sum
+    from ..operators.trend import spi_empirical
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+    ).agg(exact_sum(F.col("o_totalprice")).alias("value"))
+    out = spi_empirical(monthly, keys=["series"], k=3)
+    return _round(out, {"spi": 6})

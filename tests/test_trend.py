@@ -42,3 +42,83 @@ def test_decreasing_with_tie(spark):
     assert out["s_stat"] == -2
     assert abs(out["var_s"] - 48 / 18) < 1e-9
     assert abs(out["z"] - (-2 + 1) / math.sqrt(48 / 18)) < 1e-9
+
+
+def test_inv_normal_literature_values(spark):
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.operators.trend import inv_normal_cdf
+
+    df = spark.createDataFrame(
+        [(0.001,), (0.01,), (0.025,), (0.5,), (0.975,), (0.99,),
+         (0.999,), (0.0,), (1.0,)], "p double")
+    out = {r["p"]: r["z"] for r in
+           df.select("p", inv_normal_cdf(F.col("p")).alias("z"))
+           .collect()}
+    # literature quantiles; Acklam |rel err| < 1.15e-9
+    assert abs(out[0.001] - -3.090232306167814) < 1e-8
+    assert abs(out[0.01] - -2.3263478740408408) < 1e-8
+    assert abs(out[0.025] - -1.9599639845400545) < 1e-8
+    assert out[0.5] == 0.0
+    assert abs(out[0.975] - 1.9599639845400545) < 1e-8
+    assert abs(out[0.999] - 3.090232306167814) < 1e-8
+    assert out[0.0] is None and out[1.0] is None
+    # symmetry through the tail/central region boundary
+    assert abs(out[0.001] + out[0.999]) < 1e-12
+
+
+def test_inv_normal_cross_engine_bit_parity(spark):
+    # dense p grid spanning BOTH Acklam tails and the central region:
+    # id-weighted quantized sum must match DuckDB exactly (the
+    # weighting defeats the symmetric-cancellation false pass)
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.operators.trend import (inv_normal_cdf,
+                                                 inv_normal_sql)
+
+    grid = spark.range(1, 10000).select(
+        F.col("id"), (F.col("id") / 10000.0).alias("p"))
+    s = grid.select(
+        (F.col("id") * F.floor(inv_normal_cdf(F.col("p")) * 1e9
+                               + F.lit(0.5)).cast("long")).alias("q")
+    ).agg(F.sum("q")).collect()[0][0]
+    sql = inv_normal_sql("p")
+    d = duckdb.sql(
+        f"SELECT sum(id * CAST(floor(({sql}) * 1e9 + CAST(0.5 AS"
+        " DOUBLE)) AS BIGINT)) FROM (SELECT id, id / 10000.0 AS p"
+        " FROM (SELECT unnest(generate_series(1, 9999)) AS id))"
+    ).fetchone()[0]
+    assert s == d
+
+
+def test_spi_empirical_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.operators.trend import spi_empirical
+
+    # 3 years x 12 months, one series; July total is yr-dependent so
+    # July's 3-month sums rank 1..3 across years
+    rows = [("s", 2000 + y, m,
+             100.0 + (10.0 * y if m == 7 else 0.0))
+            for y in range(3) for m in range(1, 13)]
+    monthly = spark.createDataFrame(
+        rows, "series string, yr int, mon int, value double")
+    out = spi_empirical(monthly, keys=["series"], k=3)
+    rws = {(r["yr"], r["mon"]): r for r in out.collect()}
+    # first two months of the record lack a full 3-month window
+    assert (2000, 1) not in rws and (2000, 2) not in rws
+    assert (2000, 3) in rws
+    # July..September windows include the yr-dependent July value
+    for mon in (7, 8, 9):
+        ranks = [rws[(2000 + y, mon)]["rank"] for y in range(3)]
+        assert ranks == [1, 2, 3]
+        assert rws[(2000, mon)]["p"] == 0.25
+        assert rws[(2002, mon)]["p"] == 0.75
+        assert rws[(2000, mon)]["spi"] < 0 < rws[(2002, mon)]["spi"]
+        assert abs(rws[(2000, mon)]["spi"]
+                   + rws[(2002, mon)]["spi"]) < 1e-12
+    # months whose window excludes July tie -> year breaks the tie
+    assert [rws[(2000 + y, 12)]["rank"] for y in range(3)] == [1, 2, 3]
+    # 3-month accumulation is exact
+    assert rws[(2001, 9)]["precip_3mo"] == 310.0
