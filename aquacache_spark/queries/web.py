@@ -2462,3 +2462,96 @@ def sitemap_crawl_candidates_q(spark: SparkSession,
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Multilingual crawl capstone: WARC ingest x charset transcode x text
+# features in ONE plan — archive files whose HTTP payloads arrive in
+# six different encodings (BOMs, bare and meta-declared windows-1252,
+# an HTTP-header-declared latin-1, plain UTF-8, pre-mojibaked bytes),
+# detection driven by the transport header the WARC reader preserves.
+# The oracle recomputes everything closed-form from doc_id/text.
+# ---------------------------------------------------------------------------
+
+_WARC_ML_ORACLE = """
+    WITH b AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 1 AND doc_id % 6 != 3
+                          THEN ' cafÃ©' ELSE ' café' END AS base
+      FROM documents
+    ), e AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 4
+                  THEN '<meta charset="windows-1252">' || base
+                  ELSE base END AS expected
+      FROM b
+    )
+    SELECT doc_id,
+           CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'windows-1252'
+                WHEN 4 THEN 'windows-1252' ELSE 'utf-8'
+           END AS detected_encoding,
+           CASE doc_id % 6 WHEN 0 THEN 'bom' WHEN 1 THEN 'bom'
+                WHEN 2 THEN 'bom' WHEN 3 THEN 'header'
+                WHEN 4 THEN 'meta' ELSE 'utf8-valid'
+           END AS detection_source,
+           (doc_id % 7 = 1 AND doc_id % 6 != 3) AS mojibake,
+           CAST(length(expected) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(expected, '\\S+')) AS INT)
+             AS n_tokens,
+           md5(expected) AS text_md5
+    FROM e
+"""
+
+
+@register("warc_multilingual_corpus", oracle=_WARC_ML_ORACLE)
+def warc_multilingual_corpus_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Archive-to-corpus with real legacy encodings: synthesized
+    .warc.gz (per-class payload bytes; class 3 declares latin-1 in
+    the HTTP Content-Type, so detection takes the HEADER path that
+    charset_transcode_features cannot reach) -> record parse ->
+    charset sniff keyed by the transport header -> UTF-8 text +
+    token/char counts."""
+    from ..functions.charset import (synthesize_encoded_docs,
+                                     transcode_to_utf8)
+    from ..sources.warc import synthesize_warc_files, warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    enc = synthesize_encoded_docs(docs.select("doc_id", "text"))
+    date = F.date_format(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_dt_interval(secs=(d % 86400).cast("double")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    recs_in = docs.join(enc, "doc_id").select(
+        (d % 25).alias("file_id"), d.alias("seq"),
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:example:"), d.cast("string"))
+        .alias("record_id"),
+        F.concat(F.lit("https://example.org/doc/"), d.cast("string"))
+        .alias("target_uri"),
+        date.alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        F.when(d % 6 == 3, F.lit("text/html; charset=ISO-8859-1"))
+        .otherwise(F.lit("text/html")).alias("http_content_type"),
+        F.col("payload"))
+    files = synthesize_warc_files(recs_in, order_col="seq")
+    pages = warc_records(files).where(
+        F.col("ok") & (F.col("warc_type") == "response"))
+    with_hdr = pages.select(
+        F.regexp_extract("record_id", r"^urn:example:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "payload",
+        F.nullif(
+            F.regexp_extract("http_content_type",
+                             r"charset=([A-Za-z0-9_.:-]+)", 1),
+            F.lit("")).alias("charset"))
+    out = transcode_to_utf8(with_hdr, charset_col="charset")
+    return out.select(
+        "doc_id", "detected_encoding", "detection_source", "mojibake",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"\S+"), F.lit(0))).cast("int")
+        .alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"))

@@ -106,8 +106,10 @@ def synthesize_warc_files(
 
     ``records`` columns: file_id, doc_id, warc_type, record_id,
     target_uri, warc_date, http_status, http_content_type,
-    payload (string). Non-response types encode their payload as the
-    raw block (no HTTP head)."""
+    payload (string, UTF-8-encoded; or binary, passed through as-is —
+    the charset-exercise fixtures need non-UTF-8 payload bytes).
+    Non-response types encode their payload as the raw block (no HTTP
+    head)."""
     from ..functions.warc import (build_warc, encode_warc_record,
                                   http_response_block)
 
@@ -120,7 +122,9 @@ def synthesize_warc_files(
         pdf = pdf.sort_values(order_col, kind="mergesort")
         recs = []
         for r in pdf.itertuples(index=False):
-            payload = str(r.payload).encode("utf-8")
+            payload = (bytes(r.payload)
+                       if isinstance(r.payload, (bytes, bytearray))
+                       else str(r.payload).encode("utf-8"))
             hdrs = {
                 "WARC-Type": str(r.warc_type),
                 "WARC-Record-ID": str(r.record_id),
