@@ -895,8 +895,10 @@ def robots_rules_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots(_robots_fixture(spark))
 
 
-# urls + verdict chain shared with the crawl-frontier capstone
-_ROBOTS_VERDICT_CTES = """
+# urls + verdict chain shared with the crawl-frontier capstone; the
+# chain after `urls` is also reused by the WARC robots-gated capstone
+# with a documents-keyed urls CTE
+_ROBOTS_URLS_CTE = """
     , urls AS (
       SELECT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host,
              CASE o_orderkey % 8
@@ -910,7 +912,9 @@ _ROBOTS_VERDICT_CTES = """
                ELSE '/tmp/keepx' END AS path,
              o_orderkey AS doc_id
       FROM orders WHERE o_orderkey % 6 = 2
-    ), exact AS (
+    )"""
+
+_ROBOTS_CHAIN_CTES = """, exact AS (
       SELECT * FROM rules WHERE agent = 'aquabot'
     ), eff AS (
       SELECT * FROM exact
@@ -946,6 +950,8 @@ _ROBOTS_VERDICT_CTES = """
       FROM ranked WHERE rn = 1
     )
 """
+
+_ROBOTS_VERDICT_CTES = _ROBOTS_URLS_CTE + _ROBOTS_CHAIN_CTES
 
 _ROBOTS_FILTER_ORACLE = ("WITH " + _ROBOTS_SQL + _ROBOTS_VERDICT_CTES
                          + """
@@ -2555,3 +2561,136 @@ def warc_multilingual_corpus_q(spark: SparkSession,
             F.col("text"), F.lit(r"\S+"), F.lit(0))).cast("int")
         .alias("n_tokens"),
         F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Robots-gated crawl-to-corpus capstone: the FULL archive pipeline in
+# one plan — WARC ingest -> HTML main-content extraction -> RFC 3986
+# canonicalization -> RFC 9309 robots verdicts over the shared 50-host
+# robots fixture. The oracle reuses the robots chain verbatim with a
+# documents-keyed urls CTE plus the HTML parts chain.
+# ---------------------------------------------------------------------------
+
+_WARC_GATED_URLS = """
+    , urls AS (
+      SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+             CASE doc_id % 8
+               WHEN 0 THEN '/private/doc' || CAST(doc_id % 20 AS VARCHAR)
+               WHEN 1 THEN '/private/ok/p' || CAST(doc_id % 20 AS VARCHAR)
+               WHEN 2 THEN '/tmp' || CAST(doc_id % 10 AS VARCHAR) || '/x'
+               WHEN 3 THEN '/tmp/keep'
+               WHEN 4 THEN '/blog/post' || CAST(doc_id % 30 AS VARCHAR)
+               WHEN 5 THEN '/search/q' || CAST(doc_id % 9 AS VARCHAR)
+               WHEN 6 THEN '/public/a' || CAST(doc_id % 40 AS VARCHAR)
+               ELSE '/tmp/keepx' END AS path,
+             doc_id
+      FROM documents
+    )"""
+
+_WARC_GATED_ORACLE = ("WITH " + _ROBOTS_SQL + _WARC_GATED_URLS
+                      + _ROBOTS_CHAIN_CTES + f"""
+    , raw AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || ' &amp; friends</title>'
+             || '<script type="text/javascript">var x = 1; //junk'
+             || '</script><style>.a {{ color: red; }}</style></head>'
+             || '<body><nav>Home | About | <a href="/x">Links</a></nav>'
+             || '<!-- comment block -->'
+             || '<p>' || substr(text, 1, 120) || '</p>'
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '<p>' || substr(text, 121, 100)
+                           || ' &lt;tagged&gt;</p>'
+                      ELSE '' END)
+             || '<div class="ad">BUY NOW!!!</div>'
+             || '<footer>(c) 2024 Example</footer></body></html>'
+               AS html
+      FROM documents
+    ), noiseless AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS s
+      FROM raw
+    ), parts AS (
+      SELECT doc_id,
+             {_HTML_CLEAN_SQL.format(
+                 src="regexp_extract(s, '(?s)<title[^>]*>(.*?)</title>',"
+                     " 1)")}
+               AS title,
+             CAST(length(array_to_string(list_transform(
+               regexp_extract_all(s, '(?s)<p[^>]*>(.*?)</p>', 1),
+               b -> {_HTML_CLEAN_SQL.format(src='b')}), ' '))
+               AS BIGINT) AS chars_kept
+      FROM noiseless
+    )
+    SELECT v.doc_id, v.host, v.path, v.allowed, v.matched_rule,
+           v.matched_path, p.title, p.chars_kept
+    FROM verdicts v JOIN parts p USING (doc_id)
+""")
+
+
+@register("warc_robots_gated_corpus", oracle=_WARC_GATED_ORACLE)
+def warc_robots_gated_corpus_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Archive bytes to crawl-permitted corpus rows: .warc.gz ingest,
+    main-text extraction, canonical host/path, RFC 9309 verdicts
+    (exact-agent beats '*', longest match, Allow on ties, '$'
+    anchors) — every stage the declarative composition of the
+    already-oracled parts."""
+    from ..functions.html import with_main_text
+    from ..operators.web import parse_robots, robots_allowed, \
+        url_canonicalize
+    from ..sources.warc import synthesize_warc_files, warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 8 == 0, F.concat(F.lit("/private/doc"),
+                                    (d % 20).cast("string")))
+        .when(d % 8 == 1, F.concat(F.lit("/private/ok/p"),
+                                   (d % 20).cast("string")))
+        .when(d % 8 == 2, F.concat(F.lit("/tmp"), (d % 10).cast("string"),
+                                   F.lit("/x")))
+        .when(d % 8 == 3, F.lit("/tmp/keep"))
+        .when(d % 8 == 4, F.concat(F.lit("/blog/post"),
+                                   (d % 30).cast("string")))
+        .when(d % 8 == 5, F.concat(F.lit("/search/q"),
+                                   (d % 9).cast("string")))
+        .when(d % 8 == 6, F.concat(F.lit("/public/a"),
+                                   (d % 40).cast("string")))
+        .otherwise(F.lit("/tmp/keepx")))
+    uri = F.concat(F.lit("HTTPS://H"), (d % 50).cast("string"), path)
+    date = F.date_format(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_dt_interval(secs=(d % 86400).cast("double")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    recs_in = docs.select(
+        (d % 25).alias("file_id"), d.alias("seq"),
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:example:"), d.cast("string"))
+        .alias("record_id"),
+        uri.alias("target_uri"), date.alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/html").alias("http_content_type"),
+        _doc_html(F.col("text")).alias("payload"))
+    files = synthesize_warc_files(recs_in, order_col="seq")
+    pages = warc_records(files).where(
+        F.col("ok") & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("record_id", r"^urn:example:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("html"))
+    text = with_main_text(pages, "html")
+    canon = url_canonicalize(
+        text.select("doc_id", "url", "title", "chars_kept"), "url")
+    rules = parse_robots(_robots_fixture(spark))
+    verdicts = robots_allowed(
+        canon.select("host", "path", "doc_id", "title", "chars_kept"),
+        rules, agent="aquabot")
+    return verdicts.select(
+        "doc_id", "host", "path", "allowed", "matched_rule",
+        "matched_path", "title", "chars_kept")
