@@ -95,6 +95,31 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return warc_records(files)
 
 
+def read_warc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming .warc.gz ingest: a binaryFile FILE-SOURCE stream over
+    a crawl landing zone (each newly dropped archive processed exactly
+    once, checkpoint-tracked) through the same Arrow parse kernel as
+    the batch path — mapInPandas is stateless, so the record stream
+    composes directly with dedup_stream / streaming_near_dup
+    downstream. One file per trigger unit of work; bytes never
+    shuffle."""
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", 16)
+        .load(landing_dir)
+        .select(F.xxhash64("path").alias("file_id"), "content")
+    )
+    return warc_records(files)
+
+
 def synthesize_warc_files(
     records: DataFrame,
     file_col: str = "file_id",

@@ -127,3 +127,30 @@ def test_first_batch_is_plain_lsh(spark, tmp_path):
     assert inc == _pairs_set(lsh_candidate_pairs(sig, num_hashes=8,
                                                  bands=4))
     assert store.exists()
+
+
+def test_store_merge_is_cdf_scoped(spark, tmp_path):
+    # the daily drop's write amplification is observable and scoped:
+    # the CDF between the two commits carries exactly batch 2's fresh
+    # band keys as inserts, and reading it opens no untouched-bucket
+    # files
+    docs = _docs(spark, 30)
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    store = _store(spark, tmp_path, n_buckets=64)
+    incremental_lsh_pairs(store, sig.where(F.col("doc_id") >= 4))
+    v1 = store._load_manifest()["version"]
+    b2 = sig.where(F.col("doc_id") < 4)
+    incremental_lsh_pairs(store, b2)
+    v2 = store._load_manifest()["version"]
+    ch = store.changes(v1, v2)
+    rows = ch.collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    got = {(r["band"], r["key"], r["doc_id"]) for r in rows}
+    want = {(r["band"], r["key"], r["doc_id"])
+            for r in band_key_rows(b2, "doc_id", 8, 4).collect()}
+    assert got == want
+    touched = {b for b, v in store._load_manifest()["data"].items()
+               if v == v2}
+    read = {int(f.split("bucket=")[1].split("/")[0])
+            for f in ch.inputFiles() if "bucket=" in f}
+    assert read <= touched
