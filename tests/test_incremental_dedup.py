@@ -154,3 +154,51 @@ def test_store_merge_is_cdf_scoped(spark, tmp_path):
     read = {int(f.split("bucket=")[1].split("/")[0])
             for f in ch.inputFiles() if "bucket=" in f}
     assert read <= touched
+
+
+def test_foreachbatch_stream_shares_the_batch_store(spark, tmp_path):
+    # lambda-architecture parity: a document STREAM drives the same
+    # persisted band-key store through foreachBatch +
+    # incremental_lsh_pairs, so nightly batch drops and live streams
+    # dedup against ONE corpus state; the accumulated pair set equals
+    # the one-shot batch LSH over everything ingested
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = _store(spark, tmp_path)
+    docs = _docs(spark, 36)
+
+    # seed the store with a BATCH drop (docs 24..35)
+    seed = minhash_signatures(docs.where(F.col("doc_id") >= 24),
+                              num_hashes=8, shingle_k=3)
+    batch_pairs = _pairs_set(incremental_lsh_pairs(store, seed))
+
+    emitted = set()
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        sigs = minhash_signatures(batch_df, num_hashes=8, shingle_k=3)
+        for r in incremental_lsh_pairs(store, sigs).collect():
+            emitted.add((r["id_a"], r["id_b"]))
+
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).load(str(landing)))
+    q = (stream.writeStream
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(process).start())
+    try:
+        docs.where(F.col("doc_id") < 12).write.mode("append") \
+            .parquet(str(landing))
+        q.processAllAvailable()
+        docs.where((F.col("doc_id") >= 12) & (F.col("doc_id") < 24)) \
+            .write.mode("append").parquet(str(landing))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    one_shot = _pairs_set(lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=8, shingle_k=3),
+        num_hashes=8, bands=4))
+    assert batch_pairs | emitted == one_shot
