@@ -430,3 +430,22 @@ def test_discrete_metadata_views_dims_broadcast(spark):
         nl = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
         assert len(nl) == 1, name
         assert "BroadcastHashJoin" in p, name
+
+
+def test_round9_new_queries_no_pathological_joins(spark):
+    # WARC capstones, charset transcode, incremental LSH, SPI: none
+    # may plan a cartesian or nested-loop join anywhere (the robots
+    # chain, the store probe, and the rank windows are all equi-keyed)
+    for name in ("warc_record_ingest", "warc_crawl_corpus",
+                 "warc_multilingual_corpus", "warc_robots_gated_corpus",
+                 "charset_transcode_features", "spi_empirical_3mo"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_spi_windows_are_series_keyed(spark):
+    # every SPI window partitions on (series[, mon]) — a global
+    # (unpartitioned) window would funnel the corpus into one task
+    p = plan(spark, "spi_empirical_3mo")
+    assert "SinglePartition" not in p
