@@ -98,3 +98,82 @@ def test_pgraster_and_geotiff_roundtrip_random(grid):
     assert d["values"] == vals
     g = decode_geotiff(encode_geotiff(vals, w, h, 10.0, 20.0, 0.5, 0.5))
     assert g["values"] == vals
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=512), min_size=1,
+                max_size=8),
+       st.booleans())
+def test_warc_roundtrip_random_payloads(payloads, gz):
+    from aquacache_spark.functions.warc import (
+        build_warc, encode_warc_record, http_response_block,
+        iter_warc_records)
+
+    recs = [
+        encode_warc_record(
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"urn:x:{i}",
+             "WARC-Date": "2024-01-01T00:00:00Z",
+             "WARC-Target-URI": f"https://e/{i}",
+             "Content-Type": "application/http; msgtype=response"},
+            http_response_block(200, "OK",
+                                {"Content-Type":
+                                 "application/octet-stream"}, p))
+        for i, p in enumerate(payloads)
+    ]
+    out = list(iter_warc_records(build_warc(recs, gz=gz)))
+    assert len(out) == len(payloads)
+    for i, (r, p) in enumerate(zip(out, payloads)):
+        assert r["ok"] and r["record_id"] == f"urn:x:{i}"
+        assert r["payload"] == p  # arbitrary octets survive framing
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=600), st.integers(0, 3))
+def test_warc_arbitrary_truncation_never_throws(blob_seed, mode):
+    # parser total-function property: ANY byte prefix/mutation of a
+    # valid archive yields rows (ok or quarantine), never an exception
+    from aquacache_spark.functions.warc import (
+        build_warc, encode_warc_record, iter_warc_records)
+
+    base = build_warc(
+        [encode_warc_record({"WARC-Type": "metadata",
+                             "WARC-Record-ID": "urn:x:0",
+                             "WARC-Date": "d",
+                             "WARC-Target-URI": "u"}, blob_seed)],
+        gz=(mode % 2 == 0))
+    cut = len(blob_seed) % max(1, len(base))
+    mutated = base[:cut] + blob_seed + base[cut:]
+    for victim in (base[:cut], mutated, blob_seed):
+        rows = list(iter_warc_records(victim))
+        assert all(isinstance(r, dict) for r in rows)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32,
+                                      max_codepoint=0xFF),
+               min_size=0, max_size=200),
+       st.sampled_from(["utf-8", "cp1252", "utf-16-le", "utf-16-be"]))
+def test_charset_decode_recovers_text(text, codec):
+    # any Latin-1-range text encoded by any supported codec (with the
+    # proper declaration) decodes back exactly
+    from aquacache_spark.functions.charset import sniff_and_decode
+
+    if codec == "utf-16-le":
+        raw, expect_src = b"\xff\xfe" + text.encode(codec), "bom"
+    elif codec == "utf-16-be":
+        raw, expect_src = b"\xfe\xff" + text.encode(codec), "bom"
+    elif codec == "cp1252":
+        try:
+            raw = text.encode("cp1252")
+        except UnicodeEncodeError:
+            return  # 0x80-0x9F gap chars unmappable: out of scope
+        r = sniff_and_decode(raw, http_charset="windows-1252")
+        assert r["text"] == text and r["detection_source"] == "header"
+        return
+    else:
+        raw, expect_src = text.encode("utf-8"), "utf8-valid"
+    r = sniff_and_decode(raw)
+    assert r["text"] == text
+    assert r["detection_source"] == expect_src
+    assert r["replacement_count"] == 0
