@@ -320,7 +320,123 @@ def main() -> None:
         "wav_decode_features", "winnow_fingerprints",
         "wsc_connector_daily"
     }
+    # the 272-query round-9 suite, frozen for round-over-round
+    # comparability
+    r09 = {
+        "add_new_continuous_actions", "add_new_discrete_actions",
+        "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk", "ann_pq_topk",
+        "antecedent_index", "api_corrected_read", "api_daily_read",
+        "aquarius_connector_normalize", "asof_join_1to1",
+        "asset_cross_modal_dedup", "audio_fingerprint_near_dup",
+        "audio_spectral_features", "audio_spectral_near_dup", "audit_as_of",
+        "audit_changed_fields", "baseflow_separation", "benford_digit_screen",
+        "bigram_surprisal", "bloom_membership", "bm25_phrase_topk",
+        "bm25_topk", "bmp_decode_features", "bpe_tokenize_counts",
+        "bpe_train_merges", "bpe_trained_vocab_tokens", "c4_line_filter",
+        "calculate_period", "caldas_grib_ingest", "canonical_url_dedup",
+        "chain_components", "charset_transcode_features",
+        "chunk_cross_doc_near_dup", "cluster_safe_split",
+        "code_quality_filters", "compound_asof_expression",
+        "compound_expression", "compound_metadata_rollup",
+        "compound_priority_coalesce", "corpus_curation", "corpus_datacard",
+        "corpus_datacard_v2", "corpus_token_quantiles", "corrected_read_at",
+        "corrections_chain", "countmin_heavy_hitters",
+        "crawl_frontier_priority", "cross_section_discharge",
+        "cross_section_panel_hydraulics", "csw_layer_read",
+        "curation_full_gate", "curation_packed_manifest",
+        "customers_without_recent_orders", "daily_calculated_at",
+        "daily_corrected_at", "daily_rollup", "daily_rollup_median",
+        "dedup_best_of_cluster", "dedup_clusters", "dedup_exact",
+        "default_sharing_agreement_check", "discrete_result_sync",
+        "discrete_sample_sync", "divergence_cutoff", "doc_containment_scores",
+        "document_chunking", "document_type_validation",
+        "domain_quality_gate", "donor_offset_scoring", "double_mass_screen",
+        "doy_feb29_smoothed", "doy_historic_stats", "doy_stats_30yr_window",
+        "dsir_importance", "eccc_connector_fanout", "ecccwq_results",
+        "embedding_cosine_topk", "embedding_int8_quantization",
+        "embedding_ip_topk", "embedding_l2_topk", "embedding_near_dup",
+        "eqwin_normalize", "era5_netcdf4_ingest", "era5_netcdf_ingest",
+        "era5_request_plan", "eval_decontamination",
+        "event_cooccurrence_lift", "event_funnel", "event_sessionization",
+        "ffill_bfill", "flood_frequency_gumbel", "flood_frequency_lmoments",
+        "flow_duration_curve", "freshet_timing", "gap_expansion",
+        "gif_decode_features", "gopher_quality_gate",
+        "grade_exclusion_antijoin", "guideline_rule_evaluation",
+        "guideline_scalar", "hampel_spike_flags", "hampel_spike_nulls",
+        "hardness_guideline", "hash_stratified_sample",
+        "histogram_length_quantiles", "hll_token_distinct",
+        "hll_token_intersection", "host_link_stats", "host_pagerank",
+        "hrdpa_complex_ingest", "hrdpa_grib_ingest",
+        "hrdpa_listing_normalize", "hrdpa_rotated_ingest",
+        "hrdps_grib_ingest", "html_main_text_extract", "hybrid_rrf_topk",
+        "hydat_daily_merge", "idf_design_depths", "idw_station_gridding",
+        "image_hash_upsert", "image_phash_near_dup", "image_resize_features",
+        "image_series_watermarks", "image_share_with_restriction",
+        "image_sharpness_metrics", "import_mapping_join",
+        "import_mapping_resolution", "impute_donor_fill",
+        "incremental_daily_refresh", "incremental_lsh_parity",
+        "incremental_pagerank", "increments_stateful",
+        "instrument_acquisition_validation",
+        "instrument_connection_signal_check", "instrument_deployment_overlap",
+        "interval_overlap_validation", "iso_period_format",
+        "ivf_kmeans_centroids", "jpeg12_decode_features",
+        "jpeg_decode_features", "jpeg_progressive_features",
+        "json_extract_args", "kn_bigram_surprisal", "lag_diff_period",
+        "language_id", "linear_interpolation", "location_checks",
+        "location_code_generation", "location_masking",
+        "location_metadata_fr", "location_metadata_read",
+        "low_flow_frequency", "lsh_capped_pairs", "luhn_card_validation",
+        "mann_kendall_trend", "matrix_state_resolution",
+        "matryoshka_truncated_topk", "minhash_lsh_pairs",
+        "minhash_signatures", "mixture_domain_sample", "model_quality_score",
+        "multimodal_features", "nearest_station_search",
+        "ngram_jaccard_pairs", "nhn_gpkg_layer_upsert", "nhn_layer_upsert",
+        "nwis_connector_normalize", "parameter_unit_guard",
+        "per_language_curation", "per_language_temperature_sample",
+        "pgraster_wkb_export", "pii_redaction", "pmi_collocations",
+        "png_decode_features", "pricing_summary", "provenance_curation_gate",
+        "psl_wildcard_resolution", "qc_adjust_e2e", "qc_intervals_as_of",
+        "raster_basin_stats", "raster_bilinear_sample",
+        "raster_forecast_selective", "raster_model_asof", "raster_pyramid",
+        "raster_reference_cell_size_sync", "raster_zonal_stats",
+        "rating_curve_discharge", "record_completeness",
+        "recursive_downstream_closure", "refresh_daily_e2e", "region_revenue",
+        "repeated_span_coverage", "repeated_span_removal",
+        "repetition_metrics", "resample_6h_dense", "results_metadata_fr",
+        "results_metadata_read", "retrieval_ranking_metrics", "rle_segments",
+        "rls_share_with_filter", "robots_rules_parse", "robots_url_filter",
+        "runs_randomness_test", "samples_metadata_fr",
+        "samples_metadata_read", "scd2_dimension_build",
+        "scored_curation_manifest", "seasonal_mann_kendall",
+        "segment_id_recycling", "segment_overlay", "semdedup_capped_prune",
+        "semdedup_prune", "sensor_assignment_validation", "sequence_packing",
+        "session_features", "share_with_maintenance",
+        "sharing_agreement_overlap_check", "simhash_capped_pairs",
+        "simhash_near_pairs", "simhash_signatures",
+        "sitemap_crawl_candidates", "sitemap_url_ingest", "snow_workbook_qc",
+        "snowcourse_station_merge", "spi_empirical_3mo", "spike_qc_segments",
+        "spline_imputation", "station_lag_correlation", "stratified_split",
+        "surprisal_quality_buckets", "swob_minute_normalize",
+        "sync_reconcile", "table_profile", "temperature_mixture_sample",
+        "text_metrics", "tfidf_top_terms", "tfpw_mann_kendall",
+        "timeseries_bounds_check", "timeseries_insert_validation",
+        "timeseries_metadata_fr", "timeseries_metadata_read", "token_entropy",
+        "token_stats", "topk_per_group", "trigram_surprisal",
+        "tz_daily_rollup_dst", "unicode_fold_normalize", "unigram_surprisal",
+        "unit_conversions", "url_canonicalization", "url_domain_rollup",
+        "url_domain_rollup_psl", "vector_point_in_polygon",
+        "verified_heavy_hitters", "video_fingerprint_near_dup",
+        "video_frame_features", "video_scene_cuts", "video_shot_containment",
+        "video_shot_containment_capped", "video_shot_containment_sign",
+        "visibility_expiry_maintenance", "warc_crawl_corpus",
+        "warc_multilingual_corpus", "warc_record_ingest",
+        "warc_robots_gated_corpus", "watermark_ingest_trim",
+        "wav_decode_features", "weighted_stratified_sample",
+        "winnow_fingerprints", "wsc_connector_daily", "zorder_layout_key",
+    }
+
     subset05 = round(sum(v for k, v in timings.items() if k in r05), 3)
+    subset09 = round(sum(v for k, v in timings.items() if k in r09), 3)
 
     # The driver keeps only a 4KB stdout TAIL: a single JSON line carrying
     # all 200+ per-query timings gets its leading "metric"/"value" fields
@@ -338,6 +454,7 @@ def main() -> None:
         "r03_subset_seconds": subset03,
         "r04_subset_seconds": subset04,
         "r05_subset_seconds": subset05,
+        "r09_subset_seconds": subset09,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     sidecar = os.path.join(
@@ -359,6 +476,7 @@ def main() -> None:
         "r03_subset_seconds": subset03,
         "r04_subset_seconds": subset04,
         "r05_subset_seconds": subset05,
+        "r09_subset_seconds": subset09,
         "queries_sidecar": sidecar,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
