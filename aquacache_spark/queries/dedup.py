@@ -3519,3 +3519,109 @@ def dedup_best_of_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the 100 TB scale path next to the
+# exact-overlap eval_decontamination: the eval set's 5-gram Bloom
+# (32k bigint words — broadcastable at ANY corpus size, no false
+# negatives) probes the training corpus MAP-SIDE; only probabilistic
+# survivors would pay an exact recheck. The bit table is
+# deterministic integer md5 math, so the ORACLE rebuilds the exact
+# same words and probes them — the sketch state itself is
+# differentially verified, FP mass included (exact_hits <= maybe_hits
+# by construction).
+# ---------------------------------------------------------------------------
+
+_BLOOM_DECON_M = 1 << 20
+_BLOOM_DECON_K = 5
+
+_BLOOM_DECON_ORACLE = f"""
+    WITH g5 AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 5], ' ')
+               AS sh
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, greatest(n - 5, 0))) AS i
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                     len(string_split(lower(text), ' ')) AS n
+              FROM documents)
+      )
+    ), ev AS (
+      SELECT DISTINCT sh FROM g5 WHERE doc_id % 19 = 3
+    ), tr AS (
+      SELECT doc_id, sh FROM g5 WHERE doc_id % 19 != 3
+    ), epos AS (
+      SELECT CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|'
+                                     || sh), 1, 15) AS BIGINT)
+               % {_BLOOM_DECON_M} AS p
+      FROM ev CROSS JOIN (SELECT unnest(range(0, {_BLOOM_DECON_K}))
+                          AS i)
+    ), bloom AS (
+      SELECT CAST(p // 32 AS INT) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+      FROM epos GROUP BY 1
+    ), tp AS (
+      SELECT doc_id, sh,
+             CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|'
+                                     || sh), 1, 15) AS BIGINT)
+               % {_BLOOM_DECON_M} AS p
+      FROM tr CROSS JOIN (SELECT unnest(range(0, {_BLOOM_DECON_K}))
+                          AS i)
+    ), tb AS (
+      SELECT doc_id, sh,
+             min(CASE WHEN (coalesce(word, CAST(0 AS BIGINT))
+                            & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT)))
+                      = (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))
+                 THEN 1 ELSE 0 END) AS maybe
+      FROM tp LEFT JOIN bloom ON bloom.word_idx = CAST(p // 32 AS INT)
+      GROUP BY 1, 2
+    ), ex AS (
+      SELECT t.doc_id, t.sh,
+             CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END AS ehit
+      FROM tr t LEFT JOIN ev e USING (sh)
+    )
+    SELECT tb.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(ex.ehit) AS BIGINT) AS exact_hits,
+           CAST(sum(tb.maybe) AS BIGINT) AS maybe_hits,
+           sum(tb.maybe) >= 8 AS flagged
+    FROM tb JOIN ex USING (doc_id, sh)
+    GROUP BY 1
+"""
+
+
+@register("bloom_decontamination", oracle=_BLOOM_DECON_ORACLE)
+def bloom_decontamination_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Eval-set 5-gram Bloom probe over the training corpus (same
+    split and threshold as eval_decontamination): per-doc distinct
+    grams, exact overlap, probabilistic hits, flag at >= 8 — the
+    sketch bits verified word-for-word through the probe."""
+    from ..functions.text import word_shingles
+    from ..operators.sketch import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 19 == 3)
+    train = docs.where(F.col("doc_id") % 19 != 3)
+    eg = evalset.select(
+        F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+    bloom = bloom_build(eg, "gram", m_bits=_BLOOM_DECON_M,
+                        k_hashes=_BLOOM_DECON_K)
+    ev_dim = eg.distinct().withColumn("__e", F.lit(1))
+    tg = train.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+    probes = tg.join(ev_dim.withColumnRenamed("gram", "gram"),
+                     "gram", "left")
+    out = bloom_probe(bloom, probes.select("doc_id", "gram", "__e"),
+                      "gram", m_bits=_BLOOM_DECON_M,
+                      k_hashes=_BLOOM_DECON_K)
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("exact_hits"),
+        F.sum(F.col("maybe_present").cast("int")).cast("long")
+        .alias("maybe_hits"),
+        (F.sum(F.col("maybe_present").cast("int")) >= 8)
+        .alias("flagged"))
