@@ -449,3 +449,12 @@ def test_spi_windows_are_series_keyed(spark):
     # (unpartitioned) window would funnel the corpus into one task
     p = plan(spark, "spi_empirical_3mo")
     assert "SinglePartition" not in p
+
+
+def test_bloom_decontamination_sketch_broadcast(spark):
+    # the Bloom word table must arrive broadcast (it is what makes the
+    # probe map-side at 100 TB); nothing cartesian anywhere
+    p = plan(spark, "bloom_decontamination")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
