@@ -352,3 +352,65 @@ def histogram_quantiles(
     return out.select(*group_cols, "pct", F.col("bin").cast("long").alias("bin"),
                       edge.alias("upper_edge"),
                       F.col("n").cast("long").alias("n"))
+
+
+def distribution_psi(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.0,
+    hi: float = 2048.0,
+    bins: int = 32,
+) -> DataFrame:
+    """Population stability index of each group's value distribution
+    against the whole corpus — the standard drift screen between data
+    batches/sources: PSI = sum_i (p_i - q_i) ln(p_i / q_i) over a
+    fixed-bound histogram, Laplace-smoothed (+1 per bin) so empty
+    bins stay finite.
+
+    Scale shape: two partial-aggregable histogram aggregations
+    (group x bins and bins), a (groups x bins) spine built by
+    crossJoin of two CATALOG-sized frames, everything downstream
+    bounded by groups*bins rows. Cross-engine exactness: p and q are
+    exact integer ratios cast to double identically on both engines;
+    each ln term is quantized to nano-units before the sum, so the
+    PSI is an exact integer total (the repo's transcendental-parity
+    idiom).
+
+    Output: (group, n_rows, psi). PSI > 0.25 is the conventional
+    "major shift" threshold; the caller applies its own cut.
+    """
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(lo))
+                    / F.lit(hi - lo) * bins).cast("int"),
+            F.lit(0)),
+        F.lit(bins - 1)).alias("bin")
+    binned = df.select(F.col(group_col).alias("grp"), b)
+    gc = binned.groupBy("grp", "bin").agg(
+        F.count(F.lit(1)).alias("cg"))
+    ac = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("ca"))
+    gtot = binned.groupBy("grp").agg(F.count(F.lit(1)).alias("ng"))
+    atot = binned.count()
+    spine = gtot.crossJoin(
+        F.broadcast(binned.sparkSession.range(bins)
+                    .select(F.col("id").cast("int").alias("bin"))))
+    full = (
+        spine.join(gc, ["grp", "bin"], "left")
+        .join(F.broadcast(ac), "bin", "left")
+        .withColumn("cg", F.coalesce("cg", F.lit(0)))
+        .withColumn("ca", F.coalesce("ca", F.lit(0)))
+    )
+    p = (F.col("cg") + 1).cast("double") / (F.col("ng") + bins) \
+        .cast("double")
+    q = (F.col("ca") + 1).cast("double") / F.lit(float(atot + bins))
+    term = F.floor((p - q) * F.log(p / q) * 1e9 + F.lit(0.5)) \
+        .cast("long")
+    return (
+        full.withColumn("__t", term)
+        .groupBy("grp", "ng")
+        .agg((F.sum("__t") / F.lit(1e9)).alias("psi"))
+        .select(F.col("grp").alias(group_col),
+                F.col("ng").cast("long").alias("n_rows"),
+                "psi")
+    )

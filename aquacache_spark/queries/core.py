@@ -7778,3 +7778,66 @@ def runs_randomness_test_q(spark: SparkSession,
                           (F.col("runs") - F.col("mu_runs"))
                           / F.col("__sig")).alias("z")))
     return _round(out, {"mu_runs": 6, "z": 6})
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution drift (operators/sketch.distribution_psi):
+# the population stability index of each source's doc-length
+# distribution against the whole corpus — the standard batch-drift
+# screen. Exact integer histogram counts, Laplace smoothing, each ln
+# term nano-quantized before the sum (transcendental-parity idiom).
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+    WITH binned AS (
+      SELECT source AS grp,
+             least(greatest(CAST(floor(CAST(n_chars AS DOUBLE)
+                                       / 2048.0 * 32) AS INT), 0), 31)
+               AS bin
+      FROM documents
+    ), gc AS (
+      SELECT grp, bin, count(*) AS cg FROM binned GROUP BY 1, 2
+    ), ac AS (
+      SELECT bin, count(*) AS ca FROM binned GROUP BY 1
+    ), gtot AS (
+      SELECT grp, count(*) AS ng FROM binned GROUP BY 1
+    ), atot AS (
+      SELECT count(*) AS na FROM binned
+    ), spine AS (
+      SELECT grp, ng, i AS bin
+      FROM gtot CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+    ), filled AS (
+      SELECT s.grp, s.ng, s.bin,
+             coalesce(gc.cg, 0) AS cg, coalesce(ac.ca, 0) AS ca,
+             atot.na
+      FROM spine s
+      LEFT JOIN gc ON gc.grp = s.grp AND gc.bin = s.bin
+      LEFT JOIN ac ON ac.bin = s.bin
+      CROSS JOIN atot
+    ), terms AS (
+      SELECT grp, ng,
+             CAST(floor((CAST(cg + 1 AS DOUBLE)
+                         / CAST(ng + 32 AS DOUBLE)
+                         - CAST(ca + 1 AS DOUBLE)
+                           / CAST(na + 32 AS DOUBLE))
+                        * ln((CAST(cg + 1 AS DOUBLE)
+                              / CAST(ng + 32 AS DOUBLE))
+                             / (CAST(ca + 1 AS DOUBLE)
+                                / CAST(na + 32 AS DOUBLE)))
+                        * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t
+      FROM filled
+    )
+    SELECT grp AS source, CAST(ng AS BIGINT) AS n_rows,
+           sum(t) / 1e9 AS psi
+    FROM terms GROUP BY 1, 2
+"""
+
+
+@register("source_drift_psi", oracle=_PSI_ORACLE)
+def source_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of each source's doc-length histogram vs the corpus."""
+    from ..operators.sketch import distribution_psi
+
+    docs = _t(spark, sf_dir, "documents")
+    return distribution_psi(docs, "n_chars", "source",
+                            lo=0.0, hi=2048.0, bins=32)
