@@ -386,7 +386,8 @@ def distribution_psi(
                     / F.lit(hi - lo) * bins).cast("int"),
             F.lit(0)),
         F.lit(bins - 1)).alias("bin")
-    binned = df.select(F.col(group_col).alias("grp"), b)
+    binned = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), b)
     gc = binned.groupBy("grp", "bin").agg(
         F.count(F.lit(1)).alias("cg"))
     ac = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("ca"))

@@ -7794,7 +7794,7 @@ _PSI_ORACLE = """
              least(greatest(CAST(floor(CAST(n_chars AS DOUBLE)
                                        / 2048.0 * 32) AS INT), 0), 31)
                AS bin
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ), gc AS (
       SELECT grp, bin, count(*) AS cg FROM binned GROUP BY 1, 2
     ), ac AS (

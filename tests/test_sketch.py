@@ -166,3 +166,37 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
     # a half-shard sketch is itself consistent; full-merge equivalence
     # is structural (counts are partial-aggregable sums)
     assert qa["n"] == n // 2
+
+
+def test_distribution_psi_closed_form(spark):
+    from aquacache_spark.operators.sketch import distribution_psi
+    import math
+
+    # group "a" mirrors the corpus exactly at half mass; group "b" is
+    # shifted entirely into the top bin
+    rows = ([("a", float(v)) for v in (10, 10, 500, 500)]
+            + [("b", 1000.0)] * 4)
+    df = spark.createDataFrame(rows, "src string, v double")
+    out = {r["src"]: r for r in distribution_psi(
+        df, "v", "src", lo=0.0, hi=1024.0, bins=4).collect()}
+    assert out["a"]["n_rows"] == 4 and out["b"]["n_rows"] == 4
+
+    def psi(counts_g, counts_all, n_g, n_all, bins=4):
+        tot = 0
+        for i in range(bins):
+            p = (counts_g.get(i, 0) + 1) / (n_g + bins)
+            q = (counts_all.get(i, 0) + 1) / (n_all + bins)
+            tot += math.floor((p - q) * math.log(p / q) * 1e9 + 0.5)
+        return tot / 1e9
+
+    ca = {0: 2, 1: 2, 3: 4}  # corpus: bins of 10->0, 500->1, 1000->3
+    assert out["a"]["psi"] == psi({0: 2, 1: 2}, ca, 4, 8)
+    assert out["b"]["psi"] == psi({3: 4}, ca, 4, 8)
+    assert out["a"]["psi"] > 0 and out["b"]["psi"] > 0
+    # NULL values drop from bins AND totals
+    df2 = spark.createDataFrame(
+        rows + [("a", None)], "src string, v double")
+    out2 = {r["src"]: r for r in distribution_psi(
+        df2, "v", "src", lo=0.0, hi=1024.0, bins=4).collect()}
+    assert out2["a"]["n_rows"] == 4
+    assert out2["a"]["psi"] == out["a"]["psi"]
