@@ -415,3 +415,53 @@ def distribution_psi(
                 F.col("ng").cast("long").alias("n_rows"),
                 "psi")
     )
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values sketch: the k smallest md5 hashes of the
+    DISTINCT keys per group — simultaneously a deterministic uniform
+    sample of the key space AND a distinct-count estimator
+    (Bar-Yossef 2002): with v_k = the k-th smallest hash mapped to
+    (0, 1), D ≈ (k - 1) / v_k.
+
+    Scale shape: one distinct-key aggregation (partial-aggregable),
+    then a per-group bottom-k — a WindowGroupLimit rank filter, never
+    a global sort; state is k hashes per group forever, and two
+    groups' sketches merge by union + re-take-k (the bottom-k of a
+    union is the bottom-k of the merged bottom-ks). Estimation is
+    exact integer hash arithmetic until one final division.
+
+    Output: one row per surviving key — (group, key, h, rank) — plus
+    the estimate columns repeated per group (n_seen exact distinct at
+    test scale is NOT computed; the estimator is the point).
+    """
+    from pyspark.sql import Window as W
+
+    gcols = [group_col] if group_col else []
+    h = md5_int(F.col(key_col).cast("string"), 15)
+    dk = df.select(*gcols, F.col(key_col)).distinct() \
+        .withColumn("h", h)
+    w = W.partitionBy(*gcols).orderBy("h", key_col)
+    ranked = dk.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= k)
+    # v_k as an exact integer over the 60-bit hash space; estimate
+    # computed in one double division (identical both engines)
+    vk = ranked.groupBy(*gcols).agg(
+        F.max("h").alias("__vk"),
+        F.count(F.lit(1)).alias("__got"))
+    est = F.when(
+        F.col("__got") < k,  # fewer keys than k: count is exact
+        F.col("__got").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) /
+        F.col("__vk").cast("double"))
+    out = ranked.join(F.broadcast(vk), gcols) if gcols else \
+        ranked.crossJoin(F.broadcast(vk))
+    return out.select(
+        *gcols, key_col, "h", "rank",
+        est.alias("distinct_estimate"))

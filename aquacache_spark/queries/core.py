@@ -7841,3 +7841,52 @@ def source_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return distribution_psi(docs, "n_chars", "source",
                             lo=0.0, hi=2048.0, bins=32)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch (operators/sketch.kmv_bottom_k): deterministic
+# uniform key sample + distinct-count estimator in one pass — the
+# mergeable companion to HLL that also RETURNS representatives. Rank
+# filter rides WindowGroupLimit; estimate is exact integer hashes
+# until one final double division.
+# ---------------------------------------------------------------------------
+
+_KMV_ORACLE = """
+    WITH dk AS (
+      SELECT DISTINCT o_orderpriority AS grp,
+             CAST(o_custkey AS VARCHAR) AS key
+      FROM orders
+    ), hashed AS (
+      SELECT grp, key,
+             CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) AS h
+      FROM dk
+    ), ranked AS (
+      SELECT grp, key, h,
+             CAST(row_number() OVER (PARTITION BY grp
+                                     ORDER BY h, key) AS INT) AS rank
+      FROM hashed
+    ), topk AS (
+      SELECT * FROM ranked WHERE rank <= 64
+    ), vk AS (
+      SELECT grp, max(h) AS vkh, count(*) AS got FROM topk GROUP BY 1
+    )
+    SELECT t.grp AS priority, t.key AS custkey, t.h, t.rank,
+           CASE WHEN vk.got < 64 THEN CAST(vk.got AS DOUBLE)
+                ELSE CAST(63 AS DOUBLE)
+                     * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(vk.vkh AS DOUBLE)
+           END AS distinct_estimate
+    FROM topk t JOIN vk USING (grp)
+"""
+
+
+@register("kmv_distinct_sample", oracle=_KMV_ORACLE)
+def kmv_distinct_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority KMV: the 64 minimum customer-key hashes with the
+    (k-1)/v_k distinct estimate attached."""
+    from ..operators.sketch import kmv_bottom_k
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").cast("string").alias("custkey"))
+    return kmv_bottom_k(o, "custkey", group_col="priority", k=64)

@@ -200,3 +200,48 @@ def test_distribution_psi_closed_form(spark):
         df2, "v", "src", lo=0.0, hi=1024.0, bins=4).collect()}
     assert out2["a"]["n_rows"] == 4
     assert out2["a"]["psi"] == out["a"]["psi"]
+
+
+def test_kmv_estimate_and_merge(spark):
+    from aquacache_spark.operators.sketch import kmv_bottom_k
+
+    # ~1500 distinct keys, one group: (k-1)/v_k lands within the
+    # expected O(1/sqrt(k)) band of the truth
+    df = spark.range(1500).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("k"))
+    out = kmv_bottom_k(df, "k", group_col="grp", k=64).collect()
+    assert len(out) == 64
+    est = out[0]["distinct_estimate"]
+    assert abs(est - 1500) / 1500 < 0.35
+    # below-k group: the estimate is the exact count
+    small = spark.range(10).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("k"))
+    souts = kmv_bottom_k(small, "k", group_col="grp", k=64).collect()
+    assert len(souts) == 10
+    assert souts[0]["distinct_estimate"] == 10.0
+    # mergeability: bottom-k of the union == bottom-k over the merged
+    # per-shard bottom-ks
+    a = spark.range(0, 800).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("k"))
+    b = spark.range(400, 1500).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("k"))
+    direct = {(r["k"], r["rank"]) for r in kmv_bottom_k(
+        a.unionByName(b), "k", group_col="grp", k=64).collect()}
+    ka = kmv_bottom_k(a, "k", group_col="grp", k=64) \
+        .select("grp", "k")
+    kb = kmv_bottom_k(b, "k", group_col="grp", k=64) \
+        .select("grp", "k")
+    remerged = {(r["k"], r["rank"]) for r in kmv_bottom_k(
+        ka.unionByName(kb), "k", group_col="grp", k=64).collect()}
+    assert direct == remerged
+
+
+def test_kmv_rank_filter_uses_window_group_limit(spark):
+    from aquacache_spark import queries as Q
+
+    df = Q.QUERIES["kmv_distinct_sample"](
+        spark, "/root/testdata/sf0.001")
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "WindowGroupLimit" in p
+    assert "SinglePartition" not in p
