@@ -424,3 +424,62 @@ def streaming_near_dup(
     return keys.groupBy("band", "key").applyInPandasWithState(
         fn, out_schema, NEAR_DUP_STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
+
+
+KMV_STATE_SCHEMA = "hashes array<bigint>, keys array<string>"
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    key_col: str,
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming K-minimum-values sketch — the bounded-state twin of
+    operators/sketch.kmv_bottom_k (HLL and count-min already have
+    their streaming mirrors; KMV completes the set and is the one
+    that also RETURNS sample keys).
+
+    State per group is exactly the k smallest (hash, key) pairs seen
+    — merging a micro-batch is union + re-take-k, the same
+    mergeability the batch operator's tests pin — so state never
+    grows with the stream. Update mode: each batch emits the
+    refreshed estimate ((k-1)/v_k, exact count below k); the final
+    emission equals the batch sketch over the full history."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField(group_col, T.StringType()),
+        T.StructField("n_kept", T.IntegerType()),
+        T.StructField("vk", T.LongType()),
+        T.StructField("distinct_estimate", T.DoubleType()),
+    ])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            hs, ks = list(state.get[0]), list(state.get[1])
+            pairs = dict(zip(ks, hs))
+        else:
+            pairs = {}
+        for pdf in pdfs:
+            for v in pdf[key_col]:
+                s = str(v)
+                if s not in pairs:
+                    pairs[s] = int(
+                        hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        best = sorted(pairs.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        state.update(([h for _, h in best], [s for s, _ in best]))
+        n = len(best)
+        vk = best[-1][1] if best else 0
+        est = (float(n) if n < k
+               else float(k - 1) * float(1 << 60) / float(vk))
+        yield pd.DataFrame({
+            group_col: [key[0]], "n_kept": [n], "vk": [vk],
+            "distinct_estimate": [est],
+        })
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, KMV_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)

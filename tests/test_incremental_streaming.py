@@ -1068,3 +1068,56 @@ def test_streaming_near_dup_cap_bounds_state(spark, tmp_path):
     # linear edge mass: far fewer than the 36 all-pairs edges
     assert len(pairs) <= 4 * (9 - 1), pairs
     assert (-5, 0) in pairs  # the late minimum edges to the old anchor
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """KMV as bounded streaming state (k hash/key pairs per group
+    forever): after two micro-batch phases the last emission per
+    group equals the batch sketch over the full history — v_k and
+    the estimate bit-identical."""
+    from aquacache_spark.operators.sketch import kmv_bottom_k
+    from aquacache_spark.streaming.stateful import streaming_kmv_distinct
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "source string, k string"
+
+    def write(lo, hi):
+        spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+            .alias("source"),
+            (F.col("id") % 900).cast("string").alias("k"),
+        ).write.mode("append").parquet(str(landing))
+
+    latest = {}
+
+    def process(df, epoch_id):
+        for r in df.collect():
+            latest[r["source"]] = r
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 4).load(str(landing)))
+    q = (streaming_kmv_distinct(stream, "k", group_col="source")
+         .writeStream.outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(process).start())
+    try:
+        write(0, 500)
+        q.processAllAvailable()
+        write(500, 2400)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.range(0, 2400).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+        (F.col("id") % 900).cast("string").alias("k"))
+    batch = kmv_bottom_k(full, "k", group_col="source", k=64)
+    bagg = {r["source"]: r for r in batch.groupBy("source").agg(
+        F.max("h").alias("vk"),
+        F.max("distinct_estimate").alias("est")).collect()}
+    for g in ("a", "b"):
+        assert latest[g]["vk"] == bagg[g]["vk"], g
+        assert latest[g]["distinct_estimate"] == bagg[g]["est"], g
+        assert latest[g]["n_kept"] == 64
