@@ -7890,3 +7890,53 @@ def kmv_distinct_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.col("o_custkey").cast("string").alias("custkey"))
     return kmv_bottom_k(o, "custkey", group_col="priority", k=64)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert layout key (operators/vector.hilbert_key): the no-long-jump
+# space-filling order (Delta liquid clustering's curve) next to the
+# Morton key — same quantization contract, MSB-first 4-state machine
+# derived from the textbook rotation loop and pinned point-by-point
+# against it; oracle replays the identical 16-entry table as chained
+# per-bit CTEs.
+# ---------------------------------------------------------------------------
+
+def _hilbert_oracle() -> str:
+    from ..operators.vector import hilbert_sql_ctes
+
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             50.0 + (c_custkey % 2000) / CAST(100 AS DOUBLE) AS lat,
+             -140.0 + (c_custkey % 3500) / CAST(100 AS DOUBLE) AS lon
+      FROM customer
+    ), q AS (
+      SELECT c_custkey,
+             CAST(floor(least(greatest(
+               (lat - CAST(50 AS DOUBLE)) / CAST(20 AS DOUBLE),
+               CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) * 65535)
+               AS BIGINT) AS qx,
+             CAST(floor(least(greatest(
+               (lon - CAST(-140 AS DOUBLE)) / CAST(35 AS DOUBLE),
+               CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) * 65535)
+               AS BIGINT) AS qy
+      FROM pts
+    )
+    {hilbert_sql_ctes("qx", "qy", 16, "c_custkey")}
+    SELECT c_custkey, hd AS hkey FROM hstep0
+"""
+
+
+@register("hilbert_layout_key", oracle=_hilbert_oracle())
+def hilbert_layout_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit-per-axis Hilbert key over the zorder fixture's station
+    coordinates."""
+    from ..operators.vector import hilbert_key
+
+    c = _t(spark, sf_dir, "customer")
+    lat = F.lit(50.0) + (F.col("c_custkey") % 2000) / F.lit(100.0)
+    lon = F.lit(-140.0) + (F.col("c_custkey") % 3500) / F.lit(100.0)
+    return c.select(
+        "c_custkey",
+        hilbert_key(lat, lon, 50.0, 70.0, -140.0, -105.0, bits=16)
+        .alias("hkey"))

@@ -257,3 +257,49 @@ def test_zorder_key_locality_and_clamping(spark):
     assert out[2] == 0                      # both mins -> cell (0, 0)
     assert out[3] == (1 << 32) - 1          # both maxes -> all bits set
     assert 0 <= out[1] <= (1 << 32) - 1     # clamped inside the domain
+
+
+def test_hilbert_key_matches_reference_loop(spark):
+    # the derived state machine == the textbook xy2d rotation loop,
+    # point by point on a 32x32 grid, evaluated through the REAL
+    # Column fold
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.operators.vector import hilbert_key
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 5, 32
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("gx"),
+        (F.col("id") / n).cast("long").alias("gy"))
+    # map the integer grid through the quantizer's identity window
+    out = grid.select(
+        "gx", "gy",
+        hilbert_key(F.col("gx").cast("double") / (n - 1),
+                    F.col("gy").cast("double") / (n - 1),
+                    0.0, 1.0, 0.0, 1.0, bits=bits).alias("h"))
+    rows = out.collect()
+    assert len(rows) == n * n
+    for r in rows:
+        assert r["h"] == xy2d(n, r["gx"], r["gy"]), (r["gx"], r["gy"])
+    # the defining Hilbert property Morton lacks: consecutive keys
+    # are always 4-neighbour grid steps (no long jumps)
+    byd = {r["h"]: (r["gx"], r["gy"]) for r in rows}
+    assert sorted(byd) == list(range(n * n))
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = byd[d - 1], byd[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
