@@ -431,6 +431,23 @@ def main() -> None:
     assert hot_edges == n_docs // 2 - 1, f"hot star edges: {hot_edges}"
     assert n_pairs < 5 * n_docs, f"pair mass not linear: {n_pairs}"
 
+    # Hilbert layout key at 3M points: the packed-table unrolled
+    # arithmetic chain must stay a single codegen'd projection — the
+    # F.aggregate/CASE form of this recurrence ran ~700x slower
+    # (interpreted HOF), so the pin guards against regressing into it
+    from aquacache_spark.operators.vector import hilbert_key
+
+    hpts = spark.range(0, 3_000_000).select(
+        (50.0 + (F.col("id") % 2000) / 100.0).alias("lat"),
+        (-140.0 + (F.col("id") % 3500) / 100.0).alias("lon"))
+    t0 = time.perf_counter()
+    hpts.select(hilbert_key(
+        F.col("lat"), F.col("lon"), 50.0, 70.0, -140.0, -105.0,
+        bits=16).alias("hk")).write.format("noop") \
+        .mode("overwrite").save()
+    timings["hilbert_key_3m"] = round(time.perf_counter() - t0, 2)
+    assert timings["hilbert_key_3m"] < 8.0, timings["hilbert_key_3m"]
+
     # incremental dedup daily drop: a corpus-wide band-key store
     # (ParquetMergeStore bucketed on the band key, 256 buckets) seeded
     # with a large batch 1; a small batch 2 must probe ONLY the store
