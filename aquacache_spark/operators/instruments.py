@@ -402,3 +402,691 @@ def deployment_acquisition_validation(
                | F.coalesce("__bad_sig", F.lit(False)))).alias("valid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# patch_36/37 instrument transmission + connection validator family.
+# patch_44 rebuilds the connection-*signal* and acquisition checks
+# (above) but never drops these triggers, so they remain live reference
+# surface: the deployment-meta overlap guard (patch_36.R:33), the
+# connection bounds/overlap constraint triggers (patch_37.R:503,611),
+# the logger-capability and protocol-dependents guards (:1106,1130),
+# and the telemetry-setup family (:1699-2300). Each PL/pgSQL trigger
+# re-runs lookups + EXISTS probes per mutated row; re-expressed here
+# set-wise each becomes one broadcast-ladder pass over the whole
+# catalog table, labelling every row with the FIRST failing check in
+# the trigger's RAISE order (NULL = accepted).
+# ---------------------------------------------------------------------------
+
+
+def instrument_meta_overlap(deployments: DataFrame) -> DataFrame:
+    """check_instrument_meta_overlap (patch_36.R:33-57): a deployment
+    row conflicts when ANOTHER row shares its (location_id,
+    sub_location_id, z_id, instrument_id) — the nullable keys compared
+    IS NOT DISTINCT FROM — and its [start, coalesce(end, infinity))
+    period overlaps. Replayed for every row at once via one
+    self-equi-join on the grouping key (NULLs bucketed together by
+    eqNullSafe on pre-normalized key columns), not a theta-join: the
+    join keys are exact, only the period test is an inequality.
+
+    Input: ``deployments`` = locations_metadata_instruments
+    (metadata_id, location_id, sub_location_id, z_id, instrument_id,
+    start_datetime, end_datetime). Output: every input row +
+    ``overlap_violation``.
+    """
+    d = deployments.select(
+        "metadata_id", "location_id", "sub_location_id", "z_id",
+        "instrument_id",
+        F.col("start_datetime").alias("__s"),
+        _inf(F.col("end_datetime")).alias("__e"),
+    )
+    # normalize nullable key parts so an equi-join co-buckets NULLs
+    key = F.concat_ws(
+        "|",
+        F.col("location_id").cast("string"),
+        F.coalesce(F.col("sub_location_id").cast("string"), F.lit("~")),
+        F.coalesce(F.col("z_id").cast("string"), F.lit("~")),
+        F.coalesce(F.col("instrument_id").cast("string"), F.lit("~")),
+    )
+    a = d.withColumn("__k", key)
+    b = a.select(
+        F.col("__k").alias("__o_k"),
+        F.col("metadata_id").alias("__o_m"),
+        F.col("__s").alias("__o_s"),
+        F.col("__e").alias("__o_e"),
+    )
+    hit = (
+        a.join(F.broadcast(b),
+               (F.col("__k") == F.col("__o_k"))
+               & (F.col("metadata_id") != F.col("__o_m"))
+               & (F.col("__s") < F.col("__o_e"))
+               & (F.col("__e") > F.col("__o_s")),
+               "left_semi")
+        .select("metadata_id")
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        deployments.select("metadata_id", "location_id",
+                           "sub_location_id", "z_id", "instrument_id")
+        .join(F.broadcast(hit), "metadata_id", "left")
+        .select(
+            "metadata_id", "location_id", "sub_location_id", "z_id",
+            "instrument_id",
+            F.coalesce("__hit", F.lit(False)).alias("overlap_violation"),
+        )
+    )
+
+
+def connection_bounds_validation(
+    connections: DataFrame,
+    deployments: DataFrame,
+    instruments: DataFrame,
+    protocols: DataFrame,
+) -> DataFrame:
+    """check_instrument_connection_bounds (patch_37.R:503-608) +
+    check_instrument_connection_overlap (:611-668), set-wise: every
+    instrument/logger connection row gets the FIRST failing bounds
+    check in the trigger's RAISE order as ``reject_reason`` (NULL =
+    accepted), plus the two overlap-trigger probes as flags —
+    ``duplicate_overlap`` (same instrument/logger/protocol/port/scope/
+    address tuple, COALESCE('') on the nullable parts, overlapping
+    period) and ``address_conflict`` (device_address reuse on the same
+    logger/protocol/port/scope while active).
+
+    Bounds ladder: unknown_instrument_deployment /
+    unknown_logger_deployment / unknown_protocol /
+    instrument_not_deployed / logger_not_deployed / logger_not_capable
+    (can_be_logger IS DISTINCT FROM TRUE, missing instrument row
+    included) / internal_protocol_split_deployment /
+    shared_deployment_not_internal / location_mismatch /
+    start_before_deployment / end_beyond_instrument /
+    end_beyond_logger.
+
+    Input: ``connections`` (connection_id, instrument_metadata_id,
+    logger_metadata_id, protocol_id, logger_port, address_scope,
+    device_address, start_datetime, end_datetime), ``deployments``
+    (metadata_id, location_id, instrument_id, start_datetime,
+    end_datetime), ``instruments`` (instrument_id, can_be_logger),
+    ``protocols`` (protocol_id, family_code).
+    """
+    i_side = deployments.select(
+        F.col("metadata_id").alias("__im"),
+        F.col("instrument_id").alias("__i_inst"),
+        F.col("location_id").alias("__i_loc"),
+        F.col("start_datetime").alias("__is"),
+        _inf(F.col("end_datetime")).alias("__ie"),
+    )
+    l_side = deployments.select(
+        F.col("metadata_id").alias("__lm"),
+        F.col("instrument_id").alias("__l_inst"),
+        F.col("location_id").alias("__l_loc"),
+        F.col("start_datetime").alias("__ls"),
+        _inf(F.col("end_datetime")).alias("__le"),
+    )
+    canlog = instruments.select(
+        F.col("instrument_id").alias("__l_inst"),
+        F.col("can_be_logger").alias("__can_log"),
+    )
+    prot = protocols.select(
+        "protocol_id", F.col("family_code").alias("__fam"))
+    base = (
+        connections
+        .withColumn("__cs", F.col("start_datetime"))
+        .withColumn("__ce", _inf(F.col("end_datetime")))
+        .join(F.broadcast(i_side),
+              F.col("instrument_metadata_id") == F.col("__im"), "left")
+        .join(F.broadcast(l_side),
+              F.col("logger_metadata_id") == F.col("__lm"), "left")
+        .join(F.broadcast(prot), "protocol_id", "left")
+        .join(F.broadcast(canlog), "__l_inst", "left")
+    )
+    # overlap trigger probes: both key off COALESCE('') tuples —
+    # exact equi-joins, only the period test is an inequality
+    blank = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
+    probe = connections.select(
+        F.col("connection_id").alias("__o_id"),
+        F.col("instrument_metadata_id").alias("__o_im"),
+        F.col("logger_metadata_id").alias("__o_lm"),
+        F.col("protocol_id").alias("__o_p"),
+        blank("logger_port").alias("__o_port"),
+        blank("address_scope").alias("__o_scope"),
+        blank("device_address").alias("__o_addr"),
+        F.col("device_address").alias("__o_addr_raw"),
+        F.col("start_datetime").alias("__o_s"),
+        _inf(F.col("end_datetime")).alias("__o_e"),
+    )
+    me = connections.select(
+        "connection_id",
+        F.col("instrument_metadata_id").alias("__m_im"),
+        F.col("logger_metadata_id").alias("__m_lm"),
+        F.col("protocol_id").alias("__m_p"),
+        blank("logger_port").alias("__m_port"),
+        blank("address_scope").alias("__m_scope"),
+        blank("device_address").alias("__m_addr"),
+        F.col("device_address").alias("__m_addr_raw"),
+        F.col("start_datetime").alias("__m_s"),
+        _inf(F.col("end_datetime")).alias("__m_e"),
+    )
+    dup = (
+        me.join(F.broadcast(probe),
+                (F.col("__m_im") == F.col("__o_im"))
+                & (F.col("__m_lm") == F.col("__o_lm"))
+                & (F.col("__m_p") == F.col("__o_p"))
+                & (F.col("__m_port") == F.col("__o_port"))
+                & (F.col("__m_scope") == F.col("__o_scope"))
+                & (F.col("__m_addr") == F.col("__o_addr"))
+                & (F.col("connection_id") != F.col("__o_id"))
+                & (F.col("__m_s") < F.col("__o_e"))
+                & (F.col("__m_e") > F.col("__o_s")),
+                "left_semi")
+        .select("connection_id").withColumn("__dup", F.lit(True))
+    )
+    addr = (
+        me.where(F.col("__m_addr_raw").isNotNull())
+        .join(F.broadcast(probe),
+              (F.col("__m_lm") == F.col("__o_lm"))
+              & (F.col("__m_p") == F.col("__o_p"))
+              & (F.col("__m_port") == F.col("__o_port"))
+              & (F.col("__m_scope") == F.col("__o_scope"))
+              & (F.col("__m_addr_raw") == F.col("__o_addr_raw"))
+              & (F.col("connection_id") != F.col("__o_id"))
+              & (F.col("__m_s") < F.col("__o_e"))
+              & (F.col("__m_e") > F.col("__o_s")),
+              "left_semi")
+        .select("connection_id").withColumn("__addr", F.lit(True))
+    )
+    out = (
+        base
+        .join(F.broadcast(dup), "connection_id", "left")
+        .join(F.broadcast(addr), "connection_id", "left")
+    )
+    reason = (
+        F.when(F.col("__im").isNull(), "unknown_instrument_deployment")
+        .when(F.col("__lm").isNull(), "unknown_logger_deployment")
+        .when(F.col("__fam").isNull(), "unknown_protocol")
+        .when(F.col("__i_inst").isNull(), "instrument_not_deployed")
+        .when(F.col("__l_inst").isNull(), "logger_not_deployed")
+        .when(~F.col("__can_log").eqNullSafe(F.lit(True)),
+              "logger_not_capable")
+        .when((F.col("__fam") == "internal")
+              & (F.col("instrument_metadata_id")
+                 != F.col("logger_metadata_id")),
+              "internal_protocol_split_deployment")
+        .when((F.col("__fam") != "internal")
+              & (F.col("instrument_metadata_id")
+                 == F.col("logger_metadata_id")),
+              "shared_deployment_not_internal")
+        .when(F.col("__i_loc") != F.col("__l_loc"), "location_mismatch")
+        .when((F.col("__cs") < F.col("__is"))
+              | (F.col("__cs") < F.col("__ls")),
+              "start_before_deployment")
+        .when(F.col("__ce") > F.col("__ie"), "end_beyond_instrument")
+        .when(F.col("__ce") > F.col("__le"), "end_beyond_logger")
+    )
+    return out.select(
+        "connection_id", "instrument_metadata_id", "logger_metadata_id",
+        "protocol_id", reason.alias("reject_reason"),
+        F.coalesce("__dup", F.lit(False)).alias("duplicate_overlap"),
+        F.coalesce("__addr", F.lit(False)).alias("address_conflict"),
+    )
+
+
+def transmission_setup_validation(
+    setups: DataFrame,
+    components: DataFrame,
+    deployments: DataFrame,
+    instruments: DataFrame,
+) -> DataFrame:
+    """The three telemetry-setup triggers of patch_37 replayed for
+    every locations_metadata_transmission_setups row at once:
+
+    * check_transmission_setup_bounds (patch_37.R:1699-1750) — the
+      ``reject_reason`` ladder: unknown_logger_deployment /
+      logger_not_deployed / logger_not_capable (can_be_logger IS
+      DISTINCT FROM TRUE, missing instruments row included) /
+      start_before_logger / end_beyond_logger.
+    * check_transmission_setup_overlap (:1753-1790) →
+      ``duplicate_overlap``: another setup with the same
+      (logger_metadata_id, transmission_method_id,
+      coalesce(provider_name,''), coalesce(platform_identifier,''))
+      and an overlapping [start, coalesce(end, infinity)) period.
+    * check_transmission_setup_component_bounds (:2136-2210) →
+      ``components_not_spanning``: EXISTS an attached component whose
+      deployment is undeployed, lacks both telemetry capabilities
+      (COALESCE(..., FALSE) like the trigger), sits at a different
+      location than the logger, or does not span the setup period.
+      The trigger dereferences the logger row before this probe, so
+      the flag is only meaningful on rows whose ladder is NULL (a
+      missing logger leaves the location test NULL → not flagged,
+      matching the RAISE-first short-circuit).
+
+    Input: ``setups`` (transmission_setup_id, logger_metadata_id,
+    transmission_method_id, provider_name, platform_identifier,
+    start_datetime, end_datetime), ``components``
+    (transmission_component_id, transmission_setup_id,
+    component_metadata_id), ``deployments`` (metadata_id, location_id,
+    instrument_id, start_datetime, end_datetime), ``instruments``
+    (instrument_id, can_be_logger, can_be_telemetry_component).
+    """
+    l_side = deployments.select(
+        F.col("metadata_id").alias("__lm"),
+        F.col("instrument_id").alias("__l_inst"),
+        F.col("location_id").alias("__l_loc"),
+        F.col("start_datetime").alias("__ls"),
+        _inf(F.col("end_datetime")).alias("__le"),
+    )
+    caps = instruments.select(
+        F.col("instrument_id").alias("__inst"),
+        F.col("can_be_logger").alias("__can_log"),
+        F.col("can_be_telemetry_component").alias("__can_comp"),
+    )
+    base = (
+        setups
+        .withColumn("__ss", F.col("start_datetime"))
+        .withColumn("__se", _inf(F.col("end_datetime")))
+        .join(F.broadcast(l_side),
+              F.col("logger_metadata_id") == F.col("__lm"), "left")
+        .join(F.broadcast(caps.select(F.col("__inst").alias("__l_inst"),
+                                      "__can_log")),
+              "__l_inst", "left")
+    )
+    blank = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
+    probe = setups.select(
+        F.col("transmission_setup_id").alias("__o_id"),
+        F.col("logger_metadata_id").alias("__o_lm"),
+        F.col("transmission_method_id").alias("__o_meth"),
+        blank("provider_name").alias("__o_prov"),
+        blank("platform_identifier").alias("__o_plat"),
+        F.col("start_datetime").alias("__o_s"),
+        _inf(F.col("end_datetime")).alias("__o_e"),
+    )
+    me = setups.select(
+        "transmission_setup_id",
+        F.col("logger_metadata_id").alias("__m_lm"),
+        F.col("transmission_method_id").alias("__m_meth"),
+        blank("provider_name").alias("__m_prov"),
+        blank("platform_identifier").alias("__m_plat"),
+        F.col("start_datetime").alias("__m_s"),
+        _inf(F.col("end_datetime")).alias("__m_e"),
+    )
+    dup = (
+        me.join(F.broadcast(probe),
+                (F.col("__m_lm") == F.col("__o_lm"))
+                & (F.col("__m_meth") == F.col("__o_meth"))
+                & (F.col("__m_prov") == F.col("__o_prov"))
+                & (F.col("__m_plat") == F.col("__o_plat"))
+                & (F.col("transmission_setup_id") != F.col("__o_id"))
+                & (F.col("__m_s") < F.col("__o_e"))
+                & (F.col("__m_e") > F.col("__o_s")),
+                "left_semi")
+        .select("transmission_setup_id").withColumn("__dup", F.lit(True))
+    )
+    # component-span probe: component deployment joined once (INNER,
+    # like the trigger's JOIN — an unknown component deployment is
+    # the component-bounds trigger's problem, not this one's), the
+    # setup period compared against it under the setup's own logger
+    comp = (
+        components.select("transmission_setup_id",
+                          "component_metadata_id")
+        .join(F.broadcast(deployments.select(
+            F.col("metadata_id").alias("component_metadata_id"),
+            F.col("instrument_id").alias("__c_inst"),
+            F.col("location_id").alias("__c_loc"),
+            F.col("start_datetime").alias("__c_s"),
+            _inf(F.col("end_datetime")).alias("__c_e"))),
+            "component_metadata_id")
+        .join(F.broadcast(caps.select(F.col("__inst").alias("__c_inst"),
+                                      "__can_comp",
+                                      F.col("__can_log")
+                                      .alias("__c_can_log"))),
+              "__c_inst", "left")
+    )
+    bad_span = (
+        base.select("transmission_setup_id",
+                    F.col("__l_loc"), F.col("__ss"), F.col("__se"))
+        .join(F.broadcast(comp), "transmission_setup_id")
+        .where(
+            F.col("__c_inst").isNull()
+            | (~F.coalesce(F.col("__can_comp"), F.lit(False))
+               .eqNullSafe(F.lit(True))
+               & ~F.coalesce(F.col("__c_can_log"), F.lit(False))
+               .eqNullSafe(F.lit(True)))
+            | (F.col("__c_loc") != F.col("__l_loc"))
+            | (F.col("__ss") < F.col("__c_s"))
+            | (F.col("__se") > F.col("__c_e"))
+        )
+        .select("transmission_setup_id").distinct()
+        .withColumn("__span", F.lit(True))
+    )
+    out = (
+        base
+        .join(F.broadcast(dup), "transmission_setup_id", "left")
+        .join(F.broadcast(bad_span), "transmission_setup_id", "left")
+    )
+    reason = (
+        F.when(F.col("__lm").isNull(), "unknown_logger_deployment")
+        .when(F.col("__l_inst").isNull(), "logger_not_deployed")
+        .when(~F.col("__can_log").eqNullSafe(F.lit(True)),
+              "logger_not_capable")
+        .when(F.col("__ss") < F.col("__ls"), "start_before_logger")
+        .when(F.col("__se") > F.col("__le"), "end_beyond_logger")
+    )
+    return out.select(
+        "transmission_setup_id", "logger_metadata_id",
+        "transmission_method_id", reason.alias("reject_reason"),
+        F.coalesce("__dup", F.lit(False)).alias("duplicate_overlap"),
+        F.coalesce("__span", F.lit(False)).alias("components_not_spanning"),
+    )
+
+
+def transmission_component_validation(
+    components: DataFrame,
+    setups: DataFrame,
+    deployments: DataFrame,
+    instruments: DataFrame,
+) -> DataFrame:
+    """check_transmission_component_bounds (patch_37.R:2032-2133) for
+    every locations_metadata_transmission_components row at once —
+    the trigger's lookup-and-RAISE chain as a first-failure ladder:
+    unknown_setup / unknown_logger_deployment / logger_not_deployed /
+    logger_not_capable / unknown_component_deployment /
+    component_not_deployed / component_not_capable (NOT
+    (can_be_telemetry_component OR can_be_logger), missing instruments
+    row included) / location_mismatch (component vs the setup's
+    logger) / component_starts_late (setup starts before the component
+    deployment) / component_ends_early (setup outlives it).
+
+    Input schemas as transmission_setup_validation; output one row per
+    component with ``reject_reason`` (NULL = accepted).
+    """
+    setup_side = setups.select(
+        F.col("transmission_setup_id"),
+        F.col("logger_metadata_id").alias("__lm_ref"),
+        F.col("start_datetime").alias("__ss"),
+        _inf(F.col("end_datetime")).alias("__se"),
+        F.lit(True).alias("__has_setup"),
+    )
+    l_side = deployments.select(
+        F.col("metadata_id").alias("__lm_ref"),
+        F.col("instrument_id").alias("__l_inst"),
+        F.col("location_id").alias("__l_loc"),
+        F.lit(True).alias("__has_logger"),
+    )
+    c_side = deployments.select(
+        F.col("metadata_id").alias("component_metadata_id"),
+        F.col("instrument_id").alias("__c_inst"),
+        F.col("location_id").alias("__c_loc"),
+        F.col("start_datetime").alias("__cs"),
+        _inf(F.col("end_datetime")).alias("__ce"),
+        F.lit(True).alias("__has_comp"),
+    )
+    caps = instruments.select(
+        F.col("instrument_id").alias("__inst"),
+        F.col("can_be_logger").alias("__can_log"),
+        F.col("can_be_telemetry_component").alias("__can_comp"),
+    )
+    out = (
+        components
+        .join(F.broadcast(setup_side), "transmission_setup_id", "left")
+        .join(F.broadcast(l_side), "__lm_ref", "left")
+        .join(F.broadcast(caps.select(F.col("__inst").alias("__l_inst"),
+                                      "__can_log")),
+              "__l_inst", "left")
+        .join(F.broadcast(c_side), "component_metadata_id", "left")
+        .join(F.broadcast(caps.select(F.col("__inst").alias("__c_inst"),
+                                      "__can_comp",
+                                      F.col("__can_log")
+                                      .alias("__c_can_log"))),
+              "__c_inst", "left")
+    )
+    comp_capable = (F.coalesce(F.col("__can_comp"), F.lit(False))
+                    | F.coalesce(F.col("__c_can_log"), F.lit(False)))
+    reason = (
+        F.when(F.col("__has_setup").isNull(), "unknown_setup")
+        .when(F.col("__has_logger").isNull(), "unknown_logger_deployment")
+        .when(F.col("__l_inst").isNull(), "logger_not_deployed")
+        .when(~F.col("__can_log").eqNullSafe(F.lit(True)),
+              "logger_not_capable")
+        .when(F.col("__has_comp").isNull(), "unknown_component_deployment")
+        .when(F.col("__c_inst").isNull(), "component_not_deployed")
+        .when(~comp_capable.eqNullSafe(F.lit(True)),
+              "component_not_capable")
+        .when(F.col("__c_loc") != F.col("__l_loc"), "location_mismatch")
+        .when(F.col("__ss") < F.col("__cs"), "component_starts_late")
+        .when(F.col("__se") > F.col("__ce"), "component_ends_early")
+    )
+    return out.select(
+        "transmission_component_id", "transmission_setup_id",
+        "component_metadata_id", reason.alias("reject_reason"),
+    )
+
+
+def transmission_capability_validation(
+    instruments: DataFrame,
+    deployments: DataFrame,
+    connections: DataFrame,
+    setups: DataFrame,
+    components: DataFrame,
+) -> DataFrame:
+    """check_instrument_logger_capability (patch_37.R:1106-1128) and
+    check_instrument_transmission_capabilities (:2300-2346) replayed
+    for every instruments.instruments row: an instrument already in
+    use as a connection logger or transmission-setup logger cannot
+    drop ``can_be_logger``, and one in use as a transmission component
+    cannot drop BOTH capabilities. Usage is resolved the trigger's way
+    — deployment rows for the instrument semi-joined against the
+    referencing catalog table — three semi-joins, all catalog-keyed
+    and broadcast.
+
+    Output: (instrument_id, can_be_logger, can_be_telemetry_component,
+    used_as_connection_logger, used_as_transmission_logger,
+    used_as_component, logger_capability_violation,
+    component_capability_violation).
+    """
+    dep = deployments.select(
+        F.col("metadata_id"), F.col("instrument_id"))
+    use1 = (
+        dep.join(F.broadcast(connections.select(
+            F.col("logger_metadata_id").alias("metadata_id"))),
+            "metadata_id", "left_semi")
+        .select("instrument_id").distinct()
+        .withColumn("__u_conn", F.lit(True))
+    )
+    use2 = (
+        dep.join(F.broadcast(setups.select(
+            F.col("logger_metadata_id").alias("metadata_id"))),
+            "metadata_id", "left_semi")
+        .select("instrument_id").distinct()
+        .withColumn("__u_setup", F.lit(True))
+    )
+    use3 = (
+        dep.join(F.broadcast(components.select(
+            F.col("component_metadata_id").alias("metadata_id"))),
+            "metadata_id", "left_semi")
+        .select("instrument_id").distinct()
+        .withColumn("__u_comp", F.lit(True))
+    )
+    out = (
+        instruments.select("instrument_id", "can_be_logger",
+                           "can_be_telemetry_component")
+        .join(F.broadcast(use1), "instrument_id", "left")
+        .join(F.broadcast(use2), "instrument_id", "left")
+        .join(F.broadcast(use3), "instrument_id", "left")
+    )
+    not_logger = ~F.col("can_be_logger").eqNullSafe(F.lit(True))
+    not_comp = ~F.col("can_be_telemetry_component").eqNullSafe(F.lit(True))
+    u_conn = F.coalesce("__u_conn", F.lit(False))
+    u_setup = F.coalesce("__u_setup", F.lit(False))
+    u_comp = F.coalesce("__u_comp", F.lit(False))
+    return out.select(
+        "instrument_id", "can_be_logger", "can_be_telemetry_component",
+        u_conn.alias("used_as_connection_logger"),
+        u_setup.alias("used_as_transmission_logger"),
+        u_comp.alias("used_as_component"),
+        (not_logger & (u_conn | u_setup))
+        .alias("logger_capability_violation"),
+        (not_logger & not_comp & u_comp)
+        .alias("component_capability_violation"),
+    )
+
+
+def protocol_dependents_validation(
+    protocols: DataFrame,
+    connections: DataFrame,
+) -> DataFrame:
+    """check_communication_protocol_dependents (patch_37.R:1130-1160):
+    the trigger guards protocol-metadata updates with a GLOBAL probe —
+    EXISTS any connection where an 'internal'-family protocol links
+    two different deployments or a non-internal one links a deployment
+    to itself. Re-expressed per protocol (the grain an admin acts on):
+    each protocol row reports how many of ITS connections violate the
+    invariant, plus the trigger's own any-violation flag.
+
+    Output: (protocol_id, family_code, violating_connections,
+    would_invalidate) — would_invalidate = violating_connections > 0.
+    """
+    j = (
+        connections.select("protocol_id", "instrument_metadata_id",
+                           "logger_metadata_id")
+        .join(F.broadcast(protocols.select("protocol_id", "family_code")),
+              "protocol_id")
+    )
+    viol = (
+        ((F.col("family_code") == "internal")
+         & (F.col("instrument_metadata_id")
+            != F.col("logger_metadata_id")))
+        | ((F.col("family_code") != "internal")
+           & (F.col("instrument_metadata_id")
+              == F.col("logger_metadata_id")))
+    )
+    per = j.groupBy("protocol_id").agg(
+        F.sum(viol.cast("long")).alias("violating_connections"))
+    return (
+        protocols.select("protocol_id", "family_code")
+        .join(F.broadcast(per), "protocol_id", "left")
+        .select(
+            "protocol_id", "family_code",
+            F.coalesce("violating_connections", F.lit(0))
+            .alias("violating_connections"),
+            (F.coalesce("violating_connections", F.lit(0)) > 0)
+            .alias("would_invalidate"),
+        )
+    )
+
+
+def deployment_transmission_dependents(
+    deployments: DataFrame,
+    setups: DataFrame,
+    components: DataFrame,
+    instruments: DataFrame,
+) -> DataFrame:
+    """check_locations_metadata_instruments_transmission_dependents
+    (patch_37.R:2230-2298): would updating this deployment row
+    invalidate its dependent telemetry metadata? The trigger's two
+    EXISTS probes evaluated for every deployment at once:
+
+    * probe 1 (→ ``invalid_setup_metadata``): any transmission setup
+      whose logger is this deployment where the logger is undeployed,
+      not can_be_logger, or the setup period escapes the deployment
+      period.
+    * probe 2 (→ ``invalid_component_metadata``): any
+      component×setup×logger×component-deployment row touching this
+      deployment (as logger OR component) violating the full
+      component-bounds conjunction (capabilities COALESCE(..., FALSE)
+      like the trigger, location match, setup period within both
+      deployment periods).
+
+    Output: (metadata_id, invalid_setup_metadata,
+    invalid_component_metadata, valid).
+    """
+    dep = deployments.select(
+        "metadata_id",
+        F.col("location_id").alias("__loc"),
+        F.col("instrument_id").alias("__inst"),
+        F.col("start_datetime").alias("__s"),
+        _inf(F.col("end_datetime")).alias("__e"),
+    )
+    caps = instruments.select(
+        F.col("instrument_id").alias("__inst"),
+        F.col("can_be_logger").alias("__can_log"),
+        F.col("can_be_telemetry_component").alias("__can_comp"),
+    )
+    sl = (
+        setups.select(
+            "transmission_setup_id",
+            F.col("logger_metadata_id"),
+            F.col("start_datetime").alias("__ss"),
+            _inf(F.col("end_datetime")).alias("__se"))
+        .join(F.broadcast(dep.select(
+            F.col("metadata_id").alias("logger_metadata_id"),
+            F.col("__loc").alias("__l_loc"),
+            F.col("__inst").alias("__l_inst"),
+            F.col("__s").alias("__ls"),
+            F.col("__e").alias("__le"))), "logger_metadata_id")
+        .join(F.broadcast(caps.select(
+            F.col("__inst").alias("__l_inst"),
+            F.col("__can_log"))), "__l_inst", "left")
+    )
+    bad1 = (
+        sl.where(
+            F.col("__l_inst").isNull()
+            | ~F.col("__can_log").eqNullSafe(F.lit(True))
+            | (F.col("__ss") < F.col("__ls"))
+            | (F.col("__se") > F.col("__le"))
+        )
+        .select(F.col("logger_metadata_id").alias("metadata_id"))
+        .distinct().withColumn("__bad1", F.lit(True))
+    )
+    cl = (
+        components.select("transmission_setup_id",
+                          "component_metadata_id")
+        .join(F.broadcast(sl.select(
+            "transmission_setup_id", "logger_metadata_id",
+            "__l_loc", "__l_inst", "__ls", "__le", "__ss", "__se",
+            "__can_log")), "transmission_setup_id")
+        .join(F.broadcast(dep.select(
+            F.col("metadata_id").alias("component_metadata_id"),
+            F.col("__loc").alias("__c_loc"),
+            F.col("__inst").alias("__c_inst"),
+            F.col("__s").alias("__cs"),
+            F.col("__e").alias("__ce"))), "component_metadata_id")
+        .join(F.broadcast(caps.select(
+            F.col("__inst").alias("__c_inst"),
+            F.col("__can_comp"),
+            F.col("__can_log").alias("__c_can_log"))),
+            "__c_inst", "left")
+    )
+    bad_row = cl.where(
+        F.col("__l_inst").isNull()
+        | ~F.col("__can_log").eqNullSafe(F.lit(True))
+        | F.col("__c_inst").isNull()
+        | (~F.coalesce(F.col("__can_comp"), F.lit(False))
+           .eqNullSafe(F.lit(True))
+           & ~F.coalesce(F.col("__c_can_log"), F.lit(False))
+           .eqNullSafe(F.lit(True)))
+        | (F.col("__c_loc") != F.col("__l_loc"))
+        | (F.col("__ss") < F.col("__ls"))
+        | (F.col("__se") > F.col("__le"))
+        | (F.col("__ss") < F.col("__cs"))
+        | (F.col("__se") > F.col("__ce"))
+    )
+    bad2 = (
+        bad_row.select(F.col("logger_metadata_id").alias("metadata_id"))
+        .unionByName(bad_row.select(
+            F.col("component_metadata_id").alias("metadata_id")))
+        .distinct().withColumn("__bad2", F.lit(True))
+    )
+    return (
+        deployments.select("metadata_id")
+        .join(F.broadcast(bad1), "metadata_id", "left")
+        .join(F.broadcast(bad2), "metadata_id", "left")
+        .select(
+            "metadata_id",
+            F.coalesce("__bad1", F.lit(False))
+            .alias("invalid_setup_metadata"),
+            F.coalesce("__bad2", F.lit(False))
+            .alias("invalid_component_metadata"),
+            (~(F.coalesce("__bad1", F.lit(False))
+               | F.coalesce("__bad2", F.lit(False)))).alias("valid"),
+        )
+    )

@@ -6652,7 +6652,14 @@ def _results_meta(spark: SparkSession, sf_dir: str, lang: str) -> DataFrame:
     from ..operators.metadata import results_metadata
 
     fx = _dmeta_fixture(spark, sf_dir)
-    sm = _samples_meta(spark, sf_dir, lang)
+    # Truncate the lineage at the samples star: without this, Catalyst
+    # re-plans the full ~15-join samples subtree INSIDE the ~20-join
+    # results star (one ~35-join tree — optimizer time, not data, is
+    # what made results_metadata_* the two heaviest bench queries).
+    # localCheckpoint materializes the catalog-sized samples view once
+    # and plans the two stars separately; values are bit-identical so
+    # the driver hashes are unchanged.
+    sm = _samples_meta(spark, sf_dir, lang).localCheckpoint(eager=False)
     return results_metadata(
         fx["results"], sm, fx["parameters"], fx["matrix_states"],
         fx["units"], fx["sample_fractions"], fx["result_types"],
@@ -7940,3 +7947,567 @@ def hilbert_layout_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         hilbert_key(lat, lon, 50.0, 70.0, -140.0, -105.0, bits=16)
         .alias("hkey"))
+
+
+# ---------------------------------------------------------------------------
+# patch_36/37 instrument transmission + connection validator family:
+# the deployment-meta overlap guard (patch_36.R:33), connection
+# bounds/overlap (patch_37.R:503,611), logger capability /
+# protocol dependents (:1106,1130), and the telemetry-setup ladder
+# (:1699-2300). Shared synthetic schema below: connection /
+# transmission identity fields derive from c_custkey mod a SMALL
+# residue (105 / 114) so duplicate-tuple overlaps genuinely occur,
+# while periods derive from larger residues so only SOME duplicates
+# overlap in time — every trigger arm fires on the sf0.01 battery.
+# ---------------------------------------------------------------------------
+
+
+def _transmission_fixture(spark, sf_dir):
+    """deployments (reused from _instruments_fixture), extended
+    connections (+port/scope/address), transmission setups,
+    transmission components, instrument capability flags, protocols."""
+    dep, _, _, _ = _instruments_fixture(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer")
+    m = F.col("c_custkey")
+    r = m % 105
+    r2 = m % 114
+    d0 = F.lit("2020-01-01").cast("date")
+    conn = c.where(m % 3 == 1).select(
+        m.alias("connection_id"),
+        F.when(m % 11 == 0, m).otherwise(3 * (1 + r % 40))
+        .alias("instrument_metadata_id"),
+        F.when(m % 23 == 0, m + 1).otherwise(3 * (1 + r % 35))
+        .alias("logger_metadata_id"),
+        F.when(m % 29 == 0, F.lit(99)).otherwise(r % 5)
+        .alias("protocol_id"),
+        F.when(r % 4 != 0, F.concat(F.lit("P"), (r % 4).cast("string")))
+        .alias("logger_port"),
+        F.when(r % 6 != 0, F.concat(F.lit("S"), (r % 2).cast("string")))
+        .alias("address_scope"),
+        F.when(r % 5 != 3, (r % 7).cast("string"))
+        .alias("device_address"),
+        F.date_add(d0, (m % 210).cast("int")).cast("timestamp")
+        .alias("start_datetime"),
+        F.when(m % 8 != 0,
+               F.date_add(d0, (m % 210 + 150).cast("int"))
+               .cast("timestamp")).alias("end_datetime"),
+    )
+    setups = c.where(m % 3 == 2).select(
+        m.alias("transmission_setup_id"),
+        F.when(m % 13 == 0, m).otherwise(3 * (1 + r2 % 38))
+        .alias("logger_metadata_id"),
+        (r2 % 4).alias("transmission_method_id"),
+        F.when(r2 % 5 != 0, F.concat(F.lit("prov"), (r2 % 3).cast("string")))
+        .alias("provider_name"),
+        F.when(r2 % 7 != 0, F.concat(F.lit("plat"), (r2 % 4).cast("string")))
+        .alias("platform_identifier"),
+        F.date_add(d0, (m % 228).cast("int")).cast("timestamp")
+        .alias("start_datetime"),
+        F.when(m % 6 != 0,
+               F.date_add(d0, (m % 228 + 150).cast("int"))
+               .cast("timestamp")).alias("end_datetime"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    components = o.where(k % 5 == 0).select(
+        k.alias("transmission_component_id"),
+        F.when(k % 17 == 0, 3 * (k % 45)).otherwise(2 + 3 * (k % 45))
+        .alias("transmission_setup_id"),
+        F.when(k % 19 == 0, 3 * (1 + k % 42) + 1)
+        .otherwise(3 * (1 + k % 42)).alias("component_metadata_id"),
+        (k % 3).alias("transmission_component_role_id"),
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 400)
+    instr = p.select(
+        F.col("p_partkey").alias("instrument_id"),
+        F.when(F.col("p_partkey") % 17 != 0, F.col("p_partkey") % 5 != 2)
+        .alias("can_be_logger"),
+        F.when(F.col("p_partkey") % 23 != 0, F.col("p_partkey") % 7 != 3)
+        .alias("can_be_telemetry_component"),
+    )
+    protocols = _ldf(
+        spark,
+        [(0, "internal"), (1, "sdi12"), (2, "modbus"), (3, "analog"),
+         (4, "rs232")],
+        "protocol_id bigint, family_code string",
+    )
+    return dep, conn, setups, components, instr, protocols
+
+
+_TRANS_FIXTURE_SQL = _INSTR_FIXTURE_SQL + """
+    , tconn AS (
+      SELECT c_custkey AS connection_id,
+             CASE WHEN c_custkey % 11 = 0 THEN c_custkey
+                  ELSE 3 * (1 + (c_custkey % 105) % 40)
+             END AS instrument_metadata_id,
+             CASE WHEN c_custkey % 23 = 0 THEN c_custkey + 1
+                  ELSE 3 * (1 + (c_custkey % 105) % 35)
+             END AS logger_metadata_id,
+             CASE WHEN c_custkey % 29 = 0 THEN 99
+                  ELSE (c_custkey % 105) % 5 END AS protocol_id,
+             CASE WHEN (c_custkey % 105) % 4 = 0 THEN NULL
+                  ELSE 'P' || CAST((c_custkey % 105) % 4 AS VARCHAR)
+             END AS logger_port,
+             CASE WHEN (c_custkey % 105) % 6 = 0 THEN NULL
+                  ELSE 'S' || CAST((c_custkey % 105) % 2 AS VARCHAR)
+             END AS address_scope,
+             CASE WHEN (c_custkey % 105) % 5 = 3 THEN NULL
+                  ELSE CAST((c_custkey % 105) % 7 AS VARCHAR)
+             END AS device_address,
+             CAST(DATE '2020-01-01' + (c_custkey % 210) * INTERVAL 1 DAY
+                  AS TIMESTAMP) AS start_datetime,
+             CASE WHEN c_custkey % 8 = 0 THEN NULL
+                  ELSE CAST(DATE '2020-01-01'
+                            + (c_custkey % 210 + 150) * INTERVAL 1 DAY
+                            AS TIMESTAMP) END AS end_datetime
+      FROM customer WHERE c_custkey % 3 = 1
+    ), tsetup AS (
+      SELECT c_custkey AS transmission_setup_id,
+             CASE WHEN c_custkey % 13 = 0 THEN c_custkey
+                  ELSE 3 * (1 + (c_custkey % 114) % 38)
+             END AS logger_metadata_id,
+             (c_custkey % 114) % 4 AS transmission_method_id,
+             CASE WHEN (c_custkey % 114) % 5 = 0 THEN NULL
+                  ELSE 'prov' || CAST((c_custkey % 114) % 3 AS VARCHAR)
+             END AS provider_name,
+             CASE WHEN (c_custkey % 114) % 7 = 0 THEN NULL
+                  ELSE 'plat' || CAST((c_custkey % 114) % 4 AS VARCHAR)
+             END AS platform_identifier,
+             CAST(DATE '2020-01-01' + (c_custkey % 228) * INTERVAL 1 DAY
+                  AS TIMESTAMP) AS start_datetime,
+             CASE WHEN c_custkey % 6 = 0 THEN NULL
+                  ELSE CAST(DATE '2020-01-01'
+                            + (c_custkey % 228 + 150) * INTERVAL 1 DAY
+                            AS TIMESTAMP) END AS end_datetime
+      FROM customer WHERE c_custkey % 3 = 2
+    ), tcomp AS (
+      SELECT o_orderkey AS transmission_component_id,
+             CASE WHEN o_orderkey % 17 = 0 THEN 3 * (o_orderkey % 45)
+                  ELSE 2 + 3 * (o_orderkey % 45)
+             END AS transmission_setup_id,
+             CASE WHEN o_orderkey % 19 = 0 THEN 3 * (1 + o_orderkey % 42) + 1
+                  ELSE 3 * (1 + o_orderkey % 42)
+             END AS component_metadata_id,
+             o_orderkey % 3 AS transmission_component_role_id
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), tinstr AS (
+      SELECT p_partkey AS instrument_id,
+             CASE WHEN p_partkey % 17 = 0 THEN NULL
+                  ELSE p_partkey % 5 <> 2 END AS can_be_logger,
+             CASE WHEN p_partkey % 23 = 0 THEN NULL
+                  ELSE p_partkey % 7 <> 3 END AS can_be_telemetry_component
+      FROM part WHERE p_partkey <= 400
+    ), tprot AS (
+      SELECT * FROM (VALUES (0, 'internal'), (1, 'sdi12'), (2, 'modbus'),
+                            (3, 'analog'), (4, 'rs232'))
+        AS t(protocol_id, family_code)
+    )
+"""
+
+
+_META_OVERLAP_ORACLE = "WITH " + _TRANS_FIXTURE_SQL + """
+    SELECT d.metadata_id, d.location_id, d.sub_location_id, d.z_id,
+           d.instrument_id,
+           EXISTS (
+             SELECT 1 FROM dep o
+             WHERE o.location_id = d.location_id
+               AND o.sub_location_id IS NOT DISTINCT FROM d.sub_location_id
+               AND o.z_id IS NOT DISTINCT FROM d.z_id
+               AND o.instrument_id IS NOT DISTINCT FROM d.instrument_id
+               AND o.metadata_id <> d.metadata_id
+               AND d.start_datetime <
+                 coalesce(o.end_datetime, TIMESTAMP '9999-01-01')
+               AND coalesce(d.end_datetime, TIMESTAMP '9999-01-01') >
+                 o.start_datetime
+           ) AS overlap_violation
+    FROM dep d
+"""
+
+
+@register("instrument_meta_overlap", oracle=_META_OVERLAP_ORACLE)
+def instrument_meta_overlap_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """patch_36.R:33-57 check_instrument_meta_overlap set-wise: every
+    deployment row flagged when another row shares its (location,
+    sub_location, z, instrument) key — nullable parts IS NOT DISTINCT
+    FROM — with an overlapping [start, coalesce(end, inf)) period."""
+    from ..operators.instruments import instrument_meta_overlap
+
+    dep, _, _, _, _, _ = _transmission_fixture(spark, sf_dir)
+    return instrument_meta_overlap(dep)
+
+
+_CONN_CHECK_ORACLE = "WITH " + _TRANS_FIXTURE_SQL + """
+    , j AS (
+      SELECT c.connection_id, c.instrument_metadata_id,
+             c.logger_metadata_id, c.protocol_id,
+             c.start_datetime AS cs,
+             coalesce(c.end_datetime, TIMESTAMP '9999-01-01') AS ce,
+             i.metadata_id IS NOT NULL AS has_i,
+             i.instrument_id AS i_inst, i.location_id AS i_loc,
+             i.start_datetime AS i_s,
+             coalesce(i.end_datetime, TIMESTAMP '9999-01-01') AS i_e,
+             l.metadata_id IS NOT NULL AS has_l,
+             l.instrument_id AS l_inst, l.location_id AS l_loc,
+             l.start_datetime AS l_s,
+             coalesce(l.end_datetime, TIMESTAMP '9999-01-01') AS l_e,
+             p.family_code, li.can_be_logger
+      FROM tconn c
+      LEFT JOIN dep i ON i.metadata_id = c.instrument_metadata_id
+      LEFT JOIN dep l ON l.metadata_id = c.logger_metadata_id
+      LEFT JOIN tprot p ON p.protocol_id = c.protocol_id
+      LEFT JOIN tinstr li ON li.instrument_id = l.instrument_id
+    ), dup AS (
+      SELECT DISTINCT a.connection_id FROM tconn a JOIN tconn b
+        ON b.instrument_metadata_id = a.instrument_metadata_id
+       AND b.logger_metadata_id = a.logger_metadata_id
+       AND b.protocol_id = a.protocol_id
+       AND coalesce(b.logger_port, '') = coalesce(a.logger_port, '')
+       AND coalesce(b.address_scope, '') = coalesce(a.address_scope, '')
+       AND coalesce(b.device_address, '') = coalesce(a.device_address, '')
+       AND b.connection_id <> a.connection_id
+       AND a.start_datetime <
+         coalesce(b.end_datetime, TIMESTAMP '9999-01-01')
+       AND coalesce(a.end_datetime, TIMESTAMP '9999-01-01') >
+         b.start_datetime
+    ), addr AS (
+      SELECT DISTINCT a.connection_id FROM tconn a JOIN tconn b
+        ON b.logger_metadata_id = a.logger_metadata_id
+       AND b.protocol_id = a.protocol_id
+       AND coalesce(b.logger_port, '') = coalesce(a.logger_port, '')
+       AND coalesce(b.address_scope, '') = coalesce(a.address_scope, '')
+       AND b.device_address = a.device_address
+       AND b.connection_id <> a.connection_id
+       AND a.start_datetime <
+         coalesce(b.end_datetime, TIMESTAMP '9999-01-01')
+       AND coalesce(a.end_datetime, TIMESTAMP '9999-01-01') >
+         b.start_datetime
+      WHERE a.device_address IS NOT NULL
+    )
+    SELECT j.connection_id, j.instrument_metadata_id,
+           j.logger_metadata_id, j.protocol_id,
+           CASE WHEN NOT has_i THEN 'unknown_instrument_deployment'
+                WHEN NOT has_l THEN 'unknown_logger_deployment'
+                WHEN family_code IS NULL THEN 'unknown_protocol'
+                WHEN i_inst IS NULL THEN 'instrument_not_deployed'
+                WHEN l_inst IS NULL THEN 'logger_not_deployed'
+                WHEN can_be_logger IS DISTINCT FROM TRUE
+                  THEN 'logger_not_capable'
+                WHEN family_code = 'internal'
+                     AND j.instrument_metadata_id <> j.logger_metadata_id
+                  THEN 'internal_protocol_split_deployment'
+                WHEN family_code <> 'internal'
+                     AND j.instrument_metadata_id = j.logger_metadata_id
+                  THEN 'shared_deployment_not_internal'
+                WHEN i_loc <> l_loc THEN 'location_mismatch'
+                WHEN cs < i_s OR cs < l_s THEN 'start_before_deployment'
+                WHEN ce > i_e THEN 'end_beyond_instrument'
+                WHEN ce > l_e THEN 'end_beyond_logger'
+           END AS reject_reason,
+           d.connection_id IS NOT NULL AS duplicate_overlap,
+           ad.connection_id IS NOT NULL AS address_conflict
+    FROM j
+    LEFT JOIN dup d ON d.connection_id = j.connection_id
+    LEFT JOIN addr ad ON ad.connection_id = j.connection_id
+"""
+
+
+@register("instrument_connection_check", oracle=_CONN_CHECK_ORACLE)
+def instrument_connection_check(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """patch_37.R:503-668 check_instrument_connection_bounds +
+    check_instrument_connection_overlap set-wise: every connection row
+    labelled with the first failing bounds check (12-arm ladder) plus
+    the two overlap-trigger probes (duplicate tuple, device-address
+    reuse) as flags."""
+    from ..operators.instruments import connection_bounds_validation
+
+    dep, conn, _, _, instr, protocols = _transmission_fixture(
+        spark, sf_dir)
+    return connection_bounds_validation(conn, dep, instr, protocols)
+
+
+_SETUP_CHECK_ORACLE = "WITH " + _TRANS_FIXTURE_SQL + """
+    , sj AS (
+      SELECT s.transmission_setup_id, s.logger_metadata_id,
+             s.transmission_method_id,
+             s.start_datetime AS ss,
+             coalesce(s.end_datetime, TIMESTAMP '9999-01-01') AS se,
+             l.metadata_id IS NOT NULL AS has_l,
+             l.instrument_id AS l_inst, l.location_id AS l_loc,
+             l.start_datetime AS ls,
+             coalesce(l.end_datetime, TIMESTAMP '9999-01-01') AS le,
+             li.can_be_logger
+      FROM tsetup s
+      LEFT JOIN dep l ON l.metadata_id = s.logger_metadata_id
+      LEFT JOIN tinstr li ON li.instrument_id = l.instrument_id
+    ), sdup AS (
+      SELECT DISTINCT a.transmission_setup_id FROM tsetup a JOIN tsetup b
+        ON b.logger_metadata_id = a.logger_metadata_id
+       AND b.transmission_method_id = a.transmission_method_id
+       AND coalesce(b.provider_name, '') = coalesce(a.provider_name, '')
+       AND coalesce(b.platform_identifier, '') =
+         coalesce(a.platform_identifier, '')
+       AND b.transmission_setup_id <> a.transmission_setup_id
+       AND a.start_datetime <
+         coalesce(b.end_datetime, TIMESTAMP '9999-01-01')
+       AND coalesce(a.end_datetime, TIMESTAMP '9999-01-01') >
+         b.start_datetime
+    ), sspan AS (
+      SELECT DISTINCT sj.transmission_setup_id
+      FROM sj
+      JOIN tcomp tc
+        ON tc.transmission_setup_id = sj.transmission_setup_id
+      JOIN dep c ON c.metadata_id = tc.component_metadata_id
+      LEFT JOIN tinstr ci ON ci.instrument_id = c.instrument_id
+      WHERE c.instrument_id IS NULL
+         OR (coalesce(ci.can_be_telemetry_component, FALSE)
+               IS DISTINCT FROM TRUE
+             AND coalesce(ci.can_be_logger, FALSE) IS DISTINCT FROM TRUE)
+         OR c.location_id <> sj.l_loc
+         OR sj.ss < c.start_datetime
+         OR sj.se > coalesce(c.end_datetime, TIMESTAMP '9999-01-01')
+    )
+    SELECT sj.transmission_setup_id, sj.logger_metadata_id,
+           sj.transmission_method_id,
+           CASE WHEN NOT has_l THEN 'unknown_logger_deployment'
+                WHEN l_inst IS NULL THEN 'logger_not_deployed'
+                WHEN can_be_logger IS DISTINCT FROM TRUE
+                  THEN 'logger_not_capable'
+                WHEN ss < ls THEN 'start_before_logger'
+                WHEN se > le THEN 'end_beyond_logger'
+           END AS reject_reason,
+           d.transmission_setup_id IS NOT NULL AS duplicate_overlap,
+           sp.transmission_setup_id IS NOT NULL AS components_not_spanning
+    FROM sj
+    LEFT JOIN sdup d
+      ON d.transmission_setup_id = sj.transmission_setup_id
+    LEFT JOIN sspan sp
+      ON sp.transmission_setup_id = sj.transmission_setup_id
+"""
+
+
+@register("transmission_setup_validation", oracle=_SETUP_CHECK_ORACLE)
+def transmission_setup_validation_q(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """patch_37.R:1699-1790 + :2136-2210: the telemetry-setup bounds
+    ladder, the duplicate-overlap probe, and the component-span probe
+    replayed for every locations_metadata_transmission_setups row."""
+    from ..operators.instruments import transmission_setup_validation
+
+    dep, _, setups, components, instr, _ = _transmission_fixture(
+        spark, sf_dir)
+    return transmission_setup_validation(setups, components, dep, instr)
+
+
+_COMP_CHECK_ORACLE = "WITH " + _TRANS_FIXTURE_SQL + """
+    , cj AS (
+      SELECT tc.transmission_component_id, tc.transmission_setup_id,
+             tc.component_metadata_id,
+             s.transmission_setup_id IS NOT NULL AS has_setup,
+             s.start_datetime AS ss,
+             coalesce(s.end_datetime, TIMESTAMP '9999-01-01') AS se,
+             l.metadata_id IS NOT NULL AS has_logger,
+             l.instrument_id AS l_inst, l.location_id AS l_loc,
+             li.can_be_logger,
+             c.metadata_id IS NOT NULL AS has_comp,
+             c.instrument_id AS c_inst, c.location_id AS c_loc,
+             c.start_datetime AS cs,
+             coalesce(c.end_datetime, TIMESTAMP '9999-01-01') AS ce,
+             ci.can_be_telemetry_component AS c_can_comp,
+             ci.can_be_logger AS c_can_log
+      FROM tcomp tc
+      LEFT JOIN tsetup s
+        ON s.transmission_setup_id = tc.transmission_setup_id
+      LEFT JOIN dep l ON l.metadata_id = s.logger_metadata_id
+      LEFT JOIN tinstr li ON li.instrument_id = l.instrument_id
+      LEFT JOIN dep c ON c.metadata_id = tc.component_metadata_id
+      LEFT JOIN tinstr ci ON ci.instrument_id = c.instrument_id
+    )
+    SELECT transmission_component_id, transmission_setup_id,
+           component_metadata_id,
+           CASE WHEN NOT has_setup THEN 'unknown_setup'
+                WHEN NOT has_logger THEN 'unknown_logger_deployment'
+                WHEN l_inst IS NULL THEN 'logger_not_deployed'
+                WHEN can_be_logger IS DISTINCT FROM TRUE
+                  THEN 'logger_not_capable'
+                WHEN NOT has_comp THEN 'unknown_component_deployment'
+                WHEN c_inst IS NULL THEN 'component_not_deployed'
+                WHEN (coalesce(c_can_comp, FALSE)
+                      OR coalesce(c_can_log, FALSE)) IS DISTINCT FROM TRUE
+                  THEN 'component_not_capable'
+                WHEN c_loc <> l_loc THEN 'location_mismatch'
+                WHEN ss < cs THEN 'component_starts_late'
+                WHEN se > ce THEN 'component_ends_early'
+           END AS reject_reason
+    FROM cj
+"""
+
+
+@register("transmission_component_check", oracle=_COMP_CHECK_ORACLE)
+def transmission_component_check(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """patch_37.R:2032-2133 check_transmission_component_bounds: the
+    trigger's lookup-and-RAISE chain as a 10-arm first-failure ladder
+    over every transmission component row."""
+    from ..operators.instruments import transmission_component_validation
+
+    dep, _, setups, components, instr, _ = _transmission_fixture(
+        spark, sf_dir)
+    return transmission_component_validation(
+        components, setups, dep, instr)
+
+
+_CAPABILITY_ORACLE = "WITH " + _TRANS_FIXTURE_SQL + """
+    , u1 AS (
+      SELECT DISTINCT d.instrument_id FROM dep d
+      WHERE EXISTS (SELECT 1 FROM tconn c
+                    WHERE c.logger_metadata_id = d.metadata_id)
+    ), u2 AS (
+      SELECT DISTINCT d.instrument_id FROM dep d
+      WHERE EXISTS (SELECT 1 FROM tsetup s
+                    WHERE s.logger_metadata_id = d.metadata_id)
+    ), u3 AS (
+      SELECT DISTINCT d.instrument_id FROM dep d
+      WHERE EXISTS (SELECT 1 FROM tcomp tc
+                    WHERE tc.component_metadata_id = d.metadata_id)
+    )
+    SELECT i.instrument_id,
+           u1.instrument_id IS NOT NULL AS used_as_connection_logger,
+           u2.instrument_id IS NOT NULL AS used_as_transmission_logger,
+           u3.instrument_id IS NOT NULL AS used_as_component,
+           (i.can_be_logger IS DISTINCT FROM TRUE)
+             AND (u1.instrument_id IS NOT NULL
+                  OR u2.instrument_id IS NOT NULL)
+             AS logger_capability_violation,
+           (i.can_be_logger IS DISTINCT FROM TRUE)
+             AND (i.can_be_telemetry_component IS DISTINCT FROM TRUE)
+             AND u3.instrument_id IS NOT NULL
+             AS component_capability_violation
+    FROM tinstr i
+    LEFT JOIN u1 ON u1.instrument_id = i.instrument_id
+    LEFT JOIN u2 ON u2.instrument_id = i.instrument_id
+    LEFT JOIN u3 ON u3.instrument_id = i.instrument_id
+"""
+
+
+@register("transmission_capability_check", oracle=_CAPABILITY_ORACLE)
+def transmission_capability_check(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """patch_37.R:1106-1128 check_instrument_logger_capability +
+    :2300-2346 check_instrument_transmission_capabilities for every
+    instrument at once: usage resolved through deployment semi-joins
+    against connections / setups / components, capability-drop
+    violations flagged the trigger's way. The raw nullable capability
+    flags stay in the operator output but are projected out here: the
+    driver compare stringifies nullable booleans differently per
+    engine ('None' vs 'nan'), and the non-null violation flags already
+    encode the trigger's decision."""
+    from ..operators.instruments import transmission_capability_validation
+
+    dep, conn, setups, components, instr, _ = _transmission_fixture(
+        spark, sf_dir)
+    return transmission_capability_validation(
+        instr, dep, conn, setups, components).select(
+        "instrument_id", "used_as_connection_logger",
+        "used_as_transmission_logger", "used_as_component",
+        "logger_capability_violation", "component_capability_violation")
+
+
+_PROT_DEP_ORACLE = "WITH " + _TRANS_FIXTURE_SQL + """
+    , v AS (
+      SELECT c.protocol_id,
+             CAST(sum(CASE WHEN (pp.family_code = 'internal'
+                                 AND c.instrument_metadata_id
+                                     <> c.logger_metadata_id)
+                             OR (pp.family_code <> 'internal'
+                                 AND c.instrument_metadata_id
+                                     = c.logger_metadata_id)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM tconn c JOIN tprot pp ON pp.protocol_id = c.protocol_id
+      GROUP BY c.protocol_id
+    )
+    SELECT p.protocol_id, p.family_code,
+           coalesce(v.n, 0) AS violating_connections,
+           coalesce(v.n, 0) > 0 AS would_invalidate
+    FROM tprot p LEFT JOIN v ON v.protocol_id = p.protocol_id
+"""
+
+
+@register("protocol_dependents_check", oracle=_PROT_DEP_ORACLE)
+def protocol_dependents_check(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """patch_37.R:1130-1160 check_communication_protocol_dependents,
+    per protocol: how many of its connections violate the
+    internal-family ⇔ same-deployment invariant the trigger probes."""
+    from ..operators.instruments import protocol_dependents_validation
+
+    _, conn, _, _, _, protocols = _transmission_fixture(spark, sf_dir)
+    return protocol_dependents_validation(protocols, conn)
+
+
+_DEP_TRANS_ORACLE = "WITH " + _TRANS_FIXTURE_SQL + """
+    , sl AS (
+      SELECT s.transmission_setup_id, s.logger_metadata_id,
+             s.start_datetime AS ss,
+             coalesce(s.end_datetime, TIMESTAMP '9999-01-01') AS se,
+             l.location_id AS l_loc, l.instrument_id AS l_inst,
+             l.start_datetime AS ls,
+             coalesce(l.end_datetime, TIMESTAMP '9999-01-01') AS le,
+             li.can_be_logger
+      FROM tsetup s
+      JOIN dep l ON l.metadata_id = s.logger_metadata_id
+      LEFT JOIN tinstr li ON li.instrument_id = l.instrument_id
+    ), b1 AS (
+      SELECT DISTINCT logger_metadata_id AS metadata_id FROM sl
+      WHERE l_inst IS NULL OR can_be_logger IS DISTINCT FROM TRUE
+         OR ss < ls OR se > le
+    ), badrow AS (
+      SELECT sl.logger_metadata_id, tc.component_metadata_id
+      FROM tcomp tc
+      JOIN sl ON sl.transmission_setup_id = tc.transmission_setup_id
+      JOIN dep c ON c.metadata_id = tc.component_metadata_id
+      LEFT JOIN tinstr ci ON ci.instrument_id = c.instrument_id
+      WHERE sl.l_inst IS NULL
+         OR sl.can_be_logger IS DISTINCT FROM TRUE
+         OR c.instrument_id IS NULL
+         OR (coalesce(ci.can_be_telemetry_component, FALSE)
+               IS DISTINCT FROM TRUE
+             AND coalesce(ci.can_be_logger, FALSE) IS DISTINCT FROM TRUE)
+         OR c.location_id <> sl.l_loc
+         OR sl.ss < sl.ls OR sl.se > sl.le
+         OR sl.ss < c.start_datetime
+         OR sl.se > coalesce(c.end_datetime, TIMESTAMP '9999-01-01')
+    ), b2 AS (
+      SELECT DISTINCT metadata_id FROM (
+        SELECT logger_metadata_id AS metadata_id FROM badrow
+        UNION ALL
+        SELECT component_metadata_id AS metadata_id FROM badrow
+      )
+    )
+    SELECT d.metadata_id,
+           b1.metadata_id IS NOT NULL AS invalid_setup_metadata,
+           b2.metadata_id IS NOT NULL AS invalid_component_metadata,
+           NOT (b1.metadata_id IS NOT NULL
+                OR b2.metadata_id IS NOT NULL) AS valid
+    FROM dep d
+    LEFT JOIN b1 ON b1.metadata_id = d.metadata_id
+    LEFT JOIN b2 ON b2.metadata_id = d.metadata_id
+"""
+
+
+@register("deployment_transmission_dependents", oracle=_DEP_TRANS_ORACLE)
+def deployment_transmission_dependents_q(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """patch_37.R:2230-2298
+    check_locations_metadata_instruments_transmission_dependents for
+    every deployment: probe 1 flags deployments whose telemetry setups
+    would become invalid, probe 2 flags those reachable (as logger or
+    component) from a violating component×setup row."""
+    from ..operators.instruments import (
+        deployment_transmission_dependents)
+
+    dep, _, setups, components, instr, _ = _transmission_fixture(
+        spark, sf_dir)
+    return deployment_transmission_dependents(
+        dep, setups, components, instr)

@@ -491,6 +491,16 @@ def main() -> None:
         .select("bucket").distinct().collect()}
     assert len(hit2) < 26, (  # <10% of 256 store buckets
         f"batch 2 touched {len(hit2)}/256 store buckets")
+    # IO-level prune assertion: the probe's bucket-pruned read must
+    # OPEN <10% of the store's parquet FILES, not merely target few
+    # bucket ids — inputFiles() on the direct read frames is the file
+    # manifest each scan will list (nothing here is persisted, so the
+    # lists are real; a cached subtree would return [])
+    probe_files = set(inc_store.read_buckets(sorted(hit2)).inputFiles())
+    store_files = set(inc_store.read().inputFiles())
+    assert probe_files and probe_files <= store_files
+    assert len(probe_files) < 0.1 * len(store_files), (
+        f"probe opened {len(probe_files)}/{len(store_files)} store files")
     # exactly the 4 in-batch dup pairs — nothing cross-group
     even_pairs = {(r["id_a"], r["id_b"]) for r in p2.collect()}
     assert even_pairs == {(2 * k, 2 * k + 1) for k in range(4)}, \

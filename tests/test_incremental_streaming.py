@@ -1121,3 +1121,104 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
         assert latest[g]["vk"] == bagg[g]["vk"], g
         assert latest[g]["distinct_estimate"] == bagg[g]["est"], g
         assert latest[g]["n_kept"] == 64
+
+
+def test_streaming_warc_to_corpus_matches_batch_capstone(spark, tmp_path):
+    """End-to-end streaming web on-ramp parity (r10): the batch
+    warc_crawl_corpus capstone's OWN archive fixture, split across a
+    landing zone in two micro-batch drops, driven through
+    read_warc_stream -> the identical corpus transforms (HTTP 200
+    text/html filter, HTML main-content extraction, RFC 3986 URL
+    canonicalization) -> foreachBatch, PLUS the streaming near-dup
+    stage over the streamed corpus text. The accumulated corpus rows
+    must equal the batch capstone output exactly, and DISTINCT of the
+    emitted pair stream must equal the one-shot batch
+    lsh_candidate_pairs over the batch corpus — archive bytes to
+    deduped corpus with no batch/streaming divergence."""
+    from conftest import SF_SMOKE
+
+    from aquacache_spark.functions.html import with_main_text
+    from aquacache_spark.operators.dedup import (lsh_candidate_pairs,
+                                                 minhash_signatures)
+    from aquacache_spark.operators.web import url_canonicalize
+    from aquacache_spark.queries.web import (_warc_fixture,
+                                             warc_crawl_corpus_q)
+    from aquacache_spark.sources.warc import read_warc_stream
+
+    cols = ("doc_id", "canonical_url", "host", "title", "main_text",
+            "n_blocks", "chars_kept")
+    batch_rows = {tuple(r[c] for c in cols)
+                  for r in warc_crawl_corpus_q(spark, SF_SMOKE).collect()}
+    assert batch_rows  # the capstone corpus is non-empty at sf0.001
+
+    # the SAME synthesized .warc.gz blobs, written out as real archive
+    # files split across two drops (odd/even file_id)
+    archives = _warc_fixture(spark, SF_SMOKE,
+                             html_payload=True).collect()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def corpus(recs):
+        pages = recs.where(
+            F.col("ok") & (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        ).select(
+            F.regexp_extract("record_id", r"^urn:example:(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("payload").cast("string").alias("html"))
+        text = with_main_text(pages, "html")
+        canon = url_canonicalize(
+            text.select("doc_id", "url", "title", "main_text",
+                        "n_blocks"), "url")
+        return canon.select(
+            "doc_id", "canonical_url", "host", "title", "main_text",
+            F.col("n_blocks").cast("int").alias("n_blocks"),
+            F.length("main_text").cast("long").alias("chars_kept"))
+
+    from aquacache_spark.streaming.stateful import streaming_near_dup
+
+    got_rows = []
+    got_pairs = []
+
+    def take_rows(df, epoch_id):
+        got_rows.extend(df.collect())
+
+    def take_pairs(df, epoch_id):
+        got_pairs.extend((r["id_a"], r["id_b"]) for r in df.collect())
+
+    stream = read_warc_stream(spark, str(landing))
+    stream_corpus = corpus(stream)
+    q1 = (stream_corpus
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck_corpus"))
+          .foreachBatch(take_rows).start())
+    q2 = (streaming_near_dup(
+              stream_corpus.select("doc_id",
+                                   F.col("main_text").alias("text")))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck_pairs"))
+          .foreachBatch(take_pairs).start())
+    try:
+        for parity in (0, 1):  # two drops: odd then even archives
+            for r in archives:
+                if r["file_id"] % 2 == parity:
+                    (landing / f"f{r['file_id']}.warc.gz") \
+                        .write_bytes(bytes(r["content"]))
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    stream_rows = {tuple(r[c] for c in cols) for r in got_rows}
+    assert len(got_rows) == len(stream_rows)  # exactly-once, no dups
+    assert stream_rows == batch_rows
+
+    batch_corpus = warc_crawl_corpus_q(spark, SF_SMOKE).select(
+        "doc_id", F.col("main_text").alias("text"))
+    one_shot = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(
+        minhash_signatures(batch_corpus, num_hashes=8, shingle_k=3),
+        num_hashes=8, bands=4).collect()}
+    assert set(got_pairs) == one_shot

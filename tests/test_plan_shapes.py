@@ -458,3 +458,24 @@ def test_bloom_decontamination_sketch_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_transmission_validators_broadcast_ladder(spark):
+    # patch_36/37 validator family: catalog-sized tables only — every
+    # join (deployment lookups, capability maps, the overlap
+    # self-probes on exact key tuples) must arrive broadcast; nothing
+    # may sort-merge, nested-loop, or cross. The overlap probes are
+    # exact equi-joins on the tuple key with the period test as a
+    # residual condition, so a BNLJ here would mean the key columns
+    # fell out of the join condition.
+    for name in ("instrument_meta_overlap", "instrument_connection_check",
+                 "transmission_setup_validation",
+                 "transmission_component_check",
+                 "transmission_capability_check",
+                 "protocol_dependents_check",
+                 "deployment_transmission_dependents"):
+        p = plan(spark, name)
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
