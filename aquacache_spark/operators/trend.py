@@ -408,3 +408,209 @@ def spi_empirical(
         *keys, "yr", "mon",
         (F.col("__sumq").cast("double") / 1e6).alias(f"precip_{k}mo"),
         "rank", "n_years", "p", "spi")
+
+
+# ---------------------------------------------------------------------------
+# Regional flood frequency: index-flood procedure with the Hosking &
+# Wallis L-moment heterogeneity statistic (Hosking & Wallis 1993,
+# "Some statistics useful in regional frequency analysis", WRR 29(2);
+# Hosking & Wallis 1997 ch. 4 & 6; Dalrymple 1960 index-flood).
+# The reference's flood machinery (fasstr/WRB workflows feeding the
+# plotting layer) is single-site; the regional pooling generalizes the
+# same L-moment base already used by flood_frequency_lmoments.
+#
+# Cross-engine exactness contract (the repo's quantized-sum idiom):
+# every AGGREGATION is over exact integers (ranked probability-
+# weighted-moment sums, quantized L-CV ratios, quantized simulated
+# values), every double operation is a SCALAR expression written with
+# the identical parenthesization on the Spark and DuckDB sides. The
+# Monte-Carlo step of the H statistic is replaced by a DETERMINISTIC
+# low-discrepancy driver (Knuth multiplicative-hash uniforms over the
+# (sim, site, year) grid) so mu_V / sigma_V are reproducible bit-for-
+# bit in both engines — same trade the SPI query makes in replacing
+# the incomplete-gamma CDF with the empirical CDF.
+# ---------------------------------------------------------------------------
+
+_LM_INV_LN2 = 1.4426950408889634
+_LM_GAMMA = 0.5772156649015329
+_LM_TQ = 1_000_000_000_000      # quantization of L-moment ratios
+_LM_XQ = 1_000_000_000          # quantization of simulated values
+_LM_HASH_MUL = 2654435761       # Knuth multiplicative hash
+_LM_HASH_MOD = 4294967296
+
+
+def _pwm_ratios(ranked: DataFrame, part_cols: Sequence[str],
+                vq: str = "vq") -> DataFrame:
+    """Exact integer probability-weighted moments over pre-ranked
+    integer values -> per-group (n, s0, s1, s2) plus the scalar-double
+    L-moment ratios t (L-CV) and t3 (L-skewness) and their quantized
+    integer twins tq/t3q. ``ranked`` must carry an ``i`` rank column
+    (1-based, total order within the group)."""
+    i, v = F.col("i"), F.col(vq)
+    g = ranked.groupBy(*part_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("s0"),
+        F.sum((i - 1) * v).alias("s1"),
+        F.sum((i - 1) * (i - 2) * v).alias("s2"))
+    n, s0, s1, s2 = F.col("n"), F.col("s0"), F.col("s1"), F.col("s2")
+    l1 = s0.cast("double") / n
+    b1 = s1.cast("double") / (n * (n - 1))
+    b2 = s2.cast("double") / (n * (n - 1) * (n - 2))
+    l2 = 2 * b1 - l1
+    l3 = 6 * b2 - 6 * b1 + l1
+    t = l2 / l1
+    t3 = l3 / l2
+    return g.select(
+        *part_cols, "n", "s0",
+        l1.alias("l1"), t.alias("t"), t3.alias("t3"),
+        F.floor(t * _LM_TQ + F.lit(0.5)).cast("long").alias("tq"),
+        F.floor(t3 * _LM_TQ + F.lit(0.5)).cast("long").alias("t3q"))
+
+
+def site_lmoment_ratios(annual: DataFrame) -> DataFrame:
+    """Per-site sample L-moment ratios from quantized annual maxima.
+    ``annual``: (region, site, yr, mq) with mq an exact integer
+    (centi-quantized annual maximum). Sites with n < 4 are dropped
+    (t3 needs n >= 3; one extra year keeps the ratios stable)."""
+    w = Window.partitionBy("region", "site").orderBy("mq", "yr")
+    ranked = annual.withColumn("i", F.row_number().over(w))
+    return _pwm_ratios(ranked, ["region", "site"], "mq") \
+        .where(F.col("n") >= 4)
+
+
+def _region_dispersion(sites: DataFrame,
+                       part_cols: Sequence[str]) -> DataFrame:
+    """Exact-integer weighted L-CV dispersion per group: with
+    n_tot = sum(n_i), S_t = sum(n_i * tq_i) and
+    e_i = n_tot * tq_i - S_t, V = sqrt(sum(n_i * e_i^2) / n_tot)
+    / (n_tot * TQ) — the integer core makes the weighted variance
+    order-independent; only the final sqrt/division chain is double
+    math (identical text both engines). NB the total is named n_tot,
+    not N: both Spark and DuckDB resolve column names
+    case-insensitively, so an ``N`` beside the per-site ``n`` is a
+    silent collision in BOTH engines."""
+    w = Window.partitionBy(*part_cols)
+    n, tq = F.col("n"), F.col("tq")
+    x = (sites
+         .withColumn("n_tot", F.sum(n).over(w))
+         .withColumn("S_t", F.sum(n * tq).over(w))
+         .withColumn("e", F.col("n_tot") * tq - F.col("S_t")))
+    e_dec = F.col("e").cast("decimal(38,0)")
+    g = x.groupBy(*part_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sites"),
+        F.first("n_tot").alias("n_tot"),
+        F.first("S_t").alias("S_t"),
+        F.sum(F.col("n") * F.col("t3q")).alias("S_t3"),
+        F.sum(e_dec * e_dec * F.col("n")).alias("SE"))
+    nt = F.col("n_tot")
+    v = (F.sqrt(F.col("SE").cast("double") / nt)
+         / (nt * F.lit(float(_LM_TQ))))
+    return g.select(
+        *part_cols, "n_sites", "n_tot", "S_t", "S_t3",
+        ((F.col("S_t").cast("double") / nt) / F.lit(float(_LM_TQ)))
+        .alias("t_r"),
+        ((F.col("S_t3").cast("double") / nt) / F.lit(float(_LM_TQ)))
+        .alias("t3_r"),
+        v.alias("v"))
+
+
+def regional_lmoment_homogeneity(annual: DataFrame,
+                                 nsim: int = 40) -> DataFrame:
+    """Hosking & Wallis heterogeneity H per region: observed weighted
+    L-CV dispersion V against the dispersion distribution of ``nsim``
+    simulated homogeneous regions with the SAME site-year layout, each
+    drawn from the region's fitted Gumbel growth curve (alpha =
+    t_R / ln 2, xi = 1 - gamma * alpha — the index-flood-normalized
+    regional L-moments). H > 1 possibly heterogeneous, H > 2
+    definitely (H&W 1997 §4.3.3 thresholds).
+
+    The uniform driver is deterministic: u = (((sim * 1000003 +
+    site * 8191 + j) * 2654435761) mod 2^32 + 0.5) / 2^32 over the
+    (sim, site, year-rank) grid — integer arithmetic both engines, so
+    the simulated V sample (and hence mu_V, sigma_V, H) is exact
+    cross-engine. Simulated values are quantized to integers BEFORE
+    ranking/PWM sums, keeping every aggregation order-independent.
+
+    Scale: everything after the annual-max rollup is catalog-sized
+    (sites x years x nsim rows); windows partition on (region[, sim,
+    site]) — nothing global."""
+    sites = site_lmoment_ratios(annual)
+    obs = _region_dispersion(sites, ["region"])
+
+    wj = Window.partitionBy("region", "site").orderBy("yr")
+    grid = (annual
+            .join(F.broadcast(sites.select("region", "site")),
+                  ["region", "site"], "left_semi")
+            .withColumn("j", F.row_number().over(wj))
+            .select("region", "site", "j")
+            .withColumn("sim", F.explode(
+                F.sequence(F.lit(1), F.lit(int(nsim))))))
+    g = grid.join(F.broadcast(obs.select("region", "t_r")), "region")
+    k = (F.col("sim").cast("long") * F.lit(1000003)
+         + F.col("site").cast("long") * F.lit(8191)
+         + F.col("j").cast("long"))
+    hnum = (k * F.lit(_LM_HASH_MUL)) % F.lit(_LM_HASH_MOD)
+    u = (hnum.cast("double") + F.lit(0.5)) / F.lit(float(_LM_HASH_MOD))
+    alpha = F.col("t_r") * F.lit(_LM_INV_LN2)
+    y = -F.log(-F.log(u))
+    x = (F.lit(1.0) - F.lit(_LM_GAMMA) * alpha) + alpha * y
+    sim_vals = g.select(
+        "region", "site", "sim", "j",
+        F.floor(x * F.lit(float(_LM_XQ)) + F.lit(0.5)).cast("long")
+        .alias("xq"))
+    wr = Window.partitionBy("region", "site", "sim") \
+        .orderBy("xq", "j")
+    ranked = sim_vals.withColumn("i", F.row_number().over(wr))
+    sim_sites = _pwm_ratios(ranked, ["region", "sim", "site"], "xq")
+    sim_v = _region_dispersion(sim_sites, ["region", "sim"]).select(
+        "region",
+        F.floor(F.col("v") * F.lit(float(_LM_TQ)) + F.lit(0.5))
+        .cast("long").alias("vqs"))
+    vq_dec = F.col("vqs").cast("decimal(38,0)")
+    sims = sim_v.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sim"),
+        F.sum("vqs").alias("SV"),
+        F.sum(vq_dec * vq_dec).alias("SV2"))
+    ns = F.col("n_sim")
+    num = (ns.cast("decimal(38,0)") * F.col("SV2")
+           - F.col("SV").cast("decimal(38,0)")
+           * F.col("SV").cast("decimal(38,0)"))
+    mu_v = (F.col("SV").cast("double") / ns) / F.lit(float(_LM_TQ))
+    sigma_v = (F.sqrt(num.cast("double") / (ns * (ns - 1)))
+               / F.lit(float(_LM_TQ)))
+    joined = obs.join(F.broadcast(sims), "region")
+    h = (F.col("v") - mu_v) / sigma_v
+    return joined.select(
+        "region", "n_sites", F.col("n_tot").alias("total_years"),
+        "t_r", "t3_r", F.col("v").alias("v_obs"),
+        mu_v.alias("mu_v"), sigma_v.alias("sigma_v"),
+        h.alias("h_stat"),
+        (h > F.lit(1.0)).alias("possibly_heterogeneous"),
+        (h > F.lit(2.0)).alias("definitely_heterogeneous"))
+
+
+def regional_index_flood(annual: DataFrame,
+                         quantile_k: dict | None = None) -> DataFrame:
+    """Index-flood site quantiles (Dalrymple 1960; H&W 1997 ch. 6):
+    the region's dimensionless Gumbel growth curve (fitted from the
+    weighted regional L-moment ratios, index flood normalized to 1)
+    scaled by each site's own index flood (its mean annual maximum).
+    ``quantile_k``: {label: Gumbel reduced-variate K_T} — defaults to
+    the 10- and 100-year factors used by flood_frequency_gumbel."""
+    if quantile_k is None:
+        quantile_k = {"q10": 2.2503673273124454,
+                      "q100": 4.600149226776579}
+    sites = site_lmoment_ratios(annual)
+    reg = _region_dispersion(sites, ["region"])
+    j = sites.join(F.broadcast(reg.select("region", "t_r")), "region")
+    alpha = F.col("t_r") * F.lit(_LM_INV_LN2)
+    xi = F.lit(1.0) - F.lit(_LM_GAMMA) * alpha
+    index_flood = (F.col("s0").cast("double") / F.col("n")) / F.lit(100.0)
+    cols = [
+        "region", "site", F.col("n").alias("n_years"),
+        index_flood.alias("index_flood"), "t_r",
+    ]
+    for label, kt in quantile_k.items():
+        growth = xi + alpha * F.lit(float(kt))
+        cols.append((index_flood * growth).alias(label))
+    return j.select(*cols)

@@ -3591,3 +3591,207 @@ def spi_empirical_3mo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(exact_sum(F.col("o_totalprice")).alias("value"))
     out = spi_empirical(monthly, keys=["series"], k=3)
     return _round(out, {"spi": 6})
+
+
+# ---------------------------------------------------------------------------
+# Regional flood frequency (operators/trend.py): index-flood site
+# quantiles + the Hosking & Wallis L-moment heterogeneity H statistic
+# with a deterministic hash-driven homogeneous simulation. Sites =
+# o_custkey % 15, three 5-site regions; annual maxima centi-quantized.
+# Every aggregation is over exact integers; every double op is a
+# scalar chain written with identical text on both sides.
+# ---------------------------------------------------------------------------
+
+_RFF_NSIM = 40
+
+_RFF_BASE_SQL = """
+    annual AS (
+      SELECT (o_custkey % 15) % 3 AS region,
+             o_custkey % 15 AS site,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             max(CAST(floor(o_totalprice * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS mq
+      FROM orders GROUP BY 1, 2, 3
+    ), rk AS (
+      SELECT region, site, yr, mq,
+             row_number() OVER (PARTITION BY region, site
+                                ORDER BY mq, yr) AS i
+      FROM annual
+    ), pwm AS (
+      SELECT region, site, CAST(count(*) AS BIGINT) AS n,
+             sum(mq) AS s0, sum((i - 1) * mq) AS s1,
+             sum((i - 1) * (i - 2) * mq) AS s2
+      FROM rk GROUP BY 1, 2
+    ), sites AS (
+      SELECT region, site, n, s0,
+             CAST(floor(((2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                          - CAST(s0 AS DOUBLE) / n)
+                         / (CAST(s0 AS DOUBLE) / n))
+                        * 1000000000000 + 0.5) AS BIGINT) AS tq,
+             CAST(floor(((6 * (CAST(s2 AS DOUBLE)
+                               / (n * (n - 1) * (n - 2)))
+                          - 6 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                          + CAST(s0 AS DOUBLE) / n)
+                         / (2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                            - CAST(s0 AS DOUBLE) / n))
+                        * 1000000000000 + 0.5) AS BIGINT) AS t3q
+      FROM pwm WHERE n >= 4
+    ), regw AS (
+      SELECT s.*, rr.n_tot, rr.S_t, rr.S_t3, rr.n_sites
+      FROM sites s JOIN (
+        SELECT region, CAST(count(*) AS BIGINT) AS n_sites,
+               sum(n) AS n_tot, sum(n * tq) AS S_t,
+               sum(n * t3q) AS S_t3
+        FROM sites GROUP BY 1
+      ) rr ON rr.region = s.region
+    ), reg AS (
+      SELECT region, n_sites, n_tot, S_t, S_t3,
+             (CAST(S_t AS DOUBLE) / n_tot) / 1000000000000.0 AS t_r,
+             (CAST(S_t3 AS DOUBLE) / n_tot) / 1000000000000.0 AS t3_r,
+             sqrt(CAST(sum(CAST(n_tot * tq - S_t AS HUGEINT)
+                           * (n_tot * tq - S_t) * n) AS DOUBLE)
+                  / n_tot)
+               / (n_tot * 1000000000000.0) AS v_obs
+      FROM regw GROUP BY 1, 2, 3, 4, 5
+    )
+"""
+
+_RFF_H_ORACLE = "WITH " + _RFF_BASE_SQL + """
+    , jj AS (
+      SELECT a.region, a.site, st.n,
+             row_number() OVER (PARTITION BY a.region, a.site
+                                ORDER BY a.yr) AS j
+      FROM annual a
+      JOIN sites st ON st.region = a.region AND st.site = a.site
+    ), grid AS (
+      SELECT jj.region, jj.site, jj.j, s.sim
+      FROM jj CROSS JOIN (SELECT unnest(range(1, 41)) AS sim) s
+    ), draws AS (
+      SELECT g.region, g.site, g.sim, g.j,
+             CAST(floor(((1.0 - 0.5772156649015329
+                            * (r.t_r * 1.4426950408889634))
+                         + (r.t_r * 1.4426950408889634)
+                           * (-ln(-ln((CAST(((g.sim * 1000003
+                                              + g.site * 8191 + g.j)
+                                             * 2654435761)
+                                            % 4294967296 AS DOUBLE)
+                                       + 0.5) / 4294967296.0))))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS xq
+      FROM grid g JOIN reg r ON r.region = g.region
+    ), srk AS (
+      SELECT region, site, sim, xq,
+             row_number() OVER (PARTITION BY region, sim, site
+                                ORDER BY xq, j) AS i
+      FROM draws
+    ), spwm AS (
+      SELECT region, sim, site, CAST(count(*) AS BIGINT) AS n,
+             sum(xq) AS s0, sum((i - 1) * xq) AS s1
+      FROM srk GROUP BY 1, 2, 3
+    ), ssites AS (
+      SELECT region, sim, site, n,
+             CAST(floor(((2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                          - CAST(s0 AS DOUBLE) / n)
+                         / (CAST(s0 AS DOUBLE) / n))
+                        * 1000000000000 + 0.5) AS BIGINT) AS tq
+      FROM spwm
+    ), sregw AS (
+      SELECT s.*, rr.n_tot, rr.S_t
+      FROM ssites s JOIN (
+        SELECT region, sim, sum(n) AS n_tot, sum(n * tq) AS S_t
+        FROM ssites GROUP BY 1, 2
+      ) rr ON rr.region = s.region AND rr.sim = s.sim
+    ), sv AS (
+      SELECT region, sim,
+             CAST(floor((sqrt(CAST(sum(CAST(n_tot * tq - S_t
+                                             AS HUGEINT)
+                                        * (n_tot * tq - S_t) * n)
+                                   AS DOUBLE) / n_tot)
+                         / (n_tot * 1000000000000.0))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS vqs
+      FROM sregw GROUP BY 1, 2, n_tot, S_t
+    ), hsim AS (
+      SELECT region, CAST(count(*) AS BIGINT) AS n_sim,
+             sum(vqs) AS SV,
+             sum(CAST(vqs AS HUGEINT) * vqs) AS SV2
+      FROM sv GROUP BY 1
+    ), final AS (
+      SELECT r.region, r.n_sites, CAST(r.n_tot AS BIGINT) AS total_years,
+             r.t_r, r.t3_r, r.v_obs,
+             (CAST(h.SV AS DOUBLE) / h.n_sim) / 1000000000000.0 AS mu_v,
+             sqrt(CAST(CAST(h.n_sim AS HUGEINT) * h.SV2
+                       - CAST(h.SV AS HUGEINT) * h.SV AS DOUBLE)
+                  / (h.n_sim * (h.n_sim - 1))) / 1000000000000.0
+               AS sigma_v
+      FROM reg r JOIN hsim h ON h.region = r.region
+    )
+    SELECT region, n_sites, total_years,
+           floor(t_r * 1000000 + 0.5) / 1000000 AS t_r,
+           floor(t3_r * 1000000 + 0.5) / 1000000 AS t3_r,
+           floor(v_obs * 1000000 + 0.5) / 1000000 AS v_obs,
+           floor(mu_v * 1000000 + 0.5) / 1000000 AS mu_v,
+           floor(sigma_v * 1000000 + 0.5) / 1000000 AS sigma_v,
+           floor(((v_obs - mu_v) / sigma_v) * 1000000 + 0.5) / 1000000
+             AS h_stat,
+           (v_obs - mu_v) / sigma_v > 1.0 AS possibly_heterogeneous,
+           (v_obs - mu_v) / sigma_v > 2.0 AS definitely_heterogeneous
+    FROM final
+"""
+
+
+def _rff_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    site = F.col("o_custkey") % 15
+    return o.groupBy(
+        (site % 3).alias("region"), site.alias("site"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.max(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")).alias("mq"))
+
+
+@register("regional_flood_homogeneity", oracle=_RFF_H_ORACLE)
+def regional_flood_homogeneity_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Hosking & Wallis heterogeneity H per 5-site region over annual
+    maxima: observed weighted L-CV dispersion vs 40 deterministic
+    hash-driven homogeneous Gumbel simulations (operators/trend.py
+    regional_lmoment_homogeneity)."""
+    from ..operators.trend import regional_lmoment_homogeneity
+
+    out = regional_lmoment_homogeneity(_rff_annual(spark, sf_dir),
+                                       nsim=_RFF_NSIM)
+    return _round(out, {"t_r": 6, "t3_r": 6, "v_obs": 6, "mu_v": 6,
+                        "sigma_v": 6, "h_stat": 6})
+
+
+_RFF_IDX_ORACLE = "WITH " + _RFF_BASE_SQL + """
+    SELECT s.region, s.site, s.n AS n_years,
+           floor(((CAST(s.s0 AS DOUBLE) / s.n) / 100.0)
+                 * 1000000 + 0.5) / 1000000 AS index_flood,
+           floor(r.t_r * 1000000 + 0.5) / 1000000 AS t_r,
+           floor((((CAST(s.s0 AS DOUBLE) / s.n) / 100.0)
+                  * ((1.0 - 0.5772156649015329
+                        * (r.t_r * 1.4426950408889634))
+                     + (r.t_r * 1.4426950408889634)
+                       * 2.2503673273124454))
+                 * 1000000 + 0.5) / 1000000 AS q10,
+           floor((((CAST(s.s0 AS DOUBLE) / s.n) / 100.0)
+                  * ((1.0 - 0.5772156649015329
+                        * (r.t_r * 1.4426950408889634))
+                     + (r.t_r * 1.4426950408889634)
+                       * 4.600149226776579))
+                 * 1000000 + 0.5) / 1000000 AS q100
+    FROM sites s JOIN reg r ON r.region = s.region
+"""
+
+
+@register("regional_index_flood", oracle=_RFF_IDX_ORACLE)
+def regional_index_flood_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Index-flood site quantiles (Dalrymple 1960): the region's
+    dimensionless Gumbel growth curve scaled by each site's mean
+    annual maximum (operators/trend.py regional_index_flood)."""
+    from ..operators.trend import regional_index_flood
+
+    out = regional_index_flood(_rff_annual(spark, sf_dir))
+    return _round(out, {"index_flood": 6, "t_r": 6, "q10": 6,
+                        "q100": 6})

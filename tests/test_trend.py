@@ -122,3 +122,61 @@ def test_spi_empirical_closed_form(spark):
     assert [rws[(2000 + y, 12)]["rank"] for y in range(3)] == [1, 2, 3]
     # 3-month accumulation is exact
     assert rws[(2001, 9)]["precip_3mo"] == 310.0
+
+
+def _rff_rows(spread_by_site=None):
+    # 3 sites x 12 years; site s has mean 1000*(s+1) (differing index
+    # floods) and identical RELATIVE spread unless spread_by_site
+    # overrides it — L-moment ratios are scale-invariant, so equal
+    # relative spread = a perfectly homogeneous region
+    rows = []
+    base = [-6, -4, -3, -1, 0, 1, 2, 3, 4, 5, 7, 9]  # zero-skew-ish
+    for s in range(3):
+        rel = (spread_by_site or {}).get(s, 0.02)
+        for j, b in enumerate(base):
+            mean = 1000.0 * (s + 1)
+            rows.append((0, s, 2000 + j,
+                         int(round(mean * (1 + rel * b) * 100))))
+    return rows
+
+
+def test_regional_homogeneity_flags_inflated_site(spark):
+    from aquacache_spark.operators.trend import (
+        regional_lmoment_homogeneity)
+
+    schema = "region long, site long, yr int, mq long"
+    homog = spark.createDataFrame(_rff_rows(), schema)
+    h0 = regional_lmoment_homogeneity(homog, nsim=40).collect()[0]
+    # identical scaled distributions -> observed dispersion is EXACTLY
+    # zero -> H strictly negative (V below the simulated mean)
+    assert h0["v_obs"] == 0.0
+    assert h0["h_stat"] < 0.0
+    assert not h0["possibly_heterogeneous"]
+    # one site with 5x the relative spread -> dispersion >> simulated
+    hetero = spark.createDataFrame(
+        _rff_rows(spread_by_site={1: 0.10}), schema)
+    h1 = regional_lmoment_homogeneity(hetero, nsim=40).collect()[0]
+    assert h1["v_obs"] > 10 * max(h0["v_obs"], 1e-12)
+    assert h1["h_stat"] > 2.0 and h1["definitely_heterogeneous"]
+    assert h0["total_years"] == h1["total_years"] == 36
+    assert h0["n_sites"] == 3
+
+
+def test_regional_index_flood_scales_with_site_mean(spark):
+    from aquacache_spark.operators.trend import regional_index_flood
+
+    schema = "region long, site long, yr int, mq long"
+    out = {r["site"]: r for r in regional_index_flood(
+        spark.createDataFrame(_rff_rows(), schema)).collect()}
+    # index flood = site mean annual max (de-quantized):
+    # 1000*(s+1) * (1 + 0.02 * mean(base)), mean(base) = 17/12
+    for s in range(3):
+        expect = 1000.0 * (s + 1) * (1 + 0.02 * 17 / 12)
+        assert abs(out[s]["index_flood"] - expect) < 0.01
+    # homogeneous region: quantiles proportional to the index flood
+    # (shared growth curve), and q100 > q10 > index flood
+    r10 = [out[s]["q10"] / out[s]["index_flood"] for s in range(3)]
+    r100 = [out[s]["q100"] / out[s]["index_flood"] for s in range(3)]
+    assert max(r10) - min(r10) < 1e-12
+    assert max(r100) - min(r100) < 1e-12
+    assert r100[0] > r10[0] > 1.0
