@@ -1443,3 +1443,100 @@ def trigram_surprisal(
             "mean_surprisal",
         )
     )
+
+
+def long_repeated_span_coverage(
+    docs: DataFrame,
+    k0: int = 8,
+    target: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication signal at LONG gram lengths without
+    hashing every long gram (the suffix-array-free scale path for the
+    ExactSubstr family at n >> 8): gram length doubles per round,
+    k0 -> 2*k0 -> ... -> target, and each round hashes ONLY candidate
+    positions.
+
+    The doubling filter is exact, not heuristic: a target-gram
+    repeated across documents has both of its half-grams repeated
+    across those same documents at positions p and p+k, so the
+    candidate set {p : p and p+k both survived round k} provably
+    contains every true repeat; hashing the doubled gram at the
+    candidates then removes the false combinations. At 100 TB this is
+    the difference between hashing n_tokens * (target/k0) grams and
+    hashing n_tokens once plus a geometrically SHRINKING candidate
+    tail (each round is a per-doc self-semi-join on (id, pos) plus a
+    counts-only reduction — the same no-occurrence-lists contract as
+    _repeated_gram_positions, so a million-doc boilerplate prefix
+    still costs rows, not one reducer's heap).
+
+    Output: per-doc coverage of tokens lying inside a cross-document
+    repeated ``target``-gram — (id, n_tokens, dup_spans, dup_tokens,
+    coverage_frac), the long-n twin of repeated_span_coverage.
+    ``target`` must be k0 * 2^r.
+    """
+    k = k0
+    if target < k0 or (target % k0) != 0 or (target // k0) & (target // k0 - 1):
+        raise ValueError(f"target must be k0 * 2^r, got {k0=} {target=}")
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.text import md5_int
+
+    base, cur = _repeated_gram_positions(docs, k0, id_col, text_col)
+    toks = base.select(id_col, "n_tokens", "__toks") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    while k < target:
+        # candidates: p where p AND p+k are surviving starts (the
+        # p+k <= n_tokens - k bound is inherited, so the doubled
+        # slice below is always full-length)
+        shifted = cur.select(
+            F.col(id_col), (F.col("pos") - k).alias("pos"))
+        cand = cur.select(id_col, "pos").join(
+            shifted, [id_col, "pos"], "left_semi")
+        g2 = (
+            cand.join(toks.select(id_col, "__toks"), id_col)
+            .select(
+                id_col, "pos",
+                md5_int(F.concat_ws(
+                    " ", F.slice("__toks", F.col("pos") + 1,
+                                 F.lit(2 * k))))
+                .alias("h"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        survivors = (
+            g2.groupBy("h")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+            .where(F.col("__nd") >= 2)
+            .select("h")
+        )
+        cur = g2.join(survivors, "h", "left_semi").select(id_col, "pos")
+        k *= 2
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        cur.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__contrib",
+            F.when(F.col("__prev").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("pos") - F.col("__prev"))),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__contrib").alias("dup_tokens"),
+             F.count("*").alias("dup_spans"))
+    )
+    return (
+        toks.select(id_col, "n_tokens")
+        .join(cov, id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("long")
+            .alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            (F.coalesce("dup_tokens", F.lit(0))
+             / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
+            .alias("coverage_frac"),
+        )
+    )

@@ -451,20 +451,26 @@ def _pwm_ratios(ranked: DataFrame, part_cols: Sequence[str],
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(v).alias("s0"),
         F.sum((i - 1) * v).alias("s1"),
-        F.sum((i - 1) * (i - 2) * v).alias("s2"))
+        F.sum((i - 1) * (i - 2) * v).alias("s2"),
+        F.sum((i - 1) * (i - 2) * (i - 3) * v).alias("s3"))
     n, s0, s1, s2 = F.col("n"), F.col("s0"), F.col("s1"), F.col("s2")
+    s3 = F.col("s3")
     l1 = s0.cast("double") / n
     b1 = s1.cast("double") / (n * (n - 1))
     b2 = s2.cast("double") / (n * (n - 1) * (n - 2))
+    b3 = s3.cast("double") / (n * (n - 1) * (n - 2) * (n - 3))
     l2 = 2 * b1 - l1
     l3 = 6 * b2 - 6 * b1 + l1
+    l4 = 20 * b3 - 30 * b2 + 12 * b1 - l1
     t = l2 / l1
     t3 = l3 / l2
+    t4 = l4 / l2
     return g.select(
         *part_cols, "n", "s0",
-        l1.alias("l1"), t.alias("t"), t3.alias("t3"),
+        l1.alias("l1"), t.alias("t"), t3.alias("t3"), t4.alias("t4"),
         F.floor(t * _LM_TQ + F.lit(0.5)).cast("long").alias("tq"),
-        F.floor(t3 * _LM_TQ + F.lit(0.5)).cast("long").alias("t3q"))
+        F.floor(t3 * _LM_TQ + F.lit(0.5)).cast("long").alias("t3q"),
+        F.floor(t4 * _LM_TQ + F.lit(0.5)).cast("long").alias("t4q"))
 
 
 def site_lmoment_ratios(annual: DataFrame) -> DataFrame:
@@ -614,3 +620,85 @@ def regional_index_flood(annual: DataFrame,
         growth = xi + alpha * F.lit(float(kt))
         cols.append((index_flood * growth).alias(label))
     return j.select(*cols)
+
+
+# Hosking & Wallis 1997 Table 3.1 critical discordancy values by
+# number of sites (<= 5 -> 1.333, >= 15 -> 3.0)
+_DISCORDANCY_CRIT = {5: 1.333, 6: 1.648, 7: 1.917, 8: 2.140,
+                     9: 2.329, 10: 2.491, 11: 2.632, 12: 2.757,
+                     13: 2.869, 14: 2.971}
+
+
+def regional_discordancy(annual: DataFrame) -> DataFrame:
+    """Hosking & Wallis discordancy D_i (1993 WRR; 1997 §3.2.3): the
+    per-site Mahalanobis-style screen over u_i = (t, t3, t4) —
+    D_i = (n_sites / 3) * (u_i - ubar)' A^{-1} (u_i - ubar) with
+    A = sum (u_i - ubar)(u_i - ubar)'. Completes the regional
+    screening trio next to the H statistic (discordancy -> drop or
+    inspect a site BEFORE testing regional homogeneity).
+
+    Exactness: with uq_i the TQ-quantized integer ratio vectors and
+    d_i = n_sites * uq_i - sum(uq), the (n_sites * TQ) scale factors
+    cancel: D_i = (n_sites / 3) * d_i' M^{-1} d_i where M = sum d d'
+    is an EXACT decimal integer matrix. M entries (~1e26) exceed the
+    53-bit double mantissa, so the one int->double cast rounds — but
+    IEEE round-to-nearest from the same exact integer is identical in
+    both engines, and the 3x3 adjugate/determinant chain after it is
+    scalar double math with mirrored text.
+
+    ``discordant`` flags D_i above the H&W Table 3.1 critical value
+    for the region's site count. Regions need >= 4 sites (A is rank
+    <= n_sites - 1; with 3 sites D_i = 1 identically)."""
+    sites = site_lmoment_ratios(annual)
+    w = Window.partitionBy("region")
+    x = (sites
+         .withColumn("ns", F.count(F.lit(1)).over(w))
+         .withColumn("Su1", F.sum("tq").over(w))
+         .withColumn("Su2", F.sum("t3q").over(w))
+         .withColumn("Su3", F.sum("t4q").over(w))
+         .withColumn("d1", F.col("ns") * F.col("tq") - F.col("Su1"))
+         .withColumn("d2", F.col("ns") * F.col("t3q") - F.col("Su2"))
+         .withColumn("d3", F.col("ns") * F.col("t4q") - F.col("Su3"))
+         .where(F.col("ns") >= 4))
+    dd = lambda a, b: F.sum(  # noqa: E731
+        F.col(a).cast("decimal(38,0)") * F.col(b).cast("decimal(38,0)"))
+    m = x.groupBy("region").agg(
+        dd("d1", "d1").alias("m11"), dd("d1", "d2").alias("m12"),
+        dd("d1", "d3").alias("m13"), dd("d2", "d2").alias("m22"),
+        dd("d2", "d3").alias("m23"), dd("d3", "d3").alias("m33"))
+    j = x.join(F.broadcast(m), "region")
+    m11 = F.col("m11").cast("double")
+    m12 = F.col("m12").cast("double")
+    m13 = F.col("m13").cast("double")
+    m22 = F.col("m22").cast("double")
+    m23 = F.col("m23").cast("double")
+    m33 = F.col("m33").cast("double")
+    det = (m11 * (m22 * m33 - m23 * m23)
+           - m12 * (m12 * m33 - m13 * m23)
+           + m13 * (m12 * m23 - m13 * m22))
+    c11 = m22 * m33 - m23 * m23
+    c12 = -(m12 * m33 - m13 * m23)
+    c13 = m12 * m23 - m13 * m22
+    c22 = m11 * m33 - m13 * m13
+    c23 = -(m11 * m23 - m12 * m13)
+    c33 = m11 * m22 - m12 * m12
+    d1 = F.col("d1").cast("double")
+    d2 = F.col("d2").cast("double")
+    d3 = F.col("d3").cast("double")
+    quad = (d1 * d1 * c11 + d2 * d2 * c22 + d3 * d3 * c33
+            + 2 * (d1 * d2 * c12) + 2 * (d1 * d3 * c13)
+            + 2 * (d2 * d3 * c23))
+    d_stat = (F.col("ns") / F.lit(3.0)) * (quad / det)
+    crit = F.lit(1.333)
+    for k in sorted(_DISCORDANCY_CRIT):
+        if k == 5:
+            continue
+        crit = F.when(F.col("ns") >= k,
+                      F.lit(_DISCORDANCY_CRIT[k])).otherwise(crit)
+    crit = F.when(F.col("ns") >= 15, F.lit(3.0)).otherwise(crit)
+    return j.select(
+        "region", "site", F.col("n").alias("n_years"),
+        "t", "t3", "t4",
+        d_stat.alias("d_stat"),
+        crit.alias("d_critical"),
+        (d_stat > crit).alias("discordant"))

@@ -3625,3 +3625,71 @@ def bloom_decontamination_q(spark: SparkSession,
         .alias("maybe_hits"),
         (F.sum(F.col("maybe_present").cast("int")) >= 8)
         .alias("flagged"))
+
+
+# ---------------------------------------------------------------------------
+# Long-gram exact-substring coverage via gram-length doubling
+# (operators/dedup.long_repeated_span_coverage): 8 -> 16 -> 32-token
+# grams, each round hashing only positions whose two half-grams
+# survived the previous round. The oracle computes the ground truth
+# directly (hash every 32-gram) — the doubling is an optimization
+# with provably identical output.
+# ---------------------------------------------------------------------------
+
+_LONG_SPAN_K = 32
+
+_LONG_SPAN_ORACLE = f"""
+    WITH docs0 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(toks) AS n_tokens, toks FROM docs0
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST('0x' || substr(md5(array_to_string(
+               toks[i : i + {_LONG_SPAN_K} - 1], ' ')), 1, 15)
+               AS BIGINT) AS h
+      FROM base,
+           unnest(generate_series(1, len(toks) - {_LONG_SPAN_K} + 1))
+             AS t(i)
+      WHERE len(toks) >= {_LONG_SPAN_K}
+    ), repeated AS (
+      SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dup AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN repeated USING (h)
+    ), cov AS (
+      SELECT doc_id,
+             CAST(sum(contrib) AS BIGINT) AS dup_tokens,
+             count(*) AS dup_spans
+      FROM (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         IS NULL THEN {_LONG_SPAN_K}
+                    ELSE LEAST({_LONG_SPAN_K},
+                               pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos))
+               END AS contrib
+        FROM dup
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+           coalesce(c.dup_spans, 0) AS dup_spans,
+           coalesce(c.dup_tokens, 0) AS dup_tokens,
+           {R('coalesce(c.dup_tokens, 0)'
+              ' / CAST(greatest(b.n_tokens, 1) AS DOUBLE)', 6)}
+             AS coverage_frac
+    FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register("long_repeated_span_coverage", oracle=_LONG_SPAN_ORACLE)
+def long_repeated_span_coverage_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-doc verbatim-duplication coverage over 32-token grams found
+    by gram-length DOUBLING — the scale path for long-n ExactSubstr
+    (operators/dedup.long_repeated_span_coverage)."""
+    from ..operators.dedup import long_repeated_span_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    out = long_repeated_span_coverage(docs, k0=8, target=_LONG_SPAN_K)
+    return _round(out, {"coverage_frac": 6})

@@ -3795,3 +3795,122 @@ def regional_index_flood_q(spark: SparkSession,
     out = regional_index_flood(_rff_annual(spark, sf_dir))
     return _round(out, {"index_flood": 6, "t_r": 6, "q10": 6,
                         "q100": 6})
+
+
+_RFF_D_ORACLE = """
+    WITH annual AS (
+      SELECT (o_custkey % 15) % 3 AS region,
+             o_custkey % 15 AS site,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             max(CAST(floor(o_totalprice * 100
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS mq
+      FROM orders GROUP BY 1, 2, 3
+    ), rk AS (
+      SELECT region, site, yr, mq,
+             row_number() OVER (PARTITION BY region, site
+                                ORDER BY mq, yr) AS i
+      FROM annual
+    ), pwm AS (
+      SELECT region, site, CAST(count(*) AS BIGINT) AS n,
+             sum(mq) AS s0, sum((i - 1) * mq) AS s1,
+             sum((i - 1) * (i - 2) * mq) AS s2,
+             sum((i - 1) * (i - 2) * (i - 3) * mq) AS s3
+      FROM rk GROUP BY 1, 2
+    ), sitesd AS (
+      SELECT region, site, n,
+             ((2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+               - CAST(s0 AS DOUBLE) / n)
+              / (CAST(s0 AS DOUBLE) / n)) AS t,
+             ((6 * (CAST(s2 AS DOUBLE) / (n * (n - 1) * (n - 2)))
+               - 6 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+               + CAST(s0 AS DOUBLE) / n)
+              / (2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                 - CAST(s0 AS DOUBLE) / n)) AS t3,
+             ((20 * (CAST(s3 AS DOUBLE)
+                     / (n * (n - 1) * (n - 2) * (n - 3)))
+               - 30 * (CAST(s2 AS DOUBLE) / (n * (n - 1) * (n - 2)))
+               + 12 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+               - CAST(s0 AS DOUBLE) / n)
+              / (2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                 - CAST(s0 AS DOUBLE) / n)) AS t4
+      FROM pwm WHERE n >= 4
+    ), q AS (
+      SELECT region, site, n, t, t3, t4,
+             CAST(floor(t * 1000000000000 + 0.5) AS BIGINT) AS tq,
+             CAST(floor(t3 * 1000000000000 + 0.5) AS BIGINT) AS t3q,
+             CAST(floor(t4 * 1000000000000 + 0.5) AS BIGINT) AS t4q
+      FROM q0
+    ), xx AS (
+      SELECT q.region, q.site, q.n, q.t, q.t3, q.t4, g.ns,
+             g.ns * q.tq - g.Su1 AS d1,
+             g.ns * q.t3q - g.Su2 AS d2,
+             g.ns * q.t4q - g.Su3 AS d3
+      FROM q JOIN (
+        SELECT region, CAST(count(*) AS BIGINT) AS ns,
+               sum(tq) AS Su1, sum(t3q) AS Su2, sum(t4q) AS Su3
+        FROM q GROUP BY 1
+      ) g ON g.region = q.region
+      WHERE g.ns >= 4
+    ), mm AS (
+      SELECT region,
+             CAST(sum(CAST(d1 AS HUGEINT) * d1) AS DOUBLE) AS m11,
+             CAST(sum(CAST(d1 AS HUGEINT) * d2) AS DOUBLE) AS m12,
+             CAST(sum(CAST(d1 AS HUGEINT) * d3) AS DOUBLE) AS m13,
+             CAST(sum(CAST(d2 AS HUGEINT) * d2) AS DOUBLE) AS m22,
+             CAST(sum(CAST(d2 AS HUGEINT) * d3) AS DOUBLE) AS m23,
+             CAST(sum(CAST(d3 AS HUGEINT) * d3) AS DOUBLE) AS m33
+      FROM xx GROUP BY 1
+    ), dcalc AS (
+      SELECT xx.region, xx.site, xx.n, xx.t, xx.t3, xx.t4, xx.ns,
+             (xx.ns / 3.0) * (
+               (CAST(xx.d1 AS DOUBLE) * CAST(xx.d1 AS DOUBLE)
+                  * (m22 * m33 - m23 * m23)
+                + CAST(xx.d2 AS DOUBLE) * CAST(xx.d2 AS DOUBLE)
+                  * (m11 * m33 - m13 * m13)
+                + CAST(xx.d3 AS DOUBLE) * CAST(xx.d3 AS DOUBLE)
+                  * (m11 * m22 - m12 * m12)
+                + 2 * (CAST(xx.d1 AS DOUBLE) * CAST(xx.d2 AS DOUBLE)
+                       * (-(m12 * m33 - m13 * m23)))
+                + 2 * (CAST(xx.d1 AS DOUBLE) * CAST(xx.d3 AS DOUBLE)
+                       * (m12 * m23 - m13 * m22))
+                + 2 * (CAST(xx.d2 AS DOUBLE) * CAST(xx.d3 AS DOUBLE)
+                       * (-(m11 * m23 - m12 * m13))))
+               / (m11 * (m22 * m33 - m23 * m23)
+                  - m12 * (m12 * m33 - m13 * m23)
+                  + m13 * (m12 * m23 - m13 * m22))) AS d_stat,
+             CASE WHEN xx.ns >= 15 THEN 3.0
+                  WHEN xx.ns >= 14 THEN 2.971
+                  WHEN xx.ns >= 13 THEN 2.869
+                  WHEN xx.ns >= 12 THEN 2.757
+                  WHEN xx.ns >= 11 THEN 2.632
+                  WHEN xx.ns >= 10 THEN 2.491
+                  WHEN xx.ns >= 9 THEN 2.329
+                  WHEN xx.ns >= 8 THEN 2.140
+                  WHEN xx.ns >= 7 THEN 1.917
+                  WHEN xx.ns >= 6 THEN 1.648
+                  ELSE 1.333 END AS d_critical
+      FROM xx JOIN mm ON mm.region = xx.region
+    )
+    SELECT region, site, CAST(n AS BIGINT) AS n_years,
+           floor(t * 1000000 + 0.5) / 1000000 AS t,
+           floor(t3 * 1000000 + 0.5) / 1000000 AS t3,
+           floor(t4 * 1000000 + 0.5) / 1000000 AS t4,
+           floor(d_stat * 1000000 + 0.5) / 1000000 AS d_stat,
+           d_critical,
+           d_stat > d_critical AS discordant
+    FROM dcalc
+"""
+_RFF_D_ORACLE = _RFF_D_ORACLE.replace("FROM q0", "FROM sitesd")
+
+
+@register("regional_discordancy", oracle=_RFF_D_ORACLE)
+def regional_discordancy_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Hosking & Wallis per-site discordancy D_i over the 5-site
+    regions (operators/trend.regional_discordancy): the (t, t3, t4)
+    Mahalanobis screen with the Table 3.1 critical values — the third
+    member of the regional screening trio next to H."""
+    from ..operators.trend import regional_discordancy
+
+    out = regional_discordancy(_rff_annual(spark, sf_dir))
+    return _round(out, {"t": 6, "t3": 6, "t4": 6, "d_stat": 6})

@@ -437,6 +437,23 @@ def main() -> None:
 
     subset05 = round(sum(v for k, v in timings.items() if k in r05), 3)
     subset09 = round(sum(v for k, v in timings.items() if k in r09), 3)
+    # the round-10 additions (patch_36/37 transmission validators,
+    # regional flood frequency, long-gram ExactSubstr doubling):
+    # r10 subset = r09 + these, frozen for round-over-round comparison
+    r10 = r09 | {
+        "instrument_meta_overlap",
+        "instrument_connection_check",
+        "transmission_setup_validation",
+        "transmission_component_check",
+        "transmission_capability_check",
+        "protocol_dependents_check",
+        "deployment_transmission_dependents",
+        "regional_flood_homogeneity",
+        "regional_index_flood",
+        "long_repeated_span_coverage",
+        "regional_discordancy"
+    }
+    subset10 = round(sum(v for k, v in timings.items() if k in r10), 3)
 
     # The driver keeps only a 4KB stdout TAIL: a single JSON line carrying
     # all 200+ per-query timings gets its leading "metric"/"value" fields
@@ -455,6 +472,7 @@ def main() -> None:
         "r04_subset_seconds": subset04,
         "r05_subset_seconds": subset05,
         "r09_subset_seconds": subset09,
+        "r10_subset_seconds": subset10,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     sidecar = os.path.join(
@@ -477,6 +495,7 @@ def main() -> None:
         "r04_subset_seconds": subset04,
         "r05_subset_seconds": subset05,
         "r09_subset_seconds": subset09,
+        "r10_subset_seconds": subset10,
         "queries_sidecar": sidecar,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

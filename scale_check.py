@@ -561,6 +561,42 @@ def main() -> None:
         .otherwise(F.col("text")).alias("text"),
     )
     t("repeated_span_hot_gram", repeated_span_coverage(hot, k=8))
+    # long-gram doubling path (8->16->32) over a 40-token boilerplate
+    # prefix shared by 50% of docs: round-0 marks every boiler gram
+    # hot, the doubling rounds must shrink to the prefix's 32-gram
+    # starts only (9 per boiler doc), and the doc bodies (unique md5
+    # soup) must contribute nothing — the candidate tail is
+    # geometric, not n_tokens * (target/k0)
+    from aquacache_spark.operators.dedup import (
+        long_repeated_span_coverage)
+
+    boiler40 = " ".join(f"w{j} ww{j}" for j in range(20))
+    lo, hi = n_docs // 10, n_docs * 9 // 10  # unique-body id range
+    # the per-doc "sep<id>" token seals the boiler/body boundary:
+    # without it, two docs whose FIRST body token collides (6-hex-char
+    # space, birthday pairs at 40k docs) legitimately share the
+    # 32-gram at pos 9 and the ==9-spans assert below would be wrong
+    hot40 = docs.where((F.col("doc_id") >= lo)
+                       & (F.col("doc_id") < hi)).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(boiler40 + " sep"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    t0 = time.perf_counter()
+    ls = long_repeated_span_coverage(hot40, k0=8, target=32) \
+        .where(F.col("dup_spans") > 0).persist()
+    n_ls = ls.count()
+    bad_ls = ls.where((F.col("doc_id") % 2 != 0)
+                      | (F.col("dup_tokens") != 40)
+                      | (F.col("dup_spans") != 9)).count()
+    timings["long_span_doubling_hot_prefix"] = round(
+        time.perf_counter() - t0, 2)
+    ls.unpersist()
+    assert n_ls == (hi - lo) // 2, f"long-span docs: {n_ls}"
+    assert bad_ls == 0, f"long-span coverage rows off: {bad_ls}"
 
     # ---- embedding tier: ANN paths at 1000x the bench corpus. The
     # point is the *shape*: IVF+PQ serving time must track probed-list

@@ -64,3 +64,44 @@ def test_lsh_hot_bucket_cap_star_semantics(spark):
     # uncapped baseline still emits all 15 + 1 pairs
     full = lsh_candidate_pairs(sig, num_hashes=8, bands=4, max_bucket=None)
     assert full.count() == 16
+
+
+def test_long_span_doubling_closed_form(spark):
+    # docs 1/2 share a 35-token run -> 32-gram starts at 0..3 in the
+    # run (4 spans, union 35 tokens). docs 3/4 share only a 20-token
+    # run: its 8- and 16-grams repeat (the doubling rounds see it) but
+    # no 32-gram does -> zero coverage. doc 5 is all-unique filler.
+    from aquacache_spark.operators.dedup import (
+        long_repeated_span_coverage)
+
+    run35 = " ".join(f"shared{j}" for j in range(35))
+    run20 = " ".join(f"partial{j}" for j in range(20))
+    def filler(tag, n):
+        return " ".join(f"{tag}{j}" for j in range(n))
+    rows = [
+        (1, run35 + " " + filler("a", 10)),
+        (2, filler("b", 7) + " " + run35),
+        (3, run20 + " " + filler("c", 20)),
+        (4, filler("d", 15) + " " + run20),
+        (5, filler("e", 40)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           long_repeated_span_coverage(docs, k0=8, target=32).collect()}
+    for d, n_tok in ((1, 45), (2, 42)):
+        assert out[d]["n_tokens"] == n_tok
+        assert out[d]["dup_spans"] == 4, out[d]
+        assert out[d]["dup_tokens"] == 35, out[d]
+        assert abs(out[d]["coverage_frac"] - 35 / n_tok) < 1e-9
+    for d in (3, 4, 5):
+        assert out[d]["dup_spans"] == 0 and out[d]["dup_tokens"] == 0
+
+    # parity with the direct (no-doubling) ground truth at target=16:
+    # one doubling round must equal hashing every 16-gram outright
+    from aquacache_spark.operators.dedup import repeated_span_coverage
+    direct = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"]) for r in
+              repeated_span_coverage(docs, k=16).collect()}
+    doubled = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"]) for r in
+               long_repeated_span_coverage(docs, k0=8,
+                                           target=16).collect()}
+    assert direct == doubled

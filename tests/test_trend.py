@@ -180,3 +180,37 @@ def test_regional_index_flood_scales_with_site_mean(spark):
     assert max(r10) - min(r10) < 1e-12
     assert max(r100) - min(r100) < 1e-12
     assert r100[0] > r10[0] > 1.0
+
+
+def test_regional_discordancy_invariant_and_flagging(spark):
+    from aquacache_spark.operators.trend import regional_discordancy
+
+    schema = "region long, site long, yr int, mq long"
+    # 6 sites (critical value 1.648): five near-homogeneous + one with
+    # a wildly different L-moment shape (huge spread, heavy skew).
+    # The five background sites carry a small deterministic per-site
+    # SHAPE jitter — five sites with bit-identical (t, t3, t4) vectors
+    # would make A exactly singular (rank 1) and D degenerate, a
+    # configuration real records never produce
+    rows = []
+    base = [-6, -4, -3, -1, 0, 1, 2, 3, 4, 5, 7, 9]
+    for s in range(5):
+        for j, b in enumerate(base):
+            jit = 0.004 * ((s * 5 + j * 3) % 7 - 3)
+            rows.append((0, s, 2000 + j,
+                         int(round(1000.0 * (s + 1)
+                                   * (1 + 0.02 * b + jit) * 100))))
+    skewed = [100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 110,
+              400]  # one extreme outlier year -> high t, t3, t4
+    for j, v in enumerate(skewed):
+        rows.append((0, 5, 2000 + j, v * 100))
+    out = regional_discordancy(
+        spark.createDataFrame(rows, schema)).collect()
+    by_site = {r["site"]: r for r in out}
+    # exact-statistic invariant: sum of D_i over the region = n_sites
+    assert abs(sum(r["d_stat"] for r in out) - 6.0) < 1e-6
+    assert all(r["d_critical"] == 1.648 for r in out)
+    # the shape outlier is the (only) discordant site
+    assert by_site[5]["discordant"]
+    assert by_site[5]["d_stat"] == max(r["d_stat"] for r in out)
+    assert sum(r["discordant"] for r in out) == 1
