@@ -702,3 +702,35 @@ def regional_discordancy(annual: DataFrame) -> DataFrame:
         d_stat.alias("d_stat"),
         crit.alias("d_critical"),
         (d_stat > crit).alias("discordant"))
+
+
+def regional_screening_report(annual: DataFrame,
+                              nsim: int = 40) -> DataFrame:
+    """The full Hosking & Wallis regional screening procedure as one
+    composition (1997 ch. 3-6 workflow): per-site discordancy D_i ->
+    DROP discordant sites -> heterogeneity H over the retained sites
+    -> the regional Gumbel growth-curve factors an index-flood user
+    would apply. One row per region:
+
+    (region, n_sites_initial, n_discordant, n_sites_used, total_years,
+    t_r, h_stat, possibly/definitely_heterogeneous, growth_q10,
+    growth_q100) — t_r and the growth factors are computed from the
+    RETAINED sites only, which is the point of screening first.
+    """
+    disc = regional_discordancy(annual)
+    counts = disc.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sites_initial"),
+        F.sum(F.col("discordant").cast("long")).alias("n_discordant"))
+    keep = disc.where(~F.col("discordant")).select("region", "site")
+    kept = annual.join(F.broadcast(keep), ["region", "site"],
+                       "left_semi")
+    h = regional_lmoment_homogeneity(kept, nsim)
+    alpha = F.col("t_r") * F.lit(_LM_INV_LN2)
+    xi = F.lit(1.0) - F.lit(_LM_GAMMA) * alpha
+    return h.join(F.broadcast(counts), "region").select(
+        "region", "n_sites_initial", "n_discordant",
+        F.col("n_sites").alias("n_sites_used"), "total_years",
+        "t_r", "h_stat",
+        "possibly_heterogeneous", "definitely_heterogeneous",
+        (xi + alpha * F.lit(2.2503673273124454)).alias("growth_q10"),
+        (xi + alpha * F.lit(4.600149226776579)).alias("growth_q100"))

@@ -3914,3 +3914,114 @@ def regional_discordancy_q(spark: SparkSession,
 
     out = regional_discordancy(_rff_annual(spark, sf_dir))
     return _round(out, {"t": 6, "t3": 6, "t4": 6, "d_stat": 6})
+
+
+# ---------------------------------------------------------------------------
+# Regional screening capstone: the full H&W workflow in one plan —
+# discordancy screen -> drop flagged sites -> heterogeneity H over the
+# survivors -> regional growth-curve factors. Fixture: 30 sites in two
+# 15-site regions (15 sites => D_max = 14/3 ~ 4.67 comfortably above
+# the 3.0 critical value) with one injected outlier year at site 7, so
+# the drop path genuinely fires at every SF. The oracle is ASSEMBLED
+# from the audited D and H oracle texts (CTEs suffix-renamed, the H
+# base rebased onto the keep-filtered annual) so the two halves stay
+# textually identical to their standalone, separately-verified
+# queries.
+# ---------------------------------------------------------------------------
+
+_RFF_CAPSTONE_ANNUAL = """annual AS (
+      SELECT region, site, yr,
+             CASE WHEN site = 7 AND yr = 1995 THEN mq * 6
+                  ELSE mq END AS mq
+      FROM (
+        SELECT (o_custkey % 30) % 2 AS region,
+               o_custkey % 30 AS site,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               max(CAST(floor(o_totalprice * 100
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS mq
+        FROM orders GROUP BY 1, 2, 3
+      )
+    ), rk AS ("""
+
+
+def _build_screening_oracle() -> str:
+    import re
+
+    d_pert = re.sub(r"annual AS \(.*?\), rk AS \(",
+                    _RFF_CAPSTONE_ANNUAL, _RFF_D_ORACLE, flags=re.S)
+    d_body = d_pert.split(
+        "    SELECT region, site, CAST(n AS BIGINT)")[0].rstrip()
+    h_rest = _RFF_H_ORACLE[len("WITH " + _RFF_BASE_SQL):]
+    h_sql = _RFF_BASE_SQL + h_rest
+    for name in ("annual", "rk", "pwm", "sites", "regw", "reg", "jj",
+                 "grid", "draws", "srk", "spwm", "ssites", "sregw",
+                 "sv", "hsim", "final"):
+        h_sql = re.sub(rf"\b{name}\b", name + "2", h_sql)
+    h_sql = re.sub(
+        r"annual2 AS \(.*?\), rk2 AS \(",
+        """annual2 AS (
+      SELECT a.region, a.site, a.yr, a.mq
+      FROM annual a JOIN keep k
+        ON k.region = a.region AND k.site = a.site
+    ), rk2 AS (""", h_sql, flags=re.S)
+    h_body = h_sql.split("    SELECT region, n_sites, total_years,")[0]
+    h_body = h_body.rstrip()
+    assert h_body.endswith(")"), h_body[-80:]
+    return (d_body + """, keep AS (
+      SELECT region, site FROM dcalc
+      WHERE NOT (d_stat > d_critical)
+    ), dstats AS (
+      SELECT region, CAST(count(*) AS BIGINT) AS n_sites_initial,
+             CAST(sum(CASE WHEN d_stat > d_critical THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_discordant
+      FROM dcalc GROUP BY 1
+    ),""" + h_body + """
+    SELECT f.region, d.n_sites_initial, d.n_discordant,
+           f.n_sites AS n_sites_used, f.total_years,
+           floor(f.t_r * 1000000 + 0.5) / 1000000 AS t_r,
+           floor(((f.v_obs - f.mu_v) / f.sigma_v) * 1000000 + 0.5)
+             / 1000000 AS h_stat,
+           (f.v_obs - f.mu_v) / f.sigma_v > 1.0
+             AS possibly_heterogeneous,
+           (f.v_obs - f.mu_v) / f.sigma_v > 2.0
+             AS definitely_heterogeneous,
+           floor(((1.0 - 0.5772156649015329
+                     * (f.t_r * 1.4426950408889634))
+                  + (f.t_r * 1.4426950408889634) * 2.2503673273124454)
+                 * 1000000 + 0.5) / 1000000 AS growth_q10,
+           floor(((1.0 - 0.5772156649015329
+                     * (f.t_r * 1.4426950408889634))
+                  + (f.t_r * 1.4426950408889634) * 4.600149226776579)
+                 * 1000000 + 0.5) / 1000000 AS growth_q100
+    FROM final2 f JOIN dstats d ON d.region = f.region
+""")
+
+
+def _rff_annual_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    site = F.col("o_custkey") % 30
+    a = o.groupBy(
+        (site % 2).alias("region"), site.alias("site"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.max(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")).alias("mq"))
+    return a.select(
+        "region", "site", "yr",
+        F.when((F.col("site") == 7) & (F.col("yr") == 1995),
+               F.col("mq") * 6)
+        .otherwise(F.col("mq")).alias("mq"))
+
+
+@register("regional_screening_report", oracle=_build_screening_oracle())
+def regional_screening_report_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The full H&W regional screening workflow in one plan over two
+    15-site regions with an injected outlier site: discordancy ->
+    drop -> heterogeneity over survivors -> growth factors
+    (operators/trend.regional_screening_report)."""
+    from ..operators.trend import regional_screening_report
+
+    out = regional_screening_report(
+        _rff_annual_capstone(spark, sf_dir), nsim=_RFF_NSIM)
+    return _round(out, {"t_r": 6, "h_stat": 6, "growth_q10": 6,
+                        "growth_q100": 6})

@@ -451,7 +451,8 @@ def main() -> None:
         "regional_flood_homogeneity",
         "regional_index_flood",
         "long_repeated_span_coverage",
-        "regional_discordancy"
+        "regional_discordancy",
+        "regional_screening_report"
     }
     subset10 = round(sum(v for k, v in timings.items() if k in r10), 3)
 

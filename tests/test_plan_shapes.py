@@ -479,3 +479,16 @@ def test_transmission_validators_broadcast_ladder(spark):
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "BroadcastHashJoin" in p, name
+
+
+def test_regional_flood_family_broadcast_only(spark):
+    # regional flood frequency family (r10): catalog-sized site/region
+    # frames only — every join broadcast, no cartesian/nested-loop/
+    # sort-merge anywhere, and the simulation explode is map-side
+    for name in ("regional_flood_homogeneity", "regional_index_flood",
+                 "regional_discordancy", "regional_screening_report",
+                 "long_repeated_span_coverage"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BatchEvalPython" not in p, name
