@@ -1486,6 +1486,7 @@ def long_repeated_span_coverage(
     base, cur = _repeated_gram_positions(docs, k0, id_col, text_col)
     toks = base.select(id_col, "n_tokens", "__toks") \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    prev_cur = None
     while k < target:
         # candidates: p where p AND p+k are surviving starts (the
         # p+k <= n_tokens - k bound is inherited, so the doubled
@@ -1510,7 +1511,19 @@ def long_repeated_span_coverage(
             .where(F.col("__nd") >= 2)
             .select("h")
         )
-        cur = g2.join(survivors, "h", "left_semi").select(id_col, "pos")
+        # materialize the (shrinking) survivor set eagerly so the
+        # superseded round's caches can be released NOW — without
+        # this every doubling round pins a g2 cache for the session
+        # (the round frames are in each other's lineage, so an early
+        # unpersist would otherwise just force recomputation)
+        cur = (g2.join(survivors, "h", "left_semi")
+               .select(id_col, "pos")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        cur.count()
+        g2.unpersist()
+        if prev_cur is not None:
+            prev_cur.unpersist()
+        prev_cur = cur
         k *= 2
     from pyspark.sql import Window
 

@@ -439,7 +439,11 @@ def instrument_meta_overlap(deployments: DataFrame) -> DataFrame:
         "instrument_id",
         F.col("start_datetime").alias("__s"),
         _inf(F.col("end_datetime")).alias("__e"),
-    )
+    # location_id compares with plain `=` in the trigger (NULL never
+    # matches — it is the NOT NULL anchor of the key), so NULL-location
+    # rows cannot conflict and are excluded from the probe outright;
+    # the three genuinely nullable parts compare IS NOT DISTINCT FROM
+    ).where(F.col("location_id").isNotNull())
     # normalize nullable key parts so an equi-join co-buckets NULLs
     key = F.concat_ws(
         "|",

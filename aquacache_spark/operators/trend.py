@@ -531,11 +531,15 @@ def regional_lmoment_homogeneity(annual: DataFrame,
     definitely (H&W 1997 §4.3.3 thresholds).
 
     The uniform driver is deterministic: u = (((sim * 1000003 +
-    site * 8191 + j) * 2654435761) mod 2^32 + 0.5) / 2^32 over the
-    (sim, site, year-rank) grid — integer arithmetic both engines, so
-    the simulated V sample (and hence mu_V, sigma_V, H) is exact
-    cross-engine. Simulated values are quantized to integers BEFORE
-    ranking/PWM sums, keeping every aggregation order-independent.
+    site_ord * 8191 + j) * 2654435761) mod 2^32 + 0.5) / 2^32 over
+    the (sim, site, year-rank) grid — integer arithmetic both engines,
+    so the simulated V sample (and hence mu_V, sigma_V, H) is exact
+    cross-engine. ``site_ord`` is the site's dense rank within its
+    region, NOT the raw site id: ids may be strings ('08MF005') or
+    large enough that id * 8191 would overflow int64 — the rank is a
+    small dense integer for any orderable id type. Simulated values
+    are quantized to integers BEFORE ranking/PWM sums, keeping every
+    aggregation order-independent.
 
     Scale: everything after the annual-max rollup is catalog-sized
     (sites x years x nsim rows); windows partition on (region[, sim,
@@ -544,16 +548,18 @@ def regional_lmoment_homogeneity(annual: DataFrame,
     obs = _region_dispersion(sites, ["region"])
 
     wj = Window.partitionBy("region", "site").orderBy("yr")
+    word = Window.partitionBy("region").orderBy("site")
     grid = (annual
             .join(F.broadcast(sites.select("region", "site")),
                   ["region", "site"], "left_semi")
             .withColumn("j", F.row_number().over(wj))
-            .select("region", "site", "j")
+            .withColumn("site_ord", F.dense_rank().over(word))
+            .select("region", "site", "site_ord", "j")
             .withColumn("sim", F.explode(
                 F.sequence(F.lit(1), F.lit(int(nsim))))))
     g = grid.join(F.broadcast(obs.select("region", "t_r")), "region")
     k = (F.col("sim").cast("long") * F.lit(1000003)
-         + F.col("site").cast("long") * F.lit(8191)
+         + F.col("site_ord").cast("long") * F.lit(8191)
          + F.col("j").cast("long"))
     hnum = (k * F.lit(_LM_HASH_MUL)) % F.lit(_LM_HASH_MOD)
     u = (hnum.cast("double") + F.lit(0.5)) / F.lit(float(_LM_HASH_MOD))
@@ -688,7 +694,14 @@ def regional_discordancy(annual: DataFrame) -> DataFrame:
     quad = (d1 * d1 * c11 + d2 * d2 * c22 + d3 * d3 * c33
             + 2 * (d1 * d2 * c12) + 2 * (d1 * d3 * c13)
             + 2 * (d2 * d3 * c23))
-    d_stat = (F.col("ns") / F.lit(3.0)) * (quad / det)
+    # singular moment matrix (linearly dependent deviation vectors —
+    # e.g. bit-identical site L-moments) -> D undefined: emit NULL
+    # rather than quad/0 (NaN sorts ABOVE every double in Spark, so an
+    # unguarded NaN would flag every site discordant); the discordant
+    # flag coalesces to FALSE so a degenerate region is left intact
+    # for the H stage instead of being silently emptied
+    d_stat = F.when(det != F.lit(0.0),
+                    (F.col("ns") / F.lit(3.0)) * (quad / det))
     crit = F.lit(1.333)
     for k in sorted(_DISCORDANCY_CRIT):
         if k == 5:
@@ -701,7 +714,7 @@ def regional_discordancy(annual: DataFrame) -> DataFrame:
         "t", "t3", "t4",
         d_stat.alias("d_stat"),
         crit.alias("d_critical"),
-        (d_stat > crit).alias("discordant"))
+        F.coalesce(d_stat > crit, F.lit(False)).alias("discordant"))
 
 
 def regional_screening_report(annual: DataFrame,

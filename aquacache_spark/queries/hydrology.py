@@ -3660,11 +3660,13 @@ _RFF_H_ORACLE = "WITH " + _RFF_BASE_SQL + """
     , jj AS (
       SELECT a.region, a.site, st.n,
              row_number() OVER (PARTITION BY a.region, a.site
-                                ORDER BY a.yr) AS j
+                                ORDER BY a.yr) AS j,
+             dense_rank() OVER (PARTITION BY a.region
+                                ORDER BY a.site) AS site_ord
       FROM annual a
       JOIN sites st ON st.region = a.region AND st.site = a.site
     ), grid AS (
-      SELECT jj.region, jj.site, jj.j, s.sim
+      SELECT jj.region, jj.site, jj.site_ord, jj.j, s.sim
       FROM jj CROSS JOIN (SELECT unnest(range(1, 41)) AS sim) s
     ), draws AS (
       SELECT g.region, g.site, g.sim, g.j,
@@ -3672,7 +3674,8 @@ _RFF_H_ORACLE = "WITH " + _RFF_BASE_SQL + """
                             * (r.t_r * 1.4426950408889634))
                          + (r.t_r * 1.4426950408889634)
                            * (-ln(-ln((CAST(((g.sim * 1000003
-                                              + g.site * 8191 + g.j)
+                                              + g.site_ord * 8191
+                                              + g.j)
                                              * 2654435761)
                                             % 4294967296 AS DOUBLE)
                                        + 0.5) / 4294967296.0))))
@@ -3862,6 +3865,9 @@ _RFF_D_ORACLE = """
       FROM xx GROUP BY 1
     ), dcalc AS (
       SELECT xx.region, xx.site, xx.n, xx.t, xx.t3, xx.t4, xx.ns,
+             CASE WHEN (m11 * (m22 * m33 - m23 * m23)
+                        - m12 * (m12 * m33 - m13 * m23)
+                        + m13 * (m12 * m23 - m13 * m22)) <> 0.0 THEN
              (xx.ns / 3.0) * (
                (CAST(xx.d1 AS DOUBLE) * CAST(xx.d1 AS DOUBLE)
                   * (m22 * m33 - m23 * m23)
@@ -3877,7 +3883,7 @@ _RFF_D_ORACLE = """
                        * (-(m11 * m23 - m12 * m13))))
                / (m11 * (m22 * m33 - m23 * m23)
                   - m12 * (m12 * m33 - m13 * m23)
-                  + m13 * (m12 * m23 - m13 * m22))) AS d_stat,
+                  + m13 * (m12 * m23 - m13 * m22))) END AS d_stat,
              CASE WHEN xx.ns >= 15 THEN 3.0
                   WHEN xx.ns >= 14 THEN 2.971
                   WHEN xx.ns >= 13 THEN 2.869
@@ -3897,7 +3903,7 @@ _RFF_D_ORACLE = """
            floor(t4 * 1000000 + 0.5) / 1000000 AS t4,
            floor(d_stat * 1000000 + 0.5) / 1000000 AS d_stat,
            d_critical,
-           d_stat > d_critical AS discordant
+           coalesce(d_stat > d_critical, FALSE) AS discordant
     FROM dcalc
 """
 _RFF_D_ORACLE = _RFF_D_ORACLE.replace("FROM q0", "FROM sitesd")
@@ -3969,10 +3975,11 @@ def _build_screening_oracle() -> str:
     assert h_body.endswith(")"), h_body[-80:]
     return (d_body + """, keep AS (
       SELECT region, site FROM dcalc
-      WHERE NOT (d_stat > d_critical)
+      WHERE NOT coalesce(d_stat > d_critical, FALSE)
     ), dstats AS (
       SELECT region, CAST(count(*) AS BIGINT) AS n_sites_initial,
-             CAST(sum(CASE WHEN d_stat > d_critical THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN coalesce(d_stat > d_critical, FALSE)
+                           THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_discordant
       FROM dcalc GROUP BY 1
     ),""" + h_body + """

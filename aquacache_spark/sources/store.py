@@ -454,7 +454,16 @@ class ParquetMergeStore:
         touched = [
             r["bucket"] for r in updates.select("bucket").distinct().collect()
         ]
-        existing = self.read().where(F.col("bucket").isin(touched))
+        # bucket-pruned read through the manifest (NOT read().where):
+        # read() plans one scan node per retained version dir, so on a
+        # fragmented store every small merge re-plans a union over the
+        # whole version history; _read_buckets references only the
+        # touched buckets' dirs — the merge plan stays O(touched), not
+        # O(versions), which is what a daily-increment cadence needs
+        existing = self._read_buckets(old, set(touched))
+        if existing is None:
+            # none of the touched buckets exist yet: pure insert
+            existing = updates.limit(0)
 
         total = updates.count()
         if on_conflict == "update":

@@ -214,3 +214,26 @@ def test_regional_discordancy_invariant_and_flagging(spark):
     assert by_site[5]["discordant"]
     assert by_site[5]["d_stat"] == max(r["d_stat"] for r in out)
     assert sum(r["discordant"] for r in out) == 1
+
+
+def test_regional_discordancy_degenerate_region_not_flagged(spark):
+    # bit-identical site L-moment vectors -> singular moment matrix
+    # -> D undefined: d_stat must be NULL and discordant FALSE (an
+    # unguarded quad/0 NaN would flag EVERY site in Spark's ordering),
+    # leaving the region intact for the downstream H stage
+    from aquacache_spark.operators.trend import (
+        regional_discordancy, regional_screening_report)
+
+    schema = "region long, site long, yr int, mq long"
+    rows = [(0, s, 2000 + j, int(round(1000.0 * (s + 1) * (1 + 0.02 * b)
+                                       * 100)))
+            for s in range(5)
+            for j, b in enumerate(
+                [-6, -4, -3, -1, 0, 1, 2, 3, 4, 5, 7, 9])]
+    df = spark.createDataFrame(rows, schema)
+    out = regional_discordancy(df).collect()
+    assert len(out) == 5
+    assert all(r["d_stat"] is None for r in out)
+    assert all(not r["discordant"] for r in out)
+    rep = regional_screening_report(df, nsim=10).collect()[0]
+    assert rep["n_sites_used"] == 5 and rep["n_discordant"] == 0
