@@ -759,3 +759,90 @@ def int8_quantize_stats(
         n_clipped.cast("int").alias("n_clipped"),
         mse.alias("mse"),
     )
+
+
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Exact brute-force cosine top-k through an Arrow + BLAS kernel —
+    the dense-linear-algebra twin of :func:`cosine_topk` and the one
+    place in the engine where a Pandas kernel legitimately beats
+    codegen: scoring a corpus batch against q query vectors is ONE
+    n x q integer matmul instead of q chained per-row aggregate
+    expressions.
+
+    Exactness contract: every embedding component is quantized to an
+    int64 micro-unit (floor(x * quant + 0.5)) BEFORE any arithmetic,
+    and with 64-dim unit-scale vectors every dot product and norm is
+    an exact integer below 2^53 — so numpy's blocked matmul, a JVM
+    sequential fold, and DuckDB's list_dot_product all produce the
+    identical integer no matter the summation order, and the one
+    int->double division afterwards is the same IEEE operation
+    everywhere. (The UNquantized cosine of :func:`cosine_topk` is a
+    different number at the ~1e-6 level; this operator's oracle
+    quantizes identically.)
+
+    Scale shape: the query matrix ships in the task closure (the
+    query set is catalog-sized by definition); the corpus pass is
+    map-only; each Arrow batch emits at most k * n_queries candidate
+    rows (batch-local top-k with the global tie-break key, so the
+    global top-k over candidates is exact); the final per-query
+    window runs over batches * k * q rows — bounded, never
+    corpus-cardinality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids_np = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.floor(
+        np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
+        * quant + 0.5).astype(np.int64)
+    qn = (qm * qm).sum(axis=1)  # exact int64 norms
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+                * quant + 0.5).astype(np.int64)
+            dots = C @ qm.T                      # exact (< 2^53)
+            nc = (C * C).sum(axis=1)             # exact int64
+            cos = (dots.astype(np.float64)
+                   / np.sqrt(nc.astype(np.float64)[:, None]
+                             * qn.astype(np.float64)[None, :]))
+            qr = np.floor(cos * 1e9 + 0.5).astype(np.int64)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids_np)):
+                idx = np.nonzero(ids != qids_np[j])[0]
+                if idx.size == 0:
+                    continue
+                order = np.lexsort((ids[idx], -qr[idx, j]))[:k]
+                sel = idx[order]
+                out_q.extend([int(qids_np[j])] * len(sel))
+                out_n.extend(ids[sel].tolist())
+                out_c.extend(cos[sel, j].tolist())
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q,
+                                    "neighbor_id": out_n,
+                                    "cosine": out_c})
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.floor(F.col("cosine") * 1e9 + F.lit(0.5))),
+        F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1689,3 +1689,52 @@ def tfpw_mann_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"beta": 6, "r1": 6, "var_s": 6, "z": 6})
 
 
+
+
+# ---------------------------------------------------------------------------
+# Arrow+BLAS exact brute-force cosine (operators/similarity.py
+# cosine_topk_blas): int64-quantized components make every dot/norm an
+# exact integer below 2^53, so numpy's blocked matmul and DuckDB's
+# list_dot_product agree bit-for-bit. The oracle quantizes the same
+# way (the cosine therefore differs from embedding_cosine_topk's
+# unquantized value at the ~1e-6 level — by design).
+# ---------------------------------------------------------------------------
+
+_COSINE_BLAS_ORACLE = f"""
+    WITH cq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000 + 0.5)
+                                      AS BIGINT)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM cq WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, v AS cv FROM cq
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_dot_product(cv, qv) AS DOUBLE)
+               / sqrt(CAST(list_dot_product(cv, cv) AS DOUBLE)
+                      * CAST(list_dot_product(qv, qv) AS DOUBLE))
+               AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY floor(cosine * 1000000000.0 + 0.5) DESC,
+                 neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine, rank
+    FROM r WHERE rank <= 5
+"""
+
+
+@register("embedding_cosine_topk_blas", oracle=_COSINE_BLAS_ORACLE)
+def embedding_cosine_topk_blas(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_blas(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return _round(out, {"cosine": 6})

@@ -452,7 +452,8 @@ def main() -> None:
         "regional_index_flood",
         "long_repeated_span_coverage",
         "regional_discordancy",
-        "regional_screening_report"
+        "regional_screening_report",
+        "embedding_cosine_topk_blas"
     }
     subset10 = round(sum(v for k, v in timings.items() if k in r10), 3)
 

@@ -625,6 +625,15 @@ def main() -> None:
     )
 
     t("cosine_topk_bruteforce", cosine_topk(emb, qs, k=5))
+    # the Arrow+BLAS twin over the same 500k x 8 workload: one int64
+    # matmul per Arrow batch vs 8 chained aggregate expressions per
+    # row — the speedup factor is the point of the pin (dense linear
+    # algebra is the one hot path where a Pandas kernel beats codegen)
+    from aquacache_spark.operators.similarity import cosine_topk_blas
+
+    t("cosine_topk_blas", cosine_topk_blas(emb, qs, k=5))
+    assert timings["cosine_topk_blas"] < timings["cosine_topk_bruteforce"], (
+        timings["cosine_topk_blas"], timings["cosine_topk_bruteforce"])
     t0 = time.perf_counter()
     cent, cb, codes = ivfpq_index(emb, nlist=16, m=4, ksub=8)
     codes.write.mode("overwrite").parquet(f"{base}/pq.parquet")
