@@ -846,3 +846,98 @@ def cosine_topk_blas(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup_blas(
+    corpus: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    max_cluster: int | None = None,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """:func:`semantic_dedup` with the within-cluster pair stage as an
+    Arrow + BLAS kernel (the :func:`cosine_topk_blas` technique): the
+    k-means partition and the centroid assignment are IDENTICAL to the
+    JVM path, but each cluster's m x min(m, cap) pair-score matrix is
+    one integer matmul inside ``applyInPandas`` instead of an
+    equi-self-join evaluating a 64-element aggregate expression per
+    pair.
+
+    Decision semantics: pair cosines are computed over int64-quantized
+    components (floor(x * quant + 0.5)) — exact integers below 2^53,
+    bit-identical in any engine — and gated at the same 1e-9-quantized
+    threshold. This is a (deterministic, oracled) ~1e-6 decision
+    variant of the unquantized JVM path, not a bit-identical twin of
+    it; the keep-priority order (centroid-sim ASC, id ASC) and the cap
+    banding are exactly the JVM path's.
+
+    Scale shape: one shuffle on centroid_id; per-group memory is
+    m x dim ints plus an m x cap score matrix — bounded when
+    ``max_cluster`` caps the comparison side (the degenerate-cluster
+    guard), which is the regime this kernel exists for.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, nlist=nlist,
+            iters=iters, dim=dim)
+    assigned = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", _qrank(_cosine(F.col("__v"), F.col("__centv"))))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__sim"), F.asc("centroid_id"))
+    assigned = (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "centroid_id", F.col("__sim").alias("__csim"),
+                "__v")
+    )
+    qthr = int(math.floor(threshold * 1e9 + 0.5))
+    cap = max_cluster
+    base_fields = assigned.select(id_col, "centroid_id", "__csim") \
+        .schema.fields
+    out_schema = T.StructType(
+        list(base_fields) + [T.StructField("kept", T.BooleanType())])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        csim = pdf["__csim"].to_numpy()
+        order = np.lexsort((ids, csim))  # keep-priority: csim ASC, id ASC
+        V = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["__v"]])
+            * quant + 0.5).astype(np.int64)[order]
+        b_cnt = n if cap is None else min(n, cap)
+        B = V[:b_cnt]
+        dots = V @ B.T                        # exact (< 2^53)
+        na = (V * V).sum(axis=1).astype(np.float64)
+        nb = na[:b_cnt]
+        cos = dots.astype(np.float64) / np.sqrt(na[:, None]
+                                                * nb[None, :])
+        qr = np.floor(cos * 1e9 + 0.5).astype(np.int64)
+        jj = np.arange(b_cnt)[None, :]
+        ii = np.arange(n)[:, None]
+        dropped_o = ((qr >= qthr) & (jj < ii)).any(axis=1)
+        kept = np.empty(n, dtype=bool)
+        kept[order] = ~dropped_o
+        return pd.DataFrame({
+            id_col: pdf[id_col], "centroid_id": pdf["centroid_id"],
+            "__csim": pdf["__csim"], "kept": kept})
+
+    out = assigned.groupBy("centroid_id").applyInPandas(fn, out_schema)
+    return out.select(
+        id_col, "centroid_id",
+        (F.col("__csim") / 1e9).alias("centroid_sim"), "kept")

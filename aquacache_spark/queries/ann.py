@@ -1738,3 +1738,85 @@ def embedding_cosine_topk_blas(spark: SparkSession,
     emb = _t(spark, sf_dir, "embeddings")
     out = cosine_topk_blas(emb, emb.where(F.col("vec_id") < 10), k=5)
     return _round(out, {"cosine": 6})
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup with the pair stage as the Arrow+BLAS kernel
+# (operators/similarity.semantic_dedup_blas): identical k-means
+# partition/assignment/banding; pair cosines over int64-quantized
+# components (exact < 2^53 — any summation order), gated at the same
+# 1e-9-quantized threshold. NB the kernel computes
+# dot / sqrt(na * nb) — sqrt of the PRODUCT — so the oracle mirrors
+# that exact expression (sqrt(x*y) != sqrt(x)*sqrt(y) at the ulp).
+# ---------------------------------------------------------------------------
+
+
+def _qlist_sql(e: str) -> str:
+    return (f"list_transform({e}, "
+            "x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))")
+
+
+def _qcos_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_dot_product({_qlist_sql(a)}, {_qlist_sql(b)})"
+        " AS DOUBLE)"
+        f" / sqrt(CAST(list_dot_product({_qlist_sql(a)}, {_qlist_sql(a)})"
+        " AS DOUBLE)"
+        f" * CAST(list_dot_product({_qlist_sql(b)}, {_qlist_sql(b)})"
+        " AS DOUBLE))"
+    )
+
+
+_SEMDEDUP_BLAS_ORACLE = "WITH " + _kmeans_cte(
+    16, 3, 64, corp_sql=_SEMDEDUP_CORP_SQL) + f"""
+    , afin AS MATERIALIZED (
+      SELECT vec_id, emb, cid, s FROM (
+        SELECT corp.vec_id, corp.emb, c.cid,
+               floor(({_cos_sql('corp.emb', 'c.centv', 64)})
+                     * 1000000000.0 + 0.5) AS s,
+               row_number() OVER (PARTITION BY corp.vec_id
+                 ORDER BY floor(({_cos_sql('corp.emb', 'c.centv', 64)})
+                                * 1000000000.0 + 0.5) DESC,
+                          c.cid) AS rn
+        FROM corp, cent_f c) WHERE rn = 1
+    ), banded AS MATERIALIZED (
+      SELECT vec_id, emb, cid, s FROM (
+        SELECT vec_id, emb, cid, s,
+               row_number() OVER (PARTITION BY cid
+                 ORDER BY s ASC, vec_id ASC) AS crank
+        FROM afin) WHERE crank <= 2
+    ), dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM afin a JOIN banded b ON a.cid = b.cid
+      WHERE (b.s < a.s OR (b.s = a.s AND b.vec_id < a.vec_id))
+        AND floor(({_qcos_sql('a.emb', 'b.emb')})
+                  * 1000000000.0 + 0.5) >= 950000000
+    )
+    SELECT a.vec_id, a.cid AS centroid_id,
+           {R('a.s / 1000000000.0', 6)} AS centroid_sim,
+           d.vec_id IS NULL AS kept
+    FROM afin a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@register("semdedup_blas_prune", oracle=_SEMDEDUP_BLAS_ORACLE)
+def semdedup_blas_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    twins = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            vec,
+            lambda x, i: x.cast("double")
+            + 0.05 * F.element_at(vec, ((i + 1) % 64 + 1).cast("int"))
+            .cast("double"),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(vec, lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(twins)
+    out = semantic_dedup_blas(corpus, threshold=0.95, max_cluster=2)
+    return _round(out, {"centroid_sim": 6})

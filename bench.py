@@ -453,7 +453,8 @@ def main() -> None:
         "long_repeated_span_coverage",
         "regional_discordancy",
         "regional_screening_report",
-        "embedding_cosine_topk_blas"
+        "embedding_cosine_topk_blas",
+        "semdedup_blas_prune"
     }
     subset10 = round(sum(v for k, v in timings.items() if k in r10), 3)
 

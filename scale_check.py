@@ -674,6 +674,24 @@ def main() -> None:
     # the degenerate half collapses to (at most a handful of) keepers —
     # the cap must not sever drop edges for near-identical members
     assert kept_hot <= 4, f"hot-cluster keepers: {kept_hot}"
+    # the Arrow+BLAS pair stage over the identical workload (same
+    # k-means training + assignment inside the timed window): the
+    # m x cap score matmul must beat the per-pair aggregate-expression
+    # join, and the degenerate-cluster behavior must be unchanged
+    from aquacache_spark.operators.similarity import semantic_dedup_blas
+
+    t0 = time.perf_counter()
+    sem_b = semantic_dedup_blas(sem_corpus, threshold=0.95,
+                                max_cluster=64)
+    kept_hot_b = sem_b.where(
+        (F.col("vec_id") % 2 == 0) & F.col("kept")).count()
+    timings["semdedup_hot_cluster_blas"] = round(
+        time.perf_counter() - t0, 2)
+    assert kept_hot_b <= 4, f"hot-cluster keepers (blas): {kept_hot_b}"
+    assert (timings["semdedup_hot_cluster_blas"]
+            < timings["semdedup_hot_cluster_capped"]), (
+        timings["semdedup_hot_cluster_blas"],
+        timings["semdedup_hot_cluster_capped"])
 
     # ---- training-batch assembly tier over the same document corpus
     from aquacache_spark.operators.packing import (
