@@ -1008,8 +1008,10 @@ def _repeated_gram_positions(
     k: int,
     id_col: str,
     text_col: str,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared engine for the exact-substring family: -> (base, dup).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared engine for the exact-substring family: -> (base, dup,
+    grams) where ``grams`` is the persisted exploded gram table the
+    caller may ``unpersist()`` once downstream frames are materialized.
 
     ``base`` = (id, n_tokens, __toks); ``dup`` = (id, pos) start
     positions of k-token grams whose hash occurs in >= 2 documents.
@@ -1064,7 +1066,7 @@ def _repeated_gram_positions(
         .select("h")
     )
     dup = grams.join(survivors, "h", "left_semi").select(id_col, "pos")
-    return base.drop("__g"), dup
+    return base.drop("__g"), dup, grams
 
 
 def repeated_span_coverage(
@@ -1087,7 +1089,7 @@ def repeated_span_coverage(
     reattachment joins two corpus-cardinality frames co-partitioned on
     the doc id.  Docs shorter than k tokens emit no grams and score 0.
     """
-    base, dup = _repeated_gram_positions(docs, k, id_col, text_col)
+    base, dup, _grams = _repeated_gram_positions(docs, k, id_col, text_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -1142,7 +1144,7 @@ def remove_repeated_spans(
 
     Output: (id, n_tokens, kept_tokens, cleaned_text).
     """
-    base, dup = _repeated_gram_positions(docs, k, id_col, text_col)
+    base, dup, _grams = _repeated_gram_positions(docs, k, id_col, text_col)
     covered = dup.select(
         id_col,
         F.explode(
@@ -1483,7 +1485,7 @@ def long_repeated_span_coverage(
 
     from ..functions.text import md5_int
 
-    base, cur = _repeated_gram_positions(docs, k0, id_col, text_col)
+    base, cur, grams = _repeated_gram_positions(docs, k0, id_col, text_col)
     toks = base.select(id_col, "n_tokens", "__toks") \
         .persist(StorageLevel.MEMORY_AND_DISK)
     prev_cur = None
@@ -1539,7 +1541,7 @@ def long_repeated_span_coverage(
         .agg(F.sum("__contrib").alias("dup_tokens"),
              F.count("*").alias("dup_spans"))
     )
-    return (
+    out = (
         toks.select(id_col, "n_tokens")
         .join(cov, id_col, "left")
         .select(
@@ -1553,3 +1555,15 @@ def long_repeated_span_coverage(
             .alias("coverage_frac"),
         )
     )
+    # eager lineage-truncating materialization of the SMALL per-doc
+    # aggregate (4 scalars/doc) so every internal cache — the token
+    # arrays, the exploded gram table, the final round's survivor set
+    # — can be released before returning. Without this each call
+    # pinned MEMORY_AND_DISK blocks for the session (daily-cadence
+    # callers accumulated cache until OOM-driven eviction).
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist(blocking=True)
+    grams.unpersist(blocking=True)
+    if prev_cur is not None:
+        prev_cur.unpersist(blocking=True)
+    return out

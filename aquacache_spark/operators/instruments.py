@@ -425,9 +425,10 @@ def instrument_meta_overlap(deployments: DataFrame) -> DataFrame:
     sub_location_id, z_id, instrument_id) — the nullable keys compared
     IS NOT DISTINCT FROM — and its [start, coalesce(end, infinity))
     period overlaps. Replayed for every row at once via one
-    self-equi-join on the grouping key (NULLs bucketed together by
-    eqNullSafe on pre-normalized key columns), not a theta-join: the
-    join keys are exact, only the period test is an inequality.
+    self-equi-join with eqNullSafe (<=>) on the three nullable key
+    parts — Catalyst plans <=> as an equi-join key, so NULLs co-bucket
+    without sentinel encodings — not a theta-join: the join keys are
+    exact, only the period test is an inequality.
 
     Input: ``deployments`` = locations_metadata_instruments
     (metadata_id, location_id, sub_location_id, z_id, instrument_id,
@@ -444,24 +445,25 @@ def instrument_meta_overlap(deployments: DataFrame) -> DataFrame:
     # rows cannot conflict and are excluded from the probe outright;
     # the three genuinely nullable parts compare IS NOT DISTINCT FROM
     ).where(F.col("location_id").isNotNull())
-    # normalize nullable key parts so an equi-join co-buckets NULLs
-    key = F.concat_ws(
-        "|",
-        F.col("location_id").cast("string"),
-        F.coalesce(F.col("sub_location_id").cast("string"), F.lit("~")),
-        F.coalesce(F.col("z_id").cast("string"), F.lit("~")),
-        F.coalesce(F.col("instrument_id").cast("string"), F.lit("~")),
-    )
-    a = d.withColumn("__k", key)
-    b = a.select(
-        F.col("__k").alias("__o_k"),
+    # null-safe equi-join on the raw key parts: Catalyst plans <=> as
+    # an equi (broadcast hash) join key, so NULLs co-bucket without a
+    # sentinel encoding (a concat_ws('|', coalesce(..,'~')) key would
+    # collide string-typed values equal to '~' or containing '|')
+    b = d.select(
+        F.col("location_id").alias("__o_loc"),
+        F.col("sub_location_id").alias("__o_sub"),
+        F.col("z_id").alias("__o_z"),
+        F.col("instrument_id").alias("__o_inst"),
         F.col("metadata_id").alias("__o_m"),
         F.col("__s").alias("__o_s"),
         F.col("__e").alias("__o_e"),
     )
     hit = (
-        a.join(F.broadcast(b),
-               (F.col("__k") == F.col("__o_k"))
+        d.join(F.broadcast(b),
+               (F.col("location_id") == F.col("__o_loc"))
+               & F.col("sub_location_id").eqNullSafe(F.col("__o_sub"))
+               & F.col("z_id").eqNullSafe(F.col("__o_z"))
+               & F.col("instrument_id").eqNullSafe(F.col("__o_inst"))
                & (F.col("metadata_id") != F.col("__o_m"))
                & (F.col("__s") < F.col("__o_e"))
                & (F.col("__e") > F.col("__o_s")),
@@ -1092,5 +1094,82 @@ def deployment_transmission_dependents(
             .alias("invalid_component_metadata"),
             (~(F.coalesce("__bad1", F.lit(False))
                | F.coalesce("__bad2", F.lit(False)))).alias("valid"),
+        )
+    )
+
+
+def timeseries_dependents_check(
+    timeseries: DataFrame,
+    signals: DataFrame,
+    connections: DataFrame,
+    deployments: DataFrame,
+) -> DataFrame:
+    """check_timeseries_dependents (patch_37.R:1072-1101, constraint
+    trigger :1187-1192): the REVERSE-direction dependents guard — an
+    update to a ``timeseries`` row must not invalidate existing
+    instrument connection-signal metadata. The trigger's EXISTS probe
+    walks signals → connections → deployments for the updated
+    timeseries_id and fires when any linked deployment disagrees on
+    location (plain ``<>``; both sides NOT NULL), sub-location
+    (IS DISTINCT FROM), z (only when the DEPLOYMENT's z is set), or
+    when a signal pins a parameter the timeseries no longer carries.
+
+    Replayed set-wise for every timeseries row at once: the
+    signals→connections→deployments ladder is assembled ONCE as a
+    catalog-sized broadcast probe frame keyed by timeseries_id, then a
+    single broadcast left-semi equi-join (timeseries_id is the key;
+    the four mismatch tests are residual conditions) marks violating
+    rows — the same first-failure-ladder shape as the other patch_36/
+    37 validators, O(|catalog|) with zero shuffles on the fact side.
+
+    Output: every timeseries row + ``dependents_violation`` (non-null
+    boolean; TRUE = the trigger would RAISE on this update).
+    """
+    probe = (
+        signals.where(F.col("timeseries_id").isNotNull())
+        .select(
+            "timeseries_id",
+            F.col("connection_id"),
+            F.col("parameter_id").alias("__s_param"),
+        )
+        .join(F.broadcast(connections.select(
+            "connection_id",
+            F.col("instrument_metadata_id").alias("metadata_id"))),
+            "connection_id")
+        .join(F.broadcast(deployments.select(
+            "metadata_id",
+            F.col("location_id").alias("__i_loc"),
+            F.col("sub_location_id").alias("__i_sub"),
+            F.col("z_id").alias("__i_z"))),
+            "metadata_id")
+        .select("timeseries_id", "__s_param", "__i_loc", "__i_sub",
+                "__i_z")
+    )
+    ts = timeseries.select(
+        "timeseries_id", "parameter_id", "location_id",
+        "sub_location_id", "z_id")
+    mismatch = (
+        (F.col("location_id") != F.col("__i_loc"))
+        | ~F.col("sub_location_id").eqNullSafe(F.col("__i_sub"))
+        | (F.col("__i_z").isNotNull()
+           & ~F.col("z_id").eqNullSafe(F.col("__i_z")))
+        | (F.col("__s_param").isNotNull()
+           & ~F.col("parameter_id").eqNullSafe(F.col("__s_param")))
+    )
+    hit = (
+        ts.join(F.broadcast(probe),
+                (ts["timeseries_id"] == probe["timeseries_id"])
+                & mismatch,
+                "left_semi")
+        .select("timeseries_id")
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        ts.join(F.broadcast(hit), "timeseries_id", "left")
+        .select(
+            "timeseries_id", "parameter_id", "location_id",
+            "sub_location_id", "z_id",
+            F.coalesce("__hit", F.lit(False))
+            .alias("dependents_violation"),
         )
     )

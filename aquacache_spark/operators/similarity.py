@@ -785,7 +785,10 @@ def cosine_topk_blas(
     int->double division afterwards is the same IEEE operation
     everywhere. (The UNquantized cosine of :func:`cosine_topk` is a
     different number at the ~1e-6 level; this operator's oracle
-    quantizes identically.)
+    quantizes identically.) The contract is ASSERTED, not assumed:
+    an empty query set raises, and both the query matrix and every
+    corpus batch are checked ``dim * max|code|^2 < 2^53`` (larger
+    dims or component magnitudes need a smaller ``quant``).
 
     Scale shape: the query matrix ships in the task closure (the
     query set is catalog-sized by definition); the corpus pass is
@@ -799,11 +802,28 @@ def cosine_topk_blas(
     import pandas as pd
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError(
+            "cosine_topk_blas: empty query set — the kernel closure "
+            "needs at least one query vector")
     qids_np = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qm = np.floor(
         np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
         * quant + 0.5).astype(np.int64)
     qn = (qm * qm).sum(axis=1)  # exact int64 norms
+    # exactness contract guard: every dot/norm must stay below 2^53 or
+    # the advertised bit-equality with the JVM fold / DuckDB silently
+    # degrades (float64 matmul accumulation rounds). dim * max|code|^2
+    # bounds both; checked here for queries, per batch for the corpus.
+    _EXACT_LIMIT = 2 ** 53
+    qmax = int(np.abs(qm).max(initial=0))
+    dim = qm.shape[1]
+    if dim * qmax * qmax >= _EXACT_LIMIT:
+        raise ValueError(
+            f"cosine_topk_blas: dim ({dim}) * max|quantized| ({qmax})^2 "
+            f">= 2^53 — exact-integer contract broken; lower `quant` "
+            f"(components this large need quant <= "
+            f"{int((_EXACT_LIMIT / dim) ** 0.5 / max(qmax / quant, 1e-300))})")
 
     out_schema = "query_id long, neighbor_id long, cosine double"
 
@@ -816,6 +836,12 @@ def cosine_topk_blas(
                 np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
                 * quant + 0.5).astype(np.int64)
+            cmax = int(np.abs(C).max(initial=0))
+            if C.shape[1] * max(cmax * cmax, cmax * qmax) >= _EXACT_LIMIT:
+                raise ValueError(
+                    "cosine_topk_blas: corpus batch breaks the "
+                    f"exact-integer contract (dim {C.shape[1]}, "
+                    f"max|quantized| {cmax}) — lower `quant`")
             dots = C @ qm.T                      # exact (< 2^53)
             nc = (C * C).sum(axis=1)             # exact int64
             cos = (dots.astype(np.float64)

@@ -532,9 +532,15 @@ def regional_lmoment_homogeneity(annual: DataFrame,
 
     The uniform driver is deterministic: u = (((sim * 1000003 +
     site_ord * 8191 + j) * 2654435761) mod 2^32 + 0.5) / 2^32 over
-    the (sim, site, year-rank) grid — integer arithmetic both engines,
-    so the simulated V sample (and hence mu_V, sigma_V, H) is exact
-    cross-engine. ``site_ord`` is the site's dense rank within its
+    the (sim, site, year-rank) grid — the UNIFORMS are integer-exact
+    cross-engine. The Gumbel transform -ln(-ln(u)) then runs through
+    each engine's libm ``log`` (not correctly rounded), so a draw
+    whose x*XQ+0.5 lands within ulps of an integer can, in principle,
+    quantize differently per engine and perturb the 1e-6-rounded
+    h_stat — the same rare-boundary class as every -ln oracle idiom
+    in the engine, NOT a bit-for-bit guarantee. In practice the
+    battery pins it green at both gate SFs; a provably-stable variant
+    would precompute a quantized y-grid over the 2^32 hash values. ``site_ord`` is the site's dense rank within its
     region, NOT the raw site id: ids may be strings ('08MF005') or
     large enough that id * 8191 would overflow int64 — the rank is a
     small dense integer for any orderable id type. Simulated values

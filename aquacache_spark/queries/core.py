@@ -8511,3 +8511,39 @@ def deployment_transmission_dependents_q(spark: SparkSession,
         spark, sf_dir)
     return deployment_transmission_dependents(
         dep, setups, components, instr)
+
+
+_TS_DEPENDENTS_ORACLE = "WITH " + _INSTR_FIXTURE_SQL + """
+    SELECT t.timeseries_id, t.parameter_id, t.location_id,
+           t.sub_location_id, t.z_id,
+           EXISTS (
+             SELECT 1 FROM sig s
+             JOIN conn c ON c.connection_id = s.connection_id
+             JOIN dep i ON i.metadata_id = c.instrument_metadata_id
+             WHERE s.timeseries_id = t.timeseries_id
+               AND (t.location_id <> i.location_id
+                    OR t.sub_location_id IS DISTINCT FROM i.sub_location_id
+                    OR (i.z_id IS NOT NULL
+                        AND t.z_id IS DISTINCT FROM i.z_id)
+                    OR (s.parameter_id IS NOT NULL
+                        AND t.parameter_id IS DISTINCT FROM s.parameter_id))
+           ) AS dependents_violation
+    FROM ts t
+"""
+
+
+@register("timeseries_dependents_check", oracle=_TS_DEPENDENTS_ORACLE)
+def timeseries_dependents_check_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """patch_37.R:1072-1101 public.check_timeseries_dependents
+    set-wise: every timeseries row flagged when updating it would
+    invalidate instrument connection-signal metadata — any linked
+    signals→connections→deployments row disagreeing on location,
+    sub-location (IS DISTINCT FROM), z (deployment-side z set), or a
+    signal-pinned parameter. Completes the patch_36/37 trigger family
+    (the 11 forward-direction validators landed in r10; this is the
+    reverse-direction probe)."""
+    from ..operators.instruments import timeseries_dependents_check
+
+    dep, ts, conn, sig = _instruments_fixture(spark, sf_dir)
+    return timeseries_dependents_check(ts, sig, conn, dep)

@@ -2,6 +2,7 @@ import os
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -75,7 +76,30 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _reject_nullable_bools(pdf: pd.DataFrame, name: str) -> None:
+    """The driver's value-hash stringifies cells, and a NULL boolean
+    stringifies differently per engine (Spark 'None' vs DuckDB 'nan'
+    after astype(str)) — a silent hash mismatch. Convention: queries
+    project out nullable booleans (coalesce to a non-null flag). This
+    guard makes the convention enforced rather than remembered."""
+    for c in pdf.columns:
+        col = pdf[c]
+        if pd.api.types.is_bool_dtype(col):
+            continue  # non-null numpy bool: safe
+        if col.dtype == object and col.isna().any():
+            sample = col.dropna()
+            if len(sample) and isinstance(sample.iloc[0], (bool, np.bool_)):
+                raise AssertionError(
+                    f"{name}: column {c!r} is a NULLABLE BOOLEAN — the "
+                    "driver hash-compare stringifies NULLs differently "
+                    "per engine; coalesce it to a non-null flag or "
+                    "project it out"
+                )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    _reject_nullable_bools(spark_pdf, name + " [spark]")
+    _reject_nullable_bools(oracle_pdf, name + " [oracle]")
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     )

@@ -86,8 +86,15 @@ def test_long_span_doubling_closed_form(spark):
         (5, filler("e", 40)),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r["doc_id"]: r for r in
-           long_repeated_span_coverage(docs, k0=8, target=32).collect()}
+    spark.catalog.clearCache()
+    out_df = long_repeated_span_coverage(docs, k0=8, target=32)
+    # the operator must release every internal cache before returning:
+    # toks / grams / final-round survivors were session-pinned pre-r11
+    # (4+ stored RDDs); the ONLY storage allowed to remain is the
+    # localCheckpoint block set of the small per-doc output itself
+    stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(stored) <= 1, [r.name() for r in stored]
+    out = {r["doc_id"]: r for r in out_df.collect()}
     for d, n_tok in ((1, 45), (2, 42)):
         assert out[d]["n_tokens"] == n_tok
         assert out[d]["dup_spans"] == 4, out[d]

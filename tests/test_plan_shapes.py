@@ -473,7 +473,8 @@ def test_transmission_validators_broadcast_ladder(spark):
                  "transmission_component_check",
                  "transmission_capability_check",
                  "protocol_dependents_check",
-                 "deployment_transmission_dependents"):
+                 "deployment_transmission_dependents",
+                 "timeseries_dependents_check"):
         p = plan(spark, name)
         assert "SortMergeJoin" not in p, name
         assert "CartesianProduct" not in p, name
