@@ -312,6 +312,10 @@ def evaluate_guideline_rules(
         "sample_id", "rule_id", "guideline_id", "bound_code", "rule_priority",
         F.when(status == "value", rounded).alias("guideline_value"),
         status.alias("output_status"),
+        # carried for the applicability read API's derivation_inputs
+        # (patch_51.R:3212-3258); harmless passthrough for older callers
+        "algorithm_code",
+        F.col("input_value"),
     )
 
 
@@ -331,3 +335,313 @@ def get_guideline_values(evaluated: DataFrame) -> DataFrame:
         .select("guideline_id", "sample_id",
                 F.col("b.v").alias("guideline_value"))
     )
+
+
+def resolve_result_values(
+    results: DataFrame,
+    result_conditions: DataFrame,
+) -> DataFrame:
+    """The detection-limit ``result_value`` / ``result_value_relation``
+    COALESCE ladder of ``applicable_guideline_rules_for_result``
+    (patch_51.R:2966-2990): a numeric result is 'actual'; otherwise the
+    condition VALUE substitutes when the condition is the coded 1/2
+    (below/above detection) or its WORDING matches
+    'below detection%'/'above detection%' — relation 'less_than' /
+    'greater_than' — else relation 'none' with a NULL value.
+
+    ``result_conditions`` is the catalog wording dim
+    (result_condition_id, result_condition); broadcast left-joined so
+    the ladder is one map-side when() chain over the results fact.
+    """
+    rc = F.broadcast(result_conditions.select(
+        F.col("result_condition_id").alias("__rc_id"),
+        F.lower(F.col("result_condition")).alias("__rc_txt"),
+    ))
+    j = results.join(rc, F.col("result_condition") == F.col("__rc_id"),
+                     "left")
+    below_txt = F.col("__rc_txt").like("below detection%")
+    above_txt = F.col("__rc_txt").like("above detection%")
+    cond = F.col("result_condition")
+    value = F.coalesce(
+        F.col("result"),
+        F.when(cond.isin(1, 2), F.col("result_condition_value"))
+        .when(below_txt, F.col("result_condition_value"))
+        .when(above_txt, F.col("result_condition_value")),
+    )
+    relation = (
+        F.when(F.col("result").isNotNull(), "actual")
+        .when((cond == 1) | below_txt, "less_than")
+        .when((cond == 2) | above_txt, "greater_than")
+        .otherwise("none")
+    )
+    return (
+        j.withColumn("result_value", value)
+        .withColumn("result_value_relation", relation)
+        .drop("__rc_id", "__rc_txt")
+    )
+
+
+def _derivation_json(algorithm: Column, input_value: Column) -> Column:
+    """Deterministic per-rule derivation-inputs JSON: the input value is
+    emitted as an INTEGER micro-unit (floor(v*1e6+0.5)) so both engines
+    format it identically (float-to-string formatting differs between
+    Spark and DuckDB; integers never do)."""
+    micro = F.floor(input_value * 1000000.0 + F.lit(0.5)).cast("long")
+    return F.concat(
+        F.lit('{"algorithm":"'), algorithm,
+        F.lit('","input_micro":'),
+        F.coalesce(micro.cast("string"), F.lit("null")),
+        F.lit("}"),
+    )
+
+
+def _rule_comparison_status() -> Column:
+    """Rule-level comparison_status ladder (patch_51.R:3025-3040),
+    verbatim arm order: unresolved passthrough, no_numeric_result,
+    then the censored-relation x bound_code matrix
+    (meets / exceeds / censored_indeterminate / below)."""
+    st = F.col("output_status")
+    rv = F.col("result_value")
+    gv = F.col("guideline_value")
+    rel = F.col("result_value_relation")
+    bound = F.col("bound_code")
+    return (
+        F.when(st != "value", st)
+        .when(rv.isNull(), "no_numeric_result")
+        .when((rel == "less_than") & (bound == "upper") & (rv <= gv),
+              "meets")
+        .when(rel == "less_than", "censored_indeterminate")
+        .when((rel == "greater_than") & (bound == "upper") & (rv > gv),
+              "exceeds")
+        .when((rel == "greater_than") & (bound == "lower") & (rv >= gv),
+              "meets")
+        .when(rel == "greater_than", "censored_indeterminate")
+        .when((bound == "upper") & (rv <= gv), "meets")
+        .when(bound == "upper", "exceeds")
+        .when((bound == "lower") & (rv >= gv), "meets")
+        .when(bound == "lower", "below")
+        .otherwise("not_evaluated")
+    )
+
+
+def applicable_guideline_rules_for_results(
+    resolved: DataFrame,
+    guidelines: DataFrame,
+    evaluated: DataFrame,
+    media_types: Optional[DataFrame] = None,
+    fractions: Optional[DataFrame] = None,
+    locations: Optional[DataFrame] = None,
+    as_of_date: str = "2024-06-15",
+    include_unresolved: bool = True,
+    include_unapproved: bool = False,
+) -> DataFrame:
+    """criteria.applicable_guideline_rules_for_result
+    (patch_51.R:2907-3145) for EVERY result at once — the criteria
+    tier's top-level read API ("does this result meet guidelines?"),
+    rule grain.
+
+    The reference runs one LATERAL call per result; here the
+    applicability STAR is one broadcast equi-join of the results fact
+    against the guideline book on (parameter_id, matrix_state_id),
+    with the validity window, approval, speciation
+    (g NULL = any, else null-safe equal), and the three link-table
+    any-row/matching-row predicates (media / fractions / locations)
+    folded into the join as residual conditions over broadcast
+    collect_set lists — so a whole monitoring network screens against
+    the whole rulebook in one pass, then joins the per-(guideline,
+    sample) evaluation core output on its natural key.
+
+    Inputs: ``resolved`` = resolve_result_values output pre-joined
+    with its sample star (needs result_id, sample_id, location_id,
+    media_id, parameter_id, matrix_state_id, sample_fraction_id,
+    result_speciation_id, result_value, result_value_relation);
+    ``guidelines`` = the dim with any descriptive columns already
+    attached (guideline_id, parameter_id, matrix_state_id,
+    comparison_operator_code, result_speciation_id, valid_from,
+    valid_to, active, review_status, + passthrough display columns);
+    ``evaluated`` = evaluate_guideline_rules output enriched with
+    algorithm_code (+ optionally input_value) per rule. Link tables:
+    ``media_types`` (guideline_id, media_id), ``fractions``
+    (guideline_id, fraction_id — NULL fraction matches NULL sample
+    fraction), ``locations`` (guideline_id, location_id, active).
+
+    Divergences, documented: ``derivation_inputs`` is a deterministic
+    JSON string built from (algorithm, integer-quantized input value)
+    rather than the reference's jsonb of every intermediate (its exact
+    key set is EXECUTE-time dynamic); the trigger-facing ``message``
+    column is not emitted (the evaluation core raises no messages).
+    """
+    g = guidelines
+    asof = F.lit(as_of_date).cast("date")
+    cond = (F.lit(True)
+            & (asof >= g["valid_from"])
+            & (g["valid_to"].isNull() | (asof <= g["valid_to"])))
+    if not include_unapproved:
+        cond = cond & g["active"] & (g["review_status"] == "approved")
+    gsel = g.withColumnRenamed("parameter_id", "__g_pid") \
+        .withColumnRenamed("matrix_state_id", "__g_ms") \
+        .withColumnRenamed("result_speciation_id", "__g_spec")
+    if media_types is not None:
+        ml = media_types.groupBy("guideline_id").agg(
+            F.collect_set("media_id").alias("__media_list"))
+        gsel = gsel.join(F.broadcast(ml), "guideline_id", "left")
+    else:
+        gsel = gsel.withColumn(
+            "__media_list", F.lit(None).cast("array<bigint>"))
+    if fractions is not None:
+        # NULL fraction rows in the link table match a NULL sample
+        # fraction: both sides map NULL -> -1 for the list test (the
+        # fraction key is a small positive int in the reference schema)
+        fl = fractions.groupBy("guideline_id").agg(
+            F.collect_set(
+                F.coalesce(F.col("fraction_id").cast("long"), F.lit(-1))
+            ).alias("__frac_list"))
+        gsel = gsel.join(F.broadcast(fl), "guideline_id", "left")
+    else:
+        gsel = gsel.withColumn(
+            "__frac_list", F.lit(None).cast("array<bigint>"))
+    if locations is not None:
+        ll = locations.where(F.col("active")).groupBy("guideline_id").agg(
+            F.collect_set("location_id").alias("__loc_list"))
+        gsel = gsel.join(F.broadcast(ll), "guideline_id", "left")
+    else:
+        gsel = gsel.withColumn(
+            "__loc_list", F.lit(None).cast("array<bigint>"))
+
+    star = resolved.join(
+        F.broadcast(gsel),
+        (F.col("parameter_id") == F.col("__g_pid"))
+        & (F.col("matrix_state_id") == F.col("__g_ms")),
+    ).where(
+        cond
+        & (F.col("__g_spec").isNull()
+           | F.col("__g_spec").eqNullSafe(F.col("result_speciation_id")))
+        & (F.col("__media_list").isNull()
+           | F.array_contains(F.col("__media_list"),
+                              F.col("media_id").cast("long")))
+        & (F.col("__frac_list").isNull()
+           | F.array_contains(
+               F.col("__frac_list"),
+               F.coalesce(F.col("sample_fraction_id").cast("long"),
+                          F.lit(-1))))
+        & (F.col("__loc_list").isNull()
+           | F.array_contains(F.col("__loc_list"),
+                              F.col("location_id").cast("long")))
+    ).drop("__g_pid", "__g_ms", "__media_list", "__frac_list",
+           "__loc_list")
+
+    ev = evaluated.withColumnRenamed("guideline_id", "__e_gid") \
+        .withColumnRenamed("sample_id", "__e_sid")
+    if "input_value" not in ev.columns:
+        ev = ev.withColumn("input_value", F.lit(None).cast("double"))
+    out = star.join(
+        ev,
+        (F.col("guideline_id") == F.col("__e_gid"))
+        & (F.col("sample_id") == F.col("__e_sid")),
+    ).drop("__e_gid", "__e_sid")
+    if not include_unresolved:
+        out = out.where(F.col("output_status") == "value")
+    return out.withColumn(
+        "comparison_status", _rule_comparison_status()
+    ).withColumn(
+        "derivation_inputs",
+        _derivation_json(F.col("algorithm_code"), F.col("input_value")),
+    )
+
+
+def applicable_guidelines_for_results(
+    rule_rows: DataFrame,
+    group_cols: Sequence[str] = (
+        "result_id", "sample_id", "guideline_id"),
+    carry_cols: Sequence[str] = (
+        "comparison_operator_code", "result_value",
+        "result_value_relation"),
+    include_unresolved: bool = True,
+) -> DataFrame:
+    """criteria.applicable_guidelines_for_result (patch_51.R:3162-3400):
+    roll the rule rows up to guideline grain — lower/upper bound
+    values as ``max() FILTER`` over resolved rows, ``bool_and`` of
+    resolution, the sorted-distinct unresolved-status list, the
+    rule_id-ORDERED derivation-inputs JSON array — then the
+    guideline-level comparison_status ladder keyed on
+    comparison_operator_code (lte / gte / range / eq, with the
+    censored-relation arms, 'invalid_guideline_bounds' for an eq
+    guideline whose bounds disagree, and 'does_not_equal').
+
+    ``carry_cols`` are functionally dependent on the group key and
+    carried via first(); descriptive display columns belong there too.
+    """
+    keys = list(group_cols)
+    val = F.col("output_status") == "value"
+    aggs = [
+        F.max(F.when(val & (F.col("bound_code") == "lower"),
+                     F.col("guideline_value")))
+        .alias("lower_guideline_value"),
+        F.max(F.when(val & (F.col("bound_code") == "upper"),
+                     F.col("guideline_value")))
+        .alias("upper_guideline_value"),
+        (F.min(F.when(val, 1).otherwise(0)) == 1)
+        .alias("__all_resolved"),
+        F.array_join(
+            F.array_sort(F.collect_set(
+                F.when(~val, F.col("output_status")))),
+            ", ").alias("__unresolved"),
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("rule_id").alias("r"),
+                        F.concat(
+                            F.lit('{"rule_id":'),
+                            F.col("rule_id").cast("string"),
+                            F.lit(',"bound":"'), F.col("bound_code"),
+                            F.lit('","inputs":'),
+                            F.col("derivation_inputs"), F.lit("}"),
+                        ).alias("j")))),
+                    lambda s: s["j"]),
+                ","),
+            F.lit("]"),
+        ).alias("derivation_inputs"),
+    ] + [F.first(c).alias(c) for c in carry_cols]
+    grouped = rule_rows.groupBy(*keys).agg(*aggs)
+
+    rv = F.col("result_value")
+    rel = F.col("result_value_relation")
+    op = F.col("comparison_operator_code")
+    lo = F.col("lower_guideline_value")
+    hi = F.col("upper_guideline_value")
+    status = (
+        F.when(~F.col("__all_resolved"), F.col("__unresolved"))
+        .when(rv.isNull(), "no_numeric_result")
+        .when((rel == "less_than") & (op == "lte") & (rv <= hi), "meets")
+        .when(rel == "less_than", "censored_indeterminate")
+        .when((rel == "greater_than") & (op == "lte") & (rv > hi),
+              "exceeds")
+        .when((rel == "greater_than") & (op == "gte") & (rv >= lo),
+              "meets")
+        .when((rel == "greater_than") & (op == "range") & (rv > hi),
+              "exceeds")
+        .when(rel == "greater_than", "censored_indeterminate")
+        .when((op == "lte") & (rv <= hi), "meets")
+        .when(op == "lte", "exceeds")
+        .when((op == "gte") & (rv >= lo), "meets")
+        .when(op == "gte", "below")
+        .when((op == "range") & (rv >= lo) & (rv <= hi), "meets")
+        .when((op == "range") & (rv < lo), "below")
+        .when((op == "range") & (rv > hi), "exceeds")
+        .when((op == "eq")
+              & (lo.isNull() | hi.isNull() | (lo != hi)),
+              "invalid_guideline_bounds")
+        .when((op == "eq") & (rv == hi), "meets")
+        .when(op == "eq", "does_not_equal")
+        .otherwise("not_evaluated")
+    )
+    out = grouped.withColumn(
+        "output_status",
+        F.when(F.col("__all_resolved"), "value")
+        .otherwise(F.col("__unresolved"))
+    ).withColumn("comparison_status", status)
+    if not include_unresolved:
+        out = out.where(F.col("__all_resolved"))
+    return out.drop("__all_resolved", "__unresolved")

@@ -4032,3 +4032,700 @@ def regional_screening_report_q(spark: SparkSession,
         _rff_annual_capstone(spark, sf_dir), nsim=_RFF_NSIM)
     return _round(out, {"t_r": 6, "h_stat": 6, "growth_q10": 6,
                         "growth_q100": 6})
+
+
+# ---------------------------------------------------------------------------
+# Criteria applicability read API (patch_51.R:2907-3400): the
+# user-facing "does this result meet guidelines?" call — per-result
+# applicability star over the evaluation core, the detection-limit
+# result_value/relation ladder, the rule-level comparison_status
+# matrix, and the guideline-level rollup with its operator-keyed
+# status ladder. Fixture values are binary-exact quarters so every
+# ladder comparison (incl. the eq-operator equality) is engine-exact.
+# ---------------------------------------------------------------------------
+
+_APPLIC_RESULTS_SQL = """
+      SELECT o_orderkey AS result_id,
+             o_custkey % 120 AS sample_id,
+             7 + o_orderkey % 3 AS parameter_id,
+             o_orderkey % 2 + 1 AS matrix_state_id,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderkey % 3 + 1 END AS sample_fraction_id,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderkey % 4 + 1 END AS result_speciation_id,
+             CASE o_orderkey % 4 WHEN 0 THEN 'field' WHEN 1 THEN 'lab'
+                  WHEN 2 THEN 'other' END AS result_type,
+             CASE WHEN o_orderkey % 19 = 0 OR o_orderkey % 23 = 0
+                  THEN NULL
+                  ELSE (o_orderkey % 400) * 0.25 + 0.25 END AS result,
+             CASE WHEN o_orderkey % 19 = 0
+                  THEN 1 + ((o_orderkey // 19) % 5) END
+               AS result_condition,
+             CASE WHEN o_orderkey % 19 = 0
+                  THEN (o_orderkey % 50) * 0.25 + 0.25 END
+               AS result_condition_value
+      FROM orders
+"""
+
+_APPLIC_DERIV_SQL = (
+    "'{\"algorithm\":\"' || algorithm_code || '\",\"input_micro\":' || "
+    "coalesce(CAST(CAST(floor(input_value * 1000000 + 0.5) AS BIGINT) "
+    "AS VARCHAR), 'null') || '}'"
+)
+
+
+def _applic_cte(include_unapproved: bool) -> str:
+    approval = ("TRUE" if include_unapproved
+                else "(g.active AND g.review_status = 'approved')")
+    return f"""
+    WITH res AS ({_APPLIC_RESULTS_SQL}),
+    samples AS (SELECT DISTINCT sample_id FROM res),
+    conds(result_condition_id, result_condition) AS (
+      VALUES (1, 'Below Detection Limit'), (2, 'Above Detection Limit'),
+             (3, 'below detection (estimated)'),
+             (4, 'above detection (estimated)'), (5, 'not analyzed')
+    ),
+    inputs(input_id, parameter_id, matrix_state_id, sample_fraction_id,
+           result_speciation_id, result_type, allow_condition_value,
+           aggregate_method, lower_calibrated_bound, upper_calibrated_bound,
+           bounds_action) AS (
+      VALUES (1, 7, NULL, NULL, NULL, NULL, TRUE, 'avg', 1.0, 30.0, 'clamp'),
+             (2, 8, 1, NULL, NULL, NULL, FALSE, 'single', 0.5, 35.0, 'reject'),
+             (3, 9, NULL, NULL, NULL, 'field', FALSE, 'max', NULL, NULL, 'warn')
+    ),
+    cand AS (
+      SELECT r.sample_id, i.input_id, r.result_id,
+             CASE WHEN i.input_id = 1 THEN
+               CASE r.result_type WHEN 'field' THEN 1 WHEN 'lab' THEN 2 END
+             ELSE 1 END AS rnk,
+             CASE WHEN r.result IS NOT NULL THEN r.result
+                  WHEN i.allow_condition_value THEN r.result_condition_value
+             END AS v
+      FROM res r JOIN inputs i ON r.parameter_id = i.parameter_id
+       AND (i.matrix_state_id IS NULL
+            OR r.matrix_state_id = i.matrix_state_id)
+       AND (i.result_type IS NULL
+            OR r.result_type IS NOT DISTINCT FROM i.result_type)
+       AND (i.input_id <> 1 OR r.result_type IN ('field', 'lab'))
+    ),
+    agg AS (
+      SELECT sample_id, input_id, count(*) AS matching, count(v) AS usable,
+             min(rnk) FILTER (WHERE v IS NOT NULL) AS sel_rank
+      FROM cand GROUP BY 1, 2
+    ),
+    at_rank AS (
+      SELECT c.sample_id, c.input_id, count(*) AS n_pref,
+             sum(CAST(floor(c.v * 1000000 + 0.5) AS BIGINT))
+               / 1000000.0 / count(*) AS vavg,
+             min(c.v) AS vmin, max(c.v) AS vmax
+      FROM cand c JOIN agg a USING (sample_id, input_id)
+      WHERE c.v IS NOT NULL AND c.rnk = a.sel_rank
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.sample_id, i.input_id, i.aggregate_method,
+             i.lower_calibrated_bound, i.upper_calibrated_bound,
+             i.bounds_action
+      FROM samples s CROSS JOIN inputs i
+    ),
+    iv AS (
+      SELECT g.sample_id, g.input_id,
+             CASE WHEN st = 'value' THEN clamped END AS input_value,
+             st AS status
+      FROM (
+        SELECT g.*, a.matching, a.usable, p.n_pref,
+               CASE g.aggregate_method WHEN 'avg' THEN p.vavg
+                    WHEN 'max' THEN p.vmax ELSE p.vmin END AS raw
+        FROM grid g
+        LEFT JOIN agg a USING (sample_id, input_id)
+        LEFT JOIN at_rank p USING (sample_id, input_id)
+      ) g,
+      LATERAL (SELECT
+        CASE WHEN g.lower_calibrated_bound IS NOT NULL
+                  AND g.raw < g.lower_calibrated_bound
+                  AND g.bounds_action = 'clamp'
+               THEN g.lower_calibrated_bound
+             WHEN g.upper_calibrated_bound IS NOT NULL
+                  AND g.raw > g.upper_calibrated_bound
+                  AND g.bounds_action = 'clamp'
+               THEN g.upper_calibrated_bound
+             ELSE g.raw END AS clamped,
+        CASE WHEN g.matching IS NULL OR g.matching = 0 THEN 'missing_input'
+             WHEN g.usable = 0 THEN 'missing_input_value'
+             WHEN g.aggregate_method = 'single' AND g.n_pref > 1
+               THEN 'ambiguous_input'
+             WHEN ((g.lower_calibrated_bound IS NOT NULL
+                    AND g.raw < g.lower_calibrated_bound)
+                   OR (g.upper_calibrated_bound IS NOT NULL
+                       AND g.raw > g.upper_calibrated_bound))
+                  AND g.bounds_action = 'reject'
+               THEN 'outside_calibrated_range'
+             ELSE 'value' END AS st) x
+    ),
+    rules(rule_id, guideline_id, bound_code, rule_priority, algorithm_code,
+          fixed_value, input_id, intercept, slope, min_output_value,
+          max_output_value, rounding_digits, rounding_method) AS (
+      VALUES
+        (1, 1, 'upper', 1, 'constant', 25.456, NULL, NULL, NULL, NULL,
+         NULL, 1, 'round'),
+        (2, 1, 'lower', 2, 'narrative', NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL),
+        (3, 2, 'upper', 1, 'linear', NULL, 1, 2.0, 0.3, 5.0, 40.0,
+         1, 'floor'),
+        (4, 2, 'upper', 2, 'log_linear', NULL, 2, 0.7, 0.74, NULL,
+         NULL, 3, 'round'),
+        (5, 3, 'lower', 1, 'constant', 18.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (6, 4, 'lower', 1, 'constant', 5.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (7, 4, 'upper', 2, 'constant', 30.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (8, 5, 'lower', 1, 'constant', 12.25, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (9, 5, 'upper', 2, 'constant', 12.25, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (10, 6, 'lower', 1, 'constant', 3.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (11, 6, 'upper', 2, 'constant', 4.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (12, 7, 'upper', 1, 'constant', 50.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (13, 8, 'upper', 1, 'constant', 80.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (14, 9, 'upper', 1, 'constant', 10.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (15, 10, 'upper', 1, 'constant', 60.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (16, 11, 'upper', 1, 'constant', 70.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (17, 12, 'lower', 1, 'constant', 2.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (18, 13, 'upper', 1, 'constant', 90.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none')
+    ),
+    ev0 AS (
+      SELECT s.sample_id, r.*, v.input_value, v.status AS in_status
+      FROM samples s CROSS JOIN rules r
+      LEFT JOIN iv v ON v.sample_id = s.sample_id AND v.input_id = r.input_id
+    ),
+    ev1 AS (
+      SELECT *,
+        CASE algorithm_code
+          WHEN 'constant' THEN fixed_value
+          WHEN 'linear' THEN intercept + slope * input_value
+          WHEN 'log_linear' THEN exp(intercept + slope * ln(input_value))
+        END AS rawv
+      FROM ev0
+      WHERE NOT (algorithm_code = 'log_linear'
+                 AND COALESCE(input_value <= 0, FALSE))
+      UNION ALL
+      SELECT *, NULL AS rawv FROM ev0
+      WHERE algorithm_code = 'log_linear'
+        AND COALESCE(input_value <= 0, FALSE)
+    ),
+    ev2 AS (
+      SELECT *,
+        CASE WHEN rawv IS NULL THEN NULL
+             WHEN max_output_value IS NOT NULL
+                  AND (CASE WHEN min_output_value IS NOT NULL
+                                 AND rawv < min_output_value
+                            THEN min_output_value ELSE rawv END)
+                      > max_output_value
+               THEN max_output_value
+             WHEN min_output_value IS NOT NULL AND rawv < min_output_value
+               THEN min_output_value
+             ELSE rawv END AS capv
+      FROM ev1
+    ),
+    ev AS (
+      SELECT sample_id, rule_id, guideline_id, bound_code, rule_priority,
+        CASE WHEN st = 'value' THEN rounded END AS guideline_value,
+        st AS output_status, algorithm_code, input_value
+      FROM (
+        SELECT *,
+          CASE WHEN capv IS NULL OR rounding_method IS NULL
+                    OR rounding_method = 'none' THEN capv
+               WHEN rounding_method = 'round'
+                 THEN floor(capv * pow(10, COALESCE(rounding_digits, 0))
+                            + 0.5) / pow(10, COALESCE(rounding_digits, 0))
+               WHEN rounding_method = 'floor'
+                 THEN floor(capv * pow(10, COALESCE(rounding_digits, 0)))
+                      / pow(10, COALESCE(rounding_digits, 0))
+               WHEN rounding_method = 'ceiling'
+                 THEN ceiling(capv * pow(10, COALESCE(rounding_digits, 0)))
+                      / pow(10, COALESCE(rounding_digits, 0))
+          END AS rounded,
+          CASE WHEN algorithm_code = 'narrative' THEN 'narrative'
+               WHEN algorithm_code IN ('linear', 'log_linear')
+                    AND in_status <> 'value' THEN in_status
+               WHEN algorithm_code = 'log_linear' AND in_status = 'value'
+                    AND input_value <= 0 THEN 'invalid_input_value'
+               WHEN CASE WHEN capv IS NULL OR rounding_method IS NULL
+                              OR rounding_method = 'none' THEN capv
+                         ELSE capv END IS NULL THEN 'no_value'
+               ELSE 'value' END AS st
+        FROM ev2
+      )
+    ),
+    gl(guideline_id, guideline_code, guideline_name, publisher_id,
+       parameter_id, matrix_state_id, comparison_operator_code,
+       result_speciation_id, valid_from, valid_to, active,
+       review_status) AS (
+      VALUES
+        (1, 'G-CONST', 'Constant upper', 1, 7, 1, 'lte', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'approved'),
+        (2, 'G-LIN', 'Hardness-linear', 1, 8, 1, 'lte', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'approved'),
+        (3, 'G-LOW', 'Lower bound', 2, 9, 2, 'gte', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'approved'),
+        (4, 'G-RANGE', 'Range', 2, 7, 1, 'range', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'approved'),
+        (5, 'G-EQ', 'Equality', 1, 7, 1, 'eq', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'approved'),
+        (6, 'G-EQBAD', 'Equality bad bounds', 1, 8, 2, 'eq', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'approved'),
+        (7, 'G-INACT', 'Inactive', 2, 9, 1, 'lte', NULL,
+         DATE '2019-01-01', NULL, FALSE, 'approved'),
+        (8, 'G-DRAFT', 'Draft', 1, 7, 1, 'lte', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'draft'),
+        (9, 'G-EXPIRED', 'Expired', 1, 7, 2, 'lte', NULL,
+         DATE '2015-01-01', DATE '2020-12-31', TRUE, 'approved'),
+        (10, 'G-SPEC', 'Speciation-specific', 2, 7, 1, 'lte', 2,
+         DATE '2019-01-01', NULL, TRUE, 'approved'),
+        (11, 'G-MEDIA', 'Media-restricted', 1, 8, 1, 'lte', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'approved'),
+        (12, 'G-FRAC', 'Fraction-restricted', 2, 9, 1, 'gte', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'approved'),
+        (13, 'G-LOC', 'Location-restricted', 1, 7, 1, 'lte', NULL,
+         DATE '2019-01-01', NULL, TRUE, 'approved')
+    ),
+    media(guideline_id, media_id) AS (VALUES (11, 1), (11, 3)),
+    fracs(guideline_id, fraction_id) AS (VALUES (12, 1), (12, NULL)),
+    locs(guideline_id, location_id, active) AS (
+      VALUES (13, 0, TRUE), (13, 1, TRUE), (13, 2, TRUE), (13, 3, TRUE),
+             (13, 5, FALSE)
+    ),
+    pubs(publisher_id, publisher_name) AS (
+      VALUES (1, 'CCME'), (2, 'Yukon CSR')
+    ),
+    punits(parameter_id, matrix_state_id, units) AS (
+      VALUES (7, 1, 'mg/L'), (7, 2, 'ug/L'), (8, 1, 'mg/L'),
+             (8, 2, 'mg/L'), (9, 1, 'pH units'), (9, 2, 'pH units')
+    ),
+    params(parameter_id, parameter_name) AS (
+      VALUES (7, 'Zinc'), (8, 'Copper'), (9, 'pH')
+    ),
+    mstates(matrix_state_id, matrix_state_code) AS (
+      VALUES (1, 'W'), (2, 'S')
+    ),
+    ml AS (SELECT guideline_id, list(media_id) AS mlist
+           FROM media GROUP BY 1),
+    fl AS (SELECT guideline_id, list(coalesce(fraction_id, -1)) AS flist
+           FROM fracs GROUP BY 1),
+    ll AS (SELECT guideline_id, list(location_id) AS llist
+           FROM locs WHERE active GROUP BY 1),
+    rres AS (
+      SELECT r.*, r.sample_id % 8 AS location_id,
+             r.sample_id % 3 + 1 AS media_id,
+             COALESCE(r.result,
+               CASE WHEN r.result_condition IN (1, 2)
+                      THEN r.result_condition_value
+                    WHEN lower(rc.result_condition)
+                         LIKE 'below detection%'
+                      THEN r.result_condition_value
+                    WHEN lower(rc.result_condition)
+                         LIKE 'above detection%'
+                      THEN r.result_condition_value
+               END) AS result_value,
+             CASE WHEN r.result IS NOT NULL THEN 'actual'
+                  WHEN r.result_condition = 1
+                       OR lower(rc.result_condition)
+                          LIKE 'below detection%' THEN 'less_than'
+                  WHEN r.result_condition = 2
+                       OR lower(rc.result_condition)
+                          LIKE 'above detection%' THEN 'greater_than'
+                  ELSE 'none' END AS result_value_relation
+      FROM res r
+      LEFT JOIN conds rc
+        ON rc.result_condition_id = r.result_condition
+    ),
+    star AS (
+      SELECT rr.result_id, rr.sample_id, rr.result_value,
+             rr.result_value_relation,
+             g.guideline_id, g.guideline_code,
+             g.comparison_operator_code,
+             pub.publisher_name, pu.units, pm.parameter_name,
+             ms.matrix_state_code
+      FROM rres rr
+      JOIN gl g ON g.parameter_id = rr.parameter_id
+               AND g.matrix_state_id = rr.matrix_state_id
+      LEFT JOIN ml ON ml.guideline_id = g.guideline_id
+      LEFT JOIN fl ON fl.guideline_id = g.guideline_id
+      LEFT JOIN ll ON ll.guideline_id = g.guideline_id
+      LEFT JOIN pubs pub ON pub.publisher_id = g.publisher_id
+      LEFT JOIN punits pu ON pu.parameter_id = rr.parameter_id
+                         AND pu.matrix_state_id = rr.matrix_state_id
+      LEFT JOIN params pm ON pm.parameter_id = rr.parameter_id
+      LEFT JOIN mstates ms ON ms.matrix_state_id = rr.matrix_state_id
+      WHERE DATE '2024-06-15' >= g.valid_from
+        AND (g.valid_to IS NULL OR DATE '2024-06-15' <= g.valid_to)
+        AND {approval}
+        AND (g.result_speciation_id IS NULL
+             OR g.result_speciation_id IS NOT DISTINCT FROM
+                rr.result_speciation_id)
+        AND (ml.mlist IS NULL
+             OR list_contains(ml.mlist, rr.media_id))
+        AND (fl.flist IS NULL
+             OR list_contains(fl.flist,
+                              coalesce(rr.sample_fraction_id, -1)))
+        AND (ll.llist IS NULL
+             OR list_contains(ll.llist, rr.location_id))
+    ),
+    rulerows AS (
+      SELECT s.*, e.rule_id, e.bound_code, e.guideline_value,
+             e.output_status, e.algorithm_code, e.input_value,
+             CASE
+               WHEN e.output_status <> 'value' THEN e.output_status
+               WHEN s.result_value IS NULL THEN 'no_numeric_result'
+               WHEN s.result_value_relation = 'less_than'
+                    AND e.bound_code = 'upper'
+                    AND s.result_value <= e.guideline_value THEN 'meets'
+               WHEN s.result_value_relation = 'less_than'
+                 THEN 'censored_indeterminate'
+               WHEN s.result_value_relation = 'greater_than'
+                    AND e.bound_code = 'upper'
+                    AND s.result_value > e.guideline_value THEN 'exceeds'
+               WHEN s.result_value_relation = 'greater_than'
+                    AND e.bound_code = 'lower'
+                    AND s.result_value >= e.guideline_value THEN 'meets'
+               WHEN s.result_value_relation = 'greater_than'
+                 THEN 'censored_indeterminate'
+               WHEN e.bound_code = 'upper'
+                    AND s.result_value <= e.guideline_value THEN 'meets'
+               WHEN e.bound_code = 'upper' THEN 'exceeds'
+               WHEN e.bound_code = 'lower'
+                    AND s.result_value >= e.guideline_value THEN 'meets'
+               WHEN e.bound_code = 'lower' THEN 'below'
+               ELSE 'not_evaluated'
+             END AS comparison_status,
+             {_APPLIC_DERIV_SQL} AS derivation_inputs
+      FROM star s
+      JOIN ev e ON e.guideline_id = s.guideline_id
+               AND e.sample_id = s.sample_id
+    )
+"""
+
+
+_APPLIC_RULES_ORACLE = _applic_cte(include_unapproved=True) + f"""
+    SELECT result_id, sample_id, guideline_id, rule_id, guideline_code,
+           publisher_name, parameter_name, matrix_state_code, units,
+           bound_code, comparison_operator_code,
+           {R('result_value', 6)} AS result_value,
+           result_value_relation,
+           {R('guideline_value', 6)} AS guideline_value,
+           output_status, comparison_status, derivation_inputs
+    FROM rulerows
+"""
+
+
+_APPLIC_READ_ORACLE = _applic_cte(include_unapproved=False) + f"""
+    , grouped AS (
+      SELECT result_id, sample_id, guideline_id, guideline_code,
+             publisher_name, units, comparison_operator_code,
+             result_value, result_value_relation,
+             max(guideline_value) FILTER (
+               WHERE bound_code = 'lower' AND output_status = 'value'
+             ) AS lower_guideline_value,
+             max(guideline_value) FILTER (
+               WHERE bound_code = 'upper' AND output_status = 'value'
+             ) AS upper_guideline_value,
+             bool_and(output_status = 'value') AS all_resolved,
+             string_agg(DISTINCT output_status, ', '
+                        ORDER BY output_status)
+               FILTER (WHERE output_status <> 'value')
+               AS unresolved_statuses,
+             '[' || string_agg(
+               '{{"rule_id":' || rule_id || ',"bound":"' || bound_code
+               || '","inputs":' || derivation_inputs || '}}',
+               ',' ORDER BY rule_id) || ']' AS derivation_inputs
+      FROM rulerows
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9
+    )
+    SELECT result_id, sample_id, guideline_id, guideline_code,
+           publisher_name, units, comparison_operator_code,
+           {R('result_value', 6)} AS result_value,
+           result_value_relation,
+           {R('lower_guideline_value', 6)} AS lower_guideline_value,
+           {R('upper_guideline_value', 6)} AS upper_guideline_value,
+           CASE WHEN all_resolved THEN 'value'
+                ELSE unresolved_statuses END AS output_status,
+           CASE
+             WHEN NOT all_resolved THEN unresolved_statuses
+             WHEN result_value IS NULL THEN 'no_numeric_result'
+             WHEN result_value_relation = 'less_than'
+                  AND comparison_operator_code = 'lte'
+                  AND result_value <= upper_guideline_value THEN 'meets'
+             WHEN result_value_relation = 'less_than'
+               THEN 'censored_indeterminate'
+             WHEN result_value_relation = 'greater_than'
+                  AND comparison_operator_code = 'lte'
+                  AND result_value > upper_guideline_value THEN 'exceeds'
+             WHEN result_value_relation = 'greater_than'
+                  AND comparison_operator_code = 'gte'
+                  AND result_value >= lower_guideline_value THEN 'meets'
+             WHEN result_value_relation = 'greater_than'
+                  AND comparison_operator_code = 'range'
+                  AND result_value > upper_guideline_value THEN 'exceeds'
+             WHEN result_value_relation = 'greater_than'
+               THEN 'censored_indeterminate'
+             WHEN comparison_operator_code = 'lte'
+                  AND result_value <= upper_guideline_value THEN 'meets'
+             WHEN comparison_operator_code = 'lte' THEN 'exceeds'
+             WHEN comparison_operator_code = 'gte'
+                  AND result_value >= lower_guideline_value THEN 'meets'
+             WHEN comparison_operator_code = 'gte' THEN 'below'
+             WHEN comparison_operator_code = 'range'
+                  AND result_value >= lower_guideline_value
+                  AND result_value <= upper_guideline_value THEN 'meets'
+             WHEN comparison_operator_code = 'range'
+                  AND result_value < lower_guideline_value THEN 'below'
+             WHEN comparison_operator_code = 'range'
+                  AND result_value > upper_guideline_value THEN 'exceeds'
+             WHEN comparison_operator_code = 'eq'
+                  AND (lower_guideline_value IS NULL
+                       OR upper_guideline_value IS NULL
+                       OR lower_guideline_value <> upper_guideline_value)
+               THEN 'invalid_guideline_bounds'
+             WHEN comparison_operator_code = 'eq'
+                  AND result_value = upper_guideline_value THEN 'meets'
+             WHEN comparison_operator_code = 'eq' THEN 'does_not_equal'
+             ELSE 'not_evaluated'
+           END AS comparison_status,
+           derivation_inputs
+    FROM grouped
+"""
+
+
+def _applicability_frames(spark: SparkSession, sf_dir: str):
+    import datetime as _dt
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    results = o.select(
+        k.alias("result_id"),
+        (F.col("o_custkey") % 120).alias("sample_id"),
+        (F.lit(7) + k % 3).alias("parameter_id"),
+        (k % 2 + 1).alias("matrix_state_id"),
+        F.when(k % 11 != 0, k % 3 + 1).alias("sample_fraction_id"),
+        F.when(k % 5 != 0, k % 4 + 1).alias("result_speciation_id"),
+        F.when(k % 4 == 0, "field").when(k % 4 == 1, "lab")
+        .when(k % 4 == 2, "other").alias("result_type"),
+        F.when((k % 19 != 0) & (k % 23 != 0),
+               (k % 400) * 0.25 + 0.25).alias("result"),
+        F.when(k % 19 == 0, F.expr("o_orderkey DIV 19") % 5 + 1)
+        .alias("result_condition"),
+        F.when(k % 19 == 0, (k % 50) * 0.25 + 0.25)
+        .alias("result_condition_value"),
+    )
+    conditions = _ldf(spark, [
+        (1, "Below Detection Limit"), (2, "Above Detection Limit"),
+        (3, "below detection (estimated)"),
+        (4, "above detection (estimated)"), (5, "not analyzed"),
+    ], "result_condition_id int, result_condition string")
+    inputs = _ldf(spark, [
+        (1, 7, None, None, None, None, ["field", "lab"], True, "avg",
+         1.0, 30.0, "clamp"),
+        (2, 8, 1, None, None, None, None, False, "single",
+         0.5, 35.0, "reject"),
+        (3, 9, None, None, None, "field", None, False, "max",
+         None, None, "warn"),
+    ],
+        "input_id int, parameter_id int, matrix_state_id int,"
+        " sample_fraction_id int, result_speciation_id int,"
+        " result_type string, result_type_preference array<string>,"
+        " allow_condition_value boolean, aggregate_method string,"
+        " lower_calibrated_bound double, upper_calibrated_bound double,"
+        " bounds_action string")
+    rules = _ldf(spark, [
+        (1, 1, "upper", 1, "constant", 25.456, None, None, None, None,
+         None, None, 1, "round"),
+        (2, 1, "lower", 2, "narrative", None, None, None, None, None,
+         None, None, None, None),
+        (3, 2, "upper", 1, "linear", None, 1, 2.0, 0.3, None, 5.0,
+         40.0, 1, "floor"),
+        (4, 2, "upper", 2, "log_linear", None, 2, 0.7, 0.74, None,
+         None, None, 3, "round"),
+        (5, 3, "lower", 1, "constant", 18.0, None, None, None, None,
+         None, None, None, "none"),
+        (6, 4, "lower", 1, "constant", 5.0, None, None, None, None,
+         None, None, None, "none"),
+        (7, 4, "upper", 2, "constant", 30.0, None, None, None, None,
+         None, None, None, "none"),
+        (8, 5, "lower", 1, "constant", 12.25, None, None, None, None,
+         None, None, None, "none"),
+        (9, 5, "upper", 2, "constant", 12.25, None, None, None, None,
+         None, None, None, "none"),
+        (10, 6, "lower", 1, "constant", 3.0, None, None, None, None,
+         None, None, None, "none"),
+        (11, 6, "upper", 2, "constant", 4.0, None, None, None, None,
+         None, None, None, "none"),
+        (12, 7, "upper", 1, "constant", 50.0, None, None, None, None,
+         None, None, None, "none"),
+        (13, 8, "upper", 1, "constant", 80.0, None, None, None, None,
+         None, None, None, "none"),
+        (14, 9, "upper", 1, "constant", 10.0, None, None, None, None,
+         None, None, None, "none"),
+        (15, 10, "upper", 1, "constant", 60.0, None, None, None, None,
+         None, None, None, "none"),
+        (16, 11, "upper", 1, "constant", 70.0, None, None, None, None,
+         None, None, None, "none"),
+        (17, 12, "lower", 1, "constant", 2.0, None, None, None, None,
+         None, None, None, "none"),
+        (18, 13, "upper", 1, "constant", 90.0, None, None, None, None,
+         None, None, None, "none"),
+    ],
+        "rule_id int, guideline_id int, bound_code string,"
+        " rule_priority int, algorithm_code string, fixed_value double,"
+        " input_id int, intercept double, slope double,"
+        " formula_expr string, min_output_value double,"
+        " max_output_value double, rounding_digits int,"
+        " rounding_method string")
+    d = _dt.date
+    guidelines = _ldf(spark, [
+        (1, "G-CONST", "Constant upper", 1, 7, 1, "lte", None,
+         d(2019, 1, 1), None, True, "approved"),
+        (2, "G-LIN", "Hardness-linear", 1, 8, 1, "lte", None,
+         d(2019, 1, 1), None, True, "approved"),
+        (3, "G-LOW", "Lower bound", 2, 9, 2, "gte", None,
+         d(2019, 1, 1), None, True, "approved"),
+        (4, "G-RANGE", "Range", 2, 7, 1, "range", None,
+         d(2019, 1, 1), None, True, "approved"),
+        (5, "G-EQ", "Equality", 1, 7, 1, "eq", None,
+         d(2019, 1, 1), None, True, "approved"),
+        (6, "G-EQBAD", "Equality bad bounds", 1, 8, 2, "eq", None,
+         d(2019, 1, 1), None, True, "approved"),
+        (7, "G-INACT", "Inactive", 2, 9, 1, "lte", None,
+         d(2019, 1, 1), None, False, "approved"),
+        (8, "G-DRAFT", "Draft", 1, 7, 1, "lte", None,
+         d(2019, 1, 1), None, True, "draft"),
+        (9, "G-EXPIRED", "Expired", 1, 7, 2, "lte", None,
+         d(2015, 1, 1), d(2020, 12, 31), True, "approved"),
+        (10, "G-SPEC", "Speciation-specific", 2, 7, 1, "lte", 2,
+         d(2019, 1, 1), None, True, "approved"),
+        (11, "G-MEDIA", "Media-restricted", 1, 8, 1, "lte", None,
+         d(2019, 1, 1), None, True, "approved"),
+        (12, "G-FRAC", "Fraction-restricted", 2, 9, 1, "gte", None,
+         d(2019, 1, 1), None, True, "approved"),
+        (13, "G-LOC", "Location-restricted", 1, 7, 1, "lte", None,
+         d(2019, 1, 1), None, True, "approved"),
+    ],
+        "guideline_id int, guideline_code string, guideline_name string,"
+        " publisher_id int, parameter_id int, matrix_state_id int,"
+        " comparison_operator_code string, result_speciation_id int,"
+        " valid_from date, valid_to date, active boolean,"
+        " review_status string")
+    media = _ldf(spark, [(11, 1), (11, 3)],
+                 "guideline_id int, media_id bigint")
+    fracs = _ldf(spark, [(12, 1), (12, None)],
+                 "guideline_id int, fraction_id bigint")
+    locs = _ldf(spark, [(13, 0, True), (13, 1, True), (13, 2, True),
+                        (13, 3, True), (13, 5, False)],
+                "guideline_id int, location_id bigint, active boolean")
+    pubs = _ldf(spark, [(1, "CCME"), (2, "Yukon CSR")],
+                "publisher_id int, publisher_name string")
+    punits = _ldf(spark, [(7, 1, "mg/L"), (7, 2, "ug/L"), (8, 1, "mg/L"),
+                          (8, 2, "mg/L"), (9, 1, "pH units"),
+                          (9, 2, "pH units")],
+                  "parameter_id int, matrix_state_id int, units string")
+    params = _ldf(spark, [(7, "Zinc"), (8, "Copper"), (9, "pH")],
+                  "parameter_id int, parameter_name string")
+    mstates = _ldf(spark, [(1, "W"), (2, "S")],
+                   "matrix_state_id int, matrix_state_code string")
+    return (results, conditions, inputs, rules, guidelines, media,
+            fracs, locs, pubs, punits, params, mstates)
+
+
+def _applicability_rule_rows(spark: SparkSession, sf_dir: str,
+                             include_unapproved: bool) -> DataFrame:
+    from ..operators.guidelines import (
+        applicable_guideline_rules_for_results, evaluate_guideline_rules,
+        guideline_input_values, resolve_result_values,
+    )
+
+    (results, conditions, inputs, rules, guidelines, media, fracs,
+     locs, pubs, punits, params, mstates) = _applicability_frames(
+        spark, sf_dir)
+    resolved = (
+        resolve_result_values(results, conditions)
+        # the sample star: location/media are functionally dependent on
+        # sample_id in this fixture (the reference joins discrete.samples)
+        .withColumn("location_id", F.col("sample_id") % 8)
+        .withColumn("media_id", F.col("sample_id") % 3 + 1)
+        .join(F.broadcast(punits), ["parameter_id", "matrix_state_id"],
+              "left")
+        .join(F.broadcast(params), "parameter_id", "left")
+        .join(F.broadcast(mstates), "matrix_state_id", "left")
+    )
+    samples = results.select("sample_id").distinct()
+    iv = guideline_input_values(samples, results, inputs)
+    ev = evaluate_guideline_rules(rules, iv)
+    g = guidelines.join(F.broadcast(pubs), "publisher_id", "left")
+    return applicable_guideline_rules_for_results(
+        resolved, g, ev, media_types=media, fractions=fracs,
+        locations=locs, as_of_date="2024-06-15",
+        include_unresolved=True, include_unapproved=include_unapproved)
+
+
+@register("guideline_applicability_rules", oracle=_APPLIC_RULES_ORACLE)
+def guideline_applicability_rules(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """criteria.applicable_guideline_rules_for_result
+    (patch_51.R:2907-3145) for every result at once, rule grain:
+    the result→sample applicability star (validity window, approval —
+    include_unapproved=TRUE here so the active/review_status arms are
+    visible at rule grain — speciation, media/fraction/location link
+    filters), the detection-limit result_value/relation COALESCE
+    ladder (:2966-2990), the evaluation core, and the rule-level
+    comparison_status matrix (:3025-3040)."""
+    rows = _applicability_rule_rows(spark, sf_dir,
+                                    include_unapproved=True)
+    out = rows.select(
+        "result_id", "sample_id", "guideline_id", "rule_id",
+        "guideline_code", "publisher_name", "parameter_name",
+        "matrix_state_code", "units", "bound_code",
+        "comparison_operator_code", "result_value",
+        "result_value_relation", "guideline_value", "output_status",
+        "comparison_status", "derivation_inputs")
+    return _round(out, {"result_value": 6, "guideline_value": 6})
+
+
+@register("guideline_applicability_read", oracle=_APPLIC_READ_ORACLE)
+def guideline_applicability_read(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """criteria.applicable_guidelines_for_result (patch_51.R:3162-3400),
+    guideline grain: the rule rows rolled up per (result, guideline) —
+    lower/upper ``max() FILTER`` bounds, bool_and resolution, the
+    sorted-distinct unresolved-status list, the rule_id-ordered
+    derivation-inputs JSON array — then the operator-keyed
+    comparison_status ladder (lte/gte/range/eq with censored-relation
+    arms, invalid_guideline_bounds, does_not_equal; :3212-3330).
+    Default approval filter (include_unapproved=FALSE), so the
+    inactive/draft/expired guidelines are absent from this view."""
+    from ..operators.guidelines import applicable_guidelines_for_results
+
+    rows = _applicability_rule_rows(spark, sf_dir,
+                                    include_unapproved=False)
+    rolled = applicable_guidelines_for_results(
+        rows,
+        group_cols=("result_id", "sample_id", "guideline_id"),
+        carry_cols=("guideline_code", "publisher_name", "units",
+                    "comparison_operator_code", "result_value",
+                    "result_value_relation"))
+    out = rolled.select(
+        "result_id", "sample_id", "guideline_id", "guideline_code",
+        "publisher_name", "units", "comparison_operator_code",
+        "result_value", "result_value_relation",
+        "lower_guideline_value", "upper_guideline_value",
+        "output_status", "comparison_status", "derivation_inputs")
+    return _round(out, {"result_value": 6, "lower_guideline_value": 6,
+                        "upper_guideline_value": 6})

@@ -493,3 +493,24 @@ def test_regional_flood_family_broadcast_only(spark):
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "BatchEvalPython" not in p, name
+
+
+def test_guideline_applicability_broadcast_star(spark):
+    # patch_51 applicability read API (r11): every dim of the star —
+    # guideline book, publishers, units, link-table lists, the
+    # result-condition wording table — must arrive broadcast; the ONE
+    # shuffle join allowed is the star vs evaluation-core fact join on
+    # (guideline_id, sample_id). The only nested-loop joins are the
+    # bounded catalog fanouts (samples x rulebook / x inputs grids,
+    # broadcast side <= 18 rows); nothing cartesian, nothing Python.
+    import re
+    for name in ("guideline_applicability_rules",
+                 "guideline_applicability_read"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "BroadcastHashJoin" in p, name
+        # formatted explain prints each node twice: <=1 real SMJ
+        assert len(re.findall("SortMergeJoin", p)) <= 2, name
+        # <=3 real BNLJ, all broadcast catalog-grid fanouts
+        assert len(re.findall("BroadcastNestedLoopJoin", p)) <= 6, name
