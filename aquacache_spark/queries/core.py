@@ -5315,6 +5315,20 @@ def model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"quality_prob": 6})
 
 
+@register("model_quality_score_blas", oracle=_MODEL_QUALITY_ORACLE)
+def model_quality_score_blas(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Arrow-kernel twin of model_quality_score (same DuckDB oracle):
+    unique-gram hash caching per task instead of per-instance md5 in
+    the JVM fold — the r10 BLAS-kernel pattern applied to the #1 bench
+    query. Integer-exact weight sums, identical sigmoid."""
+    from ..functions.text import hashed_linear_score_frame
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_linear_score_frame(docs, num_buckets=4096)
+    return _round(out, {"quality_prob": 6})
+
+
 # ---------------------------------------------------------------------------
 # Corpus datacard (the dataset-documentation rollup): per source —
 # doc/token counts (whitespace + BPE-ish), within-source exact-dup

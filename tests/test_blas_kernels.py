@@ -75,3 +75,38 @@ def test_semdedup_blas_matches_jvm_decisions(spark):
     blas_c = {r["vec_id"]: r["kept"] for r in
               semantic_dedup_blas(corpus, max_cluster=2, **kw).collect()}
     assert jvm_c == blas_c
+
+
+def test_model_quality_blas_matches_jvm_exact(spark):
+    from aquacache_spark.functions.text import (hashed_linear_score,
+                                                hashed_linear_score_frame,
+                                                tokens)
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the the the the repeated token stress case"),
+        (2, "single"),
+        (3, ""),  # empty text -> split gives [''], n_features = 1
+        (4, "two words"),
+        (5, "a much longer document " * 12 + "with a tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    jvm = {r["doc_id"]: (r["n_features"], r["quality_prob"]) for r in
+           docs.select(
+               "doc_id",
+               (n + F.greatest(n - 1, F.lit(0))).cast("long")
+               .alias("n_features"),
+               hashed_linear_score(F.col("text"), num_buckets=4096)
+               .alias("quality_prob")).collect()}
+    kern = {r["doc_id"]: (r["n_features"], r["quality_prob"]) for r in
+            hashed_linear_score_frame(docs, num_buckets=4096).collect()}
+    assert set(jvm) == set(kern)
+    for d in jvm:
+        assert jvm[d][0] == kern[d][0], d            # n_features exact
+        # the integer q and the two IEEE divisions are identical by
+        # construction; only exp() libm ulps could differ — require
+        # bit-equality here (same host libm through JVM and CPython
+        # on these inputs) to pin the contract
+        assert jvm[d][1] == kern[d][1], (d, jvm[d], kern[d])
