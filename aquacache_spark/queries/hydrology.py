@@ -4729,3 +4729,82 @@ def guideline_applicability_read(spark: SparkSession,
         "output_status", "comparison_status", "derivation_inputs")
     return _round(out, {"result_value": 6, "lower_guideline_value": 6,
                         "upper_guideline_value": 6})
+
+
+# ---------------------------------------------------------------------------
+# Regional GEV growth curve (H&W 1997 ch. 6 / A.55): second
+# distribution family for the index-flood method. The lnGamma(1+k)
+# Horner text below is generated from the SAME coefficient list the
+# operator uses, so both engines evaluate identical literals.
+# ---------------------------------------------------------------------------
+
+def _gev_horner_sql(kexpr: str) -> str:
+    from ..operators.trend import _GEV_LNG_COEFS
+
+    acc = repr(_GEV_LNG_COEFS[-1])
+    for c in reversed(_GEV_LNG_COEFS[:-1]):
+        acc = f"({c!r} + {kexpr} * {acc})"
+    return f"({kexpr} * {acc})"
+
+
+_GEV_Q_SQL = {
+    # c_F = ln(-ln F) and the Gumbel-limit K_T = -c_F, as double
+    # literals (repr round-trips exactly into both engines)
+    "q10": (repr(-2.2503673273124454), repr(2.2503673273124454)),
+    "q100": (repr(-4.600149226776579), repr(4.600149226776579)),
+}
+
+_RFF_GEV_ORACLE = "WITH " + _RFF_BASE_SQL + f"""
+    , gev AS (
+      SELECT s.region, s.site, s.n, s.s0, r.t_r, r.t3_r,
+             k1.k AS k_gev, a1.alpha, x1.xi
+      FROM sites s JOIN reg r ON r.region = s.region,
+      LATERAL (SELECT 2.0 / (3.0 + r.t3_r) - 0.6309297535714574 AS z) z1,
+      LATERAL (SELECT 7.859 * z1.z + 2.9554 * z1.z * z1.z AS k) k1,
+      LATERAL (SELECT exp({_gev_horner_sql('k1.k')}) AS g1) g2,
+      LATERAL (SELECT CASE WHEN abs(k1.k) < 1e-12
+                    THEN r.t_r * 1.4426950408889634
+                    ELSE r.t_r * k1.k
+                         / ((1.0 - exp(-(k1.k) * 0.6931471805599453))
+                            * g2.g1) END AS alpha) a1,
+      LATERAL (SELECT CASE WHEN abs(k1.k) < 1e-12
+                    THEN 1.0 - 0.5772156649015329 * a1.alpha
+                    ELSE 1.0 - a1.alpha * (1.0 - g2.g1) / k1.k
+               END AS xi) x1
+    )
+    SELECT region, site, n AS n_years,
+           floor(((CAST(s0 AS DOUBLE) / n) / 100.0) * 1000000 + 0.5)
+             / 1000000 AS index_flood,
+           floor(t_r * 1000000 + 0.5) / 1000000 AS t_r,
+           floor(t3_r * 1000000 + 0.5) / 1000000 AS t3_r,
+           floor(k_gev * 1000000 + 0.5) / 1000000 AS k_gev,
+           floor((((CAST(s0 AS DOUBLE) / n) / 100.0)
+                  * (CASE WHEN abs(k_gev) < 1e-12
+                     THEN xi + alpha * {_GEV_Q_SQL['q10'][1]}
+                     ELSE xi + alpha
+                          * (1.0 - exp(k_gev * {_GEV_Q_SQL['q10'][0]}))
+                          / k_gev END))
+                 * 1000000 + 0.5) / 1000000 AS q10,
+           floor((((CAST(s0 AS DOUBLE) / n) / 100.0)
+                  * (CASE WHEN abs(k_gev) < 1e-12
+                     THEN xi + alpha * {_GEV_Q_SQL['q100'][1]}
+                     ELSE xi + alpha
+                          * (1.0 - exp(k_gev * {_GEV_Q_SQL['q100'][0]}))
+                          / k_gev END))
+                 * 1000000 + 0.5) / 1000000 AS q100
+    FROM gev
+"""
+
+
+@register("regional_index_flood_gev", oracle=_RFF_GEV_ORACLE)
+def regional_index_flood_gev_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Index-flood site quantiles under the regional GEV growth curve
+    (H&W 1997 A.55 closed-form shape from t3_R; Gamma(1+k) via the
+    mirrored truncated-series Horner text) — the second distribution
+    family beside regional_index_flood's Gumbel."""
+    from ..operators.trend import regional_index_flood_gev
+
+    out = regional_index_flood_gev(_rff_annual(spark, sf_dir))
+    return _round(out, {"index_flood": 6, "t_r": 6, "t3_r": 6,
+                        "k_gev": 6, "q10": 6, "q100": 6})

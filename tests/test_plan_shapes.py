@@ -487,6 +487,7 @@ def test_regional_flood_family_broadcast_only(spark):
     # frames only — every join broadcast, no cartesian/nested-loop/
     # sort-merge anywhere, and the simulation explode is map-side
     for name in ("regional_flood_homogeneity", "regional_index_flood",
+                 "regional_index_flood_gev",
                  "regional_discordancy", "regional_screening_report",
                  "long_repeated_span_coverage"):
         p = plan(spark, name)
