@@ -25,7 +25,25 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, md5_int, tokens, word_shingles
 
-MINHASH_MOD = 2305843009213693951  # 2^61 - 1
+MINHASH_MOD = 2305843009213693951  # 2^61 - 1 (kept for band-key width)
+
+# MinHash universal-hash family over the Mersenne-31 field (r11 fix):
+# the original family h_i = (a_i * base + b_i) mod (2^61 - 1) with a
+# 52-bit md5 base and a_i <= 35 NEVER WRAPPED (a_i * base < 2^58 < M),
+# so every h_i was a MONOTONE map of the same base — all num_hashes
+# "independent" minima shared one argmin shingle, every LSH band
+# carried the same key, and per-pair recall collapsed from
+# 1-(1-J^w)^b to J. The fix reduces the base to 31 bits and multiplies
+# by ~2^30 constants so (A_i * x + B_i) mod p wraps ~2^30 times — a
+# genuine 2-universal permutation per i. Constants are
+# (1103515245*(i+1)+12345) % p / (2654435761*(i+1)+1013904223) % p,
+# precomputed so both engines see identical literals; products stay
+# < 2^62, portable int64 arithmetic in Spark and DuckDB.
+MINHASH_P31 = 2147483647  # 2^31 - 1
+MINHASH_A = [(1103515245 * (i + 1) + 12345) % MINHASH_P31
+             for i in range(64)]
+MINHASH_B = [(2654435761 * (i + 1) + 1013904223) % MINHASH_P31
+             for i in range(64)]
 
 
 def _spread_scan(df: DataFrame, key: str) -> DataFrame:
@@ -82,21 +100,25 @@ def minhash_signatures(
     """MinHash signature per document. Output: id, sig (array<bigint>).
 
     One md5 per shingle (the expensive part), then the hash family is
-    affine mixes ``h_i = (a_i * base + b_i) mod (2^61 - 1)`` — the
-    standard universal-hash construction, ~num_hashes x cheaper than
-    hashing per function. The 52-bit base bounds ``a_i * base`` well
-    inside int64 so the arithmetic is portable (no overflow wrap, which
-    DuckDB would reject and Spark would silently differ on). Single
-    shuffle on the doc id; all hashes evaluate in one codegen'd
-    projection.
+    the Mersenne-31 universal construction
+    ``h_i = (A_i * (base mod p) + B_i) mod p`` with p = 2^31 - 1 and
+    ~2^30-sized constants — ~num_hashes x cheaper than hashing per
+    function, genuinely wrapping (see the MINHASH_A note above: the
+    pre-r11 2^61-field family never wrapped, collapsing every band to
+    one argmin), and portable (products < 2^62 fit int64 identically
+    in Spark and DuckDB). Single shuffle on the doc id; all hashes
+    evaluate in one codegen'd projection. Band keys concatenate w >= 2
+    values in batch use (>= 62 bits — chance band-key collisions stay
+    negligible at corpus scale).
     """
     sh = _spread_scan(df, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
-    base = md5_int(F.col("sh"), 13)
+    base = md5_int(F.col("sh"), 8) % MINHASH_P31
     mins = [
         F.min(
-            (F.lit(2 * i + 3) * base + F.lit((i + 1) * 2654435769)) % MINHASH_MOD
+            (F.lit(MINHASH_A[i]) * base + F.lit(MINHASH_B[i]))
+            % MINHASH_P31
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
@@ -131,8 +153,9 @@ def minhash_signatures_maponly(
     # two-parameter lambda would make F.transform pass the ARRAY INDEX
     # as the second argument
     def affine(i):
-        return lambda s: (F.lit(2 * i + 3) * md5_int(s, 13)
-                          + F.lit((i + 1) * 2654435769)) % MINHASH_MOD
+        return lambda s: (F.lit(MINHASH_A[i]) * (md5_int(s, 8)
+                                                 % MINHASH_P31)
+                          + F.lit(MINHASH_B[i])) % MINHASH_P31
 
     mins = [
         F.array_min(F.transform(sh, affine(i))).alias(f"h{i}")

@@ -191,16 +191,27 @@ def _shingles_sql(where: str = "") -> str:
 """
 
 
-_MINHASH_MOD = 2305843009213693951  # matches operators/dedup.MINHASH_MOD
+_MINHASH_P31 = 2147483647  # matches operators/dedup.MINHASH_P31
+
+
+def _minhash_hash_sql(i: int) -> str:
+    """The Mersenne-31 affine minhash term for hash i — generated from
+    the SAME constants as operators/dedup.MINHASH_A/B so the oracle and
+    the Spark plan share literals (r11: the old 2^61-field family never
+    wrapped; see operators/dedup.py MINHASH_A note)."""
+    from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P31
+
+    return (f"min(({MINHASH_A[i]} * base + {MINHASH_B[i]})"
+            f" % {MINHASH_P31})")
 
 _MINHASH_SQL = _shingles_sql() + """
     , hashed AS (
-      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 13) AS BIGINT) AS base
+      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % 2147483647 AS base
       FROM shingles
     ), sig AS (
       SELECT doc_id,
     """ + ",\n".join(
-    f"min(({2 * i + 3} * base + {(i + 1) * 2654435769}) % {_MINHASH_MOD}) AS h{i}"
+    f"{_minhash_hash_sql(i)} AS h{i}"
     for i in range(8)
 ) + """
       FROM hashed GROUP BY doc_id
@@ -1853,13 +1864,12 @@ _ASSET_PRED = "doc_id % 6 = 0"
 _ASSET_DEDUP_ORACLE = ("WITH RECURSIVE "
     + _shingles_sql(f"WHERE {_ASSET_PRED}") + """
     , hashed AS (
-      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 13) AS BIGINT) AS base
+      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % 2147483647 AS base
       FROM shingles
     ), sig AS (
       SELECT doc_id,
     """ + ",\n".join(
-    f"min(({2 * i + 3} * base + {(i + 1) * 2654435769}) % {_MINHASH_MOD})"
-    f" AS h{i}"
+    f"{_minhash_hash_sql(i)} AS h{i}"
     for i in range(8)
 ) + """
       FROM hashed GROUP BY doc_id
@@ -2779,13 +2789,12 @@ _CHUNK_NEARDUP_ORACLE = """
              array_to_string(toks[i + 1 : i + 3], ' ') AS sh
       FROM shingled
     ), hashed AS (
-      SELECT cid, CAST('0x' || substr(md5(sh), 1, 13) AS BIGINT) AS base
+      SELECT cid, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % 2147483647 AS base
       FROM shingles
     ), sig AS (
       SELECT cid,
 """ + ",\n".join(
-    f"min(({2 * i + 3} * base + {(i + 1) * 2654435769}) % {_MINHASH_MOD})"
-    f" AS h{i}"
+    f"{_minhash_hash_sql(i)} AS h{i}"
     for i in range(8)
 ) + """
       FROM hashed GROUP BY cid

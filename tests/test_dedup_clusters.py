@@ -87,13 +87,16 @@ def test_long_span_doubling_closed_form(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     spark.catalog.clearCache()
+    # earlier tests may leave their own localCheckpoint blocks (RDD
+    # storage that clearCache doesn't touch) — assert on the DELTA
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     out_df = long_repeated_span_coverage(docs, k0=8, target=32)
     # the operator must release every internal cache before returning:
     # toks / grams / final-round survivors were session-pinned pre-r11
     # (4+ stored RDDs); the ONLY storage allowed to remain is the
     # localCheckpoint block set of the small per-doc output itself
     stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(stored) <= 1, [r.name() for r in stored]
+    assert len(stored) - before <= 1, [r.name() for r in stored]
     out = {r["doc_id"]: r for r in out_df.collect()}
     for d, n_tok in ((1, 45), (2, 42)):
         assert out[d]["n_tokens"] == n_tok
@@ -112,3 +115,31 @@ def test_long_span_doubling_closed_form(spark):
                long_repeated_span_coverage(docs, k0=8,
                                            target=16).collect()}
     assert direct == doubled
+
+
+def test_minhash_family_has_independent_argmins(spark):
+    # r11 regression pin: the pre-fix family h_i = (a_i*base + b_i)
+    # mod 2^61-1 never wrapped (a_i*base < 2^58), so every h_i was a
+    # monotone map of the same md5 base — for ANY doc pair the
+    # signature positions matched all-or-nothing (argmin shared or
+    # not), collapsing banded-LSH recall from 1-(1-J^w)^b to J. With a
+    # genuinely wrapping family, a pair with fractional Jaccard must
+    # show a MIX of matching and differing positions across 16 hashes.
+    from aquacache_spark.operators.dedup import (
+        minhash_signatures, minhash_signatures_maponly)
+
+    half_a = " ".join(f"shared{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [(1, half_a + " " + " ".join(f"a{j}" for j in range(30))),
+         (2, half_a + " " + " ".join(f"b{j}" for j in range(30)))],
+        "doc_id long, text string")
+    sig = {r["doc_id"]: r["sig"] for r in
+           minhash_signatures(docs, num_hashes=16).collect()}
+    matches = sum(x == y for x, y in zip(sig[1], sig[2]))
+    # J ~ 0.45 here; all-16 or zero-16 is exactly the broken-family
+    # signature (P < 1e-4 for a real family), a mid-range count is not
+    assert 0 < matches < 16, f"degenerate family: {matches}/16 match"
+    # map-only twin stays bit-identical to the groupBy form
+    sig2 = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures_maponly(docs, num_hashes=16).collect()}
+    assert sig == sig2

@@ -12,13 +12,17 @@ from aquacache_spark.sources.store import ParquetMergeStore
 
 
 def _docs(spark, n=40):
-    # pairs of near-identical docs (2k, 2k+1) plus singletons
+    # duplicate pairs (2k, 2k+1) with IDENTICAL text and pair-disjoint
+    # vocab: in-pair Jaccard is exactly 1 (every band collides under
+    # any correct minhash family) and cross-pair Jaccard is exactly 0
+    # (no band can collide). The pre-r11 fixture shared a 7-token
+    # sentence across ALL docs (cross-pair J ~ 0.33) and only passed
+    # because the broken never-wrapping hash family hid the legitimate
+    # LSH collisions a J=0.33 pair should sometimes produce.
     rows = []
     for i in range(n):
-        base = f"alpha beta gamma delta epsilon zeta {i // 2} " * 4
-        if i % 2 == 1:
-            base += "tail"
-        rows.append((i, base))
+        base = " ".join(f"tok{j}pair{i // 2}" for j in range(8)) + " "
+        rows.append((i, base * 4))
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
