@@ -540,7 +540,9 @@ def regional_lmoment_homogeneity(annual: DataFrame,
     h_stat — the same rare-boundary class as every -ln oracle idiom
     in the engine, NOT a bit-for-bit guarantee. In practice the
     battery pins it green at both gate SFs; a provably-stable variant
-    would precompute a quantized y-grid over the 2^32 hash values. ``site_ord`` is the site's dense rank within its
+    would precompute a quantized y-grid over the 2^32 hash values.
+
+    ``site_ord`` is the site's dense rank within its
     region, NOT the raw site id: ids may be strings ('08MF005') or
     large enough that id * 8191 would overflow int64 — the rank is a
     small dense integer for any orderable id type. Simulated values

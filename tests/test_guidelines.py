@@ -130,3 +130,78 @@ def test_scalar_prefers_upper_bound(spark):
     }
     assert out[1] == 9.0  # upper beats lower/other regardless of priority
     assert out[2] == 4.0  # lower wins when no usable upper
+
+
+def test_applicability_include_unresolved_filters(spark):
+    # rules-level include_unresolved=FALSE keeps ONLY output_status =
+    # 'value'; guideline-level include_unresolved=FALSE keeps only
+    # fully-resolved guidelines — the two WHERE arms of patch_51's
+    # read functions (defaults are TRUE; the oracled queries cover
+    # those paths)
+    from aquacache_spark.operators.guidelines import (
+        applicable_guideline_rules_for_results,
+        applicable_guidelines_for_results,
+    )
+
+    resolved = spark.createDataFrame(
+        [(1, 10, 0, 1, 7, 1, 1, 1, 5.0, "actual")],
+        "result_id long, sample_id long, location_id long, media_id long,"
+        " parameter_id long, matrix_state_id long, sample_fraction_id long,"
+        " result_speciation_id long, result_value double,"
+        " result_value_relation string")
+    import datetime as dt
+    guidelines = spark.createDataFrame(
+        [(1, 7, 1, "lte", None, dt.date(2019, 1, 1), None, True,
+          "approved")],
+        "guideline_id int, parameter_id int, matrix_state_id int,"
+        " comparison_operator_code string, result_speciation_id int,"
+        " valid_from date, valid_to date, active boolean,"
+        " review_status string")
+    evaluated = spark.createDataFrame(
+        [(10, 1, 1, "upper", 1, 8.0, "value", "constant", None),
+         (10, 2, 1, "lower", 2, None, "narrative", "narrative", None)],
+        "sample_id long, rule_id int, guideline_id int, bound_code string,"
+        " rule_priority int, guideline_value double, output_status string,"
+        " algorithm_code string, input_value double")
+
+    both = applicable_guideline_rules_for_results(
+        resolved, guidelines, evaluated, include_unresolved=True)
+    assert both.count() == 2
+    only_values = applicable_guideline_rules_for_results(
+        resolved, guidelines, evaluated, include_unresolved=False)
+    rows = only_values.collect()
+    assert len(rows) == 1 and rows[0]["output_status"] == "value"
+    assert rows[0]["comparison_status"] == "meets"  # 5.0 <= 8.0, upper
+
+    # guideline level: the narrative rule makes the guideline
+    # unresolved -> dropped under FALSE, surfaced as its status under TRUE
+    rolled_t = applicable_guidelines_for_results(
+        both, include_unresolved=True).collect()
+    assert len(rolled_t) == 1
+    assert rolled_t[0]["output_status"] == "narrative"
+    assert rolled_t[0]["comparison_status"] == "narrative"
+    assert applicable_guidelines_for_results(
+        both, include_unresolved=False).count() == 0
+    # derivation JSON is rule-ordered
+    assert rolled_t[0]["derivation_inputs"].startswith('[{"rule_id":1,')
+
+
+def test_cosine_blas_contract_guards(spark):
+    # ADVICE r10: empty query set raises; dim * max|code|^2 >= 2^53
+    # raises instead of silently degrading the bit-exact contract
+    import pytest
+
+    from aquacache_spark.operators.similarity import cosine_topk_blas
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    empty = corpus.where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty query set"):
+        cosine_topk_blas(corpus, empty, k=1)
+    big = spark.createDataFrame(
+        [(0, [1e5, 0.0]), (1, [0.0, 1e5])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="2\\^53"):
+        # |code| = 1e5 * 1e6 = 1e11; dim * code^2 = 2e22 >> 2^53
+        cosine_topk_blas(big, big, k=1)
