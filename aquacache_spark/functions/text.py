@@ -536,6 +536,13 @@ def hashed_linear_score_frame(
                 continue
             ids, ns, ps = [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    # mirror the JVM fold: NULL text -> NULL features
+                    # and NULL score (size/aggregate of NULL are NULL)
+                    ids.append(did)
+                    ns.append(None)
+                    ps.append(None)
+                    continue
                 toks = txt.lower().split(" ")
                 n = len(toks)
                 grams = Counter(toks)
@@ -551,7 +558,12 @@ def hashed_linear_score_frame(
                 ids.append(did)
                 ns.append(nf)
                 ps.append(1.0 / (1.0 + exp(-z)))
-            yield pd.DataFrame({id_col: ids, "n_features": ns,
-                                "quality_prob": ps})
+            # Int64 (nullable) so a None n_features survives the Arrow
+            # cast to `long` (a float64 NaN would fail the conversion)
+            yield pd.DataFrame({
+                id_col: ids,
+                "n_features": pd.array(ns, dtype="Int64"),
+                "quality_prob": pd.array(ps, dtype="float64"),
+            })
 
     return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)

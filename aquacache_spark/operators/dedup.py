@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, md5_int, tokens, word_shingles
 
-MINHASH_MOD = 2305843009213693951  # 2^61 - 1 (kept for band-key width)
-
 # MinHash universal-hash family over the Mersenne-31 field (r11 fix):
 # the original family h_i = (a_i * base + b_i) mod (2^61 - 1) with a
 # 52-bit md5 base and a_i <= 35 NEVER WRAPPED (a_i * base < 2^58 < M),
@@ -111,6 +109,10 @@ def minhash_signatures(
     values in batch use (>= 62 bits — chance band-key collisions stay
     negligible at corpus scale).
     """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_A)} "
+            "precomputed family constants (extend MINHASH_A/B)")
     sh = _spread_scan(df, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
@@ -147,6 +149,10 @@ def minhash_signatures_maponly(
     groupBy form."""
     from ..functions.text import md5_int, word_shingles
 
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_A)} "
+            "precomputed family constants (extend MINHASH_A/B)")
     sh = word_shingles(F.col(text_col), shingle_k)
 
     # NB: the hash index must be bound via an outer function — a
@@ -1031,10 +1037,21 @@ def _repeated_gram_positions(
     k: int,
     id_col: str,
     text_col: str,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared engine for the exact-substring family: -> (base, dup,
-    grams) where ``grams`` is the persisted exploded gram table the
-    caller may ``unpersist()`` once downstream frames are materialized.
+    grams).
+
+    ``persist=True`` caches the exploded gram table so the two passes
+    over it (counts-only reduction + semi-join probe) hash the grams
+    once — the CALLER then owns the release (unpersist once its
+    downstream frames are materialized; long_repeated_span_coverage
+    does exactly this). ``persist=False`` (default for the LAZY
+    operators repeated_span_coverage / remove_repeated_spans, r11)
+    recomputes the map-side explode per pass instead: ~2x the gram
+    hashing inside one action, but no session-pinned MEMORY_AND_DISK
+    blocks a lazy return value cannot release — recompute-from-lineage
+    is the normal Spark answer, the cache is the exception.
 
     ``base`` = (id, n_tokens, __toks); ``dup`` = (id, pos) start
     positions of k-token grams whose hash occurs in >= 2 documents.
@@ -1043,9 +1060,7 @@ def _repeated_gram_positions(
     occurrence lists — a boilerplate gram present in millions of docs
     must not land one unbounded reducer array), then a hash-keyed
     semi-join filters the gram table to surviving hashes: linear
-    output per hot hash, AQE-splittable, spill-safe.  The exploded
-    gram table is persisted once so the md5-heavy explode is not
-    recomputed for the second pass.
+    output per hot hash, AQE-splittable, spill-safe.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1076,7 +1091,9 @@ def _repeated_gram_positions(
         id_col, F.explode("__g").alias("g")
     ).select(
         id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist:
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     # counts-only reduction: count_distinct plans as a (h, doc)
     # partial-distinct then a plain count — constant per-key state, no
     # arrays, so a gram in millions of docs costs rows, not one
@@ -1508,7 +1525,8 @@ def long_repeated_span_coverage(
 
     from ..functions.text import md5_int
 
-    base, cur, grams = _repeated_gram_positions(docs, k0, id_col, text_col)
+    base, cur, grams = _repeated_gram_positions(
+        docs, k0, id_col, text_col, persist=True)
     toks = base.select(id_col, "n_tokens", "__toks") \
         .persist(StorageLevel.MEMORY_AND_DISK)
     prev_cur = None

@@ -527,8 +527,8 @@ def applicable_guideline_rules_for_results(
         & (F.col("__loc_list").isNull()
            | F.array_contains(F.col("__loc_list"),
                               F.col("location_id").cast("long")))
-    ).drop("__g_pid", "__g_ms", "__media_list", "__frac_list",
-           "__loc_list")
+    ).drop("__g_pid", "__g_ms", "__g_spec", "__media_list",
+           "__frac_list", "__loc_list")
 
     ev = evaluated.withColumnRenamed("guideline_id", "__e_gid") \
         .withColumnRenamed("sample_id", "__e_sid")

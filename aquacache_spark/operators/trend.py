@@ -778,14 +778,39 @@ _GEV_LNG_COEFS = [-0.5772156649015329] + [
 ]
 _GEV_LN2_OVER_LN3 = 0.6309297535714574   # log(2)/log(3)
 _GEV_LN2 = 0.6931471805599453
+# c_F = ln(-ln F) for the standard return periods, as FIXED double
+# literals shared with the oracle SQL (computing them via the running
+# host's math.log would tie the Spark plan to that libm while the
+# oracle bakes repr literals — a systematic, every-row divergence
+# channel instead of the accepted rare-boundary class). Other F values
+# fall back to math.log and are documented as host-libm-dependent.
+_GEV_CF = {0.9: -2.2503673273124454, 0.99: -4.600149226776579,
+           0.5: -0.36651292058166435, 0.98: -3.9019386579358333,
+           0.995: -5.295812142535025}
 
 
 def _ln_gamma_1p(k: Column) -> Column:
-    """Horner form of the series above; mirrored verbatim in SQL."""
+    """Horner form of the series above; mirrored verbatim in SQL.
+    Accurate (~1e-6 or better) only for |k| <= 0.5 — callers reduce
+    the argument into that window first (see _gamma_1p)."""
     acc = F.lit(_GEV_LNG_COEFS[-1])
     for c in reversed(_GEV_LNG_COEFS[:-1]):
         acc = F.lit(c) + k * acc
     return k * acc
+
+
+def _gamma_1p(k: Column) -> Column:
+    """Gamma(1+k) with argument reduction into the series' accurate
+    window (r11 review fix — the bare series degrades from ~0.3% at
+    k=0.85 to garbage past the k=1 convergence radius):
+    Gamma(1+k) = k * Gamma(1+(k-1)) for k > 0.5 (k-1 in (-0.5, 0.5]);
+    Gamma(1+k) = Gamma(1+(k+1)) / (1+k) for k < -0.5 (pole at k=-1).
+    Both arms are mirrored CASE text in the oracle SQL."""
+    return (
+        F.when(k > 0.5, k * F.exp(_ln_gamma_1p(k - 1)))
+        .when(k < -0.5, F.exp(_ln_gamma_1p(k + 1)) / (F.lit(1.0) + k))
+        .otherwise(F.exp(_ln_gamma_1p(k)))
+    )
 
 
 def regional_index_flood_gev(annual: DataFrame,
@@ -801,9 +826,16 @@ def regional_index_flood_gev(annual: DataFrame,
 
     Determinism: Gamma(1+k) is exp of a truncated lnGamma Taylor
     series whose Horner text both engines evaluate identically (the
-    truncation cancels cross-engine); (-ln F)^k = exp(k * c_F) with
-    c_F = ln(-ln F) a precomputed double literal; the k -> 0 Gumbel
-    limit is an explicit mirrored CASE guard. Extends
+    truncation cancels cross-engine), with argument reduction via the
+    mirrored Gamma recurrence so the series only ever evaluates at
+    |k'| <= 0.5 (_gamma_1p); (-ln F)^k = exp(k * c_F) with c_F a FIXED
+    double literal from _GEV_CF (never the running host's math.log for
+    the standard return periods); the k -> 0 Gumbel limit is an
+    explicit mirrored CASE guard. VALIDITY: quantiles are NULL outside
+    k in (-0.9, 1.5] — below, the k = -1 Gamma pole makes the fit
+    meaningless; above, the reduced argument leaves the series'
+    accurate window (and such k come from |t3_R| far outside the
+    closed-form approximation's own domain). Extends
     regional_index_flood with a second distribution family — same
     broadcast-only plan shape.
     """
@@ -818,8 +850,9 @@ def regional_index_flood_gev(annual: DataFrame,
     z = F.lit(2.0) / (F.lit(3.0) + F.col("t3_r")) \
         - F.lit(_GEV_LN2_OVER_LN3)
     kk = F.lit(7.8590) * z + F.lit(2.9554) * z * z
-    g1 = F.exp(_ln_gamma_1p(kk))
+    g1 = _gamma_1p(kk)
     small = F.abs(kk) < F.lit(1e-12)
+    valid = (kk > F.lit(-0.9)) & (kk <= F.lit(1.5))
     alpha = F.when(small, F.col("t_r") * F.lit(1.4426950408889634)) \
         .otherwise(F.col("t_r") * kk
                    / ((F.lit(1.0) - F.exp(-kk * F.lit(_GEV_LN2))) * g1))
@@ -833,8 +866,9 @@ def regional_index_flood_gev(annual: DataFrame,
         kk.alias("k_gev"),
     ]
     for label, Fp in quantile_F.items():
-        c_f = math.log(-math.log(Fp))
+        c_f = _GEV_CF.get(Fp, math.log(-math.log(Fp)))
         growth = F.when(small, xi + alpha * F.lit(-c_f)).otherwise(
             xi + alpha * (F.lit(1.0) - F.exp(kk * F.lit(c_f))) / kk)
-        cols.append((index_flood * growth).alias(label))
+        cols.append(
+            F.when(valid, index_flood * growth).alias(label))
     return j.select(*cols)

@@ -191,7 +191,15 @@ def _shingles_sql(where: str = "") -> str:
 """
 
 
-_MINHASH_P31 = 2147483647  # matches operators/dedup.MINHASH_P31
+_MINHASH_P31 = 2147483647  # matches operators/dedup.MINHASH_P31 (asserted below)
+
+
+def _assert_p31():
+    from ..operators.dedup import MINHASH_P31
+    assert MINHASH_P31 == _MINHASH_P31, "minhash field constant drift"
+
+
+_assert_p31()
 
 
 def _minhash_hash_sql(i: int) -> str:
@@ -206,7 +214,8 @@ def _minhash_hash_sql(i: int) -> str:
 
 _MINHASH_SQL = _shingles_sql() + """
     , hashed AS (
-      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % 2147483647 AS base
+      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT)
+             % 2147483647 AS base
       FROM shingles
     ), sig AS (
       SELECT doc_id,
@@ -1864,7 +1873,8 @@ _ASSET_PRED = "doc_id % 6 = 0"
 _ASSET_DEDUP_ORACLE = ("WITH RECURSIVE "
     + _shingles_sql(f"WHERE {_ASSET_PRED}") + """
     , hashed AS (
-      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % 2147483647 AS base
+      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT)
+             % 2147483647 AS base
       FROM shingles
     ), sig AS (
       SELECT doc_id,
@@ -2789,7 +2799,8 @@ _CHUNK_NEARDUP_ORACLE = """
              array_to_string(toks[i + 1 : i + 3], ' ') AS sh
       FROM shingled
     ), hashed AS (
-      SELECT cid, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) % 2147483647 AS base
+      SELECT cid, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT)
+             % 2147483647 AS base
       FROM shingles
     ), sig AS (
       SELECT cid,

@@ -4761,7 +4761,14 @@ _RFF_GEV_ORACLE = "WITH " + _RFF_BASE_SQL + f"""
       FROM sites s JOIN reg r ON r.region = s.region,
       LATERAL (SELECT 2.0 / (3.0 + r.t3_r) - 0.6309297535714574 AS z) z1,
       LATERAL (SELECT 7.859 * z1.z + 2.9554 * z1.z * z1.z AS k) k1,
-      LATERAL (SELECT exp({_gev_horner_sql('k1.k')}) AS g1) g2,
+      LATERAL (SELECT CASE
+                 WHEN k1.k > 0.5
+                   THEN k1.k * exp({_gev_horner_sql('(k1.k - 1)')})
+                 WHEN k1.k < -0.5
+                   THEN exp({_gev_horner_sql('(k1.k + 1)')})
+                        / (1.0 + k1.k)
+                 ELSE exp({_gev_horner_sql('k1.k')})
+               END AS g1) g2,
       LATERAL (SELECT CASE WHEN abs(k1.k) < 1e-12
                     THEN r.t_r * 1.4426950408889634
                     ELSE r.t_r * k1.k
@@ -4778,20 +4785,22 @@ _RFF_GEV_ORACLE = "WITH " + _RFF_BASE_SQL + f"""
            floor(t_r * 1000000 + 0.5) / 1000000 AS t_r,
            floor(t3_r * 1000000 + 0.5) / 1000000 AS t3_r,
            floor(k_gev * 1000000 + 0.5) / 1000000 AS k_gev,
-           floor((((CAST(s0 AS DOUBLE) / n) / 100.0)
-                  * (CASE WHEN abs(k_gev) < 1e-12
-                     THEN xi + alpha * {_GEV_Q_SQL['q10'][1]}
-                     ELSE xi + alpha
-                          * (1.0 - exp(k_gev * {_GEV_Q_SQL['q10'][0]}))
-                          / k_gev END))
-                 * 1000000 + 0.5) / 1000000 AS q10,
-           floor((((CAST(s0 AS DOUBLE) / n) / 100.0)
-                  * (CASE WHEN abs(k_gev) < 1e-12
-                     THEN xi + alpha * {_GEV_Q_SQL['q100'][1]}
-                     ELSE xi + alpha
-                          * (1.0 - exp(k_gev * {_GEV_Q_SQL['q100'][0]}))
-                          / k_gev END))
-                 * 1000000 + 0.5) / 1000000 AS q100
+           CASE WHEN k_gev > -0.9 AND k_gev <= 1.5 THEN
+             floor((((CAST(s0 AS DOUBLE) / n) / 100.0)
+                    * (CASE WHEN abs(k_gev) < 1e-12
+                       THEN xi + alpha * {_GEV_Q_SQL['q10'][1]}
+                       ELSE xi + alpha
+                            * (1.0 - exp(k_gev * {_GEV_Q_SQL['q10'][0]}))
+                            / k_gev END))
+                   * 1000000 + 0.5) / 1000000 END AS q10,
+           CASE WHEN k_gev > -0.9 AND k_gev <= 1.5 THEN
+             floor((((CAST(s0 AS DOUBLE) / n) / 100.0)
+                    * (CASE WHEN abs(k_gev) < 1e-12
+                       THEN xi + alpha * {_GEV_Q_SQL['q100'][1]}
+                       ELSE xi + alpha
+                            * (1.0 - exp(k_gev * {_GEV_Q_SQL['q100'][0]}))
+                            / k_gev END))
+                   * 1000000 + 0.5) / 1000000 END AS q100
     FROM gev
 """
 

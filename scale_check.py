@@ -914,8 +914,8 @@ def main() -> None:
     # with the same 12-token boilerplate intro (the ExactSubstr target
     # AND, if the cut failed, a corpus-sized hot LSH bucket); 10% of
     # 5-doc groups are planted near-duplicates whose members share a
-    # group core but insert a member token every 6th position, so no
-    # member token every 8th position, so no 8-gram repeats INSIDE the
+    # group core but insert a member token every 8th position, so no
+    # 8-gram repeats INSIDE the
     # group survive the cut while 3-shingle Jaccard stays usable for
     # LSH (measured ~0.36 adjacent members after the cut — the 16
     # single-hash bands make the adjacent-member CHAIN a near-certain

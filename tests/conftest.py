@@ -84,17 +84,21 @@ def _reject_nullable_bools(pdf: pd.DataFrame, name: str) -> None:
     guard makes the convention enforced rather than remembered."""
     for c in pdf.columns:
         col = pdf[c]
-        if pd.api.types.is_bool_dtype(col):
-            continue  # non-null numpy bool: safe
-        if col.dtype == object and col.isna().any():
+        is_booly = pd.api.types.is_bool_dtype(col)  # numpy bool AND
+        # pandas' nullable BooleanDtype both return True here — the
+        # latter is exactly the class the guard exists to catch, so
+        # decide on null-presence, never on dtype alone
+        if not is_booly and col.dtype == object:
             sample = col.dropna()
-            if len(sample) and isinstance(sample.iloc[0], (bool, np.bool_)):
-                raise AssertionError(
-                    f"{name}: column {c!r} is a NULLABLE BOOLEAN — the "
-                    "driver hash-compare stringifies NULLs differently "
-                    "per engine; coalesce it to a non-null flag or "
-                    "project it out"
-                )
+            is_booly = len(sample) and isinstance(
+                sample.iloc[0], (bool, np.bool_))
+        if is_booly and col.isna().any():
+            raise AssertionError(
+                f"{name}: column {c!r} is a NULLABLE BOOLEAN — the "
+                "driver hash-compare stringifies NULLs differently "
+                "per engine; coalesce it to a non-null flag or "
+                "project it out"
+            )
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:

@@ -87,6 +87,7 @@ def test_model_quality_blas_matches_jvm_exact(spark):
         (1, "the the the the repeated token stress case"),
         (2, "single"),
         (3, ""),  # empty text -> split gives [''], n_features = 1
+        (6, None),  # NULL text -> NULL features / NULL score, no crash
         (4, "two words"),
         (5, "a much longer document " * 12 + "with a tail"),
     ]

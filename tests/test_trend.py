@@ -237,3 +237,47 @@ def test_regional_discordancy_degenerate_region_not_flagged(spark):
     assert all(not r["discordant"] for r in out)
     rep = regional_screening_report(df, nsim=10).collect()[0]
     assert rep["n_sites_used"] == 5 and rep["n_discordant"] == 0
+
+
+def test_gev_gamma_argument_reduction(spark):
+    # r11 review fix: the bare lnGamma series degrades past |k|=0.5
+    # and diverges past k=1; _gamma_1p reduces the argument via the
+    # Gamma recurrence so every branch stays within ~1e-5 of the true
+    # Gamma over the whole validity window (-0.9, 1.5]
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.operators.trend import _gamma_1p
+
+    ks = [-0.85, -0.6, -0.3, 0.0, 0.25, 0.5, 0.7, 1.0, 1.4, 1.5]
+    df = spark.createDataFrame([(float(k),) for k in ks], "k double")
+    out = {r["k"]: r["g"] for r in
+           df.select("k", _gamma_1p(F.col("k")).alias("g")).collect()}
+    for k in ks:
+        true = math.gamma(1 + k)
+        assert abs(out[k] - true) / true < 2e-5, (k, out[k], true)
+
+
+def test_gev_quantiles_null_outside_validity(spark):
+    # a region whose fitted k falls outside (-0.9, 1.5] must emit NULL
+    # quantiles (not series garbage): t3_R ~ -0.62 gives k ~ 1.9.
+    # Build 5 sites x 12 years whose annual maxima share one strongly
+    # left-skewed shape (values quantized integers).
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from aquacache_spark.operators.trend import regional_index_flood_gev
+
+    vals = [100, 990, 995, 997, 998, 999, 1000, 1001, 1002, 1003,
+            1005, 1006]
+    rows = [("r", s, 2000 + y, v * 100 + s)  # tiny per-site offset
+            for s in range(5) for y, v in enumerate(vals)]
+    annual = spark.createDataFrame(
+        rows, "region string, site long, yr int, mq long")
+    out = regional_index_flood_gev(annual).collect()
+    assert out, "no sites emitted"
+    for r in out:
+        if r["k_gev"] > 1.5 or r["k_gev"] <= -0.9:
+            assert r["q10"] is None and r["q100"] is None, r
+    # the fixture is engineered to actually land outside the window
+    assert all(r["k_gev"] > 1.5 for r in out), out[0]["k_gev"]
