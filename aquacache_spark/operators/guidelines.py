@@ -387,9 +387,14 @@ def _derivation_json(algorithm: Column, input_value: Column) -> Column:
     format it identically (float-to-string formatting differs between
     Spark and DuckDB; integers never do)."""
     micro = F.floor(input_value * 1000000.0 + F.lit(0.5)).cast("long")
+    # F.concat null-propagates: a NULL algorithm_code must become
+    # "algorithm":null, not a NULL JSON that collect_list silently
+    # drops (losing the rule's derivation record entirely).
     return F.concat(
-        F.lit('{"algorithm":"'), algorithm,
-        F.lit('","input_micro":'),
+        F.lit('{"algorithm":'),
+        F.coalesce(
+            F.concat(F.lit('"'), algorithm, F.lit('"')), F.lit("null")),
+        F.lit(',"input_micro":'),
         F.coalesce(micro.cast("string"), F.lit("null")),
         F.lit("}"),
     )
@@ -645,3 +650,207 @@ def applicable_guidelines_for_results(
     if not include_unresolved:
         out = out.where(F.col("__all_resolved"))
     return out.drop("__all_resolved", "__unresolved")
+
+
+# ---------------------------------------------------------------------------
+# Write-side rule validation — criteria.validate_guideline_value_rule
+# ---------------------------------------------------------------------------
+
+# Shared regex literals (Java regex on the Spark side, RE2 in DuckDB
+# oracles, `re` in the Python row validator — every construct below is
+# common to all three; PG's \m/\M word bounds are re-expressed as \b,
+# POSIX [[:space:]] as \s).  The comment/string strip ladder mirrors
+# the trigger's four regexp_replace passes in order
+# (inst/patches/patch_55.R:888-893).
+FORMULA_STRIP_PATTERNS: tuple[str, ...] = (
+    r"(?s)\$[^$]*\$.*?\$[^$]*\$",       # dollar-quoted strings
+    r"'([^'\\]|\\.)*'",                  # single-quoted strings
+    r"--.*?(\n|$)",                      # line comments
+    r"(?s)/\*.*?\*/",                    # block comments
+)
+FORMULA_SELECT_PREFIX = r"(?is)^\s*\(*\s*(with\s.*select|select)(\s|\()"
+FORMULA_BAD_PLACEHOLDER = r"\$[2-9][0-9]*"
+_FORBIDDEN_COMMANDS = (
+    "alter|analyze|call|checkpoint|cluster|copy|create|deallocate|delete"
+    "|discard|do|drop|execute|grant|insert|listen|lock|merge|notify"
+    "|prepare|refresh|reindex|reset|revoke|set|truncate|unlisten|update"
+    "|vacuum"
+)
+_FORBIDDEN_FUNCTIONS = (
+    "dblink|lo_export|lo_import|pg_cancel_backend|pg_sleep"
+    "|pg_terminate_backend|set_config"
+)
+FORMULA_FORBIDDEN = (
+    rf"(?i)(\b({_FORBIDDEN_COMMANDS})\b"
+    rf"|\b({_FORBIDDEN_FUNCTIONS})\s*\()"
+)
+# The trigger resolves every called function against pg_proc and
+# rejects provolatile = 'v' (patch_55.R:925-983).  Spark has no
+# pg_catalog; the governed stand-in is this frozen list of the
+# volatile built-ins a guideline formula could plausibly reach —
+# unqualified or qualified with an allowed schema.
+VOLATILE_FUNCTIONS: frozenset[str] = frozenset({
+    "random", "setseed", "nextval", "setval", "currval", "lastval",
+    "set_config", "pg_sleep", "pg_advisory_lock",
+    "pg_advisory_xact_lock", "pg_try_advisory_lock",
+    "clock_timestamp", "timeofday", "statement_timestamp",
+    "gen_random_uuid", "uuid_generate_v1", "uuid_generate_v4",
+})
+ALLOWED_FUNCTION_SCHEMAS: frozenset[str] = frozenset({
+    "pg_catalog", "criteria", "discrete", "public",
+})
+# One function-call scanner shared by the schema and volatile arms:
+# group 1 = optional schema qualifier, group 2 = function name.
+FORMULA_FUNCTION_CALL = (
+    r"\b(?:([A-Za-z_][A-Za-z0-9_]*)\.)?([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+# SQL grammar tokens that legitimately precede '(' but are not calls
+# (the trigger's CONTINUE list, patch_55.R:938-948).
+_NON_CALL_TOKENS = frozenset({
+    "as", "case", "filter", "in", "over", "select", "values", "when",
+})
+FORMULA_VOLATILE = (
+    r"(?i)\b(?:(?:pg_catalog|criteria|discrete|public)\.)?("
+    + "|".join(sorted(VOLATILE_FUNCTIONS)) + r")\s*\("
+)
+FORMULA_BAD_SCHEMA_CALL = FORMULA_FUNCTION_CALL  # extract group 1
+
+
+class GuidelineRuleError(ValueError):
+    """A guideline_value_rules row violates the write-side contract."""
+
+
+def scan_formula_sql(formula_sql: str) -> str:
+    """The trigger's comment/string-stripped scan text
+    (patch_55.R:888-893): dollar-quoted strings, single-quoted
+    strings, line comments, then block comments removed, in order."""
+    import re as _re
+
+    scan = formula_sql
+    for pat in FORMULA_STRIP_PATTERNS:
+        scan = _re.sub(pat, "", scan)
+    return scan
+
+
+def validate_guideline_value_rule(
+    algorithm_code: str,
+    bound_code: str | None,
+    fixed_value: float | None,
+    formula_sql: str | None,
+) -> None:
+    """Row-level port of criteria.validate_guideline_value_rule
+    (inst/patches/patch_55.R:849-1060), the reference's last
+    write-side trigger: narrative rules carry no bound_code, numeric
+    rules bound lower/upper, constant rules carry exactly fixed_value,
+    sql_scalar rules a single read-only SELECT with at most the $1
+    placeholder, no forbidden command/function words, no volatile
+    functions, and function calls only from governed schemas.  Raises
+    GuidelineRuleError with the trigger's arm order (first violation
+    wins); the EXPLAIN-plan walk (ModifyTable / plan-schema scan) is
+    PostgreSQL-catalog-specific and is subsumed here by the lexical
+    gates plus the engine fact that guideline formulas execute via the
+    safe-expression evaluator over registered criteria/discrete views
+    only (plans/expr_safety.py:44).
+    """
+    import re as _re
+
+    if algorithm_code == "narrative":
+        if bound_code is not None:
+            raise GuidelineRuleError(
+                "bound_code must be NULL when algorithm_code is narrative.")
+    elif bound_code is None or bound_code not in ("lower", "upper"):
+        raise GuidelineRuleError(
+            "Numeric guideline rules must use bound_code lower or upper.")
+
+    if algorithm_code == "constant" and fixed_value is None:
+        raise GuidelineRuleError(
+            "fixed_value must be populated when algorithm_code is constant.")
+    if algorithm_code != "constant" and fixed_value is not None:
+        raise GuidelineRuleError(
+            "fixed_value may only be populated when algorithm_code is "
+            "constant.")
+
+    if algorithm_code == "sql_scalar":
+        if formula_sql is None or formula_sql.strip() == "":
+            raise GuidelineRuleError(
+                "formula_sql must be populated when algorithm_code is "
+                "sql_scalar.")
+        scan = scan_formula_sql(formula_sql)
+        if ";" in scan:
+            raise GuidelineRuleError(
+                "formula_sql must be a single statement with no semicolons.")
+        if not _re.search(FORMULA_SELECT_PREFIX, scan):
+            raise GuidelineRuleError(
+                "formula_sql must begin with SELECT or WITH ... SELECT.")
+        if _re.search(FORMULA_BAD_PLACEHOLDER, scan):
+            raise GuidelineRuleError(
+                "Only $1 may be used as a parameter placeholder in "
+                "formula_sql.")
+        if _re.search(FORMULA_FORBIDDEN, scan):
+            raise GuidelineRuleError(
+                "formula_sql may not modify data, database objects, "
+                "sessions, or server processes.")
+        # Text-order iteration over every function call, schema gate
+        # before volatility per match — exactly the trigger's loop.
+        for m in _re.finditer(FORMULA_FUNCTION_CALL, scan):
+            schema = (m.group(1) or "").lower() or None
+            fn = m.group(2).lower()
+            if schema is None and fn in _NON_CALL_TOKENS:
+                continue
+            if schema is not None and schema not in ALLOWED_FUNCTION_SCHEMAS:
+                raise GuidelineRuleError(
+                    f"formula_sql references disallowed function schema: "
+                    f"{schema}")
+            if fn in VOLATILE_FUNCTIONS:
+                raise GuidelineRuleError(
+                    f"formula_sql may not call volatile function {fn}.")
+    elif formula_sql is not None:
+        raise GuidelineRuleError(
+            "formula_sql may only be populated when algorithm_code is "
+            "sql_scalar.")
+
+
+def rule_violation_column(
+    algorithm: Column, bound: Column, fixed: Column, formula: Column,
+) -> Column:
+    """The same ladder as a single Catalyst when()-chain over a rules
+    DataFrame — 'ok' or the first violation code, so a whole rulebook
+    validates in one broadcast-free scan.  One documented divergence
+    from the row validator: the schema and volatile arms are each
+    whole-text regex tests, so for a formula containing BOTH a
+    disallowed-schema call and an earlier volatile call the column
+    reports bad_function_schema where the trigger's text-order loop
+    would report the volatile function first; single-defect rows (and
+    all fixture arms) agree.
+    """
+    scan = formula
+    for pat in FORMULA_STRIP_PATTERNS:
+        scan = F.regexp_replace(scan, pat, "")
+    has_bad_schema = F.exists(
+        F.regexp_extract_all(scan, F.lit(FORMULA_FUNCTION_CALL), 1),
+        lambda s: (s != "")
+        & ~F.lower(s).isin(*sorted(ALLOWED_FUNCTION_SCHEMAS)),
+    )
+    is_narr = algorithm == "narrative"
+    is_const = algorithm == "constant"
+    is_sql = algorithm == "sql_scalar"
+    return (
+        F.when(is_narr & bound.isNotNull(), "narrative_bound_code")
+        .when(~is_narr & (bound.isNull() | ~bound.isin("lower", "upper")),
+              "bad_bound_code")
+        .when(is_const & fixed.isNull(), "missing_fixed_value")
+        .when(~is_const & fixed.isNotNull(), "unexpected_fixed_value")
+        .when(is_sql & (formula.isNull() | (F.trim(formula) == "")),
+              "missing_formula_sql")
+        .when(is_sql & scan.contains(";"), "semicolon")
+        .when(is_sql & ~F.regexp_like(scan, F.lit(FORMULA_SELECT_PREFIX)),
+              "not_select")
+        .when(is_sql & F.regexp_like(scan, F.lit(FORMULA_BAD_PLACEHOLDER)),
+              "bad_placeholder")
+        .when(is_sql & F.regexp_like(scan, F.lit(FORMULA_FORBIDDEN)),
+              "forbidden_command")
+        .when(is_sql & has_bad_schema, "bad_function_schema")
+        .when(is_sql & F.regexp_like(scan, F.lit(FORMULA_VOLATILE)),
+              "volatile_function")
+        .when(~is_sql & formula.isNotNull(), "unexpected_formula_sql")
+        .otherwise("ok")
+    )

@@ -4068,7 +4068,9 @@ _APPLIC_RESULTS_SQL = """
 """
 
 _APPLIC_DERIV_SQL = (
-    "'{\"algorithm\":\"' || algorithm_code || '\",\"input_micro\":' || "
+    "'{\"algorithm\":' || "
+    "coalesce('\"' || algorithm_code || '\"', 'null') || "
+    "',\"input_micro\":' || "
     "coalesce(CAST(CAST(floor(input_value * 1000000 + 0.5) AS BIGINT) "
     "AS VARCHAR), 'null') || '}'"
 )
@@ -4817,3 +4819,180 @@ def regional_index_flood_gev_q(spark: SparkSession,
     out = regional_index_flood_gev(_rff_annual(spark, sf_dir))
     return _round(out, {"index_flood": 6, "t_r": 6, "t3_r": 6,
                         "k_gev": 6, "q10": 6, "q100": 6})
+
+
+# ---------------------------------------------------------------------------
+# Write-side rule validation (criteria.validate_guideline_value_rule,
+# patch_55.R:849-1060) — the batch ladder over a scaled rulebook.  One
+# literal arm table drives BOTH engines (each structural/scan arm of
+# the trigger fires at every sf); rule rows scale with orders so the
+# validation pass itself is fact-sized, the arm table a broadcast.
+# ---------------------------------------------------------------------------
+
+_RULE_ARMS = [
+    # (arm, algorithm_code, bound_code, fixed_value, formula_sql)
+    (0, "narrative", None, None, None),                      # ok
+    (1, "narrative", "upper", None, None),                   # narrative_bound_code
+    (2, "constant", "upper", 0.5, None),                     # ok
+    (3, "constant", "bad", 0.5, None),                       # bad_bound_code
+    (4, "constant", "lower", None, None),                    # missing_fixed_value
+    (5, "linear", "upper", 1.0, None),                       # unexpected_fixed_value
+    (6, "sql_scalar", "upper", None, None),                  # missing_formula_sql
+    (7, "sql_scalar", "lower", None, "   "),                 # missing_formula_sql
+    (8, "sql_scalar", "upper", None,
+     "SELECT 1; DROP TABLE criteria.guidelines"),            # semicolon
+    (9, "sql_scalar", "upper", None,
+     "UPDATE criteria.guidelines SET active = false"),       # not_select
+    (10, "sql_scalar", "upper", None,
+     "SELECT $2 + coalesce($1, 0)"),                         # bad_placeholder
+    (11, "sql_scalar", "upper", None,
+     "WITH q AS (SELECT 1 AS v) INSERT INTO t SELECT v FROM q"),  # forbidden_command
+    (12, "sql_scalar", "upper", None,
+     "SELECT pg_sleep(10)"),                                 # forbidden_command (function arm)
+    (13, "sql_scalar", "upper", None,
+     "SELECT random() * $1"),                                # volatile_function
+    (14, "sql_scalar", "upper", None,
+     "SELECT lateral_lab.adjust($1)"),                       # bad_function_schema
+    (15, "linear", "upper", None, "SELECT 1"),               # unexpected_formula_sql
+    (16, "sql_scalar", "upper", None,
+     "SELECT criteria.hardness_adjust($1) -- CCME Cd curve"),  # ok (comment stripped)
+    (17, "sql_scalar", "lower", None,
+     "SELECT CASE WHEN note = 'drop it; now' THEN 1.0 ELSE 2.0 END "
+     "FROM criteria.notes"),                                 # ok (string stripped)
+    (18, "sql_scalar", "upper", None,
+     "SELECT length($tag$delete from x;$tag$) * 0.1"),       # ok (dollar-quote stripped)
+    (19, "sql_scalar", "upper", None,
+     "SELECT /* truncate; */ 2.5 * $1"),                     # ok (block comment stripped)
+]
+
+
+def _sql_str(v) -> str:
+    if v is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _rule_arms_values_sql() -> str:
+    rows = []
+    for arm, alg, bound, fixed, formula in _RULE_ARMS:
+        fx = "CAST(NULL AS DOUBLE)" if fixed is None else repr(fixed)
+        rows.append(f"({arm}, {_sql_str(alg)}, {_sql_str(bound)}, {fx},"
+                    f" {_sql_str(formula)})")
+    return ",\n      ".join(rows)
+
+
+def _rule_violation_sql() -> str:
+    """The rule_violation_column ladder as DuckDB SQL text, generated
+    from the SAME pattern constants as the Spark side (operators/
+    guidelines.py FORMULA_*) so a pattern edit cannot diverge."""
+    from ..operators.guidelines import (
+        ALLOWED_FUNCTION_SCHEMAS, FORMULA_BAD_PLACEHOLDER,
+        FORMULA_FORBIDDEN, FORMULA_FUNCTION_CALL, FORMULA_SELECT_PREFIX,
+        FORMULA_STRIP_PATTERNS, FORMULA_VOLATILE,
+    )
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    scan = "formula_sql"
+    for pat in FORMULA_STRIP_PATTERNS:
+        scan = f"regexp_replace({scan}, {q(pat)}, '', 'g')"
+    schemas = ", ".join(f"'{s}'" for s in sorted(ALLOWED_FUNCTION_SCHEMAS))
+    bad_schema = (
+        f"len(list_filter(regexp_extract_all(scan, "
+        f"{q(FORMULA_FUNCTION_CALL)}, 1), "
+        f"s -> s <> '' AND lower(s) NOT IN ({schemas}))) > 0"
+    )
+    return f"""
+      SELECT rule_id, algorithm_code,
+        CASE
+          WHEN algorithm_code = 'narrative' AND bound_code IS NOT NULL
+            THEN 'narrative_bound_code'
+          WHEN algorithm_code <> 'narrative'
+               AND (bound_code IS NULL
+                    OR bound_code NOT IN ('lower', 'upper'))
+            THEN 'bad_bound_code'
+          WHEN algorithm_code = 'constant' AND fixed_value IS NULL
+            THEN 'missing_fixed_value'
+          WHEN algorithm_code <> 'constant' AND fixed_value IS NOT NULL
+            THEN 'unexpected_fixed_value'
+          WHEN algorithm_code = 'sql_scalar'
+               AND (formula_sql IS NULL OR trim(formula_sql) = '')
+            THEN 'missing_formula_sql'
+          WHEN algorithm_code = 'sql_scalar' AND contains(scan, ';')
+            THEN 'semicolon'
+          WHEN algorithm_code = 'sql_scalar'
+               AND NOT regexp_matches(scan, {q(FORMULA_SELECT_PREFIX)})
+            THEN 'not_select'
+          WHEN algorithm_code = 'sql_scalar'
+               AND regexp_matches(scan, {q(FORMULA_BAD_PLACEHOLDER)})
+            THEN 'bad_placeholder'
+          WHEN algorithm_code = 'sql_scalar'
+               AND regexp_matches(scan, {q(FORMULA_FORBIDDEN)})
+            THEN 'forbidden_command'
+          WHEN algorithm_code = 'sql_scalar' AND {bad_schema}
+            THEN 'bad_function_schema'
+          WHEN algorithm_code = 'sql_scalar'
+               AND regexp_matches(scan, {q(FORMULA_VOLATILE)})
+            THEN 'volatile_function'
+          WHEN algorithm_code <> 'sql_scalar' AND formula_sql IS NOT NULL
+            THEN 'unexpected_formula_sql'
+          ELSE 'ok'
+        END AS violation
+      FROM scanned
+    """
+
+
+_RULE_VALIDATION_ORACLE = f"""
+    WITH arms(arm, algorithm_code, bound_code, fixed_value,
+              formula_sql) AS (
+      VALUES {_rule_arms_values_sql()}
+    ),
+    rules AS (
+      SELECT o_orderkey AS rule_id, a.*
+      FROM orders JOIN arms a ON a.arm = o_orderkey % 20
+    ),
+    scanned AS (
+      SELECT *, {{scan}} AS scan FROM rules
+    )
+    {{ladder}}
+"""
+
+
+def _rule_validation_oracle() -> str:
+    from ..operators.guidelines import FORMULA_STRIP_PATTERNS
+
+    scan = "formula_sql"
+    for pat in FORMULA_STRIP_PATTERNS:
+        esc = pat.replace("'", "''")
+        scan = f"regexp_replace({scan}, '{esc}', '', 'g')"
+    return _RULE_VALIDATION_ORACLE.format(
+        scan=scan, ladder=_rule_violation_sql())
+
+
+@register("guideline_rule_validation", oracle=_rule_validation_oracle())
+def guideline_rule_validation_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Batch write-side validation of a fact-sized rulebook
+    (criteria.validate_guideline_value_rule, patch_55.R:849-1060):
+    the 20-arm literal table (every trigger arm, violating and clean)
+    fans out over orders by key mod, and the whole ladder — structural
+    checks plus the comment/string-stripped formula scan — runs as one
+    broadcast-joined when() chain, no shuffle after the join."""
+    from ..operators.guidelines import rule_violation_column
+
+    arms = _ldf(spark, _RULE_ARMS,
+                "arm int, algorithm_code string, bound_code string,"
+                " fixed_value double, formula_sql string")
+    o = _t(spark, sf_dir, "orders")
+    rules = o.select(
+        F.col("o_orderkey").alias("rule_id"),
+        (F.col("o_orderkey") % 20).cast("int").alias("arm"),
+    ).join(F.broadcast(arms), "arm")
+    return rules.select(
+        "rule_id", "algorithm_code",
+        rule_violation_column(
+            F.col("algorithm_code"), F.col("bound_code"),
+            F.col("fixed_value"), F.col("formula_sql"),
+        ).alias("violation"),
+    )

@@ -110,7 +110,14 @@ def local_df(spark: SparkSession, data, schema):
             struct = spark._inferSchemaFromList(data, names)
             pdf = pd.DataFrame(data, columns=names, dtype=object)
             return spark.createDataFrame(pdf, schema=struct)
-        pdf = pd.DataFrame(data)
+        # dtype=object keeps None as None: pandas would otherwise
+        # widen a numeric column containing None to float64/NaN, and
+        # the non-Arrow converter (sessions built outside configure())
+        # ships that NaN as a double NaN, not NULL — so the same
+        # fixture would be NULL-valued under Arrow and NaN-valued
+        # without it, silently changing isNull() ladders cross-session.
+        pdf = (data if isinstance(data, pd.DataFrame)
+               else pd.DataFrame(data, dtype=object))
         return spark.createDataFrame(pdf, schema=schema)
     except Exception as exc:  # Arrow converter rejections are varied
         import warnings

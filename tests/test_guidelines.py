@@ -205,3 +205,77 @@ def test_cosine_blas_contract_guards(spark):
     with pytest.raises(ValueError, match="2\\^53"):
         # |code| = 1e5 * 1e6 = 1e11; dim * code^2 = 2e22 >> 2^53
         cosine_topk_blas(big, big, k=1)
+
+
+def test_validate_guideline_value_rule_arms():
+    """Every arm of the write-side trigger port
+    (patch_55.R:849-1060) fires with the trigger's first-violation
+    semantics; the clean arms (comment/string/dollar-quote stripping)
+    pass."""
+    import pytest
+
+    from aquacache_spark.operators.guidelines import (
+        GuidelineRuleError, validate_guideline_value_rule)
+    from aquacache_spark.queries.hydrology import _RULE_ARMS
+
+    expected = {
+        0: None, 1: "narrative", 2: None, 3: "lower or upper",
+        4: "must be populated", 5: "only be populated",
+        6: "must be populated when algorithm_code is sql_scalar",
+        7: "must be populated when algorithm_code is sql_scalar",
+        8: "no semicolons", 9: "begin with SELECT",
+        10: "parameter placeholder", 11: "may not modify",
+        12: "may not modify", 13: "volatile function random",
+        14: "disallowed function schema: lateral_lab",
+        15: "only be populated when algorithm_code is sql_scalar",
+        16: None, 17: None, 18: None, 19: None,
+    }
+    for arm, alg, bound, fixed, formula in _RULE_ARMS:
+        want = expected[arm]
+        if want is None:
+            validate_guideline_value_rule(alg, bound, fixed, formula)
+        else:
+            with pytest.raises(GuidelineRuleError, match=want):
+                validate_guideline_value_rule(alg, bound, fixed, formula)
+
+
+def test_validate_guideline_value_rule_loop_order():
+    """Trigger fidelity: the function-call loop runs in TEXT order,
+    schema gate before volatility per match — a volatile call ahead
+    of a disallowed-schema call reports the volatile function."""
+    import pytest
+
+    from aquacache_spark.operators.guidelines import (
+        GuidelineRuleError, validate_guideline_value_rule)
+
+    with pytest.raises(GuidelineRuleError, match="volatile function random"):
+        validate_guideline_value_rule(
+            "sql_scalar", "upper", None,
+            "SELECT random() + evil.fn($1)")
+    with pytest.raises(GuidelineRuleError,
+                       match="disallowed function schema: evil"):
+        validate_guideline_value_rule(
+            "sql_scalar", "upper", None,
+            "SELECT evil.fn($1) + random()")
+    # grammar tokens before '(' are not function calls
+    validate_guideline_value_rule(
+        "sql_scalar", "upper", None,
+        "SELECT CASE WHEN ($1 IN (1, 2)) THEN 1.0 ELSE 0.0 END")
+
+
+def test_derivation_json_null_algorithm(spark):
+    """ADVICE r11: a NULL algorithm_code must yield
+    '\"algorithm\":null', not a NULL JSON that collect_list drops."""
+    from pyspark.sql import functions as F
+
+    from aquacache_spark.operators.guidelines import _derivation_json
+
+    df = spark.createDataFrame(
+        [("linear", 1.5), (None, 2.0), ("constant", None)],
+        "alg string, iv double")
+    out = [r.j for r in df.select(
+        _derivation_json(F.col("alg"), F.col("iv")).alias("j")
+    ).collect()]
+    assert out[0] == '{"algorithm":"linear","input_micro":1500000}'
+    assert out[1] == '{"algorithm":null,"input_micro":2000000}'
+    assert out[2] == '{"algorithm":"constant","input_micro":null}'
