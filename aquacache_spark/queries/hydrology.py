@@ -4076,9 +4076,56 @@ _APPLIC_DERIV_SQL = (
 )
 
 
-def _applic_cte(include_unapproved: bool) -> str:
+_APPLIC_RULES_CTE = """\
+    rules(rule_id, guideline_id, bound_code, rule_priority, algorithm_code,
+          fixed_value, input_id, intercept, slope, min_output_value,
+          max_output_value, rounding_digits, rounding_method) AS (
+      VALUES
+        (1, 1, 'upper', 1, 'constant', 25.456, NULL, NULL, NULL, NULL,
+         NULL, 1, 'round'),
+        (2, 1, 'lower', 2, 'narrative', NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL),
+        (3, 2, 'upper', 1, 'linear', NULL, 1, 2.0, 0.3, 5.0, 40.0,
+         1, 'floor'),
+        (4, 2, 'upper', 2, 'log_linear', NULL, 2, 0.7, 0.74, NULL,
+         NULL, 3, 'round'),
+        (5, 3, 'lower', 1, 'constant', 18.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (6, 4, 'lower', 1, 'constant', 5.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (7, 4, 'upper', 2, 'constant', 30.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (8, 5, 'lower', 1, 'constant', 12.25, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (9, 5, 'upper', 2, 'constant', 12.25, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (10, 6, 'lower', 1, 'constant', 3.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (11, 6, 'upper', 2, 'constant', 4.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (12, 7, 'upper', 1, 'constant', 50.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (13, 8, 'upper', 1, 'constant', 80.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (14, 9, 'upper', 1, 'constant', 10.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (15, 10, 'upper', 1, 'constant', 60.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (16, 11, 'upper', 1, 'constant', 70.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (17, 12, 'lower', 1, 'constant', 2.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none'),
+        (18, 13, 'upper', 1, 'constant', 90.0, NULL, NULL, NULL, NULL,
+         NULL, NULL, 'none')
+    ),
+"""
+
+
+def _applic_cte(include_unapproved: bool,
+                rules_cte: str | None = None) -> str:
     approval = ("TRUE" if include_unapproved
                 else "(g.active AND g.review_status = 'approved')")
+    rules_cte = rules_cte if rules_cte is not None else _APPLIC_RULES_CTE
     return f"""
     WITH res AS ({_APPLIC_RESULTS_SQL}),
     samples AS (SELECT DISTINCT sample_id FROM res),
@@ -4164,47 +4211,7 @@ def _applic_cte(include_unapproved: bool) -> str:
                THEN 'outside_calibrated_range'
              ELSE 'value' END AS st) x
     ),
-    rules(rule_id, guideline_id, bound_code, rule_priority, algorithm_code,
-          fixed_value, input_id, intercept, slope, min_output_value,
-          max_output_value, rounding_digits, rounding_method) AS (
-      VALUES
-        (1, 1, 'upper', 1, 'constant', 25.456, NULL, NULL, NULL, NULL,
-         NULL, 1, 'round'),
-        (2, 1, 'lower', 2, 'narrative', NULL, NULL, NULL, NULL, NULL,
-         NULL, NULL, NULL),
-        (3, 2, 'upper', 1, 'linear', NULL, 1, 2.0, 0.3, 5.0, 40.0,
-         1, 'floor'),
-        (4, 2, 'upper', 2, 'log_linear', NULL, 2, 0.7, 0.74, NULL,
-         NULL, 3, 'round'),
-        (5, 3, 'lower', 1, 'constant', 18.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (6, 4, 'lower', 1, 'constant', 5.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (7, 4, 'upper', 2, 'constant', 30.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (8, 5, 'lower', 1, 'constant', 12.25, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (9, 5, 'upper', 2, 'constant', 12.25, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (10, 6, 'lower', 1, 'constant', 3.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (11, 6, 'upper', 2, 'constant', 4.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (12, 7, 'upper', 1, 'constant', 50.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (13, 8, 'upper', 1, 'constant', 80.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (14, 9, 'upper', 1, 'constant', 10.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (15, 10, 'upper', 1, 'constant', 60.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (16, 11, 'upper', 1, 'constant', 70.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (17, 12, 'lower', 1, 'constant', 2.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none'),
-        (18, 13, 'upper', 1, 'constant', 90.0, NULL, NULL, NULL, NULL,
-         NULL, NULL, 'none')
-    ),
+    {rules_cte}
     ev0 AS (
       SELECT s.sample_id, r.*, v.input_value, v.status AS in_status
       FROM samples s CROSS JOIN rules r
@@ -4996,3 +5003,187 @@ def guideline_rule_validation_q(spark: SparkSession,
             F.col("fixed_value"), F.col("formula_sql"),
         ).alias("violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time applicability (VERDICT r11 #6): the applicability star
+# over the RULE BOOK AS IT STOOD at as_of — audit.rows_as_of
+# (patch_55.R:2336-2420) composed with
+# applicable_guideline_rules_for_result (patch_51.R:2907-3145), the
+# reference's audit-everything posture applied to the criteria tier.
+# One literal log table drives both engines: an update superseding a
+# rule's constant, a first-of-two update chain (first post-as_of
+# change wins), a post-as_of insert (absent at as_of), and a
+# post-as_of delete (resurrected at as_of).
+# ---------------------------------------------------------------------------
+
+_RULE_AUDIT_FIELDS = (
+    "guideline_id", "bound_code", "rule_priority", "algorithm_code",
+    "fixed_value", "input_id", "intercept", "slope",
+    "min_output_value", "max_output_value", "rounding_digits",
+    "rounding_method",
+)
+_RULE_AUDIT_AS_OF = "2024-06-15 00:00:00"
+# (log_id, action_timestamp, orig_row_id,
+#  orig fields in _RULE_AUDIT_FIELDS order (None tuple = insert),
+#  new_row_id, row_created)
+_RULE_AUDIT_LOG = [
+    # rule 1 superseded after as_of: constant was 20.0 at as_of
+    (1, "2024-07-01 10:00:00", 1,
+     (1, "upper", 1, "constant", 20.0, None, None, None, None, None,
+      1, "round"), 1, "2020-01-01 00:00:00"),
+    # rule 3 changed twice post-as_of; the FIRST change's originals
+    # (slope 0.25) are the as_of state, the later log row must lose
+    (2, "2024-09-01 09:00:00", 3,
+     (2, "upper", 1, "linear", None, 1, 2.0, 0.3, 5.0, 40.0,
+      1, "floor"), 3, "2020-01-01 00:00:00"),
+    (3, "2024-07-05 08:00:00", 3,
+     (2, "upper", 1, "linear", None, 1, 2.0, 0.25, 5.0, 40.0,
+      1, "floor"), 3, "2020-01-01 00:00:00"),
+    # rule 18 inserted post-as_of: absent from the snapshot
+    (4, "2024-08-01 12:00:00", None,
+     (None,) * 12, 18, "2024-08-01 12:00:00"),
+    # rule 19 deleted post-as_of: resurrected in the snapshot
+    (5, "2024-07-15 16:00:00", 19,
+     (13, "lower", 2, "constant", 1.5, None, None, None, None, None,
+      None, "none"), None, "2020-01-01 00:00:00"),
+]
+
+
+def _rule_audit_log_values_sql() -> str:
+    rows = []
+    for log_id, ts, orig_id, fields, new_id, created in _RULE_AUDIT_LOG:
+        def lit(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return repr(v)
+        cells = [str(log_id), f"TIMESTAMP '{ts}'", lit(orig_id)]
+        cells += [lit(v) for v in fields]
+        cells += [lit(new_id), f"TIMESTAMP '{created}'"]
+        rows.append("(" + ", ".join(cells) + ")")
+    return ",\n        ".join(rows)
+
+
+def _rules_as_of_cte() -> str:
+    """rules_current (the standard 18-rule VALUES) + the audit log
+    reconstructed to a `rules` CTE with audit.rows_as_of semantics
+    (operators/audit.py:35): first post-as_of change's originals win;
+    current row otherwise; rows created after as_of drop."""
+    fields = _RULE_AUDIT_FIELDS
+    current = _APPLIC_RULES_CTE.replace("    rules(rule_id,",
+                                        "    rules_current(rule_id,", 1)
+    log_cols = ", ".join(f"orig_{c}" for c in fields)
+    picks = ",\n             ".join(
+        f"CASE WHEN f.__key IS NOT NULL THEN f.orig_{c}"
+        f" ELSE c.{c} END AS {c}" for c in fields)
+    return current + f"""    rules_log(log_id, action_timestamp, orig_row_id, {log_cols},
+              new_row_id, row_created) AS (
+      VALUES
+        {_rule_audit_log_values_sql()}
+    ),
+    rules_fut AS (
+      SELECT *, coalesce(orig_row_id, new_row_id) AS __key
+      FROM rules_log
+      WHERE action_timestamp > TIMESTAMP '{_RULE_AUDIT_AS_OF}'
+    ),
+    rules_first AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY __key ORDER BY action_timestamp, log_id) AS __rn
+        FROM rules_fut) WHERE __rn = 1
+    ),
+    rules AS (
+      SELECT coalesce(f.__key, c.rule_id) AS rule_id,
+             {picks}
+      FROM rules_current c
+      FULL OUTER JOIN rules_first f ON c.rule_id = f.__key
+      WHERE (CASE WHEN f.__key IS NOT NULL THEN f.row_created
+                  ELSE TIMESTAMP '2020-01-01 00:00:00' END)
+            <= TIMESTAMP '{_RULE_AUDIT_AS_OF}'
+    ),
+"""
+
+
+_APPLIC_AT_ORACLE = _applic_cte(
+    include_unapproved=True, rules_cte=_rules_as_of_cte()) + f"""
+    SELECT result_id, sample_id, guideline_id, rule_id, guideline_code,
+           bound_code, comparison_operator_code,
+           {R('result_value', 6)} AS result_value,
+           result_value_relation,
+           {R('guideline_value', 6)} AS guideline_value,
+           output_status, comparison_status
+    FROM rulerows
+"""
+
+
+@register("guideline_applicability_at", oracle=_APPLIC_AT_ORACLE)
+def guideline_applicability_at(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Time-travel applicability: reconstruct guideline_value_rules at
+    as_of with audit.rows_as_of (operators/audit.py:35; reference
+    audit.*_as_of, patch_55.R:2336-2420), then run the same
+    applicability star + evaluation core + rule-grain comparison
+    ladder as guideline_applicability_rules. The snapshot is a
+    catalog-sized driver-side reconstruction (broadcast, no extra
+    shuffle against the results fact); exercised arms: superseded
+    constant (rule 1), first-of-two update chain (rule 3), post-as_of
+    insert dropped (rule 18), post-as_of delete resurrected (rule
+    19)."""
+    import datetime as _dt
+
+    from ..operators.audit import rows_as_of
+    from ..operators.guidelines import (
+        applicable_guideline_rules_for_results, evaluate_guideline_rules,
+        guideline_input_values, resolve_result_values,
+    )
+
+    (results, conditions, inputs, rules, guidelines, media, fracs,
+     locs, pubs, punits, params, mstates) = _applicability_frames(
+        spark, sf_dir)
+    fields = _RULE_AUDIT_FIELDS
+    current = (rules.withColumnRenamed("rule_id", "row_id")
+               .withColumn("row_created",
+                           F.lit("2020-01-01 00:00:00").cast("timestamp")))
+    log_rows = []
+    for log_id, ts, orig_id, fvals, new_id, created in _RULE_AUDIT_LOG:
+        log_rows.append((log_id, _dt.datetime.fromisoformat(ts), orig_id)
+                        + tuple(fvals)
+                        + (new_id, _dt.datetime.fromisoformat(created)))
+    field_schema = (
+        "orig_guideline_id int, orig_bound_code string,"
+        " orig_rule_priority int, orig_algorithm_code string,"
+        " orig_fixed_value double, orig_input_id int,"
+        " orig_intercept double, orig_slope double,"
+        " orig_min_output_value double, orig_max_output_value double,"
+        " orig_rounding_digits int, orig_rounding_method string")
+    log = _ldf(spark, log_rows,
+               "log_id int, action_timestamp timestamp, orig_row_id int, "
+               + field_schema + ", new_row_id int, row_created timestamp")
+    rules_at = (rows_as_of(current, log, _RULE_AUDIT_AS_OF,
+                           field_cols=fields)
+                .withColumnRenamed("row_id", "rule_id")
+                # formula_expr is not audited in this fixture (always
+                # NULL); evaluate_guideline_rules expects the column
+                .withColumn("formula_expr", F.lit(None).cast("string")))
+
+    resolved = (
+        resolve_result_values(results, conditions)
+        .withColumn("location_id", F.col("sample_id") % 8)
+        .withColumn("media_id", F.col("sample_id") % 3 + 1)
+    )
+    samples = results.select("sample_id").distinct()
+    iv = guideline_input_values(samples, results, inputs)
+    ev = evaluate_guideline_rules(rules_at, iv)
+    g = guidelines.join(F.broadcast(pubs), "publisher_id", "left")
+    rows = applicable_guideline_rules_for_results(
+        resolved, g, ev, media_types=media, fractions=fracs,
+        locations=locs, as_of_date="2024-06-15",
+        include_unresolved=True, include_unapproved=True)
+    out = rows.select(
+        "result_id", "sample_id", "guideline_id", "rule_id",
+        "guideline_code", "bound_code", "comparison_operator_code",
+        "result_value", "result_value_relation", "guideline_value",
+        "output_status", "comparison_status")
+    return _round(out, {"result_value": 6, "guideline_value": 6})
