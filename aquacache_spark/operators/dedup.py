@@ -1109,11 +1109,29 @@ def _repeated_gram_positions(
     return base.drop("__g"), dup, grams
 
 
+def _owned_cache_release(out: DataFrame, grams: DataFrame) -> DataFrame:
+    """The long-gram ownership pattern (VERDICT r11 #2) for the k=8
+    span family: eager-checkpoint the output, then release the gram
+    cache NOW — the caller opted in to owning the lifecycle, so the
+    returned frame is materialized storage, not lineage over a
+    session-pinned cache. Reliable checkpoint (replicated, recoverable
+    on executor loss) is preferred whenever the session has a
+    checkpoint dir; localCheckpoint otherwise (ADVICE r11)."""
+    sc = out.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        out = out.checkpoint(eager=True)
+    else:
+        out = out.localCheckpoint(eager=True)
+    grams.unpersist(blocking=True)
+    return out
+
+
 def repeated_span_coverage(
     docs: DataFrame,
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    owned_cache: bool = False,
 ) -> DataFrame:
     """Fragment-level exact-substring duplication signal — the
     suffix-array-free approximation of "train-set substrings repeated
@@ -1128,8 +1146,15 @@ def repeated_span_coverage(
     (first contributes k) — one lag window per doc.  The final
     reattachment joins two corpus-cardinality frames co-partitioned on
     the doc id.  Docs shorter than k tokens emit no grams and score 0.
+
+    ``owned_cache=True``: the caller owns the pipeline stage (a
+    curation gate, the capstone) — cache the exploded gram table so
+    the two passes hash the grams once, eager-checkpoint the small
+    per-doc output, and release the cache before returning. Default
+    stays lazy (recompute-from-lineage; see _repeated_gram_positions).
     """
-    base, dup, _grams = _repeated_gram_positions(docs, k, id_col, text_col)
+    base, dup, grams = _repeated_gram_positions(
+        docs, k, id_col, text_col, persist=owned_cache)
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -1147,7 +1172,7 @@ def repeated_span_coverage(
             F.count("*").alias("dup_spans"),
         )
     )
-    return (
+    out = (
         base.select(id_col, "n_tokens")
         .join(cov, id_col, "left")
         .select(
@@ -1161,6 +1186,9 @@ def repeated_span_coverage(
             .alias("coverage_frac"),
         )
     )
+    if owned_cache:
+        out = _owned_cache_release(out, grams)
+    return out
 
 
 def remove_repeated_spans(
@@ -1168,6 +1196,7 @@ def remove_repeated_spans(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    owned_cache: bool = False,
 ) -> DataFrame:
     """Exact-substring deduplication ACTION (the ExactSubstr cut of
     "Deduplicating Training Data Makes Language Models Better"):
@@ -1183,8 +1212,16 @@ def remove_repeated_spans(
     tokens, the minhash cost class, nothing quadratic.
 
     Output: (id, n_tokens, kept_tokens, cleaned_text).
+
+    ``owned_cache=True``: cache the gram table across the two passes,
+    eager-checkpoint the output corpus, release the cache before
+    returning (the capstone pattern — downstream stages re-read the
+    cleaned corpus several times, so the checkpoint doubles as their
+    shared materialization; note the checkpoint stores a full copy of
+    the cleaned text in executor storage).
     """
-    base, dup, _grams = _repeated_gram_positions(docs, k, id_col, text_col)
+    base, dup, grams = _repeated_gram_positions(
+        docs, k, id_col, text_col, persist=owned_cache)
     covered = dup.select(
         id_col,
         F.explode(
@@ -1205,7 +1242,7 @@ def remove_repeated_spans(
             ),
         ).alias("cleaned_text"),
     )
-    return (
+    out = (
         base.select(id_col, "n_tokens")
         .join(agg, id_col, "left")
         .select(
@@ -1214,6 +1251,9 @@ def remove_repeated_spans(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+    if owned_cache:
+        out = _owned_cache_release(out, grams)
+    return out
 
 
 def bigram_surprisal(
@@ -1493,6 +1533,7 @@ def long_repeated_span_coverage(
     target: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eager: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication signal at LONG gram lengths without
     hashing every long gram (the suffix-array-free scale path for the
@@ -1517,6 +1558,18 @@ def long_repeated_span_coverage(
     repeated ``target``-gram — (id, n_tokens, dup_spans, dup_tokens,
     coverage_frac), the long-n twin of repeated_span_coverage.
     ``target`` must be k0 * 2^r.
+
+    ``eager=True`` (default) materializes the small per-doc output at
+    call time and releases every internal cache — reliable
+    ``checkpoint`` (replicated, survives executor loss) when the
+    session has a checkpoint dir, else ``localCheckpoint`` (ADVICE
+    r11: lineage is truncated either way; only the reliable variant is
+    recoverable under dynamic allocation / decommission).
+    ``eager=False`` keeps full lineage and lazy semantics instead: the
+    internal round caches stay pinned for the life of the returned
+    frame (the caller owns release — materialize downstream, then
+    ``spark.catalog.clearCache()`` or drop the session), the price of
+    choosing lineage retention over cache release.
     """
     k = k0
     if target < k0 or (target % k0) != 0 or (target // k0) & (target // k0 - 1):
@@ -1596,13 +1649,19 @@ def long_repeated_span_coverage(
             .alias("coverage_frac"),
         )
     )
+    if not eager:
+        return out
     # eager lineage-truncating materialization of the SMALL per-doc
     # aggregate (4 scalars/doc) so every internal cache — the token
     # arrays, the exploded gram table, the final round's survivor set
     # — can be released before returning. Without this each call
     # pinned MEMORY_AND_DISK blocks for the session (daily-cadence
     # callers accumulated cache until OOM-driven eviction).
-    out = out.localCheckpoint(eager=True)
+    sc = out.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        out = out.checkpoint(eager=True)
+    else:
+        out = out.localCheckpoint(eager=True)
     toks.unpersist(blocking=True)
     grams.unpersist(blocking=True)
     if prev_cur is not None:

@@ -3713,3 +3713,30 @@ def long_repeated_span_coverage_q(spark: SparkSession,
     docs = _t(spark, sf_dir, "documents")
     out = long_repeated_span_coverage(docs, k0=8, target=_LONG_SPAN_K)
     return _round(out, {"coverage_frac": 6})
+
+
+@register("repeated_span_coverage_owned", oracle=_SPAN_COV_ORACLE)
+def repeated_span_coverage_owned_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The owned-cache variant of repeated_span_coverage (VERDICT r11
+    #2): the gram table is cached across the counts-reduction and
+    probe passes (hashed once, not twice), the per-doc output is
+    eagerly checkpointed, and the cache is released before return —
+    the lifecycle a curation gate that owns the stage wants."""
+    from ..operators.dedup import repeated_span_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repeated_span_coverage(docs, k=_SPAN_K, owned_cache=True)
+    return _round(out, {"coverage_frac": 6})
+
+
+@register("repeated_span_removal_owned", oracle=_SPAN_RM_ORACLE)
+def repeated_span_removal_owned_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Owned-cache exact-substring removal: grams hashed once, cleaned
+    corpus eagerly checkpointed (the capstone re-reads it across four
+    downstream tiers), gram cache released before return."""
+    from ..operators.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, k=_SPAN_K, owned_cache=True)

@@ -3673,12 +3673,13 @@ _RFF_H_ORACLE = "WITH " + _RFF_BASE_SQL + """
              CAST(floor(((1.0 - 0.5772156649015329
                             * (r.t_r * 1.4426950408889634))
                          + (r.t_r * 1.4426950408889634)
-                           * (-ln(-ln((CAST(((g.sim * 1000003
-                                              + g.site_ord * 8191
-                                              + g.j)
-                                             * 2654435761)
-                                            % 4294967296 AS DOUBLE)
-                                       + 0.5) / 4294967296.0))))
+                           * (-ln(-ln((CAST(CAST('0x' || substr(
+                                              md5(CAST(g.sim * 1000003
+                                                       + g.site_ord * 8191
+                                                       + g.j AS VARCHAR)),
+                                              1, 15) AS BIGINT) AS DOUBLE)
+                                       + 0.5)
+                                      / 1152921504606846976.0))))
                         * 1000000000.0 + 0.5) AS BIGINT) AS xq
       FROM grid g JOIN reg r ON r.region = g.region
     ), srk AS (

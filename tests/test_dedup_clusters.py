@@ -143,3 +143,29 @@ def test_minhash_family_has_independent_argmins(spark):
     sig2 = {r["doc_id"]: r["sig"] for r in
             minhash_signatures_maponly(docs, num_hashes=16).collect()}
     assert sig == sig2
+
+
+def test_owned_cache_span_variants(spark):
+    """VERDICT r11 #2: owned_cache=True on the k-gram span family must
+    (a) produce byte-identical results to the lazy default, and
+    (b) leave at most the output's own checkpoint block set in RDD
+    storage — the gram cache is released inside the operator."""
+    from aquacache_spark.operators.dedup import (
+        remove_repeated_spans, repeated_span_coverage)
+
+    run = " ".join(f"shared{j}" for j in range(20))
+    rows = [
+        (1, run + " " + " ".join(f"a{j}" for j in range(10))),
+        (2, " ".join(f"b{j}" for j in range(7)) + " " + run),
+        (3, " ".join(f"c{j}" for j in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark.catalog.clearCache()
+    for op in (repeated_span_coverage, remove_repeated_spans):
+        before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        owned = op(docs, k=8, owned_cache=True)
+        stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert len(stored) - before <= 1, [r.name() for r in stored]
+        lazy_rows = sorted(map(tuple, op(docs, k=8).collect()))
+        owned_rows = sorted(map(tuple, owned.collect()))
+        assert lazy_rows == owned_rows

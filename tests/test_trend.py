@@ -281,3 +281,69 @@ def test_gev_quantiles_null_outside_validity(spark):
             assert r["q10"] is None and r["q100"] is None, r
     # the fixture is engineered to actually land outside the window
     assert all(r["k_gev"] > 1.5 for r in out), out[0]["k_gev"]
+
+
+def test_regional_h_driver_matches_iid_ground_truth(spark):
+    """Behavioral pin for the H-statistic simulation driver (VERDICT
+    r11 #1, the r2-minhash risk class): the simulated dispersion
+    moments (mu_v, sigma_v) must match an iid-Gumbel Monte Carlo
+    ground truth computed independently in numpy — the r11 Weyl
+    driver ((k * 2654435761) mod 2^32 over consecutive year-ranks)
+    was a low-discrepancy lattice whose mu_v/sigma_v came out ~3.5x
+    TOO SMALL, inflating H by ~10 sigma on homogeneous regions while
+    both engines agreed; this pin fails on that variant."""
+    import numpy as np
+
+    from aquacache_spark.operators.trend import (
+        regional_lmoment_homogeneity)
+
+    # homogeneous region: 12 sites x 30 years of genuinely iid Gumbel
+    # annual maxima (seeded numpy), site index floods differing
+    rng = np.random.default_rng(7)
+    nsites, nyears = 12, 30
+    rows = []
+    for s in range(nsites):
+        mean = 500.0 * (s + 1)
+        draws = -np.log(-np.log(rng.random(nyears)))
+        for j, y in enumerate(draws):
+            rows.append((0, s, 2000 + j,
+                         int(round(mean * (1.0 + 0.15 * y) * 1000))))
+    annual = spark.createDataFrame(
+        rows, "region long, site long, yr int, mq long")
+    out = regional_lmoment_homogeneity(annual, nsim=40).collect()[0]
+
+    # numpy iid Monte Carlo of the SAME procedure (sample L-CV via
+    # unbiased PWMs, n-weighted dispersion) at the fitted t_R
+    t_r = out["t_r"]
+    gamma_e = 0.5772156649015329
+    alpha = t_r / np.log(2.0)
+    xi = 1.0 - gamma_e * alpha
+
+    def lcv(x):
+        x = np.sort(x)
+        n = len(x)
+        b0 = x.mean()
+        b1 = (np.arange(n) * x).sum() / (n * (n - 1))
+        return (2 * b1 - b0) / b0
+
+    def vdisp(ts):
+        tbar = ts.mean()          # equal n per site
+        return np.sqrt(((ts - tbar) ** 2).mean())
+
+    vs = []
+    for _ in range(400):
+        ts = np.array([
+            lcv(xi + alpha * (-np.log(-np.log(rng.random(nyears)))))
+            for _ in range(nsites)])
+        vs.append(vdisp(ts))
+    mu_ref, sd_ref = float(np.mean(vs)), float(np.std(vs, ddof=1))
+
+    # nsim=40 estimate vs 400-rep ground truth: generous bands that
+    # the 3.5x-degenerate variant cannot pass
+    assert 0.6 * mu_ref < out["mu_v"] < 1.4 * mu_ref, (
+        out["mu_v"], mu_ref)
+    assert 0.4 * sd_ref < out["sigma_v"] < 2.2 * sd_ref, (
+        out["sigma_v"], sd_ref)
+    # and the homogeneous region must NOT be flagged
+    assert abs(out["h_stat"]) < 3.0
+    assert not out["definitely_heterogeneous"]
