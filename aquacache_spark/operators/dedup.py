@@ -42,6 +42,12 @@ MINHASH_A = [(1103515245 * (i + 1) + 12345) % MINHASH_P31
              for i in range(64)]
 MINHASH_B = [(2654435761 * (i + 1) + 1013904223) % MINHASH_P31
              for i in range(64)]
+# Stamped into every persisted signature/band-key artifact (ADVICE
+# r11): the r11 family change silently invalidated any store built
+# under the degenerate 2^61 family — a mixed-version incremental run
+# would see ZERO collisions, not an error. Bump on any change to the
+# hash family, shingling, or band-key layout.
+MINHASH_FAMILY = "mersenne31-v2"
 
 
 def _spread_scan(df: DataFrame, key: str) -> DataFrame:
@@ -314,6 +320,13 @@ def incremental_lsh_pairs(
     dirs are immutable and retained), so the returned frame stays
     valid after the merge commits.
     """
+    lsh_props = {"minhash_family": MINHASH_FAMILY,
+                 "num_hashes": num_hashes, "bands": bands}
+    if store.exists() and hasattr(store, "check_props"):
+        # stale state fails LOUDLY: a store built under the pre-r11
+        # degenerate family (or different banding) would simply stop
+        # colliding — zero recall, no error — without this gate
+        store.check_props(lsh_props)
     keys = band_key_rows(batch_sigs, id_col, num_hashes, bands).persist()
     new_rows = keys.select(id_col, "band", "key",
                            F.lit(True).alias("__new"))
@@ -376,7 +389,7 @@ def incremental_lsh_pairs(
         pairs = small_pairs.unionByName(star).distinct()
     if merge:
         store.merge(keys.select("band", "key", id_col),
-                    on_conflict="do_nothing")
+                    on_conflict="do_nothing", props=lsh_props)
     return pairs
 
 

@@ -807,9 +807,8 @@ def cosine_topk_blas(
             "cosine_topk_blas: empty query set — the kernel closure "
             "needs at least one query vector")
     qids_np = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    qm = np.floor(
-        np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
-        * quant + 0.5).astype(np.int64)
+    qraw = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
+    qm = np.floor(qraw * quant + 0.5).astype(np.int64)
     qn = (qm * qm).sum(axis=1)  # exact int64 norms
     # exactness contract guard: every dot/norm must stay below 2^53 or
     # the advertised bit-equality with the JVM fold / DuckDB silently
@@ -819,11 +818,18 @@ def cosine_topk_blas(
     qmax = int(np.abs(qm).max(initial=0))
     dim = qm.shape[1]
     if dim * qmax * qmax >= _EXACT_LIMIT:
+        # suggested bound from the RAW (unquantized) max component —
+        # deriving it from qmax/quant re-uses the current quant and is
+        # only first-order (ADVICE r11); the -0.5 absorbs the half-up
+        # rounding so dim * (vmax*q + 0.5)^2 < 2^53 is guaranteed
+        vmax_raw = float(np.abs(qraw).max(initial=0.0))
+        q_ok = int(max(
+            ((_EXACT_LIMIT / dim) ** 0.5 - 0.5) / max(vmax_raw, 1e-300),
+            0.0))
         raise ValueError(
             f"cosine_topk_blas: dim ({dim}) * max|quantized| ({qmax})^2 "
-            f">= 2^53 — exact-integer contract broken; lower `quant` "
-            f"(components this large need quant <= "
-            f"{int((_EXACT_LIMIT / dim) ** 0.5 / max(qmax / quant, 1e-300))})")
+            f">= 2^53 — exact-integer contract broken; need "
+            f"quant <= sqrt(2^53/dim)/max|v| (~{q_ok} for this input)")
 
     out_schema = "query_id long, neighbor_id long, cosine double"
 

@@ -81,7 +81,10 @@ class ParquetMergeStore:
         # move was a data change then, so the buckets map IS the map
         data = ({int(k): int(v) for k, v in m["data"].items()}
                 if "data" in m else dict(buckets))
-        return {"version": m["version"], "buckets": buckets, "data": data}
+        out = {"version": m["version"], "buckets": buckets, "data": data}
+        if "props" in m:
+            out["props"] = dict(m["props"])
+        return out
 
     def _commit_manifest(self, manifest: dict) -> None:
         """Publish atomically: the retained per-commit manifest first,
@@ -417,15 +420,64 @@ class ParquetMergeStore:
             return None
         return self.optimize(buckets)
 
-    def merge(self, updates: DataFrame, on_conflict: str = "update") -> dict:
+    def props(self) -> dict:
+        """Application properties stamped into the manifest (e.g. the
+        minhash hash-family version) — {} for stores never stamped."""
+        return dict(self._load_manifest().get("props", {}))
+
+    def check_props(self, expected: dict) -> None:
+        """Fail loudly when persisted state was built under different
+        application parameters (ADVICE r11: a hash-family change makes
+        old signatures silently collision-free, not wrong-looking).
+        An UNSTAMPED pre-existing store is treated as incompatible —
+        rebuild it, or stamp it explicitly via ``stamp_props`` after
+        verifying compatibility out-of-band."""
+        if not expected or not self.exists():
+            return
+        have = self.props()
+        missing = [k for k in expected if k not in have]
+        if missing:
+            raise ValueError(
+                f"store at {self.path} has no recorded props for "
+                f"{missing} (built before prop stamping?) — expected "
+                f"{expected}; rebuild the store or stamp_props() after "
+                "verifying it was built with these parameters")
+        bad = {k: (have[k], v) for k, v in expected.items()
+               if have[k] != v}
+        if bad:
+            raise ValueError(
+                f"store at {self.path} was built under different "
+                f"parameters: {bad} (have vs expected) — stale state "
+                "would produce silently wrong results; rebuild it")
+
+    def stamp_props(self, props: dict) -> None:
+        """Commit a manifest that records ``props`` without touching
+        data — the explicit migration path for pre-stamp stores."""
+        old = self._load_manifest()
+        manifest = dict(old)
+        manifest["version"] = old["version"] + 1
+        manifest["props"] = {**old.get("props", {}), **props}
+        # retained per-commit manifest requires a version dir to exist
+        # only for buckets it references; data pointers are unchanged
+        self._commit_manifest(manifest)
+
+    def merge(self, updates: DataFrame, on_conflict: str = "update",
+              props: dict | None = None) -> dict:
         """Upsert ``updates`` by key. Returns counts per action.
 
         Only buckets containing updated series are rewritten (partition
         pruning on the write side — the Delta MERGE behavior), and the
         rewrite becomes visible atomically at the manifest replace.
+
+        ``props``: application parameters this state depends on; the
+        first merge stamps them into the manifest, every later merge
+        (and ``check_props``) verifies them — mixed-parameter
+        increments fail loudly instead of silently losing collisions.
         """
         if on_conflict not in ("update", "do_nothing"):
             raise ValueError("on_conflict must be 'update' or 'do_nothing'")
+        if props and self.exists():
+            self.check_props(props)
         # one materialization of the update plan serves the touched-
         # bucket probe, both counts, and the merge write (the unpersisted
         # version re-executed a possibly-expensive connector plan 3x —
@@ -445,6 +497,8 @@ class ParquetMergeStore:
                 "buckets": {b: 1 for b in initial},
                 "data": {b: 1 for b in initial},
             }
+            if props:
+                manifest["props"] = dict(props)
             self._commit_manifest(manifest)
             n = updates.count()
             updates.unpersist()
@@ -485,6 +539,9 @@ class ParquetMergeStore:
         data = dict(old["data"])
         data.update({b: version for b in written})
         manifest = {"version": version, "buckets": buckets, "data": data}
+        carried = {**old.get("props", {}), **(props or {})}
+        if carried:
+            manifest["props"] = carried
         self._commit_manifest(manifest)
         self._gc()
         updates.unpersist()

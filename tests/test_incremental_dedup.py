@@ -206,3 +206,46 @@ def test_foreachbatch_stream_shares_the_batch_store(spark, tmp_path):
         minhash_signatures(docs, num_hashes=8, shingle_k=3),
         num_hashes=8, bands=4))
     assert batch_pairs | emitted == one_shot
+
+
+def test_lsh_store_hash_family_stamp(spark, tmp_path):
+    """ADVICE r11: persisted LSH state carries the hash-family/banding
+    props; a store built under different parameters (or a pre-stamp
+    store) fails LOUDLY instead of silently producing zero
+    collisions."""
+    import json
+    import os
+
+    import pytest
+
+    from aquacache_spark.operators.dedup import (
+        MINHASH_FAMILY, incremental_lsh_pairs, minhash_signatures)
+    from aquacache_spark.sources.store import ParquetMergeStore
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in
+         range(4)], "doc_id long, text string")
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    store = ParquetMergeStore(
+        spark, str(tmp_path / "lsh"), key_cols=["band", "key", "doc_id"],
+        series_col="key", n_buckets=4)
+    incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
+    assert store.props()["minhash_family"] == MINHASH_FAMILY
+    assert store.props()["bands"] == 4
+    # same params: fine
+    incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
+    # different banding: loud
+    with pytest.raises(ValueError, match="different parameters"):
+        incremental_lsh_pairs(store, sigs, num_hashes=8, bands=2)
+    # pre-stamp store (simulated by stripping props): loud, names the
+    # migration path
+    m_path = os.path.join(store.path, "_MANIFEST.json")
+    m = json.load(open(m_path))
+    m.pop("props")
+    json.dump(m, open(m_path, "w"))
+    with pytest.raises(ValueError, match="stamp_props"):
+        incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
+    # explicit migration restores service
+    store.stamp_props({"minhash_family": MINHASH_FAMILY,
+                       "num_hashes": 8, "bands": 4})
+    incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
