@@ -519,17 +519,16 @@ def hashed_linear_score_frame(
 
         from math import exp
 
-        cache: dict = {}
+        from .kernel_twin import TaskCache
+
+        cache = TaskCache(cap=cache_cap)
+
+        def compute(g: str) -> int:
+            b = int(_md5(g.encode("utf-8")).hexdigest()[:13], 16) % half
+            return (b * mul % mod - 1000) * 1000
 
         def qw_of(g: str) -> int:
-            v = cache.get(g)
-            if v is None:
-                b = int(_md5(g.encode("utf-8")).hexdigest()[:13],
-                        16) % half
-                v = (b * mul % mod - 1000) * 1000
-                if len(cache) < cache_cap:
-                    cache[g] = v
-            return v
+            return cache.get_or(g, compute)
 
         for pdf in it:
             if not len(pdf):

@@ -1820,3 +1820,23 @@ def semdedup_blas_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(twins)
     out = semantic_dedup_blas(corpus, threshold=0.95, max_cluster=2)
     return _round(out, {"centroid_sim": 6})
+
+
+@register("mann_kendall_blas", oracle=_MK_ORACLE)
+def mann_kendall_blas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel twin of mann_kendall_trend (functions/kernel_twin
+    contract): identical statistics, but the (days choose 2) pair
+    mass never shuffles — per-group triangles build in-kernel, so
+    the exchange carries n rows per group instead of n^2."""
+    from ..operators.trend import mann_kendall_blas
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderdate").alias("date"),
+    ).agg(F.max("o_totalprice").alias("value"))
+    out = mann_kendall_blas(daily, ["series", "yr"], "date", "value") \
+        .select("series", "yr", "n_days", "s_stat", "var_s", "z",
+                "sen_slope")
+    return _round(out, {"var_s": 6, "z": 6, "sen_slope": 6})

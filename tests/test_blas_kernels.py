@@ -111,3 +111,56 @@ def test_model_quality_blas_matches_jvm_exact(spark):
         # bit-equality here (same host libm through JVM and CPython
         # on these inputs) to pin the contract
         assert jvm[d][1] == kern[d][1], (d, jvm[d], kern[d])
+
+
+def test_mann_kendall_twin_bit_parity(spark):
+    """The kernel-twin contract pin (functions/kernel_twin) for
+    mann_kendall_blas: exact equality — floats by bit pattern, NULL
+    == NULL — against the JVM operator on a fixture exercising every
+    NULL arm (NULL values pairing with valid ones, an all-tied group
+    with var_s = 0 -> z NULL, a group below the pair threshold, even
+    and odd slope counts for both interpolation branches)."""
+    import datetime as dt
+
+    from aquacache_spark.functions.kernel_twin import assert_bit_parity
+    from aquacache_spark.operators.trend import (
+        mann_kendall, mann_kendall_blas)
+
+    d0 = dt.date(2020, 1, 1)
+    rows = []
+    # g1: plain increasing with a tie and a NULL in the middle
+    for i, v in enumerate([1.0, 2.0, 2.0, None, 3.5, 0.5]):
+        rows.append(("g1", d0 + dt.timedelta(days=i), v))
+    # g2: all tied -> S=0, var_s=0, z NULL
+    for i in range(4):
+        rows.append(("g2", d0 + dt.timedelta(days=i), 7.25))
+    # g3: single row -> drops from both
+    rows.append(("g3", d0, 1.0))
+    # g4: two NULLs + one value -> no valid pair, S=0, sen NULL
+    for i, v in enumerate([None, 4.0, None]):
+        rows.append(("g4", d0 + dt.timedelta(days=i), v))
+    # g5: odd pair count (3 values -> 3 slopes, exact-middle branch)
+    for i, v in enumerate([3.0, 1.0, 2.0]):
+        rows.append(("g5", d0 + dt.timedelta(days=i), v))
+    daily = spark.createDataFrame(
+        rows, "series string, date date, value double")
+    jvm = mann_kendall(daily, ["series"])
+    twin = mann_kendall_blas(daily, ["series"])
+    assert_bit_parity(jvm, twin, ["series"])
+
+
+def test_mann_kendall_twin_exactness_guard(spark):
+    """The twin refuses values whose quantized pair differences could
+    leave int64 (kernel_twin.assert_exact_int64)."""
+    import datetime as dt
+
+    import pytest
+
+    from aquacache_spark.operators.trend import mann_kendall_blas
+
+    d0 = dt.date(2020, 1, 1)
+    daily = spark.createDataFrame(
+        [("g", d0, 1e13), ("g", d0 + dt.timedelta(days=1), 9.3e12)],
+        "series string, date date, value double")
+    with pytest.raises(Exception, match="exceeds the exact"):
+        mann_kendall_blas(daily, ["series"]).collect()
