@@ -5188,3 +5188,160 @@ def guideline_applicability_at(spark: SparkSession,
         "result_value", "result_value_relation", "guideline_value",
         "output_status", "comparison_status")
     return _round(out, {"result_value": 6, "guideline_value": 6})
+
+
+# ---------------------------------------------------------------------------
+# Regional GEV uncertainty (H&W 1997 ch. 6 simulation machinery;
+# VERDICT r11 #8): the md5 uniform driver + mirrored GEV inverse-CDF
+# make the per-sim refits cross-engine exact (integer-quantized draws
+# and growth factors; rank-selected bounds, never interpolated).
+# ---------------------------------------------------------------------------
+
+def _gev_fit_laterals(t_r: str, t3_r: str) -> str:
+    """The z -> k -> Gamma(1+k) -> alpha -> xi LATERAL chain over the
+    given ratio expressions — same text as the regional_index_flood_gev
+    oracle, shared by the point fit and the per-sim refits."""
+    return f"""
+      LATERAL (SELECT 2.0 / (3.0 + {t3_r}) - 0.6309297535714574 AS z) z1,
+      LATERAL (SELECT 7.859 * z1.z + 2.9554 * z1.z * z1.z AS k) k1,
+      LATERAL (SELECT CASE
+                 WHEN k1.k > 0.5
+                   THEN k1.k * exp({_gev_horner_sql('(k1.k - 1)')})
+                 WHEN k1.k < -0.5
+                   THEN exp({_gev_horner_sql('(k1.k + 1)')})
+                        / (1.0 + k1.k)
+                 ELSE exp({_gev_horner_sql('k1.k')})
+               END AS g1) g2,
+      LATERAL (SELECT CASE WHEN abs(k1.k) < 1e-12
+                    THEN {t_r} * 1.4426950408889634
+                    ELSE {t_r} * k1.k
+                         / ((1.0 - exp(-(k1.k) * 0.6931471805599453))
+                            * g2.g1) END AS alpha) a1,
+      LATERAL (SELECT CASE WHEN abs(k1.k) < 1e-12
+                    THEN 1.0 - 0.5772156649015329 * a1.alpha
+                    ELSE 1.0 - a1.alpha * (1.0 - g2.g1) / k1.k
+               END AS xi) x1"""
+
+
+_GEVU_CF = repr(-4.600149226776579)      # c_F for F = 0.99
+_GEVU_KT = repr(4.600149226776579)       # Gumbel-limit -c_F
+
+_RFF_GEV_UNC_ORACLE = "WITH " + _RFF_BASE_SQL + f"""
+    , regfit AS (
+      SELECT r.region, r.n_sites, r.t_r, r.t3_r, k1.k AS k_gev,
+             a1.alpha, x1.xi,
+             CASE WHEN abs(k1.k) < 1e-12
+                  THEN x1.xi + a1.alpha * {_GEVU_KT}
+                  ELSE x1.xi + a1.alpha
+                       * (1.0 - exp(k1.k * {_GEVU_CF})) / k1.k
+             END AS growth_q
+      FROM reg r,{_gev_fit_laterals('r.t_r', 'r.t3_r')}
+    ), jj AS (
+      SELECT a.region, a.site,
+             row_number() OVER (PARTITION BY a.region, a.site
+                                ORDER BY a.yr) AS j,
+             dense_rank() OVER (PARTITION BY a.region
+                                ORDER BY a.site) AS site_ord
+      FROM annual a
+      JOIN sites st ON st.region = a.region AND st.site = a.site
+    ), grid AS (
+      SELECT jj.region, jj.site, jj.site_ord, jj.j, s.sim
+      FROM jj CROSS JOIN (SELECT unnest(range(1, 41)) AS sim) s
+    ), draws AS (
+      SELECT g.region, g.site, g.sim, g.j,
+             CAST(floor(xx.x * 1000000000.0 + 0.5) AS BIGINT) AS xq
+      FROM grid g JOIN regfit rf ON rf.region = g.region,
+      LATERAL (SELECT (CAST(CAST('0x' || substr(md5('gevu|'
+                 || CAST(g.sim * 1000003 + g.site_ord * 8191 + g.j
+                         AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+                 + 0.5) / 1152921504606846976.0 AS u) uu,
+      LATERAL (SELECT ln(-ln(uu.u)) AS y) yy,
+      LATERAL (SELECT CASE WHEN abs(rf.k_gev) < 1e-12
+                    THEN rf.xi + rf.alpha * (-yy.y)
+                    ELSE rf.xi + rf.alpha
+                         * (1.0 - exp(rf.k_gev * yy.y)) / rf.k_gev
+               END AS x) xx
+    ), srk AS (
+      SELECT region, site, sim, xq,
+             row_number() OVER (PARTITION BY region, sim, site
+                                ORDER BY xq, j) AS i
+      FROM draws
+    ), spwm AS (
+      SELECT region, sim, site, CAST(count(*) AS BIGINT) AS n,
+             sum(xq) AS s0, sum((i - 1) * xq) AS s1,
+             sum((i - 1) * (i - 2) * xq) AS s2
+      FROM srk GROUP BY 1, 2, 3
+    ), ssites AS (
+      SELECT region, sim, site, n,
+             CAST(floor(((2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                          - CAST(s0 AS DOUBLE) / n)
+                         / (CAST(s0 AS DOUBLE) / n))
+                        * 1000000000000 + 0.5) AS BIGINT) AS tq,
+             CAST(floor(((6 * (CAST(s2 AS DOUBLE)
+                               / (n * (n - 1) * (n - 2)))
+                          - 6 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                          + CAST(s0 AS DOUBLE) / n)
+                         / (2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                            - CAST(s0 AS DOUBLE) / n))
+                        * 1000000000000 + 0.5) AS BIGINT) AS t3q
+      FROM spwm
+    ), sreg AS (
+      SELECT region, sim,
+             (CAST(S_t AS DOUBLE) / n_tot) / 1000000000000.0 AS t_r,
+             (CAST(S_t3 AS DOUBLE) / n_tot) / 1000000000000.0 AS t3_r
+      FROM (SELECT region, sim, sum(n) AS n_tot, sum(n * tq) AS S_t,
+                   sum(n * t3q) AS S_t3
+            FROM ssites GROUP BY 1, 2)
+    ), sfit AS (
+      SELECT r.region, r.sim, k1.k AS ks,
+             CASE WHEN abs(k1.k) < 1e-12
+                  THEN x1.xi + a1.alpha * {_GEVU_KT}
+                  ELSE x1.xi + a1.alpha
+                       * (1.0 - exp(k1.k * {_GEVU_CF})) / k1.k
+             END AS growth
+      FROM sreg r,{_gev_fit_laterals('r.t_r', 'r.t3_r')}
+    ), simg AS (
+      SELECT region,
+             CAST(floor(growth * 1000000000.0 + 0.5) AS BIGINT) AS gq
+      FROM sfit WHERE ks > -0.9 AND ks <= 1.5
+    ), agg AS (
+      SELECT region, CAST(count(*) AS BIGINT) AS n_sim,
+             sum(gq) AS SV, sum(CAST(gq AS HUGEINT) * gq) AS SV2,
+             list(gq ORDER BY gq) AS arr
+      FROM simg GROUP BY 1
+    )
+    SELECT rf.region, rf.n_sites, a.n_sim,
+           {R('rf.t_r', 6)} AS t_r,
+           {R('rf.t3_r', 6)} AS t3_r,
+           {R('rf.k_gev', 6)} AS k_gev,
+           {R('rf.growth_q', 6)} AS growth_q,
+           {R('(CAST(a.SV AS DOUBLE) / a.n_sim) / 1000000000.0', 6)}
+             AS sim_mean_q,
+           CASE WHEN a.n_sim > 1 THEN
+             {R('''sqrt(CAST(CAST(a.n_sim AS HUGEINT) * a.SV2
+                        - CAST(a.SV AS HUGEINT) * a.SV AS DOUBLE)
+                   / (a.n_sim * (a.n_sim - 1))) / 1000000000.0''', 6)}
+           END AS sim_sd_q,
+           {R('CAST(a.arr[greatest(1, a.n_sim // 20)] AS DOUBLE)'
+              ' / 1000000000.0', 6)} AS lo90_q,
+           {R('CAST(a.arr[CAST(a.n_sim + 1 '
+              '- greatest(1, a.n_sim // 20) AS INT)] AS DOUBLE)'
+              ' / 1000000000.0', 6)} AS hi90_q
+    FROM regfit rf JOIN agg a USING (region)
+"""
+
+
+@register("regional_gev_uncertainty", oracle=_RFF_GEV_UNC_ORACLE)
+def regional_gev_uncertainty_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Simulation confidence bounds for the regional GEV 100-yr growth
+    factor (operators/trend.regional_gev_uncertainty): 40 homogeneous
+    replicate regions drawn from the fitted curve via the md5 uniform
+    driver, refit per sim, exact-integer mean/sd and rank bounds."""
+    from ..operators.trend import regional_gev_uncertainty
+
+    out = regional_gev_uncertainty(_rff_annual(spark, sf_dir),
+                                   nsim=40, Fp=0.99)
+    return _round(out, {"t_r": 6, "t3_r": 6, "k_gev": 6,
+                        "growth_q": 6, "sim_mean_q": 6, "sim_sd_q": 6,
+                        "lo90_q": 6, "hi90_q": 6})

@@ -1016,6 +1016,54 @@ def main() -> None:
                 .where(F.col("ns") > 1).count())
     timings["fuzzy_dedup_capstone_100k"] = round(
         time.perf_counter() - t0, 2)
+
+    # ---- streaming arm (VERDICT r11 #5): the SAME planted corpus
+    # through the incremental path — signatures arrive as 3 "daily
+    # drops" into a band-key ParquetMergeStore; the union of per-batch
+    # pair outputs, exact-verified and clustered, must assign every
+    # doc to EXACTLY the batch pipeline's cluster (the lambda-
+    # architecture parity contract at capstone scale; exactness holds
+    # because no band bucket crosses max_bucket between batches).
+    from aquacache_spark.operators.dedup import incremental_lsh_pairs
+    from aquacache_spark.sources.store import ParquetMergeStore
+
+    t0 = time.perf_counter()
+    cap_store = ParquetMergeStore(
+        spark, f"{base}/capstone_lsh",
+        key_cols=["band", "key", "doc_id"], series_col="key",
+        n_buckets=256)
+    sig16 = sig.persist()
+    inc_parts = []
+    for bidx in range(3):
+        batch = sig16.where(F.col("doc_id") % 3 == bidx)
+        part = incremental_lsh_pairs(
+            cap_store, batch, num_hashes=16, bands=16,
+            max_bucket=1024).persist()
+        part.count()        # materialize before the next drop merges
+        inc_parts.append(part)
+    inc_cand = inc_parts[0]
+    for part in inc_parts[1:]:
+        inc_cand = inc_cand.unionByName(part)
+    inc_pairs = jaccard_on_candidates(
+        cleaned.select("doc_id", F.col("cleaned_text").alias("text")),
+        inc_cand.distinct(), threshold=0.1).select("id_a", "id_b")
+    inc_clusters = duplicate_clusters(
+        inc_pairs, cap_docs.select("doc_id")).persist()
+    n_inc = inc_clusters.count()
+    mismatch = (clusters.withColumnRenamed("cluster_rep", "__a")
+                .join(inc_clusters.withColumnRenamed(
+                    "cluster_rep", "__b"), "doc_id")
+                .where(F.col("__a") != F.col("__b")).count())
+    timings["fuzzy_dedup_incremental_parity"] = round(
+        time.perf_counter() - t0, 2)
+    assert n_inc == n_cap, f"incremental cluster rows: {n_inc}"
+    assert mismatch == 0, (
+        f"{mismatch} docs cluster differently batch vs incremental")
+    sig16.unpersist()
+    for part in inc_parts:
+        part.unpersist()
+    inc_clusters.unpersist()
+
     n_groups = n_cap // 5 // 10           # planted dup groups: 2000
     full = (clusters.where(F.expr("(doc_id div 5) % 10 = 0"))
             .groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("m"))
