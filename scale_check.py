@@ -1028,11 +1028,15 @@ def main() -> None:
     from aquacache_spark.sources.store import ParquetMergeStore
 
     t0 = time.perf_counter()
+    # the parity subset is CLOSED under clustering: every planted
+    # cluster lives inside 5 consecutive ids, so docs < n_inc_cap
+    # cluster identically in the full corpus and in the subset
+    n_inc_cap = 20_000
     cap_store = ParquetMergeStore(
         spark, f"{base}/capstone_lsh",
         key_cols=["band", "key", "doc_id"], series_col="key",
-        n_buckets=256)
-    sig16 = sig.persist()
+        n_buckets=64)
+    sig16 = sig.where(F.col("doc_id") < n_inc_cap).persist()
     inc_parts = []
     for bidx in range(3):
         batch = sig16.where(F.col("doc_id") % 3 == bidx)
@@ -1045,18 +1049,22 @@ def main() -> None:
     for part in inc_parts[1:]:
         inc_cand = inc_cand.unionByName(part)
     inc_pairs = jaccard_on_candidates(
-        cleaned.select("doc_id", F.col("cleaned_text").alias("text")),
+        cleaned.where(F.col("doc_id") < n_inc_cap)
+        .select("doc_id", F.col("cleaned_text").alias("text")),
         inc_cand.distinct(), threshold=0.1).select("id_a", "id_b")
     inc_clusters = duplicate_clusters(
-        inc_pairs, cap_docs.select("doc_id")).persist()
+        inc_pairs,
+        cap_docs.where(F.col("doc_id") < n_inc_cap)
+        .select("doc_id")).persist()
     n_inc = inc_clusters.count()
-    mismatch = (clusters.withColumnRenamed("cluster_rep", "__a")
+    mismatch = (clusters.where(F.col("doc_id") < n_inc_cap)
+                .withColumnRenamed("cluster_rep", "__a")
                 .join(inc_clusters.withColumnRenamed(
                     "cluster_rep", "__b"), "doc_id")
                 .where(F.col("__a") != F.col("__b")).count())
     timings["fuzzy_dedup_incremental_parity"] = round(
         time.perf_counter() - t0, 2)
-    assert n_inc == n_cap, f"incremental cluster rows: {n_inc}"
+    assert n_inc == n_inc_cap, f"incremental cluster rows: {n_inc}"
     assert mismatch == 0, (
         f"{mismatch} docs cluster differently batch vs incremental")
     sig16.unpersist()
