@@ -76,9 +76,11 @@ class TaskCache(dict):
         super().__init__()
         self.cap = cap
 
+    _MISS = object()
+
     def get_or(self, key, compute):
-        v = self.get(key)
-        if v is None:
+        v = self.get(key, TaskCache._MISS)
+        if v is TaskCache._MISS:
             v = compute(key)
             if len(self) < self.cap:
                 self[key] = v

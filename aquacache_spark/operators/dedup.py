@@ -320,8 +320,13 @@ def incremental_lsh_pairs(
     dirs are immutable and retained), so the returned frame stays
     valid after the merge commits.
     """
+    # n_buckets is part of the stamp: it is the store-LAYOUT parameter
+    # — a probe against a store bucketed differently reads unrelated
+    # keys (zero/partial collisions, no error), the exact silent
+    # failure class the stamp exists to close
     lsh_props = {"minhash_family": MINHASH_FAMILY,
-                 "num_hashes": num_hashes, "bands": bands}
+                 "num_hashes": num_hashes, "bands": bands,
+                 "n_buckets": store.n_buckets}
     if store.exists() and hasattr(store, "check_props"):
         # stale state fails LOUDLY: a store built under the pre-r11
         # degenerate family (or different banding) would simply stop
@@ -1129,7 +1134,14 @@ def _owned_cache_release(out: DataFrame, grams: DataFrame) -> DataFrame:
     returned frame is materialized storage, not lineage over a
     session-pinned cache. Reliable checkpoint (replicated, recoverable
     on executor loss) is preferred whenever the session has a
-    checkpoint dir; localCheckpoint otherwise (ADVICE r11)."""
+    checkpoint dir; localCheckpoint otherwise (ADVICE r11).
+
+    Checkpoint files are reclaimed by the ContextCleaner once the
+    returned frame is garbage-collected — but ONLY under
+    spark.cleaner.referenceTracking.cleanCheckpoints=true (the engine
+    session default, session.py; Spark's own default is false, which
+    would leak one full output copy per call onto checkpoint
+    storage)."""
     sc = out.sparkSession.sparkContext
     if sc.getCheckpointDir():
         out = out.checkpoint(eager=True)

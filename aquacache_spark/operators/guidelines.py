@@ -669,7 +669,8 @@ FORMULA_STRIP_PATTERNS: tuple[str, ...] = (
     r"(?s)/\*.*?\*/",                    # block comments
 )
 FORMULA_SELECT_PREFIX = r"(?is)^\s*\(*\s*(with\s.*select|select)(\s|\()"
-FORMULA_BAD_PLACEHOLDER = r"\$[2-9][0-9]*"
+FORMULA_BAD_PLACEHOLDER = r"\$([02-9][0-9]*|1[0-9]+)"  # any but exactly $1
+
 _FORBIDDEN_COMMANDS = (
     "alter|analyze|call|checkpoint|cluster|copy|create|deallocate|delete"
     "|discard|do|drop|execute|grant|insert|listen|lock|merge|notify"

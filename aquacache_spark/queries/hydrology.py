@@ -4852,7 +4852,8 @@ _RULE_ARMS = [
     (9, "sql_scalar", "upper", None,
      "UPDATE criteria.guidelines SET active = false"),       # not_select
     (10, "sql_scalar", "upper", None,
-     "SELECT $2 + coalesce($1, 0)"),                         # bad_placeholder
+     "SELECT $10 + coalesce($1, 0)"),  # bad_placeholder (multi-digit:
+     # $10 slipped through the r12 pre-review \$[2-9][0-9]* pattern)
     (11, "sql_scalar", "upper", None,
      "WITH q AS (SELECT 1 AS v) INSERT INTO t SELECT v FROM q"),  # forbidden_command
     (12, "sql_scalar", "upper", None,
@@ -4896,15 +4897,14 @@ def _rule_violation_sql() -> str:
     from ..operators.guidelines import (
         ALLOWED_FUNCTION_SCHEMAS, FORMULA_BAD_PLACEHOLDER,
         FORMULA_FORBIDDEN, FORMULA_FUNCTION_CALL, FORMULA_SELECT_PREFIX,
-        FORMULA_STRIP_PATTERNS, FORMULA_VOLATILE,
+        FORMULA_VOLATILE,
     )
 
     def q(pat: str) -> str:
         return "'" + pat.replace("'", "''") + "'"
 
-    scan = "formula_sql"
-    for pat in FORMULA_STRIP_PATTERNS:
-        scan = f"regexp_replace({scan}, {q(pat)}, '', 'g')"
+    # the ladder reads the scanned CTE's `scan` column; the strip
+    # chain that builds it lives ONLY in _rule_validation_oracle
     schemas = ", ".join(f"'{s}'" for s in sorted(ALLOWED_FUNCTION_SCHEMAS))
     bad_schema = (
         f"len(list_filter(regexp_extract_all(scan, "

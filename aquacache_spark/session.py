@@ -83,6 +83,12 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # reliable checkpoints (the owned-cache span family prefers
+        # them when a checkpoint dir is set) are only deleted by the
+        # ContextCleaner when this is on — the default (false) leaks a
+        # full output copy per call onto checkpoint storage for
+        # daily-cadence callers
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
 
 

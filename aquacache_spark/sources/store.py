@@ -335,12 +335,18 @@ class ParquetMergeStore:
         df.write.mode("overwrite").partitionBy("bucket").parquet(
             self._vdir(version))
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, props: dict | None = None) -> None:
         """Replace the store contents. An EMPTY frame is rejected: a
         zero-bucket commit would be unreadable (partitionBy writes no
         bucket= dirs, so no schema survives) — truncation is not a
-        store operation the reference has either."""
-        version = self._load_manifest()["version"] + 1 if self.exists() else 1
+        store operation the reference has either.
+
+        Existing manifest ``props`` carry forward (overwrite replaces
+        rows, not the parameters the state was built under); pass
+        ``props`` to restamp when the rebuild changed them.
+        """
+        old = self._load_manifest() if self.exists() else {}
+        version = old.get("version", 0) + 1
         os.makedirs(self.path, exist_ok=True)
         self._write_version(self._bucket(df), version)
         buckets = self._written_buckets(version)
@@ -353,6 +359,9 @@ class ParquetMergeStore:
             "buckets": {b: version for b in buckets},
             "data": {b: version for b in buckets},
         }
+        carried = {**old.get("props", {}), **(props or {})}
+        if carried:
+            manifest["props"] = carried
         self._commit_manifest(manifest)
         self._gc()
 
@@ -398,6 +407,11 @@ class ParquetMergeStore:
         new_buckets.update({b: version for b in written})
         manifest = {"version": version, "buckets": new_buckets,
                     "data": dict(old["data"])}  # dataChange=false
+        if old.get("props"):
+            # compaction must not strip the parameter stamp — a
+            # props-less manifest makes the next check_props-gated
+            # increment hard-fail on a perfectly valid store
+            manifest["props"] = dict(old["props"])
         self._commit_manifest(manifest)
         self._gc()
         return {"version": version, "buckets_rewritten": len(written),

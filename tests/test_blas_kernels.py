@@ -164,3 +164,28 @@ def test_mann_kendall_twin_exactness_guard(spark):
         "series string, date date, value double")
     with pytest.raises(Exception, match="exceeds the exact"):
         mann_kendall_blas(daily, ["series"]).collect()
+
+
+def test_task_cache_caches_none_values():
+    """r12 review find: ``get_or`` used ``is None`` as the miss
+    sentinel, so a legitimately-None computed value was recomputed on
+    every lookup — a twin memoizing a nullable result got a silent 0%
+    hit rate. None must cache like any other value, and the cap must
+    still bound inserts."""
+    from aquacache_spark.functions.kernel_twin import TaskCache
+
+    calls = []
+
+    def compute(key):
+        calls.append(key)
+        return None if key == "null-key" else key.upper()
+
+    c = TaskCache(cap=2)
+    assert c.get_or("null-key", compute) is None
+    assert c.get_or("null-key", compute) is None
+    assert calls == ["null-key"]  # second lookup was a HIT
+    assert c.get_or("a", compute) == "A"
+    # cap reached: further inserts skipped, lookups still compute
+    assert c.get_or("b", compute) == "B"
+    assert c.get_or("b", compute) == "B"
+    assert calls == ["null-key", "a", "b", "b"]

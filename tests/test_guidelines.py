@@ -263,6 +263,25 @@ def test_validate_guideline_value_rule_loop_order():
         "SELECT CASE WHEN ($1 IN (1, 2)) THEN 1.0 ELSE 0.0 END")
 
 
+def test_validate_placeholder_multi_digit():
+    """r12 review find: \\$[2-9][0-9]* missed $10 and above — any
+    placeholder but exactly $1 must be rejected, including multi-digit
+    ones starting with 1, and $0."""
+    import pytest
+
+    from aquacache_spark.operators.guidelines import (
+        GuidelineRuleError, validate_guideline_value_rule)
+
+    for bad in ("SELECT $10 + $1", "SELECT $12", "SELECT $2",
+                "SELECT $0 * 2.0", "SELECT $1 + $199"):
+        with pytest.raises(GuidelineRuleError,
+                           match="parameter placeholder"):
+            validate_guideline_value_rule("sql_scalar", "upper", None, bad)
+    # exactly $1 (any number of times) stays legal
+    validate_guideline_value_rule(
+        "sql_scalar", "upper", None, "SELECT $1 + $1 * 0.5")
+
+
 def test_derivation_json_null_algorithm(spark):
     """ADVICE r11: a NULL algorithm_code must yield
     '\"algorithm\":null', not a NULL JSON that collect_list drops."""

@@ -232,11 +232,30 @@ def test_lsh_store_hash_family_stamp(spark, tmp_path):
     incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
     assert store.props()["minhash_family"] == MINHASH_FAMILY
     assert store.props()["bands"] == 4
+    # the store LAYOUT is stamped too: a differently-bucketed handle
+    # would probe the wrong bucket= dirs (zero collisions, no error)
+    assert store.props()["n_buckets"] == 4
     # same params: fine
     incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
     # different banding: loud
     with pytest.raises(ValueError, match="different parameters"):
         incremental_lsh_pairs(store, sigs, num_hashes=8, bands=2)
+    # same banding, differently-bucketed handle on the same path: loud
+    store8 = ParquetMergeStore(
+        spark, str(tmp_path / "lsh"), key_cols=["band", "key", "doc_id"],
+        series_col="key", n_buckets=8)
+    with pytest.raises(ValueError, match="different parameters"):
+        incremental_lsh_pairs(store8, sigs, num_hashes=8, bands=4)
+    # routine compaction must NOT strip the stamp (r12 review find:
+    # optimize committed a props-less manifest, hard-failing the next
+    # increment on a perfectly valid store)
+    store.optimize()
+    assert store.props()["minhash_family"] == MINHASH_FAMILY
+    incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
+    # overwrite carries props forward by default, restamps on request
+    store.overwrite(store.read())
+    assert store.props()["bands"] == 4
+    incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
     # pre-stamp store (simulated by stripping props): loud, names the
     # migration path
     m_path = os.path.join(store.path, "_MANIFEST.json")
@@ -247,5 +266,5 @@ def test_lsh_store_hash_family_stamp(spark, tmp_path):
         incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
     # explicit migration restores service
     store.stamp_props({"minhash_family": MINHASH_FAMILY,
-                       "num_hashes": 8, "bands": 4})
+                       "num_hashes": 8, "bands": 4, "n_buckets": 4})
     incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
