@@ -94,6 +94,118 @@ def exact_duplicates(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = r"\n{2,}",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup, keep-first.
+
+    Split each document on ``delim``, fingerprint every paragraph
+    (trimmed, whitespace-collapsed, lowercased md5), and keep only the
+    FIRST corpus occurrence of each fingerprint — ordered by
+    ``(id, position)`` so the pass is deterministic. Every later
+    repeat (boilerplate headers/footers, quoted reposts, newsletter
+    blurbs) is dropped and the survivors are rejoined in document
+    order. This is the paragraph-granularity dedup pass of the
+    public Dolma / RefinedWeb curation recipes — document-level
+    near-dup (MinHash) cannot remove a footer shared by millions of
+    otherwise-distinct pages; this pass removes exactly that.
+
+    Output: id, cleaned_text ('' when every paragraph was a repeat),
+    n_kept, n_dropped.
+
+    Scale: one map-side explode, one shuffle keyed on the paragraph
+    fingerprint (the keep-first window — a hot boilerplate paragraph
+    is ONE window group, ordered by (id, pos), no pairwise blowup),
+    one shuffle back on the doc id for reassembly. No driver state.
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+        )
+        .where(F.trim(F.col("para")) != "")
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("para")), r"\s+", " ")))
+    ranked = paras.withColumn("fp", fp).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy(F.col(id_col), F.col("pos"))
+        ),
+    )
+    kept = ranked.where(F.col("rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_paras"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.coalesce("__n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+             ).alias("n_dropped"),
+        )
+    )
+
+
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    max_dist: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Levenshtein verification of candidate near-dup pairs.
+
+    The precision tier AFTER a recall tier (LSH / SimHash banding):
+    joins the candidate ``(id_a, id_b)`` list back to the texts and
+    keeps pairs within ``max_dist`` edits. Uses the JVM
+    threshold-capped ``levenshtein(l, r, k)`` — banded DP, O(len * k)
+    per pair instead of O(len^2), early-exit above the cap — so the
+    cost is linear in the (already bounded) candidate list, never in
+    the corpus. Edit distance is the standard last-mile verifier when
+    Jaccard over shingles is too coarse (short docs, heavy token
+    reuse); cf. the exact-Jaccard verifier ``jaccard_on_candidates``.
+
+    Output: id_a, id_b, edit_dist (<= max_dist).
+
+    Scale: two shuffle equi-joins keyed on the doc id (candidate list
+    x corpus — pair mass is bounded upstream by the band caps), then
+    map-only DP; texts never shuffle except against matched pairs.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist),
+        )
+        .where(F.col("edit_dist") >= 0)  # -1 = capped out (> max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

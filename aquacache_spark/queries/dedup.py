@@ -3740,3 +3740,142 @@ def repeated_span_removal_owned_q(spark: SparkSession,
 
     docs = _t(spark, sf_dir, "documents")
     return remove_repeated_spans(docs, k=_SPAN_K, owned_cache=True)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (Dolma/RefinedWeb boilerplate pass) and
+# edit-distance pair verification
+# ---------------------------------------------------------------------------
+
+# The documents fixture is single-line, so the query SYNTHESIZES the
+# paragraph structure deterministically in both engines: re-delimit
+# every 8 tokens into a paragraph, then append a newsletter blurb to
+# every doc and a copyright footer to even docs — the cross-doc
+# boilerplate this pass exists to strip (keep-first: doc 0 retains
+# its copy).
+_PARA_SYNTH_SQL = r"""
+    synth AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){8})',
+                            '\1' || chr(10) || chr(10), 'g')
+             || chr(10) || chr(10) || 'subscribe to our newsletter today'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || chr(10)
+                          || 'copyright footer all rights reserved'
+                     ELSE '' END AS text
+      FROM documents
+    )
+"""
+
+_PARA_DEDUP_ORACLE = "WITH " + _PARA_SYNTH_SQL + r"""
+    , parts AS (
+      SELECT doc_id, string_split_regex(text, '\n{2,}') AS ps FROM synth
+    ), paras AS (
+      SELECT doc_id, unnest(range(1, len(ps) + 1)) AS pos,
+             unnest(ps) AS para
+      FROM parts
+    ), clean AS (
+      SELECT * FROM paras WHERE trim(para) <> ''
+    ), ranked AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (
+               PARTITION BY md5(lower(regexp_replace(trim(para),
+                                                     '\s+', ' ', 'g')))
+               ORDER BY doc_id, pos) AS rn
+      FROM clean
+    ), agg AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                 AS cleaned_text,
+             count(*) AS n_kept
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_paras FROM clean GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.cleaned_text, '') AS cleaned_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(t.n_paras, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+               AS n_dropped
+    FROM documents d
+    LEFT JOIN tot t ON t.doc_id = d.doc_id
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@register("paragraph_dedup", oracle=_PARA_DEDUP_ORACLE)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first paragraph dedup — the boilerplate pass
+    document-level MinHash cannot do (a footer shared by every page
+    never moves document Jaccard, but dominates n-gram mass at 100 TB).
+    One shuffle on the paragraph fingerprint, one on the doc id."""
+    from ..operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((?:\S+ ){8})", "$1\n\n"),
+            F.lit("\n\nsubscribe to our newsletter today"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\n\ncopyright footer all rights reserved"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(synth)
+    return out.select(
+        "doc_id", "cleaned_text",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+# Candidate verification by banded Levenshtein: planted mutants
+# (doc_id + 1000000 = same text with the first two chars rewritten)
+# must survive the <= 10-edit gate; adjacent-id noise pairs must not.
+_EDIT_VERIFY_ORACLE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'xx' || substr(text, 3) AS text
+      FROM documents
+    ), cand AS (
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+      UNION ALL
+      SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+    ), j AS (
+      SELECT c.id_a, c.id_b, levenshtein(a.text, b.text) AS edit_dist
+      FROM cand c
+      JOIN corpus a ON a.doc_id = c.id_a
+      JOIN corpus b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, CAST(edit_dist AS BIGINT) AS edit_dist
+    FROM j WHERE edit_dist <= 10
+"""
+
+
+@register("edit_verified_pairs", oracle=_EDIT_VERIFY_ORACLE)
+def edit_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision tier after LSH recall: threshold-capped Levenshtein
+    (banded DP, O(len * k) per pair, early exit above the cap) over a
+    bounded candidate list — cost scales with candidates, never the
+    corpus. The noise arm (adjacent ids, ~300-char random texts) is
+    dropped by the cap; the planted 2-edit mutants survive."""
+    from ..operators.dedup import edit_distance_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    mut = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("xx"), F.expr("substring(text, 3)")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mut)
+    cand = (
+        docs.select(F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1000000).alias("id_b"))
+        .unionByName(
+            docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1).alias("id_b")))
+    )
+    out = edit_distance_verify(corpus, cand, max_dist=10)
+    return out.select(
+        "id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))

@@ -169,3 +169,55 @@ def test_owned_cache_span_variants(spark):
         lazy_rows = sorted(map(tuple, op(docs, k=8).collect()))
         owned_rows = sorted(map(tuple, owned.collect()))
         assert lazy_rows == owned_rows
+
+
+def test_paragraph_dedup_keep_first(spark):
+    """Keep-first paragraph dedup: the first corpus occurrence (by
+    (doc_id, pos)) of a repeated paragraph survives, every later copy
+    is dropped; a doc of pure boilerplate collapses to ''."""
+    from aquacache_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nSHARED FOOTER\n\ngamma delta"),
+            (2, "epsilon zeta\n\nshared   footer"),  # ws/case-normalized dup
+            (3, "Shared Footer"),                    # pure boilerplate
+            (4, "unique paragraph only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["cleaned_text"] == (
+        "alpha beta\n\nSHARED FOOTER\n\ngamma delta")
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 0)
+    assert out[2]["cleaned_text"] == "epsilon zeta"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[3]["cleaned_text"] == ""
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 1)
+    assert out[4]["cleaned_text"] == "unique paragraph only"
+    # document order is preserved through the fingerprint shuffle
+    assert out[1]["cleaned_text"].split("\n\n")[2] == "gamma delta"
+
+
+def test_edit_distance_verify_cap(spark):
+    """Threshold-capped Levenshtein verify: pairs within max_dist
+    survive with their exact distance; pairs above it are dropped
+    (the -1 early-exit), and a negative cap is rejected."""
+    import pytest
+
+    from aquacache_spark.operators.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten small"), (2, "sitting small"),
+         (3, "a wholly different document body")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long")
+    rows = edit_distance_verify(docs, pairs, max_dist=5).collect()
+    assert [(r["id_a"], r["id_b"], r["edit_dist"]) for r in rows] == [
+        (1, 2, 3)]  # kitten->sitting = 3 edits; (1,3) capped out
+    # tight cap drops everything
+    assert edit_distance_verify(docs, pairs, max_dist=2).count() == 0
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_verify(docs, pairs, max_dist=-1)
