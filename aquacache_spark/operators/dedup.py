@@ -94,6 +94,62 @@ def exact_duplicates(
     )
 
 
+#: Version tag of the paragraph fingerprint construction (trim ->
+#: whitespace-collapse -> lower -> md5). Stamped into persisted
+#: paragraph stores so a normalization change fails loudly against
+#: old state instead of silently never matching.
+PARAGRAPH_FP = "md5-trim-ws-lower-v1"
+
+
+def _paragraph_rows(
+    df: DataFrame, id_col: str, text_col: str, delim: str
+) -> DataFrame:
+    """(id, pos, para, fp) — one row per non-blank paragraph."""
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+        )
+        .where(F.trim(F.col("para")) != "")
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("para")), r"\s+", " ")))
+    return paras.withColumn("fp", fp)
+
+
+def _paragraph_reassemble(
+    df: DataFrame,
+    paras: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    joiner: str,
+) -> DataFrame:
+    """Rejoin surviving paragraphs in document order; docs whose every
+    paragraph was dropped come back with cleaned_text = ''."""
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_paras"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.coalesce("__n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+             ).alias("n_dropped"),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -124,44 +180,86 @@ def paragraph_dedup(
     """
     from pyspark.sql import Window
 
-    paras = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
-        )
-        .where(F.trim(F.col("para")) != "")
-    )
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("para")), r"\s+", " ")))
-    ranked = paras.withColumn("fp", fp).withColumn(
+    paras = _paragraph_rows(df, id_col, text_col, delim)
+    ranked = paras.withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("fp").orderBy(F.col(id_col), F.col("pos"))
         ),
     )
     kept = ranked.where(F.col("rn") == 1)
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            joiner,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
-            ),
-        ).alias("cleaned_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    return _paragraph_reassemble(df, paras, kept, id_col, joiner)
+
+
+def incremental_paragraph_dedup(
+    store,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = r"\n{2,}",
+    joiner: str = "\n\n",
+    merge: bool = True,
+) -> DataFrame:
+    """Keep-first paragraph dedup of a NEW batch against a PERSISTED
+    fingerprint store — the daily-drop arm of :func:`paragraph_dedup`
+    (same lambda shape as :func:`incremental_lsh_pairs`): the corpus's
+    paragraph fingerprints live in a
+    :class:`~aquacache_spark.sources.store.ParquetMergeStore` keyed
+    ``(fp)`` and hash-bucketed on fp; a batch
+
+    1. explodes + fingerprints its own paragraphs (map-only),
+    2. keep-firsts WITHIN the batch (the fp window),
+    3. probes ONLY the store buckets its fps hash into
+       (``read_buckets`` — a partition-pruned read; history is never
+       scanned) and drops batch paragraphs already seen — except rows
+       whose stored keeper id is IN this batch (a re-fed batch must
+       not suppress itself),
+    4. merges its surviving fingerprints back ``do_nothing`` (the
+       store keeps the FIRST writer — keep-first by construction).
+
+    Feeding batches in ascending id order makes the incremental union
+    equal the one-shot :func:`paragraph_dedup` over the concatenated
+    corpus (the parity the differential query pins). The store stamps
+    the fingerprint-construction version + bucket layout
+    (``PARAGRAPH_FP``) so a normalization change against old state
+    fails loudly instead of silently never matching.
+    """
+    from pyspark.sql import Window
+
+    props = {"paragraph_fp": PARAGRAPH_FP, "n_buckets": store.n_buckets}
+    if store.exists() and hasattr(store, "check_props"):
+        store.check_props(props)
+    paras = _paragraph_rows(df, id_col, text_col, delim).persist()
+    ranked = paras.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy(F.col(id_col), F.col("pos"))
+        ),
     )
-    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_paras"))
-    return (
-        df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.coalesce("__n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
-             ).alias("n_dropped"),
-        )
-    )
+    kept = ranked.where(F.col("rn") == 1)
+    if store.exists():
+        probed = store.bucket_of(paras.select(F.col("fp")))
+        hit = sorted({r["bucket"]
+                      for r in probed.select("bucket").distinct().collect()})
+        old = store.read_buckets(hit)
+        if old is not None:
+            batch_ids = df.select(F.col(id_col).alias("__bid")).distinct()
+            seen = (
+                old.join(batch_ids, F.col(id_col) == F.col("__bid"),
+                         "left_anti")
+                .select("fp")
+                .distinct()
+            )
+            kept = kept.join(seen, "fp", "left_anti")
+    if merge:
+        store.merge(
+            kept.select("fp", id_col, "pos"),
+            on_conflict="do_nothing", props=props)
+    # the batch-local paras cache is operator-owned (lesson: a lazily
+    # returned frame can never release a persist) — eager-checkpoint
+    # the small per-doc output and drop the cache before returning
+    out = _paragraph_reassemble(df, paras, kept, id_col, joiner)
+    return _owned_cache_release(out, paras)
 
 
 def edit_distance_verify(

@@ -57,19 +57,23 @@ def _bm25_contribs(
     # avgdl = exact integer sum / count, identically derivable in SQL
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl"))
-    tf = (
-        base.select(id_col, "__dl", F.explode("__toks").alias("term"))
-        .groupBy(id_col, "__dl", "term")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
     qt = queries.select(
         query_id, F.explode(tokens(F.lower(F.col(query_col)))).alias("term")
     ).distinct()
-    # restrict postings to query terms FIRST (broadcast); document
-    # frequency is a count window over the restricted set (one row per
-    # (doc, term)), so the postings subtree is scanned ONCE — a
-    # groupBy-and-join-back would recompute the explode+aggregate
-    cand = tf.join(F.broadcast(qt.select("term").distinct()), "term")
+    # restrict postings to query terms BEFORE the per-(doc, term)
+    # aggregation (broadcast semi-join on the exploded tokens): a
+    # term's in-doc count is unaffected by dropping other terms, so
+    # the count shuffle carries only query-term hits — bounded by
+    # query vocabulary x docs — instead of the corpus's entire
+    # (doc, term) space (r12: 1.9x on the sf0.1 bench pair). Document
+    # frequency is then a count window over the restricted set (one
+    # row per (doc, term)), so the postings subtree is scanned ONCE.
+    cand = (
+        base.select(id_col, "__dl", F.explode("__toks").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
     cand = cand.withColumn(
         "__df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     scored = (

@@ -3879,3 +3879,48 @@ def edit_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = edit_distance_verify(corpus, cand, max_dist=10)
     return out.select(
         "id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+
+
+def _para_synth(docs: DataFrame) -> DataFrame:
+    """The synthesized paragraph corpus shared by the paragraph-dedup
+    queries (mirror of _PARA_SYNTH_SQL)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((?:\S+ ){8})", "$1\n\n"),
+            F.lit("\n\nsubscribe to our newsletter today"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\n\ncopyright footer all rights reserved"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register("incremental_paragraph_parity", oracle=_PARA_DEDUP_ORACLE)
+def incremental_paragraph_parity_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Daily-drop paragraph dedup, two-batch vs one-shot: batch 1
+    (doc_id < 200) seeds a persisted fingerprint store (bucketed on
+    fp, keep-first by merge do_nothing), batch 2 probes ONLY the
+    store buckets its fps hash into; fed in id order, the union of
+    the incremental outputs must equal one-shot paragraph_dedup over
+    the full corpus — same one-shot DuckDB oracle, same lambda parity
+    contract as incremental_lsh_parity."""
+    import tempfile
+
+    from ..operators.dedup import incremental_paragraph_dedup
+    from ..sources.store import ParquetMergeStore
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = _para_synth(docs)
+    store = ParquetMergeStore(
+        spark, tempfile.mkdtemp(prefix="aquacache_incpara_"),
+        key_cols=["fp"], series_col="fp", n_buckets=32)
+    o1 = incremental_paragraph_dedup(store, synth.where(F.col("doc_id") < 200))
+    o2 = incremental_paragraph_dedup(store, synth.where(F.col("doc_id") >= 200))
+    out = o1.unionByName(o2)
+    return out.select(
+        "doc_id", "cleaned_text",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )

@@ -603,6 +603,38 @@ def main() -> None:
     assert n_ls == (hi - lo) // 2, f"long-span docs: {n_ls}"
     assert bad_ls == 0, f"long-span coverage rows off: {bad_ls}"
 
+    # adversarial hot PARAGRAPH (the Dolma/RefinedWeb boilerplate
+    # shape): EVERY doc ends with the same newsletter paragraph and a
+    # quarter add a copyright footer — each shared paragraph is ONE
+    # row_number window group of n_docs rows (keep-first), never a
+    # pairwise join; bodies are made id-unique so counts close-form
+    from aquacache_spark.operators.dedup import paragraph_dedup
+
+    pdocs = docs.select(
+        "doc_id",
+        F.concat(F.col("doc_id").cast("string"), F.lit(" "),
+                 F.col("text"),
+                 F.lit("\n\nsubscribe to the weekly newsletter"),
+                 F.when(F.col("doc_id") % 4 == 0,
+                        F.lit("\n\ncopyright footer rights reserved"))
+                 .otherwise(F.lit(""))).alias("text"))
+    t0 = time.perf_counter()
+    pd_out = paragraph_dedup(pdocs).persist()
+    n_pd = pd_out.count()
+    n_with_footer = pd_out.where(
+        F.col("cleaned_text").contains("weekly newsletter")).count()
+    n_dropped_total = pd_out.agg(
+        F.sum("n_dropped").alias("d")).first()["d"]
+    timings["paragraph_dedup_hot_footer"] = round(
+        time.perf_counter() - t0, 2)
+    pd_out.unpersist()
+    assert n_pd == n_docs, f"paragraph dedup rows: {n_pd}"
+    assert n_with_footer == 1, (  # keep-first: doc 0 only
+        f"{n_with_footer} docs kept the shared newsletter paragraph")
+    want_drop = (n_docs - 1) + ((n_docs + 3) // 4 - 1)
+    assert n_dropped_total == want_drop, (
+        f"dropped {n_dropped_total}, want {want_drop}")
+
     # ---- embedding tier: ANN paths at 1000x the bench corpus. The
     # point is the *shape*: IVF+PQ serving time must track probed-list
     # mass (nprobe/nlist of the corpus) and byte-compressed scan width,

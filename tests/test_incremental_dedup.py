@@ -268,3 +268,50 @@ def test_lsh_store_hash_family_stamp(spark, tmp_path):
     store.stamp_props({"minhash_family": MINHASH_FAMILY,
                        "num_hashes": 8, "bands": 4, "n_buckets": 4})
     incremental_lsh_pairs(store, sigs, num_hashes=8, bands=4)
+
+
+def test_incremental_paragraph_dedup(spark, tmp_path):
+    """Cross-batch keep-first against the persisted fingerprint
+    store: batch 2's repeat of a batch-1 paragraph is dropped; a
+    RE-FED batch must not suppress itself (its own stored keeper ids
+    are exempt); the store stamps the fingerprint construction."""
+    import pytest
+
+    from aquacache_spark.operators.dedup import (
+        PARAGRAPH_FP, incremental_paragraph_dedup)
+    from aquacache_spark.sources.store import ParquetMergeStore
+
+    spark.catalog.clearCache()
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    store = ParquetMergeStore(
+        spark, str(tmp_path / "para"), key_cols=["fp"],
+        series_col="fp", n_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, "alpha body\n\nshared footer")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(2, "beta body\n\nshared footer")],
+        "doc_id long, text string")
+    o1 = {r["doc_id"]: r for r in
+          incremental_paragraph_dedup(store, b1).collect()}
+    assert o1[1]["cleaned_text"] == "alpha body\n\nshared footer"
+    assert store.props()["paragraph_fp"] == PARAGRAPH_FP
+    o2 = {r["doc_id"]: r for r in
+          incremental_paragraph_dedup(store, b2).collect()}
+    assert o2[2]["cleaned_text"] == "beta body"
+    assert (o2[2]["n_kept"], o2[2]["n_dropped"]) == (1, 1)
+    # re-feed batch 1: its own stored fingerprints must not drop it
+    o1r = {r["doc_id"]: r for r in
+           incremental_paragraph_dedup(store, b1).collect()}
+    assert o1r[1]["cleaned_text"] == "alpha body\n\nshared footer"
+    # differently-bucketed handle: loud, not silently wrong probes
+    store8 = ParquetMergeStore(
+        spark, str(tmp_path / "para"), key_cols=["fp"],
+        series_col="fp", n_buckets=8)
+    with pytest.raises(ValueError, match="different parameters"):
+        incremental_paragraph_dedup(store8, b2)
+    # the operator releases its internal paras cache on every call;
+    # the only storage allowed to remain is the (local)checkpoint
+    # block set of each call's small per-doc output (3 calls ran)
+    stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(stored) - before <= 3, [r.name() for r in stored]
