@@ -426,6 +426,67 @@ def streaming_near_dup(
         GroupStateTimeout.NoTimeout)
 
 
+PARAGRAPH_STATE_SCHEMA = "seen boolean"
+
+
+def streaming_paragraph_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = r"\n{2,}",
+) -> DataFrame:
+    """Streaming keep-first paragraph dedup — the streaming mirror of
+    operators/dedup.paragraph_dedup (and the stateful twin of
+    incremental_paragraph_dedup's persisted-store probe).
+
+    Plan shape: map-only paragraph explode + fingerprint (no
+    aggregation may precede a stateful stage) -> ONE
+    applyInPandasWithState keyed on the paragraph fingerprint. State
+    per fingerprint is a single boolean — O(1) forever, even for a
+    boilerplate paragraph arriving millions of times — so state size
+    is bounded by DISTINCT paragraphs, never arrivals.
+
+    Emission contract (append mode): each micro-batch emits the
+    fingerprint's FIRST-ever arrival (min (id, pos) within the batch
+    that first carries it) as (id, pos, para); later arrivals emit
+    nothing. Fed in ascending id order, the run's accumulated output
+    equals the kept-paragraph set of the batch operator over
+    everything ingested (the parity the streaming test pins);
+    downstream reassembly (group by id, order by pos) is a plain
+    batch concat, same as the batch operator's.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import _paragraph_rows
+
+    paras = _paragraph_rows(stream, id_col, text_col, delim)
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("para", T.StringType()),
+    ])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                cand = (int(getattr(row, id_col)), int(row.pos), row.para)
+                if first is None or cand[:2] < first[:2]:
+                    first = cand
+        if first is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame({id_col: [first[0]], "pos": [first[1]],
+                            "para": [first[2]]})
+
+    return paras.groupBy("fp").applyInPandasWithState(
+        fn, out_schema, PARAGRAPH_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
+
+
 KMV_STATE_SCHEMA = "hashes array<bigint>, keys array<string>"
 
 

@@ -1222,3 +1222,68 @@ def test_streaming_warc_to_corpus_matches_batch_capstone(spark, tmp_path):
         minhash_signatures(batch_corpus, num_hashes=8, shingle_k=3),
         num_hashes=8, bands=4).collect()}
     assert set(got_pairs) == one_shot
+
+
+def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
+    """Streaming keep-first paragraph dedup: O(1) state per distinct
+    paragraph, append-mode first-arrival emission. Fed in id order,
+    the run's accumulated (doc_id, pos) kept set equals the batch
+    paragraph_dedup over everything ingested."""
+    import time
+
+    from aquacache_spark.operators.dedup import paragraph_dedup
+    from aquacache_spark.streaming.stateful import (
+        streaming_paragraph_dedup)
+
+    def doc_rows(lo, hi):
+        # unique body + shared newsletter on every doc + shared
+        # copyright on every third — the cross-doc boilerplate shape
+        return [
+            (i, f"body {i} unique paragraph"
+                "\n\nsubscribe newsletter boilerplate"
+                + ("\n\ncopyright shared footer" if i % 3 == 0 else ""))
+            for i in range(lo, hi)
+        ]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    emitted = []
+
+    def process(df, epoch_id):
+        emitted.extend((r["doc_id"], r["pos"], r["para"])
+                       for r in df.collect())
+
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 1).load(str(landing)))
+    q = (streaming_paragraph_dedup(stream)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(process).start())
+    try:
+        # two phases, ascending ids (the keep-first order contract)
+        spark.createDataFrame(doc_rows(0, 12), schema) \
+            .coalesce(1).write.mode("append").parquet(str(landing))
+        q.processAllAvailable()
+        spark.createDataFrame(doc_rows(12, 24), schema) \
+            .coalesce(1).write.mode("append").parquet(str(landing))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(doc_rows(0, 24), schema)
+    out = paragraph_dedup(batch)
+    # batch kept set, reconstructed from the per-doc outputs
+    kept_docs = {r["doc_id"]: r["cleaned_text"].split("\n\n")
+                 for r in out.collect() if r["cleaned_text"]}
+    stream_kept = {}
+    for d, pos, para in emitted:
+        stream_kept.setdefault(d, []).append((pos, para))
+    stream_docs = {d: [p for _, p in sorted(v)]
+                   for d, v in stream_kept.items()}
+    assert stream_docs == kept_docs
+    # boilerplate kept exactly once, by doc 0
+    boiler = [d for d, paras in stream_docs.items()
+              if "subscribe newsletter boilerplate" in paras]
+    assert boiler == [0]
