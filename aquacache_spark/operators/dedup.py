@@ -268,6 +268,7 @@ def edit_distance_verify(
     max_dist: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dp_partitions: int | None = None,
 ) -> DataFrame:
     """Levenshtein verification of candidate near-dup pairs.
 
@@ -285,22 +286,37 @@ def edit_distance_verify(
 
     Scale: two shuffle equi-joins keyed on the doc id (candidate list
     x corpus — pair mass is bounded upstream by the band caps), then
-    map-only DP; texts never shuffle except against matched pairs.
+    map-only DP. The matched pairs are explicitly repartitioned
+    before the DP projection: the DP is CPU-bound while AQE sizes
+    partitions by BYTES, so the byte-coalesced join output would run
+    the whole verification on one or two tasks (measured 2.3s serial
+    vs 0.1s spread at sf0.1); an explicit count is exempt from AQE
+    re-coalescing. ``dp_partitions`` defaults to the cluster's
+    defaultParallelism.
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    n_dp = dp_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # The DP is wrapped in explode(array(...)): a Generate node is a
+    # predicate-pushdown BARRIER, so the >= 0 filter cannot be pushed
+    # below the repartition into the join as a residual condition —
+    # without it, Catalyst evaluates the levenshtein TWICE (once
+    # serially inside the byte-coalesced join stage, once in the
+    # final projection; measured 2.7s -> the join stage at sf0.1).
     return (
         pairs.select("id_a", "id_b")
         .join(a, "id_a")
         .join(b, "id_b")
-        .withColumn(
-            "edit_dist",
-            F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist),
+        .repartition(n_dp, "id_a", "id_b")
+        .select(
+            "id_a", "id_b",
+            F.explode(F.array(
+                F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+            )).alias("edit_dist"),
         )
         .where(F.col("edit_dist") >= 0)  # -1 = capped out (> max_dist)
-        .select("id_a", "id_b", "edit_dist")
     )
 
 
