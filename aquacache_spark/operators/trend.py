@@ -1141,3 +1141,130 @@ def regional_gev_uncertainty(annual: DataFrame,
         .alias("lo90_q"),
         (F.element_at("__arr", hi_rank).cast("double") / F.lit(1e9))
         .alias("hi90_q"))
+
+
+def flow_duration_curve(
+    daily: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Flow-duration curve per series: the flows exceeded 5/25/50/75/
+    95 % of the time (the standard FDC summary points; q50 is the
+    median daily flow, q95 the dependable low flow).
+
+    q_exc(p) = the daily value at ascending rank ceil((1-p) * n) —
+    an exact integer RANK selection over 1e-6-quantized longs, never
+    an interpolated quantile (the engine-wide idiom: interpolation
+    definitions differ in last-ulp expression shape across engines;
+    rank selection is bit-exact). The rank index itself is the same
+    IEEE multiply + ceil in both engines, so even the inexact-binary
+    probabilities pick identical ranks.
+
+    Scale: one shuffle on the series key; the sorted per-group value
+    array is bounded by days-per-series (~36.5k values per
+    century-station), never by the corpus.
+    """
+    vq = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("long")
+    agg = daily.select(*keys, vq.alias("__vq")).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(F.collect_list("__vq")).alias("__arr"))
+    n = F.col("n_days")
+    out_cols = []
+    for nm, pr in (("q05", 0.95), ("q25", 0.75), ("q50", 0.5),
+                   ("q75", 0.25), ("q95", 0.05)):
+        rank = F.greatest(
+            F.lit(1), F.ceil(F.lit(pr) * n).cast("long")).cast("int")
+        out_cols.append(
+            (F.element_at("__arr", rank) / F.lit(1e6)).alias(nm))
+    return agg.select(*keys, "n_days", *out_cols)
+
+
+def low_flow_frequency(
+    daily: DataFrame,
+    keys: Sequence[str],
+    date_col: str = "date",
+    value_col: str = "value",
+    window_days: int = 7,
+    Fq: float = 0.1,
+) -> DataFrame:
+    """T-year W-day low flow (the classic 7Q10 when window_days=7 and
+    Fq=0.1): annual minima of the W-day moving mean, fitted with a GEV
+    by L-moments on the NEGATED minima (minima of X are maxima of -X;
+    the reversed-GEV a.k.a. Weibull-type low-flow fit), quantile at
+    non-exceedance Fq mapped back, i.e. q = -q_{-X}(1 - Fq).
+
+    Exactness: daily values quantize to 1e-6 longs; the moving-window
+    sum, annual min, rank PWMs (s0/s1/s2) are all exact integer
+    arithmetic; the only float math is the shared z->k->Gamma(1+k)
+    fit chain (_gev_fit_cols' constants + _gamma_1p, mirrored
+    textually in the oracle) and the final unit conversion. Shape
+    validity window (-0.9, 1.5] as in the regional fits; series with
+    < 4 annual minima drop (t3 needs n >= 3).
+
+    The moving window is ROW-based over the series' date order — the
+    engine's resample/gap operators densify a sparse series first
+    when calendar-exact windows are required (same contract as the
+    rolling operators in operators/daily.py).
+
+    Scale: one shuffle on the series key for the window, one
+    map-side-combinable annual aggregation, then catalog-sized fit
+    math. Reference analog: none (the reference stores daily means,
+    patch_2 calculated_daily; low-flow statistics are the
+    WSC-published product of such a store).
+    """
+    import math
+
+    c_f = _GEV_CF.get(1.0 - Fq, math.log(-math.log(1.0 - Fq)))
+    vq = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(*keys).orderBy(date_col) \
+        .rowsBetween(-(window_days - 1), 0)
+    rolled = (
+        daily.select(*keys, F.col(date_col), vq.alias("__vq"))
+        .withColumn("__s", F.sum("__vq").over(w))
+        .withColumn("__c", F.count(F.lit(1)).over(w))
+        .where(F.col("__c") == window_days)
+    )
+    annual = rolled.groupBy(
+        *keys, F.year(date_col).cast("int").alias("yr")
+    ).agg(F.min("__s").alias("__m"))
+    # negate: minima of X are maxima of Y = -X; exact integer ranks
+    yv = annual.select(*keys, "yr", (-F.col("__m")).alias("__y"))
+    wr = Window.partitionBy(*keys).orderBy("__y", "yr")
+    ranked = yv.withColumn("i", F.row_number().over(wr))
+    # inline exact PWMs (not _pwm_ratios: the fit below needs l2
+    # itself, and deriving it as l1*t would add a mult/div round-trip
+    # the oracle text doesn't have — same-expression-shape discipline)
+    i, y = F.col("i"), F.col("__y")
+    g = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).alias("s0"),
+        F.sum((i - 1) * y).alias("s1"),
+        F.sum((i - 1) * (i - 2) * y).alias("s2"))
+    n, s0, s1, s2 = F.col("n"), F.col("s0"), F.col("s1"), F.col("s2")
+    l1c = s0.cast("double") / n
+    b1 = s1.cast("double") / (n * (n - 1))
+    b2 = s2.cast("double") / (n * (n - 1) * (n - 2))
+    l2c = 2 * b1 - l1c
+    l3c = 6 * b2 - 6 * b1 + l1c
+    pw = g.where(n >= 4).select(
+        *keys, "n", l1c.alias("l1"), l2c.alias("l2"),
+        (l3c / l2c).alias("t3"))
+    l1y, l2y = F.col("l1"), F.col("l2")
+    t3y = F.col("t3")
+    z = F.lit(2.0) / (F.lit(3.0) + t3y) - F.lit(_GEV_LN2_OVER_LN3)
+    kk = F.lit(7.8590) * z + F.lit(2.9554) * z * z
+    g1 = _gamma_1p(kk)
+    small = F.abs(kk) < F.lit(1e-12)
+    alpha = F.when(small, l2y * F.lit(_LM_INV_LN2)).otherwise(
+        l2y * kk / ((F.lit(1.0) - F.exp(-kk * F.lit(_GEV_LN2))) * g1))
+    xi = F.when(small, l1y - F.lit(0.5772156649015329) * alpha) \
+        .otherwise(l1y - alpha * (F.lit(1.0) - g1) / kk)
+    q_y = _gev_growth(kk, alpha, xi, c_f)
+    scale = float(window_days) * 1e6
+    valid = (kk > F.lit(-0.9)) & (kk <= F.lit(1.5))
+    return pw.select(
+        *keys, F.col("n").alias("n_years"),
+        (-l1y / F.lit(scale)).alias("mean_low"),
+        (-t3y).alias("t3_min"),
+        kk.alias("k_gev"),
+        F.when(valid, -q_y / F.lit(scale)).alias("q_low"))

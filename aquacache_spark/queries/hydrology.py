@@ -5345,3 +5345,163 @@ def regional_gev_uncertainty_q(spark: SparkSession,
     return _round(out, {"t_r": 6, "t3_r": 6, "k_gev": 6,
                         "growth_q": 6, "sim_mean_q": 6, "sim_sd_q": 6,
                         "lo90_q": 6, "hi90_q": 6})
+
+
+# ---------------------------------------------------------------------------
+# Flow-duration curve + W-day T-year low flow (7Q10). The FDC is an
+# exact integer rank selection (never an interpolated quantile); the
+# low-flow fit reuses the audited z -> k -> Gamma(1+k) GEV chain on
+# the NEGATED annual minima of the 7-day moving mean, with the
+# un-normalized (l1, l2)-based alpha/xi arms mirrored textually.
+# ---------------------------------------------------------------------------
+
+_DAILY_FLOW_SQL = """
+    daily AS (
+      SELECT o_orderpriority AS series, o_orderdate AS d,
+             max(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2
+    ), q AS (
+      SELECT series, d,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq
+      FROM daily
+    )
+"""
+
+_FDC_ORACLE = "WITH " + _DAILY_FLOW_SQL + f"""
+    , agg AS (
+      SELECT series, CAST(count(*) AS BIGINT) AS n_days,
+             array_agg(vq ORDER BY vq) AS arr
+      FROM q GROUP BY series
+    )
+    SELECT series, n_days,
+           {R("arr[CAST(greatest(1, ceil(0.95 * n_days)) AS INT)]"
+              " / 1000000.0", 6)} AS q05,
+           {R("arr[CAST(greatest(1, ceil(0.75 * n_days)) AS INT)]"
+              " / 1000000.0", 6)} AS q25,
+           {R("arr[CAST(greatest(1, ceil(0.5 * n_days)) AS INT)]"
+              " / 1000000.0", 6)} AS q50,
+           {R("arr[CAST(greatest(1, ceil(0.25 * n_days)) AS INT)]"
+              " / 1000000.0", 6)} AS q75,
+           {R("arr[CAST(greatest(1, ceil(0.05 * n_days)) AS INT)]"
+              " / 1000000.0", 6)} AS q95
+    FROM agg
+"""
+
+
+@register("flow_duration_curve", oracle=_FDC_ORACLE)
+def flow_duration_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series flow-duration curve (flows exceeded 5..95 % of the
+    time) by exact integer rank selection over quantized daily
+    values."""
+    from ..operators.trend import flow_duration_curve
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").alias("date"),
+    ).agg(F.max("o_totalprice").alias("value"))
+    out = flow_duration_curve(daily, ["series"])
+    return _round(out, {c: 6 for c in ("q05", "q25", "q50", "q75",
+                                       "q95")})
+
+
+def _lowflow_fit_laterals() -> str:
+    """The un-normalized GEV fit chain over (l1, l2, t3) of the
+    negated minima — the z -> k -> Gamma(1+k) text is shared with the
+    regional fits (_gev_horner_sql over the SAME coefficient list);
+    only the alpha/xi arms differ (absolute l2/l1, not the
+    index-flood-normalized ratios)."""
+    return f"""
+      LATERAL (SELECT 2.0 / (3.0 + lm.t3) - 0.6309297535714574 AS z) z1,
+      LATERAL (SELECT 7.859 * z1.z + 2.9554 * z1.z * z1.z AS k) k1,
+      LATERAL (SELECT CASE
+                 WHEN k1.k > 0.5
+                   THEN k1.k * exp({_gev_horner_sql('(k1.k - 1)')})
+                 WHEN k1.k < -0.5
+                   THEN exp({_gev_horner_sql('(k1.k + 1)')})
+                        / (1.0 + k1.k)
+                 ELSE exp({_gev_horner_sql('k1.k')})
+               END AS g1) g2,
+      LATERAL (SELECT CASE WHEN abs(k1.k) < 1e-12
+                    THEN lm.l2 * 1.4426950408889634
+                    ELSE lm.l2 * k1.k
+                         / ((1.0 - exp(-(k1.k) * 0.6931471805599453))
+                            * g2.g1) END AS alpha) a1,
+      LATERAL (SELECT CASE WHEN abs(k1.k) < 1e-12
+                    THEN lm.l1 - 0.5772156649015329 * a1.alpha
+                    ELSE lm.l1 - a1.alpha * (1.0 - g2.g1) / k1.k
+               END AS xi) x1"""
+
+
+_LOWFLOW_CF = repr(-2.2503673273124454)   # c_F = ln(-ln 0.9), T = 10
+_LOWFLOW_KT = repr(2.2503673273124454)
+
+_LOWFLOW_ORACLE = "WITH " + _DAILY_FLOW_SQL + f"""
+    , roll AS (
+      SELECT series, d,
+             sum(vq) OVER (PARTITION BY series ORDER BY d
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS s,
+             count(*) OVER (PARTITION BY series ORDER BY d
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS c
+      FROM q
+    ), ann AS (
+      SELECT series, CAST(year(d) AS INT) AS yr, min(s) AS m
+      FROM roll WHERE c = 7 GROUP BY 1, 2
+    ), rk AS (
+      SELECT series, yr, -m AS y,
+             row_number() OVER (PARTITION BY series ORDER BY -m, yr)
+               AS i
+      FROM ann
+    ), pw AS (
+      SELECT series, count(*) AS n, sum(y) AS s0,
+             sum((i - 1) * y) AS s1,
+             sum((i - 1) * (i - 2) * y) AS s2
+      FROM rk GROUP BY 1
+    ), lm AS (
+      SELECT series, n,
+             CAST(s0 AS DOUBLE) / n AS l1,
+             2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+               - CAST(s0 AS DOUBLE) / n AS l2,
+             (6 * (CAST(s2 AS DOUBLE) / (n * (n - 1) * (n - 2)))
+              - 6 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+              + CAST(s0 AS DOUBLE) / n)
+             / (2 * (CAST(s1 AS DOUBLE) / (n * (n - 1)))
+                - CAST(s0 AS DOUBLE) / n) AS t3
+      FROM pw WHERE n >= 4
+    ), fit AS (
+      SELECT lm.series, lm.n, lm.l1, lm.t3, k1.k AS k_gev,
+             CASE WHEN abs(k1.k) < 1e-12
+                  THEN x1.xi + a1.alpha * {_LOWFLOW_KT}
+                  ELSE x1.xi + a1.alpha
+                       * (1.0 - exp(k1.k * {_LOWFLOW_CF})) / k1.k
+             END AS q_y
+      FROM lm,{_lowflow_fit_laterals()}
+    )
+    SELECT series, CAST(n AS BIGINT) AS n_years,
+           {R("-(l1) / 7000000.0", 6)} AS mean_low,
+           {R("-(t3)", 6)} AS t3_min,
+           {R("k_gev", 6)} AS k_gev,
+           CASE WHEN k_gev > -0.9 AND k_gev <= 1.5
+                THEN {R("-(q_y) / 7000000.0", 6)} END AS q_low
+    FROM fit
+"""
+
+
+@register("low_flow_7q10", oracle=_LOWFLOW_ORACLE)
+def low_flow_7q10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7Q10 per series: annual minima of the 7-day moving mean fitted
+    with the reversed GEV by exact-integer L-moments, 10-year
+    non-exceedance quantile (operators/trend.low_flow_frequency)."""
+    from ..operators.trend import low_flow_frequency
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").alias("date"),
+    ).agg(F.max("o_totalprice").alias("value"))
+    out = low_flow_frequency(daily, ["series"])
+    return _round(out, {"mean_low": 6, "t3_min": 6, "k_gev": 6,
+                        "q_low": 6})

@@ -347,3 +347,67 @@ def test_regional_h_driver_matches_iid_ground_truth(spark):
     # and the homogeneous region must NOT be flagged
     assert abs(out["h_stat"]) < 3.0
     assert not out["definitely_heterogeneous"]
+
+
+def test_flow_duration_curve_rank_selection(spark):
+    """FDC closed form: values 1..100 -> q_exc(p) is the value at
+    ascending rank ceil((1-p)*100), exactly — no interpolation."""
+    import datetime as dt
+
+    from aquacache_spark.operators.trend import flow_duration_curve
+
+    d0 = dt.date(2000, 1, 1)
+    daily = spark.createDataFrame(
+        [("s", d0 + dt.timedelta(days=i), float(i + 1))
+         for i in range(100)],
+        "series string, date date, value double")
+    r = flow_duration_curve(daily, ["series"]).collect()[0]
+    assert r["n_days"] == 100
+    assert (r["q05"], r["q25"], r["q50"], r["q75"], r["q95"]) == \
+        (95.0, 75.0, 50.0, 25.0, 5.0)
+
+
+def test_low_flow_7q10_recovers_known_distribution(spark):
+    """GROUND-TRUTH pin (not the DuckDB mirror): plant 200 annual
+    minima drawn from a KNOWN reversed GEV by inverse CDF (each year
+    is seven constant days, so the 7-day rolling annual min IS the
+    planted value) and require the fitted 7Q10 to sit near the true
+    0.1 quantile and the shape near the true k."""
+    import datetime as dt
+    import math
+    import random
+
+    from aquacache_spark.operators.trend import low_flow_frequency
+
+    xi, alpha, k = 100.0, 20.0, 0.1
+    rng = random.Random(77)
+    rows = []
+    true_qy = xi + alpha * (1.0 - (-math.log(0.9)) ** k) / k
+    for yr in range(200):
+        u = rng.random()
+        y = xi + alpha * (1.0 - (-math.log(u)) ** k) / k
+        x = -y   # minima series value (negative, below the shoulders)
+        # 6 TRAILING shoulder days at 0 isolate the planted block:
+        # row-based windows legitimately span year boundaries (a
+        # drought can straddle Dec 31), so each year must END with
+        # shoulders — any window mixing a shoulder day averages above
+        # the (negative) x, hence the annual minimum IS the planted x
+        for day in range(7):
+            rows.append(("s", dt.date(1800 + yr, 6, 1)
+                         + dt.timedelta(days=day), x))
+        for day in range(6):
+            rows.append(("s", dt.date(1800 + yr, 6, 8)
+                         + dt.timedelta(days=day), 0.0))
+    daily = spark.createDataFrame(
+        rows, "series string, date date, value double")
+    r = low_flow_frequency(daily, ["series"]).collect()[0]
+    assert r["n_years"] == 200
+    true_q = -true_qy
+    assert r["q_low"] is not None
+    # n=200 L-moment sampling error: generous 4-sigma-ish bands
+    # (the same seed's faithful pure-Python fit gives q_y = 144.1
+    # vs true 140.3; the operator must land on the SAMPLE's fit)
+    assert abs(r["q_low"] - true_q) < 8.0, (r["q_low"], true_q)
+    assert abs(r["k_gev"] - k) < 0.15, r["k_gev"]
+    assert abs(r["mean_low"] - (-(xi + alpha * (1 - math.gamma(1 + k))
+                                  / k))) < 5.0
