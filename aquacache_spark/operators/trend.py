@@ -1268,3 +1268,64 @@ def low_flow_frequency(
         (-t3y).alias("t3_min"),
         kk.alias("k_gev"),
         F.when(valid, -q_y / F.lit(scale)).alias("q_low"))
+
+
+def drought_spells(
+    daily: DataFrame,
+    keys: Sequence[str],
+    date_col: str = "date",
+    value_col: str = "value",
+    threshold_exceedance: float = 0.9,
+) -> DataFrame:
+    """Threshold-level drought runs (Yevjevich run theory, the
+    standard low-flow spell analysis): consecutive days strictly
+    below the series' Q90 dependable flow (the value exceeded
+    ``threshold_exceedance`` of the time, from the same exact
+    rank-selection the FDC uses) collapse to spells with start/end,
+    duration and cumulative deficit sum(threshold - value).
+
+    Exactness: the threshold and deficits are exact integer
+    arithmetic over 1e-6-quantized values; spells number 1..k per
+    series by start date. Runs use the gaps-and-islands window idiom
+    shared with operators/segments.rle_segments.
+
+    Scale: one shuffle for the per-series threshold (bounded sorted
+    array per series, as the FDC), one for the run window — both
+    keyed on the series; spells are catalog-sized output.
+    """
+    vq = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("long")
+    d = daily.select(*keys, F.col(date_col), vq.alias("__vq"))
+    pr = 1.0 - threshold_exceedance
+    thr = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.array_sort(F.collect_list("__vq")).alias("__arr"))
+    rank = F.greatest(
+        F.lit(1), F.ceil(F.lit(pr) * F.col("__n")).cast("long")).cast("int")
+    thr = thr.select(*keys, F.element_at("__arr", rank).alias("__tq"))
+    j = d.join(thr, list(keys))
+    w = Window.partitionBy(*keys).orderBy(date_col)
+    below = F.col("__vq") < F.col("__tq")
+    runs = (
+        j.withColumn("__b", below)
+        .withColumn(
+            "__chg",
+            F.when(F.col("__b").eqNullSafe(
+                F.lag("__b").over(w)), 0).otherwise(1))
+        .withColumn("__seg", F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    spells = (
+        runs.where(F.col("__b"))
+        .groupBy(*keys, "__seg")
+        .agg(
+            F.min(date_col).alias("start_date"),
+            F.max(date_col).alias("end_date"),
+            F.count(F.lit(1)).cast("long").alias("duration_days"),
+            F.sum(F.col("__tq") - F.col("__vq")).alias("__def"))
+    )
+    ws = Window.partitionBy(*keys).orderBy("start_date")
+    return spells.select(
+        *keys,
+        F.row_number().over(ws).alias("spell_id"),
+        "start_date", "end_date", "duration_days",
+        (F.col("__def") / F.lit(1e6)).alias("deficit"))

@@ -5505,3 +5505,59 @@ def low_flow_7q10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = low_flow_frequency(daily, ["series"])
     return _round(out, {"mean_low": 6, "t3_min": 6, "k_gev": 6,
                         "q_low": 6})
+
+
+_DROUGHT_ORACLE = "WITH " + _DAILY_FLOW_SQL + """
+    , thr AS (
+      SELECT series,
+             arr[CAST(greatest(1, ceil(0.09999999999999998
+                                       * CAST(n AS BIGINT)))
+                 AS INT)] AS tq
+      FROM (SELECT series, count(*) AS n,
+                   array_agg(vq ORDER BY vq) AS arr
+            FROM q GROUP BY series)
+    ), j AS (
+      SELECT q.series, q.d, q.vq, thr.tq, (q.vq < thr.tq) AS b
+      FROM q JOIN thr USING (series)
+    ), runs AS (
+      SELECT series, d, vq, tq, b,
+             sum(chg) OVER (PARTITION BY series ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS seg
+      FROM (SELECT *, CASE WHEN b = lag(b) OVER
+                        (PARTITION BY series ORDER BY d)
+                      THEN 0 ELSE 1 END AS chg
+            FROM j)
+    ), spells AS (
+      SELECT series, seg, min(d) AS start_date, max(d) AS end_date,
+             CAST(count(*) AS BIGINT) AS duration_days,
+             sum(tq - vq) AS def
+      FROM runs WHERE b GROUP BY 1, 2
+    )
+    SELECT series,
+           CAST(row_number() OVER (PARTITION BY series
+                                   ORDER BY start_date) AS BIGINT)
+             AS spell_id,
+           start_date, end_date, duration_days,
+           {defq} AS deficit
+    FROM spells
+""".format(defq=R("CAST(def AS DOUBLE) / 1000000.0", 6))
+
+
+@register("drought_spells", oracle=_DROUGHT_ORACLE)
+def drought_spells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Below-Q90 drought runs per series (threshold-level run theory):
+    spell start/end/duration + exact-integer cumulative deficit
+    (operators/trend.drought_spells)."""
+    from ..operators.trend import drought_spells
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").alias("date"),
+    ).agg(F.max("o_totalprice").alias("value"))
+    out = drought_spells(daily, ["series"])
+    return _round(
+        out.select("series", F.col("spell_id").cast("long").alias("spell_id"),
+                   "start_date", "end_date", "duration_days", "deficit"),
+        {"deficit": 6})

@@ -411,3 +411,34 @@ def test_low_flow_7q10_recovers_known_distribution(spark):
     assert abs(r["k_gev"] - k) < 0.15, r["k_gev"]
     assert abs(r["mean_low"] - (-(xi + alpha * (1 - math.gamma(1 + k))
                                   / k))) < 5.0
+
+
+def test_drought_spells_closed_form(spark):
+    """Run-theory closed form: a 10-day series with two planted
+    below-threshold runs -> two spells with exact durations and
+    integer deficits; boundary days AT the threshold do not count
+    (strictly below)."""
+    import datetime as dt
+
+    from aquacache_spark.operators.trend import drought_spells
+
+    d0 = dt.date(2001, 1, 1)
+    # values: threshold = value at rank ceil(0.1*10)=1 of sorted ->
+    # the minimum... so use a wider series where Q90 is meaningful:
+    # 20 days, sorted rank ceil(0.1*20)=2 -> 2nd smallest = 3.0
+    vals = [10.0] * 20
+    vals[4] = 1.0   # spell 1: days 5-6
+    vals[5] = 2.0
+    vals[10] = 3.0  # exactly the threshold -> NOT below
+    vals[15] = 2.5  # spell 2: day 16
+    rows = [("s", d0 + dt.timedelta(days=i), v)
+            for i, v in enumerate(vals)]
+    daily = spark.createDataFrame(
+        rows, "series string, date date, value double")
+    out = drought_spells(daily, ["series"]).collect()
+    got = [(r["spell_id"], r["start_date"], r["end_date"],
+            r["duration_days"], round(r["deficit"], 6)) for r in out]
+    # threshold = 2nd smallest = 2.0? sorted: [1.0, 2.0, 2.5, 3.0,
+    # 10.0 x16] -> rank 2 = 2.0; strictly below 2.0 -> only day 5
+    assert got == [(1, d0 + dt.timedelta(days=4),
+                    d0 + dt.timedelta(days=4), 1, 1.0)], got
