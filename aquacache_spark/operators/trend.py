@@ -1143,43 +1143,7 @@ def regional_gev_uncertainty(annual: DataFrame,
         .alias("hi90_q"))
 
 
-def flow_duration_curve(
-    daily: DataFrame,
-    keys: Sequence[str],
-    value_col: str = "value",
-) -> DataFrame:
-    """Flow-duration curve per series: the flows exceeded 5/25/50/75/
-    95 % of the time (the standard FDC summary points; q50 is the
-    median daily flow, q95 the dependable low flow).
-
-    q_exc(p) = the daily value at ascending rank ceil((1-p) * n) —
-    an exact integer RANK selection over 1e-6-quantized longs, never
-    an interpolated quantile (the engine-wide idiom: interpolation
-    definitions differ in last-ulp expression shape across engines;
-    rank selection is bit-exact). The rank index itself is the same
-    IEEE multiply + ceil in both engines, so even the inexact-binary
-    probabilities pick identical ranks.
-
-    Scale: one shuffle on the series key; the sorted per-group value
-    array is bounded by days-per-series (~36.5k values per
-    century-station), never by the corpus.
-    """
-    vq = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("long")
-    agg = daily.select(*keys, vq.alias("__vq")).groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.array_sort(F.collect_list("__vq")).alias("__arr"))
-    n = F.col("n_days")
-    out_cols = []
-    for nm, pr in (("q05", 0.95), ("q25", 0.75), ("q50", 0.5),
-                   ("q75", 0.25), ("q95", 0.05)):
-        rank = F.greatest(
-            F.lit(1), F.ceil(F.lit(pr) * n).cast("long")).cast("int")
-        out_cols.append(
-            (F.element_at("__arr", rank) / F.lit(1e6)).alias(nm))
-    return agg.select(*keys, "n_days", *out_cols)
-
-
-def low_flow_frequency(
+def low_flow_gev_fit(
     daily: DataFrame,
     keys: Sequence[str],
     date_col: str = "date",

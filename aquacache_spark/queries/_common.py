@@ -46,6 +46,14 @@ ORACLES: Dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # a silent overwrite evicts a validated query from the
+            # registry with no failure anywhere (r12 review find: a
+            # second flow_duration_curve registration shadowed the
+            # original and its oracle)
+            raise ValueError(
+                f"duplicate query registration: {name!r} already maps "
+                f"to {QUERIES[name].__module__}.{QUERIES[name].__name__}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

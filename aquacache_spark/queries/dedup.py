@@ -3812,17 +3812,7 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import paragraph_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    synth = docs.select(
-        "doc_id",
-        F.concat(
-            F.regexp_replace(F.col("text"), r"((?:\S+ ){8})", "$1\n\n"),
-            F.lit("\n\nsubscribe to our newsletter today"),
-            F.when(F.col("doc_id") % 2 == 0,
-                   F.lit("\n\ncopyright footer all rights reserved"))
-            .otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    out = paragraph_dedup(synth)
+    out = paragraph_dedup(_para_synth(docs))
     return out.select(
         "doc_id", "cleaned_text",
         F.col("n_kept").cast("long").alias("n_kept"),

@@ -5348,11 +5348,13 @@ def regional_gev_uncertainty_q(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
-# Flow-duration curve + W-day T-year low flow (7Q10). The FDC is an
-# exact integer rank selection (never an interpolated quantile); the
-# low-flow fit reuses the audited z -> k -> Gamma(1+k) GEV chain on
-# the NEGATED annual minima of the 7-day moving mean, with the
-# un-normalized (l1, l2)-based alpha/xi arms mirrored textually.
+# Distribution-FITTED W-day T-year low flow (7Q10) — the T-year
+# quantile the empirical low_flow_frequency table (Weibull ranks,
+# above) cannot extrapolate beyond the record; reuses the audited
+# z -> k -> Gamma(1+k) GEV chain on the NEGATED annual minima of the
+# 7-day moving mean, un-normalized (l1, l2) alpha/xi arms mirrored
+# textually. Plus threshold-level drought runs over the same daily
+# tier.
 # ---------------------------------------------------------------------------
 
 _DAILY_FLOW_SQL = """
@@ -5367,44 +5369,6 @@ _DAILY_FLOW_SQL = """
       FROM daily
     )
 """
-
-_FDC_ORACLE = "WITH " + _DAILY_FLOW_SQL + f"""
-    , agg AS (
-      SELECT series, CAST(count(*) AS BIGINT) AS n_days,
-             array_agg(vq ORDER BY vq) AS arr
-      FROM q GROUP BY series
-    )
-    SELECT series, n_days,
-           {R("arr[CAST(greatest(1, ceil(0.95 * n_days)) AS INT)]"
-              " / 1000000.0", 6)} AS q05,
-           {R("arr[CAST(greatest(1, ceil(0.75 * n_days)) AS INT)]"
-              " / 1000000.0", 6)} AS q25,
-           {R("arr[CAST(greatest(1, ceil(0.5 * n_days)) AS INT)]"
-              " / 1000000.0", 6)} AS q50,
-           {R("arr[CAST(greatest(1, ceil(0.25 * n_days)) AS INT)]"
-              " / 1000000.0", 6)} AS q75,
-           {R("arr[CAST(greatest(1, ceil(0.05 * n_days)) AS INT)]"
-              " / 1000000.0", 6)} AS q95
-    FROM agg
-"""
-
-
-@register("flow_duration_curve", oracle=_FDC_ORACLE)
-def flow_duration_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series flow-duration curve (flows exceeded 5..95 % of the
-    time) by exact integer rank selection over quantized daily
-    values."""
-    from ..operators.trend import flow_duration_curve
-
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.col("o_orderpriority").alias("series"),
-        F.col("o_orderdate").alias("date"),
-    ).agg(F.max("o_totalprice").alias("value"))
-    out = flow_duration_curve(daily, ["series"])
-    return _round(out, {c: 6 for c in ("q05", "q25", "q50", "q75",
-                                       "q95")})
-
 
 def _lowflow_fit_laterals() -> str:
     """The un-normalized GEV fit chain over (l1, l2, t3) of the
@@ -5494,15 +5458,15 @@ _LOWFLOW_ORACLE = "WITH " + _DAILY_FLOW_SQL + f"""
 def low_flow_7q10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7Q10 per series: annual minima of the 7-day moving mean fitted
     with the reversed GEV by exact-integer L-moments, 10-year
-    non-exceedance quantile (operators/trend.low_flow_frequency)."""
-    from ..operators.trend import low_flow_frequency
+    non-exceedance quantile (operators/trend.low_flow_gev_fit)."""
+    from ..operators.trend import low_flow_gev_fit
 
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderpriority").alias("series"),
         F.col("o_orderdate").alias("date"),
     ).agg(F.max("o_totalprice").alias("value"))
-    out = low_flow_frequency(daily, ["series"])
+    out = low_flow_gev_fit(daily, ["series"])
     return _round(out, {"mean_low": 6, "t3_min": 6, "k_gev": 6,
                         "q_low": 6})
 

@@ -349,24 +349,6 @@ def test_regional_h_driver_matches_iid_ground_truth(spark):
     assert not out["definitely_heterogeneous"]
 
 
-def test_flow_duration_curve_rank_selection(spark):
-    """FDC closed form: values 1..100 -> q_exc(p) is the value at
-    ascending rank ceil((1-p)*100), exactly — no interpolation."""
-    import datetime as dt
-
-    from aquacache_spark.operators.trend import flow_duration_curve
-
-    d0 = dt.date(2000, 1, 1)
-    daily = spark.createDataFrame(
-        [("s", d0 + dt.timedelta(days=i), float(i + 1))
-         for i in range(100)],
-        "series string, date date, value double")
-    r = flow_duration_curve(daily, ["series"]).collect()[0]
-    assert r["n_days"] == 100
-    assert (r["q05"], r["q25"], r["q50"], r["q75"], r["q95"]) == \
-        (95.0, 75.0, 50.0, 25.0, 5.0)
-
-
 def test_low_flow_7q10_recovers_known_distribution(spark):
     """GROUND-TRUTH pin (not the DuckDB mirror): plant 200 annual
     minima drawn from a KNOWN reversed GEV by inverse CDF (each year
@@ -377,7 +359,7 @@ def test_low_flow_7q10_recovers_known_distribution(spark):
     import math
     import random
 
-    from aquacache_spark.operators.trend import low_flow_frequency
+    from aquacache_spark.operators.trend import low_flow_gev_fit
 
     xi, alpha, k = 100.0, 20.0, 0.1
     rng = random.Random(77)
@@ -400,7 +382,7 @@ def test_low_flow_7q10_recovers_known_distribution(spark):
                          + dt.timedelta(days=day), 0.0))
     daily = spark.createDataFrame(
         rows, "series string, date date, value double")
-    r = low_flow_frequency(daily, ["series"]).collect()[0]
+    r = low_flow_gev_fit(daily, ["series"]).collect()[0]
     assert r["n_years"] == 200
     true_q = -true_qy
     assert r["q_low"] is not None
@@ -427,10 +409,10 @@ def test_drought_spells_closed_form(spark):
     # the minimum... so use a wider series where Q90 is meaningful:
     # 20 days, sorted rank ceil(0.1*20)=2 -> 2nd smallest = 3.0
     vals = [10.0] * 20
-    vals[4] = 1.0   # spell 1: days 5-6
-    vals[5] = 2.0
-    vals[10] = 3.0  # exactly the threshold -> NOT below
-    vals[15] = 2.5  # spell 2: day 16
+    vals[4] = 1.0   # the only value strictly below the threshold
+    vals[5] = 2.0   # becomes the threshold itself (2nd smallest)
+    vals[10] = 3.0  # above the threshold
+    vals[15] = 2.5  # above the threshold
     rows = [("s", d0 + dt.timedelta(days=i), v)
             for i, v in enumerate(vals)]
     daily = spark.createDataFrame(
