@@ -65,7 +65,9 @@ def _bm25_contribs(
     # term's in-doc count is unaffected by dropping other terms, so
     # the count shuffle carries only query-term hits — bounded by
     # query vocabulary x docs — instead of the corpus's entire
-    # (doc, term) space (r12: 1.9x on the sf0.1 bench pair). Document
+    # (doc, term) space. Unmeasurable at the bench SF (its fixture
+    # vocabulary is ~40 words, A/B'd at parity), but at web scale the
+    # dropped shuffle is the full corpus vocabulary x docs. Document
     # frequency is then a count window over the restricted set (one
     # row per (doc, term)), so the postings subtree is scanned ONCE.
     cand = (
