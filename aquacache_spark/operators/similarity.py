@@ -973,3 +973,54 @@ def semantic_dedup_blas(
     return out.select(
         id_col, "centroid_id",
         (F.col("__csim") / 1e9).alias("centroid_sim"), "kept")
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard negatives for contrastive retrieval training (the
+    DPR/ANCE recipe): per query, the ``k`` highest-cosine corpus
+    items NOT labeled as positives — the near-miss items a dense
+    retriever most needs to learn to separate.
+
+    ``positives``: labeled (query_id, neighbor_id) pairs. Exclusion
+    joins the SCORED candidate pairs before the rank window — an
+    over-fetch-then-filter would undercount whenever a query's
+    positives crowd the head of the ranking.
+
+    Output: query_id, neighbor_id, cosine, rank (1..k over the
+    surviving negatives).
+
+    Scale: same shape as :func:`cosine_topk` (queries broadcast
+    against the corpus scan, 1e-9-quantized rank order); the
+    exclusion is an equi-anti-join on (query_id, neighbor_id) that
+    AQE broadcasts when the label set is small.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"))
+    dot = _dot(F.col("__qv"), F.col("__cv"))
+    nq = F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+    nc = F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (nq * nc))
+        .join(positives.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(_qrank(F.col("cosine"))), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

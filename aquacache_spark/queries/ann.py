@@ -1840,3 +1840,51 @@ def mann_kendall_blas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("series", "yr", "n_days", "s_stat", "var_s", "z",
                 "sen_slope")
     return _round(out, {"var_s": 6, "z": 6, "sen_slope": 6})
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (DPR/ANCE): top-k cosine neighbors EXCLUDING
+# the labeled positives. The fixture labels each query's true top-2
+# as its positives (realistically the most-similar items ARE the
+# labels), so the exclusion provably fires: the mined negatives are
+# exactly raw ranks 3..k+2, re-ranked 1..k.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine
+      FROM q, c WHERE query_id <> neighbor_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY floor(cosine * 1000000000.0 + 0.5) DESC,
+                                            neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, {R('cosine', 6)} AS cosine,
+           rank - 2 AS rank
+    FROM r WHERE rank > 2 AND rank <= 7
+"""
+
+
+@register("hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives per query with the true top-2 labeled positive
+    (operators/similarity.hard_negative_mining): exclusion on the
+    scored pairs before the rank window."""
+    from ..operators.similarity import cosine_topk, hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    positives = cosine_topk(emb, queries, k=2) \
+        .select("query_id", "neighbor_id")
+    out = hard_negative_mining(emb, queries, positives, k=5)
+    return _round(out, {"cosine": 6})

@@ -189,3 +189,32 @@ def test_task_cache_caches_none_values():
     assert c.get_or("b", compute) == "B"
     assert c.get_or("b", compute) == "B"
     assert calls == ["null-key", "a", "b", "b"]
+
+
+def test_hard_negative_mining_excludes_positives(spark):
+    """Closed-form: 1-D-ish vectors make the ranking obvious; labeled
+    positives vanish from the mined set and ranks renumber 1..k; an
+    empty label set degenerates to cosine_topk exactly."""
+    from aquacache_spark.operators.similarity import (
+        cosine_topk, hard_negative_mining)
+
+    # corpus on a line: cosine to the query orders by angle
+    rows = [(i, [1.0, float(i) / 10.0]) for i in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 0)
+    top = cosine_topk(emb, q, k=5).collect()
+    order = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3, 4, 5]  # closest angles first
+    pos = spark.createDataFrame(
+        [(0, 1), (0, 3)], "query_id long, neighbor_id long")
+    mined = hard_negative_mining(emb, q, pos, k=3).collect()
+    got = [(r["rank"], r["neighbor_id"]) for r in
+           sorted(mined, key=lambda r: r["rank"])]
+    assert got == [(1, 2), (2, 4), (3, 5)]
+    empty = spark.createDataFrame(
+        [], "query_id long, neighbor_id long")
+    degen = [(r["rank"], r["neighbor_id"]) for r in sorted(
+        hard_negative_mining(emb, q, empty, k=5).collect(),
+        key=lambda r: r["rank"])]
+    assert degen == [(i + 1, n) for i, n in enumerate(order)]
