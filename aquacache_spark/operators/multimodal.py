@@ -360,6 +360,21 @@ def extract_wav_features(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Decouple the synth/codec kernels' parallelism from file splits
+    (the CPU-bound-kernel twin of dedup._spread_scan): an id list read
+    from a small parquet is ONE task, serializing every encode/decode
+    in the fixture tier on one core (measured: the 16-frame AVI synth
+    + shot decode at sf0.1 ran 4.1s single-task). Shuffling bare ids
+    is free relative to the codec work; left alone when the scan
+    already yields enough splits (the 100 TB case)."""
+    sc = df.sparkSession.sparkContext
+    ids = df.select(id_col)
+    if ids.rdd.getNumPartitions() < sc.defaultParallelism:
+        ids = ids.repartition(sc.defaultParallelism, id_col)
+    return ids
+
+
 def synthesize_wavs(
     df: DataFrame,
     id_col: str = "media_id",
@@ -387,7 +402,7 @@ def synthesize_wavs(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -629,7 +644,7 @@ def synthesize_pngs(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 def synthesize_bmps(
@@ -665,7 +680,7 @@ def synthesize_bmps(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -753,7 +768,7 @@ def synthesize_jpegs(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 def synthesize_jpegs12(
@@ -788,7 +803,7 @@ def synthesize_jpegs12(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 def synthesize_progressive_jpegs(
@@ -823,7 +838,7 @@ def synthesize_progressive_jpegs(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1172,7 +1187,7 @@ def synthesize_intro_avis(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 def synthesize_group_avis(
@@ -1216,7 +1231,7 @@ def synthesize_group_avis(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1640,7 +1655,7 @@ def synthesize_tone_wavs(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 def synthesize_pattern_bmps(
@@ -1684,7 +1699,7 @@ def synthesize_pattern_bmps(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1793,7 +1808,7 @@ def synthesize_avis(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.select(id_col).mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 def synthesize_gifs(
