@@ -361,18 +361,17 @@ def extract_wav_features(
 
 
 def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
-    """Decouple the synth/codec kernels' parallelism from file splits
-    (the CPU-bound-kernel twin of dedup._spread_scan): an id list read
-    from a small parquet is ONE task, serializing every encode/decode
-    in the fixture tier on one core (measured: the 16-frame AVI synth
-    + shot decode at sf0.1 ran 4.1s single-task). Shuffling bare ids
-    is free relative to the codec work; left alone when the scan
-    already yields enough splits (the 100 TB case)."""
-    sc = df.sparkSession.sparkContext
-    ids = df.select(id_col)
-    if ids.rdd.getNumPartitions() < sc.defaultParallelism:
-        ids = ids.repartition(sc.defaultParallelism, id_col)
-    return ids
+    """Decouple the synth/codec kernels' parallelism from file splits:
+    an id list read from a small parquet is ONE task, serializing
+    every encode/decode in the fixture tier on one core (measured:
+    the 16-frame AVI synth + shot decode at sf0.1 ran 4.1s
+    single-task). Shuffling bare ids is free relative to the codec
+    work; left alone when the scan already yields enough splits (the
+    100 TB case). One shared heuristic with the hashing tier:
+    delegates to dedup._spread_scan over the projected id column."""
+    from .dedup import _spread_scan
+
+    return _spread_scan(df.select(id_col), id_col)
 
 
 def synthesize_wavs(
@@ -1843,7 +1842,7 @@ def synthesize_gifs(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "content": blobs})
 
-    return df.mapInPandas(batches, schema)
+    return _spread_ids(df, id_col).mapInPandas(batches, schema)
 
 
 def extract_gif_features(

@@ -66,25 +66,40 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    ``exclude``: optional (query_id, neighbor_id) pairs anti-joined
+    out of the SCORED candidates before the rank window (the
+    hard-negative-mining hook — excluding after the window would
+    undercount whenever excluded pairs crowd the head).
+
+    Norms are computed once per corpus/query row in the projections
+    (not per scored pair — the corpus norm would otherwise be
+    recomputed n_queries times per row).
 
     Output: query_id, neighbor_id, cosine, rank.
     """
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
     )
+    c = c.withColumn("__nc", F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
+    q = q.withColumn("__nq", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
     dot = _dot(F.col("__qv"), F.col("__cv"))
-    nq = F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
-    nc = F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot / (nq * nc))
+        .withColumn("cosine", dot / (F.col("__nq") * F.col("__nc")))
     )
+    if exclude is not None:
+        scored = scored.join(
+            exclude.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(
         F.desc(_qrank(F.col("cosine"))), F.asc("neighbor_id"))
     return (
@@ -999,28 +1014,10 @@ def hard_negative_mining(
     Scale: same shape as :func:`cosine_topk` (queries broadcast
     against the corpus scan, 1e-9-quantized rank order); the
     exclusion is an equi-anti-join on (query_id, neighbor_id) that
-    AQE broadcasts when the label set is small.
+    AQE broadcasts when the label set is small. Thin wrapper over
+    :func:`cosine_topk`'s ``exclude`` hook — one scoring/ranking
+    body, so a tie-break or quantization change cannot diverge the
+    two (the empty-label degeneration test pins the equivalence).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__cv"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("__qv"))
-    dot = _dot(F.col("__qv"), F.col("__cv"))
-    nq = F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
-    nc = F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot / (nq * nc))
-        .join(positives.select("query_id", "neighbor_id"),
-              ["query_id", "neighbor_id"], "left_anti")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(_qrank(F.col("cosine"))), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return cosine_topk(corpus, queries, id_col=id_col,
+                       vec_col=vec_col, k=k, exclude=positives)
