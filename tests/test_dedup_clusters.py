@@ -221,3 +221,55 @@ def test_edit_distance_verify_cap(spark):
     assert edit_distance_verify(docs, pairs, max_dist=2).count() == 0
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_verify(docs, pairs, max_dist=-1)
+
+
+def test_paragraph_dedup_randomized_vs_reference(spark):
+    """Randomized differential vs an INDEPENDENT pure-Python keep-first
+    implementation (not the DuckDB mirror), plus idempotence: re-running
+    on the cleaned corpus drops nothing."""
+    import random
+    import re
+
+    from aquacache_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(1234)
+    vocab = ["alpha", "beta", "Gamma", "delta  x", "epsilon"]
+    rows = []
+    for doc in range(40):
+        paras = []
+        for _ in range(rng.randint(0, 5)):
+            # small paragraph space forces plenty of cross-doc repeats;
+            # mixed case + double spaces exercise normalization
+            paras.append(" ".join(rng.choices(vocab, k=rng.randint(1, 3))))
+        rows.append((doc, "\n\n".join(paras)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def norm(p):
+        return re.sub(r"\s+", " ", p.strip()).lower()
+
+    # independent reference: first (doc, pos) per normalized paragraph
+    seen, ref = set(), {}
+    for doc, text in rows:
+        kept = []
+        n_all = 0
+        for p in re.split(r"\n{2,}", text):
+            if not p.strip():
+                continue
+            n_all += 1
+            key = norm(p)
+            if key not in seen:
+                seen.add(key)
+                kept.append(p)
+        ref[doc] = ("\n\n".join(kept), len(kept), n_all - len(kept))
+
+    out = {r["doc_id"]: (r["cleaned_text"], r["n_kept"], r["n_dropped"])
+           for r in paragraph_dedup(docs).collect()}
+    assert out == ref
+    # idempotence: a second pass over the cleaned corpus is a no-op
+    cleaned = spark.createDataFrame(
+        [(d, t) for d, (t, _, _) in ref.items()],
+        "doc_id long, text string")
+    again = paragraph_dedup(cleaned).collect()
+    assert all(r["n_dropped"] == 0 for r in again)
+    assert {r["doc_id"]: r["cleaned_text"] for r in again} == \
+        {d: t for d, (t, _, _) in ref.items()}
