@@ -273,3 +273,42 @@ def test_paragraph_dedup_randomized_vs_reference(spark):
     assert all(r["n_dropped"] == 0 for r in again)
     assert {r["doc_id"]: r["cleaned_text"] for r in again} == \
         {d: t for d, (t, _, _) in ref.items()}
+
+
+def test_edit_distance_verify_randomized_vs_reference(spark):
+    """Randomized differential vs an independent pure-Python
+    Levenshtein (classic DP, no banding): the JVM threshold-capped
+    implementation must agree exactly on kept pairs and distances,
+    and drop precisely the pairs whose true distance exceeds the
+    cap."""
+    import random
+
+    from aquacache_spark.operators.dedup import edit_distance_verify
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(99)
+    alphabet = "abcd "
+    texts = {}
+    for i in range(30):
+        base = "".join(rng.choices(alphabet, k=rng.randint(0, 25)))
+        texts[i] = base
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    pairs = [(a, b) for a in range(30) for b in range(30) if a < b]
+    cand = spark.createDataFrame(pairs, "id_a long, id_b long")
+    max_dist = 6
+    got = {(r["id_a"], r["id_b"]): r["edit_dist"]
+           for r in edit_distance_verify(docs, cand, max_dist).collect()}
+    want = {(a, b): d for a, b in pairs
+            if (d := lev(texts[a], texts[b])) <= max_dist}
+    assert got == want
+    assert want and len(want) < len(pairs)  # both arms exercised
