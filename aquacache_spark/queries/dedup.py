@@ -3914,3 +3914,67 @@ def incremental_paragraph_parity_q(spark: SparkSession,
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("n_dropped").cast("long").alias("n_dropped"),
     )
+
+
+# Composition: connected components over the edit-VERIFIED pair graph
+# (the precision tier feeding the same pointer-jumping CC every other
+# dedup tier uses). On the planted corpus each real doc and its 2-edit
+# mutant form a 2-node cluster; noise pairs were capped out, so no
+# chain merges them.
+_EDIT_CLUSTERS_ORACLE = """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'xx' || substr(text, 3) AS text
+      FROM documents
+    ), cand AS (
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+      UNION ALL
+      SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+    ), verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN corpus a ON a.doc_id = c.id_a
+      JOIN corpus b ON b.doc_id = c.id_b
+      WHERE levenshtein(a.text, b.text) <= 10
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ), reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, cluster_rep,
+           count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM comp
+"""
+
+
+@register("edit_verified_clusters", oracle=_EDIT_CLUSTERS_ORACLE)
+def edit_verified_clusters_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """CC over the Levenshtein-verified pair graph: the precision tier
+    composed with the same pointer-jumping components every dedup
+    tier shares; every planted (doc, mutant) pair must land in a
+    2-node cluster and nothing else may merge."""
+    from ..operators.dedup import duplicate_clusters, edit_distance_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    mut = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("xx"), F.expr("substring(text, 3)")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mut)
+    cand = (
+        docs.select(F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1000000).alias("id_b"))
+        .unionByName(
+            docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1).alias("id_b")))
+    )
+    pairs = edit_distance_verify(corpus, cand, max_dist=10) \
+        .select("id_a", "id_b")
+    return duplicate_clusters(pairs, corpus.select("doc_id"))
