@@ -315,3 +315,30 @@ def test_incremental_paragraph_dedup(spark, tmp_path):
     # block set of each call's small per-doc output (3 calls ran)
     stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert len(stored) - before <= 3, [r.name() for r in stored]
+
+
+def test_incremental_paragraph_dedup_degenerate_batches(spark, tmp_path):
+    """A daily drop consisting ENTIRELY of known boilerplate (kept set
+    empty -> zero-row merge) and a zero-doc batch must both complete
+    without error and leave the store untouched."""
+    from aquacache_spark.operators.dedup import incremental_paragraph_dedup
+    from aquacache_spark.sources.store import ParquetMergeStore
+
+    store = ParquetMergeStore(
+        spark, str(tmp_path / "edge"), key_cols=["fp"],
+        series_col="fp", n_buckets=4)
+    b1 = spark.createDataFrame([(1, "shared footer")],
+                               "doc_id long, text string")
+    incremental_paragraph_dedup(store, b1)
+    rows_before = store.read().count()
+    # all-duplicate batch: everything drops, store unchanged
+    b2 = spark.createDataFrame([(2, "shared  FOOTER")],  # normalizes equal
+                               "doc_id long, text string")
+    out = incremental_paragraph_dedup(store, b2).collect()
+    assert [(r["doc_id"], r["cleaned_text"], r["n_kept"], r["n_dropped"])
+            for r in out] == [(2, "", 0, 1)]
+    assert store.read().count() == rows_before
+    # empty batch: no rows out, store unchanged
+    b3 = spark.createDataFrame([], "doc_id long, text string")
+    assert incremental_paragraph_dedup(store, b3).count() == 0
+    assert store.read().count() == rows_before
