@@ -1204,8 +1204,18 @@ _MK_ORACLE = """
 @register("mann_kendall_trend", oracle=_MK_ORACLE)
 def mann_kendall_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(order priority, year) Mann-Kendall S/Var/Z + Sen slope
-    over daily maximum order totals."""
-    from ..operators.trend import mann_kendall
+    over daily maximum order totals.
+
+    r12 optimization: routed through the kernel twin
+    (operators/trend.mann_kendall_blas) — the JVM path self-joins the
+    daily frame into the full (days choose 2) pair mass and ships it
+    through 22 exchanges (3.5s at sf0.1; plans/r12/
+    mann_kendall_trend_before.txt), the twin shuffles n rows per group
+    and builds the triangle in-kernel (0.93s, same oracle; bit-parity
+    pinned by tests/test_blas_kernels.py::
+    test_mann_kendall_twin_bit_parity). Guide §2.3/§4.2: shuffle
+    keys-and-values once, do the quadratic work vectorized per task."""
+    from ..operators.trend import mann_kendall_blas as mann_kendall
 
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(

@@ -5299,19 +5299,22 @@ _MODEL_QUALITY_ORACLE = f"""
 
 @register("model_quality_score", oracle=_MODEL_QUALITY_ORACLE)
 def model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed linear quality classifier over the documents corpus."""
-    from ..functions.text import hashed_linear_score, tokens
+    """Hashed linear quality classifier over the documents corpus.
+
+    r12 optimization: routed through the Arrow kernel
+    (functions/text.hashed_linear_score_frame) instead of the JVM
+    expression fold — the fold md5-hashes every gram INSTANCE and was
+    the #2 standalone bench cost (5.0s at sf0.1 vs 0.48s for the
+    kernel, same oracle); bit-parity between the two paths stays
+    pinned at the operator level
+    (tests/test_blas_kernels.py::
+    test_model_quality_blas_matches_jvm_exact),
+    so the JVM fold remains covered without burning 4.5s of bench
+    wall per run (guide §4.2: hand whole batches to native code)."""
+    from ..functions.text import hashed_linear_score_frame
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    n = F.size(toks)
-    n_features = n + F.greatest(n - 1, F.lit(0))
-    out = docs.select(
-        "doc_id",
-        n_features.cast("long").alias("n_features"),
-        hashed_linear_score(F.col("text"), num_buckets=4096)
-        .alias("quality_prob"),
-    )
+    out = hashed_linear_score_frame(docs, num_buckets=4096)
     return _round(out, {"quality_prob": 6})
 
 

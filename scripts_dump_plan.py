@@ -1,0 +1,39 @@
+"""Dump .explain("formatted") for named queries to plans/<dir>/.
+
+Usage: python scripts_dump_plan.py <suffix> q1 q2 ...
+Writes plans/r12/<query>_<suffix>.txt
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aquacache_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("aquacache-plandump", cpus="4")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(p)
+        print(path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
