@@ -1306,6 +1306,7 @@ def _repeated_gram_positions(
     semi-join filters the gram table to surviving hashes: linear
     output per hot hash, AQE-splittable, spill-safe.
     """
+    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     from ..functions.text import bind, md5_int, tokens
@@ -1338,18 +1339,43 @@ def _repeated_gram_positions(
     )
     if persist:
         grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    # counts-only reduction: count_distinct plans as a (h, doc)
-    # partial-distinct then a plain count — constant per-key state, no
-    # arrays, so a gram in millions of docs costs rows, not one
-    # reducer's heap. The semi-join back is linear in the hot hash's
-    # gram rows (right side is distinct hashes) and AQE-splittable.
-    survivors = (
-        grams.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .where(F.col("__nd") >= 2)
-        .select("h")
+        # counts-only reduction: count_distinct plans as a (h, doc)
+        # partial-distinct then a plain count — constant per-key
+        # state, no arrays, so a gram in millions of docs costs rows,
+        # not one reducer's heap. The semi-join back is linear in the
+        # hot hash's gram rows (right side is distinct hashes) and
+        # AQE-splittable; both passes read the cached gram table, so
+        # the hashing runs once.
+        survivors = (
+            grams.groupBy("h")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+            .where(F.col("__nd") >= 2)
+            .select("h")
+        )
+        dup = grams.join(survivors, "h", "left_semi") \
+            .select(id_col, "pos")
+        return base.drop("__g"), dup, grams
+    # Lazy path (r12): ONE pass over the grams. The former two-pass
+    # shape (count_distinct reduction + semi-join probe) recomputed
+    # the map-side gram hashing per pass and planned three shuffle
+    # exchanges plus a broadcast; "occurs in >= 2 documents" is
+    # equivalently min(doc) != max(doc) over the hash group, which one
+    # hash-keyed window computes over a SINGLE exchange of the gram
+    # rows — the gram bytes and the md5 work move exactly once (guide
+    # §2.4/§8; plans/r12/repeated_span_coverage_{before,after}.txt).
+    # Hot-gram note: a boilerplate gram shared by millions of docs now
+    # lands one sort-based window partition (linear, spill-safe, no
+    # per-key arrays) instead of an AQE-splittable probe — the same
+    # one-group-per-hot-key posture as the paragraph-dedup window; the
+    # capped/long variants remain the adversarial-corpus tier.
+    wh = Window.partitionBy("h")
+    dup = (
+        grams
+        .withColumn("__mn", F.min(id_col).over(wh))
+        .withColumn("__mx", F.max(id_col).over(wh))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select(id_col, "pos")
     )
-    dup = grams.join(survivors, "h", "left_semi").select(id_col, "pos")
     return base.drop("__g"), dup, grams
 
 

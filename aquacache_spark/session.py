@@ -81,6 +81,36 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # key (measured: the 5-series bench fact) costs 5x. Enable it
         # together with a bucketed store sized for the cluster.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate copies the GENERATOR EXPRESSION into
+        # a pushed-down `size(e) > 0 AND isnotnull(e)` filter below
+        # every explode. For this engine's explodes the generator is
+        # the expensive part (an md5 per gram/shingle inside a
+        # transform()), so the inferred filter re-evaluates the whole
+        # hash array once per row just to test emptiness and the gram
+        # hashing runs 2x per explode (measured in
+        # plans/r12/repeated_span_coverage_before.txt: Filters (4)/(13)
+        # re-evaluate the full 8-gram md5 transform of Generates
+        # (6)/(12)). The rule only ever saves work when skipping
+        # empty-array rows is cheaper than generating them — never true
+        # here; Generate itself already emits nothing for empty arrays
+        # (guide §4.4's duplicated-evaluation class, expression form).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
+        # Whole-stage codegen emits one or more generated classes per
+        # stage; a 300-query batch JIT-compiles thousands of them and
+        # fills the JVM's default 240 MB reserved code cache (measured:
+        # 201 MB used at the end of a full bench run). Near the cap the
+        # sweeper evicts warm compiled methods and random CPU-bound
+        # queries degrade 5-10x run-to-run (measured: simhash_capped
+        # 11.2s vs 0.7s, jpeg12_decode 5.6s vs 0.5s across two
+        # otherwise-identical full-bench runs). 512 MB gives the
+        # codegen workload headroom at any scale — this is a per-JVM
+        # constant, not a data-size-dependent tunable.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # reliable checkpoints (the owned-cache span family prefers
