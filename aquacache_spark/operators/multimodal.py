@@ -1086,24 +1086,51 @@ def shot_containment_pairs(
     ``max_sig_clips=None`` restores uncapped all-pairs semantics."""
     from pyspark.sql import functions as F
 
+    # r12 single-pass shape (guide §2.4/§1.2): the signature frame is
+    # the output of an EXPENSIVE opaque subtree (AVI synth + decode,
+    # two chained MapInPandas kernels), and the previous form consumed
+    # it from 3 (uncapped) / 4 (capped) independent branches — Spark
+    # recomputed the whole codec chain once per branch (5 MapInPandas
+    # chains in the physical plan; exchange reuse cannot fire because
+    # Python-map column pruning gives each branch a different
+    # subtree). Now ONE sig-keyed aggregation collects each
+    # signature's posting list, and every consumer — the hot-sig cap,
+    # both pair sides, and the per-clip totals — derives from that
+    # single aggregated frame above one shared exchange, so the codec
+    # chain executes once per action. Posting lists stay bounded by
+    # the cap's purpose at scale: a group is dropped the moment its
+    # distinct-clip count exceeds max_sig_clips, and the per-sig list
+    # is the same rows the old join shuffled to one partition anyway
+    # (array form trades the join's m^2 output rows for the m-entry
+    # list; under the default cap m <= ~1024).
     sigs = sigs.select(id_col, "shot_id", "sig")
-    nshots = sigs.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("total_shots"))
-    joinable = sigs
+    groups = sigs.groupBy("sig").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("m"),
+                                F.col("shot_id").alias("s")))
+        .alias("__members"))
+    members = F.col("__members")
+    # per-clip totals from the SAME aggregated frame (collect_list
+    # keeps duplicates, so exploding reproduces the raw sig rows)
+    nshots = (
+        groups.select(F.explode(members).alias("e"))
+        .groupBy(F.col("e.m").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("total_shots")))
+    joinable = groups
     if max_sig_clips is not None:
-        # distinct clip count per sig (a clip may repeat a shot);
-        # data-cardinality frame, joined on the sig key — never
-        # collected or broadcast
-        hot = (sigs.select("sig", id_col).distinct()
-               .groupBy("sig").agg(F.count(F.lit(1)).alias("__m"))
-               .where(F.col("__m") > max_sig_clips))
-        joinable = sigs.join(hot, "sig", "left_anti")
-    a = joinable.select(F.col(id_col).alias("media_a"),
-                        F.col("shot_id").alias("__sa"), "sig")
-    b = joinable.select(F.col(id_col).alias("media_b"), "sig")
+        # distinct clip count per sig (a clip may repeat a shot)
+        n_clips = F.size(F.array_distinct(
+            F.transform(members, lambda x: x["m"])))
+        joinable = groups.where(n_clips <= max_sig_clips)
+    # all directed member pairs within a signature (a != b), exploded
+    # map-side — no second scan, no equi-join
+    pairs = joinable.select(
+        F.explode(members).alias("a"), members.alias("__bs")
+    ).select(
+        F.col("a.m").alias("media_a"), F.col("a.s").alias("__sa"),
+        F.explode(F.col("__bs")).alias("b")
+    ).where(F.col("media_a") != F.col("b.m"))
     matched = (
-        a.join(b, "sig")
-        .where(F.col("media_a") != F.col("media_b"))
+        pairs.select("media_a", F.col("b.m").alias("media_b"), "__sa")
         .groupBy("media_a", "media_b")
         .agg(F.countDistinct("__sa").alias("matched_shots"))
     )

@@ -859,7 +859,10 @@ def regional_index_flood_gev(annual: DataFrame,
     reg = _region_dispersion(sites, ["region"])
     j = sites.join(F.broadcast(reg.select("region", "t_r", "t3_r")),
                    "region")
-    kk, _g1, alpha, xi = _gev_fit_cols(F.col("t_r"), F.col("t3_r"))
+    # staged fit (r12): see _with_gev_fit — same arithmetic, small plan
+    j = _with_gev_fit(j, F.col("t3_r"), F.col("t_r"), F.lit(1.0))
+    kk = F.col("__gev_k")
+    alpha, xi = F.col("__gev_alpha"), F.col("__gev_xi")
     valid = (kk > F.lit(-0.9)) & (kk <= F.lit(1.5))
     index_flood = (F.col("s0").cast("double") / F.col("n")) / F.lit(100.0)
     cols = [
@@ -1014,28 +1017,54 @@ def mann_kendall_blas(
     return d.groupBy(*keys).applyInPandas(kernel, out_schema)
 
 
-def _gev_fit_cols(t_r: Column, t3_r: Column):
-    """(k, gamma1p, alpha, xi) for the index-flood-normalized GEV from
-    regional L-moment ratios (H&W A.55 closed-form shape + the
-    mirrored Gamma machinery) — shared by the point fit and the
-    per-simulation refits."""
-    z = F.lit(2.0) / (F.lit(3.0) + t3_r) - F.lit(_GEV_LN2_OVER_LN3)
-    kk = F.lit(7.8590) * z + F.lit(2.9554) * z * z
-    g1 = _gamma_1p(kk)
-    small = F.abs(kk) < F.lit(1e-12)
-    alpha = F.when(small, t_r * F.lit(1.4426950408889634)) \
-        .otherwise(t_r * kk
-                   / ((F.lit(1.0) - F.exp(-kk * F.lit(_GEV_LN2))) * g1))
-    xi = F.when(small,
-                F.lit(1.0) - F.lit(0.5772156649015329) * alpha) \
-        .otherwise(F.lit(1.0) - alpha * (F.lit(1.0) - g1) / kk)
-    return kk, g1, alpha, xi
-
-
 def _gev_growth(kk: Column, alpha: Column, xi: Column, c_f: float):
     small = F.abs(kk) < F.lit(1e-12)
     return F.when(small, xi + alpha * F.lit(-c_f)).otherwise(
         xi + alpha * (F.lit(1.0) - F.exp(kk * F.lit(c_f))) / kk)
+
+
+def _with_gev_fit(df: DataFrame, t3_r: Column, scale: Column,
+                  loc: Column) -> DataFrame:
+    """The index-flood GEV fit from L-moment ratios (H&W A.55
+    closed-form shape z = 2/(3+t3) - ln2/ln3, k = 7.8590z + 2.9554z^2,
+    plus the mirrored Gamma machinery), staged through NAMED
+    projections: ``__gev_k``,
+    ``__gev_g1``, ``__gev_alpha``, ``__gev_xi`` each become a column
+    computed once instead of a subtree re-inlined at every reference.
+    The un-staged trees grow multiplicatively — the Horner lnGamma
+    series references k ~12x, Gamma(1+k) holds three series arms,
+    alpha embeds Gamma, xi embeds alpha twice, the growth factor
+    embeds all of them — so a single fit column reached ~50k
+    expression nodes and Catalyst re-analyzed + re-codegenned the
+    whole tree on every action (r12, guide §7.2/§7.3: plan size as
+    the bottleneck; regional_gev_uncertainty spent ~3.5s/run on ~100
+    rows). CollapseProject keeps the stages separate because every
+    alias is non-cheap and multiply-referenced. Each staged column
+    evaluates the identical double expression on identical inputs, so
+    results are bit-identical and the mirrored oracle SQL text is
+    untouched.
+
+    ``scale``/``loc`` are lambda2-and-lambda1-like inputs: the
+    regional (index-flood-normalized) fits pass (t_R, 1.0); the
+    at-site low-flow fit passes (l2, l1).
+    """
+    z = F.lit(2.0) / (F.lit(3.0) + t3_r) - F.lit(_GEV_LN2_OVER_LN3)
+    kk = F.lit(7.8590) * z + F.lit(2.9554) * z * z
+    df = df.withColumn("__gev_k", kk)
+    k = F.col("__gev_k")
+    df = df.withColumn("__gev_g1", _gamma_1p(k))
+    g1 = F.col("__gev_g1")
+    small = F.abs(k) < F.lit(1e-12)
+    df = df.withColumn(
+        "__gev_alpha",
+        F.when(small, scale * F.lit(_LM_INV_LN2))
+        .otherwise(scale * k
+                   / ((F.lit(1.0) - F.exp(-k * F.lit(_GEV_LN2))) * g1)))
+    alpha = F.col("__gev_alpha")
+    return df.withColumn(
+        "__gev_xi",
+        F.when(small, loc - F.lit(0.5772156649015329) * alpha)
+        .otherwise(loc - alpha * (F.lit(1.0) - g1) / k))
 
 
 def regional_gev_uncertainty(annual: DataFrame,
@@ -1071,11 +1100,17 @@ def regional_gev_uncertainty(annual: DataFrame,
     c_f = _GEV_CF.get(Fp, math.log(-math.log(Fp)))
     sites = site_lmoment_ratios(annual)
     reg = _region_dispersion(sites, ["region"])
-    kk, g1, alpha, xi = _gev_fit_cols(F.col("t_r"), F.col("t3_r"))
-    regfit = reg.select(
+    # staged fit (r12): see _with_gev_fit — same arithmetic, small plan
+    regfit = _with_gev_fit(
+        reg.select("region", "n_sites", "t_r", "t3_r"),
+        F.col("t3_r"), F.col("t_r"), F.lit(1.0)
+    ).select(
         "region", "n_sites", "t_r", "t3_r",
-        kk.alias("k_gev"), alpha.alias("__alpha"), xi.alias("__xi"),
-        _gev_growth(kk, alpha, xi, c_f).alias("growth_point"))
+        F.col("__gev_k").alias("k_gev"),
+        F.col("__gev_alpha").alias("__alpha"),
+        F.col("__gev_xi").alias("__xi"),
+        _gev_growth(F.col("__gev_k"), F.col("__gev_alpha"),
+                    F.col("__gev_xi"), c_f).alias("growth_point"))
 
     wj = Window.partitionBy("region", "site").orderBy("yr")
     word = Window.partitionBy("region").orderBy("site")
@@ -1108,9 +1143,11 @@ def regional_gev_uncertainty(annual: DataFrame,
     wr = Window.partitionBy("region", "site", "sim").orderBy("xq", "j")
     ranked = draws.withColumn("i", F.row_number().over(wr))
     spwm = _pwm_ratios(ranked, ["region", "sim", "site"], "xq")
-    sreg = _region_dispersion(spwm, ["region", "sim"])
-    ks, _g1s, alphas, xis = _gev_fit_cols(F.col("t_r"), F.col("t3_r"))
-    growth_s = _gev_growth(ks, alphas, xis, c_f)
+    sreg = _with_gev_fit(_region_dispersion(spwm, ["region", "sim"]),
+                         F.col("t3_r"), F.col("t_r"), F.lit(1.0))
+    ks = F.col("__gev_k")
+    growth_s = _gev_growth(ks, F.col("__gev_alpha"),
+                           F.col("__gev_xi"), c_f)
     valid = (ks > F.lit(-0.9)) & (ks <= F.lit(1.5))
     simg = sreg.where(valid).select(
         "region",
@@ -1160,7 +1197,7 @@ def low_flow_gev_fit(
     Exactness: daily values quantize to 1e-6 longs; the moving-window
     sum, annual min, rank PWMs (s0/s1/s2) are all exact integer
     arithmetic; the only float math is the shared z->k->Gamma(1+k)
-    fit chain (_gev_fit_cols' constants + _gamma_1p, mirrored
+    fit chain (_with_gev_fit's constants + _gamma_1p, mirrored
     textually in the oracle) and the final unit conversion. Shape
     validity window (-0.9, 1.5] as in the regional fits; series with
     < 4 annual minima drop (t3 needs n >= 3).
@@ -1215,15 +1252,10 @@ def low_flow_gev_fit(
         (l3c / l2c).alias("t3"))
     l1y, l2y = F.col("l1"), F.col("l2")
     t3y = F.col("t3")
-    z = F.lit(2.0) / (F.lit(3.0) + t3y) - F.lit(_GEV_LN2_OVER_LN3)
-    kk = F.lit(7.8590) * z + F.lit(2.9554) * z * z
-    g1 = _gamma_1p(kk)
-    small = F.abs(kk) < F.lit(1e-12)
-    alpha = F.when(small, l2y * F.lit(_LM_INV_LN2)).otherwise(
-        l2y * kk / ((F.lit(1.0) - F.exp(-kk * F.lit(_GEV_LN2))) * g1))
-    xi = F.when(small, l1y - F.lit(0.5772156649015329) * alpha) \
-        .otherwise(l1y - alpha * (F.lit(1.0) - g1) / kk)
-    q_y = _gev_growth(kk, alpha, xi, c_f)
+    # staged fit (r12): see _with_gev_fit — same arithmetic, small plan
+    pw = _with_gev_fit(pw, t3y, l2y, l1y)
+    kk = F.col("__gev_k")
+    q_y = _gev_growth(kk, F.col("__gev_alpha"), F.col("__gev_xi"), c_f)
     scale = float(window_days) * 1e6
     valid = (kk > F.lit(-0.9)) & (kk <= F.lit(1.5))
     return pw.select(
