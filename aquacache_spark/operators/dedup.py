@@ -464,45 +464,42 @@ def lsh_candidate_pairs(
     docs would otherwise emit 10¹² pairs.
     """
     banded = band_key_rows(signatures, id_col, num_hashes, bands)
-    # the self-join references the banded table twice; without a
-    # barrier each side re-derives the full shingle->MinHash pipeline
-    # from the raw corpus (2x the expensive md5 mass)
-    banded = banded.persist()
+    # r12 single-pass shape (guide §2.4, same restructure as
+    # shot_containment_pairs): the banded frame is the output of the
+    # expensive shingle->md5->MinHash pipeline, and the previous form
+    # consumed it from 3 branches (bucket stats + both self-join
+    # sides) behind a persist. ONE (band, key) aggregation now
+    # collects each bucket's member list, and the pairs, the
+    # hot-bucket cap, and the star anchor all derive map-side from
+    # that single aggregated frame above one exchange: the hash mass
+    # moves once and no persist/second scan exists. The per-bucket
+    # list is the same rows the old join shuffled to one reduce
+    # partition anyway; under the cap its length is <= max_bucket, and
+    # the two chained explodes stream the m^2 pair mass exactly as the
+    # join did (never materializing an m^2 array).
+    groups = banded.groupBy("band", "key").agg(
+        F.collect_list(F.col(id_col)).alias("__ms"))
+    ms = F.col("__ms")
     if max_bucket is None:
-        a = banded.alias("a")
-        b = banded.alias("b")
-        return (
-            a.join(b, ["band", "key"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .distinct()
+        small, star = groups, None
+    else:
+        n = F.size(ms)
+        small = groups.where(n <= max_bucket)
+        # oversized buckets: STAR on the bucket's min id (m-1 edges)
+        star = (
+            groups.where(n > max_bucket)
+            .select(F.array_min(ms).alias("id_a"),
+                    F.explode(ms).alias("id_b"))
+            .where(F.col("id_a") != F.col("id_b"))
         )
-    # bucket stats ride the same (band, key) partitioning as the join;
-    # data-cardinality frame, so joined (never broadcast/collected)
-    stats = banded.groupBy("band", "key").agg(
-        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__anchor")
-    )
-    tagged = banded.join(stats, ["band", "key"])
-    small = tagged.where(F.col("__n") <= max_bucket)
-    a = small.alias("a")
-    b = small.alias("b")
     pairs = (
-        a.join(b, ["band", "key"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        small.select(F.explode(ms).alias("id_a"), ms.alias("__bs"))
+        .select("id_a", F.explode(F.col("__bs")).alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
     )
-    star = tagged.where(
-        (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__anchor"))
-    ).select(
-        F.col("__anchor").alias("id_a"), F.col(id_col).alias("id_b")
-    )
-    return pairs.unionByName(star).distinct()
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def incremental_lsh_pairs(
