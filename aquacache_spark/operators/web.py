@@ -540,42 +540,73 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     Output: input columns + scheme/host/port/path/query/canonical_url.
     """
     u = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    auth = F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1)
-    rawpath = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
-    userinfo = F.regexp_extract(auth, r"^([^@]*)@", 1)
-    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
-    port_keep = F.when(
-        (port == "") | ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443")), F.lit("")
-    ).otherwise(F.concat(F.lit(":"), port))
+    # r12 staging (guide §7.2, same discipline as the GEV fit): the
+    # previous single-projection form re-inlined the authority /
+    # rawpath extractions up to 8x each inside the assembled
+    # canonical expression, and the higher-order dot-segment fold
+    # excludes the projection from whole-stage codegen, so every
+    # inlined copy of every regex ran interpreted per row. Naming the
+    # parse steps evaluates each regex once per row (CollapseProject
+    # leaves the stages alone: each alias is non-cheap and
+    # multiply-referenced); identical string semantics, so the output
+    # — and the mirrored oracle — are bit-identical.
+    keep = list(df.columns)
+    d = df.withColumns({
+        "__u_scheme": F.lower(
+            F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+        "__u_auth": F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1),
+        "__u_rawpath": F.regexp_extract(
+            u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1),
+        "__u_query": F.regexp_extract(u, r"\?([^#]*)", 1),
+    })
+    auth = F.col("__u_auth")
+    d = d.withColumns({
+        "__u_userinfo": F.regexp_extract(auth, r"^([^@]*)@", 1),
+        "__u_hostport": F.regexp_replace(auth, r"^[^@]*@", ""),
+    })
+    hostport = F.col("__u_hostport")
+    d = d.withColumns({
+        "__u_host": F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+        "__u_port": F.regexp_extract(hostport, r":([0-9]+)$", 1),
+    })
+    scheme, rawpath = F.col("__u_scheme"), F.col("__u_rawpath")
     # dot-segment fold: acc starts '' (the split of a '/'-led path
     # yields a leading '' element, which the CASE ignores — DuckDB's
     # list_reduce seeds from that same element, keeping parity)
     segs = F.split(F.concat(F.lit("/"), F.regexp_replace(rawpath, r"^/", "")),
                    "/")
-    folded = F.aggregate(
-        segs, F.lit(""),
-        lambda acc, x: F.when((x == "") | (x == "."), acc)
-        .when(x == "..", F.regexp_replace(acc, r"/[^/]*$", ""))
-        .otherwise(F.concat(acc, F.lit("/"), x)))
+    d = d.withColumns({
+        "__u_folded": F.aggregate(
+            segs, F.lit(""),
+            lambda acc, x: F.when((x == "") | (x == "."), acc)
+            .when(x == "..", F.regexp_replace(acc, r"/[^/]*$", ""))
+            .otherwise(F.concat(acc, F.lit("/"), x))),
+        "__u_qsorted": F.array_join(
+            F.sort_array(F.split(F.col("__u_query"), "&")), "&"),
+    })
+    port, folded = F.col("__u_port"), F.col("__u_folded")
     trailing = rawpath.rlike(r"(/|/\.|/\.\.)$") | (rawpath == "")
-    path = F.when(folded == "", F.lit("/")).otherwise(
-        F.concat(folded, F.when(trailing, F.lit("/")).otherwise(F.lit(""))))
-    qsorted = F.array_join(F.sort_array(F.split(query, "&")), "&")
+    d = d.withColumns({
+        "__u_portkeep": F.when(
+            (port == "") | ((scheme == "http") & (port == "80"))
+            | ((scheme == "https") & (port == "443")), F.lit("")
+        ).otherwise(F.concat(F.lit(":"), port)),
+        "__u_path": F.when(folded == "", F.lit("/")).otherwise(
+            F.concat(folded,
+                     F.when(trailing, F.lit("/")).otherwise(F.lit("")))),
+    })
+    qsorted, userinfo = F.col("__u_qsorted"), F.col("__u_userinfo")
     qpart = F.when(qsorted == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), qsorted))
     upart = F.when(userinfo == "", F.lit("")).otherwise(
         F.concat(userinfo, F.lit("@")))
-    canon = F.concat(scheme, F.lit("://"), upart, host, port_keep, path,
-                     qpart)
-    return df.select(
-        "*",
-        scheme.alias("scheme"), host.alias("host"),
-        port_keep.alias("port"), path.alias("path"),
+    canon = F.concat(scheme, F.lit("://"), upart, F.col("__u_host"),
+                     F.col("__u_portkeep"), F.col("__u_path"), qpart)
+    return d.select(
+        *keep,
+        scheme.alias("scheme"), F.col("__u_host").alias("host"),
+        F.col("__u_portkeep").alias("port"),
+        F.col("__u_path").alias("path"),
         qsorted.alias("query"), canon.alias("canonical_url"))
 
 
