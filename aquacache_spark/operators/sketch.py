@@ -258,34 +258,47 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership test against :func:`bloom_build`'s table: a key
     'maybe' belongs iff ALL k of its bits are set (never a false
-    negative; false-positive rate ~ (1 - e^(-kn/m))^k). The bit table
-    broadcasts; the test is k bit-probes per row aggregated with
-    min(). Output: probe columns + maybe_present (boolean)."""
-    pos = F.array(*[
-        (md5_int(F.concat(F.lit(f"b{i}|"),
-                          F.col(key_col).cast("string")), 15) % m_bits)
+    negative; false-positive rate ~ (1 - e^(-kn/m))^k). Output: probe
+    columns + maybe_present (boolean).
+
+    r12 shape (guide §2.3/§2.4): the previous form exploded k
+    position rows per probe and re-grouped on the full probe tuple —
+    a k-times-larger shuffle keyed on the probe strings just to AND
+    the bit tests back together. The word table is <= m_bits/32 rows
+    (bounded by construction), so all k probes now ride k broadcast
+    hash joins on precomputed word indexes and the AND is a map-side
+    expression: the only remaining exchange is the same
+    probe-dedup the old groupBy already paid, moved BELOW the probe
+    work so it carries the bare probe columns."""
+    # the dedup stays BELOW the position computation: an
+    # already-distinct probe input then costs nothing
+    # (RemoveRedundantAggregates drops this node), and the exchange
+    # carries only the bare probe columns
+    out = probes.distinct()
+    out = out.withColumns({
+        f"__p{i}": (md5_int(F.concat(F.lit(f"b{i}|"),
+                                     F.col(key_col).cast("string")), 15)
+                    % m_bits)
         for i in range(k_hashes)
-    ])
-    probed = (
-        probes.select("*", F.explode(pos).alias("pos"))
-        .select(
-            "*",
-            F.expr("pos div 32").cast("int").alias("word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-            .alias("mask"),
-        )
-        .drop("pos")
-    )
-    hit = (F.coalesce(F.col("__word"), F.lit(0).cast("long"))
-           .bitwiseAND(F.col("mask")) == F.col("mask"))
-    return (
-        probed.join(
-            F.broadcast(bloom.withColumnRenamed("word", "__word")),
-            "word_idx", "left")
-        .select(*probes.columns, hit.cast("int").alias("__hit"))
-        .groupBy(*probes.columns)
-        .agg((F.min("__hit") == 1).alias("maybe_present"))
-    )
+    })
+    out = out.withColumns(
+        {f"__wi{i}": F.expr(f"CAST(__p{i} div 32 AS INT)")
+         for i in range(k_hashes)}
+        | {f"__mask{i}":
+           F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 32 AS INT))")
+           for i in range(k_hashes)})
+    hits = []
+    for i in range(k_hashes):
+        side = bloom.select(F.col("word_idx").alias(f"__wi{i}"),
+                            F.col("word").alias(f"__word{i}"))
+        out = out.join(F.broadcast(side), f"__wi{i}", "left")
+        hits.append(
+            F.coalesce(F.col(f"__word{i}"), F.lit(0).cast("long"))
+            .bitwiseAND(F.col(f"__mask{i}")) == F.col(f"__mask{i}"))
+    maybe = hits[0]
+    for h in hits[1:]:
+        maybe = maybe & h
+    return out.select(*probes.columns, maybe.alias("maybe_present"))
 
 
 def histogram_quantiles(

@@ -3624,19 +3624,31 @@ def bloom_decontamination_q(spark: SparkSession,
     docs = _t(spark, sf_dir, "documents")
     evalset = docs.where(F.col("doc_id") % 19 == 3)
     train = docs.where(F.col("doc_id") % 19 != 3)
+    # array_distinct before the explode: per-doc duplicate grams never
+    # reach the md5 probes or the dedup exchange (pure mass reduction
+    # — the probe-level distinct still owns cross-row dedup)
     eg = evalset.select(
-        F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 5)))
+        .alias("gram"))
     bloom = bloom_build(eg, "gram", m_bits=_BLOOM_DECON_M,
                         k_hashes=_BLOOM_DECON_K)
     ev_dim = eg.distinct().withColumn("__e", F.lit(1))
     tg = train.select(
         "doc_id",
-        F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
-    probes = tg.join(ev_dim.withColumnRenamed("gram", "gram"),
-                     "gram", "left")
-    out = bloom_probe(bloom, probes.select("doc_id", "gram", "__e"),
-                      "gram", m_bits=_BLOOM_DECON_M,
-                      k_hashes=_BLOOM_DECON_K)
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 5)))
+        .alias("gram"))
+    # r12 (guide §3.2): probe the Bloom FIRST, map-side, and let only
+    # probabilistic survivors pay the exact gram join — a Bloom has no
+    # false negatives, so every exact hit is a survivor and the
+    # non-survivor branch's __e is NULL by construction. The exact
+    # join's shuffle now carries the FP-bounded survivor mass instead
+    # of the whole training gram stream.
+    probed = bloom_probe(bloom, tg, "gram", m_bits=_BLOOM_DECON_M,
+                         k_hashes=_BLOOM_DECON_K)
+    surv = probed.where(F.col("maybe_present")).join(ev_dim, "gram", "left")
+    rest = (probed.where(~F.col("maybe_present"))
+            .withColumn("__e", F.lit(None).cast("int")))
+    out = surv.unionByName(rest)
     return out.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))
