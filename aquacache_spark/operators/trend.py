@@ -492,21 +492,28 @@ def _region_dispersion(sites: DataFrame,
     math (identical text both engines). NB the total is named n_tot,
     not N: both Spark and DuckDB resolve column names
     case-insensitively, so an ``N`` beside the per-site ``n`` is a
-    silent collision in BOTH engines."""
-    w = Window.partitionBy(*part_cols)
+    silent collision in BOTH engines.
+
+    One-pass shape (r12, guide §2.4): the former Window(n_tot, S_t) +
+    groupBy needed two exchanges per call site; the deviation sum
+    expands algebraically to sum(n_i e_i^2) = n_tot^2 * sum(n_i tq_i^2)
+    - n_tot * S_t^2 — every term an exact integer — so ONE aggregation
+    computes the identical SE (same decimal value, hence bit-identical
+    doubles downstream)."""
     n, tq = F.col("n"), F.col("tq")
-    x = (sites
-         .withColumn("n_tot", F.sum(n).over(w))
-         .withColumn("S_t", F.sum(n * tq).over(w))
-         .withColumn("e", F.col("n_tot") * tq - F.col("S_t")))
-    e_dec = F.col("e").cast("decimal(38,0)")
-    g = x.groupBy(*part_cols).agg(
+    n_dec = n.cast("decimal(38,0)")
+    tq_dec = tq.cast("decimal(38,0)")
+    g = sites.groupBy(*part_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_sites"),
-        F.first("n_tot").alias("n_tot"),
-        F.first("S_t").alias("S_t"),
+        F.sum(n).alias("n_tot"),
+        F.sum(n * tq).alias("S_t"),
         F.sum(F.col("n") * F.col("t3q")).alias("S_t3"),
-        F.sum(e_dec * e_dec * F.col("n")).alias("SE"))
+        F.sum(n_dec * tq_dec * tq_dec).alias("__A"))
     nt = F.col("n_tot")
+    nt_dec = nt.cast("decimal(38,0)")
+    st_dec = F.col("S_t").cast("decimal(38,0)")
+    se = nt_dec * (nt_dec * F.col("__A") - st_dec * st_dec)
+    g = g.withColumn("SE", se)
     v = (F.sqrt(F.col("SE").cast("double") / nt)
          / (nt * F.lit(float(_LM_TQ))))
     return g.select(
@@ -519,7 +526,8 @@ def _region_dispersion(sites: DataFrame,
 
 
 def regional_lmoment_homogeneity(annual: DataFrame,
-                                 nsim: int = 40) -> DataFrame:
+                                 nsim: int = 40,
+                                 sites: DataFrame | None = None) -> DataFrame:
     """Hosking & Wallis heterogeneity H per region: observed weighted
     L-CV dispersion V against the dispersion distribution of ``nsim``
     simulated homogeneous regions with the SAME site-year layout, each
@@ -562,16 +570,24 @@ def regional_lmoment_homogeneity(annual: DataFrame,
     Scale: everything after the annual-max rollup is catalog-sized
     (sites x years x nsim rows); windows partition on (region[, sim,
     site]) — nothing global."""
-    sites = site_lmoment_ratios(annual)
+    if sites is None:
+        sites = site_lmoment_ratios(annual)
     obs = _region_dispersion(sites, ["region"])
 
+    # site_ord from the CATALOG-SIZED site list, broadcast back onto
+    # the annual rows (r12, guide §2.4): the former dense_rank window
+    # ran over every annual row — a second full exchange of the fact —
+    # for a rank that is constant per site. Ranking the per-site frame
+    # (one row per retained site) yields the identical ordinal, and
+    # the inner broadcast join doubles as the former left-semi
+    # membership filter.
     wj = Window.partitionBy("region", "site").orderBy("yr")
     word = Window.partitionBy("region").orderBy("site")
+    ords = (sites.select("region", "site")
+            .withColumn("site_ord", F.dense_rank().over(word)))
     grid = (annual
-            .join(F.broadcast(sites.select("region", "site")),
-                  ["region", "site"], "left_semi")
+            .join(F.broadcast(ords), ["region", "site"])
             .withColumn("j", F.row_number().over(wj))
-            .withColumn("site_ord", F.dense_rank().over(word))
             .select("region", "site", "site_ord", "j")
             .withColumn("sim", F.explode(
                 F.sequence(F.lit(1), F.lit(int(nsim))))))
@@ -655,7 +671,8 @@ _DISCORDANCY_CRIT = {5: 1.333, 6: 1.648, 7: 1.917, 8: 2.140,
                      13: 2.869, 14: 2.971}
 
 
-def regional_discordancy(annual: DataFrame) -> DataFrame:
+def regional_discordancy(annual: DataFrame,
+                         sites: DataFrame | None = None) -> DataFrame:
     """Hosking & Wallis discordancy D_i (1993 WRR; 1997 §3.2.3): the
     per-site Mahalanobis-style screen over u_i = (t, t3, t4) —
     D_i = (n_sites / 3) * (u_i - ubar)' A^{-1} (u_i - ubar) with
@@ -675,7 +692,8 @@ def regional_discordancy(annual: DataFrame) -> DataFrame:
     ``discordant`` flags D_i above the H&W Table 3.1 critical value
     for the region's site count. Regions need >= 4 sites (A is rank
     <= n_sites - 1; with 3 sites D_i = 1 identically)."""
-    sites = site_lmoment_ratios(annual)
+    if sites is None:
+        sites = site_lmoment_ratios(annual)
     w = Window.partitionBy("region")
     x = (sites
          .withColumn("ns", F.count(F.lit(1)).over(w))
@@ -750,14 +768,28 @@ def regional_screening_report(annual: DataFrame,
     growth_q100) — t_r and the growth factors are computed from the
     RETAINED sites only, which is the point of screening first.
     """
-    disc = regional_discordancy(annual)
+    # r12 single-derivation shape (guide §2.4/§5): the per-site
+    # L-moment ratios feed BOTH the discordancy screen and (filtered
+    # to survivors) the H statistic — they are per-site stats, so
+    # dropping other sites cannot change them. The former composition
+    # re-derived the full ranked-PWM chain from `annual` a second time
+    # inside regional_lmoment_homogeneity; this one computes it once,
+    # persists the catalog-sized result (one row per site), and the H
+    # stage starts from the filtered ratios.
+    sites_all = site_lmoment_ratios(annual).persist()
+    # disc feeds two consumers (counts + keep) and keep feeds two more
+    # (kept fact rows + kept site ratios): persist the one-row-per-site
+    # frame so the D-statistic subtree runs once, not four times
+    disc = regional_discordancy(annual, sites=sites_all).persist()
     counts = disc.groupBy("region").agg(
         F.count(F.lit(1)).cast("long").alias("n_sites_initial"),
         F.sum(F.col("discordant").cast("long")).alias("n_discordant"))
     keep = disc.where(~F.col("discordant")).select("region", "site")
     kept = annual.join(F.broadcast(keep), ["region", "site"],
                        "left_semi")
-    h = regional_lmoment_homogeneity(kept, nsim)
+    kept_sites = sites_all.join(F.broadcast(keep), ["region", "site"],
+                                "left_semi")
+    h = regional_lmoment_homogeneity(kept, nsim, sites=kept_sites)
     alpha = F.col("t_r") * F.lit(_LM_INV_LN2)
     xi = F.lit(1.0) - F.lit(_LM_GAMMA) * alpha
     return h.join(F.broadcast(counts), "region").select(
@@ -1112,13 +1144,16 @@ def regional_gev_uncertainty(annual: DataFrame,
         _gev_growth(F.col("__gev_k"), F.col("__gev_alpha"),
                     F.col("__gev_xi"), c_f).alias("growth_point"))
 
+    # site_ord from the per-site frame (r12): same restructure as
+    # regional_lmoment_homogeneity — rank the catalog-sized site list,
+    # broadcast it back; the inner join doubles as the semi filter.
     wj = Window.partitionBy("region", "site").orderBy("yr")
     word = Window.partitionBy("region").orderBy("site")
+    ords = (sites.select("region", "site")
+            .withColumn("site_ord", F.dense_rank().over(word)))
     grid = (annual
-            .join(F.broadcast(sites.select("region", "site")),
-                  ["region", "site"], "left_semi")
+            .join(F.broadcast(ords), ["region", "site"])
             .withColumn("j", F.row_number().over(wj))
-            .withColumn("site_ord", F.dense_rank().over(word))
             .select("region", "site", "site_ord", "j")
             .withColumn("sim", F.explode(
                 F.sequence(F.lit(1), F.lit(int(nsim))))))
