@@ -228,6 +228,7 @@ def evaluate_guideline_rules(
     input_values: DataFrame,
     sample_scalars: Optional[DataFrame] = None,
     safe_expr_idents: Sequence[str] = ("hardness",),
+    samples: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per (rule, sample) evaluation (evaluate_guideline_rule,
     patch_51.R:2590-2830).
@@ -247,6 +248,14 @@ def evaluate_guideline_rules(
     + output_status; input-status rows propagate (missing/ambiguous/
     out-of-range), log_linear of a non-positive input is
     'invalid_input_value' (patch_51.R:2746-2752).
+
+    ``samples``: the sample-id frame when the caller already has it
+    (guideline_input_values' own grid is samples x inputs, so its
+    distinct sample set IS that frame) — without it the
+    select/distinct below re-derives the ENTIRE input-values subtree
+    (candidate join + window + aggregation over the results fact) a
+    second time just for the id list (r12, guide §2.4/§5: duplicated
+    subtree, 2x the evaluation core's fact-side work at any scale).
     """
     for row in rules.select("algorithm_code", "formula_expr").collect():
         if row["algorithm_code"] == "safe_expr":
@@ -254,7 +263,10 @@ def evaluate_guideline_rules(
                 row["formula_expr"], allowed_idents=tuple(safe_expr_idents)
             )
     r = F.broadcast(rules)
-    samples = input_values.select("sample_id").distinct()
+    if samples is None:
+        samples = input_values.select("sample_id").distinct()
+    else:
+        samples = samples.select("sample_id")
     base = samples.crossJoin(r)
     base = base.join(
         input_values.withColumnRenamed("status", "__in_status"),

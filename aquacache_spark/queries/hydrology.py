@@ -1642,7 +1642,7 @@ def guideline_rule_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     samples, results, inputs, rules = _guideline_frames(spark, sf_dir)
     iv = guideline_input_values(samples, results, inputs)
-    ev = evaluate_guideline_rules(rules, iv)
+    ev = evaluate_guideline_rules(rules, iv, samples=samples)
     out = ev.select("sample_id", "rule_id", "guideline_id", "bound_code",
                     "guideline_value", "output_status")
     return _round(out, {"guideline_value": 6})
@@ -1671,7 +1671,7 @@ def guideline_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     samples, results, inputs, rules = _guideline_frames(spark, sf_dir)
     iv = guideline_input_values(samples, results, inputs)
-    ev = evaluate_guideline_rules(rules, iv)
+    ev = evaluate_guideline_rules(rules, iv, samples=samples)
     return _round(get_guideline_values(ev), {"guideline_value": 6})
 
 
@@ -4688,7 +4688,7 @@ def _applicability_rule_rows(spark: SparkSession, sf_dir: str,
     )
     samples = results.select("sample_id").distinct()
     iv = guideline_input_values(samples, results, inputs)
-    ev = evaluate_guideline_rules(rules, iv)
+    ev = evaluate_guideline_rules(rules, iv, samples=samples)
     g = guidelines.join(F.broadcast(pubs), "publisher_id", "left")
     return applicable_guideline_rules_for_results(
         resolved, g, ev, media_types=media, fractions=fracs,
@@ -5194,7 +5194,7 @@ def guideline_applicability_at(spark: SparkSession,
     )
     samples = results.select("sample_id").distinct()
     iv = guideline_input_values(samples, results, inputs)
-    ev = evaluate_guideline_rules(rules_at, iv)
+    ev = evaluate_guideline_rules(rules_at, iv, samples=samples)
     g = guidelines.join(F.broadcast(pubs), "publisher_id", "left")
     rows = applicable_guideline_rules_for_results(
         resolved, g, ev, media_types=media, fractions=fracs,
