@@ -50,9 +50,15 @@ def _bm25_contribs(
     """Per-(query, doc, term) quantized BM25 contributions — the
     shared core of :func:`bm25_topk` and :func:`bm25_phrase_topk`.
     Returns (query_id, id_col, __q)."""
-    base = docs.select(
+    from .dedup import _spread_scan
+
+    # tokenization + the token explode run in the SCAN stage; a
+    # single-row-group parquet reads as one task and serializes them
+    # (r12, guide §2.5) — spread when under-split, no-op at real
+    # split counts
+    base = _spread_scan(docs.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
-    ).withColumn("__dl", F.size("__toks"))
+    ), id_col).withColumn("__dl", F.size("__toks"))
     # corpus stats as a 1-row broadcast (no driver action):
     # avgdl = exact integer sum / count, identically derivable in SQL
     stats = base.agg(
@@ -162,6 +168,8 @@ def bm25_phrase_topk(
     semi-restriction to query grams. No corpus shuffle beyond the
     per-(doc, gram) aggregation; no UDFs.
     """
+    from .dedup import _spread_scan
+
     contribs = _bm25_contribs(
         docs, queries, k1, b, id_col, text_col, query_id, query_col)
     grams: dict[int, list[tuple]] = {}
@@ -175,9 +183,12 @@ def bm25_phrase_topk(
             grams.setdefault(len(toks), []).append(
                 (qid, " ".join(toks), w_phrase))
     spark = docs.sparkSession
-    base = docs.select(
+    # spread the gram-construction scan for the same reason as
+    # _bm25_contribs (the per-doc L-gram transform + explode is the
+    # phrase path's CPU mass)
+    base = _spread_scan(docs.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
-    ).withColumn("__n", F.size("__toks"))
+    ), id_col).withColumn("__n", F.size("__toks"))
     parts = [contribs]
     if grams:
         # ONE corpus pass for all needed gram lengths: the per-L gram
@@ -203,7 +214,15 @@ def bm25_phrase_topk(
         # bigint ids must survive; a hardcoded int would raise or
         # truncate)
         from pyspark.sql import types as T
-        gdim = spark.createDataFrame(
+
+        from ..session import local_df
+
+        # LocalRelation, not an RDD scan: each broadcast of a
+        # createDataFrame(list) frame runs a separate Py4J RDD job
+        # (~0.2-0.4s fixed) and blocks codegen for the joined stage —
+        # local_df folds the rows in driver-side (session.py)
+        gdim = local_df(
+            spark,
             sorted({g for v in grams.values() for g in v}),
             schema=T.StructType([
                 T.StructField(query_id,

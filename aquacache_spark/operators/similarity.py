@@ -81,10 +81,17 @@ def cosine_topk(
 
     Output: query_id, neighbor_id, cosine, rank.
     """
-    c = corpus.select(
+    from .dedup import _spread_scan
+
+    # the n_corpus x n_queries interpreted scoring fold runs in the
+    # SCAN stage: a single-row-group parquet reads as one task and
+    # serializes it on one core (r12, guide §2.5 input skew); spread
+    # the narrow (id, vec) projection when the scan is under-split —
+    # a no-op at real split counts
+    c = _spread_scan(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
-    )
+    ), "neighbor_id")
     c = c.withColumn("__nc", F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
@@ -130,22 +137,39 @@ def knn_topk(
     """
     if metric not in ("cosine", "ip", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
-    c = corpus.select(
+    # Self-norms are per-ROW quantities: compute them in the side
+    # projections before the crossJoin (r12, guide §2.3/§4.1 — the
+    # former inline form re-evaluated the interpreted
+    # aggregate(zip_with(...)) fold n_queries (resp. n_corpus) times
+    # per row, 3x the higher-order-function mass for l2). The fold
+    # runs on the identical array with the identical operation order,
+    # so every score double is bit-identical to the inline form —
+    # same restructure cosine_topk already carries.
+    from .dedup import _spread_scan
+
+    # spread the under-split corpus scan (see cosine_topk): the
+    # per-pair fold work otherwise serializes on the single scan task
+    c = _spread_scan(corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__cv"))
+        _as_double(F.col(vec_col)).alias("__cv")), "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"))
+    if metric == "cosine":
+        c = c.withColumn(
+            "__cn", F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
+        q = q.withColumn(
+            "__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
+    elif metric == "l2":
+        c = c.withColumn("__cc", _dot(F.col("__cv"), F.col("__cv")))
+        q = q.withColumn("__qq", _dot(F.col("__qv"), F.col("__qv")))
     dot = _dot(F.col("__qv"), F.col("__cv"))
     if metric == "cosine":
-        score = dot / (F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
-                       * F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
+        score = dot / (F.col("__qn") * F.col("__cn"))
     elif metric == "ip":
         score = dot
     else:  # l2 (squared)
-        score = (_dot(F.col("__qv"), F.col("__qv"))
-                 - 2 * dot
-                 + _dot(F.col("__cv"), F.col("__cv")))
+        score = F.col("__qq") - 2 * dot + F.col("__cc")
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -536,9 +536,17 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     - query parameters sorted lexicographically (stable canonical
       order for dedup keys); empty query dropped.
 
-    Map-only codegen — linear over a 100 TB URL column, no shuffle.
+    Map-only codegen — linear over a 100 TB URL column, no shuffle
+    (the spread below is a no-op at real split counts).
     Output: input columns + scheme/host/port/path/query/canonical_url.
     """
+    from .dedup import _spread_scan
+
+    # ~10 regex extractions + an interpreted dot-segment fold per row
+    # run in the SCAN stage; a single-row-group parquet reads as one
+    # task and serializes them on one core (r12, guide §2.5) — spread
+    # when under-split, exactly the hashing tier's _spread_scan
+    df = _spread_scan(df, url_col)
     u = F.col(url_col)
     # r12 staging (guide §7.2, same discipline as the GEV fit): the
     # previous single-projection form re-inlined the authority /

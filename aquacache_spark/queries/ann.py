@@ -887,8 +887,7 @@ def bm25_phrase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import bm25_phrase_topk
 
     docs = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        _BM25P_QUERIES, "query_id int, query string")
+    queries = _ldf(spark, _BM25P_QUERIES, "query_id int, query string")
     out = bm25_phrase_topk(
         docs, queries, k=5,
         w_bigram=_BM25P_W_BIGRAM, w_phrase=_BM25P_W_PHRASE)
@@ -1044,8 +1043,8 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges, _ = bpe_train(word_counts(docs), n_merges=_BPE_TRAIN_N)
-    return spark.createDataFrame(
-        [(r, a, b, a + b, c) for r, a, b, c in merges],
+    return _ldf(
+        spark, [(r, a, b, a + b, c) for r, a, b, c in merges],
         "rank int, left_sym string, right_sym string, merged string,"
         " pair_count long")
 

@@ -2675,8 +2675,7 @@ def countmin_heavy_hitters_q(spark: SparkSession,
     tok = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("tokk"))
     sk = countmin_build(tok, "tokk", d=4, w=1024)
-    probes = spark.createDataFrame(
-        [(w,) for w in _CMS_PROBES], "word string")
+    probes = _ldf(spark, [(w,) for w in _CMS_PROBES], "word string")
     est = countmin_estimate(sk, probes, "word", d=4, w=1024)
     # exact side: pre-aggregate the corpus, then RIGHT join with the
     # tiny probe list broadcast — never build a hash table of the
@@ -3661,7 +3660,7 @@ def hardness_guideline(spark: SparkSession, sf_dir: str) -> DataFrame:
         " max_output_value double, rounding_digits int,"
         " rounding_method string",
     )
-    ev = evaluate_guideline_rules(rules, iv, hard)
+    ev = evaluate_guideline_rules(rules, iv, hard, samples=hard)
     out = ev.join(hard, "sample_id").select(
         "sample_id", "hardness", "guideline_value", "output_status")
     return _round(out, {"hardness": 4})
@@ -7008,7 +7007,11 @@ _CODE_FILTERS_ORACLE = f"""
 def code_quality_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Stack-style source-file gates over deterministically
     mutated documents."""
-    docs = _t(spark, sf_dir, "documents")
+    from ..operators.dedup import _spread_scan
+
+    # regex + higher-order line/token folds per row otherwise run in
+    # the single scan task of the small parquet (r12, guide §2.5)
+    docs = _spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     d = F.col("doc_id")
     t = F.concat(
         F.when(d % 11 == 0, "AUTO-GENERATED do not edit\n").otherwise(""),

@@ -1461,12 +1461,17 @@ def curation_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r6(c):
         return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
 
+    from ..operators.dedup import _spread_scan
+
     t = F.col("text")
     toks = tokens(F.lower(t))
     n = F.greatest(F.size(toks), F.lit(1))
     big = word_ngrams(t, 2)
     tri = word_ngrams(t, 3)
-    metrics = docs.select(
+    # the quality/BPE/ngram metric expressions are the per-doc CPU
+    # mass and run in the scan stage — spread the under-split scan
+    # (r12, guide §2.5)
+    metrics = _spread_scan(docs, "doc_id").select(
         "doc_id",
         r6(quality_score(t)).alias("q"),
         bpe_token_count(t).alias("bpe_tokens"),
@@ -1567,8 +1572,7 @@ def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    queries = spark.createDataFrame(
-        _BM25_QUERIES, "query_id int, query string")
+    queries = _ldf(spark, _BM25_QUERIES, "query_id int, query string")
     lex = bm25_topk(docs, queries, k=10)
     wl = W.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))
@@ -3619,9 +3623,13 @@ def bloom_decontamination_q(spark: SparkSession,
     grams, exact overlap, probabilistic hits, flag at >= 8 — the
     sketch bits verified word-for-word through the probe."""
     from ..functions.text import word_shingles
+    from ..operators.dedup import _spread_scan
     from ..operators.sketch import bloom_build, bloom_probe
 
-    docs = _t(spark, sf_dir, "documents")
+    # 5-gram construction + k md5 probes per gram are the CPU mass and
+    # run in the scan stage — spread the under-split single-file scan
+    # (r12, guide §2.5; no-op at real split counts)
+    docs = _spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     evalset = docs.where(F.col("doc_id") % 19 == 3)
     train = docs.where(F.col("doc_id") % 19 != 3)
     # array_distinct before the explode: per-doc duplicate grams never

@@ -359,8 +359,7 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        _BM25_QUERIES, "query_id int, query string")
+    queries = _ldf(spark, _BM25_QUERIES, "query_id int, query string")
     out = bm25_topk(docs, queries, k=5)
     return _round(out, {"score": 6})
 
