@@ -574,47 +574,48 @@ def incremental_lsh_pairs(
                 .select(id_col, "band", "key", F.lit(False).alias("__new"))
             )
             union = new_rows.unionByName(old_rows)
-    union = union.persist()
-    a = union.alias("a")
-    b = union.alias("b")
-    keep_new = F.col("a.__new") | F.col("b.__new")
+    # r12 single-aggregation shape (the lsh_candidate_pairs
+    # restructure, applied to the incremental path): ONE (band, key)
+    # aggregation collects each bucket's (id, __new) members and the
+    # pairs, the hot-bucket cap, and the star edges all derive
+    # map-side above that single exchange — replacing the former
+    # stats aggregation + semi-join + two self-joins (4 exchanges per
+    # incremental call) and the persist they needed. Ids are unique
+    # within a bucket (band_key_rows emits one row per band per doc;
+    # old rows are anti-joined against the batch ids), so
+    # array_min over the (i, n) structs picks the anchor AND its
+    # newness in one expression. Pair semantics are unchanged:
+    # id_a < id_b with at least one NEW endpoint; oversized buckets
+    # star on the min id with (__new | anchor_new) edges.
+    groups = union.groupBy("band", "key").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                F.col("__new").alias("n"))).alias("__ms"))
+    ms = F.col("__ms")
     if max_bucket is None:
-        pairs = (
-            a.join(b, ["band", "key"])
-            .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                   & keep_new)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct()
-        )
+        small, star = groups, None
     else:
-        stats = union.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min(id_col).alias("__anchor"),
-            # whether the bucket's min-id member arrived in THIS
-            # batch — if so, old members need their star edges too
-            F.min_by("__new", F.col(id_col)).alias("__anchor_new"))
-        small_keys = stats.where(F.col("__n") <= max_bucket) \
-            .select("band", "key")
-        small = union.join(small_keys, ["band", "key"], "left_semi")
-        sa = small.alias("a")
-        sb = small.alias("b")
-        small_pairs = (
-            sa.join(sb, ["band", "key"])
-            .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                   & keep_new)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-        )
+        n = F.size(ms)
+        small = groups.where(n <= max_bucket)
+        anchor = F.array_min(ms)
         star = (
-            union.join(stats.where(F.col("__n") > max_bucket),
-                       ["band", "key"])
-            .where((F.col(id_col) != F.col("__anchor"))
-                   & (F.col("__new") | F.col("__anchor_new")))
-            .select(F.col("__anchor").alias("id_a"),
-                    F.col(id_col).alias("id_b"))
+            groups.where(n > max_bucket)
+            .select(anchor.alias("__a"), F.explode(ms).alias("__m"))
+            .where((F.col("__m.i") != F.col("__a.i"))
+                   & (F.col("__m.n") | F.col("__a.n")))
+            .select(F.col("__a.i").alias("id_a"),
+                    F.col("__m.i").alias("id_b"))
         )
-        pairs = small_pairs.unionByName(star).distinct()
+    pairs = (
+        small.select(F.explode(ms).alias("__ma"), ms.alias("__bs"))
+        .select("__ma", F.explode(F.col("__bs")).alias("__mb"))
+        .where((F.col("__ma.i") < F.col("__mb.i"))
+               & (F.col("__ma.n") | F.col("__mb.n")))
+        .select(F.col("__ma.i").alias("id_a"),
+                F.col("__mb.i").alias("id_b"))
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.distinct()
     if merge:
         store.merge(keys.select("band", "key", id_col),
                     on_conflict="do_nothing", props=lsh_props)

@@ -2669,9 +2669,12 @@ def countmin_heavy_hitters_q(spark: SparkSession,
     one-sided error), exact equality for the absent word unless all 4
     of its counters collide."""
     from ..functions.text import tokens
+    from ..operators.dedup import _spread_scan
     from ..operators.sketch import countmin_build, countmin_estimate
 
-    docs = _t(spark, sf_dir, "documents")
+    # the d md5 counter hashes per token run in the scan stage —
+    # spread the under-split single-file scan (r12, guide §2.5)
+    docs = _spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("tokk"))
     sk = countmin_build(tok, "tokk", d=4, w=1024)
@@ -7688,9 +7691,11 @@ def verified_heavy_hitters_q(spark: SparkSession,
     """Tokens above 0.5% corpus frequency: CMS candidate pass, exact
     recheck restricted to candidates."""
     from ..functions.text import tokens
+    from ..operators.dedup import _spread_scan
     from ..operators.sketch import countmin_build, countmin_estimate
 
-    docs = _t(spark, sf_dir, "documents")
+    # see countmin_heavy_hitters: counter hashes run in the scan stage
+    docs = _spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("tokk"))
     tot = tok.agg(F.count(F.lit(1)).alias("n"))
