@@ -56,7 +56,13 @@ def _spread_scan(df: DataFrame, key: str) -> DataFrame:
     single-row-group parquet reads as ONE task, which would serialize
     the hashing before the first shuffle. Redistributing the raw text
     once is cheap relative to the hashing; left alone when the scan
-    already yields enough splits (the 100 TB case)."""
+    already yields enough splits (the 100 TB case).
+
+    No-op on streaming frames: .rdd is illegal on a streaming plan
+    (AnalysisException), and micro-batch parallelism is governed by
+    the source's maxFilesPerTrigger/partitioning, not file splits."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism, key)

@@ -233,12 +233,19 @@ def test_bm25_single_postings_scan_broadcast_joins(spark):
     # window over the query-term-restricted set, not a groupBy joined
     # back, which would recompute the subtree); query terms and corpus
     # stats join broadcast; no sort-merge anywhere; top-k is a
-    # WindowGroupLimit
+    # WindowGroupLimit. r12: the (doc, term) count no longer needs its
+    # own exchange at all — the spread-scan repartition on doc_id
+    # already satisfies the groupBy(doc_id, __dl, term) requirement —
+    # so the pin is on the AGGREGATE appearing once (subtree not
+    # recomputed), with zero doc_id..__dl exchanges.
     import re
 
     p = plan(spark, "bm25_topk")
-    postings = re.findall(r"hashpartitioning\(doc_id[^)]*__dl", p)
-    assert len(postings) == 1, postings
+    # exactly one tf aggregate subtree keyed (doc_id, __dl, term): the
+    # formatted plan lists Keys per HashAggregate node
+    tf_keyed = re.findall(r"Keys \[3\]: \[doc_id[^\]]*__dl[^\]]*term", p)
+    assert len(tf_keyed) == 2, tf_keyed  # partial + final, one subtree
+    assert len(re.findall(r"hashpartitioning\(doc_id[^)]*__dl", p)) == 0
     assert "SortMergeJoin" not in p
     assert "WindowGroupLimit" in p
     assert "EvalPython" not in p
