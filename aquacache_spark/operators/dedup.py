@@ -1589,7 +1589,19 @@ def bigram_surprisal(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
-    bgc = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("cb"))
+    # Single-derivation shape (r12, guide §2.4): both the LM counts and
+    # the per-doc scoring probe pass through ONE per-(doc, bigram)
+    # count aggregate. The two consumers' subtrees are canonically
+    # identical up to this exchange, so AQE's runtime exchange reuse
+    # executes the tokenize+explode map stage ONCE (the old shape
+    # re-exploded the corpus for the probe), and the scoring join now
+    # carries per-doc bigram TYPES instead of positions. sum(__c) ==
+    # count(positions) and sum(__q * __c) == sum(__q over positions)
+    # in exact long arithmetic, so every output double is
+    # bit-identical.
+    dpw = pairs.groupBy(id_col, "p", "w").agg(
+        F.count(F.lit(1)).alias("__c"))
+    bgc = dpw.groupBy("p", "w").agg(F.sum("__c").alias("cb"))
     score = (
         bgc.join(uni.select(F.col("w").alias("p"),
                             F.col("cw").alias("cp")), "p")
@@ -1605,11 +1617,11 @@ def bigram_surprisal(
         )
     )
     scored = (
-        pairs.join(score, ["p", "w"])
+        dpw.join(score, ["p", "w"])
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-             (F.sum("__q") / 1e6 / F.count(F.lit(1)))
-             .alias("mean_surprisal"))
+        .agg(F.sum("__c").cast("long").alias("n_bigrams"),
+             ((F.sum(F.col("__q") * F.col("__c"))) / 1e6
+              / F.sum("__c")).alias("mean_surprisal"))
     )
     return (
         df.select(id_col)
@@ -1675,7 +1687,15 @@ def kn_bigram_surprisal(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
-    bgc = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("cb"))
+    # Single-derivation shape (r12, guide §2.4) — see bigram_surprisal:
+    # one per-(doc, bigram) count aggregate feeds both the LM counts
+    # and the per-doc probe, so the explode map stage executes once
+    # under AQE exchange reuse and the probe join carries types, not
+    # positions. All downstream counts are exact long sums of the same
+    # positions, so every double is bit-identical.
+    dpw = pairs.groupBy(id_col, "p", "w").agg(
+        F.count(F.lit(1)).alias("__c"))
+    bgc = dpw.groupBy("p", "w").agg(F.sum("__c").alias("cb"))
     left = bgc.groupBy("p").agg(
         F.sum("cb").alias("cu"),          # c(u,*)
         F.count(F.lit(1)).alias("n1u"),   # N1+(u,*)
@@ -1699,11 +1719,11 @@ def kn_bigram_surprisal(
         )
     )
     scored = (
-        pairs.join(score, ["p", "w"])
+        dpw.join(score, ["p", "w"])
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-             (F.sum("__q") / 1e6 / F.count(F.lit(1)))
-             .alias("mean_surprisal"))
+        .agg(F.sum("__c").cast("long").alias("n_bigrams"),
+             ((F.sum(F.col("__q") * F.col("__c"))) / 1e6
+              / F.sum("__c")).alias("mean_surprisal"))
     )
     return (
         df.select(id_col)
@@ -1769,7 +1789,12 @@ def trigram_surprisal(
         F.col(id_col), F.explode(grams(3)).alias("g"),
     ).select(id_col, F.col("g.t0").alias("u"), F.col("g.t1").alias("v"),
              F.col("g.t2").alias("w"))
-    tric = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("ct"))
+    # Single-derivation shape (r12, guide §2.4) — see bigram_surprisal:
+    # the trigram explode executes once (LM counts + probe share one
+    # per-(doc, trigram) aggregate under AQE exchange reuse).
+    dtr = tri.groupBy(id_col, "u", "v", "w").agg(
+        F.count(F.lit(1)).alias("__c"))
+    tric = dtr.groupBy("u", "v", "w").agg(F.sum("__c").alias("ct"))
     l1 = 1.0 - l3 - l2
     score = (
         tric
@@ -1791,11 +1816,11 @@ def trigram_surprisal(
         )
     )
     scored = (
-        tri.join(score, ["u", "v", "w"])
+        dtr.join(score, ["u", "v", "w"])
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-             (F.sum("__q") / 1e6 / F.count(F.lit(1)))
-             .alias("mean_surprisal"))
+        .agg(F.sum("__c").cast("long").alias("n_trigrams"),
+             ((F.sum(F.col("__q") * F.col("__c"))) / 1e6
+              / F.sum("__c")).alias("mean_surprisal"))
     )
     return (
         df.select(id_col)

@@ -108,7 +108,8 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # codegen workload headroom at any scale — this is a per-JVM
         # constant, not a data-size-dependent tunable.
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=512m")
+                "-XX:ReservedCodeCacheSize=512m "
+                + os.environ.get("SPARK_GRAFT_DRIVER_XOPTS", ""))
         .config("spark.executor.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize=512m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
