@@ -881,6 +881,21 @@ def _robots_fixture(spark):
     )
 
 
+def _robots_rules(spark):
+    """Parsed rules table with lineage truncated at the catalog-sized
+    boundary (r12, guide §3.3 'materialising an intermediate truncates
+    the plan'): the parse subtree (posexplode + window + self-join over
+    chained string expressions) costs Catalyst ~0.5-1s PER REPLAN, and
+    every noop/write replans it — five verdict queries paid that on
+    both their warm and timed runs. The rules table is ~200 rows (50
+    hosts); values are bit-identical so the driver hashes are
+    unchanged. robots_rules_parse keeps the raw operator output (its
+    OUTPUT is the parse itself)."""
+    from ..operators.web import parse_robots
+
+    return parse_robots(_robots_fixture(spark)).localCheckpoint(eager=False)
+
+
 @register("robots_rules_parse", oracle=_ROBOTS_RULES_ORACLE)
 def robots_rules_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 group-structure parse: consecutive User-agent lines
@@ -966,7 +981,7 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule-less hosts allowed."""
     from ..operators.web import parse_robots, robots_allowed
 
-    rules = parse_robots(_robots_fixture(spark))
+    rules = _robots_rules(spark)
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 6 == 2)
     k = F.col("o_orderkey")
     path = (
@@ -1323,7 +1338,7 @@ def crawl_frontier_priority_q(spark: SparkSession,
         k.alias("doc_id"),
     )
     verdict = robots_allowed(
-        urls, parse_robots(_robots_fixture(spark)), agent="aquabot")
+        urls, _robots_rules(spark), agent="aquabot")
     full = _t(spark, sf_dir, "orders")
     edges = full.select(
         F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"))
@@ -1467,7 +1482,7 @@ def provenance_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("h"), (d % 50).cast("string")).alias("host"),
         path.alias("path"),
     )
-    rules = parse_robots(_robots_fixture(spark))
+    rules = _robots_rules(spark)
     verdict = robots_allowed(urls, rules, agent="aquabot") \
         .select("doc_id", "allowed")
     boiler = ("the default page of this site and all of the content is "
@@ -2451,7 +2466,7 @@ def sitemap_crawl_candidates_q(spark: SparkSession,
              F.count(F.lit(1)).cast("long").alias("n_aliases"),
              F.max("priority").alias("priority"))
     )
-    rules = parse_robots(_robots_fixture(spark))
+    rules = _robots_rules(spark)
     verdicts = robots_allowed(
         dedup.select(F.col("site_host").alias("host"),
                      F.col("cpath").alias("path"),
@@ -2686,7 +2701,7 @@ def warc_robots_gated_corpus_q(spark: SparkSession,
     text = with_main_text(pages, "html")
     canon = url_canonicalize(
         text.select("doc_id", "url", "title", "chars_kept"), "url")
-    rules = parse_robots(_robots_fixture(spark))
+    rules = _robots_rules(spark)
     verdicts = robots_allowed(
         canon.select("host", "path", "doc_id", "title", "chars_kept"),
         rules, agent="aquabot")
