@@ -107,6 +107,18 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # otherwise-identical full-bench runs). 512 MB gives the
         # codegen workload headroom at any scale — this is a per-JVM
         # constant, not a data-size-dependent tunable.
+        # Whole-stage codegen over very wide stages emits one enormous
+        # generated method per span: the results-metadata star (11
+        # broadcast joins, 76+ output columns in one span) compiles
+        # for seconds under C2 AND runs ~35% slower steady-state than
+        # the Volcano + per-expression-codegen fallback (measured at
+        # sf0.1: 2.9-3.1s/run codegen'd vs 1.9-2.0s with the stage
+        # fallback; the generated method blows past JIT inline/compile
+        # budgets — a width property, not a data-size property, so the
+        # same applies at 100 TB). 64 keeps every measurement-fact
+        # stage codegen'd (only the two 66+-column metadata stars
+        # fall back).
+        .config("spark.sql.codegen.maxFields", "64")
         .config("spark.driver.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize=512m "
                 + os.environ.get("SPARK_GRAFT_DRIVER_XOPTS", ""))

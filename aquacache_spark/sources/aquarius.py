@@ -164,9 +164,17 @@ def normalize_aquarius_batch(
     ``payload`` column."""
     paths = [payload_paths] if isinstance(payload_paths, str) else list(
         payload_paths)
+    # r12 lineage truncation (guide §3.3): the raw payload batch is
+    # consumed by 4 subtrees (points + 3 interval explodes) and the
+    # parsed points by ~7 (spans fallback x3, snap x3, assignment);
+    # without truncation every consumer re-plans and re-parses the
+    # multiLine JSON scan (profiled: 30 jobs / 57 stages for one
+    # payload). A fetch BATCH is the bounded unit of work here (fleet
+    # cadence, not corpus scale), so materializing it lazily is the
+    # right trade at any scale.
     payload = spark.read.option("multiLine", True).json(paths).withColumn(
         "__payload", F.input_file_name()
-    )
+    ).localCheckpoint(eager=False)
 
     points = (
         payload.select("__payload", F.explode("Points").alias("p"))
@@ -177,6 +185,7 @@ def normalize_aquarius_batch(
         )
         .where(F.col("value").isNotNull())
         .dropDuplicates(["__payload", "datetime", "value"])
+        .localCheckpoint(eager=False)
     )
 
     approvals = _intervals(payload, "Approvals", "ApprovalLevel",
