@@ -1234,16 +1234,22 @@ def unigram_surprisal(
     tok = _spread_scan(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # Single-derivation shape (r12, guide §2.4) — see bigram_surprisal:
+    # the LM counts and the per-doc probe share one per-(doc, token)
+    # count aggregate, so the tokenize+explode executes once under AQE
+    # exchange reuse; exact long sums keep every double bit-identical.
+    dtok = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__c"))
+    freq = dtok.groupBy("tok").agg(F.sum("__c").alias("cnt"))
     freq = _with_corpus_total(freq, "cnt")
     q = F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6 + 0.5).cast("long")
     surp = freq.select("tok", q.alias("__q"))
     return (
-        tok.join(F.broadcast(surp), "tok")
+        dtok.join(F.broadcast(surp), "tok")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            (F.sum("__q") / 1e6 / F.count(F.lit(1))).alias("mean_surprisal"),
+            F.sum("__c").cast("long").alias("n_tokens"),
+            ((F.sum(F.col("__q") * F.col("__c"))) / 1e6
+             / F.sum("__c")).alias("mean_surprisal"),
         )
     )
 
@@ -1278,19 +1284,26 @@ def per_language_unigram_surprisal(
         id_col, "lang",
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    freq = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # Single-derivation shape (r12, guide §2.4) — see bigram_surprisal:
+    # one per-(doc, lang, token) count aggregate feeds both the LM and
+    # the per-doc probe, so the lang-scoring + tokenize + explode
+    # executes once under AQE exchange reuse (lang_id_multi is the
+    # expensive map expression here — the old shape ran it twice).
+    dtok = tok.groupBy(id_col, "lang", "tok").agg(
+        F.count(F.lit(1)).alias("__c"))
+    freq = dtok.groupBy("lang", "tok").agg(F.sum("__c").alias("cnt"))
     tot = freq.groupBy("lang").agg(F.sum("cnt").alias("total"))
     freq = freq.join(F.broadcast(tot), "lang")
     q = F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6 + 0.5) \
         .cast("long")
     surp = freq.select("lang", "tok", q.alias("__q"))
     return (
-        tok.join(surp, ["lang", "tok"])
+        dtok.join(surp, ["lang", "tok"])
         .groupBy(id_col, "lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            (F.sum("__q") / 1e6 / F.count(F.lit(1)))
-            .alias("mean_surprisal"),
+            F.sum("__c").cast("long").alias("n_tokens"),
+            ((F.sum(F.col("__q") * F.col("__c"))) / 1e6
+             / F.sum("__c")).alias("mean_surprisal"),
         )
     )
 
