@@ -103,18 +103,34 @@ def _split_gzip_members(blob: bytes) -> Iterator[tuple[bytes, str | None]]:
     Yields (member_bytes, error); on a corrupt member yields
     (b'', message) and stops — the next member boundary is unknown."""
     pos = 0
-    while pos < len(blob):
+    # Zero-copy + bounded feeding (r12): the old loop passed blob[pos:]
+    # to decompress once per member — the slice copies the remainder
+    # AND zlib materializes it again as unused_data, so splitting an
+    # n-member archive copied O(n * size) bytes (profiled: 5.5s for a
+    # 5000-member archive; a production 1 GB .warc.gz with ~50k members
+    # would be catastrophic). Feed bounded chunks off a memoryview:
+    # each member now costs its own bytes plus at most one chunk of
+    # unused_data.
+    mv = memoryview(blob)
+    chunk = 1 << 18
+    total = len(blob)
+    while pos < total:
         d = zlib.decompressobj(wbits=31)
+        parts = []
+        p = pos
         try:
-            data = d.decompress(blob[pos:])
-            data += d.flush()
+            while not d.eof and p < total:
+                parts.append(d.decompress(mv[p:p + chunk]))
+                p += chunk
+            parts.append(d.flush())
         except zlib.error as e:  # corrupt member: no resync point
             yield b"", f"gzip: {e}"
             return
         if not d.eof:  # truncated final member
             yield b"", "gzip: truncated member"
             return
-        consumed = len(blob) - pos - len(d.unused_data)
+        data = b"".join(parts)
+        consumed = min(p, total) - pos - len(d.unused_data)
         if consumed <= 0:  # defensive: zero-length progress
             yield b"", "gzip: zero-length member"
             return

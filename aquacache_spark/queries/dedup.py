@@ -3645,18 +3645,19 @@ def bloom_decontamination_q(spark: SparkSession,
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("text"), 5)))
         .alias("gram"))
-    # r12 (guide §3.2): probe the Bloom FIRST, map-side, and let only
-    # probabilistic survivors pay the exact gram join — a Bloom has no
-    # false negatives, so every exact hit is a survivor and the
-    # non-survivor branch's __e is NULL by construction. The exact
-    # join's shuffle now carries the FP-bounded survivor mass instead
-    # of the whole training gram stream.
+    # r12 (guide §3.2): probe the Bloom map-side; the exact-hit column
+    # comes from ONE broadcast left join of the eval-gram dim (an eval
+    # set is bounded by construction — a benchmark suite, not a
+    # corpus — so the dim broadcasts at any corpus scale). The earlier
+    # union-of-branches shape re-derived the whole k-md5 probe subtree
+    # once per branch (the map mass x2); a single derivation with the
+    # no-false-negative gate expressed as when() is value-identical
+    # (a non-survivor's exact join is NULL by Bloom's contract).
     probed = bloom_probe(bloom, tg, "gram", m_bits=_BLOOM_DECON_M,
                          k_hashes=_BLOOM_DECON_K)
-    surv = probed.where(F.col("maybe_present")).join(ev_dim, "gram", "left")
-    rest = (probed.where(~F.col("maybe_present"))
-            .withColumn("__e", F.lit(None).cast("int")))
-    out = surv.unionByName(rest)
+    out = (probed.join(F.broadcast(ev_dim), "gram", "left")
+           .withColumn("__e", F.when(F.col("maybe_present"),
+                                     F.col("__e"))))
     return out.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))

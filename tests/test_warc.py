@@ -49,6 +49,23 @@ def test_roundtrip_gz_and_plain():
         assert out[1].get("http_status") is None
 
 
+def test_gz_member_spanning_many_feed_chunks():
+    # r12: the member splitter feeds zlib bounded chunks (256 KiB) off
+    # a memoryview instead of slicing the whole remainder per member
+    # (which copied O(members x size) bytes). Pin the boundary cases:
+    # one member whose compressed AND inflated size spans several feed
+    # chunks, surrounded by tiny members, parses byte-exactly.
+    import os
+
+    big = os.urandom(1 << 20)  # incompressible: compressed > 2 chunks
+    recs = [_resp(1), _resp(2, big), _resp(3)]
+    out = list(iter_warc_records(build_warc(recs)))
+    assert [r["ok"] for r in out] == [True] * 3
+    assert out[1]["payload"] == big
+    assert out[0]["payload"] == b"<html>x</html>"
+    assert out[2]["record_id"] == "urn:example:3"
+
+
 def test_gz_members_independent_after_corruption():
     # member 1 OK, member 2 corrupt, member 3 unreachable: the OK
     # record survives and exactly one quarantine row is emitted
