@@ -2677,13 +2677,17 @@ def countmin_heavy_hitters_q(spark: SparkSession,
     docs = _spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("tokk"))
-    sk = countmin_build(tok, "tokk", d=4, w=1024)
+    # r12 single-derivation (see verified_heavy_hitters): the CMS build
+    # and the exact side share one token-count aggregate — tokenize
+    # executes once and the d md5 counter hashes run per token TYPE,
+    # weighted (cell sums identical in exact long arithmetic)
+    cnts = tok.groupBy("tokk").agg(F.count(F.lit(1)).alias("__c"))
+    sk = countmin_build(cnts, "tokk", d=4, w=1024, weight_col="__c")
     probes = _ldf(spark, [(w,) for w in _CMS_PROBES], "word string")
     est = countmin_estimate(sk, probes, "word", d=4, w=1024)
     # exact side: pre-aggregate the corpus, then RIGHT join with the
     # tiny probe list broadcast — never build a hash table of the
     # corpus side
-    cnts = tok.groupBy("tokk").agg(F.count(F.lit(1)).alias("__c"))
     exact = (
         cnts.join(F.broadcast(probes),
                   cnts["tokk"] == probes["word"], "right")
@@ -7698,16 +7702,25 @@ def verified_heavy_hitters_q(spark: SparkSession,
     docs = _spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("tokk"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
-    sk = countmin_build(tok, "tokk", d=4, w=1024)
-    dist = tok.select("tokk").distinct()
-    probed = countmin_estimate(sk, dist, "tokk", d=4, w=1024)
+    # r12 single-derivation (guide §2.4): the token stream was consumed
+    # by FOUR subtrees (total, CMS build, distinct probe list, exact
+    # recheck), each re-tokenizing the corpus — and the CMS build
+    # hashed d md5s PER TOKEN. One token-count aggregate now feeds all
+    # four: tokenize+explode executes once, the sketch builds WEIGHTED
+    # over token TYPES (sum of counts per cell == sum of 1s per
+    # occurrence, exact long arithmetic), the probe list is the
+    # aggregate itself, and the exact count IS the aggregate's count.
+    dtok = tok.groupBy("tokk").agg(F.count(F.lit(1)).alias("__c"))
+    tot = dtok.agg(F.sum("__c").alias("n"))
+    sk = countmin_build(dtok, "tokk", d=4, w=1024, weight_col="__c")
+    probed = countmin_estimate(sk, dtok.select("tokk"), "tokk",
+                               d=4, w=1024)
     cand = probed.crossJoin(F.broadcast(tot)) \
         .where(F.col("est") * 200 >= F.col("n")) \
         .select("tokk", F.col("est").alias("est_count"))
     exact = (
-        tok.join(F.broadcast(cand.select("tokk")), "tokk")
-        .groupBy("tokk").agg(F.count(F.lit(1)).alias("exact_count"))
+        dtok.join(F.broadcast(cand.select("tokk")), "tokk")
+        .select("tokk", F.col("__c").alias("exact_count"))
     )
     return (
         cand.join(exact, "tokk").crossJoin(F.broadcast(tot))
