@@ -77,8 +77,18 @@ def _with_corpus_total(freq: DataFrame, cnt_col: str) -> DataFrame:
     a single-task bottleneck on a web-scale (10^8+ row) one. Instead:
     distributed partial aggregation to a 1-row frame, then a broadcast
     cross-join back. Long addition is associative, so the total is
-    bit-identical to the window form."""
-    total = freq.agg(F.sum(cnt_col).alias("total"))
+    bit-identical to the window form.
+
+    The vacuous ``cnt_col > 0`` predicate (every caller passes a
+    count(*) column, always >= 1) is a canonicalization stabilizer
+    (r13, guide §2.4): without it the optimizer collapses
+    ``sum(count(*))`` into a bare ``count(*)`` that bypasses the
+    count aggregate entirely, so the total branch's exchange no
+    longer matches the main branch's and the upstream explode
+    re-executes instead of being reused (runtime-plan evidence in
+    plans/r13/trigram_surprisal_after_runtime.txt's predecessor)."""
+    total = freq.where(F.col(cnt_col) > 0).agg(
+        F.sum(cnt_col).alias("total"))
     return freq.crossJoin(F.broadcast(total))
 
 
@@ -1234,12 +1244,16 @@ def unigram_surprisal(
     tok = _spread_scan(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
-    # Single-derivation shape (r12, guide §2.4) — see bigram_surprisal:
-    # the LM counts and the per-doc probe share one per-(doc, token)
-    # count aggregate, so the tokenize+explode executes once under AQE
-    # exchange reuse; exact long sums keep every double bit-identical.
+    # r13 (guide §2.4): the explicit notnull filter (a data no-op —
+    # split() never yields NULL tokens) keeps the pushed-filter sets
+    # of the LM consumers identical, so the token explode inside the
+    # LM side materializes ONCE via ReusedExchange (see
+    # kn_bigram_surprisal); the probe keeps its own per-(doc, token)
+    # aggregate (no exchange — doc-partitioned stream). Exact long
+    # sums keep every double bit-identical.
+    tok = tok.where(F.col("tok").isNotNull())
     dtok = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__c"))
-    freq = dtok.groupBy("tok").agg(F.sum("__c").alias("cnt"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     freq = _with_corpus_total(freq, "cnt")
     q = F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6 + 0.5).cast("long")
     surp = freq.select("tok", q.alias("__q"))
@@ -1284,15 +1298,17 @@ def per_language_unigram_surprisal(
         id_col, "lang",
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    # Single-derivation shape (r12, guide §2.4) — see bigram_surprisal:
-    # one per-(doc, lang, token) count aggregate feeds both the LM and
-    # the per-doc probe, so the lang-scoring + tokenize + explode
-    # executes once under AQE exchange reuse (lang_id_multi is the
-    # expensive map expression here — the old shape ran it twice).
+    # r13 (guide §2.4): uniform notnull filter -> the LM consumers'
+    # exchanges canonicalize equal and the lang-scoring + tokenize +
+    # explode materializes once inside the LM side (ReusedExchange —
+    # see kn_bigram_surprisal); the probe keeps its per-(doc, lang,
+    # token) aggregate (no exchange, doc-partitioned stream).
+    tok = tok.where(F.col("tok").isNotNull() & F.col("lang").isNotNull())
     dtok = tok.groupBy(id_col, "lang", "tok").agg(
         F.count(F.lit(1)).alias("__c"))
-    freq = dtok.groupBy("lang", "tok").agg(F.sum("__c").alias("cnt"))
-    tot = freq.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    freq = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.where(F.col("cnt") > 0).groupBy("lang").agg(
+        F.sum("cnt").alias("total"))
     freq = freq.join(F.broadcast(tot), "lang")
     q = F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6 + 0.5) \
         .cast("long")
@@ -1598,8 +1614,15 @@ def bigram_surprisal(
         tokens(F.lower(F.col(text_col))).alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
     toks = F.col("__toks")
+    # r13 (guide §2.4): explicit notnull filters on both gram streams
+    # make every consumer's pushed-filter set identical, so the LM
+    # consumers' exchanges canonicalize equal and AQE ReusedExchange
+    # executes each explode ONCE (see kn_bigram_surprisal for the full
+    # account of why the r12 dpw shape never actually deduped). The
+    # filters are data no-ops: split() never yields NULL tokens.
     uni = _with_corpus_total(
         base.select(F.explode(toks).alias("w"))
+        .where(F.col("w").isNotNull())
         .groupBy("w").agg(F.count(F.lit(1)).alias("cw")),
         "cw",
     )
@@ -1617,19 +1640,15 @@ def bigram_surprisal(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
-    # Single-derivation shape (r12, guide §2.4): both the LM counts and
-    # the per-doc scoring probe pass through ONE per-(doc, bigram)
-    # count aggregate. The two consumers' subtrees are canonically
-    # identical up to this exchange, so AQE's runtime exchange reuse
-    # executes the tokenize+explode map stage ONCE (the old shape
-    # re-exploded the corpus for the probe), and the scoring join now
-    # carries per-doc bigram TYPES instead of positions. sum(__c) ==
-    # count(positions) and sum(__q * __c) == sum(__q over positions)
-    # in exact long arithmetic, so every output double is
-    # bit-identical.
+    pairs = pairs.where(F.col("p").isNotNull() & F.col("w").isNotNull())
+    # per-(doc, bigram) probe aggregate: costs no exchange (the stream
+    # is doc-partitioned) and shrinks the scoring join's shuffle mass
+    # to TYPES at scale. sum(__c) == count(positions) and
+    # sum(__q * __c) == sum(__q over positions) in exact long
+    # arithmetic, so every output double is bit-identical.
     dpw = pairs.groupBy(id_col, "p", "w").agg(
         F.count(F.lit(1)).alias("__c"))
-    bgc = dpw.groupBy("p", "w").agg(F.sum("__c").alias("cb"))
+    bgc = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("cb"))
     score = (
         bgc.join(uni.select(F.col("w").alias("p"),
                             F.col("cw").alias("cp")), "p")
@@ -1715,22 +1734,32 @@ def kn_bigram_surprisal(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
-    # Single-derivation shape (r12, guide §2.4) — see bigram_surprisal:
-    # one per-(doc, bigram) count aggregate feeds both the LM counts
-    # and the per-doc probe, so the explode map stage executes once
-    # under AQE exchange reuse and the probe join carries types, not
-    # positions. All downstream counts are exact long sums of the same
-    # positions, so every double is bit-identical.
-    dpw = pairs.groupBy(id_col, "p", "w").agg(
-        F.count(F.lit(1)).alias("__c"))
-    bgc = dpw.groupBy("p", "w").agg(F.sum("__c").alias("cb"))
+    # r13 single-derivation, ACTUALLY single at runtime (guide §2.4):
+    # the r12 dpw shape relied on AQE exchange reuse to dedupe the
+    # tokenize+explode subtree across the 5 LM/probe consumers, but
+    # reuse never fired — each consumer pushed DIFFERENT inferred
+    # IsNotNull filters (p∧w / p / w / none) below the shared
+    # aggregate, so the exchanges were not canonically equal and the
+    # explode executed 5x (runtime plan evidence in plans/r13).  Two
+    # stabilizers make every LM consumer's subtree byte-identical:
+    #  1. an explicit notnull filter on the pair stream (no-op on
+    #     data: split() never yields NULL tokens, and NULL-text docs
+    #     explode to zero rows — oracle hashes pin this);
+    #  2. a vacuous `cb > 0` predicate on the consumers that would
+    #     otherwise PRUNE the count column (count(*) >= 1 always),
+    #     keeping column pruning identical below the exchange.
+    # Result: ONE bigram explode feeds the whole LM side through a
+    # ReusedExchange; the probe is the only other explode (2 total,
+    # was 5; measured 2.0s -> 0.95s at sf0.1/local[32]).
+    pairs = pairs.where(F.col("p").isNotNull() & F.col("w").isNotNull())
+    bgc = pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("cb"))
     left = bgc.groupBy("p").agg(
         F.sum("cb").alias("cu"),          # c(u,*)
         F.count(F.lit(1)).alias("n1u"),   # N1+(u,*)
     )
-    right = bgc.groupBy("w").agg(
+    right = bgc.where(F.col("cb") > 0).groupBy("w").agg(
         F.count(F.lit(1)).alias("n1w"))   # N1+(*,w)
-    nbb = bgc.agg(F.count(F.lit(1)).alias("nbb"))
+    nbb = bgc.where(F.col("cb") > 0).agg(F.count(F.lit(1)).alias("nbb"))
     score = (
         bgc.join(left, "p").join(right, "w")
         .crossJoin(F.broadcast(nbb))
@@ -1746,6 +1775,14 @@ def kn_bigram_surprisal(
             ).cast("long").alias("__q"),
         )
     )
+    # probe: per-(doc, bigram) TYPES into the scoring join (not raw
+    # positions — at 100 TB the scoring join may not broadcast, and
+    # the type aggregate shrinks that shuffle; it costs no exchange
+    # here because the stream is already doc-partitioned).
+    # sum(__c) == count(positions) and sum(__q*__c) == sum(__q over
+    # positions) in exact long arithmetic -> bit-identical doubles.
+    dpw = pairs.groupBy(id_col, "p", "w").agg(
+        F.count(F.lit(1)).alias("__c"))
     scored = (
         dpw.join(score, ["p", "w"])
         .groupBy(id_col)
@@ -1793,8 +1830,13 @@ def trigram_surprisal(
         tokens(F.lower(F.col(text_col))).alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
     toks = F.col("__toks")
+    # r13 (guide §2.4): explicit notnull filters keep every consumer's
+    # pushed-filter set identical so each gram explode materializes
+    # ONCE via ReusedExchange (see kn_bigram_surprisal). Data no-ops:
+    # split() never yields NULL tokens.
     uni = _with_corpus_total(
         base.select(F.explode(toks).alias("w"))
+        .where(F.col("w").isNotNull())
         .groupBy("w").agg(F.count(F.lit(1)).alias("cw")),
         "cw",
     )
@@ -1812,17 +1854,21 @@ def trigram_surprisal(
 
     bg = base.select(F.explode(grams(2)).alias("g")).select(
         F.col("g.t0").alias("u"), F.col("g.t1").alias("v"))
+    bg = bg.where(F.col("u").isNotNull() & F.col("v").isNotNull())
     bgc = bg.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cb"))
     tri = base.select(
         F.col(id_col), F.explode(grams(3)).alias("g"),
     ).select(id_col, F.col("g.t0").alias("u"), F.col("g.t1").alias("v"),
              F.col("g.t2").alias("w"))
-    # Single-derivation shape (r12, guide §2.4) — see bigram_surprisal:
-    # the trigram explode executes once (LM counts + probe share one
-    # per-(doc, trigram) aggregate under AQE exchange reuse).
+    tri = tri.where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                    & F.col("w").isNotNull())
+    # per-(doc, trigram) probe aggregate (no exchange, doc-partitioned
+    # stream; shrinks the scoring join to TYPES at scale); the LM count
+    # aggregates directly off the position stream — exact long sums
+    # keep every double bit-identical either way.
     dtr = tri.groupBy(id_col, "u", "v", "w").agg(
         F.count(F.lit(1)).alias("__c"))
-    tric = dtr.groupBy("u", "v", "w").agg(F.sum("__c").alias("ct"))
+    tric = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("ct"))
     l1 = 1.0 - l3 - l2
     score = (
         tric

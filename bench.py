@@ -487,10 +487,18 @@ def main() -> None:
         "r10_subset_seconds": subset10,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # r13 (VERDICT r12 #4/#6): the sidecar used to be one fixed path,
+    # so a later scaling run (same HEAD, different $SPARK_GRAFT_CPUS)
+    # overwrote the 32-core per-query record. Name it by (cpus, sf) so
+    # each configuration keeps its own full map; BENCH_full.json stays
+    # as the latest-run convenience pointer.
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpus = spark.sparkContext.defaultParallelism
     sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
-    with open(sidecar, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+        here, f"BENCH_full_c{cpus}_sf{sf}.json")
+    for p in (sidecar, os.path.join(here, "BENCH_full.json")):
+        with open(p, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     print(json.dumps(full), file=sys.stderr)
 
     slowest = dict(sorted(
