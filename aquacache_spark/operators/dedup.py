@@ -581,7 +581,19 @@ def incremental_lsh_pairs(
         # degenerate family (or different banding) would simply stop
         # colliding — zero recall, no error — without this gate
         store.check_props(lsh_props)
-    keys = band_key_rows(batch_sigs, id_col, num_hashes, bands).persist()
+    # r13 (guide §2.2 fewer/larger partitions): the cached key frame
+    # used to inherit the MinHash map stage's partitioning (wide — one
+    # partition per core via _spread_scan, right for the md5 mass,
+    # wrong for the small banded OUTPUT): every downstream consumer of
+    # the cache then ran one task per map partition over a few hundred
+    # rows each, and the query got SLOWER with more cores. The
+    # repartition by the bucket key lets AQE size the cached layout by
+    # DATA (coalesced at bench scale, fanned out for a real daily
+    # drop), and it is the same key the groups aggregation below
+    # shuffles on anyway — the exchange moves from after the cache to
+    # before it.
+    keys = band_key_rows(batch_sigs, id_col, num_hashes, bands) \
+        .repartition("band", "key").persist()
     new_rows = keys.select(id_col, "band", "key",
                            F.lit(True).alias("__new"))
     union = new_rows
@@ -594,58 +606,81 @@ def incremental_lsh_pairs(
             old_rows = (
                 old.join(keys.select("band", "key").distinct(),
                          ["band", "key"], "left_semi")
-                # a re-fed doc id must not meet itself as "old"
-                .join(batch_sigs.select(id_col).distinct(), id_col,
+                # a re-fed doc id must not meet itself as "old" — the
+                # batch id set is read from the PERSISTED key frame,
+                # not batch_sigs (r13): the ids are identical
+                # (band_key_rows emits `bands` rows per signature row,
+                # never zero), but batch_sigs would re-run the whole
+                # MinHash pipeline just to list ids, because exchange
+                # reuse never fires above a cached relation (Spark
+                # 4.1, measured: a persisted source makes sameResult
+                # fail for otherwise-identical exchanges).
+                .join(keys.select(id_col).distinct(), id_col,
                       "left_anti")
                 .select(id_col, "band", "key", F.lit(False).alias("__new"))
             )
             union = new_rows.unionByName(old_rows)
     # r12 single-aggregation shape (the lsh_candidate_pairs
     # restructure, applied to the incremental path): ONE (band, key)
-    # aggregation collects each bucket's (id, __new) members and the
-    # pairs, the hot-bucket cap, and the star edges all derive
-    # map-side above that single exchange — replacing the former
-    # stats aggregation + semi-join + two self-joins (4 exchanges per
-    # incremental call) and the persist they needed. Ids are unique
-    # within a bucket (band_key_rows emits one row per band per doc;
-    # old rows are anti-joined against the batch ids), so
-    # array_min over the (i, n) structs picks the anchor AND its
-    # newness in one expression. Pair semantics are unchanged:
-    # id_a < id_b with at least one NEW endpoint; oversized buckets
-    # star on the min id with (__new | anchor_new) edges.
+    # aggregation collects each bucket's (id, __new) members.
+    # r13: the pairs and star branches are FUSED into one streaming
+    # two-level explode, so ``groups`` has exactly ONE consumer. The
+    # split shape re-executed the whole aggregation (and the store
+    # probe under it) once per branch: exchange reuse cannot fire
+    # here because the subtree reads the persisted key frame, and a
+    # cached relation defeats plan canonicalization (verified with a
+    # minimal repro; runtime plans in plans/r13). Per exploded member
+    # at position p in the id-sorted list: a small bucket pairs it
+    # with every LATER member (slice — m(m-1)/2 streamed rows, never
+    # an m^2 array); an oversized bucket pairs it with the bucket's
+    # first (= min-id anchor) member only, skipping the anchor itself
+    # (m-1 star edges). Ids are unique within a bucket (band_key_rows
+    # emits one row per band per doc; old rows are anti-joined against
+    # the batch ids), so position order after array_sort IS id order
+    # and the struct sort carries each member's newness along. Pair
+    # semantics are unchanged: id_a < id_b with at least one NEW
+    # endpoint; oversized buckets star on the min id with
+    # (__new | anchor_new) edges.
     groups = union.groupBy("band", "key").agg(
         F.collect_list(F.struct(F.col(id_col).alias("i"),
                                 F.col("__new").alias("n"))).alias("__ms"))
-    ms = F.col("__ms")
+    srt = groups.select(F.array_sort("__ms").alias("__s"))
     if max_bucket is None:
-        small, star = groups, None
-    else:
-        n = F.size(ms)
-        small = groups.where(n <= max_bucket)
-        anchor = F.array_min(ms)
-        star = (
-            groups.where(n > max_bucket)
-            .select(anchor.alias("__a"), F.explode(ms).alias("__m"))
-            .where((F.col("__m.i") != F.col("__a.i"))
-                   & (F.col("__m.n") | F.col("__a.n")))
-            .select(F.col("__a.i").alias("id_a"),
-                    F.col("__m.i").alias("id_b"))
+        pairs = (
+            srt.select(F.posexplode("__s").alias("__p", "__ma"),
+                       F.col("__s"))
+            .select("__ma", F.explode(F.slice(
+                "__s", F.col("__p") + 2, F.size("__s"))).alias("__mb"))
+            .where(F.col("__ma.n") | F.col("__mb.n"))
+            .select(F.col("__ma.i").alias("id_a"),
+                    F.col("__mb.i").alias("id_b"))
         )
-    # r12 (third session): position pairing over the id-sorted member
-    # list — see lsh_candidate_pairs. Struct sort orders by `i` first
-    # and ids are unique within a bucket, so position order is id
-    # order; only the at-least-one-new filter remains.
-    pairs = (
-        small.select(F.array_sort(ms).alias("__s"))
-        .select(F.posexplode("__s").alias("__p", "__ma"), F.col("__s"))
-        .select("__ma", F.explode(F.slice(
-            "__s", F.col("__p") + 2, F.size("__s"))).alias("__mb"))
-        .where(F.col("__ma.n") | F.col("__mb.n"))
-        .select(F.col("__ma.i").alias("id_a"),
-                F.col("__mb.i").alias("id_b"))
-    )
-    if star is not None:
-        pairs = pairs.unionByName(star)
+    else:
+        n = F.size("__s")
+        small = n <= max_bucket
+        anchor = F.element_at("__s", 1)
+        partners = F.when(small, F.slice(
+            "__s", F.col("__p") + 2, F.size("__s"))).otherwise(
+            # star: non-anchor members meet the anchor; the anchor's
+            # own row keeps the NULL from the unmatched when (explode
+            # of NULL emits nothing)
+            F.when(F.col("__ma.i") != anchor["i"], F.array(anchor)))
+        pairs = (
+            srt.select(F.posexplode("__s").alias("__p", "__ma"),
+                       F.col("__s"))
+            .select(small.alias("__sm"), "__ma",
+                    F.explode(partners).alias("__mb"))
+            .where(F.col("__ma.n") | F.col("__mb.n"))
+            .select(
+                # small buckets emit (me, later member): id order by
+                # position; star rows emit (anchor, me): the anchor is
+                # the bucket minimum, so id_a < id_b in both
+                F.when(F.col("__sm"), F.col("__ma.i"))
+                .otherwise(F.col("__mb.i")).alias("id_a"),
+                F.when(F.col("__sm"), F.col("__mb.i"))
+                .otherwise(F.col("__ma.i")).alias("id_b"),
+            )
+        )
     pairs = pairs.distinct()
     if merge:
         store.merge(keys.select("band", "key", id_col),
