@@ -1235,7 +1235,10 @@ def contamination_overlap(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), ngram_k)).alias("sh"),
     )
-    e_sh = evalset.select(
+    # r13 (guide §2.5): the eval fixture also reads as one split — the
+    # gram explode + distinct partial ran as ONE task (~0.35s of the
+    # gate's critical path); spread is a no-op at real split counts
+    e_sh = _spread_scan(evalset, id_col).select(
         F.explode(word_shingles(F.col(text_col), ngram_k)).alias("sh")
     ).distinct()
     hits = (

@@ -381,12 +381,38 @@ def ivf_assign(
 ) -> DataFrame:
     """Top-``nprobe`` nearest centroids per vector (``nprobe=1`` is the
     build-side inverted-list assignment). Centroids are catalog-sized →
-    broadcast; the scoring is a map-only pass over ``df``."""
+    broadcast; the scoring is a map-only pass over ``df``.
+
+    r13 (guide §4.1): each side's self-norm fold is computed ONCE per
+    row before the crossJoin instead of per (vector, centroid) pair —
+    the identical ``sqrt(dot(x, x))`` fold over the identical array,
+    so the cosine doubles are bit-identical (the r12 knn_topk
+    restructure). The ``nprobe=1`` build-side assignment is an argmin,
+    not a ranking: a min(struct) aggregation replaces the row_number
+    window — partial aggregation collapses the nlist rows per vector
+    map-side (the exchange shrinks ~nlist x and the per-vector sort
+    disappears), and the (-qrank, centroid_id) struct ordering is
+    exactly the window's (qrank DESC, centroid_id ASC) tie-break.
+    ``__v`` rides along via first(): every row in a group carries the
+    same source vector, so the value is deterministic."""
+    vn = F.sqrt(_dot(F.col("__v"), F.col("__v")))
+    cn = F.sqrt(_dot(F.col("__centv"), F.col("__centv")))
     scored = (
-        df.select(F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("__v"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("__sim", _cosine(F.col("__v"), F.col("__centv")))
+        df.select(F.col(id_col).alias(out_id),
+                  _as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__vn", vn)
+        .crossJoin(F.broadcast(centroids.withColumn("__cn", cn)))
+        .withColumn("__sim", _dot(F.col("__v"), F.col("__centv"))
+                    / (F.col("__vn") * F.col("__cn")))
     )
+    if nprobe == 1:
+        picked = scored.groupBy(out_id).agg(
+            F.min(F.struct((-_qrank(F.col("__sim"))).alias("nq"),
+                           F.col("centroid_id").alias("c"))).alias("__b"),
+            F.first("__v").alias("__v"),
+        )
+        return picked.select(out_id, F.col("__b.c").alias("centroid_id"),
+                             "__v")
     w = Window.partitionBy(out_id).orderBy(
         F.desc(_qrank(F.col("__sim"))), F.asc("centroid_id"))
     return (
@@ -421,18 +447,26 @@ def ann_topk_ivf(
     assignment — better-balanced lists, higher recall at the same
     nprobe.
     """
+    from .dedup import _spread_scan
+
     if train_iters > 0:
         cent = kmeans_centroids(corpus, id_col, vec_col, nlist, train_iters)
     else:
         cent = ivf_centroids(corpus, id_col, vec_col, nlist)
-    lists = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1, out_id="neighbor_id")
-    probes = ivf_assign(
+    corpus = _spread_scan(corpus, id_col)
+    lists = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1,
+                       out_id="neighbor_id").withColumn(
+        "__vn", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    probes = _q_prep(ivf_assign(
         queries, cent, id_col, vec_col, nprobe=nprobe, out_id="query_id"
-    ).withColumnRenamed("__v", "__qv")
+    ).withColumnRenamed("__v", "__qv"))
+    # per-side self-norms precomputed once per row (r13, guide §4.1 —
+    # identical folds over identical arrays, bit-identical cosines)
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("__qv"), F.col("__v")))
+        .withColumn("cosine", _dot(F.col("__qv"), F.col("__v"))
+                    / (F.col("__qn") * F.col("__vn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(_qrank(F.col("cosine"))), F.asc("neighbor_id"))
@@ -540,15 +574,18 @@ def ann_topk_pq(
     same expression. Composes with the IVF partitioner
     (``ann_topk_ivf``) for the probe-pruned variant
     (``ann_topk_ivfpq``)."""
+    from .dedup import _spread_scan
+
+    corpus = _spread_scan(corpus, id_col)
     codes = pq_encode(corpus, codebooks := pq_codebooks(
         corpus, id_col, vec_col, m, ksub), id_col, vec_col, out_id="neighbor_id")
-    q = queries.select(
+    q = _q_prep(queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    )
-    scored = codes.crossJoin(F.broadcast(q)).where(
+    ))
+    scored = _pq_prep(codes, codebooks).crossJoin(F.broadcast(q)).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    return _pq_rank(scored, codebooks, k)
+    return _pq_rank(scored, k)
 
 
 def _pq_reconstruction(codebooks: list):
@@ -561,16 +598,33 @@ def _pq_reconstruction(codebooks: list):
     return F.concat(*parts)
 
 
-def _pq_rank(scored: DataFrame, codebooks: list, k: int) -> DataFrame:
-    """Cosine(query, reconstruction) + per-query exact top-k over a
-    frame carrying ``__qv``, ``query_id``, ``neighbor_id``, codes."""
-    from ..functions.text import bind
-
+def _pq_prep(codes: DataFrame, codebooks: list) -> DataFrame:
+    """Reconstruction + its norm, computed ONCE per corpus row (r13,
+    guide §4.1): ``xhat`` and ``sqrt(dot(xhat, xhat))`` depend only on
+    the codes, so evaluating them on the codes frame instead of per
+    (query, neighbor) pair saves a 64-element interpreted fold per
+    probe collision — same expressions over the same arrays, so every
+    downstream cosine double is bit-identical."""
     xhat = _pq_reconstruction(codebooks)
+    return codes.withColumn("__xh", xhat).withColumn(
+        "__xn", F.sqrt(_dot(F.col("__xh"), F.col("__xh"))))
+
+
+def _q_prep(q: DataFrame) -> DataFrame:
+    """Query-side self-norm, once per probe row before the broadcast
+    (same bit-identity argument as :func:`_pq_prep`)."""
+    return q.withColumn(
+        "__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
+
+
+def _pq_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Cosine(query, reconstruction) + per-query exact top-k over a
+    frame carrying ``__qv``/``__qn``, ``query_id``, ``neighbor_id``,
+    ``__xh``/``__xn`` (from :func:`_pq_prep` / :func:`_q_prep`)."""
     scored = scored.withColumn(
         "cosine",
-        bind(xhat, lambda xh: _dot(F.col("__qv"), xh)
-             / (F.sqrt(_dot(F.col("__qv"), F.col("__qv"))) * F.sqrt(_dot(xh, xh)))),
+        _dot(F.col("__qv"), F.col("__xh"))
+        / (F.col("__qn") * F.col("__xn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(_qrank(F.col("cosine"))), F.asc("neighbor_id"))
@@ -596,8 +650,13 @@ def ivfpq_index(
     embeddings after the centroid/codebook collects. In production it
     is written once (partitioned by centroid_id) and re-read by every
     serve; the raw float corpus is never scanned again."""
+    from .dedup import _spread_scan
+
     cent = ivf_centroids(corpus, id_col, vec_col, nlist)
     cb = pq_codebooks(corpus, id_col, vec_col, m, ksub)
+    # r13 (guide §2.5): the fixture corpus reads as ONE split, which
+    # serialized the whole assignment+encode map mass on one core
+    corpus = _spread_scan(corpus, id_col)
     lists = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1, out_id="neighbor_id")
     codes = pq_encode(
         lists, cb, id_col="neighbor_id", vec_col="__v",
@@ -631,13 +690,14 @@ def ann_topk_ivfpq(
     cent, cb, codes = index or ivfpq_index(
         corpus, id_col, vec_col, nlist, m, ksub
     )
-    probes = ivf_assign(
+    probes = _q_prep(ivf_assign(
         queries, cent, id_col, vec_col, nprobe=nprobe, out_id="query_id"
-    ).withColumnRenamed("__v", "__qv")
-    scored = codes.join(F.broadcast(probes), "centroid_id").where(
+    ).withColumnRenamed("__v", "__qv"))
+    scored = _pq_prep(codes, cb).join(
+        F.broadcast(probes), "centroid_id").where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    return _pq_rank(scored, cb, k)
+    return _pq_rank(scored, k)
 
 
 def semantic_dedup(

@@ -1480,6 +1480,21 @@ def curation_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(1.0 - F.size(F.array_distinct(tri))
            / F.greatest(F.size(tri), F.lit(1))).alias("dtf"),
     )
+    # r13 aggregate fence (guide §4.4, expression form): the quality
+    # gate below is a filter on these computed columns, and predicate
+    # pushdown inlines the full metric expressions into a filter BELOW
+    # the spread repartition — the whole metric mass then runs (twice:
+    # pushed filter + re-projection) in the single scan task,
+    # silently defeating _spread_scan (measured: 1.3s single-task
+    # stage). A one-row-per-doc first() aggregate is a pushdown
+    # barrier for predicates on aggregated columns while key
+    # predicates (doc_id % 19) still reach the parquet scan; doc_id is
+    # unique, so first() is value-deterministic and every output is
+    # bit-identical (verified). The aggregate itself is exchange-free:
+    # the stream is already doc-partitioned by the spread.
+    metrics = metrics.groupBy("doc_id").agg(
+        *[F.first(c).alias(c)
+          for c in ("q", "bpe_tokens", "utr", "tbf", "dtf")])
     evalset = docs.where(F.col("doc_id") % 19 == 3)
     train = docs.where(F.col("doc_id") % 19 != 3)
     clean = contamination_overlap(train, evalset, ngram_k=5, threshold=8) \

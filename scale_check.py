@@ -99,6 +99,49 @@ def main() -> None:
                                    dt_col="datetime", value_col="value",
                                    k=5))
 
+    # ---- events/spike window family: parallelism is BY SERIES COUNT
+    # (each per-series window is one partition's sequential pass), so
+    # the bench fixture's 5 event_type series cap local parallelism —
+    # a fixture artifact, not an operator property (OPTIMIZATION_r12
+    # "events window family"). Checkable claim: the same total row
+    # count at 16x the series count must not be slower (it has 16x
+    # the parallelism and the same per-row window work).
+    def series_frame(ns, total):
+        return (
+            spark.range(0, total)
+            .select(
+                (F.col("id") % ns).alias("timeseries_id"),
+                F.timestamp_seconds(
+                    F.lit(1577836800)
+                    + (F.col("id") / ns).cast("long") * 900
+                ).alias("datetime"),
+                (F.sin(F.col("id") / 37.0) * 10
+                 + (F.col("id") % 13).cast("double")).alias("value"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism,
+                         "timeseries_id")
+        )
+
+    total_rows = 2_000_000
+    t0 = time.perf_counter()
+    hampel_flags(series_frame(4, total_rows), keys=["timeseries_id"],
+                 dt_col="datetime", value_col="value", k=5
+                 ).write.format("noop").mode("overwrite").save()
+    few_series_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hampel_flags(series_frame(64, total_rows), keys=["timeseries_id"],
+                 dt_col="datetime", value_col="value", k=5
+                 ).write.format("noop").mode("overwrite").save()
+    many_series_s = time.perf_counter() - t0
+    timings["hampel_4_series_2m"] = round(few_series_s, 3)
+    timings["hampel_64_series_2m"] = round(many_series_s, 3)
+    # soft assertion with generous noise margin: more series must not
+    # be materially slower; a violation means a per-series operator
+    # has grown a serial cross-series stage
+    if many_series_s > few_series_s * 1.5:
+        print(f"SCALE-VIOLATION: hampel 64-series {many_series_s:.2f}s "
+              f"> 1.5x 4-series {few_series_s:.2f}s", file=sys.stderr)
+
     # ---- interval algebra at spike-QC density: 1M+ segments, 10k per
     # series — the former elems x segments containment join was
     # O(segments^2) per series (10^8 per series here); the boundary
