@@ -1163,7 +1163,16 @@ def simhash_near_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, sig_col, F.col("bk.band").alias("band"),
-             F.col("bk.chunk").alias("chunk")).persist()
+             F.col("bk.chunk").alias("chunk")).repartition(
+        "band", "chunk").persist()
+    # r13 (guide §2.2): the cached banded frame used to inherit the
+    # upstream map stage's one-partition-per-core layout, so each of
+    # its 3-4 consumers (stats, both join sides, star) paid one task
+    # per core over a tiny cache (~0.4-0.6s per stage of task
+    # overhead). Repartitioning by the bucket key before the persist
+    # lets AQE size the cached layout by DATA, and it is the SAME key
+    # every downstream join/groupBy hashes on, so those exchanges
+    # disappear into the cache boundary.
     a = banded.select(F.col(id_col).alias("id_a"),
                       F.col(sig_col).alias("__sa"), "band", "chunk")
     b = banded.select(F.col(id_col).alias("id_b"),

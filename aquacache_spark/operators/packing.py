@@ -207,7 +207,12 @@ def importance_weights(
         # final score aggregate covers every doc without a corpus-scale
         # reattachment join
         exp = F.explode_outer(bigrams) if keep_empty else F.explode(bigrams)
-        return df.select(F.col(id_col), exp.alias("bigram")).select(
+        # r13 (guide §2.5): the md5-per-bigram mass ran in the single
+        # scan split; spread is a no-op at real split counts
+        from .dedup import _spread_scan
+
+        return _spread_scan(df, id_col).select(
+            F.col(id_col), exp.alias("bigram")).select(
             id_col,
             (md5_int(F.col("bigram")) % num_buckets).alias("bucket"),
         )

@@ -63,6 +63,7 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         builder.config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet timestamps without isAdjustedToUTC read as TIMESTAMP
